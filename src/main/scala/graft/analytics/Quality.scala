@@ -1,0 +1,46 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality metrics — the reference mocks these
+  * (`backend/tools/data_tools.py:58-110` returns canned completeness /
+  * uniqueness / timeliness scores); here they are real single-pass
+  * aggregations (SURVEY §2.4 A8).
+  */
+object Quality {
+
+  /** Per-column completeness: 1 - nulls/rows, one agg pass over all
+    * requested columns. */
+  def completeness(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.agg(count(lit(1)).as("rows"),
+      cols.map(c =>
+        round(avg(when(col(c).isNull, 0.0).otherwise(1.0)), 6)
+          .as(s"${c}_completeness")): _*)
+
+  /** Uniqueness ratio per column. `exact=false` uses HyperLogLog
+    * (approx_count_distinct) — the scale path; exact distinct shuffles. */
+  def uniqueness(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
+    val d: String => Column =
+      if (exact) c => countDistinct(col(c)) else c => approx_count_distinct(col(c))
+    df.agg(count(lit(1)).as("rows"),
+      cols.map(c => round(d(c).cast("double") / count(lit(1)), 6)
+        .as(s"${c}_uniqueness")): _*)
+  }
+
+  /** Operation-metrics rollup (`performance_monitoring.py:104-157`):
+    * total / successful / failed / success_rate / avg / max / min, both
+    * overall and per group. */
+  def metricsSummary(
+      df: DataFrame, groupCol: String, successCol: Column,
+      durationCol: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("total"),
+        sum(when(successCol, 1L).otherwise(0L)).as("successful"),
+        sum(when(successCol, 0L).otherwise(1L)).as("failed"),
+        round(avg(when(successCol, 1.0).otherwise(0.0)), 6).as("success_rate"),
+        round(avg(col(durationCol)), 6).as("avg_duration"),
+        min(col(durationCol)).as("min_duration"),
+        max(col(durationCol)).as("max_duration"))
+}

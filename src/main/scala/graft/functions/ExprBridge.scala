@@ -1,0 +1,10 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Forwarder to the `org.apache.spark.sql.graft.Bridge` shim. */
+private[graft] object ExprBridge {
+  def toColumn(e: Expression): Column = org.apache.spark.sql.graft.Bridge.toColumn(e)
+  def toExpr(c: Column): Expression = org.apache.spark.sql.graft.Bridge.toExpr(c)
+}

@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+import graft.functions.ExprBridge.{toColumn, toExpr}
+
+/** Hash-sketch expressions for near-duplicate detection at scale
+  * (SimHash and MinHash signatures — the standard web-scale dedup
+  * sketches; see the MinHash/LSH literature, e.g. Broder 1997).
+  * The reference's dedup surface is exact content-hash upsert
+  * (`backend/services/vector_service.py:104-125`) and URL seen-sets
+  * (`backend/services/search_service.py:174-180`); these sketches are
+  * the 100 TB-scale near-dup extension mandated by BASELINE.json.
+  *
+  * Token hashing reuses Spark's own xxhash64 kernel
+  * (`XxHash64Function`) so per-token hashing is allocation-free.
+  */
+object HashExpressions {
+  /** 64-bit SimHash of a token array. */
+  def simhash64(tokensCol: Column): Column = toColumn(SimHash64(toExpr(tokensCol)))
+
+  /** MinHash signature (k independent permutations) of a token array. */
+  def minhashSignature(tokensCol: Column, k: Int): Column =
+    toColumn(MinHashSignature(toExpr(tokensCol), k))
+}
+
+/** SimHash: per-token 64-bit hash, per-bit majority vote. Empty/null
+  * token arrays hash to 0. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 expects array<string>, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    java.lang.Long.valueOf(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** MinHash signature: element i = min over tokens of xxhash64(token,
+  * seed=i). Empty arrays give Long.MaxValue rows (never collide with
+  * real signatures in banding). */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(numHashes > 0, "numHashes must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_signature expects array<string>, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        var k = 0
+        while (k < numHashes) {
+          val h = XxHash64Function.hash(s, StringType, k.toLong)
+          if (h < sig(k)) sig(k) = h
+          k += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -1,0 +1,77 @@
+package graft.kb
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.cosineDistance
+import graft.operators.Dedup
+
+/** The reference's knowledge-base surface (SURVEY §2.3/§2.8), generic
+  * over any DataFrame with (content, embedding, source_type, ...)
+  * columns.
+  *
+  *  - matchDocuments    — `Supabase/knowledge_base-RAG.sql:43-67`
+  *  - matchDocumentsByType — `:70-94`
+  *  - upsertDocuments   — `backend/services/vector_service.py:86-159`
+  *  - cleanupExpired    — `Supabase/knowledge_base_Maintenance.sql:2-14`
+  *  - incrementAccess   — `:16-22`
+  */
+object KnowledgeBase {
+
+  /** pgvector `<=>` returns cosine *distance*; the reference aliases it
+    * `similarity` and sorts ascending — reproduced exactly, not "fixed"
+    * (SURVEY §7 hard-parts). Null-tolerant source filter per
+    * `knowledge_base-RAG.sql:64`. */
+  def matchDocuments(
+      kb: DataFrame, queryEmbedding: Array[Float], matchCount: Int,
+      filterSource: Option[String] = None,
+      vecCol: String = "embedding"): DataFrame = {
+    val base = filterSource match {
+      case Some(src) => kb.filter(col("source_type") === src)
+      case None      => kb
+    }
+    base
+      .withColumn("similarity", cosineDistance(col(vecCol), typedlit(queryEmbedding)))
+      .orderBy(asc("similarity"))
+      .limit(matchCount)
+  }
+
+  /** Mandatory-type variant (`knowledge_base-RAG.sql:70-94`). */
+  def matchDocumentsByType(
+      kb: DataFrame, queryEmbedding: Array[Float], documentType: String,
+      matchCount: Int, typeCol: String = "source_type"): DataFrame =
+    matchDocuments(kb.filter(col(typeCol) === documentType),
+      queryEmbedding, matchCount)
+
+  /** Content-hash upsert (`on_conflict=content_hash`): incoming docs win
+    * over existing rows with the same sha256(content). */
+  def upsertDocuments(
+      existing: DataFrame, incoming: DataFrame,
+      contentCol: String = "content"): DataFrame = {
+    val in = incoming.withColumn("content_hash", sha2(col(contentCol), 256))
+    val ex =
+      if (existing.columns.contains("content_hash"))
+        existing.withColumn("content_hash",
+          coalesce(col("content_hash"), sha2(col(contentCol), 256)))
+      else existing.withColumn("content_hash", sha2(col(contentCol), 256))
+    Dedup.upsertByKey(ex, in, "content_hash")
+  }
+
+  /** TTL sweep: drop rows whose expires_at has passed (`DELETE ... WHERE
+    * expires_at IS NOT NULL AND expires_at < NOW()` rewritten as the
+    * surviving-set filter). */
+  def cleanupExpired(kb: DataFrame, now: Column = current_timestamp(),
+      expiresCol: String = "expires_at"): DataFrame =
+    kb.filter(col(expiresCol).isNull || col(expiresCol) >= now)
+
+  /** Access bump for one id (`UPDATE ... SET access_count = access_count
+    * + 1, last_accessed = NOW() WHERE id = kb_id`) as a column rewrite —
+    * on Delta this would be a keyed UPDATE. */
+  def incrementAccess(kb: DataFrame, id: Long,
+      now: Column = current_timestamp()): DataFrame =
+    kb.withColumn("access_count",
+        when(col("id") === id, col("access_count") + 1)
+          .otherwise(col("access_count")))
+      .withColumn("last_accessed",
+        when(col("id") === id, now).otherwise(col("last_accessed")))
+}

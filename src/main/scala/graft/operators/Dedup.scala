@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashExpressions
+import graft.functions.TextFunctions
+
+/** Deduplication operator family.
+  *
+  * Reference semantics re-expressed Spark-first:
+  *  - first-wins keyed dedup  — URL seen-set (`search_service.py:174-180`)
+  *    and task-id seen-set (`app/state_manager.py:35-56`). Python insertion
+  *    order has no distributed analog, so callers supply explicit order
+  *    columns (SURVEY §7 hard-parts).
+  *  - content-hash upsert     — `vector_service.py:104-125`
+  *    (sha256(content) + on_conflict=content_hash).
+  *  - near-dup sketches (MinHash-LSH / SimHash / n-gram Jaccard /
+  *    embedding cosine) — the 100 TB LLM-pipeline extension.
+  *
+  * Scale notes: every method here is a single shuffle on the dedup key
+  * (window or groupBy); candidate generation for near-dups is bounded by
+  * LSH banding so the cross-product never materializes.
+  */
+object Dedup {
+
+  /** Keep the first row per key under an explicit deterministic order. */
+  def firstWins(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Null-key rows pass through untouched (task-id dedup semantics,
+    * `app/state_manager.py:41-47`: unsaved tasks are always kept). */
+  def firstWinsNullsKept(df: DataFrame, key: String, order: Seq[Column]): DataFrame = {
+    val withKey = df.filter(col(key).isNotNull)
+    val nullKey = df.filter(col(key).isNull)
+    firstWins(withKey, Seq(key), order).unionByName(nullKey)
+  }
+
+  /** Exact content dedup by hash of a text column (sha256, like the
+    * reference's content_hash). One hash-shuffle; at 100 TB this is the
+    * classic exact-dedup pass. */
+  def exactByContent(df: DataFrame, textCol: String, order: Seq[Column]): DataFrame =
+    firstWins(df.withColumn("content_hash", sha2(col(textCol), 256)),
+      Seq("content_hash"), order)
+
+  /** Upsert: incoming rows replace existing rows with the same key
+    * (Delta MERGE semantics on plain parquet — union + first-wins with
+    * incoming ranked first, `vector_service.py:119-125`). */
+  def upsertByKey(existing: DataFrame, incoming: DataFrame, key: String): DataFrame = {
+    val tagged = incoming.withColumn("__src", lit(0))
+      .unionByName(existing.withColumn("__src", lit(1)))
+    firstWins(tagged, Seq(key), Seq(col("__src"))).drop("__src")
+  }
+
+  /** MinHash-LSH near-duplicate candidate pairs, verified by exact
+    * Jaccard over word shingles. Returns (id_a, id_b, jaccard) with
+    * id_a < id_b and jaccard >= threshold.
+    *
+    * numHashes = bands * rowsPerBand; banding bounds the shuffle: only
+    * docs sharing a band bucket are joined.
+    */
+  def minHashNearDups(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      threshold: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+
+    val shingled = df.select(
+      col(idCol).as("id"),
+      array_distinct(TextFunctions.wordShingles(col(textCol), shingleSize)).as("shingles"))
+    val sig = shingled.withColumn("sig",
+      HashExpressions.minhashSignature(col("shingles"), numHashes))
+
+    // band hash = hash of the slice of the signature for that band
+    val banded = sig.select(col("id"), col("shingles"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("sig"), b * r + 1, lit(r)), b))).as(Seq("band", "bucket")))
+
+    val a = banded.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("shingles").as("sh_a"))
+    val b = banded.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("shingles").as("sh_b"))
+
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** SimHash near-dups: 64-bit fingerprints, candidates via 16-bit band
+    * buckets (4 bands ⇒ guaranteed recall for hamming distance <= 3 when
+    * at least one band matches exactly), verified by bit_count(xor). */
+  def simHashNearDups(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val fp = df.select(col(idCol).as("id"),
+      HashExpressions.simhash64(TextFunctions.words(col(textCol))).as("fp"))
+
+    val banded = fp.select(col("id"), col("fp"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("fp"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band", "bucket")))
+
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("fp").as("fp_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("fp").as("fp_b"))
+
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "fp_a", "fp_b")
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** n-gram Jaccard similarity for a candidate pair set (exact verify
+    * pass; pair generation should come from minHashNearDups or
+    * simHashNearDups — never a raw cross join at scale). */
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    df.select(col(idCol).as("id"),
+      array_distinct(TextFunctions.charNGrams(col(textCol), n)).as("grams"))
+
+  /** Embedding near-dups within coarse clusters: candidates are pairs
+    * sharing `clusterCol` (IVF-style pruning), verified by cosine. */
+  def embeddingNearDups(
+      df: DataFrame, idCol: String, vecCol: String, clusterCol: String,
+      minCosine: Double): DataFrame = {
+    val a = df.select(col(clusterCol).as("c"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = df.select(col(clusterCol).as("c"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.join(b, Seq("c"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        graft.functions.VectorFunctions.cosineSimilarity(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+}

@@ -1,0 +1,31 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Pagination operators (reference `backend/db/optimized_queries.py`).
+  *
+  * Offset pagination (`:55-78`): ORDER BY + LIMIT/OFFSET. Spark plans
+  * this as CollectLimit with a skip — fine for UI-depth pages; the
+  * cursor form below is the scale path (predicate pushdown on the id).
+  * Cursor pagination (`:91-146`): `id < before_id` + top-k, then
+  * re-sorted ascending for display ("messages.reverse()").
+  */
+object Paginate {
+
+  /** Page n (1-based) of df under `order`; fetches pageSize rows.
+    * `has_more` is the caller's concern (fetch pageSize+1 or count). */
+  def offsetPage(df: DataFrame, order: Seq[Column], page: Int, pageSize: Int): DataFrame = {
+    val start = (page - 1) * pageSize
+    df.orderBy(order: _*).offset(start).limit(pageSize)
+  }
+
+  /** Rows strictly before the cursor id, newest first.
+    * (`optimized_queries.py:126-134`). */
+  def cursorPage(
+      df: DataFrame, idCol: String, beforeId: Option[Long],
+      order: Seq[Column], limit: Int): DataFrame = {
+    val base = beforeId.map(c => df.filter(col(idCol) < c)).getOrElse(df)
+    base.orderBy(order: _*).limit(limit)
+  }
+}

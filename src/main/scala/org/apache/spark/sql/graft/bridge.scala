@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4 unified the Column API (Connect + Classic) and made the
+  * Expression<->Column bridge `private[sql]`; this shim (in an
+  * `org.apache.spark.sql` subpackage, the standard extension-library
+  * technique) re-exposes it to the graft engine.
+  */
+object Bridge {
+  def toColumn(e: Expression): Column = ExpressionUtils.column(e)
+  def toExpr(c: Column): Expression = ExpressionUtils.expression(c)
+}
