@@ -1,13 +1,538 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import graft.operators.{Dedup, Paginate, RateLimit, SimilaritySearch}
+import graft.{Tables => T}
+
+/** Driver contract: the oracle-checked query set (SURVEY.md §2 coverage).
+  *
+  * Conventions shared by every query and its DuckDB oracle so the
+  * driver's sorted-column hash compare is stable:
+  *  - timestamps are emitted as epoch microseconds (`unix_micros` /
+  *    `epoch_us`) — sidesteps ns/tz coercion between engines;
+  *  - double aggregates accumulate exactly (DECIMAL cast) then convert
+  *    to DOUBLE, so Spark's partial-agg addition order can't flip low
+  *    bits vs DuckDB's sequential sum;
+  *  - every query ends in an explicit deterministic ORDER BY;
+  *  - computed columns carry identical aliases on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Exact-sum helper: accumulate as DECIMAL(18,2), present as DOUBLE. */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+  /** Exact sum of a product of two exactly-2-decimal columns: convert
+    * each factor to DECIMAL first (exact, no tie-rounding of the double
+    * product), multiply and sum in decimal, present as DOUBLE. */
+  private def dprod(a: Column, b: Column): Column =
+    sum(a.cast("decimal(18,2)") * b.cast("decimal(18,2)")).cast("double")
+  /** Exact high-precision sum for small doubles. */
+  private def dsum18(c: Column): Column = sum(c.cast("decimal(38,18)")).cast("double")
+
+  /** Flagship query on sf=0.001 (driver smoke-checks rows>0): revenue per
+    * region through the full dimension chain — broadcast-joined dims,
+    * single shuffle for the final aggregate. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    regionRevenue(spark, "/root/testdata/sf0.001")
+
+  private def regionRevenue(s: SparkSession, dir: String): DataFrame =
+    T.lineitem(s, dir)
+      .join(T.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(T.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(T.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(T.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(dprod(col("l_extendedprice"), lit(1.0) - col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"))
+
+  // =====================================================================
+  // Query set — one entry per operator family (SURVEY §2).
+  // =====================================================================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- relational core -------------------------------------------------
+    "q01_pricing_summary" -> ((s, d) =>
+      T.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dprod(col("l_extendedprice"), lit(1.0) - col("l_discount")).as("sum_disc_price"),
+          (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    "q02_top_orders" -> ((s, d) =>
+      T.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(10)),
+
+    "q03_mktsegment_revenue" -> ((s, d) =>
+      T.orders(s, d)
+        .join(broadcast(T.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("order_count"), dsum(col("o_totalprice")).as("total_revenue"))
+        .orderBy(col("c_mktsegment"))),
+
+    "q04_region_revenue" -> ((s, d) => regionRevenue(s, d)),
+
+    "q05_ship_filter" -> ((s, d) =>
+      T.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_quantity") > 25)
+        .agg(count(lit(1)).as("n"),
+          dprod(col("l_extendedprice"), col("l_discount")).as("revenue_effect"))),
+
+    "q06_priority_count" -> ((s, d) =>
+      T.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))),
+
+    // --- pagination / sort / top-k (O1-O6) -------------------------------
+    "q10_offset_page" -> ((s, d) =>
+      Paginate.offsetPage(
+          T.orders(s, d).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            unix_micros(col("o_orderdate").cast("timestamp")).as("od_us")),
+          Seq(desc("od_us"), asc("o_orderkey")), page = 3, pageSize = 20)),
+
+    "q11_cursor_page" -> ((s, d) =>
+      Paginate.cursorPage(
+          T.events(s, d).select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us")),
+          "event_id", beforeId = Some(5000L),
+          Seq(desc("ts_us"), desc("event_id")), limit = 100)),
+
+    "q12_status_counts" -> ((s, d) =>
+      T.orders(s, d).groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"))),
+
+    "q13_multikey_sort" -> ((s, d) =>
+      T.orders(s, d)
+        .withColumn("status_rank",
+          when(col("o_orderstatus") === "O", 1)
+            .when(col("o_orderstatus") === "P", 2)
+            .when(col("o_orderstatus") === "F", 3).otherwise(99))
+        .select(col("o_orderkey"), col("status_rank"), unix_micros(col("o_orderdate").cast("timestamp")).as("od_us"))
+        .orderBy(asc("status_rank"), asc("od_us"), asc("o_orderkey"))
+        .limit(50)),
+
+    // --- aggregation family (A1-A9) --------------------------------------
+    "q14_metrics_summary" -> ((s, d) =>
+      T.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("total"),
+          (dsum18(col("value")) / count(lit(1))).as("avg_value"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+        .orderBy(col("event_type"))),
+
+    "q15_cube_counts" -> ((s, d) =>
+      T.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))),
+
+    "q16_rate_limit" -> ((s, d) =>
+      RateLimit.slidingWindowAdmission(T.events(s, d), "user_id", "ts",
+          maxRequests = 5, windowSeconds = 600)
+        .select(col("event_id"), col("user_id"), col("window_count"), col("allowed"))
+        .orderBy(col("event_id"))),
+
+    "q17_tumbling_counts" -> ((s, d) =>
+      T.events(s, d)
+        .groupBy(col("user_id"),
+          unix_micros(date_trunc("minute", col("ts"))).as("minute_us"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2)
+        .orderBy(col("user_id"), col("minute_us"))),
+
+    "q18_ttl_sweep" -> ((s, d) =>
+      T.events(s, d)
+        .filter(col("ts") >= lit("2024-01-03 00:00:00").cast("timestamp"))
+        .groupBy(col("event_type")).agg(count(lit(1)).as("survivors"))
+        .orderBy(col("event_type"))),
+
+    // --- text operators (F1-F14, LLM-pipeline text analysis) -------------
+    "q20_normalize_truncate" -> ((s, d) => {
+      val clean = trim(regexp_replace(col("text"), """\s+""", " "))
+      T.documents(s, d).select(col("doc_id"),
+          when(length(clean) > 200, trim(substring(clean, 1, 200)))
+            .otherwise(clean).as("norm"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q21_token_stats" -> ((s, d) =>
+      T.documents(s, d).select(col("doc_id"),
+          TF.tokenCount(col("text")).cast("long").as("n_tokens"),
+          size(TF.words(col("text"))).cast("long").as("n_words"),
+          length(col("text")).cast("long").as("n_chars_m"))
+        .orderBy(col("doc_id"))),
+
+    "q22_quality" -> ((s, d) =>
+      T.documents(s, d).select(col("doc_id"),
+          round(TF.punctRatio(col("text")), 6).as("punct_ratio"),
+          round(TF.stopwordRatio(col("text")), 6).as("stopword_ratio"))
+        .orderBy(col("doc_id"))),
+
+    "q23_lang_source_count" -> ((s, d) =>
+      T.documents(s, d).groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"), dsum(col("n_chars")).as("total_chars"))
+        .orderBy(col("lang"), col("source"))),
+
+    "q24_pii_profanity_scan" -> ((s, d) =>
+      T.documents(s, d).select(col("doc_id"),
+          TF.containsPii(col("text")).as("has_pii"),
+          TF.containsProfanity(col("text")).as("has_profanity"))
+        .orderBy(col("doc_id"))),
+
+    "q25_html_strip" -> ((s, d) =>
+      T.documents(s, d).select(col("doc_id"),
+          TF.cleanHtml(concat(lit("<p>"), col("text"),
+            lit("</p><code>IGNORED</code><b>tail</b>"))).as("cleaned"))
+        .orderBy(col("doc_id"))),
+
+    // --- dedup family (D1-D6, LLM-pipeline dedup) -------------------------
+    "q30_exact_dedup" -> ((s, d) => {
+      val docs = T.documents(s, d).select(col("doc_id"), col("text"))
+      docs.unionByName(docs) // duplicate every row, then exact-dedup
+        .withColumn("content_hash", sha2(col("text"), 256))
+        .groupBy(col("content_hash")).agg(min(col("doc_id")).as("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q31_first_wins" -> ((s, d) =>
+      Dedup.firstWins(T.events(s, d), Seq("user_id", "event_type"),
+          Seq(asc("ts"), asc("event_id")))
+        .select(col("user_id"), col("event_type"), col("event_id"))
+        .orderBy(col("user_id"), col("event_type"))),
+
+    "q32_upsert" -> ((s, d) => {
+      val existing = T.documents(s, d).select(col("doc_id"), col("text"))
+      val incoming = existing.filter(col("doc_id") < 100)
+        .withColumn("text", concat(col("text"), lit(" v2")))
+      Dedup.upsertByKey(
+          existing.withColumn("content_hash", sha2(col("text"), 256)),
+          incoming.withColumn("content_hash", sha2(col("text"), 256)),
+          "content_hash")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("versions"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q33_minhash_neardups" -> ((s, d) =>
+      Dedup.minHashNearDups(T.documents(s, d), "doc_id", "text",
+          shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // no DuckDB oracle (xxhash64-based) — rows-only check
+    "q34_simhash_neardups" -> ((s, d) =>
+      Dedup.simHashNearDups(T.documents(s, d), "doc_id", "text", maxHamming = 6)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // --- vector / similarity (J1-J4, V1-V5, ANN) --------------------------
+    "q40_knn" -> ((s, d) => {
+      val q = queryVec(s, d)
+      SimilaritySearch.topK(T.embeddings(s, d), "embedding", q, 10)
+        .select(col("vec_id"), round(col("similarity"), 6).as("sim"))
+        .orderBy(desc("sim"), asc("vec_id"))
+    }),
+
+    "q41_knn_by_label" -> ((s, d) => {
+      val q = queryVec(s, d)
+      SimilaritySearch.topK(T.embeddings(s, d), "embedding", q, 10,
+          filter = Some(col("label") === 3))
+        .select(col("vec_id"), col("label"), round(col("similarity"), 6).as("sim"))
+        .orderBy(desc("sim"), asc("vec_id"))
+    }),
+
+    "q42_centroids" -> ((s, d) =>
+      T.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim0", "v")))
+        .groupBy(col("label"), (col("dim0") + 1).as("dim"))
+        .agg(round(avg(col("v")), 6).as("mean"))
+        .orderBy(col("label"), col("dim"))),
+
+    "q43_embed_neardups" -> ((s, d) =>
+      Dedup.embeddingNearDups(T.embeddings(s, d), "vec_id", "embedding",
+          clusterCol = "label", minCosine = 0.3)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "q44_knn_join" -> ((s, d) => {
+      val qs = T.embeddings(s, d).filter(col("vec_id") < 10)
+      SimilaritySearch.topKJoin(qs, "vec_id", "embedding",
+          T.embeddings(s, d), "vec_id", "embedding", k = 3)
+        .select(col("query_id"), col("vec_id"), round(col("similarity"), 6).as("sim"))
+        .orderBy(col("query_id"), desc("sim"), asc("vec_id"))
+    }),
+
+    // --- timestamp / interval (F9-F11) ------------------------------------
+    "q50_schedule_next" -> ((s, d) =>
+      T.events(s, d).select(col("event_id"),
+          unix_micros(
+            when(col("event_type") === "click", col("ts") + expr("INTERVAL 1 HOUR"))
+              .when(col("event_type") === "view", col("ts") + expr("INTERVAL 1 DAY"))
+              .when(col("event_type") === "signup", col("ts") + expr("INTERVAL 7 DAY"))
+              .when(col("event_type") === "purchase", col("ts") + expr("INTERVAL 30 DAY"))
+              .otherwise(col("ts"))).as("next_run_us"))
+        .orderBy(col("event_id"))),
+
+    "q51_recent_errors" -> ((s, d) =>
+      T.events(s, d).filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+        .orderBy(desc("ts_us"), desc("event_id"))
+        .limit(100)),
+
+    // --- data-quality metrics (A8) ----------------------------------------
+    "q52_completeness" -> ((s, d) =>
+      T.events(s, d).agg(count(lit(1)).as("rows"),
+        avg(when(col("props").isNull, 0.0).otherwise(1.0)).as("props_completeness"),
+        avg(when(col("value").isNull, 0.0).otherwise(1.0)).as("value_completeness"))),
+
+    "q53_uniqueness" -> ((s, d) =>
+      T.events(s, d).agg(count(lit(1)).as("rows"),
+        (countDistinct(col("user_id")).cast("double") / count(lit(1))).as("user_uniq"),
+        (countDistinct(col("event_type")).cast("double") / count(lit(1))).as("type_uniq")))
+  )
+
+  /** The kNN query parameter: embedding of vec_id=0 (driver-side single-row
+    * lookup — a query argument, not a data loop). */
+  private def queryVec(s: SparkSession, d: String): Array[Float] =
+    T.embeddings(s, d).filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+
+  // =====================================================================
+  // DuckDB oracles — identical semantics, identical aliases.
+  // =====================================================================
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.00 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_top_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q03_mktsegment_revenue" ->
+      """SELECT c_mktsegment, count(*) AS order_count,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q04_region_revenue" ->
+      """SELECT r_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.00 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q05_ship_filter" ->
+      """SELECT count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue_effect
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_quantity > 25""".stripMargin,
+
+    "q06_priority_count" ->
+      """SELECT o_orderpriority, count(*) AS n FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q10_offset_page" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, epoch_us(o_orderdate) AS od_us
+        |FROM orders ORDER BY od_us DESC, o_orderkey LIMIT 20 OFFSET 40""".stripMargin,
+
+    "q11_cursor_page" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+        |WHERE event_id < 5000 ORDER BY ts_us DESC, event_id DESC LIMIT 100""".stripMargin,
+
+    "q12_status_counts" ->
+      "SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+
+    "q13_multikey_sort" ->
+      """SELECT o_orderkey,
+        |  CASE o_orderstatus WHEN 'O' THEN 1 WHEN 'P' THEN 2 WHEN 'F' THEN 3 ELSE 99 END AS status_rank,
+        |  epoch_us(o_orderdate) AS od_us
+        |FROM orders ORDER BY status_rank, od_us, o_orderkey LIMIT 50""".stripMargin,
+
+    "q14_metrics_summary" ->
+      """SELECT event_type, count(*) AS total,
+        |  CAST(sum(CAST(value AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS avg_value,
+        |  min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q15_cube_counts" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q16_rate_limit" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 599999999 PRECEDING AND CURRENT ROW) AS window_count,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 599999999 PRECEDING AND CURRENT ROW) <= 5 AS allowed
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q17_tumbling_counts" ->
+      """SELECT user_id, epoch_us(date_trunc('minute', ts)::TIMESTAMP) AS minute_us,
+        |  count(*) AS n
+        |FROM events GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY user_id, minute_us""".stripMargin,
+
+    "q18_ttl_sweep" ->
+      """SELECT event_type, count(*) AS survivors FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q20_normalize_truncate" ->
+      """WITH c AS (SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS cl FROM documents)
+        |SELECT doc_id, CASE WHEN length(cl) > 200 THEN trim(substr(cl, 1, 200)) ELSE cl END AS norm
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q21_token_stats" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_tokens,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+        |  length(text) AS n_chars_m
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q22_quality" ->
+      """SELECT doc_id,
+        |  round(CASE WHEN length(text) = 0 THEN 0.0
+        |    ELSE len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::DOUBLE / length(text) END, 6) AS punct_ratio,
+        |  round(CASE WHEN len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) = 0 THEN 0.0
+        |    ELSE len(regexp_extract_all(text, '(?i)\b(the|a|an|of|and|to|in|is|it|that|for|on|with|as|at|by|this)\b'))::DOUBLE
+        |      / len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) END, 6) AS stopword_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q23_lang_source_count" ->
+      """SELECT lang, source, count(*) AS n,
+        |  CAST(sum(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) AS total_chars
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    "q24_pii_profanity_scan" ->
+      """SELECT doc_id,
+        |  regexp_matches(text, '(?i)(\b\d{3}-\d{2}-\d{4}\b|\b\d{4}[\s-]?\d{4}[\s-]?\d{4}[\s-]?\d{4}\b|[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Z|a-z]{2,}|AKIA[0-9A-Z]{16}|ghp_[0-9a-zA-Z]{36})') AS has_pii,
+        |  regexp_matches(text, '(?i)(\bbitch(es)?\b|\b(shit|shitty|shitter)\b|\bfuck(er|ing|ed|s)?\b|\bdamn(ed)?\b|\bhell\b|\bastard(s)?\b|\bstupid\b|\bidiot(ic)?\b|\bmoron(s)?\b|\bretard(ed)?\b|\bbad ai\b|\bstupid ai\b|\bdumb ai\b|\bhate you\b|\bscrew you\b)') AS has_profanity
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q25_html_strip" ->
+      """WITH h AS (SELECT doc_id, '<p>' || text || '</p><code>IGNORED</code><b>tail</b>' AS html FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(html, '<code[^>]*>.*?</code>', ' ', 'gis') AS t FROM h),
+        |s2 AS (SELECT doc_id, regexp_replace(t, '<[^>]+>', ' ', 'g') AS t FROM s1),
+        |s3 AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(replace(t,
+        |  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&#x27;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t FROM s2)
+        |SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS cleaned FROM s3 ORDER BY doc_id""".stripMargin,
+
+    "q30_exact_dedup" ->
+      """SELECT sha256(text) AS content_hash, min(doc_id) AS doc_id
+        |FROM (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM documents)
+        |GROUP BY sha256(text) ORDER BY doc_id""".stripMargin,
+
+    "q31_first_wins" ->
+      """SELECT user_id, event_type, event_id FROM (
+        |  SELECT user_id, event_type, event_id,
+        |    row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+        |  FROM events) WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "q32_upsert" ->
+      """WITH existing AS (SELECT doc_id, text, sha256(text) AS content_hash FROM documents),
+        |incoming AS (SELECT doc_id, text || ' v2' AS text, sha256(text || ' v2') AS content_hash
+        |             FROM documents WHERE doc_id < 100),
+        |tagged AS (SELECT doc_id, content_hash, 0 AS src FROM incoming
+        |           UNION ALL SELECT doc_id, content_hash, 1 AS src FROM existing),
+        |merged AS (SELECT doc_id FROM (
+        |  SELECT doc_id, row_number() OVER (PARTITION BY content_hash ORDER BY src) AS rn FROM tagged)
+        |  WHERE rn = 1)
+        |SELECT doc_id, count(*) AS versions FROM merged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q33_minhash_neardups" ->
+      """WITH w AS (SELECT doc_id, list_distinct(
+        |    CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) < 3
+        |      THEN [array_to_string(regexp_split_to_array(trim(text), '\s+'), ' ')]
+        |      ELSE [array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+2], ' ')
+        |            for i in range(1, len(regexp_split_to_array(trim(text), '\s+')) - 1)] END) AS sh
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+        |FROM w a JOIN w b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q40_knn" ->
+      """SELECT e.vec_id,
+        |  round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS sim
+        |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin,
+
+    "q41_knn_by_label" ->
+      """SELECT e.vec_id, e.label,
+        |  round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS sim
+        |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |WHERE e.label = 3 ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin,
+
+    "q42_centroids" ->
+      """SELECT label, r.i AS dim, round(avg(embedding[r.i]), 6) AS mean
+        |FROM embeddings CROSS JOIN range(1, 65) r(i)
+        |GROUP BY label, r.i ORDER BY label, dim""".stripMargin,
+
+    "q43_embed_neardups" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q44_knn_join" ->
+      """SELECT query_id, vec_id, sim FROM (
+        |  SELECT q.vec_id AS query_id, e.vec_id,
+        |    round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS sim,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC, e.vec_id) AS rn
+        |  FROM embeddings e CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q)
+        |WHERE rn <= 3 ORDER BY query_id, sim DESC, vec_id""".stripMargin,
+
+    "q50_schedule_next" ->
+      """SELECT event_id, epoch_us(
+        |  CASE event_type WHEN 'click' THEN ts + INTERVAL 1 HOUR
+        |    WHEN 'view' THEN ts + INTERVAL 1 DAY
+        |    WHEN 'signup' THEN ts + INTERVAL 7 DAY
+        |    WHEN 'purchase' THEN ts + INTERVAL 30 DAY
+        |    ELSE ts END) AS next_run_us
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q51_recent_errors" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+        |WHERE event_type = 'error' ORDER BY ts_us DESC, event_id DESC LIMIT 100""".stripMargin,
+
+    "q52_completeness" ->
+      """SELECT count(*) AS rows,
+        |  avg(CASE WHEN props IS NULL THEN 0.0 ELSE 1.0 END) AS props_completeness,
+        |  avg(CASE WHEN value IS NULL THEN 0.0 ELSE 1.0 END) AS value_completeness
+        |FROM events""".stripMargin,
+
+    "q53_uniqueness" ->
+      """SELECT count(*) AS rows,
+        |  count(DISTINCT user_id)::DOUBLE / count(*) AS user_uniq,
+        |  count(DISTINCT event_type)::DOUBLE / count(*) AS type_uniq
+        |FROM events""".stripMargin
+  )
 }
