@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("firstWins keeps earliest row per key under the given order") {
+    val df = Seq(
+      ("a", 2, "second"), ("a", 1, "first"), ("b", 5, "only"), ("a", 3, "third")
+    ).toDF("k", "ord", "v")
+    val got = Dedup.firstWins(df, Seq("k"), Seq(asc("ord")))
+      .orderBy("k").as[(String, Int, String)].collect()
+    assert(got.toSeq === Seq(("a", 1, "first"), ("b", 5, "only")))
+  }
+
+  test("firstWins is idempotent") {
+    val df = Seq(("a", 1), ("a", 2), ("b", 1)).toDF("k", "ord")
+    val once = Dedup.firstWins(df, Seq("k"), Seq(asc("ord")))
+    val twice = Dedup.firstWins(once, Seq("k"), Seq(asc("ord")))
+    assert(once.orderBy("k").collect().toSeq === twice.orderBy("k").collect().toSeq)
+  }
+
+  test("firstWinsNullsKept passes null keys through (reference task-id semantics)") {
+    val df = Seq(
+      (Some(1L), 1, "keep"), (Some(1L), 2, "drop"),
+      (None, 3, "null1"), (None, 4, "null2")
+    ).toDF("id", "ord", "v")
+    val got = Dedup.firstWinsNullsKept(df, "id", Seq(asc("ord")))
+    assert(got.count() === 3)
+    assert(got.filter($"id".isNull).count() === 2)
+  }
+
+  test("upsertByKey: incoming replaces existing on key, others appended") {
+    val existing = Seq(("h1", "old1"), ("h2", "old2")).toDF("k", "v")
+    val incoming = Seq(("h2", "new2"), ("h3", "new3")).toDF("k", "v")
+    val got = Dedup.upsertByKey(existing, incoming, "k")
+      .orderBy("k").as[(String, String)].collect()
+    assert(got.toSeq === Seq(("h1", "old1"), ("h2", "new2"), ("h3", "new3")))
+  }
+
+  test("minhash LSH finds planted near-duplicates and skips unrelated docs") {
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val nearDup = (1 to 38).map(i => s"token$i").mkString(" ") + " token41 token42"
+    val unrelated = (100 to 140).map(i => s"other$i").mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup), (3L, unrelated)).toDF("id", "text")
+    val pairs = Dedup.minHashNearDups(df, "id", "text", threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.length === 1)
+    assert(pairs(0)._1 === 1L && pairs(0)._2 === 2L)
+    assert(pairs(0)._3 > 0.8)
+  }
+
+  test("simhash near-dups: identical docs at hamming 0, different docs filtered") {
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val df = Seq((1L, a), (2L, a), (3L, "completely unrelated content words here")).toDF("id", "text")
+    val pairs = Dedup.simHashNearDups(df, "id", "text", maxHamming = 3)
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.length === 1)
+    assert((pairs(0)._1, pairs(0)._2, pairs(0)._3) === (1L, 2L, 0))
+  }
+
+  test("exactByContent dedups identical text") {
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "different")).toDF("id", "text")
+    val got = Dedup.exactByContent(df, "text", Seq(asc("id")))
+    assert(got.count() === 2)
+    assert(got.filter($"text" === "same text").select("id").as[Long].collect().toSeq === Seq(1L))
+  }
+
+  test("embeddingNearDups: same-cluster cosine pairs only") {
+    val df = Seq(
+      (1L, Array(1f, 0f), 0), (2L, Array(0.99f, 0.1f), 0),
+      (3L, Array(0f, 1f), 0), (4L, Array(1f, 0f), 1)
+    ).toDF("id", "vec", "cluster")
+    val got = Dedup.embeddingNearDups(df, "id", "vec", "cluster", minCosine = 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(got.length === 1)
+    assert(got(0)._1 === 1L && got(0)._2 === 2L)
+  }
+}

@@ -1,0 +1,174 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Paginate, RateLimit, SimilaritySearch}
+import graft.kb.KnowledgeBase
+import graft.analytics.Quality
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- similarity search -------------------------------------------------
+
+  private lazy val corpus = Seq(
+    (1L, Array(1f, 0f, 0f)), (2L, Array(0.9f, 0.1f, 0f)), (3L, Array(0f, 1f, 0f)),
+    (4L, Array(0f, 0f, 1f)), (5L, Array(0.7f, 0.7f, 0f))
+  ).toDF("id", "embedding")
+
+  test("topK returns exact nearest neighbors in similarity order") {
+    val got = SimilaritySearch.topK(corpus, "embedding", Array(1f, 0f, 0f), 3)
+      .select("id").as[Long].collect()
+    assert(got.toSeq === Seq(1L, 2L, 5L))
+  }
+
+  test("topK honors the optional filter (null-tolerant source filter)") {
+    val got = SimilaritySearch.topK(corpus, "embedding", Array(1f, 0f, 0f), 2,
+        filter = Some(col("id") =!= 1L))
+      .select("id").as[Long].collect()
+    assert(got.toSeq === Seq(2L, 5L))
+  }
+
+  test("topKJoin gives per-query top-k equal to per-query topK") {
+    val queries = Seq((10L, Array(1f, 0f, 0f)), (20L, Array(0f, 0.1f, 1f))).toDF("qid", "qv")
+    val got = SimilaritySearch.topKJoin(queries, "qid", "qv", corpus, "id", "embedding", 2)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    assert(got === Set((10L, 1L), (10L, 2L), (20L, 4L), (20L, 3L)))
+  }
+
+  test("ivfTopK with all clusters probed equals exact topK") {
+    val clustered = corpus.withColumn("cluster", (col("id") % 2).cast("int"))
+    val cents = SimilaritySearch.centroids(clustered, "cluster", "embedding")
+    val q = Array(1f, 0f, 0f)
+    val exact = SimilaritySearch.topK(clustered, "embedding", q, 3).select("id").as[Long].collect()
+    val ivf = SimilaritySearch.ivfTopK(clustered, "cluster", "embedding", cents, q, 3, nprobe = 2)
+      .select("id").as[Long].collect()
+    assert(ivf.toSeq === exact.toSeq)
+  }
+
+  test("centroids computes per-dimension means") {
+    val df = Seq((0, Array(1f, 2f)), (0, Array(3f, 4f)), (1, Array(10f, 20f))).toDF("c", "v")
+    val got = SimilaritySearch.centroids(df, "c", "v")
+      .orderBy("cluster").as[(Int, Array[Float])].collect()
+    assert(got(0)._2.toSeq === Seq(2f, 3f))
+    assert(got(1)._2.toSeq === Seq(10f, 20f))
+  }
+
+  // --- knowledge base ----------------------------------------------------
+
+  test("matchDocuments sorts ascending by cosine DISTANCE (pgvector quirk)") {
+    val kb = corpus.withColumn("source_type", lit("official_doc"))
+    val got = KnowledgeBase.matchDocuments(kb, Array(1f, 0f, 0f), 2)
+    val rows = got.select("id", "similarity").as[(Long, Double)].collect()
+    assert(rows.map(_._1).toSeq === Seq(1L, 2L))
+    assert(rows(0)._2 < rows(1)._2) // ascending distance
+    assert(math.abs(rows(0)._2) < 1e-9) // self distance 0
+  }
+
+  test("matchDocuments source filter") {
+    val kb = corpus.withColumn("source_type",
+      when(col("id") <= 2, "github").otherwise("stackoverflow"))
+    val got = KnowledgeBase.matchDocuments(kb, Array(1f, 0f, 0f), 5, Some("stackoverflow"))
+    assert(got.select("id").as[Long].collect().toSet === Set(3L, 4L, 5L))
+  }
+
+  test("cleanupExpired keeps null and future expiries") {
+    val now = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+    val df = Seq(
+      (1L, Some(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))),
+      (2L, Some(java.sql.Timestamp.valueOf("2025-01-01 00:00:00"))),
+      (3L, None)
+    ).toDF("id", "expires_at")
+    val got = KnowledgeBase.cleanupExpired(df, now = lit(now))
+    assert(got.select("id").as[Long].collect().toSet === Set(2L, 3L))
+  }
+
+  test("incrementAccess bumps only the targeted row") {
+    val df = Seq((1L, 5), (2L, 7)).toDF("id", "access_count")
+      .withColumn("last_accessed", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+    val got = KnowledgeBase.incrementAccess(df, 1L)
+      .select("id", "access_count").as[(Long, Int)].collect().toMap
+    assert(got === Map(1L -> 6, 2L -> 7))
+  }
+
+  test("upsertDocuments dedups by content hash, incoming wins") {
+    val existing = Seq((1L, "alpha"), (2L, "beta")).toDF("id", "content")
+    val incoming = Seq((10L, "beta"), (11L, "gamma")).toDF("id", "content")
+    val got = KnowledgeBase.upsertDocuments(existing, incoming)
+    assert(got.count() === 3)
+    // 'beta' row must be the incoming one (id 10)
+    assert(got.filter($"content" === "beta").select("id").as[Long].collect().toSeq === Seq(10L))
+  }
+
+  // --- pagination ---------------------------------------------------------
+
+  test("offset pages partition the ordered set without gaps or overlaps") {
+    val df = (1 to 95).map(i => (i.toLong, 100 - i)).toDF("id", "rank")
+    val pages = (1 to 5).map(p =>
+      Paginate.offsetPage(df, Seq(asc("rank"), asc("id")), p, 20)
+        .select("id").as[Long].collect().toSeq)
+    assert(pages.map(_.size).sum === 95)
+    assert(pages.flatten.distinct.size === 95)
+    // ordering: rank = 100 - id, so the first page (smallest ranks) is ids 95..76
+    assert(pages.head === (95 to 76 by -1).map(_.toLong))
+  }
+
+  test("cursor pagination fetches strictly-before rows newest first") {
+    val df = (1 to 50).map(i => (i.toLong, i * 10L)).toDF("id", "ts_us")
+    val got = Paginate.cursorPage(df, "id", Some(30L), Seq(desc("ts_us")), 10)
+      .select("id").as[Long].collect()
+    assert(got.toSeq === (20 to 29).reverse.map(_.toLong))
+  }
+
+  // --- rate limiting -------------------------------------------------------
+
+  test("sliding-window admission counts the trailing window exactly") {
+    // user u: requests at t=0,10,20,30,700 s; window 60 s, max 3
+    val rows = Seq(0L, 10L, 20L, 30L, 700L).zipWithIndex.map { case (s, i) =>
+      (i.toLong, "u", java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(s)))
+    }
+    val df = rows.toDF("event_id", "id", "ts")
+    val got = RateLimit.slidingWindowAdmission(df, "id", "ts", maxRequests = 3, windowSeconds = 60)
+      .orderBy("event_id").select("window_count", "allowed").as[(Long, Boolean)].collect()
+    assert(got.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L, 1L))
+    assert(got.map(_._2).toSeq === Seq(true, true, true, false, true))
+  }
+
+  test("sliding window boundary: an event exactly windowSeconds later is admitted") {
+    val rows = Seq(0L, 60L).zipWithIndex.map { case (s, i) =>
+      (i.toLong, "u", java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(s)))
+    }
+    val got = RateLimit.slidingWindowAdmission(rows.toDF("event_id", "id", "ts"),
+        "id", "ts", maxRequests = 1, windowSeconds = 60)
+      .orderBy("event_id").select("window_count").as[Long].collect()
+    // window is (t-60s, t]: the t=0 event has left the window at t=60
+    assert(got.toSeq === Seq(1L, 1L))
+  }
+
+  // --- quality -------------------------------------------------------------
+
+  test("completeness and uniqueness") {
+    val df = Seq(
+      (Some("a"), 1), (None, 1), (Some("b"), 2), (Some("a"), 3)
+    ).toDF("s", "n")
+    val c = Quality.completeness(df, Seq("s", "n")).collect()(0)
+    assert(c.getAs[Double]("s_completeness") === 0.75)
+    assert(c.getAs[Double]("n_completeness") === 1.0)
+    val u = Quality.uniqueness(df, Seq("s", "n")).collect()(0)
+    assert(u.getAs[Double]("s_uniqueness") === 0.5)  // a,b over 4 rows
+    assert(u.getAs[Double]("n_uniqueness") === 0.75) // 1,2,3 over 4 rows
+  }
+
+  test("metricsSummary per group") {
+    val df = Seq(
+      ("op1", true, 100), ("op1", false, 300), ("op2", true, 50)
+    ).toDF("op", "ok", "dur")
+    val got = Quality.metricsSummary(df, "op", col("ok"), "dur")
+      .orderBy("op").collect()
+    assert(got(0).getAs[Long]("total") === 2)
+    assert(got(0).getAs[Long]("successful") === 1)
+    assert(got(0).getAs[Double]("success_rate") === 0.5)
+    assert(got(0).getAs[Double]("avg_duration") === 200.0)
+    assert(got(1).getAs[Long]("failed") === 0)
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+class VectorFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cosineScala(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    for (i <- 0 until n) {
+      dot += a(i).toDouble * b(i); nx += a(i).toDouble * a(i); ny += b(i).toDouble * b(i)
+    }
+    if (nx == 0 || ny == 0) Double.NaN else dot / math.sqrt(nx * ny)
+  }
+
+  test("cosine similarity matches scalar computation on known values") {
+    val df = Seq(
+      (Array(1f, 0f, 0f), Array(1f, 0f, 0f)),
+      (Array(1f, 0f, 0f), Array(0f, 1f, 0f)),
+      (Array(1f, 2f, 3f), Array(-1f, -2f, -3f)),
+      (Array(1f, 1f, 0f), Array(1f, 0f, 0f))
+    ).toDF("a", "b")
+    val got = df.select(cosineSimilarity($"a", $"b")).as[Double].collect()
+    assert(math.abs(got(0) - 1.0) < 1e-12)
+    assert(math.abs(got(1) - 0.0) < 1e-12)
+    assert(math.abs(got(2) + 1.0) < 1e-12)
+    assert(math.abs(got(3) - math.sqrt(0.5)) < 1e-12)
+  }
+
+  test("zero-norm vector yields null") {
+    val df = Seq((Array(0f, 0f), Array(1f, 2f))).toDF("a", "b")
+    assert(df.select(cosineSimilarity($"a", $"b")).collect()(0).isNullAt(0))
+  }
+
+  test("cosine distance = 1 - similarity (pgvector <=> semantics)") {
+    val df = Seq((Array(1f, 2f, 3f), Array(4f, 5f, 6f))).toDF("a", "b")
+    val Array(sim, dist) = df
+      .select(cosineSimilarity($"a", $"b"), cosineDistance($"a", $"b"))
+      .collect()(0).toSeq.map(_.asInstanceOf[Double]).toArray
+    assert(math.abs(dist - (1.0 - sim)) < 1e-12)
+  }
+
+  test("property: cosine in [-1,1], symmetric, self-similarity 1 (seeded random vectors)") {
+    val rnd = new scala.util.Random(42)
+    val pairs = (1 to 25).map { _ =>
+      val n = 1 + rnd.nextInt(32)
+      (Array.fill(n)(rnd.nextFloat() * 20f - 10f), Array.fill(n)(rnd.nextFloat() * 20f - 10f))
+    }.filter { case (a, b) => a.exists(_ != 0f) && b.exists(_ != 0f) }
+    val df = pairs.flatMap { case (a, b) => Seq((a, b), (b, a), (a, a)) }.toDF("x", "y")
+    val r = df.select(cosineSimilarity($"x", $"y")).as[Double].collect()
+    pairs.indices.foreach { i =>
+      val (fwd, rev, self) = (r(3 * i), r(3 * i + 1), r(3 * i + 2))
+      assert(fwd >= -1.0 - 1e-9 && fwd <= 1.0 + 1e-9)
+      assert(math.abs(fwd - rev) < 1e-9)   // symmetry
+      assert(math.abs(self - 1.0) < 1e-9)  // self
+      assert(math.abs(fwd - cosineScala(pairs(i)._1, pairs(i)._2)) < 1e-9)
+    }
+  }
+
+  test("dot product and l2 norm") {
+    val df = Seq((Array(1f, 2f, 3f), Array(4f, 5f, 6f))).toDF("a", "b")
+    val r = df.select(dotProduct($"a", $"b"), l2Norm($"a")).collect()(0)
+    assert(math.abs(r.getDouble(0) - 32.0) < 1e-12)
+    assert(math.abs(r.getDouble(1) - math.sqrt(14.0)) < 1e-12)
+  }
+
+  test("works on double arrays too") {
+    val df = Seq((Array(1.0, 0.0), Array(1.0, 0.0))).toDF("a", "b")
+    assert(df.select(cosineSimilarity($"a", $"b")).as[Double].collect()(0) === 1.0)
+  }
+}
