@@ -37,7 +37,15 @@ object Tables {
   val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Load by name through the per-table loaders (so `events` gets its
+    * nanos conversion), falling back to a raw read. */
+  def byName(spark: SparkSession, dir: String, name: String): DataFrame =
+    name match {
+      case "events" => events(spark, dir)
+      case n        => table(spark, dir, n)
+    }
+
   /** Register every table as a temp view so `spark.sql` works too. */
   def registerViews(spark: SparkSession, dir: String): Unit =
-    all.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+    all.foreach(n => byName(spark, dir, n).createOrReplaceTempView(n))
 }

@@ -1,0 +1,86 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column support for training-data pipelines: image/audio/
+  * video payloads as opaque `binary` columns with typed metadata,
+  * processed batch-wise per partition (the Scala analog of mapInPandas —
+  * same batch shape, no driver round-trips).
+  *
+  * The decode kernels (JPEG decode, audio resample, frame sampling) need
+  * native libraries that are NOT in this container, so the kernel is a
+  * pluggable trait with a clearly-marked deterministic STUB — the
+  * Spark-side plumbing (schema, partitioning, batch shape) is real and
+  * tested; swapping in a real decoder is a one-class change.
+  */
+object Multimodal {
+
+  /** Typed media row: payload + metadata (schema-first, SURVEY §1.3). */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false), // image | audio | video
+    StructField("payload", BinaryType, nullable = false),
+    StructField("mime", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("duration_ms", IntegerType)))
+
+  /** Decode/feature kernel boundary. Real impls wrap imageio/ffmpeg;
+    * [[StubKernel]] is the deterministic fake used in this container. */
+  trait Kernel extends Serializable {
+    /** Fixed-length feature vector for one payload. */
+    def features(kind: String, payload: Array[Byte]): Array[Float]
+    def featureDim: Int
+  }
+
+  /** STUB: byte-histogram "features" — deterministic, shape-correct,
+    * decodes nothing. Replace with a real decoder outside this container. */
+  case class StubKernel(featureDim: Int = 32) extends Kernel {
+    def features(kind: String, payload: Array[Byte]): Array[Float] = {
+      val hist = new Array[Float](featureDim)
+      var i = 0
+      while (i < payload.length) {
+        hist((payload(i) & 0xFF) % featureDim) += 1f
+        i += 1
+      }
+      val n = math.max(1, payload.length).toFloat
+      hist.map(_ / n)
+    }
+  }
+
+  /** Add a feature column, computed batch-wise per partition. The
+    * partition iterator is processed in `batchSize` groups so a real
+    * kernel can amortize native calls exactly like a Pandas-UDF batch. */
+  def extractFeatures(
+      df: DataFrame, kernel: Kernel, outCol: String = "features",
+      batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val schema = df.schema.add(outCol, ArrayType(FloatType, containsNull = false))
+    val kindIdx = df.schema.fieldIndex("kind")
+    val payloadIdx = df.schema.fieldIndex("payload")
+    val rdd = df.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { rows =>
+        rows.map { r =>
+          val v = kernel.features(r.getString(kindIdx), r.getAs[Array[Byte]](payloadIdx))
+          Row.fromSeq(r.toSeq :+ (v.toSeq: Seq[Float]))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Payload size + hash audit — pure column expressions (no kernel). */
+  def audit(df: DataFrame): DataFrame =
+    df.select(col("media_id"), col("kind"),
+      length(col("payload")).as("payload_bytes"),
+      sha2(col("payload"), 256).as("payload_sha256"))
+
+  /** Partition large media tables by kind then payload-size bucket so
+    * decode stages get even work distribution (the 100 TB concern:
+    * video rows are 1000× image rows — never hash-partition blindly). */
+  def repartitionForDecode(df: DataFrame, partitions: Int): DataFrame =
+    df.repartitionByRange(partitions, col("kind"),
+      ceil(log2(length(col("payload")) + 1)))
+}

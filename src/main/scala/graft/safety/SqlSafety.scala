@@ -1,0 +1,104 @@
+package graft.safety
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+
+/** SQL safety gate (SURVEY §2.10 C1/C2, reference
+  * `backend/utils/sql_safety.py:21-237`): SELECT-only + dangerous
+  * keyword/pattern scan + complexity caps, then — strictly stronger
+  * than the reference's regex counting — a walk of the *parsed*
+  * LogicalPlan to count Join and subquery nodes before execution.
+  */
+object SqlSafety {
+
+  final case class Violation(reason: String)
+
+  val DangerousKeywords: Seq[String] = Seq(
+    "DROP", "DELETE", "INSERT", "UPDATE", "ALTER", "CREATE",
+    "TRUNCATE", "REPLACE", "EXEC", "EXECUTE", "GRANT", "REVOKE")
+
+  val DangerousPatterns: Seq[String] = Seq(
+    """;\s*(DROP|DELETE|INSERT|UPDATE)""",
+    """--""",
+    """/\*.*\*/""",
+    """xp_""",
+    """sp_""",
+    """\bUNION\b.*\bSELECT\b""",
+    """\bINTO\s+OUTFILE\b""",
+    """\bLOAD_FILE\b""")
+
+  val MaxJoins = 5
+  val MaxSubqueries = 3
+  val MaxQueryLength = 5000
+
+  def isSelectQuery(q: String): Boolean =
+    q.trim.toUpperCase.startsWith("SELECT")
+
+  def findDangerousKeyword(q: String): Option[String] = {
+    val up = q.toUpperCase
+    DangerousKeywords.find(k => ("\\b" + k + "\\b").r.findFirstIn(up).isDefined)
+  }
+
+  def findDangerousPattern(q: String): Option[String] =
+    DangerousPatterns.find(p => ("(?i)" + p).r.findFirstIn(q).isDefined)
+
+  /** The reference's regex-level complexity check. */
+  def checkComplexity(q: String): Option[String] = {
+    if (q.length > MaxQueryLength)
+      Some(s"Query too long (${q.length} chars, max $MaxQueryLength)")
+    else {
+      val joins = "(?i)\\bJOIN\\b".r.findAllIn(q).length
+      if (joins > MaxJoins) Some(s"Too many JOINs ($joins, max $MaxJoins)")
+      else {
+        val subs = "\\(\\s?SELECT".r.findAllIn(q).length
+        if (subs > MaxSubqueries) Some(s"Too many subqueries ($subs, max $MaxSubqueries)")
+        else None
+      }
+    }
+  }
+
+  /** Regex-level validation — the reference's exact rule order. */
+  def validateText(q: String): Either[Violation, Unit] =
+    if (!isSelectQuery(q)) Left(Violation("Only SELECT queries are allowed"))
+    else findDangerousKeyword(q).map(k => Violation(s"Dangerous keyword detected: $k"))
+      .orElse(findDangerousPattern(q).map(_ => Violation("Dangerous SQL pattern detected")))
+      .orElse(checkComplexity(q).map(Violation))
+      .toLeft(())
+
+  /** Plan-level validation: count Join nodes and subquery expressions on
+    * the analyzed plan — immune to formatting tricks the regexes miss. */
+  def validatePlan(plan: LogicalPlan): Either[Violation, Unit] = {
+    var joins = 0
+    plan.foreach { case _: Join => joins += 1; case _ => () }
+    var subqueries = 0
+    plan.foreach(_.expressions.foreach(_.foreach {
+      case _: org.apache.spark.sql.catalyst.expressions.SubqueryExpression => subqueries += 1
+      case _ => ()
+    }))
+    if (joins > MaxJoins) Left(Violation(s"Too many JOINs in plan ($joins, max $MaxJoins)"))
+    else if (subqueries > MaxSubqueries)
+      Left(Violation(s"Too many subqueries in plan ($subqueries, max $MaxSubqueries)"))
+    else Right(())
+  }
+
+  def sanitizeIdentifier(id: String): String = {
+    require(id.matches("^[a-zA-Z_][a-zA-Z0-9_]*$"), s"Invalid identifier: $id")
+    "`" + id + "`"
+  }
+}
+
+/** Safe parameterized execution (C2): named-parameter binding via
+  * `spark.sql(query, args)` (injection-safe — literals, not splicing)
+  * and a hard row cap appended as `limit(maxRows)` (the reference's
+  * `fetchmany(1000)`). */
+object SafeSql {
+
+  def run(
+      spark: SparkSession, query: String,
+      params: Map[String, Any] = Map.empty,
+      maxRows: Int = 1000): Either[SqlSafety.Violation, DataFrame] =
+    SqlSafety.validateText(query).flatMap { _ =>
+      val df = spark.sql(query, params)
+      SqlSafety.validatePlan(df.queryExecution.analyzed).map(_ => df.limit(maxRows))
+    }
+}

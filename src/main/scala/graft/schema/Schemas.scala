@@ -1,0 +1,182 @@
+package graft.schema
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's declared catalog (SURVEY §1.2, the Supabase DDL files)
+  * as explicit StructTypes — fixed, declared schemas; never inference.
+  * JSONB columns are StringType holding JSON (`from_json` on read);
+  * vectors are ArrayType(FloatType); SERIAL ids are LongType.
+  */
+object Schemas {
+
+  val EmbeddingDim = 1536 // VECTOR(1536), knowledge_base-RAG.sql:6
+
+  val SourceTypes: Seq[String] = Seq(
+    "stackoverflow", "official_doc", "internal", "github", "confluence", "spark_docs")
+  val TaskStatuses: Seq[String] = Seq("Not Started", "In Progress", "Completed", "Failed")
+  val TaskPriorities: Seq[String] = Seq("Low", "Medium", "High", "Critical")
+  val LogLevels: Seq[String] = Seq("DEBUG", "INFO", "WARNING", "ERROR", "CRITICAL")
+  val ChatRoles: Seq[String] = Seq("user", "assistant", "system")
+
+  /** knowledge_base (`Supabase/knowledge_base-RAG.sql:2-28`). */
+  val knowledgeBase: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("content", StringType, nullable = false),
+    StructField("content_hash", StringType),
+    StructField("embedding", ArrayType(FloatType, containsNull = false)),
+    StructField("source_type", StringType),
+    StructField("source_url", StringType),
+    StructField("title", StringType),
+    StructField("access_count", IntegerType),
+    StructField("last_accessed", TimestampType),
+    StructField("first_cached", TimestampType),
+    StructField("expires_at", TimestampType),
+    StructField("relevance_score", DoubleType),
+    StructField("authority_score", DoubleType),
+    StructField("user_feedback_score", DoubleType),
+    StructField("metadata", StringType), // JSONB as JSON string
+    StructField("created_at", TimestampType)))
+
+  /** tasks (`Supabase/tasks.sql:2-17`). */
+  val tasks: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("name", StringType, nullable = false),
+    StructField("status", StringType),
+    StructField("progress", IntegerType),
+    StructField("assigned_to", StringType),
+    StructField("priority", StringType),
+    StructField("description", StringType),
+    StructField("due_date", TimestampType),
+    StructField("created_at", TimestampType),
+    StructField("updated_at", TimestampType),
+    StructField("metadata", StringType)))
+
+  /** chat_history (`Supabase/chat_history.sql:2-16`). */
+  val chatHistory: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("session_id", StringType, nullable = false),
+    StructField("user_id", StringType),
+    StructField("role", StringType),
+    StructField("content", StringType),
+    StructField("system_prompt", StringType),
+    StructField("tools_used", StringType),
+    StructField("tool_results", StringType),
+    StructField("rag_sources", StringType),
+    StructField("tokens_used", IntegerType),
+    StructField("created_at", TimestampType),
+    StructField("metadata", StringType)))
+
+  /** logs (`Supabase/logs.sql:2-14`). */
+  val logs: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("time", TimestampType),
+    StructField("level", StringType),
+    StructField("message", StringType),
+    StructField("source", StringType),
+    StructField("user_id", StringType),
+    StructField("session_id", StringType),
+    StructField("component", StringType),
+    StructField("duration_ms", IntegerType),
+    StructField("metadata", StringType)))
+
+  /** tool_executions (`Supabase/tool_executions.sql:2-13`). */
+  val toolExecutions: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("tool_name", StringType),
+    StructField("arguments", StringType, nullable = false),
+    StructField("result", StringType),
+    StructField("success", BooleanType),
+    StructField("error_message", StringType),
+    StructField("execution_time_ms", IntegerType),
+    StructField("user_id", StringType),
+    StructField("session_id", StringType),
+    StructField("created_at", TimestampType)))
+
+  /** users (`Supabase/user.sql:1-13`); UUID/INET as strings. */
+  val users: StructType = StructType(Seq(
+    StructField("id", StringType, nullable = false),
+    StructField("email", StringType),
+    StructField("username", StringType),
+    StructField("hashed_password", StringType),
+    StructField("full_name", StringType),
+    StructField("role", StringType),
+    StructField("is_active", BooleanType),
+    StructField("is_verified", BooleanType),
+    StructField("created_at", TimestampType),
+    StructField("updated_at", TimestampType),
+    StructField("last_login_at", TimestampType),
+    StructField("metadata", StringType)))
+
+  /** user_sessions (`Supabase/user_sessions.sql:1-9`). */
+  val userSessions: StructType = StructType(Seq(
+    StructField("id", StringType, nullable = false),
+    StructField("user_id", StringType),
+    StructField("session_token", StringType),
+    StructField("expires_at", TimestampType, nullable = false),
+    StructField("user_agent", StringType),
+    StructField("ip_address", StringType),
+    StructField("created_at", TimestampType),
+    StructField("is_active", BooleanType)))
+
+  /** rag_content (referenced, not DDL'd: `pubnub_job_processor.py:75`). */
+  val ragContent: StructType = StructType(Seq(
+    StructField("document_id", StringType, nullable = false),
+    StructField("document_type", StringType, nullable = false),
+    StructField("context", StringType)))
+
+  /** job_responses (`pubnub_job_processor.py:177-185`). */
+  val jobResponses: StructType = StructType(Seq(
+    StructField("job_id", StringType, nullable = false),
+    StructField("user_query", StringType),
+    StructField("ai_response", StringType),
+    StructField("metadata", StringType),
+    StructField("created_at", TimestampType)))
+}
+
+/** Ingest-boundary validation (SURVEY §2.10 C3/C4): CHECK-constraint
+  * expressions evaluated as columns, splitting input into (valid,
+  * rejects) — rejected rows carry the first failed rule name.
+  */
+object Validation {
+
+  final case class Rule(name: String, predicate: Column)
+
+  def taskRules: Seq[Rule] = Seq(
+    Rule("name_required", col("name").isNotNull && length(col("name")) > 0),
+    Rule("name_max_200", length(col("name")) <= 200),
+    Rule("name_no_html", !col("name").rlike("[<>{}]")),
+    Rule("status_enum", col("status").isNull || col("status").isin(Schemas.TaskStatuses: _*)),
+    Rule("priority_enum", col("priority").isNull || col("priority").isin(Schemas.TaskPriorities: _*)),
+    Rule("progress_range", col("progress").isNull ||
+      (col("progress") >= 0 && col("progress") <= 100)))
+
+  def logRules: Seq[Rule] = Seq(
+    Rule("level_enum", col("level").isin(Schemas.LogLevels: _*)),
+    Rule("message_required", col("message").isNotNull))
+
+  def chatRules: Seq[Rule] = Seq(
+    Rule("role_enum", col("role").isin(Schemas.ChatRoles: _*)),
+    Rule("session_required", col("session_id").isNotNull),
+    Rule("content_max_10000", col("content").isNull || length(col("content")) <= 10000))
+
+  def kbRules: Seq[Rule] = Seq(
+    Rule("content_required", col("content").isNotNull && length(col("content")) > 0),
+    Rule("source_type_enum", col("source_type").isNull ||
+      col("source_type").isin(Schemas.SourceTypes: _*)),
+    Rule("embedding_dim", col("embedding").isNull ||
+      size(col("embedding")) === Schemas.EmbeddingDim))
+
+  /** Split df into (valid, rejects-with-reason) in one pass each. */
+  def split(df: DataFrame, rules: Seq[Rule]): (DataFrame, DataFrame) = {
+    val firstFailure = rules.foldLeft(lit(null: String)) { (acc, r) =>
+      when(acc.isNotNull, acc).when(!coalesce(r.predicate, lit(false)), r.name)
+        .otherwise(lit(null: String))
+    }
+    val tagged = df.withColumn("__reject_reason", firstFailure)
+    (tagged.filter(col("__reject_reason").isNull).drop("__reject_reason"),
+      tagged.filter(col("__reject_reason").isNotNull)
+        .withColumnRenamed("__reject_reason", "reject_reason"))
+  }
+}

@@ -1,0 +1,137 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.TextFunctions
+import graft.kb.KnowledgeBase
+import graft.operators.Dedup
+
+/** The reference's multi-source search pipeline (SURVEY §3.1,
+  * `backend/services/search_service.py:118-217`): preprocess → fan out
+  * to sources → union → URL-dedup (first occurrence wins in source
+  * order) → truncate → format → embed+upsert side effect.
+  *
+  * Source order is the reference's insertion order: stackoverflow,
+  * github, official_doc, spark_docs (`search_service.py:154-170`) —
+  * Python's seen-set order has no distributed analog, so the priority
+  * is an explicit column (SURVEY §7 hard-parts).
+  */
+object SearchService {
+
+  /** In-flight search result (`backend/services/search_clients.py:64-72`). */
+  val documentSchema: StructType = StructType(Seq(
+    StructField("content", StringType, nullable = false),
+    StructField("title", StringType, nullable = true),
+    StructField("source_type", StringType, nullable = false),
+    StructField("source_url", StringType, nullable = true),
+    StructField("rank", IntegerType, nullable = false)))
+
+  /** A pluggable source: returns Documents for a (processed) query.
+    * Real impls are HTTP connectors (out-of-engine, S9); tests use
+    * fixture DataFrames. Failures must yield an empty frame of
+    * [[documentSchema]] — the reference swallows per-source errors
+    * (`search_service.py:163-170`). */
+  trait Source extends Serializable {
+    def name: String
+    def search(spark: SparkSession, query: String, maxResults: Int): DataFrame
+  }
+
+  val SourcePriority: Seq[String] =
+    Seq("stackoverflow", "github", "official_doc", "spark_docs")
+
+  private def priorityCol(c: Column): Column =
+    SourcePriority.zipWithIndex.foldLeft(lit(SourcePriority.size)) {
+      case (acc, (s, i)) => when(c === s, i).otherwise(acc)
+    }
+
+  /** Fan-out + union + order-preserving URL dedup + limit
+    * (J6 + J7/D2 + O7). */
+  def fanOutSearch(
+      spark: SparkSession, sources: Seq[Source], query: String,
+      maxResults: Int): DataFrame = {
+    val processed = preprocess(spark, query)
+    val frames = sources.map { s =>
+      try s.search(spark, processed, maxResults)
+      catch { case _: Exception => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], documentSchema) }
+    }
+    val unioned = frames.reduce(_ unionByName _)
+      .withColumn("src_priority", priorityCol(col("source_type")))
+    // first occurrence wins: source priority, then per-source rank
+    Dedup.firstWins(unioned, Seq("source_url"),
+        Seq(asc("src_priority"), asc("rank")))
+      .orderBy(asc("src_priority"), asc("rank"))
+      .limit(maxResults)
+      .drop("src_priority")
+      .withColumn("content",
+        when(length(col("content")) > 500,
+          concat(substring(col("content"), 1, 500), lit("..."))).otherwise(col("content")))
+  }
+
+  /** F1 preprocessing applied to a single driver-side query string. */
+  def preprocess(spark: SparkSession, query: String): String = {
+    import spark.implicits._
+    Seq(query).toDF("q")
+      .select(TextFunctions.preprocessSearchQuery(col("q"))).as[String].head()
+  }
+
+  /** Context→source mapping (F13, `backend/tools/search_tools.py:48-56`). */
+  val contextSourceMap: Map[String, String] = Map(
+    "error" -> "stackoverflow",
+    "code_example" -> "github",
+    "documentation" -> "official_doc",
+    "best_practice" -> "official_doc")
+
+  /** §3.1 steps 5-6: dedup'd results → embed → content-hash upsert into
+    * the knowledge base; returns the post-merge KB. */
+  def upsertResults(
+      kb: DataFrame, results: DataFrame, embedder: Embedder): DataFrame = {
+    val embedded = embedder.embedColumn(results, "content", "embedding")
+    KnowledgeBase.upsertDocuments(kb, embedded)
+  }
+}
+
+/** Embedding connector (V1, `backend/services/vector_service.py:26-84`):
+  * the OpenAI client in production; hermetic deterministic impl for
+  * tests. Batching mirrors the reference's BATCH_SIZE=100 via
+  * mapPartitions + grouped(batchSize). */
+trait Embedder extends Serializable {
+  def dim: Int
+  def batchSize: Int = 100
+  def embed(batch: Seq[String]): Seq[Array[Float]]
+
+  /** Add an embedding column, batched per partition — the 100 TB path:
+    * no driver round-trip, connector called once per `batchSize` texts. */
+  def embedColumn(df: DataFrame, textCol: String, outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val schema = df.schema.add(outCol, ArrayType(FloatType, containsNull = false))
+    val idx = df.schema.fieldIndex(textCol)
+    val bs = batchSize
+    val self = this
+    val rdd = df.rdd.mapPartitions { it =>
+      it.grouped(bs).flatMap { rows =>
+        val vecs = self.embed(rows.map(_.getString(idx)))
+        rows.lazyZip(vecs).map { (r, v) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (v.toSeq: Seq[Float]))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+}
+
+/** Deterministic hash-based embedder (unit-norm) for tests — stands in
+  * for text-embedding-3-small exactly like the reference's mocks. */
+case class HashEmbedder(dim: Int = 64) extends Embedder {
+  def embed(batch: Seq[String]): Seq[Array[Float]] = batch.map { text =>
+    val v = Array.tabulate(dim) { i =>
+      val h = scala.util.hashing.MurmurHash3.stringHash(text, i)
+      (h.toDouble / Int.MaxValue).toFloat
+    }
+    val norm = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+    if (norm == 0f) v else v.map(_ / norm)
+  }
+}

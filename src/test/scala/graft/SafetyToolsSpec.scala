@@ -1,0 +1,75 @@
+package graft
+
+import graft.safety.{SafeSql, SqlSafety}
+import graft.tools.Tools
+
+class SafetyToolsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sql safety: only SELECT allowed") {
+    assert(SqlSafety.validateText("SELECT 1").isRight)
+    assert(SqlSafety.validateText("  select * from t").isRight)
+    assert(SqlSafety.validateText("DROP TABLE t").isLeft)
+    assert(SqlSafety.validateText("WITH x AS (SELECT 1) SELECT * FROM x").isLeft) // reference quirk: WITH fails SELECT-only check
+  }
+
+  test("sql safety: dangerous keywords and patterns") {
+    assert(SqlSafety.validateText("SELECT * FROM t; DROP TABLE u").isLeft)
+    assert(SqlSafety.validateText("SELECT 1 -- comment").isLeft)
+    assert(SqlSafety.validateText("SELECT /* hidden */ 1").isLeft)
+    assert(SqlSafety.validateText("SELECT 1 UNION SELECT password FROM users").isLeft)
+    assert(SqlSafety.findDangerousKeyword("SELECT updated_at FROM t").isEmpty) // \b: no false hit on substring...
+    assert(SqlSafety.findDangerousKeyword("SELECT * FROM updates").isEmpty)
+  }
+
+  test("sql safety: complexity caps") {
+    val manyJoins = "SELECT 1 FROM a" + (1 to 6).map(i => s" JOIN b$i ON 1=1").mkString
+    assert(SqlSafety.validateText(manyJoins).isLeft)
+    assert(SqlSafety.validateText("SELECT 1" + " " * 5001).isLeft)
+    val okJoins = "SELECT 1 FROM a" + (1 to 5).map(i => s" JOIN b$i ON 1=1").mkString
+    assert(SqlSafety.validateText(okJoins).isRight)
+  }
+
+  test("safe sql: parameterized execution with row cap") {
+    Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v").createOrReplaceTempView("safet")
+    val got = SafeSql.run(spark, "SELECT id, v FROM safet WHERE id > :minId ORDER BY id",
+      Map("minId" -> 0), maxRows = 2)
+    assert(got.isRight)
+    assert(got.toOption.get.count() === 2)
+    val blocked = SafeSql.run(spark, "DELETE FROM safet")
+    assert(blocked.isLeft)
+  }
+
+  test("plan-level validation counts joins the regex can't see") {
+    Seq(1).toDF("x").createOrReplaceTempView("t0")
+    // comma-joins dodge the \bJOIN\b regex but not the plan walk
+    val commaJoins = "SELECT * FROM t0 a, t0 b, t0 c, t0 d, t0 e, t0 f, t0 g"
+    val df = spark.sql(commaJoins)
+    assert(SqlSafety.validatePlan(df.queryExecution.analyzed).isLeft)
+    assert(SqlSafety.validateText(commaJoins).isRight) // regex alone is blind
+  }
+
+  test("tool registry: dispatch, envelope, role gate, audit") {
+    val reg = new Tools.Registry()
+      .register(Tools.Tool("get_stats", Tools.Role.General, "stats",
+        (s, _) => { import s.implicits._; Seq(("x", 1)).toDF("k", "n") }))
+      .register(Tools.Tool("admin_only", Tools.Role.Admin, "secret",
+        (s, _) => { import s.implicits._; Seq(1).toDF("z") }))
+
+    val ok = reg.execute(spark, "get_stats", Map("a" -> "1"))
+    assert(ok.success && ok.data.get.count() === 1)
+
+    val denied = reg.execute(spark, "admin_only", Map.empty, Tools.Role.User)
+    assert(!denied.success && denied.error.get.contains("not authorized"))
+
+    val admin = reg.execute(spark, "admin_only", Map.empty, Tools.Role.Admin)
+    assert(admin.success)
+
+    val unknown = reg.execute(spark, "nope", Map.empty)
+    assert(!unknown.success)
+
+    val audit = reg.auditLog(spark)
+    assert(audit.count() === 4)
+    assert(audit.filter("success").count() === 2)
+  }
+}

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.schema.{Schemas, Validation}
+import graft.search.{Embedder, HashEmbedder, SearchService}
+import graft.multimodal.Multimodal
+
+class SearchValidationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixtureSource(src: String, docs: Seq[(String, String, Int)]): SearchService.Source =
+    new SearchService.Source {
+      def name: String = src
+      def search(s: SparkSession, query: String, maxResults: Int): DataFrame = {
+        import s.implicits._
+        docs.map { case (content, url, rank) => (content, s"$src doc", src, url, rank) }
+          .toDF("content", "title", "source_type", "source_url", "rank")
+      }
+    }
+
+  test("fan-out search: union, source-priority URL dedup, limit, truncation") {
+    val so = fixtureSource("stackoverflow", Seq(("so answer", "http://u/1", 0)))
+    val gh = fixtureSource("github",
+      Seq(("gh readme " + "x" * 600, "http://u/2", 0), ("gh dup of u1", "http://u/1", 1)))
+    val docs = fixtureSource("official_doc", Seq(("doc page", "http://u/3", 0)))
+
+    val got = SearchService.fanOutSearch(spark, Seq(so, gh, docs), "spark   joins", 10)
+      .select("source_type", "source_url", "content").collect()
+    // URL u/1 deduped: stackoverflow wins (priority order)
+    assert(got.length === 3)
+    assert(got(0).getString(0) === "stackoverflow" && got(0).getString(1) === "http://u/1")
+    // content > 500 chars truncated with ellipsis
+    val ghContent = got.find(_.getString(0) === "github").get.getString(2)
+    assert(ghContent.length === 503 && ghContent.endsWith("..."))
+  }
+
+  test("fan-out search: a failing source yields empty frame, others survive") {
+    val bad = new SearchService.Source {
+      def name = "github"
+      def search(s: SparkSession, q: String, n: Int): DataFrame =
+        throw new RuntimeException("boom")
+    }
+    val so = fixtureSource("stackoverflow", Seq(("answer", "http://u/1", 0)))
+    val got = SearchService.fanOutSearch(spark, Seq(so, bad), "query", 5)
+    assert(got.count() === 1)
+  }
+
+  test("preprocess routes through F1 (error extraction)") {
+    assert(SearchService.preprocess(spark, "[ERR-9] kaput") === "ERR-9")
+    assert(SearchService.contextSourceMap("error") === "stackoverflow")
+  }
+
+  test("embedder: batched, deterministic, unit-norm; upsert composition") {
+    val emb = HashEmbedder(dim = 16)
+    val docs = Seq(("alpha content", "t1"), ("beta content", "t2"))
+      .toDF("content", "title")
+    val embedded = emb.embedColumn(docs, "content", "embedding")
+    val vecs = embedded.select("embedding").as[Array[Float]].collect()
+    assert(vecs.forall(_.length === 16))
+    assert(vecs.forall(v => math.abs(v.map(x => x.toDouble * x).sum - 1.0) < 1e-5))
+    // deterministic
+    val again = emb.embedColumn(docs, "content", "embedding")
+      .select("embedding").as[Array[Float]].collect()
+    assert(vecs.zip(again).forall { case (a, b) => a.sameElements(b) })
+
+    val kb = Seq(("alpha content", "old")).toDF("content", "title")
+    val merged = SearchService.upsertResults(
+      emb.embedColumn(kb, "content", "embedding"), docs, emb)
+    assert(merged.count() === 2) // alpha replaced, beta added
+  }
+
+  test("validation split: enum/range/length checks route rejects with reasons") {
+    val df = Seq(
+      (1L, "good task", "In Progress", 50, "High"),
+      (2L, "bad status", "Sleeping", 10, "High"),
+      (3L, "bad <html>", "Completed", 10, "Low"),
+      (4L, "bad progress", "Completed", 150, "Low"),
+      (5L, ("x" * 201), "Completed", 10, "Low")
+    ).toDF("id", "name", "status", "progress", "priority")
+    val (valid, rejects) = Validation.split(df, Validation.taskRules)
+    assert(valid.select("id").as[Long].collect().toSeq === Seq(1L))
+    val reasons = rejects.select("id", "reject_reason").as[(Long, String)].collect().toMap
+    assert(reasons === Map(2L -> "status_enum", 3L -> "name_no_html",
+      4L -> "progress_range", 5L -> "name_max_200"))
+  }
+
+  test("schemas: declared catalog shapes") {
+    assert(Schemas.knowledgeBase.fieldNames.contains("content_hash"))
+    assert(Schemas.EmbeddingDim === 1536)
+    assert(Schemas.tasks.fields.length === 11)
+  }
+
+  test("multimodal: feature extraction plumbing with stub kernel") {
+    val rows = Seq(
+      (1L, "image", Array[Byte](1, 2, 3, 4), "image/jpeg"),
+      (2L, "audio", Array[Byte](9, 9, 9), "audio/wav"))
+      .toDF("media_id", "kind", "payload", "mime")
+    val feat = Multimodal.extractFeatures(rows, Multimodal.StubKernel(8))
+    val got = feat.select("features").as[Array[Float]].collect()
+    assert(got.forall(_.length === 8))
+    assert(math.abs(got(0).sum - 1.0) < 1e-6) // histogram normalized
+    val audit = Multimodal.audit(rows)
+    assert(audit.filter($"media_id" === 1).select("payload_bytes").as[Long].head() === 4L)
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.{JobProcessor, RateEvent, StreamingOps, StreamingRateLimiter}
+
+case class JobRequest(request_id: String, job_id: String, user_query: String,
+    ts: java.sql.Timestamp)
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(s))
+
+  test("streaming dedup drops repeated request ids within the watermark window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[JobRequest]
+    val deduped = StreamingOps.dedupWithinWindow(input.toDF(), "request_id", "ts")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        JobRequest("r1", "j1", "q1", ts(0)),
+        JobRequest("r2", "j1", "q2", ts(10)),
+        JobRequest("r1", "j1", "q1-dup", ts(20)))  // dup within window
+      q.processAllAvailable()
+      input.addData(JobRequest("r1", "j1", "q1-dup2", ts(30))) // still within window
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").select("request_id").as[String].collect().sorted
+      assert(got.toSeq === Seq("r1", "r2"))
+    } finally q.stop()
+  }
+
+  test("stateful rate limiter: exact sliding window, denied requests not recorded") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[RateEvent]
+    // expireIdleState=false: ProcessingTimeTimeout hangs processAllAvailable (see StreamingOps doc)
+    val decisions = StreamingRateLimiter(input.toDS(), maxRequests = 2, windowMillis = 60000,
+      expireIdleState = false)
+    val q = decisions.writeStream.format("memory").queryName("rate_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // u: t=0 allow, t=1 allow, t=2 deny (2 in window), t=70s allow (t=0,1 evicted,
+      // and the denied t=2 was never recorded — the reference's allow-only append)
+      input.addData(RateEvent("u", 0), RateEvent("u", 1000), RateEvent("u", 2000),
+        RateEvent("u", 70000))
+      q.processAllAvailable()
+      val got = spark.table("rate_out").as[graft.streaming.RateDecision]
+        .collect().sortBy(_.tsMillis)
+      assert(got.map(_.allowed).toSeq === Seq(true, true, false, true))
+      assert(got.map(_.windowCount).toSeq === Seq(1, 2, 3, 1))
+    } finally q.stop()
+  }
+
+  test("job processor end-to-end: dedup → context join → completion → sink") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[JobRequest]
+    val rag = Seq(("j1", "job", "context for j1"), ("j9", "other", "wrong type"))
+      .toDF("document_id", "document_type", "context")
+    val out = java.nio.file.Files.createTempDirectory("job_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("job_ckpt").toString
+    var batches = 0L
+    val q = JobProcessor.run(spark, input.toDF(), rag, JobProcessor.EchoCompleter,
+      out, ckpt, onBatch = (_, n) => batches += n)
+    try {
+      input.addData(
+        JobRequest("r1", "j1", "how do I fix this", ts(0)),
+        JobRequest("r1", "j1", "how do I fix this", ts(5)), // dup
+        JobRequest("r2", "j2", "no context job", ts(10)))
+      q.processAllAvailable()
+      val got = spark.read.parquet(out)
+      assert(got.count() === 2)
+      val j1 = got.filter($"job_id" === "j1").select("ai_response").as[String].head()
+      assert(j1.contains("[echo] how do I fix this | ctx=context for j1"))
+      val j2 = got.filter($"job_id" === "j2").select("ai_response").as[String].head()
+      assert(j2.contains("ctx=")) // empty context coalesced
+      assert(batches === 2)
+    } finally q.stop()
+  }
+}
