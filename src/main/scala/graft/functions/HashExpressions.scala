@@ -27,6 +27,17 @@ object HashExpressions {
   /** MinHash signature (k independent permutations) of a token array. */
   def minhashSignature(tokensCol: Column, k: Int): Column =
     toColumn(MinHashSignature(toExpr(tokensCol), k))
+
+  /** Distinct 64-bit hashes of word n-gram shingles, computed straight
+    * from the word array — no shingle strings materialized. Tuple-hash
+    * identity equals joined-string identity because words cannot contain
+    * the join character (they come from a whitespace split). */
+  def shingleHashes(wordsCol: Column, n: Int): Column =
+    toColumn(ShingleHashes(toExpr(wordsCol), n))
+
+  /** MinHash signature over an array of 64-bit element hashes. */
+  def minhashSignatureLongs(hashesCol: Column, k: Int): Column =
+    toColumn(MinHashSignatureLongs(toExpr(hashesCol), k))
 }
 
 /** SimHash: per-token 64-bit hash, per-bit majority vote. Empty/null
@@ -63,6 +74,95 @@ case class SimHash64(child: Expression)
     var b = 0
     while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
     java.lang.Long.valueOf(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Distinct shingle hashes: for words w_i..w_{i+n-1}, the hash is the
+  * seed-chained xxhash64 of the tuple; arrays shorter than n hash the
+  * whole array as one shingle (mirrors the whole-text fallback of
+  * `TextFunctions.wordShingles`). */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n > 0, "shingle size must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes expects array<string>, got ${other.catalogString}")
+  }
+
+  private def hashRange(arr: ArrayData, from: Int, until: Int): Long = {
+    var h = 42L
+    var j = from
+    while (j < until) {
+      h = if (arr.isNullAt(j)) XxHash64Function.hash(0L, LongType, h)
+          else XxHash64Function.hash(arr.getUTF8String(j), StringType, h)
+      j += 1
+    }
+    h
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new scala.collection.mutable.ArrayBuffer[Long]()
+    if (m < n) {
+      out += hashRange(arr, 0, m)
+    } else {
+      var i = 0
+      while (i <= m - n) {
+        val h = hashRange(arr, i, i + n)
+        if (seen.add(h)) out += h
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** MinHash over pre-hashed elements: element i of the signature is the
+  * min over the array of xxhash64(elem, seed=i). */
+case class MinHashSignatureLongs(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(numHashes > 0, "numHashes must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature_longs"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_signature_longs expects array<bigint>, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    val m = arr.numElements()
+    while (i < m) {
+      val e = arr.getLong(i)
+      var k = 0
+      while (k < numHashes) {
+        val h = XxHash64Function.hash(e, LongType, k.toLong)
+        if (h < sig(k)) sig(k) = h
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -199,21 +199,29 @@ object TextFunctions {
   /** Whitespace word split (for shingling / minhash). */
   def words(c: Column): Column = split(trim(c), """\s+""")
 
+  /** Bind `v` once as a lambda variable so the (possibly expensive)
+    * expression isn't re-evaluated per element of downstream transforms —
+    * conditional branches defeat Catalyst subexpression elimination, so
+    * e.g. a regex split referenced inside a transform lambda would
+    * otherwise run once per output element. */
+  private def bindOnce(v: Column)(body: Column => Column): Column =
+    element_at(transform(array(v), body), 1)
+
   /** Word n-gram shingles, joined by single space. */
-  def wordShingles(c: Column, n: Int): Column = {
-    val ws = words(c)
-    when(size(ws) < n, array(concat_ws(" ", ws)))
-      .otherwise(transform(sequence(lit(0), size(ws) - n),
-        i => concat_ws(" ", slice(ws, i + 1, lit(n)))))
-  }
+  def wordShingles(c: Column, n: Int): Column =
+    bindOnce(words(c)) { ws =>
+      when(size(ws) < n, array(concat_ws(" ", ws)))
+        .otherwise(transform(sequence(lit(0), size(ws) - n),
+          i => concat_ws(" ", slice(ws, i + 1, lit(n)))))
+    }
 
   /** Character n-grams of the lowercased text. */
-  def charNGrams(c: Column, n: Int): Column = {
-    val lc = lower(c)
-    when(length(lc) < n, array(lc))
-      .otherwise(transform(sequence(lit(1), length(lc) - (n - 1)),
-        i => lc.substr(i, lit(n))))
-  }
+  def charNGrams(c: Column, n: Int): Column =
+    bindOnce(lower(c)) { lc =>
+      when(length(lc) < n, array(lc))
+        .otherwise(transform(sequence(lit(1), length(lc) - (n - 1)),
+          i => lc.substr(i, lit(n))))
+    }
 
   private val EnStopwords = Seq("the", "a", "an", "of", "and", "to", "in",
     "is", "it", "that", "for", "on", "with", "as", "at", "by", "this")

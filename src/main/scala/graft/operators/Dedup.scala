@@ -71,26 +71,34 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
 
+    // Distinct shingle HASHES straight from the word split — no shingle
+    // strings materialized (tuple-hash identity == joined-string identity
+    // since words cannot contain the join character).
     val shingled = df.select(
       col(idCol).as("id"),
-      array_distinct(TextFunctions.wordShingles(col(textCol), shingleSize)).as("shingles"))
-    val sig = shingled.withColumn("sig",
-      HashExpressions.minhashSignature(col("shingles"), numHashes))
+      HashExpressions.shingleHashes(TextFunctions.words(col(textCol)), shingleSize)
+        .as("shingles"))
 
-    // band hash = hash of the slice of the signature for that band
-    val banded = sig.select(col("id"), col("shingles"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => hash(slice(col("sig"), b * r + 1, lit(r)), b))).as(Seq("band", "bucket")))
+    // Band buckets over bare ids only — the shingle arrays must NOT ride
+    // through the self-join/dedup shuffles.
+    val banded = shingled
+      .select(col("id"),
+        HashExpressions.minhashSignatureLongs(col("shingles"), numHashes).as("sig"))
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("sig"), b * r + 1, lit(r)), b))).as(Seq("band", "bucket")))
 
-    val a = banded.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("shingles").as("sh_a"))
-    val b = banded.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("shingles").as("sh_b"))
-
-    a.join(b, Seq("band", "bucket"))
+    val candidates = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
-      .dropDuplicates("id_a", "id_b")
+      .select("id_a", "id_b")
+      .distinct()
+
+    // Exact verification: re-attach shingles only for the candidate pairs.
+    candidates
+      .join(shingled.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
+      .join(shingled.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))
