@@ -200,6 +200,54 @@ object SparkEntry {
             lit("</p><code>IGNORED</code><b>tail</b>"))).as("cleaned"))
         .orderBy(col("doc_id"))),
 
+    // --- text analysis extensions (lang-ID, fingerprints, F7/F8/F12/F13) --
+    "q26_lang_id" -> ((s, d) =>
+      T.documents(s, d).select(col("doc_id"),
+          TF.langIdHeuristic(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))),
+
+    // no DuckDB oracle (xxhash64 rolling hash) — rows-only check
+    "q27_fingerprint" -> ((s, d) =>
+      T.documents(s, d).select(col("doc_id"),
+          TF.docFingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))),
+
+    "q28_cache_key" -> ((s, d) =>
+      T.events(s, d).select(col("event_id"),
+          md5(concat_ws("|", col("event_type"), col("user_id"))).as("memo_key"),
+          substring(md5(col("props")), 1, 8).as("url_slug"),
+          sha2(col("props"), 256).as("content_hash"))
+        .orderBy(col("event_id"))),
+
+    "q29_json_extract" -> ((s, d) =>
+      T.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("k_sum"), count(lit(1)).as("n"))
+        .orderBy(col("event_type"))),
+
+    "q54_tz_format" -> ((s, d) =>
+      T.events(s, d).select(col("event_id"),
+          date_format(from_utc_timestamp(col("ts"), "America/New_York"),
+            "yyyy-MM-dd HH:mm:ss").as("ny_time"))
+        .orderBy(col("event_id"))),
+
+    "q55_format_lines" -> ((s, d) =>
+      T.documents(s, d).select(col("doc_id"),
+          format_string("- %s (%s)", col("source"), col("lang")).as("line"))
+        .orderBy(col("doc_id"))),
+
+    "q56_case_map" -> ((s, d) => {
+      val m = typedlit(Map(
+        "click" -> "stackoverflow", "view" -> "official_doc",
+        "signup" -> "github", "purchase" -> "internal", "error" -> "stackoverflow"))
+      T.events(s, d)
+        .select(element_at(m, col("event_type")).as("mapped_source"))
+        .groupBy(col("mapped_source")).agg(count(lit(1)).as("n"))
+        .orderBy(col("mapped_source"))
+    }),
+
     // --- dedup family (D1-D6, LLM-pipeline dedup) -------------------------
     "q30_exact_dedup" -> ((s, d) => {
       val docs = T.documents(s, d).select(col("doc_id"), col("text"))
@@ -237,6 +285,16 @@ object SparkEntry {
       Dedup.simHashNearDups(T.documents(s, d), "doc_id", "text", maxHamming = 6)
         .orderBy(col("id_a"), col("id_b"))),
 
+    "q35_null_dedup" -> ((s, d) => {
+      // D3: null-key rows pass through untouched (unsaved-task semantics)
+      val keyed = T.events(s, d).withColumn("key",
+        when(col("user_id") % 10 === 0, lit(null: java.lang.Long))
+          .otherwise(col("user_id")))
+      Dedup.firstWinsNullsKept(keyed, "key", Seq(asc("ts"), asc("event_id")))
+        .select(col("event_id"), col("key"))
+        .orderBy(col("event_id"))
+    }),
+
     // --- vector / similarity (J1-J4, V1-V5, ANN) --------------------------
     "q40_knn" -> ((s, d) => {
       val q = queryVec(s, d)
@@ -272,6 +330,23 @@ object SparkEntry {
         .select(col("query_id"), col("vec_id"), round(col("similarity"), 6).as("sim"))
         .orderBy(col("query_id"), desc("sim"), asc("vec_id"))
     }),
+
+    "q45_ivf_topk" -> ((s, d) => {
+      // IVF path with every cluster probed == exact kNN (recall-1 sanity
+      // gate for the ANN machinery; fewer probes trade recall for scan cost)
+      val q = queryVec(s, d)
+      val emb = T.embeddings(s, d)
+      val cents = SimilaritySearch.centroids(emb, "label", "embedding")
+      SimilaritySearch.ivfTopK(emb, "label", "embedding", cents, q, 10, nprobe = 10)
+        .select(col("vec_id"), round(col("similarity"), 6).as("sim"))
+        .orderBy(desc("sim"), asc("vec_id"))
+    }),
+
+    "q46_sample_preview" -> ((s, d) =>
+      // S10: the reference's mocked query_data_source preview, real
+      T.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .orderBy(col("event_id")).limit(5)),
 
     // --- timestamp / interval (F9-F11) ------------------------------------
     "q50_schedule_next" -> ((s, d) =>
@@ -441,6 +516,71 @@ object SparkEntry {
         |s3 AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(replace(t,
         |  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&#x27;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t FROM s2)
         |SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS cleaned FROM s3 ORDER BY doc_id""".stripMargin,
+
+    "q26_lang_id" ->
+      """WITH s AS (SELECT doc_id,
+        |  len(regexp_extract_all(text, '(?i)\b(the|and|of|to|is|that|with)\b')) AS s_en,
+        |  len(regexp_extract_all(text, '(?i)\b(el|la|los|las|que|para)\b')) AS s_es,
+        |  len(regexp_extract_all(text, '(?i)\b(der|die|das|und|nicht|mit)\b')) AS s_de,
+        |  len(regexp_extract_all(text, '(?i)\b(le|la|les|des|est|dans)\b')) AS s_fr,
+        |  len(regexp_extract_all(text, '(?i)\b(il|la|che|per|con|sono)\b')) AS s_it
+        |  FROM documents)
+        |SELECT doc_id, CASE
+        |  WHEN greatest(s_en,s_es,s_de,s_fr,s_it) <= 0 THEN 'und'
+        |  WHEN s_en = greatest(s_en,s_es,s_de,s_fr,s_it) THEN 'en'
+        |  WHEN s_es = greatest(s_en,s_es,s_de,s_fr,s_it) THEN 'es'
+        |  WHEN s_de = greatest(s_en,s_es,s_de,s_fr,s_it) THEN 'de'
+        |  WHEN s_fr = greatest(s_en,s_es,s_de,s_fr,s_it) THEN 'fr'
+        |  ELSE 'it' END AS lang_pred
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q28_cache_key" ->
+      """SELECT event_id, md5(event_type || '|' || user_id) AS memo_key,
+        |  substr(md5(props), 1, 8) AS url_slug, sha256(props) AS content_hash
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q29_json_extract" ->
+      """SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q54_tz_format" ->
+      """SELECT event_id,
+        |  strftime((ts AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York',
+        |    '%Y-%m-%d %H:%M:%S') AS ny_time
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q55_format_lines" ->
+      """SELECT doc_id, printf('- %s (%s)', source, lang) AS line
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q56_case_map" ->
+      """SELECT CASE event_type WHEN 'click' THEN 'stackoverflow'
+        |  WHEN 'view' THEN 'official_doc' WHEN 'signup' THEN 'github'
+        |  WHEN 'purchase' THEN 'internal' WHEN 'error' THEN 'stackoverflow'
+        |  END AS mapped_source, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY mapped_source""".stripMargin,
+
+    "q35_null_dedup" ->
+      """WITH keyed AS (SELECT event_id, ts,
+        |    CASE WHEN user_id % 10 = 0 THEN NULL ELSE user_id END AS key
+        |  FROM events)
+        |SELECT event_id, key FROM (
+        |  SELECT event_id, key,
+        |    row_number() OVER (PARTITION BY key ORDER BY ts, event_id) AS rn
+        |  FROM keyed WHERE key IS NOT NULL) WHERE rn = 1
+        |UNION ALL SELECT event_id, key FROM keyed WHERE key IS NULL
+        |ORDER BY event_id""".stripMargin,
+
+    "q45_ivf_topk" ->
+      """SELECT e.vec_id,
+        |  round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS sim
+        |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin,
+
+    "q46_sample_preview" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |ORDER BY event_id LIMIT 5""".stripMargin,
 
     "q30_exact_dedup" ->
       """SELECT sha256(text) AS content_hash, min(doc_id) AS doc_id

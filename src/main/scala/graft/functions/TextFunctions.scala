@@ -270,11 +270,12 @@ object TextFunctions {
     }
   }
 
-  /** Rolling-hash document fingerprint: order-sensitive 64-bit polynomial
-    * hash over tokens (deterministic, engine-native via xxhash64 per
-    * token folded with a prime multiplier). */
+  /** Order-sensitive 64-bit document fingerprint over tokens: the
+    * seed-chained xxhash64 of the whole token sequence (ShingleHashes
+    * with n larger than any document degenerates to one whole-array
+    * shingle). A polynomial fold would overflow Long under ANSI mode;
+    * hash chaining is overflow-free with the same order sensitivity. */
   def docFingerprint(c: Column): Column =
-    aggregate(transform(tokens(c), t => xxhash64(t)),
-      lit(1469598103934665603L),
-      (acc, h) => acc * lit(1099511628211L) + h)
+    element_at(
+      graft.functions.HashExpressions.shingleHashes(tokens(c), Int.MaxValue), 1)
 }
