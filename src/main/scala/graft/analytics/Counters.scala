@@ -1,0 +1,51 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Counter/stat rollups from the reference's monitoring layer
+  * (SURVEY §2.4 A3/A5/A6/A9). */
+object Counters {
+
+  /** A5: MCP request counters — the reference keeps dicts keyed by
+    * server_type, (server,tool) and (server,status) under a lock
+    * (`backend/core/monitoring.py:15-72`); one `cube` covers all three
+    * groupings in a single pass. */
+  def mcpCounters(df: DataFrame, serverCol: String, toolCol: String,
+      statusCol: String): DataFrame =
+    df.cube(col(serverCol), col(toolCol), col(statusCol))
+      .agg(count(lit(1)).as("n"))
+
+  /** A3: timing stats over the last `keep` samples per metric (the
+    * reference's 1000-entry ring buffer,
+    * `backend/core/performance_monitoring.py:226-287`). */
+  def timingStats(df: DataFrame, nameCol: String, tsCol: String,
+      valueCol: String, keep: Int = 1000): DataFrame = {
+    val w = Window.partitionBy(col(nameCol)).orderBy(desc(tsCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= keep)
+      .groupBy(col(nameCol))
+      .agg(count(lit(1)).as("count"),
+        avg(col(valueCol)).as("average"),
+        min(col(valueCol)).as("min"),
+        max(col(valueCol)).as("max"),
+        sum(col(valueCol)).as("total"))
+  }
+
+  /** A6: cache hit-rate stats (`backend/utils/caching.py:198-214`). */
+  def cacheStats(df: DataFrame, hitCol: Column): DataFrame =
+    df.agg(
+      sum(when(hitCol, 1L).otherwise(0L)).as("hits"),
+      sum(when(hitCol, 0L).otherwise(1L)).as("misses"),
+      count(lit(1)).as("total"),
+      round(avg(when(hitCol, 100.0).otherwise(0.0)), 2).as("hit_rate_pct"))
+
+  /** A9: health rollup — overall healthy iff every component is
+    * (`backend/services/monitoring.py:180-216`). */
+  def healthRollup(df: DataFrame, componentCol: String, statusCol: String): DataFrame =
+    df.groupBy()
+      .agg(bool_and(col(statusCol) === "healthy").as("overall_healthy"),
+        count(lit(1)).as("components"),
+        sum(when(col(statusCol) =!= "healthy", 1L).otherwise(0L)).as("unhealthy"))
+}

@@ -1,0 +1,70 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's relational endpoint surface (SURVEY §2 S1/P5/P6/
+  * O1-O6/C5), composable over any of the catalog tables:
+  *
+  *  - dynamic filter maps    — `backend/api/routes/tasks.py:51-56`,
+  *    `backend/db/optimized_queries.py:45-53`
+  *  - offset page + has_more — `optimized_queries.py:55-78`
+  *  - cursor page            — `optimized_queries.py:91-146`
+  *  - status-rank multi-sort — `app/state_manager.py:28-77`
+  *  - partial update + updated_at trigger rule — `routes/tasks.py:142-152`,
+  *    `Supabase/tasks.sql:27-38`
+  */
+object Relational {
+
+  /** P5: fold a {column → value} equality-filter map over the frame. */
+  def dynamicFilter(df: DataFrame, filters: Map[String, Any]): DataFrame =
+    filters.foldLeft(df) { case (d, (k, v)) => d.filter(col(k) === lit(v)) }
+
+  /** O2: one page plus the has_more flag — fetches pageSize+1 rows so
+    * has_more needs no extra count (the reference infers it from
+    * len==page_size; fetching one extra is strictly more accurate). */
+  def pageWithHasMore(
+      df: DataFrame, order: Seq[Column], page: Int, pageSize: Int): (DataFrame, Boolean) = {
+    val start = (page - 1) * pageSize
+    val plusOne = df.orderBy(order: _*).offset(start).limit(pageSize + 1).collect()
+    val spark = df.sparkSession
+    val rows = plusOne.take(pageSize)
+    (spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](java.util.Arrays.asList(rows: _*)),
+      df.schema), plusOne.length > pageSize)
+  }
+
+  /** O3: cursor page, newest first, then re-sorted ascending for display
+    * (the reference's `messages.reverse()`); also returns the next cursor. */
+  def cursorPageAsc(
+      df: DataFrame, idCol: String, beforeId: Option[Long],
+      tsCol: String, limit: Int): (DataFrame, Option[Long]) = {
+    val base = beforeId.map(c => df.filter(col(idCol) < c)).getOrElse(df)
+    val page = base.orderBy(desc(tsCol), desc(idCol)).limit(limit)
+    val ids = page.select(col(idCol)).collect().map(_.getLong(0))
+    (page.orderBy(asc(tsCol), asc(idCol)), ids.lastOption.map(_ => ids.min))
+  }
+
+  /** O4: the reference's status-rank sort key (Pending→1, In Progress→2,
+    * Completed→3, Failed→4, else 99; `app/state_manager.py:60-68`). */
+  def statusRank(statusCol: Column): Column =
+    when(statusCol === "Pending", 1)
+      .when(statusCol === "In Progress", 2)
+      .when(statusCol === "Completed", 3)
+      .when(statusCol === "Failed", 4)
+      .otherwise(99)
+
+  /** P6 + C5: partial update — only provided columns change, and
+    * `updated_at` is always stamped (the BEFORE UPDATE trigger rule). */
+  def partialUpdate(
+      df: DataFrame, idCol: String, id: Any, updates: Map[String, Column],
+      now: Column = current_timestamp()): DataFrame = {
+    val hit = col(idCol) === lit(id)
+    val updated = updates.foldLeft(df) { case (d, (c, v)) =>
+      d.withColumn(c, when(hit, v).otherwise(col(c)))
+    }
+    if (updated.columns.contains("updated_at"))
+      updated.withColumn("updated_at", when(hit, now).otherwise(col("updated_at")))
+    else updated
+  }
+}

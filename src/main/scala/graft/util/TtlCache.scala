@@ -1,0 +1,65 @@
+package graft.util
+
+import java.security.MessageDigest
+
+/** Engine-level TTL cache with hit/miss stats — the reference's
+  * `InMemoryCache` (`backend/utils/caching.py:50-214`) and its memo
+  * decorator keyed by sha256("source:query:k") (`caching.py:233-251`,
+  * SURVEY §4 caching row). This is driver-side plumbing (cross-query
+  * result memoization), not a distributed operator — the distributed
+  * analog is the `expires_at` column + TTL filter the knowledge_base
+  * table itself models.
+  */
+final class TtlCache[V](defaultTtlSeconds: Long = 300, clock: () => Long = System.currentTimeMillis) {
+
+  private case class Entry(value: V, expiresAt: Long)
+  private val store = scala.collection.concurrent.TrieMap.empty[String, Entry]
+  private val hits = new java.util.concurrent.atomic.AtomicLong
+  private val misses = new java.util.concurrent.atomic.AtomicLong
+
+  def get(key: String): Option[V] = store.get(key) match {
+    case Some(e) if e.expiresAt > clock() => hits.incrementAndGet(); Some(e.value)
+    case Some(_) => store.remove(key); misses.incrementAndGet(); None
+    case None => misses.incrementAndGet(); None
+  }
+
+  def put(key: String, value: V, ttlSeconds: Long = defaultTtlSeconds): Unit =
+    store.put(key, Entry(value, clock() + ttlSeconds * 1000))
+
+  def getOrCompute(key: String, ttlSeconds: Long = defaultTtlSeconds)(f: => V): V =
+    get(key).getOrElse { val v = f; put(key, v, ttlSeconds); v }
+
+  def delete(key: String): Boolean = store.remove(key).isDefined
+
+  /** Namespace clear: drop keys with the given prefix (`caching.py`
+    * clears by namespace). */
+  def clear(prefix: String = ""): Int = {
+    val keys = store.keys.filter(_.startsWith(prefix)).toSeq
+    keys.foreach(store.remove)
+    keys.size
+  }
+
+  def cleanupExpired(): Int = {
+    val now = clock()
+    val dead = store.collect { case (k, e) if e.expiresAt <= now => k }.toSeq
+    dead.foreach(store.remove)
+    dead.size
+  }
+
+  /** hits / misses / total / hit_rate (A6 shape). */
+  def stats: (Long, Long, Long, Double) = {
+    val h = hits.get; val m = misses.get; val t = h + m
+    (h, m, t, if (t == 0) 0.0 else h * 100.0 / t)
+  }
+
+  def size: Int = store.size
+}
+
+object TtlCache {
+  /** The reference's cache-key recipe: sha256 of "source:query:n". */
+  def searchKey(source: String, query: String, maxResults: Int): String = {
+    val md = MessageDigest.getInstance("SHA-256")
+    md.digest(s"$source:$query:$maxResults".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+}

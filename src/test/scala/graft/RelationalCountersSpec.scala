@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analytics.Counters
+import graft.query.Relational
+import graft.util.TtlCache
+
+class RelationalCountersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dynamic filter map folds equality predicates") {
+    val df = Seq(("a", "High", 1), ("a", "Low", 2), ("b", "High", 3)).toDF("s", "p", "id")
+    val got = Relational.dynamicFilter(df, Map("s" -> "a", "p" -> "High"))
+    assert(got.select("id").as[Int].collect().toSeq === Seq(1))
+  }
+
+  test("pageWithHasMore: extra-row probe sets the flag without a count") {
+    val df = (1 to 45).map(i => (i.toLong, i)).toDF("id", "rank")
+    val (p1, more1) = Relational.pageWithHasMore(df, Seq(asc("rank")), 1, 20)
+    val (p3, more3) = Relational.pageWithHasMore(df, Seq(asc("rank")), 3, 20)
+    assert(p1.count() === 20 && more1)
+    assert(p3.count() === 5 && !more3)
+  }
+
+  test("cursorPageAsc: newest-first fetch, ascending display, next cursor") {
+    val df = (1 to 30).map(i => (i.toLong, i * 100L)).toDF("id", "ts")
+    val (page, next) = Relational.cursorPageAsc(df, "id", Some(21L), "ts", 5)
+    assert(page.select("id").as[Long].collect().toSeq === Seq(16L, 17L, 18L, 19L, 20L))
+    assert(next === Some(16L))
+  }
+
+  test("statusRank CASE key and partial update with updated_at stamp") {
+    val t0 = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+    val df = Seq((1L, "Pending", 10, t0), (2L, "Weird", 20, t0))
+      .toDF("id", "status", "progress", "updated_at")
+    val ranked = df.select(Relational.statusRank(col("status"))).as[Int].collect()
+    assert(ranked.toSeq === Seq(1, 99))
+    val upd = Relational.partialUpdate(df, "id", 1L,
+      Map("progress" -> lit(60)),
+      now = lit(java.sql.Timestamp.valueOf("2024-06-01 00:00:00")))
+    val rows = upd.orderBy("id").as[(Long, String, Int, java.sql.Timestamp)].collect()
+    assert(rows(0)._3 === 60 && rows(0)._4.toString.startsWith("2024-06-01"))
+    assert(rows(1)._3 === 20 && rows(1)._4 === t0) // untouched row keeps its stamp
+  }
+
+  test("mcp cube counters cover per-server, per-tool, per-status in one pass") {
+    val df = Seq(("s1", "search", "ok"), ("s1", "search", "err"), ("s1", "stats", "ok"))
+      .toDF("server", "tool", "status")
+    val cube = Counters.mcpCounters(df, "server", "tool", "status")
+    def n(f: org.apache.spark.sql.DataFrame) = f.select("n").as[Long].head()
+    assert(n(cube.filter($"server" === "s1" && $"tool".isNull && $"status".isNull)) === 3)
+    assert(n(cube.filter($"server" === "s1" && $"tool" === "search" && $"status".isNull)) === 2)
+    assert(n(cube.filter($"server" === "s1" && $"tool".isNull && $"status" === "ok")) === 2)
+  }
+
+  test("timingStats keeps only the last N samples per metric") {
+    val rows = (1 to 30).map(i => ("m", i.toLong, i.toDouble)) // newest = 30
+    val got = Counters.timingStats(rows.toDF("name", "ts", "v"), "name", "ts", "v", keep = 10)
+      .collect()(0)
+    assert(got.getAs[Long]("count") === 10)
+    assert(got.getAs[Double]("min") === 21.0) // only samples 21..30 survive
+  }
+
+  test("cacheStats and healthRollup") {
+    val cs = Counters.cacheStats(Seq(true, true, false, true).toDF("hit"), col("hit")).collect()(0)
+    assert(cs.getAs[Long]("hits") === 3 && cs.getAs[Long]("misses") === 1)
+    assert(cs.getAs[Double]("hit_rate_pct") === 75.0)
+    val hr = Counters.healthRollup(
+      Seq(("db", "healthy"), ("api", "degraded")).toDF("c", "status"), "c", "status").collect()(0)
+    assert(!hr.getAs[Boolean]("overall_healthy"))
+    assert(hr.getAs[Long]("unhealthy") === 1)
+  }
+
+  test("ttl cache: expiry, stats, namespace clear, memo key recipe") {
+    var now = 0L
+    val cache = new TtlCache[String](defaultTtlSeconds = 10, clock = () => now)
+    assert(cache.get("k").isEmpty)            // miss
+    cache.put("k", "v")
+    assert(cache.get("k").contains("v"))      // hit
+    now += 11000
+    assert(cache.get("k").isEmpty)            // expired
+    cache.put("search:a", "1"); cache.put("search:b", "2"); cache.put("other", "3")
+    assert(cache.clear("search:") === 2 && cache.size === 1)
+    var computes = 0
+    cache.getOrCompute("m")( { computes += 1; "x" })
+    cache.getOrCompute("m")( { computes += 1; "x" })
+    assert(computes === 1)
+    val (h, m, t, rate) = cache.stats
+    assert(t === h + m && rate > 0)
+    assert(TtlCache.searchKey("stackoverflow", "q", 5).length === 64)
+  }
+}
