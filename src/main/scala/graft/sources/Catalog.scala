@@ -1,0 +1,48 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Partitioned-parquet catalog management — the 100 TB replacement for
+  * the reference's Postgres btree indexes (SURVEY §4: partition `logs`/
+  * `chat_history` by date, `knowledge_base` by source_type → built-in
+  * partition pruning instead of index scans).
+  *
+  * Layout conventions:
+  *  - time-series tables (logs, chat_history, events, job_responses):
+  *    partitioned by `p_date` (derived, yyyy-MM-dd) — a time-range
+  *    predicate prunes to the touched days;
+  *  - knowledge_base: partitioned by `source_type` (6 values) — the
+  *    match_documents source filter prunes 5/6 of the corpus before the
+  *    cosine scan;
+  *  - within partitions, files are written sorted on the hot filter key
+  *    so parquet row-group min/max stats prune further.
+  */
+object Catalog {
+
+  /** Write a table partitioned by a derived date column. */
+  def writeDatePartitioned(
+      df: DataFrame, tsCol: String, path: String,
+      mode: String = "overwrite"): Unit =
+    df.withColumn("p_date", date_format(col(tsCol), "yyyy-MM-dd"))
+      .write.mode(mode).partitionBy("p_date").parquet(path)
+
+  /** Write partitioned by a low-cardinality category (e.g. source_type). */
+  def writeCategoryPartitioned(
+      df: DataFrame, catCol: String, path: String,
+      mode: String = "overwrite"): Unit =
+    df.write.mode(mode).partitionBy(catCol).parquet(path)
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** True iff the scan of `df` prunes partitions (its PartitionFilters
+    * is non-empty) — the explain-level assertion that a predicate
+    * actually reached the partition layer. */
+  def prunesPartitions(df: DataFrame): Boolean = {
+    val scans = df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    scans.nonEmpty && scans.forall(_.partitionFilters.nonEmpty)
+  }
+}

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Catalog
+
+class CatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("date-partitioned writes prune to the touched days") {
+    val out = java.nio.file.Files.createTempDirectory("cat_logs").toString
+    val logs = (1 to 100).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-${i % 10 + 1}%02d 12:00:00"), s"msg$i")
+    }.toDF("id", "time", "message")
+    Catalog.writeDatePartitioned(logs, "time", out)
+
+    val pruned = Catalog.read(spark, out).filter(col("p_date") === "2024-01-03")
+    assert(Catalog.prunesPartitions(pruned))
+    assert(pruned.count() === 10)
+    // unfiltered scan does not prune
+    assert(!Catalog.prunesPartitions(Catalog.read(spark, out)))
+  }
+
+  test("source_type-partitioned knowledge base prunes before the cosine scan") {
+    val out = java.nio.file.Files.createTempDirectory("cat_kb").toString
+    val corpus = Seq(
+      (1L, "github", Array(1f, 0f)), (2L, "github", Array(0f, 1f)),
+      (3L, "stackoverflow", Array(1f, 1f)), (4L, "official_doc", Array(0.5f, 0.5f))
+    ).toDF("id", "source_type", "embedding")
+    Catalog.writeCategoryPartitioned(corpus, "source_type", out)
+
+    val matched = graft.kb.KnowledgeBase.matchDocuments(
+      Catalog.read(spark, out), Array(1f, 0f), 2, Some("github"))
+    assert(Catalog.prunesPartitions(matched))
+    assert(matched.select("id").as[Long].collect().toSet === Set(1L, 2L))
+  }
+}
