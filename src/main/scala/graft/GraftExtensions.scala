@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions._
+
+/** SparkSessionExtensions entry point: registers the engine's custom
+  * expressions as SQL functions, so `spark.sql` users get them without
+  * touching the Scala API:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)
+  *   // or: .config("spark.sql.extensions", "graft.GraftExtensions")
+  * }}}
+  *
+  * SQL surface: cosine_similarity, cosine_distance, dot_product, l2_norm,
+  * simhash64, minhash_signature(arr, k), shingle_hashes(arr, n).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("cosine_similarity"),
+      info("cosine_similarity", "cosine_similarity(a, b) - cosine similarity of two float/double arrays"),
+      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+
+    ext.injectFunction((FunctionIdentifier("cosine_distance"),
+      info("cosine_distance", "cosine_distance(a, b) - pgvector <=> (1 - cosine similarity)"),
+      (args: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.{Add, Multiply}
+        Add(Multiply(CosineSimilarity(args(0), args(1)), Literal(-1.0)), Literal(1.0))
+      }))
+
+    ext.injectFunction((FunctionIdentifier("dot_product"),
+      info("dot_product", "dot_product(a, b) - dot product of two float/double arrays"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+
+    ext.injectFunction((FunctionIdentifier("l2_norm"),
+      info("l2_norm", "l2_norm(a) - euclidean norm of a float/double array"),
+      (args: Seq[Expression]) => L2Norm(args(0))))
+
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(tokens) - 64-bit SimHash of a string array"),
+      (args: Seq[Expression]) => SimHash64(args(0))))
+
+    ext.injectFunction((FunctionIdentifier("minhash_signature"),
+      info("minhash_signature", "minhash_signature(tokens, k) - k-element MinHash signature"),
+      (args: Seq[Expression]) =>
+        MinHashSignature(args(0), intArg(args(1), "minhash_signature k"))))
+
+    ext.injectFunction((FunctionIdentifier("shingle_hashes"),
+      info("shingle_hashes", "shingle_hashes(words, n) - distinct 64-bit n-gram shingle hashes"),
+      (args: Seq[Expression]) =>
+        ShingleHashes(args(0), intArg(args(1), "shingle_hashes n"))))
+  }
+}

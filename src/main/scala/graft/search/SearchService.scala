@@ -92,6 +92,26 @@ object SearchService {
     val embedded = embedder.embedColumn(results, "content", "embedding")
     KnowledgeBase.upsertDocuments(kb, embedded)
   }
+
+  /** The flagship `smart_search` lifecycle end-to-end (SURVEY §3.1):
+    * context→source mapping → preprocess → fan-out → dedup → limit →
+    * embed + upsert side-effect → formatted results.
+    *
+    * @return (formatted results, knowledge base after the upsert)
+    */
+  def smartSearch(
+      spark: SparkSession, sources: Seq[Source], kb: DataFrame,
+      embedder: Embedder, query: String, context: Option[String] = None,
+      maxResults: Int = 5): (DataFrame, DataFrame) = {
+    val wanted = context.flatMap(contextSourceMap.get)
+    val active = wanted match {
+      case Some(s) => sources.filter(_.name == s)
+      case None    => sources
+    }
+    val results = fanOutSearch(spark, active, query, maxResults)
+    val mergedKb = upsertResults(kb, results, embedder)
+    (results, mergedKb)
+  }
 }
 
 /** Embedding connector (V1, `backend/services/vector_service.py:26-84`):

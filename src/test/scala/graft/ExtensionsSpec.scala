@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** SQL-surface registration via SparkSessionExtensions (the shared test
+  * session is built with `.withExtensions(new GraftExtensions)` —
+  * extensions bind at session build time, so `getOrCreate` on an
+  * existing session would silently skip them). */
+class ExtensionsSpec extends SparkSpec {
+
+  private lazy val extSpark: SparkSession = spark
+
+  test("custom expressions are callable from spark.sql") {
+    val row = extSpark.sql("""
+      SELECT
+        cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS self,
+        round(cosine_distance(array(1.0D, 0.0D), array(0.0D, 1.0D)), 6) AS dist,
+        dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dot,
+        l2_norm(array(3.0D, 4.0D)) AS norm,
+        simhash64(array('a','b','c')) AS sh,
+        size(minhash_signature(array('a','b'), 16)) AS sigsize,
+        size(shingle_hashes(array('a','b','c','d'), 2)) AS nshingles
+    """).collect()(0)
+    assert(row.getDouble(0) === 1.0)
+    assert(row.getDouble(1) === 1.0) // orthogonal → distance 1
+    assert(row.getDouble(2) === 11.0)
+    assert(row.getDouble(3) === 5.0)
+    assert(row.getInt(5) === 16)
+    assert(row.getInt(6) === 3)
+  }
+
+  test("simhash64 via SQL equals the Scala API") {
+    import extSpark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(Seq("x", "y", "z")).toDF("t")
+    val viaApi = df.select(graft.functions.HashExpressions.simhash64(col("t")))
+      .collect()(0).getLong(0)
+    val viaSql = extSpark.sql("SELECT simhash64(array('x','y','z'))").collect()(0).getLong(0)
+    assert(viaApi === viaSql)
+  }
+
+  test("smartSearch composes the §3.1 lifecycle with a context filter") {
+    import extSpark.implicits._
+    val spark2 = extSpark
+    val so = new search.SearchService.Source {
+      def name = "stackoverflow"
+      def search(s: SparkSession, q: String, n: Int) = {
+        import s.implicits._
+        Seq((s"so: $q", "t", "stackoverflow", "http://so/1", 0))
+          .toDF("content", "title", "source_type", "source_url", "rank")
+      }
+    }
+    val gh = new search.SearchService.Source {
+      def name = "github"
+      def search(s: SparkSession, q: String, n: Int) = {
+        import s.implicits._
+        Seq((s"gh: $q", "t", "github", "http://gh/1", 0))
+          .toDF("content", "title", "source_type", "source_url", "rank")
+      }
+    }
+    val emb = search.HashEmbedder(8)
+    val kb0 = emb.embedColumn(
+      Seq(("existing", "t", "internal", "http://k/1", 0))
+        .toDF("content", "title", "source_type", "source_url", "rank"),
+      "content", "embedding")
+    // context 'error' → stackoverflow only
+    val (results, mergedKb) = search.SearchService.smartSearch(
+      spark2, Seq(so, gh), kb0, emb, "how to fix", context = Some("error"))
+    assert(results.select("source_type").as[String].collect().toSeq === Seq("stackoverflow"))
+    assert(mergedKb.count() === 2) // existing + 1 new
+  }
+}
