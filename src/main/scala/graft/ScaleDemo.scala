@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale validation harness: replicates the sf0.1 corpora to ~200k
+  * documents / ~50k vectors (each copy's vocabulary prefixed so
+  * near-duplicates exist only within a copy) and measures the dedup and
+  * similarity operators at 40x the bench size. Run manually:
+  * `sbt "runMain graft.ScaleDemo"`.
+  */
+object ScaleDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "8g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.1"
+    val base = "/tmp/graft_scale"
+    val copies = 40
+
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"$name%-36s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    // ---- build the scaled corpora (once) --------------------------------
+    val docsPath = s"$base/documents.parquet"
+    if (!new java.io.File(docsPath).exists()) {
+      val docs = Tables.documents(spark, d)
+      val scaled = (0 until copies).map { c =>
+        docs.select(
+          (col("doc_id") + lit(c.toLong * 1000000)).as("doc_id"),
+          // prefix every word with the copy tag: shingles across copies
+          // share nothing, so near-dups stay within-copy
+          concat_ws(" ", transform(split(trim(col("text")), "\\s+"),
+            w => concat(lit(s"c${c}_"), w))).as("text"))
+      }.reduce(_ unionByName _)
+      scaled.repartition(32).write.mode("overwrite").parquet(docsPath)
+      val emb = Tables.embeddings(spark, d)
+      (0 until copies / 4).map { c =>
+        emb.select((col("vec_id") + lit(c.toLong * 1000000)).as("vec_id"),
+          col("embedding"), col("label"))
+      }.reduce(_ unionByName _)
+        .repartition(32).write.mode("overwrite").parquet(s"$base/embeddings.parquet")
+    }
+    val docs = spark.read.parquet(docsPath)
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    println(s"documents=${docs.count()} embeddings=${emb.count()}")
+
+    // warmup
+    docs.agg(sum(length(col("text")))).head()
+
+    // ---- dedup at 200k ---------------------------------------------------
+    val exact = time("exact dedup (sha256 groupBy)") {
+      operators.Dedup.exactByContent(docs, "text", Seq(asc("doc_id"))).count()
+    }
+    val lsh = time("minhash-LSH near-dups (j>=0.8)") {
+      operators.Dedup.minHashNearDups(docs, "doc_id", "text", threshold = 0.8).count()
+    }
+    val sim = time("simhash near-dups (ham<=3)") {
+      operators.Dedup.simHashNearDups(docs, "doc_id", "text", maxHamming = 3).count()
+    }
+    println(s"  exact=$exact lshPairs=$lsh simhashPairs=$sim (expect lsh ≈ 256*$copies)")
+
+    // ---- similarity at 50k ----------------------------------------------
+    val q = emb.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+    time("brute-force kNN top-10 (50k x 64d)") {
+      operators.SimilaritySearch.topK(emb, "embedding", q, 10).collect()
+    }
+    val cents = time("IVF centroids (10 clusters)") {
+      val c = operators.SimilaritySearch.centroids(emb, "label", "embedding")
+      c.cache(); c.count(); c
+    }
+    time("IVF kNN nprobe=2 (prunes 80%)") {
+      operators.SimilaritySearch.ivfTopK(emb, "label", "embedding", cents, q, 10, nprobe = 2).collect()
+    }
+    val queries100 = emb.filter(col("vec_id") < 100)
+    time("batch kNN join: 100 queries x 50k") {
+      operators.SimilaritySearch.topKJoin(queries100, "vec_id", "embedding",
+        emb, "vec_id", "embedding", 5).count()
+    }
+    spark.stop()
+  }
+}

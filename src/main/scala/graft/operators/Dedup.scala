@@ -73,14 +73,17 @@ object Dedup {
 
     // Distinct shingle HASHES straight from the word split — no shingle
     // strings materialized (tuple-hash identity == joined-string identity
-    // since words cannot contain the join character).
+    // since words cannot contain the join character). Recomputed per
+    // consumer on purpose: measured at 200k docs, persisting this costs
+    // more in materialization than the ~1s recompute it saves.
     val shingled = df.select(
       col(idCol).as("id"),
       HashExpressions.shingleHashes(TextFunctions.words(col(textCol)), shingleSize)
         .as("shingles"))
 
     // Band buckets over bare ids only — the shingle arrays must NOT ride
-    // through the self-join/dedup shuffles.
+    // through the shuffle; the bucket aggregation below consumes this
+    // exactly once, so nothing is persisted.
     val banded = shingled
       .select(col("id"),
         HashExpressions.minhashSignatureLongs(col("shingles"), numHashes).as("sig"))
@@ -88,11 +91,21 @@ object Dedup {
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => hash(slice(col("sig"), b * r + 1, lit(r)), b))).as(Seq("band", "bucket")))
 
-    val candidates = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
-      .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
-        Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+    // One shuffle instead of a 2x self-join: group ids per (band, bucket)
+    // and emit in-bucket pairs. Sorted ids make id_a < id_b by
+    // construction. A degenerate bucket (k co-hashing docs) costs k²/2
+    // pairs in either formulation — low-information bands, not a new
+    // skew risk.
+    val candidates = banded
+      .groupBy(col("band"), col("bucket"))
+      .agg(array_sort(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(
+        sequence(lit(0), size(col("ids")) - 2),
+        i => transform(
+          slice(col("ids"), i + 2, size(col("ids")) - i - 1),
+          b => struct(element_at(col("ids"), i + 1).as("id_a"), b.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .distinct()
 
     // Exact verification: re-attach shingles only for the candidate pairs.
