@@ -128,21 +128,31 @@ object Dedup {
     val fp = df.select(col(idCol).as("id"),
       HashExpressions.simhash64(TextFunctions.words(col(textCol))).as("fp"))
 
-    val banded = fp.select(col("id"), col("fp"),
+    // Same bucket-aggregate shape as minHashNearDups: group (id, fp)
+    // structs per 16-bit band bucket, emit in-bucket pairs, verify by
+    // bit_count(xor) — one shuffle, fingerprints (8 bytes) ride along.
+    val banded = fp.select(
       posexplode(array((0 until 4).map(b =>
         shiftright(col("fp"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
-        .as(Seq("band", "bucket")))
+        .as(Seq("band", "bucket")),
+      struct(col("id"), col("fp")).as("e"))
 
-    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("fp").as("fp_a"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("fp").as("fp_b"))
-
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "fp_a", "fp_b")
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+    banded
+      .groupBy(col("band"), col("bucket"))
+      .agg(array_sort(collect_list(col("e"))).as("es"))
+      .filter(size(col("es")) > 1)
+      .select(explode(flatten(transform(
+        sequence(lit(0), size(col("es")) - 2),
+        i => transform(
+          slice(col("es"), i + 2, size(col("es")) - i - 1),
+          b => struct(
+            element_at(col("es"), i + 1).getField("id").as("id_a"),
+            b.getField("id").as("id_b"),
+            bit_count(element_at(col("es"), i + 1).getField("fp")
+              .bitwiseXOR(b.getField("fp"))).as("hamming")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** n-gram Jaccard similarity for a candidate pair set (exact verify
