@@ -282,7 +282,7 @@ object SparkEntry {
 
     // no DuckDB oracle (xxhash64-based) — rows-only check
     "q34_simhash_neardups" -> ((s, d) =>
-      Dedup.simHashNearDups(T.documents(s, d), "doc_id", "text", maxHamming = 6)
+      Dedup.simHashNearDups(T.documents(s, d), "doc_id", "text", maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))),
 
     "q35_null_dedup" -> ((s, d) => {

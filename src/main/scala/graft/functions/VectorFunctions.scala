@@ -80,10 +80,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "cosine_similarity"
 
+  /** Null on dimension mismatch (pgvector raises; null keeps the row out
+    * of any top-k ranking instead of silently comparing a truncated
+    * prefix) and on zero-norm input. */
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
     while (i < n) {
       val xi = get(left.dataType, x, i)
@@ -100,17 +104,21 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val ny = ctx.freshName("ny")
       val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
       s"""
-        int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-        double $dot = 0.0, $nx = 0.0, $ny = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          double $xi = ${getter(left.dataType, x, i)};
-          double $yi = ${getter(right.dataType, y, i)};
-          $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
-        }
-        if ($nx == 0.0 || $ny == 0.0) {
+        int $n = $x.numElements();
+        if ($n != $y.numElements()) {
           ${ev.isNull} = true;
         } else {
-          ${ev.value} = $dot / java.lang.Math.sqrt($nx * $ny);
+          double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            double $xi = ${getter(left.dataType, x, i)};
+            double $yi = ${getter(right.dataType, y, i)};
+            $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+          }
+          if ($nx == 0.0 || $ny == 0.0) {
+            ${ev.isNull} = true;
+          } else {
+            ${ev.value} = $dot / java.lang.Math.sqrt($nx * $ny);
+          }
         }
       """
     })

@@ -120,11 +120,15 @@ object Dedup {
   }
 
   /** SimHash near-dups: 64-bit fingerprints, candidates via 16-bit band
-    * buckets (4 bands ⇒ guaranteed recall for hamming distance <= 3 when
-    * at least one band matches exactly), verified by bit_count(xor). */
+    * buckets (4 bands ⇒ by pigeonhole, any pair within hamming distance 3
+    * shares at least one exact band), verified by bit_count(xor).
+    * maxHamming is capped at 3 — beyond that the 4-band scheme cannot
+    * guarantee recall and would silently miss pairs. */
   def simHashNearDups(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"maxHamming=$maxHamming exceeds the 4x16-bit banding recall guarantee (<=3)")
     val fp = df.select(col(idCol).as("id"),
       HashExpressions.simhash64(TextFunctions.words(col(textCol))).as("fp"))
 

@@ -41,8 +41,11 @@ object Relational {
       tsCol: String, limit: Int): (DataFrame, Option[Long]) = {
     val base = beforeId.map(c => df.filter(col(idCol) < c)).getOrElse(df)
     val page = base.orderBy(desc(tsCol), desc(idCol)).limit(limit)
+    // next cursor = the oldest row ON THE PAGE (last in desc order) — the
+    // reference's messages[0].id after reverse; min(ids) would skip rows
+    // whenever ids are not monotone with the timestamp
     val ids = page.select(col(idCol)).collect().map(_.getLong(0))
-    (page.orderBy(asc(tsCol), asc(idCol)), ids.lastOption.map(_ => ids.min))
+    (page.orderBy(asc(tsCol), asc(idCol)), ids.lastOption)
   }
 
   /** O4: the reference's status-rank sort key (Pending→1, In Progress→2,

@@ -53,13 +53,18 @@ object SearchService {
       spark: SparkSession, sources: Seq[Source], query: String,
       maxResults: Int): DataFrame = {
     val processed = preprocess(spark, query)
+    def empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], documentSchema)
     val frames = sources.map { s =>
       try s.search(spark, processed, maxResults)
-      catch { case _: Exception => spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], documentSchema) }
+      catch { case _: Exception => empty }
     }
-    val unioned = frames.reduce(_ unionByName _)
+    val unioned = frames.foldLeft(empty)(_ unionByName _)
       .withColumn("src_priority", priorityCol(col("source_type")))
+      // the reference appends only truthy-URL documents
+      // (`search_service.py:176`: `if doc.source_url and ...`) — null/empty
+      // URLs are dropped, never grouped into one dedup partition
+      .filter(col("source_url").isNotNull && col("source_url") =!= "")
     // first occurrence wins: source priority, then per-source rank
     Dedup.firstWins(unioned, Seq("source_url"),
         Seq(asc("src_priority"), asc("rank")))
@@ -134,6 +139,9 @@ trait Embedder extends Serializable {
     val rdd = df.rdd.mapPartitions { it =>
       it.grouped(bs).flatMap { rows =>
         val vecs = self.embed(rows.map(_.getString(idx)))
+        require(vecs.size == rows.size,
+          s"Embedder returned ${vecs.size} vectors for ${rows.size} texts — " +
+            "a short batch would silently drop documents")
         rows.lazyZip(vecs).map { (r, v) =>
           org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (v.toSeq: Seq[Float]))
         }

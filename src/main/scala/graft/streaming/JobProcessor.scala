@@ -63,9 +63,14 @@ object JobProcessor {
       .writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        val n = batch.count()
-        batch.write.mode("append").parquet(outPath)
-        onBatch(id, n)
+        // one execution of the micro-batch: count() + write would run the
+        // plan (and the external completer) twice per row
+        batch.persist()
+        try {
+          val n = batch.count()
+          batch.write.mode("append").parquet(outPath)
+          onBatch(id, n)
+        } finally batch.unpersist()
       }
       .start()
 }

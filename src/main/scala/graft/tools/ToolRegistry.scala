@@ -63,6 +63,12 @@ object Tools {
         case Some(t) =>
           try {
             val df = t.fn(spark, args)
+            // force one execution so the envelope times the actual work
+            // and runtime failures are recorded as failures (the
+            // reference executor runs tools eagerly, base.py:91-114);
+            // a lazy DataFrame would audit success=true in ~0ms even for
+            // a query that blows up at action time
+            df.count()
             ToolResult(success = true, Some(df), None, name, ms, java.time.Instant.now())
           } catch {
             case e: Exception =>

@@ -19,7 +19,10 @@ final class TtlCache[V](defaultTtlSeconds: Long = 300, clock: () => Long = Syste
 
   def get(key: String): Option[V] = store.get(key) match {
     case Some(e) if e.expiresAt > clock() => hits.incrementAndGet(); Some(e.value)
-    case Some(_) => store.remove(key); misses.incrementAndGet(); None
+    case Some(stale) =>
+      // conditional remove: an unconditional remove(key) would race with a
+      // concurrent put and delete the freshly inserted entry
+      store.remove(key, stale); misses.incrementAndGet(); None
     case None => misses.incrementAndGet(); None
   }
 
