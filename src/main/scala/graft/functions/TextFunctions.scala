@@ -163,6 +163,33 @@ object TextFunctions {
     esc
   }
 
+  /** Filename sanitization (`sanitization.py:186-219`): strip traversal,
+    * path separators, null bytes; restrict to safe chars; truncate;
+    * "untitled" fallback. */
+  def sanitizeFilename(c: Column, maxLength: Int = 255): Column = {
+    val noTraversal = regexp_replace(
+      regexp_replace(c, java.util.regex.Pattern.quote(".."), ""), """[/\\]""", "_")
+    val noNull = regexp_replace(noTraversal, """\x00""", "")
+    val safe = substring(regexp_replace(noNull, "[^a-zA-Z0-9._-]", "_"), 1, maxLength)
+    when(c.isNull || safe === "", lit("untitled")).otherwise(safe)
+  }
+
+  /** URL validation (`sanitization.py:222-255`): scheme allowlist +
+    * internal-host substring blocklist (SSRF guard). Reproduces the
+    * reference's substring semantics exactly (it matches anywhere in
+    * the lowered URL, not just the host part). */
+  def isValidUrl(c: Column,
+      allowedSchemes: Seq[String] = Seq("http", "https")): Column = {
+    val lower10 = lower(c)
+    val schemeOk = allowedSchemes
+      .map(s => lower10.startsWith(s + "://"))
+      .reduce(_ || _)
+    val dangerous = Seq("localhost", "127.0.0.1", "0.0.0.0",
+      "169.254.", "10.", "172.16.", "192.168.")
+      .map(h => lower10.contains(h)).reduce(_ || _)
+    when(c.isNull || c === "", lit(false)).otherwise(schemeOk && !dangerous)
+  }
+
   // ---------------------------------------------------------------------
   // F6 — HTML cleaning (search_clients.py:83-91)
   // ---------------------------------------------------------------------

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation operators for the 100 TB path. AQE's skew-join
+  * handling covers sort-merge joins at runtime; these cover the cases it
+  * does not: hot-key aggregation (two-stage salted combine) and
+  * broadcast-side replication joins where one probe key dominates
+  * (e.g. the `events` table where one user is 30% of traffic, or
+  * near-dup buckets where one content_hash is degenerate).
+  */
+object Skew {
+
+  /** Two-stage salted aggregation: count/sum-like aggregates for a
+    * skewed key in two shuffles of bounded fan-in — stage 1 aggregates
+    * (key, salt) partials, stage 2 merges the ≤`salts` partials per key.
+    * Equivalent to `df.groupBy(keys).agg(count)` but no single reducer
+    * ever sees a hot key's full row set. */
+  def saltedCount(df: DataFrame, keys: Seq[String], salts: Int = 32): DataFrame = {
+    require(salts > 0)
+    val keyCols = keys.map(col)
+    df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+      .groupBy(keyCols :+ col("__salt"): _*)
+      .agg(count(lit(1)).as("__partial"))
+      .groupBy(keyCols: _*)
+      .agg(sum(col("__partial")).as("n"))
+  }
+
+  /** Salted equi-join for a skewed LEFT side: the right (smaller but
+    * not broadcastable) side is replicated `salts` times, the left side
+    * gets a random salt, and the join key becomes (key, salt) — a hot
+    * key's rows spread over `salts` reducers instead of one.
+    *
+    * Row-preserving for inner joins on a unique right key. */
+  def saltedJoin(
+      left: DataFrame, right: DataFrame, key: String,
+      salts: Int = 16, joinType: String = "inner"): DataFrame = {
+    require(salts > 0)
+    val saltedLeft = left.withColumn("__salt",
+      pmod(hash(monotonically_increasing_id()), lit(salts)))
+    val explodedRight = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedLeft.join(explodedRight, Seq(key, "__salt"), joinType)
+      .drop("__salt")
+  }
+
+  /** Per-key frequency profile — the diagnostic used to decide whether
+    * a key needs salting: top-n keys with their share of all rows. */
+  def keySkewProfile(df: DataFrame, key: String, topN: Int = 10): DataFrame = {
+    val total = df.count()
+    df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+      .withColumn("share", round(col("n") / lit(total.toDouble), 6))
+      .orderBy(desc("n"))
+      .limit(topN)
+  }
+}
