@@ -295,6 +295,11 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "q36_salted_count" -> ((s, d) =>
+      // skew-safe two-stage aggregation must equal a plain group count
+      operators.Skew.saltedCount(T.events(s, d), Seq("user_id"), salts = 16)
+        .orderBy(col("user_id"))),
+
     // --- vector / similarity (J1-J4, V1-V5, ANN) --------------------------
     "q40_knn" -> ((s, d) => {
       val q = queryVec(s, d)
@@ -364,6 +369,16 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
         .orderBy(desc("ts_us"), desc("event_id"))
         .limit(100)),
+
+    "q57_sanitize_names" -> ((s, d) =>
+      T.documents(s, d).select(col("doc_id"),
+          TF.sanitizeFilename(concat(col("source"), lit("/"), col("lang"),
+            lit(".txt"))).as("fname"),
+          TF.isValidUrl(
+            when(col("doc_id") % 3 === 0, concat(lit("https://"), col("source"), lit(".example.com/d")))
+              .when(col("doc_id") % 3 === 1, concat(lit("ftp://"), col("source"), lit(".example.com")))
+              .otherwise(lit("https://192.168.0.1/internal"))).as("url_ok"))
+        .orderBy(col("doc_id"))),
 
     // --- data-quality metrics (A8) ----------------------------------------
     "q52_completeness" -> ((s, d) =>
@@ -616,6 +631,25 @@ object SparkEntry {
         |FROM w a JOIN w b ON a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q36_salted_count" ->
+      "SELECT user_id, count(*) AS n FROM events GROUP BY user_id ORDER BY user_id",
+
+    "q57_sanitize_names" ->
+      """WITH u AS (SELECT doc_id, source, lang,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'https://' || source || '.example.com/d'
+        |         WHEN doc_id % 3 = 1 THEN 'ftp://' || source || '.example.com'
+        |         ELSE 'https://192.168.0.1/internal' END AS url
+        |  FROM documents)
+        |SELECT doc_id,
+        |  substr(regexp_replace(replace(replace(replace(replace(source || '/' || lang || '.txt',
+        |    '..', ''), '/', '_'), '\', '_'), chr(0), ''), '[^a-zA-Z0-9._-]', '_', 'g'), 1, 255) AS fname,
+        |  (lower(url) LIKE 'http://%' OR lower(url) LIKE 'https://%')
+        |    AND NOT (lower(url) LIKE '%localhost%' OR lower(url) LIKE '%127.0.0.1%'
+        |      OR lower(url) LIKE '%0.0.0.0%' OR lower(url) LIKE '%169.254.%'
+        |      OR lower(url) LIKE '%10.%' OR lower(url) LIKE '%172.16.%'
+        |      OR lower(url) LIKE '%192.168.%') AS url_ok
+        |FROM u ORDER BY doc_id""".stripMargin,
 
     "q40_knn" ->
       """SELECT e.vec_id,
