@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.TextFunctions._
+
+/** Invariant checks over ScalaCheck-generated inputs, evaluated in one
+  * batched DataFrame per property (a Spark job per sample would be
+  * pathological; the invariant is per-row either way). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic sample of n values from a generator. */
+  private def sample[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val piiish: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr,
+    Gen.const("mail bob@corp.io and 123-45-6789"),
+    Gen.const("password=secret Bearer abc123 4242 4242 4242 4242"),
+    Gen.const("postgres://u:p@h/db eyJa.eyJb.c"),
+    for (s <- Gen.alphaStr; t <- Gen.alphaStr) yield s"$s password=$t 10.0.0.1",
+    Gen.listOfN(40, Gen.oneOf(Gen.alphaNumStr, Gen.const("a@b.co"))).map(_.mkString(" ")))
+
+  test("property: sanitizeLog is idempotent (fixed point after one pass)") {
+    val inputs = sample(piiish, 60)
+    val df = inputs.toDF("t")
+      .select(sanitizeLog($"t").as("once"))
+      .select($"once", sanitizeLog($"once").as("twice"))
+    val rows = df.as[(String, String)].collect()
+    rows.foreach { case (once, twice) => assert(once === twice) }
+  }
+
+  test("property: preprocessSearchQuery output is bounded and whitespace-collapsed") {
+    val noisy: Gen[String] = for {
+      words <- Gen.listOf(Gen.oneOf(Gen.alphaNumStr, Gen.const("[E-1]"),
+        Gen.const("not found"), Gen.const("FooException:"), Gen.const("   ")))
+    } yield words.mkString(" ")
+    val inputs = sample(noisy, 80) :+ ("x" * 500) :+ ""
+    val got = inputs.toDF("q").select(preprocessSearchQuery($"q")).as[String].collect()
+    got.foreach { out =>
+      assert(out.length <= 200)
+      assert(!out.contains("  ") || out.isEmpty) // collapsed
+      assert(out === out.trim)
+    }
+  }
+
+  test("property: quality signals stay in [0,1] on arbitrary text") {
+    val anyText = Gen.listOf(Gen.oneOf(Gen.alphaNumStr, Gen.const("!!!"),
+      Gen.const("the of and"), Gen.const("éüß"))).map(_.mkString(" "))
+    val inputs = sample(anyText, 80)
+    val got = inputs.toDF("t")
+      .select(stopwordRatio($"t"), punctRatio($"t"), qualityScore($"t"))
+      .as[(Double, Double, Double)].collect()
+    got.foreach { case (s, p, q) =>
+      assert(s >= 0.0 && s <= 1.0); assert(p >= 0.0 && p <= 1.0)
+      assert(q >= 0.0 && q <= 1.0)
+    }
+  }
+
+  test("property: sliding-window admission never exceeds max within any window") {
+    val gen = Gen.listOfN(200, Gen.chooseNum(0L, 3000L))
+    val tsList = sample(gen, 1).head
+    val df = tsList.zipWithIndex.map { case (s, i) =>
+      (i.toLong, "u", java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(s)))
+    }.toDF("event_id", "id", "ts")
+    val got = operators.RateLimit
+      .slidingWindowAdmission(df, "id", "ts", maxRequests = 5, windowSeconds = 60)
+      .select("window_count", "allowed").as[(Long, Boolean)].collect()
+    // invariant: allowed exactly when the trailing-window count (incl. self) <= max
+    got.foreach { case (wc, ok) => assert(ok === (wc <= 5)) }
+    // and the count is positive (self-inclusive)
+    got.foreach { case (wc, _) => assert(wc >= 1) }
+  }
+
+  test("property: firstWins result has exactly one row per key") {
+    val pairs = sample(Gen.zip(Gen.chooseNum(1, 20), Gen.chooseNum(1, 1000)), 300)
+    val df = pairs.map { case (k, o) => (s"k$k", o) }.toDF("k", "ord")
+    val deduped = operators.Dedup.firstWins(df, Seq("k"), Seq(asc("ord"), asc("k")))
+    val perKey = deduped.groupBy("k").count().as[(String, Long)].collect()
+    perKey.foreach { case (_, n) => assert(n === 1L) }
+    assert(deduped.count() === df.select("k").distinct().count())
+  }
+}
