@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.kb.KnowledgeBase
+import graft.safety.{SafeSql, SqlSafety}
+import graft.search.{Embedder, SearchService}
+import graft.tools.Tools
+
+/** User-facing facade: everything a user of the reference system does —
+  * knowledge-base search, smart multi-source search, safe SQL, tool
+  * dispatch — behind one object, so switching from the reference means
+  * constructing a GraftSession instead of a FastAPI client.
+  *
+  * {{{
+  * val g = GraftSession(spark, embedder = HashEmbedder(1536))
+  * g.loadKnowledgeBase(spark.read.parquet(".../knowledge_base"))
+  * val hits  = g.searchKnowledge("how to fix OOM", k = 5)           // §3.1 J1
+  * val (res, _) = g.smartSearch(sources, "spark join slow")          // §3.1
+  * val safe  = g.sql("SELECT * FROM tasks WHERE status = :s", Map("s" -> "Completed"))
+  * }}}
+  */
+final case class GraftSession(
+    spark: SparkSession,
+    embedder: Embedder,
+    tools: Tools.Registry = new Tools.Registry()) {
+
+  @volatile private var kbDf: Option[DataFrame] = None
+
+  def loadKnowledgeBase(df: DataFrame): this.type = { kbDf = Some(df); this }
+  def knowledgeBase: DataFrame =
+    kbDf.getOrElse(throw new IllegalStateException("knowledge base not loaded"))
+
+  /** Embed the query and run match_documents (preprocess → embed → J1). */
+  def searchKnowledge(query: String, k: Int = 5,
+      source: Option[String] = None): DataFrame = {
+    val processed = SearchService.preprocess(spark, query)
+    val qv = embedder.embed(Seq(processed)).head
+    KnowledgeBase.matchDocuments(knowledgeBase, qv, k, source)
+  }
+
+  /** Multi-source smart search with the embed+upsert side effect applied
+    * to the held knowledge base. */
+  def smartSearch(sources: Seq[SearchService.Source], query: String,
+      context: Option[String] = None, maxResults: Int = 5): (DataFrame, DataFrame) = {
+    val (results, merged) = SearchService.smartSearch(
+      spark, sources, knowledgeBase, embedder, query, context, maxResults)
+    kbDf = Some(merged)
+    (results, merged)
+  }
+
+  /** Safety-gated parameterized SQL (C1/C2). */
+  def sql(query: String, params: Map[String, Any] = Map.empty,
+      maxRows: Int = 1000): Either[SqlSafety.Violation, DataFrame] =
+    SafeSql.run(spark, query, params, maxRows)
+
+  /** Role-gated tool dispatch with audit (§2.11). */
+  def runTool(name: String, args: Map[String, String] = Map.empty,
+      role: Tools.Role = Tools.Role.General): Tools.ToolResult =
+    tools.execute(spark, name, args, role)
+
+  /** TTL sweep over the held knowledge base (S6). */
+  def cleanupExpired(): Long = {
+    val before = knowledgeBase.count()
+    val swept = KnowledgeBase.cleanupExpired(knowledgeBase)
+    kbDf = Some(swept)
+    before - swept.count()
+  }
+}

@@ -1,0 +1,72 @@
+package graft.model
+
+import java.sql.Timestamp
+
+/** Typed row models for the reference catalog (SURVEY §1.1-1.2) — used
+  * as `Dataset[T]` encoders where type safety helps; the DataFrame
+  * (dynamic-schema) path remains primary for wide pipelines. JSONB
+  * fields are JSON strings (§1.3).
+  */
+final case class Document(
+    content: String,
+    title: Option[String],
+    source_type: String,
+    source_url: Option[String],
+    rank: Int)
+
+final case class KbEntry(
+    id: Long,
+    content: String,
+    content_hash: Option[String],
+    embedding: Option[Array[Float]],
+    source_type: Option[String],
+    source_url: Option[String],
+    title: Option[String],
+    access_count: Int,
+    expires_at: Option[Timestamp],
+    metadata: Option[String])
+
+final case class Task(
+    id: Long,
+    name: String,
+    status: String,
+    progress: Int,
+    assigned_to: Option[String],
+    priority: String,
+    description: Option[String],
+    due_date: Option[Timestamp],
+    created_at: Timestamp,
+    updated_at: Timestamp)
+
+final case class LogEntry(
+    id: Long,
+    time: Timestamp,
+    level: String,
+    message: String,
+    source: String,
+    user_id: Option[String],
+    session_id: Option[String],
+    component: Option[String],
+    duration_ms: Option[Int])
+
+final case class ChatMessage(
+    id: Long,
+    session_id: String,
+    user_id: Option[String],
+    role: String,
+    content: String,
+    tokens_used: Option[Int],
+    created_at: Timestamp)
+
+final case class JobRequest(
+    request_id: String,
+    job_id: String,
+    user_query: String,
+    ts: Timestamp)
+
+final case class JobResponse(
+    request_id: String,
+    job_id: String,
+    user_query: String,
+    ai_response: String,
+    ts: Timestamp)

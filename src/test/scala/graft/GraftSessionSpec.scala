@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.search.{HashEmbedder, SearchService}
+import graft.tools.Tools
+
+class GraftSessionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkSession(): GraftSession = {
+    val emb = HashEmbedder(16)
+    val g = GraftSession(spark, emb)
+    val kb = emb.embedColumn(
+      Seq(("spark join is slow", "t1", "official_doc", "http://d/1", 0),
+        ("python list comprehension", "t2", "github", "http://d/2", 0))
+        .toDF("content", "title", "source_type", "source_url", "rank"),
+      "content", "embedding")
+    g.loadKnowledgeBase(kb)
+  }
+
+  test("searchKnowledge: preprocess -> embed -> match_documents") {
+    val g = mkSession()
+    val hits = g.searchKnowledge("spark join is slow", k = 1)
+    assert(hits.select("title").as[String].collect().toSeq === Seq("t1"))
+    // self-match: distance ~ 0
+    assert(math.abs(hits.select("similarity").as[Double].head()) < 1e-6)
+  }
+
+  test("smartSearch mutates the held knowledge base") {
+    val g = mkSession()
+    val src = new SearchService.Source {
+      def name = "stackoverflow"
+      def search(s: SparkSession, q: String, n: Int): DataFrame = {
+        import s.implicits._
+        Seq(("fresh answer", "a", "stackoverflow", "http://so/9", 0))
+          .toDF("content", "title", "source_type", "source_url", "rank")
+      }
+    }
+    val before = g.knowledgeBase.count()
+    val (results, merged) = g.smartSearch(Seq(src), "anything")
+    assert(results.count() === 1)
+    assert(merged.count() === before + 1)
+    assert(g.knowledgeBase.count() === before + 1) // held KB updated
+  }
+
+  test("sql gate and tool dispatch through the facade") {
+    val g = mkSession()
+    Seq((1, "Completed")).toDF("id", "status").createOrReplaceTempView("g_tasks")
+    assert(g.sql("SELECT * FROM g_tasks WHERE status = :s", Map("s" -> "Completed"))
+      .toOption.get.count() === 1)
+    assert(g.sql("DROP TABLE g_tasks").isLeft)
+    g.tools.register(Tools.Tool("ping", Tools.Role.General, "ping",
+      (s, _) => { import s.implicits._; Seq(1).toDF("ok") }))
+    assert(g.runTool("ping").success)
+  }
+
+  test("cleanupExpired sweeps and reports the count") {
+    val emb = HashEmbedder(8)
+    val g = GraftSession(spark, emb)
+    val kb = Seq(
+      ("live", Some(java.sql.Timestamp.valueOf("2999-01-01 00:00:00"))),
+      ("dead", Some(java.sql.Timestamp.valueOf("2000-01-01 00:00:00"))),
+      ("forever", None)
+    ).toDF("content", "expires_at")
+    g.loadKnowledgeBase(kb)
+    assert(g.cleanupExpired() === 1L)
+    assert(g.knowledgeBase.count() === 2L)
+  }
+}
