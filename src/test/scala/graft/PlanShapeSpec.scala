@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.Exchange
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+
+/** Physical-plan regression tests: the scale design's load-bearing plan
+  * shapes, asserted against the real sf0.001 data so a future refactor
+  * that silently degrades a plan (full sort instead of top-k, shuffle
+  * instead of broadcast, lost pushdown) fails here rather than in a
+  * 100 TB run. */
+class PlanShapeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def collectPlan(df: DataFrame): Seq[SparkPlan] = {
+    df.collect() // execute so AQE finalizes
+    def expand(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => expand(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        q +: expand(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        r +: expand(r.child)
+      case other => other +: other.children.flatMap(expand)
+    }
+    expand(df.queryExecution.executedPlan)
+  }
+
+  test("kNN top-k plans as TakeOrderedAndProject with NO exchange over the corpus") {
+    val q = Tables.embeddings(spark, dir).select("embedding").head().getSeq[Float](0).toArray
+    val plan = collectPlan(
+      operators.SimilaritySearch.topK(Tables.embeddings(spark, dir), "embedding", q, 5))
+    assert(plan.exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+      "expected TakeOrderedAndProject (per-partition heaps), got:\n" + plan.mkString("\n"))
+    assert(!plan.exists(_.isInstanceOf[Exchange]),
+      "top-k must not shuffle the corpus")
+  }
+
+  test("dimension-chain join broadcasts every dimension table") {
+    val plan = collectPlan(SparkEntry.queries("q04_region_revenue")(spark, dir))
+    val bhj = plan.collect { case b: BroadcastHashJoinExec => b }
+    assert(bhj.size >= 3, s"expected broadcast joins for the dims, got ${bhj.size}")
+  }
+
+  test("filter + projection reach the parquet scan (pushdown + pruning)") {
+    val plan = collectPlan(SparkEntry.queries("q05_ship_filter")(spark, dir))
+    val scan = plan.collect { case f: FileSourceScanExec => f }.head
+    assert(scan.dataFilters.nonEmpty, "expected pushed data filters")
+    val readCols = scan.requiredSchema.fieldNames.toSet
+    assert(!readCols.contains("l_orderkey") && !readCols.contains("l_comment"),
+      s"scan reads more columns than the query needs: $readCols")
+  }
+
+  test("offset pagination plans as top-k-with-offset, not a global sort") {
+    val plan = collectPlan(SparkEntry.queries("q10_offset_page")(spark, dir))
+    assert(plan.exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+      "expected TakeOrderedAndProject(limit, offset)")
+    assert(!plan.exists(_.isInstanceOf[org.apache.spark.sql.execution.SortExec]),
+      "offset page must not globally sort")
+  }
+
+  test("first-wins dedup uses WindowGroupLimit below the shuffle (partial top-1)") {
+    val plan = collectPlan(SparkEntry.queries("q31_first_wins")(spark, dir))
+    val wgl = plan.filter(_.getClass.getSimpleName.contains("WindowGroupLimit"))
+    assert(wgl.size >= 2, // partial + final
+      "expected partial+final WindowGroupLimit, got:\n" +
+        plan.map(_.getClass.getSimpleName).mkString(", "))
+  }
+}
