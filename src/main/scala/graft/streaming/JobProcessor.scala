@@ -52,9 +52,73 @@ object JobProcessor {
         col("ai_response"), col("ts"))
   }
 
+  /** §3.3 step 3's fallback branch: requests with no direct rag context
+    * get the top-1 vector match from the knowledge base (the reference's
+    * `match_documents_by_document_type` with the embedded description,
+    * `pubnub_job_processor.py:84-107`). Batch-context enrichment — run
+    * it inside foreachBatch where window functions are legal.
+    *
+    * @param batch    deduped micro-batch with (request_id, job_id, user_query, ts)
+    * @param ragContent static (document_id, document_type, context)
+    * @param kb       knowledge base with (content, embedding) for the fallback
+    */
+  def enrichBatch(
+      batch: DataFrame, ragContent: DataFrame, kb: DataFrame,
+      embedder: graft.search.Embedder): DataFrame = {
+    val direct = batch.join(
+        broadcast(ragContent.filter(col("document_type") === "job")
+          .select(col("document_id").as("job_id"), col("context"))),
+        Seq("job_id"), "left")
+    val hit = direct.filter(col("context").isNotNull)
+    val miss = direct.filter(col("context").isNull).drop("context")
+    // no isEmpty short-circuit: every branch must stay lazy — an extra
+    // action inside foreachBatch partially re-executes the upstream
+    // stateful operators (see runWithVectorFallback)
+    val embedded = embedder.embedColumn(miss, "user_query", "__qv")
+    val top1 = graft.operators.SimilaritySearch.topKJoin(
+        embedded.select(col("request_id").as("query_id_src"), col("__qv")),
+        "query_id_src", "__qv",
+        kb.select(col("content"), col("embedding")), "content", "embedding", k = 1)
+      .select(col("query_id").as("request_id"), col("content").as("context"))
+    val enrichedMiss = miss.join(top1, Seq("request_id"), "left")
+      .withColumn("context", coalesce(col("context"), lit("")))
+    hit.unionByName(enrichedMiss.select(hit.columns.map(col): _*))
+  }
+
   /** Run to a parquet `job_responses` sink with checkpointing; the
     * `foreachBatch` shape also side-publishes counts (the reference's
     * publish tap) via the provided callback. */
+  /** Full §3.3 pipeline with the vector-fallback enrichment: stream
+    * dedup, then per-batch direct-context join + kNN top-1 fallback +
+    * completion, appended to the sink. */
+  def runWithVectorFallback(
+      spark: SparkSession, requests: DataFrame, ragContent: DataFrame,
+      kb: DataFrame, embedder: graft.search.Embedder, completer: Completer,
+      outPath: String, checkpoint: String,
+      dedupWindow: String = "5 minutes"): org.apache.spark.sql.streaming.StreamingQuery = {
+    val deduped = StreamingOps.dedupWithinWindow(requests, "request_id", "ts", dedupWindow)
+    val completeUdf = udf((q: String, c: String) => completer.complete(q, c))
+    deduped.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // MUST persist AND fully materialize (count): any later scan of an
+        // un-persisted (or partially cached) foreachBatch frame RE-EXECUTES
+        // the upstream stateful dedup — the second scan finds the first
+        // scan's entries in the state store and silently drops the batch's
+        // own rows as "duplicates". A limit-style action (isEmpty) caches
+        // only the partitions it touches, so count() it is.
+        batch.persist()
+        batch.count()
+        try {
+          enrichBatch(batch.toDF(), ragContent, kb, embedder)
+            .withColumn("ai_response", completeUdf(col("user_query"), col("context")))
+            .select("request_id", "job_id", "user_query", "ai_response", "ts")
+            .write.mode("append").parquet(outPath)
+        } finally batch.unpersist()
+      }
+      .start()
+  }
+
   def run(
       spark: SparkSession, requests: DataFrame, ragContent: DataFrame,
       completer: Completer, outPath: String, checkpoint: String,

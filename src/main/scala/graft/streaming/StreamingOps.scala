@@ -23,7 +23,11 @@ object StreamingOps {
 
   /** Drop duplicate keys within the watermark window. `ts` must be an
     * event-time column; state for a key is dropped once the watermark
-    * passes ts + delay — the reference's 300 s `dedup_window`. */
+    * passes ts + delay — the reference's 300 s `dedup_window`.
+    *
+    * Late-data caveat: rows with event time at or below the CURRENT
+    * watermark are dropped as late — including rows at epoch 0 against
+    * the initial zero watermark (a classic test-fixture trap). */
   def dedupWithinWindow(
       stream: DataFrame, keyCol: String, tsCol: String,
       window: String = "5 minutes"): DataFrame =

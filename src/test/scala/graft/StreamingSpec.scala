@@ -12,7 +12,10 @@ case class JobRequest(request_id: String, job_id: String, user_query: String,
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
-  private def ts(s: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(s))
+  /** Event times offset from epoch 0: dropDuplicatesWithinWatermark
+    * treats rows at/below the INITIAL watermark (epoch 0) as late data
+    * and silently drops them — epoch-0 test timestamps are a trap. */
+  private def ts(s: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(100000 + s))
 
   test("streaming dedup drops repeated request ids within the watermark window") {
     implicit val sqlCtx = spark.sqlContext
@@ -51,6 +54,31 @@ class StreamingSpec extends SparkSpec {
         .collect().sortBy(_.tsMillis)
       assert(got.map(_.allowed).toSeq === Seq(true, true, false, true))
       assert(got.map(_.windowCount).toSeq === Seq(1, 2, 3, 1))
+    } finally q.stop()
+  }
+
+  test("vector fallback: requests without direct context get kNN top-1 from the KB") {
+    implicit val sqlCtx = spark.sqlContext
+    val emb = graft.search.HashEmbedder(16)
+    val rag = Seq(("j1", "job", "direct ctx")).toDF("document_id", "document_type", "context")
+    val kb = emb.embedColumn(
+      Seq("tuning shuffle partitions", "vector search recall").toDF("content"),
+      "content", "embedding")
+    val input = MemoryStream[JobRequest]
+    val out = java.nio.file.Files.createTempDirectory("jobv_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("jobv_ckpt").toString
+    val q = graft.streaming.JobProcessor.runWithVectorFallback(
+      spark, input.toDF(), rag, kb, emb, JobProcessor.EchoCompleter, out, ckpt)
+    try {
+      input.addData(
+        JobRequest("r1", "j1", "has direct context", ts(0)),
+        JobRequest("r2", "j2", "tuning shuffle partitions", ts(1))) // exact KB text
+      q.processAllAvailable()
+      val got = spark.read.parquet(out)
+        .select("request_id", "ai_response").as[(String, String)].collect().toMap
+      assert(got("r1").contains("ctx=direct ctx"))
+      // self-embedding match: top-1 context is the identical KB document
+      assert(got("r2").contains("ctx=tuning shuffle partitions"))
     } finally q.stop()
   }
 
