@@ -27,7 +27,15 @@ final case class GraftSession(
 
   @volatile private var kbDf: Option[DataFrame] = None
 
-  def loadKnowledgeBase(df: DataFrame): this.type = { kbDf = Some(df); this }
+  /** Swap in a new KB under the session lock with its lineage truncated:
+    * without the (lazy) localCheckpoint, a long-lived session would
+    * stack every smartSearch's union/window/dedup on top of the last,
+    * and each later action would re-execute the whole history. */
+  private def setKb(df: DataFrame): Unit =
+    kbDf = Some(df.localCheckpoint(eager = false))
+
+  def loadKnowledgeBase(df: DataFrame): this.type =
+    synchronized { setKb(df); this }
   def knowledgeBase: DataFrame =
     kbDf.getOrElse(throw new IllegalStateException("knowledge base not loaded"))
 
@@ -40,14 +48,17 @@ final case class GraftSession(
   }
 
   /** Multi-source smart search with the embed+upsert side effect applied
-    * to the held knowledge base. */
+    * to the held knowledge base. Synchronized: the read-merge-swap of the
+    * held KB must be atomic or concurrent searches lose each other's
+    * upserts (volatile alone only gives visibility). */
   def smartSearch(sources: Seq[SearchService.Source], query: String,
-      context: Option[String] = None, maxResults: Int = 5): (DataFrame, DataFrame) = {
-    val (results, merged) = SearchService.smartSearch(
-      spark, sources, knowledgeBase, embedder, query, context, maxResults)
-    kbDf = Some(merged)
-    (results, merged)
-  }
+      context: Option[String] = None, maxResults: Int = 5): (DataFrame, DataFrame) =
+    synchronized {
+      val (results, merged) = SearchService.smartSearch(
+        spark, sources, knowledgeBase, embedder, query, context, maxResults)
+      setKb(merged)
+      (results, knowledgeBase)
+    }
 
   /** Safety-gated parameterized SQL (C1/C2). */
   def sql(query: String, params: Map[String, Any] = Map.empty,
@@ -59,11 +70,16 @@ final case class GraftSession(
       role: Tools.Role = Tools.Role.General): Tools.ToolResult =
     tools.execute(spark, name, args, role)
 
-  /** TTL sweep over the held knowledge base (S6). */
-  def cleanupExpired(): Long = {
-    val before = knowledgeBase.count()
-    val swept = KnowledgeBase.cleanupExpired(knowledgeBase)
-    kbDf = Some(swept)
-    before - swept.count()
+  /** TTL sweep over the held knowledge base (S6). The expiry instant is
+    * pinned once (not a re-evaluated current_timestamp), and the removed
+    * count comes from a single aggregation pass, not two full counts. */
+  def cleanupExpired(): Long = synchronized {
+    import org.apache.spark.sql.functions._
+    val now = java.sql.Timestamp.from(java.time.Instant.now())
+    val expired = knowledgeBase.agg(
+      sum(when(col("expires_at").isNotNull && col("expires_at") < lit(now), 1L)
+        .otherwise(0L)).as("n")).head().getLong(0)
+    setKb(KnowledgeBase.cleanupExpired(knowledgeBase, now = lit(now)))
+    expired
   }
 }

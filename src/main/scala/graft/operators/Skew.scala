@@ -20,7 +20,14 @@ object Skew {
   def saltedCount(df: DataFrame, keys: Seq[String], salts: Int = 32): DataFrame = {
     require(salts > 0)
     val keyCols = keys.map(col)
-    df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+    // salt must be DETERMINISTIC per row: a nondeterministic salt
+    // (rand/monotonic id) re-salts rows differently when lost map tasks
+    // re-execute after a fetch failure, double-counting or dropping them
+    // (SPARK-23207-style shuffle corruption). Hash of the full row is
+    // stable; exact-duplicate rows share a salt, which only matters if a
+    // hot key is dominated by byte-identical rows.
+    val salt = pmod(hash(df.columns.map(col): _*), lit(salts))
+    df.withColumn("__salt", salt)
       .groupBy(keyCols :+ col("__salt"): _*)
       .agg(count(lit(1)).as("__partial"))
       .groupBy(keyCols: _*)
@@ -37,8 +44,14 @@ object Skew {
       left: DataFrame, right: DataFrame, key: String,
       salts: Int = 16, joinType: String = "inner"): DataFrame = {
     require(salts > 0)
+    // right/full outer would emit `salts` null-padded copies of every
+    // unmatched replicated right row — reject rather than silently corrupt
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti").contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left-side join types only, got $joinType")
+    // deterministic per-row salt (see saltedCount)
     val saltedLeft = left.withColumn("__salt",
-      pmod(hash(monotonically_increasing_id()), lit(salts)))
+      pmod(hash(left.columns.map(col): _*), lit(salts)))
     val explodedRight = right.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedLeft.join(explodedRight, Seq(key, "__salt"), joinType)

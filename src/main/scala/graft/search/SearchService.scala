@@ -138,7 +138,9 @@ trait Embedder extends Serializable {
     val self = this
     val rdd = df.rdd.mapPartitions { it =>
       it.grouped(bs).flatMap { rows =>
-        val vecs = self.embed(rows.map(_.getString(idx)))
+        // null-safe: a null text (e.g. a malformed streaming request)
+        // must not NPE the connector and poison a replaying micro-batch
+        val vecs = self.embed(rows.map(r => if (r.isNullAt(idx)) "" else r.getString(idx)))
         require(vecs.size == rows.size,
           s"Embedder returned ${vecs.size} vectors for ${rows.size} texts — " +
             "a short batch would silently drop documents")

@@ -85,12 +85,22 @@ object JobProcessor {
     hit.unionByName(enrichedMiss.select(hit.columns.map(col): _*))
   }
 
-  /** Run to a parquet `job_responses` sink with checkpointing; the
-    * `foreachBatch` shape also side-publishes counts (the reference's
-    * publish tap) via the provided callback. */
+  /** Idempotent micro-batch write: the output is partitioned by
+    * `batch_id` and written with dynamic partition overwrite, so a batch
+    * replayed after a failure between sink write and checkpoint commit
+    * OVERWRITES its own partition instead of appending duplicates —
+    * upgrading foreachBatch's at-least-once to effectively-once. */
+  private def writeBatchIdempotent(
+      batch: DataFrame, batchId: Long, outPath: String): Unit =
+    batch.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(outPath)
+
   /** Full §3.3 pipeline with the vector-fallback enrichment: stream
     * dedup, then per-batch direct-context join + kNN top-1 fallback +
-    * completion, appended to the sink. */
+    * completion, idempotently written to the sink. */
   def runWithVectorFallback(
       spark: SparkSession, requests: DataFrame, ragContent: DataFrame,
       kb: DataFrame, embedder: graft.search.Embedder, completer: Completer,
@@ -100,7 +110,7 @@ object JobProcessor {
     val completeUdf = udf((q: String, c: String) => completer.complete(q, c))
     deduped.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         // MUST persist AND fully materialize (count): any later scan of an
         // un-persisted (or partially cached) foreachBatch frame RE-EXECUTES
         // the upstream stateful dedup — the second scan finds the first
@@ -110,15 +120,19 @@ object JobProcessor {
         batch.persist()
         batch.count()
         try {
-          enrichBatch(batch.toDF(), ragContent, kb, embedder)
-            .withColumn("ai_response", completeUdf(col("user_query"), col("context")))
-            .select("request_id", "job_id", "user_query", "ai_response", "ts")
-            .write.mode("append").parquet(outPath)
+          writeBatchIdempotent(
+            enrichBatch(batch.toDF(), ragContent, kb, embedder)
+              .withColumn("ai_response", completeUdf(col("user_query"), col("context")))
+              .select("request_id", "job_id", "user_query", "ai_response", "ts"),
+            id, outPath)
         } finally batch.unpersist()
       }
       .start()
   }
 
+  /** Run to a parquet `job_responses` sink with checkpointing; the
+    * `foreachBatch` shape also side-publishes counts (the reference's
+    * publish tap) via the provided callback. */
   def run(
       spark: SparkSession, requests: DataFrame, ragContent: DataFrame,
       completer: Completer, outPath: String, checkpoint: String,
@@ -132,7 +146,7 @@ object JobProcessor {
         batch.persist()
         try {
           val n = batch.count()
-          batch.write.mode("append").parquet(outPath)
+          writeBatchIdempotent(batch.toDF(), id, outPath)
           onBatch(id, n)
         } finally batch.unpersist()
       }

@@ -1,0 +1,39 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.model._
+
+/** Dataset[T] encoder round-trips for the typed catalog models. */
+class ModelsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+
+  test("typed models round-trip through Dataset encoders") {
+    val docs = Seq(Document("content", Some("t"), "github", Some("http://u"), 0)).toDS()
+    assert(docs.collect()(0).source_type === "github")
+
+    val kb = Seq(KbEntry(1L, "c", Some("h"), Some(Array(1f, 2f)), Some("github"),
+      None, None, 0, None, Some("""{"k":1}"""))).toDS()
+    assert(kb.collect()(0).embedding.get.toSeq === Seq(1f, 2f))
+
+    val tasks = Seq(Task(1L, "n", "In Progress", 50, None, "High", None, None, t0, t0)).toDS()
+    assert(tasks.filter(_.status == "In Progress").count() === 1)
+
+    val logs = Seq(LogEntry(1L, t0, "ERROR", "m", "system", None, None, None, Some(5))).toDS()
+    assert(logs.collect()(0).duration_ms === Some(5))
+
+    val chat = Seq(ChatMessage(1L, "s", None, "user", "hi", None, t0)).toDS()
+    assert(chat.collect()(0).role === "user")
+
+    val resp = Seq(JobResponse("r1", "j1", "q", "a", t0)).toDS()
+    assert(resp.collect()(0).ai_response === "a")
+  }
+
+  test("JobRequest model drives the streaming pipeline schema") {
+    // same case class the StreamingSpec MemoryStream uses — schema parity
+    val ds = Seq(JobRequest("r1", "j1", "q", t0)).toDS()
+    assert(ds.toDF().columns.toSeq === Seq("request_id", "job_id", "user_query", "ts"))
+  }
+}

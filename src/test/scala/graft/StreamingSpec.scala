@@ -4,10 +4,8 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 
+import graft.model.JobRequest
 import graft.streaming.{JobProcessor, RateEvent, StreamingOps, StreamingRateLimiter}
-
-case class JobRequest(request_id: String, job_id: String, user_query: String,
-    ts: java.sql.Timestamp)
 
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
