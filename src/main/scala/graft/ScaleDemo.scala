@@ -19,8 +19,9 @@ object ScaleDemo {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.1"
-    val base = "/tmp/graft_scale"
-    val copies = 40
+    val copies = sys.env.getOrElse("SCALE_COPIES", "40").toInt
+    val vecCopies = sys.env.getOrElse("SCALE_VEC_COPIES", (copies / 4).toString).toInt
+    val base = s"/tmp/graft_scale_$copies"
 
     def time[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime()
@@ -43,7 +44,7 @@ object ScaleDemo {
       }.reduce(_ unionByName _)
       scaled.repartition(32).write.mode("overwrite").parquet(docsPath)
       val emb = Tables.embeddings(spark, d)
-      (0 until copies / 4).map { c =>
+      (0 until vecCopies).map { c =>
         emb.select((col("vec_id") + lit(c.toLong * 1000000)).as("vec_id"),
           col("embedding"), col("label"))
       }.reduce(_ unionByName _)

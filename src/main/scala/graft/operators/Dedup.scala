@@ -91,21 +91,17 @@ object Dedup {
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => hash(slice(col("sig"), b * r + 1, lit(r)), b))).as(Seq("band", "bucket")))
 
-    // One shuffle instead of a 2x self-join: group ids per (band, bucket)
-    // and emit in-bucket pairs. Sorted ids make id_a < id_b by
-    // construction. A degenerate bucket (k co-hashing docs) costs k²/2
-    // pairs in either formulation — low-information bands, not a new
-    // skew risk.
-    val candidates = banded
-      .groupBy(col("band"), col("bucket"))
-      .agg(array_sort(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(flatten(transform(
-        sequence(lit(0), size(col("ids")) - 2),
-        i => transform(
-          slice(col("ids"), i + 2, size(col("ids")) - i - 1),
-          b => struct(element_at(col("ids"), i + 1).as("id_a"), b.as("id_b")))))).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
+    // Candidate pairs via band-bucket self-join. A bucket-aggregate
+    // (collect_list per bucket) looks cheaper on paper, but with tens of
+    // millions of mostly-singleton buckets Spark's ObjectHashAggregate
+    // falls back to sort-based object aggregation (128-entry threshold)
+    // and goes superlinear; the plain codegen'd join on compact rows
+    // scales. Degenerate buckets cost k^2/2 pairs either way.
+    val candidates = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
       .distinct()
 
     // Exact verification: re-attach shingles only for the candidate pairs.
