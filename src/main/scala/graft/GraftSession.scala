@@ -30,7 +30,12 @@ final case class GraftSession(
   /** Swap in a new KB under the session lock with its lineage truncated:
     * without the (lazy) localCheckpoint, a long-lived session would
     * stack every smartSearch's union/window/dedup on top of the last,
-    * and each later action would re-execute the whole history. */
+    * and each later action would re-execute the whole history.
+    *
+    * Tradeoff: localCheckpoint blocks live on executors (not reliable
+    * storage) and are unrecoverable if an executor is lost — fine for
+    * the single-JVM/local deployments this facade targets; a clustered
+    * long-lived session should write the KB to a table and reload. */
   private def setKb(df: DataFrame): Unit =
     kbDf = Some(df.localCheckpoint(eager = false))
 
@@ -76,9 +81,11 @@ final case class GraftSession(
   def cleanupExpired(): Long = synchronized {
     import org.apache.spark.sql.functions._
     val now = java.sql.Timestamp.from(java.time.Instant.now())
+    // count(when) not sum(when): sum over zero rows is null → NPE on an
+    // empty knowledge base
     val expired = knowledgeBase.agg(
-      sum(when(col("expires_at").isNotNull && col("expires_at") < lit(now), 1L)
-        .otherwise(0L)).as("n")).head().getLong(0)
+      count(when(col("expires_at").isNotNull && col("expires_at") < lit(now), 1))
+        .as("n")).head().getLong(0)
     setKb(KnowledgeBase.cleanupExpired(knowledgeBase, now = lit(now)))
     expired
   }

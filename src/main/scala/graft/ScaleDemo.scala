@@ -20,7 +20,8 @@ object ScaleDemo {
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.1"
     val copies = sys.env.getOrElse("SCALE_COPIES", "40").toInt
-    val vecCopies = sys.env.getOrElse("SCALE_VEC_COPIES", (copies / 4).toString).toInt
+    val vecCopies = math.max(1,
+      sys.env.getOrElse("SCALE_VEC_COPIES", (copies / 4).toString).toInt)
     val base = s"/tmp/graft_scale_$copies"
 
     def time[T](name: String)(f: => T): T = {

@@ -82,8 +82,8 @@ object Dedup {
         .as("shingles"))
 
     // Band buckets over bare ids only — the shingle arrays must NOT ride
-    // through the shuffle; the bucket aggregation below consumes this
-    // exactly once, so nothing is persisted.
+    // through the shuffle. The self-join below scans this twice; the
+    // recompute was measured cheaper than persisting it.
     val banded = shingled
       .select(col("id"),
         HashExpressions.minhashSignatureLongs(col("shingles"), numHashes).as("sig"))

@@ -17,17 +17,33 @@ object Skew {
     * (key, salt) partials, stage 2 merges the ≤`salts` partials per key.
     * Equivalent to `df.groupBy(keys).agg(count)` but no single reducer
     * ever sees a hot key's full row set. */
+  /** Retry-stable per-row salt. A nondeterministic salt (rand/monotonic
+    * id over shuffled input) re-salts rows differently when lost map
+    * tasks re-execute after a fetch failure, double-counting or dropping
+    * them (SPARK-23207-style corruption). This one hashes the row's
+    * hashable columns MIXED WITH spark_partition_id(): content alone
+    * would degenerate to one salt per hot key when the frame's columns
+    * are only the key (or duplicates dominate), re-concentrating the
+    * skew; partition id spreads identical rows across their input
+    * partitions and is itself retry-stable (a row's partition is fixed
+    * by the file split or by its shuffle key hash, independent of row
+    * order). MapType columns are excluded — `hash` rejects them. */
+  private def rowSalt(df: DataFrame, salts: Int): Column = {
+    import org.apache.spark.sql.types._
+    def hasMap(dt: DataType): Boolean = dt match {
+      case _: MapType => true
+      case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+      case a: ArrayType => hasMap(a.elementType)
+      case _ => false
+    }
+    val hashable = df.schema.fields.filterNot(f => hasMap(f.dataType)).map(f => col(f.name))
+    pmod(hash(hashable :+ spark_partition_id(): _*), lit(salts))
+  }
+
   def saltedCount(df: DataFrame, keys: Seq[String], salts: Int = 32): DataFrame = {
     require(salts > 0)
     val keyCols = keys.map(col)
-    // salt must be DETERMINISTIC per row: a nondeterministic salt
-    // (rand/monotonic id) re-salts rows differently when lost map tasks
-    // re-execute after a fetch failure, double-counting or dropping them
-    // (SPARK-23207-style shuffle corruption). Hash of the full row is
-    // stable; exact-duplicate rows share a salt, which only matters if a
-    // hot key is dominated by byte-identical rows.
-    val salt = pmod(hash(df.columns.map(col): _*), lit(salts))
-    df.withColumn("__salt", salt)
+    df.withColumn("__salt", rowSalt(df, salts))
       .groupBy(keyCols :+ col("__salt"): _*)
       .agg(count(lit(1)).as("__partial"))
       .groupBy(keyCols: _*)
@@ -49,9 +65,8 @@ object Skew {
     require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
       "leftsemi", "left_anti", "leftanti").contains(joinType.toLowerCase),
       s"saltedJoin supports inner/left-side join types only, got $joinType")
-    // deterministic per-row salt (see saltedCount)
-    val saltedLeft = left.withColumn("__salt",
-      pmod(hash(left.columns.map(col): _*), lit(salts)))
+    // retry-stable per-row salt (see rowSalt)
+    val saltedLeft = left.withColumn("__salt", rowSalt(left, salts))
     val explodedRight = right.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedLeft.join(explodedRight, Seq(key, "__salt"), joinType)

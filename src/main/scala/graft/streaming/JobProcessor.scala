@@ -12,9 +12,10 @@ import org.apache.spark.sql.functions._
   *
   * Spark mapping: `readStream` → watermark+dropDuplicatesWithinWatermark
   * → stream-static broadcast join with the rag_content table → a
-  * `Completer` connector applied per batch → `foreachBatch` append sink
-  * (the side-output "publish" tap, T5). Checkpointing gives
-  * at-least-once; dedup upgrades it to effectively-once per request_id —
+  * `Completer` connector applied per batch → `foreachBatch` sink written
+  * as batch_id partitions with dynamic overwrite (idempotent on replay),
+  * plus the side-output "publish" tap (T5). Checkpointing + request-id
+  * dedup + idempotent writes give effectively-once per request_id —
   * strictly stronger than the reference's best-effort semantics.
   */
 object JobProcessor {
@@ -118,8 +119,8 @@ object JobProcessor {
         // own rows as "duplicates". A limit-style action (isEmpty) caches
         // only the partitions it touches, so count() it is.
         batch.persist()
-        batch.count()
         try {
+          batch.count()
           writeBatchIdempotent(
             enrichBatch(batch.toDF(), ragContent, kb, embedder)
               .withColumn("ai_response", completeUdf(col("user_query"), col("context")))
