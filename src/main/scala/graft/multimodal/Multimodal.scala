@@ -71,6 +71,71 @@ object Multimodal {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** Transform kernel boundary for payload→payload ops (decode→resize→
+    * re-encode; audio resample). STUBBED here; the Spark-side batch
+    * plumbing is real. */
+  trait TransformKernel extends Serializable {
+    /** e.g. resize an image payload to (w, h); returns the new payload. */
+    def transform(kind: String, payload: Array[Byte], w: Int, h: Int): Array[Byte]
+  }
+
+  /** STUB resize: deterministic truncation/padding to a size proportional
+    * to the target area — shape-correct, decodes nothing. */
+  case object StubResize extends TransformKernel {
+    def transform(kind: String, payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val target = math.max(1, math.min(payload.length, (w * h) / 64))
+      java.util.Arrays.copyOf(payload, target)
+    }
+  }
+
+  /** Resize/resample stage: payload → payload with updated width/height
+    * metadata, batched per partition like [[extractFeatures]]. */
+  def resize(
+      df: DataFrame, kernel: TransformKernel, w: Int, h: Int,
+      batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val kindIdx = df.schema.fieldIndex("kind")
+    val payloadIdx = df.schema.fieldIndex("payload")
+    val rdd = df.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { r =>
+        val out = kernel.transform(r.getString(kindIdx), r.getAs[Array[Byte]](payloadIdx), w, h)
+        Row.fromSeq(r.toSeq.updated(payloadIdx, out))
+      })
+    }
+    spark.createDataFrame(rdd, df.schema)
+      .withColumn("width", lit(w)).withColumn("height", lit(h))
+  }
+
+  /** Frame sampling: one video payload → n frame rows (media_id, frame_no,
+    * frame payload). The STUB slices the payload into n deterministic
+    * chunks; a real kernel would decode and sample at the same batch
+    * shape. The row explosion is the scale-relevant part: output
+    * partitioning inherits the input, so a decode stage downstream sees
+    * the same per-partition batch behavior. */
+  def sampleFrames(df: DataFrame, n: Int): DataFrame = {
+    require(n > 0)
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_no", IntegerType, nullable = false),
+      StructField("frame", BinaryType, nullable = false)))
+    val idIdx = df.schema.fieldIndex("media_id")
+    val payloadIdx = df.schema.fieldIndex("payload")
+    val rdd = df.rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val id = r.getLong(idIdx)
+        val step = math.max(1, payload.length / n)
+        (0 until n).iterator.map { f =>
+          val from = math.min(payload.length, f * step)
+          val until = math.min(payload.length, from + step)
+          Row(id, f, java.util.Arrays.copyOfRange(payload, from, until))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Payload size + hash audit — pure column expressions (no kernel). */
   def audit(df: DataFrame): DataFrame =
     df.select(col("media_id"), col("kind"),

@@ -92,6 +92,28 @@ class SearchValidationSpec extends SparkSpec {
     assert(Schemas.tasks.fields.length === 11)
   }
 
+  test("multimodal: resize and frame sampling plumbing") {
+    val rows = Seq(
+      (1L, "image", Array.tabulate(256)(_.toByte), "image/jpeg"),
+      (2L, "video", Array.tabulate(1000)(_.toByte), "video/mp4"))
+      .toDF("media_id", "kind", "payload", "mime")
+    val resized = Multimodal.resize(rows, Multimodal.StubResize, 64, 64)
+    val r = resized.filter($"media_id" === 1).collect()(0)
+    assert(r.getAs[Int]("width") === 64 && r.getAs[Int]("height") === 64)
+    assert(r.getAs[Array[Byte]]("payload").length === 64) // 64*64/64 stub target
+
+    val frames = Multimodal.sampleFrames(rows.filter($"kind" === "video"), 4)
+    val fr = frames.orderBy("frame_no").collect()
+    assert(fr.length === 4)
+    assert(fr.map(_.getAs[Int]("frame_no")).toSeq === Seq(0, 1, 2, 3))
+    assert(fr.forall(_.getAs[Array[Byte]]("frame").length === 250))
+    // deterministic: same slice content on re-run
+    val again = Multimodal.sampleFrames(rows.filter($"kind" === "video"), 4)
+      .orderBy("frame_no").collect()
+    assert(fr.zip(again).forall { case (a, b) =>
+      a.getAs[Array[Byte]]("frame").sameElements(b.getAs[Array[Byte]]("frame")) })
+  }
+
   test("multimodal: feature extraction plumbing with stub kernel") {
     val rows = Seq(
       (1L, "image", Array[Byte](1, 2, 3, 4), "image/jpeg"),
