@@ -86,6 +86,26 @@ class SearchValidationSpec extends SparkSpec {
       4L -> "progress_range", 5L -> "name_max_200"))
   }
 
+  test("1536-dim vectors (the reference's VECTOR(1536)) through embed + match + validation") {
+    val emb = HashEmbedder(dim = Schemas.EmbeddingDim) // 1536
+    val kb = emb.embedColumn(
+      Seq(("alpha doc", 1L), ("beta doc", 2L), ("gamma doc", 3L)).toDF("content", "id"),
+      "content", "embedding")
+    val q = emb.embed(Seq("beta doc")).head
+    assert(q.length === 1536)
+    val hits = graft.kb.KnowledgeBase.matchDocuments(
+      kb.withColumn("source_type", lit("internal")), q, 1)
+    assert(hits.select("id").as[Long].head() === 2L) // self-match at distance 0
+
+    // dimension CHECK rule rejects a wrong-width embedding
+    val mixed = kb.select(col("content"), col("embedding"))
+      .unionByName(Seq(("short", Array(1f, 2f))).toDF("content", "embedding"))
+      .withColumn("source_type", lit("internal"))
+    val (valid, rejects) = Validation.split(mixed, Validation.kbRules)
+    assert(valid.count() === 3)
+    assert(rejects.select("reject_reason").as[String].collect().toSeq === Seq("embedding_dim"))
+  }
+
   test("schemas: declared catalog shapes") {
     assert(Schemas.knowledgeBase.fieldNames.contains("content_hash"))
     assert(Schemas.EmbeddingDim === 1536)
