@@ -37,10 +37,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
     ext.injectFunction((FunctionIdentifier("cosine_distance"),
       info("cosine_distance", "cosine_distance(a, b) - pgvector <=> (1 - cosine similarity)"),
-      (args: Seq[Expression]) => {
-        import org.apache.spark.sql.catalyst.expressions.{Add, Multiply}
-        Add(Multiply(CosineSimilarity(args(0), args(1)), Literal(-1.0)), Literal(1.0))
-      }))
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.Subtract(
+          Literal(1.0), CosineSimilarity(args(0), args(1)))))
 
     ext.injectFunction((FunctionIdentifier("dot_product"),
       info("dot_product", "dot_product(a, b) - dot product of two float/double arrays"),

@@ -84,8 +84,7 @@ final case class GraftSession(
     // count(when) not sum(when): sum over zero rows is null → NPE on an
     // empty knowledge base
     val expired = knowledgeBase.agg(
-      count(when(col("expires_at").isNotNull && col("expires_at") < lit(now), 1))
-        .as("n")).head().getLong(0)
+      count(when(KnowledgeBase.expired(lit(now)), 1)).as("n")).head().getLong(0)
     setKb(KnowledgeBase.cleanupExpired(knowledgeBase, now = lit(now)))
     expired
   }

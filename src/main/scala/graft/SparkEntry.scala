@@ -1,10 +1,9 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import graft.functions.{TextFunctions => TF}
 import graft.operators.{Dedup, Paginate, RateLimit, SimilaritySearch}
 import graft.{Tables => T}
 

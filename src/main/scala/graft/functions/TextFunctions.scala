@@ -155,12 +155,11 @@ object TextFunctions {
     val noCtl = regexp_replace(truncated, """\x00""", "")
     val oneLine = regexp_replace(noCtl, """[\r\n]+""", " ")
     // html.escape(quote=True) equivalents, & first.
-    val esc = Seq(("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"),
+    Seq(("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"),
       ("\"", "&quot;"), ("'", "&#x27;"))
       .foldLeft(oneLine) { case (col, (from, to)) =>
         regexp_replace(col, java.util.regex.Pattern.quote(from), to)
       }
-    esc
   }
 
   /** Filename sanitization (`sanitization.py:186-219`): strip traversal,

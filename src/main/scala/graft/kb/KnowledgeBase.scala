@@ -57,12 +57,17 @@ object KnowledgeBase {
     Dedup.upsertByKey(ex, in, "content_hash")
   }
 
+  /** The expiry predicate (`expires_at IS NOT NULL AND expires_at <
+    * now`) — shared by the sweep and by callers that count expirations. */
+  def expired(now: Column, expiresCol: String = "expires_at"): Column =
+    col(expiresCol).isNotNull && col(expiresCol) < now
+
   /** TTL sweep: drop rows whose expires_at has passed (`DELETE ... WHERE
     * expires_at IS NOT NULL AND expires_at < NOW()` rewritten as the
     * surviving-set filter). */
   def cleanupExpired(kb: DataFrame, now: Column = current_timestamp(),
       expiresCol: String = "expires_at"): DataFrame =
-    kb.filter(col(expiresCol).isNull || col(expiresCol) >= now)
+    kb.filter(!expired(now, expiresCol))
 
   /** Access bump for one id (`UPDATE ... SET access_count = access_count
     * + 1, last_accessed = NOW() WHERE id = kb_id`) as a column rewrite —

@@ -56,19 +56,10 @@ object Multimodal {
   def extractFeatures(
       df: DataFrame, kernel: Kernel, outCol: String = "features",
       batchSize: Int = 64): DataFrame = {
-    val spark = df.sparkSession
-    val schema = df.schema.add(outCol, ArrayType(FloatType, containsNull = false))
     val kindIdx = df.schema.fieldIndex("kind")
     val payloadIdx = df.schema.fieldIndex("payload")
-    val rdd = df.rdd.mapPartitions { it =>
-      it.grouped(batchSize).flatMap { rows =>
-        rows.map { r =>
-          val v = kernel.features(r.getString(kindIdx), r.getAs[Array[Byte]](payloadIdx))
-          Row.fromSeq(r.toSeq :+ (v.toSeq: Seq[Float]))
-        }
-      }
-    }
-    spark.createDataFrame(rdd, schema)
+    graft.util.BatchedRows.appendFloatArray(df, outCol, batchSize)(rows =>
+      rows.map(r => kernel.features(r.getString(kindIdx), r.getAs[Array[Byte]](payloadIdx))))
   }
 
   /** Transform kernel boundary for payload→payload ops (decode→resize→

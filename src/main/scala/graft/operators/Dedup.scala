@@ -155,12 +155,25 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
-  /** n-gram Jaccard similarity for a candidate pair set (exact verify
-    * pass; pair generation should come from minHashNearDups or
-    * simHashNearDups — never a raw cross join at scale). */
-  def ngramJaccard(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
-    df.select(col(idCol).as("id"),
+  /** Character-n-gram Jaccard for a given candidate pair set: joins the
+    * pair ids back to their distinct n-gram sets and scores exactly.
+    * Pair generation must come from minHashNearDups / simHashNearDups —
+    * never a raw cross join at scale.
+    *
+    * @param pairs DataFrame with (id_a, id_b)
+    */
+  def ngramJaccard(
+      df: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame, n: Int = 3): DataFrame = {
+    val grams = df.select(col(idCol).as("id"),
       array_distinct(TextFunctions.charNGrams(col(textCol), n)).as("grams"))
+    pairs.select("id_a", "id_b")
+      .join(grams.select(col("id").as("id_a"), col("grams").as("g_a")), Seq("id_a"))
+      .join(grams.select(col("id").as("id_b"), col("grams").as("g_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
+          size(array_union(col("g_a"), col("g_b"))), 6).as("jaccard"))
+  }
 
   /** Embedding near-dups within coarse clusters: candidates are pairs
     * sharing `clusterCol` (IVF-style pruning), verified by cosine. */

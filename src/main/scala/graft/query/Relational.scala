@@ -25,13 +25,11 @@ object Relational {
     * len==page_size; fetching one extra is strictly more accurate). */
   def pageWithHasMore(
       df: DataFrame, order: Seq[Column], page: Int, pageSize: Int): (DataFrame, Boolean) = {
+    import scala.jdk.CollectionConverters._
     val start = (page - 1) * pageSize
     val plusOne = df.orderBy(order: _*).offset(start).limit(pageSize + 1).collect()
-    val spark = df.sparkSession
-    val rows = plusOne.take(pageSize)
-    (spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](java.util.Arrays.asList(rows: _*)),
-      df.schema), plusOne.length > pageSize)
+    val rows = plusOne.take(pageSize).toSeq
+    (df.sparkSession.createDataFrame(rows.asJava, df.schema), plusOne.length > pageSize)
   }
 
   /** O3: cursor page, newest first, then re-sorted ascending for display

@@ -129,27 +129,14 @@ trait Embedder extends Serializable {
   def embed(batch: Seq[String]): Seq[Array[Float]]
 
   /** Add an embedding column, batched per partition — the 100 TB path:
-    * no driver round-trip, connector called once per `batchSize` texts. */
+    * no driver round-trip, connector called once per `batchSize` texts.
+    * Null texts (e.g. a malformed streaming request) embed as "" so the
+    * connector cannot NPE and poison a replaying micro-batch. */
   def embedColumn(df: DataFrame, textCol: String, outCol: String): DataFrame = {
-    val spark = df.sparkSession
-    val schema = df.schema.add(outCol, ArrayType(FloatType, containsNull = false))
     val idx = df.schema.fieldIndex(textCol)
-    val bs = batchSize
     val self = this
-    val rdd = df.rdd.mapPartitions { it =>
-      it.grouped(bs).flatMap { rows =>
-        // null-safe: a null text (e.g. a malformed streaming request)
-        // must not NPE the connector and poison a replaying micro-batch
-        val vecs = self.embed(rows.map(r => if (r.isNullAt(idx)) "" else r.getString(idx)))
-        require(vecs.size == rows.size,
-          s"Embedder returned ${vecs.size} vectors for ${rows.size} texts — " +
-            "a short batch would silently drop documents")
-        rows.lazyZip(vecs).map { (r, v) =>
-          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (v.toSeq: Seq[Float]))
-        }
-      }
-    }
-    spark.createDataFrame(rdd, schema)
+    graft.util.BatchedRows.appendFloatArray(df, outCol, batchSize)(rows =>
+      self.embed(rows.map(r => if (r.isNullAt(idx)) "" else r.getString(idx))))
   }
 }
 

@@ -1,0 +1,26 @@
+package graft.util
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types.{ArrayType, FloatType}
+
+/** Shared partition-batched column-append plumbing (the Scala analog of a
+  * Pandas-UDF batch): groups each partition's rows into `batchSize`
+  * chunks so a kernel/connector amortizes per-call cost, with a length
+  * check so a short kernel batch cannot silently drop rows. Used by
+  * `Embedder.embedColumn` and `Multimodal.extractFeatures`. */
+object BatchedRows {
+
+  def appendFloatArray(df: DataFrame, outCol: String, batchSize: Int)(
+      f: Seq[Row] => Seq[Array[Float]]): DataFrame = {
+    val spark = df.sparkSession
+    val schema = df.schema.add(outCol, ArrayType(FloatType, containsNull = false))
+    val rdd = df.rdd.mapPartitions(_.grouped(batchSize).flatMap { rows =>
+      val vecs = f(rows)
+      require(vecs.size == rows.size,
+        s"batch kernel returned ${vecs.size} values for ${rows.size} rows — " +
+          "a short batch would silently drop rows")
+      rows.lazyZip(vecs).map((r, v) => Row.fromSeq(r.toSeq :+ (v.toSeq: Seq[Float])))
+    })
+    spark.createDataFrame(rdd, schema)
+  }
+}
