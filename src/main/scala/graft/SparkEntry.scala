@@ -279,6 +279,13 @@ object SparkEntry {
           shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.8)
         .orderBy(col("id_a"), col("id_b"))),
 
+    "q37_ngram_jaccard" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      val pairs = Dedup.minHashNearDups(docs, "doc_id", "text", threshold = 0.8)
+      Dedup.ngramJaccard(docs, "doc_id", "text", pairs, n = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // no DuckDB oracle (xxhash64-based) — rows-only check
     "q34_simhash_neardups" -> ((s, d) =>
       Dedup.simHashNearDups(T.documents(s, d), "doc_id", "text", maxHamming = 3)
@@ -649,6 +656,29 @@ object SparkEntry {
         |      OR lower(url) LIKE '%10.%' OR lower(url) LIKE '%172.16.%'
         |      OR lower(url) LIKE '%192.168.%') AS url_ok
         |FROM u ORDER BY doc_id""".stripMargin,
+
+    "q37_ngram_jaccard" ->
+      """WITH w AS (SELECT doc_id, list_distinct(
+        |    CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) < 3
+        |      THEN [array_to_string(regexp_split_to_array(trim(text), '\s+'), ' ')]
+        |      ELSE [array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+2], ' ')
+        |            for i in range(1, len(regexp_split_to_array(trim(text), '\s+')) - 1)] END) AS sh
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM w a JOIN w b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+        |g AS (SELECT doc_id, list_distinct(
+        |    CASE WHEN length(lower(text)) < 3 THEN [lower(text)]
+        |      ELSE [lower(text)[i:i+2] for i in range(1, length(lower(text)) - 1)] END) AS grams
+        |  FROM documents)
+        |SELECT p.id_a, p.id_b,
+        |  round(len(list_intersect(ga.grams, gb.grams))::DOUBLE
+        |    / len(list_distinct(list_concat(ga.grams, gb.grams))), 6) AS jaccard
+        |FROM pairs p
+        |JOIN g ga ON ga.doc_id = p.id_a
+        |JOIN g gb ON gb.doc_id = p.id_b
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q40_knn" ->
       """SELECT e.vec_id,
