@@ -63,24 +63,29 @@ object Multimodal {
   }
 
   /** Transform kernel boundary for payload→payload ops (decode→resize→
-    * re-encode; audio resample). STUBBED here; the Spark-side batch
+    * re-encode; audio resample). Takes a whole batch so a real kernel can
+    * amortize native/process calls; STUBBED here, the Spark-side batch
     * plumbing is real. */
   trait TransformKernel extends Serializable {
-    /** e.g. resize an image payload to (w, h); returns the new payload. */
-    def transform(kind: String, payload: Array[Byte], w: Int, h: Int): Array[Byte]
+    /** Transform a batch of (kind, payload) to the target (w, h); must
+      * return exactly one payload per input. */
+    def transform(batch: Seq[(String, Array[Byte])], w: Int, h: Int): Seq[Array[Byte]]
   }
 
-  /** STUB resize: deterministic truncation/padding to a size proportional
-    * to the target area — shape-correct, decodes nothing. */
+  /** STUB resize: deterministic truncation toward a size proportional to
+    * the target area. Never fabricates bytes — an upscale returns the
+    * payload unchanged (width/height metadata still reflects the target,
+    * as a real re-encode would). */
   case object StubResize extends TransformKernel {
-    def transform(kind: String, payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
-      val target = math.max(1, math.min(payload.length, (w * h) / 64))
-      java.util.Arrays.copyOf(payload, target)
-    }
+    def transform(batch: Seq[(String, Array[Byte])], w: Int, h: Int): Seq[Array[Byte]] =
+      batch.map { case (_, payload) =>
+        val target = math.max(1, math.min(payload.length, (w * h) / 64))
+        java.util.Arrays.copyOf(payload, target)
+      }
   }
 
   /** Resize/resample stage: payload → payload with updated width/height
-    * metadata, batched per partition like [[extractFeatures]]. */
+    * metadata; the kernel receives `batchSize` payloads per call. */
   def resize(
       df: DataFrame, kernel: TransformKernel, w: Int, h: Int,
       batchSize: Int = 64): DataFrame = {
@@ -88,10 +93,13 @@ object Multimodal {
     val kindIdx = df.schema.fieldIndex("kind")
     val payloadIdx = df.schema.fieldIndex("payload")
     val rdd = df.rdd.mapPartitions { it =>
-      it.grouped(batchSize).flatMap(_.map { r =>
-        val out = kernel.transform(r.getString(kindIdx), r.getAs[Array[Byte]](payloadIdx), w, h)
-        Row.fromSeq(r.toSeq.updated(payloadIdx, out))
-      })
+      it.grouped(batchSize).flatMap { rows =>
+        val outs = kernel.transform(
+          rows.map(r => (r.getString(kindIdx), r.getAs[Array[Byte]](payloadIdx))), w, h)
+        require(outs.size == rows.size,
+          s"transform kernel returned ${outs.size} payloads for ${rows.size} rows")
+        rows.lazyZip(outs).map((r, out) => Row.fromSeq(r.toSeq.updated(payloadIdx, out)))
+      }
     }
     spark.createDataFrame(rdd, df.schema)
       .withColumn("width", lit(w)).withColumn("height", lit(h))
@@ -116,12 +124,16 @@ object Multimodal {
       it.flatMap { r =>
         val payload = r.getAs[Array[Byte]](payloadIdx)
         val id = r.getLong(idIdx)
-        val step = math.max(1, payload.length / n)
-        (0 until n).iterator.map { f =>
-          val from = math.min(payload.length, f * step)
-          val until = math.min(payload.length, from + step)
-          Row(id, f, java.util.Arrays.copyOfRange(payload, from, until))
-        }
+        // ceil step so every byte is covered (the last frame absorbs the
+        // remainder) and payloads shorter than n produce fewer, non-empty
+        // frames instead of zero-byte padding rows
+        val step = math.max(1, (payload.length + n - 1) / n)
+        (0 until n).iterator
+          .map(f => (f, f * step, math.min(payload.length, (f + 1) * step)))
+          .takeWhile { case (_, from, _) => from < payload.length }
+          .map { case (f, from, until) =>
+            Row(id, f, java.util.Arrays.copyOfRange(payload, from, until))
+          }
       }
     }
     spark.createDataFrame(rdd, outSchema)

@@ -132,6 +132,18 @@ class SearchValidationSpec extends SparkSpec {
       .orderBy("frame_no").collect()
     assert(fr.zip(again).forall { case (a, b) =>
       a.getAs[Array[Byte]]("frame").sameElements(b.getAs[Array[Byte]]("frame")) })
+
+    // payload shorter than n: fewer non-empty frames, never zero-byte rows;
+    // non-divisible length: every byte covered (last frame absorbs remainder)
+    val tiny = Seq((3L, "video", Array[Byte](1, 2), "video/mp4"))
+      .toDF("media_id", "kind", "payload", "mime")
+    val tinyFrames = Multimodal.sampleFrames(tiny, 4).collect()
+    assert(tinyFrames.length === 2)
+    assert(tinyFrames.forall(_.getAs[Array[Byte]]("frame").length === 1))
+    val odd = Seq((4L, "video", Array.tabulate(1001)(_.toByte), "video/mp4"))
+      .toDF("media_id", "kind", "payload", "mime")
+    val oddFrames = Multimodal.sampleFrames(odd, 4).collect()
+    assert(oddFrames.map(_.getAs[Array[Byte]]("frame").length).sum === 1001)
   }
 
   test("multimodal: feature extraction plumbing with stub kernel") {
