@@ -28,6 +28,30 @@ object Quality {
         .as(s"${c}_uniqueness")): _*)
   }
 
+  /** Timeliness: recency of the newest record per the reference's A8
+    * metric — age of max(ts) against `now`, plus a [0,1] score that
+    * decays linearly to 0 at `maxAgeSeconds`. */
+  def timeliness(df: DataFrame, tsCol: String, now: Column = current_timestamp(),
+      maxAgeSeconds: Long = 86400): DataFrame =
+    df.agg(max(col(tsCol)).as("newest"))
+      .select(col("newest"),
+        (unix_micros(now.cast("timestamp")) - unix_micros(col("newest").cast("timestamp")))
+          .as("age_us"))
+      .select(col("newest"), col("age_us"),
+        round(greatest(lit(0.0),
+          lit(1.0) - col("age_us") / lit(maxAgeSeconds * 1000000.0)), 6)
+          .as("timeliness_score"))
+
+  /** Consistency: per-column format conformance — share of non-null
+    * values matching the given regex (A8's "format-regex match rate"). */
+  def consistency(df: DataFrame, rules: Map[String, String]): DataFrame =
+    df.agg(count(lit(1)).as("rows"),
+      rules.toSeq.map { case (c, pattern) =>
+        round(avg(when(col(c).isNull, lit(null: java.lang.Double))
+          .otherwise(when(col(c).rlike(pattern), 1.0).otherwise(0.0))), 6)
+          .as(s"${c}_consistency")
+      }: _*)
+
   /** Operation-metrics rollup (`performance_monitoring.py:104-157`):
     * total / successful / failed / success_rate / avg / max / min, both
     * overall and per group. */

@@ -44,4 +44,42 @@ object RateLimit {
         window(col(tsCol), s"$windowSeconds seconds").as("w"))
       .agg(count(lit(1)).as("n"))
       .select(col(idCol), col("w.start").as("window_start"), col("n"))
+
+  final case class Limit(maxRequests: Int, windowSeconds: Int)
+
+  /** The reference's declared limits (BASELINE.md): chat guardrail,
+    * auth per-minute/per-hour, and the per-tool MCP limits. */
+  object Limits {
+    val Chat: Limit = Limit(40, 60)                 // guardrails.py:40
+    val AuthPerMinute: Limit = Limit(60, 60)        // security.py:30
+    val AuthPerHour: Limit = Limit(1000, 3600)      // security.py:31
+    val McpPerTool: Map[String, Limit] = Map(       // mcp_rate_limiter.py:26-29
+      "search_knowledge" -> Limit(10, 60),
+      "create_task" -> Limit(5, 60),
+      "get_task_stats" -> Limit(30, 60))
+  }
+
+  /** Per-(identifier, tool) sliding-window admission with per-tool limits
+    * (the reference's MCP limiter keeps a timestamp list per (key, tool)
+    * with a different cap per tool). Events whose tool has no configured
+    * limit are admitted with window_count for audit. */
+  def perToolAdmission(
+      events: DataFrame, idCol: String, toolCol: String, tsCol: String,
+      limits: Map[String, Limit]): DataFrame = {
+    require(limits.nonEmpty, "limits must not be empty")
+    require(limits.values.map(_.windowSeconds).toSet.size == 1,
+      "perToolAdmission assumes one window length across tools " +
+        "(the reference uses 60 s everywhere); differing windows need one pass per window")
+    val windowSeconds = limits.values.head.windowSeconds
+    val micros = unix_micros(col(tsCol).cast("timestamp"))
+    val w = Window.partitionBy(col(idCol), col(toolCol)).orderBy(micros)
+      .rangeBetween(-(windowSeconds * 1000000L - 1), 0)
+    val maxForTool = limits.foldLeft(lit(null: Integer).cast("int")) {
+      case (acc, (tool, l)) => when(col(toolCol) === tool, l.maxRequests).otherwise(acc)
+    }
+    events
+      .withColumn("window_count", count(lit(1)).over(w))
+      .withColumn("allowed",
+        maxForTool.isNull || col("window_count") <= maxForTool)
+  }
 }

@@ -145,6 +145,26 @@ class OperatorsSpec extends SparkSpec {
     assert(got.toSeq === Seq(1L, 1L))
   }
 
+  test("per-tool admission applies the reference's MCP limits per (id, tool)") {
+    // create_task capped at 5/60s; search_knowledge at 10/60s
+    val rows = (0 until 8).map(i =>
+      (i.toLong, "u", "create_task", java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(i)))) ++
+      (0 until 8).map(i =>
+        (100L + i, "u", "search_knowledge", java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(i)))) ++
+      Seq((200L, "u", "unlimited_tool", java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(0))))
+    val got = RateLimit.perToolAdmission(rows.toDF("event_id", "id", "tool", "ts"),
+        "id", "tool", "ts", RateLimit.Limits.McpPerTool)
+      .orderBy("event_id").select("tool", "allowed").as[(String, Boolean)].collect()
+    assert(got.take(8).map(_._2).toSeq === Seq(true, true, true, true, true, false, false, false))
+    assert(got.slice(8, 16).forall(_._2)) // 8 < 10 cap
+    assert(got.last._2) // unconfigured tool admitted
+  }
+
+  test("reference limit constants") {
+    assert(RateLimit.Limits.Chat === RateLimit.Limit(40, 60))
+    assert(RateLimit.Limits.McpPerTool("create_task") === RateLimit.Limit(5, 60))
+  }
+
   // --- quality -------------------------------------------------------------
 
   test("completeness and uniqueness") {
@@ -157,6 +177,20 @@ class OperatorsSpec extends SparkSpec {
     val u = Quality.uniqueness(df, Seq("s", "n")).collect()(0)
     assert(u.getAs[Double]("s_uniqueness") === 0.5)  // a,b over 4 rows
     assert(u.getAs[Double]("n_uniqueness") === 0.75) // 1,2,3 over 4 rows
+  }
+
+  test("timeliness and consistency metrics") {
+    val now = lit(java.sql.Timestamp.valueOf("2024-01-02 00:00:00"))
+    val df = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), "a@b.com", "123-45-6789"),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "not-an-email", "123-45-6789")
+    ).toDF("ts", "email", "ssn")
+    val t = Quality.timeliness(df, "ts", now = now, maxAgeSeconds = 86400).collect()(0)
+    assert(t.getAs[Double]("timeliness_score") === 0.5) // newest is 12h old of a 24h budget
+    val c = Quality.consistency(df, Map(
+      "email" -> "^[^@]+@[^@]+\\.[a-z]+$", "ssn" -> "^\\d{3}-\\d{2}-\\d{4}$")).collect()(0)
+    assert(c.getAs[Double]("email_consistency") === 0.5)
+    assert(c.getAs[Double]("ssn_consistency") === 1.0)
   }
 
   test("metricsSummary per group") {
