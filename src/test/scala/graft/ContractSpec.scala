@@ -1,0 +1,36 @@
+package graft
+
+/** Guards on the driver contract itself: every oracle entry must have a
+  * matching query (a typo'd key would silently zero that check), and the
+  * flagship entry must satisfy the driver's rows>0 smoke. */
+class ContractSpec extends SparkSpec {
+
+  test("every oracleSql key has a queries implementation") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle entries without a query: $orphans")
+  }
+
+  test("rows-only queries are the documented xxhash-based ones") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly === Set("q27_fingerprint", "q34_simhash_neardups"),
+      s"unexpected rows-only queries (add an oracle or document): $rowsOnly")
+  }
+
+  test("oracle SQL never references tables outside the driver catalog") {
+    val tables = Tables.all.toSet
+    val fromPattern = """(?i)\b(?:FROM|JOIN)\s+([a-z_][a-z0-9_]*)""".r
+    val known = tables ++ Set("range") // DuckDB table function
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      // strip CTE names declared in this query before checking
+      val ctes = """(?i)(?:WITH|,)\s*([a-z_][a-z0-9_]*)\s+AS\s*\(""".r
+        .findAllMatchIn(sql).map(_.group(1)).toSet
+      val refs = fromPattern.findAllMatchIn(sql).map(_.group(1)).toSet -- ctes -- Set("(")
+      val unknown = refs -- known
+      assert(unknown.isEmpty, s"$name references unknown tables: $unknown")
+    }
+  }
+
+  test("entry returns rows on sf0.001 (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
