@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scratch end-to-end drive for the current round's changes (not part of
+  * the library surface; the verify skill runs it against sf0.001). */
+object DevDrive {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .appName("graft-devdrive").master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", false)
+      .getOrCreate()
+    import spark.implicits._
+
+    // 1. DotProduct null-on-mismatch (both codegen and the SQL-registered fn)
+    val dims = Seq((Array(1f, 2f), Array(3f, 4f)), (Array(1f, 2f), Array(3f, 4f, 5f)))
+      .toDF("a", "b")
+      .select(graft.functions.VectorFunctions.dotProduct(col("a"), col("b")).as("dot"))
+      .collect()
+    assert(dims(0).getDouble(0) == 11.0, s"eq-dim dot: ${dims(0)}")
+    assert(dims(1).isNullAt(0), "mismatched dims must yield null")
+    println("OK dot_product mismatch -> null")
+
+    // 2. fanOutSearch: a source whose PLAN fails at action time (lazy) must
+    //    degrade to empty, not fail the fan-out — the ADVICE fix.
+    import graft.search.SearchService
+    val good = new SearchService.Source {
+      val name = "stackoverflow"
+      def search(s: SparkSession, q: String, n: Int): DataFrame = {
+        import s.implicits._
+        Seq(("content a", "t", "stackoverflow", "http://a", 1))
+          .toDF("content", "title", "source_type", "source_url", "rank")
+      }
+    }
+    val lazyBoom = new SearchService.Source {
+      val name = "github"
+      def search(s: SparkSession, q: String, n: Int): DataFrame = {
+        import s.implicits._
+        // analyzes fine, blows up at action time inside a deserializer map
+        Seq(("x", "t", "github", "http://b", 1))
+          .toDF("content", "title", "source_type", "source_url", "rank")
+          .as[(String, String, String, String, Int)]
+          .map { r => if (r._1 == "x") throw new RuntimeException("boom at action time"); r }
+          .toDF("content", "title", "source_type", "source_url", "rank")
+      }
+    }
+    val fan = SearchService.fanOutSearch(spark, Seq(good, lazyBoom), "spark joins", 5).collect()
+    assert(fan.length == 1 && fan(0).getString(3) == "http://a",
+      s"lazy action-time failure must degrade to empty: ${fan.toSeq}")
+    println("OK fanOutSearch survives action-time source failure")
+
+    // 3. Tools.Registry under concurrent execute(): no lost audit rows.
+    import graft.tools.Tools
+    val reg = new Tools.Registry
+    reg.register(Tools.Tool("ping", Tools.Role.General, "ping",
+      (s, _) => { import s.implicits._; Seq(1).toDF("one") }))
+    val threads = (1 to 8).map { _ =>
+      new Thread(() => (1 to 25).foreach { _ =>
+        reg.execute(spark, "ping", Map.empty)
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val audited = reg.auditLog(spark).count()
+    assert(audited == 200, s"expected 200 audit rows, got $audited")
+    println("OK registry concurrent audit rows = 200")
+
+    spark.stop()
+    println("DEVDRIVE PASS")
+  }
+}

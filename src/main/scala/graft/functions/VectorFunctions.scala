@@ -134,12 +134,17 @@ case class DotProduct(left: Expression, right: Expression)
   override def checkInputDataTypes(): TypeCheckResult =
     FloatArrayOps.check(prettyName, left.dataType, right.dataType)
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "dot_product"
 
+  /** Null on dimension mismatch, matching [[CosineSimilarity]] — a
+    * prefix dot product over the shorter array would look plausible but
+    * silently compare incomparable vectors. */
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0; var i = 0
     while (i < n) { dot += get(left.dataType, x, i) * get(right.dataType, y, i); i += 1 }
     dot
@@ -149,10 +154,14 @@ case class DotProduct(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (x, y) => {
       val i = ctx.freshName("i"); val n = ctx.freshName("n")
       s"""
-        int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-        ${ev.value} = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          ${ev.value} += ${getter(left.dataType, x, i)} * ${getter(right.dataType, y, i)};
+        int $n = $x.numElements();
+        if ($n != $y.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          ${ev.value} = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            ${ev.value} += ${getter(left.dataType, x, i)} * ${getter(right.dataType, y, i)};
+          }
         }
       """
     })

@@ -19,11 +19,16 @@ object RateLimit {
 
   /** For every event: number of events by the same identifier in the
     * trailing `windowSeconds` (inclusive of this one), and whether it
-    * would be admitted under `maxRequests`. Admission counts *all*
-    * preceding arrivals like the reference's list (denied requests are
-    * not appended by the reference — see `allow()`: it only appends on
-    * admit; `strict=false` reproduces the simpler count-all semantics,
-    * which is what the window-frame form can express in one pass). */
+    * would be admitted under `maxRequests`.
+    *
+    * Semantics note: this one-pass window-frame form counts *all*
+    * arrivals in the window, including denied ones. The reference's
+    * `allow()` appends only admitted timestamps to its list, so after a
+    * burst above the cap the reference re-admits sooner; this batch form
+    * is strictly *stricter* from that point until the window drains.
+    * Callers needing the reference's exact allow-only bookkeeping should
+    * use `graft.streaming.StreamingRateLimiter`, which keeps admitted
+    * timestamps in per-key state. */
   def slidingWindowAdmission(
       events: DataFrame, idCol: String, tsCol: String,
       maxRequests: Int, windowSeconds: Int): DataFrame = {

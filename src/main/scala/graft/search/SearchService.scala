@@ -55,8 +55,14 @@ object SearchService {
     val processed = preprocess(spark, query)
     def empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], documentSchema)
+    // The reference swallows per-source errors (`search_service.py:163-170`).
+    // DataFrames are lazy, so a plan that fails at action time (the realistic
+    // HTTP-connector failure mode) would escape a bare try around `search`;
+    // force each source's bounded result eagerly (limit + localCheckpoint)
+    // so action-time failures are caught here and degrade to an empty frame.
     val frames = sources.map { s =>
       try s.search(spark, processed, maxResults)
+        .limit(maxResults).localCheckpoint(true)
       catch { case _: Exception => empty }
     }
     val unioned = frames.foldLeft(empty)(_ unionByName _)

@@ -35,11 +35,14 @@ object Tools {
       fn: (SparkSession, Map[String, String]) => DataFrame)
 
   final class Registry {
-    private var tools = Map.empty[String, Tool]
+    // GraftSession exposes runTool for concurrent use, so the registry must be
+    // thread-safe: `tools` is a volatile immutable map (lock-free reads),
+    // audit appends/snapshots synchronize on the buffer.
+    @volatile private var tools = Map.empty[String, Tool]
     private val auditRows = scala.collection.mutable.ArrayBuffer.empty[
       (String, String, Boolean, Option[String], Long, java.sql.Timestamp)]
 
-    def register(t: Tool): this.type = { tools += t.name -> t; this }
+    def register(t: Tool): this.type = synchronized { tools += t.name -> t; this }
     def list: Seq[String] = tools.keys.toSeq.sorted
     def get(name: String): Option[Tool] = tools.get(name)
 
@@ -76,16 +79,18 @@ object Tools {
                 java.time.Instant.now())
           }
       }
-      auditRows += ((name, args.map { case (k, v) => s"$k=$v" }.mkString("&"),
-        result.success, result.error, result.executionTimeMs,
-        java.sql.Timestamp.from(result.timestamp)))
+      auditRows.synchronized {
+        auditRows += ((name, args.map { case (k, v) => s"$k=$v" }.mkString("&"),
+          result.success, result.error, result.executionTimeMs,
+          java.sql.Timestamp.from(result.timestamp)))
+      }
       result
     }
 
     /** The `tool_executions` audit table (S3 append sink shape). */
     def auditLog(spark: SparkSession): DataFrame = {
       import spark.implicits._
-      auditRows.toSeq.toDF(
+      auditRows.synchronized(auditRows.toVector).toDF(
         "tool_name", "arguments", "success", "error_message",
         "execution_time_ms", "created_at")
     }

@@ -67,6 +67,12 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1) - math.sqrt(14.0)) < 1e-12)
   }
 
+  test("dot product is null on dimension mismatch (matches cosine)") {
+    val df = Seq((Array(1f, 2f, 3f), Array(4f, 5f))).toDF("a", "b")
+    val r = df.select(dotProduct($"a", $"b"), cosineSimilarity($"a", $"b")).collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("works on double arrays too") {
     val df = Seq((Array(1.0, 0.0), Array(1.0, 0.0))).toDF("a", "b")
     assert(df.select(cosineSimilarity($"a", $"b")).as[Double].collect()(0) === 1.0)
