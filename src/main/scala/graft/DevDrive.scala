@@ -3,70 +3,48 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Scratch end-to-end drive for the current round's changes (not part of
-  * the library surface; the verify skill runs it against sf0.001). */
+/** Scratch profiling drive (not part of the library surface). */
 object DevDrive {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
-      .appName("graft-devdrive").master("local[8]")
-      .config("spark.sql.shuffle.partitions", 8)
+      .appName("graft-devdrive").master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", false)
       .getOrCreate()
-    import spark.implicits._
+    val d = "/root/testdata/sf0.1"
 
-    // 1. DotProduct null-on-mismatch (both codegen and the SQL-registered fn)
-    val dims = Seq((Array(1f, 2f), Array(3f, 4f)), (Array(1f, 2f), Array(3f, 4f, 5f)))
-      .toDF("a", "b")
-      .select(graft.functions.VectorFunctions.dotProduct(col("a"), col("b")).as("dot"))
-      .collect()
-    assert(dims(0).getDouble(0) == 11.0, s"eq-dim dot: ${dims(0)}")
-    assert(dims(1).isNullAt(0), "mismatched dims must yield null")
-    println("OK dot_product mismatch -> null")
+    def t(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"$name%-32s ${(System.nanoTime() - t0) / 1e9}%.3f s  (n=$n)")
+    }
 
-    // 2. fanOutSearch: a source whose PLAN fails at action time (lazy) must
-    //    degrade to empty, not fail the fan-out — the ADVICE fix.
-    import graft.search.SearchService
-    val good = new SearchService.Source {
-      val name = "stackoverflow"
-      def search(s: SparkSession, q: String, n: Int): DataFrame = {
-        import s.implicits._
-        Seq(("content a", "t", "stackoverflow", "http://a", 1))
-          .toDF("content", "title", "source_type", "source_url", "rank")
-      }
-    }
-    val lazyBoom = new SearchService.Source {
-      val name = "github"
-      def search(s: SparkSession, q: String, n: Int): DataFrame = {
-        import s.implicits._
-        // analyzes fine, blows up at action time inside a deserializer map
-        Seq(("x", "t", "github", "http://b", 1))
-          .toDF("content", "title", "source_type", "source_url", "rank")
-          .as[(String, String, String, String, Int)]
-          .map { r => if (r._1 == "x") throw new RuntimeException("boom at action time"); r }
-          .toDF("content", "title", "source_type", "source_url", "rank")
-      }
-    }
-    val fan = SearchService.fanOutSearch(spark, Seq(good, lazyBoom), "spark joins", 5).collect()
-    assert(fan.length == 1 && fan(0).getString(3) == "http://a",
-      s"lazy action-time failure must degrade to empty: ${fan.toSeq}")
-    println("OK fanOutSearch survives action-time source failure")
+    import graft.functions.{HashExpressions, TextFunctions}
+    val docs = Tables.documents(spark, d)
+    // warm the JVM / parquet footer cache
+    docs.count()
 
-    // 3. Tools.Registry under concurrent execute(): no lost audit rows.
-    import graft.tools.Tools
-    val reg = new Tools.Registry
-    reg.register(Tools.Tool("ping", Tools.Role.General, "ping",
-      (s, _) => { import s.implicits._; Seq(1).toDF("one") }))
-    val threads = (1 to 8).map { _ =>
-      new Thread(() => (1 to 25).foreach { _ =>
-        reg.execute(spark, "ping", Map.empty)
-      })
-    }
-    threads.foreach(_.start()); threads.foreach(_.join())
-    val audited = reg.auditLog(spark).count()
-    assert(audited == 200, s"expected 200 audit rows, got $audited")
-    println("OK registry concurrent audit rows = 200")
+    val shingled = docs.select(col("doc_id").as("id"),
+      HashExpressions.shingleHashes(TextFunctions.words(col("text")), 3).as("shingles"))
+    t("shingles only")(shingled.agg(sum(size(col("shingles")))).head().getLong(0))
+
+    val sig = shingled.select(col("id"),
+      HashExpressions.minhashSignatureLongs(col("shingles"), 128).as("sig"))
+    t("shingles+sig")(sig.agg(sum(size(col("sig")))).head().getLong(0))
+
+    val banded = sig.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(31)),
+        b => hash(slice(col("sig"), b * 4 + 1, lit(4)), b))).as(Seq("band", "bucket")))
+    t("banded count")(banded.agg(count(lit(1))).head().getLong(0))
+
+    t("full q33")(graft.operators.Dedup.minHashNearDups(
+      docs, "doc_id", "text", 3, 128, 32, 0.8).count())
+
+    // q04 shape
+    val q04 = SparkEntry.queries("q04_region_revenue")
+    t("q04 as-is")(q04(spark, d).count())
+    q04(spark, d).explain("formatted")
 
     spark.stop()
-    println("DEVDRIVE PASS")
   }
 }

@@ -291,6 +291,14 @@ object SparkEntry {
       Dedup.simHashNearDups(T.documents(s, d), "doc_id", "text", maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))),
 
+    "q38_dup_clusters" -> ((s, d) => {
+      // LSH pairs → transitive closure → one representative per cluster
+      val docs = T.documents(s, d)
+      val pairs = Dedup.minHashNearDups(docs, "doc_id", "text", threshold = 0.8)
+        .select(col("id_a"), col("id_b"))
+      Dedup.dupClusters(docs, "doc_id", pairs).orderBy(col("doc_id"))
+    }),
+
     "q35_null_dedup" -> ((s, d) => {
       // D3: null-key rows pass through untouched (unsaved-task semantics)
       val keyed = T.events(s, d).withColumn("key",
@@ -640,6 +648,26 @@ object SparkEntry {
 
     "q36_salted_count" ->
       "SELECT user_id, count(*) AS n FROM events GROUP BY user_id ORDER BY user_id",
+
+    "q38_dup_clusters" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, list_distinct(
+        |    CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) < 3
+        |      THEN [array_to_string(regexp_split_to_array(trim(text), '\s+'), ' ')]
+        |      ELSE [array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+2], ' ')
+        |            for i in range(1, len(regexp_split_to_array(trim(text), '\s+')) - 1)] END) AS sh
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM w a JOIN w b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+        |cc(id, comp) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, c.comp FROM cc c JOIN edges e ON e.src = c.id)
+        |SELECT id AS doc_id, min(comp) AS cluster, (id = min(comp)) AS is_rep
+        |FROM cc GROUP BY id ORDER BY doc_id""".stripMargin,
 
     "q57_sanitize_names" ->
       """WITH u AS (SELECT doc_id, source, lang,

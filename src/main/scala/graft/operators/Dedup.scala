@@ -175,6 +175,64 @@ object Dedup {
           size(array_union(col("g_a"), col("g_b"))), 6).as("jaccard"))
   }
 
+  /** Connected components over a near-duplicate pair graph: the stage
+    * after LSH in a training-data dedup pipeline. Pairs only link
+    * duplicates two at a time; transitive closure groups A~B, B~C into
+    * one cluster so exactly one representative survives per group.
+    *
+    * Algorithm: iterative min-label propagation (the same fixpoint
+    * GraphX's ConnectedComponents runs via Pregel) — every node starts
+    * labeled with its own id; each round takes the min label over itself
+    * and its neighbors; converges in O(component diameter) rounds.
+    * Near-dup components are shallow (dozens of docs, diameter ≲ 5), so
+    * rounds stay single-digit; each round is one shuffle of the edge
+    * list, and `localCheckpoint` cuts lineage so plans don't nest.
+    * For graphs with adversarially long chains, switch to star
+    * contraction (Kiveris et al., "Connected Components in MapReduce");
+    * not needed for dedup graphs.
+    *
+    * @param nodes one column `id` (every doc, so singletons keep a label)
+    * @param pairs columns `id_a`, `id_b` (undirected; direction ignored)
+    * @return (id, cluster) where cluster = min id in the component
+    */
+  def connectedComponents(
+      nodes: DataFrame, pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    // symmetrize once; only (src, dst) ids ride through the loop shuffles
+    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = nodes.select(col("id"), col("id").as("cluster")).localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = sym
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(min(col("cluster")).as("nmin"))
+      val next = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+        .localCheckpoint(true)
+      val changed = next
+        .join(labels.withColumnRenamed("cluster", "prev"), "id")
+        .filter(col("cluster") =!= col("prev")).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds " +
+      "(component diameter exceeds maxIter — not a near-dup-shaped graph)")
+    labels
+  }
+
+  /** One row per document with its dedup cluster and whether it is the
+    * cluster representative (min id — the row a canonical corpus keeps). */
+  def dupClusters(
+      df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    connectedComponents(df.select(col(idCol).as("id")), pairs)
+      .select(col("id").as(idCol), col("cluster"),
+        (col("id") === col("cluster")).as("is_rep"))
+
   /** Embedding near-dups within coarse clusters: candidates are pairs
     * sharing `clusterCol` (IVF-style pruning), verified by cosine. */
   def embeddingNearDups(

@@ -69,6 +69,37 @@ class DedupSpec extends SparkSpec {
     assert(got.filter($"text" === "same text").select("id").as[Long].collect().toSeq === Seq(1L))
   }
 
+  test("connectedComponents: transitive closure over pair graph, singletons kept") {
+    // components: {1,2,3,4} via chain 1-2, 2-3, 3-4 (diameter 3 -> needs
+    // multiple propagation rounds), {10,11}, singleton {20}
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("id")
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(nodes, pairs)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(got === Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
+  test("connectedComponents converges on a cycle") {
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(nodes, pairs)
+      .select("cluster").distinct().as[Long].collect().toSeq
+    assert(got === Seq(1L))
+  }
+
+  test("dupClusters marks exactly one representative per cluster") {
+    val docs = Seq((1L, "x"), (2L, "x"), (3L, "x"), (7L, "y")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup.dupClusters(docs, "doc_id", pairs)
+    val reps = got.filter($"is_rep").select("doc_id").as[Long].collect().toSeq.sorted
+    assert(reps === Seq(1L, 7L))
+    assert(got.count() === 4)
+    // every row's cluster is a representative's id
+    assert(got.join(got.filter($"is_rep").select($"cluster".as("rep")),
+      $"cluster" === $"rep").count() === 4)
+  }
+
   test("embeddingNearDups: same-cluster cosine pairs only") {
     val df = Seq(
       (1L, Array(1f, 0f), 0), (2L, Array(0.99f, 0.1f), 0),
