@@ -3,8 +3,10 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.analytics.Quality
 import graft.functions.{TextFunctions => TF}
-import graft.operators.{Dedup, Paginate, RateLimit, SimilaritySearch}
+import graft.operators.{Dedup, Paginate, RateLimit, Sampling, SimilaritySearch, TimeSeries}
+import graft.query.Relational
 import graft.{Tables => T}
 
 /** Driver contract: the oracle-checked query set (SURVEY.md §2 coverage).
@@ -394,6 +396,55 @@ object SparkEntry {
               .otherwise(lit("https://192.168.0.1/internal"))).as("url_ok"))
         .orderBy(col("doc_id"))),
 
+    // --- time-series / sampling / stats extensions ------------------------
+    "q60_asof_lastclick" -> ((s, d) => {
+      // as-of join: each error event enriched with the user's latest
+      // click at or before it (union + window; no range join)
+      val ev = T.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("click_us"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      TimeSeries.joinAsOf(errors, clicks, Seq("user_id"), "ts", "ts", Seq("click_us"))
+        .select(col("event_id"), col("asof_click_us").as("last_click_us"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q61_sessions" -> ((s, d) =>
+      TimeSeries.sessionStats(T.events(s, d), Seq("user_id"), "ts",
+          gapSeconds = 1800, tieBreak = Seq(col("event_id")))
+        .orderBy(col("user_id"), col("session_idx"))),
+
+    "q62_stratified_sample" -> ((s, d) =>
+      Sampling.stratifiedSample(T.events(s, d), "event_type", "event_id",
+          Map("click" -> 0.05, "view" -> 0.1, "error" -> 0.5), defaultFraction = 0.2)
+        .select(col("event_id"), col("event_type"))
+        .orderBy(col("event_id"))),
+
+    "q63_topk_per_group" -> ((s, d) =>
+      Relational.topKPerGroup(T.orders(s, d), Seq("o_orderpriority"),
+          Seq(desc("o_totalprice"), asc("o_orderkey")), k = 3)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderpriority"), desc("o_totalprice"), asc("o_orderkey"))),
+
+    "q64_price_quantiles" -> ((s, d) =>
+      Quality.quantiles(T.orders(s, d), Seq("o_orderstatus"), "o_totalprice",
+          Seq(0.5, 0.9, 0.99))
+        .orderBy(col("o_orderstatus"))),
+
+    "q65_value_outliers" -> ((s, d) =>
+      Quality.zScoreOutliers(T.events(s, d), Seq("event_type"), "value",
+          threshold = 3.0)
+        .filter(col("is_outlier"))
+        .select(col("event_id"), col("event_type"), col("zscore"))
+        .orderBy(col("event_id"))),
+
+    "q66_split_counts" -> ((s, d) =>
+      Sampling.assignSplit(T.events(s, d), "event_id",
+          trainFraction = 0.8, validFraction = 0.1)
+        .groupBy(col("split")).agg(count(lit(1)).as("n"))
+        .orderBy(col("split"))),
+
     // --- data-quality metrics (A8) ----------------------------------------
     "q52_completeness" -> ((s, d) =>
       T.events(s, d).agg(count(lit(1)).as("rows"),
@@ -753,6 +804,66 @@ object SparkEntry {
     "q51_recent_errors" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
         |WHERE event_type = 'error' ORDER BY ts_us DESC, event_id DESC LIMIT 100""".stripMargin,
+
+    "q60_asof_lastclick" ->
+      """SELECT e.event_id,
+        |  (SELECT epoch_us(max(c.ts)) FROM events c
+        |   WHERE c.user_id = e.user_id AND c.event_type = 'click' AND c.ts <= e.ts)
+        |    AS last_click_us
+        |FROM events e WHERE e.event_type = 'error' ORDER BY e.event_id""".stripMargin,
+
+    "q61_sessions" ->
+      """WITH x AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |f AS (SELECT user_id, event_id, us,
+        |    CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+        |      OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000
+        |    THEN 1 ELSE 0 END AS flag FROM x),
+        |s AS (SELECT user_id, us,
+        |    CAST(sum(flag) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+        |  FROM f)
+        |SELECT user_id, session_idx,
+        |  min(us) AS session_start_us, max(us) AS session_end_us,
+        |  count(*) AS n_events, max(us) - min(us) AS duration_us
+        |FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
+
+    "q62_stratified_sample" ->
+      """SELECT event_id, event_type FROM events
+        |WHERE CASE event_type
+        |  WHEN 'click' THEN substr(md5(event_id::VARCHAR), 1, 4) < '0ccd'
+        |  WHEN 'view'  THEN substr(md5(event_id::VARCHAR), 1, 4) < '199a'
+        |  WHEN 'error' THEN substr(md5(event_id::VARCHAR), 1, 4) < '8000'
+        |  ELSE substr(md5(event_id::VARCHAR), 1, 4) < '3333' END
+        |ORDER BY event_id""".stripMargin,
+
+    "q63_topk_per_group" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3
+        |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin,
+
+    "q64_price_quantiles" ->
+      """SELECT o_orderstatus,
+        |  round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.9), 6) AS p90,
+        |  round(quantile_cont(o_totalprice, 0.99), 6) AS p99
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q65_value_outliers" ->
+      """WITH st AS (SELECT event_type, avg(value) AS m, stddev_samp(value) AS sd
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, round((e.value - st.m) / st.sd, 6) AS zscore
+        |FROM events e JOIN st USING (event_type)
+        |WHERE st.sd IS NOT NULL AND abs(round((e.value - st.m) / st.sd, 6)) > 3
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q66_split_counts" ->
+      """SELECT CASE WHEN substr(md5(event_id::VARCHAR), 1, 4) < 'cccd' THEN 'train'
+        |  WHEN substr(md5(event_id::VARCHAR), 1, 4) < 'e667' THEN 'valid'
+        |  ELSE 'test' END AS split, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY split""".stripMargin,
 
     "q52_completeness" ->
       """SELECT count(*) AS rows,

@@ -52,6 +52,41 @@ object Quality {
           .as(s"${c}_consistency")
       }: _*)
 
+  /** Per-group quantiles of a numeric column. `exact=true` uses the
+    * interpolating `percentile` aggregate (full sort of each group's
+    * values — fine for profiling runs); `exact=false` uses
+    * `approx_percentile` (t-digest-style sketch, mergeable map-side, the
+    * only sane form at 100 TB — accuracy bounded by `accuracy`). */
+  def quantiles(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      ps: Seq[Double], exact: Boolean = true, accuracy: Int = 10000): DataFrame = {
+    val pArr = s"array(${ps.mkString(", ")})"
+    val agg =
+      if (exact) expr(s"percentile($valueCol, $pArr)")
+      else expr(s"approx_percentile($valueCol, $pArr, $accuracy)")
+    val base = df.groupBy(groupCols.map(col): _*).agg(agg.as("__qs"))
+    ps.zipWithIndex.foldLeft(base) { case (d, (p, i)) =>
+      d.withColumn(s"p${(p * 100).toInt}",
+        round(element_at(col("__qs"), i + 1).cast("double"), 6))
+    }.drop("__qs")
+  }
+
+  /** Per-group z-score outlier flagging: |x - mean| / stddev > threshold.
+    * Two passes expressed as one plan (group stats broadcast back via an
+    * inner join on the group key — tiny right side). */
+  def zScoreOutliers(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      threshold: Double): DataFrame = {
+    val stats = df.groupBy(groupCols.map(col): _*)
+      .agg(avg(col(valueCol)).as("__mean"), stddev_samp(col(valueCol)).as("__sd"))
+    df.join(broadcast(stats), groupCols)
+      .withColumn("zscore", round(
+        (col(valueCol) - col("__mean")) / col("__sd"), 6))
+      .withColumn("is_outlier",
+        col("__sd").isNotNull && abs(col("zscore")) > threshold)
+      .drop("__mean", "__sd")
+  }
+
   /** Operation-metrics rollup (`performance_monitoring.py:104-157`):
     * total / successful / failed / success_rate / avg / max / min, both
     * overall and per group. */

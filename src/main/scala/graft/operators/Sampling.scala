@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for pipeline reproducibility.
+  *
+  * `df.sample()` draws from a per-partition RNG: results change with
+  * partitioning, cluster size, and re-runs — useless for a training-data
+  * pipeline that must be able to re-derive exactly which rows a sample
+  * contained. Hash-based sampling decides membership from the row's own
+  * id (md5 hex prefix against a threshold), so the same row lands in the
+  * same sample on any cluster layout, any engine, any day. Selection is
+  * a codegen'd filter over the scan — no shuffle at all.
+  */
+object Sampling {
+
+  /** Membership predicate: first 16 bits of md5(id) under the fraction
+    * threshold (quantized to 1/65536 ≈ 0.0015 resolution). */
+  private def admitted(idCol: Column, fraction: Double): Column = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction out of [0,1]")
+    val threshold = f"${math.round(fraction * 65536).toInt}%04x"
+    if (threshold == "10000") lit(true)
+    else substring(md5(idCol.cast("string")), 1, 4) < lit(threshold)
+  }
+
+  /** Keep ~`fraction` of rows, chosen deterministically by id hash. */
+  def hashSample(df: DataFrame, idCol: String, fraction: Double): DataFrame =
+    df.filter(admitted(col(idCol), fraction))
+
+  /** Stratified deterministic sample: a different fraction per stratum
+    * value (e.g. downsample boilerplate web text hard, keep all rare
+    * high-quality docs), `defaultFraction` for unlisted strata. */
+  def stratifiedSample(
+      df: DataFrame, strataCol: String, idCol: String,
+      fractions: Map[String, Double], defaultFraction: Double): DataFrame = {
+    val pred = fractions.foldLeft(admitted(col(idCol), defaultFraction)) {
+      case (acc, (stratum, f)) =>
+        when(col(strataCol) === stratum, admitted(col(idCol), f)).otherwise(acc)
+    }
+    df.filter(pred)
+  }
+
+  /** Split into train/validation/test by id hash — disjoint, exhaustive,
+    * and stable across runs (a row never migrates between splits when
+    * the corpus grows). Returns a `split` column instead of three
+    * DataFrames so one scan feeds three sinks. */
+  def assignSplit(
+      df: DataFrame, idCol: String,
+      trainFraction: Double, validFraction: Double): DataFrame = {
+    require(trainFraction + validFraction <= 1.0, "train+valid must be <= 1")
+    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+      .cast("int")
+    val trainHi = math.round(trainFraction * 65536).toInt
+    val validHi = trainHi + math.round(validFraction * 65536).toInt
+    df.withColumn("split",
+      when(bucket < trainHi, "train")
+        .when(bucket < validHi, "valid")
+        .otherwise("test"))
+  }
+}

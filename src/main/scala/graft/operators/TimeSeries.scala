@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series operators a pipeline needs around event tables: as-of
+  * joins (enrich each fact with the latest earlier state) and
+  * gap-based sessionization.
+  *
+  * Both are single-shuffle designs: partition by the key, sort by event
+  * time inside the partition, and resolve everything with window frames.
+  * No range join, no per-key collect — at 100 TB the shuffle on the key
+  * is the only data movement, and skewed keys can be pre-salted with
+  * [[Skew]] if one entity dominates.
+  */
+object TimeSeries {
+
+  /** As-of join: for every left row, attach the payload of the latest
+    * right row with the same key and `right.tsCol <= left.tsCol`
+    * (inclusive, like DuckDB/kdb ASOF semantics).
+    *
+    * Implementation: union both sides tagged, one window pass per key
+    * ordered by (ts, side) with right-before-left at equal timestamps,
+    * `last(payload, ignoreNulls)` carries the most recent right payload
+    * forward. The payload rides as ONE struct so right rows whose value
+    * columns are legitimately null still count as matches.
+    *
+    * A sort-merge range join would re-shuffle both sides and explode on
+    * wide time ranges; the union-window form is one shuffle of
+    * |left|+|right| compact rows regardless of time spread.
+    *
+    * Ties among right rows at the same (key, ts) are broken by
+    * `rightTieBreak` (appended to the window order) — pass one to make
+    * results deterministic when such ties are possible.
+    *
+    * @return left rows (all columns) + each `rightVals` column as
+    *         `asof_<name>` (null when no earlier right row exists)
+    */
+  def joinAsOf(
+      left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTs: String, rightTs: String, rightVals: Seq[String],
+      rightTieBreak: Seq[Column] = Nil): DataFrame = {
+    require(rightVals.nonEmpty, "rightVals must name at least one payload column")
+    val payload = "__asof_payload"
+    val sideCol = "__asof_side"
+    val tsCol = "__asof_ts"
+
+    val rightPrep = right.select(
+      keyCols.map(col) ++ Seq(
+        col(rightTs).as(tsCol),
+        lit(0).as(sideCol),
+        struct(rightVals.map(col): _*).as(payload)): _*)
+    val payloadType = rightPrep.schema(payload).dataType
+
+    val leftPrep = left.select(
+      left.columns.map(col) ++ Seq(
+        col(leftTs).as(tsCol),
+        lit(1).as(sideCol),
+        lit(null).cast(payloadType).as(payload)): _*)
+    // right side carries left's non-key columns as nulls
+    val rightAligned = leftPrep.columns.foldLeft(rightPrep) { (df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, lit(null).cast(leftPrep.schema(c).dataType))
+    }.select(leftPrep.columns.map(col): _*)
+
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol) +: col(sideCol) +: rightTieBreak: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    leftPrep.unionByName(rightAligned)
+      .withColumn(payload, last(col(payload), ignoreNulls = true).over(w))
+      .filter(col(sideCol) === 1)
+      .select(left.columns.map(col) ++
+        rightVals.map(v => col(s"$payload.$v").as(s"asof_$v")): _*)
+  }
+
+  /** Gap-based sessionization: a new session starts when the gap since
+    * the key's previous event exceeds `gapSeconds`. Adds
+    * `session_idx` (1-based per key, in time order) — the classic
+    * lag-flag-cumsum, two window functions over one shuffle.
+    *
+    * Tie-break columns make ordering deterministic when one key can have
+    * equal timestamps (pass the event id). */
+  def sessionize(
+      df: DataFrame, keyCols: Seq[String], tsCol: String,
+      gapSeconds: Long, tieBreak: Seq[Column] = Nil): DataFrame = {
+    val micros = unix_micros(col(tsCol).cast("timestamp"))
+    val order = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(micros +: tieBreak: _*)
+    val prev = lag(micros, 1).over(order)
+    val newSession = when(
+      prev.isNull || micros - prev > gapSeconds * 1000000L, 1L).otherwise(0L)
+    df.withColumn("session_idx",
+      sum(newSession).over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Per-session rollup on top of [[sessionize]]: start/end/duration and
+    * event count per (key, session). */
+  def sessionStats(
+      df: DataFrame, keyCols: Seq[String], tsCol: String,
+      gapSeconds: Long, tieBreak: Seq[Column] = Nil): DataFrame = {
+    val micros = unix_micros(col(tsCol).cast("timestamp"))
+    sessionize(df, keyCols, tsCol, gapSeconds, tieBreak)
+      .groupBy((keyCols :+ "session_idx").map(col): _*)
+      .agg(
+        min(micros).as("session_start_us"),
+        max(micros).as("session_end_us"),
+        count(lit(1)).as("n_events"))
+      .withColumn("duration_us", col("session_end_us") - col("session_start_us"))
+  }
+}

@@ -55,6 +55,21 @@ object Relational {
       .when(statusCol === "Failed", 4)
       .otherwise(99)
 
+  /** Top-k rows per group under an explicit order (leaderboards,
+    * best-n-documents-per-source). Plans as a partial WindowGroupLimit
+    * before the shuffle (Spark 3.5+), so each map task forwards at most
+    * k rows per group instead of its whole partition — the per-group
+    * analog of TakeOrderedAndProject. Include a tie-break column in
+    * `order` for determinism. */
+  def topKPerGroup(
+      df: DataFrame, groupCols: Seq[String], order: Seq[Column], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .drop("__rank")
+  }
+
   /** P6 + C5: partial update — only provided columns change, and
     * `updated_at` is always stamped (the BEFORE UPDATE trigger rule). */
   def partialUpdate(

@@ -22,7 +22,7 @@ class ContractSpec extends SparkSpec {
     val known = tables ++ Set("range") // DuckDB table function
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       // strip CTE names declared in this query before checking
-      val ctes = """(?i)(?:WITH|,)\s*([a-z_][a-z0-9_]*)\s+AS\s*\(""".r
+      val ctes = """(?i)(?:WITH(?:\s+RECURSIVE)?|,)\s*([a-z_][a-z0-9_]*)\s*(?:\([^)]*\))?\s+AS\s*\(""".r
         .findAllMatchIn(sql).map(_.group(1)).toSet
       val refs = fromPattern.findAllMatchIn(sql).map(_.group(1)).toSet -- ctes -- Set("(")
       val unknown = refs -- known

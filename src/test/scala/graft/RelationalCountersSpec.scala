@@ -44,6 +44,40 @@ class RelationalCountersSpec extends SparkSpec {
     assert(rows(1)._3 === 20 && rows(1)._4 === t0) // untouched row keeps its stamp
   }
 
+  test("topKPerGroup keeps k rows per group in order, with ties broken") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      ("a", 1L, 30.0), ("a", 2L, 20.0), ("a", 3L, 10.0),
+      ("b", 4L, 5.0), ("b", 5L, 5.0), ("b", 6L, 1.0)
+    ).toDF("g", "id", "score")
+    val got = query.Relational.topKPerGroup(df, Seq("g"),
+        Seq(desc("score"), asc("id")), k = 2)
+      .select("g", "id").as[(String, Long)].collect().toSet
+    assert(got === Set(("a", 1L), ("a", 2L), ("b", 4L), ("b", 5L)))
+  }
+
+  test("quantiles: exact per-group percentiles, approx within tolerance") {
+    import graft.analytics.Quality
+    val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val exact = Quality.quantiles(df, Seq("g"), "v", Seq(0.5, 0.9))
+      .select("p50", "p90").as[(Double, Double)].head()
+    assert(exact === ((50.5, 90.1)))  // linear interpolation over 1..100
+    val approx = Quality.quantiles(df, Seq("g"), "v", Seq(0.5), exact = false)
+      .select("p50").as[Double].head()
+    assert(math.abs(approx - 50.5) < 2.0)
+  }
+
+  test("zScoreOutliers flags only extreme values, null-safe") {
+    import graft.analytics.Quality
+    import org.apache.spark.sql.functions._
+    val vals = Seq.fill(50)(10.0) ++ Seq(10.5, 9.5, 1000.0)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, "t", v) }
+      .toDF("id", "g", "v")
+    val flagged = Quality.zScoreOutliers(df, Seq("g"), "v", threshold = 3.0)
+      .filter(col("is_outlier")).select("id").as[Long].collect().toSeq
+    assert(flagged === Seq(52L))  // only the 1000.0 row
+  }
+
   test("mcp cube counters cover per-server, per-tool, per-status in one pass") {
     val df = Seq(("s1", "search", "ok"), ("s1", "search", "err"), ("s1", "stats", "ok"))
       .toDF("server", "tool", "status")

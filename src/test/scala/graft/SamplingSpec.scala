@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sampling
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ids(n: Int) = (1L to n.toLong).toDF("id")
+
+  test("hashSample is deterministic and partition-independent") {
+    val df = ids(2000)
+    val a = Sampling.hashSample(df, "id", 0.3).select("id").as[Long].collect().toSet
+    val b = Sampling.hashSample(df.repartition(13), "id", 0.3)
+      .select("id").as[Long].collect().toSet
+    assert(a === b)
+    // rate within a loose tolerance of the target
+    assert(math.abs(a.size / 2000.0 - 0.3) < 0.05)
+  }
+
+  test("hashSample fractions nest: a 10% sample is a subset of a 30% sample") {
+    val df = ids(2000)
+    val small = Sampling.hashSample(df, "id", 0.1).select("id").as[Long].collect().toSet
+    val big = Sampling.hashSample(df, "id", 0.3).select("id").as[Long].collect().toSet
+    assert(small.subsetOf(big))
+  }
+
+  test("hashSample edges: fraction 0 keeps nothing, 1 keeps everything") {
+    val df = ids(100)
+    assert(Sampling.hashSample(df, "id", 0.0).count() === 0)
+    assert(Sampling.hashSample(df, "id", 1.0).count() === 100)
+  }
+
+  test("stratifiedSample applies per-stratum fractions") {
+    val df = (1L to 4000L).map(i => (i, if (i % 2 == 0) "common" else "rare"))
+      .toDF("id", "stratum")
+    val got = Sampling.stratifiedSample(df, "stratum", "id",
+      Map("common" -> 0.1, "rare" -> 0.9), defaultFraction = 0.5)
+    val byStratum = got.groupBy("stratum").count()
+      .as[(String, Long)].collect().toMap
+    assert(math.abs(byStratum("common") / 2000.0 - 0.1) < 0.05)
+    assert(math.abs(byStratum("rare") / 2000.0 - 0.9) < 0.05)
+  }
+
+  test("assignSplit is disjoint, exhaustive, and stable under corpus growth") {
+    val small = Sampling.assignSplit(ids(1000), "id", 0.8, 0.1)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    val big = Sampling.assignSplit(ids(2000), "id", 0.8, 0.1)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(big.size === 2000)
+    // rows never migrate between splits when the corpus doubles
+    small.foreach { case (id, s) => assert(big(id) === s) }
+    val shares = big.values.groupBy(identity).view.mapValues(_.size / 2000.0).toMap
+    assert(math.abs(shares("train") - 0.8) < 0.05)
+    assert(math.abs(shares("valid") - 0.1) < 0.03)
+    assert(math.abs(shares("test") - 0.1) < 0.03)
+  }
+}

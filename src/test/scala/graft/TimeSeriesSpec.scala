@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TimeSeries
+
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("joinAsOf attaches the latest right payload at or before each left ts") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),  // after r2
+      (2L, 10L, ts("2024-01-01 08:30:00")),  // between r1 and r2
+      (3L, 10L, ts("2024-01-01 07:00:00")),  // before any right row
+      (4L, 20L, ts("2024-01-01 10:00:00"))   // key with no right rows
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      (10L, ts("2024-01-01 08:00:00"), "r1"),
+      (10L, ts("2024-01-01 09:00:00"), "r2")
+    ).toDF("k", "t", "v")
+
+    val got = TimeSeries.joinAsOf(left, right, Seq("k"), "t", "t", Seq("v"))
+      .select("id", "asof_v").as[(Long, Option[String])].collect().toMap
+    assert(got === Map(1L -> Some("r2"), 2L -> Some("r1"), 3L -> None, 4L -> None))
+  }
+
+  test("joinAsOf is inclusive: equal timestamps match") {
+    val left = Seq((1L, 1L, ts("2024-01-01 08:00:00"))).toDF("id", "k", "t")
+    val right = Seq((1L, ts("2024-01-01 08:00:00"), "same")).toDF("k", "t", "v")
+    val got = TimeSeries.joinAsOf(left, right, Seq("k"), "t", "t", Seq("v"))
+      .select("asof_v").as[String].head()
+    assert(got === "same")
+  }
+
+  test("joinAsOf carries right rows whose payload value is null") {
+    // a right row with a null value column still counts as a match —
+    // the payload struct, not the value, drives ignoreNulls
+    val left = Seq((1L, 1L, ts("2024-01-01 09:00:00"))).toDF("id", "k", "t")
+    val right = Seq((1L, ts("2024-01-01 08:00:00"), Option.empty[String]))
+      .toDF("k", "t", "v")
+    val row = TimeSeries.joinAsOf(left, right, Seq("k"), "t", "t", Seq("v"))
+      .select("asof_v").collect()(0)
+    assert(row.isNullAt(0)) // matched row, null value — not "no match" semantics
+  }
+
+  test("sessionize splits on gaps and sessionStats rolls up") {
+    val df = Seq(
+      (1L, 100L, ts("2024-01-01 08:00:00")),
+      (2L, 100L, ts("2024-01-01 08:10:00")),  // same session (10 min)
+      (3L, 100L, ts("2024-01-01 09:30:00")),  // new session (80 min gap)
+      (4L, 200L, ts("2024-01-01 08:00:00"))   // other user
+    ).toDF("event_id", "user_id", "t")
+    val got = TimeSeries.sessionStats(df, Seq("user_id"), "t",
+        gapSeconds = 1800, tieBreak = Seq(col("event_id")))
+      .select("user_id", "session_idx", "n_events")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((100L, 1L, 2L), (100L, 2L, 1L), (200L, 1L, 1L)))
+  }
+
+  test("sessionize boundary: gap exactly equal to gapSeconds stays in session") {
+    val df = Seq(
+      (1L, ts("2024-01-01 08:00:00")),
+      (2L, ts("2024-01-01 08:30:00"))
+    ).toDF("id", "t").withColumn("k", lit(1))
+    val sessions = TimeSeries.sessionize(df, Seq("k"), "t", gapSeconds = 1800)
+      .select("session_idx").as[Long].collect().toSet
+    assert(sessions === Set(1L))
+  }
+}
