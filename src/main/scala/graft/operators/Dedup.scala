@@ -202,6 +202,21 @@ object Dedup {
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
     var labels = nodes.select(col("id"), col("id").as("cluster")).localCheckpoint(true)
+    // Convergence probe. Labels only ever decrease, so for integral ids
+    // the exact DECIMAL(38,0) label sum is strictly monotone until the
+    // fixed point — one tiny aggregate per round. For every other id
+    // type (string hashes are a legitimate key: min/least order them
+    // fine) fall back to a changed-rows join; a lossy cast there would
+    // either throw under ANSI or silently declare convergence early.
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val sumProbe = labels.schema("cluster").dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("cluster").cast("decimal(38,0)"))).head().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO) // empty node set
+    var prevSum = if (sumProbe) labelSum(labels) else null
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -213,11 +228,16 @@ object Dedup {
         .select(col("id"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
         .localCheckpoint(true)
-      val changed = next
-        .join(labels.withColumnRenamed("cluster", "prev"), "id")
-        .filter(col("cluster") =!= col("prev")).count()
+      if (sumProbe) {
+        val nextSum = labelSum(next)
+        converged = nextSum.compareTo(prevSum) == 0
+        prevSum = nextSum
+      } else {
+        converged = next
+          .join(labels.withColumnRenamed("cluster", "prev"), "id")
+          .filter(col("cluster") =!= col("prev")).isEmpty
+      }
       labels = next
-      converged = changed == 0
       i += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds " +

@@ -80,6 +80,14 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L))
   }
 
+  test("connectedComponents works with string ids (content-hash keys)") {
+    val nodes = Seq("h1", "h2", "h3", "h9").toDF("id")
+    val pairs = Seq(("h2", "h1"), ("h2", "h3")).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(nodes, pairs)
+      .orderBy("id").as[(String, String)].collect().toSeq
+    assert(got === Seq("h1" -> "h1", "h2" -> "h1", "h3" -> "h1", "h9" -> "h9"))
+  }
+
   test("connectedComponents converges on a cycle") {
     val nodes = Seq(1L, 2L, 3L).toDF("id")
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("id_a", "id_b")
