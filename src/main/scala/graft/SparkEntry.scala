@@ -445,6 +445,22 @@ object SparkEntry {
         .groupBy(col("split")).agg(count(lit(1)).as("n"))
         .orderBy(col("split"))),
 
+    "q67_session_errors" -> ((s, d) => {
+      // binned interval join: error events located inside their user's
+      // sessions without a theta-join (equi-join on (key, time bucket))
+      val ev = T.events(s, d)
+      val sessions = TimeSeries.sessionStats(ev, Seq("user_id"), "ts",
+        gapSeconds = 1800, tieBreak = Seq(col("event_id")))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), unix_micros(col("ts")).as("err_us"))
+      TimeSeries.intervalJoin(errors, "err_us",
+          sessions, "session_start_us", "session_end_us",
+          keys = Seq("user_id"), binSeconds = 21600)
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_errors"))
+        .orderBy(col("user_id"), col("session_idx"))
+    }),
+
     // --- data-quality metrics (A8) ----------------------------------------
     "q52_completeness" -> ((s, d) =>
       T.events(s, d).agg(count(lit(1)).as("rows"),
@@ -864,6 +880,25 @@ object SparkEntry {
         |  WHEN substr(md5(event_id::VARCHAR), 1, 4) < 'e667' THEN 'valid'
         |  ELSE 'test' END AS split, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY split""".stripMargin,
+
+    "q67_session_errors" ->
+      """WITH x AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |f AS (SELECT user_id, event_id, us,
+        |    CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+        |      OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000
+        |    THEN 1 ELSE 0 END AS flag FROM x),
+        |s AS (SELECT user_id, us,
+        |    CAST(sum(flag) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+        |  FROM f),
+        |sess AS (SELECT user_id, session_idx, min(us) AS s_us, max(us) AS e_us
+        |  FROM s GROUP BY user_id, session_idx),
+        |err AS (SELECT user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'error')
+        |SELECT sess.user_id, sess.session_idx, count(*) AS n_errors
+        |FROM sess JOIN err ON err.user_id = sess.user_id
+        |  AND err.us BETWEEN sess.s_us AND sess.e_us
+        |GROUP BY sess.user_id, sess.session_idx
+        |ORDER BY sess.user_id, sess.session_idx""".stripMargin,
 
     "q52_completeness" ->
       """SELECT count(*) AS rows,

@@ -95,6 +95,36 @@ object TimeSeries {
       sum(newSession).over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** Interval join: attach to each point row the interval rows (same
+    * key) whose `[startUs, endUs]` contains the point's timestamp —
+    * inner join, points outside every interval drop out.
+    *
+    * A naive theta-join (`p.ts BETWEEN i.start AND i.end`) plans as
+    * BroadcastNestedLoop / cartesian at scale. Binning restores an
+    * equi-join: intervals explode to every `binSeconds` bucket they
+    * overlap, points carry their single bucket, and the join runs on
+    * (key, bucket) through one hash shuffle, with the exact BETWEEN as
+    * a post-filter. A point's bucket is unique, so no dedup pass is
+    * needed. Choose `binSeconds` near the typical interval length:
+    * fan-out per interval is ~duration/bin + 1.
+    *
+    * Timestamps are epoch-micros longs (what `sessionStats` emits); bin
+    * ids are exact long arithmetic — no double rounding at bin edges.
+    */
+  def intervalJoin(
+      points: DataFrame, pointTsUs: String,
+      intervals: DataFrame, startUs: String, endUs: String,
+      keys: Seq[String], binSeconds: Long): DataFrame = {
+    val binUs = binSeconds * 1000000L
+    def binStart(c: Column) = c - pmod(c, lit(binUs))
+    val p = points.withColumn("__bin", binStart(col(pointTsUs)))
+    val iv = intervals.withColumn("__bin",
+      explode(sequence(binStart(col(startUs)), binStart(col(endUs)), lit(binUs))))
+    p.join(iv, keys :+ "__bin")
+      .filter(col(pointTsUs) >= col(startUs) && col(pointTsUs) <= col(endUs))
+      .drop("__bin")
+  }
+
   /** Per-session rollup on top of [[sessionize]]: start/end/duration and
     * event count per (key, session). */
   def sessionStats(

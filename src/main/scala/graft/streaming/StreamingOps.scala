@@ -33,6 +33,27 @@ object StreamingOps {
       window: String = "5 minutes"): DataFrame =
     stream.withWatermark(tsCol, window)
       .dropDuplicatesWithinWatermark(keyCol)
+
+  /** Streaming gap-based sessionization — the streaming analog of
+    * `TimeSeries.sessionStats`. Spark's native `session_window` merges
+    * events into [start, lastEvent + gap) windows per key and holds
+    * session state only until the watermark passes the session end, so
+    * state is bounded by (active keys × open sessions), not history.
+    * Append-mode output: a session row emits once, when it closes.
+    *
+    * Same late-data caveat as [[dedupWithinWindow]]: rows at or below
+    * the current watermark are dropped (never use epoch-0 event times
+    * in tests). */
+  def sessionStats(
+      stream: DataFrame, keyCol: String, tsCol: String,
+      gap: String = "30 minutes", watermark: String = "10 minutes"): DataFrame =
+    stream.withWatermark(tsCol, watermark)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol),
+        col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"),
+        col("n_events"))
 }
 
 /** One rate-limit request event. */

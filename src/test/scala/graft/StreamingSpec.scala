@@ -34,6 +34,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sessionStats: session_window closes sessions past the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, java.sql.Timestamp)]
+    val sessions = StreamingOps.sessionStats(
+      input.toDF().toDF("user", "ts"), "user", "ts",
+      gap = "10 minutes", watermark = "5 minutes")
+    val q = sessions.writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // u1: two events 2 min apart (one session); u2: one event
+      input.addData(("u1", ts(0)), ("u1", ts(120)), ("u2", ts(60)))
+      q.processAllAvailable()
+      // advance the watermark far past the sessions' ends to close them
+      input.addData(("u3", ts(7200)))
+      q.processAllAvailable()
+      val got = spark.table("sess_out")
+        .select("user", "n_events").as[(String, Long)].collect().toSet
+      assert(got === Set(("u1", 2L), ("u2", 1L)))
+    } finally q.stop()
+  }
+
   test("stateful rate limiter: exact sliding window, denied requests not recorded") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[RateEvent]

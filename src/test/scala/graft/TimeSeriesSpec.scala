@@ -59,6 +59,36 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got === Set((100L, 1L, 2L), (100L, 2L, 1L), (200L, 1L, 1L)))
   }
 
+  test("intervalJoin: containment inclusive at both edges, key-scoped, multi-bin") {
+    val us = 1000000L // 1 second in micros
+    val points = Seq(
+      (1L, 100L, 50 * us),    // inside i1
+      (2L, 100L, 10 * us),    // == i1 start (inclusive)
+      (3L, 100L, 90 * us),    // == i1 end (inclusive)
+      (4L, 100L, 95 * us),    // outside every interval
+      (5L, 200L, 50 * us),    // right ts, wrong key
+      (6L, 100L, 7205 * us)   // inside i2, which spans many 1h bins
+    ).toDF("pid", "k", "p_us")
+    val intervals = Seq(
+      (100L, 10 * us, 90 * us, "i1"),
+      (100L, 3600 * us, 7300 * us, "i2"),
+      (300L, 0L, 10000 * us, "i3")
+    ).toDF("k", "s_us", "e_us", "iname")
+    val got = TimeSeries.intervalJoin(points, "p_us", intervals,
+        "s_us", "e_us", keys = Seq("k"), binSeconds = 3600)
+      .select("pid", "iname").as[(Long, String)].collect().toSet
+    assert(got === Set((1L, "i1"), (2L, "i1"), (3L, "i1"), (6L, "i2")))
+  }
+
+  test("intervalJoin emits one row per (point, interval) even across bins") {
+    // an interval spanning 3 bins must not triple-match its points
+    val points = Seq((1L, 1L, 5000000L)).toDF("pid", "k", "p_us")
+    val intervals = Seq((1L, 0L, 10800000000L)).toDF("k", "s_us", "e_us")
+    val got = TimeSeries.intervalJoin(points, "p_us", intervals,
+      "s_us", "e_us", keys = Seq("k"), binSeconds = 3600)
+    assert(got.count() === 1)
+  }
+
   test("sessionize boundary: gap exactly equal to gapSeconds stays in session") {
     val df = Seq(
       (1L, ts("2024-01-01 08:00:00")),
