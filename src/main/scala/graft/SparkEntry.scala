@@ -876,8 +876,8 @@ object SparkEntry {
         |ORDER BY e.event_id""".stripMargin,
 
     "q66_split_counts" ->
-      """SELECT CASE WHEN substr(md5(event_id::VARCHAR), 1, 4) < 'cccd' THEN 'train'
-        |  WHEN substr(md5(event_id::VARCHAR), 1, 4) < 'e667' THEN 'valid'
+      """SELECT CASE WHEN substr(md5(event_id::VARCHAR || '|split'), 1, 4) < 'cccd' THEN 'train'
+        |  WHEN substr(md5(event_id::VARCHAR || '|split'), 1, 4) < 'e667' THEN 'valid'
         |  ELSE 'test' END AS split, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY split""".stripMargin,
 

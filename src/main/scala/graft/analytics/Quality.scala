@@ -38,17 +38,21 @@ object Quality {
         (unix_micros(now.cast("timestamp")) - unix_micros(col("newest").cast("timestamp")))
           .as("age_us"))
       .select(col("newest"), col("age_us"),
-        round(greatest(lit(0.0),
-          lit(1.0) - col("age_us") / lit(maxAgeSeconds * 1000000.0)), 6)
+        // clamp both ends: future timestamps (clock skew) must not push
+        // the documented [0,1] score above 1
+        round(least(lit(1.0), greatest(lit(0.0),
+          lit(1.0) - col("age_us") / lit(maxAgeSeconds * 1000000.0))), 6)
           .as("timeliness_score"))
 
   /** Consistency: per-column format conformance — share of non-null
-    * values matching the given regex (A8's "format-regex match rate"). */
+    * values whose WHOLE text matches the given regex (A8's "format-regex
+    * match rate"). Patterns are anchored internally: `rlike` alone is
+    * substring search, which would count "x123-45-6789x" as a valid SSN. */
   def consistency(df: DataFrame, rules: Map[String, String]): DataFrame =
     df.agg(count(lit(1)).as("rows"),
       rules.toSeq.map { case (c, pattern) =>
         round(avg(when(col(c).isNull, lit(null: java.lang.Double))
-          .otherwise(when(col(c).rlike(pattern), 1.0).otherwise(0.0))), 6)
+          .otherwise(when(col(c).rlike(s"^(?:$pattern)$$"), 1.0).otherwise(0.0))), 6)
           .as(s"${c}_consistency")
       }: _*)
 
@@ -65,26 +69,36 @@ object Quality {
       if (exact) expr(s"percentile($valueCol, $pArr)")
       else expr(s"approx_percentile($valueCol, $pArr, $accuracy)")
     val base = df.groupBy(groupCols.map(col): _*).agg(agg.as("__qs"))
+    // exact decimal naming: p50, p99, p99_9 — (p*100).toInt would both
+    // truncate (0.29*100 = 28.999…) and collide (0.99 vs 0.999 -> "p99")
+    def name(p: Double): String = "p" + (BigDecimal(p.toString) * 100)
+      .underlying.stripTrailingZeros.toPlainString.replace(".", "_")
+    val names = ps.map(name)
+    require(names.distinct.size == names.size, s"duplicate percentiles in $ps")
     ps.zipWithIndex.foldLeft(base) { case (d, (p, i)) =>
-      d.withColumn(s"p${(p * 100).toInt}",
+      d.withColumn(name(p),
         round(element_at(col("__qs"), i + 1).cast("double"), 6))
     }.drop("__qs")
   }
 
   /** Per-group z-score outlier flagging: |x - mean| / stddev > threshold.
-    * Two passes expressed as one plan (group stats broadcast back via an
-    * inner join on the group key — tiny right side). */
+    * Two passes expressed as one plan (group stats broadcast back via a
+    * null-safe join on the group key — tiny right side; rows whose group
+    * key is null are scored against the null group, not dropped). */
   def zScoreOutliers(
       df: DataFrame, groupCols: Seq[String], valueCol: String,
       threshold: Double): DataFrame = {
-    val stats = df.groupBy(groupCols.map(col): _*)
+    val stats = broadcast(df.groupBy(groupCols.map(col): _*)
       .agg(avg(col(valueCol)).as("__mean"), stddev_samp(col(valueCol)).as("__sd"))
-    df.join(broadcast(stats), groupCols)
+      .select(groupCols.map(c => col(c).as(s"__g_$c")) :+
+        col("__mean") :+ col("__sd"): _*))
+    val cond = groupCols.map(c => df(c) <=> stats(s"__g_$c")).reduce(_ && _)
+    df.join(stats, cond)
       .withColumn("zscore", round(
         (col(valueCol) - col("__mean")) / col("__sd"), 6))
       .withColumn("is_outlier",
         col("__sd").isNotNull && abs(col("zscore")) > threshold)
-      .drop("__mean", "__sd")
+      .drop(groupCols.map(c => s"__g_$c") :+ "__mean" :+ "__sd": _*)
   }
 
   /** Operation-metrics rollup (`performance_monitoring.py:104-157`):

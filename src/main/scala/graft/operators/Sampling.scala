@@ -16,11 +16,13 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** Membership predicate: first 16 bits of md5(id) under the fraction
-    * threshold (quantized to 1/65536 ≈ 0.0015 resolution). */
+    * threshold (quantized to 1/65536 ≈ 0.0015 resolution). Null ids are
+    * never admitted, at any fraction — a row without an id cannot be
+    * sampled deterministically. */
   private def admitted(idCol: Column, fraction: Double): Column = {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction out of [0,1]")
     val threshold = f"${math.round(fraction * 65536).toInt}%04x"
-    if (threshold == "10000") lit(true)
+    if (threshold == "10000") idCol.isNotNull
     else substring(md5(idCol.cast("string")), 1, 4) < lit(threshold)
   }
 
@@ -44,12 +46,18 @@ object Sampling {
   /** Split into train/validation/test by id hash — disjoint, exhaustive,
     * and stable across runs (a row never migrates between splits when
     * the corpus grows). Returns a `split` column instead of three
-    * DataFrames so one scan feeds three sinks. */
+    * DataFrames so one scan feeds three sinks.
+    *
+    * The hash domain is salted (`id + "|split"`) so the split is
+    * INDEPENDENT of [[hashSample]]/[[stratifiedSample]] membership —
+    * with the same bits, splitting a 10% sample would put every row in
+    * `train` and leave valid/test empty. */
   def assignSplit(
       df: DataFrame, idCol: String,
       trainFraction: Double, validFraction: Double): DataFrame = {
     require(trainFraction + validFraction <= 1.0, "train+valid must be <= 1")
-    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+    val bucket = conv(
+      substring(md5(concat(col(idCol).cast("string"), lit("|split"))), 1, 4), 16, 10)
       .cast("int")
     val trainHi = math.round(trainFraction * 65536).toInt
     val validHi = trainHi + math.round(validFraction * 65536).toInt

@@ -31,8 +31,9 @@ object TimeSeries {
     * |left|+|right| compact rows regardless of time spread.
     *
     * Ties among right rows at the same (key, ts) are broken by
-    * `rightTieBreak` (appended to the window order) — pass one to make
-    * results deterministic when such ties are possible.
+    * `rightTieBreak`: column names FROM `right` whose ascending order
+    * decides the winner (the LAST row in that order carries forward) —
+    * pass one to make results deterministic when such ties are possible.
     *
     * @return left rows (all columns) + each `rightVals` column as
     *         `asof_<name>` (null when no earlier right row exists)
@@ -40,32 +41,44 @@ object TimeSeries {
   def joinAsOf(
       left: DataFrame, right: DataFrame, keyCols: Seq[String],
       leftTs: String, rightTs: String, rightVals: Seq[String],
-      rightTieBreak: Seq[Column] = Nil): DataFrame = {
+      rightTieBreak: Seq[String] = Nil): DataFrame = {
     require(rightVals.nonEmpty, "rightVals must name at least one payload column")
     val payload = "__asof_payload"
     val sideCol = "__asof_side"
     val tsCol = "__asof_ts"
+    // tie-break columns ride the union as their own (nullable) columns so
+    // the window can order by them; right-of-left at equal ts is kept by
+    // ordering side AFTER the tie-breaks only within the right side
+    // (left rows have null tie-breaks, nulls_first keeps them before any
+    // right row would be reordered past the side column — see order below)
+    val tbCols = rightTieBreak.zipWithIndex.map { case (_, i) => s"__asof_tb_$i" }
 
     val rightPrep = right.select(
       keyCols.map(col) ++ Seq(
         col(rightTs).as(tsCol),
         lit(0).as(sideCol),
-        struct(rightVals.map(col): _*).as(payload)): _*)
+        struct(rightVals.map(col): _*).as(payload)) ++
+        rightTieBreak.zip(tbCols).map { case (c, a) => col(c).as(a) }: _*)
     val payloadType = rightPrep.schema(payload).dataType
 
     val leftPrep = left.select(
       left.columns.map(col) ++ Seq(
         col(leftTs).as(tsCol),
         lit(1).as(sideCol),
-        lit(null).cast(payloadType).as(payload)): _*)
+        lit(null).cast(payloadType).as(payload)) ++
+        tbCols.map(a => lit(null).cast(rightPrep.schema(a).dataType).as(a)): _*)
     // right side carries left's non-key columns as nulls
     val rightAligned = leftPrep.columns.foldLeft(rightPrep) { (df, c) =>
       if (df.columns.contains(c)) df
       else df.withColumn(c, lit(null).cast(leftPrep.schema(c).dataType))
     }.select(leftPrep.columns.map(col): _*)
 
+    // order: ts, then side (right=0 before left=1), then the right-side
+    // tie-breaks ascending with nulls first — tie-break values are null
+    // only on left rows, which the side column has already placed last,
+    // so the tie-breaks reorder right rows exclusively
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(tsCol) +: col(sideCol) +: rightTieBreak: _*)
+      .orderBy(col(tsCol) +: col(sideCol) +: tbCols.map(c => asc_nulls_first(c)): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     leftPrep.unionByName(rightAligned)
@@ -118,7 +131,9 @@ object TimeSeries {
     val binUs = binSeconds * 1000000L
     def binStart(c: Column) = c - pmod(c, lit(binUs))
     val p = points.withColumn("__bin", binStart(col(pointTsUs)))
-    val iv = intervals.withColumn("__bin",
+    // malformed intervals (end before start) match nothing instead of
+    // failing the whole job — sequence() throws on stop < start
+    val iv = intervals.filter(col(endUs) >= col(startUs)).withColumn("__bin",
       explode(sequence(binStart(col(startUs)), binStart(col(endUs)), lit(binUs))))
     p.join(iv, keys :+ "__bin")
       .filter(col(pointTsUs) >= col(startUs) && col(pointTsUs) <= col(endUs))

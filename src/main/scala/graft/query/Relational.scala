@@ -16,9 +16,11 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
-  /** P5: fold a {column → value} equality-filter map over the frame. */
+  /** P5: fold a {column → value} equality-filter map over the frame.
+    * Null-safe: a null filter value matches null cells (`<=>`), where
+    * plain `===` would be never-true and silently return zero rows. */
   def dynamicFilter(df: DataFrame, filters: Map[String, Any]): DataFrame =
-    filters.foldLeft(df) { case (d, (k, v)) => d.filter(col(k) === lit(v)) }
+    filters.foldLeft(df) { case (d, (k, v)) => d.filter(col(k) <=> lit(v)) }
 
   /** O2: one page plus the has_more flag — fetches pageSize+1 rows so
     * has_more needs no extra count (the reference infers it from
@@ -37,13 +39,19 @@ object Relational {
   def cursorPageAsc(
       df: DataFrame, idCol: String, beforeId: Option[Long],
       tsCol: String, limit: Int): (DataFrame, Option[Long]) = {
+    import scala.jdk.CollectionConverters._
     val base = beforeId.map(c => df.filter(col(idCol) < c)).getOrElse(df)
-    val page = base.orderBy(desc(tsCol), desc(idCol)).limit(limit)
+    // collect the page ONCE: page and cursor must come from the same
+    // execution, or concurrent writes between two scans could hand back
+    // a cursor that skips rows the returned page never contained
+    val rows = base.orderBy(desc(tsCol), desc(idCol)).limit(limit).collect().toSeq
     // next cursor = the oldest row ON THE PAGE (last in desc order) — the
     // reference's messages[0].id after reverse; min(ids) would skip rows
     // whenever ids are not monotone with the timestamp
-    val ids = page.select(col(idCol)).collect().map(_.getLong(0))
-    (page.orderBy(asc(tsCol), asc(idCol)), ids.lastOption)
+    val nextCursor = rows.lastOption.map(_.getLong(rows.head.fieldIndex(idCol)))
+    val page = df.sparkSession.createDataFrame(rows.asJava, df.schema)
+      .orderBy(asc(tsCol), asc(idCol))
+    (page, nextCursor)
   }
 
   /** O4: the reference's status-rank sort key (Pending→1, In Progress→2,

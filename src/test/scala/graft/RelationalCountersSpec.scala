@@ -67,6 +67,39 @@ class RelationalCountersSpec extends SparkSpec {
     assert(math.abs(approx - 50.5) < 2.0)
   }
 
+  test("quantiles names sub-percent percentiles without truncation or collision") {
+    import graft.analytics.Quality
+    val df = (1 to 1000).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val got = Quality.quantiles(df, Seq("g"), "v", Seq(0.99, 0.999, 0.29))
+    assert(got.columns.toSet === Set("g", "p99", "p99_9", "p29"))
+    val r = got.select("p99", "p99_9", "p29").as[(Double, Double, Double)].head()
+    assert(r._1 < r._2)       // 99th < 99.9th — no silent overwrite
+    assert(r._3 === 290.71)   // 29th percentile, not mislabeled p28
+  }
+
+  test("zScoreOutliers scores rows with null group keys instead of dropping them") {
+    import graft.analytics.Quality
+    val df = Seq((1L, Some("a"), 1.0), (2L, Some("a"), 2.0),
+      (3L, None, 5.0), (4L, None, 6.0)).toDF("id", "g", "v")
+    val got = Quality.zScoreOutliers(df, Seq("g"), "v", threshold = 3.0)
+    assert(got.count() === 4) // null-group rows retained
+  }
+
+  test("dynamicFilter: null values match null cells, not zero rows") {
+    val df = Seq((1L, Some("x")), (2L, None)).toDF("id", "v")
+    val got = query.Relational.dynamicFilter(df, Map("v" -> null))
+      .select("id").as[Long].collect().toSeq
+    assert(got === Seq(2L))
+  }
+
+  test("consistency anchors format patterns (no substring over-count)") {
+    import graft.analytics.Quality
+    val df = Seq("123-45-6789", "x123-45-6789x", "nope").toDF("ssn")
+    val r = Quality.consistency(df, Map("ssn" -> """\d{3}-\d{2}-\d{4}"""))
+      .select("ssn_consistency").as[Double].head()
+    assert(math.abs(r - 1.0 / 3.0) < 1e-6)
+  }
+
   test("zScoreOutliers flags only extreme values, null-safe") {
     import graft.analytics.Quality
     import org.apache.spark.sql.functions._

@@ -43,6 +43,24 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(byStratum("rare") / 2000.0 - 0.9) < 0.05)
   }
 
+  test("null ids are never sampled, at any fraction") {
+    val df = Seq(Some(1L), Some(2L), None).toDF("id")
+    assert(Sampling.hashSample(df, "id", 1.0).count() === 2)
+    assert(Sampling.hashSample(df, "id", 0.999).filter($"id".isNull).count() === 0)
+  }
+
+  test("assignSplit is independent of hashSample membership (salted domain)") {
+    // splitting a 10% sample must still yield non-degenerate splits —
+    // same hash bits for both would put every sampled row in `train`
+    val sample = Sampling.hashSample(ids(20000), "id", 0.1)
+    val shares = Sampling.assignSplit(sample, "id", 0.8, 0.1)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    val n = shares.values.sum.toDouble
+    assert(shares.keySet === Set("train", "valid", "test"))
+    assert(math.abs(shares("train") / n - 0.8) < 0.05)
+    assert(math.abs(shares("valid") / n - 0.1) < 0.04)
+  }
+
   test("assignSplit is disjoint, exhaustive, and stable under corpus growth") {
     val small = Sampling.assignSplit(ids(1000), "id", 0.8, 0.1)
       .select("id", "split").as[(Long, String)].collect().toMap

@@ -45,6 +45,29 @@ class TimeSeriesSpec extends SparkSpec {
     assert(row.isNullAt(0)) // matched row, null value — not "no match" semantics
   }
 
+  test("joinAsOf rightTieBreak resolves right-ts ties deterministically") {
+    val left = Seq((1L, 1L, ts("2024-01-01 09:00:00"))).toDF("id", "k", "t")
+    val right = Seq(
+      (1L, ts("2024-01-01 08:00:00"), "low", 1L),
+      (1L, ts("2024-01-01 08:00:00"), "high", 2L)
+    ).toDF("k", "t", "v", "seq")
+    val got = TimeSeries.joinAsOf(left, right, Seq("k"), "t", "t", Seq("v"),
+        rightTieBreak = Seq("seq"))
+      .select("asof_v").as[String].head()
+    assert(got === "high") // last in ascending tie-break order wins
+  }
+
+  test("intervalJoin drops malformed intervals (end before start) instead of failing") {
+    val points = Seq((1L, 1L, 5000000L)).toDF("pid", "k", "p_us")
+    val intervals = Seq(
+      (1L, 10000000L, 0L),        // malformed
+      (1L, 0L, 10000000L)         // valid, contains the point
+    ).toDF("k", "s_us", "e_us")
+    val got = TimeSeries.intervalJoin(points, "p_us", intervals,
+      "s_us", "e_us", keys = Seq("k"), binSeconds = 3600)
+    assert(got.count() === 1)
+  }
+
   test("sessionize splits on gaps and sessionStats rolls up") {
     val df = Seq(
       (1L, 100L, ts("2024-01-01 08:00:00")),
