@@ -8,43 +8,30 @@ object DevDrive {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .appName("graft-devdrive").master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("DD_SHUFFLE", "32").toInt)
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("DD_AQE", "true"))
       .config("spark.ui.enabled", false)
       .getOrCreate()
-    val d = "/root/testdata/sf0.1"
+    spark.sparkContext.setLogLevel("ERROR")
 
-    def t(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime(); val n = f
-      println(f"$name%-32s ${(System.nanoTime() - t0) / 1e9}%.3f s  (n=$n)")
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"$name%-48s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
     }
 
-    import graft.functions.{HashExpressions, TextFunctions}
-    val docs = Tables.documents(spark, d)
-    // warm the JVM / parquet footer cache
-    docs.count()
-
-    val shingled = docs.select(col("doc_id").as("id"),
-      HashExpressions.shingleHashes(TextFunctions.words(col("text")), 3).as("shingles"))
-    t("shingles only")(shingled.agg(sum(size(col("shingles")))).head().getLong(0))
-
-    val sig = shingled.select(col("id"),
-      HashExpressions.minhashSignatureLongs(col("shingles"), 128).as("sig"))
-    t("shingles+sig")(sig.agg(sum(size(col("sig")))).head().getLong(0))
-
-    val banded = sig.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(31)),
-        b => hash(slice(col("sig"), b * 4 + 1, lit(4)), b))).as(Seq("band", "bucket")))
-    t("banded count")(banded.agg(count(lit(1))).head().getLong(0))
-
-    t("full q33")(graft.operators.Dedup.minHashNearDups(
-      docs, "doc_id", "text", 3, 128, 32, 0.8).count())
-
-    // q04 shape
-    val q04 = SparkEntry.queries("q04_region_revenue")
-    t("q04 as-is")(q04(spark, d).count())
-    q04(spark, d).explain("formatted")
-
+    val n = 10000000L
+    val chain = 5
+    val nodes = spark.range(n).select(col("id"))
+    val edges = spark.range(n).filter(col("id") % chain =!= 0)
+      .select(col("id").as("id_a"), (col("id") - 1).as("id_b"))
+    time(s"connected components ($n nodes, chains of $chain)") {
+      val k = operators.Dedup.connectedComponents(nodes, edges)
+        .select(countDistinct("cluster")).head().getLong(0)
+      println(s"  clusters=$k (expect ${(n + chain - 1) / chain})")
+    }
     spark.stop()
   }
 }

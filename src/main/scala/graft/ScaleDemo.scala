@@ -87,6 +87,62 @@ object ScaleDemo {
       operators.SimilaritySearch.topKJoin(queries100, "vec_id", "embedding",
         emb, "vec_id", "embedding", 5).count()
     }
+
+    // ---- dup clustering end-to-end at 200k docs -------------------------
+    time("dup clusters (LSH pairs -> CC -> reps)") {
+      val pairs = operators.Dedup
+        .minHashNearDups(docs, "doc_id", "text", threshold = 0.8)
+        .select("id_a", "id_b")
+      val reps = operators.Dedup.dupClusters(docs, "doc_id", pairs)
+        .filter(col("is_rep")).count()
+      println(s"  representatives=$reps")
+    }
+
+    // ---- connected components on a synthetic 10M-node pair graph --------
+    val ccNodes = sys.env.getOrElse("SCALE_CC_NODES", "10000000").toLong
+    val chain = 5 // chains of 5 -> worst-case diameter 4, ~5 rounds
+    time(s"connected components ($ccNodes nodes, chains of $chain)") {
+      val nodes = spark.range(ccNodes).select(col("id"))
+      val edges = spark.range(ccNodes).filter(col("id") % chain =!= 0)
+        .select(col("id").as("id_a"), (col("id") - 1).as("id_b"))
+      val k = operators.Dedup.connectedComponents(nodes, edges)
+        .select(countDistinct("cluster")).head().getLong(0)
+      println(s"  clusters=$k (expect ${(ccNodes + chain - 1) / chain})")
+    }
+
+    // ---- as-of / interval joins at 10M x 1M on 100k keys ----------------
+    // synthetic event times from xxhash64 (deterministic, ~11.5-day span)
+    val nKeys = 100000L
+    val span = 1000000000000L // 1e12 us
+    val points = spark.range(10000000L).select(
+      col("id"), (col("id") % nKeys).as("k"),
+      pmod(xxhash64(col("id")), lit(span)).as("t"))
+    val states = spark.range(1000000L).select(
+      (col("id") % nKeys).as("k"),
+      pmod(xxhash64(col("id") + 777), lit(span)).as("t"),
+      col("id").as("payload"))
+    time("as-of join: 10M points x 1M states, 100k keys") {
+      val n = operators.TimeSeries.joinAsOf(points, states, Seq("k"), "t", "t",
+          Seq("payload"))
+        .agg(count(col("asof_payload"))).head().getLong(0)
+      println(s"  matched=$n")
+    }
+    time("interval join: 10M points x 1M 1h-intervals (binned)") {
+      val ivs = states.select(col("k"), col("t").as("s_us"),
+        (col("t") + 3600000000L).as("e_us"))
+      val n = operators.TimeSeries.intervalJoin(
+        points.withColumnRenamed("t", "p_us"), "p_us",
+        ivs, "s_us", "e_us", Seq("k"), binSeconds = 3600).count()
+      println(s"  matched=$n")
+    }
+    time("sessionize 10M events, 100k keys (30 min gap)") {
+      // t is micros as long; sessionize casts via timestamp — feed micros
+      val ev = points.select(col("k"),
+        timestamp_micros(col("t")).as("ts"), col("id"))
+      val n = operators.TimeSeries.sessionStats(ev, Seq("k"), "ts",
+        gapSeconds = 1800, tieBreak = Seq(col("id"))).count()
+      println(s"  sessions=$n")
+    }
     spark.stop()
   }
 }

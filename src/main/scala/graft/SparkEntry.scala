@@ -445,6 +445,22 @@ object SparkEntry {
         .groupBy(col("split")).agg(count(lit(1)).as("n"))
         .orderBy(col("split"))),
 
+    "q68_vocab_topk" -> ((s, d) =>
+      // corpus vocabulary heavy hitters: two-stage agg (map-side partial),
+      // explode stays narrow — the only shuffle carries (word, count)
+      T.documents(s, d)
+        .select(explode(TF.words(lower(col("text")))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("word")).limit(50)),
+
+    "q70_curation" -> ((s, d) =>
+      operators.Curation.curate(T.documents(s, d), "doc_id", "text",
+          operators.Curation.Config(
+            lang = Some("en"), minTokens = 20, maxTokens = 1000,
+            maxPunctRatio = 0.1, sampleFraction = 0.5))
+        .select(col("doc_id"), col("n_tokens"))
+        .orderBy(col("doc_id"))),
+
     "q67_session_errors" -> ((s, d) => {
       // binned interval join: error events located inside their user's
       // sessions without a theta-join (equi-join on (key, time bucket))
@@ -880,6 +896,40 @@ object SparkEntry {
         |  WHEN substr(md5(event_id::VARCHAR || '|split'), 1, 4) < 'e667' THEN 'valid'
         |  ELSE 'test' END AS split, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY split""".stripMargin,
+
+    "q68_vocab_topk" ->
+      """SELECT word, count(*) AS n FROM (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+        |  FROM documents)
+        |GROUP BY word ORDER BY n DESC, word LIMIT 50""".stripMargin,
+
+    "q70_curation" ->
+      """WITH sc AS (SELECT doc_id, text,
+        |    len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_tokens,
+        |    CASE WHEN length(text) = 0 THEN 0.0
+        |      ELSE len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::DOUBLE / length(text) END AS punct_ratio,
+        |    len(regexp_extract_all(text, '(?i)\b(the|and|of|to|is|that|with)\b')) AS s_en,
+        |    len(regexp_extract_all(text, '(?i)\b(el|la|los|las|que|para)\b')) AS s_es,
+        |    len(regexp_extract_all(text, '(?i)\b(der|die|das|und|nicht|mit)\b')) AS s_de,
+        |    len(regexp_extract_all(text, '(?i)\b(le|la|les|des|est|dans)\b')) AS s_fr,
+        |    len(regexp_extract_all(text, '(?i)\b(il|la|che|per|con|sono)\b')) AS s_it
+        |  FROM documents),
+        |ann AS (SELECT doc_id, text, n_tokens, punct_ratio, CASE
+        |    WHEN greatest(s_en,s_es,s_de,s_fr,s_it) <= 0 THEN 'und'
+        |    WHEN s_en = greatest(s_en,s_es,s_de,s_fr,s_it) THEN 'en'
+        |    WHEN s_es = greatest(s_en,s_es,s_de,s_fr,s_it) THEN 'es'
+        |    WHEN s_de = greatest(s_en,s_es,s_de,s_fr,s_it) THEN 'de'
+        |    WHEN s_fr = greatest(s_en,s_es,s_de,s_fr,s_it) THEN 'fr'
+        |    ELSE 'it' END AS lang_pred
+        |  FROM sc),
+        |filt AS (SELECT * FROM ann WHERE lang_pred = 'en'
+        |  AND n_tokens BETWEEN 20 AND 1000 AND punct_ratio < 0.1),
+        |ded AS (SELECT doc_id, n_tokens,
+        |    row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+        |  FROM filt)
+        |SELECT doc_id, n_tokens FROM ded
+        |WHERE rn = 1 AND substr(md5(doc_id::VARCHAR), 1, 4) < '8000'
+        |ORDER BY doc_id""".stripMargin,
 
     "q67_session_errors" ->
       """WITH x AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),

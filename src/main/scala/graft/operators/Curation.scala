@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** End-to-end corpus curation — the composition a training-data
+  * pipeline actually runs over raw documents:
+  *
+  *   annotate (lang-ID, token count, punctuation ratio)
+  *     → filter (language + quality thresholds)
+  *     → exact dedup (sha256 content hash, lowest id wins)
+  *     → deterministic downsample ([[Sampling.hashSample]])
+  *
+  * Stage order is the cost order: annotation and filtering are narrow
+  * (no shuffle, whole-stage codegen over the scan), so the one shuffle —
+  * the dedup on content hash — sees only rows that survived filtering,
+  * and the sample filter after it is free. At 100 TB the plan is one
+  * pass over the scan plus one hash shuffle of the survivors.
+  */
+object Curation {
+
+  /** Thresholds for [[curate]]. Defaults are permissive; tighten per
+    * corpus. `sampleFraction` applies AFTER dedup so the rate is over
+    * unique documents. */
+  final case class Config(
+      lang: Option[String] = Some("en"),
+      minTokens: Int = 1,
+      maxTokens: Int = Int.MaxValue,
+      maxPunctRatio: Double = 1.0,
+      sampleFraction: Double = 1.0)
+
+  /** Returns the curated corpus: (idCol, n_tokens) per surviving doc,
+    * plus the annotation columns for auditability. */
+  def curate(df: DataFrame, idCol: String, textCol: String, cfg: Config): DataFrame = {
+    val annotated = df.select(
+      col(idCol), col(textCol),
+      TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+      TextFunctions.punctRatio(col(textCol)).as("punct_ratio"),
+      TextFunctions.langIdHeuristic(col(textCol)).as("lang_pred"))
+    val filtered = cfg.lang.foldLeft(
+      annotated.filter(
+        col("n_tokens") >= cfg.minTokens && col("n_tokens") <= cfg.maxTokens &&
+          col("punct_ratio") < cfg.maxPunctRatio)) {
+      (d, l) => d.filter(col("lang_pred") === l)
+    }
+    val deduped = Dedup.firstWins(
+      filtered.withColumn("content_hash", sha2(col(textCol), 256)),
+      Seq("content_hash"), Seq(asc(idCol)))
+    Sampling.hashSample(deduped, idCol, cfg.sampleFraction)
+      .drop("content_hash")
+  }
+}

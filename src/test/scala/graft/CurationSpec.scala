@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Curation
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val english = "the cat and the dog walked to the house " +
+    "that is near the river with all of that noise " * 2
+
+  test("curate: filters, dedups, and keeps annotation columns") {
+    val docs = Seq(
+      (1L, english),                       // survives
+      (2L, english),                       // exact dup of 1 — dropped
+      (3L, "el la los las que para " * 8), // spanish — dropped
+      (4L, "the of to is"),                // too short — dropped
+      (5L, english + " !!!???;;;###!!!???;;;###!!!???;;;###!!!???;;;###" * 12)
+    ).toDF("doc_id", "text")
+    val got = Curation.curate(docs, "doc_id", "text",
+      Curation.Config(lang = Some("en"), minTokens = 10, maxTokens = 10000,
+        maxPunctRatio = 0.05, sampleFraction = 1.0))
+    assert(got.select("doc_id").as[Long].collect().toSeq === Seq(1L))
+    assert(got.columns.contains("n_tokens") && got.columns.contains("lang_pred"))
+  }
+
+  test("curate: sampleFraction applies after dedup") {
+    // 200 unique docs, each duplicated once; a 50% sample of the deduped
+    // set must contain no duplicate hashes and roughly half the uniques
+    val base = (1L to 200L).map(i => (i, s"the cat and dog number $i walks to the house with the others of that street"))
+    val dup = base.map { case (i, t) => (i + 1000L, t) }
+    val docs = (base ++ dup).toDF("doc_id", "text")
+    val got = Curation.curate(docs, "doc_id", "text",
+      Curation.Config(lang = Some("en"), minTokens = 5,
+        maxPunctRatio = 1.0, sampleFraction = 0.5))
+    val n = got.count()
+    assert(n > 60 && n < 140, s"expected ~100 sampled uniques, got $n")
+    // all survivors come from the low-id (first-wins) range
+    assert(got.filter($"doc_id" > 1000L).count() === 0)
+  }
+}
