@@ -69,4 +69,52 @@ class PlanShapeSpec extends SparkSpec {
       "expected partial+final WindowGroupLimit, got:\n" +
         plan.map(_.getClass.getSimpleName).mkString(", "))
   }
+
+  test("as-of join plans as union + one window shuffle — no join operator at all") {
+    val plan = collectPlan(SparkEntry.queries("q60_asof_lastclick")(spark, dir))
+    val joins = plan.filter(p => p.getClass.getSimpleName.contains("Join"))
+    assert(joins.isEmpty,
+      "as-of must be union+window, not a range join: " +
+        joins.map(_.getClass.getSimpleName).mkString(", "))
+    assert(plan.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]))
+  }
+
+  test("interval join plans as an equi hash/merge join, never nested-loop") {
+    import graft.operators.TimeSeries
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, dir)
+    val sessions = TimeSeries.sessionStats(ev, Seq("user_id"), "ts", 1800)
+    val points = ev.select(col("user_id"), unix_micros(col("ts")).as("p_us"))
+    val plan = collectPlan(TimeSeries.intervalJoin(points, "p_us",
+      sessions, "session_start_us", "session_end_us", Seq("user_id"), 21600))
+    val bad = plan.filter(p =>
+      p.getClass.getSimpleName.contains("BroadcastNestedLoopJoin") ||
+        p.getClass.getSimpleName.contains("CartesianProduct"))
+    assert(bad.isEmpty, "interval join degenerated to a nested loop")
+    assert(plan.exists(p => p.getClass.getSimpleName.contains("HashJoin") ||
+      p.getClass.getSimpleName.contains("SortMergeJoin")))
+  }
+
+  test("top-k per group plans WindowGroupLimit (partial rank pruning)") {
+    val plan = collectPlan(SparkEntry.queries("q63_topk_per_group")(spark, dir))
+    assert(plan.exists(_.getClass.getSimpleName.contains("WindowGroupLimit")),
+      "expected WindowGroupLimit for rank<=k, got:\n" +
+        plan.map(_.getClass.getSimpleName).mkString(", "))
+  }
+
+  test("curation filters run below the dedup shuffle (one exchange, pruned scan)") {
+    // the operator itself, without q70's presentational ORDER BY (that
+    // adds a legitimate range exchange for deterministic output)
+    val plan = collectPlan(operators.Curation.curate(
+      Tables.documents(spark, dir), "doc_id", "text",
+      operators.Curation.Config(lang = Some("en"), minTokens = 20,
+        maxTokens = 1000, maxPunctRatio = 0.1, sampleFraction = 0.5)))
+    val exchanges = plan.collect { case e: Exchange => e }
+    assert(exchanges.size <= 1,
+      s"curation should shuffle once (dedup), got ${exchanges.size}")
+    val scan = plan.collect { case f: FileSourceScanExec => f }.head
+    val readCols = scan.requiredSchema.fieldNames.toSet
+    assert(readCols === Set("doc_id", "text"),
+      s"curation scan should read only (doc_id, text): $readCols")
+  }
 }
