@@ -49,6 +49,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("l2_norm", "l2_norm(a) - euclidean norm of a float/double array"),
       (args: Seq[Expression]) => L2Norm(args(0))))
 
+    ext.injectFunction((FunctionIdentifier("l2_normalize"),
+      info("l2_normalize", "l2_normalize(a) - unit-normalized copy of a float/double array (null for zero vectors)"),
+      (args: Seq[Expression]) => L2Normalize(args(0))))
+
     ext.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(tokens) - 64-bit SimHash of a string array"),
       (args: Seq[Expression]) => SimHash64(args(0))))

@@ -445,6 +445,22 @@ object SparkEntry {
         .groupBy(col("split")).agg(count(lit(1)).as("n"))
         .orderBy(col("split"))),
 
+    "q69_quantize_int8" -> ((s, d) => {
+      // symmetric per-vector int8 quantization: scale = max|x|/127,
+      // q_i = round(x_i / scale); summarized to scalars for the compare
+      val e = T.embeddings(s, d).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      e.withColumn("scale_raw",
+          array_max(transform(col("v"), x => abs(x))) / 127)
+        .filter(col("scale_raw") > 0)
+        .withColumn("qv",
+          transform(col("v"), x => round(x / col("scale_raw")).cast("int")))
+        .select(col("vec_id"), round(col("scale_raw"), 6).as("scale"),
+          aggregate(col("qv"), lit(0L), (acc, x) => acc + x).as("qsum"),
+          array_max(col("qv")).as("qmax"), array_min(col("qv")).as("qmin"))
+        .orderBy(col("vec_id"))
+    }),
+
     "q68_vocab_topk" -> ((s, d) =>
       // corpus vocabulary heavy hitters: two-stage agg (map-side partial),
       // explode stays narrow — the only shuffle carries (word, count)
@@ -896,6 +912,19 @@ object SparkEntry {
         |  WHEN substr(md5(event_id::VARCHAR || '|split'), 1, 4) < 'e667' THEN 'valid'
         |  ELSE 'test' END AS split, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY split""".stripMargin,
+
+    "q69_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) / 127 AS scale_raw
+        |  FROM e),
+        |q AS (SELECT vec_id, scale_raw,
+        |    list_transform(v, x -> round(x / scale_raw)::INT) AS qv
+        |  FROM s WHERE scale_raw > 0)
+        |SELECT vec_id, round(scale_raw, 6) AS scale,
+        |  list_sum(qv)::BIGINT AS qsum,
+        |  list_max(qv) AS qmax, list_min(qv) AS qmin
+        |FROM q ORDER BY vec_id""".stripMargin,
 
     "q68_vocab_topk" ->
       """SELECT word, count(*) AS n FROM (

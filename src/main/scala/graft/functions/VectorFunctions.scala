@@ -35,6 +35,12 @@ object VectorFunctions {
     toColumn(DotProduct(toExpr(a), toExpr(b)))
 
   def l2Norm(a: Column): Column = toColumn(L2Norm(toExpr(a)))
+
+  /** Unit-normalize a vector (null for zero vectors). A dedicated
+    * Expression, not `transform(v, e => e / l2_norm(v))`: higher-order
+    * lambdas are interpreted and re-evaluate the norm PER ELEMENT
+    * (O(d²) per row — the round-1 `bindOnce` lesson). */
+  def l2Normalize(a: Column): Column = toColumn(L2Normalize(toExpr(a)))
 }
 
 private[functions] object FloatArrayOps {
@@ -199,6 +205,60 @@ case class L2Norm(child: Expression)
       """
     })
   }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** x / |x|₂ in double precision; null for zero vectors (no direction). */
+case class L2Normalize(child: Expression)
+    extends UnaryExpression with FloatArrayOps {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    FloatArrayOps.check(prettyName, child.dataType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "l2_normalize"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var s = 0.0; var i = 0
+    while (i < n) { val v = get(child.dataType, x, i); s += v * v; i += 1 }
+    if (s == 0.0) null
+    else {
+      val norm = math.sqrt(s)
+      val out = new Array[Double](n)
+      i = 0
+      while (i < n) { out(i) = get(child.dataType, x, i) / norm; i += 1 }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val s = ctx.freshName("s"); val norm = ctx.freshName("norm")
+      val arr = ctx.freshName("arr")
+      s"""
+        int $n = $x.numElements();
+        double $s = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double v = ${getter(child.dataType, x, i)};
+          $s += v * v;
+        }
+        if ($s == 0.0) {
+          ${ev.isNull} = true;
+        } else {
+          double $norm = java.lang.Math.sqrt($s);
+          double[] $arr = new double[$n];
+          for (int $i = 0; $i < $n; $i++) {
+            $arr[$i] = ${getter(child.dataType, x, i)} / $norm;
+          }
+          ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);
+        }
+      """
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -73,6 +73,21 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(r.isNullAt(0) && r.isNullAt(1))
   }
 
+  test("l2Normalize: unit norm, direction preserved, null for zero vectors") {
+    val df = Seq(
+      (1L, Array(3f, 4f)),
+      (2L, Array(0f, 0f))
+    ).toDF("id", "v")
+    val rows = df.select($"id", l2Normalize($"v").as("n")).orderBy("id").collect()
+    val n1 = rows(0).getSeq[Double](1)
+    assert(math.abs(n1(0) - 0.6) < 1e-12 && math.abs(n1(1) - 0.8) < 1e-12)
+    assert(rows(1).isNullAt(1))
+    // norm of the normalized vector is 1
+    val renorm = df.filter($"id" === 1)
+      .select(l2Norm(l2Normalize($"v"))).as[Double].head()
+    assert(math.abs(renorm - 1.0) < 1e-12)
+  }
+
   test("works on double arrays too") {
     val df = Seq((Array(1.0, 0.0), Array(1.0, 0.0))).toDF("a", "b")
     assert(df.select(cosineSimilarity($"a", $"b")).as[Double].collect()(0) === 1.0)
