@@ -445,6 +445,23 @@ object SparkEntry {
         .groupBy(col("split")).agg(count(lit(1)).as("n"))
         .orderBy(col("split"))),
 
+    "q71_bloom_join" -> ((s, d) => {
+      // Bloom-pruned fact join: lineitem rows for rare expensive orders —
+      // the filter kills non-matching lineitems before the shuffle, and
+      // no false negatives means the result equals the plain join
+      val expensive = T.orders(s, d).filter(col("o_totalprice") > 400000)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      operators.BloomPrune.filteredJoin(
+          T.lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice"),
+            col("l_discount")),
+          "l_orderkey", expensive, "o_orderkey",
+          expectedItems = 10000L, numBits = 100000L)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          dprod(col("l_extendedprice"), lit(1.0) - col("l_discount")).as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     "q69_quantize_int8" -> ((s, d) => {
       // symmetric per-vector int8 quantization: scale = max|x|/127,
       // q_i = round(x_i / scale); summarized to scalars for the compare
@@ -912,6 +929,13 @@ object SparkEntry {
         |  WHEN substr(md5(event_id::VARCHAR || '|split'), 1, 4) < 'e667' THEN 'valid'
         |  ELSE 'test' END AS split, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY split""".stripMargin,
+
+    "q71_bloom_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.00 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 400000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q69_quantize_int8" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.functions._
+
+import graft.functions.ExprBridge.{toColumn, toExpr}
+
+/** Bloom-filter join pruning — the explicit form of Spark's runtime
+  * row-filter injection, for when the selective side is only known
+  * selective at runtime (a filtered dimension, a dedup survivor set).
+  *
+  * Build a Bloom filter over the small side's join keys (one aggregate,
+  * mergeable map-side), ship it as a literal into a `might_contain`
+  * predicate on the big side, then run the real equi-join. Bloom filters
+  * have no false negatives, so the join result is bit-identical; big-side
+  * rows that cannot match die at the scan instead of riding the shuffle.
+  * At 100 TB this is the difference between shuffling the full fact
+  * table and shuffling the ~matching fraction (false-positive rate set
+  * by `numBits`: ~1% at 10 bits/key).
+  */
+object BloomPrune {
+
+  /** Inner equi-join with the big side Bloom-pruned first.
+    *
+    * @param expectedItems expected distinct keys on the small side
+    * @param numBits       filter size in bits (~10x expectedItems → ~1% fp)
+    */
+  def filteredJoin(
+      big: DataFrame, bigKey: String, small: DataFrame, smallKey: String,
+      expectedItems: Long = 1000000L, numBits: Long = 10000000L): DataFrame = {
+    // BloomFilterAggregate / BloomFilterMightContain are the expressions
+    // Spark's own InjectRuntimeFilter plants; they are not in the SQL
+    // function registry, so build them directly
+    val bfAgg = toColumn(new BloomFilterAggregate(
+      toExpr(xxhash64(col(smallKey))),
+      org.apache.spark.sql.catalyst.expressions.Literal(expectedItems),
+      org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+      .toAggregateExpression())
+    val bf = small.agg(bfAgg.as("bf")).head().getAs[Array[Byte]](0)
+    val pruned = big.filter(
+      toColumn(BloomFilterMightContain(toExpr(lit(bf)), toExpr(xxhash64(col(bigKey))))))
+    pruned.join(small, col(bigKey) === col(smallKey))
+  }
+}

@@ -108,6 +108,18 @@ class DedupSpec extends SparkSpec {
       $"cluster" === $"rep").count() === 4)
   }
 
+  test("bloom-pruned join result is identical to the plain join") {
+    import graft.operators.BloomPrune
+    val big = (1L to 5000L).map(i => (i % 500, i)).toDF("k", "payload")
+    val small = Seq(7L, 13L, 42L).toDF("sk")
+    val pruned = BloomPrune.filteredJoin(big, "k", small, "sk",
+        expectedItems = 10, numBits = 1000)
+      .select("k", "payload").as[(Long, Long)].collect().toSet
+    val plain = big.join(small, $"k" === $"sk")
+      .select("k", "payload").as[(Long, Long)].collect().toSet
+    assert(pruned === plain && plain.size === 30) // 10 payloads per key
+  }
+
   test("embeddingNearDups: same-cluster cosine pairs only") {
     val df = Seq(
       (1L, Array(1f, 0f), 0), (2L, Array(0.99f, 0.1f), 0),
