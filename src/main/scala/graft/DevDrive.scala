@@ -3,35 +3,50 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.{TextFunctions => TF}
+
 /** Scratch profiling drive (not part of the library surface). */
 object DevDrive {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .appName("graft-devdrive").master("local[32]")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("DD_SHUFFLE", "32").toInt)
-      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("DD_AQE", "true"))
+      .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", false)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.1"
 
     def time[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime()
       val r = f
-      println(f"$name%-48s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      println(f"$name%-44s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       r
     }
 
-    val n = 10000000L
-    val chain = 5
-    val nodes = spark.range(n).select(col("id"))
-    val edges = spark.range(n).filter(col("id") % chain =!= 0)
-      .select(col("id").as("id_a"), (col("id") - 1).as("id_b"))
-    time(s"connected components ($n nodes, chains of $chain)") {
-      val k = operators.Dedup.connectedComponents(nodes, edges)
-        .select(countDistinct("cluster")).head().getLong(0)
-      println(s"  clusters=$k (expect ${(n + chain - 1) / chain})")
-    }
+    val docs = Tables.documents(spark, d)
+    docs.count() // warm
+
+    val annotated = docs.select(
+      col("doc_id"), col("text"),
+      TF.tokenCount(col("text")).cast("long").as("n_tokens"),
+      TF.punctRatio(col("text")).as("punct_ratio"),
+      TF.langIdHeuristic(col("text")).as("lang_pred"))
+    time("annotate only")(
+      annotated.agg(sum(col("n_tokens")), sum(length(col("lang_pred")))).head())
+    val filtered = annotated.filter(col("lang_pred") === "en" &&
+      col("n_tokens") >= 20 && col("n_tokens") <= 1000 && col("punct_ratio") < 0.1)
+    time("annotate+filter")(
+      filtered.agg(sum(col("n_tokens"))).head())
+    val deduped = operators.Dedup.firstWins(
+      filtered.withColumn("content_hash", sha2(col("text"), 256)),
+      Seq("content_hash"), Seq(asc("doc_id")))
+    time("  +dedup")(deduped.agg(sum(col("n_tokens"))).head())
+    time("full curate op")(
+      operators.Curation.curate(docs, "doc_id", "text",
+        operators.Curation.Config(Some("en"), 20, 1000, 0.1, 0.5))
+        .agg(sum(col("n_tokens"))).head())
+    time("full q70 (with orderBy)")(
+      SparkEntry.queries("q70_curation")(spark, d).count())
     spark.stop()
   }
 }

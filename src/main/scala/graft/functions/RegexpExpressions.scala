@@ -1,0 +1,55 @@
+package graft.functions
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.ExprBridge.{toColumn, toExpr}
+
+object RegexpExpressions {
+  /** Number of non-overlapping matches of `pattern` in the string —
+    * equivalent to `size(regexp_extract_all(c, pattern, 0))` but without
+    * materializing the match array. The text-quality annotations
+    * (token counts, punctuation density, stopword and language-marker
+    * hits) only ever need the COUNT; building a string array per row
+    * just to take its size dominates a 100 TB annotate pass. */
+  def regexpCount(c: Column, pattern: String): Column =
+    toColumn(RegexpCount(toExpr(c), pattern))
+}
+
+/** Count of regex matches; the Pattern compiles once per operator
+  * instance, not per row. */
+case class RegexpCount(child: Expression, pattern: String)
+    extends UnaryExpression {
+
+  @transient private lazy val compiled: Pattern = Pattern.compile(pattern)
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "regexp_count"
+
+  override def nullSafeEval(s: Any): Any = {
+    val m = compiled.matcher(s.asInstanceOf[UTF8String].toString)
+    var n = 0
+    while (m.find()) n += 1
+    n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val patRef = ctx.addReferenceObj("pattern", compiled, classOf[Pattern].getName)
+    nullSafeCodeGen(ctx, ev, s => {
+      val m = ctx.freshName("m")
+      s"""
+        java.util.regex.Matcher $m = $patRef.matcher($s.toString());
+        ${ev.value} = 0;
+        while ($m.find()) ${ev.value}++;
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

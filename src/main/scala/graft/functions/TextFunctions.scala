@@ -220,7 +220,11 @@ object TextFunctions {
     arr
   }
 
-  def tokenCount(c: Column): Column = size(tokens(c))
+  /** Count-only token pass — a native [[RegexpCount]] Expression, not
+    * `size(regexp_extract_all(...))`: counting must not materialize a
+    * string array per row. */
+  def tokenCount(c: Column): Column =
+    RegexpExpressions.regexpCount(c, TokenPattern)
 
   /** Whitespace word split (for shingling / minhash). */
   def words(c: Column): Column = split(trim(c), """\s+""")
@@ -255,14 +259,14 @@ object TextFunctions {
   /** Ratio of stopword tokens to all tokens (quality signal). */
   def stopwordRatio(c: Column): Column = {
     val pat = "(?i)\\b(" + EnStopwords.mkString("|") + ")\\b"
-    val hits = size(regexp_extract_all(c, lit(pat), lit(0)))
+    val hits = RegexpExpressions.regexpCount(c, pat)
     val total = tokenCount(c)
     when(total === 0, lit(0.0)).otherwise(hits.cast("double") / total)
   }
 
   /** Punctuation density (quality signal). */
   def punctRatio(c: Column): Column = {
-    val p = size(regexp_extract_all(c, lit("[^A-Za-z0-9\\s]"), lit(0)))
+    val p = RegexpExpressions.regexpCount(c, "[^A-Za-z0-9\\s]")
     when(length(c) === 0, lit(0.0)).otherwise(p.cast("double") / length(c))
   }
 
@@ -286,13 +290,23 @@ object TextFunctions {
       "fr" -> Seq("le", "la", "les", "des", "est", "dans"),
       "it" -> Seq("il", "la", "che", "per", "con", "sono")
     )
-    val scores = markers.map { case (lang, ws) =>
+    // The regex scores are bound ONCE into an array and the CASE reads
+    // array elements: a fold that nests the accumulator duplicates every
+    // regex subtree 2x per level (32x at 5 languages) — codegen's
+    // subexpression elimination hides that in a small projection, but a
+    // wide projection (e.g. Curation's combined annotate) falls back and
+    // pays it for real (measured: 2.5 s -> 0.4 s at sf0.1).
+    val scoreArr = array(markers.map { case (_, ws) =>
       val pat = "(?i)\\b(" + ws.mkString("|") + ")\\b"
-      lang -> size(regexp_extract_all(c, lit(pat), lit(0)))
-    }
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    scores.foldLeft(when(best <= 0, lit("und")).otherwise(lit(null: String))) {
-      case (acc, (lang, s)) => when(acc.isNotNull, acc).when(s === best, lit(lang)).otherwise(lit(null: String))
+      RegexpExpressions.regexpCount(c, pat)
+    }: _*)
+    bindOnce(scoreArr) { s =>
+      val sc = markers.indices.map(i => element_at(s, i + 1))
+      val best = sc.reduce((a, b) => greatest(a, b))
+      markers.zipWithIndex.dropRight(1)
+        .foldLeft(when(best <= 0, lit("und"))) {
+          case (acc, ((lang, _), i)) => acc.when(sc(i) === best, lit(lang))
+        }.otherwise(lit(markers.last._1))
     }
   }
 
