@@ -976,7 +976,7 @@ object SparkEntry {
         |    ELSE 'it' END AS lang_pred
         |  FROM sc),
         |filt AS (SELECT * FROM ann WHERE lang_pred = 'en'
-        |  AND n_tokens BETWEEN 20 AND 1000 AND punct_ratio < 0.1),
+        |  AND n_tokens BETWEEN 20 AND 1000 AND punct_ratio <= 0.1),
         |ded AS (SELECT doc_id, n_tokens,
         |    row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
         |  FROM filt)

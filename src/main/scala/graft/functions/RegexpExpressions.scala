@@ -28,6 +28,16 @@ case class RegexpCount(child: Expression, pattern: String)
 
   @transient private lazy val compiled: Pattern = Pattern.compile(pattern)
 
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects a string column, got ${other.catalogString}")
+    }
+
   override def dataType: DataType = IntegerType
   override def prettyName: String = "regexp_count"
 

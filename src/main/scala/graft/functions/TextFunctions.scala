@@ -300,7 +300,7 @@ object TextFunctions {
       val pat = "(?i)\\b(" + ws.mkString("|") + ")\\b"
       RegexpExpressions.regexpCount(c, pat)
     }: _*)
-    bindOnce(scoreArr) { s =>
+    val chain = bindOnce(scoreArr) { s =>
       val sc = markers.indices.map(i => element_at(s, i + 1))
       val best = sc.reduce((a, b) => greatest(a, b))
       markers.zipWithIndex.dropRight(1)
@@ -308,6 +308,9 @@ object TextFunctions {
           case (acc, ((lang, _), i)) => acc.when(sc(i) === best, lit(lang))
         }.otherwise(lit(markers.last._1))
     }
+    // null text must stay null: with a null input every CASE condition is
+    // null so the chain would fall through to the final otherwise ('it')
+    when(c.isNull, lit(null: String)).otherwise(chain)
   }
 
   /** Order-sensitive 64-bit document fingerprint over tokens: the

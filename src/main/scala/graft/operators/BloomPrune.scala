@@ -30,17 +30,28 @@ object BloomPrune {
   def filteredJoin(
       big: DataFrame, bigKey: String, small: DataFrame, smallKey: String,
       expectedItems: Long = 1000000L, numBits: Long = 10000000L): DataFrame = {
+    // materialize the small side ONCE: the filter build and the join must
+    // see the same rows, or a nondeterministic plan (sample, unordered
+    // limit — exactly the runtime-selective inputs this is for) would
+    // produce real false negatives between the two executions
+    val smallM = small.localCheckpoint(true)
+    // hash on a canonical string form: xxhash64 hashes int and long
+    // representations of the same value differently, so a type mismatch
+    // between the key columns would otherwise prune every matching row
+    def keyHash(c: org.apache.spark.sql.Column) = xxhash64(c.cast("string"))
     // BloomFilterAggregate / BloomFilterMightContain are the expressions
     // Spark's own InjectRuntimeFilter plants; they are not in the SQL
     // function registry, so build them directly
     val bfAgg = toColumn(new BloomFilterAggregate(
-      toExpr(xxhash64(col(smallKey))),
+      toExpr(keyHash(col(smallKey))),
       org.apache.spark.sql.catalyst.expressions.Literal(expectedItems),
       org.apache.spark.sql.catalyst.expressions.Literal(numBits))
       .toAggregateExpression())
-    val bf = small.agg(bfAgg.as("bf")).head().getAs[Array[Byte]](0)
+    val bf = smallM.agg(bfAgg.as("bf")).head().getAs[Array[Byte]](0)
     val pruned = big.filter(
-      toColumn(BloomFilterMightContain(toExpr(lit(bf)), toExpr(xxhash64(col(bigKey))))))
-    pruned.join(small, col(bigKey) === col(smallKey))
+      toColumn(BloomFilterMightContain(toExpr(lit(bf)), toExpr(keyHash(col(bigKey))))))
+    // parent-frame column refs: col(...) on both sides would be ambiguous
+    // when bigKey and smallKey share a name (the common equi-join shape)
+    pruned.join(smallM, pruned(bigKey) === smallM(smallKey))
   }
 }

@@ -22,8 +22,10 @@ import graft.functions.TextFunctions
 object Curation {
 
   /** Thresholds for [[curate]]. Defaults are permissive; tighten per
-    * corpus. `sampleFraction` applies AFTER dedup so the rate is over
-    * unique documents. */
+    * corpus. All bounds are inclusive (a doc at exactly maxPunctRatio
+    * survives, so the 1.0 default truly keeps everything).
+    * `sampleFraction` applies AFTER dedup so the rate is over unique
+    * documents. */
   final case class Config(
       lang: Option[String] = Some("en"),
       minTokens: Int = 1,
@@ -42,12 +44,10 @@ object Curation {
     val filtered = cfg.lang.foldLeft(
       annotated.filter(
         col("n_tokens") >= cfg.minTokens && col("n_tokens") <= cfg.maxTokens &&
-          col("punct_ratio") < cfg.maxPunctRatio)) {
+          col("punct_ratio") <= cfg.maxPunctRatio)) {
       (d, l) => d.filter(col("lang_pred") === l)
     }
-    val deduped = Dedup.firstWins(
-      filtered.withColumn("content_hash", sha2(col(textCol), 256)),
-      Seq("content_hash"), Seq(asc(idCol)))
+    val deduped = Dedup.exactByContent(filtered, textCol, Seq(asc(idCol)))
     Sampling.hashSample(deduped, idCol, cfg.sampleFraction)
       .drop("content_hash")
   }

@@ -211,6 +211,15 @@ object Dedup {
     finally spark.conf.set(aqeKey, aqeBefore)
   }
 
+  /** Release the storage blocks of a localCheckpoint'd frame that is no
+    * longer referenced (each CC round supersedes the previous labels;
+    * without this, O(rounds x nodes) cached copies accumulate). */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.optimizedPlan.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
+
   private def connectedComponentsLoop(
       nodes: DataFrame, pairs: DataFrame, maxIter: Int): DataFrame = {
     // symmetrize once; only (src, dst) ids ride through the loop shuffles
@@ -218,6 +227,15 @@ object Dedup {
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
     var labels = nodes.select(col("id"), col("id").as("cluster")).localCheckpoint(true)
+    // Fail loudly if an edge references an id outside `nodes`: such ids
+    // appear in the label table mid-loop, which breaks both convergence
+    // probes' monotonicity argument — the loop could stop before the
+    // orphan's component finishes propagating. One left-anti probe over
+    // the edge list, once, before iterating.
+    val orphan = sym.join(labels, sym("src") === labels("id"), "left_anti").limit(1)
+    require(orphan.isEmpty,
+      "pairs reference ids not present in nodes (e.g. " +
+        orphan.collect().mkString(",") + "); nodes must cover every endpoint")
     // Convergence probe. Labels only ever decrease, so for integral ids
     // the exact DECIMAL(38,0) label sum is strictly monotone until the
     // fixed point — one tiny aggregate per round. For every other id
@@ -255,9 +273,11 @@ object Dedup {
           .join(labels.withColumnRenamed("cluster", "prev"), "id")
           .filter(col("cluster") =!= col("prev")).isEmpty
       }
+      freeCheckpoint(labels) // superseded round — release its blocks
       labels = next
       i += 1
     }
+    freeCheckpoint(sym)
     require(converged, s"connectedComponents did not converge in $maxIter rounds " +
       "(component diameter exceeds maxIter — not a near-dup-shaped graph)")
     labels

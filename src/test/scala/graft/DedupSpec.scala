@@ -120,6 +120,25 @@ class DedupSpec extends SparkSpec {
     assert(pruned === plain && plain.size === 30) // 10 payloads per key
   }
 
+  test("bloom prune survives same-name keys and int/long key-type mismatch") {
+    import graft.operators.BloomPrune
+    val big = (1 to 100).map(i => (i % 10, i)).toDF("k", "payload") // k: Int
+    val small = Seq(3L, 7L).toDF("k")                               // k: Long
+    val got = BloomPrune.filteredJoin(big, "k", small, "k",
+        expectedItems = 10, numBits = 1000)
+      .select("payload").as[Int].collect().toSet
+    assert(got === (1 to 100).filter(i => i % 10 == 3 || i % 10 == 7).toSet)
+  }
+
+  test("connectedComponents rejects edges referencing ids outside nodes") {
+    val nodes = Seq(3L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(nodes, pairs)
+    }
+    assert(e.getMessage.contains("nodes must cover every endpoint"))
+  }
+
   test("embeddingNearDups: same-cluster cosine pairs only") {
     val df = Seq(
       (1L, Array(1f, 0f), 0), (2L, Array(0.99f, 0.1f), 0),

@@ -134,6 +134,21 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got(1)._2 === 1.0) // all punctuation
   }
 
+  test("langIdHeuristic: per-language markers, und for no hits, null stays null") {
+    val df = Seq(
+      (1L, Some("the cat and the dog, that is all of it")),
+      (2L, Some("el perro que corre para la casa y los gatos")),
+      (3L, Some("xyzzy plugh 12345")),
+      (4L, Some("")),
+      (5L, Option.empty[String])
+    ).toDF("id", "t")
+    val got = df.select($"id", langIdHeuristic($"t").as("l"))
+      .orderBy("id").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got === Map(1L -> Some("en"), 2L -> Some("es"),
+      3L -> Some("und"), 4L -> Some("und"), 5L -> None))
+  }
+
   test("sanitize for display: truncation, newline collapse, html escape") {
     val df = Seq("a\nb<script>x</script>" ).toDF("t")
     assert(df.select(sanitizeForDisplay($"t")).as[String].collect()(0)
