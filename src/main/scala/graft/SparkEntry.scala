@@ -445,6 +445,16 @@ object SparkEntry {
         .groupBy(col("split")).agg(count(lit(1)).as("n"))
         .orderBy(col("split"))),
 
+    "q72_nfc_hash" -> ((s, d) =>
+      // NFC-normalize before content hashing: combining-character variants
+      // of identical text must land in the same dedup bucket
+      T.documents(s, d).select(col("doc_id"),
+          md5(graft.functions.RegexpExpressions.nfcNormalize(col("text")))
+            .as("nfc_hash"),
+          length(graft.functions.RegexpExpressions.nfcNormalize(col("text")))
+            .cast("long").as("nfc_len"))
+        .orderBy(col("doc_id"))),
+
     "q71_bloom_join" -> ((s, d) => {
       // Bloom-pruned fact join: lineitem rows for rare expensive orders —
       // the filter kills non-matching lineitems before the shuffle, and
@@ -929,6 +939,11 @@ object SparkEntry {
         |  WHEN substr(md5(event_id::VARCHAR || '|split'), 1, 4) < 'e667' THEN 'valid'
         |  ELSE 'test' END AS split, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY split""".stripMargin,
+
+    "q72_nfc_hash" ->
+      """SELECT doc_id, md5(nfc_normalize(text)) AS nfc_hash,
+        |  length(nfc_normalize(text)) AS nfc_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q71_bloom_join" ->
       """SELECT o_orderpriority, count(*) AS n_items,

@@ -11,6 +11,13 @@ import org.apache.spark.unsafe.types.UTF8String
 import graft.functions.ExprBridge.{toColumn, toExpr}
 
 object RegexpExpressions {
+  /** Unicode NFC normalization — canonical composition so visually
+    * identical text (e.g. "é" as U+00E9 vs e + U+0301) hashes and
+    * dedups identically. A multilingual corpus MUST normalize before
+    * content-hash dedup or near-dup shingling, or the same document
+    * ingested from two sources never matches. */
+  def nfcNormalize(c: Column): Column = toColumn(NfcNormalize(toExpr(c)))
+
   /** Number of non-overlapping matches of `pattern` in the string —
     * equivalent to `size(regexp_extract_all(c, pattern, 0))` but without
     * materializing the match array. The text-quality annotations
@@ -59,6 +66,39 @@ case class RegexpCount(child: Expression, pattern: String)
       """
     })
   }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Unicode NFC (canonical composition) of a string. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects a string column, got ${other.catalogString}")
+    }
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override def nullSafeEval(s: Any): Any =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      s.asInstanceOf[UTF8String].toString, java.text.Normalizer.Form.NFC))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      s"""
+        ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+          java.text.Normalizer.normalize($s.toString(),
+            java.text.Normalizer.Form.NFC));
+      """
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

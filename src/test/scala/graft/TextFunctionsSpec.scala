@@ -134,6 +134,17 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got(1)._2 === 1.0) // all punctuation
   }
 
+  test("nfcNormalize: decomposed and composed forms hash identically") {
+    import graft.functions.RegexpExpressions.nfcNormalize
+    val composed = "café"            // é as a single codepoint
+    val decomposed = "café"         // e + combining acute
+    val df = Seq((1L, composed), (2L, decomposed), (3L, null)).toDF("id", "t")
+    val got = df.select($"id", md5(nfcNormalize($"t")).as("h")).orderBy("id").collect()
+    assert(got(0).getString(1) === got(1).getString(1))
+    assert(got(2).isNullAt(1))
+    assert(composed !== decomposed) // the raw strings differ
+  }
+
   test("langIdHeuristic: per-language markers, und for no hits, null stays null") {
     val df = Seq(
       (1L, Some("the cat and the dog, that is all of it")),
