@@ -3,50 +3,42 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{TextFunctions => TF}
-
 /** Scratch profiling drive (not part of the library surface). */
 object DevDrive {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
-      .appName("graft-devdrive").master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
+      .appName("graft-devdrive").master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
       .config("spark.ui.enabled", false)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val d = "/root/testdata/sf0.1"
+    val d = "/root/testdata/sf0.001"
 
-    def time[T](name: String)(f: => T): T = {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"$name%-44s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
-      r
-    }
+    // k-means end-to-end on the real embeddings table
+    val emb = Tables.embeddings(spark, d)
+    val n = emb.count()
+    val cents = operators.SimilaritySearch.kmeansCentroids(
+      emb, "vec_id", "embedding", k = 8, iters = 5)
+    assert(cents.count() == 8, "expected 8 learned centroids")
+    val assigned = operators.SimilaritySearch.assignClusters(
+      emb, "vec_id", "embedding", cents)
+    assert(assigned.count() == n, "every vector assigned")
+    val sizes = assigned.groupBy("cluster").count()
+    assert(sizes.count() == 8, "no empty clusters on this data")
 
-    val docs = Tables.documents(spark, d)
-    docs.count() // warm
-
-    val annotated = docs.select(
-      col("doc_id"), col("text"),
-      TF.tokenCount(col("text")).cast("long").as("n_tokens"),
-      TF.punctRatio(col("text")).as("punct_ratio"),
-      TF.langIdHeuristic(col("text")).as("lang_pred"))
-    time("annotate only")(
-      annotated.agg(sum(col("n_tokens")), sum(length(col("lang_pred")))).head())
-    val filtered = annotated.filter(col("lang_pred") === "en" &&
-      col("n_tokens") >= 20 && col("n_tokens") <= 1000 && col("punct_ratio") < 0.1)
-    time("annotate+filter")(
-      filtered.agg(sum(col("n_tokens"))).head())
-    val deduped = operators.Dedup.firstWins(
-      filtered.withColumn("content_hash", sha2(col("text"), 256)),
-      Seq("content_hash"), Seq(asc("doc_id")))
-    time("  +dedup")(deduped.agg(sum(col("n_tokens"))).head())
-    time("full curate op")(
-      operators.Curation.curate(docs, "doc_id", "text",
-        operators.Curation.Config(Some("en"), 20, 1000, 0.1, 0.5))
-        .agg(sum(col("n_tokens"))).head())
-    time("full q70 (with orderBy)")(
-      SparkEntry.queries("q70_curation")(spark, d).count())
+    val q = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val exact = operators.SimilaritySearch.topK(emb, "embedding", q, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val full = operators.SimilaritySearch.ivfTopK(
+        assigned, "cluster", "embedding", cents, q, 10, nprobe = 8)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(full == exact, s"all-probe IVF must equal exact: $full vs $exact")
+    val pruned = operators.SimilaritySearch.ivfTopK(
+        assigned, "cluster", "embedding", cents, q, 10, nprobe = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    println(s"n=$n learned-IVF nprobe=2 recall@10 = ${(exact & pruned).size / 10.0}")
+    println("DEVDRIVE PASS")
     spark.stop()
   }
 }

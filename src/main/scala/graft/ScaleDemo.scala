@@ -88,6 +88,22 @@ object ScaleDemo {
         emb, "vec_id", "embedding", 5).count()
     }
 
+    // ---- learned IVF quantizer at 20k vectors ---------------------------
+    time("kmeans quantizer (k=10, 5 iters, 20k x 64d)") {
+      val cents = operators.SimilaritySearch.kmeansCentroids(
+        emb, "vec_id", "embedding", k = 10, iters = 5)
+      val assigned = operators.SimilaritySearch.assignClusters(
+        emb, "vec_id", "embedding", cents).cache()
+      val exact = operators.SimilaritySearch.topK(emb, "embedding", q, 10)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val approx = operators.SimilaritySearch.ivfTopK(
+          assigned, "cluster", "embedding", cents, q, 10, nprobe = 2)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      println(s"  learned-IVF nprobe=2 recall@10 = ${
+        (exact & approx).size / 10.0}")
+      assigned.unpersist()
+    }
+
     // ---- dup clustering end-to-end at 200k docs -------------------------
     time("dup clusters (LSH pairs -> CC -> reps)") {
       val pairs = operators.Dedup

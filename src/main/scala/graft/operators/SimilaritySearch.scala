@@ -80,4 +80,78 @@ object SimilaritySearch {
       .select(col("cluster").as(clusterCol))
     topK(corpus.join(broadcast(probed), Seq(clusterCol)), vecCol, query, k)
   }
+
+  /** Assign every vector to its nearest centroid (max cosine). Centroids
+    * broadcast; per-row argmax via map-side `max_by` combiner, so the
+    * n×k expansion collapses before any shuffle. Adds `cluster`. */
+  def assignClusters(
+      df: DataFrame, idCol: String, vecCol: String, cents: DataFrame): DataFrame = {
+    val scored = df.crossJoin(broadcast(
+        cents.select(col("cluster").as("__c"), col("centroid").as("__cv"))))
+      .withColumn("__sim", cosineSimilarity(col(vecCol), col("__cv")))
+    scored
+      .groupBy(col(idCol))
+      .agg(expr("max_by(__c, struct(__sim, -__c))").as("cluster"))
+      // ^ deterministic tie-break: highest sim, then lowest cluster id
+      .join(df, Seq(idCol))
+  }
+
+  /** Lloyd's k-means over float-array vectors — learns the IVF coarse
+    * quantizer when no natural cluster column exists (pgvector's
+    * `ivfflat lists=k` trains exactly this). Cosine assignment, mean
+    * update via the same (cluster, dim) shuffle as [[centroids]].
+    *
+    * Deterministic farthest-point init (greedy k-center): the first
+    * seed is the vector with the lowest md5(id); each next seed is the
+    * vector least similar to every seed so far — spreads seeds across
+    * the data's modes (random init routinely drops two seeds in one
+    * blob and Lloyd cannot split them apart), and is stable across
+    * runs and cluster layouts. Driver holds only k centroids per round
+    * (k is small by design — the coarse quantizer, not the index).
+    * Fixed `iters` rounds, the standard k-means termination at scale;
+    * AQE is toggled off for the loop like
+    * [[graft.operators.Dedup.connectedComponents]].
+    *
+    * @return (cluster: int, centroid: array<float>) — feed to [[ivfTopK]]
+    *         via [[assignClusters]]
+    */
+  def kmeansCentroids(
+      df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int = 10): DataFrame = {
+    val spark = df.sparkSession
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeBefore = spark.conf.get(aqeKey)
+    spark.conf.set(aqeKey, "false")
+    try {
+      val vecs = df.select(col(idCol), col(vecCol)).localCheckpoint(true)
+      def vecOf(r: org.apache.spark.sql.Row): Array[Float] =
+        r.getSeq[Float](r.fieldIndex(vecCol)).toArray
+      val first = vecs.orderBy(md5(col(idCol).cast("string"))).limit(1).head()
+      var seeds = Vector(vecOf(first))
+      while (seeds.size < k) {
+        // farthest point: minimal best-similarity to any current seed;
+        // zero vectors (null cosine) sort as 1.0 so they are never picked
+        val sims = seeds.map(s => cosineSimilarity(col(vecCol), typedlit(s)))
+        val maxSim = if (sims.size == 1) sims.head else greatest(sims: _*)
+        val bestSim = coalesce(maxSim, lit(1.0))
+        seeds = seeds :+ vecOf(
+          vecs.select(col(idCol), col(vecCol), bestSim.as("__b"))
+            .orderBy(asc("__b"), md5(col(idCol).cast("string")))
+            .limit(1).head())
+      }
+      import spark.implicits._
+      var cents = seeds.zipWithIndex.map { case (v, i) => (i, v) }
+        .toDF("cluster", "centroid").localCheckpoint(true)
+      var i = 0
+      while (i < iters) {
+        val assigned = assignClusters(vecs, idCol, vecCol, cents)
+        val next = centroids(assigned, "cluster", vecCol).localCheckpoint(true)
+        // empty clusters keep their previous centroid (standard Lloyd fix)
+        val kept = cents.join(next, Seq("cluster"), "left_anti")
+        cents = next.unionByName(kept).localCheckpoint(true)
+        i += 1
+      }
+      cents
+    } finally spark.conf.set(aqeKey, aqeBefore)
+  }
 }

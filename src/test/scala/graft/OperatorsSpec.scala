@@ -56,6 +56,35 @@ class OperatorsSpec extends SparkSpec {
 
   // --- knowledge base ----------------------------------------------------
 
+  test("kmeansCentroids recovers well-separated clusters; IVF over them is exact at full probe") {
+    import graft.operators.SimilaritySearch
+    // three tight 2-D blobs on distinct directions (cosine-separable)
+    // asymmetric coordinates so no two vectors tie in similarity to the
+    // query below (topK breaks ties arbitrarily, like the reference)
+    val blobs = Seq(
+      (Array(1f, 0.01f), 0), (Array(1f, -0.01f), 0), (Array(0.99f, 0.02f), 0),
+      (Array(0.01f, 1f), 1), (Array(-0.01f, 1f), 1), (Array(0.03f, 0.99f), 1),
+      (Array(-1f, 0.01f), 2), (Array(-1f, -0.01f), 2), (Array(-0.99f, 0f), 2)
+    )
+    val df = blobs.zipWithIndex.map { case ((v, g), i) => (i.toLong, v, g) }
+      .toDF("id", "vec", "truth")
+    val cents = SimilaritySearch.kmeansCentroids(df, "id", "vec", k = 3, iters = 5)
+    assert(cents.count() === 3)
+    val assigned = SimilaritySearch.assignClusters(df, "id", "vec", cents)
+    // every learned cluster maps 1:1 onto a ground-truth blob
+    val purity = assigned.groupBy("cluster", "truth").count()
+      .groupBy("cluster").count().select("count").as[Long].collect()
+    assert(purity.forall(_ === 1L), "a learned cluster spans two blobs")
+    // IVF with learned centroids, all probed == exact
+    val q = Array(0.6f, 0.8f)
+    val exact = SimilaritySearch.topK(df, "vec", q, 3)
+      .select("id").as[Long].collect().toSeq
+    val ivf = SimilaritySearch.ivfTopK(
+        assigned, "cluster", "vec", cents, q, 3, nprobe = 3)
+      .select("id").as[Long].collect().toSeq
+    assert(ivf === exact)
+  }
+
   test("matchDocuments sorts ascending by cosine DISTANCE (pgvector quirk)") {
     val kb = corpus.withColumn("source_type", lit("official_doc"))
     val got = KnowledgeBase.matchDocuments(kb, Array(1f, 0f, 0f), 2)
