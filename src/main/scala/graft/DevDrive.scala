@@ -21,7 +21,7 @@ object DevDrive {
       emb, "vec_id", "embedding", k = 8, iters = 5)
     assert(cents.count() == 8, "expected 8 learned centroids")
     val assigned = operators.SimilaritySearch.assignClusters(
-      emb, "vec_id", "embedding", cents)
+      emb, "embedding", cents)
     assert(assigned.count() == n, "every vector assigned")
     val sizes = assigned.groupBy("cluster").count()
     assert(sizes.count() == 8, "no empty clusters on this data")

@@ -93,7 +93,7 @@ object ScaleDemo {
       val cents = operators.SimilaritySearch.kmeansCentroids(
         emb, "vec_id", "embedding", k = 10, iters = 5)
       val assigned = operators.SimilaritySearch.assignClusters(
-        emb, "vec_id", "embedding", cents).cache()
+        emb, "embedding", cents).cache()
       val exact = operators.SimilaritySearch.topK(emb, "embedding", q, 10)
         .select("vec_id").collect().map(_.getLong(0)).toSet
       val approx = operators.SimilaritySearch.ivfTopK(

@@ -213,8 +213,9 @@ object Dedup {
 
   /** Release the storage blocks of a localCheckpoint'd frame that is no
     * longer referenced (each CC round supersedes the previous labels;
-    * without this, O(rounds x nodes) cached copies accumulate). */
-  private def freeCheckpoint(df: DataFrame): Unit =
+    * without this, O(rounds x nodes) cached copies accumulate). Shared
+    * with the other iterative operators (k-means). */
+  private[operators] def freeCheckpoint(df: DataFrame): Unit =
     df.queryExecution.optimizedPlan.foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
       case _ => ()

@@ -81,20 +81,38 @@ object SimilaritySearch {
     topK(corpus.join(broadcast(probed), Seq(clusterCol)), vecCol, query, k)
   }
 
-  /** Assign every vector to its nearest centroid (max cosine). Centroids
-    * broadcast; per-row argmax via map-side `max_by` combiner, so the
-    * n×k expansion collapses before any shuffle. Adds `cluster`. */
-  def assignClusters(
-      df: DataFrame, idCol: String, vecCol: String, cents: DataFrame): DataFrame = {
-    val scored = df.crossJoin(broadcast(
-        cents.select(col("cluster").as("__c"), col("centroid").as("__cv"))))
-      .withColumn("__sim", cosineSimilarity(col(vecCol), col("__cv")))
-    scored
-      .groupBy(col(idCol))
-      .agg(expr("max_by(__c, struct(__sim, -__c))").as("cluster"))
-      // ^ deterministic tie-break: highest sim, then lowest cluster id
-      .join(df, Seq(idCol))
+  /** Assign every vector to its nearest centroid (max cosine), as a
+    * pure per-row EXPRESSION over the k centroid literals — no shuffle,
+    * no groupBy, no join: argmax = greatest of (sim, -cluster, cluster)
+    * structs (field-wise ordering: highest sim wins, ties to the lowest
+    * cluster id). Adds/overwrites `cluster`; rows whose vector has no
+    * direction (zero norm ⇒ null cosine everywhere) get an arbitrary
+    * but deterministic cluster. Centroids are collected driver-side —
+    * they are the coarse quantizer, small by design. */
+  def assignClusters(df: DataFrame, vecCol: String, cents: DataFrame): DataFrame = {
+    val centArr: Seq[(Int, Array[Float])] = collectCentroids(cents)
+    require(centArr.nonEmpty, "cents is empty")
+    val candidates = centArr.map { case (c, v) =>
+      struct(cosineSimilarity(col(vecCol), typedlit(v)).as("s"),
+        lit(-c).as("negc"), lit(c).as("c"))
+    }
+    val best =
+      if (candidates.size == 1) candidates.head else greatest(candidates: _*)
+    df.withColumn("cluster", best.getField("c"))
   }
+
+  private def collectCentroids(cents: DataFrame): Seq[(Int, Array[Float])] =
+    cents.select(col("cluster").cast("int"), col("centroid")).collect().toSeq
+      .map(r => r.getInt(0) -> toFloatArray(r.getSeq[Any](1)))
+
+  /** Accept float OR double vectors (both are legal everywhere else in
+    * this file). */
+  private def toFloatArray(xs: Seq[Any]): Array[Float] =
+    xs.map {
+      case f: Float => f
+      case d: Double => d.toFloat
+      case other => throw new IllegalArgumentException(s"not numeric: $other")
+    }.toArray
 
   /** Lloyd's k-means over float-array vectors — learns the IVF coarse
     * quantizer when no natural cluster column exists (pgvector's
@@ -102,15 +120,17 @@ object SimilaritySearch {
     * update via the same (cluster, dim) shuffle as [[centroids]].
     *
     * Deterministic farthest-point init (greedy k-center): the first
-    * seed is the vector with the lowest md5(id); each next seed is the
-    * vector least similar to every seed so far — spreads seeds across
-    * the data's modes (random init routinely drops two seeds in one
-    * blob and Lloyd cannot split them apart), and is stable across
-    * runs and cluster layouts. Driver holds only k centroids per round
-    * (k is small by design — the coarse quantizer, not the index).
-    * Fixed `iters` rounds, the standard k-means termination at scale;
-    * AQE is toggled off for the loop like
-    * [[graft.operators.Dedup.connectedComponents]].
+    * seed is the nonzero vector with the lowest md5(id); each next seed
+    * is the vector least similar to every seed so far — spreads seeds
+    * across the data's modes (random init routinely drops two seeds in
+    * one blob and Lloyd cannot split them apart), and is stable across
+    * runs and cluster layouts. The per-row best-similarity is carried
+    * as a running column (one new cosine per row per seed — O(n·k)
+    * total, not O(n·k²)). Zero vectors never seed (no direction).
+    * Driver holds only k centroids per round (k is small by design —
+    * the coarse quantizer, not the index). Fixed `iters` rounds, the
+    * standard k-means termination at scale; AQE is toggled off for the
+    * loop like [[graft.operators.Dedup.connectedComponents]].
     *
     * @return (cluster: int, centroid: array<float>) — feed to [[ivfTopK]]
     *         via [[assignClusters]]
@@ -118,39 +138,52 @@ object SimilaritySearch {
   def kmeansCentroids(
       df: DataFrame, idCol: String, vecCol: String, k: Int,
       iters: Int = 10): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
     val spark = df.sparkSession
     val aqeKey = "spark.sql.adaptive.enabled"
     val aqeBefore = spark.conf.get(aqeKey)
     spark.conf.set(aqeKey, "false")
     try {
-      val vecs = df.select(col(idCol), col(vecCol)).localCheckpoint(true)
+      val ord = md5(col(idCol).cast("string"))
+      val vecs = df.select(col(idCol), col(vecCol))
+        .filter(graft.functions.VectorFunctions.l2Norm(col(vecCol)) > 0)
+        .localCheckpoint(true)
+      require(!vecs.isEmpty, "no nonzero vectors to cluster")
       def vecOf(r: org.apache.spark.sql.Row): Array[Float] =
-        r.getSeq[Float](r.fieldIndex(vecCol)).toArray
-      val first = vecs.orderBy(md5(col(idCol).cast("string"))).limit(1).head()
-      var seeds = Vector(vecOf(first))
+        toFloatArray(r.getSeq[Any](r.fieldIndex(vecCol)))
+
+      var seeds = Vector(vecOf(vecs.orderBy(ord).limit(1).head()))
+      // running best-similarity frame: one cosine per row per new seed
+      var scored = vecs.withColumn("__b",
+        cosineSimilarity(col(vecCol), typedlit(seeds.head))).localCheckpoint(true)
       while (seeds.size < k) {
-        // farthest point: minimal best-similarity to any current seed;
-        // zero vectors (null cosine) sort as 1.0 so they are never picked
-        val sims = seeds.map(s => cosineSimilarity(col(vecCol), typedlit(s)))
-        val maxSim = if (sims.size == 1) sims.head else greatest(sims: _*)
-        val bestSim = coalesce(maxSim, lit(1.0))
-        seeds = seeds :+ vecOf(
-          vecs.select(col(idCol), col(vecCol), bestSim.as("__b"))
-            .orderBy(asc("__b"), md5(col(idCol).cast("string")))
-            .limit(1).head())
+        val next = vecOf(scored.orderBy(asc("__b"), ord).limit(1).head())
+        seeds = seeds :+ next
+        val rescored = scored.withColumn("__b",
+            greatest(col("__b"), cosineSimilarity(col(vecCol), typedlit(next))))
+          .localCheckpoint(true)
+        Dedup.freeCheckpoint(scored)
+        scored = rescored
       }
+      Dedup.freeCheckpoint(scored)
+
       import spark.implicits._
       var cents = seeds.zipWithIndex.map { case (v, i) => (i, v) }
         .toDF("cluster", "centroid").localCheckpoint(true)
       var i = 0
       while (i < iters) {
-        val assigned = assignClusters(vecs, idCol, vecCol, cents)
+        val assigned = assignClusters(vecs, vecCol, cents)
         val next = centroids(assigned, "cluster", vecCol).localCheckpoint(true)
         // empty clusters keep their previous centroid (standard Lloyd fix)
         val kept = cents.join(next, Seq("cluster"), "left_anti")
-        cents = next.unionByName(kept).localCheckpoint(true)
+        val merged = next.unionByName(kept).localCheckpoint(true)
+        Dedup.freeCheckpoint(cents)
+        Dedup.freeCheckpoint(next)
+        cents = merged
         i += 1
       }
+      Dedup.freeCheckpoint(vecs)
       cents
     } finally spark.conf.set(aqeKey, aqeBefore)
   }

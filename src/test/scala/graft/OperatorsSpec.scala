@@ -70,7 +70,7 @@ class OperatorsSpec extends SparkSpec {
       .toDF("id", "vec", "truth")
     val cents = SimilaritySearch.kmeansCentroids(df, "id", "vec", k = 3, iters = 5)
     assert(cents.count() === 3)
-    val assigned = SimilaritySearch.assignClusters(df, "id", "vec", cents)
+    val assigned = SimilaritySearch.assignClusters(df, "vec", cents)
     // every learned cluster maps 1:1 onto a ground-truth blob
     val purity = assigned.groupBy("cluster", "truth").count()
       .groupBy("cluster").count().select("count").as[Long].collect()
