@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Scratch profiling drive (not part of the library surface). */
@@ -9,35 +9,33 @@ object DevDrive {
     val spark = SparkSession.builder()
       .appName("graft-devdrive").master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", false)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val d = "/root/testdata/sf0.001"
 
-    // k-means end-to-end on the real embeddings table
-    val emb = Tables.embeddings(spark, d)
-    val n = emb.count()
-    val cents = operators.SimilaritySearch.kmeansCentroids(
-      emb, "vec_id", "embedding", k = 8, iters = 5)
-    assert(cents.count() == 8, "expected 8 learned centroids")
-    val assigned = operators.SimilaritySearch.assignClusters(
-      emb, "embedding", cents)
-    assert(assigned.count() == n, "every vector assigned")
-    val sizes = assigned.groupBy("cluster").count()
-    assert(sizes.count() == 8, "no empty clusters on this data")
-
-    val q = emb.filter(col("vec_id") === 0)
-      .select("embedding").head().getSeq[Float](0).toArray
-    val exact = operators.SimilaritySearch.topK(emb, "embedding", q, 10)
-      .select("vec_id").collect().map(_.getLong(0)).toSet
-    val full = operators.SimilaritySearch.ivfTopK(
-        assigned, "cluster", "embedding", cents, q, 10, nprobe = 8)
-      .select("vec_id").collect().map(_.getLong(0)).toSet
-    assert(full == exact, s"all-probe IVF must equal exact: $full vs $exact")
-    val pruned = operators.SimilaritySearch.ivfTopK(
-        assigned, "cluster", "embedding", cents, q, 10, nprobe = 2)
-      .select("vec_id").collect().map(_.getLong(0)).toSet
-    println(s"n=$n learned-IVF nprobe=2 recall@10 = ${(exact & pruned).size / 10.0}")
+    // compact the real events table (sf0.001) and check file-range disjointness
+    val out = java.nio.file.Files.createTempDirectory("dd_compact").toString + "/events"
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    sources.Catalog.compact(ev, "event_id", out, numFiles = 3,
+      maxRecordsPerFile = 200)
+    val back = sources.Catalog.read(spark, out)
+    assert(back.count() == ev.count(), "row count preserved")
+    val files = new java.io.File(out).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length >= 3, s"files=${files.length}")
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(min("event_id"), max("event_id")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, aMax), (bMin, _)) => assert(aMax <= bMin, "overlapping ranges")
+      case _ => ()
+    }
+    println(s"files=${files.length} ranges disjoint; scan with event_id<100:")
+    val pruned = back.filter(col("event_id") < 100)
+    pruned.count()
     println("DEVDRIVE PASS")
     spark.stop()
   }

@@ -36,6 +36,29 @@ object Catalog {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Compact a table into size-bounded, range-sorted files — the
+    * maintenance pass against the small-files problem (a 100 TB table
+    * ingested in many micro-batches ends up as millions of KB-size
+    * files; scan cost becomes dominated by file-open overhead).
+    *
+    *  - `repartitionByRange(sortCol)` makes files cover DISJOINT key
+    *    ranges, so parquet footer min/max prune whole files for a
+    *    range predicate, not just row groups;
+    *  - `sortWithinPartitions` orders rows inside each file so row-group
+    *    stats prune within the survivors;
+    *  - `maxRecordsPerFile` bounds file size without another shuffle.
+    *
+    * Write to a NEW path then swap — compaction must never replace a
+    * live path in place (readers would see a partial table). */
+  def compact(
+      df: DataFrame, sortCol: String, outPath: String,
+      numFiles: Int, maxRecordsPerFile: Long = 5000000L): Unit =
+    df.repartitionByRange(numFiles, col(sortCol))
+      .sortWithinPartitions(col(sortCol))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(outPath)
+
   /** True iff the scan of `df` prunes partitions (its PartitionFilters
     * is non-empty) — the explain-level assertion that a predicate
     * actually reached the partition layer. */

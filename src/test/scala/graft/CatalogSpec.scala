@@ -21,6 +21,31 @@ class CatalogSpec extends SparkSpec {
     assert(!Catalog.prunesPartitions(Catalog.read(spark, out)))
   }
 
+  test("compact: disjoint sorted ranges, bounded files, content preserved") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("cat_compact").toString + "/t"
+    val df = spark.range(10000).select(
+      (col("id") * 7919 % 10000).as("k"), col("id").as("payload"))
+    Catalog.compact(df, "k", out, numFiles = 4, maxRecordsPerFile = 2000)
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    // 4 range partitions x >=2 files each (2000-record cap over 2500 rows)
+    assert(files.length >= 8, s"expected capped files, got ${files.length}")
+    val back = Catalog.read(spark, out)
+    assert(back.count() === 10000)
+    assert(back.agg(sum("payload")).head().getLong(0) === (0L until 10000L).sum)
+    // each FILE covers a disjoint key range (footer min/max prune whole files)
+    val ranges = files.map { f =>
+      val one = spark.read.parquet(f.getAbsolutePath).agg(min("k"), max("k")).head()
+      (one.getLong(0), one.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, aMax), (bMin, _)) => assert(aMax <= bMin,
+        s"file ranges overlap: $aMax > $bMin")
+      case _ => ()
+    }
+  }
+
   test("source_type-partitioned knowledge base prunes before the cosine scan") {
     val out = java.nio.file.Files.createTempDirectory("cat_kb").toString
     val corpus = Seq(
