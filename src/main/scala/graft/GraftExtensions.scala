@@ -53,6 +53,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("l2_normalize", "l2_normalize(a) - unit-normalized copy of a float/double array (null for zero vectors)"),
       (args: Seq[Expression]) => L2Normalize(args(0))))
 
+    ext.injectFunction((FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize", "nfc_normalize(s) - Unicode NFC canonical composition"),
+      (args: Seq[Expression]) => NfcNormalize(args(0))))
+
+    ext.injectFunction((FunctionIdentifier("regexp_count"),
+      info("regexp_count", "regexp_count(s, pattern) - number of regex matches (pattern must be a string literal)"),
+      (args: Seq[Expression]) => args(1) match {
+        case Literal(p: org.apache.spark.unsafe.types.UTF8String, _) =>
+          RegexpCount(args(0), p.toString)
+        case other => throw new IllegalArgumentException(
+          s"regexp_count pattern must be a string literal, got $other")
+      }))
+
     ext.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(tokens) - 64-bit SimHash of a string array"),
       (args: Seq[Expression]) => SimHash64(args(0))))

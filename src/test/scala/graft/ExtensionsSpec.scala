@@ -19,7 +19,10 @@ class ExtensionsSpec extends SparkSpec {
         l2_norm(array(3.0D, 4.0D)) AS norm,
         simhash64(array('a','b','c')) AS sh,
         size(minhash_signature(array('a','b'), 16)) AS sigsize,
-        size(shingle_hashes(array('a','b','c','d'), 2)) AS nshingles
+        size(shingle_hashes(array('a','b','c','d'), 2)) AS nshingles,
+        element_at(l2_normalize(array(3.0D, 4.0D)), 1) AS nx,
+        regexp_count('a1b22c333', '[0-9]+') AS rc,
+        nfc_normalize('café') = 'café' AS nfc_eq
     """).collect()(0)
     assert(row.getDouble(0) === 1.0)
     assert(row.getDouble(1) === 1.0) // orthogonal → distance 1
@@ -27,6 +30,9 @@ class ExtensionsSpec extends SparkSpec {
     assert(row.getDouble(3) === 5.0)
     assert(row.getInt(5) === 16)
     assert(row.getInt(6) === 3)
+    assert(math.abs(row.getDouble(7) - 0.6) < 1e-12)
+    assert(row.getInt(8) === 3)
+    assert(row.getBoolean(9))
   }
 
   test("simhash64 via SQL equals the Scala API") {
