@@ -445,6 +445,29 @@ object SparkEntry {
         .groupBy(col("split")).agg(count(lit(1)).as("n"))
         .orderBy(col("split"))),
 
+    "q73_quality_cut" -> ((s, d) => {
+      // percentile-based curation: keep docs above their language's 25th
+      // stopword-ratio percentile — per-group quantile broadcast back
+      val scored = T.documents(s, d).select(col("doc_id"), col("lang"),
+        TF.stopwordRatio(col("text")).as("sw"))
+      val cuts = scored.groupBy(col("lang"))
+        .agg(expr("percentile(sw, 0.25)").as("cut"))
+      scored.join(broadcast(cuts), Seq("lang"))
+        .filter(col("sw") > col("cut"))
+        .groupBy(col("lang")).agg(count(lit(1)).as("kept"))
+        .orderBy(col("lang"))
+    }),
+
+    "q74_eval_sample" -> ((s, d) =>
+      // deterministic per-group eval-set: 5 docs per (lang, source) by
+      // md5 order — reproducible on any cluster layout, any engine
+      Relational.topKPerGroup(
+          T.documents(s, d).select(col("doc_id"), col("lang"), col("source")),
+          Seq("lang", "source"),
+          Seq(md5(col("doc_id").cast("string")).asc, col("doc_id").asc), k = 5)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))),
+
     "q72_nfc_hash" -> ((s, d) =>
       // NFC-normalize before content hashing: combining-character variants
       // of identical text must land in the same dedup bucket
@@ -939,6 +962,26 @@ object SparkEntry {
         |  WHEN substr(md5(event_id::VARCHAR || '|split'), 1, 4) < 'e667' THEN 'valid'
         |  ELSE 'test' END AS split, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY split""".stripMargin,
+
+    "q73_quality_cut" ->
+      """WITH sc AS (SELECT doc_id, lang,
+        |    CASE WHEN len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) = 0 THEN 0.0
+        |      ELSE len(regexp_extract_all(text, '(?i)\b(the|a|an|of|and|to|in|is|it|that|for|on|with|as|at|by|this)\b'))::DOUBLE
+        |        / len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) END AS sw
+        |  FROM documents),
+        |cuts AS (SELECT lang, quantile_cont(sw, 0.25) AS cut FROM sc GROUP BY lang)
+        |SELECT sc.lang, count(*) AS kept
+        |FROM sc JOIN cuts ON sc.lang = cuts.lang
+        |WHERE sc.sw > cuts.cut
+        |GROUP BY sc.lang ORDER BY sc.lang""".stripMargin,
+
+    "q74_eval_sample" ->
+      """SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, lang, source,
+        |    row_number() OVER (PARTITION BY lang, source
+        |      ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+        |  FROM documents) WHERE rn <= 5
+        |ORDER BY doc_id""".stripMargin,
 
     "q72_nfc_hash" ->
       """SELECT doc_id, md5(nfc_normalize(text)) AS nfc_hash,
