@@ -30,6 +30,14 @@ object ScaleDemo {
       println(f"$name%-36s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       r
     }
+    def withConf[T](key: String, value: String)(f: => T): T = {
+      val before = spark.conf.getOption(key)
+      spark.conf.set(key, value)
+      try f finally before match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
 
     // ---- build the scaled corpora (once) --------------------------------
     val docsPath = s"$base/documents.parquet"
@@ -158,6 +166,50 @@ object ScaleDemo {
       val n = operators.TimeSeries.sessionStats(ev, Seq("k"), "ts",
         gapSeconds = 1800, tieBreak = Seq(col("id"))).count()
       println(s"  sessions=$n")
+    }
+
+    // ---- skew: 10M rows, 50% on ONE key ---------------------------------
+    // Finding worth stating: COUNT/SUM skew is absorbed by map-side
+    // partial aggregation (each task pre-combines its half of key 42),
+    // so plain vs salted count differ little. Salting matters where
+    // partial aggregation cannot reduce — joins (one task receives the
+    // whole hot key's build/probe stream) and non-combinable aggs.
+    val skewRows = sys.env.getOrElse("SCALE_SKEW_ROWS", "10000000").toLong
+    val skewed = spark.range(skewRows).select(
+      when(col("id") % 2 === 0, lit(42L)).otherwise(col("id") % 100000L).as("k"),
+      col("id").as("v")).localCheckpoint(true)
+    time("plain groupBy count (partial agg absorbs skew)") {
+      skewed.groupBy("k").agg(count(lit(1)).as("n"), sum("v")).count()
+    }
+    time("salted two-stage count, same data") {
+      operators.Skew.saltedCount(skewed, Seq("k"), salts = 32).count()
+    }
+    // the join case: force sort-merge (no broadcast, AQE skew split off)
+    // to expose the single 5M-row straggler partition, then salt it away
+    val dims = spark.range(100000L)
+      .select(col("id").as("k"), md5(col("id").cast("string")).as("attr"))
+      .localCheckpoint(true)
+    withConf("spark.sql.adaptive.skewJoin.enabled", "false") {
+      withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
+        time("plain sort-merge join, hot key in ONE task") {
+          skewed.join(dims, Seq("k")).agg(count(lit(1))).head()
+        }
+        time("salted join, hot key spread over 32 tasks") {
+          operators.Skew.saltedJoin(skewed, dims, "k", salts = 32)
+            .agg(count(lit(1))).head()
+        }
+      }
+    }
+    withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
+      time("same join, AQE skew-split enabled (the default)") {
+        skewed.join(dims, Seq("k")).agg(count(lit(1))).head()
+      }
+    }
+    time("bloom-pruned join: 10M facts vs 100 keys") {
+      val dims = spark.range(100).select((col("id") * 997).as("dk"))
+      val n = operators.BloomPrune.filteredJoin(
+        skewed, "k", dims, "dk", expectedItems = 100, numBits = 10000).count()
+      println(s"  matched=$n")
     }
     spark.stop()
   }

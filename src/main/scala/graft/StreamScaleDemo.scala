@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.model.JobRequest
+import graft.streaming._
+
+/** Streaming throughput validation: pushes 1M events through the
+  * watermarked dedup and the exact stateful rate limiter, measuring
+  * end-to-end rows/s in micro-batch mode. Run manually:
+  * `sbt "runMain graft.StreamScaleDemo"`.
+  *
+  * State stays bounded by design: dedup state dies past the watermark,
+  * limiter state holds at most `maxRequests` timestamps per key.
+  */
+object StreamScaleDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val n = sys.env.getOrElse("STREAM_EVENTS", "1000000").toInt
+    val keys = 10000
+    def ts(s: Long) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(1000000 + s))
+
+    // ---- watermarked dedup: 20% duplicate request ids -------------------
+    locally {
+      val input = MemoryStream[JobRequest]
+      val deduped = StreamingOps.dedupWithinWindow(input.toDF(), "request_id", "ts")
+      val q = deduped.writeStream.format("noop")
+        .outputMode(OutputMode.Append).start()
+      val batch = (0 until n).map { i =>
+        val id = if (i % 5 == 4) s"r${i - 1}" else s"r$i" // every 5th is a dup
+        JobRequest(id, s"j${i % keys}", s"q$i", ts(i / 100))
+      }
+      val t0 = System.nanoTime()
+      batch.grouped(200000).foreach(g => input.addData(g))
+      q.processAllAvailable()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"dedup: $n events in $sec%.1f s = ${n / sec}%.0f events/s")
+      q.stop()
+    }
+
+    // ---- exact sliding-window rate limiter ------------------------------
+    locally {
+      val input = MemoryStream[RateEvent]
+      val decisions = StreamingRateLimiter(
+        input.toDS(), maxRequests = 40, windowMillis = 60000,
+        expireIdleState = false)
+      val q = decisions.writeStream.format("noop")
+        .outputMode(OutputMode.Append).start()
+      val batch = (0 until n).map { i =>
+        RateEvent(s"u${i % keys}", 1000000000L + (i / 100).toLong * 250)
+      }
+      val t0 = System.nanoTime()
+      batch.grouped(200000).foreach(g => input.addData(g))
+      q.processAllAvailable()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"rate limiter: $n events in $sec%.1f s = ${n / sec}%.0f events/s")
+      q.stop()
+    }
+
+    spark.stop()
+  }
+}
