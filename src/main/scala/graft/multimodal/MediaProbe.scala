@@ -1,0 +1,103 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** REAL (non-stub) media metadata probing: container headers carry the
+  * mime type and pixel dimensions without any decode library — PNG's
+  * IHDR chunk, JPEG's SOF frame marker, GIF's logical screen
+  * descriptor are all fixed-offset big/little-endian integers. A 100 TB
+  * media crawl runs this pass first: dimension/type filters prune
+  * payloads long before the (expensive, native) decode stage.
+  */
+object MediaProbe {
+
+  final case class Probed(mime: Option[String], width: Option[Int], height: Option[Int])
+
+  private def be16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
+  private def be32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xFF) << 24) | ((b(i + 1) & 0xFF) << 16) |
+      ((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF)
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+
+  /** Parse (mime, width, height) from the payload's container header;
+    * all-None for unrecognized or truncated payloads — never throws. */
+  def probe(payload: Array[Byte]): Probed = {
+    if (payload == null) return Probed(None, None, None)
+    if (isPng(payload)) {
+      // 8-byte signature, 4-byte length, "IHDR", then width/height BE32
+      if (payload.length >= 24)
+        Probed(Some("image/png"), Some(be32(payload, 16)), Some(be32(payload, 20)))
+      else Probed(Some("image/png"), None, None)
+    } else if (isJpeg(payload)) {
+      jpegDims(payload) match {
+        case Some((w, h)) => Probed(Some("image/jpeg"), Some(w), Some(h))
+        case None => Probed(Some("image/jpeg"), None, None)
+      }
+    } else if (isGif(payload)) {
+      if (payload.length >= 10)
+        Probed(Some("image/gif"), Some(le16(payload, 6)), Some(le16(payload, 8)))
+      else Probed(Some("image/gif"), None, None)
+    } else Probed(None, None, None)
+  }
+
+  private def isPng(b: Array[Byte]): Boolean =
+    b.length >= 8 && (b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' &&
+      b(3) == 'G' && (b(4) & 0xFF) == 0x0D && (b(5) & 0xFF) == 0x0A &&
+      (b(6) & 0xFF) == 0x1A && (b(7) & 0xFF) == 0x0A
+
+  private def isJpeg(b: Array[Byte]): Boolean =
+    b.length >= 3 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8 &&
+      (b(2) & 0xFF) == 0xFF
+
+  private def isGif(b: Array[Byte]): Boolean =
+    b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a'
+
+  /** Walk JPEG segments to the first SOF marker (C0-CF except C4/C8/CC);
+    * height then width live at fixed offsets inside it. */
+  private def jpegDims(b: Array[Byte]): Option[(Int, Int)] = {
+    var i = 2
+    while (i + 3 < b.length) {
+      if ((b(i) & 0xFF) != 0xFF) return None // lost sync
+      val marker = b(i + 1) & 0xFF
+      if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD7)) {
+        i += 2 // standalone marker, no length
+      } else if (marker == 0xDA || marker == 0xD9) {
+        return None // scan data / EOI before any SOF
+      } else {
+        val len = be16(b, i + 2)
+        if (len < 2) return None
+        val isSof = marker >= 0xC0 && marker <= 0xCF &&
+          marker != 0xC4 && marker != 0xC8 && marker != 0xCC
+        if (isSof) {
+          if (i + 8 < b.length) return Some((be16(b, i + 7), be16(b, i + 5)))
+          return None
+        }
+        i += 2 + len
+      }
+    }
+    None
+  }
+
+  /** Fill `mime`/`width`/`height` from the payload header (existing
+    * values kept when the payload is unrecognized). Runs as a narrow
+    * per-partition pass — no shuffle, no native code. */
+  def probeMetadata(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
+    val schema = df.schema
+    val pIdx = schema.fieldIndex(payloadCol)
+    val mimeIdx = schema.fieldIndex("mime")
+    val wIdx = schema.fieldIndex("width")
+    val hIdx = schema.fieldIndex("height")
+    val rdd = df.rdd.map { r =>
+      val p = probe(r.getAs[Array[Byte]](pIdx))
+      val vals = r.toSeq.toArray
+      p.mime.foreach(vals(mimeIdx) = _)
+      p.width.foreach(vals(wIdx) = _)
+      p.height.foreach(vals(hIdx) = _)
+      Row.fromSeq(vals.toIndexedSeq)
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+}

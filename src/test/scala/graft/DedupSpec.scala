@@ -139,6 +139,22 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("nodes must cover every endpoint"))
   }
 
+  test("embedding near-dups on an UNLABELED corpus: learned clusters prune candidates") {
+    import graft.operators.SimilaritySearch
+    // two modes; a planted near-identical pair inside one of them
+    val vecs = Seq(
+      (1L, Array(1f, 0.02f)), (2L, Array(1f, 0.021f)), // planted near-dups
+      (3L, Array(0.9f, 0.1f)), (4L, Array(0.02f, 1f)),
+      (5L, Array(0.03f, 0.98f)), (6L, Array(-0.01f, 0.95f))
+    ).toDF("id", "vec")
+    val cents = SimilaritySearch.kmeansCentroids(vecs, "id", "vec", k = 2, iters = 4)
+    val assigned = SimilaritySearch.assignClusters(vecs, "vec", cents)
+    val dups = Dedup.embeddingNearDups(assigned, "id", "vec", "cluster",
+        minCosine = 0.999999)
+      .as[(Long, Long, Double)].collect()
+    assert(dups.length === 1 && dups(0)._1 === 1L && dups(0)._2 === 2L)
+  }
+
   test("embeddingNearDups: same-cluster cosine pairs only") {
     val df = Seq(
       (1L, Array(1f, 0f), 0), (2L, Array(0.99f, 0.1f), 0),

@@ -1,0 +1,65 @@
+package graft
+
+import graft.multimodal.MediaProbe
+
+class MediaProbeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def png(w: Int, h: Int): Array[Byte] = {
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+    val ihdr = Array(0, 0, 0, 13).map(_.toByte) ++ "IHDR".getBytes ++
+      be32(w) ++ be32(h) ++ Array.fill(5)(0.toByte)
+    sig ++ ihdr
+  }
+  private def be32(v: Int) =
+    Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+  private def be16(v: Int) = Array((v >> 8).toByte, v.toByte)
+
+  private def jpeg(w: Int, h: Int): Array[Byte] = {
+    val soi = Array(0xFF, 0xD8).map(_.toByte)
+    // APP0 segment (length 16) then SOF0 with precision + height + width
+    val app0 = Array(0xFF, 0xE0).map(_.toByte) ++ be16(16) ++
+      "JFIF".getBytes ++ Array.fill(10)(0.toByte)
+    val sof0 = Array(0xFF, 0xC0).map(_.toByte) ++ be16(17) ++
+      Array(8.toByte) ++ be16(h) ++ be16(w) ++ Array.fill(10)(0.toByte)
+    soi ++ app0 ++ sof0
+  }
+
+  private def gif(w: Int, h: Int): Array[Byte] =
+    "GIF89a".getBytes ++
+      Array((w & 0xFF).toByte, (w >> 8).toByte, (h & 0xFF).toByte, (h >> 8).toByte)
+
+  test("probe parses PNG, JPEG (after APP0), and GIF dimensions") {
+    assert(MediaProbe.probe(png(320, 240)) ===
+      MediaProbe.Probed(Some("image/png"), Some(320), Some(240)))
+    assert(MediaProbe.probe(jpeg(512, 256)) ===
+      MediaProbe.Probed(Some("image/jpeg"), Some(512), Some(256)))
+    assert(MediaProbe.probe(gif(356, 99)) ===
+      MediaProbe.Probed(Some("image/gif"), Some(356), Some(99)))
+  }
+
+  test("probe never throws on garbage, truncation, or null") {
+    assert(MediaProbe.probe(null) === MediaProbe.Probed(None, None, None))
+    assert(MediaProbe.probe(Array[Byte]()) === MediaProbe.Probed(None, None, None))
+    assert(MediaProbe.probe("not an image at all".getBytes)
+      === MediaProbe.Probed(None, None, None))
+    assert(MediaProbe.probe(png(1, 1).take(12)) ===
+      MediaProbe.Probed(Some("image/png"), None, None)) // truncated IHDR
+    // JPEG whose scan starts before any SOF
+    val noSof = Array(0xFF, 0xD8, 0xFF, 0xDA, 0, 4, 0, 0).map(_.toByte)
+    assert(MediaProbe.probe(noSof) === MediaProbe.Probed(Some("image/jpeg"), None, None))
+  }
+
+  test("probeMetadata fills the media schema columns distributedly") {
+    val rows = Seq(
+      (1L, "image", png(320, 240), null: String, null: Integer, null: Integer, null: Integer),
+      (2L, "image", jpeg(64, 32), null: String, null: Integer, null: Integer, null: Integer),
+      (3L, "audio", "RIFFxxxx".getBytes, "audio/wav", null: Integer, null: Integer, Integer.valueOf(1200))
+    ).toDF("media_id", "kind", "payload", "mime", "width", "height", "duration_ms")
+    val got = MediaProbe.probeMetadata(rows).orderBy("media_id").collect()
+    assert(got(0).getString(3) === "image/png" && got(0).getInt(4) === 320)
+    assert(got(1).getString(3) === "image/jpeg" && got(1).getInt(5) === 32)
+    // unrecognized payload keeps its existing metadata untouched
+    assert(got(2).getString(3) === "audio/wav" && got(2).getInt(6) === 1200)
+  }
+}
