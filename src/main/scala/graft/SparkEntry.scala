@@ -468,6 +468,30 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy(col("doc_id"))),
 
+    "q75_incremental_new" -> ((s, d) => {
+      // batch front door: only incoming docs whose (NFC-normalized)
+      // content is absent from the historical corpus survive
+      val docs = T.documents(s, d)
+      Dedup.incrementalNew(
+          docs.filter(col("doc_id") >= 250),
+          docs.filter(col("doc_id") < 250), "text")
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
+    "q76_snapshot_diff" -> ((s, d) => {
+      // CDC without a log: classify keys across two snapshot versions
+      val o = T.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val oldS = o.filter(col("o_orderkey") % 10 =!= 0)
+      val newS = o.filter(col("o_orderkey") % 7 =!= 0)
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 3 === 0, lit("X")).otherwise(col("o_orderstatus")))
+      Relational.snapshotDiff(oldS, newS, "o_orderkey",
+          Seq("o_orderstatus", "o_totalprice"))
+        .groupBy(col("change_type")).agg(count(lit(1)).as("n"))
+        .orderBy(col("change_type"))
+    }),
+
     "q72_nfc_hash" -> ((s, d) =>
       // NFC-normalize before content hashing: combining-character variants
       // of identical text must land in the same dedup bucket
@@ -982,6 +1006,27 @@ object SparkEntry {
         |      ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
         |  FROM documents) WHERE rn <= 5
         |ORDER BY doc_id""".stripMargin,
+
+    "q75_incremental_new" ->
+      """SELECT doc_id FROM documents
+        |WHERE doc_id >= 250 AND sha256(nfc_normalize(text)) NOT IN
+        |  (SELECT sha256(nfc_normalize(text)) FROM documents WHERE doc_id < 250)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q76_snapshot_diff" ->
+      """WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |olds AS (SELECT * FROM o WHERE o_orderkey % 10 <> 0),
+        |news AS (SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+        |    o_totalprice
+        |  FROM o WHERE o_orderkey % 7 <> 0)
+        |SELECT CASE WHEN olds.o_orderkey IS NULL THEN 'added'
+        |    WHEN news.o_orderkey IS NULL THEN 'removed'
+        |    WHEN olds.o_orderstatus <> news.o_orderstatus
+        |      OR olds.o_totalprice <> news.o_totalprice THEN 'changed'
+        |    ELSE 'unchanged' END AS change_type, count(*) AS n
+        |FROM olds FULL OUTER JOIN news USING (o_orderkey)
+        |GROUP BY 1 ORDER BY change_type""".stripMargin,
 
     "q72_nfc_hash" ->
       """SELECT doc_id, md5(nfc_normalize(text)) AS nfc_hash,

@@ -48,6 +48,22 @@ object Dedup {
     firstWins(df.withColumn("content_hash", sha2(col(textCol), 256)),
       Seq("content_hash"), order)
 
+  /** Incremental ingestion dedup: keep only incoming docs whose content
+    * does not already exist in the historical corpus — the every-batch
+    * front door of a training-data pipeline. Content identity is
+    * sha256 of the NFC-normalized text (combining-character variants
+    * are the same document). Plan shape: the history side reduces to a
+    * distinct-hash set; at 100 TB wrap the anti-join's big side with
+    * [[BloomPrune]] or bucket both tables by content_hash so the
+    * anti-join co-locates. */
+  def incrementalNew(incoming: DataFrame, history: DataFrame, textCol: String): DataFrame = {
+    def hashed(df: DataFrame) = df.withColumn("content_hash",
+      sha2(graft.functions.RegexpExpressions.nfcNormalize(col(textCol)), 256))
+    hashed(incoming).join(
+      hashed(history).select(col("content_hash")).distinct(),
+      Seq("content_hash"), "left_anti")
+  }
+
   /** Upsert: incoming rows replace existing rows with the same key
     * (Delta MERGE semantics on plain parquet — union + first-wins with
     * incoming ranked first, `vector_service.py:119-125`). */

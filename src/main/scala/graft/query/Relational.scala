@@ -78,6 +78,27 @@ object Relational {
       .drop("__rank")
   }
 
+  /** Snapshot diff (CDC without a log): classify every key across two
+    * table versions as added / removed / changed / unchanged by a single
+    * full-outer join on the key and a hash over the compared columns.
+    * One shuffle per side; at scale, bucket both snapshots by the key
+    * so the join co-locates. */
+  def snapshotDiff(
+      oldDf: DataFrame, newDf: DataFrame, keyCol: String,
+      compareCols: Seq[String]): DataFrame = {
+    // \u0001 separator + \u0000 null marker: without them ("ab","c")
+    // would fingerprint equal to ("a","bc") and null equal to ""
+    def fp(df: DataFrame, as: String) = df.select(col(keyCol),
+      sha2(concat_ws("\u0001", compareCols.map(c =>
+        coalesce(col(c).cast("string"), lit("\u0000"))): _*), 256).as(as))
+    fp(oldDf, "__old").join(fp(newDf, "__new"), Seq(keyCol), "full_outer")
+      .select(col(keyCol),
+        when(col("__old").isNull, "added")
+          .when(col("__new").isNull, "removed")
+          .when(col("__old") =!= col("__new"), "changed")
+          .otherwise("unchanged").as("change_type"))
+  }
+
   /** P6 + C5: partial update — only provided columns change, and
     * `updated_at` is always stamped (the BEFORE UPDATE trigger rule). */
   def partialUpdate(

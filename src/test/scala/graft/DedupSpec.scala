@@ -108,6 +108,18 @@ class DedupSpec extends SparkSpec {
       $"cluster" === $"rep").count() === 4)
   }
 
+  test("incrementalNew keeps only content absent from history, NFC-insensitive") {
+    val history = Seq((1L, "alpha doc"), (2L, "café menu")).toDF("id", "text")
+    val incoming = Seq(
+      (10L, "alpha doc"),          // exact dup of history — dropped
+      (11L, "café menu"),    // NFC-equal to history — dropped
+      (12L, "genuinely new text")  // kept
+    ).toDF("id", "text")
+    val got = Dedup.incrementalNew(incoming, history, "text")
+      .select("id").as[Long].collect().toSeq
+    assert(got === Seq(12L))
+  }
+
   test("bloom-pruned join result is identical to the plain join") {
     import graft.operators.BloomPrune
     val big = (1L to 5000L).map(i => (i % 500, i)).toDF("k", "payload")

@@ -85,6 +85,20 @@ class RelationalCountersSpec extends SparkSpec {
     assert(got.count() === 4) // null-group rows retained
   }
 
+  test("snapshotDiff classifies added/removed/changed/unchanged, null-safe") {
+    val oldS = Seq((1L, Some("a"), 1.0), (2L, Some("b"), 2.0),
+      (3L, None, 3.0), (4L, Some("d"), 4.0)).toDF("k", "s", "v")
+    val newS = Seq((1L, Some("a"), 1.0),   // unchanged
+      (2L, Some("B"), 2.0),                // changed
+      (3L, Some(""), 3.0),                 // null -> "" must count as changed
+      (5L, Some("e"), 5.0)                 // added (4 removed)
+    ).toDF("k", "s", "v")
+    val got = query.Relational.snapshotDiff(oldS, newS, "k", Seq("s", "v"))
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "unchanged", 2L -> "changed", 3L -> "changed",
+      4L -> "removed", 5L -> "added"))
+  }
+
   test("dynamicFilter: null values match null cells, not zero rows") {
     val df = Seq((1L, Some("x")), (2L, None)).toDF("id", "v")
     val got = query.Relational.dynamicFilter(df, Map("v" -> null))
