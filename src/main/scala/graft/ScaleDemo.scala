@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale validation harness: replicates the sf0.1 corpora to ~200k
-  * documents / ~50k vectors (each copy's vocabulary prefixed so
+  * documents / scaled vectors (each copy's vocabulary prefixed so
   * near-duplicates exist only within a copy) and measures the dedup and
   * similarity operators at 40x the bench size. Run manually:
   * `sbt "runMain graft.ScaleDemo"`.
@@ -22,7 +22,10 @@ object ScaleDemo {
     val copies = sys.env.getOrElse("SCALE_COPIES", "40").toInt
     val vecCopies = math.max(1,
       sys.env.getOrElse("SCALE_VEC_COPIES", (copies / 4).toString).toInt)
-    val base = s"/tmp/graft_scale_$copies"
+    // path keyed on BOTH sizes, and documents written LAST (its existence
+    // is the build-complete marker) — a half-finished build or a changed
+    // vecCopies must never silently reuse stale data
+    val base = s"/tmp/graft_scale_${copies}_v$vecCopies"
 
     def time[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime()
@@ -42,6 +45,12 @@ object ScaleDemo {
     // ---- build the scaled corpora (once) --------------------------------
     val docsPath = s"$base/documents.parquet"
     if (!new java.io.File(docsPath).exists()) {
+      val emb = Tables.embeddings(spark, d)
+      (0 until vecCopies).map { c =>
+        emb.select((col("vec_id") + lit(c.toLong * 1000000)).as("vec_id"),
+          col("embedding"), col("label"))
+      }.reduce(_ unionByName _)
+        .repartition(32).write.mode("overwrite").parquet(s"$base/embeddings.parquet")
       val docs = Tables.documents(spark, d)
       val scaled = (0 until copies).map { c =>
         docs.select(
@@ -52,12 +61,6 @@ object ScaleDemo {
             w => concat(lit(s"c${c}_"), w))).as("text"))
       }.reduce(_ unionByName _)
       scaled.repartition(32).write.mode("overwrite").parquet(docsPath)
-      val emb = Tables.embeddings(spark, d)
-      (0 until vecCopies).map { c =>
-        emb.select((col("vec_id") + lit(c.toLong * 1000000)).as("vec_id"),
-          col("embedding"), col("label"))
-      }.reduce(_ unionByName _)
-        .repartition(32).write.mode("overwrite").parquet(s"$base/embeddings.parquet")
     }
     val docs = spark.read.parquet(docsPath)
     val emb = spark.read.parquet(s"$base/embeddings.parquet")
@@ -78,9 +81,9 @@ object ScaleDemo {
     }
     println(s"  exact=$exact lshPairs=$lsh simhashPairs=$sim (expect lsh ≈ 256*$copies)")
 
-    // ---- similarity at 50k ----------------------------------------------
+    // ---- similarity over the scaled vectors ----------------------------------------------
     val q = emb.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
-    time("brute-force kNN top-10 (50k x 64d)") {
+    time("brute-force kNN top-10 (scaled x 64d)") {
       operators.SimilaritySearch.topK(emb, "embedding", q, 10).collect()
     }
     val cents = time("IVF centroids (10 clusters)") {
@@ -91,13 +94,13 @@ object ScaleDemo {
       operators.SimilaritySearch.ivfTopK(emb, "label", "embedding", cents, q, 10, nprobe = 2).collect()
     }
     val queries100 = emb.filter(col("vec_id") < 100)
-    time("batch kNN join: 100 queries x 50k") {
+    time("batch kNN join: 100 queries x corpus") {
       operators.SimilaritySearch.topKJoin(queries100, "vec_id", "embedding",
         emb, "vec_id", "embedding", 5).count()
     }
 
-    // ---- learned IVF quantizer at 20k vectors ---------------------------
-    time("kmeans quantizer (k=10, 5 iters, 20k x 64d)") {
+    // ---- learned IVF quantizer over the scaled vectors ------------------
+    time("kmeans quantizer (k=10, 5 iters, scaled x 64d)") {
       val cents = operators.SimilaritySearch.kmeansCentroids(
         emb, "vec_id", "embedding", k = 10, iters = 5)
       val assigned = operators.SimilaritySearch.assignClusters(

@@ -474,7 +474,8 @@ object SparkEntry {
       val docs = T.documents(s, d)
       Dedup.incrementalNew(
           docs.filter(col("doc_id") >= 250),
-          docs.filter(col("doc_id") < 250), "text")
+          docs.filter(col("doc_id") < 250), "text",
+          order = Seq(asc("doc_id")))
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
@@ -1008,8 +1009,12 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     "q75_incremental_new" ->
-      """SELECT doc_id FROM documents
-        |WHERE doc_id >= 250 AND sha256(nfc_normalize(text)) NOT IN
+      """WITH h AS (SELECT doc_id, sha256(nfc_normalize(text)) AS ch
+        |  FROM documents WHERE doc_id >= 250),
+        |selfd AS (SELECT doc_id, ch,
+        |    row_number() OVER (PARTITION BY ch ORDER BY doc_id) AS rn FROM h)
+        |SELECT doc_id FROM selfd
+        |WHERE rn = 1 AND ch NOT IN
         |  (SELECT sha256(nfc_normalize(text)) FROM documents WHERE doc_id < 250)
         |ORDER BY doc_id""".stripMargin,
 

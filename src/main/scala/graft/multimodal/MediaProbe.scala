@@ -61,9 +61,15 @@ object MediaProbe {
     var i = 2
     while (i + 3 < b.length) {
       if ((b(i) & 0xFF) != 0xFF) return None // lost sync
+      // JPEG B.1.1.2: any marker may be preceded by any number of 0xFF
+      // fill bytes — skip them or the walker reads a fill byte as the
+      // marker and desyncs on the next segment's length
+      while (i + 1 < b.length && (b(i + 1) & 0xFF) == 0xFF) i += 1
+      if (i + 3 >= b.length) return None
       val marker = b(i + 1) & 0xFF
-      if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD7)) {
-        i += 2 // standalone marker, no length
+      if (marker == 0xD8 || marker == 0x01 ||
+          (marker >= 0xD0 && marker <= 0xD7)) {
+        i += 2 // standalone marker (SOI / TEM / RSTn), no length
       } else if (marker == 0xDA || marker == 0xD9) {
         return None // scan data / EOI before any SOF
       } else {

@@ -43,34 +43,50 @@ object Dedup {
 
   /** Exact content dedup by hash of a text column (sha256, like the
     * reference's content_hash). One hash-shuffle; at 100 TB this is the
-    * classic exact-dedup pass. */
-  def exactByContent(df: DataFrame, textCol: String, order: Seq[Column]): DataFrame =
-    firstWins(df.withColumn("content_hash", sha2(col(textCol), 256)),
-      Seq("content_hash"), order)
+    * classic exact-dedup pass. Rows with NULL text pass through
+    * untouched — they have no content to be duplicates OF, and grouping
+    * them (null hash == null hash under partitionBy) would silently
+    * collapse every content-less row into one. */
+  def exactByContent(df: DataFrame, textCol: String, order: Seq[Column]): DataFrame = {
+    val hashed = df.withColumn("content_hash", sha2(col(textCol), 256))
+    firstWins(hashed.filter(col(textCol).isNotNull), Seq("content_hash"), order)
+      .unionByName(hashed.filter(col(textCol).isNull))
+  }
 
   /** Incremental ingestion dedup: keep only incoming docs whose content
-    * does not already exist in the historical corpus — the every-batch
-    * front door of a training-data pipeline. Content identity is
-    * sha256 of the NFC-normalized text (combining-character variants
-    * are the same document). Plan shape: the history side reduces to a
-    * distinct-hash set; at 100 TB wrap the anti-join's big side with
-    * [[BloomPrune]] or bucket both tables by content_hash so the
-    * anti-join co-locates. */
-  def incrementalNew(incoming: DataFrame, history: DataFrame, textCol: String): DataFrame = {
+    * does not already exist in the historical corpus — AND dedup the
+    * batch against itself (two identical new docs must not both pass
+    * the front door). Content identity is sha256 of the NFC-normalized
+    * text (combining-character variants are the same document).
+    * Output schema == incoming schema. Plan shape: the history side
+    * reduces to a distinct-hash set; at 100 TB wrap the anti-join's big
+    * side with [[BloomPrune]] or bucket both tables by content_hash so
+    * the anti-join co-locates.
+    *
+    * @param order within-batch winner among same-content incoming rows */
+  def incrementalNew(incoming: DataFrame, history: DataFrame, textCol: String,
+      order: Seq[Column]): DataFrame = {
     def hashed(df: DataFrame) = df.withColumn("content_hash",
       sha2(graft.functions.RegexpExpressions.nfcNormalize(col(textCol)), 256))
-    hashed(incoming).join(
-      hashed(history).select(col("content_hash")).distinct(),
-      Seq("content_hash"), "left_anti")
+    firstWins(hashed(incoming), Seq("content_hash"), order)
+      .join(hashed(history).select(col("content_hash")).distinct(),
+        Seq("content_hash"), "left_anti")
+      .drop("content_hash")
   }
 
   /** Upsert: incoming rows replace existing rows with the same key
     * (Delta MERGE semantics on plain parquet — union + first-wins with
-    * incoming ranked first, `vector_service.py:119-125`). */
-  def upsertByKey(existing: DataFrame, incoming: DataFrame, key: String): DataFrame = {
+    * incoming ranked first, `vector_service.py:119-125`).
+    *
+    * @param tieBreak order among rows with the same key ON THE SAME side
+    *        — required for determinism when one incoming batch can carry
+    *        several rows per key (row_number over equal sort keys is
+    *        partition-order-dependent otherwise) */
+  def upsertByKey(existing: DataFrame, incoming: DataFrame, key: String,
+      tieBreak: Seq[Column] = Nil): DataFrame = {
     val tagged = incoming.withColumn("__src", lit(0))
       .unionByName(existing.withColumn("__src", lit(1)))
-    firstWins(tagged, Seq(key), Seq(col("__src"))).drop("__src")
+    firstWins(tagged, Seq(key), col("__src") +: tieBreak).drop("__src")
   }
 
   /** MinHash-LSH near-duplicate candidate pairs, verified by exact
@@ -144,9 +160,11 @@ object Dedup {
     val fp = df.select(col(idCol).as("id"),
       HashExpressions.simhash64(TextFunctions.words(col(textCol))).as("fp"))
 
-    // Same bucket-aggregate shape as minHashNearDups: group (id, fp)
-    // structs per 16-bit band bucket, emit in-bucket pairs, verify by
-    // bit_count(xor) — one shuffle, fingerprints (8 bytes) ride along.
+    // Bucket-aggregate here (collect_list per band bucket) where
+    // minHashNearDups deliberately uses a self-join: simhash's 16-bit
+    // bands cap buckets at 65k per band, so the aggregation never hits
+    // the tens-of-millions-of-singleton-buckets regime that pushes
+    // ObjectHashAggregate into its sort-based fallback.
     val banded = fp.select(
       posexplode(array((0 until 4).map(b =>
         shiftright(col("fp"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))

@@ -82,10 +82,16 @@ object Relational {
     * table versions as added / removed / changed / unchanged by a single
     * full-outer join on the key and a hash over the compared columns.
     * One shuffle per side; at scale, bucket both snapshots by the key
-    * so the join co-locates. */
+    * so the join co-locates.
+    *
+    * Precondition: `keyCol` is unique within each snapshot (they are
+    * table versions). Duplicate keys would turn the full-outer join
+    * into a per-key cross product with multiplied verdicts. */
   def snapshotDiff(
       oldDf: DataFrame, newDf: DataFrame, keyCol: String,
       compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty,
+      "compareCols must name at least one column, or nothing can ever be 'changed'")
     // \u0001 separator + \u0000 null marker: without them ("ab","c")
     // would fingerprint equal to ("a","bc") and null equal to ""
     def fp(df: DataFrame, as: String) = df.select(col(keyCol),
@@ -100,16 +106,22 @@ object Relational {
   }
 
   /** P6 + C5: partial update — only provided columns change, and
-    * `updated_at` is always stamped (the BEFORE UPDATE trigger rule). */
+    * `updated_at` is always stamped (the BEFORE UPDATE trigger rule).
+    * SQL UPDATE semantics: every update expression reads the PRE-update
+    * row (one select, not a fold of withColumns — a fold would let
+    * `Map("a" -> col("b"), "b" -> col("a"))` read already-updated
+    * values in Map-iteration order). */
   def partialUpdate(
       df: DataFrame, idCol: String, id: Any, updates: Map[String, Column],
       now: Column = current_timestamp()): DataFrame = {
     val hit = col(idCol) === lit(id)
-    val updated = updates.foldLeft(df) { case (d, (c, v)) =>
-      d.withColumn(c, when(hit, v).otherwise(col(c)))
-    }
-    if (updated.columns.contains("updated_at"))
-      updated.withColumn("updated_at", when(hit, now).otherwise(col("updated_at")))
-    else updated
+    df.select(df.columns.map { c =>
+      val v = updates.get(c) match {
+        case Some(u) => when(hit, u).otherwise(col(c))
+        case None if c == "updated_at" => when(hit, now).otherwise(col(c))
+        case None => col(c)
+      }
+      v.as(c)
+    }: _*)
   }
 }

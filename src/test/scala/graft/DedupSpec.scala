@@ -62,11 +62,21 @@ class DedupSpec extends SparkSpec {
     assert((pairs(0)._1, pairs(0)._2, pairs(0)._3) === (1L, 2L, 0))
   }
 
-  test("exactByContent dedups identical text") {
-    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "different")).toDF("id", "text")
+  test("exactByContent dedups identical text, null-text rows pass through") {
+    val df = Seq((1L, Some("same text")), (2L, Some("same text")),
+      (3L, Some("different")), (4L, None), (5L, None)).toDF("id", "text")
     val got = Dedup.exactByContent(df, "text", Seq(asc("id")))
-    assert(got.count() === 2)
+    assert(got.count() === 4) // 1, 3, and BOTH null-text rows
     assert(got.filter($"text" === "same text").select("id").as[Long].collect().toSeq === Seq(1L))
+    assert(got.filter($"text".isNull).count() === 2)
+  }
+
+  test("upsertByKey tieBreak picks a deterministic within-batch winner") {
+    val existing = Seq(("k1", "old")).toDF("k", "v")
+    val incoming = Seq(("k1", "newB"), ("k1", "newA")).toDF("k", "v")
+    val got = Dedup.upsertByKey(existing, incoming, "k", tieBreak = Seq(asc("v")))
+      .as[(String, String)].collect().toSeq
+    assert(got === Seq(("k1", "newA")))
   }
 
   test("connectedComponents: transitive closure over pair graph, singletons kept") {
@@ -115,9 +125,16 @@ class DedupSpec extends SparkSpec {
       (11L, "café menu"),    // NFC-equal to history — dropped
       (12L, "genuinely new text")  // kept
     ).toDF("id", "text")
-    val got = Dedup.incrementalNew(incoming, history, "text")
+    val got = Dedup.incrementalNew(incoming, history, "text", Seq(asc("id")))
       .select("id").as[Long].collect().toSeq
     assert(got === Seq(12L))
+    // two identical NEW docs in one batch: only the first passes
+    val batchDups = Seq((20L, "brand new"), (21L, "brand new")).toDF("id", "text")
+    val got2 = Dedup.incrementalNew(batchDups, history, "text", Seq(asc("id")))
+      .select("id").as[Long].collect().toSeq
+    assert(got2 === Seq(20L))
+    assert(!Dedup.incrementalNew(batchDups, history, "text", Seq(asc("id")))
+      .columns.contains("content_hash")) // output schema == incoming schema
   }
 
   test("bloom-pruned join result is identical to the plain join") {
