@@ -536,6 +536,22 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    "q77_distinctive_terms" -> ((s, d) => {
+      // per-doc most distinctive term: max tf/df ratio (integer-scaled
+      // linear-idf — no ln(), so both engines rank identically).
+      // Two shuffles: (doc, term) tf agg, then term df agg joined back.
+      val toks = T.documents(s, d)
+        .select(col("doc_id"), explode(TF.words(lower(col("text")))).as("term"))
+      val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("cnt"))
+      val dfx = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val scored = tf.join(dfx, "term")
+        .withColumn("score", expr("cnt * 1000000 div df"))
+      Relational.topKPerGroup(scored, Seq("doc_id"),
+          Seq(desc("score"), asc("term")), k = 1)
+        .select(col("doc_id"), col("term"), col("score"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q68_vocab_topk" -> ((s, d) =>
       // corpus vocabulary heavy hitters: two-stage agg (map-side partial),
       // explode stays narrow — the only shuffle carries (word, count)
@@ -1057,6 +1073,19 @@ object SparkEntry {
         |  list_sum(qv)::BIGINT AS qsum,
         |  list_max(qv) AS qmax, list_min(qv) AS qmin
         |FROM q ORDER BY vec_id""".stripMargin,
+
+    "q77_distinctive_terms" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS cnt FROM toks GROUP BY doc_id, term),
+        |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |scored AS (SELECT tf.doc_id, tf.term, tf.cnt * 1000000 // dfx.df AS score
+        |  FROM tf JOIN dfx USING (term)),
+        |r AS (SELECT doc_id, term, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+        |  FROM scored)
+        |SELECT doc_id, term, score FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "q68_vocab_topk" ->
       """SELECT word, count(*) AS n FROM (
