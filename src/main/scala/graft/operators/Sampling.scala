@@ -43,6 +43,37 @@ object Sampling {
     df.filter(pred)
   }
 
+  /** Temperature-based mixture sampling: sample stratum `s` so its share
+    * of the output is ∝ n_s^alpha (the multilingual/multi-source
+    * training-mix recipe — alpha < 1 upweights rare strata, alpha = 1
+    * preserves natural proportions), with the expected output size
+    * `targetFraction` of the input. Per-stratum fractions are derived
+    * from one count aggregate (strata are few — languages, sources);
+    * membership is then the usual deterministic hash predicate, so the
+    * mix is reproducible on any cluster layout. Fractions cap at 1.0:
+    * a stratum too small for its target share is taken whole rather
+    * than upsampled (log the gap and repeat rows upstream if true
+    * oversampling is needed). */
+  def temperatureMix(
+      df: DataFrame, strataCol: String, idCol: String,
+      alpha: Double, targetFraction: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(targetFraction > 0 && targetFraction <= 1,
+      s"targetFraction must be in (0, 1], got $targetFraction")
+    val counts = df.groupBy(col(strataCol)).count()
+      .collect().map(r => r.get(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    val weights = counts.map { case (s, n) => s -> math.pow(n.toDouble, alpha) }
+    val wSum = weights.values.sum
+    val fractions = counts.map { case (s, n) =>
+      s -> math.min(1.0, weights(s) / wSum * targetFraction * total / n)
+    }
+    val pred = fractions.foldLeft(lit(false)) { case (acc, (s, f)) =>
+      when(col(strataCol) <=> lit(s), admitted(col(idCol), f)).otherwise(acc)
+    }
+    df.filter(pred)
+  }
+
   /** Split into train/validation/test by id hash — disjoint, exhaustive,
     * and stable across runs (a row never migrates between splits when
     * the corpus grows). Returns a `split` column instead of three

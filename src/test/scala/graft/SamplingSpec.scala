@@ -61,6 +61,39 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(shares("valid") / n - 0.1) < 0.04)
   }
 
+  test("temperatureMix: alpha<1 upweights rare strata, expected size on target") {
+    // 90/10 natural mix
+    val df = (1L to 10000L).map(i => (i, if (i <= 9000) "big" else "rare"))
+      .toDF("id", "stratum")
+    val mixed = Sampling.temperatureMix(df, "stratum", "id",
+      alpha = 0.5, targetFraction = 0.2)
+    val byStratum = mixed.groupBy("stratum").count()
+      .as[(String, Long)].collect().toMap
+    val n = byStratum.values.sum.toDouble
+    // expected total ~2000 rows
+    assert(math.abs(n - 2000) / 2000 < 0.15, s"total $n far from target 2000")
+    // natural rare share is 10%; sqrt weighting lifts it to
+    // sqrt(1000)/(sqrt(9000)+sqrt(1000)) = 0.25
+    val rareShare = byStratum.getOrElse("rare", 0L) / n
+    assert(rareShare > 0.18 && rareShare < 0.32,
+      s"rare share $rareShare not upweighted toward 0.25")
+    // alpha = 1 preserves natural proportions
+    val natural = Sampling.temperatureMix(df, "stratum", "id", 1.0, 0.2)
+      .groupBy("stratum").count().as[(String, Long)].collect().toMap
+    val natShare = natural.getOrElse("rare", 0L).toDouble / natural.values.sum
+    assert(natShare > 0.05 && natShare < 0.15, s"natural share $natShare drifted")
+  }
+
+  test("temperatureMix caps over-demanded strata at their full size") {
+    // rare stratum so small its temperature share exceeds its row count
+    val df = (1L to 1000L).map(i => (i, if (i <= 990) "big" else "tiny"))
+      .toDF("id", "stratum")
+    val mixed = Sampling.temperatureMix(df, "stratum", "id",
+      alpha = 0.1, targetFraction = 0.5)
+    val tiny = mixed.filter($"stratum" === "tiny").count()
+    assert(tiny === 10) // taken whole, never upsampled
+  }
+
   test("assignSplit is disjoint, exhaustive, and stable under corpus growth") {
     val small = Sampling.assignSplit(ids(1000), "id", 0.8, 0.1)
       .select("id", "split").as[(Long, String)].collect().toMap
