@@ -112,6 +112,41 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.count() === 1)
   }
 
+  test("intervalJoin equals the naive theta-join on randomized data") {
+    val rnd = new scala.util.Random(42)
+    val points = (1L to 300L).map(i =>
+      (i, rnd.nextInt(5).toLong, rnd.nextInt(100000).toLong * 1000000L))
+      .toDF("pid", "k", "p_us")
+    val intervals = (1L to 60L).map { i =>
+      val s = rnd.nextInt(90000).toLong * 1000000L
+      (i, rnd.nextInt(5).toLong, s, s + rnd.nextInt(20000).toLong * 1000000L)
+    }.toDF("iid", "k", "s_us", "e_us")
+    val binned = TimeSeries.intervalJoin(points, "p_us", intervals,
+        "s_us", "e_us", keys = Seq("k"), binSeconds = 3600)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val naive = points.join(intervals, Seq("k"))
+      .filter($"p_us" >= $"s_us" && $"p_us" <= $"e_us")
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(binned === naive, s"binned diff: ${(binned diff naive) ++ (naive diff binned)}")
+  }
+
+  test("joinAsOf equals the naive per-row max-subquery on randomized data") {
+    val rnd = new scala.util.Random(7)
+    val left = (1L to 200L).map(i =>
+      (i, rnd.nextInt(8).toLong, rnd.nextInt(100000).toLong)).toDF("id", "k", "t")
+    val right = (1L to 80L).map(i =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(100000).toLong)).toDF("k", "t")
+      .withColumn("payload", $"t") // payload = its own ts, tie-safe
+      .distinct()
+    val asof = TimeSeries.joinAsOf(left, right, Seq("k"), "t", "t", Seq("payload"))
+      .select("id", "asof_payload").as[(Long, Option[Long])].collect().toMap
+    val naive = left.as("l").join(right.as("r"),
+        $"l.k" === $"r.k" && $"r.t" <= $"l.t", "left")
+      .groupBy($"l.id").agg(max($"r.payload").as("p"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(asof === naive)
+  }
+
   test("sessionize boundary: gap exactly equal to gapSeconds stays in session") {
     val df = Seq(
       (1L, ts("2024-01-01 08:00:00")),
