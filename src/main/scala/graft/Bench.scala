@@ -1,5 +1,16 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every `SparkEntry.queries` entry on
+  * `SPARK_GRAFT_SF_DIR` and emits ONE machine-parseable JSON line.
+  *
+  * Output-format constraints (driver contract):
+  *   - the line must be valid JSON on its own (no logger prefix — see
+  *     `run / outputStrategy := StdoutOutput` in build.sbt);
+  *   - the driver only keeps the tail of the run output, so the line must
+  *     stay well under 2 KB: query keys are shortened to their `qNN`
+  *     prefix and seconds rounded to ms.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -20,10 +31,22 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // "q33_minhash_neardups" -> "q33": keeps the JSON line compact; full
+    // names are recoverable from SparkEntry.queries / CORRECTNESS_r*.json.
+    val qs = results.map { case (k, v) =>
+      val short = k.indexOf('_') match { case -1 => k; case i => k.substring(0, i) }
+      f""""$short":$v%.3f"""
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Also drop a copy on disk so the result survives any output capture.
+    try {
+      val w = new java.io.PrintWriter("bench_last.json")
+      try w.println(line) finally w.close()
+    } catch { case _: Throwable => () }
     spark.stop()
+    // Print LAST so the line sits at the very end of the captured tail.
+    println(line)
   }
 }
