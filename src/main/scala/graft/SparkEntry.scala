@@ -131,7 +131,10 @@ object SparkEntry {
       T.events(s, d)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("total"),
-          (dsum18(col("value")) / count(lit(1))).as("avg_value"),
+          // value is an exactly-2-decimal quantity: DECIMAL(18,2)
+          // accumulation is bit-identical across engines, where a
+          // (38,18) cast expands doubles engine-dependently (1-ulp)
+          (dsum(col("value")) / count(lit(1))).as("avg_value"),
           min(col("value")).as("min_value"),
           max(col("value")).as("max_value"))
         .orderBy(col("event_type"))),
@@ -593,7 +596,92 @@ object SparkEntry {
     "q53_uniqueness" -> ((s, d) =>
       T.events(s, d).agg(count(lit(1)).as("rows"),
         (countDistinct(col("user_id")).cast("double") / count(lit(1))).as("user_uniq"),
-        (countDistinct(col("event_type")).cast("double") / count(lit(1))).as("type_uniq")))
+        (countDistinct(col("event_type")).cast("double") / count(lit(1))).as("type_uniq"))),
+
+    // --- round 3: corpus hygiene / CDC / rolling stats --------------------
+    "q78_decontaminate" -> ((s, d) => {
+      // eval-set decontamination: train docs sharing any word 5-gram
+      // with the held-out eval slice, with the shared-gram count —
+      // eval gram set broadcast, train scanned once
+      val docs = T.documents(s, d)
+      val evalSet = docs.filter(col("doc_id") % 20 === 0)
+      val train = docs.filter(col("doc_id") % 20 =!= 0)
+      operators.Decontaminate.contaminationReport(
+          train, evalSet, "doc_id", "text", n = 5)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q79_repetition" -> ((s, d) =>
+      // Gopher-style repetition filters, computed shuffle-free per row
+      analytics.CorpusStats.repetitionMetrics(T.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("n_words"), col("n_distinct"),
+          col("dup_word_frac"), col("top_bigram"), col("top_bigram_n"),
+          col("top_bigram_frac"))
+        .orderBy(col("doc_id"))),
+
+    "q80_keep_best" -> ((s, d) => {
+      // quality-aware near-dup dedup: one doc per transitive MinHash
+      // cluster, keeping the longest text instead of the min id
+      val docs = T.documents(s, d)
+      val pairs = Dedup.minHashNearDups(docs, "doc_id", "text", threshold = 0.8)
+        .select(col("id_a"), col("id_b"))
+      Dedup.keepBestPerCluster(docs, "doc_id", pairs,
+          Seq(desc("n_chars"), asc("doc_id")))
+        .select(col("doc_id"), col("cluster"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q81_rolling" -> ((s, d) =>
+      // trailing-5-row moving average + running total per user
+      TimeSeries.rollingStats(
+          T.events(s, d).select(col("event_id"), col("user_id"), col("value"),
+            unix_micros(col("ts")).as("ts_us")),
+          Seq("user_id"), Seq(asc("ts_us"), asc("event_id")), "value", nRows = 5,
+          sumType = "decimal(18,2)")
+        .select(col("event_id"), col("user_id"), col("moving_avg"), col("cum_sum"))
+        .orderBy(col("event_id"))),
+
+    "q82_domain_filter" -> ((s, d) => {
+      // URL blocklist filtering: extract the host, drop blocked domains
+      // (broadcast anti-join), count survivors per domain
+      import s.implicits._
+      val urls = T.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, lit("https://spam.bad-domain.com/x"))
+          .when(col("doc_id") % 11 === 0, lit("http://tracker.ads.net/p"))
+          .otherwise(concat(lit("https://"), col("source"),
+            lit(".example.com/"), col("doc_id").cast("string")))
+          .as("url"))
+      val blocked = Seq("spam.bad-domain.com", "tracker.ads.net").toDF("domain")
+      urls.withColumn("domain", TF.extractDomain(col("url")))
+        .join(broadcast(blocked), Seq("domain"), "left_anti")
+        .groupBy(col("domain")).agg(count(lit(1)).as("n"))
+        .orderBy(col("domain"))
+    }),
+
+    "q83_cdc_apply" -> ((s, d) => {
+      // CDC ops-log apply (MERGE): inserts, partial updates, deletes
+      // reconciled to the final snapshot in one window pass
+      val o = T.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val ins = o.select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").as("val"), lit(1L).as("seq"), lit("U").as("op"))
+      val upd = o.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          (col("o_totalprice") + 10).as("val"), lit(2L).as("seq"), lit("U").as("op"))
+      val del = o.filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").as("val"), lit(3L).as("seq"), lit("D").as("op"))
+      Relational.applyChanges(ins.unionByName(upd).unionByName(del),
+          Seq("o_orderkey"), Seq(desc("seq")), "op", "D")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("val")).as("total"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    "q84_pmi_bigrams" -> ((s, d) =>
+      // corpus-wide bigram collocations by integer-exact lift
+      analytics.CorpusStats.pmiBigrams(T.documents(s, d), "text",
+        minCount = 5L, k = 20))
   )
 
   /** The kNN query parameter: embedding of vec_id=0 (driver-side single-row
@@ -668,7 +756,7 @@ object SparkEntry {
 
     "q14_metrics_summary" ->
       """SELECT event_type, count(*) AS total,
-        |  CAST(sum(CAST(value AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS avg_value,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value,
         |  min(value) AS min_value, max(value) AS max_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
@@ -1150,6 +1238,117 @@ object SparkEntry {
       """SELECT count(*) AS rows,
         |  count(DISTINCT user_id)::DOUBLE / count(*) AS user_uniq,
         |  count(DISTINCT event_type)::DOUBLE / count(*) AS type_uniq
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+
+    "q78_decontaminate" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |g0 AS (SELECT doc_id, unnest([array_to_string(ws[i:i+4], ' ')
+        |    for i in range(1, len(ws) - 3)]) AS gram FROM w),
+        |g AS (SELECT DISTINCT doc_id, gram FROM g0),
+        |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
+        |tr AS (SELECT doc_id, gram FROM g WHERE doc_id % 20 <> 0)
+        |SELECT tr.doc_id, count(*) AS n_shared
+        |FROM tr JOIN ev USING (gram)
+        |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin,
+
+    "q79_repetition" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |base AS (SELECT doc_id, len(ws)::BIGINT AS n_words,
+        |    len(list_distinct(ws))::BIGINT AS n_distinct FROM w),
+        |bg AS (SELECT doc_id, unnest([array_to_string(ws[i:i+1], ' ')
+        |    for i in range(1, len(ws))]) AS b FROM w),
+        |bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
+        |top AS (SELECT doc_id, b, c,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, b) AS rn FROM bc)
+        |SELECT base.doc_id, n_words, n_distinct,
+        |  (n_words - n_distinct)::DOUBLE / n_words AS dup_word_frac,
+        |  top.b AS top_bigram, top.c AS top_bigram_n,
+        |  top.c::DOUBLE / (n_words - 1)::DOUBLE AS top_bigram_frac
+        |FROM base JOIN top ON base.doc_id = top.doc_id AND top.rn = 1
+        |ORDER BY base.doc_id""".stripMargin,
+
+    "q80_keep_best" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, list_distinct(
+        |    CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) < 3
+        |      THEN [array_to_string(regexp_split_to_array(trim(text), '\s+'), ' ')]
+        |      ELSE [array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+2], ' ')
+        |            for i in range(1, len(regexp_split_to_array(trim(text), '\s+')) - 1)] END) AS sh
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM w a JOIN w b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+        |cc(id, comp) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, c.comp FROM cc c JOIN edges e ON e.src = c.id),
+        |lab AS (SELECT id AS doc_id, min(comp) AS cluster FROM cc GROUP BY id),
+        |j AS (SELECT lab.doc_id, cluster, n_chars FROM lab JOIN documents USING (doc_id)),
+        |r AS (SELECT doc_id, cluster, n_chars,
+        |    row_number() OVER (PARTITION BY cluster ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM j)
+        |SELECT doc_id, cluster, n_chars FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q81_rolling" ->
+      """SELECT event_id, user_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w5 AS DOUBLE)
+        |    / count(*) OVER w5 AS moving_avg,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER wc AS DOUBLE) AS cum_sum
+        |FROM events
+        |WINDOW w5 AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+        |  wc AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "q82_domain_filter" ->
+      """WITH u AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'https://spam.bad-domain.com/x'
+        |         WHEN doc_id % 11 = 0 THEN 'http://tracker.ads.net/p'
+        |         ELSE 'https://' || source || '.example.com/' || doc_id::VARCHAR END AS url
+        |  FROM documents),
+        |d AS (SELECT doc_id,
+        |    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS domain
+        |  FROM u)
+        |SELECT domain, count(*) AS n FROM d
+        |WHERE domain NOT IN ('spam.bad-domain.com', 'tracker.ads.net')
+        |GROUP BY domain ORDER BY domain""".stripMargin,
+
+    "q83_cdc_apply" ->
+      """WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |ops AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice AS val, 1 AS seq, 'U' AS op FROM o
+        |  UNION ALL SELECT o_orderkey, o_orderstatus, o_totalprice + 10, 2, 'U'
+        |    FROM o WHERE o_orderkey % 3 = 0
+        |  UNION ALL SELECT o_orderkey, o_orderstatus, o_totalprice, 3, 'D'
+        |    FROM o WHERE o_orderkey % 5 = 0),
+        |w AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+        |  FROM ops)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM w WHERE rn = 1 AND op <> 'D'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q84_pmi_bigrams" ->
+      """WITH toks AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        |  FROM documents),
+        |uni AS (SELECT w, count(*) AS c1 FROM toks GROUP BY w),
+        |tot AS (SELECT sum(c1)::BIGINT AS n_tokens FROM uni),
+        |wds AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |bg AS (SELECT unnest([array_to_string(ws[i:i+1], ' ')
+        |    for i in range(1, len(ws))]) AS b FROM wds),
+        |bc AS (SELECT b, count(*) AS c2 FROM bg GROUP BY b HAVING count(*) >= 5),
+        |j AS (SELECT bc.b AS bigram, c2 AS n_pair, u1.c1 AS n_left, u2.c1 AS n_right,
+        |    c2::DOUBLE * (SELECT n_tokens FROM tot)::DOUBLE
+        |      / (u1.c1::DOUBLE * u2.c1::DOUBLE) AS lift
+        |  FROM bc JOIN uni u1 ON u1.w = split_part(bc.b, ' ', 1)
+        |          JOIN uni u2 ON u2.w = split_part(bc.b, ' ', 2))
+        |SELECT bigram, n_pair, n_left, n_right, lift FROM j
+        |ORDER BY lift DESC, bigram LIMIT 20""".stripMargin
   )
 }

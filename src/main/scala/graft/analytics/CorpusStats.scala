@@ -1,0 +1,103 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-level text statistics for training-data quality control:
+  * Gopher-style per-document repetition metrics and corpus-wide bigram
+  * collocation (lift/PMI) mining.
+  */
+object CorpusStats {
+
+  private def wordsOf(textCol: String): Column = {
+    val t = trim(lower(col(textCol)))
+    when(length(t) === 0, array().cast("array<string>"))
+      .otherwise(split(t, "\\s+"))
+  }
+
+  private def bigramsOf(ws: Column): Column =
+    when(size(ws) >= 2,
+      transform(sequence(lit(0), size(ws) - 2),
+        i => concat_ws(" ", slice(ws, i + 1, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Per-document repetition metrics (the Gopher/MassiveText repetition
+    * filters, word-level): duplicate-word fraction and the share of all
+    * bigram slots taken by the single most frequent bigram.
+    *
+    * Shuffle-free: everything is computed per row with array
+    * expressions — the most-frequent bigram comes from a fold over the
+    * SORTED bigram array (longest equal-run; ties resolve to the
+    * lexicographically smallest, the order a (count DESC, bigram ASC)
+    * window would pick), so a 100 TB corpus pays one scan and zero
+    * exchanges.
+    *
+    * Output: idCol, n_words, n_distinct, dup_word_frac, top_bigram
+    * (null when the doc has <2 words), top_bigram_n, top_bigram_frac.
+    */
+  def repetitionMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = wordsOf(textCol)
+    val sortedB = array_sort(bigramsOf(ws))
+    // fold state: (prev bigram, current run, best run, best bigram)
+    val top = aggregate(
+      sortedB,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best"),
+        lit(null).cast("string").as("barg")),
+      (acc, x) => {
+        val run2 = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run2.as("run"),
+          when(run2 > acc.getField("best"), run2)
+            .otherwise(acc.getField("best")).as("best"),
+          when(run2 > acc.getField("best"), x)
+            .otherwise(acc.getField("barg")).as("barg"))
+      },
+      acc => struct(acc.getField("best").as("n"), acc.getField("barg").as("b")))
+    df.select(col(idCol), size(ws).cast("long").as("n_words"),
+        size(array_distinct(ws)).cast("long").as("n_distinct"),
+        top.as("__top"))
+      .withColumn("dup_word_frac",
+        when(col("n_words") > 0,
+          (col("n_words") - col("n_distinct")).cast("double") / col("n_words"))
+          .otherwise(lit(0.0)))
+      .withColumn("top_bigram", col("__top.b"))
+      .withColumn("top_bigram_n", col("__top.n"))
+      .withColumn("top_bigram_frac",
+        when(col("n_words") > 1,
+          col("__top.n").cast("double") / (col("n_words") - 1).cast("double"))
+          .otherwise(lit(0.0)))
+      .drop("__top")
+  }
+
+  /** Corpus-wide bigram collocations ranked by lift
+    * `count(xy) * N_tokens / (count(x) * count(y))` — the
+    * monotone-in-PMI score kept log-free so it is bit-identical across
+    * engines (exact BIGINT counts, one double multiply/divide chain).
+    *
+    * Two scans of the corpus (unigram and bigram counts), each a
+    * map-side-combined aggregation; the unigram table joins the bigram
+    * table twice on its word key. Counts stay exact BIGINTs; they are
+    * only converted to double in the final score (exact up to 2^53).
+    */
+  def pmiBigrams(
+      df: DataFrame, textCol: String, minCount: Long, k: Int): DataFrame = {
+    val ws = wordsOf(textCol)
+    val uni = df.select(explode(ws).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val totals = uni.agg(sum(col("c1")).as("n_tokens"))
+    val bi = df.select(explode(bigramsOf(ws)).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("c2"))
+      .filter(col("c2") >= minCount)
+      .withColumn("w1", split(col("b"), " ").getItem(0))
+      .withColumn("w2", split(col("b"), " ").getItem(1))
+    bi.join(uni.select(col("w").as("w1"), col("c1").as("cx")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c1").as("cy")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(col("b").as("bigram"), col("c2").as("n_pair"),
+        col("cx").as("n_left"), col("cy").as("n_right"),
+        (col("c2").cast("double") * col("n_tokens").cast("double") /
+          (col("cx").cast("double") * col("cy").cast("double"))).as("lift"))
+      .orderBy(desc("lift"), asc("bigram"))
+      .limit(k)
+  }
+}

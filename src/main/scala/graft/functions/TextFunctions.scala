@@ -189,6 +189,13 @@ object TextFunctions {
     when(c.isNull || c === "", lit(false)).otherwise(schemeOk && !dangerous)
   }
 
+  /** Lowercased host of a URL (empty string when no scheme://host
+    * prefix matches). Plain regex rather than `parse_url` so the exact
+    * same extraction is expressible in any engine — domain blocklist
+    * filtering must behave identically wherever the list is applied. */
+  def extractDomain(c: Column): Column =
+    lower(regexp_extract(c, "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1))
+
   // ---------------------------------------------------------------------
   // F6 — HTML cleaning (search_clients.py:83-91)
   // ---------------------------------------------------------------------

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Eval-set decontamination — drop training documents that share any
+  * word n-gram with a held-out eval/benchmark set (the standard
+  * "n-gram overlap" contamination check run before LLM training).
+  *
+  * Scale shape: the eval side is always tiny relative to a training
+  * corpus (a 100k-doc eval set yields only a few million distinct
+  * grams), so its gram set is BROADCAST — the 100 TB train side is
+  * scanned exactly once, grams are generated per-row (no explode
+  * shuffle), and the only shuffle is the final per-doc count of the
+  * (rare) contaminated survivors. No full-corpus gram table is ever
+  * materialized.
+  */
+object Decontaminate {
+
+  private def words(textCol: String) = {
+    val t = trim(lower(col(textCol)))
+    when(length(t) === 0, array().cast("array<string>"))
+      .otherwise(split(t, "\\s+"))
+  }
+
+  /** Distinct word n-grams per row, exploded: (idCol, gram). Documents
+    * shorter than `n` words contribute no grams. */
+  def wordNgrams(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val ws = words(textCol)
+    df.select(col(idCol),
+      explode(array_distinct(
+        when(size(ws) >= n,
+          transform(sequence(lit(0), size(ws) - n),
+            i => concat_ws(" ", slice(ws, i + 1, lit(n)))))
+          .otherwise(array().cast("array<string>")))).as("gram"))
+  }
+
+  /** Contaminated train docs: (idCol, n_shared) where n_shared is the
+    * number of DISTINCT n-grams the doc shares with the eval set.
+    * `hashGrams=true` replaces gram strings with xxhash64 before the
+    * broadcast (8 bytes/gram instead of ~6n — the setting for real
+    * eval sets; left off where cross-engine-reproducible gram strings
+    * are wanted). */
+  def contaminationReport(
+      train: DataFrame, evalSet: DataFrame, idCol: String, textCol: String,
+      n: Int, hashGrams: Boolean = false): DataFrame = {
+    def grams(df: DataFrame) = {
+      val g = wordNgrams(df, idCol, textCol, n)
+      if (hashGrams) g.select(col(idCol), xxhash64(col("gram")).as("gram")) else g
+    }
+    val evalGrams = grams(evalSet).select(col("gram")).distinct()
+    grams(train)
+      .join(broadcast(evalGrams), Seq("gram"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** The decontaminated train set: train rows minus contaminated ids.
+    * Same broadcast shape; the anti-join keys on idCol only. */
+  def decontaminate(
+      train: DataFrame, evalSet: DataFrame, idCol: String, textCol: String,
+      n: Int, hashGrams: Boolean = true): DataFrame =
+    train.join(
+      contaminationReport(train, evalSet, idCol, textCol, n, hashGrams)
+        .select(col(idCol)),
+      Seq(idCol), "left_anti")
+}

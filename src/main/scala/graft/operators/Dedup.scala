@@ -326,6 +326,25 @@ object Dedup {
       .select(col("id").as(idCol), col("cluster"),
         (col("id") === col("cluster")).as("is_rep"))
 
+  /** Quality-aware near-dup dedup: assign every doc its transitive
+    * dup cluster (via [[dupClusters]]) and keep ONE doc per cluster —
+    * the one that sorts first under `preference` (e.g. highest quality
+    * score, longest text), not blindly the min-id representative. This
+    * is the curation-grade variant: when a cluster mixes a clean
+    * original with truncated/boilerplate near-copies, the best one
+    * survives.
+    *
+    * Cost on top of the pair generation: the cluster label propagation
+    * plus one window over clusters — both shuffle on cluster id only. */
+  def keepBestPerCluster(
+      df: DataFrame, idCol: String, pairs: DataFrame,
+      preference: Seq[Column]): DataFrame = {
+    val labeled = df.join(
+      dupClusters(df, idCol, pairs).select(col(idCol), col("cluster")),
+      Seq(idCol))
+    firstWins(labeled, Seq("cluster"), preference)
+  }
+
   /** Embedding near-dups within coarse clusters: candidates are pairs
     * sharing `clusterCol` (IVF-style pruning), verified by cosine. */
   def embeddingNearDups(

@@ -140,6 +140,37 @@ object TimeSeries {
       .drop("__bin")
   }
 
+  /** Rolling row-frame statistics per key: moving sum/avg over the
+    * trailing `nRows` rows plus running cumulative sum, ordered by
+    * `order` (which must be a total order within each key for
+    * deterministic frames — include a tiebreaker column).
+    *
+    * One shuffle on the key; every frame evaluates inside the sorted
+    * partition, so at 100 TB the cost is the key exchange plus a linear
+    * in-partition pass. Sums accumulate as DECIMAL and present as
+    * DOUBLE so accumulation order can't flip low bits; pass the
+    * narrowest decimal that holds the data (e.g. "decimal(18,2)" for
+    * money-like values — a wide fractional scale like (38,18) expands
+    * doubles differently across engines and is only within-Spark
+    * deterministic). */
+  def rollingStats(
+      df: DataFrame, keyCols: Seq[String], order: Seq[Column],
+      valueCol: String, nRows: Int,
+      sumType: String = "decimal(38,18)"): DataFrame = {
+    require(nRows >= 1, s"nRows must be >= 1, got $nRows")
+    val dec = col(valueCol).cast(sumType)
+    val moving = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
+      .rowsBetween(-(nRows - 1), Window.currentRow)
+    val running = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // cast the exact decimal sum to double BEFORE dividing: decimal
+    // division scale rules differ across engines, double/long does not
+    df.withColumn("moving_sum", sum(dec).over(moving).cast("double"))
+      .withColumn("moving_avg",
+        sum(dec).over(moving).cast("double") / count(lit(1)).over(moving))
+      .withColumn("cum_sum", sum(dec).over(running).cast("double"))
+  }
+
   /** Per-session rollup on top of [[sessionize]]: start/end/duration and
     * event count per (key, session). */
   def sessionStats(

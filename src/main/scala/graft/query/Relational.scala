@@ -1,6 +1,7 @@
 package graft.query
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The reference's relational endpoint surface (SURVEY §2 S1/P5/P6/
@@ -103,6 +104,26 @@ object Relational {
           .when(col("__new").isNull, "removed")
           .when(col("__old") =!= col("__new"), "changed")
           .otherwise("unchanged").as("change_type"))
+  }
+
+  /** CDC ops-log apply (MERGE semantics over a change stream): given a
+    * log of keyed operations, materialize the final snapshot — for each
+    * key the operation that sorts FIRST under `latestFirst` wins, and
+    * keys whose winning op is `deleteValue` disappear.
+    *
+    * This is the batch "apply changes into" primitive: upserts and
+    * deletes reconciled in one pass. One shuffle on the key, one sorted
+    * window scan — the same shape at any scale; no per-key collect, no
+    * driver loop. `latestFirst` must totally order each key's ops
+    * (e.g. `Seq(desc("seq"), desc("op_id"))`) or the winner is
+    * nondeterministic. */
+  def applyChanges(
+      ops: DataFrame, keys: Seq[String], latestFirst: Seq[Column],
+      opCol: String = "op", deleteValue: String = "D"): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(latestFirst: _*)
+    ops.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col(opCol) =!= deleteValue)
+      .drop("__rn", opCol)
   }
 
   /** P6 + C5: partial update — only provided columns change, and

@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analytics.CorpusStats
+import graft.operators.{Decontaminate, Dedup, TimeSeries}
+import graft.query.Relational
+
+class Round3OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- Decontaminate ----------------------------------------------------
+
+  private val corpus = Seq(
+    (1L, "a b c d e f g h"),          // shares the 5-gram "a b c d e" with eval
+    (2L, "z y x w v u t s"),          // no overlap
+    (3L, "a b c d e zz qq rr"),       // shares one 5-gram with eval
+    (4L, "short doc"),                // < 5 words: no grams at all
+    (10L, "a b c d e f zz xx")        // eval doc
+  ).toDF("doc_id", "text")
+
+  test("wordNgrams: count, distinctness, and short-doc behavior") {
+    val g = Decontaminate.wordNgrams(corpus, "doc_id", "text", 5)
+    // 8 words -> 4 grams; 2 words -> 0 grams
+    assert(g.filter($"doc_id" === 1L).count() === 4)
+    assert(g.filter($"doc_id" === 4L).count() === 0)
+    // repeated grams collapse: "a a a a a a" has one distinct 5-gram
+    val rep = Seq((9L, "a a a a a a")).toDF("doc_id", "text")
+    assert(Decontaminate.wordNgrams(rep, "doc_id", "text", 5).count() === 1)
+  }
+
+  test("contaminationReport finds overlapping train docs; decontaminate drops them") {
+    val evalSet = corpus.filter($"doc_id" === 10L)
+    val train = corpus.filter($"doc_id" < 10L)
+    val report = Decontaminate.contaminationReport(train, evalSet, "doc_id", "text", 5)
+      .as[(Long, Long)].collect().toMap
+    assert(report.keySet === Set(1L, 3L))
+    assert(report(1L) === 2L) // "a b c d e" and "b c d e f"
+    val clean = Decontaminate.decontaminate(train, evalSet, "doc_id", "text", 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean === Set(2L, 4L))
+  }
+
+  test("hashGrams=true yields the same contamination verdicts") {
+    val evalSet = corpus.filter($"doc_id" === 10L)
+    val train = corpus.filter($"doc_id" < 10L)
+    val plain = Decontaminate.contaminationReport(train, evalSet, "doc_id", "text", 5,
+      hashGrams = false).as[(Long, Long)].collect().toMap
+    val hashed = Decontaminate.contaminationReport(train, evalSet, "doc_id", "text", 5,
+      hashGrams = true).as[(Long, Long)].collect().toMap
+    assert(plain === hashed)
+  }
+
+  // --- CorpusStats.repetitionMetrics ------------------------------------
+
+  test("repetitionMetrics: dup fraction and most-frequent bigram") {
+    val df = Seq(
+      (1L, "the cat the cat the dog"),
+      (2L, "all words unique here"),
+      (3L, "solo")
+    ).toDF("doc_id", "text")
+    val m = CorpusStats.repetitionMetrics(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // doc 1: 6 words, 3 distinct; bigrams: "the cat"x2, "cat the"x2,
+    // "the dog"x1 -> tie broken lexicographically: "cat the"
+    assert(m(0).getAs[Long]("n_words") === 6L)
+    assert(m(0).getAs[Long]("n_distinct") === 3L)
+    assert(m(0).getAs[Double]("dup_word_frac") === 0.5)
+    assert(m(0).getAs[String]("top_bigram") === "cat the")
+    assert(m(0).getAs[Long]("top_bigram_n") === 2L)
+    assert(m(0).getAs[Double]("top_bigram_frac") === 0.4)
+    // doc 2: no repetition
+    assert(m(1).getAs[Double]("dup_word_frac") === 0.0)
+    assert(m(1).getAs[Long]("top_bigram_n") === 1L)
+    // doc 3: single word -> no bigram, zero fractions
+    assert(m(2).getAs[String]("top_bigram") === null)
+    assert(m(2).getAs[Long]("top_bigram_n") === 0L)
+    assert(m(2).getAs[Double]("top_bigram_frac") === 0.0)
+  }
+
+  test("repetitionMetrics matches an explode-and-count equivalent") {
+    // the shuffle-free sorted-run fold must agree with the naive
+    // explode -> groupBy -> (count desc, bigram asc) window answer
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .limit(50).select($"doc_id", $"text")
+    val fold = CorpusStats.repetitionMetrics(docs, "doc_id", "text")
+      .select("doc_id", "top_bigram", "top_bigram_n")
+    val ws = split(trim(lower($"text")), "\\s+")
+    val naive = docs.select($"doc_id", explode(
+        when(size(ws) >= 2, transform(sequence(lit(0), size(ws) - 2),
+          i => concat_ws(" ", slice(ws, i + 1, lit(2)))))).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
+          .orderBy($"n".desc, $"b".asc)))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"b".as("top_bigram"), $"n".as("top_bigram_n"))
+    assert(fold.exceptAll(naive).count() === 0)
+    assert(naive.exceptAll(fold).count() === 0)
+  }
+
+  // --- CorpusStats.pmiBigrams -------------------------------------------
+
+  test("pmiBigrams ranks the always-adjacent pair above frequent-but-independent") {
+    // "zip zap" always co-occur; "the" is everywhere -> low lift
+    val docs = Seq.tabulate(20) { i =>
+      (i.toLong, s"zip zap the w$i the x$i the y$i")
+    }.toDF("doc_id", "text")
+    val top = CorpusStats.pmiBigrams(docs, "text", minCount = 5L, k = 3).collect()
+    assert(top.head.getAs[String]("bigram") === "zip zap")
+    assert(top.head.getAs[Long]("n_pair") === 20L)
+    // lift of a deterministic pair = n_tokens / n_pair count relation:
+    // c_xy=20, c_x=c_y=20, N=160 -> 20*160/400 = 8.0
+    assert(top.head.getAs[Double]("lift") === 8.0)
+  }
+
+  // --- TimeSeries.rollingStats ------------------------------------------
+
+  test("rollingStats: trailing frame, running total, per-key isolation") {
+    val df = Seq(
+      ("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0), ("a", 4L, 4.0),
+      ("b", 1L, 10.0)
+    ).toDF("k", "seq", "v")
+    val got = TimeSeries.rollingStats(df, Seq("k"), Seq(asc("seq")), "v",
+        nRows = 3, sumType = "decimal(18,2)")
+      .orderBy("k", "seq")
+      .select("k", "seq", "moving_sum", "moving_avg", "cum_sum")
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(got(0) === (("a", 1L, 1.0, 1.0, 1.0)))
+    assert(got(1) === (("a", 2L, 3.0, 1.5, 3.0)))
+    assert(got(2) === (("a", 3L, 6.0, 2.0, 6.0)))
+    // frame slides: rows 2..4 only
+    assert(got(3) === (("a", 4L, 9.0, 3.0, 10.0)))
+    // key b unaffected by key a
+    assert(got(4) === (("b", 1L, 10.0, 10.0, 10.0)))
+  }
+
+  // --- Relational.applyChanges ------------------------------------------
+
+  test("applyChanges: last op wins, deletes disappear, op column dropped") {
+    val ops = Seq(
+      (1L, "v1", 1L, "U"), (1L, "v2", 2L, "U"),            // update chain
+      (2L, "x", 1L, "U"), (2L, "x", 2L, "D"),              // deleted
+      (3L, "gone", 1L, "D"), (3L, "back", 2L, "U"),        // delete then re-insert
+      (4L, "only", 1L, "U")
+    ).toDF("id", "payload", "seq", "op")
+    val snap = Relational.applyChanges(ops, Seq("id"), Seq(desc("seq")))
+    assert(snap.columns.toSeq === Seq("id", "payload", "seq"))
+    val byId = snap.select("id", "payload").as[(Long, String)].collect().toMap
+    assert(byId === Map(1L -> "v2", 3L -> "back", 4L -> "only"))
+  }
+
+  // --- Dedup.keepBestPerCluster -----------------------------------------
+
+  test("keepBestPerCluster keeps the preferred doc, not the min id") {
+    val docs = Seq(
+      (1L, "a", 10L), (2L, "a", 30L), (3L, "a", 20L),  // cluster {1,2,3}
+      (4L, "b", 5L),                                    // singleton
+      (5L, "c", 7L), (6L, "c", 7L)                      // tie -> lower id
+    ).toDF("doc_id", "text", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val kept = Dedup.keepBestPerCluster(docs, "doc_id", pairs,
+        Seq(desc("quality"), asc("doc_id")))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L, 4L, 5L))
+  }
+}
