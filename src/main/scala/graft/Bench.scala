@@ -31,15 +31,21 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    // Locale.ROOT: the default-locale f-interpolator would print a comma
+    // decimal separator on e.g. de_DE JVMs and break json parsing.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // "q33_minhash_neardups" -> "q33": keeps the JSON line compact; full
     // names are recoverable from SparkEntry.queries / CORRECTNESS_r*.json.
-    val qs = results.map { case (k, v) =>
-      val short = k.indexOf('_') match { case -1 => k; case i => k.substring(0, i) }
-      f""""$short":$v%.3f"""
-    }.mkString("{", ",", "}")
+    def short(k: String): String =
+      k.indexOf('_') match { case -1 => k; case i => k.substring(0, i) }
+    require(results.keys.map(short).toSet.size == results.size,
+      "shortened bench keys collide — rename the clashing queries")
+    val qs = results.map { case (k, v) => s""""${short(k)}":${fmt(v)}""" }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // Also drop a copy on disk so the result survives any output capture.
     try {
       val w = new java.io.PrintWriter("bench_last.json")

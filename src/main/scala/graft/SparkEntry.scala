@@ -30,8 +30,9 @@ object SparkEntry {
     * product), multiply and sum in decimal, present as DOUBLE. */
   private def dprod(a: Column, b: Column): Column =
     sum(a.cast("decimal(18,2)") * b.cast("decimal(18,2)")).cast("double")
-  /** Exact high-precision sum for small doubles. */
-  private def dsum18(c: Column): Column = sum(c.cast("decimal(38,18)")).cast("double")
+  // (no (38,18) sum helper on purpose: a wide fractional decimal cast
+  // expands doubles engine-dependently — see q14's history; cast to the
+  // narrowest decimal that holds the data instead)
 
   /** Flagship query on sf=0.001 (driver smoke-checks rows>0): revenue per
     * region through the full dimension chain — broadcast-joined dims,
@@ -1241,7 +1242,9 @@ object SparkEntry {
         |FROM events""".stripMargin,
 
     "q78_decontaminate" ->
-      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+      """WITH w AS (SELECT doc_id,
+        |    CASE WHEN text IS NULL OR trim(text) = '' THEN []::VARCHAR[]
+        |      ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS ws
         |  FROM documents),
         |g0 AS (SELECT doc_id, unnest([array_to_string(ws[i:i+4], ' ')
         |    for i in range(1, len(ws) - 3)]) AS gram FROM w),
@@ -1253,7 +1256,9 @@ object SparkEntry {
         |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin,
 
     "q79_repetition" ->
-      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+      """WITH w AS (SELECT doc_id,
+        |    CASE WHEN text IS NULL OR trim(text) = '' THEN []::VARCHAR[]
+        |      ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS ws
         |  FROM documents),
         |base AS (SELECT doc_id, len(ws)::BIGINT AS n_words,
         |    len(list_distinct(ws))::BIGINT AS n_distinct FROM w),
@@ -1263,10 +1268,13 @@ object SparkEntry {
         |top AS (SELECT doc_id, b, c,
         |    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, b) AS rn FROM bc)
         |SELECT base.doc_id, n_words, n_distinct,
-        |  (n_words - n_distinct)::DOUBLE / n_words AS dup_word_frac,
-        |  top.b AS top_bigram, top.c AS top_bigram_n,
-        |  top.c::DOUBLE / (n_words - 1)::DOUBLE AS top_bigram_frac
-        |FROM base JOIN top ON base.doc_id = top.doc_id AND top.rn = 1
+        |  CASE WHEN n_words > 0
+        |    THEN (n_words - n_distinct)::DOUBLE / n_words ELSE 0.0 END AS dup_word_frac,
+        |  top.b AS top_bigram, coalesce(top.c, 0) AS top_bigram_n,
+        |  CASE WHEN n_words > 1
+        |    THEN coalesce(top.c, 0)::DOUBLE / (n_words - 1)::DOUBLE
+        |    ELSE 0.0 END AS top_bigram_frac
+        |FROM base LEFT JOIN top ON base.doc_id = top.doc_id AND top.rn = 1
         |ORDER BY base.doc_id""".stripMargin,
 
     "q80_keep_best" ->
@@ -1334,12 +1342,13 @@ object SparkEntry {
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q84_pmi_bigrams" ->
-      """WITH toks AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+      """WITH wds AS (SELECT doc_id,
+        |    CASE WHEN text IS NULL OR trim(text) = '' THEN []::VARCHAR[]
+        |      ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS ws
         |  FROM documents),
+        |toks AS (SELECT unnest(ws) AS w FROM wds),
         |uni AS (SELECT w, count(*) AS c1 FROM toks GROUP BY w),
         |tot AS (SELECT sum(c1)::BIGINT AS n_tokens FROM uni),
-        |wds AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
-        |  FROM documents),
         |bg AS (SELECT unnest([array_to_string(ws[i:i+1], ' ')
         |    for i in range(1, len(ws))]) AS b FROM wds),
         |bc AS (SELECT b, count(*) AS c2 FROM bg GROUP BY b HAVING count(*) >= 5),

@@ -3,18 +3,22 @@ package graft.analytics
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.{TextFunctions => TF}
+
 /** Corpus-level text statistics for training-data quality control:
   * Gopher-style per-document repetition metrics and corpus-wide bigram
   * collocation (lift/PMI) mining.
+  *
+  * All token arrays are bound once per row (`TF.bindOnce`) before any
+  * higher-order lambda touches them — a conditional regex split
+  * referenced inside a `transform` lambda re-runs per element
+  * (interpreted, no subexpression elimination), turning an O(W) doc
+  * scan into O(W²).
   */
 object CorpusStats {
 
-  private def wordsOf(textCol: String): Column = {
-    val t = trim(lower(col(textCol)))
-    when(length(t) === 0, array().cast("array<string>"))
-      .otherwise(split(t, "\\s+"))
-  }
-
+  /** Bigrams of a BOUND word array (`ws` must be a lambda variable or
+    * attribute, never an unbound expression tree). */
   private def bigramsOf(ws: Column): Column =
     when(size(ws) >= 2,
       transform(sequence(lit(0), size(ws) - 2),
@@ -36,37 +40,42 @@ object CorpusStats {
     * (null when the doc has <2 words), top_bigram_n, top_bigram_frac.
     */
   def repetitionMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val ws = wordsOf(textCol)
-    val sortedB = array_sort(bigramsOf(ws))
-    // fold state: (prev bigram, current run, best run, best bigram)
-    val top = aggregate(
-      sortedB,
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best"),
-        lit(null).cast("string").as("barg")),
-      (acc, x) => {
-        val run2 = when(x === acc.getField("prev"), acc.getField("run") + 1L)
-          .otherwise(lit(1L))
-        struct(x.as("prev"), run2.as("run"),
-          when(run2 > acc.getField("best"), run2)
-            .otherwise(acc.getField("best")).as("best"),
-          when(run2 > acc.getField("best"), x)
-            .otherwise(acc.getField("barg")).as("barg"))
-      },
-      acc => struct(acc.getField("best").as("n"), acc.getField("barg").as("b")))
-    df.select(col(idCol), size(ws).cast("long").as("n_words"),
-        size(array_distinct(ws)).cast("long").as("n_distinct"),
-        top.as("__top"))
-      .withColumn("dup_word_frac",
-        when(col("n_words") > 0,
-          (col("n_words") - col("n_distinct")).cast("double") / col("n_words"))
-          .otherwise(lit(0.0)))
-      .withColumn("top_bigram", col("__top.b"))
-      .withColumn("top_bigram_n", col("__top.n"))
-      .withColumn("top_bigram_frac",
-        when(col("n_words") > 1,
-          col("__top.n").cast("double") / (col("n_words") - 1).cast("double"))
-          .otherwise(lit(0.0)))
-      .drop("__top")
+    val metrics = TF.bindOnce(TF.wordsLower(col(textCol))) { ws =>
+      TF.bindOnce(array_sort(bigramsOf(ws))) { sortedB =>
+        // fold state: (prev bigram, current run, best run, best bigram)
+        val top = aggregate(
+          sortedB,
+          struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best"),
+            lit(null).cast("string").as("barg")),
+          (acc, x) => {
+            val run2 = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+              .otherwise(lit(1L))
+            struct(x.as("prev"), run2.as("run"),
+              when(run2 > acc.getField("best"), run2)
+                .otherwise(acc.getField("best")).as("best"),
+              when(run2 > acc.getField("best"), x)
+                .otherwise(acc.getField("barg")).as("barg"))
+          },
+          acc => struct(acc.getField("best").as("n"), acc.getField("barg").as("b")))
+        val nWords = size(ws).cast("long")
+        val nDistinct = size(array_distinct(ws)).cast("long")
+        struct(
+          nWords.as("n_words"),
+          nDistinct.as("n_distinct"),
+          when(nWords > 0,
+            (nWords - nDistinct).cast("double") / nWords)
+            .otherwise(lit(0.0)).as("dup_word_frac"),
+          top.getField("b").as("top_bigram"),
+          top.getField("n").as("top_bigram_n"),
+          when(nWords > 1,
+            top.getField("n").cast("double") / (nWords - 1).cast("double"))
+            .otherwise(lit(0.0)).as("top_bigram_frac"))
+      }
+    }
+    df.select(col(idCol), metrics.as("__m"))
+      .select(col(idCol), col("__m.n_words"), col("__m.n_distinct"),
+        col("__m.dup_word_frac"), col("__m.top_bigram"),
+        col("__m.top_bigram_n"), col("__m.top_bigram_frac"))
   }
 
   /** Corpus-wide bigram collocations ranked by lift
@@ -81,11 +90,11 @@ object CorpusStats {
     */
   def pmiBigrams(
       df: DataFrame, textCol: String, minCount: Long, k: Int): DataFrame = {
-    val ws = wordsOf(textCol)
-    val uni = df.select(explode(ws).as("w"))
+    val uni = df.select(explode(TF.wordsLower(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c1"))
     val totals = uni.agg(sum(col("c1")).as("n_tokens"))
-    val bi = df.select(explode(bigramsOf(ws)).as("b"))
+    val bi = df.select(explode(
+        TF.bindOnce(TF.wordsLower(col(textCol)))(bigramsOf)).as("b"))
       .groupBy(col("b")).agg(count(lit(1)).as("c2"))
       .filter(col("c2") >= minCount)
       .withColumn("w1", split(col("b"), " ").getItem(0))

@@ -236,12 +236,20 @@ object TextFunctions {
   /** Whitespace word split (for shingling / minhash). */
   def words(c: Column): Column = split(trim(c), """\s+""")
 
+  /** Lowercased whitespace tokens; empty/whitespace-only text yields an
+    * EMPTY array (a bare split would yield `[""]`, one phantom token). */
+  def wordsLower(c: Column): Column = {
+    val t = trim(lower(c))
+    when(length(t) === 0, array().cast("array<string>"))
+      .otherwise(split(t, """\s+"""))
+  }
+
   /** Bind `v` once as a lambda variable so the (possibly expensive)
     * expression isn't re-evaluated per element of downstream transforms —
     * conditional branches defeat Catalyst subexpression elimination, so
     * e.g. a regex split referenced inside a transform lambda would
     * otherwise run once per output element. */
-  private def bindOnce(v: Column)(body: Column => Column): Column =
+  private[graft] def bindOnce(v: Column)(body: Column => Column): Column =
     element_at(transform(array(v), body), 1)
 
   /** Word n-gram shingles, joined by single space. */

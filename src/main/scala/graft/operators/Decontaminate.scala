@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.{TextFunctions => TF}
+
 /** Eval-set decontamination — drop training documents that share any
   * word n-gram with a held-out eval/benchmark set (the standard
   * "n-gram overlap" contamination check run before LLM training).
@@ -17,23 +19,20 @@ import org.apache.spark.sql.functions._
   */
 object Decontaminate {
 
-  private def words(textCol: String) = {
-    val t = trim(lower(col(textCol)))
-    when(length(t) === 0, array().cast("array<string>"))
-      .otherwise(split(t, "\\s+"))
-  }
-
   /** Distinct word n-grams per row, exploded: (idCol, gram). Documents
-    * shorter than `n` words contribute no grams. */
+    * shorter than `n` words contribute no grams. The token array is
+    * bound once per row before the transform lambda slices it — an
+    * unbound split re-evaluates per gram (O(W²) per doc). */
   def wordNgrams(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    val ws = words(textCol)
-    df.select(col(idCol),
-      explode(array_distinct(
+    val grams = TF.bindOnce(TF.wordsLower(col(textCol))) { ws =>
+      array_distinct(
         when(size(ws) >= n,
           transform(sequence(lit(0), size(ws) - n),
             i => concat_ws(" ", slice(ws, i + 1, lit(n)))))
-          .otherwise(array().cast("array<string>")))).as("gram"))
+          .otherwise(array().cast("array<string>")))
+    }
+    df.select(col(idCol), explode(grams).as("gram"))
   }
 
   /** Contaminated train docs: (idCol, n_shared) where n_shared is the
