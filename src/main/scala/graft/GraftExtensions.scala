@@ -57,6 +57,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("nfc_normalize", "nfc_normalize(s) - Unicode NFC canonical composition"),
       (args: Seq[Expression]) => NfcNormalize(args(0))))
 
+    ext.injectFunction((FunctionIdentifier("deflate_ratio"),
+      info("deflate_ratio",
+        "deflate_ratio(s[, level]) - deflate-compressed size / raw UTF-8 size (low = repetitive/templated text)"),
+      (args: Seq[Expression]) => DeflateRatio(args(0),
+        if (args.length > 1) intArg(args(1), "deflate level") else 6)))
+
     ext.injectFunction((FunctionIdentifier("regexp_count"),
       info("regexp_count", "regexp_count(s, pattern) - number of regex matches (pattern must be a string literal)"),
       (args: Seq[Expression]) => args(1) match {

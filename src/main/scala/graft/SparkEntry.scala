@@ -682,7 +682,16 @@ object SparkEntry {
     "q84_pmi_bigrams" -> ((s, d) =>
       // corpus-wide bigram collocations by integer-exact lift
       analytics.CorpusStats.pmiBigrams(T.documents(s, d), "text",
-        minCount = 5L, k = 20))
+        minCount = 5L, k = 20)),
+
+    "q85_compress_ratio" -> ((s, d) =>
+      // deflate compression-ratio repetition signal (rows-only: deflate
+      // bytes depend on the zlib build, not cross-engine reproducible)
+      T.documents(s, d).select(col("doc_id"),
+          functions.CompressFunctions.deflateRatio(col("text")).as("compress_ratio"),
+          (functions.CompressFunctions.deflateRatio(col("text")) < 0.3)
+            .as("flag_repetitive"))
+        .orderBy(col("doc_id")))
   )
 
   /** The kNN query parameter: embedding of vec_id=0 (driver-side single-row

@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import ExprBridge.{toColumn, toExpr}
+
+/** Compression-ratio quality signal: deflate(text).size / text.size.
+  *
+  * Near-random or natural text sits well above highly repetitive
+  * boilerplate — a very low ratio is the classic cheap filter for
+  * machine-generated/templated documents in training-data curation
+  * (the CCNet/Gopher-era "compression ratio" heuristic). Per-row,
+  * shuffle-free, codegen'd; the deflate runs once per document over
+  * its UTF-8 bytes.
+  *
+  * Not oracle-checkable across engines (deflate output depends on the
+  * zlib build), so queries over it are rows-only; the spec asserts the
+  * ordering properties instead of exact bytes.
+  */
+object CompressFunctions {
+  /** deflate compression ratio at the given level (1 fastest..9 best). */
+  def deflateRatio(c: Column, level: Int = 6): Column =
+    toColumn(DeflateRatio(toExpr(c), level))
+}
+
+/** Static helpers callable from generated Java. */
+object DeflateUtil {
+  def compressedSize(bytes: Array[Byte], level: Int): Int = {
+    val d = new java.util.zip.Deflater(level, true) // nowrap: raw stream
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0
+      while (!d.finished()) total += d.deflate(buf)
+      total
+    } finally d.end()
+  }
+
+  /** 1.0 for empty input (nothing to compress, neutral signal). */
+  def ratio(s: UTF8String, level: Int): Double = {
+    val bytes = s.getBytes
+    if (bytes.isEmpty) 1.0
+    else compressedSize(bytes, level).toDouble / bytes.length
+  }
+}
+
+case class DeflateRatio(child: Expression, level: Int) extends UnaryExpression {
+  require(level >= 1 && level <= 9, s"deflate level must be in 1..9, got $level")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string column, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "deflate_ratio"
+
+  override def nullSafeEval(s: Any): Any =
+    DeflateUtil.ratio(s.asInstanceOf[UTF8String], level)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      s"${ev.value} = graft.functions.DeflateUtil.ratio($s, $level);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -34,6 +34,31 @@ object StreamingOps {
     stream.withWatermark(tsCol, window)
       .dropDuplicatesWithinWatermark(keyCol)
 
+  /** Streaming NEAR-dup suppression: drop documents whose MinHash
+    * signature was already seen within the watermark window — the
+    * stream-shaped analog of batch MinHash dedup. Signature identity
+    * over `numHashes` minima approximates "Jaccard ≈ 1" (exact dups,
+    * whitespace/boilerplate variants); it tightens toward exact-dup-only
+    * as `numHashes` grows. Full LSH banding (catch Jaccard ≥ 0.8) needs
+    * a band explode + per-band state and multiplies state size by the
+    * band count; signature identity keeps ONE state row per distinct
+    * doc within the watermark, which is what a 100 TB/day ingest loop
+    * can afford.
+    *
+    * Same late-data caveat as [[dedupWithinWindow]]. */
+  def nearDupDrop(
+      stream: DataFrame, textCol: String, tsCol: String,
+      window: String = "10 minutes", shingleSize: Int = 3,
+      numHashes: Int = 16): DataFrame =
+    stream.withColumn("__minhash_key",
+        xxhash64(graft.functions.HashExpressions.minhashSignatureLongs(
+          graft.functions.HashExpressions.shingleHashes(
+            graft.functions.TextFunctions.words(col(textCol)), shingleSize),
+          numHashes)))
+      .withWatermark(tsCol, window)
+      .dropDuplicatesWithinWatermark("__minhash_key")
+      .drop("__minhash_key")
+
   /** Streaming gap-based sessionization — the streaming analog of
     * `TimeSeries.sessionStats`. Spark's native `session_window` merges
     * events into [start, lastEvent + gap) windows per key and holds

@@ -22,6 +22,7 @@ class ExtensionsSpec extends SparkSpec {
         size(shingle_hashes(array('a','b','c','d'), 2)) AS nshingles,
         element_at(l2_normalize(array(3.0D, 4.0D)), 1) AS nx,
         regexp_count('a1b22c333', '[0-9]+') AS rc,
+        deflate_ratio(repeat('spam ', 200)) < deflate_ratio('q7e!Zk9@x2') AS defl,
         nfc_normalize('café') = 'café' AS nfc_eq
     """).collect()(0)
     assert(row.getDouble(0) === 1.0)
@@ -32,7 +33,8 @@ class ExtensionsSpec extends SparkSpec {
     assert(row.getInt(6) === 3)
     assert(math.abs(row.getDouble(7) - 0.6) < 1e-12)
     assert(row.getInt(8) === 3)
-    assert(row.getBoolean(9))
+    assert(row.getBoolean(9))  // repetitive text compresses harder
+    assert(row.getBoolean(10)) // nfc_eq
   }
 
   test("simhash64 via SQL equals the Scala API") {

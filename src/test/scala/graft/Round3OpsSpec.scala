@@ -150,6 +150,26 @@ class Round3OpsSpec extends SparkSpec {
     assert(byId === Map(1L -> "v2", 3L -> "back", 4L -> "only"))
   }
 
+  // --- CompressFunctions.deflateRatio -----------------------------------
+
+  test("deflateRatio: repetitive text scores lower; edge cases hold") {
+    import graft.functions.CompressFunctions.deflateRatio
+    val df = Seq(
+      (1L, "spam " * 400),                                   // boilerplate
+      (2L, (1 to 400).map(i => s"w${i * 7919 % 997}x$i").mkString(" ")), // varied
+      (3L, ""),
+      (4L, null.asInstanceOf[String])
+    ).toDF("id", "text")
+    val got = df.select($"id", deflateRatio($"text").as("r"))
+      .orderBy("id").collect()
+    val repetitive = got(0).getDouble(1)
+    val varied = got(1).getDouble(1)
+    assert(repetitive > 0.0 && repetitive < 0.1)
+    assert(varied > repetitive * 3)
+    assert(got(2).getDouble(1) === 1.0) // empty: neutral
+    assert(got(3).isNullAt(1))          // null in, null out
+  }
+
   // --- Dedup.keepBestPerCluster -----------------------------------------
 
   test("keepBestPerCluster keeps the preferred doc, not the min id") {

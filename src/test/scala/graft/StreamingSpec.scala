@@ -34,6 +34,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming nearDupDrop suppresses re-ingested near-identical docs") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val out = StreamingOps.nearDupDrop(
+      input.toDF().toDF("doc_id", "text", "ts"), "text", "ts",
+      window = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("neardup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val doc = "the quick brown fox jumps over the lazy dog again and again"
+      input.addData(
+        (1L, doc, ts(0)),
+        (2L, doc, ts(30)),                       // exact re-ingest: dropped
+        (3L, "completely different content about spark shuffles and joins", ts(60)))
+      q.processAllAvailable()
+      input.addData((4L, doc, ts(90)))           // still within window: dropped
+      q.processAllAvailable()
+      val got = spark.table("neardup_out").select("doc_id").as[Long].collect().sorted
+      assert(got.toSeq === Seq(1L, 3L))
+    } finally q.stop()
+  }
+
   test("streaming sessionStats: session_window closes sessions past the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, java.sql.Timestamp)]
