@@ -68,4 +68,44 @@ object Catalog {
     }
     scans.nonEmpty && scans.forall(_.partitionFilters.nonEmpty)
   }
+
+  /** Write a bucketed (and bucket-sorted) managed table: the join/agg
+    * key is hash-partitioned at WRITE time, so every later equi-join or
+    * aggregation on `bucketCols` between same-bucketed tables runs with
+    * NO shuffle — each task reads matching buckets from both sides.
+    * The 100 TB pattern: bucket the big fact tables on their join key
+    * once at ingest, then amortize that one shuffle across every
+    * downstream query; with `sortCols` = join key the sort-merge join
+    * skips its sort too. */
+  def writeBucketed(
+      df: DataFrame, table: String, bucketCols: Seq[String],
+      numBuckets: Int, sortCols: Seq[String] = Nil,
+      mode: String = "overwrite"): Unit = {
+    require(bucketCols.nonEmpty, "bucketCols must name at least one column")
+    val w = df.write.mode(mode).format("parquet")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
+  /** True iff executing `df` moves no data: no shuffle exchange
+    * anywhere in the executed plan (broadcast exchanges are allowed —
+    * they are the cheap kind). EXECUTES the frame — under AQE the real
+    * plan only exists after the run, and the pre-execution plan hides
+    * stages behind the adaptive wrapper. The assertion that a bucketed
+    * join or aggregation actually stayed co-located. */
+  def hasNoShuffle(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    df.collect() // finalize AQE stages
+    def expand(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: expand(a.executedPlan)
+      case q: QueryStageExec => q +: expand(q.plan)
+      case r: ReusedExchangeExec => r +: expand(r.child)
+      case other => other +: other.children.flatMap(expand)
+    }
+    !expand(df.queryExecution.executedPlan)
+      .exists(_.isInstanceOf[ShuffleExchangeLike])
+  }
 }

@@ -46,6 +46,38 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("bucketed tables join and aggregate with zero shuffle") {
+    import org.apache.spark.sql.functions._
+    val facts = (1L to 5000L).map(i => (i % 400, i, i * 2.0))
+      .toDF("k", "seq", "amount")
+    val dims = (0L until 400L).map(i => (i, s"name$i")).toDF("k", "name")
+    spark.sql("DROP TABLE IF EXISTS b_facts")
+    spark.sql("DROP TABLE IF EXISTS b_dims")
+    Catalog.writeBucketed(facts, "b_facts", Seq("k"), numBuckets = 8, Seq("k"))
+    Catalog.writeBucketed(dims, "b_dims", Seq("k"), numBuckets = 8, Seq("k"))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val f = spark.table("b_facts")
+      val d = spark.table("b_dims")
+      // same bucketing both sides -> sort-merge join with no exchange
+      val joined = f.join(d, Seq("k")).groupBy(col("k"), col("name"))
+        .agg(sum(col("amount")).as("total"))
+      assert(Catalog.hasNoShuffle(joined),
+        "bucketed join/agg should not shuffle:\n" +
+          joined.queryExecution.executedPlan.toString)
+      assert(joined.count() === 400)
+      // sanity: the same plan over unbucketed frames DOES shuffle
+      val unbucketed = facts.join(dims, Seq("k"))
+        .groupBy(col("k"), col("name")).agg(sum(col("amount")))
+      assert(!Catalog.hasNoShuffle(unbucketed))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_facts")
+      spark.sql("DROP TABLE IF EXISTS b_dims")
+    }
+  }
+
   test("source_type-partitioned knowledge base prunes before the cosine scan") {
     val out = java.nio.file.Files.createTempDirectory("cat_kb").toString
     val corpus = Seq(
