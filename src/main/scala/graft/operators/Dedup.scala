@@ -257,65 +257,60 @@ object Dedup {
 
   private def connectedComponentsLoop(
       nodes: DataFrame, pairs: DataFrame, maxIter: Int): DataFrame = {
-    // symmetrize once; only (src, dst) ids ride through the loop shuffles
+    // Symmetrize once and PRE-PARTITION on src: the edge table is the
+    // big, loop-invariant side of every round's join, so shuffle it to
+    // its join key once (localCheckpoint preserves the partitioning) and
+    // only the shrinking frontier moves after that.
     val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .repartition(col("src"))
       .localCheckpoint(true)
-    var labels = nodes.select(col("id"), col("id").as("cluster")).localCheckpoint(true)
+    // FRONTIER-DELTA min-label propagation: only nodes whose label
+    // improved last round send messages. A label can reach a node only
+    // through a neighbor that holds it — and that neighbor either held
+    // it initially (everyone is frontier in round 1) or acquired it in
+    // a later round (and so was frontier right after). Per-round edge
+    // work is O(edges touching the frontier) instead of O(E); for
+    // near-dup graphs (tiny components, diameter 2-3) rounds after the
+    // second process a near-empty frontier. Convergence is exact and
+    // free: the loop ends when the frontier empties — no label-sum
+    // probe, and any orderable id type works.
+    var state = nodes
+      .select(col("id"), col("id").as("cluster"), lit(true).as("__changed"))
+      .localCheckpoint(true)
     // Fail loudly if an edge references an id outside `nodes`: such ids
-    // appear in the label table mid-loop, which breaks both convergence
-    // probes' monotonicity argument — the loop could stop before the
-    // orphan's component finishes propagating. One left-anti probe over
+    // would silently contribute no row to the label table and their
+    // component could stop propagating early. One left-anti probe over
     // the edge list, once, before iterating.
-    val orphan = sym.join(labels, sym("src") === labels("id"), "left_anti").limit(1)
+    val orphan = sym.join(state, sym("src") === state("id"), "left_anti").limit(1)
     require(orphan.isEmpty,
       "pairs reference ids not present in nodes (e.g. " +
         orphan.collect().mkString(",") + "); nodes must cover every endpoint")
-    // Convergence probe. Labels only ever decrease, so for integral ids
-    // the exact DECIMAL(38,0) label sum is strictly monotone until the
-    // fixed point — one tiny aggregate per round. For every other id
-    // type (string hashes are a legitimate key: min/least order them
-    // fine) fall back to a changed-rows join; a lossy cast there would
-    // either throw under ANSI or silently declare convergence early.
-    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-    val sumProbe = labels.schema("cluster").dataType match {
-      case ByteType | ShortType | IntegerType | LongType => true
-      case _ => false
-    }
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      Option(df.agg(sum(col("cluster").cast("decimal(38,0)"))).head().getDecimal(0))
-        .getOrElse(java.math.BigDecimal.ZERO) // empty node set
-    var prevSum = if (sumProbe) labelSum(labels) else null
-    var converged = false
+    var frontierSize = 1L // enter the loop; real count comes per round
     var i = 0
-    while (!converged && i < maxIter) {
-      // message form: each node sends its label to every neighbor AND to
-      // itself, then min-aggregates — one join + one agg per round
-      // (join + agg + second join back onto labels costs ~2x; measured
-      // 10M nodes / 8M edges: 123 s -> 88 s for the full fixpoint)
-      val next = sym
-        .join(labels.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").as("id"), col("cluster"))
-        .unionByName(labels)
-        .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
+    while (frontierSize > 0 && i < maxIter) {
+      val frontier = state.filter(col("__changed"))
+        .select(col("id").as("src"), col("cluster"))
+      val cand = sym.join(frontier, "src")
+        .select(col("dst").as("id"), col("cluster").as("cand"))
+        .groupBy(col("id")).agg(min(col("cand")).as("cand"))
+      val next = state.select(col("id"), col("cluster"))
+        .join(cand, Seq("id"), "left_outer")
+        .select(col("id"),
+          when(col("cand") < col("cluster"), col("cand"))
+            .otherwise(col("cluster")).as("cluster"),
+          coalesce(col("cand") < col("cluster"), lit(false)).as("__changed"))
         .localCheckpoint(true)
-      if (sumProbe) {
-        val nextSum = labelSum(next)
-        converged = nextSum.compareTo(prevSum) == 0
-        prevSum = nextSum
-      } else {
-        converged = next
-          .join(labels.withColumnRenamed("cluster", "prev"), "id")
-          .filter(col("cluster") =!= col("prev")).isEmpty
-      }
-      freeCheckpoint(labels) // superseded round — release its blocks
-      labels = next
+      frontierSize = next.filter(col("__changed")).count()
+      freeCheckpoint(state) // superseded round — release its blocks
+      state = next
       i += 1
     }
     freeCheckpoint(sym)
-    require(converged, s"connectedComponents did not converge in $maxIter rounds " +
-      "(component diameter exceeds maxIter — not a near-dup-shaped graph)")
-    labels
+    require(frontierSize == 0,
+      s"connectedComponents did not converge in $maxIter rounds " +
+        "(component diameter exceeds maxIter — not a near-dup-shaped graph)")
+    state.select(col("id"), col("cluster"))
   }
 
   /** One row per document with its dedup cluster and whether it is the
