@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.exchange.Exchange
@@ -100,6 +101,53 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.exists(_.getClass.getSimpleName.contains("WindowGroupLimit")),
       "expected WindowGroupLimit for rank<=k, got:\n" +
         plan.map(_.getClass.getSimpleName).mkString(", "))
+  }
+
+  test("repetitionMetrics is shuffle-free: one scan, zero exchanges") {
+    val plan = collectPlan(analytics.CorpusStats.repetitionMetrics(
+      Tables.documents(spark, dir), "doc_id", "text"))
+    assert(!plan.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]),
+      "per-row repetition metrics must not move data:\n" +
+        plan.map(_.getClass.getSimpleName).mkString(", "))
+    val scan = plan.collect { case f: FileSourceScanExec => f }.head
+    assert(scan.requiredSchema.fieldNames.toSet === Set("doc_id", "text"))
+  }
+
+  test("decontamination broadcasts the eval gram set; one shuffle for the count") {
+    val docs = Tables.documents(spark, dir)
+    val plan = collectPlan(operators.Decontaminate.contaminationReport(
+      docs.filter(col("doc_id") % 20 =!= 0), docs.filter(col("doc_id") % 20 === 0),
+      "doc_id", "text", n = 5))
+    assert(plan.exists(_.getClass.getSimpleName.contains("BroadcastHashJoin")),
+      "eval grams must broadcast, not shuffle the train side:\n" +
+        plan.map(_.getClass.getSimpleName).mkString(", "))
+    // allowed shuffles: the tiny eval-side distinct() and the final
+    // per-doc count — the TRAIN gram stream itself must never exchange
+    val shuffles = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e }
+    assert(shuffles.size <= 2,
+      s"train grams must not shuffle (eval distinct + count only), got ${shuffles.size}")
+  }
+
+  test("rollingStats and applyChanges each shuffle exactly once (the key exchange)") {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("value"),
+        unix_micros(col("ts")).as("ts_us"))
+    val rolling = collectPlan(operators.TimeSeries.rollingStats(
+      ev, Seq("user_id"), Seq(asc("ts_us"), asc("event_id")), "value", 5,
+      sumType = "decimal(18,2)"))
+    assert(rolling.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }.size === 1, "rolling stats = one key exchange + in-partition frames")
+
+    val apply = collectPlan(query.Relational.applyChanges(
+      ev.select(col("user_id").as("k"), col("value").as("v"),
+        col("ts_us").as("seq"), lit("U").as("op")),
+      Seq("k"), Seq(desc("seq"))))
+    assert(apply.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }.size === 1, "CDC apply = one key exchange + one window pass")
   }
 
   test("curation filters run below the dedup shuffle (one exchange, pruned scan)") {
