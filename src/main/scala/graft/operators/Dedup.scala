@@ -275,7 +275,13 @@ object Dedup {
     // second process a near-empty frontier. Convergence is exact and
     // free: the loop ends when the frontier empties — no label-sum
     // probe, and any orderable id type works.
+    // distinct(): a dirty corpus can repeat ids, and without collapsing
+    // them here every round's left join would carry the duplicates
+    // through to the output (the old per-round groupBy did this
+    // implicitly). The distinct also hash-partitions the state on id —
+    // exactly the partitioning every round's cand join wants.
     var state = nodes
+      .select(col("id")).distinct()
       .select(col("id"), col("id").as("cluster"), lit(true).as("__changed"))
       .localCheckpoint(true)
     // Fail loudly if an edge references an id outside `nodes`: such ids

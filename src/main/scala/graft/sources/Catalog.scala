@@ -89,23 +89,12 @@ object Catalog {
   }
 
   /** True iff executing `df` moves no data: no shuffle exchange
-    * anywhere in the executed plan (broadcast exchanges are allowed —
-    * they are the cheap kind). EXECUTES the frame — under AQE the real
-    * plan only exists after the run, and the pre-execution plan hides
-    * stages behind the adaptive wrapper. The assertion that a bucketed
-    * join or aggregation actually stayed co-located. */
-  def hasNoShuffle(df: DataFrame): Boolean = {
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
-    df.collect() // finalize AQE stages
-    def expand(p: SparkPlan): Seq[SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => a +: expand(a.executedPlan)
-      case q: QueryStageExec => q +: expand(q.plan)
-      case r: ReusedExchangeExec => r +: expand(r.child)
-      case other => other +: other.children.flatMap(expand)
-    }
-    !expand(df.queryExecution.executedPlan)
-      .exists(_.isInstanceOf[ShuffleExchangeLike])
-  }
+    * anywhere in the executed plan, subqueries included (broadcast
+    * exchanges are allowed — they are the cheap kind). EXECUTES the
+    * frame (without collecting rows to the driver) — under AQE the real
+    * plan only exists after the run. The assertion that a bucketed join
+    * or aggregation actually stayed co-located. */
+  def hasNoShuffle(df: DataFrame): Boolean =
+    !graft.util.Plans.executedNodes(df).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
 }

@@ -1,0 +1,35 @@
+package graft.util
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+
+/** Executed-plan introspection shared by the plan-shape assertions in
+  * main code ([[graft.sources.Catalog.hasNoShuffle]]) and the test
+  * suite — ONE traversal so a new Spark plan-node wrapper fixed here
+  * fixes every consumer.
+  */
+object Plans {
+
+  /** Execute `df` (without collecting rows to the driver) and return
+    * every node of its final physical plan, looking through the AQE
+    * wrapper, query stages, reused exchanges, AND subquery plans.
+    * Execution is required: under AQE the real plan only exists after
+    * the run. */
+  def executedNodes(df: DataFrame): Seq[SparkPlan] = {
+    df.foreach(_ => ()) // run the job; finalizes AQE, no driver collect
+    flatten(df.queryExecution.executedPlan)
+  }
+
+  /** Flatten an already-executed plan tree (see [[executedNodes]]). */
+  def flatten(p: SparkPlan): Seq[SparkPlan] = {
+    val nested = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case r: ReusedExchangeExec => Seq(r.child)
+      case other => other.children ++ other.subqueries
+    }
+    p +: nested.flatMap(flatten)
+  }
+}

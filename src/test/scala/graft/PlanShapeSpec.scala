@@ -17,18 +17,8 @@ class PlanShapeSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  private def collectPlan(df: DataFrame): Seq[SparkPlan] = {
-    df.collect() // execute so AQE finalizes
-    def expand(p: SparkPlan): Seq[SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => expand(a.executedPlan)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-        q +: expand(q.plan)
-      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
-        r +: expand(r.child)
-      case other => other +: other.children.flatMap(expand)
-    }
-    expand(df.queryExecution.executedPlan)
-  }
+  private def collectPlan(df: DataFrame): Seq[SparkPlan] =
+    graft.util.Plans.executedNodes(df)
 
   test("kNN top-k plans as TakeOrderedAndProject with NO exchange over the corpus") {
     val q = Tables.embeddings(spark, dir).select("embedding").head().getSeq[Float](0).toArray

@@ -172,6 +172,17 @@ class Round3OpsSpec extends SparkSpec {
 
   // --- Dedup.keepBestPerCluster -----------------------------------------
 
+  test("dupClusters emits one row per DISTINCT id even with duplicate input ids") {
+    // a dirty corpus repeats ids; the CC loop must collapse them or
+    // every round's left join carries the duplicates to the output
+    val docs = Seq((1L, "a"), (1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((2L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup.dupClusters(docs, "doc_id", pairs)
+      .select("doc_id", "cluster").as[(Long, Long)].collect().sorted
+    assert(got.toSeq === Seq((1L, 1L), (2L, 2L), (3L, 2L)))
+  }
+
   test("keepBestPerCluster keeps the preferred doc, not the min id") {
     val docs = Seq(
       (1L, "a", 10L), (2L, "a", 30L), (3L, "a", 20L),  // cluster {1,2,3}
