@@ -36,8 +36,11 @@ object CorpusStats {
     * window would pick), so a 100 TB corpus pays one scan and zero
     * exchanges.
     *
-    * Output: idCol, n_words, n_distinct, dup_word_frac, top_bigram
-    * (null when the doc has <2 words), top_bigram_n, top_bigram_frac.
+    * Output: every input column plus n_words, n_distinct,
+    * dup_word_frac, top_bigram (null when the doc has <2 words),
+    * top_bigram_n, top_bigram_frac — metrics ride alongside the data so
+    * the operator can sit in the middle of a pipeline without a
+    * join-back.
     */
   def repetitionMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val metrics = TF.bindOnce(TF.wordsLower(col(textCol))) { ws =>
@@ -72,10 +75,11 @@ object CorpusStats {
             .otherwise(lit(0.0)).as("top_bigram_frac"))
       }
     }
-    df.select(col(idCol), metrics.as("__m"))
-      .select(col(idCol), col("__m.n_words"), col("__m.n_distinct"),
+    df.withColumn("__m", metrics)
+      .select(col("*"), col("__m.n_words"), col("__m.n_distinct"),
         col("__m.dup_word_frac"), col("__m.top_bigram"),
         col("__m.top_bigram_n"), col("__m.top_bigram_frac"))
+      .drop("__m")
   }
 
   /** Corpus-wide bigram collocations ranked by lift

@@ -51,4 +51,55 @@ object Curation {
     Sampling.hashSample(deduped, idCol, cfg.sampleFraction)
       .drop("content_hash")
   }
+
+  /** Knobs for [[fullPipeline]] on top of the base [[Config]].
+    * Repetition bounds are inclusive-keep (a doc AT the bound
+    * survives); `nearDupThreshold=None` skips the LSH stage,
+    * `evalSet=None` skips decontamination. */
+  final case class PipelineConfig(
+      base: Config = Config(),
+      maxDupWordFrac: Double = 1.0,
+      maxTopBigramFrac: Double = 1.0,
+      nearDupThreshold: Option[Double] = Some(0.8),
+      evalSet: Option[DataFrame] = None,
+      contamNgram: Int = 8,
+      trainFraction: Double = 0.8,
+      validFraction: Double = 0.1)
+
+  /** The COMPLETE training-data path, stages in cost order so each
+    * expensive step sees only survivors of the cheaper ones:
+    *
+    *   [[curate]] (annotate → lang/quality filter → exact dedup →
+    *     deterministic sample; narrow except one hash shuffle)
+    *     → repetition filter (Gopher dup-word / top-bigram bounds;
+    *       shuffle-free per-row fold)
+    *     → near-dup keep-best (MinHash LSH clusters on the survivors,
+    *       longest text wins — the expensive stage, fed last)
+    *     → eval-set decontamination (broadcast gram set, one scan)
+    *     → train/valid/test split (stable under corpus growth)
+    *
+    * Returns the surviving docs with their annotations and a `split`
+    * column. At 100 TB: two scans of the shrinking survivor set plus
+    * the LSH band shuffle — nothing quadratic, nothing driver-side. */
+  def fullPipeline(
+      df: DataFrame, idCol: String, textCol: String,
+      cfg: PipelineConfig = PipelineConfig()): DataFrame = {
+    val curated = curate(df, idCol, textCol, cfg.base)
+    val unrepetitive = graft.analytics.CorpusStats
+      .repetitionMetrics(curated, idCol, textCol)
+      .filter(col("dup_word_frac") <= cfg.maxDupWordFrac &&
+        col("top_bigram_frac") <= cfg.maxTopBigramFrac)
+    val unique = cfg.nearDupThreshold.fold(unrepetitive) { t =>
+      val pairs = Dedup.minHashNearDups(unrepetitive, idCol, textCol, threshold = t)
+        .select(col("id_a"), col("id_b"))
+      Dedup.keepBestPerCluster(unrepetitive, idCol, pairs,
+          Seq(length(col(textCol)).desc, col(idCol).asc))
+        .drop("cluster")
+    }
+    val clean = cfg.evalSet.fold(unique) { ev =>
+      Decontaminate.decontaminate(unique, ev, idCol, textCol,
+        n = cfg.contamNgram, hashGrams = true)
+    }
+    Sampling.assignSplit(clean, idCol, cfg.trainFraction, cfg.validFraction)
+  }
 }

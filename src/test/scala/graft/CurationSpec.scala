@@ -25,6 +25,49 @@ class CurationSpec extends SparkSpec {
     assert(got.columns.contains("n_tokens") && got.columns.contains("lang_pred"))
   }
 
+  test("fullPipeline: repetition, near-dup keep-best, decontamination, split") {
+    // base corpus: english docs with ids 1..40, with planted defects.
+    // doc-unique tokens every 2-3 words keep the longest run of tokens
+    // COMMON across different docs under the 8-gram contamination
+    // window (a shared boilerplate run would flag every doc).
+    def doc(i: Long) = s"the cat n$i and dog d$i number x$i walk to u$i " +
+      s"the house h$i with many m$i others of o$i that same s$i street t$i end e$i"
+    val good = (1L to 40L).map(i => (i, doc(i)))
+    val repetitive = Seq((50L, "the the the the the the the the the the the the"))
+    // 60 is a near-dup of doc(1) (one word changed), longer than doc(1):
+    // keep-best keeps 60, not the lower id
+    val nearDup = Seq((60L, doc(1) + " extra"))
+    val docs = (good ++ repetitive ++ nearDup).toDF("doc_id", "text")
+    // eval set shares all its grams with doc 2 -> 2 must be dropped
+    val evalSet = Seq((999L, doc(2))).toDF("doc_id", "text")
+
+    val got = Curation.fullPipeline(docs, "doc_id", "text",
+      Curation.PipelineConfig(
+        base = Curation.Config(lang = Some("en"), minTokens = 5,
+          maxPunctRatio = 1.0, sampleFraction = 1.0),
+        maxDupWordFrac = 0.6, maxTopBigramFrac = 0.5,
+        nearDupThreshold = Some(0.7), evalSet = Some(evalSet),
+        contamNgram = 8))
+    val kept = got.select("doc_id").as[Long].collect().toSet
+    assert(!kept.contains(50L), "pure repetition must be filtered")
+    assert(!kept.contains(1L) && kept.contains(60L),
+      "keep-best must keep the LONGER near-dup, not the lower id")
+    assert(!kept.contains(2L), "eval-overlapping doc must be decontaminated")
+    assert((3L to 40L).forall(kept.contains), "clean docs must survive")
+    // split column present, deterministic, and exhaustive
+    val splits = got.select("split").distinct().as[String].collect().toSet
+    assert(splits.subsetOf(Set("train", "valid", "test")))
+    val again = Curation.fullPipeline(docs, "doc_id", "text",
+      Curation.PipelineConfig(
+        base = Curation.Config(lang = Some("en"), minTokens = 5,
+          maxPunctRatio = 1.0, sampleFraction = 1.0),
+        maxDupWordFrac = 0.6, maxTopBigramFrac = 0.5,
+        nearDupThreshold = Some(0.7), evalSet = Some(evalSet),
+        contamNgram = 8))
+      .select("doc_id", "split").as[(Long, String)].collect().toSet
+    assert(again === got.select("doc_id", "split").as[(Long, String)].collect().toSet)
+  }
+
   test("curate: sampleFraction applies after dedup") {
     // 200 unique docs, each duplicated once; a 50% sample of the deduped
     // set must contain no duplicate hashes and roughly half the uniques

@@ -94,8 +94,11 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("repetitionMetrics is shuffle-free: one scan, zero exchanges") {
+    // metrics ride alongside every input column; a consumer projection
+    // (as in q79) is what lets Catalyst prune the scan
     val plan = collectPlan(analytics.CorpusStats.repetitionMetrics(
-      Tables.documents(spark, dir), "doc_id", "text"))
+        Tables.documents(spark, dir), "doc_id", "text")
+      .select("doc_id", "dup_word_frac", "top_bigram_frac"))
     assert(!plan.exists(_.isInstanceOf[
         org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]),
       "per-row repetition metrics must not move data:\n" +
