@@ -691,7 +691,21 @@ object SparkEntry {
           functions.CompressFunctions.deflateRatio(col("text")).as("compress_ratio"),
           (functions.CompressFunctions.deflateRatio(col("text")) < 0.3)
             .as("flag_repetitive"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    "q86_pq_topk" -> ((s, d) => {
+      // product-quantized ANN: train codebooks, encode to 8-byte codes,
+      // ADC shortlist + exact rerank (rows-only: float codebooks are
+      // training-order-dependent, not SQL-expressible)
+      val emb = T.embeddings(s, d)
+      val cb = operators.SimilaritySearch.pqTrain(
+        emb, "vec_id", "embedding", m = 8, k = 16, iters = 2)
+      val encoded = operators.SimilaritySearch.pqEncodeAll(emb, "embedding", cb)
+      operators.SimilaritySearch.pqTopKExact(encoded, "vec_id", "embedding",
+          "pq_codes", queryVec(s, d), cb, k = 10, shortlist = 100)
+        .select(col("vec_id"))
+        .orderBy(col("vec_id"))
+    })
   )
 
   /** The kNN query parameter: embedding of vec_id=0 (driver-side single-row

@@ -1,0 +1,151 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+import ExprBridge.{toColumn, toExpr}
+
+/** Product-quantization kernels (SURVEY §2.8 scale path): a d-dim
+  * float vector becomes `m` one-byte codes — 6 KB of float32 at
+  * d=1536 compresses 768× to 8 bytes at m=8 — and asymmetric-distance
+  * (ADC) scoring scans the compressed codes against a per-query lookup
+  * table without ever touching the original vectors.
+  *
+  * Both expressions stay inside whole-stage codegen: the generated code
+  * calls the same static [[PqUtil]] kernels the interpreted path uses,
+  * with the codebook/LUT attached as a codegen reference object.
+  */
+object PqFunctions {
+  /** Encode a float/double array column to `m` one-byte codes. */
+  def pqEncode(vec: Column, codebooks: Array[Array[Array[Float]]]): Column =
+    toColumn(PqEncode(toExpr(vec), codebooks))
+
+  /** ADC distance of a codes column against a per-query LUT
+    * (build with [[PqUtil.lutL2]]). */
+  def pqAdcDistance(codes: Column, lut: Array[Array[Float]]): Column =
+    toColumn(PqAdcL2(toExpr(codes), lut))
+}
+
+/** Static kernels callable from generated Java. */
+object PqUtil {
+
+  /** Nearest codebook entry per subspace by squared-L2; input length
+    * must be m * dsub (codebooks define the geometry). Returns the m
+    * codes as array<byte> — element-accessible (training groups on
+    * element_at(codes, j)) and still one byte per code on disk. */
+  def encode(vec: ArrayData, isFloat: Boolean,
+      codebooks: Array[Array[Array[Float]]]): ArrayData = {
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    require(vec.numElements() == m * dsub,
+      s"vector dim ${vec.numElements()} != m*dsub ${m * dsub}")
+    val out = new Array[Byte](m)
+    var j = 0
+    while (j < m) {
+      val cb = codebooks(j)
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb.length) {
+        val cent = cb(c)
+        var dist = 0.0; var i = 0
+        while (i < dsub) {
+          val x = (if (isFloat) vec.getFloat(j * dsub + i).toDouble
+                   else vec.getDouble(j * dsub + i)) - cent(i)
+          dist += x * x; i += 1
+        }
+        if (dist < bestD) { bestD = dist; best = c }
+        c += 1
+      }
+      out(j) = best.toByte
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.map(b => b: Any))
+  }
+
+  /** ADC: sum the per-subspace LUT entries the codes select. */
+  def adc(codes: ArrayData, lut: Array[Array[Float]]): Double = {
+    var s = 0.0; var j = 0
+    val m = codes.numElements()
+    while (j < m) { s += lut(j)(codes.getByte(j) & 0xFF); j += 1 }
+    s
+  }
+
+  /** Per-query LUT: squared-L2 between each query subvector and each
+    * codebook entry. lut(j)(c) = ||q_j - codebooks(j)(c)||². */
+  def lutL2(query: Array[Float],
+      codebooks: Array[Array[Array[Float]]]): Array[Array[Float]] = {
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    require(query.length == m * dsub,
+      s"query dim ${query.length} != m*dsub ${m * dsub}")
+    Array.tabulate(m) { j =>
+      Array.tabulate(codebooks(j).length) { c =>
+        val cent = codebooks(j)(c)
+        var dist = 0.0; var i = 0
+        while (i < dsub) {
+          val x = query(j * dsub + i).toDouble - cent(i)
+          dist += x * x; i += 1
+        }
+        dist.toFloat
+      }
+    }
+  }
+}
+
+case class PqEncode(child: Expression, codebooks: Array[Array[Array[Float]]])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float|double>, got ${other.catalogString}")
+  }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  override def nullSafeEval(a: Any): Any =
+    PqUtil.encode(a.asInstanceOf[ArrayData], isFloat, codebooks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("pqCodebooks", codebooks, "float[][][]")
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.PqUtil.encode($s, $isFloat, $cb);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class PqAdcL2(child: Expression, lut: Array[Array[Float]])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(ByteType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects an array<byte> codes column, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_l2"
+
+  override def nullSafeEval(a: Any): Any =
+    PqUtil.adc(a.asInstanceOf[ArrayData], lut)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val l = ctx.addReferenceObj("pqLut", lut, "float[][]")
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.PqUtil.adc($s, $l);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -135,6 +135,111 @@ object SimilaritySearch {
     * @return (cluster: int, centroid: array<float>) — feed to [[ivfTopK]]
     *         via [[assignClusters]]
     */
+  /** Train product-quantization codebooks: `m` subspaces × `k` entries
+    * (k ≤ 256 — codes are bytes), squared-L2 Lloyd per subspace but ALL
+    * subspaces updated in ONE shuffle per iteration (encode pass →
+    * (subspace, code, dim) mean aggregation), not m separate k-means
+    * runs. Deterministic init: the k vectors lowest in md5(id) order
+    * seed every subspace.
+    *
+    * At 100 TB, train on a sample (a few hundred k per codebook entry
+    * saturates PQ quality — standard practice); encoding the full
+    * corpus afterwards is one narrow codegen pass.
+    *
+    * @return codebooks(j)(c) = the dsub-dim centroid c of subspace j;
+    *         feed to [[pqEncodeAll]]/[[pqTopK]]. */
+  def pqTrain(
+      df: DataFrame, idCol: String, vecCol: String, m: Int,
+      k: Int = 256, iters: Int = 5): Array[Array[Array[Float]]] = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    require(k >= 1 && k <= 256, s"k must be in 1..256 (byte codes), got $k")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val vecs = df.select(col(idCol), col(vecCol)).filter(col(vecCol).isNotNull)
+    val seed = vecs.orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(k).collect()
+    require(seed.length == k, s"need >= $k non-null vectors to seed, got ${seed.length}")
+    val d = seed.head.getSeq[Any](1).length
+    require(d % m == 0, s"dim $d not divisible by m=$m")
+    val dsub = d / m
+    var cb = Array.tabulate(m) { j =>
+      Array.tabulate(k) { c =>
+        toFloatArray(seed(c).getSeq[Any](1)).slice(j * dsub, (j + 1) * dsub)
+      }
+    }
+    var it = 0
+    while (it < iters) {
+      // one pass: encode, then mean per (subspace, code, dim). The
+      // explode produces n*d rows — the same shape/cost as the IVF
+      // centroid update, one shuffle total for all m codebooks.
+      val means = vecs
+        .select(graft.functions.PqFunctions.pqEncode(col(vecCol), cb).as("__codes"),
+          posexplode(col(vecCol)).as(Seq("__dim", "__v")))
+        .select((col("__dim") / dsub).cast("int").as("__j"),
+          (col("__dim") % dsub).cast("int").as("__i"),
+          element_at(col("__codes"), (col("__dim") / dsub).cast("int") + 1)
+            .cast("int").as("__c"),
+          col("__v").cast("double").as("__v"))
+        .groupBy(col("__j"), col("__c"), col("__i"))
+        .agg(avg(col("__v")).as("__mean"))
+        .collect()
+      val next = cb.map(_.map(_.clone())) // empty codes keep old entries
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3).toFloat
+      }
+      cb = next
+      it += 1
+    }
+    cb
+  }
+
+  /** Attach the `pq_codes` column (m bytes per row — e.g. 768×
+    * compression at d=1536, m=8 vs float32). One narrow codegen pass. */
+  def pqEncodeAll(df: DataFrame, vecCol: String,
+      codebooks: Array[Array[Array[Float]]]): DataFrame =
+    df.withColumn("pq_codes",
+      graft.functions.PqFunctions.pqEncode(col(vecCol), codebooks))
+
+  /** Top-k by asymmetric distance (ADC): scans ONLY the byte codes
+    * against the per-query LUT — the original vectors are never read.
+    * Plans as TakeOrderedAndProject: per-partition heaps, no shuffle of
+    * the corpus. */
+  def pqTopK(
+      df: DataFrame, idCol: String, codesCol: String,
+      query: Array[Float], codebooks: Array[Array[Array[Float]]],
+      k: Int): DataFrame = {
+    val lut = graft.functions.PqUtil.lutL2(query, codebooks)
+    df.withColumn("adc_distance",
+        graft.functions.PqFunctions.pqAdcDistance(col(codesCol), lut))
+      .orderBy(asc("adc_distance"), asc(idCol))
+      .select(col(idCol), col("adc_distance"))
+      .limit(k)
+  }
+
+  /** PQ shortlist + exact rerank: ADC narrows the corpus to `shortlist`
+    * candidates (codes-only scan), then exact squared-L2 on just those
+    * rows picks the final k — the standard recall repair, still two
+    * TakeOrdered plans and zero corpus shuffles. */
+  def pqTopKExact(
+      df: DataFrame, idCol: String, vecCol: String, codesCol: String,
+      query: Array[Float], codebooks: Array[Array[Array[Float]]],
+      k: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k=$k")
+    val lut = graft.functions.PqUtil.lutL2(query, codebooks)
+    val qLit = typedlit(query)
+    val qNormSq = query.map(x => x.toDouble * x).sum
+    val cands = df.withColumn("adc_distance",
+        graft.functions.PqFunctions.pqAdcDistance(col(codesCol), lut))
+      .orderBy(asc("adc_distance"), asc(idCol))
+      .limit(shortlist)
+    cands.withColumn("l2sq",
+        pow(graft.functions.VectorFunctions.l2Norm(col(vecCol)), 2)
+          + lit(qNormSq)
+          - lit(2.0) * graft.functions.VectorFunctions.dotProduct(col(vecCol), qLit))
+      .orderBy(asc("l2sq"), asc(idCol))
+      .select(col(idCol), col("l2sq"))
+      .limit(k)
+  }
+
   def kmeansCentroids(
       df: DataFrame, idCol: String, vecCol: String, k: Int,
       iters: Int = 10): DataFrame = {

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{PqFunctions, PqUtil, VectorFunctions}
+import graft.operators.SimilaritySearch
+
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private def emb = Tables.embeddings(spark, dir)
+
+  private def queryVec: Array[Float] =
+    emb.filter($"vec_id" === 0).select("embedding").head().getSeq[Float](0).toArray
+
+  private lazy val codebooks =
+    SimilaritySearch.pqTrain(emb, "vec_id", "embedding", m = 8, k = 16, iters = 3)
+
+  test("pqTrain geometry: m subspaces, k entries, d/m dims each") {
+    assert(codebooks.length === 8)
+    assert(codebooks.forall(_.length === 16))
+    assert(codebooks.forall(_.forall(_.length === 8)))
+  }
+
+  test("pqEncode emits one byte code per subspace; ADC of own centroid chain is sane") {
+    val encoded = SimilaritySearch.pqEncodeAll(emb, "embedding", codebooks)
+    val codes = encoded.select("pq_codes").head().getSeq[Byte](0)
+    assert(codes.length === 8)
+    // every code addresses a real codebook entry
+    val all = encoded.select(explode($"pq_codes").as("b"))
+      .select($"b".cast("int").as("c"))
+      .agg(min("c"), max("c")).head()
+    assert(all.getInt(0) >= 0 && all.getInt(1) < 16)
+  }
+
+  test("ADC distance equals the LUT-decoded reconstruction distance") {
+    // for one row, adc == sum over subspaces of ||q_j - centroid(code_j)||²
+    val q = queryVec
+    val lut = PqUtil.lutL2(q, codebooks)
+    val row = SimilaritySearch.pqEncodeAll(emb, "embedding", codebooks)
+      .select($"pq_codes",
+        PqFunctions.pqAdcDistance($"pq_codes", lut).as("adc"))
+      .head()
+    val manual = row.getSeq[Byte](0).zipWithIndex
+      .map { case (c, j) => lut(j)(c & 0xff).toDouble }.sum
+    assert(math.abs(row.getDouble(1) - manual) < 1e-9)
+  }
+
+  test("PQ shortlist + exact rerank recovers the exact top-10 (recall >= 0.7)") {
+    val q = queryVec
+    val qLit = typedlit(q)
+    val qNormSq = q.map(x => x.toDouble * x).sum
+    val exact = emb.withColumn("l2sq",
+        pow(VectorFunctions.l2Norm($"embedding"), 2) + lit(qNormSq)
+          - lit(2.0) * VectorFunctions.dotProduct($"embedding", qLit))
+      .orderBy(asc("l2sq"), asc("vec_id"))
+      .select("vec_id").limit(10).as[Long].collect().toSet
+
+    val encoded = SimilaritySearch.pqEncodeAll(emb, "embedding", codebooks)
+    val got = SimilaritySearch.pqTopKExact(encoded, "vec_id", "embedding",
+        "pq_codes", q, codebooks, k = 10, shortlist = 100)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = exact.intersect(got).size / 10.0
+    assert(recall >= 0.7, s"recall@10 = $recall (exact=$exact got=$got)")
+    // a random 100-of-500 shortlist would land ~0.2; PQ must beat it clearly
+  }
+
+  test("codes-only ADC top-k runs without reading the vector column") {
+    val q = queryVec
+    val codesOnly = SimilaritySearch.pqEncodeAll(emb, "embedding", codebooks)
+      .select("vec_id", "pq_codes") // vectors gone — 8 bytes per row
+    val top = SimilaritySearch.pqTopK(codesOnly, "vec_id", "pq_codes",
+      q, codebooks, k = 5)
+    assert(top.count() === 5)
+    // the query's own row (vec_id=0) must be the nearest to itself
+    assert(top.select("vec_id").as[Long].head() === 0L)
+  }
+}
