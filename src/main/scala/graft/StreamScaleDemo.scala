@@ -48,6 +48,28 @@ object StreamScaleDemo {
       q.stop()
     }
 
+    // ---- MinHash near-dup suppression: 20% re-ingested docs -------------
+    locally {
+      val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val out = StreamingOps.nearDupDrop(
+        input.toDF().toDF("doc_id", "text", "ts"), "text", "ts",
+        window = "10 minutes")
+      val q = out.writeStream.format("noop")
+        .outputMode(OutputMode.Append).start()
+      val nDocs = n / 10 // docs are heavier than events; keep runtime sane
+      val batch = (0 until nDocs).map { i =>
+        val base = if (i % 5 == 4) i - 1 else i // every 5th re-ingests
+        (i.toLong, s"document body w${base % 97} about topic t${base} with " +
+          s"shared phrasing and a tail marker m$base n$base o$base", ts(i / 100))
+      }
+      val t0 = System.nanoTime()
+      batch.grouped(100000).foreach(g => input.addData(g))
+      q.processAllAvailable()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"near-dup drop: $nDocs docs in $sec%.1f s = ${nDocs / sec}%.0f docs/s")
+      q.stop()
+    }
+
     // ---- exact sliding-window rate limiter ------------------------------
     locally {
       val input = MemoryStream[RateEvent]
