@@ -40,9 +40,20 @@ object CorpusStats {
     * dup_word_frac, top_bigram (null when the doc has <2 words),
     * top_bigram_n, top_bigram_frac — metrics ride alongside the data so
     * the operator can sit in the middle of a pipeline without a
-    * join-back.
+    * join-back. Input columns that already use one of the metric names
+    * are REPLACED (re-annotating an annotated frame refreshes the
+    * metrics instead of producing ambiguous duplicates).
     */
   def repetitionMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val metricNames = Seq("n_words", "n_distinct", "dup_word_frac",
+      "top_bigram", "top_bigram_n", "top_bigram_frac")
+    require(!metricNames.contains(idCol) && !metricNames.contains(textCol),
+      s"idCol/textCol must not collide with metric columns $metricNames")
+    repetitionMetricsImpl(df.drop(metricNames: _*), idCol, textCol)
+  }
+
+  private def repetitionMetricsImpl(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val metrics = TF.bindOnce(TF.wordsLower(col(textCol))) { ws =>
       TF.bindOnce(array_sort(bigramsOf(ws))) { sortedB =>
         // fold state: (prev bigram, current run, best run, best bigram)

@@ -63,8 +63,7 @@ object PqUtil {
       out(j) = best.toByte
       j += 1
     }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      out.map(b => b: Any))
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
   /** ADC: sum the per-subspace LUT entries the codes select. */

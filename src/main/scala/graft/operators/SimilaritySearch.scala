@@ -176,8 +176,11 @@ object SimilaritySearch {
           posexplode(col(vecCol)).as(Seq("__dim", "__v")))
         .select((col("__dim") / dsub).cast("int").as("__j"),
           (col("__dim") % dsub).cast("int").as("__i"),
+          // mask the sign extension: byte code 200 is stored as -56,
+          // and an unmasked cast would index the codebook negatively
+          // for any k > 128 (mirrors the & 0xFF in PqUtil.adc)
           element_at(col("__codes"), (col("__dim") / dsub).cast("int") + 1)
-            .cast("int").as("__c"),
+            .cast("int").bitwiseAND(lit(255)).as("__c"),
           col("__v").cast("double").as("__v"))
         .groupBy(col("__j"), col("__c"), col("__i"))
         .agg(avg(col("__v")).as("__mean"))
@@ -232,7 +235,7 @@ object SimilaritySearch {
       .orderBy(asc("adc_distance"), asc(idCol))
       .limit(shortlist)
     cands.withColumn("l2sq",
-        pow(graft.functions.VectorFunctions.l2Norm(col(vecCol)), 2)
+        graft.functions.VectorFunctions.dotProduct(col(vecCol), col(vecCol))
           + lit(qNormSq)
           - lit(2.0) * graft.functions.VectorFunctions.dotProduct(col(vecCol), qLit))
       .orderBy(asc("l2sq"), asc(idCol))

@@ -52,7 +52,7 @@ class PqSpec extends SparkSpec {
     val qLit = typedlit(q)
     val qNormSq = q.map(x => x.toDouble * x).sum
     val exact = emb.withColumn("l2sq",
-        pow(VectorFunctions.l2Norm($"embedding"), 2) + lit(qNormSq)
+        VectorFunctions.dotProduct($"embedding", $"embedding") + lit(qNormSq)
           - lit(2.0) * VectorFunctions.dotProduct($"embedding", qLit))
       .orderBy(asc("l2sq"), asc("vec_id"))
       .select("vec_id").limit(10).as[Long].collect().toSet
@@ -64,6 +64,19 @@ class PqSpec extends SparkSpec {
     val recall = exact.intersect(got).size / 10.0
     assert(recall >= 0.7, s"recall@10 = $recall (exact=$exact got=$got)")
     // a random 100-of-500 shortlist would land ~0.2; PQ must beat it clearly
+  }
+
+  test("pqTrain survives k > 128 (byte codes above the sign bit)") {
+    // codes >= 128 are negative bytes; the training aggregation must
+    // mask them or the codebook update indexes negatively and crashes
+    val cb = SimilaritySearch.pqTrain(emb, "vec_id", "embedding",
+      m = 8, k = 200, iters = 1)
+    assert(cb.forall(_.length === 200))
+    val encoded = SimilaritySearch.pqEncodeAll(emb, "embedding", cb)
+    val hi = encoded.select(explode($"pq_codes").as("b"))
+      .select(($"b".cast("int").bitwiseAND(lit(255))).as("c"))
+      .filter($"c" >= 128).count()
+    assert(hi > 0, "expected some codes above 127 at k=200 over 500 vectors")
   }
 
   test("codes-only ADC top-k runs without reading the vector column") {
