@@ -693,6 +693,24 @@ object SparkEntry {
             .as("flag_repetitive"))
         .orderBy(col("doc_id"))),
 
+    "q87_seq_packing" -> ((s, d) => {
+      // sequence packing: md5-mixed layout, greedy 512-token chunks,
+      // per-pack doc/token rollup (single shard = global sequence)
+      val toks = T.documents(s, d).select(col("doc_id"),
+        size(TF.wordsLower(col("text"))).cast("long").as("tok"))
+      operators.Packing.packStats(
+          operators.Packing.assignPacks(toks, "doc_id", "tok", seqLen = 512L),
+          "tok")
+        .select(col("pack_id"), col("n_docs"), col("n_tokens"))
+        .orderBy(col("pack_id"))
+    }),
+
+    "q88_histogram" -> ((s, d) =>
+      // fixed-width profiling histogram over event values
+      analytics.Quality.histogram(T.events(s, d), "value", binWidth = 10.0)
+        .select(col("bin"), col("bin_start"), col("n"), col("lo"), col("hi"))
+        .orderBy(col("bin"))),
+
     "q86_pq_topk" -> ((s, d) => {
       // product-quantized ANN: train codebooks, encode to 8-byte codes,
       // ADC shortlist + exact rerank (rows-only: float codebooks are
@@ -1363,6 +1381,26 @@ object SparkEntry {
         |  CAST(sum(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM w WHERE rn = 1 AND op <> 'D'
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q87_seq_packing" ->
+      """WITH t AS (SELECT doc_id,
+        |    CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+        |      ELSE len(regexp_split_to_array(trim(lower(text)), '\s+')) END AS tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, tok,
+        |    sum(tok) OVER (ORDER BY md5(doc_id::VARCHAR), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok AS pack_start
+        |  FROM t)
+        |SELECT pack_start // 512 AS pack_id, count(*) AS n_docs,
+        |  sum(tok)::BIGINT AS n_tokens
+        |FROM c GROUP BY 1 ORDER BY pack_id""".stripMargin,
+
+    "q88_histogram" ->
+      """SELECT CAST(floor(value / 10.0) AS BIGINT) AS bin,
+        |  CAST(floor(value / 10.0) AS BIGINT) * 10.0 AS bin_start,
+        |  count(*) AS n, min(value) AS lo, max(value) AS hi
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY 1 ORDER BY bin""".stripMargin,
 
     "q84_pmi_bigrams" ->
       """WITH wds AS (SELECT doc_id,

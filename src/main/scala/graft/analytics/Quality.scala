@@ -61,6 +61,19 @@ object Quality {
     * values — fine for profiling runs); `exact=false` uses
     * `approx_percentile` (t-digest-style sketch, mergeable map-side, the
     * only sane form at 100 TB — accuracy bounded by `accuracy`). */
+  def histogram(
+      df: DataFrame, valueCol: String, binWidth: Double): DataFrame = {
+    require(binWidth > 0, s"binWidth must be > 0, got $binWidth")
+    // fixed-width profiling histogram: one map-side-combined aggregate;
+    // bin ids are exact floor division so engines agree at bin edges
+    df.filter(col(valueCol).isNotNull)
+      .withColumn("bin", floor(col(valueCol) / binWidth).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))
+      .withColumn("bin_start", col("bin") * binWidth)
+  }
+
   def quantiles(
       df: DataFrame, groupCols: Seq[String], valueCol: String,
       ps: Seq[Double], exact: Boolean = true, accuracy: Int = 10000): DataFrame = {

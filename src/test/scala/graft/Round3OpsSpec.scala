@@ -150,6 +150,51 @@ class Round3OpsSpec extends SparkSpec {
     assert(byId === Map(1L -> "v2", 3L -> "back", 4L -> "only"))
   }
 
+  // --- Packing.assignPacks ----------------------------------------------
+
+  test("assignPacks: contiguous offsets, greedy chunking, shard independence") {
+    import graft.operators.Packing
+    val docs = (1L to 100L).map(i => (i, 100L + i % 7)).toDF("doc_id", "tok")
+    val packed = Packing.assignPacks(docs, "doc_id", "tok", seqLen = 512L)
+    val rows = packed.orderBy("pack_start")
+      .select("doc_id", "tok", "pack_start", "pack_id")
+      .as[(Long, Long, Long, Long)].collect()
+    // offsets tile the concatenated stream exactly
+    assert(rows.head._3 === 0L)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 === a._3 + a._2, s"gap between $a and $b")
+      case _ => ()
+    }
+    // pack id is the 512-token chunk the doc starts in
+    rows.foreach { case (_, _, start, pack) => assert(pack === start / 512) }
+    // sharded: every shard starts at offset 0 and packs independently
+    val sharded = Packing.assignPacks(docs, "doc_id", "tok", 512L, shards = 4)
+    val starts = sharded.groupBy("shard").agg(min("pack_start").as("m"))
+      .select("m").as[Long].collect()
+    assert(starts.forall(_ === 0L))
+    assert(sharded.select("shard").distinct().count() > 1)
+    // total token mass is preserved per shard
+    val check = Packing.packStats(sharded, "tok")
+      .agg(sum("n_tokens")).head().getLong(0)
+    assert(check === docs.agg(sum("tok")).head().getLong(0))
+  }
+
+  // --- Quality.histogram -------------------------------------------------
+
+  test("histogram: exact bin edges, nulls excluded, bounds inside bins") {
+    val df = Seq(Some(0.0), Some(9.99), Some(10.0), Some(25.0), Some(-0.5), None)
+      .toDF("v")
+    val h = graft.analytics.Quality.histogram(df, "v", 10.0)
+      .orderBy("bin").collect()
+    val bins = h.map(r => (r.getAs[Long]("bin"), r.getAs[Long]("n"))).toSeq
+    // -0.5 floors to bin -1; 10.0 lands in bin 1, not bin 0
+    assert(bins === Seq((-1L, 1L), (0L, 2L), (1L, 1L), (2L, 1L)))
+    assert(h.forall { r =>
+      r.getAs[Double]("lo") >= r.getAs[Double]("bin_start") &&
+        r.getAs[Double]("hi") < r.getAs[Double]("bin_start") + 10.0
+    })
+  }
+
   // --- CompressFunctions.deflateRatio -----------------------------------
 
   test("deflateRatio: repetitive text scores lower; edge cases hold") {
