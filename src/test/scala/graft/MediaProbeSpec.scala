@@ -50,6 +50,35 @@ class MediaProbeSpec extends SparkSpec {
     assert(MediaProbe.probe(noSof) === MediaProbe.Probed(Some("image/jpeg"), None, None))
   }
 
+  test("binaryNearDups: corrupted copy found, distinct payloads separate") {
+    import graft.multimodal.Multimodal
+    val rnd = new scala.util.Random(7)
+    val a = Array.fill[Byte](4096)(rnd.nextInt(256).toByte)
+    val aCorrupt = a.clone(); aCorrupt(100) = (aCorrupt(100) ^ 0x7f).toByte
+    // different content CLASS: heavily skewed byte distribution
+    val b = Array.fill[Byte](4096)((rnd.nextInt(16)).toByte)
+    val df = Seq((1L, a), (2L, aCorrupt), (3L, b)).toDF("media_id", "payload")
+    val pairs = Multimodal.binaryNearDups(df, "media_id", "payload",
+        minCosine = 0.995, clusters = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "one flipped byte must still match")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      "skewed payload must not match the uniform ones")
+  }
+
+  test("byteHistogram: normalized, empty payload is all zero") {
+    import graft.functions.BinaryFunctions
+    val df = Seq((1L, Array[Byte](0, 0, 1, -1)), (2L, Array.empty[Byte]))
+      .toDF("id", "p")
+    val rows = df.select($"id", BinaryFunctions.byteHistogram($"p", 4).as("h"))
+      .orderBy("id").collect()
+    val h1 = rows(0).getSeq[Float](1)
+    assert(h1.length === 4)
+    assert(math.abs(h1.sum - 1f) < 1e-6)
+    assert(h1(0) === 0.75f && h1(3) === 0.25f) // bytes 0,0,1 -> bin0; 255 -> bin3
+    assert(rows(1).getSeq[Float](1).forall(_ === 0f))
+  }
+
   test("probeMetadata fills the media schema columns distributedly") {
     val rows = Seq(
       (1L, "image", png(320, 240), null: String, null: Integer, null: Integer, null: Integer),
