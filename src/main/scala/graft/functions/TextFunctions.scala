@@ -236,11 +236,14 @@ object TextFunctions {
   /** Whitespace word split (for shingling / minhash). */
   def words(c: Column): Column = split(trim(c), """\s+""")
 
-  /** Lowercased whitespace tokens; empty/whitespace-only text yields an
-    * EMPTY array (a bare split would yield `[""]`, one phantom token). */
+  /** Lowercased whitespace tokens; NULL and empty/whitespace-only text
+    * both yield an EMPTY array — a bare split would yield `[""]` (one
+    * phantom token) for empty, and NULL for null, making every
+    * downstream size()/explode null-propagate instead of counting 0
+    * tokens (the oracle-aligned semantics). */
   def wordsLower(c: Column): Column = {
     val t = trim(lower(c))
-    when(length(t) === 0, array().cast("array<string>"))
+    when(c.isNull || length(t) === 0, array().cast("array<string>"))
       .otherwise(split(t, """\s+"""))
   }
 

@@ -157,16 +157,27 @@ object Multimodal {
     * and verified by cosine within buckets — byte-identical copies and
     * lightly-corrupted variants (flipped bytes, truncated tails) land
     * at cosine ≈ 1, while genuinely different payloads separate. Routes
-    * straight into [[graft.operators.Dedup.embeddingNearDups]]. */
+    * straight into [[graft.operators.Dedup.embeddingNearDups]].
+    *
+    * EMPTY (and null) payloads are excluded, not paired: their all-zero
+    * histogram has no direction, so "similarity" is undefined — route
+    * them to exact hash dedup ([[audit]]'s sha256) instead.
+    *
+    * The histogram scan is checkpointed once — k-means, assignment and
+    * both sides of the verify self-join otherwise each re-hash every
+    * payload byte. */
   def binaryNearDups(
       df: DataFrame, idCol: String, payloadCol: String,
       minCosine: Double = 0.995, bins: Int = 64, clusters: Int = 16): DataFrame = {
     val feats = df.select(col(idCol),
-      graft.functions.BinaryFunctions.byteHistogram(col(payloadCol), bins).as("__h"))
+        graft.functions.BinaryFunctions.byteHistogram(col(payloadCol), bins).as("__h"))
+      .filter(graft.functions.VectorFunctions.l2Norm(col("__h")) > 0)
+      .localCheckpoint(true)
+    val n = feats.count()
     val assigned =
-      if (feats.isEmpty) feats.withColumn("cluster", lit(0))
+      if (n == 0) feats.withColumn("cluster", lit(0))
       else {
-        val k = math.min(clusters, feats.count().toInt)
+        val k = math.min(clusters.toLong, n).toInt
         val cents = graft.operators.SimilaritySearch.kmeansCentroids(
           feats, idCol, "__h", k = k, iters = 3)
         graft.operators.SimilaritySearch.assignClusters(feats, "__h", cents)

@@ -66,6 +66,20 @@ class MediaProbeSpec extends SparkSpec {
       "skewed payload must not match the uniform ones")
   }
 
+  test("binaryNearDups tolerates empty and null payloads (excluded, no crash)") {
+    import graft.multimodal.Multimodal
+    val allEmpty = Seq((1L, Array.empty[Byte]), (2L, Array.empty[Byte]),
+      (3L, null.asInstanceOf[Array[Byte]])).toDF("media_id", "payload")
+    assert(Multimodal.binaryNearDups(allEmpty, "media_id", "payload").count() === 0)
+    // mixed: empties excluded, the real duplicate pair still found
+    val payload = Array.tabulate[Byte](2048)(i => (i * 31).toByte)
+    val mixed = Seq((1L, payload), (2L, payload), (4L, Array.empty[Byte]))
+      .toDF("media_id", "payload")
+    val pairs = Multimodal.binaryNearDups(mixed, "media_id", "payload", clusters = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
   test("byteHistogram: normalized, empty payload is all zero") {
     import graft.functions.BinaryFunctions
     val df = Seq((1L, Array[Byte](0, 0, 1, -1)), (2L, Array.empty[Byte]))
