@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Decontaminate, Packing, TimeSeries}
+import graft.query.Relational
+
+/** Scale validation for the round-3 pipeline operators at 10M+ rows:
+  * rolling window stats, CDC apply, sequence packing, and eval-set
+  * decontamination over a synthetic 1M-doc corpus. Run manually:
+  * `sbt "runMain graft.PipelineScaleDemo"`.
+  */
+object PipelineScaleDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"$name%-42s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    val n = sys.env.getOrElse("PIPE_ROWS", "10000000").toLong
+    val keys = 100000L
+
+    // ---- rolling stats: 10M events, 100k keys ---------------------------
+    val events = spark.range(n).select(col("id"),
+      (col("id") % keys).as("k"),
+      pmod(xxhash64(col("id")), lit(1000000000000L)).as("t"),
+      (pmod(xxhash64(col("id") + 1), lit(10000)) / lit(100.0)).as("v"))
+    time(s"rollingStats ($n rows, $keys keys, w=20)") {
+      val out = TimeSeries.rollingStats(events, Seq("k"),
+        Seq(asc("t"), asc("id")), "v", nRows = 20, sumType = "decimal(18,2)")
+      println(s"  rows=${out.count()}")
+    }
+
+    // ---- CDC apply: 10M ops, 2M keys, 5 ops/key -------------------------
+    time(s"applyChanges ($n ops, ${n / 5} keys)") {
+      val ops = spark.range(n).select(
+        (col("id") % (n / 5)).as("key"), col("id").as("seq"),
+        when(pmod(col("id"), lit(11)) === 0, "D").otherwise("U").as("op"),
+        (col("id") * 3).as("payload"))
+      val snap = Relational.applyChanges(ops, Seq("key"), Seq(desc("seq")))
+      println(s"  snapshot=${snap.count()}")
+    }
+
+    // ---- sequence packing: 10M docs, 64 shards --------------------------
+    time(s"assignPacks ($n docs, 64 shards, 4096 tok)") {
+      val toks = spark.range(n).select(col("id"),
+        (pmod(xxhash64(col("id")), lit(900)) + 100).as("tok"))
+      val packed = Packing.packStats(
+        Packing.assignPacks(toks, "id", "tok", seqLen = 4096L, shards = 64), "tok")
+      println(s"  packs=${packed.count()}")
+    }
+
+    // ---- decontamination: 1M docs vs 10k-doc eval set -------------------
+    val docs = math.max(100000L, n / 10)
+    time(s"decontaminate ($docs docs vs ${docs / 100} eval)") {
+      def corpus(ids: org.apache.spark.sql.DataFrame) = ids.select(col("id"),
+        concat_ws(" ", (0 until 30).map(j =>
+          concat(lit("w"), pmod(xxhash64(col("id") * 31 + j), lit(5000)))): _*)
+          .as("text"))
+      // eval reuses the first 1% of train ids' text: real overlap, so
+      // the run demonstrates actual drops, not just throughput
+      val train = corpus(spark.range(docs).toDF("id"))
+      val evalSet = corpus(spark.range(docs / 100).toDF("id"))
+      val clean = Decontaminate.decontaminate(train, evalSet, "id", "text",
+        n = 8, hashGrams = true)
+      println(s"  kept=${clean.count()}")
+    }
+
+    spark.stop()
+  }
+}
