@@ -705,6 +705,12 @@ object SparkEntry {
         .orderBy(col("pack_id"))
     }),
 
+    "q89_k_anonymity" -> ((s, d) =>
+      // k-anonymity small-cell suppression before a grouped release
+      safety.Privacy.kAnonymize(T.documents(s, d), Seq("lang", "source"), k = 5)
+        .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("source"))),
+
     "q88_histogram" -> ((s, d) =>
       // fixed-width profiling histogram over event values
       analytics.Quality.histogram(T.events(s, d), "value", binWidth = 10.0)
@@ -1394,6 +1400,11 @@ object SparkEntry {
         |SELECT pack_start // 512 AS pack_id, count(*) AS n_docs,
         |  sum(tok)::BIGINT AS n_tokens
         |FROM c GROUP BY 1 ORDER BY pack_id""".stripMargin,
+
+    "q89_k_anonymity" ->
+      """SELECT lang, source, count(*) AS n FROM documents
+        |GROUP BY lang, source HAVING count(*) >= 5
+        |ORDER BY lang, source""".stripMargin,
 
     "q88_histogram" ->
       """SELECT CAST(floor(value / 10.0) AS BIGINT) AS bin,

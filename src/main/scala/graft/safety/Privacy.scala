@@ -1,0 +1,34 @@
+package graft.safety
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Privacy-preserving release operators for aggregate/data exports —
+  * the guard a pipeline runs before shipping per-group statistics or
+  * row-level extracts derived from user data.
+  */
+object Privacy {
+
+  /** Row-level k-anonymity suppression: keep only rows whose
+    * quasi-identifier combination is shared by at least `k` rows —
+    * groups smaller than k are suppressed entirely (the standard
+    * small-cell rule). One window count over the quasi keys; no
+    * second scan, no join. */
+  def kAnonymize(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "quasiCols must name at least one column")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = Window.partitionBy(quasiCols.map(col): _*)
+    df.withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__n") >= k)
+      .drop("__n")
+  }
+
+  /** Suppression audit: per-group released/suppressed verdict with the
+    * group size — what a data-release review wants to see. */
+  def suppressionReport(
+      df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame =
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("released", col("n") >= k)
+}

@@ -81,6 +81,49 @@ object StreamingOps {
         col("n_events"))
 }
 
+/** One CDC operation: upsert ("U") or delete ("D") at sequence `seq`. */
+case class CdcOp(key: String, seq: Long, op: String, payload: String)
+
+/** Changelog record emitted when a key's winning state changes. */
+case class CdcChange(key: String, seq: Long, op: String, payload: String)
+
+/** Streaming last-op-wins snapshot maintenance — the streaming analog
+  * of `Relational.applyChanges`: per key, the operation with the
+  * highest `seq` seen so far wins; out-of-order stragglers (lower seq
+  * arriving later) are ignored; a winning delete tombstones the key.
+  * Emits a CHANGELOG (one record per batch per key whose winner
+  * changed) — feed it to an idempotent upsert sink (foreachBatch MERGE,
+  * as in JobProcessor) to materialize the table.
+  *
+  * State per key is one (seq, op, payload) triple — bounded by live
+  * keys, not history. Tombstones must be retained (dropping them would
+  * resurrect a deleted key when a straggler upsert with a lower seq
+  * arrives), so downstream compaction owns tombstone GC.
+  */
+object StreamingCdc {
+
+  private def reconcile(
+      key: String, ops: Iterator[CdcOp],
+      state: GroupState[(Long, String, String)]): Iterator[CdcChange] = {
+    val prev = state.getOption
+    val winner = (prev.map { case (s, o, p) => CdcOp(key, s, o, p) } ++ ops)
+      .maxBy(op => (op.seq, op.op)) // seq ties: "U" > "D" lexically — deterministic
+    if (prev.contains((winner.seq, winner.op, winner.payload))) Iterator.empty
+    else {
+      state.update((winner.seq, winner.op, winner.payload))
+      Iterator(CdcChange(winner.key, winner.seq, winner.op, winner.payload))
+    }
+  }
+
+  /** Update-mode changelog of winning ops per key. */
+  def changelog(ops: Dataset[CdcOp]): Dataset[CdcChange] = {
+    import ops.sparkSession.implicits._
+    ops.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        reconcile)
+  }
+}
+
 /** One rate-limit request event. */
 case class RateEvent(id: String, tsMillis: Long)
 

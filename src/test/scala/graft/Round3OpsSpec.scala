@@ -179,6 +179,26 @@ class Round3OpsSpec extends SparkSpec {
     assert(check === docs.agg(sum("tok")).head().getLong(0))
   }
 
+  // --- Privacy.kAnonymize -------------------------------------------------
+
+  test("kAnonymize suppresses small quasi-identifier groups at row level") {
+    import graft.safety.Privacy
+    val df = Seq(
+      ("en", "web", 1L), ("en", "web", 2L), ("en", "web", 3L),
+      ("de", "web", 4L),                       // group of 1: suppressed
+      ("en", "pdf", 5L), ("en", "pdf", 6L))
+      .toDF("lang", "source", "id")
+    val kept = Privacy.kAnonymize(df, Seq("lang", "source"), k = 2)
+      .select("id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L, 3L, 5L, 6L))
+    assert(Privacy.kAnonymize(df, Seq("lang", "source"), k = 2).columns.toSeq
+      === df.columns.toSeq) // helper column dropped
+    val report = Privacy.suppressionReport(df, Seq("lang", "source"), 2)
+      .filter(!$"released").select("lang", "source", "n")
+      .as[(String, String, Long)].collect().toSeq
+    assert(report === Seq(("de", "web", 1L)))
+  }
+
   // --- Quality.histogram -------------------------------------------------
 
   test("histogram: exact bin edges, nulls excluded, bounds inside bins") {

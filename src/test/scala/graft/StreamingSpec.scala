@@ -34,6 +34,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CDC changelog: last-op-wins, stragglers ignored, tombstones hold") {
+    import graft.streaming.{CdcOp, StreamingCdc}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[CdcOp]
+    val q = StreamingCdc.changelog(input.toDS())
+      .writeStream.format("memory").queryName("cdc_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(
+        CdcOp("a", 1, "U", "a1"), CdcOp("a", 2, "U", "a2"), // same batch: a2 wins
+        CdcOp("b", 1, "U", "b1"))
+      q.processAllAvailable()
+      input.addData(
+        CdcOp("a", 1, "U", "a1-late"),  // straggler: ignored, no emission
+        CdcOp("b", 3, "D", "gone"))     // delete wins
+      q.processAllAvailable()
+      input.addData(CdcOp("b", 2, "U", "b2-late")) // below tombstone seq: ignored
+      q.processAllAvailable()
+      val changes = spark.table("cdc_out")
+        .select("key", "seq", "op", "payload")
+        .as[(String, Long, String, String)].collect().toSet
+      assert(changes === Set(
+        ("a", 2L, "U", "a2"), ("b", 1L, "U", "b1"), ("b", 3L, "D", "gone")))
+    } finally q.stop()
+  }
+
   test("streaming nearDupDrop suppresses re-ingested near-identical docs") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String, java.sql.Timestamp)]
