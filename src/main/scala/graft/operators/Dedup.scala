@@ -230,19 +230,98 @@ object Dedup {
     * @return (id, cluster) where cluster = min id in the component
     */
   def connectedComponents(
-      nodes: DataFrame, pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    // AQE's per-stage re-planning is a win for one-shot queries but pure
-    // overhead inside an iterative fixpoint (every round pays the extra
-    // materialization boundaries): measured 10M nodes / 8M edges, the
-    // fixpoint runs 105 s with AQE vs 47 s without. Toggle it off for
-    // the loop and restore after. (Session-wide conf: concurrent queries
-    // on the same session during the loop also run non-adaptively.)
+      nodes: DataFrame, pairs: DataFrame, maxIter: Int = 25,
+      maxDriverEdges: Long = 1000000L): DataFrame = {
+    // ADAPTIVE: the edge list after LSH verification is a tiny fraction
+    // of the corpus (duplicate PAIRS, not documents — typically <<1% of
+    // rows even on dirty crawls), while `nodes` is corpus-sized. When
+    // the edge list fits comfortably on the driver, collect it and run
+    // union-find there — the same small-side principle as a broadcast
+    // hash join, and it replaces O(diameter) shuffle rounds with ONE
+    // broadcast probe over the node list. The distributed frontier loop
+    // below remains the path for genuinely large edge lists (pass
+    // maxDriverEdges = 0 to force it).
+    val edges = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val nEdges = edges.count()
+    if (nEdges <= maxDriverEdges) {
+      try connectedComponentsDriver(nodes, edges)
+      finally freeCheckpoint(edges)
+    } else {
+      // AQE's per-stage re-planning is a win for one-shot queries but pure
+      // overhead inside an iterative fixpoint (every round pays the extra
+      // materialization boundaries): measured 10M nodes / 8M edges, the
+      // fixpoint runs 105 s with AQE vs 47 s without. Toggle it off for
+      // the loop and restore after. (Session-wide conf: concurrent queries
+      // on the same session during the loop also run non-adaptively.)
+      val spark = nodes.sparkSession
+      val aqeKey = "spark.sql.adaptive.enabled"
+      val aqeBefore = spark.conf.get(aqeKey)
+      spark.conf.set(aqeKey, "false")
+      try connectedComponentsLoop(nodes, edges, maxIter)
+      finally spark.conf.set(aqeKey, aqeBefore)
+    }
+  }
+
+  /** Small-edge-list fast path: union-find on the driver over the
+    * collected edges, then one broadcast left join onto the (distinct)
+    * node list. `cluster` = min id per component, computed with Spark's
+    * own `min` over the endpoint label table so the ordering semantics
+    * match the distributed loop for every orderable id type. */
+  private def connectedComponentsDriver(
+      nodes: DataFrame, edges: DataFrame): DataFrame = {
     val spark = nodes.sparkSession
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val aqeBefore = spark.conf.get(aqeKey)
-    spark.conf.set(aqeKey, "false")
-    try connectedComponentsLoop(nodes, pairs, maxIter)
-    finally spark.conf.set(aqeKey, aqeBefore)
+    // union-find with path halving + union by size
+    val index = new java.util.HashMap[Any, Integer]()
+    val idVals = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val parent = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val compSize = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def intern(v: Any): Int = {
+      val got = index.get(v)
+      if (got != null) got.intValue()
+      else {
+        val i = idVals.length
+        index.put(v, i); idVals += v; parent += i; compSize += 1; i
+      }
+    }
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+      x
+    }
+    edges.collect().foreach { r =>
+      require(!r.isNullAt(0) && !r.isNullAt(1),
+        "pairs contain a null endpoint; nodes must cover every endpoint")
+      val a = find(intern(r.get(0))); val b = find(intern(r.get(1)))
+      if (a != b) {
+        if (compSize(a) < compSize(b)) { parent(a) = b; compSize(b) += compSize(a) }
+        else { parent(b) = a; compSize(a) += compSize(b) }
+      }
+    }
+    val idType = nodes.schema("id").dataType
+    val labelRows = new java.util.ArrayList[org.apache.spark.sql.Row](idVals.length)
+    var i = 0
+    while (i < idVals.length) {
+      labelRows.add(org.apache.spark.sql.Row(idVals(i), idVals(find(i))))
+      i += 1
+    }
+    val endpointLabels = spark.createDataFrame(labelRows,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", idType, nullable = false),
+        org.apache.spark.sql.types.StructField("root", idType, nullable = false))))
+    val labelMap = endpointLabels
+      .join(endpointLabels.groupBy(col("root")).agg(min(col("id")).as("cluster")),
+        "root")
+      .select(col("id"), col("cluster"))
+    val distinctNodes = nodes.select(col("id")).distinct()
+    // Fail loudly if an edge references an id outside `nodes` — parity
+    // with the distributed loop's orphan probe. One broadcast semi-join
+    // scan of the node list.
+    val covered = distinctNodes
+      .join(broadcast(labelMap), Seq("id"), "left_semi").count()
+    require(covered == idVals.length.toLong,
+      "pairs reference ids not present in nodes; nodes must cover every endpoint")
+    distinctNodes.join(broadcast(labelMap), Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
   }
 
   /** Release the storage blocks of a localCheckpoint'd frame that is no
@@ -265,6 +344,7 @@ object Dedup {
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .repartition(col("src"))
       .localCheckpoint(true)
+    freeCheckpoint(pairs) // caller's edge checkpoint — superseded by sym
     // FRONTIER-DELTA min-label propagation: only nodes whose label
     // improved last round send messages. A label can reach a node only
     // through a neighbor that holds it — and that neighbor either held

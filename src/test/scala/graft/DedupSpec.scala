@@ -90,6 +90,16 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L))
   }
 
+  test("connectedComponents: distributed loop path agrees with driver union-find") {
+    // same fixture, forced through the frontier loop (maxDriverEdges = 0)
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("id")
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(nodes, pairs, maxDriverEdges = 0L)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(got === Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
   test("connectedComponents works with string ids (content-hash keys)") {
     val nodes = Seq("h1", "h2", "h3", "h9").toDF("id")
     val pairs = Seq(("h2", "h1"), ("h2", "h3")).toDF("id_a", "id_b")
@@ -162,10 +172,12 @@ class DedupSpec extends SparkSpec {
   test("connectedComponents rejects edges referencing ids outside nodes") {
     val nodes = Seq(3L).toDF("id")
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
-    val e = intercept[IllegalArgumentException] {
-      Dedup.connectedComponents(nodes, pairs)
+    for (cap <- Seq(1000000L, 0L)) { // driver path and distributed path
+      val e = intercept[IllegalArgumentException] {
+        Dedup.connectedComponents(nodes, pairs, maxDriverEdges = cap)
+      }
+      assert(e.getMessage.contains("nodes must cover every endpoint"))
     }
-    assert(e.getMessage.contains("nodes must cover every endpoint"))
   }
 
   test("embedding near-dups on an UNLABELED corpus: learned clusters prune candidates") {
