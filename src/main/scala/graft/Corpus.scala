@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.analytics.CorpusStats
+import graft.functions.TextFunctions
+import graft.operators.{Curation, Decontaminate, Dedup, Packing, Sampling}
+
+/** Fluent facade over the training-data pipeline operators — the
+  * corpus-side counterpart of [[GraftSession]] (which covers the
+  * reference's interactive surface). Every step delegates to the
+  * operator objects, so the plans — and their scale properties — are
+  * identical to calling the operators directly; the wrapper only
+  * threads `(df, idCol, textCol)` through the chain.
+  *
+  * The held `df` stays lazy: chaining narrow steps (curate thresholds,
+  * repetition bounds, decontamination) still collapses into one
+  * Catalyst plan with a single scan, exactly like composing the
+  * operators by hand.
+  *
+  * {{{
+  * val clean = Corpus(raw, "doc_id", "text")
+  *   .curate(Curation.Config(lang = Some("en"), minTokens = 50))
+  *   .filterRepetition(maxDupWordFrac = 0.3, maxTopBigramFrac = 0.2)
+  *   .dedupNear(threshold = 0.8)
+  *   .decontaminateAgainst(evalDocs)
+  *   .split(trainFraction = 0.9, validFraction = 0.05)
+  *   .toDF
+  * }}}
+  */
+final case class Corpus(df: DataFrame, idCol: String, textCol: String) {
+
+  private def next(d: DataFrame): Corpus = copy(df = d)
+
+  /** The underlying DataFrame (lazy — nothing has executed yet). */
+  def toDF: DataFrame = df
+
+  /** Annotate → language/quality filter → exact dedup → deterministic
+    * sample ([[graft.operators.Curation.curate]]). Adds `n_tokens`,
+    * `punct_ratio`, `lang_pred`. */
+  def curate(cfg: Curation.Config = Curation.Config()): Corpus =
+    next(Curation.curate(df, idCol, textCol, cfg))
+
+  /** Gopher-style repetition bounds (inclusive-keep), shuffle-free.
+    * Adds the [[graft.analytics.CorpusStats.repetitionMetrics]] columns
+    * for auditability. */
+  def filterRepetition(
+      maxDupWordFrac: Double = 1.0, maxTopBigramFrac: Double = 1.0): Corpus =
+    next(CorpusStats.repetitionMetrics(df, idCol, textCol)
+      .filter(col("dup_word_frac") <= maxDupWordFrac &&
+        col("top_bigram_frac") <= maxTopBigramFrac))
+
+  /** Exact content dedup (sha256); first row under `order` wins. */
+  def dedupExact(order: Seq[Column] = Nil): Corpus = {
+    val ord = if (order.nonEmpty) order else Seq(col(idCol).asc)
+    next(Dedup.exactByContent(df, textCol, ord).drop("content_hash"))
+  }
+
+  /** MinHash-LSH near-dup dedup keeping the preferred doc per transitive
+    * cluster (default: longest text, then lowest id). */
+  def dedupNear(
+      threshold: Double = 0.8, preference: Seq[Column] = Nil): Corpus = {
+    val pref =
+      if (preference.nonEmpty) preference
+      else Seq(length(col(textCol)).desc, col(idCol).asc)
+    val pairs = Dedup.minHashNearDups(df, idCol, textCol, threshold = threshold)
+      .select(col("id_a"), col("id_b"))
+    next(Dedup.keepBestPerCluster(df, idCol, pairs, pref).drop("cluster"))
+  }
+
+  /** Drop docs sharing any word `n`-gram with the eval set (broadcast
+    * gram set, one scan — [[graft.operators.Decontaminate]]). */
+  def decontaminateAgainst(
+      evalSet: DataFrame, n: Int = 8, hashGrams: Boolean = true): Corpus =
+    next(Decontaminate.decontaminate(df, evalSet, idCol, textCol, n, hashGrams))
+
+  /** Deterministic md5-prefix downsample (engine-portable, stable under
+    * corpus growth). */
+  def sample(fraction: Double): Corpus =
+    next(Sampling.hashSample(df, idCol, fraction))
+
+  /** Stable train/valid/test assignment; adds `split`. */
+  def split(trainFraction: Double = 0.8, validFraction: Double = 0.1): Corpus =
+    next(Sampling.assignSplit(df, idCol, trainFraction, validFraction))
+
+  /** Sequence packing for a given training sequence length: adds
+    * `shard`, `pack_start`, `pack_id` over a `n_tokens` column (created
+    * if absent). */
+  def pack(seqLen: Long, shards: Int = 1): Corpus = {
+    val withTokens =
+      if (df.columns.contains("n_tokens")) df
+      else df.withColumn("n_tokens",
+        TextFunctions.tokenCount(col(textCol)).cast("long"))
+    next(Packing.assignPacks(withTokens, idCol, "n_tokens", seqLen, shards))
+  }
+
+  /** The composed [[graft.operators.Curation.fullPipeline]] in one call. */
+  def fullPipeline(cfg: Curation.PipelineConfig = Curation.PipelineConfig()): Corpus =
+    next(Curation.fullPipeline(df, idCol, textCol, cfg))
+
+  /** One-row corpus summary: doc count, total/avg token counts. */
+  def stats: DataFrame =
+    df.select(TextFunctions.tokenCount(col(textCol)).cast("long").as("__t"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__t")).as("total_tokens"),
+        avg(col("__t")).as("avg_tokens"))
+}

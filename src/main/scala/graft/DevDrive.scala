@@ -14,28 +14,30 @@ object DevDrive {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // compact the real events table (sf0.001) and check file-range disjointness
-    val out = java.nio.file.Files.createTempDirectory("dd_compact").toString + "/events"
-    val ev = Tables.events(spark, "/root/testdata/sf0.001")
-      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-    sources.Catalog.compact(ev, "event_id", out, numFiles = 3,
-      maxRecordsPerFile = 200)
-    val back = sources.Catalog.read(spark, out)
-    assert(back.count() == ev.count(), "row count preserved")
-    val files = new java.io.File(out).listFiles().filter(_.getName.endsWith(".parquet"))
-    assert(files.length >= 3, s"files=${files.length}")
-    val ranges = files.map { f =>
-      val r = spark.read.parquet(f.getAbsolutePath)
-        .agg(min("event_id"), max("event_id")).head()
-      (r.getLong(0), r.getLong(1))
-    }.sortBy(_._1)
-    ranges.sliding(2).foreach {
-      case Array((_, aMax), (bMin, _)) => assert(aMax <= bMin, "overlapping ranges")
-      case _ => ()
-    }
-    println(s"files=${files.length} ranges disjoint; scan with event_id<100:")
-    val pruned = back.filter(col("event_id") < 100)
-    pruned.count()
+    // drive the Corpus facade end-to-end on the real documents table
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sf)
+    val nRaw = docs.count()
+    val evalSet = docs.orderBy(desc("doc_id")).limit(5)
+      .select(col("doc_id"), col("text"))
+
+    val pipeline = Corpus(docs.select(col("doc_id"), col("text")), "doc_id", "text")
+      .curate(operators.Curation.Config(lang = None, minTokens = 3))
+      .filterRepetition(maxDupWordFrac = 0.9)
+      .dedupNear(threshold = 0.8)
+      .decontaminateAgainst(evalSet, n = 8)
+      .split(trainFraction = 0.8, validFraction = 0.1)
+      .pack(seqLen = 512L, shards = 2)
+    val result = pipeline.toDF
+    val n = result.count()
+    assert(n > 0 && n <= nRaw, s"pipeline kept $n of $nRaw")
+    val splits = result.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(splits.getOrElse("train", 0L) > 0L, s"splits=$splits")
+    assert(result.columns.contains("pack_id") && result.columns.contains("n_tokens"))
+    val stats = Corpus(docs, "doc_id", "text").stats.head()
+    assert(stats.getLong(0) == nRaw)
+    println(s"raw=$nRaw survived=$n splits=$splits total_tokens=${stats.getLong(1)}")
     println("DEVDRIVE PASS")
     spark.stop()
   }

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curation, Dedup, Sampling}
+
+class CorpusFacadeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog in the sunny park today"),
+    (2L, "the quick brown fox jumps over the lazy dog in the sunny park today"), // exact dup of 1
+    (3L, "completely different text about distributed query engines and shuffles"),
+    (4L, "na na na na na na na na na na na na na na")                            // repetitive
+  ).toDF("doc_id", "text")
+
+  test("facade steps produce the same rows as direct operator calls") {
+    val cfg = Curation.Config(lang = None, minTokens = 3)
+    val viaFacade = Corpus(docs, "doc_id", "text")
+      .curate(cfg)
+      .filterRepetition(maxDupWordFrac = 0.5)
+      .split(trainFraction = 0.5, validFraction = 0.25)
+      .toDF
+    val direct = Sampling.assignSplit(
+      graft.analytics.CorpusStats
+        .repetitionMetrics(Curation.curate(docs, "doc_id", "text", cfg),
+          "doc_id", "text")
+        .filter(col("dup_word_frac") <= 0.5),
+      "doc_id", 0.5, 0.25)
+    assert(viaFacade.columns.toSeq === direct.columns.toSeq)
+    assert(viaFacade.orderBy("doc_id").collect().toSeq ===
+      direct.orderBy("doc_id").collect().toSeq)
+  }
+
+  test("dedupExact keeps one of the identical docs; dedupNear delegates keep-best") {
+    val exact = Corpus(docs, "doc_id", "text").dedupExact().toDF
+    assert(exact.count() === 3)
+    assert(exact.filter($"doc_id" === 1L).count() === 1) // lowest id wins
+    assert(exact.columns.toSeq === docs.columns.toSeq)   // content_hash dropped
+    val direct = Dedup.exactByContent(docs, "text", Seq(col("doc_id").asc))
+      .drop("content_hash")
+    assert(exact.orderBy("doc_id").collect().toSeq ===
+      direct.orderBy("doc_id").collect().toSeq)
+
+    val near = Corpus(docs, "doc_id", "text").dedupNear(threshold = 0.8).toDF
+    assert(near.select("doc_id").as[Long].collect().toSet === Set(1L, 3L, 4L))
+    assert(near.columns.toSeq === docs.columns.toSeq) // cluster dropped
+  }
+
+  test("decontaminateAgainst drops overlapping docs; pack adds n_tokens and pack columns") {
+    val eval = Seq((100L,
+      "the quick brown fox jumps over the lazy dog in the sunny park today"))
+      .toDF("doc_id", "text")
+    val clean = Corpus(docs, "doc_id", "text")
+      .decontaminateAgainst(eval, n = 8).toDF
+    assert(clean.select("doc_id").as[Long].collect().toSet === Set(3L, 4L))
+
+    val packed = Corpus(docs, "doc_id", "text").pack(seqLen = 10L).toDF
+    assert(Seq("n_tokens", "shard", "pack_start", "pack_id")
+      .forall(packed.columns.contains))
+    assert(packed.count() === 4)
+  }
+
+  test("stats reports doc and token totals") {
+    val row = Corpus(docs, "doc_id", "text").stats.head()
+    assert(row.getLong(0) === 4L)
+    assert(row.getLong(1) > 0L)
+  }
+
+  test("fullPipeline via the facade matches the operator call") {
+    val cfg = Curation.PipelineConfig(base = Curation.Config(lang = None))
+    val a = Corpus(docs, "doc_id", "text").fullPipeline(cfg).toDF
+    val b = Curation.fullPipeline(docs, "doc_id", "text", cfg)
+    assert(a.orderBy("doc_id").collect().toSeq ===
+      b.orderBy("doc_id").collect().toSeq)
+  }
+}
