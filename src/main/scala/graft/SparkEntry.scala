@@ -729,7 +729,35 @@ object SparkEntry {
           "pq_codes", queryVec(s, d), cb, k = 10, shortlist = 100)
         .select(col("vec_id"))
         .orderBy(col("vec_id"))
-    })
+    }),
+
+    "q90_url_canonical" -> ((s, d) => {
+      // crawl-URL canonicalization: tracking params, fragments, host
+      // case, trailing slashes — engine-portable regex chain
+      val urls = T.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("HTTPS://Example.COM/Path/"), col("doc_id").cast("string"),
+            lit("/?utm_source=feed&utm_campaign=x&id="),
+            col("doc_id").cast("string"), lit("#frag")))
+          .when(col("doc_id") % 3 === 0,
+            concat(lit("http://Blog.Example.org/post?gclid=abc123&ref="),
+              col("source")))
+          .otherwise(concat(lit("https://"), col("source"),
+            lit(".example.com/a/"), col("doc_id").cast("string"),
+            lit("?page=2&utm_medium=email")))
+          .as("url"))
+      urls.select(col("doc_id"), TF.canonicalizeUrl(col("url")).as("canonical_url"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q91_token_budget" -> ((s, d) =>
+      // training-mix planning: proportional token budget per source,
+      // exact integer arithmetic (floor division, ppm rates)
+      operators.Sampling.budgetAllocation(
+          T.documents(s, d), "source", "n_chars", budget = 50000L)
+        .select(col("source"), col("n_tokens"), col("target_tokens"),
+          col("rate_ppm"))
+        .orderBy(col("source")))
   )
 
   /** The kNN query parameter: embedding of vec_id=0 (driver-side single-row
@@ -1430,6 +1458,36 @@ object SparkEntry {
         |  FROM bc JOIN uni u1 ON u1.w = split_part(bc.b, ' ', 1)
         |          JOIN uni u2 ON u2.w = split_part(bc.b, ' ', 2))
         |SELECT bigram, n_pair, n_left, n_right, lift FROM j
-        |ORDER BY lift DESC, bigram LIMIT 20""".stripMargin
+        |ORDER BY lift DESC, bigram LIMIT 20""".stripMargin,
+
+    "q90_url_canonical" ->
+      """WITH u AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN 'HTTPS://Example.COM/Path/' || doc_id::VARCHAR
+        |           || '/?utm_source=feed&utm_campaign=x&id=' || doc_id::VARCHAR || '#frag'
+        |         WHEN doc_id % 3 = 0 THEN 'http://Blog.Example.org/post?gclid=abc123&ref=' || source
+        |         ELSE 'https://' || source || '.example.com/a/' || doc_id::VARCHAR
+        |           || '?page=2&utm_medium=email' END AS url
+        |  FROM documents),
+        |s4 AS (SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(url, '#.*', '', 'g'),
+        |      '(utm_[A-Za-z0-9_]*|gclid|fbclid)=[^&#]*&?', '', 'g'),
+        |      '\?&', '?', 'g'), '[?&]+$', '', 'g') AS t
+        |  FROM u)
+        |SELECT doc_id,
+        |  regexp_replace(
+        |    lower(regexp_extract(t, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0)) ||
+        |      regexp_replace(t, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''),
+        |    '/+$', '', 'g') AS canonical_url
+        |FROM s4 ORDER BY doc_id""".stripMargin,
+
+    "q91_token_budget" ->
+      """WITH per AS (SELECT source, sum(n_chars)::BIGINT AS n_tokens
+        |    FROM documents GROUP BY source),
+        |t AS (SELECT sum(n_tokens)::BIGINT AS total FROM per)
+        |SELECT source, n_tokens,
+        |  least(n_tokens, (50000 * n_tokens) // total) AS target_tokens,
+        |  (least(n_tokens, (50000 * n_tokens) // total) * 1000000) // n_tokens AS rate_ppm
+        |FROM per, t ORDER BY source""".stripMargin
   )
 }

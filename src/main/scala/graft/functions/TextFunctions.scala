@@ -196,6 +196,32 @@ object TextFunctions {
   def extractDomain(c: Column): Column =
     lower(regexp_extract(c, "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1))
 
+  /** URL canonicalization for crawl dedup keys: strip the fragment,
+    * remove tracking query params (`utm_*`, `gclid`, `fbclid`), repair
+    * the separators that leaves behind, lowercase the scheme+host
+    * prefix (path/query case is significant, host case is not), and
+    * drop trailing slashes. The whole chain is RE2-safe regex (no
+    * lookaround, no backreferences) so the EXACT same rewrite runs in
+    * any engine — canonical keys computed by different systems must
+    * collide, or cross-system dedup silently misses.
+    *
+    * Documented approximation: the tracking-param match is unanchored
+    * (RE2 has no lookbehind), so a parameter whose name merely *ends*
+    * in a tracked name (`b_utm_x=1`) loses its suffix. Real tracking
+    * params follow `?`/`&` and are handled exactly. */
+  def canonicalizeUrl(c: Column): Column = {
+    val noFrag = regexp_replace(c, "#.*", "")
+    val noTrack = regexp_replace(noFrag,
+      "(utm_[A-Za-z0-9_]*|gclid|fbclid)=[^&#]*&?", "")
+    val repaired = regexp_replace(
+      regexp_replace(noTrack, "\\?&", "?"), "[?&]+$", "")
+    val hostPat = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+    val lowered = concat(
+      lower(regexp_extract(repaired, hostPat, 0)),
+      regexp_replace(repaired, hostPat, ""))
+    regexp_replace(lowered, "/+$", "")
+  }
+
   // ---------------------------------------------------------------------
   // F6 — HTML cleaning (search_clients.py:83-91)
   // ---------------------------------------------------------------------

@@ -97,4 +97,33 @@ object Sampling {
         .when(bucket < validHi, "valid")
         .otherwise("test"))
   }
+
+  /** Proportional token-budget allocation across corpus groups (the
+    * planning step before a training-mix sample): for each group,
+    * `target_tokens` = its proportional share of `budget`, capped at
+    * the group's own size, and `rate_ppm` = the parts-per-million
+    * sampling rate that realizes it (feed to [[hashSample]]-style
+    * admission as rate_ppm/1e6).
+    *
+    * All arithmetic is exact integer floor division — no doubles — so
+    * the allocation is deterministic and engine-portable. Plan shape:
+    * one partial+final aggregation on the group key plus a broadcast of
+    * the single-row total; the input is scanned once. ANSI mode makes
+    * the `budget * n_tokens` product fail loudly if it would overflow
+    * Long (pre-scale `weightCol` to kilo-tokens for extreme
+    * budget x corpus combinations). */
+  def budgetAllocation(
+      df: DataFrame, groupCol: String, weightCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val per = df.groupBy(col(groupCol))
+      .agg(sum(col(weightCol)).cast("long").as("n_tokens"))
+    val total = per.agg(sum(col("n_tokens")).as("__total"))
+    per.crossJoin(broadcast(total))
+      .withColumn("target_tokens",
+        least(col("n_tokens"), expr(s"(${budget}L * n_tokens) DIV __total")))
+      .withColumn("rate_ppm",
+        expr("(target_tokens * 1000000L) DIV n_tokens"))
+      .drop("__total")
+  }
 }

@@ -107,4 +107,24 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(shares("valid") - 0.1) < 0.03)
     assert(math.abs(shares("test") - 0.1) < 0.03)
   }
+
+  test("budgetAllocation: proportional floor shares, capped at group size") {
+    val df = Seq(("a", 600L), ("a", 400L), ("b", 3000L), ("c", 10L))
+      .toDF("src", "tok")
+    val got = Sampling.budgetAllocation(df, "src", "tok", budget = 2000L)
+      .orderBy("src")
+      .select("src", "n_tokens", "target_tokens", "rate_ppm")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // total = 4010; exact floor arithmetic:
+    //   a: 2000*1000/4010 = 498;  b: 2000*3000/4010 = 1496; c: 2000*10/4010 = 4
+    assert(got === Seq(
+      ("a", 1000L, 498L, 498000L),
+      ("b", 3000L, 1496L, 498666L),
+      ("c", 10L, 4L, 400000L)))
+    // a budget larger than the corpus takes every group whole
+    val all = Sampling.budgetAllocation(df, "src", "tok", budget = 100000L)
+      .select("src", "target_tokens", "rate_ppm")
+      .as[(String, Long, Long)].collect()
+    all.foreach { case (_, t, ppm) => assert(ppm === 1000000L) }
+  }
 }

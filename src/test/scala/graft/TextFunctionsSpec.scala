@@ -168,4 +168,20 @@ class TextFunctionsSpec extends SparkSpec {
     val t = Seq(long).toDF("t").select(sanitizeForDisplay($"t")).as[String].collect()(0)
     assert(t === "x" * 1000 + "...")
   }
+
+  test("canonicalizeUrl: fragments, tracking params, host case, trailing slashes") {
+    val cases = Seq(
+      "HTTPS://Example.COM/Path/7/?utm_source=feed&utm_campaign=x&id=7#frag"
+        -> "https://example.com/Path/7/?id=7",
+      "http://Blog.Example.org/post?gclid=abc123&ref=web"
+        -> "http://blog.example.org/post?ref=web",
+      "https://h.com/p?utm_a=1&utm_b=2&x=3" -> "https://h.com/p?x=3",
+      "https://h.com/p?x=1&utm_b=2" -> "https://h.com/p?x=1",
+      "https://h.com/p?utm_a=1" -> "https://h.com/p",
+      "https://h.com/deep/path///" -> "https://h.com/deep/path",
+      "no-scheme/just/path?utm_x=1&keep=2" -> "no-scheme/just/path?keep=2")
+    val got = cases.map(_._1).toDF("u")
+      .select(canonicalizeUrl($"u")).as[String].collect().toSeq
+    assert(got === cases.map(_._2))
+  }
 }
