@@ -757,7 +757,18 @@ object SparkEntry {
           T.documents(s, d), "source", "n_chars", budget = 50000L)
         .select(col("source"), col("n_tokens"), col("target_tokens"),
           col("rate_ppm"))
-        .orderBy(col("source")))
+        .orderBy(col("source"))),
+
+    "q92_gopher_signals" -> ((s, d) =>
+      // the remaining Gopher quality signals: mean word length, alpha
+      // fraction, symbol ratio, bullet/ellipsis line fractions
+      analytics.CorpusStats.gopherSignals(
+          T.documents(s, d).select(col("doc_id"), col("text")),
+          "doc_id", "text")
+        .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+          col("alpha_word_frac"), col("symbol_word_ratio"),
+          col("bullet_line_frac"), col("ellipsis_line_frac"))
+        .orderBy(col("doc_id")))
   )
 
   /** The kNN query parameter: embedding of vec_id=0 (driver-side single-row
@@ -1488,6 +1499,22 @@ object SparkEntry {
         |SELECT source, n_tokens,
         |  least(n_tokens, (50000 * n_tokens) // total) AS target_tokens,
         |  (least(n_tokens, (50000 * n_tokens) // total) * 1000000) // n_tokens AS rate_ppm
-        |FROM per, t ORDER BY source""".stripMargin
+        |FROM per, t ORDER BY source""".stripMargin,
+
+    "q92_gopher_signals" ->
+      """WITH g AS (SELECT doc_id, text,
+        |    CASE WHEN text IS NULL OR trim(text) = '' THEN NULL
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS ws,
+        |    CASE WHEN text IS NULL OR trim(text) = '' THEN NULL
+        |         ELSE string_split(text, chr(10)) END AS lines
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(ws)::BIGINT AS n_words,
+        |  (list_sum(list_transform(ws, w -> len(w))))::DOUBLE / len(ws) AS mean_word_len,
+        |  len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))::DOUBLE / len(ws) AS alpha_word_frac,
+        |  len(regexp_extract_all(text, '#|\.\.\.|…'))::DOUBLE / len(ws) AS symbol_word_ratio,
+        |  len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]')))::DOUBLE / len(lines) AS bullet_line_frac,
+        |  len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)\s*$')))::DOUBLE / len(lines) AS ellipsis_line_frac
+        |FROM g ORDER BY doc_id""".stripMargin
   )
 }

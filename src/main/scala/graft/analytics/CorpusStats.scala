@@ -124,4 +124,67 @@ object CorpusStats {
       .orderBy(desc("lift"), asc("bigram"))
       .limit(k)
   }
+
+  /** The remaining Gopher/MassiveText per-document quality signals
+    * (beyond the repetition metrics above): mean word length, fraction
+    * of words containing a letter, symbol-to-word ratio (`#` and
+    * ellipses), and the fractions of lines that are bullets or end in
+    * an ellipsis.
+    *
+    * Shuffle-free: one narrow projection, every signal an exact
+    * integer count divided once into a double (IEEE division of exact
+    * ints — deterministic across engines). NULL/blank text yields NULL
+    * signals (such docs carry no evidence either way; filter them
+    * explicitly upstream if they must die). */
+  def gopherSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val signalNames = Seq("n_words", "mean_word_len", "alpha_word_frac",
+      "symbol_word_ratio", "bullet_line_frac", "ellipsis_line_frac")
+    require(!signalNames.contains(idCol) && !signalNames.contains(textCol),
+      s"idCol/textCol must not collide with signal columns $signalNames")
+    val base = df.drop(signalNames: _*)
+    val sig = TF.bindOnce(TF.wordsLower(col(textCol))) { ws =>
+      TF.bindOnce(split(col(textCol), "\n")) { lines =>
+        val nWords = size(ws).cast("long")
+        val nLines = size(lines).cast("long")
+        val sumLen = aggregate(transform(ws, w => length(w).cast("long")),
+          lit(0L), (a, x) => a + x)
+        val nAlpha = size(filter(ws, w => w.rlike("[a-z]"))).cast("long")
+        val nSym = graft.functions.RegexpExpressions
+          .regexpCount(col(textCol), "#|\\.\\.\\.|…").cast("long")
+        val nBullet = size(filter(lines,
+          l => l.rlike("^\\s*[-*•]"))).cast("long")
+        val nEllipsis = size(filter(lines,
+          l => l.rlike("(\\.\\.\\.|…)\\s*$"))).cast("long")
+        struct(
+          nWords.as("n_words"),
+          (sumLen.cast("double") / nWords).as("mean_word_len"),
+          (nAlpha.cast("double") / nWords).as("alpha_word_frac"),
+          (nSym.cast("double") / nWords).as("symbol_word_ratio"),
+          (nBullet.cast("double") / nLines).as("bullet_line_frac"),
+          (nEllipsis.cast("double") / nLines).as("ellipsis_line_frac"))
+      }
+    }
+    base.withColumn("__g",
+        when(col(textCol).isNull || length(trim(col(textCol))) === 0,
+          lit(null)).otherwise(sig))
+      .select(col("*"), col("__g.n_words"), col("__g.mean_word_len"),
+        col("__g.alpha_word_frac"), col("__g.symbol_word_ratio"),
+        col("__g.bullet_line_frac"), col("__g.ellipsis_line_frac"))
+      .drop("__g")
+  }
+
+  /** Gopher quality cut with the published bounds as defaults: keep
+    * docs whose signals all fall inside the bands (bounds inclusive).
+    * NULL-signal (blank) docs are dropped — they fail "has content". */
+  def gopherFilter(
+      df: DataFrame, idCol: String, textCol: String,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, maxBulletFrac: Double = 0.9,
+      maxEllipsisFrac: Double = 0.3, minAlphaFrac: Double = 0.8): DataFrame =
+    gopherSignals(df, idCol, textCol).filter(
+      col("mean_word_len").between(minMeanWordLen, maxMeanWordLen) &&
+        col("symbol_word_ratio") <= maxSymbolRatio &&
+        col("bullet_line_frac") <= maxBulletFrac &&
+        col("ellipsis_line_frac") <= maxEllipsisFrac &&
+        col("alpha_word_frac") >= minAlphaFrac)
 }

@@ -260,4 +260,40 @@ class Round3OpsSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(kept === Set(2L, 4L, 5L))
   }
+
+  // --- CorpusStats.gopherSignals ----------------------------------------
+
+  test("gopherSignals: exact fractions, line metrics, null/blank handling") {
+    val docs = Seq(
+      (1L, "good clean prose here"),                 // 4 words, mean len 18/4
+      (2L, "- item one\n- item two\nplain line"),    // 2 of 3 lines bullets
+      (3L, "wait for it...\nmore…\nno"),             // 2 of 3 ellipsis lines
+      (4L, "# ## 12 34"),                            // symbols + non-alpha words
+      (5L, null.asInstanceOf[String]),
+      (6L, "   ")
+    ).toDF("doc_id", "text")
+    val g = CorpusStats.gopherSignals(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(g(0).getAs[Long]("n_words") === 4L)
+    assert(g(0).getAs[Double]("mean_word_len") === 18.0 / 4)
+    assert(g(0).getAs[Double]("alpha_word_frac") === 1.0)
+    assert(g(1).getAs[Double]("bullet_line_frac") === 2.0 / 3)
+    assert(g(2).getAs[Double]("ellipsis_line_frac") === 2.0 / 3)
+    assert(g(3).getAs[Double]("symbol_word_ratio") === 3.0 / 4) // '#','##'->3 hashes
+    assert(g(3).getAs[Double]("alpha_word_frac") === 0.0)
+    assert(g(4).isNullAt(g(4).fieldIndex("n_words")))
+    assert(g(5).isNullAt(g(5).fieldIndex("mean_word_len")))
+  }
+
+  test("gopherFilter keeps in-band docs and drops blanks") {
+    val docs = Seq(
+      (1L, "perfectly ordinary english sentence with regular words"),
+      (2L, "## ### #### ## #"),         // symbol-heavy
+      (3L, "aa aa aa aa"),              // mean word len 2 < 3
+      (4L, "   ")
+    ).toDF("doc_id", "text")
+    val kept = CorpusStats.gopherFilter(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L))
+  }
 }
