@@ -51,6 +51,16 @@ final case class Corpus(df: DataFrame, idCol: String, textCol: String) {
       .filter(col("dup_word_frac") <= maxDupWordFrac &&
         col("top_bigram_frac") <= maxTopBigramFrac))
 
+  /** Gopher quality cut ([[graft.analytics.CorpusStats.gopherFilter]]
+    * with its published default bands); adds the signal columns. */
+  def filterGopher(
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, maxBulletFrac: Double = 0.9,
+      maxEllipsisFrac: Double = 0.3, minAlphaFrac: Double = 0.8): Corpus =
+    next(CorpusStats.gopherFilter(df, idCol, textCol,
+      minMeanWordLen, maxMeanWordLen, maxSymbolRatio, maxBulletFrac,
+      maxEllipsisFrac, minAlphaFrac))
+
   /** Exact content dedup (sha256); first row under `order` wins. */
   def dedupExact(order: Seq[Column] = Nil): Corpus = {
     val ord = if (order.nonEmpty) order else Seq(col(idCol).asc)

@@ -23,6 +23,7 @@ object DevDrive {
 
     val pipeline = Corpus(docs.select(col("doc_id"), col("text")), "doc_id", "text")
       .curate(operators.Curation.Config(lang = None, minTokens = 3))
+      .filterGopher(maxSymbolRatio = 1.0, minAlphaFrac = 0.5)
       .filterRepetition(maxDupWordFrac = 0.9)
       .dedupNear(threshold = 0.8)
       .decontaminateAgainst(evalSet, n = 8)

@@ -61,6 +61,16 @@ class CorpusFacadeSpec extends SparkSpec {
     assert(packed.count() === 4)
   }
 
+  test("filterGopher delegates the quality cut") {
+    val mixed = Seq(
+      (1L, "perfectly ordinary english sentence with regular words"),
+      (2L, "## ### #### ## #")
+    ).toDF("doc_id", "text")
+    val kept = Corpus(mixed, "doc_id", "text").filterGopher().toDF
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept === Seq(1L))
+  }
+
   test("stats reports doc and token totals") {
     val row = Corpus(docs, "doc_id", "text").stats.head()
     assert(row.getLong(0) === 4L)
