@@ -21,15 +21,28 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Session hygiene BETWEEN queries (outside the timed region):
+    // checkpoint-heavy queries (CC, k-means, q73) leave pinned RDD
+    // blocks and broadcasts behind; without this, unchanged later
+    // queries measured 2-4x slower in-suite (accumulated executor
+    // memory pressure — see BENCH_r03 q34/q15/q50 regressions).
+    def scrub(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      spark.catalog.clearCache()
+      System.gc() // lets ContextCleaner reap dropped broadcasts/shuffles
+    }
     // Untimed warmup pass: JIT, codegen cache, parquet footers — the
     // timed pass below measures steady-state per-query cost.
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      scrub()
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      scrub()
+      name -> dt
     }
     // Locale.ROOT: the default-locale f-interpolator would print a comma
     // decimal separator on e.g. de_DE JVMs and break json parsing.

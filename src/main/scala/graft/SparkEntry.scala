@@ -451,9 +451,13 @@ object SparkEntry {
 
     "q73_quality_cut" -> ((s, d) => {
       // percentile-based curation: keep docs above their language's 25th
-      // stopword-ratio percentile — per-group quantile broadcast back
+      // stopword-ratio percentile — per-group quantile broadcast back.
+      // The regex-heavy scored frame feeds BOTH the percentile agg and
+      // the join probe: checkpoint it so the text scan runs once (the
+      // checkpoint is narrow — 3 columns, no text).
       val scored = T.documents(s, d).select(col("doc_id"), col("lang"),
         TF.stopwordRatio(col("text")).as("sw"))
+        .localCheckpoint(true)
       val cuts = scored.groupBy(col("lang"))
         .agg(expr("percentile(sw, 0.25)").as("cut"))
       scored.join(broadcast(cuts), Seq("lang"))
@@ -703,6 +707,20 @@ object SparkEntry {
           "tok")
         .select(col("pack_id"), col("n_docs"), col("n_tokens"))
         .orderBy(col("pack_id"))
+    }),
+
+    "q93_sharded_packing" -> ((s, d) => {
+      // the SCALE path of sequence packing: 4 independent md5-keyed
+      // shards, each packed inside its own partition — one hash
+      // shuffle, no global window (cf. q87's shards=1 oracle baseline)
+      val toks = T.documents(s, d).select(col("doc_id"),
+        size(TF.wordsLower(col("text"))).cast("long").as("tok"))
+      operators.Packing.packStats(
+          operators.Packing.assignPacks(toks, "doc_id", "tok",
+            seqLen = 512L, shards = 4),
+          "tok")
+        .select(col("shard"), col("pack_id"), col("n_docs"), col("n_tokens"))
+        .orderBy(col("shard"), col("pack_id"))
     }),
 
     "q89_k_anonymity" -> ((s, d) =>
@@ -1436,9 +1454,32 @@ object SparkEntry {
         |    sum(tok) OVER (ORDER BY md5(doc_id::VARCHAR), doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok AS pack_start
         |  FROM t)
-        |SELECT pack_start // 512 AS pack_id, count(*) AS n_docs,
+        |SELECT (pack_start // 512)::BIGINT AS pack_id, count(*) AS n_docs,
         |  sum(tok)::BIGINT AS n_tokens
         |FROM c GROUP BY 1 ORDER BY pack_id""".stripMargin,
+
+    // shard = first-16-bits-of-md5 mod 4, spelled with strpos hex
+    // digits (DuckDB has no hex-string-to-int cast); matches
+    // Packing.assignPacks' conv(substring(md5(id),1,4),16,10) % 4.
+    "q93_sharded_packing" ->
+      """WITH t AS (SELECT doc_id,
+        |    CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+        |      ELSE len(regexp_split_to_array(trim(lower(text)), '\s+')) END AS tok
+        |  FROM documents),
+        |h AS (SELECT doc_id, tok, md5(doc_id::VARCHAR) AS hx FROM t),
+        |s AS (SELECT doc_id, tok, hx,
+        |    (((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 4096
+        |     + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 256
+        |     + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
+        |     + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1)) % 4)::BIGINT AS shard
+        |  FROM h),
+        |c AS (SELECT shard, doc_id, tok,
+        |    sum(tok) OVER (PARTITION BY shard ORDER BY hx, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok AS pack_start
+        |  FROM s)
+        |SELECT shard, (pack_start // 512)::BIGINT AS pack_id,
+        |  count(*) AS n_docs, sum(tok)::BIGINT AS n_tokens
+        |FROM c GROUP BY 1, 2 ORDER BY shard, pack_id""".stripMargin,
 
     "q89_k_anonymity" ->
       """SELECT lang, source, count(*) AS n FROM documents

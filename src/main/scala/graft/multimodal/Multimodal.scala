@@ -165,7 +165,10 @@ object Multimodal {
     *
     * The histogram scan is checkpointed once — k-means, assignment and
     * both sides of the verify self-join otherwise each re-hash every
-    * payload byte. */
+    * payload byte. The big histogram checkpoint is RELEASED before
+    * returning: the (small — dup pairs only) result is materialized as
+    * its own checkpoint, which the caller may free with
+    * [[graft.util.Checkpoints.free]] once consumed. */
   def binaryNearDups(
       df: DataFrame, idCol: String, payloadCol: String,
       minCosine: Double = 0.995, bins: Int = 64, clusters: Int = 16): DataFrame = {
@@ -182,7 +185,10 @@ object Multimodal {
           feats, idCol, "__h", k = k, iters = 3)
         graft.operators.SimilaritySearch.assignClusters(feats, "__h", cents)
       }
-    graft.operators.Dedup.embeddingNearDups(
+    val pairs = graft.operators.Dedup.embeddingNearDups(
       assigned, idCol, "__h", "cluster", minCosine)
+      .localCheckpoint(true)
+    graft.util.Checkpoints.free(feats)
+    pairs
   }
 }

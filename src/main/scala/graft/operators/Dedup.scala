@@ -327,12 +327,10 @@ object Dedup {
   /** Release the storage blocks of a localCheckpoint'd frame that is no
     * longer referenced (each CC round supersedes the previous labels;
     * without this, O(rounds x nodes) cached copies accumulate). Shared
-    * with the other iterative operators (k-means). */
-  private[operators] def freeCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.optimizedPlan.foreach {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
-      case _ => ()
-    }
+    * with the other iterative operators (k-means, binary near-dup) via
+    * [[graft.util.Checkpoints.free]]. */
+  private[graft] def freeCheckpoint(df: DataFrame): Unit =
+    graft.util.Checkpoints.free(df)
 
   private def connectedComponentsLoop(
       nodes: DataFrame, pairs: DataFrame, maxIter: Int): DataFrame = {

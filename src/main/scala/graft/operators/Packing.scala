@@ -21,15 +21,21 @@ object Packing {
 
   /** Adds `shard`, `pack_start` (token offset of the doc inside its
     * shard's concatenated stream) and `pack_id` (= pack_start div
-    * seqLen — the training sequence this doc BEGINS in). */
+    * seqLen — the training sequence this doc BEGINS in).
+    *
+    * The shard key is the first 16 bits of md5(id) mod `shards` — md5,
+    * not xxhash64, so the layout is ENGINE-PORTABLE (any SQL engine
+    * with md5 reproduces the exact same shard assignment; xxhash64
+    * exists only in Spark). Uniform for shards << 65536. */
   def assignPacks(
       df: DataFrame, idCol: String, tokenCol: String, seqLen: Long,
       shards: Int = 1): DataFrame = {
     require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
-    require(shards >= 1, s"shards must be >= 1, got $shards")
+    require(shards >= 1 && shards <= 4096, s"shards must be in [1,4096], got $shards")
     val shard =
       if (shards == 1) lit(0L)
-      else pmod(xxhash64(col(idCol)), lit(shards.toLong))
+      else conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+        .cast("long") % lit(shards.toLong)
     val w = Window.partitionBy(col("shard"))
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

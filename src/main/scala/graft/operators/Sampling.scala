@@ -119,11 +119,17 @@ object Sampling {
     val per = df.groupBy(col(groupCol))
       .agg(sum(col(weightCol)).cast("long").as("n_tokens"))
     val total = per.agg(sum(col("n_tokens")).as("__total"))
+    // Zero-weight groups (or an all-zero corpus) would hit ANSI
+    // DIVIDE_BY_ZERO — allocate 0 instead.
     per.crossJoin(broadcast(total))
       .withColumn("target_tokens",
-        least(col("n_tokens"), expr(s"(${budget}L * n_tokens) DIV __total")))
+        when(col("__total") > 0,
+          least(col("n_tokens"), expr(s"(${budget}L * n_tokens) DIV __total")))
+          .otherwise(lit(0L)))
       .withColumn("rate_ppm",
-        expr("(target_tokens * 1000000L) DIV n_tokens"))
+        when(col("n_tokens") > 0,
+          expr("(target_tokens * 1000000L) DIV n_tokens"))
+          .otherwise(lit(0L)))
       .drop("__total")
   }
 }

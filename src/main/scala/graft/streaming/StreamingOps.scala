@@ -107,7 +107,10 @@ object StreamingCdc {
       state: GroupState[(Long, String, String)]): Iterator[CdcChange] = {
     val prev = state.getOption
     val winner = (prev.map { case (s, o, p) => CdcOp(key, s, o, p) } ++ ops)
-      .maxBy(op => (op.seq, op.op)) // seq ties: "U" > "D" lexically — deterministic
+      // Full-record ordering: (seq, op) alone would break equal-seq
+      // equal-op ties by iterator order (state-prepend first), making
+      // the emitted payload replay-nondeterministic.
+      .maxBy(op => (op.seq, op.op, op.payload)) // seq ties: "U" > "D" lexically
     if (prev.contains((winner.seq, winner.op, winner.payload))) Iterator.empty
     else {
       state.update((winner.seq, winner.op, winner.payload))

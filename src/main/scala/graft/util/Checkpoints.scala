@@ -1,0 +1,24 @@
+package graft.util
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Release discipline for `localCheckpoint`'d frames. Checkpointed
+  * RDD blocks are NOT in the cache manager, so `spark.catalog
+  * .clearCache()` never frees them — iterative operators (connected
+  * components, k-means) and eager feature scans must unpersist the
+  * superseded frame explicitly or accumulate O(rounds x data) storage
+  * for the session lifetime.
+  */
+object Checkpoints {
+
+  /** Release the storage blocks of a localCheckpoint'd frame that is
+    * no longer referenced. Safe on non-checkpointed frames (no-op).
+    * After this call the frame's data is GONE — only free a frame that
+    * nothing downstream will scan again. */
+  def free(df: DataFrame): Unit =
+    df.queryExecution.optimizedPlan.foreach {
+      case l: LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
+}

@@ -18,8 +18,11 @@ object Plans {
     * Execution is required: under AQE the real plan only exists after
     * the run. */
   def executedNodes(df: DataFrame): Seq[SparkPlan] = {
-    df.foreach(_ => ()) // run the job; finalizes AQE, no driver collect
-    flatten(df.queryExecution.executedPlan)
+    // Execute THIS QueryExecution (df.foreach would run the derived
+    // rddQueryExecution, leaving this one's AQE plan un-finalized).
+    val qe = df.queryExecution
+    qe.toRdd.foreach(_ => ()) // run the job; finalizes AQE, no driver collect
+    flatten(qe.executedPlan)
   }
 
   /** Flatten an already-executed plan tree (see [[executedNodes]]). */
