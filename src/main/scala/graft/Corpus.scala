@@ -105,6 +105,27 @@ final case class Corpus(df: DataFrame, idCol: String, textCol: String) {
     next(Packing.assignPacks(withTokens, idCol, "n_tokens", seqLen, shards))
   }
 
+  /** Canonicalize a URL column in place (fragment/tracking-param strip,
+    * [[graft.functions.TextFunctions.canonicalizeUrl]]) — run before
+    * URL-keyed dedup so crawl variants of one page share a key. */
+  def canonicalizeUrls(urlCol: String, outCol: String = ""): Corpus = {
+    val out = if (outCol.nonEmpty) outCol else urlCol
+    next(df.withColumn(out, TextFunctions.canonicalizeUrl(col(urlCol))))
+  }
+
+  /** Token-budget allocation across corpus groups (terminal, like
+    * [[stats]]): per `groupCol` value, its proportional share of
+    * `budget` tokens and the ppm admission rate that realizes it
+    * ([[graft.operators.Sampling.budgetAllocation]]). Weights come from
+    * `n_tokens` (created from `textCol` if absent). */
+  def budgetAllocation(groupCol: String, budget: Long): DataFrame = {
+    val withTokens =
+      if (df.columns.contains("n_tokens")) df
+      else df.withColumn("n_tokens",
+        TextFunctions.tokenCount(col(textCol)).cast("long"))
+    Sampling.budgetAllocation(withTokens, groupCol, "n_tokens", budget)
+  }
+
   /** The composed [[graft.operators.Curation.fullPipeline]] in one call. */
   def fullPipeline(cfg: Curation.PipelineConfig = Curation.PipelineConfig()): Corpus =
     next(Curation.fullPipeline(df, idCol, textCol, cfg))

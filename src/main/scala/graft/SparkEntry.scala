@@ -723,6 +723,29 @@ object SparkEntry {
         .orderBy(col("shard"), col("pack_id"))
     }),
 
+    "q94_json_redact" -> ((s, d) => {
+      // recursive JSON redaction over structured metadata: build a
+      // nested payload from real columns, sanitize it, extract fields
+      // back out — redact-key hit ([REDACTED]), recursed string value
+      // (email pattern), and untouched scalars all oracle-checked
+      val base = T.documents(s, d).select(col("doc_id"),
+        to_json(struct(
+          struct(
+            concat(lit("key-"), col("doc_id")).as("api_key"),
+            col("source").as("kind")).as("client"),
+          concat(lit("contact user"), col("doc_id"),
+            lit("@example.com for help")).as("note"),
+          col("lang"))).as("meta"))
+      base.select(col("doc_id"),
+          functions.JsonFunctions.sanitizeJson(col("meta")).as("m"))
+        .select(col("doc_id"),
+          get_json_object(col("m"), "$.client.api_key").as("api_key"),
+          get_json_object(col("m"), "$.client.kind").as("kind"),
+          get_json_object(col("m"), "$.note").as("note"),
+          get_json_object(col("m"), "$.lang").as("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q89_k_anonymity" -> ((s, d) =>
       // k-anonymity small-cell suppression before a grouped release
       safety.Privacy.kAnonymize(T.documents(s, d), Seq("lang", "source"), k = 5)
@@ -1480,6 +1503,17 @@ object SparkEntry {
         |SELECT shard, (pack_start // 512)::BIGINT AS pack_id,
         |  count(*) AS n_docs, sum(tok)::BIGINT AS n_tokens
         |FROM c GROUP BY 1, 2 ORDER BY shard, pack_id""".stripMargin,
+
+    // expected redaction computed straight from the base columns: the
+    // api_key KEY is fully redacted, the note's synthesized email hits
+    // the EMAIL pattern, kind/lang pass the chain untouched.
+    "q94_json_redact" ->
+      """SELECT doc_id,
+        |  '[REDACTED]' AS api_key,
+        |  source AS kind,
+        |  'contact [EMAIL_REDACTED] for help' AS note,
+        |  lang
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q89_k_anonymity" ->
       """SELECT lang, source, count(*) AS n FROM documents

@@ -1,0 +1,154 @@
+package graft.functions
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode, TextNode}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Recursive redaction of structured (JSON) log/metadata values —
+  * `LogSanitizer.sanitize_dict` parity
+  * (`backend/utils/logging_sanitizer.py:115-148`):
+  *
+  *  - a key containing any redact key (case-insensitive substring;
+  *    default list = the reference's: password, api_key, token, ...)
+  *    has its WHOLE value replaced by the string `[REDACTED]` — even
+  *    when the value is a nested object;
+  *  - string values pass through the [[TextFunctions.sanitizeLog]]
+  *    pattern chain (same ordered patterns, same case-insensitivity);
+  *  - object values recurse;
+  *  - array values sanitize their STRING elements only — non-string
+  *    elements (including nested objects) pass through unchanged,
+  *    faithfully preserving the reference's list handling
+  *    (`logging_sanitizer.py:140-144`);
+  *  - other scalars (numbers, booleans, null) pass through.
+  *
+  * Fail-CLOSED on non-object input: a JSON array walks like a list
+  * value; a scalar or malformed string gets the plain string chain —
+  * never returned unsanitized. Key insertion order is preserved
+  * (Jackson ObjectNode, like Python dicts).
+  */
+object JsonFunctions {
+  import ExprBridge.{toColumn, toExpr}
+
+  /** Recursively redact a JSON string column. */
+  def sanitizeJson(
+      c: Column, redactIp: Boolean = false,
+      keys: Seq[String] = JsonSanitizerUtil.DefaultRedactKeys): Column =
+    toColumn(SanitizeJson(toExpr(c), redactIp, keys))
+}
+
+/** Static helpers callable from generated Java. */
+object JsonSanitizerUtil {
+
+  /** `logging_sanitizer.py:126-129` — default fully-redacted keys. */
+  val DefaultRedactKeys: Seq[String] = Seq(
+    "password", "api_key", "token", "secret", "apikey",
+    "auth", "authorization", "x-api-key", "private_key")
+
+  private val mapper = new ObjectMapper()
+
+  private def compile(redactIp: Boolean): Array[(java.util.regex.Pattern, String)] =
+    TextFunctions.sanitizePatterns(redactIp).map { case (pat, repl) =>
+      (java.util.regex.Pattern.compile(pat,
+        java.util.regex.Pattern.CASE_INSENSITIVE), repl)
+    }.toArray
+
+  private lazy val chainPlain = compile(redactIp = false)
+  private lazy val chainWithIp = compile(redactIp = true)
+
+  private def sanitizeString(s: String, redactIp: Boolean): String = {
+    val chain = if (redactIp) chainWithIp else chainPlain
+    var out = s
+    var i = 0
+    while (i < chain.length) {
+      out = chain(i)._1.matcher(out).replaceAll(chain(i)._2)
+      i += 1
+    }
+    out
+  }
+
+  private def keyMatches(key: String, keys: Array[String]): Boolean = {
+    val lower = key.toLowerCase(java.util.Locale.ROOT)
+    keys.exists(k => lower.contains(k))
+  }
+
+  private def walkObject(
+      node: ObjectNode, redactIp: Boolean, keys: Array[String]): Unit = {
+    val fields = node.fields()
+    while (fields.hasNext) {
+      val e = fields.next()
+      val v = e.getValue
+      if (keyMatches(e.getKey, keys)) e.setValue(TextNode.valueOf("[REDACTED]"))
+      else if (v.isTextual)
+        e.setValue(TextNode.valueOf(sanitizeString(v.textValue(), redactIp)))
+      else if (v.isObject) walkObject(v.asInstanceOf[ObjectNode], redactIp, keys)
+      else if (v.isArray) walkArray(v.asInstanceOf[ArrayNode], redactIp)
+      // other scalars pass through
+    }
+  }
+
+  /** Strings only — nested objects in arrays pass through, as in the
+    * reference's list branch. */
+  private def walkArray(node: ArrayNode, redactIp: Boolean): Unit = {
+    var i = 0
+    while (i < node.size()) {
+      val v = node.get(i)
+      if (v.isTextual)
+        node.set(i, TextNode.valueOf(sanitizeString(v.textValue(), redactIp)))
+      i += 1
+    }
+  }
+
+  def sanitizeJson(
+      json: UTF8String, redactIp: Boolean, keys: Array[String]): UTF8String = {
+    val raw = json.toString
+    val lowered = keys.map(_.toLowerCase(java.util.Locale.ROOT))
+    val out =
+      try {
+        val root: JsonNode = mapper.readTree(raw)
+        root match {
+          case o: ObjectNode =>
+            walkObject(o, redactIp, lowered); mapper.writeValueAsString(o)
+          case a: ArrayNode =>
+            walkArray(a, redactIp); mapper.writeValueAsString(a)
+          case _ => sanitizeString(raw, redactIp) // scalar: plain chain
+        }
+      } catch {
+        case _: java.io.IOException => sanitizeString(raw, redactIp)
+      }
+    UTF8String.fromString(out)
+  }
+}
+
+case class SanitizeJson(child: Expression, redactIp: Boolean, keys: Seq[String])
+  extends UnaryExpression {
+  require(keys.nonEmpty, "sanitize_json needs at least one redact key")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string column, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "sanitize_json"
+
+  private lazy val keysArr: Array[String] = keys.toArray
+
+  override def nullSafeEval(s: Any): Any =
+    JsonSanitizerUtil.sanitizeJson(s.asInstanceOf[UTF8String], redactIp, keysArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val keysRef = ctx.addReferenceObj("redactKeys", keysArr, "java.lang.String[]")
+    nullSafeCodeGen(ctx, ev, s => {
+      s"${ev.value} = graft.functions.JsonSanitizerUtil.sanitizeJson($s, $redactIp, $keysRef);"
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

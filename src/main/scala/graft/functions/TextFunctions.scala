@@ -117,7 +117,7 @@ object TextFunctions {
     * the reference's dict insertion order. IP redaction is opt-in
     * (`logging_sanitizer.py:104-106`). Replacements use Java `$1`
     * backreference syntax (reference uses Python `\1`). */
-  private def sanitizePatterns(redactIp: Boolean): Seq[(String, String)] = {
+  private[functions] def sanitizePatterns(redactIp: Boolean): Seq[(String, String)] = {
     val base = Seq(
       ("""\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Z|a-z]{2,}\b""", "[EMAIL_REDACTED]"),
       ("""\b[A-Za-z0-9_-]{32,}\b""", "[API_KEY_REDACTED]"),

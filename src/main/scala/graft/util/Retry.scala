@@ -1,0 +1,101 @@
+package graft.util
+
+/** Exponential-backoff retry for flaky connector calls — the engine-side
+  * analog of the reference's tenacity decorator and `retry_with_backoff`
+  * (`backend/services/search_clients.py:42-61`,
+  * `backend/services/retry.py:53-73`): up to `maxAttempts` tries,
+  * delay = base * expBase^(attempt-1) capped at `maxDelayMs`, optional
+  * 0.5–1.0x jitter, reraise of the final failure.
+  *
+  * Connectors run INSIDE executor tasks (an [[graft.search.Embedder]]
+  * batch, a [[graft.search.SearchService.Source]] fetch), so the retry
+  * must live next to the call, not in a driver loop — wrap the connector
+  * once and every partition's calls inherit the policy. The sleep and
+  * RNG are injectable so specs assert the schedule without waiting.
+  */
+final case class RetryConfig(
+    maxAttempts: Int = 3,
+    baseDelayMs: Long = 1000L,
+    maxDelayMs: Long = 10000L,
+    exponentialBase: Double = 2.0,
+    jitter: Boolean = true,
+    /** Which failures are worth retrying; non-matching ones rethrow
+      * immediately (tenacity's retry_if_exception_type). Fatal JVM
+      * errors are never retried regardless. */
+    retryOn: Throwable => Boolean = RetryConfig.defaultRetryOn) {
+  require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+  require(baseDelayMs >= 0 && maxDelayMs >= baseDelayMs,
+    s"need 0 <= baseDelayMs <= maxDelayMs, got $baseDelayMs/$maxDelayMs")
+}
+
+object RetryConfig {
+  val defaultRetryOn: Throwable => Boolean = {
+    case _: InterruptedException => false
+    case scala.util.control.NonFatal(_) => true
+    case _ => false
+  }
+}
+
+object Retry {
+
+  /** Deterministic part of the backoff schedule (reference
+    * `calculate_delay`): base * expBase^(attempt-1), capped. `attempt`
+    * is 1-indexed. */
+  def delayMs(attempt: Int, cfg: RetryConfig): Long = {
+    val raw = cfg.baseDelayMs * math.pow(cfg.exponentialBase, (attempt - 1).toDouble)
+    math.min(raw, cfg.maxDelayMs.toDouble).toLong
+  }
+
+  /** Run `body`, retrying per `cfg`. `onRetry(attempt, error)` fires
+    * before each sleep (tenacity's before_sleep logging hook); the
+    * final failure is rethrown unwrapped (reraise=True). */
+  def apply[A](
+      cfg: RetryConfig = RetryConfig(),
+      onRetry: (Int, Throwable) => Unit = (_, _) => (),
+      sleep: Long => Unit = Thread.sleep,
+      rng: () => Double = () => java.util.concurrent.ThreadLocalRandom.current().nextDouble())(
+      body: => A): A = {
+    var attempt = 1
+    while (true) {
+      try return body
+      catch {
+        case t: Throwable if attempt < cfg.maxAttempts && cfg.retryOn(t) =>
+          onRetry(attempt, t)
+          val base = delayMs(attempt, cfg)
+          // reference jitter: uniform 0.5–1.0 multiplier
+          val jittered =
+            if (cfg.jitter) (base * (0.5 + rng() * 0.5)).toLong else base
+          if (jittered > 0) sleep(jittered)
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** A [[graft.search.SearchService.Source]] whose fetches retry. The
+    * wrapped search is forced eagerly (limit-free `localCheckpoint` is
+    * the caller's concern — fanOutSearch already does it) so plan-time
+    * AND action-time connector failures hit the retry loop here. */
+  def source(
+      inner: graft.search.SearchService.Source,
+      cfg: RetryConfig = RetryConfig()): graft.search.SearchService.Source =
+    new graft.search.SearchService.Source {
+      def name: String = inner.name
+      def search(spark: org.apache.spark.sql.SparkSession, query: String,
+          maxResults: Int): org.apache.spark.sql.DataFrame =
+        Retry(cfg)(inner.search(spark, query, maxResults))
+    }
+
+  /** An [[graft.search.Embedder]] whose per-batch connector calls
+    * retry — executes inside the executor task, so each partition's
+    * batches get the policy with no driver round-trip. */
+  def embedder(
+      inner: graft.search.Embedder,
+      cfg: RetryConfig = RetryConfig()): graft.search.Embedder =
+    new graft.search.Embedder {
+      def dim: Int = inner.dim
+      override def batchSize: Int = inner.batchSize
+      def embed(batch: Seq[String]): Seq[Array[Float]] =
+        Retry(cfg)(inner.embed(batch))
+    }
+}

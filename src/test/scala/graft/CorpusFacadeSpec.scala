@@ -71,6 +71,39 @@ class CorpusFacadeSpec extends SparkSpec {
     assert(kept === Seq(1L))
   }
 
+  test("canonicalizeUrls rewrites in place or to a new column, same as the function") {
+    val urls = Seq(
+      (1L, "some text", "https://Ex.com/a/?utm_source=x&q=1#frag"),
+      (2L, "other text", "http://site.org/p/")
+    ).toDF("doc_id", "text", "url")
+    val inPlace = Corpus(urls, "doc_id", "text").canonicalizeUrls("url").toDF
+    val direct = urls.withColumn("url",
+      graft.functions.TextFunctions.canonicalizeUrl(col("url")))
+    assert(inPlace.columns.toSeq === urls.columns.toSeq)
+    assert(inPlace.orderBy("doc_id").collect().toSeq ===
+      direct.orderBy("doc_id").collect().toSeq)
+    val toNew = Corpus(urls, "doc_id", "text")
+      .canonicalizeUrls("url", outCol = "url_c").toDF
+    assert(toNew.columns.toSeq === urls.columns.toSeq :+ "url_c")
+  }
+
+  test("budgetAllocation delegates with an auto n_tokens weight") {
+    val withLang = docs.withColumn("lang", when($"doc_id" <= 2, "en").otherwise("de"))
+    val viaFacade = Corpus(withLang, "doc_id", "text")
+      .budgetAllocation("lang", budget = 20L)
+    val direct = Sampling.budgetAllocation(
+      withLang.withColumn("n_tokens",
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long")),
+      "lang", "n_tokens", 20L)
+    assert(viaFacade.orderBy("lang").collect().toSeq ===
+      direct.orderBy("lang").collect().toSeq)
+    // budget never exceeds group size; ppm within [0, 1e6]
+    viaFacade.collect().foreach { r =>
+      assert(r.getAs[Long]("target_tokens") <= r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("rate_ppm") >= 0L && r.getAs[Long]("rate_ppm") <= 1000000L)
+    }
+  }
+
   test("stats reports doc and token totals") {
     val row = Corpus(docs, "doc_id", "text").stats.head()
     assert(row.getLong(0) === 4L)

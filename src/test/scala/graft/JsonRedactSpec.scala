@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.JsonFunctions.sanitizeJson
+
+/** Golden tests for recursive JSON redaction — `sanitize_dict` parity
+  * (`backend/utils/logging_sanitizer.py:115-148`). */
+class JsonRedactSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def redact(inputs: String*): Seq[String] =
+    inputs.toDF("j").select(sanitizeJson($"j")).as[String].collect().toSeq
+
+  test("redact keys: substring, case-insensitive, whole value replaced") {
+    val Seq(got) = redact(
+      """{"Api_Key":"k1","X-API-KEY":"k2","MyToken":{"nested":"obj"},"ok":"v"}""")
+    assert(got ===
+      """{"Api_Key":"[REDACTED]","X-API-KEY":"[REDACTED]","MyToken":"[REDACTED]","ok":"v"}""")
+  }
+
+  test("string values pass the sanitize chain; scalars untouched") {
+    val Seq(got) = redact(
+      """{"note":"mail me at bob@x.io","n":7,"f":1.5,"b":true,"z":null}""")
+    assert(got ===
+      """{"note":"mail me at [EMAIL_REDACTED]","n":7,"f":1.5,"b":true,"z":null}""")
+  }
+
+  test("objects recurse to any depth; key order preserved") {
+    val Seq(got) = redact(
+      """{"a":{"b":{"password":"hunter2","c":"user@ex.com"}},"tail":"t"}""")
+    assert(got ===
+      """{"a":{"b":{"password":"[REDACTED]","c":"[EMAIL_REDACTED]"}},"tail":"t"}""")
+  }
+
+  test("arrays: string elements sanitized, non-strings pass through (reference parity)") {
+    // logging_sanitizer.py:140-144 leaves non-str list items (even
+    // dicts) untouched — faithful quirk, asserted here on purpose.
+    val Seq(got) = redact(
+      """{"items":["a@b.co",5,{"secret_inner":"leaky"}]}""")
+    assert(got ===
+      """{"items":["[EMAIL_REDACTED]",5,{"secret_inner":"leaky"}]}""")
+  }
+
+  test("fail-closed on non-object input: scalar and malformed get the string chain") {
+    val got = redact("\"bob@x.io\"", "not json at all: bob@x.io", "[\"a@b.co\",3]")
+    assert(got(0) === "\"[EMAIL_REDACTED]\"")
+    assert(got(1) === "not json at all: [EMAIL_REDACTED]")
+    assert(got(2) === """["[EMAIL_REDACTED]",3]""") // top-level array walks as list
+  }
+
+  test("null column stays null; custom key list overrides the default") {
+    val df = Seq[(Integer, String)]((1, null), (2, """{"auth":"keep","zz":"drop"}"""))
+      .toDF("i", "j")
+    val got = df.orderBy($"i")
+      .select(sanitizeJson($"j", keys = Seq("zz"))).as[String].collect().toSeq
+    assert(got(0) === null)
+    assert(got(1) === """{"auth":"keep","zz":"[REDACTED]"}""")
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import scala.collection.mutable.ArrayBuffer
+
+import graft.search.{Embedder, HashEmbedder, SearchService}
+import graft.util.{Retry, RetryConfig}
+
+/** Retry/backoff helper — tenacity parity
+  * (`backend/services/search_clients.py:42-61`, `retry.py:53-73`). */
+class RetrySpec extends SparkSpec {
+
+  private val noJitter = RetryConfig(jitter = false)
+
+  test("backoff schedule: 1s, 2s, 4s ... capped at 10s") {
+    assert(Retry.delayMs(1, noJitter) === 1000L)
+    assert(Retry.delayMs(2, noJitter) === 2000L)
+    assert(Retry.delayMs(3, noJitter) === 4000L)
+    assert(Retry.delayMs(4, noJitter) === 8000L)
+    assert(Retry.delayMs(5, noJitter) === 10000L) // cap
+    assert(Retry.delayMs(9, noJitter) === 10000L)
+  }
+
+  test("jitter multiplies the base delay by 0.5-1.0") {
+    val slept = ArrayBuffer.empty[Long]
+    var calls = 0
+    Retry(RetryConfig(), sleep = slept += _, rng = () => 0.0) {
+      calls += 1; if (calls < 3) sys.error("flaky") else "ok"
+    }
+    assert(slept.toSeq === Seq(500L, 1000L)) // rng=0 → 0.5x of 1s, 2s
+  }
+
+  test("succeeds on the last allowed attempt; failures before that are swallowed") {
+    var calls = 0
+    val seen = ArrayBuffer.empty[(Int, String)]
+    val got = Retry(noJitter,
+        onRetry = (a, t) => seen += ((a, t.getMessage)), sleep = _ => ()) {
+      calls += 1; if (calls < 3) sys.error(s"boom $calls") else "ok"
+    }
+    assert(got === "ok" && calls === 3)
+    assert(seen.toSeq === Seq((1, "boom 1"), (2, "boom 2")))
+  }
+
+  test("reraise: the final failure propagates unwrapped after maxAttempts") {
+    var calls = 0
+    val e = intercept[RuntimeException] {
+      Retry(noJitter, sleep = _ => ()) { calls += 1; sys.error("always") }
+    }
+    assert(e.getMessage === "always" && calls === 3)
+  }
+
+  test("non-retryable errors rethrow immediately") {
+    var calls = 0
+    val cfg = noJitter.copy(retryOn = _.isInstanceOf[java.io.IOException])
+    intercept[IllegalArgumentException] {
+      Retry(cfg, sleep = _ => ()) {
+        calls += 1; throw new IllegalArgumentException("bad input")
+      }
+    }
+    assert(calls === 1)
+  }
+
+  test("flaky fixture source: fan-out e2e unaffected, retries recover the frame") {
+    import spark.implicits._
+    var attempts = 0
+    val flaky = new SearchService.Source {
+      def name = "stackoverflow"
+      def search(s: org.apache.spark.sql.SparkSession, q: String,
+          max: Int): org.apache.spark.sql.DataFrame = {
+        attempts += 1
+        if (attempts < 3) sys.error("HTTP 503")
+        Seq(("how to join", "Join", "stackoverflow", "https://so/1", 1))
+          .toDF("content", "title", "source_type", "source_url", "rank")
+      }
+    }
+    // jitterless, zero-delay policy keeps the spec instant
+    val wrapped = Retry.source(flaky, noJitter.copy(baseDelayMs = 0, maxDelayMs = 0))
+    val out = SearchService.fanOutSearch(spark, Seq(wrapped), "join help", 5)
+    assert(out.count() === 1 && attempts === 3)
+  }
+
+  test("flaky embedder: per-batch retry inside the executor task") {
+    val inner = new Embedder {
+      def dim = 4
+      def embed(batch: Seq[String]): Seq[Array[Float]] = {
+        // fail the FIRST call in each task deterministically via a
+        // thread-local, so retry must recover every partition
+        if (RetrySpec.firstCall.get()) { RetrySpec.firstCall.set(false); sys.error("conn reset") }
+        HashEmbedder(4).embed(batch)
+      }
+    }
+    val wrapped = Retry.embedder(inner, noJitter.copy(baseDelayMs = 0, maxDelayMs = 0))
+    import spark.implicits._
+    val df = (1 to 40).map(i => (i.toLong, s"doc $i")).toDF("id", "text")
+    val out = wrapped.embedColumn(df, "text", "emb")
+    assert(out.count() === 40)
+    val expected = HashEmbedder(4).embedColumn(df, "text", "emb")
+    assert(out.orderBy("id").collect().map(_.toSeq.toList).toSeq
+      === expected.orderBy("id").collect().map(_.toSeq.toList).toSeq)
+  }
+}
+
+object RetrySpec {
+  val firstCall: ThreadLocal[Boolean] = ThreadLocal.withInitial(() => true)
+}
