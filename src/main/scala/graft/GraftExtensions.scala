@@ -17,7 +17,15 @@ import graft.functions._
   * }}}
   *
   * SQL surface: cosine_similarity, cosine_distance, dot_product, l2_norm,
-  * simhash64, minhash_signature(arr, k), shingle_hashes(arr, n).
+  * l2_normalize, nfc_normalize, deflate_ratio, simhash64,
+  * minhash_signature(arr, k), shingle_hashes(arr, n).
+  *
+  * Also injects [[graft.plans.IvfPruneRule]]: once a session registers
+  * an IVF coarse quantizer ([[graft.plans.IvfIndex.register]]), any
+  * `ORDER BY cosine_distance(vec, query) LIMIT k` over the indexed
+  * corpus is centroid-pruned planner-side — the ivfflat-transparent
+  * behavior of the reference (`knowledge_base-RAG.sql:31-33`). No-op
+  * until a registration exists.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -31,6 +39,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(spark => new graft.plans.IvfPruneRule(spark))
+
     ext.injectFunction((FunctionIdentifier("cosine_similarity"),
       info("cosine_similarity", "cosine_similarity(a, b) - cosine similarity of two float/double arrays"),
       (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
@@ -63,14 +73,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => DeflateRatio(args(0),
         if (args.length > 1) intArg(args(1), "deflate level") else 6)))
 
-    ext.injectFunction((FunctionIdentifier("regexp_count"),
-      info("regexp_count", "regexp_count(s, pattern) - number of regex matches (pattern must be a string literal)"),
-      (args: Seq[Expression]) => args(1) match {
-        case Literal(p: org.apache.spark.unsafe.types.UTF8String, _) =>
-          RegexpCount(args(0), p.toString)
-        case other => throw new IllegalArgumentException(
-          s"regexp_count pattern must be a string literal, got $other")
-      }))
+    // NOTE: no regexp_count injection — Spark 4.1 ships a builtin of
+    // that name with the same semantics, and shadowing it would change
+    // behavior for SQL users (the builtin accepts non-literal patterns).
+    // The codegen'd RegexpCount expression stays on the Scala path
+    // (TextFunctions.tokenCount) where the pattern is precompiled once.
 
     ext.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(tokens) - 64-bit SimHash of a string array"),

@@ -367,6 +367,26 @@ object SparkEntry {
         .orderBy(desc("sim"), asc("vec_id"))
     }),
 
+    "q95_ivf_rule_topk" -> ((s, d) => {
+      // the PLANNER-TRANSPARENT ANN path: register the coarse quantizer,
+      // then write a plain ranked-cosine top-k — IvfPruneRule inserts
+      // the centroid probe. nprobe=999 probes every cluster, so the
+      // result is exact and the DuckDB oracle can check the whole path
+      // (IvfRuleSpec gates the pruned plan shape itself).
+      val q = queryVec(s, d)
+      val emb = T.embeddings(s, d).select(col("vec_id"),
+        col("embedding").as("q95_vec"), col("label").as("q95_cluster"))
+      val cents = SimilaritySearch.centroids(emb, "q95_cluster", "q95_vec")
+      graft.plans.IvfIndex.register(s, "q95_cluster", "q95_vec", cents, nprobe = 999)
+      val sim = graft.functions.VectorFunctions.cosineSimilarity(
+        col("q95_vec"), typedlit(q))
+      emb.withColumn("dist", lit(1.0) - sim)
+        .orderBy(asc("dist"), asc("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), round(sim, 6).as("sim"))
+        .orderBy(desc("sim"), asc("vec_id"))
+    }),
+
     "q46_sample_preview" -> ((s, d) =>
       // S10: the reference's mocked query_data_source preview, real
       T.events(s, d)
@@ -1008,6 +1028,14 @@ object SparkEntry {
         |ORDER BY event_id""".stripMargin,
 
     "q45_ivf_topk" ->
+      """SELECT e.vec_id,
+        |  round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS sim
+        |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin,
+
+    // same oracle as q45: with every cluster probed the rule-driven
+    // plan must be EXACT kNN.
+    "q95_ivf_rule_topk" ->
       """SELECT e.vec_id,
         |  round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS sim
         |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q

@@ -1,0 +1,236 @@
+package graft.plans
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
+
+import graft.functions.CosineSimilarity
+
+/** Planner-transparent IVF pruning — the behavior the reference gets
+  * from pgvector's ivfflat index (`Supabase/knowledge_base-RAG.sql:
+  * 31-33,43-67`): any `ORDER BY embedding <=> query LIMIT k` uses the
+  * index without the query changing. Here the equivalent plan pattern
+  *
+  *   Limit(k, Sort(cosine_distance(vec, LITERAL) ASC, scan))
+  *   Limit(k, Sort(cosine_similarity(vec, LITERAL) DESC, scan))
+  *
+  * over a corpus bearing a REGISTERED cluster column is rewritten to
+  * probe only the `nprobe` clusters whose centroids are nearest the
+  * query — a `cluster IN (...)` filter inserted at the scan leaf, where
+  * Catalyst's own pushdown drives it into the parquet scan. Sort+Limit
+  * survive, so the physical plan stays TakeOrderedAndProject over the
+  * pruned scan: no shuffle, k-row heaps per partition.
+  *
+  * OPT-IN by [[IvfIndex.register]]: the rule needs the coarse quantizer
+  * (centroids) at plan time, so the user declares it once per session —
+  * the moral analog of `CREATE INDEX ... USING ivfflat`. The registered
+  * invariant is that every row's `clusterCol` was produced by
+  * [[graft.operators.SimilaritySearch.assignClusters]] against these
+  * centroids (rows with other cluster values would be wrongly pruned
+  * even at nprobe = all). With `nprobe >= centroid count` the rewrite
+  * is EXACT (every cluster probed — the q45 equivalence), which the
+  * plan-shape spec gates.
+  */
+object IvfIndex {
+
+  final case class Entry(
+      clusterCol: String, vecCol: String,
+      centroids: Seq[(Int, Array[Float])], nprobe: Int) {
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+  }
+
+  /** (sessionUUID, vecCol) → entry. Keyed by the vector column NAME:
+    * the rule fires only where that column feeds the ranked cosine, and
+    * a session indexes a given embedding column one way. */
+  private val registry = new ConcurrentHashMap[(String, String), Entry]()
+
+  /** The stable per-session key. `sessionUUID` is `private[sql]` at
+    * the Scala level but public in bytecode — read it reflectively;
+    * identity hash is the inert fallback for any other implementation. */
+  private[plans] def uuidOf(spark: SparkSession): String =
+    try spark.getClass.getMethod("sessionUUID").invoke(spark).asInstanceOf[String]
+    catch { case _: ReflectiveOperationException =>
+      "idhash-" + System.identityHashCode(spark)
+    }
+
+  /** Declare the IVF coarse quantizer for `vecCol`/`clusterCol` in this
+    * session. `cents` is a (cluster, centroid) frame as produced by
+    * [[graft.operators.SimilaritySearch.kmeansCentroids]] or
+    * [[graft.operators.SimilaritySearch.centroids]]; it is collected
+    * here (the coarse quantizer is small by design). */
+  def register(
+      spark: SparkSession, clusterCol: String, vecCol: String,
+      cents: org.apache.spark.sql.DataFrame, nprobe: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    val collected = cents.select(col("cluster").cast("int"), col("centroid"))
+      .collect().toSeq
+      .map(r => r.getInt(0) -> r.getSeq[Any](1).map {
+        case f: Float => f
+        case d: Double => d.toFloat
+        case other => throw new IllegalArgumentException(s"not numeric: $other")
+      }.toArray)
+    registry.put((uuidOf(spark), vecCol),
+      Entry(clusterCol, vecCol, collected, nprobe))
+  }
+
+  def unregister(spark: SparkSession, vecCol: String): Unit =
+    registry.remove((uuidOf(spark), vecCol))
+
+  private[plans] def lookup(sessionUUID: String, vecCol: String): Option[Entry] =
+    Option(registry.get((sessionUUID, vecCol)))
+
+  private[plans] def isEmpty(sessionUUID: String): Boolean =
+    !registry.keySet().stream().anyMatch(_._1 == sessionUUID)
+}
+
+/** The rewrite rule; injected by [[graft.GraftExtensions]] into the
+  * operator-optimization batch, so normal predicate pushdown and column
+  * pruning re-fire on the inserted filter. */
+class IvfPruneRule(session: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (IvfIndex.isEmpty(IvfIndex.uuidOf(session))) plan
+    else plan.transformDown {
+      case g @ GlobalLimit(IntegerLiteral(_),
+          l @ LocalLimit(IntegerLiteral(_), s: Sort)) if s.global =>
+        rewriteSort(s) match {
+          case Some(newSort) => g.copy(child = l.copy(child = newSort))
+          case None => g
+        }
+    }
+  }
+
+  /** Match the ranked-cosine sort and insert the probe filter at the
+    * scan leaf. Returns None when the pattern doesn't apply (or was
+    * already rewritten — the filter is semantically detectable, which
+    * keeps the rule idempotent under the fixed-point batch). */
+  private def rewriteSort(s: Sort): Option[Sort] = {
+    val head = s.order.headOption.getOrElse(return None)
+    val (vecAttr, query) =
+      rankedCosine(resolveAliases(head.child, s.child), head.direction)
+        .getOrElse(return None)
+    val entry = IvfIndex.lookup(IvfIndex.uuidOf(session), vecAttr.name)
+      .getOrElse(return None)
+    // exactly one leaf carries the cluster column, and the ranked
+    // vector column must come from that same leaf (untouched exprId)
+    val leaves = s.child.collectLeaves()
+      .filter(_.output.exists(_.name == entry.clusterCol))
+    if (leaves.size != 1) return None
+    val leaf = leaves.head
+    if (!leaf.output.exists(_.exprId == vecAttr.exprId)) return None
+    val clusterAttr = leaf.output.find(_.name == entry.clusterCol)
+      .getOrElse(return None)
+    val cond = inCondition(clusterAttr, probe(query, entry))
+      .getOrElse(return None)
+    if (alreadyPruned(s.child, clusterAttr)) return None
+    Some(s.copy(child = s.child.transformUp {
+      case p if p.fastEquals(leaf) => Filter(cond, p)
+    }))
+  }
+
+  /** Extract (vector attribute, query literal) from the two ranked
+    * shapes: ASC over 1.0 - cosine_similarity, DESC over
+    * cosine_similarity. The query side must be foldable (a literal or
+    * array(...) of literals); casts on either side are looked through. */
+  private def rankedCosine(
+      e: Expression, dir: SortDirection): Option[(AttributeReference, Array[Float])] = {
+    val cs = (stripCast(e), dir) match {
+      case (Subtract(DoubleLiteral(one), c: CosineSimilarity, _), Ascending)
+        if one == 1.0 => Some(c)
+      case (c: CosineSimilarity, Descending) => Some(c)
+      case _ => None
+    }
+    cs.flatMap { c =>
+      (stripCast(c.left), stripCast(c.right)) match {
+        case (a: AttributeReference, q) if q.foldable => evalVector(q).map((a, _))
+        case (q, a: AttributeReference) if q.foldable => evalVector(q).map((a, _))
+        case _ => None
+      }
+    }
+  }
+
+  private def stripCast(e: Expression): Expression = e match {
+    case c: Cast => stripCast(c.child)
+    case other => other
+  }
+
+  /** Substitute project aliases below the sort into the sort key, so
+    * `ORDER BY dist` resolves to the dist expression. */
+  private def resolveAliases(e: Expression, child: LogicalPlan): Expression = {
+    val aliases = child.collect {
+      case p: Project => p.projectList.collect {
+        case a: Alias => a.toAttribute.exprId -> a.child
+      }
+    }.flatten.toMap
+    var out = e
+    var rounds = 0
+    var changed = true
+    while (changed && rounds < 8) { // alias-of-alias chains are short
+      val next = out.transformUp {
+        case a: AttributeReference if aliases.contains(a.exprId) => aliases(a.exprId)
+      }
+      changed = !next.fastEquals(out)
+      out = next
+      rounds += 1
+    }
+    out
+  }
+
+  private def evalVector(q: Expression): Option[Array[Float]] =
+    (q.dataType, q.eval(null)) match {
+      case (ArrayType(et, _), arr: org.apache.spark.sql.catalyst.util.ArrayData) =>
+        et match {
+          case FloatType => Some(arr.toFloatArray())
+          case DoubleType => Some(arr.toDoubleArray().map(_.toFloat))
+          case _ => None
+        }
+      case _ => None
+    }
+
+  /** Driver-side coarse search: the nprobe clusters nearest the query
+    * by centroid cosine — same ranking as
+    * [[graft.operators.SimilaritySearch.ivfTopK]]'s probe frame. */
+  private def probe(query: Array[Float], entry: IvfIndex.Entry): Seq[Int] =
+    entry.centroids
+      .map { case (c, v) => (c, cosine(query, v)) }
+      .sortBy { case (c, sim) => (-sim, c) }
+      .take(entry.nprobe)
+      .map(_._1)
+      .sorted
+
+  private def cosine(a: Array[Float], b: Array[Float]): Double = {
+    if (a.length != b.length) return Double.NegativeInfinity
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+      nb += b(i).toDouble * b(i); i += 1
+    }
+    if (na == 0.0 || nb == 0.0) Double.NegativeInfinity
+    else dot / math.sqrt(na * nb)
+  }
+
+  private def inCondition(attr: Attribute, ids: Seq[Int]): Option[Expression] = {
+    def lit(i: Int, dt: DataType): Option[Expression] = dt match {
+      case IntegerType => Some(Literal(i))
+      case LongType => Some(Literal(i.toLong))
+      case _ => None
+    }
+    val lits = ids.flatMap(lit(_, attr.dataType))
+    if (lits.size == ids.size && lits.nonEmpty) Some(In(attr, lits)) else None
+  }
+
+  /** Idempotence + don't-second-guess-the-user guard: skip when ANY
+    * filter below the sort already constrains the cluster attribute.
+    * (Matching our own In literally would loop: the fixed-point batch's
+    * OptimizeIn may rewrite it to InSet between iterations.) */
+  private def alreadyPruned(plan: LogicalPlan, clusterAttr: Attribute): Boolean =
+    plan.exists {
+      case Filter(c, _) => c.references.exists(_.exprId == clusterAttr.exprId)
+      case _ => false
+    }
+}

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{In, InSet}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+import org.apache.spark.sql.functions._
+
+import graft.operators.SimilaritySearch
+import graft.plans.IvfIndex
+
+/** Planner-transparent IVF pruning (GraftExtensions' optimizer rule):
+  * `ORDER BY cosine_distance(vec, q) LIMIT k` over a registered corpus
+  * must centroid-prune the scan — without the query changing.
+  *
+  * Column names are spec-private (`ivf_vec`/`ivf_cluster`): the session
+  * is shared across suites, and the registry keys on the vector column
+  * name. */
+class IvfRuleSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val tmp = java.nio.file.Files
+    .createTempDirectory("ivf_rule_spec").toString
+
+  /** Clustered corpus persisted as parquet (so pushdown is observable),
+    * plus its centroids and a query vector. */
+  private lazy val (corpusPath, cents, query) = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").as("ivf_vec"))
+    val c = SimilaritySearch.kmeansCentroids(emb, "vec_id", "ivf_vec", k = 4, iters = 2)
+    val assigned = SimilaritySearch.assignClusters(emb, "ivf_vec", c)
+      .withColumnRenamed("cluster", "ivf_cluster")
+    val path = s"$tmp/corpus"
+    assigned.write.mode("overwrite").parquet(path)
+    val q = emb.orderBy("vec_id").limit(1).head().getSeq[Float](1).toArray
+    (path, c, q)
+  }
+
+  private def corpus: DataFrame = spark.read.parquet(corpusPath)
+
+  private def sqlTopK(k: Int): DataFrame = {
+    corpus.createOrReplaceTempView("ivf_corpus")
+    val arr = query.map(v => s"CAST($v AS FLOAT)").mkString("array(", ", ", ")")
+    spark.sql(
+      s"""SELECT vec_id, cosine_distance(ivf_vec, $arr) AS dist
+         |FROM ivf_corpus ORDER BY dist ASC, vec_id ASC LIMIT $k""".stripMargin)
+  }
+
+  private def clusterFilters(df: DataFrame): Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+    df.queryExecution.optimizedPlan.collect {
+      case LFilter(cond, _) if cond.references.exists(_.name == "ivf_cluster") => cond
+    }
+
+  private def withIndex[A](nprobe: Int)(body: => A): A = {
+    IvfIndex.register(spark, "ivf_cluster", "ivf_vec", cents, nprobe)
+    try body finally IvfIndex.unregister(spark, "ivf_vec")
+  }
+
+  test("no registration: SQL top-k plans unpruned (opt-in is real)") {
+    assert(clusterFilters(sqlTopK(5)).isEmpty)
+  }
+
+  test("registered: SQL top-k gets a cluster IN filter pushed to the scan, stays TakeOrdered") {
+    withIndex(nprobe = 2) {
+      val df = sqlTopK(5)
+      val filters = clusterFilters(df)
+      assert(filters.nonEmpty, "expected a planner-inserted cluster filter")
+      assert(filters.exists(_.exists(e =>
+          e.isInstanceOf[In] || e.isInstanceOf[InSet])),
+        s"expected IN/INSET over ivf_cluster, got: $filters")
+      val plan = graft.util.Plans.executedNodes(df)
+      assert(plan.exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+        "pruned top-k must keep per-partition heaps")
+      val scan = plan.collect { case f: FileSourceScanExec => f }.head
+      assert(scan.dataFilters.exists(_.references.exists(_.name == "ivf_cluster")),
+        s"cluster probe not pushed to the scan: ${scan.dataFilters}")
+
+      // every returned row really is in one of the 2 probed clusters
+      val probed = cents
+        .withColumn("__s", graft.functions.VectorFunctions
+          .cosineSimilarity(col("centroid"), typedlit(query)))
+        .orderBy(desc("__s")).limit(2)
+        .select("cluster").collect().map(_.getInt(0)).toSet
+      val got = df.join(corpus, "vec_id").select("ivf_cluster")
+        .collect().map(_.getInt(0)).toSet
+      assert(got.subsetOf(probed), s"rows outside probed clusters: $got vs $probed")
+    }
+  }
+
+  test("nprobe >= cluster count is EXACT: same rows as the unregistered query") {
+    val exact = sqlTopK(10).collect().toSeq
+    val viaIndex = withIndex(nprobe = 99)(sqlTopK(10).collect().toSeq)
+    assert(viaIndex === exact)
+  }
+
+  test("DataFrame-API ranked cosine is pruned too; user cluster filters are respected") {
+    withIndex(nprobe = 1) {
+      val dist = lit(1.0) - graft.functions.VectorFunctions
+        .cosineSimilarity(col("ivf_vec"), typedlit(query))
+      val df = corpus.orderBy(dist.asc, col("vec_id").asc).limit(3)
+      assert(clusterFilters(df).nonEmpty, "DataFrame path should prune")
+
+      // a pre-existing filter on the cluster column disables the rewrite
+      val manual = corpus.filter(col("ivf_cluster") === 0)
+        .orderBy(dist.asc).limit(3)
+      val conds = clusterFilters(manual)
+      assert(!conds.exists(_.exists(e => e.isInstanceOf[In] || e.isInstanceOf[InSet])),
+        s"rule must not stack onto a user cluster filter: $conds")
+    }
+  }
+}
