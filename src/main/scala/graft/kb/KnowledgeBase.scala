@@ -57,6 +57,26 @@ object KnowledgeBase {
     Dedup.upsertByKey(ex, in, "content_hash")
   }
 
+  /** The storage-backed form of [[upsertDocuments]]: commit the batch
+    * into a [[graft.sources.MergeTable]] at `path`, rewriting only the
+    * parquet files whose content_hash ranges are hit — the continuous
+    * `ON CONFLICT (content_hash) DO UPDATE` ingest loop
+    * (`vector_service.py:119-125`) without a full-table rewrite per
+    * batch. Initializes the table on first use. Incoming batches must
+    * be unique per content hash (duplicate contents in one batch: pick
+    * a winner upstream, e.g. Dedup.firstWins). */
+  def upsertDocumentsToTable(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      incoming: DataFrame, contentCol: String = "content"): Unit = {
+    import graft.sources.MergeTable
+    val in = incoming.withColumn("content_hash", sha2(col(contentCol), 256))
+    val exists =
+      try { MergeTable.snapshot(spark, path); true }
+      catch { case _: IllegalArgumentException => false }
+    if (!exists) MergeTable.init(spark, path, in)
+    else MergeTable.merge(spark, path, in, Seq("content_hash"))
+  }
+
   /** The expiry predicate (`expires_at IS NOT NULL AND expires_at <
     * now`) — shared by the sweep and by callers that count expirations. */
   def expired(now: Column, expiresCol: String = "expires_at"): Column =

@@ -1,0 +1,227 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileAlreadyExistsException, FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-level keyed MERGE over versioned parquet — the storage half of
+  * the reference's continuous `ON CONFLICT (content_hash) DO UPDATE`
+  * upsert loop (`backend/services/vector_service.py:119-125`, Supabase
+  * `knowledge_base-RAG.sql` unique keys). The DataFrame-level upsert
+  * ([[graft.operators.Dedup.upsert]]) answers "what are the merged
+  * rows"; this answers "how does a 100 TB table absorb them without a
+  * full rewrite":
+  *
+  *  - a table is `path/data/...parquet` plus `path/_manifests/v<N>`,
+  *    each manifest the closed list of data files in that version —
+  *    readers resolve the latest manifest and see ONE version, never a
+  *    half-written directory;
+  *  - `merge` rewrites ONLY the files that contain a matched key
+  *    (discovered with a key-range pushdown + semi-join on
+  *    `input_file_name`); untouched files are carried into the next
+  *    manifest by reference, never copied;
+  *  - commits are optimistic: the next manifest is created
+  *    exclusively (atomic on HDFS-like filesystems); losing a race
+  *    throws [[MergeTable.CommitConflict]] after re-trying the whole
+  *    merge against the new snapshot, mirroring Delta/Iceberg OCC;
+  *  - failed attempts leave only unreferenced data files — [[vacuum]]
+  *    deletes whatever the latest manifest doesn't claim.
+  *
+  * Scale notes: touched-file discovery scans only the key column, and
+  * when the table was [[compactTable]]'d (files range-sorted on the
+  * key) the min/max pre-filter prunes most files at the parquet-footer
+  * level before the semi-join. The rewrite cost is proportional to the
+  * files actually hit — the point of keyed storage MERGE.
+  */
+object MergeTable {
+
+  final case class Snapshot(version: Long, files: Seq[String])
+
+  final case class MergeStats(
+      version: Long, filesKept: Long, filesRewritten: Long, rowsUpserted: Long)
+
+  /** Thrown when `maxRetries` optimistic commits in a row lost the
+    * race to a concurrent writer. */
+  final class CommitConflict(msg: String) extends RuntimeException(msg)
+
+  private def fsOf(spark: SparkSession, path: String): (FileSystem, Path) = {
+    val p = new Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def manifestDir(root: Path) = new Path(root, "_manifests")
+  private def manifestPath(root: Path, v: Long) =
+    new Path(manifestDir(root), f"v$v%020d")
+
+  /** Scheme-free absolute path — `input_file_name()` and `listStatus`
+    * render the same file with different authorities (`file:/` vs
+    * `file:///`), so comparisons use the bare path. */
+  private def normalize(s: String): String = new Path(s).toUri.getPath
+
+  /** Create the table at `path` from `df` (version 1). Fails if a
+    * manifest already exists. */
+  def init(spark: SparkSession, path: String, df: DataFrame): Snapshot = {
+    val (fs, root) = fsOf(spark, path)
+    require(latestVersion(fs, root).isEmpty, s"merge table already exists at $path")
+    val files = writeBatch(spark, fs, root, df)
+    commit(fs, root, 1L, files)
+    Snapshot(1L, files)
+  }
+
+  /** The table as of its latest committed version. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val snap = snapshot(spark, path)
+    spark.read.parquet(snap.files: _*)
+  }
+
+  def snapshot(spark: SparkSession, path: String): Snapshot = {
+    val (fs, root) = fsOf(spark, path)
+    val v = latestVersion(fs, root).getOrElse(
+      throw new IllegalArgumentException(s"no merge table at $path"))
+    val in = fs.open(manifestPath(root, v))
+    val files =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    Snapshot(v, files)
+  }
+
+  /** Upsert `updates` by `keyCols` (last state wins per key, like the
+    * reference's DO UPDATE): matched keys are replaced, new keys are
+    * inserted, and only the parquet files containing a matched key are
+    * rewritten. `updates` must be unique per key — the same contract
+    * Delta's MERGE enforces. */
+  def merge(
+      spark: SparkSession, path: String, updates: DataFrame,
+      keyCols: Seq[String], maxRetries: Int = 5): MergeStats = {
+    require(keyCols.nonEmpty, "keyCols must name at least one column")
+    val u = updates.localCheckpoint(true) // one computation across retries
+    try {
+      val nU = u.count()
+      require(nU == u.dropDuplicates(keyCols).count(),
+        s"updates must be unique on ${keyCols.mkString(",")}")
+      var attempt = 0
+      while (attempt < maxRetries) {
+        attempt += 1
+        try return mergeOnce(spark, path, u, keyCols, nU)
+        catch {
+          case _: FileAlreadyExistsException => // lost the race: re-snapshot
+        }
+      }
+      throw new CommitConflict(
+        s"merge at $path lost $maxRetries optimistic commits in a row")
+    } finally graft.util.Checkpoints.free(u)
+  }
+
+  private def mergeOnce(
+      spark: SparkSession, path: String, u: DataFrame,
+      keyCols: Seq[String], nU: Long): MergeStats = {
+    val (fs, root) = fsOf(spark, path)
+    val snap = snapshot(spark, path)
+    val cols = spark.read.parquet(snap.files.head).columns.toSeq
+    require(keyCols.forall(u.columns.contains) && keyCols.forall(cols.contains),
+      s"key ${keyCols.mkString(",")} missing from updates or table")
+
+    val touched: Set[String] =
+      if (nU == 0) Set.empty
+      else {
+        val keyed = spark.read.parquet(snap.files: _*)
+          .select(keyCols.map(col) :+ input_file_name().as("__file"): _*)
+        // single-key fast path: [min,max] of the update keys is pushed
+        // into the parquet scan, pruning range-sorted files wholesale
+        val ranged =
+          if (keyCols.size == 1) {
+            val k = keyCols.head
+            val r = u.agg(min(col(k)).as("lo"), max(col(k)).as("hi")).head()
+            if (r.isNullAt(0)) keyed
+            else keyed.filter(col(k) >= lit(r.get(0)) && col(k) <= lit(r.get(1)))
+          } else keyed
+        ranged.join(broadcast(u.select(keyCols.map(col): _*).distinct()),
+            keyCols, "left_semi")
+          .select(col("__file")).distinct()
+          .collect().map(r => normalize(r.getString(0))).toSet
+      }
+
+    val (hit, kept) = snap.files.partition(f => touched.contains(normalize(f)))
+    val replaced =
+      if (hit.isEmpty && nU == 0) return MergeStats(snap.version, kept.size, 0, 0)
+      else if (hit.isEmpty) u.select(cols.map(col): _*)
+      else spark.read.parquet(hit: _*)
+        .join(broadcast(u.select(keyCols.map(col): _*).distinct()),
+          keyCols, "left_anti")
+        .select(cols.map(col): _*)
+        .unionByName(u.select(cols.map(col): _*))
+    val newFiles = writeBatch(spark, fs, root, replaced)
+    commit(fs, root, snap.version + 1, kept ++ newFiles) // throws on race
+    MergeStats(snap.version + 1, kept.size, newFiles.size, nU)
+  }
+
+  /** Rewrite the whole table into `numFiles` range-sorted files — the
+    * [[Catalog.compact]] maintenance pass, expressed as a committed
+    * version so readers never see the half-compacted state. */
+  def compactTable(
+      spark: SparkSession, path: String, sortCol: String,
+      numFiles: Int): Snapshot = {
+    val (fs, root) = fsOf(spark, path)
+    val snap = snapshot(spark, path)
+    val sorted = spark.read.parquet(snap.files: _*)
+      .repartitionByRange(numFiles, col(sortCol))
+      .sortWithinPartitions(col(sortCol))
+    val files = writeBatch(spark, fs, root, sorted)
+    commit(fs, root, snap.version + 1, files)
+    Snapshot(snap.version + 1, files)
+  }
+
+  /** Delete data files no manifest-latest version references (orphans
+    * from failed/superseded commits). Returns the number removed. */
+  def vacuum(spark: SparkSession, path: String): Int = {
+    val (fs, root) = fsOf(spark, path)
+    val live = snapshot(spark, path).files.map(normalize).toSet
+    val dataDir = new Path(root, "data")
+    if (!fs.exists(dataDir)) return 0
+    val all = fs.listStatus(dataDir).filter(_.isDirectory).flatMap(d =>
+      fs.listStatus(d.getPath).filter(_.isFile))
+      .map(_.getPath).filter(p => p.getName.startsWith("part-"))
+    val dead = all.filterNot(p => live.contains(normalize(p.toString)))
+    dead.foreach(p => fs.delete(p, false))
+    // drop now-empty batch dirs
+    fs.listStatus(dataDir).filter(_.isDirectory)
+      .filter(d => fs.listStatus(d.getPath).isEmpty)
+      .foreach(d => fs.delete(d.getPath, false))
+    dead.length
+  }
+
+  private def latestVersion(fs: FileSystem, root: Path): Option[Long] = {
+    val dir = manifestDir(root)
+    if (!fs.exists(dir)) None
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.startsWith("v")).map(_.drop(1).toLong)
+      .reduceOption(_ max _)
+  }
+
+  /** One write = one batch directory; the manifest references its
+    * part files individually. */
+  private def writeBatch(
+      spark: SparkSession, fs: FileSystem, root: Path,
+      df: DataFrame): Seq[String] = {
+    val batch = new Path(new Path(root, "data"),
+      "batch-" + java.util.UUID.randomUUID().toString)
+    df.write.mode("errorifexists").parquet(batch.toString)
+    fs.listStatus(batch).map(_.getPath)
+      .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      .map(_.toUri.toString).toSeq.sorted
+  }
+
+  /** Exclusive-create commit: atomic on HDFS-like filesystems (the OCC
+    * primitive); on the local filesystem the existence check has a
+    * negligible race window — production deployments point this at a
+    * real cluster FS. */
+  private def commit(
+      fs: FileSystem, root: Path, version: Long, files: Seq[String]): Unit = {
+    fs.mkdirs(manifestDir(root))
+    val target = manifestPath(root, version)
+    if (fs.exists(target)) throw new FileAlreadyExistsException(target.toString)
+    val out = fs.create(target, false) // throws FileAlreadyExists on race
+    try out.write((files.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+}

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.MergeTable
+
+/** Storage-level keyed MERGE: versioned manifests, touched-file-only
+  * rewrites, OCC commits, vacuum — the `ON CONFLICT DO UPDATE` loop at
+  * the file layer (`vector_service.py:119-125`). */
+class MergeTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshPath(): String =
+    java.nio.file.Files.createTempDirectory("merge_table").toString + "/t"
+
+  private def rows(ids: Range, tag: String) =
+    ids.map(i => (i.toLong, tag, s"payload $i")).toDF("id", "tag", "body")
+
+  test("init + read roundtrip at version 1; double init rejected") {
+    val path = freshPath()
+    val snap = MergeTable.init(spark, path, rows(1 to 50, "a"))
+    assert(snap.version === 1L && snap.files.nonEmpty)
+    assert(MergeTable.read(spark, path).count() === 50)
+    intercept[IllegalArgumentException] {
+      MergeTable.init(spark, path, rows(1 to 3, "x"))
+    }
+  }
+
+  test("merge replaces matched keys, inserts new ones; result = anti-join ∪ updates") {
+    val path = freshPath()
+    MergeTable.init(spark, path, rows(1 to 100, "old"))
+    val updates = rows(90 to 110, "new") // 11 replacements + 10 inserts
+    val stats = MergeTable.merge(spark, path, updates, Seq("id"))
+    assert(stats.version === 2L && stats.rowsUpserted === 21L)
+    val got = MergeTable.read(spark, path)
+    assert(got.count() === 110)
+    assert(got.filter($"tag" === "new").count() === 21)
+    assert(got.filter($"id" === 95L).select("tag").head().getString(0) === "new")
+    assert(got.filter($"id" === 5L).select("tag").head().getString(0) === "old")
+    // equivalent to the DataFrame-level upsert on the same inputs
+    val expected = rows(1 to 100, "old").join(updates, Seq("id"), "left_anti")
+      .unionByName(updates)
+    assert(got.orderBy("id").collect().toSeq ===
+      expected.orderBy("id").collect().toSeq)
+  }
+
+  test("only files containing matched keys are rewritten; kept files carried by reference") {
+    val path = freshPath()
+    MergeTable.init(spark, path, rows(1 to 1000, "old"))
+    // range-sort into 8 disjoint-key files so a narrow update is localized
+    val compacted = MergeTable.compactTable(spark, path, "id", numFiles = 8)
+    assert(compacted.files.size === 8)
+    val stats = MergeTable.merge(spark, path, rows(10 to 20, "new"), Seq("id"))
+    assert(stats.filesRewritten >= 1 && stats.filesKept >= 6,
+      s"narrow update should keep most files: $stats")
+    val after = MergeTable.snapshot(spark, path)
+    assert((compacted.files.toSet intersect after.files.toSet).size
+      === stats.filesKept.toInt, "kept files must be the SAME paths, not copies")
+    assert(MergeTable.read(spark, path).filter($"tag" === "new").count() === 11)
+  }
+
+  test("non-unique updates are rejected; empty updates are a cheap no-op commit") {
+    val path = freshPath()
+    MergeTable.init(spark, path, rows(1 to 10, "a"))
+    intercept[IllegalArgumentException] {
+      MergeTable.merge(spark, path,
+        rows(1 to 3, "x").unionAll(rows(3 to 3, "y")), Seq("id"))
+    }
+    val before = MergeTable.snapshot(spark, path)
+    val stats = MergeTable.merge(spark, path, rows(1 to 0, "x"), Seq("id"))
+    assert(stats.filesRewritten === 0L)
+    assert(MergeTable.snapshot(spark, path).version === before.version)
+  }
+
+  test("vacuum deletes data files the latest manifest no longer references") {
+    val path = freshPath()
+    MergeTable.init(spark, path, rows(1 to 200, "a"))
+    MergeTable.merge(spark, path, rows(50 to 60, "b"), Seq("id"))
+    MergeTable.compactTable(spark, path, "id", numFiles = 2) // orphans everything prior
+    val removed = MergeTable.vacuum(spark, path)
+    assert(removed > 0, "compaction should have orphaned the old files")
+    val got = MergeTable.read(spark, path)
+    assert(got.count() === 200)
+    assert(got.filter($"tag" === "b").count() === 11)
+    assert(MergeTable.vacuum(spark, path) === 0) // idempotent
+  }
+
+  test("knowledge-base ingest loop: content-hash upsert commits versions, dedupes by content") {
+    val path = freshPath()
+    def docs(xs: Seq[(String, String)]) = xs.toDF("content", "source_type")
+    graft.kb.KnowledgeBase.upsertDocumentsToTable(spark, path,
+      docs(Seq(("how to join", "so"), ("how to agg", "so"))))
+    // re-ingest one identical content (new source) + one new doc
+    graft.kb.KnowledgeBase.upsertDocumentsToTable(spark, path,
+      docs(Seq(("how to join", "gh"), ("how to stream", "docs"))))
+    val got = MergeTable.read(spark, path)
+    assert(got.count() === 3) // same content upserted, not duplicated
+    assert(got.filter($"content" === "how to join")
+      .select("source_type").head().getString(0) === "gh") // incoming wins
+    assert(MergeTable.snapshot(spark, path).version === 2L)
+  }
+
+  test("versions are linear across operations") {
+    val path = freshPath()
+    MergeTable.init(spark, path, rows(1 to 10, "a"))
+    MergeTable.merge(spark, path, rows(5 to 6, "b"), Seq("id"))
+    MergeTable.merge(spark, path, rows(11 to 12, "c"), Seq("id"))
+    val s = MergeTable.compactTable(spark, path, "id", 1)
+    assert(s.version === 4L)
+    assert(MergeTable.read(spark, path).count() === 12)
+  }
+}
