@@ -105,6 +105,12 @@ final case class Corpus(df: DataFrame, idCol: String, textCol: String) {
     next(Packing.assignPacks(withTokens, idCol, "n_tokens", seqLen, shards))
   }
 
+  /** Cross-document boilerplate line removal: strip lines whose trimmed
+    * form appears in at least `minDocs` distinct docs
+    * ([[graft.operators.Curation.stripBoilerplateLines]]). */
+  def stripBoilerplate(minDocs: Long): Corpus =
+    next(Curation.stripBoilerplateLines(df, idCol, textCol, minDocs))
+
   /** Canonicalize a URL column in place (fragment/tracking-param strip,
     * [[graft.functions.TextFunctions.canonicalizeUrl]]) — run before
     * URL-keyed dedup so crawl variants of one page share a key. */

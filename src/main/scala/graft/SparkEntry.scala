@@ -743,6 +743,18 @@ object SparkEntry {
         .orderBy(col("shard"), col("pack_id"))
     }),
 
+    "q96_boilerplate_strip" -> ((s, d) => {
+      // cross-doc line dedup (CCNet/RefinedWeb boilerplate removal):
+      // synthesize multi-line docs with shared footers, strip every
+      // line appearing in >= 50 distinct docs, preserve line order
+      val base = T.documents(s, d).select(col("doc_id"),
+        concat_ws("\n", col("text"), lit("subscribe to our newsletter"),
+          when(col("lang") === "en", lit("all rights reserved"))).as("text"))
+      operators.Curation.stripBoilerplateLines(base, "doc_id", "text", minDocs = 50)
+        .select(col("doc_id"), col("text").as("clean"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q94_json_redact" -> ((s, d) => {
       // recursive JSON redaction over structured metadata: build a
       // nested payload from real columns, sanitize it, extract fields
@@ -1531,6 +1543,24 @@ object SparkEntry {
         |SELECT shard, (pack_start // 512)::BIGINT AS pack_id,
         |  count(*) AS n_docs, sum(tok)::BIGINT AS n_tokens
         |FROM c GROUP BY 1, 2 ORDER BY shard, pack_id""".stripMargin,
+
+    "q96_boilerplate_strip" ->
+      """WITH base AS (
+        |  SELECT doc_id, concat_ws(chr(10), text, 'subscribe to our newsletter',
+        |    CASE WHEN lang = 'en' THEN 'all rights reserved' END) AS text
+        |  FROM documents),
+        |arrs AS (SELECT doc_id, regexp_split_to_array(text, chr(10)) AS ls FROM base),
+        |lines AS (SELECT doc_id, i AS pos, ls[i] AS line
+        |  FROM arrs, LATERAL (SELECT unnest(generate_series(1, len(ls))) AS i)),
+        |freq AS (SELECT trim(line) AS l FROM lines WHERE trim(line) <> ''
+        |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 50),
+        |kept AS (SELECT doc_id, pos, line FROM lines
+        |  WHERE trim(line) = '' OR trim(line) NOT IN (SELECT l FROM freq)),
+        |agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean
+        |  FROM kept GROUP BY doc_id)
+        |SELECT b.doc_id, coalesce(a.clean, '') AS clean
+        |FROM base b LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // expected redaction computed straight from the base columns: the
     // api_key KEY is fully redacted, the note's synthesized email hits

@@ -102,4 +102,45 @@ object Curation {
     }
     Sampling.assignSplit(clean, idCol, cfg.trainFraction, cfg.validFraction)
   }
+
+  /** Cross-document boilerplate removal (the CCNet/RefinedWeb line-dedup
+    * step): a LINE whose trimmed form appears in at least `minDocs`
+    * DISTINCT documents is navigation/footer/licence boilerplate, not
+    * content — strip it from every document, preserving the order (and
+    * original whitespace) of the surviving lines. Blank lines are
+    * neither counted nor stripped; documents whose every line was
+    * boilerplate come back as the empty string; null text stays null.
+    *
+    * Scale shape: explode to (doc, pos, line) → one distinct+count
+    * shuffle keyed by trimmed line → anti-join exploded lines against
+    * the frequent set (AQE picks broadcast when the set is small — it
+    * usually is, boilerplate is heavy-tailed) → one groupBy-doc shuffle
+    * to reassemble. Nothing quadratic, no driver state. */
+  def stripBoilerplateLines(
+      df: DataFrame, idCol: String, textCol: String, minDocs: Long,
+      outCol: String = ""): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val out = if (outCol.nonEmpty) outCol else textCol
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+    val frequent = lines.filter(trim(col("__line")) =!= "")
+      .select(col(idCol), trim(col("__line")).as("__l"))
+      .distinct() // a doc repeating its own footer counts once
+      .groupBy(col("__l")).agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__l"))
+    val kept = lines.join(frequent,
+      trim(col("__line")) === col("__l"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          s => s.getField("__line")),
+        "\n").as("__clean"))
+    df.join(rebuilt, Seq(idCol), "left")
+      .withColumn(out,
+        when(col(textCol).isNull, lit(null).cast("string"))
+          .otherwise(coalesce(col("__clean"), lit(""))))
+      .drop("__clean")
+  }
 }

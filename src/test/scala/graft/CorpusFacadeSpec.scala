@@ -87,6 +87,17 @@ class CorpusFacadeSpec extends SparkSpec {
     assert(toNew.columns.toSeq === urls.columns.toSeq :+ "url_c")
   }
 
+  test("stripBoilerplate delegates the cross-doc line dedup") {
+    val multiline = Seq(
+      (1L, "own words one\nCOMMON FOOTER"), (2L, "own words two\nCOMMON FOOTER"),
+      (3L, "own words three\nCOMMON FOOTER")).toDF("doc_id", "text")
+    val viaFacade = Corpus(multiline, "doc_id", "text").stripBoilerplate(3).toDF
+    val direct = Curation.stripBoilerplateLines(multiline, "doc_id", "text", 3)
+    assert(viaFacade.orderBy("doc_id").collect().toSeq ===
+      direct.orderBy("doc_id").collect().toSeq)
+    assert(!viaFacade.filter($"text".contains("FOOTER")).head(1).nonEmpty)
+  }
+
   test("budgetAllocation delegates with an auto n_tokens weight") {
     val withLang = docs.withColumn("lang", when($"doc_id" <= 2, "en").otherwise("de"))
     val viaFacade = Corpus(withLang, "doc_id", "text")

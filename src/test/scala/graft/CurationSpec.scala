@@ -82,4 +82,36 @@ class CurationSpec extends SparkSpec {
     // all survivors come from the low-id (first-wins) range
     assert(got.filter($"doc_id" > 1000L).count() === 0)
   }
+
+  test("stripBoilerplateLines: frequent lines removed, order and blanks kept, nulls preserved") {
+    val docs = Seq(
+      (1L, "unique alpha\nFOOTER\n\n  indented body  \nFOOTER"),
+      (2L, "FOOTER\nunique beta"),
+      (3L, " FOOTER \nunique gamma"), // trimmed match still counts/strips
+      (4L, "FOOTER"),                 // all-boilerplate doc → empty
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = Curation.stripBoilerplateLines(docs, "doc_id", "text", minDocs = 3)
+      .orderBy("doc_id").select("text").as[String].collect().toSeq
+    assert(got === Seq(
+      "unique alpha\n\n  indented body  ", // FOOTER gone, blank + padding kept
+      "unique beta",
+      "unique gamma",
+      "",
+      null))
+    // outCol variant leaves the original column untouched
+    val two = Curation.stripBoilerplateLines(docs, "doc_id", "text", 3, outCol = "clean")
+    assert(two.columns.toSeq === Seq("doc_id", "text", "clean"))
+    assert(two.filter($"doc_id" === 1L).select("text").head().getString(0)
+      .contains("FOOTER"))
+  }
+
+  test("stripBoilerplateLines: below-threshold lines survive") {
+    val docs = Seq(
+      (1L, "shared twice\na"), (2L, "shared twice\nb"), (3L, "solo\nc")
+    ).toDF("doc_id", "text")
+    val got = Curation.stripBoilerplateLines(docs, "doc_id", "text", minDocs = 3)
+      .orderBy("doc_id").select("text").as[String].collect().toSeq
+    assert(got === Seq("shared twice\na", "shared twice\nb", "solo\nc"))
+  }
 }
