@@ -111,6 +111,13 @@ final case class Corpus(df: DataFrame, idCol: String, textCol: String) {
   def stripBoilerplate(minDocs: Long): Corpus =
     next(Curation.stripBoilerplateLines(df, idCol, textCol, minDocs))
 
+  /** Terminal: explode into sliding-window token chunks for embedding/
+    * RAG prep ([[graft.operators.Curation.chunkByTokens]]) — returns
+    * the (id, chunk_idx, chunk) table, not a Corpus (granularity
+    * changed). */
+  def chunk(chunkSize: Int, overlap: Int = 0): DataFrame =
+    Curation.chunkByTokens(df, idCol, textCol, chunkSize, overlap)
+
   /** Canonicalize a URL column in place (fragment/tracking-param strip,
     * [[graft.functions.TextFunctions.canonicalizeUrl]]) — run before
     * URL-keyed dedup so crawl variants of one page share a key. */

@@ -755,6 +755,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q97_chunking" -> ((s, d) =>
+      // sliding-window token chunks (RAG/embedding prep): 32-token
+      // windows advancing by 24, last window short, blank docs dropped
+      operators.Curation.chunkByTokens(
+          T.documents(s, d).select(col("doc_id"), col("text")),
+          "doc_id", "text", chunkSize = 32, overlap = 8)
+        // posexplode's index is Int; the oracle's generate_series is BIGINT
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          col("chunk"))
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
     "q94_json_redact" -> ((s, d) => {
       // recursive JSON redaction over structured metadata: build a
       // nested payload from real columns, sanitize it, extract fields
@@ -1543,6 +1554,19 @@ object SparkEntry {
         |SELECT shard, (pack_start // 512)::BIGINT AS pack_id,
         |  count(*) AS n_docs, sum(tok)::BIGINT AS n_tokens
         |FROM c GROUP BY 1, 2 ORDER BY shard, pack_id""".stripMargin,
+
+    "q97_chunking" ->
+      """WITH arrs AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws,
+        |    greatest(1, (len(regexp_split_to_array(trim(text), '\s+'))
+        |      - 32 + 2 * 24 - 1) // 24) AS k
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        |c AS (
+        |  SELECT doc_id, i AS chunk_idx,
+        |    array_to_string(ws[i*24+1 : i*24+32], ' ') AS chunk
+        |  FROM arrs, LATERAL (SELECT unnest(generate_series(0, k-1)) AS i))
+        |SELECT doc_id, chunk_idx, chunk FROM c
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q96_boilerplate_strip" ->
       """WITH base AS (

@@ -103,6 +103,39 @@ object Curation {
     Sampling.assignSplit(clean, idCol, cfg.trainFraction, cfg.validFraction)
   }
 
+  /** Sliding-window token chunking — the RAG/embedding-prep step that
+    * turns long documents into bounded, overlapping pieces: whitespace
+    * words in windows of `size` tokens advancing by `size - overlap`,
+    * the last window allowed to run short. Each document yields
+    * `max(1, ceil((n - size) / step) + 1)` chunks; whitespace inside a
+    * chunk is normalized to single spaces (the window is rebuilt from
+    * the token array). Null/blank docs yield NO rows — a chunk table is
+    * an embedding work queue, and there is nothing to embed.
+    *
+    * Purely per-row (split + sequence + explode, no shuffle, no UDF):
+    * at 100 TB this is a narrow codegen pass whose output partitioning
+    * follows the input's. */
+  def chunkByTokens(
+      df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize >= 1, s"chunkSize must be >= 1, got $chunkSize")
+    require(overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize, got overlap=$overlap chunkSize=$chunkSize")
+    val step = chunkSize - overlap
+    val words = split(trim(col(textCol)), "\\s+")
+    // k = max(1, ceil((n - chunkSize) / step) + 1), spelled as a floor
+    // of the shifted numerator; exact in double far past any real doc
+    val nChunks = greatest(lit(1),
+      floor((size(words) - lit(chunkSize) + lit(2 * step - 1)) / lit(step))
+        .cast("int"))
+    df.filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(col(idCol), words.as("__ws"), nChunks.as("__k"))
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), col("__k") - 1),
+          i => array_join(slice(col("__ws"), i * step + 1, lit(chunkSize)), " ")))
+          .as(Seq("chunk_idx", "chunk")))
+  }
+
   /** Cross-document boilerplate removal (the CCNet/RefinedWeb line-dedup
     * step): a LINE whose trimmed form appears in at least `minDocs`
     * DISTINCT documents is navigation/footer/licence boilerplate, not

@@ -98,6 +98,13 @@ class CorpusFacadeSpec extends SparkSpec {
     assert(!viaFacade.filter($"text".contains("FOOTER")).head(1).nonEmpty)
   }
 
+  test("chunk delegates sliding-window token chunking") {
+    val viaFacade = Corpus(docs, "doc_id", "text").chunk(chunkSize = 5, overlap = 2)
+    val direct = Curation.chunkByTokens(docs, "doc_id", "text", 5, 2)
+    assert(viaFacade.orderBy("doc_id", "chunk_idx").collect().toSeq ===
+      direct.orderBy("doc_id", "chunk_idx").collect().toSeq)
+  }
+
   test("budgetAllocation delegates with an auto n_tokens weight") {
     val withLang = docs.withColumn("lang", when($"doc_id" <= 2, "en").otherwise("de"))
     val viaFacade = Corpus(withLang, "doc_id", "text")

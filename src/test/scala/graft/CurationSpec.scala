@@ -106,6 +106,29 @@ class CurationSpec extends SparkSpec {
       .contains("FOOTER"))
   }
 
+  test("chunkByTokens: sliding windows with overlap, short tail, blank/null dropped") {
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (2L, "a  b"),          // whitespace normalized inside the chunk
+      (3L, null.asInstanceOf[String]),
+      (4L, "   ")
+    ).toDF("doc_id", "text")
+    val got = Curation.chunkByTokens(docs, "doc_id", "text", chunkSize = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_idx")
+      .as[(Long, Int, String)].collect().toSeq
+    assert(got === Seq(
+      (1L, 0, "w1 w2 w3 w4"), (1L, 1, "w4 w5 w6 w7"), (1L, 2, "w7 w8 w9 w10"),
+      (2L, 0, "a b")))
+    // zero overlap tiles exactly; every token appears exactly once
+    val tiled = Curation.chunkByTokens(docs.filter($"doc_id" === 1L),
+        "doc_id", "text", chunkSize = 5, overlap = 0)
+      .agg(sum(size(split($"chunk", " ")))).head().getLong(0)
+    assert(tiled === 10L)
+    intercept[IllegalArgumentException] {
+      Curation.chunkByTokens(docs, "doc_id", "text", chunkSize = 4, overlap = 4)
+    }
+  }
+
   test("stripBoilerplateLines: below-threshold lines survive") {
     val docs = Seq(
       (1L, "shared twice\na"), (2L, "shared twice\nb"), (3L, "solo\nc")
