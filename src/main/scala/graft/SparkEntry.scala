@@ -766,6 +766,14 @@ object SparkEntry {
           col("chunk"))
         .orderBy(col("doc_id"), col("chunk_idx"))),
 
+    "q98_line_dedup" -> ((s, d) =>
+      // within-doc line dedup: synthesize docs whose text repeats, keep
+      // first occurrences (original whitespace), blanks survive
+      T.documents(s, d).select(col("doc_id"),
+          TF.dedupLines(concat_ws("\n",
+            col("text"), col("text"), lit("tail line"), col("text"))).as("clean"))
+        .orderBy(col("doc_id"))),
+
     "q94_json_redact" -> ((s, d) => {
       // recursive JSON redaction over structured metadata: build a
       // nested payload from real columns, sanitize it, extract fields
@@ -1554,6 +1562,18 @@ object SparkEntry {
         |SELECT shard, (pack_start // 512)::BIGINT AS pack_id,
         |  count(*) AS n_docs, sum(tok)::BIGINT AS n_tokens
         |FROM c GROUP BY 1, 2 ORDER BY shard, pack_id""".stripMargin,
+
+    "q98_line_dedup" ->
+      """WITH base AS (SELECT doc_id,
+        |    concat_ws(chr(10), text, text, 'tail line', text) AS text
+        |  FROM documents),
+        |a AS (SELECT doc_id, regexp_split_to_array(text, chr(10)) AS ls,
+        |    list_transform(regexp_split_to_array(text, chr(10)), x -> trim(x)) AS trs
+        |  FROM base)
+        |SELECT doc_id, array_to_string(
+        |  list_filter(ls, (x, i) -> trim(x) = '' OR list_position(trs, trim(x)) = i),
+        |  chr(10)) AS clean
+        |FROM a ORDER BY doc_id""".stripMargin,
 
     "q97_chunking" ->
       """WITH arrs AS (

@@ -297,6 +297,23 @@ object TextFunctions {
           i => lc.substr(i, lit(n))))
     }
 
+  /** Within-document line dedup (the Gopher "remove duplicated lines"
+    * signal as a TRANSFORM): keep the first occurrence of each trimmed
+    * line, drop later repeats; blank lines always survive (they are
+    * formatting, not content). Purely per-row — no shuffle; the first
+    * occurrence keeps its ORIGINAL whitespace. O(lines²) per document
+    * via first-position lookup, bounded by document size. */
+  def dedupLines(c: Column): Column =
+    bindOnce(split(c, "\n")) { ls =>
+      bindOnce(transform(ls, l => trim(l))) { trs =>
+        array_join(
+          filter(ls, (x, i) =>
+            trim(x) === "" ||
+              array_position(trs, trim(x)) === (i + lit(1)).cast("long")),
+          "\n")
+      }
+    }
+
   private val EnStopwords = Seq("the", "a", "an", "of", "and", "to", "in",
     "is", "it", "that", "for", "on", "with", "as", "at", "by", "this")
 

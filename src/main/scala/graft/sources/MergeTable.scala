@@ -155,6 +155,39 @@ object MergeTable {
     MergeStats(snap.version + 1, kept.size, newFiles.size, nU)
   }
 
+  /** Row-level DELETE: rewrite only the files that contain a row
+    * matching `cond`, keeping their non-matching rows — the reference's
+    * TTL sweep (`DELETE WHERE expires_at < now`,
+    * `vector_service.py` cleanup loop) at the storage layer. The
+    * predicate is pushed into the discovery scan, so with range-sorted
+    * files most are never opened. Commits optimistically like [[merge]]. */
+  def deleteWhere(
+      spark: SparkSession, path: String,
+      cond: org.apache.spark.sql.Column, maxRetries: Int = 5): MergeStats = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      attempt += 1
+      try {
+        val (fs, root) = fsOf(spark, path)
+        val snap = snapshot(spark, path)
+        val touched = spark.read.parquet(snap.files: _*)
+          .filter(cond)
+          .select(input_file_name().as("__file")).distinct()
+          .collect().map(r => normalize(r.getString(0))).toSet
+        val (hit, kept) = snap.files.partition(f => touched.contains(normalize(f)))
+        if (hit.isEmpty) return MergeStats(snap.version, kept.size, 0, 0)
+        val survivors = spark.read.parquet(hit: _*).filter(!coalesce(cond, lit(false)))
+        val newFiles = writeBatch(spark, fs, root, survivors)
+        commit(fs, root, snap.version + 1, kept ++ newFiles)
+        return MergeStats(snap.version + 1, kept.size, newFiles.size, 0)
+      } catch {
+        case _: FileAlreadyExistsException => // lost the race: re-snapshot
+      }
+    }
+    throw new CommitConflict(
+      s"deleteWhere at $path lost $maxRetries optimistic commits in a row")
+  }
+
   /** Rewrite the whole table into `numFiles` range-sorted files — the
     * [[Catalog.compact]] maintenance pass, expressed as a committed
     * version so readers never see the half-compacted state. */

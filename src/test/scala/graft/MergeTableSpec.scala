@@ -72,6 +72,30 @@ class MergeTableSpec extends SparkSpec {
     assert(MergeTable.snapshot(spark, path).version === before.version)
   }
 
+  test("deleteWhere rewrites only the files containing matches; null predicate rows survive") {
+    val path = freshPath()
+    MergeTable.init(spark, path, rows(1 to 1000, "a"))
+    MergeTable.compactTable(spark, path, "id", numFiles = 8)
+    val stats = MergeTable.deleteWhere(spark, path, $"id" >= 10 && $"id" <= 25)
+    assert(stats.filesRewritten >= 1 && stats.filesKept >= 6,
+      s"narrow delete should keep most files: $stats")
+    val got = MergeTable.read(spark, path)
+    assert(got.count() === 984)
+    assert(got.filter($"id" >= 10 && $"id" <= 25).count() === 0)
+    // predicate that is NULL for some rows: only TRUE rows are deleted
+    val withNull = rows(1 to 10, "x")
+      .withColumn("flag", when($"id" <= 3, true).when($"id" <= 6, lit(null)).otherwise(false))
+    val p2 = freshPath()
+    MergeTable.init(spark, p2, withNull)
+    MergeTable.deleteWhere(spark, p2, $"flag")
+    assert(MergeTable.read(spark, p2).count() === 7) // nulls + false kept
+    // no-match delete is a no-op commit
+    val before = MergeTable.snapshot(spark, p2).version
+    val s2 = MergeTable.deleteWhere(spark, p2, $"id" > 999)
+    assert(s2.filesRewritten === 0L)
+    assert(MergeTable.snapshot(spark, p2).version === before)
+  }
+
   test("vacuum deletes data files the latest manifest no longer references") {
     val path = freshPath()
     MergeTable.init(spark, path, rows(1 to 200, "a"))

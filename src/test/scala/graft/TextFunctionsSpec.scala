@@ -25,6 +25,16 @@ class TextFunctionsSpec extends SparkSpec {
     assert(preprocess("", "   ") === Seq("", ""))
   }
 
+  test("dedupLines keeps first occurrence and blanks, drops trimmed repeats, null-safe") {
+    val got = Seq(
+      "a\nb\na\n\n b \nc",  // dup 'a', trimmed-dup ' b ', blank kept
+      "only one line",
+      "",
+      null
+    ).toDF("t").select(dedupLines($"t")).as[String].collect().toSeq
+    assert(got === Seq("a\nb\n\nc", "only one line", "", null))
+  }
+
   test("preprocess: spark table-not-found → generalized phrase") {
     val q = "org.apache.spark.sql.utils.AnalysisException: Table or view 'foo.bar' not found"
     assert(preprocess(q) === Seq("pyspark table not found"))
