@@ -211,7 +211,6 @@ object SparkEntry {
           TF.langIdHeuristic(col("text")).as("lang_pred"))
         .orderBy(col("doc_id"))),
 
-    // no DuckDB oracle (xxhash64 rolling hash) — rows-only check
     "q27_fingerprint" -> ((s, d) =>
       T.documents(s, d).select(col("doc_id"),
           TF.docFingerprint(col("text")).as("fp"))
@@ -292,7 +291,6 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // no DuckDB oracle (xxhash64-based) — rows-only check
     "q34_simhash_neardups" -> ((s, d) =>
       Dedup.simHashNearDups(T.documents(s, d), "doc_id", "text", maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))),
@@ -823,6 +821,23 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    "q86b_pq_exact" -> ((s, d) => {
+      // PQ exactness oracle: shortlist = corpus size makes the ADC
+      // stage a no-op narrowing, so shortlist+rerank degenerates to
+      // exact L2 top-k — DuckDB-checkable (same identity as q45's
+      // nprobe=all for IVF). q86 keeps the real ADC bench; PqSpec
+      // keeps the recall@10 gate.
+      val emb = T.embeddings(s, d)
+      val cb = operators.SimilaritySearch.pqTrain(
+        emb, "vec_id", "embedding", m = 8, k = 16, iters = 2)
+      val encoded = operators.SimilaritySearch.pqEncodeAll(emb, "embedding", cb)
+      // row order = raw-distance order from pqTopKExact (rounding only
+      // in the projection, so rounded ties can't reorder rows)
+      operators.SimilaritySearch.pqTopKExact(encoded, "vec_id", "embedding",
+          "pq_codes", queryVec(s, d), cb, k = 10, shortlist = emb.count().toInt)
+        .select(col("vec_id"), round(col("l2sq"), 6).as("l2"))
+    }),
+
     "q90_url_canonical" -> ((s, d) => {
       // crawl-URL canonicalization: tracking params, fragments, host
       // case, trailing slashes — engine-portable regex chain
@@ -1020,6 +1035,44 @@ object SparkEntry {
         |  ELSE 'it' END AS lang_pred
         |FROM s ORDER BY doc_id""".stripMargin,
 
+    // fp = first 8 md5 bytes of the space-joined token stream as a SIGNED
+    // 64-bit value: hex nibbles -> two 32-bit halves -> two's complement.
+    "q27_fingerprint" ->
+      """WITH t AS (SELECT doc_id,
+        |    md5(array_to_string(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'), ' ')) AS h
+        |  FROM documents),
+        |p AS (SELECT doc_id, h,
+        |    list_sum([(instr('0123456789abcdef', h[j]) - 1)::BIGINT << (4*(8-j)) for j in range(1, 9)])::BIGINT AS hi,
+        |    list_sum([(instr('0123456789abcdef', h[j]) - 1)::BIGINT << (4*(16-j)) for j in range(9, 17)])::BIGINT AS lo
+        |  FROM t)
+        |SELECT doc_id, CASE WHEN h IS NULL THEN NULL ELSE
+        |  (hi - CASE WHEN hi >= 2147483648 THEN 4294967296 ELSE 0 END)
+        |    * 4294967296 + lo END AS fp
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    // Brute-force simhash pairs: per-token bits from md5 hex nibbles
+    // (bit (j,k) = bit k of hex char j — a fixed bijection onto Spark's
+    // 64 bit positions, and hamming distance is permutation-invariant),
+    // per-bit majority vote (> 0), all-pairs hamming <= 3. The Spark
+    // side's 4x16-bit banding is EXACT at hamming <= 3 (pigeonhole), so
+    // the pair sets agree.
+    "q34_simhash_neardups" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents),
+        |grid AS (SELECT j, k FROM (SELECT unnest(range(1, 17)) AS j) a,
+        |                          (SELECT unnest(range(0, 4)) AS k) b),
+        |bits AS (SELECT t.doc_id, g.j, g.k,
+        |    (sum(CASE WHEN ((instr('0123456789abcdef', md5(t.tok)[g.j]) - 1) >> g.k) % 2 = 1
+        |         THEN 1 ELSE -1 END) > 0) AS bit
+        |  FROM toks t CROSS JOIN grid g
+        |  GROUP BY t.doc_id, g.j, g.k),
+        |ham AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END)::INT AS hamming
+        |  FROM bits a JOIN bits b ON a.j = b.j AND a.k = b.k AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "q28_cache_key" ->
       """SELECT event_id, md5(event_type || '|' || user_id) AS memo_key,
         |  substr(md5(props), 1, 8) AS url_slug, sha256(props) AS content_hash
@@ -1172,6 +1225,17 @@ object SparkEntry {
         |JOIN g ga ON ga.doc_id = p.id_a
         |JOIN g gb ON gb.doc_id = p.id_b
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Same ||v||^2 + ||q||^2 - 2<v,q> expansion as pqTopKExact, so the
+    // double-precision rounding profile matches the Spark side.
+    "q86b_pq_exact" ->
+      """WITH s AS (SELECT e.vec_id,
+        |    list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+        |      + list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])
+        |      - 2 * list_inner_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS d2
+        |  FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q)
+        |SELECT vec_id, round(d2, 6) AS l2 FROM s
+        |ORDER BY d2, vec_id LIMIT 10""".stripMargin,
 
     "q40_knn" ->
       """SELECT e.vec_id,

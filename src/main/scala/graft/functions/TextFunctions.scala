@@ -375,11 +375,12 @@ object TextFunctions {
   }
 
   /** Order-sensitive 64-bit document fingerprint over tokens: the
-    * seed-chained xxhash64 of the whole token sequence (ShingleHashes
-    * with n larger than any document degenerates to one whole-array
-    * shingle). A polynomial fold would overflow Long under ANSI mode;
-    * hash chaining is overflow-free with the same order sensitivity. */
+    * md5-prefix of the space-joined token sequence (tokens cannot
+    * contain whitespace, so the join is injective on token sequences —
+    * order sensitivity for free). md5-derived rather than xxhash64 so
+    * any engine reproduces the value bit-for-bit (the q62/q74/q87
+    * portability pattern); null text keeps a null fingerprint. */
   def docFingerprint(c: Column): Column =
-    element_at(
-      graft.functions.HashExpressions.shingleHashes(tokens(c), Int.MaxValue), 1)
+    when(c.isNull, lit(null).cast("long")).otherwise(
+      graft.functions.HashExpressions.md5Prefix64(concat_ws(" ", tokens(c))))
 }

@@ -151,14 +151,21 @@ object Dedup {
     * buckets (4 bands ⇒ by pigeonhole, any pair within hamming distance 3
     * shares at least one exact band), verified by bit_count(xor).
     * maxHamming is capped at 3 — beyond that the 4-band scheme cannot
-    * guarantee recall and would silently miss pairs. */
+    * guarantee recall and would silently miss pairs.
+    *
+    * Fingerprints use the md5-derived token hash ([[HashExpressions
+    * .simhash64Md5]]) so the result is engine-portable: the DuckDB
+    * oracle recomputes the identical bits from md5 hex nibbles and
+    * brute-forces all pairs — the 4-band recall guarantee at
+    * hamming <= 3 is EXACT, so banded Spark and brute-force oracle
+    * return the same pair set. */
   def simHashNearDups(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3,
       s"maxHamming=$maxHamming exceeds the 4x16-bit banding recall guarantee (<=3)")
     val fp = df.select(col(idCol).as("id"),
-      HashExpressions.simhash64(TextFunctions.words(col(textCol))).as("fp"))
+      HashExpressions.simhash64Md5(TextFunctions.words(col(textCol))).as("fp"))
 
     // Bucket-aggregate here (collect_list per band bucket) where
     // minHashNearDups deliberately uses a self-join: simhash's 16-bit

@@ -11,12 +11,11 @@ class ContractSpec extends SparkSpec {
   }
 
   test("rows-only queries are the documented engine-specific ones") {
-    // q27/q34: xxhash-based results DuckDB cannot reproduce;
     // q85: deflate output depends on the zlib build;
-    // q86: trained float codebooks are not SQL-expressible
+    // q86: trained float codebooks are not SQL-expressible (its exact
+    //      degenerate twin q86b IS oracle-checked)
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly === Set("q27_fingerprint", "q34_simhash_neardups",
-        "q85_compress_ratio", "q86_pq_topk"),
+    assert(rowsOnly === Set("q85_compress_ratio", "q86_pq_topk"),
       s"unexpected rows-only queries (add an oracle or document): $rowsOnly")
   }
 
