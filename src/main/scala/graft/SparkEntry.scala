@@ -371,11 +371,24 @@ object SparkEntry {
       // the centroid probe. nprobe=999 probes every cluster, so the
       // result is exact and the DuckDB oracle can check the whole path
       // (IvfRuleSpec gates the pruned plan shape itself).
+      //
+      // The corpus is persisted once per sf-dir under q95-private column
+      // names: registration binds to (vecCol, scan path), so the rule
+      // must see those names AT THE SCAN LEAF — and the q95-private
+      // path/names keep the registration from ever matching the other
+      // embedding queries running in this session.
       val q = queryVec(s, d)
-      val emb = T.embeddings(s, d).select(col("vec_id"),
-        col("embedding").as("q95_vec"), col("label").as("q95_cluster"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q95_" +
+        new java.io.File(d).getName
+      if (!new java.io.File(path, "_SUCCESS").exists()) {
+        T.embeddings(s, d).select(col("vec_id"),
+            col("embedding").as("q95_vec"), col("label").as("q95_cluster"))
+          .write.mode("overwrite").parquet(path)
+      }
+      val emb = s.read.parquet(path)
       val cents = SimilaritySearch.centroids(emb, "q95_cluster", "q95_vec")
-      graft.plans.IvfIndex.register(s, "q95_cluster", "q95_vec", cents, nprobe = 999)
+      graft.plans.IvfIndex.register(s, emb, "q95_cluster", "q95_vec", cents,
+        nprobe = 999)
       val sim = graft.functions.VectorFunctions.cosineSimilarity(
         col("q95_vec"), typedlit(q))
       emb.withColumn("dist", lit(1.0) - sim)

@@ -27,8 +27,12 @@ import graft.functions.CosineSimilarity
   *
   * OPT-IN by [[IvfIndex.register]]: the rule needs the coarse quantizer
   * (centroids) at plan time, so the user declares it once per session —
-  * the moral analog of `CREATE INDEX ... USING ivfflat`. The registered
-  * invariant is that every row's `clusterCol` was produced by
+  * the moral analog of `CREATE INDEX ... USING ivfflat`. A registration
+  * is bound to (vector column name, corpus scan paths): the rule only
+  * rewrites a scan whose file paths overlap the registered corpus's, so
+  * an unregistered corpus that happens to share column names is never
+  * pruned by a foreign quantizer. The registered invariant is that
+  * every row's `clusterCol` was produced by
   * [[graft.operators.SimilaritySearch.assignClusters]] against these
   * centroids (rows with other cluster values would be wrongly pruned
   * even at nprobe = all). With `nprobe >= centroid count` the rewrite
@@ -39,34 +43,57 @@ object IvfIndex {
 
   final case class Entry(
       clusterCol: String, vecCol: String,
-      centroids: Seq[(Int, Array[Float])], nprobe: Int) {
+      centroids: Seq[(Int, Array[Float])], nprobe: Int,
+      paths: Set[String]) {
     require(centroids.nonEmpty, "centroids must be non-empty")
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    require(paths.nonEmpty, "entry must carry at least one scan path")
   }
 
-  /** (sessionUUID, vecCol) → entry. Keyed by the vector column NAME:
-    * the rule fires only where that column feeds the ranked cosine, and
-    * a session indexes a given embedding column one way. */
-  private val registry = new ConcurrentHashMap[(String, String), Entry]()
+  /** session → (vecCol → entries). The outer map holds the session
+    * WEAKLY: a closed/dropped session's quantizers are GC'd with it —
+    * no listener bookkeeping, no JVM-lifetime accumulation from
+    * short-lived sessions. Entries are keyed by vector-column name AND
+    * bound to the registered corpus's scan paths (see [[register]]):
+    * the rule only prunes a scan whose file paths overlap the entry's,
+    * so a second same-named corpus can never be pruned by the wrong
+    * quantizer — at nprobe < all that would be wrong ANSWERS, not just
+    * a bad plan. */
+  private val registry = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, ConcurrentHashMap[String, Vector[Entry]]]())
 
-  /** The stable per-session key. `sessionUUID` is `private[sql]` at
-    * the Scala level but public in bytecode — read it reflectively;
-    * identity hash is the inert fallback for any other implementation. */
-  private[plans] def uuidOf(spark: SparkSession): String =
-    try spark.getClass.getMethod("sessionUUID").invoke(spark).asInstanceOf[String]
-    catch { case _: ReflectiveOperationException =>
-      "idhash-" + System.identityHashCode(spark)
-    }
+  /** Normalized (scheme-free) root paths of every file-source scan leaf
+    * in `plan` — the relation identity the registration binds to. */
+  private[plans] def scanPaths(plan: LogicalPlan): Set[String] =
+    plan.collectLeaves().flatMap {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(p => p.toUri.getPath)
+          case _ => Nil
+        }
+      case _ => Nil
+    }.toSet
 
-  /** Declare the IVF coarse quantizer for `vecCol`/`clusterCol` in this
-    * session. `cents` is a (cluster, centroid) frame as produced by
-    * [[graft.operators.SimilaritySearch.kmeansCentroids]] or
-    * [[graft.operators.SimilaritySearch.centroids]]; it is collected
-    * here (the coarse quantizer is small by design). */
+  /** Declare the IVF coarse quantizer for `vecCol`/`clusterCol` of the
+    * file-backed `corpus` in this session. `cents` is a (cluster,
+    * centroid) frame as produced by [[graft.operators.SimilaritySearch
+    * .kmeansCentroids]] or [[graft.operators.SimilaritySearch
+    * .centroids]]; it is collected here (the coarse quantizer is small
+    * by design). `corpus` must scan files (parquet/csv/...): the
+    * registration binds to those paths, which is what stops a
+    * same-named column on a DIFFERENT corpus from matching this
+    * quantizer. Registering the same vecCol again for the same paths
+    * replaces the old entry; for new paths, both coexist. */
   def register(
-      spark: SparkSession, clusterCol: String, vecCol: String,
+      spark: SparkSession, corpus: org.apache.spark.sql.DataFrame,
+      clusterCol: String, vecCol: String,
       cents: org.apache.spark.sql.DataFrame, nprobe: Int): Unit = {
     import org.apache.spark.sql.functions.col
+    val paths = scanPaths(corpus.queryExecution.analyzed)
+    require(paths.nonEmpty,
+      "corpus has no file-source scan to bind the IVF registration to " +
+        "(register the file-backed frame, not an in-memory one)")
     val collected = cents.select(col("cluster").cast("int"), col("centroid"))
       .collect().toSeq
       .map(r => r.getInt(0) -> r.getSeq[Any](1).map {
@@ -74,18 +101,23 @@ object IvfIndex {
         case d: Double => d.toFloat
         case other => throw new IllegalArgumentException(s"not numeric: $other")
       }.toArray)
-    registry.put((uuidOf(spark), vecCol),
-      Entry(clusterCol, vecCol, collected, nprobe))
+    val entry = Entry(clusterCol, vecCol, collected, nprobe, paths)
+    val inner = registry.computeIfAbsent(spark,
+      _ => new ConcurrentHashMap[String, Vector[Entry]]())
+    inner.merge(vecCol, Vector(entry),
+      (old, _) => old.filterNot(_.paths == paths) :+ entry)
   }
 
   def unregister(spark: SparkSession, vecCol: String): Unit =
-    registry.remove((uuidOf(spark), vecCol))
+    Option(registry.get(spark)).foreach(_.remove(vecCol))
 
-  private[plans] def lookup(sessionUUID: String, vecCol: String): Option[Entry] =
-    Option(registry.get((sessionUUID, vecCol)))
+  private[plans] def lookup(spark: SparkSession, vecCol: String): Vector[Entry] =
+    Option(registry.get(spark))
+      .flatMap(m => Option(m.get(vecCol)))
+      .getOrElse(Vector.empty)
 
-  private[plans] def isEmpty(sessionUUID: String): Boolean =
-    !registry.keySet().stream().anyMatch(_._1 == sessionUUID)
+  private[plans] def isEmpty(spark: SparkSession): Boolean =
+    Option(registry.get(spark)).forall(_.isEmpty)
 }
 
 /** The rewrite rule; injected by [[graft.GraftExtensions]] into the
@@ -94,12 +126,22 @@ object IvfIndex {
 class IvfPruneRule(session: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (IvfIndex.isEmpty(IvfIndex.uuidOf(session))) plan
+    if (IvfIndex.isEmpty(session)) plan
     else plan.transformDown {
       case g @ GlobalLimit(IntegerLiteral(_),
           l @ LocalLimit(IntegerLiteral(_), s: Sort)) if s.global =>
         rewriteSort(s) match {
           case Some(newSort) => g.copy(child = l.copy(child = newSort))
+          case None => g
+        }
+      // same top-k, with a column-pruning Project pushed between the
+      // limit and the sort (the shape Catalyst leaves when the query
+      // projects the ranked rows — still TakeOrderedAndProject)
+      case g @ GlobalLimit(IntegerLiteral(_),
+          l @ LocalLimit(IntegerLiteral(_), p @ Project(_, s: Sort))) if s.global =>
+        rewriteSort(s) match {
+          case Some(newSort) =>
+            g.copy(child = l.copy(child = p.copy(child = newSort)))
           case None => g
         }
     }
@@ -108,21 +150,29 @@ class IvfPruneRule(session: SparkSession) extends Rule[LogicalPlan] {
   /** Match the ranked-cosine sort and insert the probe filter at the
     * scan leaf. Returns None when the pattern doesn't apply (or was
     * already rewritten — the filter is semantically detectable, which
-    * keeps the rule idempotent under the fixed-point batch). */
+    * keeps the rule idempotent under the fixed-point batch).
+    *
+    * An entry applies only when the scan leaf (a) carries the ranked
+    * vector attribute itself (untouched exprId), (b) outputs the
+    * registered cluster column, and (c) scans a file path the entry was
+    * registered for — (c) is the guard against a same-named vector
+    * column on a different corpus being pruned by the wrong quantizer. */
   private def rewriteSort(s: Sort): Option[Sort] = {
     val head = s.order.headOption.getOrElse(return None)
     val (vecAttr, query) =
       rankedCosine(resolveAliases(head.child, s.child), head.direction)
         .getOrElse(return None)
-    val entry = IvfIndex.lookup(IvfIndex.uuidOf(session), vecAttr.name)
+    val entries = IvfIndex.lookup(session, vecAttr.name)
+    if (entries.isEmpty) return None
+    // the leaf owning the ranked vector column is unique by exprId
+    val leaf = s.child.collectLeaves()
+      .find(_.output.exists(_.exprId == vecAttr.exprId))
       .getOrElse(return None)
-    // exactly one leaf carries the cluster column, and the ranked
-    // vector column must come from that same leaf (untouched exprId)
-    val leaves = s.child.collectLeaves()
-      .filter(_.output.exists(_.name == entry.clusterCol))
-    if (leaves.size != 1) return None
-    val leaf = leaves.head
-    if (!leaf.output.exists(_.exprId == vecAttr.exprId)) return None
+    val leafPaths = IvfIndex.scanPaths(leaf)
+    val entry = entries
+      .find(e => e.paths.intersect(leafPaths).nonEmpty &&
+        leaf.output.exists(_.name == e.clusterCol))
+      .getOrElse(return None)
     val clusterAttr = leaf.output.find(_.name == entry.clusterCol)
       .getOrElse(return None)
     val cond = inCondition(clusterAttr, probe(query, entry))

@@ -53,7 +53,7 @@ class IvfRuleSpec extends SparkSpec {
     }
 
   private def withIndex[A](nprobe: Int)(body: => A): A = {
-    IvfIndex.register(spark, "ivf_cluster", "ivf_vec", cents, nprobe)
+    IvfIndex.register(spark, corpus, "ivf_cluster", "ivf_vec", cents, nprobe)
     try body finally IvfIndex.unregister(spark, "ivf_vec")
   }
 
@@ -92,6 +92,41 @@ class IvfRuleSpec extends SparkSpec {
     val exact = sqlTopK(10).collect().toSeq
     val viaIndex = withIndex(nprobe = 99)(sqlTopK(10).collect().toSeq)
     assert(viaIndex === exact)
+  }
+
+  test("the q95 shape (withColumn dist, top-k, re-sort) is pruned end-to-end") {
+    withIndex(nprobe = 2) {
+      val sim = graft.functions.VectorFunctions
+        .cosineSimilarity(col("ivf_vec"), typedlit(query))
+      val df = corpus.withColumn("dist", lit(1.0) - sim)
+        .orderBy(asc("dist"), asc("vec_id")).limit(5)
+        .select(col("vec_id"), round(sim, 6).as("sim"))
+        .orderBy(desc("sim"), asc("vec_id"))
+      assert(clusterFilters(df).nonEmpty,
+        "the exact q95 query shape must trigger the rewrite")
+    }
+  }
+
+  test("registration binds to the corpus path: a same-schema OTHER table is never pruned") {
+    // the wrong-quantizer hazard: two corpora whose vector columns share
+    // a name must not share an index — at nprobe < all that would be
+    // silently wrong answers, not just a bad plan
+    val otherPath = s"$tmp/other_corpus"
+    if (!new java.io.File(otherPath, "_SUCCESS").exists()) {
+      // same column names, shifted data — a genuinely different corpus
+      corpus.withColumn("vec_id", col("vec_id") + 100000)
+        .write.mode("overwrite").parquet(otherPath)
+    }
+    val other = spark.read.parquet(otherPath)
+    withIndex(nprobe = 1) {
+      val dist = lit(1.0) - graft.functions.VectorFunctions
+        .cosineSimilarity(col("ivf_vec"), typedlit(query))
+      val pruned = corpus.orderBy(dist.asc, col("vec_id").asc).limit(3)
+      assert(clusterFilters(pruned).nonEmpty, "registered corpus should prune")
+      val unpruned = other.orderBy(dist.asc, col("vec_id").asc).limit(3)
+      assert(clusterFilters(unpruned).isEmpty,
+        "unregistered same-schema corpus must NOT be pruned by the foreign quantizer")
+    }
   }
 
   test("DataFrame-API ranked cosine is pruned too; user cluster filters are respected") {
