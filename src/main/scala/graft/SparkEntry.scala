@@ -655,17 +655,15 @@ object SparkEntry {
           col("top_bigram_frac"))
         .orderBy(col("doc_id"))),
 
-    "q80_keep_best" -> ((s, d) => {
+    "q80_keep_best" -> ((s, d) =>
       // quality-aware near-dup dedup: one doc per transitive MinHash
-      // cluster, keeping the longest text instead of the min id
-      val docs = T.documents(s, d)
-      val pairs = Dedup.minHashNearDups(docs, "doc_id", "text", threshold = 0.8)
-        .select(col("id_a"), col("id_b"))
-      Dedup.keepBestPerCluster(docs, "doc_id", pairs,
-          Seq(desc("n_chars"), asc("doc_id")))
+      // cluster, keeping the longest text instead of the min id; the
+      // one-call pipeline shares one checkpointed shingle frame across
+      // candidates/verify/clusters
+      Dedup.nearDupKeepBest(T.documents(s, d), "doc_id", "text",
+          Seq(desc("n_chars"), asc("doc_id")), threshold = 0.8)
         .select(col("doc_id"), col("cluster"), col("n_chars"))
-        .orderBy(col("doc_id"))
-    }),
+        .orderBy(col("doc_id"))),
 
     "q81_rolling" -> ((s, d) =>
       // trailing-5-row moving average + running total per user

@@ -99,19 +99,33 @@ object Dedup {
   def minHashNearDups(
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
-      threshold: Double = 0.8): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
+      threshold: Double = 0.8): DataFrame =
+    minHashNearDupsFromShingles(
+      shingleFrame(df, idCol, textCol, shingleSize), numHashes, bands, threshold)
 
-    // Distinct shingle HASHES straight from the word split — no shingle
-    // strings materialized (tuple-hash identity == joined-string identity
-    // since words cannot contain the join character). Recomputed per
-    // consumer on purpose: measured at 200k docs, persisting this costs
-    // more in materialization than the ~1s recompute it saves.
-    val shingled = df.select(
+  /** (id, shingles): distinct shingle HASHES straight from the word
+    * split — no shingle strings materialized (tuple-hash identity ==
+    * joined-string identity since words cannot contain the join
+    * character). Recomputed per consumer by default: measured at 200k
+    * docs, persisting this costs more in materialization than the ~1s
+    * recompute it saves for ONE consumer — but a composition that scans
+    * it several times (candidates + verify + keep-best) should
+    * `localCheckpoint` it once, as [[nearDupKeepBest]] does. */
+  def shingleFrame(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3): DataFrame =
+    df.select(
       col(idCol).as("id"),
       HashExpressions.shingleHashes(TextFunctions.words(col(textCol)), shingleSize)
         .as("shingles"))
+
+  /** [[minHashNearDups]] over a prepared [[shingleFrame]] — lets callers
+    * amortize the text scan + shingling across several consumers. */
+  def minHashNearDupsFromShingles(
+      shingled: DataFrame, numHashes: Int = 128, bands: Int = 32,
+      threshold: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
 
     // Band buckets over bare ids only — the shingle arrays must NOT ride
     // through the shuffle. The self-join below scans this twice; the
@@ -429,6 +443,30 @@ object Dedup {
       dupClusters(df, idCol, pairs).select(col(idCol), col("cluster")),
       Seq(idCol))
     firstWins(labeled, Seq("cluster"), preference)
+  }
+
+  /** The full quality-aware near-dup pipeline in one call: MinHash-LSH
+    * candidate pairs → exact Jaccard verify → transitive clusters →
+    * keep the best doc per cluster. The shingle frame is computed ONCE
+    * and `localCheckpoint`ed: the composition scans it five times
+    * (signature/banding, twice in the candidate self-join, twice in the
+    * verify joins), and unlike a single [[minHashNearDups]] call the
+    * recompute here was measured MORE expensive than materializing
+    * (q80: the shingle scan was paid ~3x per invocation). The
+    * checkpoint is freed before returning — [[connectedComponents]]
+    * materializes the pair list eagerly, so nothing downstream scans
+    * the shingles again. */
+  def nearDupKeepBest(
+      df: DataFrame, idCol: String, textCol: String,
+      preference: Seq[Column], shingleSize: Int = 3, numHashes: Int = 128,
+      bands: Int = 32, threshold: Double = 0.8): DataFrame = {
+    val sh = shingleFrame(df, idCol, textCol, shingleSize).localCheckpoint(true)
+    try {
+      val pairs = minHashNearDupsFromShingles(sh, numHashes, bands, threshold)
+        .select(col("id_a"), col("id_b"))
+      // eager: dupClusters checkpoints + consumes `pairs` on construction
+      keepBestPerCluster(df, idCol, pairs, preference)
+    } finally freeCheckpoint(sh)
   }
 
   /** Embedding near-dups within coarse clusters: candidates are pairs
