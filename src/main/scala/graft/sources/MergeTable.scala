@@ -88,8 +88,10 @@ object MergeTable {
   /** Upsert `updates` by `keyCols` (last state wins per key, like the
     * reference's DO UPDATE): matched keys are replaced, new keys are
     * inserted, and only the parquet files containing a matched key are
-    * rewritten. `updates` must be unique per key — the same contract
-    * Delta's MERGE enforces. */
+    * rewritten. `updates` must be unique per key and NULL-free in every
+    * key column — the same contract Delta's MERGE effectively enforces
+    * (NULL keys never match the semi/anti joins, so a null-keyed row
+    * would silently re-insert as a new duplicate on every merge). */
   def merge(
       spark: SparkSession, path: String, updates: DataFrame,
       keyCols: Seq[String], maxRetries: Int = 5): MergeStats = {
@@ -99,6 +101,11 @@ object MergeTable {
       val nU = u.count()
       require(nU == u.dropDuplicates(keyCols).count(),
         s"updates must be unique on ${keyCols.mkString(",")}")
+      require(keyCols.forall(u.columns.contains),
+        s"key ${keyCols.mkString(",")} missing from updates")
+      require(u.filter(keyCols.map(col(_).isNull).reduce(_ || _)).isEmpty,
+        s"updates contain NULL in a key column (${keyCols.mkString(",")}); " +
+          "NULL keys cannot match and would duplicate on every merge")
       var attempt = 0
       while (attempt < maxRetries) {
         attempt += 1
@@ -117,9 +124,17 @@ object MergeTable {
       keyCols: Seq[String], nU: Long): MergeStats = {
     val (fs, root) = fsOf(spark, path)
     val snap = snapshot(spark, path)
+    // Table schema = head file's schema. SAFE BY INVARIANT: init and
+    // every commit write the full, identical column set (the check
+    // below rejects updates that add or drop columns loudly instead of
+    // silently projecting them away), so all files in a manifest agree.
     val cols = spark.read.parquet(snap.files.head).columns.toSeq
-    require(keyCols.forall(u.columns.contains) && keyCols.forall(cols.contains),
-      s"key ${keyCols.mkString(",")} missing from updates or table")
+    require(keyCols.forall(cols.contains),
+      s"key ${keyCols.mkString(",")} missing from table")
+    require(u.columns.toSet == cols.toSet,
+      s"updates schema [${u.columns.sorted.mkString(",")}] must match table " +
+        s"schema [${cols.sorted.mkString(",")}] exactly — schema evolution is " +
+        "not supported; add columns by rewriting the table")
 
     val touched: Set[String] =
       if (nU == 0) Set.empty
@@ -205,16 +220,31 @@ object MergeTable {
   }
 
   /** Delete data files no manifest-latest version references (orphans
-    * from failed/superseded commits). Returns the number removed. */
-  def vacuum(spark: SparkSession, path: String): Int = {
+    * from failed/superseded commits). Returns the number removed.
+    *
+    * `retainMillis` is the concurrency grace (Delta's VACUUM retention,
+    * miniature): a merge/compact writes its batch files BEFORE its
+    * commit wins, so a vacuum racing that writer would otherwise delete
+    * files its about-to-win manifest references — silent corruption on
+    * the next read. Files younger than the grace are kept regardless of
+    * manifest membership. Pass 0 only when no writer can be in flight
+    * (exclusive maintenance windows, tests). */
+  def vacuum(
+      spark: SparkSession, path: String,
+      retainMillis: Long = 15L * 60L * 1000L): Int = {
+    require(retainMillis >= 0, "retainMillis must be >= 0")
     val (fs, root) = fsOf(spark, path)
     val live = snapshot(spark, path).files.map(normalize).toSet
     val dataDir = new Path(root, "data")
     if (!fs.exists(dataDir)) return 0
+    val cutoff = System.currentTimeMillis() - retainMillis
     val all = fs.listStatus(dataDir).filter(_.isDirectory).flatMap(d =>
       fs.listStatus(d.getPath).filter(_.isFile))
-      .map(_.getPath).filter(p => p.getName.startsWith("part-"))
-    val dead = all.filterNot(p => live.contains(normalize(p.toString)))
+      .filter(_.getPath.getName.startsWith("part-"))
+    val dead = all
+      .filter(_.getModificationTime <= cutoff)
+      .map(_.getPath)
+      .filterNot(p => live.contains(normalize(p.toString)))
     dead.foreach(p => fs.delete(p, false))
     // drop now-empty batch dirs
     fs.listStatus(dataDir).filter(_.isDirectory)

@@ -101,12 +101,45 @@ class MergeTableSpec extends SparkSpec {
     MergeTable.init(spark, path, rows(1 to 200, "a"))
     MergeTable.merge(spark, path, rows(50 to 60, "b"), Seq("id"))
     MergeTable.compactTable(spark, path, "id", numFiles = 2) // orphans everything prior
-    val removed = MergeTable.vacuum(spark, path)
+
+    // the default retention grace keeps the just-orphaned (young) files:
+    // a concurrent writer's uncommitted batch must never be deleted
+    assert(MergeTable.vacuum(spark, path) === 0,
+      "files younger than the retention grace must survive vacuum")
+
+    val removed = MergeTable.vacuum(spark, path, retainMillis = 0)
     assert(removed > 0, "compaction should have orphaned the old files")
     val got = MergeTable.read(spark, path)
     assert(got.count() === 200)
     assert(got.filter($"tag" === "b").count() === 11)
-    assert(MergeTable.vacuum(spark, path) === 0) // idempotent
+    assert(MergeTable.vacuum(spark, path, retainMillis = 0) === 0) // idempotent
+  }
+
+  test("merge rejects NULL keys and schema drift loudly") {
+    val path = freshPath()
+    MergeTable.init(spark, path, rows(1 to 10, "a"))
+    // NULL in a key column: would silently re-insert as a duplicate on
+    // every merge (joins never match NULL), so it must be refused
+    val nullKey = rows(11 to 11, "x")
+      .withColumn("id", lit(null).cast("long"))
+    val e1 = intercept[IllegalArgumentException] {
+      MergeTable.merge(spark, path, nullKey, Seq("id"))
+    }
+    assert(e1.getMessage.contains("NULL"))
+    // extra column: must fail loudly, not silently project it away
+    val extraCol = rows(1 to 2, "y").withColumn("extra", lit(1))
+    val e2 = intercept[IllegalArgumentException] {
+      MergeTable.merge(spark, path, extraCol, Seq("id"))
+    }
+    assert(e2.getMessage.contains("schema"))
+    // missing column: same
+    val missingCol = rows(1 to 2, "z").drop("tag")
+    intercept[IllegalArgumentException] {
+      MergeTable.merge(spark, path, missingCol, Seq("id"))
+    }
+    // table unchanged by the rejected merges
+    assert(MergeTable.snapshot(spark, path).version === 1L)
+    assert(MergeTable.read(spark, path).count() === 10)
   }
 
   test("knowledge-base ingest loop: content-hash upsert commits versions, dedupes by content") {
