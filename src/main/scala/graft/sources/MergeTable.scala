@@ -68,6 +68,12 @@ object MergeTable {
     Snapshot(1L, files)
   }
 
+  /** True when a committed merge table exists at `path`. */
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val (fs, root) = fsOf(spark, path)
+    latestVersion(fs, root).isDefined
+  }
+
   /** The table as of its latest committed version. */
   def read(spark: SparkSession, path: String): DataFrame = {
     val snap = snapshot(spark, path)

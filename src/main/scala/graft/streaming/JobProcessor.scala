@@ -131,6 +131,42 @@ object JobProcessor {
       .start()
   }
 
+  /** Stream → KEYED STORAGE UPSERT: the reference's actual continuous
+    * loop — job processor output upserted into the versioned store by
+    * request_id (`pubnub_job_processor.py` handing results to
+    * `vector_service.py:119-125`'s `ON CONFLICT DO UPDATE`), with
+    * [[graft.sources.MergeTable]] as the storage layer.
+    *
+    * Exactly-once ROW STATE under at-least-once foreachBatch: a batch
+    * replayed after a failure between merge and checkpoint commit
+    * re-merges the same request_ids, and the keyed MERGE replaces the
+    * matched rows instead of appending — the table converges to the
+    * same state (versions advance; rows don't duplicate). OCC commit
+    * retries inside [[graft.sources.MergeTable.merge]] handle racing
+    * writers on the same table. */
+  def runToMergeTable(
+      spark: SparkSession, requests: DataFrame, ragContent: DataFrame,
+      completer: Completer, tablePath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    responses(requests, ragContent, completer)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // one materialization (see run); empty batches commit nothing
+        batch.persist()
+        try {
+          if (batch.count() > 0) {
+            if (!graft.sources.MergeTable.exists(spark, tablePath))
+              graft.sources.MergeTable.init(spark, tablePath, batch.toDF())
+            else
+              graft.sources.MergeTable.merge(
+                spark, tablePath, batch.toDF(), Seq("request_id"))
+          }
+          ()
+        } finally batch.unpersist()
+      }
+      .start()
+
   /** Run to a parquet `job_responses` sink with checkpointing; the
     * `foreachBatch` shape also side-publishes counts (the reference's
     * publish tap) via the provided callback. */

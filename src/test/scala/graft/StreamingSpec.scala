@@ -174,4 +174,68 @@ class StreamingSpec extends SparkSpec {
       assert(batches === 2)
     } finally q.stop()
   }
+
+  test("stream → keyed MERGE storage: forced batch replay converges to exactly-once row state") {
+    // the reference's continuous upsert loop (job processor → keyed
+    // ON CONFLICT DO UPDATE store), with a crash injected between the
+    // storage merge and the checkpoint commit: foreachBatch replays the
+    // batch, and the keyed MERGE must REPLACE the rows it already wrote,
+    // not append duplicates. File source (not MemoryStream): replay
+    // across a query restart needs a replayable source.
+    import graft.sources.MergeTable
+    val srcDir = java.nio.file.Files.createTempDirectory("mrg_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("mrg_ckpt").toString
+    val table = java.nio.file.Files.createTempDirectory("mrg_root").toString + "/tbl"
+    val rag = Seq(("j1", "job", "context for j1"))
+      .toDF("document_id", "document_type", "context")
+    var fileNo = 0
+    def dropFile(rows: Seq[JobRequest]): Unit = {
+      fileNo += 1
+      val stage = java.nio.file.Files.createTempDirectory("mrg_stage").toString
+      rows.toDF().coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(srcDir, s"data-$fileNo.parquet"))
+    }
+    val stream = spark.readStream
+      .schema(Seq(JobRequest("x", "x", "x", ts(0))).toDF().schema)
+      .parquet(srcDir)
+    def runOnce(): Unit = {
+      val q = JobProcessor.runToMergeTable(
+        spark, stream, rag, JobProcessor.EchoCompleter, table, ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    dropFile(Seq(
+      JobRequest("r1", "j1", "first question", ts(0)),
+      JobRequest("r2", "j2", "second question", ts(5))))
+    runOnce()
+    assert(MergeTable.read(spark, table).count() === 2)
+    val v1 = MergeTable.snapshot(spark, table).version
+
+    // crash injection: drop the newest commit marker; on restart the
+    // last batch re-executes (at-least-once delivery made visible)
+    val newest = new java.io.File(ckpt, "commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).maxBy(_.getName.toLong)
+    assert(newest.delete())
+    // the local checksum FS keeps a .N.crc sidecar; remove it as well or
+    // the replayed commit's rename fails on the stale checksum
+    val crc = new java.io.File(newest.getParentFile, s".${newest.getName}.crc")
+    if (crc.exists()) assert(crc.delete())
+
+    dropFile(Seq(JobRequest("r3", "j1", "third question", ts(400))))
+    runOnce() // replays (r1, r2) — must replace — then merges r3
+
+    val got = MergeTable.read(spark, table)
+    assert(got.count() === 3, "replayed batch must replace, not append")
+    assert(got.select("request_id").as[String].collect().sorted
+      === Array("r1", "r2", "r3"))
+    assert(got.filter($"request_id" === "r1").select("ai_response").as[String]
+      .head().contains("first question"))
+    assert(got.filter($"request_id" === "r3").select("ai_response").as[String]
+      .head().contains("ctx=context for j1"))
+    assert(MergeTable.snapshot(spark, table).version > v1,
+      "the replayed merge must have committed new versions")
+  }
 }
