@@ -1021,6 +1021,11 @@ object SparkEntry {
         |  regexp_matches(text, '(?i)(\bbitch(es)?\b|\b(shit|shitty|shitter)\b|\bfuck(er|ing|ed|s)?\b|\bdamn(ed)?\b|\bhell\b|\bastard(s)?\b|\bstupid\b|\bidiot(ic)?\b|\bmoron(s)?\b|\bretard(ed)?\b|\bbad ai\b|\bstupid ai\b|\bdumb ai\b|\bhate you\b|\bscrew you\b)') AS has_profanity
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // cleanHtml runs the FULL html.unescape (389 named + numeric refs,
+    // HtmlUnescapeSpec goldens); this oracle keeps the 7-entity chain
+    // because SQL cannot express numeric-ref decoding — value-equal on
+    // the driver tables, whose documents contain no entity references
+    // (verified: 0 rows match '&#?[a-zA-Z0-9]+;').
     "q25_html_strip" ->
       """WITH h AS (SELECT doc_id, '<p>' || text || '</p><code>IGNORED</code><b>tail</b>' AS html FROM documents),
         |s1 AS (SELECT doc_id, regexp_replace(html, '<code[^>]*>.*?</code>', ' ', 'gis') AS t FROM h),

@@ -1,0 +1,547 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.ExprBridge.{toColumn, toExpr}
+
+/** HTML character-reference unescaping as ONE native expression pass —
+  * the reference calls Python's `html.unescape` on every search payload
+  * (`backend/services/search_clients.py:88`); a regexp_replace chain
+  * needs one full scan of the string PER entity, which is why the old
+  * 7-entity chain could never grow to real coverage.
+  *
+  * Semantics mirror `html.unescape`'s algorithm exactly (same regex
+  * char-class, same longest-prefix fallback for legacy no-semicolon
+  * refs, same numeric-reference handling including the WHATWG cp1252
+  * override range and U+FFFD for out-of-range/surrogate codepoints) over
+  * the HTML4 name table — all 252 HTML4 entities in both their `;` and
+  * legacy no-`;` spellings plus uppercase aliases (389 keys), which is
+  * every named reference that occurs in practice in StackOverflow /
+  * GitHub payloads. OUT OF SCOPE (documented divergence): the ~1800
+  * HTML5-only names (`&numero;`, `&OverBar;`, ...) pass through
+  * unchanged; the golden spec pins the supported surface against real
+  * `html.unescape` outputs.
+  */
+object HtmlExpressions {
+  def htmlUnescape(c: Column): Column = toColumn(HtmlUnescape(toExpr(c)))
+
+  private[functions] val Entities: java.util.HashMap[String, String] = {
+    val m = new java.util.HashMap[String, String](778)
+    m.put("AElig", "\u00c6")
+    m.put("AElig;", "\u00c6")
+    m.put("AMP", "&")
+    m.put("AMP;", "&")
+    m.put("Aacute", "\u00c1")
+    m.put("Aacute;", "\u00c1")
+    m.put("Acirc", "\u00c2")
+    m.put("Acirc;", "\u00c2")
+    m.put("Agrave", "\u00c0")
+    m.put("Agrave;", "\u00c0")
+    m.put("Alpha;", "\u0391")
+    m.put("And;", "\u2a53")
+    m.put("Aring", "\u00c5")
+    m.put("Aring;", "\u00c5")
+    m.put("Atilde", "\u00c3")
+    m.put("Atilde;", "\u00c3")
+    m.put("Auml", "\u00c4")
+    m.put("Auml;", "\u00c4")
+    m.put("Beta;", "\u0392")
+    m.put("COPY", "\u00a9")
+    m.put("COPY;", "\u00a9")
+    m.put("Cap;", "\u22d2")
+    m.put("Ccedil", "\u00c7")
+    m.put("Ccedil;", "\u00c7")
+    m.put("Chi;", "\u03a7")
+    m.put("Cup;", "\u22d3")
+    m.put("Dagger;", "\u2021")
+    m.put("Darr;", "\u21a1")
+    m.put("Delta;", "\u0394")
+    m.put("ETH", "\u00d0")
+    m.put("ETH;", "\u00d0")
+    m.put("Eacute", "\u00c9")
+    m.put("Eacute;", "\u00c9")
+    m.put("Ecirc", "\u00ca")
+    m.put("Ecirc;", "\u00ca")
+    m.put("Egrave", "\u00c8")
+    m.put("Egrave;", "\u00c8")
+    m.put("Epsilon;", "\u0395")
+    m.put("Eta;", "\u0397")
+    m.put("Euml", "\u00cb")
+    m.put("Euml;", "\u00cb")
+    m.put("ForAll;", "\u2200")
+    m.put("GT", ">")
+    m.put("GT;", ">")
+    m.put("Gamma;", "\u0393")
+    m.put("Gt;", "\u226b")
+    m.put("Iacute", "\u00cd")
+    m.put("Iacute;", "\u00cd")
+    m.put("Icirc", "\u00ce")
+    m.put("Icirc;", "\u00ce")
+    m.put("Igrave", "\u00cc")
+    m.put("Igrave;", "\u00cc")
+    m.put("Int;", "\u222c")
+    m.put("Iota;", "\u0399")
+    m.put("Iuml", "\u00cf")
+    m.put("Iuml;", "\u00cf")
+    m.put("Kappa;", "\u039a")
+    m.put("LT", "<")
+    m.put("LT;", "<")
+    m.put("Lambda;", "\u039b")
+    m.put("Lang;", "\u27ea")
+    m.put("Larr;", "\u219e")
+    m.put("Lt;", "\u226a")
+    m.put("Mu;", "\u039c")
+    m.put("Not;", "\u2aec")
+    m.put("Ntilde", "\u00d1")
+    m.put("Ntilde;", "\u00d1")
+    m.put("Nu;", "\u039d")
+    m.put("OElig;", "\u0152")
+    m.put("Oacute", "\u00d3")
+    m.put("Oacute;", "\u00d3")
+    m.put("Ocirc", "\u00d4")
+    m.put("Ocirc;", "\u00d4")
+    m.put("Ograve", "\u00d2")
+    m.put("Ograve;", "\u00d2")
+    m.put("Omega;", "\u03a9")
+    m.put("Omicron;", "\u039f")
+    m.put("Or;", "\u2a54")
+    m.put("Oslash", "\u00d8")
+    m.put("Oslash;", "\u00d8")
+    m.put("Otilde", "\u00d5")
+    m.put("Otilde;", "\u00d5")
+    m.put("Otimes;", "\u2a37")
+    m.put("Ouml", "\u00d6")
+    m.put("Ouml;", "\u00d6")
+    m.put("Phi;", "\u03a6")
+    m.put("Pi;", "\u03a0")
+    m.put("Prime;", "\u2033")
+    m.put("Psi;", "\u03a8")
+    m.put("QUOT", "\u0022")
+    m.put("QUOT;", "\u0022")
+    m.put("REG", "\u00ae")
+    m.put("REG;", "\u00ae")
+    m.put("Rang;", "\u27eb")
+    m.put("Rarr;", "\u21a0")
+    m.put("Rho;", "\u03a1")
+    m.put("Scaron;", "\u0160")
+    m.put("Sigma;", "\u03a3")
+    m.put("Sub;", "\u22d0")
+    m.put("Sum;", "\u2211")
+    m.put("Sup;", "\u22d1")
+    m.put("THORN", "\u00de")
+    m.put("THORN;", "\u00de")
+    m.put("TRADE;", "\u2122")
+    m.put("Tau;", "\u03a4")
+    m.put("Theta;", "\u0398")
+    m.put("Tilde;", "\u223c")
+    m.put("Uacute", "\u00da")
+    m.put("Uacute;", "\u00da")
+    m.put("Uarr;", "\u219f")
+    m.put("Ucirc", "\u00db")
+    m.put("Ucirc;", "\u00db")
+    m.put("Ugrave", "\u00d9")
+    m.put("Ugrave;", "\u00d9")
+    m.put("Upsilon;", "\u03a5")
+    m.put("Uuml", "\u00dc")
+    m.put("Uuml;", "\u00dc")
+    m.put("Xi;", "\u039e")
+    m.put("Yacute", "\u00dd")
+    m.put("Yacute;", "\u00dd")
+    m.put("Yuml;", "\u0178")
+    m.put("Zeta;", "\u0396")
+    m.put("aacute", "\u00e1")
+    m.put("aacute;", "\u00e1")
+    m.put("acirc", "\u00e2")
+    m.put("acirc;", "\u00e2")
+    m.put("acute", "\u00b4")
+    m.put("acute;", "\u00b4")
+    m.put("aelig", "\u00e6")
+    m.put("aelig;", "\u00e6")
+    m.put("agrave", "\u00e0")
+    m.put("agrave;", "\u00e0")
+    m.put("alefsym;", "\u2135")
+    m.put("alpha;", "\u03b1")
+    m.put("amp", "&")
+    m.put("amp;", "&")
+    m.put("and;", "\u2227")
+    m.put("ang;", "\u2220")
+    m.put("aring", "\u00e5")
+    m.put("aring;", "\u00e5")
+    m.put("asymp;", "\u2248")
+    m.put("atilde", "\u00e3")
+    m.put("atilde;", "\u00e3")
+    m.put("auml", "\u00e4")
+    m.put("auml;", "\u00e4")
+    m.put("bdquo;", "\u201e")
+    m.put("beta;", "\u03b2")
+    m.put("brvbar", "\u00a6")
+    m.put("brvbar;", "\u00a6")
+    m.put("bull;", "\u2022")
+    m.put("cap;", "\u2229")
+    m.put("ccedil", "\u00e7")
+    m.put("ccedil;", "\u00e7")
+    m.put("cedil", "\u00b8")
+    m.put("cedil;", "\u00b8")
+    m.put("cent", "\u00a2")
+    m.put("cent;", "\u00a2")
+    m.put("chi;", "\u03c7")
+    m.put("circ;", "\u02c6")
+    m.put("clubs;", "\u2663")
+    m.put("cong;", "\u2245")
+    m.put("copy", "\u00a9")
+    m.put("copy;", "\u00a9")
+    m.put("crarr;", "\u21b5")
+    m.put("cup;", "\u222a")
+    m.put("curren", "\u00a4")
+    m.put("curren;", "\u00a4")
+    m.put("dArr;", "\u21d3")
+    m.put("dagger;", "\u2020")
+    m.put("darr;", "\u2193")
+    m.put("deg", "\u00b0")
+    m.put("deg;", "\u00b0")
+    m.put("delta;", "\u03b4")
+    m.put("diams;", "\u2666")
+    m.put("divide", "\u00f7")
+    m.put("divide;", "\u00f7")
+    m.put("eacute", "\u00e9")
+    m.put("eacute;", "\u00e9")
+    m.put("ecirc", "\u00ea")
+    m.put("ecirc;", "\u00ea")
+    m.put("egrave", "\u00e8")
+    m.put("egrave;", "\u00e8")
+    m.put("empty;", "\u2205")
+    m.put("emsp;", "\u2003")
+    m.put("ensp;", "\u2002")
+    m.put("epsilon;", "\u03b5")
+    m.put("equiv;", "\u2261")
+    m.put("eta;", "\u03b7")
+    m.put("eth", "\u00f0")
+    m.put("eth;", "\u00f0")
+    m.put("euml", "\u00eb")
+    m.put("euml;", "\u00eb")
+    m.put("euro;", "\u20ac")
+    m.put("exist;", "\u2203")
+    m.put("fnof;", "\u0192")
+    m.put("forall;", "\u2200")
+    m.put("frac12", "\u00bd")
+    m.put("frac12;", "\u00bd")
+    m.put("frac14", "\u00bc")
+    m.put("frac14;", "\u00bc")
+    m.put("frac34", "\u00be")
+    m.put("frac34;", "\u00be")
+    m.put("frasl;", "\u2044")
+    m.put("gE;", "\u2267")
+    m.put("gamma;", "\u03b3")
+    m.put("ge;", "\u2265")
+    m.put("gt", ">")
+    m.put("gt;", ">")
+    m.put("hArr;", "\u21d4")
+    m.put("harr;", "\u2194")
+    m.put("hearts;", "\u2665")
+    m.put("hellip;", "\u2026")
+    m.put("iacute", "\u00ed")
+    m.put("iacute;", "\u00ed")
+    m.put("icirc", "\u00ee")
+    m.put("icirc;", "\u00ee")
+    m.put("iexcl", "\u00a1")
+    m.put("iexcl;", "\u00a1")
+    m.put("igrave", "\u00ec")
+    m.put("igrave;", "\u00ec")
+    m.put("image;", "\u2111")
+    m.put("infin;", "\u221e")
+    m.put("int;", "\u222b")
+    m.put("iota;", "\u03b9")
+    m.put("iquest", "\u00bf")
+    m.put("iquest;", "\u00bf")
+    m.put("isin;", "\u2208")
+    m.put("iuml", "\u00ef")
+    m.put("iuml;", "\u00ef")
+    m.put("kappa;", "\u03ba")
+    m.put("lArr;", "\u21d0")
+    m.put("lE;", "\u2266")
+    m.put("lambda;", "\u03bb")
+    m.put("lang;", "\u27e8")
+    m.put("laquo", "\u00ab")
+    m.put("laquo;", "\u00ab")
+    m.put("larr;", "\u2190")
+    m.put("lceil;", "\u2308")
+    m.put("ldquo;", "\u201c")
+    m.put("le;", "\u2264")
+    m.put("lfloor;", "\u230a")
+    m.put("lowast;", "\u2217")
+    m.put("loz;", "\u25ca")
+    m.put("lrm;", "\u200e")
+    m.put("lsaquo;", "\u2039")
+    m.put("lsquo;", "\u2018")
+    m.put("lt", "<")
+    m.put("lt;", "<")
+    m.put("macr", "\u00af")
+    m.put("macr;", "\u00af")
+    m.put("mdash;", "\u2014")
+    m.put("micro", "\u00b5")
+    m.put("micro;", "\u00b5")
+    m.put("middot", "\u00b7")
+    m.put("middot;", "\u00b7")
+    m.put("minus;", "\u2212")
+    m.put("mu;", "\u03bc")
+    m.put("nabla;", "\u2207")
+    m.put("nbsp", "\u00a0")
+    m.put("nbsp;", "\u00a0")
+    m.put("ndash;", "\u2013")
+    m.put("ne;", "\u2260")
+    m.put("ni;", "\u220b")
+    m.put("not", "\u00ac")
+    m.put("not;", "\u00ac")
+    m.put("notin;", "\u2209")
+    m.put("nsub;", "\u2284")
+    m.put("ntilde", "\u00f1")
+    m.put("ntilde;", "\u00f1")
+    m.put("nu;", "\u03bd")
+    m.put("oacute", "\u00f3")
+    m.put("oacute;", "\u00f3")
+    m.put("ocirc", "\u00f4")
+    m.put("ocirc;", "\u00f4")
+    m.put("oelig;", "\u0153")
+    m.put("ograve", "\u00f2")
+    m.put("ograve;", "\u00f2")
+    m.put("oline;", "\u203e")
+    m.put("omega;", "\u03c9")
+    m.put("omicron;", "\u03bf")
+    m.put("oplus;", "\u2295")
+    m.put("or;", "\u2228")
+    m.put("ordf", "\u00aa")
+    m.put("ordf;", "\u00aa")
+    m.put("ordm", "\u00ba")
+    m.put("ordm;", "\u00ba")
+    m.put("oslash", "\u00f8")
+    m.put("oslash;", "\u00f8")
+    m.put("otilde", "\u00f5")
+    m.put("otilde;", "\u00f5")
+    m.put("otimes;", "\u2297")
+    m.put("ouml", "\u00f6")
+    m.put("ouml;", "\u00f6")
+    m.put("para", "\u00b6")
+    m.put("para;", "\u00b6")
+    m.put("part;", "\u2202")
+    m.put("permil;", "\u2030")
+    m.put("perp;", "\u22a5")
+    m.put("phi;", "\u03c6")
+    m.put("pi;", "\u03c0")
+    m.put("piv;", "\u03d6")
+    m.put("plusmn", "\u00b1")
+    m.put("plusmn;", "\u00b1")
+    m.put("pound", "\u00a3")
+    m.put("pound;", "\u00a3")
+    m.put("prime;", "\u2032")
+    m.put("prod;", "\u220f")
+    m.put("prop;", "\u221d")
+    m.put("psi;", "\u03c8")
+    m.put("quot", "\u0022")
+    m.put("quot;", "\u0022")
+    m.put("rArr;", "\u21d2")
+    m.put("radic;", "\u221a")
+    m.put("rang;", "\u27e9")
+    m.put("raquo", "\u00bb")
+    m.put("raquo;", "\u00bb")
+    m.put("rarr;", "\u2192")
+    m.put("rceil;", "\u2309")
+    m.put("rdquo;", "\u201d")
+    m.put("real;", "\u211c")
+    m.put("reg", "\u00ae")
+    m.put("reg;", "\u00ae")
+    m.put("rfloor;", "\u230b")
+    m.put("rho;", "\u03c1")
+    m.put("rlm;", "\u200f")
+    m.put("rsaquo;", "\u203a")
+    m.put("rsquo;", "\u2019")
+    m.put("sbquo;", "\u201a")
+    m.put("scaron;", "\u0161")
+    m.put("sdot;", "\u22c5")
+    m.put("sect", "\u00a7")
+    m.put("sect;", "\u00a7")
+    m.put("shy", "\u00ad")
+    m.put("shy;", "\u00ad")
+    m.put("sigma;", "\u03c3")
+    m.put("sigmaf;", "\u03c2")
+    m.put("sim;", "\u223c")
+    m.put("spades;", "\u2660")
+    m.put("sub;", "\u2282")
+    m.put("subE;", "\u2ac5")
+    m.put("sube;", "\u2286")
+    m.put("sum;", "\u2211")
+    m.put("sup1", "\u00b9")
+    m.put("sup1;", "\u00b9")
+    m.put("sup2", "\u00b2")
+    m.put("sup2;", "\u00b2")
+    m.put("sup3", "\u00b3")
+    m.put("sup3;", "\u00b3")
+    m.put("sup;", "\u2283")
+    m.put("supE;", "\u2ac6")
+    m.put("supe;", "\u2287")
+    m.put("szlig", "\u00df")
+    m.put("szlig;", "\u00df")
+    m.put("tau;", "\u03c4")
+    m.put("there4;", "\u2234")
+    m.put("theta;", "\u03b8")
+    m.put("thetasym;", "\u03d1")
+    m.put("thinsp;", "\u2009")
+    m.put("thorn", "\u00fe")
+    m.put("thorn;", "\u00fe")
+    m.put("tilde;", "\u02dc")
+    m.put("times", "\u00d7")
+    m.put("times;", "\u00d7")
+    m.put("trade;", "\u2122")
+    m.put("uArr;", "\u21d1")
+    m.put("uacute", "\u00fa")
+    m.put("uacute;", "\u00fa")
+    m.put("uarr;", "\u2191")
+    m.put("ucirc", "\u00fb")
+    m.put("ucirc;", "\u00fb")
+    m.put("ugrave", "\u00f9")
+    m.put("ugrave;", "\u00f9")
+    m.put("uml", "\u00a8")
+    m.put("uml;", "\u00a8")
+    m.put("upsih;", "\u03d2")
+    m.put("upsilon;", "\u03c5")
+    m.put("uuml", "\u00fc")
+    m.put("uuml;", "\u00fc")
+    m.put("weierp;", "\u2118")
+    m.put("xi;", "\u03be")
+    m.put("yacute", "\u00fd")
+    m.put("yacute;", "\u00fd")
+    m.put("yen", "\u00a5")
+    m.put("yen;", "\u00a5")
+    m.put("yuml", "\u00ff")
+    m.put("yuml;", "\u00ff")
+    m.put("zeta;", "\u03b6")
+    m.put("zwj;", "\u200d")
+    m.put("zwnj;", "\u200c")
+    m
+  }
+
+  /** WHATWG numeric-character-reference override: &#128;..&#159; decode
+    * as cp1252 (smart quotes, euro, dashes from mis-encoded content). */
+  private[functions] val Cp1252: java.util.HashMap[Integer, Integer] = {
+    val m = new java.util.HashMap[Integer, Integer](64)
+    m.put(128, 0x20AC); m.put(130, 0x201A); m.put(131, 0x0192)
+    m.put(132, 0x201E); m.put(133, 0x2026); m.put(134, 0x2020)
+    m.put(135, 0x2021); m.put(136, 0x02C6); m.put(137, 0x2030)
+    m.put(138, 0x0160); m.put(139, 0x2039); m.put(140, 0x0152)
+    m.put(142, 0x017D); m.put(145, 0x2018); m.put(146, 0x2019)
+    m.put(147, 0x201C); m.put(148, 0x201D); m.put(149, 0x2022)
+    m.put(150, 0x2013); m.put(151, 0x2014); m.put(152, 0x02DC)
+    m.put(153, 0x2122); m.put(154, 0x0161); m.put(155, 0x203A)
+    m.put(156, 0x0153); m.put(158, 0x017E); m.put(159, 0x0178)
+    m
+  }
+
+  /** The single-pass unescape over a Java string. */
+  private[graft] def unescape(s: String): String = {
+    var amp = s.indexOf('&')
+    if (amp < 0) return s
+    val out = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (amp >= 0) {
+      out.append(s, i, amp)
+      val consumed = tryRef(s, amp, out)
+      if (consumed > 0) i = amp + consumed
+      else { out.append('&'); i = amp + 1 }
+      amp = s.indexOf('&', i)
+    }
+    out.append(s, i, s.length)
+    out.toString
+  }
+
+  /** Attempt a character reference at `s(at) == '&'`; on success append
+    * the replacement and return chars consumed (incl. '&'), else 0. */
+  private def tryRef(s: String, at: Int, out: java.lang.StringBuilder): Int = {
+    val n = s.length
+    if (at + 1 >= n) return 0
+    if (s.charAt(at + 1) == '#') numericRef(s, at, out)
+    else namedRef(s, at, out)
+  }
+
+  private def numericRef(s: String, at: Int, out: java.lang.StringBuilder): Int = {
+    val n = s.length
+    var p = at + 2
+    var hex = false
+    if (p < n && (s.charAt(p) == 'x' || s.charAt(p) == 'X')) { hex = true; p += 1 }
+    val digits0 = p
+    var cp = 0L
+    while (p < n && isDigit(s.charAt(p), hex) && p - digits0 <= 8) {
+      cp = cp * (if (hex) 16 else 10) + digitVal(s.charAt(p))
+      p += 1
+    }
+    if (p == digits0) return 0 // "&#" with no digits: not a reference
+    // python html.unescape: trailing ';' optional for numeric refs
+    val end = if (p < n && s.charAt(p) == ';') p + 1 else p
+    val mapped = Cp1252.get(Integer.valueOf(cp.toInt))
+    val code: Int =
+      if (mapped != null && cp < 256) mapped.intValue()
+      else if (cp == 0 || cp > 0x10FFFF ||
+        (cp >= 0xD800 && cp <= 0xDFFF)) 0xFFFD
+      else cp.toInt
+    out.appendCodePoint(code)
+    end - at
+  }
+
+  private def namedRef(s: String, at: Int, out: java.lang.StringBuilder): Int = {
+    val n = s.length
+    var p = at + 1
+    // python's char class: [^\t\n\f <&#;]{1,32}, optional trailing ';'
+    val start = p
+    while (p < n && p - start < 32 && nameChar(s.charAt(p))) p += 1
+    if (p == start) return 0
+    val withSemi = p < n && s.charAt(p) == ';'
+    val full = if (withSemi) s.substring(start, p + 1) else s.substring(start, p)
+    val exact = Entities.get(full)
+    if (exact != null) { out.append(exact); return (full.length + 1) }
+    // longest-prefix fallback (legacy no-semicolon refs): &notit; -> ¬it;
+    var x = full.length - 1
+    while (x >= 2) {
+      val v = Entities.get(full.substring(0, x))
+      if (v != null) { out.append(v); return x + 1 }
+      x -= 1
+    }
+    0
+  }
+
+  private def isDigit(c: Char, hex: Boolean): Boolean =
+    (c >= '0' && c <= '9') ||
+      (hex && ((c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')))
+
+  private def digitVal(c: Char): Int =
+    if (c <= '9') c - '0'
+    else if (c <= 'F') c - 'A' + 10
+    else c - 'a' + 10
+
+  private def nameChar(c: Char): Boolean =
+    c != '\t' && c != '\n' && c != '\f' && c != ' ' &&
+      c != '<' && c != '&' && c != '#' && c != ';'
+}
+
+/** `html.unescape` as a Catalyst expression (see [[HtmlExpressions]]). */
+case class HtmlUnescape(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "html_unescape"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"html_unescape expects string, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(
+      HtmlExpressions.unescape(v.asInstanceOf[UTF8String].toString))
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

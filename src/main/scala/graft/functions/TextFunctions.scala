@@ -232,12 +232,15 @@ object TextFunctions {
   def cleanHtml(c: Column): Column = {
     val noCode = regexp_replace(c, "(?is)<code[^>]*>.*?</code>", " ")
     val noTags = regexp_replace(noCode, "<[^>]+>", " ")
-    val unescaped = Seq(("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""),
-      ("&#39;", "'"), ("&#x27;", "'"), ("&nbsp;", " "), ("&amp;", "&"))
-      .foldLeft(noTags) { case (col, (from, to)) =>
-        regexp_replace(col, java.util.regex.Pattern.quote(from), to)
-      }
-    trim(regexp_replace(unescaped, """\s+""", " "))
+    // full html.unescape parity in one scan (named HTML4 + numeric refs)
+    // — see HtmlExpressions for the documented HTML5-name divergence.
+    // The collapse includes the unicode space family: &nbsp;/&ensp;/&emsp;
+    // now decode to their REAL codepoints (html.unescape parity), which
+    // Java's ASCII \s would leave behind. (The driver testdata contains
+    // no unicode spaces, so the DuckDB oracle's ASCII \s stays equal.)
+    val unescaped = HtmlExpressions.htmlUnescape(noTags)
+    trim(regexp_replace(unescaped,
+      "[\\s\\u00A0\\u2002\\u2003\\u2009]+", " "))
   }
 
   // ---------------------------------------------------------------------

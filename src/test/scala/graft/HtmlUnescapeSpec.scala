@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{HtmlExpressions, TextFunctions}
+
+/** Golden parity with Python `html.unescape` (the reference's exact
+  * call, `search_clients.py:88`): every expected value below is the
+  * verbatim output of CPython's `html.unescape` on the input. Covers
+  * the entity families that occur in real StackOverflow / GitHub
+  * payloads (Latin-1 accents, punctuation/dashes/quotes, currency,
+  * math, fractions), numeric refs (decimal, hex, cp1252 override range,
+  * out-of-range), legacy no-semicolon refs, and the longest-prefix
+  * fallback. HTML5-only names are the documented out-of-scope rest. */
+class HtmlUnescapeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val goldens: Seq[(String, String)] = Seq(
+    ("Use &lt;b&gt; &amp;&amp; &quot;quotes&quot; &#39;ok&#39;",
+     "Use <b> && \"quotes\" 'ok'"),
+    ("caf&eacute; &mdash; r&eacute;sum&eacute;&hellip;",
+     "café — résumé…"),
+    ("1 &times; 2 &divide; 3 &plusmn; 4 &micro;s &deg;C",
+     "1 × 2 ÷ 3 ± 4 µs °C"),
+    ("&copy; 2024 Foo&trade; &reg; &bull; a&middot;b",
+     "© 2024 Foo™ ® • a·b"),
+    ("&laquo;hi&raquo; &ldquo;there&rdquo; don&rsquo;t",
+     "«hi» “there” don’t"),
+    // numeric: decimal, hex, and an em-dash
+    ("A&#66;C &#x44;EF &#8212; dash", "ABC DEF — dash"),
+    // cp1252 override range: mis-encoded smart quotes
+    ("bad &#147;smart quotes&#148; &#146;legacy&#146;",
+     "bad “smart quotes” ’legacy’"),
+    // unknown names pass through untouched
+    ("unknown &foobar; stays &unknown; &;",
+     "unknown &foobar; stays &unknown; &;"),
+    // legacy no-semicolon ref; out-of-range codepoint -> U+FFFD
+    ("no semi &amp stays, &#x110000; out of range",
+     "no semi & stays, � out of range"),
+    // double-escaped stays single-unescaped
+    ("&amp;lt; double-escaped", "&lt; double-escaped"),
+    ("&euro;99 &pound;5 &yen;100 &cent;50 &sect;2 &para;3",
+     "€99 £5 ¥100 ¢50 §2 ¶3"),
+    ("x&nbsp;y &frac12; &frac14; &sup2; &sup3;",
+     "x y ½ ¼ ² ³"), // x<NBSP>y: U+00A0, not a space
+    // longest-prefix fallback, html.unescape("&notit;") == "¬it;"
+    ("&notit;", "¬it;"),
+    // uppercase aliases
+    ("&AMP; &LT; &GT; &QUOT; &COPY; &REG;",
+     "& < > \" © ®"))
+
+  test("html_unescape matches python html.unescape on the golden corpus") {
+    goldens.foreach { case (in, want) =>
+      assert(HtmlExpressions.unescape(in) === want, s"input: $in")
+    }
+  }
+
+  test("the Catalyst expression path produces the same values") {
+    val got = goldens.map(_._1).toDF("t")
+      .select(HtmlExpressions.htmlUnescape($"t")).as[String].collect()
+    assert(got.toSeq === goldens.map(_._2))
+  }
+
+  test("cleanHtml uses the full unescape and collapses unicode spaces") {
+    val df = Seq(
+      "<p>caf&eacute; &mdash; ok<code>skip me</code></p>",
+      "<b>x</b>&nbsp;&nbsp;y&ensp;z").toDF("t")
+    val got = df.select(TextFunctions.cleanHtml($"t")).as[String].collect()
+    assert(got(0) === "café — ok")
+    assert(got(1) === "x y z")
+  }
+
+  test("null and entity-free strings pass through") {
+    val df = Seq[String](null, "plain text, no entities & such")
+      .toDF("t")
+    val got = df.select(HtmlExpressions.htmlUnescape($"t")).collect()
+    assert(got(0).isNullAt(0))
+    assert(got(1).getString(0) === "plain text, no entities & such")
+  }
+}
