@@ -37,8 +37,16 @@ object MergeTable {
 
   final case class Snapshot(version: Long, files: Seq[String])
 
+  /** @param filesRewritten files of the previous version REPLACED
+    *        (hit by a matched key / delete predicate) — the Delta
+    *        numTargetFilesRemoved analog; rewrite cost is proportional
+    *        to this, not to the table size
+    * @param filesWritten new files committed for the replacement rows
+    *        (sized to match filesRewritten — see the coalesce in
+    *        mergeOnce — so continuous upserts don't fragment the table) */
   final case class MergeStats(
-      version: Long, filesKept: Long, filesRewritten: Long, rowsUpserted: Long)
+      version: Long, filesKept: Long, filesRewritten: Long,
+      filesWritten: Long, rowsUpserted: Long)
 
   /** Thrown when `maxRetries` optimistic commits in a row lost the
     * race to a concurrent writer. */
@@ -144,36 +152,55 @@ object MergeTable {
 
     val touched: Set[String] =
       if (nU == 0) Set.empty
-      else {
-        val keyed = spark.read.parquet(snap.files: _*)
-          .select(keyCols.map(col) :+ input_file_name().as("__file"): _*)
-        // single-key fast path: [min,max] of the update keys is pushed
-        // into the parquet scan, pruning range-sorted files wholesale
-        val ranged =
-          if (keyCols.size == 1) {
-            val k = keyCols.head
-            val r = u.agg(min(col(k)).as("lo"), max(col(k)).as("hi")).head()
-            if (r.isNullAt(0)) keyed
-            else keyed.filter(col(k) >= lit(r.get(0)) && col(k) <= lit(r.get(1)))
-          } else keyed
-        ranged.join(broadcast(u.select(keyCols.map(col): _*).distinct()),
-            keyCols, "left_semi")
-          .select(col("__file")).distinct()
-          .collect().map(r => normalize(r.getString(0))).toSet
-      }
+      else discoveryFrame(spark, snap.files, u, keyCols)
+        .collect().map(r => normalize(r.getString(0))).toSet
 
     val (hit, kept) = snap.files.partition(f => touched.contains(normalize(f)))
     val replaced =
-      if (hit.isEmpty && nU == 0) return MergeStats(snap.version, kept.size, 0, 0)
-      else if (hit.isEmpty) u.select(cols.map(col): _*)
+      if (hit.isEmpty && nU == 0)
+        return MergeStats(snap.version, kept.size, 0, 0, 0)
+      else if (hit.isEmpty) u.select(cols.map(col): _*).coalesce(1)
       else spark.read.parquet(hit: _*)
         .join(broadcast(u.select(keyCols.map(col): _*).distinct()),
           keyCols, "left_anti")
         .select(cols.map(col): _*)
         .unionByName(u.select(cols.map(col): _*))
+        // as many output files as were hit: without this, the replaced
+        // rows inherit the plan's partitioning (hit splits + the update
+        // frame's partitions) and every merge FRAGMENTS the table —
+        // measured 34 new files for a 1-file hit at 10M rows
+        .coalesce(hit.size)
     val newFiles = writeBatch(spark, fs, root, replaced)
     commit(fs, root, snap.version + 1, kept ++ newFiles) // throws on race
-    MergeStats(snap.version + 1, kept.size, newFiles.size, nU)
+    MergeStats(snap.version + 1, kept.size, hit.size, newFiles.size, nU)
+  }
+
+  /** The touched-file discovery plan: distinct `input_file_name` of
+    * rows whose key matches an update key, scanning ONLY the key
+    * column. Single-key [min,max] of the update keys is pushed into the
+    * parquet scan (MergeTableSpec gates `PushedFilters`), so on a
+    * [[compactTable]]'d (key-range-sorted) table most files are pruned
+    * at the footer level before the semi-join runs. */
+  private[graft] def discoveryFrame(
+      spark: SparkSession, files: Seq[String], u: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    val base = spark.read.parquet(files: _*)
+    // The range filter goes DIRECTLY on the relation, before the
+    // projection that adds input_file_name(): that expression is
+    // non-deterministic, and Catalyst refuses to push any predicate
+    // through a projection containing one — filtering after it would
+    // silently scan every file (caught by the PushedFilters plan gate).
+    val ranged =
+      if (keyCols.size == 1) {
+        val k = keyCols.head
+        val r = u.agg(min(col(k)).as("lo"), max(col(k)).as("hi")).head()
+        if (r.isNullAt(0)) base
+        else base.filter(col(k) >= lit(r.get(0)) && col(k) <= lit(r.get(1)))
+      } else base
+    ranged.select(keyCols.map(col) :+ input_file_name().as("__file"): _*)
+      .join(broadcast(u.select(keyCols.map(col): _*).distinct()),
+        keyCols, "left_semi")
+      .select(col("__file")).distinct()
   }
 
   /** Row-level DELETE: rewrite only the files that contain a row
@@ -196,11 +223,13 @@ object MergeTable {
           .select(input_file_name().as("__file")).distinct()
           .collect().map(r => normalize(r.getString(0))).toSet
         val (hit, kept) = snap.files.partition(f => touched.contains(normalize(f)))
-        if (hit.isEmpty) return MergeStats(snap.version, kept.size, 0, 0)
-        val survivors = spark.read.parquet(hit: _*).filter(!coalesce(cond, lit(false)))
+        if (hit.isEmpty) return MergeStats(snap.version, kept.size, 0, 0, 0)
+        val survivors = spark.read.parquet(hit: _*)
+          .filter(!coalesce(cond, lit(false)))
+          .coalesce(hit.size) // one output file per hit file (see mergeOnce)
         val newFiles = writeBatch(spark, fs, root, survivors)
         commit(fs, root, snap.version + 1, kept ++ newFiles)
-        return MergeStats(snap.version + 1, kept.size, newFiles.size, 0)
+        return MergeStats(snap.version + 1, kept.size, hit.size, newFiles.size, 0)
       } catch {
         case _: FileAlreadyExistsException => // lost the race: re-snapshot
       }

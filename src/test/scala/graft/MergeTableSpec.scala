@@ -115,6 +115,26 @@ class MergeTableSpec extends SparkSpec {
     assert(MergeTable.vacuum(spark, path, retainMillis = 0) === 0) // idempotent
   }
 
+  test("touched-file discovery pushes the key range into the parquet scan") {
+    val path = freshPath()
+    MergeTable.init(spark, path, rows(1 to 1000, "a"))
+    MergeTable.compactTable(spark, path, "id", numFiles = 8)
+    val snap = MergeTable.snapshot(spark, path)
+    val df = MergeTable.discoveryFrame(
+      spark, snap.files, rows(10 to 20, "new"), Seq("id"))
+    val scans = graft.util.Plans.executedNodes(df).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "expected a parquet scan in the discovery plan")
+    val pushed = scans.map(_.metadata.getOrElse("PushedFilters", "")).mkString
+    assert(pushed.contains("GreaterThanOrEqual(id") &&
+      pushed.contains("LessThanOrEqual(id"),
+      s"update key range must reach the parquet footer level, got: $pushed")
+    // the scan reads only the key column (+ synthetic file name)
+    val read = scans.head.metadata.getOrElse("ReadSchema", "")
+    assert(!read.contains("tag"), s"discovery must not read data columns: $read")
+  }
+
   test("merge rejects NULL keys and schema drift loudly") {
     val path = freshPath()
     MergeTable.init(spark, path, rows(1 to 10, "a"))
