@@ -783,6 +783,14 @@ object SparkEntry {
             col("text"), col("text"), lit("tail line"), col("text"))).as("clean"))
         .orderBy(col("doc_id"))),
 
+    "q99_repeated_spans" -> ((s, d) =>
+      // cross-doc repeated 8-gram spans (ExactSubstr-style dedup signal):
+      // maximal word-index spans whose every covering n-gram appears in
+      // >= 2 distinct documents; md5-portable gram hashes
+      operators.Curation.repeatedNgramSpans(T.documents(s, d), "doc_id", "text",
+          n = 8, minDocs = 2)
+        .orderBy(col("doc_id"), col("span_start"))),
+
     "q94_json_redact" -> ((s, d) => {
       // recursive JSON redaction over structured metadata: build a
       // nested payload from real columns, sanitize it, extract fields
@@ -1654,6 +1662,26 @@ object SparkEntry {
         |  list_filter(ls, (x, i) -> trim(x) = '' OR list_position(trs, trim(x)) = i),
         |  chr(10)) AS clean
         |FROM a ORDER BY doc_id""".stripMargin,
+
+    // Same gram identity (md5 of the space-joined 8-gram; DuckDB keeps
+    // the hex string where Spark shuffles the 8-byte prefix — only
+    // grouping identity matters), same gaps-and-islands merge. NULL
+    // lag comparison falls to "new island" in both engines.
+    "q99_repeated_spans" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |p AS (SELECT doc_id, ws, unnest(range(0, greatest(len(ws) - 7, 0))) AS pos FROM w),
+        |g AS (SELECT doc_id, pos, md5(array_to_string(ws[pos+1:pos+8], ' ')) AS gram FROM p),
+        |rep AS (SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY gram) WHERE nd >= 2),
+        |hits AS (SELECT g.doc_id, g.pos FROM g JOIN rep USING (gram)),
+        |isl AS (SELECT doc_id, pos,
+        |    CASE WHEN pos <= lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+        |         THEN 0 ELSE 1 END AS ni
+        |  FROM hits),
+        |isl2 AS (SELECT doc_id, pos,
+        |    sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM isl)
+        |SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+        |  CAST(max(pos) + 7 AS INT) AS span_end
+        |FROM isl2 GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
 
     "q97_chunking" ->
       """WITH arrs AS (

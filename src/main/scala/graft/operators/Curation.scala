@@ -176,4 +176,80 @@ object Curation {
           .otherwise(coalesce(col("__clean"), lit(""))))
       .drop("__clean")
   }
+
+  /** Cross-document repeated n-gram SPANS — the distributed
+    * approximation of suffix-array "exact substring" dedup (Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better"):
+    * a word n-gram that appears in at least `minDocs` DISTINCT
+    * documents marks a repeated region; overlapping and touching
+    * marked regions merge into maximal spans. Returns one row per span:
+    * (idCol, span_start, span_end), inclusive 0-based WORD indices.
+    * Repetition WITHIN one document does not count (doc-frequency
+    * semantics — the boilerplate/memorization signal).
+    *
+    * Scale shape: grams are hashed per row (md5-prefix — engine-
+    * portable AND compact, so the shuffle moves 8-byte keys, never the
+    * gram strings) → one distinct+count shuffle keyed by gram hash →
+    * semi-join of gram positions against the repeated set → one
+    * window per document for the gaps-and-islands merge. Nothing
+    * quadratic, no driver state.
+    */
+  def repeatedNgramSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minDocs: Long = 2): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val words = TextFunctions.words(col(textCol))
+    val grams = df.select(col(idCol).as("id"),
+        when(size(words) >= n,
+          transform(sequence(lit(0), size(words) - n),
+            i => graft.functions.HashExpressions.md5Prefix64(
+              concat_ws(" ", slice(words, i + 1, lit(n))))))
+          .otherwise(array().cast("array<long>")).as("__grams"))
+      .select(col("id"), posexplode(col("__grams")).as(Seq("pos", "gram")))
+    val repeated = grams.select(col("gram"), col("id")).distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("gram"))
+    val hits = grams.join(repeated, Seq("gram"), "left_semi")
+    // gaps-and-islands: positions ascend per doc, so the previous row
+    // holds the island's max start; a hit within n of it extends the
+    // span (spans [p, p+n-1] overlap or touch exactly when p' <= p + n)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("pos"))
+    hits.select(col("id"), col("pos"))
+      .withColumn("__new",
+        when(col("pos") <= lag(col("pos"), 1).over(w) + n, 0).otherwise(1))
+      .withColumn("__island", sum(col("__new")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("id"), col("__island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + n - 1).as("span_end"))
+      .select(col("id").as(idCol), col("span_start"), col("span_end"))
+  }
+
+  /** Remove the [[repeatedNgramSpans]] regions from each document:
+    * words inside any span are dropped, survivors rejoin with single
+    * spaces (the tokenization this operator works at). Documents with
+    * no repeated span keep their text verbatim; null text stays null.
+    * One extra groupBy-doc shuffle over the span list plus a broadcast-
+    * friendly left join back to the corpus. */
+  def stripRepeatedNgramSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minDocs: Long = 2, outCol: String = ""): DataFrame = {
+    val out = if (outCol.nonEmpty) outCol else textCol
+    val spans = repeatedNgramSpans(df, idCol, textCol, n, minDocs)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
+    val words = TextFunctions.words(col(textCol))
+    df.join(spans, Seq(idCol), "left")
+      .withColumn(out,
+        when(col(textCol).isNull, lit(null).cast("string"))
+          .when(col("__spans").isNull, col(textCol))
+          .otherwise(concat_ws(" ",
+            filter(words, (wd, i) =>
+              !exists(col("__spans"), s =>
+                i >= s.getField("span_start") && i <= s.getField("span_end"))))))
+      .drop("__spans")
+  }
 }

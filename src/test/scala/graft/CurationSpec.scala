@@ -137,4 +137,38 @@ class CurationSpec extends SparkSpec {
       .orderBy("doc_id").select("text").as[String].collect().toSeq
     assert(got === Seq("shared twice\na", "shared twice\nb", "solo\nc"))
   }
+
+  test("repeatedNgramSpans: shared runs become maximal merged spans; singles don't") {
+    val shared = "the quick brown fox jumps over the lazy dog today" // 10 words
+    val docs = Seq(
+      (1L, s"intro one two $shared tail1 tail2"),            // span at words 3..12
+      (2L, s"$shared totally different ending here"),        // span at words 0..9
+      (3L, "no overlap with anything else at all whatsoever here now"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val spans = Curation.repeatedNgramSpans(docs, "doc_id", "text", n = 8, minDocs = 2)
+      .orderBy("doc_id", "span_start")
+      .as[(Long, Int, Int)].collect().toSeq
+    // 10 shared words, n=8 -> gram positions {0,1,2} relative to the run,
+    // merged into ONE span covering all 10 words
+    assert(spans === Seq((1L, 3, 12), (2L, 0, 9)))
+
+    val stripped = Curation.stripRepeatedNgramSpans(
+        docs, "doc_id", "text", n = 8, minDocs = 2)
+      .orderBy("doc_id").select("text").as[String].collect().toSeq
+    assert(stripped(0) === "intro one two tail1 tail2")
+    assert(stripped(1) === "totally different ending here")
+    assert(stripped(2) === "no overlap with anything else at all whatsoever here now")
+    assert(stripped(3) === null)
+  }
+
+  test("repeatedNgramSpans: within-doc repetition alone does not mark a span") {
+    val run = "a b c d e f g h" // exactly one 8-gram
+    val docs = Seq(
+      (1L, s"$run and then $run"), // repeats only within doc 1
+      (2L, "completely unrelated words that never repeat anywhere else ok")
+    ).toDF("doc_id", "text")
+    assert(Curation.repeatedNgramSpans(docs, "doc_id", "text", n = 8, minDocs = 2)
+      .isEmpty)
+  }
 }
