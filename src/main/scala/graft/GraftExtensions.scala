@@ -92,5 +92,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("shingle_hashes", "shingle_hashes(words, n) - distinct 64-bit n-gram shingle hashes"),
       (args: Seq[Expression]) =>
         ShingleHashes(args(0), intArg(args(1), "shingle_hashes n"))))
+
+    ext.injectFunction((FunctionIdentifier("simhash64_md5"),
+      info("simhash64_md5",
+        "simhash64_md5(tokens) - engine-portable 64-bit SimHash (md5-derived token bits)"),
+      (args: Seq[Expression]) => SimHash64Md5(args(0))))
+
+    ext.injectFunction((FunctionIdentifier("md5_prefix64"),
+      info("md5_prefix64",
+        "md5_prefix64(s) - first 8 md5 bytes as a big-endian signed 64-bit value"),
+      (args: Seq[Expression]) => Md5Prefix64(args(0))))
+
+    ext.injectFunction((FunctionIdentifier("html_unescape"),
+      info("html_unescape",
+        "html_unescape(s) - python html.unescape parity (HTML4 named + numeric character references)"),
+      (args: Seq[Expression]) => HtmlUnescape(args(0))))
   }
 }

@@ -791,6 +791,23 @@ object SparkEntry {
           n = 8, minDocs = 2)
         .orderBy(col("doc_id"), col("span_start"))),
 
+    "q100_bm25" -> ((s, d) =>
+      // lexical retrieval: Okapi BM25 top-k (the vector path's sibling);
+      // output keeps the operator's raw-score row order
+      operators.Lexical.bm25TopK(T.documents(s, d), "doc_id", "text",
+        Seq("spark", "join", "slow"), k = 20)),
+
+    "q101_hybrid_rrf" -> ((s, d) => {
+      // hybrid retrieval: reciprocal-rank fusion of two lexical rankings
+      // (rank-space fusion — immune to incomparable score scales)
+      val docs = T.documents(s, d)
+      val a = operators.Lexical.bm25TopK(docs, "doc_id", "text",
+        Seq("spark", "join", "slow"), k = 30)
+      val b = operators.Lexical.bm25TopK(docs, "doc_id", "text",
+        Seq("vector", "stream"), k = 30)
+      operators.Lexical.rrfFuse(Seq(a, b), "doc_id", k = 15)
+    }),
+
     "q94_json_redact" -> ((s, d) => {
       // recursive JSON redaction over structured metadata: build a
       // nested payload from real columns, sanitize it, extract fields
@@ -1662,6 +1679,77 @@ object SparkEntry {
         |  list_filter(ls, (x, i) -> trim(x) = '' OR list_position(trs, trim(x)) = i),
         |  chr(10)) AS clean
         |FROM a ORDER BY doc_id""".stripMargin,
+
+    // BM25 with the identical left-associated floating-point expression
+    // (idf*tf*(k1+1) first, then the length-normalized denominator, terms
+    // summed left to right) so both engines produce the same doubles;
+    // selection/order by the RAW score, rounding only in the projection.
+    "q100_bm25" ->
+      """WITH w AS (SELECT doc_id,
+        |    CASE WHEN text IS NULL OR trim(lower(text)) = '' THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS ws
+        |  FROM documents),
+        |st AS (SELECT count(*)::DOUBLE AS n, avg(len(ws))::DOUBLE AS avgdl FROM w),
+        |dfs AS (SELECT
+        |    sum(CASE WHEN list_contains(ws, 'spark') THEN 1 ELSE 0 END)::DOUBLE AS df1,
+        |    sum(CASE WHEN list_contains(ws, 'join') THEN 1 ELSE 0 END)::DOUBLE AS df2,
+        |    sum(CASE WHEN list_contains(ws, 'slow') THEN 1 ELSE 0 END)::DOUBLE AS df3
+        |  FROM w),
+        |tf AS (SELECT doc_id, len(ws)::DOUBLE AS dl,
+        |    len(list_filter(ws, x -> x = 'spark'))::DOUBLE AS tf1,
+        |    len(list_filter(ws, x -> x = 'join'))::DOUBLE AS tf2,
+        |    len(list_filter(ws, x -> x = 'slow'))::DOUBLE AS tf3
+        |  FROM w),
+        |sc AS (SELECT doc_id,
+        |    (CASE WHEN tf1 > 0 THEN ln(1 + (n - df1 + 0.5)/(df1 + 0.5)) * tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * dl/avgdl)) ELSE 0 END)
+        |  + (CASE WHEN tf2 > 0 THEN ln(1 + (n - df2 + 0.5)/(df2 + 0.5)) * tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl/avgdl)) ELSE 0 END)
+        |  + (CASE WHEN tf3 > 0 THEN ln(1 + (n - df3 + 0.5)/(df3 + 0.5)) * tf3 * 2.2 / (tf3 + 1.2 * (0.25 + 0.75 * dl/avgdl)) ELSE 0 END) AS s
+        |  FROM tf, st, dfs)
+        |SELECT doc_id, round(s, 6) AS score FROM sc WHERE s > 0
+        |ORDER BY s DESC, doc_id LIMIT 20""".stripMargin,
+
+    // Ranks over the ROUNDED bm25 scores (the fused inputs are the
+    // operator outputs), contributions summed in ranking order.
+    "q101_hybrid_rrf" ->
+      """WITH w AS (SELECT doc_id,
+        |    CASE WHEN text IS NULL OR trim(lower(text)) = '' THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS ws
+        |  FROM documents),
+        |st AS (SELECT count(*)::DOUBLE AS n, avg(len(ws))::DOUBLE AS avgdl FROM w),
+        |dfa AS (SELECT
+        |    sum(CASE WHEN list_contains(ws, 'spark') THEN 1 ELSE 0 END)::DOUBLE AS df1,
+        |    sum(CASE WHEN list_contains(ws, 'join') THEN 1 ELSE 0 END)::DOUBLE AS df2,
+        |    sum(CASE WHEN list_contains(ws, 'slow') THEN 1 ELSE 0 END)::DOUBLE AS df3
+        |  FROM w),
+        |dfb AS (SELECT
+        |    sum(CASE WHEN list_contains(ws, 'vector') THEN 1 ELSE 0 END)::DOUBLE AS df4,
+        |    sum(CASE WHEN list_contains(ws, 'stream') THEN 1 ELSE 0 END)::DOUBLE AS df5
+        |  FROM w),
+        |tf AS (SELECT doc_id, len(ws)::DOUBLE AS dl,
+        |    len(list_filter(ws, x -> x = 'spark'))::DOUBLE AS tf1,
+        |    len(list_filter(ws, x -> x = 'join'))::DOUBLE AS tf2,
+        |    len(list_filter(ws, x -> x = 'slow'))::DOUBLE AS tf3,
+        |    len(list_filter(ws, x -> x = 'vector'))::DOUBLE AS tf4,
+        |    len(list_filter(ws, x -> x = 'stream'))::DOUBLE AS tf5
+        |  FROM w),
+        |sa AS (SELECT doc_id,
+        |    (CASE WHEN tf1 > 0 THEN ln(1 + (n - df1 + 0.5)/(df1 + 0.5)) * tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * dl/avgdl)) ELSE 0 END)
+        |  + (CASE WHEN tf2 > 0 THEN ln(1 + (n - df2 + 0.5)/(df2 + 0.5)) * tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl/avgdl)) ELSE 0 END)
+        |  + (CASE WHEN tf3 > 0 THEN ln(1 + (n - df3 + 0.5)/(df3 + 0.5)) * tf3 * 2.2 / (tf3 + 1.2 * (0.25 + 0.75 * dl/avgdl)) ELSE 0 END) AS s
+        |  FROM tf, st, dfa),
+        |sb AS (SELECT doc_id,
+        |    (CASE WHEN tf4 > 0 THEN ln(1 + (n - df4 + 0.5)/(df4 + 0.5)) * tf4 * 2.2 / (tf4 + 1.2 * (0.25 + 0.75 * dl/avgdl)) ELSE 0 END)
+        |  + (CASE WHEN tf5 > 0 THEN ln(1 + (n - df5 + 0.5)/(df5 + 0.5)) * tf5 * 2.2 / (tf5 + 1.2 * (0.25 + 0.75 * dl/avgdl)) ELSE 0 END) AS s
+        |  FROM tf, st, dfb),
+        |ta AS (SELECT doc_id, round(s, 6) AS score FROM sa WHERE s > 0 ORDER BY s DESC, doc_id LIMIT 30),
+        |tb AS (SELECT doc_id, round(s, 6) AS score FROM sb WHERE s > 0 ORDER BY s DESC, doc_id LIMIT 30),
+        |ra AS (SELECT doc_id, 1.0/(60.0 + row_number() OVER (ORDER BY score DESC, doc_id)) AS ca FROM ta),
+        |rb AS (SELECT doc_id, 1.0/(60.0 + row_number() OVER (ORDER BY score DESC, doc_id)) AS cb FROM tb),
+        |fused AS (SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+        |    coalesce(ca, 0) + coalesce(cb, 0) AS f
+        |  FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id)
+        |SELECT doc_id, round(f, 6) AS rrf_score FROM fused
+        |ORDER BY f DESC, doc_id LIMIT 15""".stripMargin,
 
     // Same gram identity (md5 of the space-joined 8-gram; DuckDB keeps
     // the hex string where Spark shuffles the 8-byte prefix — only

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Lexical retrieval — the BM25 sibling of the vector-search path, and
+  * the rank-fusion glue for hybrid retrieval. The reference's RAG stack
+  * is vector-only (`knowledge_base-RAG.sql:43-67`); a production corpus
+  * at 100 TB pairs that with a lexical ranker (exact identifiers, rare
+  * terms, error codes — everything embeddings blur) and fuses the two
+  * rankings. Both operators here are deterministic and engine-portable
+  * (fixed-order floating-point sums, md5-free), so the driver's DuckDB
+  * oracle checks them end to end.
+  */
+object Lexical {
+
+  /** Okapi BM25 top-k for one bag-of-terms query.
+    *
+    * Plan shape, deliberately two narrow passes over the corpus:
+    *  1. one aggregate for N/avgdl plus one tiny shuffle for per-term
+    *     document frequencies (|terms| rows collected to the driver —
+    *     the query statistics, small by construction);
+    *  2. one shuffle-free scoring pass: per-term tf via an array filter
+    *     on the lowercased word array, the BM25 sum folded LEFT-TO-RIGHT
+    *     over `terms` so the floating-point result is reproducible
+    *     across engines; TakeOrderedAndProject keeps per-partition
+    *     k-row heaps (no corpus sort, no shuffle).
+    *
+    * idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (Lucene's non-negative
+    * smoothing); docs matching no term are dropped. Ties break by id.
+    */
+  def bm25TopK(
+      docs: DataFrame, idCol: String, textCol: String, terms: Seq[String],
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val termsLower = terms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
+    val base = docs.select(col(idCol).as("id"),
+        TextFunctions.wordsLower(col(textCol)).as("__ws"))
+      .withColumn("__dl", size(col("__ws")).cast("double"))
+
+    val stats = base.agg(count(lit(1)).as("n"), avg(col("__dl")).as("avgdl")).head()
+    val n = stats.getLong(0)
+    require(n > 0, "corpus is empty")
+    val avgdl = stats.getDouble(1)
+    val dfCounts = base
+      .select(explode(array_intersect(col("__ws"), typedlit(termsLower))).as("__t"))
+      .groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    val norm = col("__dl") / avgdl
+    val perTerm: Seq[Column] = termsLower.map { t =>
+      val dfT = dfCounts.getOrElse(t, 0L)
+      val idf = math.log(1.0 + (n - dfT + 0.5) / (dfT + 0.5))
+      val tf = size(filter(col("__ws"), w => w === lit(t))).cast("double")
+      when(tf > 0,
+        lit(idf) * tf * lit(k1 + 1.0) /
+          (tf + lit(k1) * (lit(1.0 - b) + lit(b) * norm)))
+        .otherwise(lit(0.0))
+    }
+    base.withColumn("__score", perTerm.reduceLeft(_ + _))
+      .filter(col("__score") > 0)
+      .orderBy(desc("__score"), asc("id"))
+      .limit(k)
+      .select(col("id").as(idCol), round(col("__score"), 6).as("score"))
+  }
+
+  /** Reciprocal-rank fusion over any number of (idCol, score) rankings:
+    * rrf(id) = sum over rankings of 1/(c + rank), rank 1-based by
+    * (score DESC, id ASC). The standard hybrid-retrieval combiner
+    * (Cormack et al. 2009) — rank-space fusion is immune to the
+    * incomparable score scales of BM25 vs cosine. Inputs are top-k
+    * frames (small by construction), so the single-partition rank
+    * windows are bounded; the fused frame is at most the union of the
+    * inputs. Summation folds over the rankings in argument order for
+    * cross-engine reproducibility. */
+  def rrfFuse(
+      rankings: Seq[DataFrame], idCol: String, k: Int, c: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val contribs = rankings.zipWithIndex.map { case (df, i) =>
+      df.select(col(idCol).as("id"),
+          row_number().over(Window.orderBy(desc("score"), asc(idCol)))
+            .cast("double").as("__r"))
+        .select(col("id"), (lit(1.0) / (lit(c.toDouble) + col("__r"))).as(s"__c$i"))
+    }
+    val joined = contribs.zipWithIndex
+      .map { case (d, i) => (d, s"__c$i") }
+      .reduceLeft[(DataFrame, String)] { case ((acc, accCol), (d, dCol)) =>
+        val merged = acc.join(d, Seq("id"), "full_outer")
+          .select(col("id"),
+            (coalesce(col(accCol), lit(0.0)) + coalesce(col(dCol), lit(0.0)))
+              .as("__fused"))
+        (merged.withColumnRenamed("__fused", "__acc"), "__acc")
+      }
+    joined._1
+      .orderBy(desc(joined._2), asc("id"))
+      .limit(k)
+      .select(col("id").as(idCol), round(col(joined._2), 6).as("rrf_score"))
+  }
+}

@@ -37,6 +37,20 @@ class ExtensionsSpec extends SparkSpec {
     assert(row.getBoolean(10)) // nfc_eq
   }
 
+  test("round-5 SQL functions: html_unescape, md5_prefix64, simhash64_md5") {
+    val row = extSpark.sql("""
+      SELECT
+        html_unescape('caf&eacute; &amp; &#8212; ok') AS unesc,
+        md5_prefix64('') AS fp_empty,
+        simhash64_md5(array('a','a','a')) AS sh
+    """).collect()(0)
+    assert(row.getString(0) === "café & — ok")
+    // md5('') = d41d8cd98f00b204...: first 8 bytes big-endian signed
+    assert(row.getLong(1) === java.lang.Long.parseUnsignedLong("d41d8cd98f00b204", 16))
+    // one distinct token, odd count: fp = bits of md5-prefix64('a')
+    assert(row.getLong(2) === java.lang.Long.parseUnsignedLong("0cc175b9c0f1b6a8", 16))
+  }
+
   test("simhash64 via SQL equals the Scala API") {
     import extSpark.implicits._
     import org.apache.spark.sql.functions._

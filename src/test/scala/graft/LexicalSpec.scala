@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.Lexical
+
+/** BM25 + reciprocal-rank fusion: scores checked against the Okapi
+  * formula computed independently in the test, fusion checked for
+  * rank-space behavior (overlap boosts, scale-free). */
+class LexicalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "spark join is slow today"),          // all three terms once, dl=5
+    (2L, "spark spark spark and nothing else"),// high tf for one term, dl=6
+    (3L, "join the queue"),                    // one term, dl=3
+    (4L, "completely unrelated text here")     // no terms
+  ).toDF("doc_id", "text")
+
+  private def okapi(tf: Double, df: Double, n: Double, dl: Double,
+      avgdl: Double, k1: Double = 1.2, b: Double = 0.75): Double =
+    if (tf == 0) 0.0
+    else math.log(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * (k1 + 1.0) /
+      (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+  test("bm25TopK matches the Okapi formula; no-match docs are dropped") {
+    val got = Lexical.bm25TopK(docs, "doc_id", "text",
+        Seq("spark", "join", "slow"), k = 10)
+      .as[(Long, Double)].collect().toMap
+    assert(!got.contains(4L), "doc with no query term must be dropped")
+    val n = 4.0; val avgdl = (5 + 6 + 3 + 4) / 4.0
+    def expected(tfs: (Double, Double, Double), dl: Double) =
+      okapi(tfs._1, 2, n, dl, avgdl) + okapi(tfs._2, 2, n, dl, avgdl) +
+        okapi(tfs._3, 1, n, dl, avgdl)
+    assert(got(1L) === math.rint(expected((1, 1, 1), 5) * 1e6) / 1e6)
+    assert(got(2L) === math.rint(expected((3, 0, 0), 6) * 1e6) / 1e6)
+    assert(got(3L) === math.rint(expected((0, 1, 0), 3) * 1e6) / 1e6)
+    // doc 1 hits all three terms (incl. the rarer 'slow') — it must
+    // outrank the single-term docs
+    assert(got(1L) > got(2L) && got(1L) > got(3L))
+  }
+
+  test("bm25TopK k-limits and tie-breaks deterministically") {
+    val dup = Seq((10L, "spark"), (11L, "spark"), (12L, "spark"))
+      .toDF("doc_id", "text")
+    val got = Lexical.bm25TopK(dup, "doc_id", "text", Seq("spark"), k = 2)
+      .as[(Long, Double)].collect().toSeq
+    assert(got.map(_._1) === Seq(10L, 11L), "equal scores break ties by id")
+    assert(got(0)._2 === got(1)._2)
+  }
+
+  test("rrfFuse: overlap across rankings outranks a single high rank") {
+    val a = Seq((1L, 10.0), (2L, 9.0), (3L, 8.0)).toDF("doc_id", "score")
+    val b = Seq((2L, 5.0), (3L, 4.0), (9L, 3.0)).toDF("doc_id", "score")
+    val got = Lexical.rrfFuse(Seq(a, b), "doc_id", k = 10)
+      .as[(Long, Double)].collect().toSeq
+    // doc 2: rank 2 + rank 1 -> 1/62 + 1/61; doc 1: rank 1 only -> 1/61
+    assert(got.head._1 === 2L, s"overlapping doc must fuse on top: $got")
+    val d2 = 1.0 / 62 + 1.0 / 61
+    assert(got.head._2 === math.rint(d2 * 1e6) / 1e6)
+    assert(got.map(_._1).take(3) === Seq(2L, 3L, 1L)) // 3: 1/63+1/62 > 1: 1/61
+  }
+}
