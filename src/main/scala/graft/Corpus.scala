@@ -111,6 +111,19 @@ final case class Corpus(df: DataFrame, idCol: String, textCol: String) {
   def stripBoilerplate(minDocs: Long): Corpus =
     next(Curation.stripBoilerplateLines(df, idCol, textCol, minDocs))
 
+  /** Cross-document repeated n-gram SPAN removal (ExactSubstr-style
+    * dedup, [[graft.operators.Curation.stripRepeatedNgramSpans]]):
+    * word runs whose every n-gram appears in >= minDocs distinct docs
+    * are cut out of each text. */
+  def stripRepeatedSpans(n: Int = 8, minDocs: Long = 2): Corpus =
+    next(Curation.stripRepeatedNgramSpans(df, idCol, textCol, n, minDocs))
+
+  /** Terminal: Okapi BM25 top-k over the corpus text
+    * ([[graft.operators.Lexical.bm25TopK]]) — returns the (id, score)
+    * ranking, not a Corpus. */
+  def bm25(terms: Seq[String], k: Int): DataFrame =
+    graft.operators.Lexical.bm25TopK(df, idCol, textCol, terms, k)
+
   /** Terminal: explode into sliding-window token chunks for embedding/
     * RAG prep ([[graft.operators.Curation.chunkByTokens]]) — returns
     * the (id, chunk_idx, chunk) table, not a Corpus (granularity

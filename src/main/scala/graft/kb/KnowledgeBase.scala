@@ -77,6 +77,29 @@ object KnowledgeBase {
     else MergeTable.merge(spark, path, in, Seq("content_hash"))
   }
 
+  /** Hybrid retrieval: the vector ranking ([[matchDocuments]]) fused by
+    * reciprocal rank with a BM25 lexical ranking over `contentCol` —
+    * the extension a production RAG stack runs where the reference is
+    * vector-only (exact identifiers and rare terms that embeddings
+    * blur). Query terms are the lowercased whitespace tokens of
+    * `queryText`; both candidate pools are `poolSize` deep; the fused
+    * top-k returns (idCol, rrf_score). */
+  def hybridSearch(
+      kb: DataFrame, idCol: String, contentCol: String,
+      queryText: String, queryEmbedding: Array[Float], k: Int,
+      poolSize: Int = 50, vecCol: String = "embedding"): DataFrame = {
+    // matchDocuments ranks by cosine DISTANCE ascending; rrfFuse ranks
+    // by score descending — flip to similarity
+    val vec = matchDocuments(kb, queryEmbedding, poolSize, None, vecCol)
+      .select(col(idCol), (lit(1.0) - col("similarity")).as("score"))
+    val terms = queryText.toLowerCase(java.util.Locale.ROOT)
+      .split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    require(terms.nonEmpty, "queryText has no terms")
+    val lex = graft.operators.Lexical.bm25TopK(
+      kb, idCol, contentCol, terms, poolSize)
+    graft.operators.Lexical.rrfFuse(Seq(vec, lex), idCol, k)
+  }
+
   /** The expiry predicate (`expires_at IS NOT NULL AND expires_at <
     * now`) — shared by the sweep and by callers that count expirations. */
   def expired(now: Column, expiresCol: String = "expires_at"): Column =

@@ -47,6 +47,27 @@ class LexicalSpec extends SparkSpec {
     assert(got(0)._2 === got(1)._2)
   }
 
+  test("hybridSearch: a doc decent in BOTH rankings beats single-ranking champions") {
+    import graft.kb.KnowledgeBase
+    val kb = Seq(
+      // A: exact lexical match, orthogonal embedding
+      (1L, "broadcast join timeout error", Array(0f, 1f, 0f)),
+      // B: nearest embedding, no lexical overlap
+      (2L, "completely different words here", Array(1f, 0.05f, 0f)),
+      // C: some lexical overlap AND close-ish embedding
+      (3L, "a join that is slow", Array(0.9f, 0.4f, 0f)),
+      (4L, "unrelated filler content", Array(0f, 0f, 1f))
+    ).toDF("id", "content", "embedding")
+    val got = KnowledgeBase.hybridSearch(kb, "id", "content",
+        "broadcast join timeout", Array(1f, 0f, 0f), k = 3)
+      .as[(Long, Double)].collect().toSeq
+    // A is lexical rank 1 (3 terms) but vector rank 3; B is vector rank 1
+    // but absent lexically; C is rank 2 in both -> 2/62 beats 1/61 + 1/63
+    assert(got.map(_._1).head === 3L || got.map(_._1).take(2).contains(3L),
+      s"doc present in both rankings must fuse near the top: $got")
+    assert(got.nonEmpty && got.map(_._1).distinct.size === got.size)
+  }
+
   test("rrfFuse: overlap across rankings outranks a single high rank") {
     val a = Seq((1L, 10.0), (2L, 9.0), (3L, 8.0)).toDF("doc_id", "score")
     val b = Seq((2L, 5.0), (3L, 4.0), (9L, 3.0)).toDF("doc_id", "score")
