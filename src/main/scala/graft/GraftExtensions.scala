@@ -17,8 +17,9 @@ import graft.functions._
   * }}}
   *
   * SQL surface: cosine_similarity, cosine_distance, dot_product, l2_norm,
-  * l2_normalize, nfc_normalize, deflate_ratio, simhash64,
-  * minhash_signature(arr, k), shingle_hashes(arr, n).
+  * l2_normalize, nfc_normalize, deflate_ratio, simhash64, simhash64_md5,
+  * md5_prefix64, html_unescape, minhash_signature(arr, k),
+  * shingle_hashes(arr, n).
   *
   * Also injects [[graft.plans.IvfPruneRule]]: once a session registers
   * an IVF coarse quantizer ([[graft.plans.IvfIndex.register]]), any
