@@ -378,8 +378,23 @@ object SparkEntry {
       // path/names keep the registration from ever matching the other
       // embedding queries running in this session.
       val q = queryVec(s, d)
+      // cache key = fingerprint of the SOURCE data (size+mtime of every
+      // part), not just the sf-dir name: regenerated testdata or a
+      // different tree with the same basename must never reuse a stale
+      // snapshot (the oracle reads the fresh table either way)
+      val srcFile = new java.io.File(d, "embeddings.parquet")
+      val srcSig = {
+        val parts =
+          if (srcFile.isDirectory)
+            srcFile.listFiles().sortBy(_.getName)
+              .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+          else Array(s"${srcFile.length}:${srcFile.lastModified}")
+        val md = java.security.MessageDigest.getInstance("MD5")
+        md.digest(parts.mkString("|").getBytes("UTF-8"))
+          .take(6).map(b => f"${b & 0xff}%02x").mkString
+      }
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_q95_" +
-        new java.io.File(d).getName
+        s"${new java.io.File(d).getName}_$srcSig"
       if (!new java.io.File(path, "_SUCCESS").exists()) {
         T.embeddings(s, d).select(col("vec_id"),
             col("embedding").as("q95_vec"), col("label").as("q95_cluster"))

@@ -54,6 +54,40 @@ object HashExpressions {
     toColumn(MinHashSignatureLongs(toExpr(hashesCol), k))
 }
 
+/** The shared SimHash kernel: per-token 64-bit hash (pluggable), per-bit
+  * majority vote — a strictly positive vote sets the bit, ties clear it.
+  * Null tokens are skipped; empty arrays hash to 0. ONE implementation
+  * for both the xxhash and md5 variants so the tie/null semantics can
+  * never drift apart. */
+private[functions] object SimHashVotes {
+  val XxHash: org.apache.spark.unsafe.types.UTF8String => Long =
+    s => XxHash64Function.hash(s, StringType, 42L)
+  val Md5: org.apache.spark.unsafe.types.UTF8String => Long =
+    s => Md5Util.prefix64(s.getBytes)
+
+  def eval(arr: ArrayData,
+      hashFn: org.apache.spark.unsafe.types.UTF8String => Long): Long = {
+    val votes = new Array[Int](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = hashFn(arr.getUTF8String(i))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+}
+
 /** SimHash: per-token 64-bit hash, per-bit majority vote. Empty/null
   * token arrays hash to 0. */
 case class SimHash64(child: Expression)
@@ -68,27 +102,9 @@ case class SimHash64(child: Expression)
       s"simhash64 expects array<string>, got ${other.catalogString}")
   }
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
-    val votes = new Array[Int](64)
-    var i = 0
-    val n = arr.numElements()
-    while (i < n) {
-      if (!arr.isNullAt(i)) {
-        val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-          b += 1
-        }
-      }
-      i += 1
-    }
-    var out = 0L
-    var b = 0
-    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
-    java.lang.Long.valueOf(out)
-  }
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Long.valueOf(
+      SimHashVotes.eval(v.asInstanceOf[ArrayData], SimHashVotes.XxHash))
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -139,10 +155,8 @@ case class Md5Prefix64(child: Expression)
 }
 
 /** SimHash over md5-derived token hashes (see
-  * [[HashExpressions.simhash64Md5]]): per-token 64-bit hash =
-  * [[Md5Util.prefix64]], per-bit majority vote (strictly positive vote
-  * sets the bit — ties clear it, matching [[SimHash64]]). Empty token
-  * arrays hash to 0; null tokens are skipped. */
+  * [[HashExpressions.simhash64Md5]]): [[SimHashVotes]] with
+  * [[Md5Util.prefix64]] as the token hash. */
 case class SimHash64Md5(child: Expression)
     extends UnaryExpression with CodegenFallback {
 
@@ -155,27 +169,9 @@ case class SimHash64Md5(child: Expression)
       s"simhash64_md5 expects array<string>, got ${other.catalogString}")
   }
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
-    val votes = new Array[Int](64)
-    var i = 0
-    val n = arr.numElements()
-    while (i < n) {
-      if (!arr.isNullAt(i)) {
-        val h = Md5Util.prefix64(arr.getUTF8String(i).getBytes)
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-          b += 1
-        }
-      }
-      i += 1
-    }
-    var out = 0L
-    var b = 0
-    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
-    java.lang.Long.valueOf(out)
-  }
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Long.valueOf(
+      SimHashVotes.eval(v.asInstanceOf[ArrayData], SimHashVotes.Md5))
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -17,15 +17,16 @@ import graft.functions.ExprBridge.{toColumn, toExpr}
   *
   * Semantics mirror `html.unescape`'s algorithm exactly (same regex
   * char-class, same longest-prefix fallback for legacy no-semicolon
-  * refs, same numeric-reference handling including the WHATWG cp1252
-  * override range and U+FFFD for out-of-range/surrogate codepoints) over
-  * the HTML4 name table — all 252 HTML4 entities in both their `;` and
-  * legacy no-`;` spellings plus uppercase aliases (389 keys), which is
-  * every named reference that occurs in practice in StackOverflow /
-  * GitHub payloads. OUT OF SCOPE (documented divergence): the ~1800
-  * HTML5-only names (`&numero;`, `&OverBar;`, ...) pass through
-  * unchanged; the golden spec pins the supported surface against real
-  * `html.unescape` outputs.
+  * refs, same numeric-reference handling: unbounded digit runs, the
+  * CPython `_invalid_charrefs` override table checked first, U+FFFD for
+  * out-of-range/surrogate codepoints, `_invalid_codepoints` dropped to
+  * the empty string) over the HTML4 name table — all 252 HTML4 entities
+  * in both their `;` and legacy no-`;` spellings plus uppercase aliases
+  * (389 keys), which is every named reference that occurs in practice
+  * in StackOverflow / GitHub payloads. OUT OF SCOPE (the one documented
+  * divergence): the ~1800 HTML5-only names (`&numero;`, `&OverBar;`,
+  * ...) pass through unchanged; the golden spec pins the supported
+  * surface against real `html.unescape` outputs.
   */
 object HtmlExpressions {
   def htmlUnescape(c: Column): Column = toColumn(HtmlUnescape(toExpr(c)))
@@ -424,21 +425,35 @@ object HtmlExpressions {
     m
   }
 
-  /** WHATWG numeric-character-reference override: &#128;..&#159; decode
-    * as cp1252 (smart quotes, euro, dashes from mis-encoded content). */
-  private[functions] val Cp1252: java.util.HashMap[Integer, Integer] = {
+  /** CPython's `_invalid_charrefs` verbatim (34 entries): the WHATWG
+    * numeric-reference override table — NUL → U+FFFD, CR kept, and the
+    * whole 0x80..0x9F range mapped to cp1252 (smart quotes, euro,
+    * dashes from mis-encoded content; the five cp1252 holes map to
+    * themselves). Checked BEFORE the invalid-codepoint drop set. */
+  private[functions] val NumOverrides: java.util.HashMap[Integer, Integer] = {
     val m = new java.util.HashMap[Integer, Integer](64)
-    m.put(128, 0x20AC); m.put(130, 0x201A); m.put(131, 0x0192)
-    m.put(132, 0x201E); m.put(133, 0x2026); m.put(134, 0x2020)
-    m.put(135, 0x2021); m.put(136, 0x02C6); m.put(137, 0x2030)
-    m.put(138, 0x0160); m.put(139, 0x2039); m.put(140, 0x0152)
-    m.put(142, 0x017D); m.put(145, 0x2018); m.put(146, 0x2019)
-    m.put(147, 0x201C); m.put(148, 0x201D); m.put(149, 0x2022)
-    m.put(150, 0x2013); m.put(151, 0x2014); m.put(152, 0x02DC)
-    m.put(153, 0x2122); m.put(154, 0x0161); m.put(155, 0x203A)
-    m.put(156, 0x0153); m.put(158, 0x017E); m.put(159, 0x0178)
+    m.put(0x00, 0xFFFD); m.put(0x0D, 0x000D)
+    m.put(128, 0x20AC); m.put(129, 0x0081); m.put(130, 0x201A)
+    m.put(131, 0x0192); m.put(132, 0x201E); m.put(133, 0x2026)
+    m.put(134, 0x2020); m.put(135, 0x2021); m.put(136, 0x02C6)
+    m.put(137, 0x2030); m.put(138, 0x0160); m.put(139, 0x2039)
+    m.put(140, 0x0152); m.put(141, 0x008D); m.put(142, 0x017D)
+    m.put(143, 0x008F); m.put(144, 0x0090); m.put(145, 0x2018)
+    m.put(146, 0x2019); m.put(147, 0x201C); m.put(148, 0x201D)
+    m.put(149, 0x2022); m.put(150, 0x2013); m.put(151, 0x2014)
+    m.put(152, 0x02DC); m.put(153, 0x2122); m.put(154, 0x0161)
+    m.put(155, 0x203A); m.put(156, 0x0153); m.put(157, 0x009D)
+    m.put(158, 0x017E); m.put(159, 0x0178)
     m
   }
+
+  /** CPython's `_invalid_codepoints`: decoded to the EMPTY string (C0
+    * controls minus TAB/LF/FF/CR, DEL..APC not overridden above,
+    * noncharacters). Only reached when [[NumOverrides]] didn't match. */
+  private def invalidCodepoint(cp: Int): Boolean =
+    (cp >= 0x01 && cp <= 0x08) || cp == 0x0B ||
+      (cp >= 0x0E && cp <= 0x1F) || (cp >= 0x7F && cp <= 0x9F) ||
+      (cp >= 0xFDD0 && cp <= 0xFDEF) || (cp & 0xFFFE) == 0xFFFE
 
   /** The single-pass unescape over a Java string. */
   private[graft] def unescape(s: String): String = {
@@ -472,21 +487,23 @@ object HtmlExpressions {
     var hex = false
     if (p < n && (s.charAt(p) == 'x' || s.charAt(p) == 'X')) { hex = true; p += 1 }
     val digits0 = p
+    // consume ALL digits (python parses arbitrary-length ints); the
+    // accumulator saturates just past the Unicode range, which is
+    // indistinguishable from the true value for every downstream branch
     var cp = 0L
-    while (p < n && isDigit(s.charAt(p), hex) && p - digits0 <= 8) {
-      cp = cp * (if (hex) 16 else 10) + digitVal(s.charAt(p))
+    while (p < n && isDigit(s.charAt(p), hex)) {
+      if (cp <= 0x10FFFF) cp = cp * (if (hex) 16 else 10) + digitVal(s.charAt(p))
       p += 1
     }
     if (p == digits0) return 0 // "&#" with no digits: not a reference
     // python html.unescape: trailing ';' optional for numeric refs
     val end = if (p < n && s.charAt(p) == ';') p + 1 else p
-    val mapped = Cp1252.get(Integer.valueOf(cp.toInt))
-    val code: Int =
-      if (mapped != null && cp < 256) mapped.intValue()
-      else if (cp == 0 || cp > 0x10FFFF ||
-        (cp >= 0xD800 && cp <= 0xDFFF)) 0xFFFD
-      else cp.toInt
-    out.appendCodePoint(code)
+    val mapped = NumOverrides.get(Integer.valueOf(cp.toInt))
+    if (mapped != null && cp < 256) out.appendCodePoint(mapped.intValue())
+    else if (cp > 0x10FFFF || (cp >= 0xD800 && cp <= 0xDFFF))
+      out.appendCodePoint(0xFFFD)
+    else if (!invalidCodepoint(cp.toInt)) out.appendCodePoint(cp.toInt)
+    // else: python maps _invalid_codepoints to the empty string
     end - at
   }
 

@@ -62,14 +62,23 @@ object IvfIndex {
   private val registry = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession, ConcurrentHashMap[String, Vector[Entry]]]())
 
-  /** Normalized (scheme-free) root paths of every file-source scan leaf
-    * in `plan` — the relation identity the registration binds to. */
+  /** Normalized root paths of every file-source scan leaf in `plan` —
+    * the relation identity the registration binds to. Scheme and
+    * authority are KEPT (s3a://bucket-a/x and s3a://bucket-b/x are
+    * different corpora; dropping them would re-open the wrong-quantizer
+    * hole across filesystems) but rendered canonically, so the
+    * `file:/x` vs `file:///x` spellings of one local path still
+    * compare equal. */
   private[plans] def scanPaths(plan: LogicalPlan): Set[String] =
     plan.collectLeaves().flatMap {
       case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         lr.relation match {
           case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-            fs.location.rootPaths.map(p => p.toUri.getPath)
+            fs.location.rootPaths.map { p =>
+              val u = p.toUri
+              Option(u.getScheme).getOrElse("") + "://" +
+                Option(u.getAuthority).getOrElse("") + u.getPath
+            }
           case _ => Nil
         }
       case _ => Nil

@@ -52,6 +52,10 @@ object MergeTable {
     * race to a concurrent writer. */
   final class CommitConflict(msg: String) extends RuntimeException(msg)
 
+  /** Target rows per data file for insert-only merge batches (~100-200
+    * MB parquet at typical document-row widths). */
+  private val InsertRowsPerFile = 4000000L
+
   private def fsOf(spark: SparkSession, path: String): (FileSystem, Path) = {
     val p = new Path(path)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
@@ -156,10 +160,17 @@ object MergeTable {
         .collect().map(r => normalize(r.getString(0))).toSet
 
     val (hit, kept) = snap.files.partition(f => touched.contains(normalize(f)))
+    // Insert-only batches write ceil(nU / InsertRowsPerFile) files: one
+    // file per batch fragments nothing, but a single writer task for an
+    // arbitrarily large first load would serialize the whole write (the
+    // compute upstream is already materialized by merge()'s checkpoint,
+    // so only write parallelism is at stake).
+    val insertFiles = math.max(1L,
+      (nU + InsertRowsPerFile - 1) / InsertRowsPerFile).toInt
     val replaced =
       if (hit.isEmpty && nU == 0)
         return MergeStats(snap.version, kept.size, 0, 0, 0)
-      else if (hit.isEmpty) u.select(cols.map(col): _*).coalesce(1)
+      else if (hit.isEmpty) u.select(cols.map(col): _*).coalesce(insertFiles)
       else spark.read.parquet(hit: _*)
         .join(broadcast(u.select(keyCols.map(col): _*).distinct()),
           keyCols, "left_anti")

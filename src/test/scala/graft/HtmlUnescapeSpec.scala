@@ -45,6 +45,14 @@ class HtmlUnescapeSpec extends SparkSpec {
      "x y ½ ¼ ² ³"), // x<NBSP>y: U+00A0, not a space
     // longest-prefix fallback, html.unescape("&notit;") == "¬it;"
     ("&notit;", "¬it;"),
+    // unbounded digit runs: leading zeros parse, huge values -> U+FFFD
+    ("&#0000000065;", "A"),
+    ("&#99999999999;", "�"),
+    // CPython _invalid_codepoints decode to the EMPTY string
+    ("a&#1;b&#11;c&#x7f;d&#xfdd0;e&#xfffe;f", "abcdef"),
+    // _invalid_charrefs overrides: cp1252 holes self-map, CR/LF kept
+    ("&#x81;&#x9d;", "\u0081\u009d"),
+    ("x&#13;&#10;y", "x\r\ny"),
     // uppercase aliases
     ("&AMP; &LT; &GT; &QUOT; &COPY; &REG;",
      "& < > \" © ®"))
