@@ -814,13 +814,12 @@ object SparkEntry {
 
     "q101_hybrid_rrf" -> ((s, d) => {
       // hybrid retrieval: reciprocal-rank fusion of two lexical rankings
-      // (rank-space fusion — immune to incomparable score scales)
-      val docs = T.documents(s, d)
-      val a = operators.Lexical.bm25TopK(docs, "doc_id", "text",
-        Seq("spark", "join", "slow"), k = 30)
-      val b = operators.Lexical.bm25TopK(docs, "doc_id", "text",
-        Seq("vector", "stream"), k = 30)
-      operators.Lexical.rrfFuse(Seq(a, b), "doc_id", k = 15)
+      // (rank-space fusion — immune to incomparable score scales); the
+      // multi-query form shares one stats pass across both rankings
+      val rankings = operators.Lexical.bm25TopKMany(T.documents(s, d),
+        "doc_id", "text",
+        Seq(Seq("spark", "join", "slow"), Seq("vector", "stream")), k = 30)
+      operators.Lexical.rrfFuse(rankings, "doc_id", k = 15)
     }),
 
     "q94_json_redact" -> ((s, d) => {

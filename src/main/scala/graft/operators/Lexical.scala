@@ -34,10 +34,23 @@ object Lexical {
     */
   def bm25TopK(
       docs: DataFrame, idCol: String, textCol: String, terms: Seq[String],
-      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(terms.nonEmpty, "terms must be non-empty")
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25TopKMany(docs, idCol, textCol, Seq(terms), k, k1, b).head
+
+  /** [[bm25TopK]] for SEVERAL queries over one corpus, sharing the
+    * statistics work: one N/avgdl aggregate and ONE document-frequency
+    * shuffle over the union of all query terms serve every ranking
+    * (a hybrid-search caller otherwise pays the stats passes per
+    * ranking). Returns one (idCol, score) frame per query, in order. */
+  def bm25TopKMany(
+      docs: DataFrame, idCol: String, textCol: String,
+      queries: Seq[Seq[String]], k: Int, k1: Double = 1.2,
+      b: Double = 0.75): Seq[DataFrame] = {
+    require(queries.nonEmpty && queries.forall(_.nonEmpty),
+      "every query needs at least one term")
     require(k >= 1, s"k must be >= 1, got $k")
-    val termsLower = terms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
+    val lowered = queries.map(_.map(_.toLowerCase(java.util.Locale.ROOT)).distinct)
+    val allTerms = lowered.flatten.distinct
     val base = docs.select(col(idCol).as("id"),
         TextFunctions.wordsLower(col(textCol)).as("__ws"))
       .withColumn("__dl", size(col("__ws")).cast("double"))
@@ -47,25 +60,27 @@ object Lexical {
     require(n > 0, "corpus is empty")
     val avgdl = stats.getDouble(1)
     val dfCounts = base
-      .select(explode(array_intersect(col("__ws"), typedlit(termsLower))).as("__t"))
+      .select(explode(array_intersect(col("__ws"), typedlit(allTerms))).as("__t"))
       .groupBy(col("__t")).agg(count(lit(1)).as("__df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
     val norm = col("__dl") / avgdl
-    val perTerm: Seq[Column] = termsLower.map { t =>
-      val dfT = dfCounts.getOrElse(t, 0L)
-      val idf = math.log(1.0 + (n - dfT + 0.5) / (dfT + 0.5))
-      val tf = size(filter(col("__ws"), w => w === lit(t))).cast("double")
-      when(tf > 0,
-        lit(idf) * tf * lit(k1 + 1.0) /
-          (tf + lit(k1) * (lit(1.0 - b) + lit(b) * norm)))
-        .otherwise(lit(0.0))
+    lowered.map { termsLower =>
+      val perTerm: Seq[Column] = termsLower.map { t =>
+        val dfT = dfCounts.getOrElse(t, 0L)
+        val idf = math.log(1.0 + (n - dfT + 0.5) / (dfT + 0.5))
+        val tf = size(filter(col("__ws"), w => w === lit(t))).cast("double")
+        when(tf > 0,
+          lit(idf) * tf * lit(k1 + 1.0) /
+            (tf + lit(k1) * (lit(1.0 - b) + lit(b) * norm)))
+          .otherwise(lit(0.0))
+      }
+      base.withColumn("__score", perTerm.reduceLeft(_ + _))
+        .filter(col("__score") > 0)
+        .orderBy(desc("__score"), asc("id"))
+        .limit(k)
+        .select(col("id").as(idCol), round(col("__score"), 6).as("score"))
     }
-    base.withColumn("__score", perTerm.reduceLeft(_ + _))
-      .filter(col("__score") > 0)
-      .orderBy(desc("__score"), asc("id"))
-      .limit(k)
-      .select(col("id").as(idCol), round(col("__score"), 6).as("score"))
   }
 
   /** Reciprocal-rank fusion over any number of (idCol, score) rankings:
