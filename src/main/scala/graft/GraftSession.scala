@@ -52,6 +52,19 @@ final case class GraftSession(
     KnowledgeBase.matchDocuments(knowledgeBase, qv, k, source)
   }
 
+  /** [[searchKnowledge]]'s hybrid sibling: the vector ranking fused by
+    * reciprocal rank with a BM25 lexical ranking over the content
+    * column ([[KnowledgeBase.hybridSearch]]) — exact identifiers and
+    * rare terms hit lexically even when the embedding misses. The KB
+    * frame must carry a unique `idCol`. */
+  def hybridSearchKnowledge(query: String, k: Int = 5,
+      idCol: String = "id", contentCol: String = "content"): DataFrame = {
+    val processed = SearchService.preprocess(spark, query)
+    val qv = embedder.embed(Seq(processed)).head
+    KnowledgeBase.hybridSearch(knowledgeBase, idCol, contentCol,
+      processed, qv, k)
+  }
+
   /** Multi-source smart search with the embed+upsert side effect applied
     * to the held knowledge base. Synchronized: the read-merge-swap of the
     * held KB must be atomic or concurrent searches lose each other's

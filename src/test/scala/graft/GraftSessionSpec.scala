@@ -28,6 +28,14 @@ class GraftSessionSpec extends SparkSpec {
     assert(math.abs(hits.select("similarity").as[Double].head()) < 1e-6)
   }
 
+  test("hybridSearchKnowledge fuses the lexical and vector rankings") {
+    val g = mkSession()
+    val hits = g.hybridSearchKnowledge("spark join is slow", k = 2, idCol = "title")
+    assert(hits.columns.toSeq === Seq("title", "rrf_score"))
+    // t1 tops BOTH rankings (exact lexical terms + self-match embedding)
+    assert(hits.select("title").as[String].collect().head === "t1")
+  }
+
   test("smartSearch mutates the held knowledge base") {
     val g = mkSession()
     val src = new SearchService.Source {
