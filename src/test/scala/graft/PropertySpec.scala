@@ -83,4 +83,77 @@ class PropertySpec extends SparkSpec {
     perKey.foreach { case (_, n) => assert(n === 1L) }
     assert(deduped.count() === df.select("k").distinct().count())
   }
+
+  test("property: html escape -> unescape roundtrips; entity-free text is a fixed point") {
+    import graft.functions.HtmlExpressions.unescape
+    def escape(s: String): String = s
+      .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;").replace("'", "&#39;")
+    val anyText = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumStr, Gen.const("<tag a=\"v\">"), Gen.const("O'Brien & sons"),
+      Gen.const("1 < 2 > 0"), Gen.const("é—…"))).map(_.mkString(" "))
+    sample(anyText, 120).foreach { s =>
+      assert(unescape(escape(s)) === s, s"roundtrip failed: $s")
+    }
+    val entityFree = Gen.listOf(Gen.oneOf(Gen.alphaNumStr, Gen.const("x y z"),
+      Gen.const("no entities here; just ; and #"))).map(_.mkString(" "))
+    sample(entityFree, 80).filterNot(_.contains("&")).foreach { s =>
+      assert(unescape(s) === s)
+    }
+  }
+
+  test("property: md5-portable expressions match a reference JVM computation") {
+    val strs = sample(Gen.oneOf(Gen.alphaNumStr, Gen.asciiPrintableStr,
+      Gen.const(""), Gen.const("héllo wörld")), 80).distinct
+    def refPrefix64(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      (0 until 8).foldLeft(0L)((acc, i) => (acc << 8) | (d(i) & 0xffL))
+    }
+    val got = strs.toDF("s")
+      .select(graft.functions.HashExpressions.md5Prefix64($"s"))
+      .as[Long].collect()
+    got.zip(strs).foreach { case (g, s) =>
+      assert(g === refPrefix64(s), s"md5_prefix64 mismatch on: $s")
+    }
+  }
+
+  test("property: repeatedNgramSpans emits disjoint, merged, in-bounds spans") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val filler = Gen.listOfN(12, Gen.identifier).map(_.mkString(" "))
+    val docsGen = for {
+      pre <- filler; mid <- filler; post <- filler
+    } yield s"$pre $shared $mid $shared $post"
+    val docs = sample(docsGen, 12).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val n = 8
+    val spans = operators.Curation.repeatedNgramSpans(docs, "doc_id", "text", n, 2)
+      .as[(Long, Int, Int)].collect().toSeq
+    assert(spans.nonEmpty, "every doc shares two 10-word runs")
+    val wordCounts = docs.as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.trim.split("\\s+").length }.toMap
+    spans.groupBy(_._1).foreach { case (id, ss) =>
+      val sorted = ss.sortBy(_._2)
+      sorted.foreach { case (_, start, stop) =>
+        assert(start >= 0 && stop < wordCounts(id), s"span out of bounds: $id")
+        assert(stop - start + 1 >= n, "a span covers at least one n-gram")
+      }
+      sorted.sliding(2).foreach {
+        case Seq((_, _, e1), (_, s2, _)) =>
+          assert(s2 > e1 + 1, "merged spans must not touch or overlap")
+        case _ => ()
+      }
+    }
+  }
+
+  test("property: rrfFuse is invariant to ranking argument order in scores") {
+    val a = sample(Gen.zip(Gen.chooseNum(1L, 30L), Gen.chooseNum(1.0, 100.0)), 20)
+      .distinctBy(_._1).toDF("id", "score")
+    val b = sample(Gen.zip(Gen.chooseNum(15L, 45L), Gen.chooseNum(1.0, 100.0)), 20)
+      .distinctBy(_._1).toDF("id", "score")
+    def fused(rs: Seq[org.apache.spark.sql.DataFrame]) =
+      operators.Lexical.rrfFuse(rs, "id", k = 50)
+        .as[(Long, Double)].collect().toMap
+    assert(fused(Seq(a, b)) === fused(Seq(b, a)))
+  }
 }
