@@ -125,6 +125,20 @@ object ScaleDemo {
       println(s"  representatives=$reps")
     }
 
+    // ---- round-5 operators at 200k docs ---------------------------------
+    time("repeated 8-gram spans (ExactSubstr-style)") {
+      val spans = operators.Curation
+        .repeatedNgramSpans(docs, "doc_id", "text", n = 8, minDocs = 2)
+      println(s"  spans=${spans.count()}")
+    }
+    time("BM25 two-query rankings + RRF fusion") {
+      // copy-prefixed vocabulary: use copy-0 terms so matches exist
+      val rankings = operators.Lexical.bm25TopKMany(docs, "doc_id", "text",
+        Seq(Seq("c0_spark", "c0_join", "c0_slow"), Seq("c0_vector", "c0_stream")),
+        k = 100)
+      println(s"  fused=${operators.Lexical.rrfFuse(rankings, "doc_id", 20).count()}")
+    }
+
     // ---- connected components on a synthetic 10M-node pair graph --------
     val ccNodes = sys.env.getOrElse("SCALE_CC_NODES", "10000000").toLong
     val chain = 5 // chains of 5 -> worst-case diameter 4, ~5 rounds
