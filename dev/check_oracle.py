@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Usage: python3 dev/check_oracle.py <outDir> [queryName...]
+
+Expects `sbt "runMain graft.Verify <sfDir> <outDir> [queryName...]"` to have
+run first; compares each <outDir>/<name> parquet against the DuckDB result of
+oracle_sql.json's SQL over the same sf tables, columns sorted by name,
+values stringified and multiset-compared (the driver hashes; equality of the
+sorted multisets implies equal hashes).
+"""
+import sys, json, glob, os
+import duckdb
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+def norm(v):
+    if isinstance(v, float):
+        return format(v, ".6f")
+    return str(v)
+
+def main():
+    out = sys.argv[1]
+    only = set(sys.argv[2:])
+    oracle = json.load(open(os.path.join(out, "oracle_sql.json")))
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        p = os.path.join(SF, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    fails = 0
+    for name in sorted(oracle):
+        if only and name not in only:
+            continue
+        pdir = os.path.join(out, name)
+        files = glob.glob(os.path.join(pdir, "*.parquet"))
+        if not files:
+            print(f"{name}: NO SPARK OUTPUT"); fails += 1; continue
+        sdf = con.execute(
+            f"SELECT * FROM read_parquet({files!r})").fetch_arrow_table()
+        try:
+            odf = con.execute(oracle[name]).fetch_arrow_table()
+        except Exception as e:
+            print(f"{name}: ORACLE SQL ERROR: {e}"); fails += 1; continue
+        scols, ocols = sorted(sdf.column_names), sorted(odf.column_names)
+        if scols != ocols:
+            print(f"{name}: SCHEMA MISMATCH spark={scols} oracle={ocols}")
+            fails += 1; continue
+        srows = sorted(tuple(norm(r[c]) for c in scols) for r in sdf.to_pylist())
+        orows = sorted(tuple(norm(r[c]) for c in ocols) for r in odf.to_pylist())
+        if len(srows) != len(orows):
+            print(f"{name}: ROWS {len(srows)} vs {len(orows)}"); fails += 1
+        elif srows != orows:
+            diff = [(a, b) for a, b in zip(srows, orows) if a != b][:3]
+            print(f"{name}: VALUE MISMATCH e.g. {diff}"); fails += 1
+        else:
+            print(f"{name}: ok ({len(srows)} rows)")
+    sys.exit(1 if fails else 0)
+
+if __name__ == "__main__":
+    main()

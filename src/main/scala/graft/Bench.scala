@@ -50,7 +50,12 @@ object Bench {
       System.gc() // lets ContextCleaner reap dropped broadcasts/shuffles
     }
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // Optional args = query-name prefixes ("q38" "q40") to bench a
+    // subset while iterating; the driver passes none and gets the full
+    // sorted suite.
+    val all = SparkEntry.queries.keys.toSeq
+    val names =
+      (if (args.nonEmpty) all.filter(n => args.exists(n.startsWith)) else all).sorted
     // one throwaway session first: the cold JVM's first queries otherwise
     // pay global lazy-init (codegen compiler, parquet readers, shuffle
     // machinery) that every later session gets for free — measured as a

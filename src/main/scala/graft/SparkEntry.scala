@@ -296,11 +296,19 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))),
 
     "q38_dup_clusters" -> ((s, d) => {
-      // LSH pairs → transitive closure → one representative per cluster
+      // LSH pairs → transitive closure → one representative per cluster.
+      // The shingle frame is checkpointed ONCE across the candidate
+      // self-join + verify scans (the q80 pattern — clean-room measured
+      // 3.88 s with recompute vs ~1.5 s checkpointed); dupClusters
+      // consumes the pair list eagerly, so the checkpoint is freed
+      // before the result frame is returned.
       val docs = T.documents(s, d)
-      val pairs = Dedup.minHashNearDups(docs, "doc_id", "text", threshold = 0.8)
-        .select(col("id_a"), col("id_b"))
-      Dedup.dupClusters(docs, "doc_id", pairs).orderBy(col("doc_id"))
+      val sh = Dedup.shingleFrame(docs, "doc_id", "text").localCheckpoint(true)
+      try {
+        val pairs = Dedup.minHashNearDupsFromShingles(sh, threshold = 0.8)
+          .select(col("id_a"), col("id_b"))
+        Dedup.dupClusters(docs, "doc_id", pairs).orderBy(col("doc_id"))
+      } finally graft.util.Checkpoints.free(sh)
     }),
 
     "q35_null_dedup" -> ((s, d) => {

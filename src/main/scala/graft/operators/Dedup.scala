@@ -106,11 +106,15 @@ object Dedup {
   /** (id, shingles): distinct shingle HASHES straight from the word
     * split — no shingle strings materialized (tuple-hash identity ==
     * joined-string identity since words cannot contain the join
-    * character). Recomputed per consumer by default: measured at 200k
-    * docs, persisting this costs more in materialization than the ~1s
-    * recompute it saves for ONE consumer — but a composition that scans
-    * it several times (candidates + verify + keep-best) should
-    * `localCheckpoint` it once, as [[nearDupKeepBest]] does. */
+    * character). Compute it lazily ONLY when exactly one consumer scans
+    * it once; ANY composition that scans it more than once (signature +
+    * candidate self-join + verify — i.e. every [[minHashNearDupsFromShingles]]
+    * call) should `localCheckpoint` it first, as [[nearDupKeepBest]] and
+    * the q38 cluster composition do. Clean-room measurement (fresh
+    * SparkContext, sf0.1): q38 with lazy recompute 3.88 s vs ~1.5 s
+    * checkpointed; q80 1.39 s checkpointed vs 3.17 s recomputed. The
+    * earlier "recompute is cheaper" note was an artifact of shared-
+    * session caching and is wrong under isolation. */
   def shingleFrame(
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3): DataFrame =
