@@ -749,6 +749,22 @@ object SparkEntry {
             .as("flag_repetitive"))
         .orderBy(col("doc_id"))),
 
+    "q85b_gram_ratio" -> ((s, d) =>
+      // deterministic compressibility proxy (the q86b pattern): distinct
+      // char-4-gram ratio — integer-exact counts, engine-portable where
+      // q85's zlib deflate bytes are build-dependent. Pins the
+      // repetition-quality-signal semantics with a hash-checked row;
+      // q85 stays the real zlib bench.
+      T.documents(s, d)
+        .select(col("doc_id"), TF.charNGrams(col("text"), 4).as("__g"))
+        .select(col("doc_id"),
+          (size(array_distinct(col("__g"))).cast("double") /
+            size(col("__g"))).as("__r"))
+        .select(col("doc_id"),
+          round(col("__r"), 6).as("distinct_gram_ratio"),
+          (col("__r") < 0.55).as("flag_repetitive"))
+        .orderBy(col("doc_id"))),
+
     "q87_seq_packing" -> ((s, d) => {
       // sequence packing: md5-mixed layout, greedy 512-token chunks,
       // per-pack doc/token rollup (single shard = global sequence)
@@ -828,6 +844,19 @@ object SparkEntry {
         "doc_id", "text",
         Seq(Seq("spark", "join", "slow"), Seq("vector", "stream")), k = 30)
       operators.Lexical.rrfFuse(rankings, "doc_id", k = 15)
+    }),
+
+    "q102_hybrid_search" -> ((s, d) => {
+      // TRUE hybrid retrieval — the production KnowledgeBase.hybridSearch
+      // path: cosine top-k (the reference's match_documents ranking) fused
+      // by reciprocal rank with BM25 over the same corpus. Both legs are
+      // independently oracle-checked (q40 cosine, q100 BM25); this row
+      // pins their fusion.
+      val kb = T.documents(s, d)
+        .join(T.embeddings(s, d), col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("text"), col("embedding"))
+      graft.kb.KnowledgeBase.hybridSearch(kb, "doc_id", "text",
+        "spark join slow", queryVec(s, d), k = 15, poolSize = 30)
     }),
 
     "q94_json_redact" -> ((s, d) => {
@@ -1773,6 +1802,48 @@ object SparkEntry {
         |SELECT doc_id, round(f, 6) AS rrf_score FROM fused
         |ORDER BY f DESC, doc_id LIMIT 15""".stripMargin,
 
+    // True hybrid: cosine leg reproduces matchDocuments exactly (distance
+    // = cossim * -1 + 1, pool by raw distance ASC, THEN round to the
+    // operator-output score); bm25 leg = q100's expression with pool 30;
+    // fusion ranks over the ROUNDED leg outputs, contributions vec+lex.
+    "q102_hybrid_search" ->
+      """WITH kb AS (SELECT d.doc_id, d.text, e.embedding
+        |    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+        |q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+        |vp AS (SELECT kb.doc_id,
+        |    (list_cosine_similarity(kb.embedding::DOUBLE[], q.embedding::DOUBLE[]) * -1 + 1) AS dist
+        |  FROM kb, q ORDER BY dist LIMIT 30),
+        |tv AS (SELECT doc_id, round(1.0 - dist, 6) AS score FROM vp),
+        |w AS (SELECT doc_id,
+        |    CASE WHEN text IS NULL OR trim(lower(text)) = '' THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS ws
+        |  FROM kb),
+        |st AS (SELECT count(*)::DOUBLE AS n, avg(len(ws))::DOUBLE AS avgdl FROM w),
+        |dfs AS (SELECT
+        |    sum(CASE WHEN list_contains(ws, 'spark') THEN 1 ELSE 0 END)::DOUBLE AS df1,
+        |    sum(CASE WHEN list_contains(ws, 'join') THEN 1 ELSE 0 END)::DOUBLE AS df2,
+        |    sum(CASE WHEN list_contains(ws, 'slow') THEN 1 ELSE 0 END)::DOUBLE AS df3
+        |  FROM w),
+        |tf AS (SELECT doc_id, len(ws)::DOUBLE AS dl,
+        |    len(list_filter(ws, x -> x = 'spark'))::DOUBLE AS tf1,
+        |    len(list_filter(ws, x -> x = 'join'))::DOUBLE AS tf2,
+        |    len(list_filter(ws, x -> x = 'slow'))::DOUBLE AS tf3
+        |  FROM w),
+        |sc AS (SELECT doc_id,
+        |    (CASE WHEN tf1 > 0 THEN ln(1 + (n - df1 + 0.5)/(df1 + 0.5)) * tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * dl/avgdl)) ELSE 0 END)
+        |  + (CASE WHEN tf2 > 0 THEN ln(1 + (n - df2 + 0.5)/(df2 + 0.5)) * tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl/avgdl)) ELSE 0 END)
+        |  + (CASE WHEN tf3 > 0 THEN ln(1 + (n - df3 + 0.5)/(df3 + 0.5)) * tf3 * 2.2 / (tf3 + 1.2 * (0.25 + 0.75 * dl/avgdl)) ELSE 0 END) AS s
+        |  FROM tf, st, dfs),
+        |tl AS (SELECT doc_id, round(s, 6) AS score FROM sc WHERE s > 0
+        |  ORDER BY s DESC, doc_id LIMIT 30),
+        |rv AS (SELECT doc_id, 1.0/(60.0 + row_number() OVER (ORDER BY score DESC, doc_id)) AS cv FROM tv),
+        |rl AS (SELECT doc_id, 1.0/(60.0 + row_number() OVER (ORDER BY score DESC, doc_id)) AS cl FROM tl),
+        |fused AS (SELECT coalesce(rv.doc_id, rl.doc_id) AS doc_id,
+        |    coalesce(cv, 0) + coalesce(cl, 0) AS f
+        |  FROM rv FULL OUTER JOIN rl ON rv.doc_id = rl.doc_id)
+        |SELECT doc_id, round(f, 6) AS rrf_score FROM fused
+        |ORDER BY f DESC, doc_id LIMIT 15""".stripMargin,
+
     // Same gram identity (md5 of the space-joined 8-gram; DuckDB keeps
     // the hex string where Spark shuffles the 8-byte prefix — only
     // grouping identity matters), same gaps-and-islands merge. NULL
@@ -1846,6 +1917,23 @@ object SparkEntry {
         |  count(*) AS n, min(value) AS lo, max(value) AS hi
         |FROM events WHERE value IS NOT NULL
         |GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    // Same lower-then-position char-4-gram identity as the Spark side;
+    // integer count division is correctly rounded in both engines, so
+    // the raw ratio (and the < 0.55 flag on it) is bit-identical. LEFT
+    // JOIN keeps null-text docs as null-ratio rows, matching Spark.
+    "q85b_gram_ratio" ->
+      """WITH p AS (SELECT doc_id, lower(text) AS lt,
+        |    unnest(range(1, greatest(len(lower(text)) - 2, 1))) AS i
+        |  FROM documents),
+        |g AS (SELECT doc_id, substr(lt, i::INT, 4) AS gram FROM p),
+        |r AS (SELECT doc_id,
+        |    count(DISTINCT gram)::DOUBLE / count(*) AS r
+        |  FROM g GROUP BY doc_id)
+        |SELECT d.doc_id, round(r.r, 6) AS distinct_gram_ratio,
+        |  r.r < 0.55 AS flag_repetitive
+        |FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q84_pmi_bigrams" ->
       """WITH wds AS (SELECT doc_id,

@@ -89,9 +89,13 @@ object KnowledgeBase {
       queryText: String, queryEmbedding: Array[Float], k: Int,
       poolSize: Int = 50, vecCol: String = "embedding"): DataFrame = {
     // matchDocuments ranks by cosine DISTANCE ascending; rrfFuse ranks
-    // by score descending — flip to similarity
+    // by score descending — flip to similarity. Rounded to 6 decimals
+    // like bm25TopK's output: each fused leg is an OPERATOR OUTPUT, so
+    // the rank fusion is engine-portable (raw-double ranks would be
+    // ulp-sensitive across engines).
     val vec = matchDocuments(kb, queryEmbedding, poolSize, None, vecCol)
-      .select(col(idCol), (lit(1.0) - col("similarity")).as("score"))
+      .select(col(idCol),
+        round(lit(1.0) - col("similarity"), 6).as("score"))
     val terms = queryText.toLowerCase(java.util.Locale.ROOT)
       .split("\\s+").filter(_.nonEmpty).distinct.toSeq
     require(terms.nonEmpty, "queryText has no terms")

@@ -23,11 +23,15 @@ object Lexical {
     *  1. one aggregate for N/avgdl plus one tiny shuffle for per-term
     *     document frequencies (|terms| rows collected to the driver —
     *     the query statistics, small by construction);
-    *  2. one shuffle-free scoring pass: per-term tf via an array filter
-    *     on the lowercased word array, the BM25 sum folded LEFT-TO-RIGHT
-    *     over `terms` so the floating-point result is reproducible
+    *  2. one shuffle-free scoring pass: the word array is filtered ONCE
+    *     to just query-term occurrences, so each doc pays a single full
+    *     scan regardless of query length and per-term tf scans only the
+    *     (tiny) occurrence array; the BM25 sum folds LEFT-TO-RIGHT over
+    *     `terms` with the oracle's exact operator association
+    *     ((b*dl)/avgdl) so the floating-point result is bit-reproducible
     *     across engines; TakeOrderedAndProject keeps per-partition
-    *     k-row heaps (no corpus sort, no shuffle).
+    *     k-row heaps over the narrowed (id, dl, occurrences) projection
+    *     (no corpus sort, no shuffle).
     *
     * idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (Lucene's non-negative
     * smoothing); docs matching no term are dropped. Ties break by id.
@@ -64,18 +68,28 @@ object Lexical {
       .groupBy(col("__t")).agg(count(lit(1)).as("__df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
-    val norm = col("__dl") / avgdl
+    // One full-array pass per doc: keep only query-term occurrences.
+    // Every per-term tf below scans __wq (bounded by the doc's matching
+    // words, typically a handful) instead of the whole word array — a
+    // 20-term query costs the same corpus work as a 2-term one.
+    val termsLit = typedlit(allTerms)
+    val scored = base.select(col("id"), col("__dl"),
+      filter(col("__ws"), w => array_contains(termsLit, w)).as("__wq"))
+
+    // (1-b) + (b*dl)/avgdl — the same left-to-right association DuckDB
+    // parses for `0.25 + 0.75 * dl/avgdl`, so the doubles match bit-
+    // for-bit (ADVICE r5: b*(dl/avgdl) differed in the last ulp).
+    val norm = lit(1.0 - b) + lit(b) * col("__dl") / avgdl
     lowered.map { termsLower =>
       val perTerm: Seq[Column] = termsLower.map { t =>
         val dfT = dfCounts.getOrElse(t, 0L)
         val idf = math.log(1.0 + (n - dfT + 0.5) / (dfT + 0.5))
-        val tf = size(filter(col("__ws"), w => w === lit(t))).cast("double")
+        val tf = size(filter(col("__wq"), w => w === lit(t))).cast("double")
         when(tf > 0,
-          lit(idf) * tf * lit(k1 + 1.0) /
-            (tf + lit(k1) * (lit(1.0 - b) + lit(b) * norm)))
+          lit(idf) * tf * lit(k1 + 1.0) / (tf + lit(k1) * norm))
           .otherwise(lit(0.0))
       }
-      base.withColumn("__score", perTerm.reduceLeft(_ + _))
+      scored.withColumn("__score", perTerm.reduceLeft(_ + _))
         .filter(col("__score") > 0)
         .orderBy(desc("__score"), asc("id"))
         .limit(k)

@@ -68,6 +68,36 @@ class LexicalSpec extends SparkSpec {
     assert(got.nonEmpty && got.map(_._1).distinct.size === got.size)
   }
 
+  test("bm25TopK: a 20-term query matches an independent Okapi computation") {
+    // exercises the single-pass occurrence filter: per-term tf must stay
+    // exact when the query is long and terms repeat across docs
+    val rng = new scala.util.Random(42)
+    val vocab = (0 until 40).map(i => s"w$i")
+    val corpus = (1L to 60L).map { id =>
+      val len = 5 + rng.nextInt(30)
+      (id, Seq.fill(len)(vocab(rng.nextInt(vocab.size))).mkString(" "))
+    }
+    val df = corpus.toDF("doc_id", "text")
+    val queryTerms = (0 until 20).map(i => s"w${i * 2}") // 20 distinct terms
+    val got = Lexical.bm25TopK(df, "doc_id", "text", queryTerms, k = 60)
+      .as[(Long, Double)].collect().toMap
+
+    val words = corpus.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+    val n = corpus.size.toDouble
+    val avgdl = words.values.map(_.size).sum.toDouble / n
+    val dfs = queryTerms.map(t =>
+      t -> words.values.count(_.contains(t)).toDouble).toMap
+    corpus.foreach { case (id, _) =>
+      val dl = words(id).size.toDouble
+      val exp = queryTerms.map { t =>
+        okapi(words(id).count(_ == t).toDouble, dfs(t), n, dl, avgdl)
+      }.sum
+      if (exp > 0)
+        assert(got(id) === math.rint(exp * 1e6) / 1e6, s"doc $id")
+      else assert(!got.contains(id), s"doc $id has no term and must drop")
+    }
+  }
+
   test("rrfFuse: overlap across rankings outranks a single high rank") {
     val a = Seq((1L, 10.0), (2L, 9.0), (3L, 8.0)).toDF("doc_id", "score")
     val b = Seq((2L, 5.0), (3L, 4.0), (9L, 3.0)).toDF("doc_id", "score")
