@@ -146,13 +146,24 @@ object MergeTable {
     // every commit write the full, identical column set (the check
     // below rejects updates that add or drop columns loudly instead of
     // silently projecting them away), so all files in a manifest agree.
-    val cols = spark.read.parquet(snap.files.head).columns.toSeq
+    val tableSchema = spark.read.parquet(snap.files.head).schema
+    val cols = tableSchema.map(_.name)
     require(keyCols.forall(cols.contains),
       s"key ${keyCols.mkString(",")} missing from table")
     require(u.columns.toSet == cols.toSet,
       s"updates schema [${u.columns.sorted.mkString(",")}] must match table " +
         s"schema [${cols.sorted.mkString(",")}] exactly — schema evolution is " +
         "not supported; add columns by rewriting the table")
+    // Names alone are not enough: a same-named column with a drifted
+    // type (id INT vs table LONG) would commit parquet files with mixed
+    // physical types and fail or mis-merge on later reads.
+    val tableTypes = tableSchema.map(f => f.name -> f.dataType).toMap
+    u.schema.foreach { f =>
+      require(f.dataType == tableTypes(f.name),
+        s"updates column ${f.name} has type ${f.dataType.catalogString} but " +
+          s"the table stores ${tableTypes(f.name).catalogString} — cast the " +
+          "update frame to the table schema before merging")
+    }
 
     val touched: Set[String] =
       if (nU == 0) Set.empty

@@ -155,17 +155,39 @@ object JobProcessor {
         // one materialization (see run); empty batches commit nothing
         batch.persist()
         try {
-          if (batch.count() > 0) {
-            if (!graft.sources.MergeTable.exists(spark, tablePath))
-              graft.sources.MergeTable.init(spark, tablePath, batch.toDF())
-            else
-              graft.sources.MergeTable.merge(
-                spark, tablePath, batch.toDF(), Seq("request_id"))
-          }
+          if (batch.count() > 0)
+            mergeResponsesBatch(spark, batch.toDF(), tablePath)
           ()
         } finally batch.unpersist()
       }
       .start()
+
+  /** One micro-batch of [[runToMergeTable]]: last-state-wins per
+    * request_id, then keyed MERGE (init on first use).
+    *
+    * The within-batch dedup matters even though [[responses]] already
+    * deduplicates upstream: `runToMergeTable` is public API over ANY
+    * response-shaped stream, and an at-least-once source can deliver
+    * the same request_id twice in one micro-batch (replay, re-request).
+    * Without it, `merge()`'s uniqueness require would kill the whole
+    * streaming query; with it, the newest `ts` wins — the documented
+    * MERGE semantics. */
+  private[graft] def mergeResponsesBatch(
+      spark: SparkSession, batch: DataFrame, tablePath: String): Unit = {
+    val deduped = graft.operators.Dedup.firstWins(
+      batch, Seq("request_id"), Seq(col("ts").desc))
+    if (!graft.sources.MergeTable.exists(spark, tablePath)) {
+      // init bypasses merge()'s guards — enforce the NULL-key contract
+      // here so a bad first batch fails loudly instead of planting rows
+      // no later merge can ever match
+      require(deduped.filter(col("request_id").isNull).isEmpty,
+        "batch contains NULL request_id; merge-table keys must be non-null")
+      graft.sources.MergeTable.init(spark, tablePath, deduped)
+    } else
+      graft.sources.MergeTable.merge(
+        spark, tablePath, deduped, Seq("request_id"))
+    ()
+  }
 
   /** Run to a parquet `job_responses` sink with checkpointing; the
     * `foreachBatch` shape also side-publishes counts (the reference's

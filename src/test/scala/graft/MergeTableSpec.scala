@@ -157,6 +157,13 @@ class MergeTableSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       MergeTable.merge(spark, path, missingCol, Seq("id"))
     }
+    // same names but a drifted type (id INT vs the table's LONG): would
+    // commit parquet files with mixed physical types — must be refused
+    val typeDrift = rows(1 to 2, "w").withColumn("id", col("id").cast("int"))
+    val e3 = intercept[IllegalArgumentException] {
+      MergeTable.merge(spark, path, typeDrift, Seq("id"))
+    }
+    assert(e3.getMessage.contains("type") || e3.getMessage.contains("int"))
     // table unchanged by the rejected merges
     assert(MergeTable.snapshot(spark, path).version === 1L)
     assert(MergeTable.read(spark, path).count() === 10)

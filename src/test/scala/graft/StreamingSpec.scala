@@ -238,4 +238,46 @@ class StreamingSpec extends SparkSpec {
     assert(MergeTable.snapshot(spark, table).version > v1,
       "the replayed merge must have committed new versions")
   }
+
+  test("keyed MERGE sink batch: duplicate request_ids converge last-wins, NULL keys refused") {
+    // An at-least-once source can deliver the same request_id twice in
+    // ONE micro-batch (replay, re-request) — upstream responses() dedup
+    // can't be assumed for arbitrary runToMergeTable callers. The sink
+    // must pick the newest row per key instead of tripping merge()'s
+    // uniqueness require and killing the streaming query.
+    import graft.sources.MergeTable
+    val table = java.nio.file.Files.createTempDirectory("dupb_root").toString + "/tbl"
+    def resp(rid: String, ans: String, t: java.sql.Timestamp) =
+      (rid, "j1", "q", ans, t)
+    val b1 = Seq(
+      resp("r1", "stale answer", ts(0)),
+      resp("r1", "fresh answer", ts(400)),
+      resp("r2", "other answer", ts(5)))
+      .toDF("request_id", "job_id", "user_query", "ai_response", "ts")
+    JobProcessor.mergeResponsesBatch(spark, b1, table) // init path
+    val got1 = MergeTable.read(spark, table)
+    assert(got1.count() === 2, "one row per request_id")
+    assert(got1.filter($"request_id" === "r1").select("ai_response").as[String]
+      .head() === "fresh answer", "newest ts must win within the batch")
+
+    // merge path: a later duplicated batch replaces, still last-wins
+    val b2 = Seq(
+      resp("r1", "newer still", ts(900)),
+      resp("r1", "midway", ts(600)))
+      .toDF("request_id", "job_id", "user_query", "ai_response", "ts")
+    JobProcessor.mergeResponsesBatch(spark, b2, table)
+    val got2 = MergeTable.read(spark, table)
+    assert(got2.count() === 2)
+    assert(got2.filter($"request_id" === "r1").select("ai_response").as[String]
+      .head() === "newer still")
+
+    // NULL request_id on the init path fails loudly (merge's own guard
+    // covers the merge path)
+    val fresh = java.nio.file.Files.createTempDirectory("dupb2_root").toString + "/t"
+    val bad = Seq((null: String, "j", "q", "a", ts(0)))
+      .toDF("request_id", "job_id", "user_query", "ai_response", "ts")
+    intercept[IllegalArgumentException] {
+      JobProcessor.mergeResponsesBatch(spark, bad, fresh)
+    }
+  }
 }
