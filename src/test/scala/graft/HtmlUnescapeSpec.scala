@@ -10,8 +10,9 @@ import graft.functions.{HtmlExpressions, TextFunctions}
   * the entity families that occur in real StackOverflow / GitHub
   * payloads (Latin-1 accents, punctuation/dashes/quotes, currency,
   * math, fractions), numeric refs (decimal, hex, cp1252 override range,
-  * out-of-range), legacy no-semicolon refs, and the longest-prefix
-  * fallback. HTML5-only names are the documented out-of-scope rest. */
+  * out-of-range), legacy no-semicolon refs, the longest-prefix
+  * fallback, and the HTML5-only surface: `&apos;`, multi-codepoint
+  * expansions, astral-plane values, and 32-char names. */
 class HtmlUnescapeSpec extends SparkSpec {
   import spark.implicits._
 
@@ -55,11 +56,72 @@ class HtmlUnescapeSpec extends SparkSpec {
     ("x&#13;&#10;y", "x\r\ny"),
     // uppercase aliases
     ("&AMP; &LT; &GT; &QUOT; &COPY; &REG;",
-     "& < > \" © ®"))
+     "& < > \" © ®"),
+    // --- HTML5-only surface (all expected values verbatim from
+    // CPython html.unescape) ---
+    // &apos; — ubiquitous in XML-escaped payloads (r5 ADVICE)
+    ("&apos;quoted&apos; XML payload",
+     "'quoted' XML payload"),
+    ("No. &numero; x&OverBar;y",
+     "No. № x‾y"),
+    // multi-codepoint expansions (combining marks ride along)
+    ("&acE; &bne; &bnequiv; combos",
+     "∾̳ =⃥ ≡⃥ combos"),
+    // astral-plane values: surrogate pairs must survive the round-trip
+    ("&Afr;&aopf;&Ascr; fraktur",
+     "𝔄𝕒𝒜 fraktur"),
+    // the longest name in the standard (31 chars + ';')
+    ("&CounterClockwiseContourIntegral; long name",
+     "∳ long name"),
+    // legacy no-; prefix matching still works with the full table
+    ("&nbsp &nbspx &nbsp; legacy prefixes",
+     "\u00a0 \u00a0x \u00a0 legacy prefixes"),
+    // values ending in variation selectors
+    ("&caps; &cups; variation selectors",
+     "∩︀ ∪︀ variation selectors"),
+    // ASCII-expanding (&fjlig; -> "fj"), spacing combos, invisibles
+    ("&fjlig; &ThickSpace; &af;end",
+     "fj \u205f\u200a \u2061end"),
+    ("&NotEqualTilde; &NotHumpDownHump;",
+     "≂̸ ≎̸"),
+    ("&DownArrowBar; &angmsdaa; &vsubnE;",
+     "⤓ ⦨ ⫋︀"))
 
   test("html_unescape matches python html.unescape on the golden corpus") {
     goldens.foreach { case (in, want) =>
       assert(HtmlExpressions.unescape(in) === want, s"input: $in")
+    }
+  }
+
+  test("EVERY WHATWG name matches CPython html.unescape (exhaustive golden file)") {
+    // src/test/resources/html5_entities_golden.tsv: one line per key of
+    // CPython's html.entities.html5 (2231), "&<key>\t<unescape output>",
+    // tab/newline/backslash escaped. Pins the full table — including
+    // the no-`;` legacy keys, whose unescape output exercises the
+    // longest-prefix path, and `&NewLine;` whose value IS a newline.
+    def unesc(s: String): String = {
+      val b = new StringBuilder; var i = 0
+      while (i < s.length) {
+        if (s.charAt(i) == '\\' && i + 1 < s.length) {
+          s.charAt(i + 1) match {
+            case 'n' => b.append('\n'); case 't' => b.append('\t')
+            case '\\' => b.append('\\'); case c => b.append(c)
+          }
+          i += 2
+        } else { b.append(s.charAt(i)); i += 1 }
+      }
+      b.toString
+    }
+    val in = getClass.getResourceAsStream("/html5_entities_golden.tsv")
+    assert(in != null, "golden resource missing")
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    assert(lines.size === 2231)
+    lines.foreach { line =>
+      val Array(input, want) = line.split("\t", 2)
+      assert(HtmlExpressions.unescape(unesc(input)) === unesc(want),
+        s"entity: $input")
     }
   }
 
