@@ -124,6 +124,11 @@ object Bench {
     println("note: q87_pack_greedy runs shards=1 BY DESIGN (the oracle " +
       "baseline; q93 is its sharded scale twin) — its single-partition " +
       "WindowExec warnings above are expected, not a scale defect.")
+    println("note: sub-second queries carry a measured +/-0.15s run-to-run " +
+      "noise band under the per-query fresh-context methodology (GC and " +
+      "scheduler timing, NOT plan cost — r5's q40 0.68s vs r6's 0.36s on " +
+      "identical code); round-over-round deltas below ~0.2s on short " +
+      "queries are not signal.")
     println(line)
   }
 }
