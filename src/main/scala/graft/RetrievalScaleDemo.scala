@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale validation for the retrieval/curation operators at 1M+ docs:
+  * repeated-span dedup (q99), BM25 (q100), RRF fusion (q101), and the
+  * true vector+lexical hybridSearch (q102) over a corpus built by
+  * replicating sf0.1's 5k documents/embeddings `RETRIEVAL_COPIES`
+  * (default 200) times. Each copy's vocabulary is prefixed so repeated
+  * spans exist only within a copy (the honest case for span dedup: the
+  * gram table grows with the corpus, not just the counts); embeddings
+  * keep their float values (identical across copies), which makes the
+  * vector leg's top-k maximally tie-heavy — a worst case for the heap,
+  * not a shortcut. Run manually: `sbt "runMain graft.RetrievalScaleDemo"`.
+  */
+object RetrievalScaleDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.1"
+    val copies = sys.env.getOrElse("RETRIEVAL_COPIES", "200").toInt
+    val base = s"/tmp/graft_retrieval_$copies"
+
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"$name%-44s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    // ---- build the scaled corpus once (documents written LAST: its
+    // existence is the build-complete marker) -----------------------------
+    val docsPath = s"$base/documents.parquet"
+    if (!new java.io.File(docsPath).exists()) {
+      val reps = spark.range(copies).select(col("id").as("copy"))
+      Tables.embeddings(spark, d).crossJoin(reps)
+        .select((col("vec_id") + col("copy") * 1000000L).as("vec_id"),
+          col("embedding"), col("label"))
+        .repartition(64)
+        .write.mode("overwrite").parquet(s"$base/embeddings.parquet")
+      Tables.documents(spark, d).crossJoin(reps)
+        .select((col("doc_id") + col("copy") * 1000000L).as("doc_id"),
+          // copy-prefixed vocabulary: spans/terms never match across copies
+          concat_ws(" ", transform(split(trim(col("text")), "\\s+"),
+            w => concat(lit("c"), col("copy"), lit("_"), w))).as("text"))
+        .repartition(64)
+        .write.mode("overwrite").parquet(docsPath)
+    }
+    val docs = spark.read.parquet(docsPath)
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    val nDocs = docs.count()
+    println(s"documents=$nDocs embeddings=${emb.count()}")
+    docs.agg(sum(length(col("text")))).head() // warmup: footers + codegen
+
+    time(s"repeated 8-gram spans ($nDocs docs)") {
+      val spans = operators.Curation
+        .repeatedNgramSpans(docs, "doc_id", "text", n = 8, minDocs = 2)
+      println(s"  spans=${spans.count()}")
+    }
+
+    time(s"BM25 top-100 x 2 queries + RRF ($nDocs docs)") {
+      val rankings = operators.Lexical.bm25TopKMany(docs, "doc_id", "text",
+        Seq(Seq("c0_spark", "c0_join", "c0_slow"), Seq("c0_vector", "c0_stream")),
+        k = 100)
+      println(s"  fused=${operators.Lexical.rrfFuse(rankings, "doc_id", 20).count()}")
+    }
+
+    time(s"hybridSearch: cosine + BM25 + RRF ($nDocs docs)") {
+      val kb = docs.join(emb, docs("doc_id") === emb("vec_id"))
+        .select(docs("doc_id"), col("text"), col("embedding"))
+      val q = Tables.embeddings(spark, d).filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      val hits = graft.kb.KnowledgeBase.hybridSearch(
+        kb, "doc_id", "text", "c0_spark c0_join c0_slow", q,
+        k = 20, poolSize = 100)
+      println(s"  hits=${hits.count()}")
+    }
+    spark.stop()
+  }
+}

@@ -27,9 +27,17 @@ object VectorFunctions {
 
   /** pgvector `<=>` is cosine *distance* = 1 - similarity; the reference
     * sorts ascending on it and labels it "similarity"
-    * (`knowledge_base-RAG.sql:62-65`) — we expose both, semantics intact. */
+    * (`knowledge_base-RAG.sql:62-65`) — we expose both, semantics intact.
+    * Built as the literal `Subtract(1.0, cos)` — the SAME tree the SQL
+    * `cosine_distance` function produces — so [[graft.plans.IvfPruneRule]]
+    * recognizes a ranked-distance sort from the Column API too (the old
+    * `cos * -1 + 1` was bit-identical in value but invisible to the
+    * rule, which silently cut matchDocuments/hybridSearch out of the
+    * planner-transparent IVF path). */
   def cosineDistance(a: Column, b: Column): Column =
-    toColumn(CosineSimilarity(toExpr(a), toExpr(b))) * -1 + 1
+    toColumn(org.apache.spark.sql.catalyst.expressions.Subtract(
+      org.apache.spark.sql.catalyst.expressions.Literal(1.0),
+      CosineSimilarity(toExpr(a), toExpr(b))))
 
   def dotProduct(a: Column, b: Column): Column =
     toColumn(DotProduct(toExpr(a), toExpr(b)))

@@ -129,6 +129,22 @@ class IvfRuleSpec extends SparkSpec {
     }
   }
 
+  test("matchDocuments (the match_documents analog) rides the IVF index") {
+    // the production RAG entrypoint: its cosineDistance ranking must
+    // plan exactly like the SQL cosine_distance function, so a
+    // registered quantizer prunes it — and hybridSearch's vector leg
+    // with it — without the caller changing anything
+    withIndex(nprobe = 2) {
+      val df = graft.kb.KnowledgeBase.matchDocuments(
+        corpus, query, 5, vecCol = "ivf_vec")
+      assert(clusterFilters(df).nonEmpty,
+        "matchDocuments' ranked-distance sort must trigger the rewrite")
+      val plan = graft.util.Plans.executedNodes(df)
+      assert(plan.exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+        "pruned matchDocuments must keep per-partition heaps")
+    }
+  }
+
   test("DataFrame-API ranked cosine is pruned too; user cluster filters are respected") {
     withIndex(nprobe = 1) {
       val dist = lit(1.0) - graft.functions.VectorFunctions
