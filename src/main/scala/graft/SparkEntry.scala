@@ -297,18 +297,13 @@ object SparkEntry {
 
     "q38_dup_clusters" -> ((s, d) => {
       // LSH pairs → transitive closure → one representative per cluster.
-      // The shingle frame is checkpointed ONCE across the candidate
-      // self-join + verify scans (the q80 pattern — clean-room measured
-      // 3.88 s with recompute vs ~1.5 s checkpointed); dupClusters
-      // consumes the pair list eagerly, so the checkpoint is freed
-      // before the result frame is returned.
+      // minHashNearDups checkpoints the shingle frame internally (the
+      // fix behind 3.88 → 1.4 s clean-room: the frame used to be
+      // recomputed across the signature + verify scans).
       val docs = T.documents(s, d)
-      val sh = Dedup.shingleFrame(docs, "doc_id", "text").localCheckpoint(true)
-      try {
-        val pairs = Dedup.minHashNearDupsFromShingles(sh, threshold = 0.8)
-          .select(col("id_a"), col("id_b"))
-        Dedup.dupClusters(docs, "doc_id", pairs).orderBy(col("doc_id"))
-      } finally graft.util.Checkpoints.free(sh)
+      val pairs = Dedup.minHashNearDups(docs, "doc_id", "text", threshold = 0.8)
+        .select(col("id_a"), col("id_b"))
+      Dedup.dupClusters(docs, "doc_id", pairs).orderBy(col("doc_id"))
     }),
 
     "q35_null_dedup" -> ((s, d) => {
