@@ -15,8 +15,12 @@ import duckdb
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 def norm(v):
+    # Full precision, not .6f: the oracle queries pre-round to 6
+    # decimals themselves, so collapsing here would hide real raw-double
+    # divergence the driver's hash gate would catch. +0.0 clears -0.0;
+    # .17g renders 5.0 as "5", matching int 5 across engine type skew.
     if isinstance(v, float):
-        return format(v, ".6f")
+        return format(v + 0.0 if v == 0 else v, ".17g")
     return str(v)
 
 def main():

@@ -33,10 +33,11 @@ object RetrievalScaleDemo {
       r
     }
 
-    // ---- build the scaled corpus once (documents written LAST: its
-    // existence is the build-complete marker) -----------------------------
+    // ---- build the scaled corpus once (documents written LAST, and its
+    // _SUCCESS file — not the directory, which Spark creates before the
+    // write finishes — is the build-complete marker) ----------------------
     val docsPath = s"$base/documents.parquet"
-    if (!new java.io.File(docsPath).exists()) {
+    if (!new java.io.File(docsPath, "_SUCCESS").exists()) {
       val reps = spark.range(copies).select(col("id").as("copy"))
       Tables.embeddings(spark, d).crossJoin(reps)
         .select((col("vec_id") + col("copy") * 1000000L).as("vec_id"),

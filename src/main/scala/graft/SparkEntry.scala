@@ -1915,8 +1915,10 @@ object SparkEntry {
 
     // Same lower-then-position char-4-gram identity as the Spark side;
     // integer count division is correctly rounded in both engines, so
-    // the raw ratio (and the < 0.55 flag on it) is bit-identical. LEFT
-    // JOIN keeps null-text docs as null-ratio rows, matching Spark.
+    // the raw ratio (and the < 0.55 flag on it) is bit-identical. The
+    // rr CTE mirrors charNGrams' short-text branch exactly: null text →
+    // NULL ratio, text shorter than the gram (no gram rows) → the
+    // single-pseudo-gram ratio 1.0.
     "q85b_gram_ratio" ->
       """WITH p AS (SELECT doc_id, lower(text) AS lt,
         |    unnest(range(1, greatest(len(lower(text)) - 2, 1))) AS i
@@ -1924,11 +1926,15 @@ object SparkEntry {
         |g AS (SELECT doc_id, substr(lt, i::INT, 4) AS gram FROM p),
         |r AS (SELECT doc_id,
         |    count(DISTINCT gram)::DOUBLE / count(*) AS r
-        |  FROM g GROUP BY doc_id)
-        |SELECT d.doc_id, round(r.r, 6) AS distinct_gram_ratio,
-        |  r.r < 0.55 AS flag_repetitive
-        |FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
+        |  FROM g GROUP BY doc_id),
+        |rr AS (SELECT d.doc_id,
+        |    CASE WHEN d.text IS NULL THEN NULL
+        |         WHEN r.r IS NULL THEN 1.0
+        |         ELSE r.r END AS r
+        |  FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id)
+        |SELECT doc_id, round(r, 6) AS distinct_gram_ratio,
+        |  r < 0.55 AS flag_repetitive
+        |FROM rr ORDER BY doc_id""".stripMargin,
 
     "q84_pmi_bigrams" ->
       """WITH wds AS (SELECT doc_id,

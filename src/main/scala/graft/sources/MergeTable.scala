@@ -156,10 +156,14 @@ object MergeTable {
         "not supported; add columns by rewriting the table")
     // Names alone are not enough: a same-named column with a drifted
     // type (id INT vs table LONG) would commit parquet files with mixed
-    // physical types and fail or mis-merge on later reads.
+    // physical types and fail or mis-merge on later reads. Compared via
+    // catalogString, which ignores nullability: a nullability-only
+    // difference (array<float> containsNull true vs false) is the same
+    // physical type, and rejecting it would produce an error whose two
+    // printed types look identical.
     val tableTypes = tableSchema.map(f => f.name -> f.dataType).toMap
     u.schema.foreach { f =>
-      require(f.dataType == tableTypes(f.name),
+      require(f.dataType.catalogString == tableTypes(f.name).catalogString,
         s"updates column ${f.name} has type ${f.dataType.catalogString} but " +
           s"the table stores ${tableTypes(f.name).catalogString} — cast the " +
           "update frame to the table schema before merging")

@@ -174,8 +174,14 @@ object JobProcessor {
     * MERGE semantics. */
   private[graft] def mergeResponsesBatch(
       spark: SparkSession, batch: DataFrame, tablePath: String): Unit = {
+    // tie-break equal-ts duplicates on a content fingerprint: row_number
+    // over a tied sort key is partition-order-dependent, and a replay of
+    // this batch after a crash must pick the SAME winner or the
+    // exactly-once table state breaks (the upsertByKey doc's hazard)
+    val contentTie = xxhash64(
+      to_json(struct(batch.columns.map(col): _*))).asc
     val deduped = graft.operators.Dedup.firstWins(
-      batch, Seq("request_id"), Seq(col("ts").desc))
+      batch, Seq("request_id"), Seq(col("ts").desc, contentTie))
     if (!graft.sources.MergeTable.exists(spark, tablePath)) {
       // init bypasses merge()'s guards — enforce the NULL-key contract
       // here so a bad first batch fails loudly instead of planting rows
