@@ -19,6 +19,9 @@ def norm(v):
     # decimals themselves, so collapsing here would hide real raw-double
     # divergence the driver's hash gate would catch. +0.0 clears -0.0;
     # .17g renders 5.0 as "5", matching int 5 across engine type skew.
+    import decimal
+    if isinstance(v, decimal.Decimal):
+        v = float(v)  # engine type skew (DuckDB DECIMAL vs Spark DOUBLE)
     if isinstance(v, float):
         return format(v + 0.0 if v == 0 else v, ".17g")
     return str(v)

@@ -30,6 +30,16 @@ class PlanShapeSpec extends SparkSpec {
       "top-k must not shuffle the corpus")
   }
 
+  test("matchDocuments ranked-distance top-k also plans heap-only (hybrid's vector leg)") {
+    val q = Tables.embeddings(spark, dir).select("embedding").head().getSeq[Float](0).toArray
+    val plan = collectPlan(graft.kb.KnowledgeBase.matchDocuments(
+      Tables.embeddings(spark, dir), q, 5))
+    assert(plan.exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+      "expected TakeOrderedAndProject (per-partition heaps), got:\n" + plan.mkString("\n"))
+    assert(!plan.exists(_.isInstanceOf[Exchange]),
+      "ranked-distance top-k must not shuffle the corpus")
+  }
+
   test("dimension-chain join broadcasts every dimension table") {
     val plan = collectPlan(SparkEntry.queries("q04_region_revenue")(spark, dir))
     val bhj = plan.collect { case b: BroadcastHashJoinExec => b }
