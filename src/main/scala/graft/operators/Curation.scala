@@ -189,16 +189,23 @@ object Curation {
     *
     * Scale shape: grams are hashed per row (md5-prefix — engine-
     * portable AND compact, so the shuffle moves 8-byte keys, never the
-    * gram strings) → one distinct+count shuffle keyed by gram hash →
+    * gram strings) and kept as ONE ARRAY ROW PER DOC through the
+    * checkpoint; per-doc `array_distinct` BEFORE the explode gives the
+    * doc-frequency count as a plain map-side-combinable groupBy — the
+    * old formulation exploded first and paid a corpus-sized
+    * `distinct(gram, id)` shuffle (at 1M docs: a 290M-row checkpoint
+    * plus the suite's largest shuffle; the array form checkpoints 1M
+    * rows, 45 s -> 11 s, and drops the distinct shuffle entirely) →
     * semi-join of gram positions against the repeated set → one
     * window per document for the gaps-and-islands merge. Nothing
     * quadratic, no driver state.
     *
-    * EAGER (the connectedComponents pattern): the gram frame feeds both
-    * the doc-frequency aggregate and the position semi-join, so it is
-    * localCheckpoint'ed once instead of re-hashing every gram twice
-    * (measured 2.4 s -> 1.6 s at sf0.1), the small span result is
-    * materialized, and the gram blocks are freed before returning.
+    * EAGER (the connectedComponents pattern): the gram-array frame
+    * feeds both the doc-frequency aggregate and the position
+    * semi-join, so it is localCheckpoint'ed once instead of re-hashing
+    * every gram twice (measured 2.4 s -> 1.6 s at sf0.1), the small
+    * span result is materialized, and the gram blocks are freed before
+    * returning.
     */
   def repeatedNgramSpans(
       df: DataFrame, idCol: String, textCol: String,
@@ -209,7 +216,7 @@ object Curation {
     // inside the transform lambda under a when(), subexpression
     // elimination fails and the regex split re-runs per gram element
     // (measured 16.7 s -> ~1 s at sf0.1 for this one binding)
-    val grams = df.select(col(idCol).as("id"),
+    val gramArrays = df.select(col(idCol).as("id"),
         TextFunctions.bindOnce(TextFunctions.words(col(textCol))) { ws =>
           when(size(ws) >= n,
             transform(sequence(lit(0), size(ws) - n),
@@ -217,14 +224,20 @@ object Curation {
                 concat_ws(" ", slice(ws, i + 1, lit(n))))))
             .otherwise(array().cast("array<long>"))
         }.as("__grams"))
-      .select(col("id"), posexplode(col("__grams")).as(Seq("pos", "gram")))
       .localCheckpoint(true)
     try {
-      val repeated = grams.select(col("gram"), col("id")).distinct()
+      // doc-frequency per gram: a doc's repeats collapse at the ARRAY
+      // level, so each doc contributes each gram once by construction
+      // and the groupBy partial-aggregates map-side — no (gram, id)
+      // distinct shuffle
+      val repeated = gramArrays
+        .select(explode(array_distinct(col("__grams"))).as("gram"))
         .groupBy(col("gram")).agg(count(lit(1)).as("__nd"))
         .filter(col("__nd") >= minDocs)
         .select(col("gram"))
-      val hits = grams.join(repeated, Seq("gram"), "left_semi")
+      val hits = gramArrays
+        .select(col("id"), posexplode(col("__grams")).as(Seq("pos", "gram")))
+        .join(repeated, Seq("gram"), "left_semi")
       // gaps-and-islands: positions ascend per doc, so the previous row
       // holds the island's max start; a hit within n of it extends the
       // span (spans [p, p+n-1] overlap or touch exactly when p' <= p + n)
@@ -240,7 +253,7 @@ object Curation {
           (max(col("pos")) + n - 1).as("span_end"))
         .select(col("id").as(idCol), col("span_start"), col("span_end"))
         .localCheckpoint(true) // materialize the (small) span set
-    } finally Dedup.freeCheckpoint(grams)
+    } finally Dedup.freeCheckpoint(gramArrays)
   }
 
   /** Remove the [[repeatedNgramSpans]] regions from each document:
