@@ -44,16 +44,25 @@ object RetrievalScaleDemo {
           col("embedding"), col("label"))
         .repartition(64)
         .write.mode("overwrite").parquet(s"$base/embeddings.parquet")
-      Tables.documents(spark, d).crossJoin(reps)
+      val scaledDocs = Tables.documents(spark, d).crossJoin(reps)
         .select((col("doc_id") + col("copy") * 1000000L).as("doc_id"),
           // copy-prefixed vocabulary: spans/terms never match across copies
           concat_ws(" ", transform(split(trim(col("text")), "\\s+"),
             w => concat(lit("c"), col("copy"), lit("_"), w))).as("text"))
+      // the knowledge base is ONE stored table (text + embedding), as in
+      // the reference's knowledge_base — hybridSearch must be measured
+      // over that, not over an in-flight fixture join
+      scaledDocs
+        .join(spark.read.parquet(s"$base/embeddings.parquet"),
+          scaledDocs("doc_id") === col("vec_id"))
+        .select(scaledDocs("doc_id"), col("text"), col("embedding"))
         .repartition(64)
-        .write.mode("overwrite").parquet(docsPath)
+        .write.mode("overwrite").parquet(s"$base/kb.parquet")
+      scaledDocs.repartition(64).write.mode("overwrite").parquet(docsPath)
     }
     val docs = spark.read.parquet(docsPath)
     val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    val kbTable = spark.read.parquet(s"$base/kb.parquet")
     val nDocs = docs.count()
     println(s"documents=$nDocs embeddings=${emb.count()}")
     docs.agg(sum(length(col("text")))).head() // warmup: footers + codegen
@@ -71,13 +80,11 @@ object RetrievalScaleDemo {
       println(s"  fused=${operators.Lexical.rrfFuse(rankings, "doc_id", 20).count()}")
     }
 
-    time(s"hybridSearch: cosine + BM25 + RRF ($nDocs docs)") {
-      val kb = docs.join(emb, docs("doc_id") === emb("vec_id"))
-        .select(docs("doc_id"), col("text"), col("embedding"))
+    time(s"hybridSearch: cosine + BM25 + RRF (${kbTable.count()}-row kb)") {
       val q = Tables.embeddings(spark, d).filter(col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0).toArray
       val hits = graft.kb.KnowledgeBase.hybridSearch(
-        kb, "doc_id", "text", "c0_spark c0_join c0_slow", q,
+        kbTable, "doc_id", "text", "c0_spark c0_join c0_slow", q,
         k = 20, poolSize = 100)
       println(s"  hits=${hits.count()}")
     }
