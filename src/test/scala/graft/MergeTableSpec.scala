@@ -169,6 +169,41 @@ class MergeTableSpec extends SparkSpec {
     assert(MergeTable.read(spark, path).count() === 10)
   }
 
+  test("racing writers: concurrent merges all land via OCC retry, no update lost") {
+    // 4 writers race on ONE table: each updates 25 existing keys (their
+    // base files overlap, so late writers re-plan against re-snapshotted
+    // manifests) and inserts 50 new ones. Every commit that loses the
+    // version race must retry and land — the FileAlreadyExists path that
+    // only shows up under real concurrency.
+    val path = freshPath()
+    MergeTable.init(spark, path, rows(1 to 100, "base"))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writers = (0 until 4).map { i =>
+      Future {
+        val upd = (i * 25 + 1) to (i * 25 + 25)      // existing keys
+        val ins = (101 + i * 50) to (150 + i * 50)   // fresh keys
+        MergeTable.merge(spark, path,
+          (upd ++ ins).map(j => (j.toLong, s"w$i", s"payload $j"))
+            .toDF("id", "tag", "body"),
+          Seq("id"))
+      }
+    }
+    Await.result(Future.sequence(writers), 180.seconds)
+    val snap = MergeTable.snapshot(spark, path)
+    assert(snap.version === 5L,
+      s"4 concurrent merges must commit 4 linear versions, got ${snap.version}")
+    val got = MergeTable.read(spark, path)
+    assert(got.count() === 300, "100 updated + 200 inserted rows")
+    assert(got.filter(col("tag") === "base").count() === 0,
+      "every base row was claimed by exactly one writer")
+    (0 until 4).foreach { i =>
+      assert(got.filter(col("tag") === s"w$i").count() === 75,
+        s"writer $i must land all 75 of its rows despite losing commit races")
+    }
+  }
+
   test("knowledge-base ingest loop: content-hash upsert commits versions, dedupes by content") {
     val path = freshPath()
     def docs(xs: Seq[(String, String)]) = xs.toDF("content", "source_type")
