@@ -9,7 +9,7 @@ oracle_sql.json's SQL over the same sf tables, columns sorted by name,
 values stringified and multiset-compared (the driver hashes; equality of the
 sorted multisets implies equal hashes).
 """
-import sys, json, glob, os
+import sys, json, glob, os, decimal
 import duckdb
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
@@ -19,9 +19,12 @@ def norm(v):
     # decimals themselves, so collapsing here would hide real raw-double
     # divergence the driver's hash gate would catch. +0.0 clears -0.0;
     # .17g renders 5.0 as "5", matching int 5 across engine type skew.
-    import decimal
     if isinstance(v, decimal.Decimal):
-        v = float(v)  # engine type skew (DuckDB DECIMAL vs Spark DOUBLE)
+        # engine type skew (DuckDB DECIMAL vs Spark DOUBLE). Known
+        # limitation: a DECIMAL with >17 significant digits collapses to
+        # double here and could mask sub-ulp divergence the driver's
+        # exact hash gate would catch — the driver remains authoritative.
+        v = float(v)
     if isinstance(v, float):
         return format(v + 0.0 if v == 0 else v, ".17g")
     return str(v)

@@ -35,9 +35,12 @@ object RetrievalScaleDemo {
 
     // ---- build the scaled corpus once (documents written LAST, and its
     // _SUCCESS file — not the directory, which Spark creates before the
-    // write finishes — is the build-complete marker) ----------------------
+    // write finishes — is the build-complete marker; kb.parquet is
+    // checked too so a cache dir built by an older demo revision that
+    // never wrote it cannot be half-reused) -------------------------------
     val docsPath = s"$base/documents.parquet"
-    if (!new java.io.File(docsPath, "_SUCCESS").exists()) {
+    if (!new java.io.File(docsPath, "_SUCCESS").exists() ||
+        !new java.io.File(s"$base/kb.parquet", "_SUCCESS").exists()) {
       val reps = spark.range(copies).select(col("id").as("copy"))
       Tables.embeddings(spark, d).crossJoin(reps)
         .select((col("vec_id") + col("copy") * 1000000L).as("vec_id"),
@@ -64,7 +67,8 @@ object RetrievalScaleDemo {
     val emb = spark.read.parquet(s"$base/embeddings.parquet")
     val kbTable = spark.read.parquet(s"$base/kb.parquet")
     val nDocs = docs.count()
-    println(s"documents=$nDocs embeddings=${emb.count()}")
+    val nKb = kbTable.count() // outside every timed region, like the warmup
+    println(s"documents=$nDocs embeddings=${emb.count()} kb=$nKb")
     docs.agg(sum(length(col("text")))).head() // warmup: footers + codegen
 
     time(s"repeated 8-gram spans ($nDocs docs)") {
@@ -80,7 +84,7 @@ object RetrievalScaleDemo {
       println(s"  fused=${operators.Lexical.rrfFuse(rankings, "doc_id", 20).count()}")
     }
 
-    time(s"hybridSearch: cosine + BM25 + RRF (${kbTable.count()}-row kb)") {
+    time(s"hybridSearch: cosine + BM25 + RRF ($nKb-row kb)") {
       val q = Tables.embeddings(spark, d).filter(col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0).toArray
       val hits = graft.kb.KnowledgeBase.hybridSearch(

@@ -335,17 +335,41 @@ object MergeTable {
       .map(_.toUri.toString).toSeq.sorted
   }
 
-  /** Exclusive-create commit: atomic on HDFS-like filesystems (the OCC
-    * primitive); on the local filesystem the existence check has a
-    * negligible race window — production deployments point this at a
-    * real cluster FS. */
+  /** Exclusive-create commit — the OCC primitive. Atomic on HDFS-like
+    * filesystems (namenode-side exclusive create) AND on the local
+    * filesystem (temp file + link(2), which also guarantees readers
+    * never see a half-written manifest). */
   private def commit(
       fs: FileSystem, root: Path, version: Long, files: Seq[String]): Unit = {
     fs.mkdirs(manifestDir(root))
     val target = manifestPath(root, version)
-    if (fs.exists(target)) throw new FileAlreadyExistsException(target.toString)
-    val out = fs.create(target, false) // throws FileAlreadyExists on race
-    try out.write((files.mkString("\n") + "\n").getBytes("UTF-8"))
-    finally out.close()
+    val bytes = (files.mkString("\n") + "\n").getBytes("UTF-8")
+    if ("file".equalsIgnoreCase(target.toUri.getScheme) ||
+        target.toUri.getScheme == null) {
+      // RawLocalFileSystem's create(path, overwrite=false) is an
+      // exists-check THEN create — a real (if tiny) window where two
+      // racing writers both "win" the same version and one manifest is
+      // silently overwritten. Write the content to a temp file and
+      // claim the version with link(2): atomic, fails with EEXIST for
+      // the loser (→ the FileAlreadyExists the OCC loop retries on),
+      // and readers can never observe a half-written manifest.
+      val p = java.nio.file.Paths.get(target.toUri.getPath)
+      val tmp = java.nio.file.Files.createTempFile(
+        p.getParent, s"._v${version}_", ".tmp")
+      try {
+        java.nio.file.Files.write(tmp, bytes)
+        try java.nio.file.Files.createLink(p, tmp)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            throw new FileAlreadyExistsException(target.toString)
+        }
+      } finally java.nio.file.Files.deleteIfExists(tmp)
+    } else {
+      // HDFS create(overwrite=false) is atomic namenode-side
+      if (fs.exists(target)) throw new FileAlreadyExistsException(target.toString)
+      val out = fs.create(target, false) // throws FileAlreadyExists on race
+      try out.write(bytes)
+      finally out.close()
+    }
   }
 }
