@@ -61,6 +61,16 @@ object RetrievalScaleDemo {
         .select(scaledDocs("doc_id"), col("text"), col("embedding"))
         .repartition(64)
         .write.mode("overwrite").parquet(s"$base/kb.parquet")
+      // IVF-clustered twin of the kb table + its coarse quantizer, for
+      // the planner-transparent pruned variant below
+      val kbBuilt = spark.read.parquet(s"$base/kb.parquet")
+      val cents = operators.SimilaritySearch.kmeansCentroids(
+        kbBuilt, "doc_id", "embedding", k = 16, iters = 3)
+      cents.write.mode("overwrite").parquet(s"$base/kb_cents.parquet")
+      operators.SimilaritySearch.assignClusters(kbBuilt, "embedding", cents)
+        .withColumnRenamed("cluster", "ivf_cluster")
+        .repartition(64)
+        .write.mode("overwrite").parquet(s"$base/kb_ivf.parquet")
       scaledDocs.repartition(64).write.mode("overwrite").parquet(docsPath)
     }
     val docs = spark.read.parquet(docsPath)
@@ -84,14 +94,30 @@ object RetrievalScaleDemo {
       println(s"  fused=${operators.Lexical.rrfFuse(rankings, "doc_id", 20).count()}")
     }
 
+    val q = Tables.embeddings(spark, d).filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
     time(s"hybridSearch: cosine + BM25 + RRF ($nKb-row kb)") {
-      val q = Tables.embeddings(spark, d).filter(col("vec_id") === 0)
-        .select("embedding").head().getSeq[Float](0).toArray
       val hits = graft.kb.KnowledgeBase.hybridSearch(
         kbTable, "doc_id", "text", "c0_spark c0_join c0_slow", q,
         k = 20, poolSize = 100)
       println(s"  hits=${hits.count()}")
     }
+
+    // the same call over the IVF-clustered twin with a registered
+    // quantizer: matchDocuments' ranked-distance sort is rewritten at
+    // plan time to probe 2 of 16 clusters — hybridSearch's vector leg
+    // scans ~1/8th of the corpus without the caller changing anything
+    val kbIvf = spark.read.parquet(s"$base/kb_ivf.parquet")
+    val cents = spark.read.parquet(s"$base/kb_cents.parquet")
+    kbIvf.count() // metadata warm, matching the unindexed measurement
+    graft.plans.IvfIndex.register(
+      spark, kbIvf, "ivf_cluster", "embedding", cents, nprobe = 2)
+    try time("hybridSearch, vector leg IVF-pruned (nprobe=2/16)") {
+      val hits = graft.kb.KnowledgeBase.hybridSearch(
+        kbIvf, "doc_id", "text", "c0_spark c0_join c0_slow", q,
+        k = 20, poolSize = 100)
+      println(s"  hits=${hits.count()}")
+    } finally graft.plans.IvfIndex.unregister(spark, "embedding")
     spark.stop()
   }
 }
