@@ -145,14 +145,19 @@ object Dedup {
     val r = numHashes / bands
 
     // Band buckets over bare ids only — the shingle arrays must NOT ride
-    // through the shuffle. The self-join below scans this twice; the
-    // recompute was measured cheaper than persisting it.
+    // through the shuffle. The self-join below consumes this twice and
+    // Spark does NOT reuse the subtree across join sides (verified: the
+    // broadcast plan at small sizes recomputes it per side, and the
+    // signature pass — numHashes minima per doc — is the CPU-heavy part
+    // of LSH), so the small (id, band, bucket) table is materialized
+    // once; its blocks are reaped by ContextCleaner with the result.
     val banded = shingled
       .select(col("id"),
         HashExpressions.minhashSignatureLongs(col("shingles"), numHashes).as("sig"))
       .select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => hash(slice(col("sig"), b * r + 1, lit(r)), b))).as(Seq("band", "bucket")))
+      .localCheckpoint(true)
 
     // Candidate pairs via band-bucket self-join. A bucket-aggregate
     // (collect_list per bucket) looks cheaper on paper, but with tens of
