@@ -146,6 +146,44 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: repeatedNgramSpans matches a brute-force reference exactly") {
+    // small vocabulary => heavy accidental cross-doc n-gram overlap;
+    // pins the array-level doc-frequency formulation against a direct
+    // per-doc computation, including within-doc-repeat collapsing
+    val n = 3
+    val word = Gen.oneOf("a", "b", "c", "d", "e")
+    val doc = Gen.chooseNum(0, 12).flatMap(len => Gen.listOfN(len, word))
+    val corpus: Seq[(Long, Seq[String])] =
+      sample(doc, 40).zipWithIndex.map { case (ws, i) => (i.toLong, ws) }
+
+    // brute force: gram -> distinct docs; then per doc, hit positions ->
+    // merge runs within n of each other
+    val gramDocs = corpus.flatMap { case (id, ws) =>
+      ws.sliding(n).filter(_.size == n).map(g => (g.mkString(" "), id))
+    }.distinct.groupBy(_._1).view.mapValues(_.size).toMap
+    val expected = corpus.flatMap { case (id, ws) =>
+      val hits = ws.sliding(n).zipWithIndex
+        .filter { case (g, _) => g.size == n && gramDocs(g.mkString(" ")) >= 2 }
+        .map(_._2).toSeq
+      if (hits.isEmpty) Nil
+      else {
+        val islands = hits.tail.foldLeft(List(List(hits.head))) {
+          case (acc @ (cur :: rest), p) =>
+            if (p <= cur.head + n) (p :: cur) :: rest else List(p) :: acc
+          case (Nil, p) => List(List(p))
+        }
+        islands.map(is => (id, is.min, is.max + n - 1))
+      }
+    }.toSet
+
+    val got = operators.Curation.repeatedNgramSpans(
+        corpus.map { case (id, ws) => (id, ws.mkString(" ")) }.toDF("doc_id", "text"),
+        "doc_id", "text", n, 2)
+      .as[(Long, Int, Int)].collect().toSet
+    assert(got === expected.map { case (a, b, c) => (a, b, c) },
+      s"operator vs brute force diverged; corpus=${corpus.take(5)}...")
+  }
+
   test("property: rrfFuse is invariant to ranking argument order in scores") {
     val a = sample(Gen.zip(Gen.chooseNum(1L, 30L), Gen.chooseNum(1.0, 100.0)), 20)
       .distinctBy(_._1).toDF("id", "score")
