@@ -35,12 +35,14 @@ object RetrievalScaleDemo {
 
     // ---- build the scaled corpus once (documents written LAST, and its
     // _SUCCESS file — not the directory, which Spark creates before the
-    // write finishes — is the build-complete marker; kb.parquet is
-    // checked too so a cache dir built by an older demo revision that
-    // never wrote it cannot be half-reused) -------------------------------
+    // write finishes — is the build-complete marker; EVERY other
+    // artifact this revision reads is checked too, so a cache dir built
+    // by an older demo revision that wrote fewer artifacts cannot be
+    // half-reused) --------------------------------------------------------
     val docsPath = s"$base/documents.parquet"
-    if (!new java.io.File(docsPath, "_SUCCESS").exists() ||
-        !new java.io.File(s"$base/kb.parquet", "_SUCCESS").exists()) {
+    val artifacts = Seq(docsPath, s"$base/kb.parquet",
+      s"$base/kb_ivf.parquet", s"$base/kb_cents.parquet")
+    if (!artifacts.forall(p => new java.io.File(p, "_SUCCESS").exists())) {
       val reps = spark.range(copies).select(col("id").as("copy"))
       Tables.embeddings(spark, d).crossJoin(reps)
         .select((col("vec_id") + col("copy") * 1000000L).as("vec_id"),

@@ -1798,16 +1798,17 @@ object SparkEntry {
         |ORDER BY f DESC, doc_id LIMIT 15""".stripMargin,
 
     // True hybrid: cosine leg reproduces matchDocuments exactly (distance
-    // = cossim * -1 + 1, pool by raw distance ASC, THEN round to the
-    // operator-output score); bm25 leg = q100's expression with pool 30;
-    // fusion ranks over the ROUNDED leg outputs, contributions vec+lex.
+    // = cossim * -1 + 1, pool by raw distance ASC with the id tiebreak
+    // hybridSearch pins, THEN round to the operator-output score); bm25
+    // leg = q100's expression with pool 30; fusion ranks over the
+    // ROUNDED leg outputs, contributions vec+lex.
     "q102_hybrid_search" ->
       """WITH kb AS (SELECT d.doc_id, d.text, e.embedding
         |    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
         |q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
         |vp AS (SELECT kb.doc_id,
         |    (list_cosine_similarity(kb.embedding::DOUBLE[], q.embedding::DOUBLE[]) * -1 + 1) AS dist
-        |  FROM kb, q ORDER BY dist LIMIT 30),
+        |  FROM kb, q ORDER BY dist, kb.doc_id LIMIT 30),
         |tv AS (SELECT doc_id, round(1.0 - dist, 6) AS score FROM vp),
         |w AS (SELECT doc_id,
         |    CASE WHEN text IS NULL OR trim(lower(text)) = '' THEN []::VARCHAR[]

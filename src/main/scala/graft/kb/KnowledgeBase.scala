@@ -21,18 +21,29 @@ object KnowledgeBase {
   /** pgvector `<=>` returns cosine *distance*; the reference aliases it
     * `similarity` and sorts ascending — reproduced exactly, not "fixed"
     * (SURVEY §7 hard-parts). Null-tolerant source filter per
-    * `knowledge_base-RAG.sql:64`. */
+    * `knowledge_base-RAG.sql:64`.
+    *
+    * `tieBreak` optionally names a column to order equal distances by:
+    * a TakeOrderedAndProject over tied distances otherwise picks a
+    * partition-order-dependent subset at the `matchCount` boundary, so
+    * any caller that needs run-to-run (or cross-engine) reproducible
+    * pool MEMBERSHIP — [[hybridSearch]], the q102 oracle — pins ties on
+    * the document id. Default None keeps the reference's exact ORDER BY
+    * (distance only); the IVF prune rule reads the ranked head key, so
+    * the secondary key doesn't affect planner-transparent pruning. */
   def matchDocuments(
       kb: DataFrame, queryEmbedding: Array[Float], matchCount: Int,
       filterSource: Option[String] = None,
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      tieBreak: Option[String] = None): DataFrame = {
     val base = filterSource match {
       case Some(src) => kb.filter(col("source_type") === src)
       case None      => kb
     }
-    base
+    val ranked = base
       .withColumn("similarity", cosineDistance(col(vecCol), typedlit(queryEmbedding)))
-      .orderBy(asc("similarity"))
+    ranked
+      .orderBy(asc("similarity") +: tieBreak.map(asc).toSeq: _*)
       .limit(matchCount)
   }
 
@@ -92,8 +103,10 @@ object KnowledgeBase {
     // by score descending — flip to similarity. Rounded to 6 decimals
     // like bm25TopK's output: each fused leg is an OPERATOR OUTPUT, so
     // the rank fusion is engine-portable (raw-double ranks would be
-    // ulp-sensitive across engines).
-    val vec = matchDocuments(kb, queryEmbedding, poolSize, None, vecCol)
+    // ulp-sensitive across engines). Pool ties break on the id so the
+    // fused result is deterministic on tie-heavy corpora.
+    val vec = matchDocuments(kb, queryEmbedding, poolSize, None, vecCol,
+        tieBreak = Some(idCol))
       .select(col(idCol),
         round(lit(1.0) - col("similarity"), 6).as("score"))
     val terms = queryText.toLowerCase(java.util.Locale.ROOT)

@@ -98,21 +98,21 @@ object Dedup {
     *
     * EAGER: LSH + verify scans the shingle frame three times (signature,
     * then both sides of the verify join), so this computes the shingles
-    * once into a `localCheckpoint`, materializes the (small) verified
-    * pair frame, and frees the shingle blocks before returning — the
-    * clean-room-measured win behind q38's 3.88→1.4 s (see
-    * [[shingleFrame]]). The returned frame's blocks are released by
-    * Spark's ContextCleaner once the caller drops it. Callers that
-    * want lazy plans compose [[shingleFrame]] +
-    * [[minHashNearDupsFromShingles]] themselves. */
+    * once into a `localCheckpoint`, lets [[minHashNearDupsFromShingles]]
+    * materialize the (small) verified pair frame, and frees the shingle
+    * blocks before returning — the clean-room-measured win behind q38's
+    * 3.88→1.4 s (see [[shingleFrame]]). The returned k-row frame's
+    * blocks are released by Spark's ContextCleaner once the caller
+    * drops it. Callers with SEVERAL shingle consumers (verify, keep-
+    * best) compose [[shingleFrame]] + [[minHashNearDupsFromShingles]]
+    * themselves to amortize the one checkpoint, as [[nearDupKeepBest]]
+    * does. */
   def minHashNearDups(
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
       threshold: Double = 0.8): DataFrame = {
     val sh = shingleFrame(df, idCol, textCol, shingleSize).localCheckpoint(true)
-    try
-      minHashNearDupsFromShingles(sh, numHashes, bands, threshold)
-        .localCheckpoint(true)
+    try minHashNearDupsFromShingles(sh, numHashes, bands, threshold)
     finally freeCheckpoint(sh)
   }
 
@@ -137,7 +137,14 @@ object Dedup {
         .as("shingles"))
 
   /** [[minHashNearDups]] over a prepared [[shingleFrame]] — lets callers
-    * amortize the text scan + shingling across several consumers. */
+    * amortize the text scan + shingling across several consumers.
+    *
+    * EAGER: the verified pair frame (small — near-dup pairs only) is
+    * materialized on call and the internal band table's blocks are
+    * freed before returning, matching the freeCheckpoint discipline of
+    * every other operator in this file; `shingled` is scanned three
+    * times DURING the call (signature + both verify sides), so pass it
+    * `localCheckpoint`ed. */
   def minHashNearDupsFromShingles(
       shingled: DataFrame, numHashes: Int = 128, bands: Int = 32,
       threshold: Double = 0.8): DataFrame = {
@@ -150,7 +157,7 @@ object Dedup {
     // broadcast plan at small sizes recomputes it per side, and the
     // signature pass — numHashes minima per doc — is the CPU-heavy part
     // of LSH), so the small (id, band, bucket) table is materialized
-    // once; its blocks are reaped by ContextCleaner with the result.
+    // once and freed when the verified pairs are.
     val banded = shingled
       .select(col("id"),
         HashExpressions.minhashSignatureLongs(col("shingles"), numHashes).as("sig"))
@@ -159,28 +166,31 @@ object Dedup {
           b => hash(slice(col("sig"), b * r + 1, lit(r)), b))).as(Seq("band", "bucket")))
       .localCheckpoint(true)
 
-    // Candidate pairs via band-bucket self-join. A bucket-aggregate
-    // (collect_list per bucket) looks cheaper on paper, but with tens of
-    // millions of mostly-singleton buckets Spark's ObjectHashAggregate
-    // falls back to sort-based object aggregation (128-entry threshold)
-    // and goes superlinear; the plain codegen'd join on compact rows
-    // scales. Degenerate buckets cost k^2/2 pairs either way.
-    val candidates = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
-      .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
-        Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
+    try {
+      // Candidate pairs via band-bucket self-join. A bucket-aggregate
+      // (collect_list per bucket) looks cheaper on paper, but with tens of
+      // millions of mostly-singleton buckets Spark's ObjectHashAggregate
+      // falls back to sort-based object aggregation (128-entry threshold)
+      // and goes superlinear; the plain codegen'd join on compact rows
+      // scales. Degenerate buckets cost k^2/2 pairs either way.
+      val candidates = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+        .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
+          Seq("band", "bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
 
-    // Exact verification: re-attach shingles only for the candidate pairs.
-    candidates
-      .join(shingled.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
-      .join(shingled.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      // Exact verification: re-attach shingles only for the candidate pairs.
+      candidates
+        .join(shingled.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
+        .join(shingled.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
+        .withColumn("jaccard",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .localCheckpoint(true) // materialize the (small) pair set
+    } finally freeCheckpoint(banded)
   }
 
   /** SimHash near-dups: 64-bit fingerprints, candidates via 16-bit band

@@ -36,8 +36,10 @@ object Lexical {
     *     result is bit-reproducible across engines;
     *     TakeOrderedAndProject keeps per-partition k-row heaps (no
     *     corpus sort, no shuffle).
-    * The checkpointed blocks are released by Spark's ContextCleaner
-    * when the returned frames are dropped.
+    * EAGER (the minHashNearDups discipline): the k-row results are
+    * materialized and the corpus-sized frame is freed before returning
+    * — a serving loop calling this per user query must not pin one
+    * corpus-sized block set per in-flight query waiting on driver GC.
     *
     * idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (Lucene's non-negative
     * smoothing); docs matching no term are dropped. Ties break by id.
@@ -59,7 +61,10 @@ object Lexical {
     require(queries.nonEmpty && queries.forall(_.nonEmpty),
       "every query needs at least one term")
     require(k >= 1, s"k must be >= 1, got $k")
-    val lowered = queries.map(_.map(_.toLowerCase(java.util.Locale.ROOT)).distinct)
+    // strict List: the map over queries below MUST run its checkpoints
+    // before the finally frees the corpus frame (a lazy Seq would
+    // compute them after the blocks are gone)
+    val lowered = queries.toList.map(_.map(_.toLowerCase(java.util.Locale.ROOT)).distinct)
     val allTerms = lowered.flatten.distinct
     // ONE tokenizing scan of the corpus: split, keep (id, dl, just the
     // query-term occurrences), checkpoint. __wq is bounded by each doc's
@@ -90,7 +95,7 @@ object Lexical {
     // parses for `0.25 + 0.75 * dl/avgdl`, so the doubles match bit-
     // for-bit (ADVICE r5: b*(dl/avgdl) differed in the last ulp).
     val norm = lit(1.0 - b) + lit(b) * col("__dl") / avgdl
-    lowered.map { termsLower =>
+    try lowered.map { termsLower =>
       val perTerm: Seq[Column] = termsLower.map { t =>
         val dfT = dfCounts.getOrElse(t, 0L)
         val idf = math.log(1.0 + (n - dfT + 0.5) / (dfT + 0.5))
@@ -104,7 +109,9 @@ object Lexical {
         .orderBy(desc("__score"), asc("id"))
         .limit(k)
         .select(col("id").as(idCol), round(col("__score"), 6).as("score"))
-    }
+        // materialize the k rows so the corpus frame can be freed now
+        .localCheckpoint(true)
+    } finally graft.util.Checkpoints.free(scored)
   }
 
   /** Reciprocal-rank fusion over any number of (idCol, score) rankings:

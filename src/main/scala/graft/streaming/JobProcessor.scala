@@ -183,12 +183,18 @@ object JobProcessor {
     val deduped = graft.operators.Dedup.firstWins(
       batch, Seq("request_id"), Seq(col("ts").desc, contentTie))
     if (!graft.sources.MergeTable.exists(spark, tablePath)) {
-      // init bypasses merge()'s guards — enforce the NULL-key contract
-      // here so a bad first batch fails loudly instead of planting rows
-      // no later merge can ever match
-      require(deduped.filter(col("request_id").isNull).isEmpty,
-        "batch contains NULL request_id; merge-table keys must be non-null")
-      graft.sources.MergeTable.init(spark, tablePath, deduped)
+      // init path scans deduped twice (NULL-key probe + the write) —
+      // cache it so the window + json-hash dedup runs once (merge()'s
+      // path needs no persist: it localCheckpoints updates itself)
+      deduped.persist()
+      try {
+        // init bypasses merge()'s guards — enforce the NULL-key contract
+        // here so a bad first batch fails loudly instead of planting rows
+        // no later merge can ever match
+        require(deduped.filter(col("request_id").isNull).isEmpty,
+          "batch contains NULL request_id; merge-table keys must be non-null")
+        graft.sources.MergeTable.init(spark, tablePath, deduped)
+      } finally deduped.unpersist()
     } else
       graft.sources.MergeTable.merge(
         spark, tablePath, deduped, Seq("request_id"))

@@ -115,6 +115,24 @@ class MergeTableSpec extends SparkSpec {
     assert(MergeTable.vacuum(spark, path, retainMillis = 0) === 0) // idempotent
   }
 
+  test("vacuum sweeps manifest temp files stranded by a crashed commit") {
+    val path = freshPath()
+    MergeTable.init(spark, path, rows(1 to 20, "a"))
+    // simulate a writer that died between its temp write and the link(2)
+    // claim: a `._v*_*.tmp` left in _manifests that nothing references
+    val stranded = java.nio.file.Paths.get(path, "_manifests", "._v9_dead.tmp")
+    java.nio.file.Files.write(stranded, "orphan\n".getBytes("UTF-8"))
+    MergeTable.vacuum(spark, path) // young: grace keeps it (mid-commit writer)
+    assert(java.nio.file.Files.exists(stranded),
+      "temp files younger than the grace must survive (a commit may be in flight)")
+    MergeTable.vacuum(spark, path, retainMillis = 0)
+    assert(!java.nio.file.Files.exists(stranded),
+      "expired stranded temp files must be swept")
+    // the table itself is untouched
+    assert(MergeTable.read(spark, path).count() === 20)
+    assert(MergeTable.snapshot(spark, path).version === 1L)
+  }
+
   test("touched-file discovery pushes the key range into the parquet scan") {
     val path = freshPath()
     MergeTable.init(spark, path, rows(1 to 1000, "a"))

@@ -94,6 +94,17 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(rows(0)._2) < 1e-9) // self distance 0
   }
 
+  test("matchDocuments tieBreak pins pool membership on a tie-heavy corpus") {
+    // 40 docs share ONE embedding → every distance ties; without a
+    // secondary key the k=10 pool is a partition-order-dependent subset.
+    // tieBreak=Some(id) must always keep the 10 lowest ids.
+    val kb = spark.range(100, 140).repartition(8)
+      .select(col("id"), typedlit(Array(3f, 4f, 0f)).as("embedding"))
+    val got = KnowledgeBase.matchDocuments(kb, Array(1f, 0f, 0f), 10,
+      tieBreak = Some("id"))
+    assert(got.select("id").as[Long].collect().toSeq === (100L to 109L))
+  }
+
   test("matchDocuments source filter") {
     val kb = corpus.withColumn("source_type",
       when(col("id") <= 2, "github").otherwise("stackoverflow"))
