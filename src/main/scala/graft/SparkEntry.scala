@@ -148,7 +148,8 @@ object SparkEntry {
 
     "q16_rate_limit" -> ((s, d) =>
       RateLimit.slidingWindowAdmission(T.events(s, d), "user_id", "ts",
-          maxRequests = 5, windowSeconds = 600)
+          maxRequests = 5, windowSeconds = 600,
+          tieBreak = Seq(col("event_id")))
         .select(col("event_id"), col("user_id"), col("window_count"), col("allowed"))
         .orderBy(col("event_id"))),
 
@@ -1041,12 +1042,18 @@ object SparkEntry {
         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
 
+    // arrival-ordered sliding count: arrivals up to self (row_number by
+    // ts,event_id) minus arrivals already outside the trailing window —
+    // a plain RANGE count would deny a tied burst wholesale where the
+    // sequential limiter admits its first maxRequests
     "q16_rate_limit" ->
       """SELECT event_id, user_id,
-        |  count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
-        |    RANGE BETWEEN 599999999 PRECEDING AND CURRENT ROW) AS window_count,
-        |  count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
-        |    RANGE BETWEEN 599999999 PRECEDING AND CURRENT ROW) <= 5 AS allowed
+        |  row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |  - count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND 600000000 PRECEDING) AS window_count,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |  - count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND 600000000 PRECEDING) <= 5 AS allowed
         |FROM events ORDER BY event_id""".stripMargin,
 
     "q17_tumbling_counts" ->
@@ -1395,10 +1402,10 @@ object SparkEntry {
     "q62_stratified_sample" ->
       """SELECT event_id, event_type FROM events
         |WHERE CASE event_type
-        |  WHEN 'click' THEN substr(md5(event_id::VARCHAR), 1, 4) < '0ccd'
-        |  WHEN 'view'  THEN substr(md5(event_id::VARCHAR), 1, 4) < '199a'
-        |  WHEN 'error' THEN substr(md5(event_id::VARCHAR), 1, 4) < '8000'
-        |  ELSE substr(md5(event_id::VARCHAR), 1, 4) < '3333' END
+        |  WHEN 'click' THEN substr(md5(event_id::VARCHAR), 1, 8) < '0ccccccd'
+        |  WHEN 'view'  THEN substr(md5(event_id::VARCHAR), 1, 8) < '1999999a'
+        |  WHEN 'error' THEN substr(md5(event_id::VARCHAR), 1, 8) < '80000000'
+        |  ELSE substr(md5(event_id::VARCHAR), 1, 8) < '33333333' END
         |ORDER BY event_id""".stripMargin,
 
     "q63_topk_per_group" ->
@@ -1425,8 +1432,9 @@ object SparkEntry {
         |ORDER BY e.event_id""".stripMargin,
 
     "q66_split_counts" ->
-      """SELECT CASE WHEN substr(md5(event_id::VARCHAR || '|split'), 1, 4) < 'cccd' THEN 'train'
-        |  WHEN substr(md5(event_id::VARCHAR || '|split'), 1, 4) < 'e667' THEN 'valid'
+      """SELECT CASE WHEN event_id IS NULL THEN 'train'
+        |  WHEN substr(md5(event_id::VARCHAR || '|split'), 1, 8) < 'cccccccd' THEN 'train'
+        |  WHEN substr(md5(event_id::VARCHAR || '|split'), 1, 8) < 'e6666667' THEN 'valid'
         |  ELSE 'test' END AS split, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY split""".stripMargin,
 
@@ -1544,7 +1552,7 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
         |  FROM filt)
         |SELECT doc_id, n_tokens FROM ded
-        |WHERE rn = 1 AND substr(md5(doc_id::VARCHAR), 1, 4) < '8000'
+        |WHERE rn = 1 AND substr(md5(doc_id::VARCHAR), 1, 8) < '80000000'
         |ORDER BY doc_id""".stripMargin,
 
     "q67_session_errors" ->

@@ -56,12 +56,15 @@ object Decontaminate {
   }
 
   /** The decontaminated train set: train rows minus contaminated ids.
-    * Same broadcast shape; the anti-join keys on idCol only. */
+    * The contaminated-id set is tiny (docs overlapping the eval set) but
+    * sits behind an aggregate the planner can't size, so it is
+    * broadcast EXPLICITLY — otherwise the anti-join sort-merges, which
+    * shuffles the full train corpus by id just to drop a handful. */
   def decontaminate(
       train: DataFrame, evalSet: DataFrame, idCol: String, textCol: String,
       n: Int, hashGrams: Boolean = true): DataFrame =
     train.join(
-      contaminationReport(train, evalSet, idCol, textCol, n, hashGrams)
-        .select(col(idCol)),
+      broadcast(contaminationReport(train, evalSet, idCol, textCol, n, hashGrams)
+        .select(col(idCol))),
       Seq(idCol), "left_anti")
 }

@@ -17,26 +17,39 @@ import org.apache.spark.sql.functions._
   */
 object RateLimit {
 
-  /** For every event: number of events by the same identifier in the
-    * trailing `windowSeconds` (inclusive of this one), and whether it
-    * would be admitted under `maxRequests`.
+  /** For every event: number of arrivals by the same identifier in the
+    * trailing `windowSeconds` up to and including this one IN ARRIVAL
+    * ORDER, and whether it would be admitted under `maxRequests`.
     *
-    * Semantics note: this one-pass window-frame form counts *all*
-    * arrivals in the window, including denied ones. The reference's
-    * `allow()` appends only admitted timestamps to its list, so after a
-    * burst above the cap the reference re-admits sooner; this batch form
-    * is strictly *stricter* from that point until the window drains.
-    * Callers needing the reference's exact allow-only bookkeeping should
-    * use `graft.streaming.StreamingRateLimiter`, which keeps admitted
+    * Arrival order is (ts, tieBreak...): a plain RANGE frame would count
+    * every same-timestamp peer — including ones that "arrive later" —
+    * so a tied burst straddling the cap would be denied WHOLESALE,
+    * where the reference's sequential `allow()` admits the first
+    * `maxRequests` of it. Computed as row_number (arrivals up to self)
+    * minus the RANGE-framed count of arrivals that have already left
+    * the window — both windows share the one key shuffle. Pass a
+    * `tieBreak` (the event id) whenever one identifier can carry equal
+    * timestamps, or tied admissions are partition-order-dependent.
+    *
+    * Semantics note: counts *all* arrivals in the window, including
+    * denied ones. The reference's `allow()` appends only admitted
+    * timestamps to its list, so after a burst above the cap the
+    * reference re-admits sooner; this batch form is strictly *stricter*
+    * from that point until the window drains. Callers needing the
+    * reference's exact allow-only bookkeeping should use
+    * `graft.streaming.StreamingRateLimiter`, which keeps admitted
     * timestamps in per-key state. */
   def slidingWindowAdmission(
       events: DataFrame, idCol: String, tsCol: String,
-      maxRequests: Int, windowSeconds: Int): DataFrame = {
+      maxRequests: Int, windowSeconds: Int,
+      tieBreak: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
     val micros = unix_micros(col(tsCol).cast("timestamp"))
-    val w = Window.partitionBy(col(idCol)).orderBy(micros)
-      .rangeBetween(-(windowSeconds * 1000000L - 1), 0)
+    val order = Window.partitionBy(col(idCol)).orderBy(micros +: tieBreak: _*)
+    val outside = Window.partitionBy(col(idCol)).orderBy(micros)
+      .rangeBetween(Window.unboundedPreceding, -(windowSeconds * 1000000L))
     events
-      .withColumn("window_count", count(lit(1)).over(w))
+      .withColumn("window_count",
+        row_number().over(order).cast("long") - count(lit(1)).over(outside))
       .withColumn("allowed", col("window_count") <= maxRequests)
   }
 
@@ -70,20 +83,26 @@ object RateLimit {
     * limit are admitted with window_count for audit. */
   def perToolAdmission(
       events: DataFrame, idCol: String, toolCol: String, tsCol: String,
-      limits: Map[String, Limit]): DataFrame = {
+      limits: Map[String, Limit],
+      tieBreak: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
     require(limits.nonEmpty, "limits must not be empty")
     require(limits.values.map(_.windowSeconds).toSet.size == 1,
       "perToolAdmission assumes one window length across tools " +
         "(the reference uses 60 s everywhere); differing windows need one pass per window")
     val windowSeconds = limits.values.head.windowSeconds
     val micros = unix_micros(col(tsCol).cast("timestamp"))
-    val w = Window.partitionBy(col(idCol), col(toolCol)).orderBy(micros)
-      .rangeBetween(-(windowSeconds * 1000000L - 1), 0)
+    // arrival-ordered count, as in slidingWindowAdmission: row_number up
+    // to self minus the arrivals already outside the trailing window
+    val order = Window.partitionBy(col(idCol), col(toolCol))
+      .orderBy(micros +: tieBreak: _*)
+    val outside = Window.partitionBy(col(idCol), col(toolCol)).orderBy(micros)
+      .rangeBetween(Window.unboundedPreceding, -(windowSeconds * 1000000L))
     val maxForTool = limits.foldLeft(lit(null: Integer).cast("int")) {
       case (acc, (tool, l)) => when(col(toolCol) === tool, l.maxRequests).otherwise(acc)
     }
     events
-      .withColumn("window_count", count(lit(1)).over(w))
+      .withColumn("window_count",
+        row_number().over(order).cast("long") - count(lit(1)).over(outside))
       .withColumn("allowed",
         maxForTool.isNull || col("window_count") <= maxForTool)
   }

@@ -15,15 +15,18 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Membership predicate: first 16 bits of md5(id) under the fraction
-    * threshold (quantized to 1/65536 ≈ 0.0015 resolution). Null ids are
-    * never admitted, at any fraction — a row without an id cannot be
-    * sampled deterministically. */
+  /** Membership predicate: first 32 bits of md5(id) under the fraction
+    * threshold (quantized to 1/2^32 ≈ 2.3e-10 resolution — fine enough
+    * that [[budgetAllocation]]'s rate_ppm (1e-6 steps) and ppm-scale
+    * survival rates on 1e10-row corpora admit the expected share; the
+    * earlier 16-bit domain rounded any fraction below ~7.6e-6 to ZERO
+    * rows). Null ids are never admitted, at any fraction — a row
+    * without an id cannot be sampled deterministically. */
   private def admitted(idCol: Column, fraction: Double): Column = {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction out of [0,1]")
-    val threshold = f"${math.round(fraction * 65536).toInt}%04x"
-    if (threshold == "10000") idCol.isNotNull
-    else substring(md5(idCol.cast("string")), 1, 4) < lit(threshold)
+    val t = math.round(fraction * 4294967296.0)
+    if (t >= 4294967296L) idCol.isNotNull
+    else substring(md5(idCol.cast("string")), 1, 8) < lit(f"$t%08x")
   }
 
   /** Keep ~`fraction` of rows, chosen deterministically by id hash. */
@@ -82,18 +85,24 @@ object Sampling {
     * The hash domain is salted (`id + "|split"`) so the split is
     * INDEPENDENT of [[hashSample]]/[[stratifiedSample]] membership —
     * with the same bits, splitting a 10% sample would put every row in
-    * `train` and leave valid/test empty. */
+    * `train` and leave valid/test empty.
+    *
+    * Null ids go to `train`: they cannot hash deterministically (the
+    * sampling functions never admit them), and the one split where
+    * un-attributable rows must NOT silently concentrate is the held-out
+    * eval side — `otherwise("test")` used to send every null there. */
   def assignSplit(
       df: DataFrame, idCol: String,
       trainFraction: Double, validFraction: Double): DataFrame = {
     require(trainFraction + validFraction <= 1.0, "train+valid must be <= 1")
     val bucket = conv(
-      substring(md5(concat(col(idCol).cast("string"), lit("|split"))), 1, 4), 16, 10)
-      .cast("int")
-    val trainHi = math.round(trainFraction * 65536).toInt
-    val validHi = trainHi + math.round(validFraction * 65536).toInt
+      substring(md5(concat(col(idCol).cast("string"), lit("|split"))), 1, 8), 16, 10)
+      .cast("long")
+    val trainHi = math.round(trainFraction * 4294967296.0)
+    val validHi = trainHi + math.round(validFraction * 4294967296.0)
     df.withColumn("split",
-      when(bucket < trainHi, "train")
+      when(col(idCol).isNull, "train")
+        .when(bucket < trainHi, "train")
         .when(bucket < validHi, "valid")
         .otherwise("test"))
   }

@@ -53,7 +53,13 @@ object TimeSeries {
     // right row would be reordered past the side column — see order below)
     val tbCols = rightTieBreak.zipWithIndex.map { case (_, i) => s"__asof_tb_$i" }
 
-    val rightPrep = right.select(
+    // ASOF semantics never match NULL keys (DuckDB/kdb agree) — but
+    // Window.partitionBy groups null keys together, which would enrich
+    // a null-key left row with another null-key right row's payload.
+    // Dropping null-key RIGHT rows is sufficient: null-key left rows
+    // then share their partition with no right row and keep null asof_*.
+    val rightNonNullKeys = keyCols.map(col(_).isNotNull).reduce(_ && _)
+    val rightPrep = right.filter(rightNonNullKeys).select(
       keyCols.map(col) ++ Seq(
         col(rightTs).as(tsCol),
         lit(0).as(sideCol),
@@ -127,14 +133,31 @@ object TimeSeries {
   def intervalJoin(
       points: DataFrame, pointTsUs: String,
       intervals: DataFrame, startUs: String, endUs: String,
-      keys: Seq[String], binSeconds: Long): DataFrame = {
+      keys: Seq[String], binSeconds: Long,
+      maxBinsPerInterval: Long = 1L << 20): DataFrame = {
+    require(maxBinsPerInterval >= 1, "maxBinsPerInterval must be >= 1")
     val binUs = binSeconds * 1000000L
     def binStart(c: Column) = c - pmod(c, lit(binUs))
     val p = points.withColumn("__bin", binStart(col(pointTsUs)))
-    // malformed intervals (end before start) match nothing instead of
-    // failing the whole job — sequence() throws on stop < start
-    val iv = intervals.filter(col(endUs) >= col(startUs)).withColumn("__bin",
-      explode(sequence(binStart(col(startUs)), binStart(col(endUs)), lit(binUs))))
+    // Malformed intervals match nothing instead of failing the whole
+    // job: end-before-start would make sequence() throw, and a
+    // corrupt/sentinel end (epoch-millis where micros belong,
+    // Long.MaxValue) would ask sequence() for billions of bins and kill
+    // the job with COLLECTION_SIZE_LIMIT_EXCEEDED. Anything over
+    // `maxBinsPerInterval` bins is treated as malformed and dropped —
+    // a million-bin fan-out per row is a misconfiguration, not data
+    // (the doc above says to choose binSeconds near the interval
+    // length); raise binSeconds (or the cap) for genuinely long spans.
+    // compared as bin INDICES (startOfBin/binUs), not a raw micros
+    // subtraction: a pre-epoch sentinel start minus a Long.MaxValue end
+    // would overflow the subtraction itself under ANSI; indices are
+    // bounded by 2^63/binUs and their difference cannot overflow
+    val iv = intervals
+      .filter(col(endUs) >= col(startUs) &&
+        binStart(col(endUs)) / binUs - binStart(col(startUs)) / binUs
+          < maxBinsPerInterval)
+      .withColumn("__bin",
+        explode(sequence(binStart(col(startUs)), binStart(col(endUs)), lit(binUs))))
     p.join(iv, keys :+ "__bin")
       .filter(col(pointTsUs) >= col(startUs) && col(pointTsUs) <= col(endUs))
       .drop("__bin")
@@ -167,7 +190,7 @@ object TimeSeries {
     // division scale rules differ across engines, double/long does not
     df.withColumn("moving_sum", sum(dec).over(moving).cast("double"))
       .withColumn("moving_avg",
-        sum(dec).over(moving).cast("double") / count(lit(1)).over(moving))
+        col("moving_sum") / count(lit(1)).over(moving))
       .withColumn("cum_sum", sum(dec).over(running).cast("double"))
   }
 

@@ -174,6 +174,20 @@ class OperatorsSpec extends SparkSpec {
     assert(got.map(_._2).toSeq === Seq(true, true, true, false, true))
   }
 
+  test("tied-timestamp burst admits the first maxRequests arrivals, not zero") {
+    // 4 arrivals in the same second, max 3: the sequential limiter admits
+    // the first three by arrival (tie-break) order — a plain RANGE count
+    // would see window_count=4 on every row and deny the burst wholesale
+    val rows = (0 until 4).map(i =>
+      (i.toLong, "u", java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(5))))
+    val got = RateLimit.slidingWindowAdmission(rows.toDF("event_id", "id", "ts"),
+        "id", "ts", maxRequests = 3, windowSeconds = 60,
+        tieBreak = Seq(col("event_id")))
+      .orderBy("event_id").select("window_count", "allowed").as[(Long, Boolean)].collect()
+    assert(got.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L))
+    assert(got.map(_._2).toSeq === Seq(true, true, true, false))
+  }
+
   test("sliding window boundary: an event exactly windowSeconds later is admitted") {
     val rows = Seq(0L, 60L).zipWithIndex.map { case (s, i) =>
       (i.toLong, "u", java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(s)))

@@ -133,6 +133,21 @@ class PlanShapeSpec extends SparkSpec {
       s"train grams must not shuffle (eval distinct + count only), got ${shuffles.size}")
   }
 
+  test("decontaminate anti-join broadcasts the contaminated-id set") {
+    // the id set sits behind an aggregate the planner can't size — an
+    // implicit plan would sort-merge and shuffle the full train corpus
+    val docs = Tables.documents(spark, dir)
+    val plan = collectPlan(operators.Decontaminate.decontaminate(
+      docs.filter(col("doc_id") % 20 =!= 0), docs.filter(col("doc_id") % 20 === 0),
+      "doc_id", "text", n = 5))
+    val anti = plan.filter(_.getClass.getSimpleName.contains("BroadcastHashJoin"))
+    assert(anti.size >= 2, // the gram join AND the id anti-join
+      "contaminated ids must broadcast into the anti-join:\n" +
+        plan.map(_.getClass.getSimpleName).mkString(", "))
+    assert(!plan.exists(_.getClass.getSimpleName.contains("SortMergeJoin")),
+      "train corpus must not shuffle for the anti-join")
+  }
+
   test("rollingStats and applyChanges each shuffle exactly once (the key exchange)") {
     val ev = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("value"),

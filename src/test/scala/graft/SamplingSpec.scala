@@ -49,6 +49,30 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.hashSample(df, "id", 0.999).filter($"id".isNull).count() === 0)
   }
 
+  test("ppm-scale fractions admit rows (32-bit domain, not 16-bit zero-rounding)") {
+    // 5e-5 of 100k ids ≈ 5 expected rows; the old 1/65536 quantization
+    // rounded any fraction below ~7.6e-6 to zero and this one to ~50%
+    // relative error — budgetAllocation's rate_ppm/1e6 contract needs
+    // ppm resolution
+    val n = Sampling.hashSample(ids(100000), "id", 5e-5).count()
+    assert(n > 0, "a ppm-scale fraction must not round to zero membership")
+    assert(n < 100, s"5e-5 of 100k should stay near 5 rows, got $n")
+    // and still nests inside a coarser sample
+    val tiny = Sampling.hashSample(ids(100000), "id", 5e-5)
+      .select("id").as[Long].collect().toSet
+    val coarse = Sampling.hashSample(ids(100000), "id", 0.01)
+      .select("id").as[Long].collect().toSet
+    assert(tiny.subsetOf(coarse))
+  }
+
+  test("assignSplit routes null ids to train, never into the eval splits") {
+    val df = Seq(Some(1L), Some(2L), None, None).toDF("id")
+    val got = Sampling.assignSplit(df, "id", 0.8, 0.1)
+      .filter($"id".isNull).select("split").as[String].collect()
+    assert(got.toSeq === Seq("train", "train"),
+      "un-attributable rows must not leak into valid/test")
+  }
+
   test("assignSplit is independent of hashSample membership (salted domain)") {
     // splitting a 10% sample must still yield non-degenerate splits —
     // same hash bits for both would put every sampled row in `train`

@@ -68,6 +68,32 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.count() === 1)
   }
 
+  test("intervalJoin survives a corrupt sentinel end instead of exploding billions of bins") {
+    // endUs=Long.MaxValue (or epoch-millis where micros belong) would ask
+    // sequence() for ~2^43 bins and kill the job with
+    // COLLECTION_SIZE_LIMIT_EXCEEDED; over maxBinsPerInterval = malformed
+    val points = Seq((1L, 1L, 5000000L)).toDF("pid", "k", "p_us")
+    val intervals = Seq(
+      (1L, 0L, Long.MaxValue - 1), // corrupt sentinel
+      (1L, 0L, 10000000L)          // valid, contains the point
+    ).toDF("k", "s_us", "e_us")
+    val got = TimeSeries.intervalJoin(points, "p_us", intervals,
+      "s_us", "e_us", keys = Seq("k"), binSeconds = 60)
+    assert(got.count() === 1) // the corrupt interval matches nothing
+  }
+
+  test("joinAsOf never matches null keys (ASOF semantics)") {
+    // a null-key right row must not enrich a null-key left row: ASOF
+    // (DuckDB/kdb) never equates null keys, but Window.partitionBy does
+    val left = Seq((Option.empty[Long], 10L), (Some(1L), 10L)).toDF("k", "t")
+    val right = Seq((Option.empty[Long], 5L, "leak"), (Some(1L), 5L, "ok"))
+      .toDF("k", "t", "v")
+    val got = TimeSeries.joinAsOf(left, right, Seq("k"), "t", "t", Seq("v"))
+      .select("k", "asof_v").as[(Option[Long], Option[String])].collect().toMap
+    assert(got(Some(1L)) === Some("ok"))
+    assert(got(None) === None, "null-key left row must keep a null asof payload")
+  }
+
   test("sessionize splits on gaps and sessionStats rolls up") {
     val df = Seq(
       (1L, 100L, ts("2024-01-01 08:00:00")),
