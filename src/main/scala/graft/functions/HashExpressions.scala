@@ -88,8 +88,10 @@ private[functions] object SimHashVotes {
   }
 }
 
-/** SimHash: per-token 64-bit hash, per-bit majority vote. Empty/null
-  * token arrays hash to 0. */
+/** SimHash: per-token 64-bit hash, per-bit majority vote. An EMPTY
+  * token array hashes to 0; a NULL array null-propagates to SQL NULL
+  * (standard UnaryExpression semantics — callers banding on the
+  * fingerprint must null-filter or coalesce first). */
 case class SimHash64(child: Expression)
     extends UnaryExpression with CodegenFallback {
 
@@ -250,6 +252,14 @@ case class MinHashSignatureLongs(child: Expression, numHashes: Int)
 
   @transient private lazy val (as, bs) = MinHashSignatureLongs.permutations(numHashes)
 
+  // resolved once: shingle_hashes emits containsNull=false, so the hot
+  // dedup loops keep the branch-free form; the null check only runs for
+  // inputs whose TYPE admits null slots
+  @transient private lazy val mayHaveNulls: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
+
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
     val sig = Array.fill(numHashes)(Long.MaxValue)
@@ -257,12 +267,17 @@ case class MinHashSignatureLongs(child: Expression, numHashes: Int)
     var i = 0
     val m = arr.numElements()
     while (i < m) {
-      val e = arr.getLong(i)
-      var k = 0
-      while (k < numHashes) {
-        val h = a(k) * e + b(k)
-        if (h < sig(k)) sig(k) = h
-        k += 1
+      // skip null slots: getLong on a null slot reads 0, which would
+      // conflate a null element with a genuine 0L hash — siblings skip
+      // nulls too
+      if (!mayHaveNulls || !arr.isNullAt(i)) {
+        val e = arr.getLong(i)
+        var k = 0
+        while (k < numHashes) {
+          val h = a(k) * e + b(k)
+          if (h < sig(k)) sig(k) = h
+          k += 1
+        }
       }
       i += 1
     }

@@ -103,16 +103,18 @@ object JsonSanitizerUtil {
     }
   }
 
+  /** `keys` must already be lowercased — the expression lowers them ONCE
+    * at construction ([[SanitizeJson.keysArr]]); lowering here would
+    * re-allocate the array on every row of the sanitization scan. */
   def sanitizeJson(
       json: UTF8String, redactIp: Boolean, keys: Array[String]): UTF8String = {
     val raw = json.toString
-    val lowered = keys.map(_.toLowerCase(java.util.Locale.ROOT))
     val out =
       try {
         val root: JsonNode = mapper.readTree(raw)
         root match {
           case o: ObjectNode =>
-            walkObject(o, redactIp, lowered); mapper.writeValueAsString(o)
+            walkObject(o, redactIp, keys); mapper.writeValueAsString(o)
           case a: ArrayNode =>
             walkArray(a, redactIp); mapper.writeValueAsString(a)
           case _ => sanitizeString(raw, redactIp) // scalar: plain chain
@@ -137,7 +139,9 @@ case class SanitizeJson(child: Expression, redactIp: Boolean, keys: Seq[String])
   override def dataType: DataType = StringType
   override def prettyName: String = "sanitize_json"
 
-  private lazy val keysArr: Array[String] = keys.toArray
+  // lowered once here; sanitizeJson expects pre-lowered keys
+  private lazy val keysArr: Array[String] =
+    keys.map(_.toLowerCase(java.util.Locale.ROOT)).toArray
 
   override def nullSafeEval(s: Any): Any =
     JsonSanitizerUtil.sanitizeJson(s.asInstanceOf[UTF8String], redactIp, keysArr)

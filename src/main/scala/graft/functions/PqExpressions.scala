@@ -43,6 +43,12 @@ object PqUtil {
     val dsub = codebooks(0)(0).length
     require(vec.numElements() == m * dsub,
       s"vector dim ${vec.numElements()} != m*dsub ${m * dsub}")
+    // codes are single bytes: a codebook beyond 256 entries would wrap
+    // best.toByte and silently select a DIFFERENT centroid in adc();
+    // trainCodebooks caps k at 256, but encode accepts external
+    // codebooks too — fail fast instead of aliasing
+    codebooks.foreach(cb => require(cb.length <= 256,
+      s"codebook has ${cb.length} centroids; byte codes address at most 256"))
     val out = new Array[Byte](m)
     var j = 0
     while (j < m) {

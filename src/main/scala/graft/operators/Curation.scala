@@ -48,8 +48,13 @@ object Curation {
       (d, l) => d.filter(col("lang_pred") === l)
     }
     val deduped = Dedup.exactByContent(filtered, textCol, Seq(asc(idCol)))
-    Sampling.hashSample(deduped, idCol, cfg.sampleFraction)
-      .drop("content_hash")
+    // fraction 1.0 means "no downsampling" — skip the sample stage
+    // entirely: hashSample's full-fraction predicate is id.isNotNull,
+    // which would silently drop null-id docs from a declared no-op
+    val sampled =
+      if (cfg.sampleFraction >= 1.0) deduped
+      else Sampling.hashSample(deduped, idCol, cfg.sampleFraction)
+    sampled.drop("content_hash")
   }
 
   /** Knobs for [[fullPipeline]] on top of the base [[Config]].
@@ -122,7 +127,9 @@ object Curation {
     require(overlap >= 0 && overlap < chunkSize,
       s"need 0 <= overlap < chunkSize, got overlap=$overlap chunkSize=$chunkSize")
     val step = chunkSize - overlap
-    val words = split(trim(col(textCol)), "\\s+")
+    // the shared tokenization — chunk boundaries must agree with the
+    // span/dedup operators' token positions
+    val words = TextFunctions.words(col(textCol))
     // k = max(1, ceil((n - chunkSize) / step) + 1), spelled as a floor
     // of the shifted numerator; exact in double far past any real doc
     val nChunks = greatest(lit(1),

@@ -45,12 +45,20 @@ object StreamingOps {
     * doc within the watermark, which is what a 100 TB/day ingest loop
     * can afford.
     *
+    * NULL-text rows bypass the dedup entirely and pass through (the
+    * batch discipline — `Dedup.exactByContent` unions null-content rows
+    * back): hashing them would collapse every null-text doc onto ONE
+    * key (`xxhash64(null)` = the seed) and silently drop all but the
+    * first within the watermark. Whitespace-only docs DO share a key by
+    * design — identity is token-based, and they are token-identical.
+    *
     * Same late-data caveat as [[dedupWithinWindow]]. */
   def nearDupDrop(
       stream: DataFrame, textCol: String, tsCol: String,
       window: String = "10 minutes", shingleSize: Int = 3,
-      numHashes: Int = 16): DataFrame =
-    stream.withColumn("__minhash_key",
+      numHashes: Int = 16): DataFrame = {
+    val deduped = stream.filter(col(textCol).isNotNull)
+      .withColumn("__minhash_key",
         xxhash64(graft.functions.HashExpressions.minhashSignatureLongs(
           graft.functions.HashExpressions.shingleHashes(
             graft.functions.TextFunctions.words(col(textCol)), shingleSize),
@@ -58,6 +66,8 @@ object StreamingOps {
       .withWatermark(tsCol, window)
       .dropDuplicatesWithinWatermark("__minhash_key")
       .drop("__minhash_key")
+    deduped.unionByName(stream.filter(col(textCol).isNull))
+  }
 
   /** Streaming gap-based sessionization — the streaming analog of
     * `TimeSeries.sessionStats`. Spark's native `session_window` merges

@@ -51,6 +51,25 @@ class ExtensionsSpec extends SparkSpec {
     assert(row.getLong(2) === java.lang.Long.parseUnsignedLong("0cc175b9c0f1b6a8", 16))
   }
 
+  test("minhashSignatureLongs skips null slots (null element != literal 0L)") {
+    // getLong on a null slot reads 0 — an unguarded loop would make
+    // array(NULL) indistinguishable from array(0L)
+    import graft.functions.HashExpressions.minhashSignatureLongs
+    import org.apache.spark.sql.functions.{array, lit}
+    val row = spark.range(1).select(
+        minhashSignatureLongs(
+          array(lit(null).cast("bigint")), 4).as("ofNull"),
+        minhashSignatureLongs(array(lit(0L)), 4).as("ofZero"),
+        minhashSignatureLongs(
+          array().cast("array<bigint>"), 4).as("ofEmpty"))
+      .collect()(0)
+    val ofNull = row.getSeq[Long](0)
+    assert(ofNull === row.getSeq[Long](2),
+      "a null element must contribute nothing, like an empty array")
+    assert(ofNull !== row.getSeq[Long](1),
+      "a null element must not hash as literal 0L")
+  }
+
   test("simhash64 via SQL equals the Scala API") {
     import extSpark.implicits._
     import org.apache.spark.sql.functions._

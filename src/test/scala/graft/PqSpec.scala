@@ -79,6 +79,19 @@ class PqSpec extends SparkSpec {
     assert(hi > 0, "expected some codes above 127 at k=200 over 500 vectors")
   }
 
+  test("encode rejects a codebook beyond 256 centroids instead of aliasing byte codes") {
+    // best.toByte would wrap (300 -> 44) and adc() would score a
+    // DIFFERENT centroid — silently wrong distances
+    val big = Array.fill(2)(Array.tabulate(300)(i =>
+      Array.fill(4)(i.toFloat)))
+    val vec = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array.fill(8)(0.5f))
+    val e = intercept[IllegalArgumentException] {
+      graft.functions.PqUtil.encode(vec, isFloat = true, big)
+    }
+    assert(e.getMessage.contains("256"))
+  }
+
   test("codes-only ADC top-k runs without reading the vector column") {
     val q = queryVec
     val codesOnly = SimilaritySearch.pqEncodeAll(emb, "embedding", codebooks)

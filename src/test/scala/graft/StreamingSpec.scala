@@ -82,6 +82,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming nearDupDrop passes every null-text doc through (no shared-sentinel drop)") {
+    // hashing null text yields one shared key (xxhash64 of null = seed):
+    // distinct null-text docs must NOT dedup against each other
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Option[String], java.sql.Timestamp)]
+    val out = StreamingOps.nearDupDrop(
+      input.toDF().toDF("doc_id", "text", "ts"), "text", "ts",
+      window = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("neardup_null_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        (1L, None, ts(0)),
+        (2L, None, ts(30)),                      // distinct doc, also null text
+        (3L, Some("real content present here"), ts(60)))
+      q.processAllAvailable()
+      val got = spark.table("neardup_null_out").select("doc_id").as[Long].collect().sorted
+      assert(got.toSeq === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("streaming sessionStats: session_window closes sessions past the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, java.sql.Timestamp)]
