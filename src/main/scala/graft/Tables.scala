@@ -24,7 +24,13 @@ object Tables {
   /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark's reader rejects
     * (SPARK-40819 territory); read nanos-as-long and convert to
     * microsecond TimestampType so downstream window/aggregation code sees
-    * a plain timestamp. */
+    * a plain timestamp.
+    *
+    * DELIBERATELY session-wide: the flag must still be set when the lazy
+    * scan executes (a save/restore around this call would crash the
+    * first action), so after calling this, other TIMESTAMP(NANOS)
+    * parquet in the same session also reads as LongType instead of
+    * failing loudly — convert such columns explicitly as done here. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(s, d, "events")

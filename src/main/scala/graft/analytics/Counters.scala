@@ -21,8 +21,13 @@ object Counters {
     * reference's 1000-entry ring buffer,
     * `backend/core/performance_monitoring.py:226-287`). */
   def timingStats(df: DataFrame, nameCol: String, tsCol: String,
-      valueCol: String, keep: Int = 1000): DataFrame = {
-    val w = Window.partitionBy(col(nameCol)).orderBy(desc(tsCol))
+      valueCol: String, keep: Int = 1000,
+      tieBreak: Seq[Column] = Nil): DataFrame = {
+    // pass a tieBreak when one metric can carry equal timestamps at the
+    // keep-boundary — row_number over a tied sort key is otherwise
+    // partition-order-dependent and the surviving sample set drifts
+    // between runs
+    val w = Window.partitionBy(col(nameCol)).orderBy(desc(tsCol) +: tieBreak: _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= keep)
       .groupBy(col(nameCol))
@@ -42,10 +47,15 @@ object Counters {
       round(avg(when(hitCol, 100.0).otherwise(0.0)), 2).as("hit_rate_pct"))
 
   /** A9: health rollup — overall healthy iff every component is
-    * (`backend/services/monitoring.py:180-216`). */
+    * (`backend/services/monitoring.py:180-216`). Rolls up PER COMPONENT
+    * first (healthy iff all its rows are), so a re-checked component
+    * counts once — the reference iterates a components dict with one
+    * status each, and a raw row count would double-count re-checks. */
   def healthRollup(df: DataFrame, componentCol: String, statusCol: String): DataFrame =
-    df.groupBy()
-      .agg(bool_and(col(statusCol) === "healthy").as("overall_healthy"),
+    df.groupBy(col(componentCol))
+      .agg(bool_and(col(statusCol) === "healthy").as("__healthy"))
+      .groupBy()
+      .agg(bool_and(col("__healthy")).as("overall_healthy"),
         count(lit(1)).as("components"),
-        sum(when(col(statusCol) =!= "healthy", 1L).otherwise(0L)).as("unhealthy"))
+        sum(when(!col("__healthy"), 1L).otherwise(0L)).as("unhealthy"))
 }

@@ -56,11 +56,8 @@ object Quality {
           .as(s"${c}_consistency")
       }: _*)
 
-  /** Per-group quantiles of a numeric column. `exact=true` uses the
-    * interpolating `percentile` aggregate (full sort of each group's
-    * values — fine for profiling runs); `exact=false` uses
-    * `approx_percentile` (t-digest-style sketch, mergeable map-side, the
-    * only sane form at 100 TB — accuracy bounded by `accuracy`). */
+  /** Fixed-width value histogram: one map-side-combined count per bin;
+    * bin ids are exact floor division so engines agree at bin edges. */
   def histogram(
       df: DataFrame, valueCol: String, binWidth: Double): DataFrame = {
     require(binWidth > 0, s"binWidth must be > 0, got $binWidth")
@@ -74,6 +71,11 @@ object Quality {
       .withColumn("bin_start", col("bin") * binWidth)
   }
 
+  /** Per-group quantiles of a numeric column. `exact=true` uses the
+    * interpolating `percentile` aggregate (full sort of each group's
+    * values — fine for profiling runs); `exact=false` uses
+    * `approx_percentile` (t-digest-style sketch, mergeable map-side, the
+    * only sane form at 100 TB — accuracy bounded by `accuracy`). */
   def quantiles(
       df: DataFrame, groupCols: Seq[String], valueCol: String,
       ps: Seq[Double], exact: Boolean = true, accuracy: Int = 10000): DataFrame = {
@@ -107,10 +109,17 @@ object Quality {
         col("__mean") :+ col("__sd"): _*))
     val cond = groupCols.map(c => df(c) <=> stats(s"__g_$c")).reduce(_ && _)
     df.join(stats, cond)
+      // the division is guarded, not just the flag: a zero-variance
+      // group has sd = 0.0 (not null), and under ANSI mode x/0 doesn't
+      // null — it KILLS the whole job with DIVIDE_BY_ZERO
       .withColumn("zscore", round(
-        (col(valueCol) - col("__mean")) / col("__sd"), 6))
+        when(col("__sd") =!= 0.0,
+          (col(valueCol) - col("__mean")) / col("__sd")), 6))
+      // coalesce keeps the column BOOLEAN, never null: identical values
+      // are inliers by definition, not null-flagged rows that
+      // filter(!is_outlier) would silently drop
       .withColumn("is_outlier",
-        col("__sd").isNotNull && abs(col("zscore")) > threshold)
+        coalesce(abs(col("zscore")) > threshold, lit(false)))
       .drop(groupCols.map(c => s"__g_$c") :+ "__mean" :+ "__sd": _*)
   }
 

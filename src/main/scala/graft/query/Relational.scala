@@ -135,6 +135,10 @@ object Relational {
   def partialUpdate(
       df: DataFrame, idCol: String, id: Any, updates: Map[String, Column],
       now: Column = current_timestamp()): DataFrame = {
+    // a typo'd field name must fail loudly, not silently no-op the PATCH
+    val unknown = updates.keySet.diff(df.columns.toSet)
+    require(unknown.isEmpty,
+      s"partialUpdate keys not in the frame: ${unknown.toSeq.sorted.mkString(",")}")
     val hit = col(idCol) === lit(id)
     df.select(df.columns.map { c =>
       val v = updates.get(c) match {

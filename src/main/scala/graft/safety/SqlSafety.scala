@@ -66,15 +66,26 @@ object SqlSafety {
       .toLeft(())
 
   /** Plan-level validation: count Join nodes and subquery expressions on
-    * the analyzed plan — immune to formatting tricks the regexes miss. */
+    * the analyzed plan — immune to formatting tricks the regexes miss
+    * (comma joins carry no JOIN keyword at all). Counts descend into
+    * SUBQUERY PLANS too: `plan.foreach` alone never enters
+    * `SubqueryExpression.plan`, so 8 comma-joined tables inside an IN
+    * subquery would otherwise count zero joins. */
   def validatePlan(plan: LogicalPlan): Either[Violation, Unit] = {
+    // the outer plan plus every nested subquery plan, transitively
+    def allPlans(p: LogicalPlan): Seq[LogicalPlan] = {
+      val subs = scala.collection.mutable.ArrayBuffer.empty[LogicalPlan]
+      p.foreach(_.expressions.foreach(_.foreach {
+        case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+          subs ++= allPlans(s.plan)
+        case _ => ()
+      }))
+      p +: subs.toSeq
+    }
+    val plans = allPlans(plan)
     var joins = 0
-    plan.foreach { case _: Join => joins += 1; case _ => () }
-    var subqueries = 0
-    plan.foreach(_.expressions.foreach(_.foreach {
-      case _: org.apache.spark.sql.catalyst.expressions.SubqueryExpression => subqueries += 1
-      case _ => ()
-    }))
+    plans.foreach(_.foreach { case _: Join => joins += 1; case _ => () })
+    val subqueries = plans.length - 1 // every collected plan beyond the outer one
     if (joins > MaxJoins) Left(Violation(s"Too many JOINs in plan ($joins, max $MaxJoins)"))
     else if (subqueries > MaxSubqueries)
       Left(Violation(s"Too many subqueries in plan ($subqueries, max $MaxSubqueries)"))

@@ -61,9 +61,12 @@ object Catalog {
 
   /** True iff the scan of `df` prunes partitions (its PartitionFilters
     * is non-empty) — the explain-level assertion that a predicate
-    * actually reached the partition layer. */
+    * actually reached the partition layer. Walks through
+    * AdaptiveSparkPlanExec (a LEAF node under AQE — a plain `.collect`
+    * on any plan with an exchange would find no scan and report a
+    * false "does not prune"). */
   def prunesPartitions(df: DataFrame): Boolean = {
-    val scans = df.queryExecution.executedPlan.collect {
+    val scans = graft.util.Plans.executedNodes(df).collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f
     }
     scans.nonEmpty && scans.forall(_.partitionFilters.nonEmpty)

@@ -73,9 +73,13 @@ object Retry {
   }
 
   /** A [[graft.search.SearchService.Source]] whose fetches retry. The
-    * wrapped search is forced eagerly (limit-free `localCheckpoint` is
-    * the caller's concern — fanOutSearch already does it) so plan-time
-    * AND action-time connector failures hit the retry loop here. */
+    * bounded result (`limit(maxResults)`) is FORCED inside the retry
+    * body via `localCheckpoint(true)`: DataFrames are lazy, and a
+    * connector that only fails at action time (the realistic transient-
+    * 503 mode) would otherwise sail through the retry loop as an
+    * unevaluated plan and fail later in the caller — where fanOutSearch
+    * degrades it to an empty frame with no retry ever attempted. The
+    * checkpoint is small by construction (≤ maxResults rows). */
   def source(
       inner: graft.search.SearchService.Source,
       cfg: RetryConfig = RetryConfig()): graft.search.SearchService.Source =
@@ -83,7 +87,9 @@ object Retry {
       def name: String = inner.name
       def search(spark: org.apache.spark.sql.SparkSession, query: String,
           maxResults: Int): org.apache.spark.sql.DataFrame =
-        Retry(cfg)(inner.search(spark, query, maxResults))
+        Retry(cfg)(
+          inner.search(spark, query, maxResults)
+            .limit(maxResults).localCheckpoint(true))
     }
 
   /** An [[graft.search.Embedder]] whose per-batch connector calls

@@ -44,9 +44,10 @@ final class TtlCache[V](defaultTtlSeconds: Long = 300, clock: () => Long = Syste
 
   def cleanupExpired(): Int = {
     val now = clock()
-    val dead = store.collect { case (k, e) if e.expiresAt <= now => k }.toSeq
-    dead.foreach(store.remove)
-    dead.size
+    val dead = store.collect { case (k, e) if e.expiresAt <= now => (k, e) }.toSeq
+    // conditional remove, same reason as get(): an unconditional
+    // remove(k) would race a concurrent put and delete the FRESH entry
+    dead.count { case (k, e) => store.remove(k, e) }
   }
 
   /** hits / misses / total / hit_rate (A6 shape). */

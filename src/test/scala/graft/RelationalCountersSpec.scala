@@ -125,6 +125,17 @@ class RelationalCountersSpec extends SparkSpec {
     assert(flagged === Seq(52L))  // only the 1000.0 row
   }
 
+  test("zScoreOutliers: a zero-variance group is all inliers (boolean, never null)") {
+    import graft.analytics.Quality
+    import org.apache.spark.sql.functions._
+    // identical values: sd = 0.0 (not null) → x/0 nulls the zscore; the
+    // flag must coalesce to false, or filter(!is_outlier) drops the group
+    val df = Seq((1L, "k", 5.0), (2L, "k", 5.0), (3L, "k", 5.0)).toDF("id", "g", "v")
+    val got = Quality.zScoreOutliers(df, Seq("g"), "v", threshold = 3.0)
+    assert(got.filter(col("is_outlier").isNull).count() === 0)
+    assert(got.filter(!col("is_outlier")).count() === 3)
+  }
+
   test("mcp cube counters cover per-server, per-tool, per-status in one pass") {
     val df = Seq(("s1", "search", "ok"), ("s1", "search", "err"), ("s1", "stats", "ok"))
       .toDF("server", "tool", "status")
@@ -151,6 +162,14 @@ class RelationalCountersSpec extends SparkSpec {
       Seq(("db", "healthy"), ("api", "degraded")).toDF("c", "status"), "c", "status").collect()(0)
     assert(!hr.getAs[Boolean]("overall_healthy"))
     assert(hr.getAs[Long]("unhealthy") === 1)
+    // re-checked components count ONCE, and a component is healthy only
+    // if all of its rows are
+    val hr2 = Counters.healthRollup(
+      Seq(("db", "healthy"), ("db", "degraded"), ("api", "healthy"), ("api", "healthy"))
+        .toDF("c", "status"), "c", "status").collect()(0)
+    assert(hr2.getAs[Long]("components") === 2)
+    assert(hr2.getAs[Long]("unhealthy") === 1) // db: one degraded row
+    assert(!hr2.getAs[Boolean]("overall_healthy"))
   }
 
   test("ttl cache: expiry, stats, namespace clear, memo key recipe") {

@@ -78,6 +78,31 @@ class RetrySpec extends SparkSpec {
     assert(out.count() === 1 && attempts === 3)
   }
 
+  test("action-time connector failure retries too (lazy frames are forced in the loop)") {
+    import spark.implicits._
+    // fails at EXECUTION, not at plan time: a lazy plan would sail
+    // through the retry loop and die later in fanOutSearch's catch,
+    // silently dropping the source with zero retries
+    var attempts = 0
+    val actionFlaky = new SearchService.Source {
+      def name = "github"
+      def search(s: org.apache.spark.sql.SparkSession, q: String,
+          max: Int): org.apache.spark.sql.DataFrame = {
+        attempts += 1
+        val fail = attempts < 3
+        Seq(("readme content", "Repo", "github", "https://gh/1", 1))
+          .toDF("content", "title", "source_type", "source_url", "rank")
+          .filter(org.apache.spark.sql.functions.udf(() => {
+            if (fail) sys.error("HTTP 503 at fetch time"); true
+          }).apply())
+      }
+    }
+    val wrapped = Retry.source(actionFlaky, noJitter.copy(baseDelayMs = 0, maxDelayMs = 0))
+    val out = SearchService.fanOutSearch(spark, Seq(wrapped), "readme", 5)
+    assert(out.count() === 1, "the transient action-time failure must be retried away")
+    assert(attempts === 3)
+  }
+
   test("flaky embedder: per-batch retry inside the executor task") {
     val inner = new Embedder {
       def dim = 4

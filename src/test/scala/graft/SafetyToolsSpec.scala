@@ -49,6 +49,17 @@ class SafetyToolsSpec extends SparkSpec {
     assert(SqlSafety.validateText(commaJoins).isRight) // regex alone is blind
   }
 
+  test("plan-level validation descends into subquery plans") {
+    Seq(1).toDF("x").createOrReplaceTempView("t1")
+    // 7 comma-joined tables INSIDE an IN-subquery: no JOIN keyword for
+    // the regex, and plan.foreach alone never enters SubqueryExpression
+    val nested = """SELECT * FROM t1 WHERE x IN
+      (SELECT a.x FROM t1 a, t1 b, t1 c, t1 d, t1 e, t1 f, t1 g)"""
+    val df = spark.sql(nested)
+    assert(SqlSafety.validatePlan(df.queryExecution.analyzed).isLeft,
+      "joins hidden in a subquery must count against the cap")
+  }
+
   test("tool registry: dispatch, envelope, role gate, audit") {
     val reg = new Tools.Registry()
       .register(Tools.Tool("get_stats", Tools.Role.General, "stats",
