@@ -35,10 +35,24 @@ object BloomPrune {
     // limit — exactly the runtime-selective inputs this is for) would
     // produce real false negatives between the two executions
     val smallM = small.localCheckpoint(true)
-    // hash on a canonical string form: xxhash64 hashes int and long
-    // representations of the same value differently, so a type mismatch
-    // between the key columns would otherwise prune every matching row
-    def keyHash(c: org.apache.spark.sql.Column) = xxhash64(c.cast("string"))
+    // Both sides must hash the CANONICAL form of the value or pruning
+    // gets real false negatives (a dropped join row, not a wasted probe):
+    //  - same type on both sides → cast to string (xxhash64 hashes int
+    //    and long representations of one value differently);
+    //  - mixed NUMERIC types → cast both to double, because that's how
+    //    the join itself coerces (int 1 === double 1.0 matches, but
+    //    their strings "1" vs "1.0" hash apart). Rows that collide only
+    //    after the lossy double cast are at worst false POSITIVES —
+    //    killed by the real join, never missing from it;
+    //  - anything else mixed → string, the least-wrong canonical form.
+    val bigType = big.schema(bigKey).dataType
+    val smallType = smallM.schema(smallKey).dataType
+    def isNum(dt: org.apache.spark.sql.types.DataType) =
+      dt.isInstanceOf[org.apache.spark.sql.types.NumericType]
+    def keyHash(c: org.apache.spark.sql.Column) =
+      if (bigType != smallType && isNum(bigType) && isNum(smallType))
+        xxhash64(c.cast("double"))
+      else xxhash64(c.cast("string"))
     // BloomFilterAggregate / BloomFilterMightContain are the expressions
     // Spark's own InjectRuntimeFilter plants; they are not in the SQL
     // function registry, so build them directly

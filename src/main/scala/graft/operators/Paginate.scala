@@ -16,6 +16,10 @@ object Paginate {
   /** Page n (1-based) of df under `order`; fetches pageSize rows.
     * `has_more` is the caller's concern (fetch pageSize+1 or count). */
   def offsetPage(df: DataFrame, order: Seq[Column], page: Int, pageSize: Int): DataFrame = {
+    // fail at the call site: page 0 (a 0-based/1-based mixup) would
+    // otherwise surface as an obscure negative-offset AnalysisException
+    require(page >= 1, s"page is 1-based, got $page")
+    require(pageSize >= 1, s"pageSize must be >= 1, got $pageSize")
     val start = (page - 1) * pageSize
     df.orderBy(order: _*).offset(start).limit(pageSize)
   }
@@ -25,6 +29,7 @@ object Paginate {
   def cursorPage(
       df: DataFrame, idCol: String, beforeId: Option[Long],
       order: Seq[Column], limit: Int): DataFrame = {
+    require(limit >= 0, s"limit must be >= 0, got $limit")
     val base = beforeId.map(c => df.filter(col(idCol) < c)).getOrElse(df)
     base.orderBy(order: _*).limit(limit)
   }

@@ -1,9 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK
 import org.apache.spark.sql.functions._
 
+import graft.functions.ExprBridge.{toColumn, toExpr}
 import graft.functions.VectorFunctions.cosineSimilarity
 
 /** Vector similarity search (the reference's `match_documents` RPC,
@@ -35,21 +36,44 @@ object SimilaritySearch {
   }
 
   /** Top-k per query row: small query set × large corpus. The query side
-    * is broadcast so the corpus never shuffles; ranking happens with a
-    * per-query window over the joined result. */
+    * is broadcast and the per-query winners are reduced with a bounded
+    * top-k aggregate (`CollectTopK` — the expression Spark's own
+    * pandas-API top-k uses; not in the public function registry, so
+    * built via the bridge): each map task keeps a k-element heap per
+    * query, so the corpus itself never shuffles — only
+    * |partitions| × |queries| × k candidate rows move, where the
+    * previous window formulation funneled every query's full corpus
+    * copy through a single reducer. Ties on similarity break toward
+    * the smallest `corpusIdCol` (deterministic across retries/replays,
+    * and the ordering the q44 oracle's row_number uses). Rows with a
+    * null similarity (null / zero-norm vectors) are excluded from the
+    * ranking, like every other top-k in this file. Corpus columns ride
+    * inside the heap's comparison struct, so they must be orderable
+    * types (array/struct fine; maps are not). */
   def topKJoin(
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
       corpus: DataFrame, corpusIdCol: String, corpusVecCol: String,
       k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val corpusCols = corpus.columns.toSeq
     val joined = corpus.crossJoin(
         broadcast(queries.select(col(queryIdCol).as("query_id"),
           col(queryVecCol).as("__qv"))))
       .withColumn("similarity", cosineSimilarity(col(corpusVecCol), col("__qv")))
-    val w = Window.partitionBy("query_id").orderBy(desc("similarity"))
-    joined
-      .withColumn("__rank", row_number().over(w))
-      .filter(col("__rank") <= k)
-      .drop("__qv", "__rank")
+      .filter(col("similarity").isNotNull)
+    // (-sim, tie-break id, payload…) ascending, keep the k smallest ⇒
+    // highest similarity first, ties to the lowest corpus id — exactly
+    // row_number over (desc(sim), asc(id)), but with bounded heaps.
+    val elem = struct(
+      (-col("similarity")).as("__negsim") +: col(corpusIdCol).as("__tie") +:
+        corpusCols.map(c => joined(c).as(c)) :+ col("similarity").as("similarity"): _*)
+    val topk = toColumn(
+      new CollectTopK(toExpr(elem), k, true).toAggregateExpression())
+    joined.groupBy(col("query_id")).agg(topk.as("__top"))
+      .select(col("query_id"), explode(col("__top")).as("__e"))
+      .select(col("query_id") +:
+        corpusCols.map(c => col(s"__e.$c").as(c)) :+
+        col("__e.similarity").as("similarity"): _*)
   }
 
   /** Coarse centroids per cluster id — the "training" step of an
@@ -114,27 +138,6 @@ object SimilaritySearch {
       case other => throw new IllegalArgumentException(s"not numeric: $other")
     }.toArray
 
-  /** Lloyd's k-means over float-array vectors — learns the IVF coarse
-    * quantizer when no natural cluster column exists (pgvector's
-    * `ivfflat lists=k` trains exactly this). Cosine assignment, mean
-    * update via the same (cluster, dim) shuffle as [[centroids]].
-    *
-    * Deterministic farthest-point init (greedy k-center): the first
-    * seed is the nonzero vector with the lowest md5(id); each next seed
-    * is the vector least similar to every seed so far — spreads seeds
-    * across the data's modes (random init routinely drops two seeds in
-    * one blob and Lloyd cannot split them apart), and is stable across
-    * runs and cluster layouts. The per-row best-similarity is carried
-    * as a running column (one new cosine per row per seed — O(n·k)
-    * total, not O(n·k²)). Zero vectors never seed (no direction).
-    * Driver holds only k centroids per round (k is small by design —
-    * the coarse quantizer, not the index). Fixed `iters` rounds, the
-    * standard k-means termination at scale; AQE is toggled off for the
-    * loop like [[graft.operators.Dedup.connectedComponents]].
-    *
-    * @return (cluster: int, centroid: array<float>) — feed to [[ivfTopK]]
-    *         via [[assignClusters]]
-    */
   /** Train product-quantization codebooks: `m` subspaces × `k` entries
     * (k ≤ 256 — codes are bytes), squared-L2 Lloyd per subspace but ALL
     * subspaces updated in ONE shuffle per iteration (encode pass →
@@ -211,9 +214,12 @@ object SimilaritySearch {
       query: Array[Float], codebooks: Array[Array[Array[Float]]],
       k: Int): DataFrame = {
     val lut = graft.functions.PqUtil.lutL2(query, codebooks)
+    // nulls LAST: null vectors encode to null codes → null distance, and
+    // Spark's default asc ordering is NULLS FIRST — without the explicit
+    // null ordering, every null-vector row would outrank every real match
     df.withColumn("adc_distance",
         graft.functions.PqFunctions.pqAdcDistance(col(codesCol), lut))
-      .orderBy(asc("adc_distance"), asc(idCol))
+      .orderBy(asc_nulls_last("adc_distance"), asc(idCol))
       .select(col(idCol), col("adc_distance"))
       .limit(k)
   }
@@ -230,19 +236,42 @@ object SimilaritySearch {
     val lut = graft.functions.PqUtil.lutL2(query, codebooks)
     val qLit = typedlit(query)
     val qNormSq = query.map(x => x.toDouble * x).sum
+    // nulls LAST on both stages (see pqTopK): null codes/vectors must
+    // not crowd real neighbors out of the shortlist or the final k
     val cands = df.withColumn("adc_distance",
         graft.functions.PqFunctions.pqAdcDistance(col(codesCol), lut))
-      .orderBy(asc("adc_distance"), asc(idCol))
+      .orderBy(asc_nulls_last("adc_distance"), asc(idCol))
       .limit(shortlist)
     cands.withColumn("l2sq",
         graft.functions.VectorFunctions.dotProduct(col(vecCol), col(vecCol))
           + lit(qNormSq)
           - lit(2.0) * graft.functions.VectorFunctions.dotProduct(col(vecCol), qLit))
-      .orderBy(asc("l2sq"), asc(idCol))
+      .orderBy(asc_nulls_last("l2sq"), asc(idCol))
       .select(col(idCol), col("l2sq"))
       .limit(k)
   }
 
+  /** Lloyd's k-means over float-array vectors — learns the IVF coarse
+    * quantizer when no natural cluster column exists (pgvector's
+    * `ivfflat lists=k` trains exactly this). Cosine assignment, mean
+    * update via the same (cluster, dim) shuffle as [[centroids]].
+    *
+    * Deterministic farthest-point init (greedy k-center): the first
+    * seed is the nonzero vector with the lowest md5(id); each next seed
+    * is the vector least similar to every seed so far — spreads seeds
+    * across the data's modes (random init routinely drops two seeds in
+    * one blob and Lloyd cannot split them apart), and is stable across
+    * runs and cluster layouts. The per-row best-similarity is carried
+    * as a running column (one new cosine per row per seed — O(n·k)
+    * total, not O(n·k²)). Zero vectors never seed (no direction).
+    * Driver holds only k centroids per round (k is small by design —
+    * the coarse quantizer, not the index). Fixed `iters` rounds, the
+    * standard k-means termination at scale; AQE is toggled off for the
+    * loop like [[graft.operators.Dedup.connectedComponents]].
+    *
+    * @return (cluster: int, centroid: array<float>) — feed to [[ivfTopK]]
+    *         via [[assignClusters]]
+    */
   def kmeansCentroids(
       df: DataFrame, idCol: String, vecCol: String, k: Int,
       iters: Int = 10): DataFrame = {

@@ -74,10 +74,17 @@ object Skew {
   }
 
   /** Per-key frequency profile — the diagnostic used to decide whether
-    * a key needs salting: top-n keys with their share of all rows. */
+    * a key needs salting: top-n keys with their share of all rows.
+    *
+    * ONE scan of the input: the per-key counts are materialized
+    * (`localCheckpoint` — sized #distinct-keys, a sliver of the input)
+    * and the grand total is summed from them, where a separate
+    * `df.count()` would have re-read the full table a second time just
+    * to compute the denominator. */
   def keySkewProfile(df: DataFrame, key: String, topN: Int = 10): DataFrame = {
-    val total = df.count()
-    df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("n")).localCheckpoint(true)
+    val total = counts.agg(sum(col("n"))).head().getLong(0)
+    counts
       .withColumn("share", round(col("n") / lit(total.toDouble), 6))
       .orderBy(desc("n"))
       .limit(topN)

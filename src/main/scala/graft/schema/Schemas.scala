@@ -153,11 +153,14 @@ object Validation {
       (col("progress") >= 0 && col("progress") <= 100)))
 
   def logRules: Seq[Rule] = Seq(
-    Rule("level_enum", col("level").isin(Schemas.LogLevels: _*)),
+    // NULL passes, like every enum rule here and like the SQL CHECK it
+    // transcribes (CHECK (level IN (...)) is satisfied by NULL; the
+    // column is nullable in Schemas.logs)
+    Rule("level_enum", col("level").isNull || col("level").isin(Schemas.LogLevels: _*)),
     Rule("message_required", col("message").isNotNull))
 
   def chatRules: Seq[Rule] = Seq(
-    Rule("role_enum", col("role").isin(Schemas.ChatRoles: _*)),
+    Rule("role_enum", col("role").isNull || col("role").isin(Schemas.ChatRoles: _*)),
     Rule("session_required", col("session_id").isNotNull),
     Rule("content_max_10000", col("content").isNull || length(col("content")) <= 10000))
 

@@ -60,10 +60,20 @@ object SearchService {
     // HTTP-connector failure mode) would escape a bare try around `search`;
     // force each source's bounded result eagerly (limit + localCheckpoint)
     // so action-time failures are caught here and degrade to an empty frame.
-    val frames = sources.map { s =>
-      try s.search(spark, processed, maxResults)
-        .limit(maxResults).localCheckpoint(true)
-      catch { case _: Exception => empty }
+    // Sources run CONCURRENTLY (the reference fans out, and Spark's
+    // scheduler is thread-safe): fan-out latency is max(source), not
+    // sum(source) — with serial dispatch four 2 s connectors cost 8 s.
+    val frames = {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      Await.result(Future.sequence(sources.map { s =>
+        Future {
+          try s.search(spark, processed, maxResults)
+            .limit(maxResults).localCheckpoint(true)
+          catch { case _: Exception => empty }
+        }
+      }), Duration.Inf)
     }
     val unioned = frames.foldLeft(empty)(_ unionByName _)
       .withColumn("src_priority", priorityCol(col("source_type")))

@@ -65,17 +65,24 @@ object Tools {
             name, ms, java.time.Instant.now())
         case Some(t) =>
           try {
-            val df = t.fn(spark, args)
             // force one execution so the envelope times the actual work
             // and runtime failures are recorded as failures (the
             // reference executor runs tools eagerly, base.py:91-114);
             // a lazy DataFrame would audit success=true in ~0ms even for
-            // a query that blows up at action time
-            df.count()
+            // a query that blows up at action time. localCheckpoint (not
+            // count) so the SAME materialized result is what the caller
+            // consumes — a bare count would run the full job a second
+            // time when the caller acts on `data`, and for a
+            // nondeterministic tool the audited execution would not even
+            // be the one the caller sees.
+            val df = t.fn(spark, args).localCheckpoint(true)
             ToolResult(success = true, Some(df), None, name, ms, java.time.Instant.now())
           } catch {
             case e: Exception =>
-              ToolResult(success = false, None, Some(e.getMessage), name, ms,
+              // e.getMessage may be null (e.g. a bare NPE) — Some(null)
+              // would break the Option contract on ToolResult.error
+              ToolResult(success = false, None,
+                Some(Option(e.getMessage).getOrElse(e.toString)), name, ms,
                 java.time.Instant.now())
           }
       }

@@ -169,6 +169,19 @@ class DedupSpec extends SparkSpec {
     assert(got === (1 to 100).filter(i => i % 10 == 3 || i % 10 == 7).toSet)
   }
 
+  test("bloom prune does not drop rows across numerically-equal int/double keys") {
+    import graft.operators.BloomPrune
+    // int 3 joins double 3.0 (Spark coerces both to double); the bloom
+    // hash must see the same canonical value on both sides or the row is
+    // silently pruned — a real false negative, not a wasted probe
+    val big = (1 to 100).map(i => (i % 10, i)).toDF("k", "payload") // k: Int
+    val small = Seq(3.0, 7.0).toDF("k")                            // k: Double
+    val got = BloomPrune.filteredJoin(big, "k", small, "k",
+        expectedItems = 10, numBits = 1000)
+      .select("payload").as[Int].collect().toSet
+    assert(got === (1 to 100).filter(i => i % 10 == 3 || i % 10 == 7).toSet)
+  }
+
   test("connectedComponents rejects edges referencing ids outside nodes") {
     val nodes = Seq(3L).toDF("id")
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")

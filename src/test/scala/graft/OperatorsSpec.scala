@@ -36,6 +36,31 @@ class OperatorsSpec extends SparkSpec {
     assert(got === Set((10L, 1L), (10L, 2L), (20L, 4L), (20L, 3L)))
   }
 
+  test("topKJoin ranks with bounded heaps (no window), deterministic sim-desc/id-asc ties") {
+    // two corpus rows tie at similarity 1.0 for query 10: ids 1 and 6
+    val tied = corpus.unionByName(Seq((6L, Array(2f, 0f, 0f))).toDF("id", "embedding"))
+    val queries = Seq((10L, Array(1f, 0f, 0f))).toDF("qid", "qv")
+    val ranked = SimilaritySearch.topKJoin(queries, "qid", "qv", tied, "id", "embedding", 3)
+    // ties break toward the lowest id (the q44 oracle's ordering), and the
+    // exploded output arrives already rank-ordered per query
+    assert(ranked.select("id").as[Long].collect().toSeq === Seq(1L, 6L, 2L))
+    // the scale property: per-query top-k is a partial (map-side) bounded
+    // aggregate, not a window that funnels each query's corpus copy
+    // through one reducer
+    val plan = ranked.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_collect_top_k"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("topKJoin excludes null-similarity corpus rows from the ranking") {
+    val withNull = corpus.unionByName(
+      Seq((99L, null.asInstanceOf[Array[Float]])).toDF("id", "embedding"))
+    val queries = Seq((10L, Array(1f, 0f, 0f))).toDF("qid", "qv")
+    val got = SimilaritySearch.topKJoin(queries, "qid", "qv", withNull, "id", "embedding", 10)
+      .select("id").as[Long].collect().toSet
+    assert(!got.contains(99L) && got.size === 5)
+  }
+
   test("ivfTopK with all clusters probed equals exact topK") {
     val clustered = corpus.withColumn("cluster", (col("id") % 2).cast("int"))
     val cents = SimilaritySearch.centroids(clustered, "cluster", "embedding")
@@ -151,6 +176,13 @@ class OperatorsSpec extends SparkSpec {
     assert(pages.flatten.distinct.size === 95)
     // ordering: rank = 100 - id, so the first page (smallest ranks) is ids 95..76
     assert(pages.head === (95 to 76 by -1).map(_.toLong))
+  }
+
+  test("offsetPage rejects page 0 at the call site, not with a deep engine error") {
+    val df = Seq((1L, 1)).toDF("id", "rank")
+    val e = intercept[IllegalArgumentException](
+      Paginate.offsetPage(df, Seq(asc("rank")), page = 0, pageSize = 20))
+    assert(e.getMessage.contains("1-based"))
   }
 
   test("cursor pagination fetches strictly-before rows newest first") {

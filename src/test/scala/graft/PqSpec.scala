@@ -102,4 +102,21 @@ class PqSpec extends SparkSpec {
     // the query's own row (vec_id=0) must be the nearest to itself
     assert(top.select("vec_id").as[Long].head() === 0L)
   }
+
+  test("null-vector rows never outrank real matches in PQ top-k") {
+    // null embedding → null codes → null ADC distance; asc NULLS FIRST
+    // would otherwise put these rows ahead of every real neighbor
+    val withNulls = emb.select($"vec_id", $"embedding")
+      .unionByName(Seq((-1L, null.asInstanceOf[Array[Float]]),
+        (-2L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding"))
+    val encoded = SimilaritySearch.pqEncodeAll(withNulls, "embedding", codebooks)
+    val top = SimilaritySearch.pqTopK(encoded.select("vec_id", "pq_codes"),
+      "vec_id", "pq_codes", queryVec, codebooks, k = 5)
+      .select("vec_id").as[Long].collect()
+    assert(top.forall(_ >= 0L) && top.head === 0L)
+    val exact = SimilaritySearch.pqTopKExact(encoded, "vec_id", "embedding",
+      "pq_codes", queryVec, codebooks, k = 5, shortlist = 20)
+      .select("vec_id").as[Long].collect()
+    assert(exact.forall(_ >= 0L) && exact.head === 0L)
+  }
 }

@@ -83,4 +83,46 @@ class SafetyToolsSpec extends SparkSpec {
     assert(audit.count() === 4)
     assert(audit.filter("success").count() === 2)
   }
+
+  test("tool registry: result is pre-materialized (no second execution) and " +
+      "message-less failures still carry a non-null error") {
+    // the accumulator ticks once per task EXECUTION of the tool's plan —
+    // a lazy return plus the envelope's forcing action would tick it on
+    // every downstream action too
+    val runs = spark.sparkContext.longAccumulator("tool-runs")
+    val reg = new Tools.Registry()
+      .register(Tools.Tool("counted", Tools.Role.General, "side-effecting source",
+        (s, _) => {
+          import s.implicits._
+          Seq(1).toDS().map { x => runs.add(1); ("run", x) }.toDF("k", "v")
+        }))
+      .register(Tools.Tool("npe", Tools.Role.General, "throws bare NPE",
+        (_, _) => throw new NullPointerException()))
+
+    val ok = reg.execute(spark, "counted", Map.empty)
+    assert(ok.success)
+    // consuming the returned data re-reads the checkpointed result, it
+    // does not re-run the tool body
+    assert(ok.data.get.count() === 1 && ok.data.get.count() === 1)
+    assert(runs.value === 1L)
+
+    val failed = reg.execute(spark, "npe", Map.empty)
+    assert(!failed.success)
+    assert(failed.error.get != null && failed.error.get.contains("NullPointerException"))
+  }
+
+  test("validation: NULL enum values pass level/role CHECKs like their SQL originals") {
+    import graft.schema.Validation
+    val logs = Seq((1L, "INFO", "m"), (2L, null, "m"), (3L, "BOGUS", "m"))
+      .toDF("id", "level", "message")
+    val (okL, rejL) = Validation.split(logs, Validation.logRules)
+    assert(okL.select("id").as[Long].collect().toSet === Set(1L, 2L))
+    assert(rejL.select("id").as[Long].collect().toSeq === Seq(3L))
+
+    val chats = Seq((1L, "user", "s", "hi"), (2L, null, "s", "hi"), (3L, "robot", "s", "hi"))
+      .toDF("id", "role", "session_id", "content")
+    val (okC, rejC) = Validation.split(chats, Validation.chatRules)
+    assert(okC.select("id").as[Long].collect().toSet === Set(1L, 2L))
+    assert(rejC.select("id").as[Long].collect().toSeq === Seq(3L))
+  }
 }
