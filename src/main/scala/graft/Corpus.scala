@@ -64,7 +64,7 @@ final case class Corpus(df: DataFrame, idCol: String, textCol: String) {
   /** Exact content dedup (sha256); first row under `order` wins. */
   def dedupExact(order: Seq[Column] = Nil): Corpus = {
     val ord = if (order.nonEmpty) order else Seq(col(idCol).asc)
-    next(Dedup.exactByContent(df, textCol, ord).drop("content_hash"))
+    next(Dedup.exactByContent(df, textCol, ord))
   }
 
   /** MinHash-LSH near-dup dedup keeping the preferred doc per transitive

@@ -39,40 +39,61 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$what must be an integer literal, got $other")
   }
 
+  /** Arity gate: a wrong-arity SQL call must fail with the function's
+    * name and expected shape, not an IndexOutOfBoundsException from
+    * args(1) deep in analysis. */
+  private def arity(name: String, args: Seq[Expression], n: Int): Seq[Expression] = {
+    if (args.length != n) throw new IllegalArgumentException(
+      s"$name expects $n argument${if (n == 1) "" else "s"}, got ${args.length}")
+    args
+  }
+
+  private def arityRange(
+      name: String, args: Seq[Expression], lo: Int, hi: Int): Seq[Expression] = {
+    if (args.length < lo || args.length > hi) throw new IllegalArgumentException(
+      s"$name expects $lo to $hi arguments, got ${args.length}")
+    args
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(spark => new graft.plans.IvfPruneRule(spark))
 
     ext.injectFunction((FunctionIdentifier("cosine_similarity"),
       info("cosine_similarity", "cosine_similarity(a, b) - cosine similarity of two float/double arrays"),
-      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+      (args: Seq[Expression]) => { arity("cosine_similarity", args, 2)
+        CosineSimilarity(args(0), args(1)) }))
 
     ext.injectFunction((FunctionIdentifier("cosine_distance"),
       info("cosine_distance", "cosine_distance(a, b) - pgvector <=> (1 - cosine similarity)"),
-      (args: Seq[Expression]) =>
+      (args: Seq[Expression]) => { arity("cosine_distance", args, 2)
         org.apache.spark.sql.catalyst.expressions.Subtract(
-          Literal(1.0), CosineSimilarity(args(0), args(1)))))
+          Literal(1.0), CosineSimilarity(args(0), args(1))) }))
 
     ext.injectFunction((FunctionIdentifier("dot_product"),
       info("dot_product", "dot_product(a, b) - dot product of two float/double arrays"),
-      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+      (args: Seq[Expression]) => { arity("dot_product", args, 2)
+        DotProduct(args(0), args(1)) }))
 
     ext.injectFunction((FunctionIdentifier("l2_norm"),
       info("l2_norm", "l2_norm(a) - euclidean norm of a float/double array"),
-      (args: Seq[Expression]) => L2Norm(args(0))))
+      (args: Seq[Expression]) => { arity("l2_norm", args, 1); L2Norm(args(0)) }))
 
     ext.injectFunction((FunctionIdentifier("l2_normalize"),
       info("l2_normalize", "l2_normalize(a) - unit-normalized copy of a float/double array (null for zero vectors)"),
-      (args: Seq[Expression]) => L2Normalize(args(0))))
+      (args: Seq[Expression]) => { arity("l2_normalize", args, 1)
+        L2Normalize(args(0)) }))
 
     ext.injectFunction((FunctionIdentifier("nfc_normalize"),
       info("nfc_normalize", "nfc_normalize(s) - Unicode NFC canonical composition"),
-      (args: Seq[Expression]) => NfcNormalize(args(0))))
+      (args: Seq[Expression]) => { arity("nfc_normalize", args, 1)
+        NfcNormalize(args(0)) }))
 
     ext.injectFunction((FunctionIdentifier("deflate_ratio"),
       info("deflate_ratio",
         "deflate_ratio(s[, level]) - deflate-compressed size / raw UTF-8 size (low = repetitive/templated text)"),
-      (args: Seq[Expression]) => DeflateRatio(args(0),
-        if (args.length > 1) intArg(args(1), "deflate level") else 6)))
+      (args: Seq[Expression]) => { arityRange("deflate_ratio", args, 1, 2)
+        DeflateRatio(args(0),
+          if (args.length > 1) intArg(args(1), "deflate level") else 6) }))
 
     // NOTE: no regexp_count injection — Spark 4.1 ships a builtin of
     // that name with the same semantics, and shadowing it would change
@@ -82,31 +103,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
     ext.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(tokens) - 64-bit SimHash of a string array"),
-      (args: Seq[Expression]) => SimHash64(args(0))))
+      (args: Seq[Expression]) => { arity("simhash64", args, 1); SimHash64(args(0)) }))
 
     ext.injectFunction((FunctionIdentifier("minhash_signature"),
       info("minhash_signature", "minhash_signature(tokens, k) - k-element MinHash signature"),
-      (args: Seq[Expression]) =>
-        MinHashSignature(args(0), intArg(args(1), "minhash_signature k"))))
+      (args: Seq[Expression]) => { arity("minhash_signature", args, 2)
+        MinHashSignature(args(0), intArg(args(1), "minhash_signature k")) }))
 
     ext.injectFunction((FunctionIdentifier("shingle_hashes"),
       info("shingle_hashes", "shingle_hashes(words, n) - distinct 64-bit n-gram shingle hashes"),
-      (args: Seq[Expression]) =>
-        ShingleHashes(args(0), intArg(args(1), "shingle_hashes n"))))
+      (args: Seq[Expression]) => { arity("shingle_hashes", args, 2)
+        ShingleHashes(args(0), intArg(args(1), "shingle_hashes n")) }))
 
     ext.injectFunction((FunctionIdentifier("simhash64_md5"),
       info("simhash64_md5",
         "simhash64_md5(tokens) - engine-portable 64-bit SimHash (md5-derived token bits)"),
-      (args: Seq[Expression]) => SimHash64Md5(args(0))))
+      (args: Seq[Expression]) => { arity("simhash64_md5", args, 1)
+        SimHash64Md5(args(0)) }))
 
     ext.injectFunction((FunctionIdentifier("md5_prefix64"),
       info("md5_prefix64",
         "md5_prefix64(s) - first 8 md5 bytes as a big-endian signed 64-bit value"),
-      (args: Seq[Expression]) => Md5Prefix64(args(0))))
+      (args: Seq[Expression]) => { arity("md5_prefix64", args, 1)
+        Md5Prefix64(args(0)) }))
 
     ext.injectFunction((FunctionIdentifier("html_unescape"),
       info("html_unescape",
         "html_unescape(s) - python html.unescape parity (HTML4 named + numeric character references)"),
-      (args: Seq[Expression]) => HtmlUnescape(args(0))))
+      (args: Seq[Expression]) => { arity("html_unescape", args, 1)
+        HtmlUnescape(args(0)) }))
   }
 }

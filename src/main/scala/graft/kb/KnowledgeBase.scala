@@ -42,8 +42,12 @@ object KnowledgeBase {
     }
     val ranked = base
       .withColumn("similarity", cosineDistance(col(vecCol), typedlit(queryEmbedding)))
+    // NULLS LAST, matching the Postgres ORDER BY ASC default the
+    // reference runs: cosineDistance is null for null/zero-norm/mis-
+    // dimensioned embeddings, and Spark's asc default (NULLS FIRST)
+    // would rank every such garbage row above every real match
     ranked
-      .orderBy(asc("similarity") +: tieBreak.map(asc).toSeq: _*)
+      .orderBy(asc_nulls_last("similarity") +: tieBreak.map(asc).toSeq: _*)
       .limit(matchCount)
   }
 
@@ -55,7 +59,13 @@ object KnowledgeBase {
       queryEmbedding, matchCount)
 
   /** Content-hash upsert (`on_conflict=content_hash`): incoming docs win
-    * over existing rows with the same sha256(content). */
+    * over existing rows with the same sha256(content).
+    *
+    * NULL hashes never conflict — SQL unique/ON CONFLICT semantics
+    * (NULL is distinct from NULL), so a null-content row can neither
+    * replace nor be replaced; it passes through. Without the split,
+    * upsertByKey's window would group every null-hash row into one
+    * partition and silently keep a single survivor. */
   def upsertDocuments(
       existing: DataFrame, incoming: DataFrame,
       contentCol: String = "content"): DataFrame = {
@@ -65,7 +75,10 @@ object KnowledgeBase {
         existing.withColumn("content_hash",
           coalesce(col("content_hash"), sha2(col(contentCol), 256)))
       else existing.withColumn("content_hash", sha2(col(contentCol), 256))
-    Dedup.upsertByKey(ex, in, "content_hash")
+    Dedup.upsertByKey(ex.filter(col("content_hash").isNotNull),
+        in.filter(col("content_hash").isNotNull), "content_hash")
+      .unionByName(ex.filter(col("content_hash").isNull))
+      .unionByName(in.filter(col("content_hash").isNull))
   }
 
   /** The storage-backed form of [[upsertDocuments]]: commit the batch
@@ -84,8 +97,18 @@ object KnowledgeBase {
     val exists =
       try { MergeTable.snapshot(spark, path); true }
       catch { case _: IllegalArgumentException => false }
-    if (!exists) MergeTable.init(spark, path, in)
-    else MergeTable.merge(spark, path, in, Seq("content_hash"))
+    if (!exists) {
+      // exists→init is a TOCTOU race: two concurrent first writers can
+      // both see "no table". The init loser (require, or the atomic
+      // manifest commit) falls back to a merge against the winner's
+      // table instead of killing the job.
+      try { MergeTable.init(spark, path, in); () }
+      catch {
+        case _: IllegalArgumentException |
+             _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          MergeTable.merge(spark, path, in, Seq("content_hash")); ()
+      }
+    } else { MergeTable.merge(spark, path, in, Seq("content_hash")); () }
   }
 
   /** Hybrid retrieval: the vector ranking ([[matchDocuments]]) fused by

@@ -54,7 +54,7 @@ object Curation {
     val sampled =
       if (cfg.sampleFraction >= 1.0) deduped
       else Sampling.hashSample(deduped, idCol, cfg.sampleFraction)
-    sampled.drop("content_hash")
+    sampled
   }
 
   /** Knobs for [[fullPipeline]] on top of the base [[Config]].

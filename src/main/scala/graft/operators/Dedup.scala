@@ -46,11 +46,13 @@ object Dedup {
     * classic exact-dedup pass. Rows with NULL text pass through
     * untouched — they have no content to be duplicates OF, and grouping
     * them (null hash == null hash under partitionBy) would silently
-    * collapse every content-less row into one. */
+    * collapse every content-less row into one. Output schema == input
+    * schema (the working hash column does not leak). */
   def exactByContent(df: DataFrame, textCol: String, order: Seq[Column]): DataFrame = {
     val hashed = df.withColumn("content_hash", sha2(col(textCol), 256))
     firstWins(hashed.filter(col(textCol).isNotNull), Seq("content_hash"), order)
       .unionByName(hashed.filter(col(textCol).isNull))
+      .drop("content_hash")
   }
 
   /** Incremental ingestion dedup: keep only incoming docs whose content
@@ -68,10 +70,17 @@ object Dedup {
       order: Seq[Column]): DataFrame = {
     def hashed(df: DataFrame) = df.withColumn("content_hash",
       sha2(graft.functions.RegexpExpressions.nfcNormalize(col(textCol)), 256))
-    firstWins(hashed(incoming), Seq("content_hash"), order)
+    // NULL-text incoming rows pass through untouched (the exactByContent
+    // contract): they have no content to already exist in history, and
+    // grouping them under the null hash would keep only one of them.
+    // History-side null hashes need no filter — a null key never matches
+    // the anti-join.
+    firstWins(hashed(incoming.filter(col(textCol).isNotNull)),
+        Seq("content_hash"), order)
       .join(hashed(history).select(col("content_hash")).distinct(),
         Seq("content_hash"), "left_anti")
       .drop("content_hash")
+      .unionByName(incoming.filter(col(textCol).isNull))
   }
 
   /** Upsert: incoming rows replace existing rows with the same key
@@ -213,33 +222,34 @@ object Dedup {
     val fp = df.select(col(idCol).as("id"),
       HashExpressions.simhash64Md5(TextFunctions.words(col(textCol))).as("fp"))
 
-    // Bucket-aggregate here (collect_list per band bucket) where
-    // minHashNearDups deliberately uses a self-join: simhash's 16-bit
-    // bands cap buckets at 65k per band, so the aggregation never hits
-    // the tens-of-millions-of-singleton-buckets regime that pushes
-    // ObjectHashAggregate into its sort-based fallback.
+    // Band-bucket SELF-JOIN, same shape as minHashNearDupsFromShingles.
+    // The earlier bucket-aggregate (collect_list per bucket, nested
+    // transform to pairs) built each bucket's whole k²/2 pair array
+    // inside ONE aggregation row — a degenerate bucket (1M empty-text
+    // docs share a fingerprint on a dirty crawl) OOMs the executor on
+    // a single row. The join produces the same pairs but STREAMS them;
+    // the (id, band, bucket, fp) table is materialized once because the
+    // join consumes it twice (Spark does not reuse the subtree across
+    // join sides).
     val banded = fp.select(
       posexplode(array((0 until 4).map(b =>
         shiftright(col("fp"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("band", "bucket")),
-      struct(col("id"), col("fp")).as("e"))
+      col("id"), col("fp"))
+      .localCheckpoint(true)
 
-    banded
-      .groupBy(col("band"), col("bucket"))
-      .agg(array_sort(collect_list(col("e"))).as("es"))
-      .filter(size(col("es")) > 1)
-      .select(explode(flatten(transform(
-        sequence(lit(0), size(col("es")) - 2),
-        i => transform(
-          slice(col("es"), i + 2, size(col("es")) - i - 1),
-          b => struct(
-            element_at(col("es"), i + 1).getField("id").as("id_a"),
-            b.getField("id").as("id_b"),
-            bit_count(element_at(col("es"), i + 1).getField("fp")
-              .bitwiseXOR(b.getField("fp"))).as("hamming")))))).as("p"))
-      .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
+    try banded.select(col("band"), col("bucket"),
+        col("id").as("id_a"), col("fp").as("fp_a"))
+      .join(banded.select(col("band"), col("bucket"),
+          col("id").as("id_b"), col("fp").as("fp_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
       .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
       .dropDuplicates("id_a", "id_b")
+      .localCheckpoint(true) // materialize the (small) pair set
+    finally freeCheckpoint(banded)
   }
 
   /** Character-n-gram Jaccard for a given candidate pair set: joins the
@@ -415,39 +425,47 @@ object Dedup {
       .select(col("id")).distinct()
       .select(col("id"), col("id").as("cluster"), lit(true).as("__changed"))
       .localCheckpoint(true)
-    // Fail loudly if an edge references an id outside `nodes`: such ids
-    // would silently contribute no row to the label table and their
-    // component could stop propagating early. One left-anti probe over
-    // the edge list, once, before iterating.
-    val orphan = sym.join(state, sym("src") === state("id"), "left_anti").limit(1)
-    require(orphan.isEmpty,
-      "pairs reference ids not present in nodes (e.g. " +
-        orphan.collect().mkString(",") + "); nodes must cover every endpoint")
-    var frontierSize = 1L // enter the loop; real count comes per round
-    var i = 0
-    while (frontierSize > 0 && i < maxIter) {
-      val frontier = state.filter(col("__changed"))
-        .select(col("id").as("src"), col("cluster"))
-      val cand = sym.join(frontier, "src")
-        .select(col("dst").as("id"), col("cluster").as("cand"))
-        .groupBy(col("id")).agg(min(col("cand")).as("cand"))
-      val next = state.select(col("id"), col("cluster"))
-        .join(cand, Seq("id"), "left_outer")
-        .select(col("id"),
-          when(col("cand") < col("cluster"), col("cand"))
-            .otherwise(col("cluster")).as("cluster"),
-          coalesce(col("cand") < col("cluster"), lit(false)).as("__changed"))
-        .localCheckpoint(true)
-      frontierSize = next.filter(col("__changed")).count()
-      freeCheckpoint(state) // superseded round — release its blocks
-      state = next
-      i += 1
-    }
-    freeCheckpoint(sym)
-    require(frontierSize == 0,
-      s"connectedComponents did not converge in $maxIter rounds " +
-        "(component diameter exceeds maxIter — not a near-dup-shaped graph)")
-    state.select(col("id"), col("cluster"))
+    // Any throw below (orphan ids, non-convergence, a failed round) must
+    // release the edge-table and current-state blocks, or the two
+    // corpus-sized checkpoints stay pinned for the session — the exact
+    // accumulation freeCheckpoint exists to prevent. On success only
+    // `sym` is freed; `state` is the return value.
+    try {
+      // Fail loudly if an edge references an id outside `nodes`: such ids
+      // would silently contribute no row to the label table and their
+      // component could stop propagating early. One left-anti probe over
+      // the edge list, once, before iterating.
+      val orphan = sym.join(state, sym("src") === state("id"), "left_anti").limit(1)
+      require(orphan.isEmpty,
+        "pairs reference ids not present in nodes (e.g. " +
+          orphan.collect().mkString(",") + "); nodes must cover every endpoint")
+      var frontierSize = 1L // enter the loop; real count comes per round
+      var i = 0
+      while (frontierSize > 0 && i < maxIter) {
+        val frontier = state.filter(col("__changed"))
+          .select(col("id").as("src"), col("cluster"))
+        val cand = sym.join(frontier, "src")
+          .select(col("dst").as("id"), col("cluster").as("cand"))
+          .groupBy(col("id")).agg(min(col("cand")).as("cand"))
+        val next = state.select(col("id"), col("cluster"))
+          .join(cand, Seq("id"), "left_outer")
+          .select(col("id"),
+            when(col("cand") < col("cluster"), col("cand"))
+              .otherwise(col("cluster")).as("cluster"),
+            coalesce(col("cand") < col("cluster"), lit(false)).as("__changed"))
+          .localCheckpoint(true)
+        frontierSize = next.filter(col("__changed")).count()
+        freeCheckpoint(state) // superseded round — release its blocks
+        state = next
+        i += 1
+      }
+      require(frontierSize == 0,
+        s"connectedComponents did not converge in $maxIter rounds " +
+          "(component diameter exceeds maxIter — not a near-dup-shaped graph)")
+      state.select(col("id"), col("cluster"))
+    } catch {
+      case t: Throwable => freeCheckpoint(state); throw t
+    } finally freeCheckpoint(sym)
   }
 
   /** One row per document with its dedup cluster and whether it is the

@@ -79,23 +79,28 @@ object Lexical {
         filter(col("__ws"), w => array_contains(termsLit, w)).as("__wq"))
       .localCheckpoint(true)
 
-    val stats = scored.agg(count(lit(1)).as("n"), avg(col("__dl")).as("avgdl")).head()
-    val n = stats.getLong(0)
-    require(n > 0, "corpus is empty")
-    val avgdl = stats.getDouble(1)
-    // df per term off the narrow frame; array_intersect dedups, so a
-    // doc counts once per term it contains — identical to the old
-    // full-array formulation
-    val dfCounts = scored
-      .select(explode(array_intersect(col("__wq"), termsLit)).as("__t"))
-      .groupBy(col("__t")).agg(count(lit(1)).as("__df"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // EVERYTHING that can throw after the checkpoint sits inside the try
+    // — the empty-corpus require (a serving loop's realistic input) and
+    // the stats/df actions included; a throw before the finally would
+    // pin the corpus-sized blocks until driver GC.
+    try {
+      val stats = scored.agg(count(lit(1)).as("n"), avg(col("__dl")).as("avgdl")).head()
+      val n = stats.getLong(0)
+      require(n > 0, "corpus is empty")
+      val avgdl = stats.getDouble(1)
+      // df per term off the narrow frame; array_intersect dedups, so a
+      // doc counts once per term it contains — identical to the old
+      // full-array formulation
+      val dfCounts = scored
+        .select(explode(array_intersect(col("__wq"), termsLit)).as("__t"))
+        .groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
-    // (1-b) + (b*dl)/avgdl — the same left-to-right association DuckDB
-    // parses for `0.25 + 0.75 * dl/avgdl`, so the doubles match bit-
-    // for-bit (ADVICE r5: b*(dl/avgdl) differed in the last ulp).
-    val norm = lit(1.0 - b) + lit(b) * col("__dl") / avgdl
-    try lowered.map { termsLower =>
+      // (1-b) + (b*dl)/avgdl — the same left-to-right association DuckDB
+      // parses for `0.25 + 0.75 * dl/avgdl`, so the doubles match bit-
+      // for-bit (ADVICE r5: b*(dl/avgdl) differed in the last ulp).
+      val norm = lit(1.0 - b) + lit(b) * col("__dl") / avgdl
+      lowered.map { termsLower =>
       val perTerm: Seq[Column] = termsLower.map { t =>
         val dfT = dfCounts.getOrElse(t, 0L)
         val idf = math.log(1.0 + (n - dfT + 0.5) / (dfT + 0.5))
@@ -111,6 +116,7 @@ object Lexical {
         .select(col("id").as(idCol), round(col("__score"), 6).as("score"))
         // materialize the k rows so the corpus frame can be freed now
         .localCheckpoint(true)
+      }
     } finally graft.util.Checkpoints.free(scored)
   }
 

@@ -116,11 +116,13 @@ object MergeTable {
     require(keyCols.nonEmpty, "keyCols must name at least one column")
     val u = updates.localCheckpoint(true) // one computation across retries
     try {
+      // presence check FIRST: dropDuplicates on a missing column throws a
+      // raw AnalysisException, which would shadow the friendly message
+      require(keyCols.forall(u.columns.contains),
+        s"key ${keyCols.mkString(",")} missing from updates")
       val nU = u.count()
       require(nU == u.dropDuplicates(keyCols).count(),
         s"updates must be unique on ${keyCols.mkString(",")}")
-      require(keyCols.forall(u.columns.contains),
-        s"key ${keyCols.mkString(",")} missing from updates")
       require(u.filter(keyCols.map(col(_).isNull).reduce(_ || _)).isEmpty,
         s"updates contain NULL in a key column (${keyCols.mkString(",")}); " +
           "NULL keys cannot match and would duplicate on every merge")

@@ -193,7 +193,16 @@ object JobProcessor {
         // no later merge can ever match
         require(deduped.filter(col("request_id").isNull).isEmpty,
           "batch contains NULL request_id; merge-table keys must be non-null")
-        graft.sources.MergeTable.init(spark, tablePath, deduped)
+        // exists→init is a TOCTOU race: a concurrent query targeting the
+        // same path can win the init; the loser merges instead of dying
+        // (the OCC contract runToMergeTable's doc promises)
+        try { graft.sources.MergeTable.init(spark, tablePath, deduped); () }
+        catch {
+          case _: IllegalArgumentException |
+               _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+            graft.sources.MergeTable.merge(
+              spark, tablePath, deduped, Seq("request_id")); ()
+        }
       } finally deduped.unpersist()
     } else
       graft.sources.MergeTable.merge(

@@ -128,6 +128,16 @@ class DedupSpec extends SparkSpec {
       $"cluster" === $"rep").count() === 4)
   }
 
+  test("incrementalNew passes NULL-text rows through untouched") {
+    val incoming = Seq((10L, Some("fresh")), (11L, None), (12L, None))
+      .toDF("id", "text")
+    val history = Seq((1L, Some("old")), (2L, None)).toDF("id", "text")
+    val got = Dedup.incrementalNew(incoming, history, "text", Seq(asc("id")))
+    // both null-text incoming rows survive (no content to already exist);
+    // they must not collapse into one under the null hash
+    assert(got.select("id").as[Long].collect().toSet === Set(10L, 11L, 12L))
+  }
+
   test("incrementalNew keeps only content absent from history, NFC-insensitive") {
     val history = Seq((1L, "alpha doc"), (2L, "café menu")).toDF("id", "text")
     val incoming = Seq(

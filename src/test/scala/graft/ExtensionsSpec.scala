@@ -51,6 +51,18 @@ class ExtensionsSpec extends SparkSpec {
     assert(row.getLong(2) === java.lang.Long.parseUnsignedLong("0cc175b9c0f1b6a8", 16))
   }
 
+  test("wrong-arity SQL calls fail with the function name, not IndexOutOfBounds") {
+    // one arg to a 2-arg function
+    val e1 = intercept[Exception](spark.sql("SELECT cosine_similarity(array(1.0))").collect())
+    assert(e1.toString.contains("cosine_similarity") && e1.toString.contains("2"))
+    // three args to a 1-or-2-arg function
+    val e2 = intercept[Exception](spark.sql("SELECT deflate_ratio('x', 6, 7)").collect())
+    assert(e2.toString.contains("deflate_ratio"))
+    // zero args to a 1-arg function
+    val e3 = intercept[Exception](spark.sql("SELECT html_unescape()").collect())
+    assert(e3.toString.contains("html_unescape"))
+  }
+
   test("minhashSignatureLongs skips null slots (null element != literal 0L)") {
     // getLong on a null slot reads 0 — an unguarded loop would make
     // array(NULL) indistinguishable from array(0L)

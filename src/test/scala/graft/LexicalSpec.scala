@@ -98,6 +98,13 @@ class LexicalSpec extends SparkSpec {
     }
   }
 
+  test("bm25TopK on an empty corpus fails with the friendly require, try/finally intact") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException](
+      Lexical.bm25TopK(empty, "doc_id", "text", Seq("term"), 5))
+    assert(e.getMessage.contains("corpus is empty"))
+  }
+
   test("rrfFuse: overlap across rankings outranks a single high rank") {
     val a = Seq((1L, 10.0), (2L, 9.0), (3L, 8.0)).toDF("doc_id", "score")
     val b = Seq((2L, 5.0), (3L, 4.0), (9L, 3.0)).toDF("doc_id", "score")

@@ -182,6 +182,12 @@ class MergeTableSpec extends SparkSpec {
       MergeTable.merge(spark, path, typeDrift, Seq("id"))
     }
     assert(e3.getMessage.contains("type") || e3.getMessage.contains("int"))
+    // a key column absent from the UPDATE frame fails with the friendly
+    // message, not dropDuplicates' raw AnalysisException
+    val e4 = intercept[IllegalArgumentException] {
+      MergeTable.merge(spark, path, rows(1 to 2, "v"), Seq("idd"))
+    }
+    assert(e4.getMessage.contains("missing from updates"))
     // table unchanged by the rejected merges
     assert(MergeTable.snapshot(spark, path).version === 1L)
     assert(MergeTable.read(spark, path).count() === 10)

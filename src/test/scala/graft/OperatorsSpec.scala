@@ -130,6 +130,18 @@ class OperatorsSpec extends SparkSpec {
     assert(got.select("id").as[Long].collect().toSeq === (100L to 109L))
   }
 
+  test("matchDocuments ranks null-distance rows LAST (Postgres ASC = NULLS LAST)") {
+    // null and zero-norm embeddings yield null cosine distance; the
+    // Spark asc default (NULLS FIRST) would put them at the TOP of
+    // every search result
+    val kb = corpus.unionByName(
+      Seq((98L, Array(0f, 0f, 0f)), (99L, null.asInstanceOf[Array[Float]]))
+        .toDF("id", "embedding"))
+    val got = KnowledgeBase.matchDocuments(kb, Array(1f, 0f, 0f), 3)
+      .select("id").as[Long].collect()
+    assert(got.toSeq === Seq(1L, 2L, 5L))
+  }
+
   test("matchDocuments source filter") {
     val kb = corpus.withColumn("source_type",
       when(col("id") <= 2, "github").otherwise("stackoverflow"))
@@ -163,6 +175,19 @@ class OperatorsSpec extends SparkSpec {
     assert(got.count() === 3)
     // 'beta' row must be the incoming one (id 10)
     assert(got.filter($"content" === "beta").select("id").as[Long].collect().toSeq === Seq(10L))
+  }
+
+  test("upsertDocuments: NULL-content rows never conflict (SQL unique semantics)") {
+    // ON CONFLICT (content_hash): NULL is distinct from NULL, so null-
+    // content rows can neither replace nor be replaced — all pass through
+    val existing = Seq((1L, "alpha"), (2L, null), (3L, null)).toDF("id", "content")
+    val incoming = Seq((10L, null), (11L, "alpha")).toDF("id", "content")
+    val got = KnowledgeBase.upsertDocuments(existing, incoming)
+    assert(got.count() === 4) // alpha(11 wins) + three null-content rows
+    assert(got.filter($"content".isNull).select("id").as[Long].collect().toSet
+      === Set(2L, 3L, 10L))
+    assert(got.filter($"content" === "alpha").select("id").as[Long].collect().toSeq
+      === Seq(11L))
   }
 
   // --- pagination ---------------------------------------------------------
