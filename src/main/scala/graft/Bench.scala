@@ -56,6 +56,12 @@ object Bench {
     val all = SparkEntry.queries.keys.toSeq
     val names =
       (if (args.nonEmpty) all.filter(n => args.exists(n.startsWith)) else all).sorted
+    // fail BEFORE the (long) clean-room bench loop, not after it has
+    // thrown away an hour of measurements
+    def short(k: String): String =
+      k.indexOf('_') match { case -1 => k; case i => k.substring(0, i) }
+    require(names.map(short).toSet.size == names.size,
+      "shortened bench keys collide — rename the clashing queries")
     // one throwaway session first: the cold JVM's first queries otherwise
     // pay global lazy-init (codegen compiler, parquet readers, shuffle
     // machinery) that every later session gets for free — measured as a
@@ -72,6 +78,7 @@ object Bench {
       }
     }
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     names.grouped(BatchSize).foreach { batch =>
       val spark = newSession()
       try {
@@ -84,15 +91,21 @@ object Bench {
           // best of 2 timed runs: the eager multi-action queries (CC,
           // k-means) see one-off 2x hiccups from GC/cleaner timing
           // (measured q38 1.9 s vs 4.6 s across identical runs); min is
-          // the steady-state cost, which is the signal being graded
-          results(name) = (1 to 2).map { _ =>
+          // the steady-state cost, which is the signal being graded.
+          // A FAILED run must not record its fail-fast wall time as a
+          // timing — a query that regresses into an exception would
+          // otherwise show up as a large speedup.
+          val times = (1 to 2).flatMap { _ =>
             val t0 = System.nanoTime()
-            try { SparkEntry.queries(name)(spark, sfDir).count() }
-            catch { case _: Throwable => -1L }
+            val ok =
+              try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+              catch { case e: Throwable =>
+                System.err.println(s"[bench] $name failed: $e"); false }
             val dt = (System.nanoTime() - t0) / 1e9
             scrub(spark)
-            dt
-          }.min
+            if (ok) Some(dt) else None
+          }
+          if (times.nonEmpty) results(name) = times.min else failed += name
         }
       } finally {
         spark.stop()
@@ -106,22 +119,34 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // "q33_minhash_neardups" -> "q33": keeps the JSON line compact; full
     // names are recoverable from SparkEntry.queries / CORRECTNESS_r*.json.
-    def short(k: String): String =
-      k.indexOf('_') match { case -1 => k; case i => k.substring(0, i) }
-    require(results.keys.map(short).toSet.size == results.size,
-      "shortened bench keys collide — rename the clashing queries")
+    // (`short` defined above, next to the pre-loop collision check.)
     val qs = results.map { case (k, v) => s""""${short(k)}":${fmt(v)}""" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // JSON string escape for interpolated values (sfDir comes from the
+    // environment; a quote/backslash would break the driver's json.load)
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val failedField =
+      if (failed.isEmpty) ""
+      else s""","failed":${failed.map(n => jstr(short(n))).mkString("[", ",", "]")}"""
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":${jstr(sfDir)}$failedField}"""
     // Also drop a copy on disk so the result survives any output capture.
     try {
       val w = new java.io.PrintWriter("bench_last.json")
       try w.println(line) finally w.close()
     } catch { case _: Throwable => () }
     // Print LAST so the lines sit at the very end of the captured tail.
-    println("note: q87_pack_greedy runs shards=1 BY DESIGN (the oracle " +
+    if (failed.nonEmpty)
+      println(s"note: ${failed.size} quer${if (failed.size == 1) "y" else "ies"} " +
+        s"FAILED (${failed.mkString(", ")}) — excluded from timings, listed " +
+        "in the JSON 'failed' field.")
+    println("note: q87_seq_packing runs shards=1 BY DESIGN (the oracle " +
       "baseline; q93 is its sharded scale twin) — its single-partition " +
       "WindowExec warnings above are expected, not a scale defect.")
     println("note: sub-second queries carry a measured +/-0.15s run-to-run " +

@@ -218,8 +218,11 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
 
     "q28_cache_key" -> ((s, d) =>
+      // concat (null-propagating) not concat_ws (null-skipping): the
+      // oracle's || is NULL when any part is NULL, and the memo key for
+      // a null-user row must be null on both sides
       T.events(s, d).select(col("event_id"),
-          md5(concat_ws("|", col("event_type"), col("user_id"))).as("memo_key"),
+          md5(concat(col("event_type"), lit("|"), col("user_id"))).as("memo_key"),
           substring(md5(col("props")), 1, 8).as("url_slug"),
           sha2(col("props"), 256).as("content_hash"))
         .orderBy(col("event_id"))),
@@ -250,7 +253,10 @@ object SparkEntry {
       T.events(s, d)
         .select(element_at(m, col("event_type")).as("mapped_source"))
         .groupBy(col("mapped_source")).agg(count(lit(1)).as("n"))
-        .orderBy(col("mapped_source"))
+        // pinned null order (q15's convention): an unmapped event_type
+        // yields a NULL group, and Spark (NULLS FIRST) and DuckDB
+        // (NULLS LAST) default oppositely
+        .orderBy(asc_nulls_first("mapped_source"))
     }),
 
     // --- dedup family (D1-D6, LLM-pipeline dedup) -------------------------
@@ -272,10 +278,14 @@ object SparkEntry {
       val existing = T.documents(s, d).select(col("doc_id"), col("text"))
       val incoming = existing.filter(col("doc_id") < 100)
         .withColumn("text", concat(col("text"), lit(" v2")))
+      // tieBreak: the sf corpora contain duplicate texts, so two
+      // EXISTING docs can share a content_hash — without a secondary
+      // key, which one survives is partition-order-dependent and flakes
+      // the hash compare (oracle pins the same ORDER BY src, doc_id)
       Dedup.upsertByKey(
           existing.withColumn("content_hash", sha2(col("text"), 256)),
           incoming.withColumn("content_hash", sha2(col("text"), 256)),
-          "content_hash")
+          "content_hash", tieBreak = Seq(asc("doc_id")))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("versions"))
         .orderBy(col("doc_id"))
     }),
@@ -339,10 +349,22 @@ object SparkEntry {
     }),
 
     "q42_centroids" -> ((s, d) =>
+      // Oracle-exact mean: collect, SORT, fold sequentially — both
+      // engines then sum the identical value sequence in the identical
+      // order, where a plain avg()'s partial-aggregation merge order is
+      // scheduling-dependent and can flip the 6th decimal on a rounding
+      // boundary (the header's DECIMAL convention can't apply: floats
+      // have no narrow exact decimal form). The production operator
+      // (SimilaritySearch.centroids) keeps the scalable avg; this row
+      // pins VALUES.
       T.embeddings(s, d)
         .select(col("label"), posexplode(col("embedding")).as(Seq("dim0", "v")))
         .groupBy(col("label"), (col("dim0") + 1).as("dim"))
-        .agg(round(avg(col("v")), 6).as("mean"))
+        .agg(collect_list(col("v").cast("double")).as("vs"),
+          count(lit(1)).as("n"))
+        .select(col("label"), col("dim"),
+          round(aggregate(array_sort(col("vs")), lit(0.0), (acc, x) => acc + x)
+            / col("n"), 6).as("mean"))
         .orderBy(col("label"), col("dim"))),
 
     "q43_embed_neardups" -> ((s, d) =>
@@ -1192,7 +1214,7 @@ object SparkEntry {
         |  WHEN 'view' THEN 'official_doc' WHEN 'signup' THEN 'github'
         |  WHEN 'purchase' THEN 'internal' WHEN 'error' THEN 'stackoverflow'
         |  END AS mapped_source, count(*) AS n
-        |FROM events GROUP BY 1 ORDER BY mapped_source""".stripMargin,
+        |FROM events GROUP BY 1 ORDER BY mapped_source NULLS FIRST""".stripMargin,
 
     "q35_null_dedup" ->
       """WITH keyed AS (SELECT event_id, ts,
@@ -1241,7 +1263,7 @@ object SparkEntry {
         |tagged AS (SELECT doc_id, content_hash, 0 AS src FROM incoming
         |           UNION ALL SELECT doc_id, content_hash, 1 AS src FROM existing),
         |merged AS (SELECT doc_id FROM (
-        |  SELECT doc_id, row_number() OVER (PARTITION BY content_hash ORDER BY src) AS rn FROM tagged)
+        |  SELECT doc_id, row_number() OVER (PARTITION BY content_hash ORDER BY src, doc_id) AS rn FROM tagged)
         |  WHERE rn = 1)
         |SELECT doc_id, count(*) AS versions FROM merged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
@@ -1344,7 +1366,9 @@ object SparkEntry {
         |WHERE e.label = 3 ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin,
 
     "q42_centroids" ->
-      """SELECT label, r.i AS dim, round(avg(embedding[r.i]), 6) AS mean
+      """SELECT label, r.i AS dim,
+        |  round(list_aggregate(list_sort(list(CAST(embedding[r.i] AS DOUBLE))), 'sum')
+        |    / count(*), 6) AS mean
         |FROM embeddings CROSS JOIN range(1, 65) r(i)
         |GROUP BY label, r.i ORDER BY label, dim""".stripMargin,
 

@@ -33,9 +33,15 @@ object Tables {
     * failing loudly — convert such columns explicitly as done here. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // FLOOR division, not `div` (which truncates toward zero): a
+    // pre-epoch nanos value like -1500 must land in microsecond -2, not
+    // -1 — an instant's containing microsecond is its floor. Integer
+    // identity: floor(a/b) = (a - ((a % b + b) % b)) / b for b > 0,
+    // exact over the full long range (no double round-trip).
     table(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+        org.apache.spark.sql.functions.expr(
+          "(ts - ((ts % 1000 + 1000) % 1000)) div 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -19,11 +19,25 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    def deleteRecursively(p: java.nio.file.Path): Unit =
+      if (Files.exists(p)) {
+        val walk = Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => { Files.delete(f); () })
+        finally walk.close()
+      }
     SparkEntry.queries.foreach { case (name, fn) =>
       if (only.nonEmpty && !only.contains(name)) ()
-      else try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      else try {
+        // stale-output guard: remove the previous run's dump BEFORE
+        // executing, so a query that fails at analysis time (before
+        // mode("overwrite") touches anything) leaves a MISSING output —
+        // graded as a failure — instead of the prior round's parquet
+        // being silently graded as a pass
+        deleteRecursively(Paths.get(s"$outDir/$name"))
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
