@@ -19,12 +19,7 @@ object PipelineScaleDemo {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def time[T](name: String)(f: => T): T = {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"$name%-42s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
-      r
-    }
+    def time[T](name: String)(f: => T): T = graft.util.Timing.time(name)(f)
 
     val n = sys.env.getOrElse("PIPE_ROWS", "10000000").toLong
     val keys = 100000L

@@ -16,10 +16,8 @@ object ProfileQ80 {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def time[A](label: String)(f: => A): A = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"STAGE $label%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
-    }
+    def time[A](label: String)(f: => A): A =
+      graft.util.Timing.time(s"STAGE $label")(f)
 
     // warmup
     val docs = T.documents(spark, d)

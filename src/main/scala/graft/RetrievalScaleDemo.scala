@@ -26,12 +26,7 @@ object RetrievalScaleDemo {
     val copies = sys.env.getOrElse("RETRIEVAL_COPIES", "200").toInt
     val base = s"/tmp/graft_retrieval_$copies"
 
-    def time[T](name: String)(f: => T): T = {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"$name%-44s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
-      r
-    }
+    def time[T](name: String)(f: => T): T = graft.util.Timing.time(name)(f)
 
     // ---- build the scaled corpus once (documents written LAST, and its
     // _SUCCESS file — not the directory, which Spark creates before the

@@ -11,11 +11,13 @@ import org.apache.spark.sql.functions._
   */
 object ScaleDemo {
   def main(args: Array[String]): Unit = {
+    // NOTE: driver heap comes from build.sbt's forked-run javaOptions
+    // (-Xmx via SPARK_DRIVER_MEM, default 8g) — spark.driver.memory set
+    // on the builder is a no-op inside an already-running JVM.
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", "8g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.1"
@@ -27,12 +29,7 @@ object ScaleDemo {
     // vecCopies must never silently reuse stale data
     val base = s"/tmp/graft_scale_${copies}_v$vecCopies"
 
-    def time[T](name: String)(f: => T): T = {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"$name%-36s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
-      r
-    }
+    def time[T](name: String)(f: => T): T = graft.util.Timing.time(name)(f)
     def withConf[T](key: String, value: String)(f: => T): T = {
       val before = spark.conf.getOption(key)
       spark.conf.set(key, value)
@@ -43,8 +40,11 @@ object ScaleDemo {
     }
 
     // ---- build the scaled corpora (once) --------------------------------
+    // completeness marker = documents' _SUCCESS file, not the directory
+    // (Spark creates the dir at job START, so a killed build would be
+    // silently reused on rerun — RetrievalScaleDemo's rule)
     val docsPath = s"$base/documents.parquet"
-    if (!new java.io.File(docsPath).exists()) {
+    if (!new java.io.File(docsPath, "_SUCCESS").exists()) {
       val emb = Tables.embeddings(spark, d)
       (0 until vecCopies).map { c =>
         emb.select((col("vec_id") + lit(c.toLong * 1000000)).as("vec_id"),
@@ -105,13 +105,17 @@ object ScaleDemo {
         emb, "vec_id", "embedding", k = 10, iters = 5)
       val assigned = operators.SimilaritySearch.assignClusters(
         emb, "embedding", cents).cache()
+      // compare BASE vector ids (vec_id % 1e6): the scaled corpus holds
+      // vecCopies bit-identical copies of every vector, so the raw
+      // top-10 id sets are arbitrary tie-broken subsets of the copies —
+      // two correct rankings would report recall < 1 nondeterministically
       val exact = operators.SimilaritySearch.topK(emb, "embedding", q, 10)
-        .select("vec_id").collect().map(_.getLong(0)).toSet
+        .select("vec_id").collect().map(_.getLong(0) % 1000000L).toSet
       val approx = operators.SimilaritySearch.ivfTopK(
           assigned, "cluster", "embedding", cents, q, 10, nprobe = 2)
-        .select("vec_id").collect().map(_.getLong(0)).toSet
+        .select("vec_id").collect().map(_.getLong(0) % 1000000L).toSet
       println(s"  learned-IVF nprobe=2 recall@10 = ${
-        (exact & approx).size / 10.0}")
+        (exact & approx).size.toDouble / exact.size}")
       assigned.unpersist()
     }
 

@@ -1913,10 +1913,12 @@ object SparkEntry {
         |arrs AS (SELECT doc_id, regexp_split_to_array(text, chr(10)) AS ls FROM base),
         |lines AS (SELECT doc_id, i AS pos, ls[i] AS line
         |  FROM arrs, LATERAL (SELECT unnest(generate_series(1, len(ls))) AS i)),
-        |freq AS (SELECT trim(line) AS l FROM lines WHERE trim(line) <> ''
+        |freq AS (SELECT regexp_replace(line, '^\s+|\s+$', '', 'g') AS l FROM lines
+        |  WHERE regexp_replace(line, '^\s+|\s+$', '', 'g') <> ''
         |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 50),
         |kept AS (SELECT doc_id, pos, line FROM lines
-        |  WHERE trim(line) = '' OR trim(line) NOT IN (SELECT l FROM freq)),
+        |  WHERE regexp_replace(line, '^\s+|\s+$', '', 'g') = ''
+        |     OR regexp_replace(line, '^\s+|\s+$', '', 'g') NOT IN (SELECT l FROM freq)),
         |agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean
         |  FROM kept GROUP BY doc_id)
         |SELECT b.doc_id, coalesce(a.clean, '') AS clean

@@ -26,12 +26,7 @@ object StorageScaleDemo {
     val path = java.nio.file.Files
       .createTempDirectory("storage_scale").toString + "/tbl"
 
-    def time[T](name: String)(f: => T): T = {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"$name%-44s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
-      r
-    }
+    def time[T](name: String)(f: => T): T = graft.util.Timing.time(name)(f)
     def rows(r: org.apache.spark.sql.DataFrame) =
       r.select(col("id"), md5(col("id").cast("string")).as("payload"))
 

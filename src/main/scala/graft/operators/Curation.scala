@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -34,9 +34,16 @@ object Curation {
       sampleFraction: Double = 1.0)
 
   /** Returns the curated corpus: (idCol, n_tokens) per surviving doc,
-    * plus the annotation columns for auditability. */
+    * plus the annotation columns for auditability.
+    *
+    * NULL-text docs are dropped — explicit policy, not a three-valued-
+    * logic accident: a doc with no content has no tokens/quality/lang
+    * to curate on, so no Config can admit it. (The DEDUP operators pass
+    * null-text rows through because dedup only asks "is this a copy?";
+    * curation asks "is this good training data?", and contentless is a
+    * definitive no.) */
   def curate(df: DataFrame, idCol: String, textCol: String, cfg: Config): DataFrame = {
-    val annotated = df.select(
+    val annotated = df.filter(col(textCol).isNotNull).select(
       col(idCol), col(textCol),
       TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"),
       TextFunctions.punctRatio(col(textCol)).as("punct_ratio"),
@@ -135,7 +142,11 @@ object Curation {
     val nChunks = greatest(lit(1),
       floor((size(words) - lit(chunkSize) + lit(2 * step - 1)) / lit(step))
         .cast("int"))
-    df.filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+    // whitespace-CLASS blank check (rlike \S), not trim(): Spark's trim
+    // strips only spaces, so a "\n"- or "\t"-only doc would pass a
+    // trim-based guard and emit one empty chunk, violating the
+    // "null/blank docs yield NO rows" contract
+    df.filter(col(textCol).isNotNull && col(textCol).rlike("\\S"))
       .select(col(idCol), words.as("__ws"), nChunks.as("__k"))
       .select(col(idCol),
         posexplode(transform(sequence(lit(0), col("__k") - 1),
@@ -161,16 +172,22 @@ object Curation {
       outCol: String = ""): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     val out = if (outCol.nonEmpty) outCol else textCol
+    // Whitespace-CLASS edge trim for the canonical line key. Spark's
+    // trim() strips spaces only, so on a CRLF corpus every "blank" line
+    // is really "\r": a space-trim blank check would count it as
+    // cross-document boilerplate and strip every blank line corpus-wide,
+    // and CRLF/LF copies of the same footer would miss each other.
+    def canon(c: Column): Column = regexp_replace(c, "^\\s+|\\s+$", "")
     val lines = df.select(col(idCol),
       posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
-    val frequent = lines.filter(trim(col("__line")) =!= "")
-      .select(col(idCol), trim(col("__line")).as("__l"))
+    val frequent = lines.filter(canon(col("__line")) =!= "")
+      .select(col(idCol), canon(col("__line")).as("__l"))
       .distinct() // a doc repeating its own footer counts once
       .groupBy(col("__l")).agg(count(lit(1)).as("__nd"))
       .filter(col("__nd") >= minDocs)
       .select(col("__l"))
     val kept = lines.join(frequent,
-      trim(col("__line")) === col("__l"), "left_anti")
+      canon(col("__line")) === col("__l"), "left_anti")
     val rebuilt = kept.groupBy(col(idCol))
       .agg(array_join(
         transform(

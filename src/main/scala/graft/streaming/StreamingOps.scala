@@ -119,8 +119,12 @@ object StreamingCdc {
     val winner = (prev.map { case (s, o, p) => CdcOp(key, s, o, p) } ++ ops)
       // Full-record ordering: (seq, op) alone would break equal-seq
       // equal-op ties by iterator order (state-prepend first), making
-      // the emitted payload replay-nondeterministic.
-      .maxBy(op => (op.seq, op.op, op.payload)) // seq ties: "U" > "D" lexically
+      // the emitted payload replay-nondeterministic. Option-wrapped:
+      // deletes routinely carry payload = null (no row image), and a
+      // raw String ordering would NPE the whole stream the first time a
+      // seq tie forces the comparison to reach the null field (None
+      // sorts below Some — a null payload loses ties, deterministically).
+      .maxBy(op => (op.seq, Option(op.op), Option(op.payload)))
     if (prev.contains((winner.seq, winner.op, winner.payload))) Iterator.empty
     else {
       state.update((winner.seq, winner.op, winner.payload))

@@ -1,0 +1,13 @@
+package graft.util
+
+/** Shared stopwatch for the demo/profiling mains — one definition so
+  * the label padding and precision cannot drift across the harnesses
+  * (they had, by the time this replaced six private copies). */
+object Timing {
+  def time[T](label: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"$label%-44s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+    r
+  }
+}

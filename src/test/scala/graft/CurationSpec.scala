@@ -129,6 +129,37 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("stripBoilerplateLines: CRLF corpora — blank \\r lines are blank, footers match across endings") {
+    // On Windows line endings, splitting on \n leaves \r on every line:
+    // a space-only trim would count "\r" as cross-doc boilerplate and
+    // strip every blank line; a CRLF footer would also miss its LF twin.
+    val docs = Seq(
+      (1L, "keep one\r\n\r\nFOOT\r\nkeep two"), // CRLF: blank + footer
+      (2L, "other\nFOOT\nbody"),               // LF footer — same line
+      (3L, "FOOT\r\nmore text")                // CRLF footer
+    ).toDF("doc_id", "text")
+    val got = Curation.stripBoilerplateLines(docs, "doc_id", "text", minDocs = 3)
+      .orderBy("doc_id").select("text").as[String].collect().toSeq
+    // footers gone on every doc (cross-ending match); the blank "\r"
+    // line survives untouched
+    assert(got === Seq("keep one\r\n\r\nkeep two", "other\nbody", "more text"))
+  }
+
+  test("chunkByTokens: whitespace-only docs (tab/newline) yield no chunks") {
+    val docs = Seq((1L, "\n"), (2L, "\t\t"), (3L, " \r\n "), (4L, "real words here"))
+      .toDF("doc_id", "text")
+    val got = Curation.chunkByTokens(docs, "doc_id", "text", chunkSize = 4, overlap = 0)
+    assert(got.select("doc_id").as[Long].collect().toSeq === Seq(4L))
+  }
+
+  test("curate: null-text docs are dropped by explicit policy") {
+    val docs = Seq((1L, "good text here"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = Curation.curate(docs, "doc_id", "text",
+      Curation.Config(lang = None))
+    assert(got.select("doc_id").as[Long].collect().toSeq === Seq(1L))
+  }
+
   test("stripBoilerplateLines: below-threshold lines survive") {
     val docs = Seq(
       (1L, "shared twice\na"), (2L, "shared twice\nb"), (3L, "solo\nc")

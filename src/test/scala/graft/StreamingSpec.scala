@@ -60,6 +60,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CDC survives null-payload deletes racing on one seq") {
+    // deletes carry no row image (payload = null); an equal-seq tie that
+    // reaches the payload comparison must not NPE the stream, and the
+    // null payload loses the tie deterministically
+    import graft.streaming.{CdcOp, StreamingCdc}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[CdcOp]
+    val q = StreamingCdc.changelog(input.toDS())
+      .writeStream.format("memory").queryName("cdc_null_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(
+        CdcOp("k", 5, "D", null), CdcOp("k", 5, "D", null), // retried delete
+        CdcOp("m", 7, "U", "m7"), CdcOp("m", 7, "U", null)) // null loses tie
+      q.processAllAvailable()
+      val changes = spark.table("cdc_null_out")
+        .select("key", "seq", "op", "payload")
+        .as[(String, Long, String, String)].collect().toSet
+      assert(changes === Set(("k", 5L, "D", null), ("m", 7L, "U", "m7")))
+    } finally q.stop()
+  }
+
   test("streaming nearDupDrop suppresses re-ingested near-identical docs") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String, java.sql.Timestamp)]
