@@ -125,12 +125,7 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // JSON string escape for interpolated values (sfDir comes from the
     // environment; a quote/backslash would break the driver's json.load)
-    def jstr(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    def jstr(s: String): String = graft.util.JsonEscape.string(s)
     val failedField =
       if (failed.isEmpty) ""
       else s""","failed":${failed.map(n => jstr(short(n))).mkString("[", ",", "]")}"""

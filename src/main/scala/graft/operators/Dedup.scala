@@ -68,7 +68,11 @@ object Dedup {
     * @param order within-batch winner among same-content incoming rows */
   def incrementalNew(incoming: DataFrame, history: DataFrame, textCol: String,
       order: Seq[Column]): DataFrame = {
-    def hashed(df: DataFrame) = df.withColumn("content_hash",
+    // working column under a reserved name: `content_hash` would CLOBBER
+    // a caller-supplied column of that name (KB frames routinely carry
+    // one) and then vanish from the output, and the null-text branch
+    // below would fail the union on the mismatched schema
+    def hashed(df: DataFrame) = df.withColumn("__cn_hash",
       sha2(graft.functions.RegexpExpressions.nfcNormalize(col(textCol)), 256))
     // NULL-text incoming rows pass through untouched (the exactByContent
     // contract): they have no content to already exist in history, and
@@ -76,10 +80,10 @@ object Dedup {
     // History-side null hashes need no filter — a null key never matches
     // the anti-join.
     firstWins(hashed(incoming.filter(col(textCol).isNotNull)),
-        Seq("content_hash"), order)
-      .join(hashed(history).select(col("content_hash")).distinct(),
-        Seq("content_hash"), "left_anti")
-      .drop("content_hash")
+        Seq("__cn_hash"), order)
+      .join(hashed(history).select(col("__cn_hash")).distinct(),
+        Seq("__cn_hash"), "left_anti")
+      .drop("__cn_hash")
       .unionByName(incoming.filter(col(textCol).isNull))
   }
 
@@ -454,7 +458,10 @@ object Dedup {
               .otherwise(col("cluster")).as("cluster"),
             coalesce(col("cand") < col("cluster"), lit(false)).as("__changed"))
           .localCheckpoint(true)
-        frontierSize = next.filter(col("__changed")).count()
+        // a throw between next's materialization and the state swap must
+        // free next too — the outer catch only knows about `state`
+        try frontierSize = next.filter(col("__changed")).count()
+        catch { case t: Throwable => freeCheckpoint(next); throw t }
         freeCheckpoint(state) // superseded round — release its blocks
         state = next
         i += 1

@@ -76,14 +76,18 @@ object Skew {
   /** Per-key frequency profile — the diagnostic used to decide whether
     * a key needs salting: top-n keys with their share of all rows.
     *
-    * ONE scan of the input: the per-key counts are materialized
-    * (`localCheckpoint` — sized #distinct-keys, a sliver of the input)
+    * ONE scan of the input in the warm case: the per-key counts are
+    * `persist`ed (NOT localCheckpoint — persist keeps lineage, so its
+    * blocks are safely evictable under memory pressure and reclaimed by
+    * the ContextCleaner once the caller drops the result; a near-unique
+    * key makes the counts frame input-sized, so pinning it would leak)
     * and the grand total is summed from them, where a separate
-    * `df.count()` would have re-read the full table a second time just
-    * to compute the denominator. */
+    * `df.count()` always re-read the full table for the denominator.
+    * Eviction degrades to the old two-scan cost, never to wrong data. */
   def keySkewProfile(df: DataFrame, key: String, topN: Int = 10): DataFrame = {
-    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("n")).localCheckpoint(true)
-    val total = counts.agg(sum(col("n"))).head().getLong(0)
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("n")).persist()
+    // coalesce: sum over an EMPTY counts frame is NULL, not 0
+    val total = counts.agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
     counts
       .withColumn("share", round(col("n") / lit(total.toDouble), 6))
       .orderBy(desc("n"))

@@ -1,0 +1,20 @@
+package graft.util
+
+/** JSON string escaping for the driver-contract mains (Bench, Verify):
+  * one definition so the two emitters cannot drift. Escapes the
+  * backslash, the quote, and EVERY control char below 0x20 (named forms
+  * for the common three) — a tab or CR in builder-authored SQL or an
+  * exotic env-var path would otherwise make the driver's `json.load`
+  * fail and silently zero a round's results. */
+object JsonEscape {
+  /** `s` as a quoted JSON string literal. */
+  def string(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+}

@@ -128,6 +128,18 @@ class DedupSpec extends SparkSpec {
       $"cluster" === $"rep").count() === 4)
   }
 
+  test("incrementalNew preserves a caller-supplied content_hash column") {
+    // the working hash lives under a reserved name — a KB frame's own
+    // content_hash column must survive, including on null-text rows
+    val incoming = Seq((10L, Some("fresh"), "h10"), (11L, None, "h11"))
+      .toDF("id", "text", "content_hash")
+    val history = Seq((1L, Some("old"), "h1")).toDF("id", "text", "content_hash")
+    val got = Dedup.incrementalNew(incoming, history, "text", Seq(asc("id")))
+    assert(got.columns.toSeq === incoming.columns.toSeq)
+    assert(got.select("id", "content_hash").as[(Long, String)].collect().toSet
+      === Set((10L, "h10"), (11L, "h11")))
+  }
+
   test("incrementalNew passes NULL-text rows through untouched") {
     val incoming = Seq((10L, Some("fresh")), (11L, None), (12L, None))
       .toDF("id", "text")

@@ -32,6 +32,12 @@ class SkewSanitizeSpec extends SparkSpec {
       plain.groupBy("key").count().orderBy("key").collect().toSeq)
   }
 
+  test("keySkewProfile on an empty frame returns an empty profile, not an NPE") {
+    import graft.operators.Skew
+    val empty = Seq.empty[(String, Int)].toDF("k", "v")
+    assert(Skew.keySkewProfile(empty, "k").isEmpty)
+  }
+
   test("keySkewProfile surfaces the hot key share") {
     val df = ((1 to 900).map(_ => "hot") ++ (1 to 100).map(i => s"k$i")).toDF("k")
     val top = Skew.keySkewProfile(df, "k", topN = 1).collect()(0)
