@@ -116,6 +116,17 @@ class DedupSpec extends SparkSpec {
     assert(got === Seq(1L))
   }
 
+  test("connectedComponents distributed loop converges on a cycle too") {
+    // the driver fast-path covers small fixtures, so without forcing
+    // maxDriverEdges = 0 the frontier loop's termination on cyclic
+    // graphs would never be exercised by the suite
+    val nodes = Seq(1L, 2L, 3L, 4L, 9L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(nodes, pairs, maxDriverEdges = 0L)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(got === Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 9L -> 9L))
+  }
+
   test("dupClusters marks exactly one representative per cluster") {
     val docs = Seq((1L, "x"), (2L, "x"), (3L, "x"), (7L, "y")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")

@@ -76,12 +76,18 @@ class IvfRuleSpec extends SparkSpec {
       assert(scan.dataFilters.exists(_.references.exists(_.name == "ivf_cluster")),
         s"cluster probe not pushed to the scan: ${scan.dataFilters}")
 
-      // every returned row really is in one of the 2 probed clusters
-      val probed = cents
+      // every returned row really is in one of the 2 probed clusters.
+      // TIE-CLOSED oracle: collect all similarities and keep every
+      // cluster at or above the 2nd-best value — a plain limit(2) picks
+      // a partition-order-dependent set when two centroids tie, which
+      // would flake this assert even though the rule pruned correctly
+      val sims = cents
         .withColumn("__s", graft.functions.VectorFunctions
           .cosineSimilarity(col("centroid"), typedlit(query)))
-        .orderBy(desc("__s")).limit(2)
-        .select("cluster").collect().map(_.getInt(0)).toSet
+        .select("cluster", "__s").collect()
+        .map(r => r.getInt(0) -> r.getDouble(1))
+      val cutoff = sims.map(_._2).sorted(Ordering[Double].reverse)(1)
+      val probed = sims.filter(_._2 >= cutoff).map(_._1).toSet
       val got = df.join(corpus, "vec_id").select("ivf_cluster")
         .collect().map(_.getInt(0)).toSet
       assert(got.subsetOf(probed), s"rows outside probed clusters: $got vs $probed")
@@ -111,12 +117,11 @@ class IvfRuleSpec extends SparkSpec {
     // the wrong-quantizer hazard: two corpora whose vector columns share
     // a name must not share an index — at nprobe < all that would be
     // silently wrong answers, not just a bad plan
+    // same column names, shifted data — a genuinely different corpus
+    // (tmp is a fresh temp dir per run, so the write is unconditional)
     val otherPath = s"$tmp/other_corpus"
-    if (!new java.io.File(otherPath, "_SUCCESS").exists()) {
-      // same column names, shifted data — a genuinely different corpus
-      corpus.withColumn("vec_id", col("vec_id") + 100000)
-        .write.mode("overwrite").parquet(otherPath)
-    }
+    corpus.withColumn("vec_id", col("vec_id") + 100000)
+      .write.mode("overwrite").parquet(otherPath)
     val other = spark.read.parquet(otherPath)
     withIndex(nprobe = 1) {
       val dist = lit(1.0) - graft.functions.VectorFunctions

@@ -47,25 +47,28 @@ class LexicalSpec extends SparkSpec {
     assert(got(0)._2 === got(1)._2)
   }
 
-  test("hybridSearch: a doc decent in BOTH rankings beats single-ranking champions") {
+  test("hybridSearch: the fused winner is a doc NEITHER leg ranks first") {
     import graft.kb.KnowledgeBase
+    // Designed so the fused head (doc 3) differs from the lexical head
+    // (doc 1) AND the vector head (doc 2): rank matrix over all 4 docs
+    //   doc 1: lex 1, vec 4 -> 1/61 + 1/64 ~= .032018
+    //   doc 2: vec 1, absent lexically -> 1/61 ~= .016393
+    //   doc 3: lex 2, vec 2 -> 2/62 ~= .032258  <- fused winner
+    //   doc 4: lex 3, vec 3 -> 2/63 ~= .031746
+    // so losing EITHER leg changes the fused order: lexical-only would
+    // rank (1,3,4), vector-only (2,3,4) — the exact-order assertion
+    // catches a regression that silently drops a retrieval leg.
     val kb = Seq(
-      // A: exact lexical match, orthogonal embedding
-      (1L, "broadcast join timeout error", Array(0f, 1f, 0f)),
-      // B: nearest embedding, no lexical overlap
-      (2L, "completely different words here", Array(1f, 0.05f, 0f)),
-      // C: some lexical overlap AND close-ish embedding
-      (3L, "a join that is slow", Array(0.9f, 0.4f, 0f)),
-      (4L, "unrelated filler content", Array(0f, 0f, 1f))
+      (1L, "alpha beta alpha beta alpha", Array(0f, 1f, 0f)),
+      (2L, "completely different words here", Array(1f, 0f, 0f)),
+      (3L, "alpha beta of joins", Array(0.9f, 0.4f, 0f)),
+      (4L, "alpha padded with many entirely unrelated trailing words",
+        Array(0.5f, 0.8f, 0f))
     ).toDF("id", "content", "embedding")
     val got = KnowledgeBase.hybridSearch(kb, "id", "content",
-        "broadcast join timeout", Array(1f, 0f, 0f), k = 3)
+        "alpha beta", Array(1f, 0f, 0f), k = 3)
       .as[(Long, Double)].collect().toSeq
-    // A is lexical rank 1 (3 terms) but vector rank 3; B is vector rank 1
-    // but absent lexically; C is rank 2 in both -> 2/62 beats 1/61 + 1/63
-    assert(got.map(_._1).head === 3L || got.map(_._1).take(2).contains(3L),
-      s"doc present in both rankings must fuse near the top: $got")
-    assert(got.nonEmpty && got.map(_._1).distinct.size === got.size)
+    assert(got.map(_._1) === Seq(3L, 1L, 4L), s"fused order wrong: $got")
   }
 
   test("bm25TopK: a 20-term query matches an independent Okapi computation") {
