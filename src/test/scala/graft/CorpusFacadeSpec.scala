@@ -36,9 +36,8 @@ class CorpusFacadeSpec extends SparkSpec {
     val exact = Corpus(docs, "doc_id", "text").dedupExact().toDF
     assert(exact.count() === 3)
     assert(exact.filter($"doc_id" === 1L).count() === 1) // lowest id wins
-    assert(exact.columns.toSeq === docs.columns.toSeq)   // content_hash dropped
+    assert(exact.columns.toSeq === docs.columns.toSeq) // schema preserved
     val direct = Dedup.exactByContent(docs, "text", Seq(col("doc_id").asc))
-      .drop("content_hash")
     assert(exact.orderBy("doc_id").collect().toSeq ===
       direct.orderBy("doc_id").collect().toSeq)
 

@@ -54,9 +54,11 @@ class CurationSpec extends SparkSpec {
       "keep-best must keep the LONGER near-dup, not the lower id")
     assert(!kept.contains(2L), "eval-overlapping doc must be decontaminated")
     assert((3L to 40L).forall(kept.contains), "clean docs must survive")
-    // split column present, deterministic, and exhaustive
+    // split column present, deterministic, and exhaustive — all three
+    // splits must actually be populated (subsetOf alone would pass a
+    // degenerate all-train split)
     val splits = got.select("split").distinct().as[String].collect().toSet
-    assert(splits.subsetOf(Set("train", "valid", "test")))
+    assert(splits === Set("train", "valid", "test"))
     val again = Curation.fullPipeline(docs, "doc_id", "text",
       Curation.PipelineConfig(
         base = Curation.Config(lang = Some("en"), minTokens = 5,

@@ -54,7 +54,8 @@ class ExtensionsSpec extends SparkSpec {
   test("wrong-arity SQL calls fail with the function name, not IndexOutOfBounds") {
     // one arg to a 2-arg function
     val e1 = intercept[Exception](spark.sql("SELECT cosine_similarity(array(1.0))").collect())
-    assert(e1.toString.contains("cosine_similarity") && e1.toString.contains("2"))
+    assert(e1.toString.contains("cosine_similarity") &&
+      e1.toString.contains("2 arguments, got 1"))
     // three args to a 1-or-2-arg function
     val e2 = intercept[Exception](spark.sql("SELECT deflate_ratio('x', 6, 7)").collect())
     assert(e2.toString.contains("deflate_ratio"))

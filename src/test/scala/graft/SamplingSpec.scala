@@ -54,12 +54,11 @@ class SamplingSpec extends SparkSpec {
     // rounded any fraction below ~7.6e-6 to zero and this one to ~50%
     // relative error — budgetAllocation's rate_ppm/1e6 contract needs
     // ppm resolution
-    val n = Sampling.hashSample(ids(100000), "id", 5e-5).count()
-    assert(n > 0, "a ppm-scale fraction must not round to zero membership")
-    assert(n < 100, s"5e-5 of 100k should stay near 5 rows, got $n")
-    // and still nests inside a coarser sample
+    // one materialization serves both the count checks and the nesting
     val tiny = Sampling.hashSample(ids(100000), "id", 5e-5)
       .select("id").as[Long].collect().toSet
+    assert(tiny.nonEmpty, "a ppm-scale fraction must not round to zero membership")
+    assert(tiny.size < 100, s"5e-5 of 100k should stay near 5 rows, got ${tiny.size}")
     val coarse = Sampling.hashSample(ids(100000), "id", 0.01)
       .select("id").as[Long].collect().toSet
     assert(tiny.subsetOf(coarse))
