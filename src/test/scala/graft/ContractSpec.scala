@@ -27,7 +27,10 @@ class ContractSpec extends SparkSpec {
       // strip CTE names declared in this query before checking
       val ctes = """(?i)(?:WITH(?:\s+RECURSIVE)?|,)\s*([a-z_][a-z0-9_]*)\s*(?:\([^)]*\))?\s+AS\s*\(""".r
         .findAllMatchIn(sql).map(_.group(1)).toSet
-      val refs = fromPattern.findAllMatchIn(sql).map(_.group(1)).toSet -- ctes -- Set("(")
+      // NOTE: `FROM (subquery)` never matches fromPattern (the capture
+      // class is [a-z_][a-z0-9_]*), so subquery FROMs are simply
+      // invisible to this guard, not filtered by it
+      val refs = fromPattern.findAllMatchIn(sql).map(_.group(1)).toSet -- ctes
       val unknown = refs -- known
       assert(unknown.isEmpty, s"$name references unknown tables: $unknown")
     }

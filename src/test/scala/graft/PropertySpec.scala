@@ -42,7 +42,7 @@ class PropertySpec extends SparkSpec {
     val got = inputs.toDF("q").select(preprocessSearchQuery($"q")).as[String].collect()
     got.foreach { out =>
       assert(out.length <= 200)
-      assert(!out.contains("  ") || out.isEmpty) // collapsed
+      assert(!out.contains("  ")) // collapsed
       assert(out === out.trim)
     }
   }
@@ -67,12 +67,25 @@ class PropertySpec extends SparkSpec {
       (i.toLong, "u", java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(s)))
     }.toDF("event_id", "id", "ts")
     val got = operators.RateLimit
-      .slidingWindowAdmission(df, "id", "ts", maxRequests = 5, windowSeconds = 60)
-      .select("window_count", "allowed").as[(Long, Boolean)].collect()
-    // invariant: allowed exactly when the trailing-window count (incl. self) <= max
-    got.foreach { case (wc, ok) => assert(ok === (wc <= 5)) }
-    // and the count is positive (self-inclusive)
-    got.foreach { case (wc, _) => assert(wc >= 1) }
+      .slidingWindowAdmission(df, "id", "ts", maxRequests = 5, windowSeconds = 60,
+        tieBreak = Seq(col("event_id")))
+      .select("event_id", "window_count", "allowed")
+      .as[(Long, Long, Boolean)].collect()
+    // INDEPENDENT reference for the documented ARRIVAL-ORDER semantics
+    // (arrivals up to self in (ts, event_id) order, minus arrivals that
+    // left the window) — asserting allowed === (window_count <= 5) alone
+    // would restate the implementation's own formula and pass even if
+    // the window frame were off by a second. The generator produces
+    // duplicate timestamps, so the tieBreak is required for a
+    // deterministic count (the operator's own documented contract).
+    val arrival = tsList.zipWithIndex.map { case (s, i) => (s, i.toLong) }.sorted
+    val pos = arrival.zipWithIndex.map { case ((_, id), p) => id -> p }.toMap
+    got.foreach { case (id, wc, ok) =>
+      val t = tsList(id.toInt)
+      val expect = pos(id) + 1 - tsList.count(_ <= t - 60)
+      assert(wc === expect.toLong, s"event $id: window_count $wc != brute $expect")
+      assert(ok === (expect <= 5))
+    }
   }
 
   test("property: firstWins result has exactly one row per key") {
@@ -95,9 +108,10 @@ class PropertySpec extends SparkSpec {
     sample(anyText, 120).foreach { s =>
       assert(unescape(escape(s)) === s, s"roundtrip failed: $s")
     }
+    // the generator cannot produce '&', so every sample is a fixed point
     val entityFree = Gen.listOf(Gen.oneOf(Gen.alphaNumStr, Gen.const("x y z"),
       Gen.const("no entities here; just ; and #"))).map(_.mkString(" "))
-    sample(entityFree, 80).filterNot(_.contains("&")).foreach { s =>
+    sample(entityFree, 80).foreach { s =>
       assert(unescape(s) === s)
     }
   }

@@ -107,9 +107,13 @@ class RetrySpec extends SparkSpec {
     val inner = new Embedder {
       def dim = 4
       def embed(batch: Seq[String]): Seq[Array[Float]] = {
-        // fail the FIRST call in each task deterministically via a
-        // thread-local, so retry must recover every partition
-        if (RetrySpec.firstCall.get()) { RetrySpec.firstCall.set(false); sys.error("conn reset") }
+        // fail each distinct batch's FIRST attempt exactly once, keyed
+        // by the batch's first text in a shared map — unlike the old
+        // ThreadLocal this survives executor thread reuse and same-JVM
+        // suite reruns, so failures are guaranteed to actually fire
+        if (RetrySpec.failedOnce.putIfAbsent(batch.head, true) == null) {
+          RetrySpec.injected.incrementAndGet(); sys.error("conn reset")
+        }
         HashEmbedder(4).embed(batch)
       }
     }
@@ -118,6 +122,10 @@ class RetrySpec extends SparkSpec {
     val df = (1 to 40).map(i => (i.toLong, s"doc $i")).toDF("id", "text")
     val out = wrapped.embedColumn(df, "text", "emb")
     assert(out.count() === 40)
+    // the injection must actually have fired — a vacuous pass (zero
+    // failures injected, nothing retried) is indistinguishable from a
+    // green retry path otherwise
+    assert(RetrySpec.injected.get() >= 1, "no failure was injected")
     val expected = HashEmbedder(4).embedColumn(df, "text", "emb")
     assert(out.orderBy("id").collect().map(_.toSeq.toList).toSeq
       === expected.orderBy("id").collect().map(_.toSeq.toList).toSeq)
@@ -125,5 +133,6 @@ class RetrySpec extends SparkSpec {
 }
 
 object RetrySpec {
-  val firstCall: ThreadLocal[Boolean] = ThreadLocal.withInitial(() => true)
+  val failedOnce = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  val injected = new java.util.concurrent.atomic.AtomicInteger(0)
 }

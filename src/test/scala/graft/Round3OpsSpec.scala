@@ -80,15 +80,22 @@ class Round3OpsSpec extends SparkSpec {
 
   test("repetitionMetrics matches an explode-and-count equivalent") {
     // the shuffle-free sorted-run fold must agree with the naive
-    // explode -> groupBy -> (count desc, bigram asc) window answer
+    // explode -> groupBy -> (count desc, bigram asc) window answer.
+    // orderBy BEFORE limit: a bare limit(50) is re-planned independently
+    // inside each exceptAll subplan, so the two sides would only compare
+    // the same 50 docs by scan-order luck. The naive side drops docs
+    // with < 2 words (explode of the else-null array emits nothing), so
+    // the fold side's (doc, null, 0) rows for them are excluded the same
+    // way — that short-doc contract is pinned by the unit test above.
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
-      .limit(50).select($"doc_id", $"text")
-    val fold = CorpusStats.repetitionMetrics(docs, "doc_id", "text")
-      .select("doc_id", "top_bigram", "top_bigram_n")
+      .orderBy($"doc_id").limit(50).select($"doc_id", $"text")
     val ws = split(trim(lower($"text")), "\\s+")
-    val naive = docs.select($"doc_id", explode(
-        when(size(ws) >= 2, transform(sequence(lit(0), size(ws) - 2),
-          i => concat_ws(" ", slice(ws, i + 1, lit(2)))))).as("b"))
+    val multiWord = docs.filter(size(ws) >= 2)
+    val fold = CorpusStats.repetitionMetrics(multiWord, "doc_id", "text")
+      .select("doc_id", "top_bigram", "top_bigram_n")
+    val naive = multiWord.select($"doc_id", explode(
+        transform(sequence(lit(0), size(ws) - 2),
+          i => concat_ws(" ", slice(ws, i + 1, lit(2))))).as("b"))
       .groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
@@ -173,10 +180,18 @@ class Round3OpsSpec extends SparkSpec {
       .select("m").as[Long].collect()
     assert(starts.forall(_ === 0L))
     assert(sharded.select("shard").distinct().count() > 1)
-    // total token mass is preserved per shard
-    val check = Packing.packStats(sharded, "tok")
-      .agg(sum("n_tokens")).head().getLong(0)
-    assert(check === docs.agg(sum("tok")).head().getLong(0))
+    // token mass is preserved PER SHARD, not just globally — a shard
+    // assignment that duplicated rows into one shard while dropping an
+    // equal mass from another would pass a global-sum check
+    val perShardOut = Packing.packStats(sharded, "tok")
+      .groupBy("shard").agg(sum("n_tokens").as("out"))
+      .as[(Long, Long)].collect().toMap
+    val perShardIn = sharded.groupBy("shard").agg(sum("tok").as("in"))
+      .as[(Long, Long)].collect().toMap
+    assert(perShardOut === perShardIn)
+    // and sharding is a pure partition of the input: same rows, same mass
+    assert(sharded.count() === docs.count())
+    assert(perShardOut.values.sum === docs.agg(sum("tok")).head().getLong(0))
   }
 
   // --- Privacy.kAnonymize -------------------------------------------------

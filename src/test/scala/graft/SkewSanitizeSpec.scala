@@ -73,7 +73,6 @@ class SkewSanitizeSpec extends SparkSpec {
 
   test("streaming tumbling-window counts with watermark (T3 aggregate form)") {
     implicit val sqlCtx = spark.sqlContext
-    case class Ev(id: String, ts: java.sql.Timestamp)
     val input = MemoryStream[(String, java.sql.Timestamp)]
     val counts = input.toDF().toDF("id", "ts")
       .withWatermark("ts", "2 minutes")
