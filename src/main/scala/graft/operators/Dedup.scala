@@ -49,10 +49,13 @@ object Dedup {
     * collapse every content-less row into one. Output schema == input
     * schema (the working hash column does not leak). */
   def exactByContent(df: DataFrame, textCol: String, order: Seq[Column]): DataFrame = {
-    val hashed = df.withColumn("content_hash", sha2(col(textCol), 256))
-    firstWins(hashed.filter(col(textCol).isNotNull), Seq("content_hash"), order)
+    // reserved working-column name, like incrementalNew: `content_hash`
+    // would clobber (and then delete) a caller-supplied column of that
+    // name — KB frames routinely carry one
+    val hashed = df.withColumn("__cn_hash", sha2(col(textCol), 256))
+    firstWins(hashed.filter(col(textCol).isNotNull), Seq("__cn_hash"), order)
       .unionByName(hashed.filter(col(textCol).isNull))
-      .drop("content_hash")
+      .drop("__cn_hash")
   }
 
   /** Incremental ingestion dedup: keep only incoming docs whose content

@@ -76,21 +76,23 @@ object Skew {
   /** Per-key frequency profile — the diagnostic used to decide whether
     * a key needs salting: top-n keys with their share of all rows.
     *
-    * ONE scan of the input in the warm case: the per-key counts are
-    * `persist`ed (NOT localCheckpoint — persist keeps lineage, so its
-    * blocks are safely evictable under memory pressure and reclaimed by
-    * the ContextCleaner once the caller drops the result; a near-unique
-    * key makes the counts frame input-sized, so pinning it would leak)
-    * and the grand total is summed from them, where a separate
-    * `df.count()` always re-read the full table for the denominator.
-    * Eviction degrades to the old two-scan cost, never to wrong data. */
+    * ONE scan of the input: the per-key counts are persisted only for
+    * the duration of this call — the denominator and the topN result
+    * (≤ topN rows, eagerly materialized via localCheckpoint) both read
+    * the cache, and the `finally` unpersists it before returning, so a
+    * near-unique key's input-sized counts frame is never left pinned in
+    * the session CacheManager. The old `df.count()` denominator re-read
+    * the full table a second time instead. */
   def keySkewProfile(df: DataFrame, key: String, topN: Int = 10): DataFrame = {
     val counts = df.groupBy(col(key)).agg(count(lit(1)).as("n")).persist()
-    // coalesce: sum over an EMPTY counts frame is NULL, not 0
-    val total = counts.agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
-    counts
-      .withColumn("share", round(col("n") / lit(total.toDouble), 6))
-      .orderBy(desc("n"))
-      .limit(topN)
+    try {
+      // coalesce: sum over an EMPTY counts frame is NULL, not 0
+      val total = counts.agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
+      counts
+        .withColumn("share", round(col("n") / lit(total.toDouble), 6))
+        .orderBy(desc("n"))
+        .limit(topN)
+        .localCheckpoint(true) // ≤ topN rows — tiny, frees `counts` for unpersist
+    } finally counts.unpersist()
   }
 }

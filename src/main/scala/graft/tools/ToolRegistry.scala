@@ -69,17 +69,18 @@ object Tools {
             // and runtime failures are recorded as failures (the
             // reference executor runs tools eagerly, base.py:91-114);
             // a lazy DataFrame would audit success=true in ~0ms even for
-            // a query that blows up at action time. persist + count (not
-            // a bare count) so the SAME cached result is what the caller
-            // consumes instead of a full second execution. persist, NOT
-            // localCheckpoint: a long-running registry has no free path
-            // for consumed results, and persist's blocks keep lineage —
-            // safely EVICTABLE under memory pressure (degrading to
-            // recompute) and reclaimed by the ContextCleaner once the
-            // caller drops the ToolResult, where checkpoint blocks would
-            // pin storage until then.
-            val df = t.fn(spark, args).persist()
-            df.count()
+            // a query that blows up at action time. localCheckpoint (not
+            // count, not persist) so the SAME materialized result is
+            // what the caller consumes: a bare count would run the full
+            // job a second time when the caller acts on `data` (and for
+            // a nondeterministic tool the audited execution would not be
+            // the one the caller sees), while Dataset.persist registers
+            // in the session CacheManager, whose strong reference pins
+            // the cache until an explicit unpersist a long-running
+            // registry has no hook for. localCheckpoint blocks are RDD-
+            // level and weakly tracked — the ContextCleaner reclaims
+            // them once the caller drops the ToolResult.
+            val df = t.fn(spark, args).localCheckpoint(true)
             ToolResult(success = true, Some(df), None, name, ms, java.time.Instant.now())
           } catch {
             case e: Exception =>

@@ -139,6 +139,15 @@ class DedupSpec extends SparkSpec {
       $"cluster" === $"rep").count() === 4)
   }
 
+  test("exactByContent preserves a caller-supplied content_hash column") {
+    val df = Seq((1L, "same", "h1"), (2L, "same", "h2"), (3L, null, "h3"))
+      .toDF("id", "text", "content_hash")
+    val got = Dedup.exactByContent(df, "text", Seq(asc("id")))
+    assert(got.columns.toSeq === df.columns.toSeq)
+    assert(got.select("id", "content_hash").as[(Long, String)].collect().toSet
+      === Set((1L, "h1"), (3L, "h3")))
+  }
+
   test("incrementalNew preserves a caller-supplied content_hash column") {
     // the working hash lives under a reserved name — a KB frame's own
     // content_hash column must survive, including on null-text rows

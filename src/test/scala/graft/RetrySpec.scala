@@ -104,6 +104,10 @@ class RetrySpec extends SparkSpec {
   }
 
   test("flaky embedder: per-batch retry inside the executor task") {
+    // reset shared injector state so a same-JVM suite rerun injects
+    // fresh failures instead of passing vacuously on stale counters
+    RetrySpec.failedOnce.clear()
+    RetrySpec.injected.set(0)
     val inner = new Embedder {
       def dim = 4
       def embed(batch: Seq[String]): Seq[Array[Float]] = {
