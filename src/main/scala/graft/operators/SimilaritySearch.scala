@@ -49,13 +49,26 @@ object SimilaritySearch {
     * null similarity (null / zero-norm vectors) are excluded from the
     * ranking, like every other top-k in this file. Corpus columns ride
     * inside the heap's comparison struct, so they must be orderable
-    * types (array/struct fine; maps are not). */
+    * types (array/struct fine; maps are not).
+    *
+    * Reserved output names: `similarity` and `query_id`. A corpus
+    * `similarity` column is overwritten by the computed score (same as
+    * every other top-k here); a corpus `query_id` column would collide
+    * with the query key after the join and is rejected — rename it
+    * before calling. */
   def topKJoin(
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
       corpus: DataFrame, corpusIdCol: String, corpusVecCol: String,
       k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val corpusCols = corpus.columns.toSeq
+    require(!corpus.columns.contains("query_id"),
+      "corpus has a 'query_id' column, which collides with the query key " +
+        "in the output — rename it before topKJoin")
+    // A pre-existing corpus 'similarity' column is replaced by the
+    // computed score (withColumn below overwrites it), so it must not
+    // also ride along as a struct payload field — the duplicate name
+    // would make the __e.similarity extraction ambiguous.
+    val corpusCols = corpus.columns.toSeq.filterNot(_ == "similarity")
     val joined = corpus.crossJoin(
         broadcast(queries.select(col(queryIdCol).as("query_id"),
           col(queryVecCol).as("__qv"))))

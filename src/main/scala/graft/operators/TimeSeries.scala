@@ -138,7 +138,14 @@ object TimeSeries {
     require(maxBinsPerInterval >= 1, "maxBinsPerInterval must be >= 1")
     val binUs = binSeconds * 1000000L
     def binStart(c: Column) = c - pmod(c, lit(binUs))
-    val p = points.withColumn("__bin", binStart(col(pointTsUs)))
+    // binStart itself overflows under ANSI for a timestamp within binUs
+    // of Long.MinValue (c - pmod(c, binUs) underflows) — a plausible
+    // pre-epoch "no start" sentinel. Such values are ~292,000 BC, never
+    // data: drop them BEFORE any bin arithmetic so the sentinel can't
+    // kill the job ahead of the malformed-interval filter below.
+    val tsFloor = lit(Long.MinValue + binUs)
+    val p = points.filter(col(pointTsUs) >= tsFloor)
+      .withColumn("__bin", binStart(col(pointTsUs)))
     // Malformed intervals match nothing instead of failing the whole
     // job: end-before-start would make sequence() throw, and a
     // corrupt/sentinel end (epoch-millis where micros belong,
@@ -153,7 +160,7 @@ object TimeSeries {
     // would overflow the subtraction itself under ANSI; indices are
     // bounded by 2^63/binUs and their difference cannot overflow
     val iv = intervals
-      .filter(col(endUs) >= col(startUs) &&
+      .filter(col(startUs) >= tsFloor && col(endUs) >= col(startUs) &&
         binStart(col(endUs)) / binUs - binStart(col(startUs)) / binUs
           < maxBinsPerInterval)
       .withColumn("__bin",

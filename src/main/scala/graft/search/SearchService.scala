@@ -39,6 +39,13 @@ object SearchService {
     def search(spark: SparkSession, query: String, maxResults: Int): DataFrame
   }
 
+  /** A [[Source]] whose `search` already returns a bounded,
+    * MATERIALIZED frame (≤ maxResults rows, localCheckpointed) — e.g.
+    * [[graft.util.Retry.source]], which must force the plan inside its
+    * retry loop. [[fanOutSearch]] skips its own limit+checkpoint for
+    * these instead of materializing a second redundant copy. */
+  trait EagerSource extends Source
+
   val SourcePriority: Seq[String] =
     Seq("stackoverflow", "github", "official_doc", "spark_docs")
 
@@ -51,7 +58,7 @@ object SearchService {
     * (J6 + J7/D2 + O7). */
   def fanOutSearch(
       spark: SparkSession, sources: Seq[Source], query: String,
-      maxResults: Int): DataFrame = {
+      maxResults: Int, sourceTimeoutMs: Long = 60000L): DataFrame = {
     val processed = preprocess(spark, query)
     def empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], documentSchema)
@@ -60,20 +67,41 @@ object SearchService {
     // HTTP-connector failure mode) would escape a bare try around `search`;
     // force each source's bounded result eagerly (limit + localCheckpoint)
     // so action-time failures are caught here and degrade to an empty frame.
+    // An EagerSource (Retry.source) has already done exactly that inside
+    // its retry loop — re-checkpointing it would materialize a second
+    // redundant copy, so those pass through as-is.
     // Sources run CONCURRENTLY (the reference fans out, and Spark's
     // scheduler is thread-safe): fan-out latency is max(source), not
     // sum(source) — with serial dispatch four 2 s connectors cost 8 s.
+    // Each call is wrapped in blocking{} (it blocks on Spark actions /
+    // connector I/O, and the global fork-join pool would otherwise
+    // starve when sources outnumber cores), and the whole fan-out shares
+    // ONE deadline: a hung connector — a hang is not an exception, so
+    // the try can't catch it — degrades to the empty frame at the
+    // deadline instead of blocking the search forever. The hung thread
+    // itself is abandoned (JVM threads aren't cancellable), which
+    // matches the reference's fire-and-forget timeout behavior.
     val frames = {
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.Duration
+      import scala.concurrent.{Await, ExecutionContext, Future, blocking}
+      import scala.concurrent.duration._
       implicit val ec: ExecutionContext = ExecutionContext.global
-      Await.result(Future.sequence(sources.map { s =>
+      val futures = sources.map { s =>
         Future {
-          try s.search(spark, processed, maxResults)
-            .limit(maxResults).localCheckpoint(true)
-          catch { case _: Exception => empty }
+          blocking {
+            try s match {
+              case _: EagerSource => s.search(spark, processed, maxResults)
+              case _ => s.search(spark, processed, maxResults)
+                .limit(maxResults).localCheckpoint(true)
+            } catch { case _: Exception => empty }
+          }
         }
-      }), Duration.Inf)
+      }
+      val deadlineNs = System.nanoTime() + sourceTimeoutMs * 1000000L
+      futures.map { f =>
+        val remainMs = math.max(1L, (deadlineNs - System.nanoTime()) / 1000000L)
+        try Await.result(f, remainMs.millis)
+        catch { case _: java.util.concurrent.TimeoutException => empty }
+      }
     }
     val unioned = frames.foldLeft(empty)(_ unionByName _)
       .withColumn("src_priority", priorityCol(col("source_type")))

@@ -79,11 +79,14 @@ object Retry {
     * 503 mode) would otherwise sail through the retry loop as an
     * unevaluated plan and fail later in the caller — where fanOutSearch
     * degrades it to an empty frame with no retry ever attempted. The
-    * checkpoint is small by construction (≤ maxResults rows). */
+    * checkpoint is small by construction (≤ maxResults rows). Returned
+    * as an [[graft.search.SearchService.EagerSource]] so fanOutSearch
+    * knows the frame is already bounded + materialized and skips its
+    * own (otherwise redundant) limit+checkpoint. */
   def source(
       inner: graft.search.SearchService.Source,
       cfg: RetryConfig = RetryConfig()): graft.search.SearchService.Source =
-    new graft.search.SearchService.Source {
+    new graft.search.SearchService.EagerSource {
       def name: String = inner.name
       def search(spark: org.apache.spark.sql.SparkSession, query: String,
           maxResults: Int): org.apache.spark.sql.DataFrame =

@@ -61,6 +61,23 @@ class OperatorsSpec extends SparkSpec {
     assert(!got.contains(99L) && got.size === 5)
   }
 
+  test("topKJoin overwrites a pre-existing corpus 'similarity' column and rejects 'query_id'") {
+    // 'similarity' is a reserved output name: a stale corpus score is
+    // replaced by the computed one instead of duplicating the struct field
+    val stale = corpus.withColumn("similarity", lit(-99.0))
+    val queries = Seq((10L, Array(1f, 0f, 0f))).toDF("qid", "qv")
+    val got = SimilaritySearch.topKJoin(queries, "qid", "qv", stale, "id", "embedding", 2)
+      .select("id", "similarity").as[(Long, Double)].collect()
+    assert(got.map(_._1).toSeq === Seq(1L, 2L))
+    assert(got.forall(_._2 > 0.0), "computed similarity must replace the stale column")
+    // 'query_id' would collide with the query key — rejected loudly
+    val clash = corpus.withColumn("query_id", lit(0L))
+    val e = intercept[IllegalArgumentException] {
+      SimilaritySearch.topKJoin(queries, "qid", "qv", clash, "id", "embedding", 2)
+    }
+    assert(e.getMessage.contains("query_id"))
+  }
+
   test("ivfTopK with all clusters probed equals exact topK") {
     val clustered = corpus.withColumn("cluster", (col("id") % 2).cast("int"))
     val cents = SimilaritySearch.centroids(clustered, "cluster", "embedding")

@@ -103,6 +103,46 @@ class RetrySpec extends SparkSpec {
     assert(attempts === 3)
   }
 
+  test("Retry.source is eager: fanOutSearch skips its redundant second checkpoint") {
+    import spark.implicits._
+    val src = new SearchService.Source {
+      def name = "stackoverflow"
+      def search(s: org.apache.spark.sql.SparkSession, q: String,
+          max: Int): org.apache.spark.sql.DataFrame =
+        Seq(("answer", "A", "stackoverflow", "https://so/1", 1))
+          .toDF("content", "title", "source_type", "source_url", "rank")
+    }
+    // the marker is how fanOutSearch knows the frame is already
+    // materialized — losing it would silently reintroduce the double copy
+    assert(Retry.source(src, noJitter).isInstanceOf[SearchService.EagerSource])
+    assert(!src.isInstanceOf[SearchService.EagerSource])
+  }
+
+  test("a hung connector degrades to empty at the fan-out deadline instead of blocking forever") {
+    import spark.implicits._
+    val hung = new SearchService.Source {
+      def name = "github"
+      def search(s: org.apache.spark.sql.SparkSession, q: String,
+          max: Int): org.apache.spark.sql.DataFrame = {
+        Thread.sleep(120000); sys.error("unreachable")
+      }
+    }
+    val ok = new SearchService.Source {
+      def name = "stackoverflow"
+      def search(s: org.apache.spark.sql.SparkSession, q: String,
+          max: Int): org.apache.spark.sql.DataFrame =
+        Seq(("answer", "A", "stackoverflow", "https://so/1", 1))
+          .toDF("content", "title", "source_type", "source_url", "rank")
+    }
+    val t0 = System.nanoTime()
+    val out = SearchService.fanOutSearch(spark, Seq(ok, hung), "q", 5,
+      sourceTimeoutMs = 2000L)
+    val rows = out.count()
+    val elapsedMs = (System.nanoTime() - t0) / 1000000L
+    assert(rows === 1, "the healthy source's result must survive the hang")
+    assert(elapsedMs < 60000L, s"fan-out must respect the deadline, took ${elapsedMs}ms")
+  }
+
   test("flaky embedder: per-batch retry inside the executor task") {
     // reset shared injector state so a same-JVM suite rerun injects
     // fresh failures instead of passing vacuously on stale counters

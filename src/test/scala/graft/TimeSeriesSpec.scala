@@ -82,6 +82,24 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.count() === 1) // the corrupt interval matches nothing
   }
 
+  test("intervalJoin survives pre-epoch sentinel timestamps near Long.MinValue") {
+    // binStart(c) = c - pmod(c, binUs) underflows under ANSI for a
+    // timestamp within binUs of Long.MinValue — a plausible "no start"
+    // sentinel. Such rows are dropped before any bin arithmetic.
+    val points = Seq(
+      (1L, 1L, Long.MinValue),     // sentinel point: dropped, not a crash
+      (2L, 1L, 5000000L)           // valid point
+    ).toDF("pid", "k", "p_us")
+    val intervals = Seq(
+      (1L, Long.MinValue, 10000000L), // sentinel start: dropped
+      (1L, Long.MinValue + 1, 10000000L), // still inside the unsafe band
+      (1L, 0L, 10000000L)          // valid, contains the valid point
+    ).toDF("k", "s_us", "e_us")
+    val got = TimeSeries.intervalJoin(points, "p_us", intervals,
+      "s_us", "e_us", keys = Seq("k"), binSeconds = 3600)
+    assert(got.select("pid").as[Long].collect().toSeq === Seq(2L))
+  }
+
   test("joinAsOf never matches null keys (ASOF semantics)") {
     // a null-key right row must not enrich a null-key left row: ASOF
     // (DuckDB/kdb) never equates null keys, but Window.partitionBy does
