@@ -124,6 +124,20 @@ final case class Corpus(df: DataFrame, idCol: String, textCol: String) {
   def bm25(terms: Seq[String], k: Int): DataFrame =
     graft.operators.Lexical.bm25TopK(df, idCol, textCol, terms, k)
 
+  /** Persist an inverted BM25 index for this corpus at `path`
+    * ([[graft.operators.LexicalIndex.build]]) — build once, then serve
+    * rankings with [[bm25FromIndex]] without re-tokenizing the corpus.
+    * Maintain incrementally with [[graft.operators.LexicalIndex.upsert]]. */
+  def buildLexicalIndex(path: String): Corpus = {
+    graft.operators.LexicalIndex.build(df.sparkSession, path, df, idCol, textCol)
+    this
+  }
+
+  /** Terminal: [[bm25]] served from a persisted index (same ranking,
+    * bit-identical — spec-gated; the corpus text is never re-read). */
+  def bm25FromIndex(path: String, terms: Seq[String], k: Int): DataFrame =
+    graft.operators.LexicalIndex.bm25TopK(df.sparkSession, path, idCol, terms, k)
+
   /** Terminal: explode into sliding-window token chunks for embedding/
     * RAG prep ([[graft.operators.Curation.chunkByTokens]]) — returns
     * the (id, chunk_idx, chunk) table, not a Corpus (granularity

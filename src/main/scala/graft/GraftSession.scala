@@ -26,6 +26,7 @@ final case class GraftSession(
     tools: Tools.Registry = new Tools.Registry()) {
 
   @volatile private var kbDf: Option[DataFrame] = None
+  @volatile private var lexIndexPath: Option[String] = None
 
   /** Swap in a new KB under the session lock with its lineage truncated:
     * without the (lazy) localCheckpoint, a long-lived session would
@@ -56,13 +57,68 @@ final case class GraftSession(
     * reciprocal rank with a BM25 lexical ranking over the content
     * column ([[KnowledgeBase.hybridSearch]]) — exact identifiers and
     * rare terms hit lexically even when the embedding misses. The KB
-    * frame must carry a unique `idCol`. */
+    * frame must carry a unique `idCol`.
+    *
+    * When [[buildLexicalIndex]] has run, the lexical leg is served from
+    * the persisted index ([[KnowledgeBase.hybridSearchIndexed]]) — the
+    * per-query cost drops from a corpus tokenization to a pushed-down
+    * postings scan, the serving analog of the reference's per-chat-turn
+    * RPC (`search_service.py:259-270`). */
   def hybridSearchKnowledge(query: String, k: Int = 5,
       idCol: String = "id", contentCol: String = "content"): DataFrame = {
     val processed = SearchService.preprocess(spark, query)
     val qv = embedder.embed(Seq(processed)).head
-    KnowledgeBase.hybridSearch(knowledgeBase, idCol, contentCol,
-      processed, qv, k)
+    lexIndexPath match {
+      case Some(path) => KnowledgeBase.hybridSearchIndexed(
+        knowledgeBase, idCol, processed, qv, path, k)
+      case None => KnowledgeBase.hybridSearch(knowledgeBase, idCol, contentCol,
+        processed, qv, k)
+    }
+  }
+
+  /** Build a persisted BM25 inverted index over the held KB's content
+    * at `path` ([[graft.operators.LexicalIndex]]) and serve every later
+    * [[hybridSearchKnowledge]]'s lexical leg from it.
+    *
+    * The index captures the KB AS OF THIS CALL: later mutations
+    * ([[smartSearch]]'s upsert, [[cleanupExpired]]) leave it stale —
+    * standard index-lags-writes serving behavior. Refresh by calling
+    * this again at a fresh path, or maintain it incrementally with
+    * [[graft.operators.LexicalIndex.upsert]] on your ingest batches. */
+  def buildLexicalIndex(path: String, idCol: String = "id",
+      contentCol: String = "content"): this.type = synchronized {
+    graft.operators.LexicalIndex.build(spark, path, knowledgeBase, idCol, contentCol)
+    lexIndexPath = Some(path)
+    this
+  }
+
+  /** One-call IVF indexing of the held KB — the ivfflat ergonomics of
+    * the reference (`knowledge_base-RAG.sql:31-33`: the index is created
+    * once with the table, and every later query uses it untouched):
+    * train the coarse quantizer ([[graft.operators.SimilaritySearch
+    * .kmeansCentroids]]), persist the KB with its cluster assignment at
+    * `path`, register the planner rule ([[graft.plans.IvfIndex]]), and
+    * reload the file-backed table as the session KB — every later
+    * [[searchKnowledge]] / [[hybridSearchKnowledge]] vector ranking is
+    * planner-pruned to the `nprobe` nearest clusters with no caller
+    * change. Requires [[GraftExtensions]] on the session (the rule must
+    * be injected). With `nprobe >= nClusters` the rewrite is exact. */
+  def indexKnowledge(path: String, nClusters: Int, nprobe: Int,
+      idCol: String = "id", vecCol: String = "embedding",
+      kmeansIters: Int = 10): this.type = synchronized {
+    import graft.operators.SimilaritySearch
+    val kb = knowledgeBase
+    val cents = SimilaritySearch.kmeansCentroids(kb, idCol, vecCol,
+      nClusters, kmeansIters)
+    val assigned = SimilaritySearch.assignClusters(kb, vecCol, cents)
+    assigned.write.mode("overwrite").parquet(path)
+    val reloaded = spark.read.parquet(path)
+    graft.plans.IvfIndex.register(spark, reloaded, "cluster", vecCol, cents, nprobe)
+    // NOT setKb: the registration binds to the parquet scan paths, and a
+    // localCheckpoint would swap the plan's leaf for a LogicalRDD the
+    // rule can't match; the file-backed frame is already lineage-free
+    kbDf = Some(reloaded)
+    this
   }
 
   /** Multi-source smart search with the embed+upsert side effect applied

@@ -115,6 +115,30 @@ object RetrievalScaleDemo {
         k = 20, poolSize = 100)
       println(s"  hits=${hits.count()}")
     } finally graft.plans.IvfIndex.unregister(spark, "embedding")
+
+    // ---- persisted lexical index: the serving path. Build once (the
+    // one-time cost a deployment pays at ingest), then serve the same
+    // hybrid search with the lexical leg reading ONLY the query terms'
+    // postings — vs re-tokenizing the whole corpus per session above.
+    val lexPath = s"$base/lex_index"
+    if (!operators.LexicalIndex.exists(spark, lexPath)) {
+      time(s"LexicalIndex.build ($nKb docs, one-time)") {
+        operators.LexicalIndex.build(spark, lexPath, kbTable, "doc_id", "text")
+        operators.LexicalIndex.compact(spark, lexPath, numFiles = 32)
+      }
+    }
+    time(s"hybridSearchIndexed: cosine + indexed BM25 + RRF ($nKb-row kb)") {
+      val hits = graft.kb.KnowledgeBase.hybridSearchIndexed(
+        kbTable, "doc_id", "c0_spark c0_join c0_slow", q, lexPath,
+        k = 20, poolSize = 100)
+      println(s"  hits=${hits.count()}")
+    }
+    time(s"BM25 top-100 x 2 queries from the index ($nKb docs)") {
+      val rankings = operators.LexicalIndex.bm25TopKMany(spark, lexPath, "doc_id",
+        Seq(Seq("c0_spark", "c0_join", "c0_slow"), Seq("c0_vector", "c0_stream")),
+        k = 100)
+      println(s"  fused=${operators.Lexical.rrfFuse(rankings, "doc_id", 20).count()}")
+    }
     spark.stop()
   }
 }

@@ -140,6 +140,30 @@ object KnowledgeBase {
     graft.operators.Lexical.rrfFuse(Seq(vec, lex), idCol, k)
   }
 
+  /** [[hybridSearch]] served from a persisted
+    * [[graft.operators.LexicalIndex]] instead of re-tokenizing `kb` per
+    * call — the serving path for the reference's per-chat-turn search
+    * RPC (`search_service.py:259-270`): the lexical leg reads only the
+    * query terms' postings (pushed-down scan of the index), the vector
+    * leg is [[matchDocuments]] (IVF-prunable when a quantizer is
+    * registered), and the fusion is identical to [[hybridSearch]] —
+    * same corpus, same index ⇒ same rows (spec-gated). */
+  def hybridSearchIndexed(
+      kb: DataFrame, idCol: String, queryText: String,
+      queryEmbedding: Array[Float], indexPath: String, k: Int,
+      poolSize: Int = 50, vecCol: String = "embedding"): DataFrame = {
+    val vec = matchDocuments(kb, queryEmbedding, poolSize, None, vecCol,
+        tieBreak = Some(idCol))
+      .select(col(idCol),
+        round(lit(1.0) - col("similarity"), 6).as("score"))
+    val terms = queryText.toLowerCase(java.util.Locale.ROOT)
+      .split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    require(terms.nonEmpty, "queryText has no terms")
+    val lex = graft.operators.LexicalIndex.bm25TopK(
+      kb.sparkSession, indexPath, idCol, terms, poolSize)
+    graft.operators.Lexical.rrfFuse(Seq(vec, lex), idCol, k)
+  }
+
   /** The expiry predicate (`expires_at IS NOT NULL AND expires_at <
     * now`) — shared by the sweep and by callers that count expirations. */
   def expired(now: Column, expiresCol: String = "expires_at"): Column =

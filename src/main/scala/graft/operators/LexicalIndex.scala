@@ -1,0 +1,194 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.sources.MergeTable
+
+/** Persisted inverted index for [[Lexical]] — the serving path.
+  *
+  * [[Lexical.bm25TopKMany]] tokenizes the corpus per call chain: right
+  * for one-shot analytics, wrong for a serving deployment where the
+  * hybrid-search analog of the reference's per-chat-turn RPC
+  * (`backend/services/search_service.py:259-270`,
+  * `Supabase/knowledge_base-RAG.sql:43-67`) would re-pay the dominant
+  * tokenization scan on every session. This index is built ONCE and
+  * queried many times:
+  *
+  *  - `path/postings` — (term, id, tf, dl), one row per (doc, distinct
+  *    term), keyed (id, term). `dl` is denormalized into the posting so
+  *    scoring never joins a corpus-sized doc-length table. TERM-MAJOR:
+  *    a query reads only its terms' postings — `term IN (...)` is
+  *    pushed into the parquet scan, and after [[compact]] (files
+  *    range-sorted on term) most files are pruned at the footer level.
+  *    Scan cost is proportional to the matched postings, not the
+  *    corpus: the inverted-index property, in parquet.
+  *  - `path/doclens` — (id, dl), keyed id. One narrow row per doc; the
+  *    global N/avgdl statistics aggregate from it in one cheap scan
+  *    (postings alone cannot provide them: docs matching no indexed
+  *    term still count toward N and avgdl).
+  *
+  * Both components are [[MergeTable]]s, so the index inherits versioned
+  * atomic commits and incremental maintenance: [[upsert]] replaces a
+  * document batch (delete stale postings, merge new ones) without
+  * rebuilding, rewriting only the parquet files its keys hit.
+  *
+  * Scoring reproduces [[Lexical.bm25TopKMany]] EXACTLY (spec-gated):
+  * same tokenization, same df/N/avgdl statistics (integer-valued sums,
+  * so aggregation order cannot flip bits), same left-to-right Okapi
+  * fold with per-term tf looked up from a per-doc map — indexed and
+  * fresh rankings are bit-identical on the same corpus.
+  */
+object LexicalIndex {
+
+  private def postingsPath(path: String) = s"$path/postings"
+  private def doclensPath(path: String) = s"$path/doclens"
+
+  /** One tokenizing pass over `docs` → (postings, doclens) frames.
+    * Shared by build and upsert; the returned frames are two reads of
+    * one checkpointed narrow frame, freed by the caller via the
+    * returned handle. */
+  private def tokenize(
+      docs: DataFrame, idCol: String, textCol: String): (DataFrame, DataFrame, DataFrame) = {
+    val base = docs.select(col(idCol).as("id"),
+        TextFunctions.wordsLower(col(textCol)).as("__ws"))
+      .select(col("id"), size(col("__ws")).cast("double").as("dl"), col("__ws"))
+      .localCheckpoint(true)
+    val doclens = base.select(col("id"), col("dl"))
+    val postings = base
+      .select(col("id"), col("dl"), explode(col("__ws")).as("term"))
+      .groupBy(col("term"), col("id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .select(col("term"), col("id"), col("tf"), col("dl"))
+    (postings, doclens, base)
+  }
+
+  /** Build the index at `path` from scratch (fails if one exists —
+    * the CREATE INDEX semantics; use [[upsert]] for maintenance).
+    * `docs` must be unique on `idCol`. */
+  def build(
+      spark: SparkSession, path: String, docs: DataFrame,
+      idCol: String, textCol: String): Unit = {
+    val (postings, doclens, handle) = tokenize(docs, idCol, textCol)
+    try {
+      MergeTable.init(spark, doclensPath(path), doclens)
+      MergeTable.init(spark, postingsPath(path), postings)
+    } finally graft.util.Checkpoints.free(handle)
+  }
+
+  def exists(spark: SparkSession, path: String): Boolean =
+    MergeTable.exists(spark, postingsPath(path)) &&
+      MergeTable.exists(spark, doclensPath(path))
+
+  /** Incrementally replace a document batch: every doc in `docs`
+    * (matched by id) gets its stale postings deleted and its fresh
+    * postings and length merged in — touched parquet files only, the
+    * MergeTable discipline. New ids insert. The batch's ids are
+    * collected driver-side for the stale-postings delete predicate, so
+    * keep batches bounded (ingest-batch sized, not corpus-sized —
+    * rebuild via [[build]] for corpus-scale changes). */
+  def upsert(
+      spark: SparkSession, path: String, docs: DataFrame,
+      idCol: String, textCol: String): Unit = {
+    val (postings, doclens, handle) = tokenize(docs, idCol, textCol)
+    try {
+      val ids = doclens.select(col("id")).collect().map(_.get(0))
+      if (ids.nonEmpty) {
+        // stale postings of REPLACED docs: a term the new text no longer
+        // contains would survive a bare merge (its (id, term) key is
+        // absent from the update frame) and keep matching queries
+        MergeTable.deleteWhere(spark, postingsPath(path),
+          col("id").isin(ids.toSeq: _*))
+        MergeTable.merge(spark, postingsPath(path), postings, Seq("id", "term"))
+        MergeTable.merge(spark, doclensPath(path), doclens, Seq("id"))
+      }
+      ()
+    } finally graft.util.Checkpoints.free(handle)
+  }
+
+  /** Range-sort the postings files on `term` so query-term scans prune
+    * non-matching files from the parquet footers alone — the analog of
+    * posting-list locality in a classical inverted index. Run after
+    * bulk loads; committed atomically like every MergeTable rewrite. */
+  def compact(spark: SparkSession, path: String, numFiles: Int): Unit = {
+    MergeTable.compactTable(spark, postingsPath(path), "term", numFiles)
+    ()
+  }
+
+  /** [[Lexical.bm25TopK]] served from the index. */
+  def bm25TopK(
+      spark: SparkSession, path: String, idCol: String, terms: Seq[String],
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25TopKMany(spark, path, idCol, Seq(terms), k, k1, b).head
+
+  /** [[Lexical.bm25TopKMany]] served from the index: same statistics,
+    * same fold, same output contract — but the corpus-sized work is
+    * ONE pushed-down scan of the query terms' postings instead of a
+    * tokenizing pass over every document.
+    *
+    * Plan shape per call:
+    *  1. postings scan with `term IN (all query terms)` pushed to
+    *     parquet (footer-pruned after [[compact]]); the matched
+    *     postings — bounded by the query terms' document frequencies —
+    *     are checkpointed and shared by every pass below;
+    *  2. N/avgdl from one narrow doclens scan; df per term counts the
+    *     matched postings ((id, term) is unique, so rows = docs);
+    *  3. per query: per-doc (term → tf) maps assemble from the matched
+    *     postings (one bounded shuffle on id), then the same
+    *     left-to-right Okapi fold as the fresh path scores them and
+    *     TakeOrderedAndProject keeps the top k.
+    * EAGER like the fresh path: results materialize, intermediates are
+    * freed before returning. */
+  def bm25TopKMany(
+      spark: SparkSession, path: String, idCol: String,
+      queries: Seq[Seq[String]], k: Int, k1: Double = 1.2,
+      b: Double = 0.75): Seq[DataFrame] = {
+    require(queries.nonEmpty && queries.forall(_.nonEmpty),
+      "every query needs at least one term")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val lowered = queries.toList.map(_.map(_.toLowerCase(java.util.Locale.ROOT)).distinct)
+    val allTerms = lowered.flatten.distinct
+    // the ONLY touch of the postings table: scan the query terms'
+    // postings (predicate pushed into the scan) and keep the small
+    // matched frame for the df counts and every query's scoring pass
+    val matched = MergeTable.read(spark, postingsPath(path))
+      .filter(col("term").isin(allTerms: _*))
+      .localCheckpoint(true)
+    try {
+      val stats = MergeTable.read(spark, doclensPath(path))
+        .agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")).head()
+      val n = stats.getLong(0)
+      require(n > 0, "corpus is empty")
+      val avgdl = stats.getDouble(1)
+      // (id, term) unique ⇒ one posting row per containing doc
+      val dfCounts = matched
+        .groupBy(col("term")).agg(count(lit(1)).as("__df"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+      // identical association to Lexical.bm25TopKMany — bit-for-bit
+      val norm = lit(1.0 - b) + lit(b) * col("dl") / avgdl
+      lowered.map { termsLower =>
+        val perDoc = matched
+          .filter(col("term").isin(termsLower: _*))
+          .groupBy(col("id"), col("dl"))
+          .agg(map_from_entries(collect_list(struct(col("term"), col("tf"))))
+            .as("__tfs"))
+        val perTerm: Seq[Column] = termsLower.map { t =>
+          val dfT = dfCounts.getOrElse(t, 0L)
+          val idf = math.log(1.0 + (n - dfT + 0.5) / (dfT + 0.5))
+          val tf = coalesce(element_at(col("__tfs"), lit(t)), lit(0L)).cast("double")
+          when(tf > 0,
+            lit(idf) * tf * lit(k1 + 1.0) / (tf + lit(k1) * norm))
+            .otherwise(lit(0.0))
+        }
+        perDoc.withColumn("__score", perTerm.reduceLeft(_ + _))
+          .filter(col("__score") > 0)
+          .orderBy(desc("__score"), asc("id"))
+          .limit(k)
+          .select(col("id").as(idCol), round(col("__score"), 6).as("score"))
+          .localCheckpoint(true)
+      }
+    } finally graft.util.Checkpoints.free(matched)
+  }
+}

@@ -64,6 +64,48 @@ class GraftSessionSpec extends SparkSpec {
     assert(g.runTool("ping").success)
   }
 
+  test("buildLexicalIndex: hybridSearchKnowledge serves from the index with identical rows") {
+    val g = mkSession()
+    val q = "spark join is slow"
+    val fresh = g.hybridSearchKnowledge(q, k = 2, idCol = "title").collect().toSeq
+    val path = java.nio.file.Files.createTempDirectory("gs_lex").toString + "/idx"
+    g.buildLexicalIndex(path, idCol = "title")
+    val indexed = g.hybridSearchKnowledge(q, k = 2, idCol = "title")
+    assert(indexed.collect().toSeq === fresh)
+    assert(graft.operators.LexicalIndex.exists(spark, path))
+  }
+
+  test("indexKnowledge: one call makes searchKnowledge and hybridSearchKnowledge prune; nprobe=all is exact") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    val emb = HashEmbedder(16)
+    val g = GraftSession(spark, emb)
+    val kb = emb.embedColumn(
+      (1L to 12L).map(i => (i, s"document number $i about topic${i % 4}"))
+        .toDF("id", "content"),
+      "content", "embedding")
+    g.loadKnowledgeBase(kb)
+    val q = "document number 3 about topic3"
+    val exact = g.searchKnowledge(q, k = 4)
+      .select("id", "similarity").collect().toSeq
+    val path = java.nio.file.Files.createTempDirectory("gs_ivf").toString + "/kb"
+    g.indexKnowledge(path, nClusters = 2, nprobe = 2) // nprobe = all clusters
+    try {
+      def clusterFiltered(df: org.apache.spark.sql.DataFrame): Boolean =
+        df.queryExecution.optimizedPlan.collectFirst {
+          case LFilter(cond, _) if cond.references.exists(_.name == "cluster") => cond
+        }.nonEmpty
+      val hits = g.searchKnowledge(q, k = 4)
+      assert(clusterFiltered(hits),
+        "searchKnowledge must ride the planner-inserted IVF probe filter")
+      assert(hits.select("id", "similarity").collect().toSeq === exact,
+        "nprobe = all clusters must reproduce the exact ranking")
+      val hybrid = g.hybridSearchKnowledge(q, k = 3)
+      assert(clusterFiltered(hybrid),
+        "hybridSearchKnowledge's vector leg must prune too")
+      assert(hybrid.count() > 0)
+    } finally graft.plans.IvfIndex.unregister(spark, "embedding")
+  }
+
   test("cleanupExpired sweeps and reports the count") {
     val emb = HashEmbedder(8)
     val g = GraftSession(spark, emb)

@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Lexical, LexicalIndex}
+
+/** Persisted inverted index: indexed rankings must be BIT-IDENTICAL to
+  * the fresh tokenize-per-call path on the same corpus, survive
+  * incremental maintenance, and serve queries from a pushed-down
+  * postings scan (the inverted-index property, plan-gated). */
+class LexicalIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshPath(): String =
+    java.nio.file.Files.createTempDirectory("lex_index").toString + "/idx"
+
+  /** Randomized corpus with cross-doc term repetition and score ties. */
+  private def corpus(seed: Int, n: Int): Seq[(Long, String)] = {
+    val rng = new scala.util.Random(seed)
+    val vocab = (0 until 40).map(i => s"w$i")
+    (1L to n.toLong).map { id =>
+      val len = 5 + rng.nextInt(30)
+      (id, Seq.fill(len)(vocab(rng.nextInt(vocab.size))).mkString(" "))
+    }
+  }
+
+  private def ranking(df: DataFrame): Seq[(Long, Double)] =
+    df.as[(Long, Double)].collect().toSeq
+
+  test("bm25TopKMany from the index is bit-identical to the fresh path") {
+    val docs = corpus(7, 60).toDF("doc_id", "text")
+    val path = freshPath()
+    LexicalIndex.build(spark, path, docs, "doc_id", "text")
+    assert(LexicalIndex.exists(spark, path))
+    val queries = Seq(
+      Seq("w0", "w3", "w11"),
+      (0 until 20).map(i => s"w${i * 2}"),         // long query
+      Seq("w5", "absent_term", "w5", "W5"))        // dups/case/missing term
+    val fresh = Lexical.bm25TopKMany(docs, "doc_id", "text", queries, k = 60)
+      .map(ranking)
+    val indexed = LexicalIndex.bm25TopKMany(spark, path, "doc_id", queries, k = 60)
+      .map(ranking)
+    queries.indices.foreach { i =>
+      assert(indexed(i) === fresh(i), s"query $i diverged")
+      assert(fresh(i).nonEmpty, s"query $i is vacuous")
+    }
+  }
+
+  test("upsert replaces docs incrementally: stale postings die, new ones serve") {
+    val base = corpus(11, 40)
+    val path = freshPath()
+    LexicalIndex.build(spark, path, base.toDF("doc_id", "text"), "doc_id", "text")
+    // doc 5 rewritten (loses every old term, gains 'zebra'), doc 41 is new
+    val updated = base.map {
+      case (5L, _) => (5L, "zebra zebra quagga")
+      case other   => other
+    } :+ (41L, "zebra crossing and w0")
+    val batch = Seq((5L, "zebra zebra quagga"), (41L, "zebra crossing and w0"))
+    LexicalIndex.upsert(spark, path, batch.toDF("doc_id", "text"), "doc_id", "text")
+
+    val updatedDf = updated.toDF("doc_id", "text")
+    val queries = Seq(Seq("zebra"), Seq("w0", "w1"), Seq("quagga", "w2"))
+    val fresh = Lexical.bm25TopKMany(updatedDf, "doc_id", "text", queries, k = 50)
+      .map(ranking)
+    val indexed = LexicalIndex.bm25TopKMany(spark, path, "doc_id", queries, k = 50)
+      .map(ranking)
+    queries.indices.foreach(i =>
+      assert(indexed(i) === fresh(i), s"query $i diverged after upsert"))
+    // doc 5's STALE postings must be gone: its old text matched w-terms,
+    // the new text doesn't — a bare merge (no delete) would keep them
+    val w = indexed(1).map(_._1)
+    assert(!w.contains(5L), "replaced doc must not match its old terms")
+    assert(indexed(0).map(_._1).toSet === Set(5L, 41L))
+  }
+
+  test("query scan is term-pushed into the parquet footers (inverted-index property)") {
+    val docs = corpus(13, 50).toDF("doc_id", "text")
+    val path = freshPath()
+    LexicalIndex.build(spark, path, docs, "doc_id", "text")
+    LexicalIndex.compact(spark, path, numFiles = 4)
+    // the plan bm25TopKMany runs for its postings touch (documented
+    // layout: `path/postings` is a MergeTable)
+    val scan = graft.sources.MergeTable.read(spark, s"$path/postings")
+      .filter(col("term").isin("w0", "w7"))
+    val scans = graft.util.Plans.executedNodes(scan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    val pushed = scans.map(_.metadata.getOrElse("PushedFilters", "")).mkString
+    assert(pushed.contains("In(term"),
+      s"query terms must reach the parquet footer level, got: $pushed")
+    // compaction still serves correct results
+    val got = ranking(LexicalIndex.bm25TopK(spark, path, "doc_id", Seq("w0"), 10))
+    val exp = ranking(Lexical.bm25TopK(docs, "doc_id", "text", Seq("w0"), 10))
+    assert(got === exp)
+  }
+
+  test("hybridSearchIndexed equals hybridSearch on the same corpus") {
+    import graft.kb.KnowledgeBase
+    val kb = Seq(
+      (1L, "alpha beta alpha beta alpha", Array(0f, 1f, 0f)),
+      (2L, "completely different words here", Array(1f, 0f, 0f)),
+      (3L, "alpha beta of joins", Array(0.9f, 0.4f, 0f)),
+      (4L, "alpha padded with many entirely unrelated trailing words",
+        Array(0.5f, 0.8f, 0f))
+    ).toDF("id", "content", "embedding")
+    val path = freshPath()
+    LexicalIndex.build(spark, path, kb, "id", "content")
+    val fresh = ranking(KnowledgeBase.hybridSearch(
+      kb, "id", "content", "alpha beta", Array(1f, 0f, 0f), k = 3))
+    val indexed = ranking(KnowledgeBase.hybridSearchIndexed(
+      kb, "id", "alpha beta", Array(1f, 0f, 0f), path, k = 3))
+    assert(indexed === fresh)
+    assert(indexed.map(_._1) === Seq(3L, 1L, 4L)) // the LexicalSpec oracle order
+  }
+
+  test("Corpus facade builds and serves the index") {
+    val docs = corpus(17, 30).toDF("doc_id", "text")
+    val path = freshPath()
+    val c = Corpus(docs, "doc_id", "text").buildLexicalIndex(path)
+    val got = ranking(c.bm25FromIndex(path, Seq("w1", "w2"), 10))
+    val exp = ranking(c.bm25(Seq("w1", "w2"), 10))
+    assert(got === exp && got.nonEmpty)
+  }
+
+  test("empty corpus and missing index fail with friendly messages") {
+    val path = freshPath()
+    assert(!LexicalIndex.exists(spark, path))
+    LexicalIndex.build(spark, path,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text")
+    val e = intercept[IllegalArgumentException](
+      LexicalIndex.bm25TopK(spark, path, "doc_id", Seq("term"), 5))
+    assert(e.getMessage.contains("corpus is empty"))
+    intercept[IllegalArgumentException](
+      LexicalIndex.bm25TopK(spark, freshPath(), "doc_id", Seq("term"), 5))
+  }
+}

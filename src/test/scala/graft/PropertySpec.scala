@@ -88,6 +88,99 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: batch and streaming rate limiters agree (T3 equivalence)") {
+    // The two T3 implementations encode the sliding window independently:
+    // RateLimit.slidingWindowAdmission counts ALL arrivals in the
+    // trailing window (RANGE frame); StreamingRateLimiter keeps only
+    // ADMITTED timestamps (the reference's allow-list). The documented
+    // relationship, pinned here on generated traffic:
+    //  (1) before a key's first denial the kept list IS the arrival
+    //      list, so counts and decisions are IDENTICAL through the
+    //      first denial inclusive;
+    //  (2) afterwards batch is strictly stricter: batch-allowed ⇒
+    //      streaming-allowed on every event;
+    //  (3) traffic that never trips the cap: full bit-equality.
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import graft.streaming.{RateEvent, StreamingRateLimiter}
+    val max = 3; val windowMs = 60000L
+    def streamingDecisions(key: String, ts: Seq[Long]): Seq[(Long, Int, Boolean)] = {
+      val state = TestGroupState.create[List[Long]](
+        Optional.empty(), GroupStateTimeout.NoTimeout, 0L,
+        Optional.empty[Long](), hasTimedOut = false)
+      StreamingRateLimiter.decide(max, windowMs, expireIdleState = false)(
+          key, ts.map(RateEvent(key, _)).iterator, state)
+        .map(d => (d.tsMillis, d.windowCount, d.allowed)).toSeq
+    }
+    def batchDecisions(events: Seq[(String, Long)]): Map[String, Seq[(Long, Int, Boolean)]] = {
+      val df = events.map { case (k, ms) =>
+        (k, new java.sql.Timestamp(ms), ms) }.toDF("id", "ts", "ms")
+      operators.RateLimit
+        .slidingWindowAdmission(df, "id", "ts", max, windowSeconds = 60)
+        .select("id", "ms", "window_count", "allowed")
+        .as[(String, Long, Long, Boolean)].collect().toSeq
+        .groupBy(_._1).view
+        .mapValues(_.sortBy(_._2).map(r => (r._2, r._3.toInt, r._4))).toMap
+    }
+    // generated traffic: bursty, spanning several windows; DISTINCT
+    // timestamps per key (ties need a tieBreak column — covered by the
+    // deterministic boundary case below in arrival order)
+    val gen = Gen.listOfN(120,
+      Gen.zip(Gen.oneOf("a", "b", "c"), Gen.chooseNum(0L, 240000L)))
+    val events = sample(gen, 1).head.distinct
+      .groupBy(_._1).values.flatMap(_.distinctBy(_._2)).toSeq
+    val batch = batchDecisions(events)
+    events.groupBy(_._1).foreach { case (key, evs) =>
+      val ts = evs.map(_._2).sorted
+      val s = streamingDecisions(key, ts)
+      val bDecs = batch(key)
+      assert(s.map(_._1) === bDecs.map(_._1), s"key $key: event sets differ")
+      // (2) batch admits ⇒ streaming admits, on every event
+      bDecs.zip(s).foreach { case ((t, _, bOk), (_, _, sOk)) =>
+        assert(!bOk || sOk,
+          s"key $key t=$t: batch admitted an event streaming denied — " +
+            "batch must be the stricter limiter")
+      }
+      // (1) identical through the first denial inclusive
+      val firstDeny = s.indexWhere(!_._3)
+      val agreeLen = if (firstDeny < 0) s.size else firstDeny + 1
+      assert(bDecs.take(agreeLen) === s.take(agreeLen),
+        s"key $key: decisions diverged before the first denial")
+      // (3) cap never tripped ⇒ bit-identical
+      if (firstDeny < 0) assert(bDecs === s)
+    }
+    // deterministic burst EXACTLY at the window boundary, twice over:
+    //
+    // (a) no denial: max admits at t=0..2, then arrivals at exactly
+    // t=windowMs(+1,+2) — each boundary arrival lands the instant its
+    // t-windowMs predecessor leaves BOTH windows (batch: outside counts
+    // ts ≤ t-window; streaming: kept filter keeps only ts > t-window),
+    // so both admit every event and stay bit-identical. An off-by-one-
+    // millisecond window in either implementation flips these to denials.
+    val clean = Seq(0L, 1L, 2L, windowMs, windowMs + 1, windowMs + 2)
+    val sClean = streamingDecisions("k", clean)
+    val bClean = batchDecisions(clean.map(("k", _)))("k")
+    assert(sClean === bClean, s"boundary re-admission diverged: $sClean vs $bClean")
+    assert(sClean.map(_._3).forall(identity), s"boundary arrivals must admit: $sClean")
+    //
+    // (b) a denial INSIDE the window (t=windowMs-1, with all three t=0..2
+    // admits still in range), then t=windowMs: the documented divergence
+    // point. Streaming never recorded the denied arrival, so at the
+    // boundary only t=1,2 remain in its list → re-admit; batch counts
+    // the denied arrival too → 4 in window → deny. Both deny the
+    // windowMs-1 burst overflow itself, and the stricter-batch invariant
+    // (2) holds through the divergence.
+    val burst = Seq(0L, 1L, 2L, windowMs - 1, windowMs)
+    val sBurst = streamingDecisions("k", burst)
+    val bBurst = batchDecisions(burst.map(("k", _)))("k")
+    assert(sBurst.take(4) === bBurst.take(4),
+      "decisions must agree through the first denial inclusive")
+    assert(sBurst.map(_._3) === Seq(true, true, true, false, true),
+      s"streaming allow-list semantics wrong: $sBurst")
+    assert(bBurst.map(_._3) === Seq(true, true, true, false, false),
+      s"batch all-arrivals semantics wrong: $bBurst")
+  }
+
   test("property: firstWins result has exactly one row per key") {
     val pairs = sample(Gen.zip(Gen.chooseNum(1, 20), Gen.chooseNum(1, 1000)), 300)
     val df = pairs.map { case (k, o) => (s"k$k", o) }.toDF("k", "ord")
