@@ -1,0 +1,126 @@
+package graft
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, SimilaritySearch}
+
+/** Adversarial-skew validation at 1M docs, with TASK-LEVEL straggler
+  * evidence (per-stage max/median task runtimes from a SparkListener —
+  * the spark.ui numbers, captured programmatically):
+  *
+  *  1. **simHashNearDupEdges with a 100k-doc identical class** (10% of
+  *     the corpus; every doc shares one fingerprint). The pair-space
+  *     form is quadratic in the OUTPUT here by definition (100k
+  *     identical docs = 5×10^9 pairs on any engine); the edge form
+  *     collapses identical fingerprints first, so the degenerate band
+  *     bucket never forms: 99,999 star edges, linear runtime, no
+  *     straggler.
+  *  2. **topKJoin, 100 queries × 1M-vector corpus**: the CollectTopK
+  *     map-side-heap plan (the q44 fix) must show balanced tasks — the
+  *     old window formulation funneled each query's corpus copy through
+  *     one reducer, exactly the straggler this demo measures for.
+  *
+  * A stage counts as skewed when max > 10 × median over its tasks
+  * (ignoring sub-second stages, where scheduler noise dominates).
+  * Run manually: `sbt "runMain graft.SkewScaleDemo"`.
+  */
+object SkewScaleDemo {
+
+  /** stageId → task durations (ms), fed by the listener. */
+  private val stageTasks =
+    new ConcurrentHashMap[Int, java.util.Queue[Long]]()
+
+  private final class TaskTimeListener extends SparkListener {
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      if (t.taskInfo != null && t.taskInfo.successful) {
+        stageTasks.computeIfAbsent(t.stageId,
+          _ => new java.util.concurrent.ConcurrentLinkedQueue[Long]())
+          .add(t.taskInfo.duration)
+      }
+    }
+  }
+
+  /** Print per-stage max/median for every non-trivial stage since the
+    * last reset; fail the run on a >10x straggler. */
+  private def reportSkew(label: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val rows = stageTasks.asScala.toSeq.sortBy(_._1).flatMap {
+      case (stage, q) =>
+        val d = q.asScala.toSeq.sorted
+        if (d.isEmpty) None
+        else {
+          val median = d(d.size / 2); val max = d.last
+          // sub-second stages are scheduler noise, not skew evidence
+          if (max < 1000L || d.size < 4) None
+          else Some((stage, d.size, median, max, max.toDouble / math.max(1L, median)))
+        }
+    }
+    println(s"  [$label] task skew per non-trivial stage (>=4 tasks, max>=1s):")
+    rows.foreach { case (stage, n, med, max, ratio) =>
+      println(f"    stage $stage%4d: tasks=$n%4d median=${med}%6d ms max=${max}%6d ms ratio=$ratio%5.1f")
+    }
+    val worst = rows.map(_._5).maxOption.getOrElse(1.0)
+    assert(worst <= 10.0, f"straggler: worst max/median ratio $worst%.1f exceeds 10x")
+    println(f"  [$label] worst ratio=$worst%.1f (<= 10x required)")
+    stageTasks.clear()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.sparkContext.addSparkListener(new TaskTimeListener)
+    def time[T](name: String)(f: => T): T = graft.util.Timing.time(name)(f)
+
+    // ---- 1. simhash with a 100k-doc identical class --------------------
+    val nDocs = sys.env.getOrElse("SKEW_DOCS", "1000000").toLong
+    val classSize = nDocs / 10 // 100k identical short docs
+    val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+      when(col("id") < classSize, lit("same short boilerplate line of text"))
+        .otherwise(concat_ws(" ", (0 until 8).map(j =>
+          concat(lit("w"), col("id") * 17 + j)): _*))
+        .as("text"))
+      .localCheckpoint(true)
+    stageTasks.clear()
+    val edges = time(s"simHashNearDupEdges ($nDocs docs, $classSize identical)") {
+      val e = Dedup.simHashNearDupEdges(docs, "doc_id", "text").localCheckpoint(true)
+      println(s"  edges=${e.count()}")
+      e
+    }
+    reportSkew("simhash-edges")
+    // the identical class is a STAR: linear edge count, rep = min id
+    val stars = edges.filter(col("id_a") === 0 && col("hamming") === 0).count()
+    assert(stars == classSize - 1, s"star edges: $stars != ${classSize - 1}")
+    val clusters = Dedup.dupClusters(docs, "doc_id", edges.select("id_a", "id_b"))
+    val classDocs = clusters.filter(col("cluster") === 0).count()
+    println(s"  stars=$stars classComponent=$classDocs")
+    assert(classDocs >= classSize, s"class component too small: $classDocs")
+    graft.util.Checkpoints.free(edges)
+
+    // ---- 2. topKJoin: 100 queries x 1M vectors -------------------------
+    val dim = 64
+    val corpus = spark.range(nDocs).select(col("id"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        i => pmod(xxhash64(col("id") * lit(dim) + i), lit(1000)).cast("float") / 1000f)
+        .as("embedding"))
+      .localCheckpoint(true)
+    val queries = spark.range(100).select(col("id").as("qid"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        i => pmod(xxhash64(col("id") * lit(dim) + i + 7), lit(1000)).cast("float") / 1000f)
+        .as("qv"))
+    stageTasks.clear()
+    time(s"topKJoin (100 queries x $nDocs vectors, k=10)") {
+      val got = SimilaritySearch.topKJoin(
+        queries, "qid", "qv", corpus, "id", "embedding", k = 10)
+      println(s"  rows=${got.count()}")
+    }
+    reportSkew("topk-join")
+    spark.stop()
+  }
+}

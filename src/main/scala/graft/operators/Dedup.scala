@@ -259,6 +259,69 @@ object Dedup {
     finally freeCheckpoint(banded)
   }
 
+  /** Connectivity-preserving simhash near-dup EDGES — the dedup-graph
+    * form of [[simHashNearDups]] that stays LINEAR when fingerprints
+    * repeat. The full pair set of a k-doc identical class is k²/2 rows
+    * (quadratic in the OUTPUT, on any engine — 100k identical docs
+    * would be 5×10^9 pairs), but its connected components need only
+    * k-1 edges. This variant:
+    *
+    *  1. collapses identical fingerprints to one representative
+    *     (min id per fp, one hash shuffle) and emits the class as
+    *     STAR edges (rep, member, hamming=0) — linear in class size;
+    *  2. band-joins only the DISTINCT fingerprints, so a degenerate
+    *     identical class contributes ONE row per band, not k rows —
+    *     the adversarial bucket never forms.
+    *
+    * Components over these edges equal components over the full
+    * [[simHashNearDups]] pair set (spec-gated): same-fp docs connect
+    * through their star, cross-fp near-dups connect through their
+    * representatives (hamming is a function of the fingerprints alone,
+    * so rep-to-rep hamming == member-to-member hamming). Every emitted
+    * edge is itself a genuine near-dup pair. Use this for
+    * [[dupClusters]]/[[keepBestPerCluster]] at scale; use
+    * [[simHashNearDups]] when the full pair enumeration is the point
+    * (bounded corpora, oracle checks). */
+  def simHashNearDupEdges(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"maxHamming=$maxHamming exceeds the 4x16-bit banding recall guarantee (<=3)")
+    val fp = df.select(col(idCol).as("id"),
+      HashExpressions.simhash64Md5(TextFunctions.words(col(textCol))).as("fp"))
+      .localCheckpoint(true) // scanned twice: group pass + star join
+    try {
+      val groups = fp.groupBy(col("fp")).agg(min(col("id")).as("rep"))
+        .localCheckpoint(true) // scanned twice: stars + rep banding
+      try {
+        val stars = fp.join(groups, Seq("fp"))
+          .filter(col("id") =!= col("rep"))
+          .select(col("rep").as("id_a"), col("id").as("id_b"),
+            lit(0).as("hamming"))
+        val reps = groups.select(col("rep").as("id"), col("fp"))
+        val banded = reps.select(
+          posexplode(array((0 until 4).map(b =>
+            shiftright(col("fp"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+            .as(Seq("band", "bucket")),
+          col("id"), col("fp"))
+          .localCheckpoint(true) // consumed by both sides of the self-join
+        try {
+          val repPairs = banded.select(col("band"), col("bucket"),
+              col("id").as("id_a"), col("fp").as("fp_a"))
+            .join(banded.select(col("band"), col("bucket"),
+                col("id").as("id_b"), col("fp").as("fp_b")),
+              Seq("band", "bucket"))
+            .filter(col("id_a") < col("id_b"))
+            .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+            .filter(col("hamming") <= maxHamming)
+            .select(col("id_a"), col("id_b"), col("hamming"))
+            .dropDuplicates("id_a", "id_b")
+          stars.unionByName(repPairs).localCheckpoint(true)
+        } finally freeCheckpoint(banded)
+      } finally freeCheckpoint(groups)
+    } finally freeCheckpoint(fp)
+  }
+
   /** Character-n-gram Jaccard for a given candidate pair set: joins the
     * pair ids back to their distinct n-gram sets and scores exactly.
     * Pair generation must come from minHashNearDups / simHashNearDups —
@@ -301,7 +364,8 @@ object Dedup {
     */
   def connectedComponents(
       nodes: DataFrame, pairs: DataFrame, maxIter: Int = 25,
-      maxDriverEdges: Long = 1000000L): DataFrame = {
+      maxDriverEdges: Long = 1000000L,
+      onRound: (Int, Long, Double) => Unit = (_, _, _) => ()): DataFrame = {
     // ADAPTIVE: the edge list after LSH verification is a tiny fraction
     // of the corpus (duplicate PAIRS, not documents — typically <<1% of
     // rows even on dirty crawls), while `nodes` is corpus-sized. When
@@ -327,7 +391,7 @@ object Dedup {
       val aqeKey = "spark.sql.adaptive.enabled"
       val aqeBefore = spark.conf.get(aqeKey)
       spark.conf.set(aqeKey, "false")
-      try connectedComponentsLoop(nodes, edges, maxIter)
+      try connectedComponentsLoop(nodes, edges, maxIter, onRound)
       finally spark.conf.set(aqeKey, aqeBefore)
     }
   }
@@ -402,8 +466,15 @@ object Dedup {
   private[graft] def freeCheckpoint(df: DataFrame): Unit =
     graft.util.Checkpoints.free(df)
 
+  /** @param onRound observation hook, called after each completed round
+    *        with (round index, frontier size after the round, seconds) —
+    *        the loop's only progress signal on long graphs; scale demos
+    *        and ops monitoring hang telemetry on it. Exceptions from the
+    *        hook propagate (and free the loop's checkpoints like any
+    *        other round failure). */
   private def connectedComponentsLoop(
-      nodes: DataFrame, pairs: DataFrame, maxIter: Int): DataFrame = {
+      nodes: DataFrame, pairs: DataFrame, maxIter: Int,
+      onRound: (Int, Long, Double) => Unit = (_, _, _) => ()): DataFrame = {
     // Symmetrize once and PRE-PARTITION on src: the edge table is the
     // big, loop-invariant side of every round's join, so shuffle it to
     // its join key once (localCheckpoint preserves the partitioning) and
@@ -449,6 +520,7 @@ object Dedup {
       var frontierSize = 1L // enter the loop; real count comes per round
       var i = 0
       while (frontierSize > 0 && i < maxIter) {
+        val roundStartNs = System.nanoTime()
         val frontier = state.filter(col("__changed"))
           .select(col("id").as("src"), col("cluster"))
         val cand = sym.join(frontier, "src")
@@ -468,6 +540,7 @@ object Dedup {
         freeCheckpoint(state) // superseded round — release its blocks
         state = next
         i += 1
+        onRound(i, frontierSize, (System.nanoTime() - roundStartNs) / 1e9)
       }
       require(frontierSize == 0,
         s"connectedComponents did not converge in $maxIter rounds " +

@@ -62,6 +62,37 @@ class DedupSpec extends SparkSpec {
     assert((pairs(0)._1, pairs(0)._2, pairs(0)._3) === (1L, 2L, 0))
   }
 
+  test("simHashNearDupEdges: linear star edges for identical classes, same components as the pair set") {
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = "the quick brown fox jumps over the lazy dog again and again extra"
+    val df = ((1L to 8L).map(i => (i, a)) ++ // 8-doc identical class
+      Seq((9L, b),                           // near-dup of the class (maybe)
+        (20L, "completely unrelated content words here"),
+        (21L, "completely unrelated content words here"), // identical pair
+        (30L, "a third distinct document about other things entirely")))
+      .toDF("id", "text")
+    val edges = Dedup.simHashNearDupEdges(df, "id", "text")
+      .as[(Long, Long, Int)].collect().toSeq
+    // identical classes are stars, not cliques: 8-doc class = 7 edges
+    // from the min-id rep (the full pair set would be 28), pair = 1 edge
+    val class1 = edges.filter { case (x, y, _) => x <= 9L && y <= 9L }
+    assert(class1.count { case (x, _, h) => x == 1L && h == 0 } === 7,
+      s"8 identical docs must yield 7 star edges from rep 1: $edges")
+    assert(edges.count { case (x, y, h) => x == 20L && y == 21L && h == 0 } === 1)
+    // every emitted edge is a genuine near-dup pair, and components
+    // match the full simHashNearDups pair set exactly
+    val pairSet = Dedup.simHashNearDups(df, "id", "text")
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(edges.toSet.subsetOf(pairSet.toSet),
+      "every star/rep edge must be a genuine near-dup pair")
+    val nodes = df.select(col("id"))
+    val viaEdges = Dedup.connectedComponents(nodes,
+      edges.toDF("id_a", "id_b", "hamming")).as[(Long, Long)].collect().toSet
+    val viaPairs = Dedup.connectedComponents(nodes,
+      pairSet.toDF("id_a", "id_b", "hamming")).as[(Long, Long)].collect().toSet
+    assert(viaEdges === viaPairs, "edge-set components must equal pair-set components")
+  }
+
   test("exactByContent dedups identical text, null-text rows pass through") {
     val df = Seq((1L, Some("same text")), (2L, Some("same text")),
       (3L, Some("different")), (4L, None), (5L, None)).toDF("id", "text")
