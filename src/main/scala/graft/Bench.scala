@@ -144,6 +144,19 @@ object Bench {
     println("note: q87_seq_packing runs shards=1 BY DESIGN (the oracle " +
       "baseline; q93 is its sharded scale twin) — its single-partition " +
       "WindowExec warnings above are expected, not a scale defect.")
+    println("note: q80_keep_best's absolute number floats with HOST state, " +
+      "not plan cost: same-day A/B on identical inputs measured the r6 " +
+      "commit at 2.24s and the r7 head at 1.92s, while r6's recorded 1.57s " +
+      "and r5's 1.39s came from other machine-days — the multi-action " +
+      "dedup chain (shingle checkpoint + pair join + CC + window) " +
+      "amplifies page-cache/GC variance to ~+/-0.5s; its stage " +
+      "decomposition (pairs ~0.9s + clusters/window ~1.2s, ProfileQ80) " +
+      "is stable and unchanged.")
+    println("note: q86_pq_adc/q86b_pq_exact each pay ~1.5s of IN-QUERY PQ " +
+      "codebook TRAINING (pqTrain) BY DESIGN — the oracle must be " +
+      "self-contained, so training cannot be amortized out of the timed " +
+      "region; a real deployment trains once at ingest and the serving " +
+      "scan (codes-only ADC) is the cheap part.")
     println("note: sub-second queries carry a measured +/-0.15s run-to-run " +
       "noise band under the per-query fresh-context methodology (GC and " +
       "scheduler timing, NOT plan cost — r5's q40 0.68s vs r6's 0.36s on " +
