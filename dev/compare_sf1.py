@@ -1,0 +1,44 @@
+#!/usr/bin/env python3
+"""Compare BENCH_sf1.json per-query times against the r6 sf0.1 bench.
+
+Flags any query whose sf1 time exceeds RATIO_LIMIT x its sf0.1 time
+(superlinear for a 10x data step), ignoring sub-noise-floor queries
+where the ratio is dominated by fixed per-session costs.
+
+Usage: python3 dev/compare_sf1.py [BENCH_sf1.json]
+"""
+import json, re, sys
+
+RATIO_LIMIT = 15.0
+NOISE_FLOOR = 0.25  # s at sf0.1: below this, ratio = fixed-cost artifact
+
+def bench_queries(path):
+    with open(path) as f:
+        raw = f.read()
+    m = re.search(r'\{"metric".*\}', raw, re.S)
+    d = json.loads(m.group(0))
+    return d["queries"], d["value"]
+
+sf1_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_sf1.json"
+base, base_total = bench_queries("/tmp/bench_r06_line.json")
+sf1, sf1_total = bench_queries(sf1_path)
+
+rows = []
+for q, t1 in sorted(sf1.items()):
+    t0 = base.get(q)
+    if t0 is None:
+        rows.append((q, None, t1, None, ""))
+        continue
+    ratio = t1 / t0 if t0 > 0 else float("inf")
+    flag = "SUPERLINEAR" if (ratio > RATIO_LIMIT and t0 >= NOISE_FLOOR) else ""
+    rows.append((q, t0, t1, ratio, flag))
+
+print(f"{'query':8} {'sf0.1':>8} {'sf1':>8} {'ratio':>7}")
+for q, t0, t1, r, flag in rows:
+    print(f"{q:8} {t0 if t0 is not None else '-':>8} {t1:>8.3f} "
+          f"{('%.1f' % r) if r else '-':>7} {flag}")
+flagged = [r for r in rows if r[4]]
+print(f"\ntotal: sf0.1={base_total:.1f}s sf1={sf1_total:.1f}s "
+      f"ratio={sf1_total/base_total:.1f}x")
+print(f"flagged superlinear (> {RATIO_LIMIT}x with sf0.1 >= {NOISE_FLOOR}s): "
+      f"{[r[0] for r in flagged] or 'none'}")

@@ -87,13 +87,16 @@ object Sf1DataGen {
     // deterministic per-dim noise (cosine vs original ~0.5-0.6)
     if (!done("embeddings")) {
       val emb = replicated("embeddings")
+      // the float/float division below still promotes to double under
+      // Spark's numeric rules, so cast the result back: every consumer
+      // of this table getSeq[Float]s the column
       val noised = emb.withColumn("embedding",
         when(col("copy") === 0, col("embedding")).otherwise(
           zip_with(col("embedding"),
             transform(sequence(lit(0), size(col("embedding")) - 1),
               i => (pmod(xxhash64(col("vec_id") * 131 + i * 7 + col("copy")),
                 lit(1000)).cast("float") / 1000f - 0.5f) * 0.6f),
-            (x, n) => x + n)))
+            (x, n) => x + n)).cast("array<float>"))
       write("embeddings", shifted(noised, Seq("vec_id")), 8)
     } else println("skip embeddings (exists)")
 
