@@ -156,7 +156,10 @@ object Bench {
       "codebook TRAINING (pqTrain) BY DESIGN — the oracle must be " +
       "self-contained, so training cannot be amortized out of the timed " +
       "region; a real deployment trains once at ingest and the serving " +
-      "scan (codes-only ADC) is the cheap part.")
+      "scan (codes-only ADC) is the cheap part. q103/q105 pay the same " +
+      "price in LexicalIndex BUILD form: the indexed serving scan they " +
+      "pin is the sub-second part (RetrievalScaleDemo: 10.7s fresh vs " +
+      "1.8s indexed at 400k docs once the build is amortized).")
     println("note: sub-second queries carry a measured +/-0.15s run-to-run " +
       "noise band under the per-query fresh-context methodology (GC and " +
       "scheduler timing, NOT plan cost — r5's q40 0.68s vs r6's 0.36s on " +

@@ -877,6 +877,42 @@ object SparkEntry {
         "spark join slow", queryVec(s, d), k = 15, poolSize = 30)
     }),
 
+    "q103_bm25_indexed" -> ((s, d) => {
+      // the persisted-index SERVING path (LexicalIndex): must return
+      // exactly what the fresh tokenize-per-call q100 returns — the
+      // oracle is q100's verbatim. The in-query index build is the
+      // oracle's price (the q86 pattern: a real deployment builds once
+      // at ingest and pays only the pushed-down postings scan per query).
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_q103").toString + "/idx"
+      operators.LexicalIndex.build(s, idx, T.documents(s, d), "doc_id", "text")
+      operators.LexicalIndex.bm25TopK(s, idx, "doc_id",
+        Seq("spark", "join", "slow"), k = 20)
+    }),
+
+    "q104_simhash_edges" -> ((s, d) =>
+      // connectivity-preserving near-dup edges: identical fingerprints
+      // collapse to min-id star edges (linear in class size), distinct
+      // fingerprints band-join as representatives — the dedup-graph form
+      // that survives a 100k-doc identical class (SkewScaleDemo)
+      Dedup.simHashNearDupEdges(T.documents(s, d), "doc_id", "text",
+          maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "q105_hybrid_indexed" -> ((s, d) => {
+      // hybridSearchIndexed (the production serving path: vector leg +
+      // indexed BM25 leg + RRF) pinned to q102's oracle verbatim — same
+      // corpus, same index ⇒ same rows as the fresh hybridSearch
+      val kb = T.documents(s, d)
+        .join(T.embeddings(s, d), col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("text"), col("embedding"))
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_q105").toString + "/idx"
+      operators.LexicalIndex.build(s, idx, kb, "doc_id", "text")
+      graft.kb.KnowledgeBase.hybridSearchIndexed(kb, "doc_id",
+        "spark join slow", queryVec(s, d), idx, k = 15, poolSize = 30)
+    }),
+
     "q94_json_redact" -> ((s, d) => {
       // recursive JSON redaction over structured metadata: build a
       // nested payload from real columns, sanitize it, extract fields
@@ -993,7 +1029,15 @@ object SparkEntry {
   // DuckDB oracles — identical semantics, identical aliases.
   // =====================================================================
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleBase +
+    // the indexed serving paths return EXACTLY their fresh siblings'
+    // rows by contract (LexicalIndexSpec gates bit-equality), so they
+    // share one oracle: a divergence fails the shared hash, which is
+    // the point of pinning them
+    ("q103_bm25_indexed" -> oracleBase("q100_bm25")) +
+    ("q105_hybrid_indexed" -> oracleBase("q102_hybrid_search"))
+
+  private val oracleBase: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -1186,6 +1230,36 @@ object SparkEntry {
         |    sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END)::INT AS hamming
         |  FROM bits a JOIN bits b ON a.j = b.j AND a.k = b.k AND a.doc_id < b.doc_id
         |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Same simhash bits as q34; identical fingerprints (the 64-bit
+    // string_agg key) collapse to min-id STAR edges at hamming 0, and
+    // only group REPRESENTATIVES pair up for the hamming join — the
+    // brute-force mirror of the linear edge construction.
+    "q104_simhash_edges" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents),
+        |grid AS (SELECT j, k FROM (SELECT unnest(range(1, 17)) AS j) a,
+        |                          (SELECT unnest(range(0, 4)) AS k) b),
+        |bits AS (SELECT t.doc_id, g.j, g.k,
+        |    (sum(CASE WHEN ((instr('0123456789abcdef', md5(t.tok)[g.j]) - 1) >> g.k) % 2 = 1
+        |         THEN 1 ELSE -1 END) > 0) AS bit
+        |  FROM toks t CROSS JOIN grid g
+        |  GROUP BY t.doc_id, g.j, g.k),
+        |fp AS (SELECT doc_id,
+        |    string_agg(CASE WHEN bit THEN '1' ELSE '0' END, '' ORDER BY j, k) AS f
+        |  FROM bits GROUP BY doc_id),
+        |grp AS (SELECT f, min(doc_id) AS rep FROM fp GROUP BY f),
+        |stars AS (SELECT g.rep AS id_a, fp.doc_id AS id_b, 0 AS hamming
+        |  FROM fp JOIN grp g USING (f) WHERE fp.doc_id <> g.rep),
+        |ham AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END)::INT AS hamming
+        |  FROM bits a JOIN bits b ON a.j = b.j AND a.k = b.k AND a.doc_id < b.doc_id
+        |  WHERE a.doc_id IN (SELECT rep FROM grp) AND b.doc_id IN (SELECT rep FROM grp)
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT id_a, id_b, hamming FROM stars
+        |UNION ALL
         |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
         |ORDER BY id_a, id_b""".stripMargin,
 
