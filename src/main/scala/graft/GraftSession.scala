@@ -102,7 +102,14 @@ final case class GraftSession(
     * [[searchKnowledge]] / [[hybridSearchKnowledge]] vector ranking is
     * planner-pruned to the `nprobe` nearest clusters with no caller
     * change. Requires [[GraftExtensions]] on the session (the rule must
-    * be injected). With `nprobe >= nClusters` the rewrite is exact. */
+    * be injected). With `nprobe >= nClusters` the rewrite is exact.
+    *
+    * Like [[buildLexicalIndex]], the index captures the KB as of this
+    * call: a later mutation ([[smartSearch]]'s upsert,
+    * [[cleanupExpired]]) swaps the held frame for a checkpointed one
+    * whose plan the rule cannot match, so those sessions fall back to
+    * the exact scan until indexKnowledge runs again — stale-index
+    * answers are never served. */
   def indexKnowledge(path: String, nClusters: Int, nprobe: Int,
       idCol: String = "id", vecCol: String = "embedding",
       kmeansIters: Int = 10): this.type = synchronized {
