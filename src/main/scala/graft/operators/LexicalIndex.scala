@@ -28,6 +28,12 @@ import graft.sources.MergeTable
   *    global N/avgdl statistics aggregate from it in one cheap scan
   *    (postings alone cannot provide them: docs matching no indexed
   *    term still count toward N and avgdl).
+  *  - `path/termdf` — (term, df), keyed term: the DICTIONARY. Document
+  *    frequencies are read here (≤ |query terms| rows, pushed filter)
+  *    BEFORE any postings scan, which both removes the per-call df
+  *    aggregation and makes high-df terms visible up front — the
+  *    `maxDfFraction` guard can drop a stopword from the scan filter
+  *    instead of materializing its corpus-sized posting list.
   *
   * Both components are [[MergeTable]]s, so the index inherits versioned
   * atomic commits and incremental maintenance: [[upsert]] replaces a
@@ -44,6 +50,7 @@ object LexicalIndex {
 
   private def postingsPath(path: String) = s"$path/postings"
   private def doclensPath(path: String) = s"$path/doclens"
+  private def termDfPath(path: String) = s"$path/termdf"
 
   /** One tokenizing pass over `docs` → (postings, doclens) frames.
     * Shared by build and upsert; the returned frames are two reads of
@@ -74,12 +81,15 @@ object LexicalIndex {
     try {
       MergeTable.init(spark, doclensPath(path), doclens)
       MergeTable.init(spark, postingsPath(path), postings)
+      MergeTable.init(spark, termDfPath(path),
+        postings.groupBy(col("term")).agg(count(lit(1)).as("df")))
     } finally graft.util.Checkpoints.free(handle)
   }
 
   def exists(spark: SparkSession, path: String): Boolean =
     MergeTable.exists(spark, postingsPath(path)) &&
-      MergeTable.exists(spark, doclensPath(path))
+      MergeTable.exists(spark, doclensPath(path)) &&
+      MergeTable.exists(spark, termDfPath(path))
 
   /** Incrementally replace a document batch: every doc in `docs`
     * (matched by id) gets its stale postings deleted and its fresh
@@ -95,13 +105,37 @@ object LexicalIndex {
     try {
       val ids = doclens.select(col("id")).collect().map(_.get(0))
       if (ids.nonEmpty) {
-        // stale postings of REPLACED docs: a term the new text no longer
-        // contains would survive a bare merge (its (id, term) key is
-        // absent from the update frame) and keep matching queries
-        MergeTable.deleteWhere(spark, postingsPath(path),
-          col("id").isin(ids.toSeq: _*))
-        MergeTable.merge(spark, postingsPath(path), postings, Seq("id", "term"))
-        MergeTable.merge(spark, doclensPath(path), doclens, Seq("id"))
+        val idSeq = ids.toSeq
+        // df delta BEFORE the delete: each affected term's df moves by
+        // (new batch postings) - (old batch postings). The old-side
+        // probe reads only (term, id) of the id-matched rows; the
+        // touched term set is bounded by the batch's vocabulary.
+        val oldCounts = MergeTable.read(spark, postingsPath(path))
+          .filter(col("id").isin(idSeq: _*))
+          .groupBy(col("term")).agg(count(lit(1)).as("__old"))
+        val newCounts = postings.groupBy(col("term")).agg(count(lit(1)).as("__new"))
+        val delta = newCounts.join(oldCounts, Seq("term"), "full_outer")
+          .select(col("term"),
+            (coalesce(col("__new"), lit(0L)) - coalesce(col("__old"), lit(0L)))
+              .as("__delta"))
+          .filter(col("__delta") =!= 0)
+          .localCheckpoint(true) // must be read before AND after the delete
+        try {
+          val affected = delta.select(col("term"))
+          val current = MergeTable.read(spark, termDfPath(path))
+            .join(affected, Seq("term"), "left_semi")
+          val dfUpdates = delta.join(current, Seq("term"), "left_outer")
+            .select(col("term"),
+              (coalesce(col("df"), lit(0L)) + col("__delta")).as("df"))
+          // stale postings of REPLACED docs: a term the new text no
+          // longer contains would survive a bare merge (its (id, term)
+          // key is absent from the update frame) and keep matching
+          MergeTable.deleteWhere(spark, postingsPath(path),
+            col("id").isin(idSeq: _*))
+          MergeTable.merge(spark, postingsPath(path), postings, Seq("id", "term"))
+          MergeTable.merge(spark, doclensPath(path), doclens, Seq("id"))
+          MergeTable.merge(spark, termDfPath(path), dfUpdates, Seq("term"))
+        } finally graft.util.Checkpoints.free(delta)
       }
       ()
     } finally graft.util.Checkpoints.free(handle)
@@ -119,8 +153,9 @@ object LexicalIndex {
   /** [[Lexical.bm25TopK]] served from the index. */
   def bm25TopK(
       spark: SparkSession, path: String, idCol: String, terms: Seq[String],
-      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =
-    bm25TopKMany(spark, path, idCol, Seq(terms), k, k1, b).head
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      maxDfFraction: Double = 1.0): DataFrame =
+    bm25TopKMany(spark, path, idCol, Seq(terms), k, k1, b, maxDfFraction).head
 
   /** [[Lexical.bm25TopKMany]] served from the index: same statistics,
     * same fold, same output contract — but the corpus-sized work is
@@ -128,47 +163,70 @@ object LexicalIndex {
     * tokenizing pass over every document.
     *
     * Plan shape per call:
-    *  1. postings scan with `term IN (all query terms)` pushed to
-    *     parquet (footer-pruned after [[compact]]); the matched
-    *     postings — bounded by the query terms' document frequencies —
-    *     are checkpointed and shared by every pass below;
-    *  2. N/avgdl from one narrow doclens scan; df per term counts the
-    *     matched postings ((id, term) is unique, so rows = docs);
+    *  1. N/avgdl from one narrow doclens scan; df per query term from
+    *     the termdf DICTIONARY (≤ |terms| rows, pushed filter) — read
+    *     BEFORE any postings touch;
+    *  2. postings scan with `term IN (scored terms)` pushed to parquet
+    *     (footer-pruned after [[compact]]); the matched postings —
+    *     bounded by the scored terms' document frequencies — are
+    *     checkpointed and shared by every query's pass;
     *  3. per query: per-doc (term → tf) maps assemble from the matched
     *     postings (one bounded shuffle on id), then the same
     *     left-to-right Okapi fold as the fresh path scores them and
     *     TakeOrderedAndProject keeps the top k.
     * EAGER like the fresh path: results materialize, intermediates are
-    * freed before returning. */
+    * freed before returning.
+    *
+    * `maxDfFraction` is the serving-path stopword guard: a term whose
+    * df exceeds this fraction of the corpus is dropped BEFORE the
+    * postings scan — one careless "the" in a query would otherwise
+    * materialize a corpus-sized posting list for a term whose idf
+    * (ln(1 + (N-df+0.5)/(df+0.5)) ≈ 0 at df ≈ N) contributes almost
+    * nothing to the ranking. The default 1.0 keeps every term and
+    * stays bit-identical to [[Lexical.bm25TopKMany]] (the q103/q105
+    * oracle contract); serving deployments typically run 0.3-0.5.
+    * A query whose every term is dropped returns an empty frame. */
   def bm25TopKMany(
       spark: SparkSession, path: String, idCol: String,
       queries: Seq[Seq[String]], k: Int, k1: Double = 1.2,
-      b: Double = 0.75): Seq[DataFrame] = {
+      b: Double = 0.75, maxDfFraction: Double = 1.0): Seq[DataFrame] = {
     require(queries.nonEmpty && queries.forall(_.nonEmpty),
       "every query needs at least one term")
     require(k >= 1, s"k must be >= 1, got $k")
+    require(maxDfFraction > 0.0 && maxDfFraction <= 1.0,
+      s"maxDfFraction must be in (0, 1], got $maxDfFraction")
     val lowered = queries.toList.map(_.map(_.toLowerCase(java.util.Locale.ROOT)).distinct)
     val allTerms = lowered.flatten.distinct
-    // the ONLY touch of the postings table: scan the query terms'
-    // postings (predicate pushed into the scan) and keep the small
-    // matched frame for the df counts and every query's scoring pass
-    val matched = MergeTable.read(spark, postingsPath(path))
+    val stats = MergeTable.read(spark, doclensPath(path))
+      .agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")).head()
+    val n = stats.getLong(0)
+    require(n > 0, "corpus is empty")
+    val avgdl = stats.getDouble(1)
+    // dictionary lookup FIRST: ≤ |terms| rows, so the stopword guard
+    // can drop a ubiquitous term before its posting list is ever read
+    val dfCounts = MergeTable.read(spark, termDfPath(path))
       .filter(col("term").isin(allTerms: _*))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dfCap = maxDfFraction * n
+    val scoredTerms = allTerms.filter(t => dfCounts.getOrElse(t, 0L) <= dfCap)
+    val loweredKept = lowered.map(_.filter(scoredTerms.contains))
+    // the ONLY touch of the postings table: scan the scored terms'
+    // postings (predicate pushed into the scan) and keep the small
+    // matched frame for every query's scoring pass
+    val matched = MergeTable.read(spark, postingsPath(path))
+      .filter(if (scoredTerms.isEmpty) lit(false)
+        else col("term").isin(scoredTerms: _*))
       .localCheckpoint(true)
     try {
-      val stats = MergeTable.read(spark, doclensPath(path))
-        .agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")).head()
-      val n = stats.getLong(0)
-      require(n > 0, "corpus is empty")
-      val avgdl = stats.getDouble(1)
-      // (id, term) unique ⇒ one posting row per containing doc
-      val dfCounts = matched
-        .groupBy(col("term")).agg(count(lit(1)).as("__df"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-
       // identical association to Lexical.bm25TopKMany — bit-for-bit
       val norm = lit(1.0 - b) + lit(b) * col("dl") / avgdl
-      lowered.map { termsLower =>
+      loweredKept.map { termsLower =>
+        if (termsLower.isEmpty) {
+          // every term of this query was df-pruned: an empty ranking,
+          // with the contract schema (idCol typed like the corpus id)
+          matched.limit(0)
+            .select(col("id").as(idCol), lit(0.0).as("score"))
+        } else {
         val perDoc = matched
           .filter(col("term").isin(termsLower: _*))
           .groupBy(col("id"), col("dl"))
@@ -188,6 +246,7 @@ object LexicalIndex {
           .limit(k)
           .select(col("id").as(idCol), round(col("__score"), 6).as("score"))
           .localCheckpoint(true)
+        }
       }
     } finally graft.util.Checkpoints.free(matched)
   }

@@ -96,6 +96,33 @@ class LexicalIndexSpec extends SparkSpec {
     assert(got === exp)
   }
 
+  test("maxDfFraction drops stopword terms before the postings scan") {
+    // 'common' is in every doc (df = n); real terms discriminate
+    val docs = (1L to 30L).map(i =>
+      (i, s"common filler w$i ${if (i <= 3) "rare" else s"x$i"}"))
+      .toDF("doc_id", "text")
+    val path = freshPath()
+    LexicalIndex.build(spark, path, docs, "doc_id", "text")
+    // default 1.0: bit-identical to fresh even with the stopword present
+    val full = ranking(LexicalIndex.bm25TopK(
+      spark, path, "doc_id", Seq("common", "rare"), 30))
+    val fresh = ranking(Lexical.bm25TopK(
+      docs, "doc_id", "text", Seq("common", "rare"), 30))
+    assert(full === fresh)
+    // guarded: 'common' (df=30=n) is pruned, ranking = rare-only scoring
+    val guarded = ranking(LexicalIndex.bm25TopK(
+      spark, path, "doc_id", Seq("common", "rare"), 30, maxDfFraction = 0.5))
+    val rareOnly = ranking(Lexical.bm25TopK(
+      docs, "doc_id", "text", Seq("rare"), 30))
+    assert(guarded === rareOnly,
+      "df-pruned ranking must equal scoring without the stopword")
+    assert(guarded.map(_._1).toSet === Set(1L, 2L, 3L))
+    // all terms pruned: empty ranking, contract schema intact
+    val empty = LexicalIndex.bm25TopK(
+      spark, path, "doc_id", Seq("common", "filler"), 30, maxDfFraction = 0.5)
+    assert(empty.columns.toSeq === Seq("doc_id", "score") && empty.count() === 0)
+  }
+
   test("hybridSearchIndexed equals hybridSearch on the same corpus") {
     import graft.kb.KnowledgeBase
     val kb = Seq(
