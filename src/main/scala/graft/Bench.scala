@@ -35,6 +35,7 @@ object Bench {
         .withExtensions(new GraftExtensions)
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
       s.sparkContext.setLogLevel("WARN")

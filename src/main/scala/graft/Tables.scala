@@ -21,27 +21,62 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark's reader rejects
-    * (SPARK-40819 territory); read nanos-as-long and convert to
-    * microsecond TimestampType so downstream window/aggregation code sees
-    * a plain timestamp.
+  /** `events.ts` has shipped in TWO driver formats so far — parquet
+    * INT64 TIMESTAMP(NANOS) (rounds ≤6; Spark's reader rejects it,
+    * SPARK-40819 territory) and plain TIMESTAMP(MICROS)/NTZ (round 7+).
+    * The engine doesn't control this parquet, so dispatch on the schema
+    * actually read instead of assuming either:
     *
-    * DELIBERATELY session-wide: the flag must still be set when the lazy
-    * scan executes (a save/restore around this call would crash the
-    * first action), so after calling this, other TIMESTAMP(NANOS)
-    * parquet in the same session also reads as LongType instead of
-    * failing loudly — convert such columns explicitly as done here. */
+    *  - read fails with the nanos "Illegal Parquet type" → retry with
+    *    `nanosAsLong` (flag scoped to this branch only — it is
+    *    session-wide and would silently long-ify OTHER nanos parquet,
+    *    so it is set only when this file needs it);
+    *  - `ts: LongType` (raw INT64 nanos, e.g. [[Sf1DataGen]]'s old
+    *    output, or nanos read under the flag) → floor-div to micros;
+    *  - `ts: TimestampNTZType` → the wall-clock IS the instant (the
+    *    DuckDB oracle reads the same file as naive-UTC), so pin the
+    *    session timezone to UTC and cast to microsecond TimestampType —
+    *    under any other session zone the cast would shift the instant
+    *    and every `unix_micros`/`from_utc_timestamp` downstream with it;
+    *  - `ts: TimestampType` → already an instant, pass through.
+    */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // FLOOR division, not `div` (which truncates toward zero): a
-    // pre-epoch nanos value like -1500 must land in microsecond -2, not
-    // -1 — an instant's containing microsecond is its floor. Integer
-    // identity: floor(a/b) = (a - ((a % b + b) % b)) / b for b > 0,
-    // exact over the full long range (no double round-trip).
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr(
-          "(ts - ((ts % 1000 + 1000) % 1000)) div 1000")))
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    // spark.read.parquet infers the schema eagerly (driver-side footer
+    // read), so the nanos rejection throws HERE, not at first action.
+    val raw =
+      try table(s, d, "events")
+      catch {
+        case e: Throwable if {
+          val m = Option(e.getMessage).getOrElse("") + Option(e.getCause)
+            .flatMap(c => Option(c.getMessage)).getOrElse("")
+          m.contains("NANOS") || m.contains("Illegal Parquet type")
+        } =>
+          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          table(s, d, "events")
+      }
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // FLOOR division, not `div` (which truncates toward zero): a
+        // pre-epoch nanos value like -1500 must land in microsecond -2,
+        // not -1 — an instant's containing microsecond is its floor.
+        // Integer identity: floor(a/b) = (a - ((a % b + b) % b)) / b for
+        // b > 0, exact over the full long range (no double round-trip).
+        raw.withColumn("ts",
+          timestamp_micros(expr("(ts - ((ts % 1000 + 1000) % 1000)) div 1000")))
+      case TimestampNTZType =>
+        // The NTZ→LTZ cast interprets the wall-clock in the session
+        // timezone at ANALYSIS time, which happens when the query runs —
+        // pin UTC now so the instant survives unchanged (machine zones
+        // other than UTC would otherwise skew it).
+        s.conf.set("spark.sql.session.timeZone", "UTC")
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => raw
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts: unsupported parquet type $other (expected INT64 nanos, TIMESTAMP_NTZ, or TIMESTAMP)")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

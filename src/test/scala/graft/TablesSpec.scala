@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Guards for the driver-provided table loaders (Tables.scala).
+  *
+  * Round-7 post-mortem: the driver re-provisioned `/root/testdata` and
+  * `events.ts` changed INT64-nanos → TIMESTAMP(MICROS)/NTZ; the loader
+  * assumed nanos and 25 queries died silently (VERDICT r7 §wrong-1).
+  * These specs turn a future format change into one loud named failure:
+  *
+  *  - the CANARY reads every driver table and forces a row, so a
+  *    loader/format mismatch fails here by table name instead of as a
+  *    scattered bench exclusion;
+  *  - the FORMAT-EQUIVALENCE property proves both `ts` encodings the
+  *    loader dispatches on (raw INT64 nanos vs µs-NTZ) yield identical
+  *    downstream frames through [[Tables.byName]], down to
+  *    `unix_micros` — the value the DuckDB oracle compares on.
+  */
+class TablesSpec extends SparkSpec {
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("canary: every driver table loads and has rows") {
+    Tables.all.foreach { name =>
+      val df =
+        try Tables.byName(spark, sfDir, name)
+        catch {
+          case e: Throwable =>
+            fail(s"table '$name' failed to LOAD: ${e.getMessage}", e)
+        }
+      assert(df.limit(1).count() == 1L, s"table '$name' read zero rows")
+    }
+  }
+
+  test("canary: events.ts loads as TimestampType (instant), not NTZ/long") {
+    assert(Tables.events(spark, sfDir).schema("ts").dataType == TimestampType)
+  }
+
+  test("property: INT64-nanos and µs-NTZ events fixtures are identical through Tables.byName") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_evt_fmt").toString
+    // Same instants expressed both ways; nanos carry a sub-microsecond
+    // residue (+737 ns) that the loader must FLOOR away, including on the
+    // pre-epoch row where truncate-toward-zero would land one µs off.
+    val micros = Seq(0L, 1700000000000000L, -5000001L, 86400000000L)
+    val base = micros.zipWithIndex.map { case (us, i) => (i.toLong, us) }
+
+    val longDir = s"$dir/long_nanos"
+    base.toDF("event_id", "us")
+      .select($"event_id", ($"us" * 1000L + 737L).as("ts"))
+      .write.parquet(s"$longDir/events.parquet")
+
+    val ntzDir = s"$dir/micros_ntz"
+    base.toDF("event_id", "us")
+      .select($"event_id",
+        timestamp_micros($"us").cast(TimestampNTZType).as("ts"))
+      .write.parquet(s"$ntzDir/events.parquet")
+
+    // The NTZ fixture must actually exercise the NTZ branch (parquet
+    // timestamp[us] with isAdjustedToUTC=false reads back as NTZ).
+    assert(spark.read.parquet(s"$ntzDir/events.parquet")
+      .schema("ts").dataType == TimestampNTZType)
+
+    def load(d: String) = Tables.byName(spark, d, "events")
+      .select($"event_id", $"ts", unix_micros($"ts").as("us"))
+    val a = load(longDir)
+    val b = load(ntzDir)
+    assert(a.schema == b.schema)
+    val rowsA = a.collect().map(r => (r.getLong(0), r.get(1).toString, r.getLong(2))).toSet
+    val rowsB = b.collect().map(r => (r.getLong(0), r.get(1).toString, r.getLong(2))).toSet
+    assert(rowsA == rowsB)
+    // and both recover the original microsecond instants exactly
+    assert(rowsA.map(t => (t._1, t._3)) == base.toSet)
+  }
+}
