@@ -153,6 +153,13 @@ object Bench {
       "amplifies page-cache/GC variance to ~+/-0.5s; its stage " +
       "decomposition (pairs ~0.9s + clusters/window ~1.2s, ProfileQ80) " +
       "is stable and unchanged.")
+    println("note: q38_dup_clusters/q71_bloom_join's r7-recorded 3.16s/1.23s " +
+      "were HOST drift, not code: r8's interleaved same-day A/B (3 pairs, " +
+      "warm) measured head q38 median 1.48s vs the r6 commit's 1.56s and " +
+      "head q71 0.65s vs 0.62s — overlapping distributions, and q71's " +
+      "entire code path (BloomPrune, orders/lineitem) has a byte-empty " +
+      "r6->r7 diff; the r7 bench ran minutes after the driver " +
+      "re-provisioned the machine (cold caches).")
     println("note: q86_pq_adc/q86b_pq_exact each pay ~1.5s of IN-QUERY PQ " +
       "codebook TRAINING (pqTrain) BY DESIGN — the oracle must be " +
       "self-contained, so training cannot be amortized out of the timed " +
