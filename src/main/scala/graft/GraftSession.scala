@@ -63,14 +63,23 @@ final case class GraftSession(
     * the persisted index ([[KnowledgeBase.hybridSearchIndexed]]) — the
     * per-query cost drops from a corpus tokenization to a pushed-down
     * postings scan, the serving analog of the reference's per-chat-turn
-    * RPC (`search_service.py:259-270`). */
+    * RPC (`search_service.py:259-270`).
+    *
+    * `maxDfFraction` (indexed path only) drops query terms whose
+    * document frequency exceeds that fraction of the corpus before the
+    * postings scan — the stopword guard for free-text queries against
+    * big indexes. 1.0 = keep every term (bit-exact with the fresh
+    * path); the un-indexed fallback tokenizes the corpus anyway and
+    * ignores it. */
   def hybridSearchKnowledge(query: String, k: Int = 5,
-      idCol: String = "id", contentCol: String = "content"): DataFrame = {
+      idCol: String = "id", contentCol: String = "content",
+      maxDfFraction: Double = 1.0): DataFrame = {
     val processed = SearchService.preprocess(spark, query)
     val qv = embedder.embed(Seq(processed)).head
     lexIndexPath match {
       case Some(path) => KnowledgeBase.hybridSearchIndexed(
-        knowledgeBase, idCol, processed, qv, path, k)
+        knowledgeBase, idCol, processed, qv, path, k,
+        maxDfFraction = maxDfFraction)
       case None => KnowledgeBase.hybridSearch(knowledgeBase, idCol, contentCol,
         processed, qv, k)
     }

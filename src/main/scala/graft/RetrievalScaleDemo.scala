@@ -139,6 +139,58 @@ object RetrievalScaleDemo {
         k = 100)
       println(s"  fused=${operators.Lexical.rrfFuse(rankings, "doc_id", 20).count()}")
     }
+
+    // ---- compact(): quantify the footer-pruning claim. compact
+    // range-sorts the postings on term, so every file (and every row
+    // group inside it) covers a narrow [min,max] term range and a
+    // `term IN (...)` scan decodes only the row groups whose range can
+    // match — against the uncompacted build (term order scattered by
+    // the hash-partitioned MERGE write) the same query must decode the
+    // whole table. Measured as task-level input IO around the one
+    // postings action. ---------------------------------------------------
+    def postingsScanIo(label: String, path: String): Unit = {
+      val terms = Seq("c0_spark", "c0_join", "c0_slow", "c0_vector", "c0_stream")
+      val bytes = new java.util.concurrent.atomic.AtomicLong
+      val records = new java.util.concurrent.atomic.AtomicLong
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null) {
+            bytes.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
+            records.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+            ()
+          }
+      }
+      val df = sources.MergeTable.read(
+          spark, operators.LexicalIndex.postingsPath(path))
+        .filter(col("term").isin(terms: _*))
+      spark.sparkContext.addSparkListener(listener)
+      val t0 = System.nanoTime()
+      val matched = df.collect().length // same QueryExecution → live metrics
+      val secs = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(2000) // listener bus drains async
+      spark.sparkContext.removeSparkListener(listener)
+      val filesScanned = df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numFiles").value
+      }.sum
+      // MergeTable lays files out under versioned subdirectories —
+      // count the parquet leaves recursively
+      val walk = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(operators.LexicalIndex.postingsPath(path)))
+      val onDisk =
+        try walk.filter(p => p.toString.endsWith(".parquet")).count()
+        finally walk.close()
+      println(f"  $label: filesOnDisk=$onDisk filesScanned=$filesScanned " +
+        f"bytesRead=${bytes.get / 1048576.0}%.1f MiB " +
+        f"recordsDecoded=${records.get} matchedPostings=$matched " +
+        f"scan=$secs%.2fs")
+    }
+    val lexRaw = s"$base/lex_uncompacted"
+    if (!operators.LexicalIndex.exists(spark, lexRaw))
+      operators.LexicalIndex.build(spark, lexRaw, kbTable, "doc_id", "text")
+    postingsScanIo("postings scan, UNCOMPACTED", lexRaw)
+    postingsScanIo("postings scan, compacted(32)", lexPath)
     spark.stop()
   }
 }

@@ -25,8 +25,10 @@ import org.apache.spark.sql.functions._
   *  - embeddings in copies 1-9 get deterministic per-dim noise (±0.3,
   *    cosine vs the original ≈ 0.5-0.6), so vector near-dup/kNN work
   *    scales in corpus size instead of drowning in exact-tie copies;
-  *  - `events.ts` stays a raw INT64 nanos column (what
-  *    [[Tables.events]] expects to convert itself).
+  *  - `events` is read through the schema-adaptive [[Tables.events]]
+  *    and written back as TIMESTAMP(MICROS)/NTZ — the driver's
+  *    round-7+ provision format — so the sf1 bench exercises exactly
+  *    the encoding the engine is graded on (the loader's NTZ branch).
   *
   * Idempotent: skips tables whose _SUCCESS marker exists.
   * Run: `sbt "runMain graft.Sf1DataGen [outDir] [copies]"`.
@@ -40,11 +42,10 @@ object Sf1DataGen {
     val src = "/root/testdata/sf0.1"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // raw read for events: keep ts as INT64 nanos end-to-end
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     def done(name: String) =
       new java.io.File(s"$out/$name.parquet", "_SUCCESS").exists()
@@ -71,7 +72,15 @@ object Sf1DataGen {
     write("orders", shifted(replicated("orders"), Seq("o_orderkey", "o_custkey")), 16)
     write("lineitem", shifted(replicated("lineitem"),
       Seq("l_orderkey", "l_partkey", "l_suppkey")), 32)
-    write("events", shifted(replicated("events"), Seq("event_id", "user_id")), 16)
+    // events: load through the adaptive loader (whatever the source
+    // format), shift keys, and write ts as µs-NTZ — the wall-clock IS
+    // the UTC instant under the pinned session zone, so the cast is a
+    // value-preserving re-tag mirroring the driver's current format.
+    val eventsSf1 = shifted(
+      Tables.events(spark, src).crossJoin(reps), Seq("event_id", "user_id"))
+      .withColumn("ts",
+        col("ts").cast(org.apache.spark.sql.types.TimestampNTZType))
+    write("events", eventsSf1, 16)
 
     // documents: copy 0 verbatim; copies 1-9 copy-prefixed vocabulary
     if (!done("documents")) {

@@ -147,11 +147,19 @@ object KnowledgeBase {
     * query terms' postings (pushed-down scan of the index), the vector
     * leg is [[matchDocuments]] (IVF-prunable when a quantizer is
     * registered), and the fusion is identical to [[hybridSearch]] —
-    * same corpus, same index ⇒ same rows (spec-gated). */
+    * same corpus, same index ⇒ same rows (spec-gated).
+    *
+    * `maxDfFraction` is [[graft.operators.LexicalIndex.bm25TopKMany]]'s
+    * serving-path stopword guard: a query term matching more than that
+    * fraction of the corpus (dictionary-first df lookup) is dropped
+    * BEFORE the postings scan, so "the"-class terms never inflate the
+    * `term IN` filter into a near-full-table read. Default 1.0 keeps
+    * the bit-exact oracle contract (no term dropped). */
   def hybridSearchIndexed(
       kb: DataFrame, idCol: String, queryText: String,
       queryEmbedding: Array[Float], indexPath: String, k: Int,
-      poolSize: Int = 50, vecCol: String = "embedding"): DataFrame = {
+      poolSize: Int = 50, vecCol: String = "embedding",
+      maxDfFraction: Double = 1.0): DataFrame = {
     val vec = matchDocuments(kb, queryEmbedding, poolSize, None, vecCol,
         tieBreak = Some(idCol))
       .select(col(idCol),
@@ -160,7 +168,8 @@ object KnowledgeBase {
       .split("\\s+").filter(_.nonEmpty).distinct.toSeq
     require(terms.nonEmpty, "queryText has no terms")
     val lex = graft.operators.LexicalIndex.bm25TopK(
-      kb.sparkSession, indexPath, idCol, terms, poolSize)
+      kb.sparkSession, indexPath, idCol, terms, poolSize,
+      maxDfFraction = maxDfFraction)
     graft.operators.Lexical.rrfFuse(Seq(vec, lex), idCol, k)
   }
 

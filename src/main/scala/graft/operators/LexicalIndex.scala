@@ -48,7 +48,7 @@ import graft.sources.MergeTable
   */
 object LexicalIndex {
 
-  private def postingsPath(path: String) = s"$path/postings"
+  private[graft] def postingsPath(path: String) = s"$path/postings"
   private def doclensPath(path: String) = s"$path/doclens"
   private def termDfPath(path: String) = s"$path/termdf"
 

@@ -142,6 +142,35 @@ class LexicalIndexSpec extends SparkSpec {
     assert(indexed.map(_._1) === Seq(3L, 1L, 4L)) // the LexicalSpec oracle order
   }
 
+  test("hybridSearchIndexed exposes the maxDfFraction serving guard") {
+    import graft.kb.KnowledgeBase
+    // 'common' is in all 4 docs (df = n); the guard must drop it from
+    // the lexical leg so the fused ranking equals querying without it.
+    val kb = Seq(
+      (1L, "common alpha beta alpha beta", Array(0f, 1f, 0f)),
+      (2L, "common entirely different words", Array(1f, 0f, 0f)),
+      (3L, "common alpha beta of joins", Array(0.9f, 0.4f, 0f)),
+      (4L, "common alpha padded with unrelated trailing words",
+        Array(0.5f, 0.8f, 0f))
+    ).toDF("id", "content", "embedding")
+    val path = freshPath()
+    LexicalIndex.build(spark, path, kb, "id", "content")
+    val qv = Array(1f, 0f, 0f)
+    // cap = 0.9 × 4 = 3.6: prunes 'common' (df=4) but keeps 'alpha'
+    // (df=3) and 'beta' (df=2)
+    val guarded = ranking(KnowledgeBase.hybridSearchIndexed(
+      kb, "id", "common alpha beta", qv, path, k = 3, maxDfFraction = 0.9))
+    val withoutStopword = ranking(KnowledgeBase.hybridSearchIndexed(
+      kb, "id", "alpha beta", qv, path, k = 3))
+    assert(guarded === withoutStopword,
+      "facade guard must prune the df-capped term from the lexical leg")
+    // default 1.0 keeps the stopword (bit-exact oracle contract)
+    val unguarded = ranking(KnowledgeBase.hybridSearchIndexed(
+      kb, "id", "common alpha beta", qv, path, k = 3))
+    assert(unguarded !== guarded,
+      "with df=n the stopword must still score under the default 1.0")
+  }
+
   test("Corpus facade builds and serves the index") {
     val docs = corpus(17, 30).toDF("doc_id", "text")
     val path = freshPath()
