@@ -1,8 +1,5 @@
 package graft
 
-import java.util.concurrent.ConcurrentHashMap
-
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -25,49 +22,11 @@ import graft.operators.{Dedup, SimilaritySearch}
   *     one reducer, exactly the straggler this demo measures for.
   *
   * A stage counts as skewed when max > 10 × median over its tasks
-  * (ignoring sub-second stages, where scheduler noise dominates).
+  * (ignoring sub-second stages, where scheduler noise dominates) —
+  * the shared [[graft.util.TaskSkew]] yardstick.
   * Run manually: `sbt "runMain graft.SkewScaleDemo"`.
   */
 object SkewScaleDemo {
-
-  /** stageId → task durations (ms), fed by the listener. */
-  private val stageTasks =
-    new ConcurrentHashMap[Int, java.util.Queue[Long]]()
-
-  private final class TaskTimeListener extends SparkListener {
-    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
-      if (t.taskInfo != null && t.taskInfo.successful) {
-        stageTasks.computeIfAbsent(t.stageId,
-          _ => new java.util.concurrent.ConcurrentLinkedQueue[Long]())
-          .add(t.taskInfo.duration)
-      }
-    }
-  }
-
-  /** Print per-stage max/median for every non-trivial stage since the
-    * last reset; fail the run on a >10x straggler. */
-  private def reportSkew(label: String): Unit = {
-    import scala.jdk.CollectionConverters._
-    val rows = stageTasks.asScala.toSeq.sortBy(_._1).flatMap {
-      case (stage, q) =>
-        val d = q.asScala.toSeq.sorted
-        if (d.isEmpty) None
-        else {
-          val median = d(d.size / 2); val max = d.last
-          // sub-second stages are scheduler noise, not skew evidence
-          if (max < 1000L || d.size < 4) None
-          else Some((stage, d.size, median, max, max.toDouble / math.max(1L, median)))
-        }
-    }
-    println(s"  [$label] task skew per non-trivial stage (>=4 tasks, max>=1s):")
-    rows.foreach { case (stage, n, med, max, ratio) =>
-      println(f"    stage $stage%4d: tasks=$n%4d median=${med}%6d ms max=${max}%6d ms ratio=$ratio%5.1f")
-    }
-    val worst = rows.map(_._5).maxOption.getOrElse(1.0)
-    assert(worst <= 10.0, f"straggler: worst max/median ratio $worst%.1f exceeds 10x")
-    println(f"  [$label] worst ratio=$worst%.1f (<= 10x required)")
-    stageTasks.clear()
-  }
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -75,7 +34,7 @@ object SkewScaleDemo {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    spark.sparkContext.addSparkListener(new TaskTimeListener)
+    val skew = new graft.util.TaskSkew().attach(spark)
     def time[T](name: String)(f: => T): T = graft.util.Timing.time(name)(f)
 
     // ---- 1. simhash with a 100k-doc identical class --------------------
@@ -87,13 +46,13 @@ object SkewScaleDemo {
           concat(lit("w"), col("id") * 17 + j)): _*))
         .as("text"))
       .localCheckpoint(true)
-    stageTasks.clear()
+    skew.clear()
     val edges = time(s"simHashNearDupEdges ($nDocs docs, $classSize identical)") {
       val e = Dedup.simHashNearDupEdges(docs, "doc_id", "text").localCheckpoint(true)
       println(s"  edges=${e.count()}")
       e
     }
-    reportSkew("simhash-edges")
+    skew.report("simhash-edges")
     // the identical class is a STAR: linear edge count, rep = min id
     val stars = edges.filter(col("id_a") === 0 && col("hamming") === 0).count()
     assert(stars == classSize - 1, s"star edges: $stars != ${classSize - 1}")
@@ -114,13 +73,13 @@ object SkewScaleDemo {
       transform(sequence(lit(0), lit(dim - 1)),
         i => pmod(xxhash64(col("id") * lit(dim) + i + 7), lit(1000)).cast("float") / 1000f)
         .as("qv"))
-    stageTasks.clear()
+    skew.clear()
     time(s"topKJoin (100 queries x $nDocs vectors, k=10)") {
       val got = SimilaritySearch.topKJoin(
         queries, "qid", "qv", corpus, "id", "embedding", k = 10)
       println(s"  rows=${got.count()}")
     }
-    reportSkew("topk-join")
+    skew.report("topk-join")
     spark.stop()
   }
 }

@@ -1,0 +1,63 @@
+package graft.util
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+/** Task-level straggler evidence for the scale demos: per-stage
+  * max/median task runtimes from a SparkListener — the spark.ui
+  * numbers, captured programmatically. A stage counts as skewed when
+  * max > 10 × median over its tasks (ignoring sub-second stages,
+  * where scheduler noise dominates). Shared by SkewScaleDemo /
+  * EventsScaleDemo so every by-fire claim uses the same yardstick. */
+final class TaskSkew {
+  /** stageId → task durations (ms), fed by the listener. */
+  private val stageTasks =
+    new ConcurrentHashMap[Int, java.util.Queue[Long]]()
+
+  private final class TaskTimeListener extends SparkListener {
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      if (t.taskInfo != null && t.taskInfo.successful) {
+        stageTasks.computeIfAbsent(t.stageId,
+          _ => new java.util.concurrent.ConcurrentLinkedQueue[Long]())
+          .add(t.taskInfo.duration)
+        ()
+      }
+    }
+  }
+
+  def attach(spark: SparkSession): this.type = {
+    spark.sparkContext.addSparkListener(new TaskTimeListener)
+    this
+  }
+
+  def clear(): Unit = stageTasks.clear()
+
+  /** Print per-stage max/median for every non-trivial stage since the
+    * last clear; fail the run on a >10x straggler. Returns the worst
+    * ratio observed. */
+  def report(label: String): Double = {
+    import scala.jdk.CollectionConverters._
+    val rows = stageTasks.asScala.toSeq.sortBy(_._1).flatMap {
+      case (stage, q) =>
+        val d = q.asScala.toSeq.sorted
+        if (d.isEmpty) None
+        else {
+          val median = d(d.size / 2); val max = d.last
+          // sub-second stages are scheduler noise, not skew evidence
+          if (max < 1000L || d.size < 4) None
+          else Some((stage, d.size, median, max, max.toDouble / math.max(1L, median)))
+        }
+    }
+    println(s"  [$label] task skew per non-trivial stage (>=4 tasks, max>=1s):")
+    rows.foreach { case (stage, n, med, max, ratio) =>
+      println(f"    stage $stage%4d: tasks=$n%4d median=${med}%6d ms max=${max}%6d ms ratio=$ratio%5.1f")
+    }
+    val worst = rows.map(_._5).maxOption.getOrElse(1.0)
+    assert(worst <= 10.0, f"straggler: worst max/median ratio $worst%.1f exceeds 10x")
+    println(f"  [$label] worst ratio=$worst%.1f (<= 10x required)")
+    stageTasks.clear()
+    worst
+  }
+}
