@@ -79,17 +79,42 @@ object Tables {
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** `embeddings.embedding` must reach consumers as `array<float>` —
+    * every vector operator materializes it via `getSeq[Float]` /
+    * float-array codegen. The driver currently ships list<float>, but
+    * the events table proved provision formats change (see [[events]]);
+    * a silent float→double shift would break every vector query at
+    * RUNTIME (ClassCastException in an executor), far from the cause.
+    * Normalize here: double elements are cast down (the standard
+    * storage-vs-compute precision tradeoff — parity with the float
+    * math every operator already does), floats pass through, anything
+    * else fails loudly at LOAD time with the table named. */
+  def embeddings(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val raw = table(s, d, "embeddings")
+    raw.schema("embedding").dataType match {
+      case ArrayType(FloatType, _) => raw
+      case ArrayType(DoubleType, _) =>
+        raw.withColumn("embedding",
+          org.apache.spark.sql.functions.col("embedding").cast("array<float>"))
+      case other => throw new IllegalStateException(
+        s"embeddings.embedding: unsupported parquet type $other " +
+          "(expected array<float> or array<double>)")
+    }
+  }
 
   val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
   /** Load by name through the per-table loaders (so `events` gets its
-    * nanos conversion), falling back to a raw read. */
+    * format dispatch and `embeddings` its element-type normalization),
+    * falling back to a raw read. */
   def byName(spark: SparkSession, dir: String, name: String): DataFrame =
     name match {
-      case "events" => events(spark, dir)
-      case n        => table(spark, dir, n)
+      case "events"     => events(spark, dir)
+      case "embeddings" => embeddings(spark, dir)
+      case n            => table(spark, dir, n)
     }
 
   /** Register every table as a temp view so `spark.sql` works too. */

@@ -73,4 +73,24 @@ class TablesSpec extends SparkSpec {
     // and both recover the original microsecond instants exactly
     assert(rowsA.map(t => (t._1, t._3)) == base.toSet)
   }
+
+  test("property: array<double> embeddings normalize to array<float> through Tables.byName") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_emb_fmt").toString
+    Seq((1L, Seq(0.25, -1.5, 3.0), 0), (2L, Seq(0.0, 0.5, -0.125), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    assert(spark.read.parquet(s"$dir/embeddings.parquet")
+      .schema("embedding").dataType == ArrayType(DoubleType))
+    val loaded = Tables.byName(spark, dir, "embeddings")
+    assert(loaded.schema("embedding").dataType == ArrayType(FloatType),
+      "double elements must normalize to the float contract")
+    // exactly-representable values survive the cast bit-for-bit, and the
+    // float consumer contract (getSeq[Float]) holds
+    val v1 = loaded.filter($"vec_id" === 1L).head().getSeq[Float](1)
+    assert(v1 == Seq(0.25f, -1.5f, 3.0f))
+    // the driver's actual float fixture passes through untouched
+    assert(Tables.byName(spark, "/root/testdata/sf0.001", "embeddings")
+      .schema("embedding").dataType == ArrayType(FloatType))
+  }
 }
