@@ -55,6 +55,20 @@ class PlanShapeSpec extends SparkSpec {
       s"scan reads more columns than the query needs: $readCols")
   }
 
+  test("temporal predicate on events.ts pushes through the NTZ->instant cast") {
+    // the loader casts TIMESTAMP_NTZ to TimestampType under UTC; Spark's
+    // cast-unwrap must keep a ts comparison reaching the parquet footer
+    // as a pushed filter (lost pushdown = full time-column scan at 100 TB)
+    val q = Tables.events(spark, dir)
+      .filter(col("ts") >= lit("2024-06-01").cast("timestamp"))
+      .select("event_id", "ts")
+    val scan = collectPlan(q).collect { case f: FileSourceScanExec => f }.head
+    assert(scan.dataFilters.nonEmpty,
+      "expected the ts predicate pushed into the events scan")
+    assert(scan.metadata.get("PushedFilters").exists(_.contains("GreaterThanOrEqual(ts")),
+      s"ts comparison not in PushedFilters: ${scan.metadata.get("PushedFilters")}")
+  }
+
   test("offset pagination plans as top-k-with-offset, not a global sort") {
     val plan = collectPlan(SparkEntry.queries("q10_offset_page")(spark, dir))
     assert(plan.exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
