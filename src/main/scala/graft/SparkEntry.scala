@@ -913,6 +913,20 @@ object SparkEntry {
         "spark join slow", queryVec(s, d), idx, k = 15, poolSize = 30)
     }),
 
+    "q106_bm25_guarded" -> ((s, d) => {
+      // the maxDfFraction serving guard pinned against an independent
+      // engine: 'slow' matches ~77% of the corpus (above the 0.5 cap →
+      // dropped before its postings are read), 'dup' ~5% (kept). The
+      // oracle implements the same cap arithmetically (df <= 0.5·n per
+      // term), so a drift in WHICH terms the guard drops — not just in
+      // the surviving scores — fails the row hash.
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_q106").toString + "/idx"
+      operators.LexicalIndex.build(s, idx, T.documents(s, d), "doc_id", "text")
+      operators.LexicalIndex.bm25TopK(s, idx, "doc_id",
+        Seq("dup", "slow"), k = 20, maxDfFraction = 0.5)
+    }),
+
     "q94_json_redact" -> ((s, d) => {
       // recursive JSON redaction over structured metadata: build a
       // nested payload from real columns, sanitize it, extract fields
@@ -1856,6 +1870,30 @@ object SparkEntry {
         |    (CASE WHEN tf1 > 0 THEN ln(1 + (n - df1 + 0.5)/(df1 + 0.5)) * tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * dl/avgdl)) ELSE 0 END)
         |  + (CASE WHEN tf2 > 0 THEN ln(1 + (n - df2 + 0.5)/(df2 + 0.5)) * tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl/avgdl)) ELSE 0 END)
         |  + (CASE WHEN tf3 > 0 THEN ln(1 + (n - df3 + 0.5)/(df3 + 0.5)) * tf3 * 2.2 / (tf3 + 1.2 * (0.25 + 0.75 * dl/avgdl)) ELSE 0 END) AS s
+        |  FROM tf, st, dfs)
+        |SELECT doc_id, round(s, 6) AS score FROM sc WHERE s > 0
+        |ORDER BY s DESC, doc_id LIMIT 20""".stripMargin,
+
+    // q106: BM25 with the df-fraction stopword guard — a term whose df
+    // exceeds 0.5·n contributes NOTHING (it is dropped before scoring),
+    // expressed here as the per-term cap condition
+    "q106_bm25_guarded" ->
+      """WITH w AS (SELECT doc_id,
+        |    CASE WHEN text IS NULL OR trim(lower(text)) = '' THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS ws
+        |  FROM documents),
+        |st AS (SELECT count(*)::DOUBLE AS n, avg(len(ws))::DOUBLE AS avgdl FROM w),
+        |dfs AS (SELECT
+        |    sum(CASE WHEN list_contains(ws, 'dup') THEN 1 ELSE 0 END)::DOUBLE AS df1,
+        |    sum(CASE WHEN list_contains(ws, 'slow') THEN 1 ELSE 0 END)::DOUBLE AS df2
+        |  FROM w),
+        |tf AS (SELECT doc_id, len(ws)::DOUBLE AS dl,
+        |    len(list_filter(ws, x -> x = 'dup'))::DOUBLE AS tf1,
+        |    len(list_filter(ws, x -> x = 'slow'))::DOUBLE AS tf2
+        |  FROM w),
+        |sc AS (SELECT doc_id,
+        |    (CASE WHEN tf1 > 0 AND df1 <= 0.5 * n THEN ln(1 + (n - df1 + 0.5)/(df1 + 0.5)) * tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * dl/avgdl)) ELSE 0 END)
+        |  + (CASE WHEN tf2 > 0 AND df2 <= 0.5 * n THEN ln(1 + (n - df2 + 0.5)/(df2 + 0.5)) * tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl/avgdl)) ELSE 0 END) AS s
         |  FROM tf, st, dfs)
         |SELECT doc_id, round(s, 6) AS score FROM sc WHERE s > 0
         |ORDER BY s DESC, doc_id LIMIT 20""".stripMargin,
