@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.SimilaritySearch
+
+/** Measured recall / latency / IO tradeoff for the IVF ANN serving path
+  * — the numbers a deployment actually tunes (`nprobe`, and the
+  * persisted layout) quantified against exact brute-force, instead of
+  * asserted qualitatively.
+  *
+  * Corpus: 1M DISTINCT 64-d vectors drawn as a mixture of 256 latent
+  * centers plus per-dim noise — the clustered geometry real embedding
+  * spaces have (on uniform random data no coarse quantizer can work).
+  * Distinctness matters: the 400k retrieval kb replicates identical
+  * vectors 80×, so recall@20 there would measure tie-picking, not ANN
+  * quality. Queries are 50 real corpus vectors nudged by ±0.01 — their
+  * true neighbors are their latent-center siblings.
+  *
+  * Three measurements per nprobe through the REGISTERED planner rule
+  * ([[graft.plans.IvfIndex]] — `matchDocuments` unchanged, the rewrite
+  * injects the probe filter):
+  *   recall@20 vs exact, wall s/query, and the scan's own output-row
+  *   count (rows that survived pruning and reached the cosine).
+  * Two persisted layouts:
+  *   - FLAT parquet (what `indexKnowledge` wrote before round 8): the
+  *     probe filter skips the cosine on non-probed rows but every file
+  *     is read — IO stays corpus-sized;
+  *   - PARTITIONED by cluster (the ivfflat list layout
+  *     `indexKnowledge` writes now): the same filter prunes at the
+  *     directory level — IO drops to ~nprobe/nClusters of the corpus.
+  * nprobe = nClusters probes everything and MUST recall 1.0 (the
+  * exactness gate). Run: `sbt "runMain graft.AnnRecallDemo"`. */
+object AnnRecallDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val nVecs = sys.env.getOrElse("ANN_VECS", "1000000").toLong
+    val dim = 64
+    val latent = 256
+    val kmeansK = 32
+    val k = 20
+    val nQueries = 50
+    val base = java.nio.file.Files.createTempDirectory("graft_ann").toString
+
+    def centerExpr(c: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
+      (pmod(xxhash64(c * 131071L + i * 524287L), lit(2000)).cast("float") / 1000f) - 1f
+    def noiseExpr(id: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
+      (pmod(xxhash64(id * 7919L + i * 104729L + 13L), lit(300)).cast("float") / 1000f) - 0.15f
+
+    val corpus = spark.range(nVecs).select(
+        col("id").as("doc_id"),
+        pmod(col("id"), lit(latent)).as("__c"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => centerExpr(col("__c"), i) + noiseExpr(col("doc_id"), i))
+          // float/float division still promotes to double under Spark's
+          // numeric rules; every consumer getSeq[Float]s this column
+          .cast("array<float>").as("embedding"))
+      .localCheckpoint(true)
+    println(s"corpus=${corpus.count()} vectors, $latent latent centers")
+
+    val t0 = System.nanoTime()
+    // coarse quantizer trained on a 2% sample — standard IVF practice
+    val cents = SimilaritySearch.kmeansCentroids(
+      corpus.sample(withReplacement = false, 0.02, seed = 42),
+      "doc_id", "embedding", k = kmeansK, iters = 5)
+      .localCheckpoint(true)
+    val clustered = SimilaritySearch.assignClusters(corpus, "embedding", cents)
+    println(f"k-means($kmeansK, 5 iters, 20k sample): ${(System.nanoTime() - t0) / 1e9}%.1f s (one-time)")
+
+    // the two persisted layouts under test
+    clustered.write.mode("overwrite").parquet(s"$base/flat")
+    clustered.repartition(col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$base/parted")
+    val flat = spark.read.parquet(s"$base/flat")
+    val parted = spark.read.parquet(s"$base/parted")
+
+    // EASY queries: real corpus vectors, nudged — all true neighbors are
+    // latent-center siblings living in one coarse cluster (the geometry
+    // IVF is built for). HARD queries: 60/40 blends of two corpus
+    // vectors from DIFFERENT centers — the true top-20 straddles
+    // clusters, so nprobe=1 must miss and the recall curve shows the
+    // tradeoff being tuned.
+    val qRows = corpus.filter(pmod(col("doc_id"), lit(nVecs / (nQueries * 2))) === 3)
+      .orderBy("doc_id").limit(nQueries * 2).collect()
+      .map(_.getSeq[Float](1).toArray)
+    val easyQueries: Seq[Array[Float]] = qRows.take(nQueries).zipWithIndex.map {
+      case (v, _) => v.zipWithIndex.map { case (x, i) => x + 0.001f * ((i % 21) - 10) }
+    }.toSeq
+    val hardQueries: Seq[Array[Float]] = qRows.take(nQueries)
+      .zip(qRows.drop(nQueries))
+      .map { case (a, b) => a.zip(b).map { case (x, y) => 0.6f * x + 0.4f * y } }
+      .toSeq
+
+    def topIds(df: DataFrame): Set[Long] =
+      // collect from df ITSELF: a .select would derive a new
+      // QueryExecution and leave df's plan (whose metrics we read)
+      // unexecuted
+      df.collect().map(_.getAs[Long]("doc_id")).toSet
+
+    def measure(label: String, kb: DataFrame, queries: Seq[Array[Float]],
+        truth: Option[Seq[Set[Long]]]): (Seq[Set[Long]], Double, Long) = {
+      var secs = 0.0
+      var scanRows = 0L
+      val results = queries.map { q =>
+        val df = graft.kb.KnowledgeBase.matchDocuments(kb, q, k)
+        val t = System.nanoTime()
+        val ids = topIds(df)
+        secs += (System.nanoTime() - t) / 1e9
+        // the scan node's own numOutputRows = rows that survived
+        // partition pruning and reached the cosine — the IO evidence
+        // (the task-level bytesRead metric under-reports on local fs)
+        scanRows += graft.util.Plans.flatten(df.queryExecution.executedPlan)
+          .collect {
+            case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+              s.metrics("numOutputRows").value
+          }.sum
+        ids
+      }
+      val rowsPerQ = scanRows / queries.size
+      val recall = truth.map(ts => results.zip(ts)
+        .map { case (g, t) => g.intersect(t).size.toDouble / k }.sum / queries.size)
+      println(f"| $label | ${recall.map(r => f"$r%.3f").getOrElse("—")} | " +
+        f"${secs / queries.size}%.3f | $rowsPerQ%d |")
+      (results, secs, rowsPerQ)
+    }
+
+    Seq(("EASY (within-cluster)", easyQueries),
+        ("HARD (between-cluster)", hardQueries)).foreach { case (setName, qs) =>
+      println(s"\n$setName queries:")
+      println("| path | recall@20 | s/query | scan rows/query |")
+      println("|---|---|---|---|")
+      val (exact, _, _) = measure("exact full scan (flat)", flat, qs, None)
+      Seq(1, 2, 4, 8, kmeansK).foreach { nprobe =>
+        graft.plans.IvfIndex.register(spark, parted, "cluster", "embedding", cents, nprobe)
+        val (got, _, _) =
+          measure(f"ivf parted nprobe=$nprobe%2d", parted, qs, Some(exact))
+        graft.plans.IvfIndex.unregister(spark, "embedding")
+        if (nprobe == kmeansK) {
+          val recall = got.zip(exact)
+            .map { case (g, t) => g.intersect(t).size.toDouble / k }.sum / qs.size
+          assert(recall == 1.0, f"nprobe=all must be exact, got $recall%.3f")
+        }
+      }
+      // the counterfactual layout: same rule, flat files — IO stays full
+      graft.plans.IvfIndex.register(spark, flat, "cluster", "embedding", cents, 1)
+      measure("ivf FLAT   nprobe= 1", flat, qs, Some(exact))
+      graft.plans.IvfIndex.unregister(spark, "embedding")
+    }
+    spark.stop()
+  }
+}

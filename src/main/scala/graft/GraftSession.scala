@@ -127,7 +127,15 @@ final case class GraftSession(
     val cents = SimilaritySearch.kmeansCentroids(kb, idCol, vecCol,
       nClusters, kmeansIters)
     val assigned = SimilaritySearch.assignClusters(kb, vecCol, cents)
-    assigned.write.mode("overwrite").parquet(path)
+    // PARTITION the persisted KB by cluster (the ivfflat list layout):
+    // the planner rule's `cluster IN (probed)` filter then prunes at the
+    // DIRECTORY level and a probe reads ~nprobe/nClusters of the bytes.
+    // Written flat, the same filter still skips the cosine on non-probed
+    // rows but every file is read — IO stays corpus-sized (measured in
+    // AnnRecallDemo). repartition on the cluster column first so each
+    // cluster directory holds one file, not one per shuffle task.
+    assigned.repartition(org.apache.spark.sql.functions.col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(path)
     val reloaded = spark.read.parquet(path)
     graft.plans.IvfIndex.register(spark, reloaded, "cluster", vecCol, cents, nprobe)
     // NOT setKb: the registration binds to the parquet scan paths, and a
