@@ -927,6 +927,63 @@ object SparkEntry {
         Seq("dup", "slow"), k = 20, maxDfFraction = 0.5)
     }),
 
+    "q107_timing_ring" -> ((s, d) =>
+      // A3 pinned: last-1000-per-metric ring stats (row_number window →
+      // keep → agg), decimal(18,2) accumulation so the hash compare is
+      // exact across engines; event_id tie-breaks equal timestamps
+      analytics.Counters.timingStats(T.events(s, d), "event_type", "ts",
+          "value", keep = 1000, tieBreak = Seq(col("event_id")),
+          sumType = "decimal(18,2)")
+        .orderBy(col("event_type"))),
+
+    "q108_dynamic_filter" -> ((s, d) => {
+      // P5 pinned, incl. the null-safe quirk: a null filter VALUE must
+      // match null cells (<=>), where === would silently return zero
+      // rows. Derived nullable key, same shape as q35.
+      val keyed = T.events(s, d).withColumn("key",
+        when(col("user_id") % 10 === 0, lit(null: java.lang.Long))
+          .otherwise(col("user_id")))
+      Relational.dynamicFilter(keyed,
+          Map("key" -> null, "event_type" -> "click"))
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q109_partial_update" -> ((s, d) => {
+      // P6 + C5 pinned: only provided fields change, every update
+      // expression reads the PRE-update row, and updated_at is stamped
+      // on the hit row only (the BEFORE UPDATE trigger rule). Fixed
+      // timestamps so both engines see the same instants.
+      val base = T.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("updated_at",
+          lit("2024-01-01 00:00:00").cast("timestamp"))
+      Relational.partialUpdate(base, "doc_id", 7L,
+          Map("lang" -> lit("xx"), "n_chars" -> (col("n_chars") + 1000)),
+          now = lit("2025-06-01 12:00:00").cast("timestamp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q110_validation_split" -> ((s, d) => {
+      // C3 pinned: first-failing-rule semantics of Validation.split on
+      // the kb rules — rows derived from documents with injected
+      // violations (null content, bogus source_type, wrong embedding
+      // dim), reject_reason = FIRST failed rule in declaration order
+      val kbish = T.documents(s, d).select(
+        col("doc_id"),
+        when(col("doc_id") % 7 === 0, lit(null: String))
+          .otherwise(col("text")).as("content"),
+        when(col("doc_id") % 5 === 0, lit("bogus"))
+          .otherwise(lit("github")).as("source_type"),
+        when(col("doc_id") % 3 === 0,
+            array_repeat(lit(1.0f), 4))
+          .otherwise(array_repeat(lit(1.0f), schema.Schemas.EmbeddingDim))
+          .as("embedding"))
+      val (_, rejects) = schema.Validation.split(kbish, schema.Validation.kbRules)
+      rejects.select(col("doc_id"), col("reject_reason"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q94_json_redact" -> ((s, d) => {
       // recursive JSON redaction over structured metadata: build a
       // nested payload from real columns, sanitize it, extract fields
@@ -1897,6 +1954,53 @@ object SparkEntry {
         |  FROM tf, st, dfs)
         |SELECT doc_id, round(s, 6) AS score FROM sc WHERE s > 0
         |ORDER BY s DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q107_timing_ring" ->
+      """WITH r AS (SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY ts DESC, event_id) AS rn
+        |  FROM events)
+        |SELECT event_type, count(*) AS "count",
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS average,
+        |  min(value) AS "min", max(value) AS "max",
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM r WHERE rn <= 1000
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q108_dynamic_filter" ->
+      """WITH keyed AS (SELECT *,
+        |    CASE WHEN user_id % 10 = 0 THEN NULL ELSE user_id END AS key
+        |  FROM events)
+        |SELECT event_id, user_id, event_type FROM keyed
+        |WHERE key IS NULL
+        |  AND event_type IS NOT DISTINCT FROM 'click'
+        |ORDER BY event_id""".stripMargin,
+
+    "q109_partial_update" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id = 7 THEN 'xx' ELSE lang END AS lang,
+        |  CASE WHEN doc_id = 7 THEN n_chars + 1000 ELSE n_chars END AS n_chars,
+        |  CASE WHEN doc_id = 7 THEN TIMESTAMP '2025-06-01 12:00:00'
+        |       ELSE TIMESTAMP '2024-01-01 00:00:00' END AS updated_at
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q110_validation_split" ->
+      """WITH kbish AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN NULL ELSE text END AS content,
+        |    CASE WHEN doc_id % 5 = 0 THEN 'bogus' ELSE 'github' END AS source_type,
+        |    CASE WHEN doc_id % 3 = 0 THEN 4 ELSE 1536 END AS emb_dim
+        |  FROM documents),
+        |tagged AS (SELECT doc_id,
+        |  CASE
+        |    WHEN NOT (content IS NOT NULL AND length(content) > 0)
+        |      THEN 'content_required'
+        |    WHEN NOT (source_type IS NULL OR source_type IN
+        |      ('stackoverflow','official_doc','internal','github','confluence','spark_docs'))
+        |      THEN 'source_type_enum'
+        |    WHEN NOT (emb_dim = 1536) THEN 'embedding_dim'
+        |  END AS reject_reason FROM kbish)
+        |SELECT doc_id, reject_reason FROM tagged
+        |WHERE reject_reason IS NOT NULL ORDER BY doc_id""".stripMargin,
 
     // Ranks over the ROUNDED bm25 scores (the fused inputs are the
     // operator outputs), contributions summed in ranking order.

@@ -19,23 +19,30 @@ object Counters {
 
   /** A3: timing stats over the last `keep` samples per metric (the
     * reference's 1000-entry ring buffer,
-    * `backend/core/performance_monitoring.py:226-287`). */
+    * `backend/core/performance_monitoring.py:226-287`).
+    *
+    * `average`/`total` accumulate as DECIMAL and present as DOUBLE
+    * (the [[graft.operators.TimeSeries.rollingStats]] convention), so
+    * partial-aggregation order can't flip low bits between runs or
+    * engines; pass the narrowest `sumType` that holds the data. */
   def timingStats(df: DataFrame, nameCol: String, tsCol: String,
       valueCol: String, keep: Int = 1000,
-      tieBreak: Seq[Column] = Nil): DataFrame = {
+      tieBreak: Seq[Column] = Nil,
+      sumType: String = "decimal(38,18)"): DataFrame = {
     // pass a tieBreak when one metric can carry equal timestamps at the
     // keep-boundary — row_number over a tied sort key is otherwise
     // partition-order-dependent and the surviving sample set drifts
     // between runs
     val w = Window.partitionBy(col(nameCol)).orderBy(desc(tsCol) +: tieBreak: _*)
+    val dec = col(valueCol).cast(sumType)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= keep)
       .groupBy(col(nameCol))
       .agg(count(lit(1)).as("count"),
-        avg(col(valueCol)).as("average"),
+        (sum(dec).cast("double") / count(lit(1))).as("average"),
         min(col(valueCol)).as("min"),
         max(col(valueCol)).as("max"),
-        sum(col(valueCol)).as("total"))
+        sum(dec).cast("double").as("total"))
   }
 
   /** A6: cache hit-rate stats (`backend/utils/caching.py:198-214`). */
