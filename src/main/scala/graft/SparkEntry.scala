@@ -984,6 +984,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q111_cache_stats" -> ((s, d) =>
+      // A6 pinned: hit/miss/total/hit-rate-pct over a derived hit flag
+      // (0/100-valued average is exact in binary, so no decimal dance)
+      analytics.Counters.cacheStats(T.events(s, d), col("value") > 50)),
+
+    "q112_health_rollup" -> ((s, d) =>
+      // A9 pinned: per-component all-healthy first (a re-checked
+      // component counts once), then the overall AND + unhealthy count
+      analytics.Counters.healthRollup(
+        T.events(s, d).select(col("event_type").as("component"),
+          when(col("value") >= 10, lit("healthy")).otherwise(lit("degraded"))
+            .as("status")),
+        "component", "status")),
+
     "q94_json_redact" -> ((s, d) => {
       // recursive JSON redaction over structured metadata: build a
       // nested payload from real columns, sanitize it, extract fields
@@ -2001,6 +2015,25 @@ object SparkEntry {
         |  END AS reject_reason FROM kbish)
         |SELECT doc_id, reject_reason FROM tagged
         |WHERE reject_reason IS NOT NULL ORDER BY doc_id""".stripMargin,
+
+    "q111_cache_stats" ->
+      """SELECT
+        |  sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS hits,
+        |  sum(CASE WHEN value > 50 THEN 0 ELSE 1 END) AS misses,
+        |  count(*) AS total,
+        |  round(avg(CASE WHEN value > 50 THEN 100.0 ELSE 0.0 END), 2)
+        |    AS hit_rate_pct
+        |FROM events""".stripMargin,
+
+    "q112_health_rollup" ->
+      """WITH st AS (SELECT event_type AS component,
+        |    CASE WHEN value >= 10 THEN 'healthy' ELSE 'degraded' END AS status
+        |  FROM events),
+        |per AS (SELECT component, bool_and(status = 'healthy') AS h
+        |  FROM st GROUP BY component)
+        |SELECT bool_and(h) AS overall_healthy, count(*) AS components,
+        |  sum(CASE WHEN NOT h THEN 1 ELSE 0 END) AS unhealthy
+        |FROM per""".stripMargin,
 
     // Ranks over the ROUNDED bm25 scores (the fused inputs are the
     // operator outputs), contributions summed in ranking order.
