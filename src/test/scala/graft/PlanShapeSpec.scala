@@ -117,6 +117,17 @@ class PlanShapeSpec extends SparkSpec {
         plan.map(_.getClass.getSimpleName).mkString(", "))
   }
 
+  test("timing ring keeps WindowGroupLimit below the shuffle (low-cardinality key)") {
+    // q107 windows over event_type (~5 values at any scale): without the
+    // partial WindowGroupLimit, every row of a 100 TB table would funnel
+    // through 5 reducers just to be discarded past rank 1000
+    val plan = collectPlan(SparkEntry.queries("q107_timing_ring")(spark, dir))
+    val wgl = plan.filter(_.getClass.getSimpleName.contains("WindowGroupLimit"))
+    assert(wgl.size >= 2,
+      "expected partial+final WindowGroupLimit for rn<=keep, got:\n" +
+        plan.map(_.getClass.getSimpleName).mkString(", "))
+  }
+
   test("repetitionMetrics is shuffle-free: one scan, zero exchanges") {
     // metrics ride alongside every input column; a consumer projection
     // (as in q79) is what lets Catalyst prune the scan
