@@ -155,6 +155,64 @@ object AnnRecallDemo {
       measure("ivf FLAT   nprobe= 1", flat, qs, Some(exact))
       graft.plans.IvfIndex.unregister(spark, "embedding")
     }
+
+    // ---- PQ: recall vs compression, and the shortlist-rerank repair ----
+    // m=8 subspaces × 256 byte codes over d=64 → 8 bytes/vector (32×
+    // compression). ADC-only ranks by quantized distance; the standard
+    // repair reranks an ADC shortlist exactly. Ground truth is exact
+    // squared-L2 (PQ's metric — the cosine tables above are the IVF
+    // story, this one is the compression story).
+    //
+    // This corpus is PQ's ADVERSARIAL case, on purpose: ~3,900
+    // same-center siblings all quantize to (nearly) the same codes, so
+    // ADC distinguishes clusters but NOT neighbors within one — the
+    // true top-20 are code-tied with thousands of rows and ADC-only
+    // recall collapses to ~k/cluster-size. The numbers below show the
+    // shortlist-rerank repairing exactly as the tie math predicts
+    // (recall ≈ shortlist/cluster-size until the shortlist covers the
+    // cluster), which is the real sizing rule: the ADC shortlist must
+    // cover the quantization-tied neighborhood, not just exceed k.
+    // Real embedding spaces sit far from this extreme (within-
+    // neighborhood spread >> quantization error), and q86/q86b pin the
+    // machinery's exactness independently.
+    import graft.functions.{PqFunctions, PqUtil, VectorFunctions}
+    val tPq = System.nanoTime()
+    val cb = SimilaritySearch.pqTrain(
+      corpus.sample(withReplacement = false, 0.02, seed = 7),
+      "doc_id", "embedding", m = 8, k = 256, iters = 3)
+    val encoded = SimilaritySearch.pqEncodeAll(corpus, "embedding", cb)
+      .localCheckpoint(true)
+    println(f"\npqTrain(m=8, 20k sample) + encode 1M: ${(System.nanoTime() - tPq) / 1e9}%.1f s (one-time)")
+
+    def exactL2(q: Array[Float]): Set[Long] = {
+      val qNormSq = q.map(x => x.toDouble * x).sum
+      topIds(corpus
+        .withColumn("l2sq",
+          VectorFunctions.dotProduct(col("embedding"), col("embedding"))
+            + lit(qNormSq)
+            - lit(2.0) * VectorFunctions.dotProduct(col("embedding"), typedlit(q)))
+        .orderBy(asc("l2sq"), asc("doc_id")).limit(k))
+    }
+    val l2Truth = hardQueries.map(exactL2)
+    println("| PQ path | recall@20 | s/query |")
+    println("|---|---|---|")
+    def pqMeasure(label: String)(run: Array[Float] => DataFrame): Unit = {
+      var secs = 0.0
+      val recalls = hardQueries.zip(l2Truth).map { case (q, truth) =>
+        val t = System.nanoTime()
+        val got = topIds(run(q))
+        secs += (System.nanoTime() - t) / 1e9
+        got.intersect(truth).size.toDouble / k
+      }
+      println(f"| $label | ${recalls.sum / recalls.size}%.3f | ${secs / recalls.size}%.3f |")
+    }
+    pqMeasure("ADC only (8 bytes/vec)")(q =>
+      SimilaritySearch.pqTopK(encoded, "doc_id", "pq_codes", q, cb, k))
+    Seq(1000, 4000, 8000).foreach { shortlist =>
+      pqMeasure(f"ADC shortlist=$shortlist%4d + exact rerank")(q =>
+        SimilaritySearch.pqTopKExact(encoded, "doc_id", "embedding",
+          "pq_codes", q, cb, k, shortlist))
+    }
     spark.stop()
   }
 }
