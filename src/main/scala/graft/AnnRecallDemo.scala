@@ -89,7 +89,14 @@ object AnnRecallDemo {
     // vectors from DIFFERENT centers — the true top-20 straddles
     // clusters, so nprobe=1 must miss and the recall curve shows the
     // tradeoff being tuned.
-    val qRows = corpus.filter(pmod(col("doc_id"), lit(nVecs / (nQueries * 2))) === 3)
+    val qStep = nVecs / (nQueries * 2)
+    require(qStep >= 1, s"ANN_VECS=$nVecs too small for ${nQueries * 2} queries")
+    // hard pairs blend row i with row i+nQueries·qStep; if that offset
+    // is ≡ 0 (mod latent) every pair would share a center and the
+    // between-cluster curve would silently measure the easy case
+    require((nQueries.toLong * qStep) % latent != 0,
+      s"degenerate ANN_VECS=$nVecs: hard-query pairs would share centers")
+    val qRows = corpus.filter(pmod(col("doc_id"), lit(qStep)) === 3)
       .orderBy("doc_id").limit(nQueries * 2).collect()
       .map(_.getSeq[Float](1).toArray)
     val easyQueries: Seq[Array[Float]] = qRows.take(nQueries).zipWithIndex.map {

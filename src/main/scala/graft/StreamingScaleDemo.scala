@@ -44,7 +44,11 @@ object StreamingScaleDemo {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
-    val nReq = sys.env.getOrElse("STREAM_REQUESTS", "1000000").toInt
+    // rounded DOWN to a multiple of batches×10 so the duplicate math
+    // (every 10th re-sends) and the sink-exactness assert stay aligned
+    // for any STREAM_REQUESTS value
+    val nReq =
+      sys.env.getOrElse("STREAM_REQUESTS", "1000000").toInt / 100 * 100
     val batches = 10
     val perBatch = nReq / batches
     val base = java.nio.file.Files.createTempDirectory("graft_stream").toString
@@ -71,26 +75,26 @@ object StreamingScaleDemo {
     val q = JobProcessor.run(spark, input.toDF(), rag,
       JobProcessor.EchoCompleter, s"$base/responses", s"$base/ckpt")
     val t0 = System.nanoTime()
+    // verification runs AFTER the try succeeds — in a finally it would
+    // mask a streaming failure with a secondary missing-path error
     try {
       (0 until batches).foreach { b =>
         input.addData(mkBatch(b))
         q.processAllAvailable()
       }
-    } finally {
-      val secs = (System.nanoTime() - t0) / 1e9
-      val state = Option(q.lastProgress).toSeq
-        .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
-      q.stop()
-      val written = spark.read.parquet(s"$base/responses")
-      val rows = written.count()
-      val uniq = written.select("request_id").distinct().count()
-      val expectUnique = nReq - nReq / 10
-      println(f"job pipeline: $nReq%d requests in $secs%.1f s = " +
-        f"${nReq / secs}%.0f rows/s; dedupState=$state%d sink=$rows%d " +
-        f"unique=$uniq%d (expected $expectUnique%d)")
-      assert(rows == expectUnique, s"sink rows $rows != $expectUnique")
-      assert(uniq == rows, "sink must hold exactly one row per request_id")
-    }
+    } finally q.stop()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val state = Option(q.lastProgress).toSeq
+      .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
+    val written = spark.read.parquet(s"$base/responses")
+    val rows = written.count()
+    val uniq = written.select("request_id").distinct().count()
+    val expectUnique = nReq - nReq / 10
+    println(f"job pipeline: $nReq%d requests in $secs%.1f s = " +
+      f"${nReq / secs}%.0f rows/s; dedupState=$state%d sink=$rows%d " +
+      f"unique=$uniq%d (expected $expectUnique%d)")
+    assert(rows == expectUnique, s"sink rows $rows != $expectUnique")
+    assert(uniq == rows, "sink must hold exactly one row per request_id")
 
     // ---- 2. rate limiter: hot key + 10k-key tail --------------------------
     val nEvents = nReq
@@ -116,22 +120,20 @@ object StreamingScaleDemo {
         rinput.addData(rateBatch(b))
         rq.processAllAvailable()
       }
-    } finally {
-      val secs = (System.nanoTime() - r0) / 1e9
-      rq.stop()
-      val dec = spark.read.parquet(s"$base/decisions")
-      val total = dec.count()
-      val hotAgg = dec.filter(col("id") === hot)
-        .agg(count(lit(1)), sum(when(col("allowed"), 1L).otherwise(0L))).head()
-      val tailDenied = dec.filter(col("id") =!= hot && !col("allowed")).count()
-      println(f"rate limiter: $total%d decisions in $secs%.1f s = " +
-        f"${total / secs}%.0f rows/s; hot key: ${hotAgg.getLong(0)}%d events " +
-        f"${hotAgg.getLong(1)}%d allowed; tail denied=$tailDenied%d")
-      assert(total == nEvents.toLong, s"decisions $total != $nEvents")
-      // the hot key floods its 60s windows: almost everything denied
-      assert(hotAgg.getLong(1) < hotAgg.getLong(0) / 10,
-        "hot key must be mostly denied")
-    }
+    } finally rq.stop()
+    val rsecs = (System.nanoTime() - r0) / 1e9
+    val dec = spark.read.parquet(s"$base/decisions")
+    val total = dec.count()
+    val hotAgg = dec.filter(col("id") === hot)
+      .agg(count(lit(1)), sum(when(col("allowed"), 1L).otherwise(0L))).head()
+    val tailDenied = dec.filter(col("id") =!= hot && !col("allowed")).count()
+    println(f"rate limiter: $total%d decisions in $rsecs%.1f s = " +
+      f"${total / rsecs}%.0f rows/s; hot key: ${hotAgg.getLong(0)}%d events " +
+      f"${hotAgg.getLong(1)}%d allowed; tail denied=$tailDenied%d")
+    assert(total == nEvents.toLong, s"decisions $total != $nEvents")
+    // the hot key floods its 60s windows: almost everything denied
+    assert(hotAgg.getLong(1) < hotAgg.getLong(0) / 10,
+      "hot key must be mostly denied")
     spark.stop()
   }
 }

@@ -66,12 +66,16 @@ object Tables {
         raw.withColumn("ts",
           timestamp_micros(expr("(ts - ((ts % 1000 + 1000) % 1000)) div 1000")))
       case TimestampNTZType =>
-        // The NTZ→LTZ cast interprets the wall-clock in the session
-        // timezone at ANALYSIS time, which happens when the query runs —
-        // pin UTC now so the instant survives unchanged (machine zones
-        // other than UTC would otherwise skew it).
-        s.conf.set("spark.sql.session.timeZone", "UTC")
-        raw.withColumn("ts", col("ts").cast(TimestampType))
+        // An NTZ→LTZ cast normally interprets the wall-clock in the
+        // SESSION timezone at analysis time; pinning the zone on the
+        // Cast expression itself makes the instant independent of
+        // session state (mutating spark.sql.session.timeZone here
+        // would silently shift every unrelated timestamp literal and
+        // date_format in the session — the nanosAsLong hazard again).
+        raw.withColumn("ts", graft.functions.ExprBridge.toColumn(
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            graft.functions.ExprBridge.toExpr(col("ts")),
+            TimestampType, Some("UTC"))))
       case TimestampType => raw
       case other =>
         throw new IllegalStateException(

@@ -79,6 +79,24 @@ class TablesSpec extends SparkSpec {
     assert(rowsA.map(t => (t._1, t._3)) == base.toSet)
   }
 
+  test("property: events instants are session-timezone-independent (zone pinned on the cast)") {
+    // the NTZ branch pins UTC on the Cast expression itself — loading
+    // under a non-UTC session must neither shift the instants nor
+    // mutate the session timezone
+    val tzKey = "spark.sql.session.timeZone"
+    val before = spark.conf.get(tzKey)
+    val utc = Tables.events(spark, sfDir)
+      .select(unix_micros(col("ts"))).limit(50).collect().map(_.getLong(0)).toSeq
+    try {
+      spark.conf.set(tzKey, "America/New_York")
+      val ny = Tables.events(spark, sfDir)
+        .select(unix_micros(col("ts"))).limit(50).collect().map(_.getLong(0)).toSeq
+      assert(ny == utc, "instants shifted under a non-UTC session timezone")
+      assert(spark.conf.get(tzKey) == "America/New_York",
+        "the loader must not mutate the session timezone")
+    } finally spark.conf.set(tzKey, before)
+  }
+
   test("property: array<double> embeddings normalize to array<float> through Tables.byName") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_emb_fmt").toString
