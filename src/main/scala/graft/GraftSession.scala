@@ -119,13 +119,17 @@ final case class GraftSession(
     * whose plan the rule cannot match, so those sessions fall back to
     * the exact scan until indexKnowledge runs again — stale-index
     * answers are never served. */
+  private case class IvfState(path: String, idCol: String, vecCol: String,
+      cents: org.apache.spark.sql.DataFrame, nprobe: Int)
+  @volatile private var ivfState: Option[IvfState] = None
+
   def indexKnowledge(path: String, nClusters: Int, nprobe: Int,
       idCol: String = "id", vecCol: String = "embedding",
       kmeansIters: Int = 10): this.type = synchronized {
     import graft.operators.SimilaritySearch
     val kb = knowledgeBase
     val cents = SimilaritySearch.kmeansCentroids(kb, idCol, vecCol,
-      nClusters, kmeansIters)
+      nClusters, kmeansIters).localCheckpoint(true)
     val assigned = SimilaritySearch.assignClusters(kb, vecCol, cents)
     // PARTITION the persisted KB by cluster (the ivfflat list layout):
     // the planner rule's `cluster IN (probed)` filter then prunes at the
@@ -142,8 +146,62 @@ final case class GraftSession(
     // localCheckpoint would swap the plan's leaf for a LogicalRDD the
     // rule can't match; the file-backed frame is already lineage-free
     kbDf = Some(reloaded)
+    ivfState = Some(IvfState(path, idCol, vecCol, cents, nprobe))
     this
   }
+
+  /** Keyed upsert into the indexed KB WITHOUT retraining or a full
+    * rewrite — the maintenance path [[graft.operators.LexicalIndex
+    * .upsert]] gives the lexical index, for the IVF layout:
+    *
+    *  1. assign the batch to the EXISTING centroids (the coarse
+    *     quantizer is fixed between rebuilds, like ivfflat's lists);
+    *  2. rewrite only the touched cluster DIRECTORIES — the batch's
+    *     clusters plus any cluster still holding an old version of an
+    *     updated id (an update can move a doc across clusters; the old
+    *     row must die where it lives). Dynamic partition overwrite
+    *     leaves every untouched cluster's files alone;
+    *  3. reload and re-register, so later searches serve the new rows
+    *     through the same planner-pruned path.
+    *
+    * Last-wins by `idCol` within the batch and against the stored
+    * table. Rewrite granularity is the cluster partition (same
+    * tradeoff as any partition-level merge); for row-keyed
+    * touched-file-only merges use the MergeTable-backed KB instead.
+    * Centroids drift as the corpus grows — re-run [[indexKnowledge]]
+    * to retrain when recall degrades. */
+  def upsertIndexedKnowledge(docs: org.apache.spark.sql.DataFrame): this.type =
+    synchronized {
+      import org.apache.spark.sql.functions.col
+      import graft.operators.SimilaritySearch
+      val st = ivfState.getOrElse(throw new IllegalStateException(
+        "indexKnowledge has not run in this session"))
+      val current = spark.read.parquet(st.path)
+      val batch = SimilaritySearch.assignClusters(
+          docs.dropDuplicates(st.idCol), st.vecCol, st.cents)
+        .select(current.columns.map(col): _*)
+      val newIds = batch.select(col(st.idCol)).distinct()
+      // clusters to rewrite: where the new rows land + where old
+      // versions of these ids currently live
+      val touched = (batch.select(col("cluster")) unionByName
+          current.join(newIds, Seq(st.idCol), "left_semi").select(col("cluster")))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      val kept = current.filter(col("cluster").isin(touched: _*))
+        .join(newIds, Seq(st.idCol), "left_anti")
+      // materialize BEFORE the write: the output partitions are read as
+      // input above, and an un-truncated lineage would trip Spark's
+      // cannot-overwrite-a-path-being-read-from check
+      val out = kept.unionByName(batch).localCheckpoint(true)
+      out.repartition(col("cluster"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cluster").parquet(st.path)
+      val reloaded = spark.read.parquet(st.path)
+      graft.plans.IvfIndex.register(
+        spark, reloaded, "cluster", st.vecCol, st.cents, st.nprobe)
+      kbDf = Some(reloaded)
+      this
+    }
 
   /** Multi-source smart search with the embed+upsert side effect applied
     * to the held knowledge base. Synchronized: the read-merge-swap of the

@@ -106,6 +106,43 @@ class GraftSessionSpec extends SparkSpec {
     } finally graft.plans.IvfIndex.unregister(spark, "embedding")
   }
 
+  test("upsertIndexedKnowledge: keyed last-wins into the partitioned layout, searches see it") {
+    val emb = HashEmbedder(16)
+    val g = GraftSession(spark, emb)
+    def mkKb(rows: Seq[(Long, String)]) =
+      emb.embedColumn(rows.toDF("id", "content"), "content", "embedding")
+    val initial = (1L to 12L).map(i => (i, s"document number $i about topic${i % 4}"))
+    g.loadKnowledgeBase(mkKb(initial))
+    val path = java.nio.file.Files.createTempDirectory("gs_ivf_up").toString + "/kb"
+    g.indexKnowledge(path, nClusters = 2, nprobe = 2)
+    try {
+      // update doc 3 (content change moves its embedding — possibly
+      // across clusters) and add doc 99
+      val batch = Seq((3L, "entirely different replacement text"),
+        (99L, "a brand new late-arriving document"))
+      g.upsertIndexedKnowledge(mkKb(batch))
+
+      val kb2 = g.knowledgeBase
+      assert(kb2.count() === 13L, "12 initial + 1 new")
+      assert(kb2.groupBy("id").count().filter(col("count") > 1).count() === 0L,
+        "exactly one row per id after the upsert (old versions must die)")
+      assert(kb2.filter(col("id") === 3L).select("content").head().getString(0)
+        === "entirely different replacement text")
+
+      // equals the from-scratch row set (id + content identity; cluster
+      // assignment is pinned by the planner-path search check below)
+      val got = kb2.select("id", "content").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      val want = (initial.filterNot(_._1 == 3L) ++ batch).toSet
+      assert(got === want)
+
+      // the new doc is searchable through the planner-pruned path
+      val hits = g.searchKnowledge("a brand new late-arriving document", k = 3)
+        .select("id").collect().map(_.getLong(0)).toSeq
+      assert(hits.contains(99L), s"new doc must be retrievable, got $hits")
+    } finally graft.plans.IvfIndex.unregister(spark, "embedding")
+  }
+
   test("cleanupExpired sweeps and reports the count") {
     val emb = HashEmbedder(8)
     val g = GraftSession(spark, emb)
