@@ -123,12 +123,25 @@ final case class GraftSession(
       cents: org.apache.spark.sql.DataFrame, nprobe: Int)
   @volatile private var ivfState: Option[IvfState] = None
 
+  /** @param trainSampleFraction fraction of the KB the coarse
+    *        quantizer trains on. 1.0 (default) keeps small-KB behavior;
+    *        at corpus scale pass ~100k/|kb| — the farthest-point
+    *        seeding makes one full pass per seed, so full-corpus
+    *        training is quadratic-ish in practice while a sample
+    *        saturates quantizer quality (standard IVF practice,
+    *        measured in AnnRecallDemo). */
   def indexKnowledge(path: String, nClusters: Int, nprobe: Int,
       idCol: String = "id", vecCol: String = "embedding",
-      kmeansIters: Int = 10): this.type = synchronized {
+      kmeansIters: Int = 10,
+      trainSampleFraction: Double = 1.0): this.type = synchronized {
     import graft.operators.SimilaritySearch
+    require(trainSampleFraction > 0.0 && trainSampleFraction <= 1.0,
+      s"trainSampleFraction must be in (0, 1], got $trainSampleFraction")
     val kb = knowledgeBase
-    val cents = SimilaritySearch.kmeansCentroids(kb, idCol, vecCol,
+    val train =
+      if (trainSampleFraction >= 1.0) kb
+      else kb.sample(withReplacement = false, trainSampleFraction, seed = 42)
+    val cents = SimilaritySearch.kmeansCentroids(train, idCol, vecCol,
       nClusters, kmeansIters).localCheckpoint(true)
     val assigned = SimilaritySearch.assignClusters(kb, vecCol, cents)
     // PARTITION the persisted KB by cluster (the ivfflat list layout):
