@@ -2,34 +2,96 @@
 """Local stand-in for the driver's correctness gate.
 
 Usage: python3 dev/check_oracle.py <outDir> [queryName...]
+       python3 dev/check_oracle.py --selftest
 
 Expects `sbt "runMain graft.Verify <sfDir> <outDir> [queryName...]"` to have
 run first; compares each <outDir>/<name> parquet against the DuckDB result of
-oracle_sql.json's SQL over the same sf tables, columns sorted by name,
-values stringified and multiset-compared (the driver hashes; equality of the
-sorted multisets implies equal hashes).
+oracle_sql.json's SQL over the same sf tables, columns sorted by name.
+
+TYPE-AWARE (r9): the driver's hash gate distinguishes Arrow column types —
+r8's q111/q112 were value-identical but hash-red because DuckDB returned
+sum() as HUGEINT/decimal128 while Spark wrote int64, and the old stringify-
+only comparison here could not see it. Now each column's Arrow type must
+match (modulo a tiny allowlist of physical-encoding synonyms below) BEFORE
+values are compared, so a type skew fails locally the way it fails in the
+driver.
 """
 import sys, json, glob, os, decimal
 import duckdb
+import pyarrow as pa
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+
+def canon_type(t):
+    """Canonical name for an Arrow type, collapsing only pure
+    physical-encoding synonyms (offset width, dictionary encoding) that
+    no hash over logical values can distinguish. Everything else —
+    int64 vs decimal128, int32 vs int64, timestamp unit/tz — stays
+    distinct, matching the driver's type-aware gate."""
+    if pa.types.is_dictionary(t):
+        t = t.value_type
+    if pa.types.is_large_string(t) or pa.types.is_string(t):
+        return "string"
+    if pa.types.is_large_binary(t) or pa.types.is_binary(t):
+        return "binary"
+    if pa.types.is_large_list(t) or pa.types.is_list(t):
+        return f"list<{canon_type(t.value_type)}>"
+    if pa.types.is_struct(t):
+        inner = ", ".join(
+            f"{t.field(i).name}: {canon_type(t.field(i).type)}"
+            for i in range(t.num_fields))
+        return f"struct<{inner}>"
+    if pa.types.is_map(t):
+        return f"map<{canon_type(t.key_type)}, {canon_type(t.item_type)}>"
+    return str(t)
+
+
+def type_mismatches(sdf, odf, cols):
+    """Per-column canonical-type diffs between two Arrow tables."""
+    out = []
+    for c in cols:
+        st = canon_type(sdf.schema.field(c).type)
+        ot = canon_type(odf.schema.field(c).type)
+        if st != ot:
+            out.append((c, st, ot))
+    return out
+
 
 def norm(v):
     # Full precision, not .6f: the oracle queries pre-round to 6
     # decimals themselves, so collapsing here would hide real raw-double
     # divergence the driver's hash gate would catch. +0.0 clears -0.0;
-    # .17g renders 5.0 as "5", matching int 5 across engine type skew.
+    # .17g renders 5.0 as "5". (Type skew no longer hides behind this —
+    # it is caught by the schema-type gate before values are compared.)
     if isinstance(v, decimal.Decimal):
-        # engine type skew (DuckDB DECIMAL vs Spark DOUBLE). Known
-        # limitation: a DECIMAL with >17 significant digits collapses to
-        # double here and could mask sub-ulp divergence the driver's
-        # exact hash gate would catch — the driver remains authoritative.
         v = float(v)
     if isinstance(v, float):
         return format(v + 0.0 if v == 0 else v, ".17g")
     return str(v)
 
+
+def selftest():
+    """The r8 failure mode as a fixture: identical values, int64 vs
+    decimal128(38,0). The gate must flag it."""
+    a = pa.table({"hits": pa.array([3665], type=pa.int64())})
+    b = pa.table({"hits": pa.array([decimal.Decimal(3665)],
+                                   type=pa.decimal128(38, 0))})
+    mm = type_mismatches(a, b, ["hits"])
+    assert mm, "type gate FAILED to flag int64 vs decimal128"
+    assert norm(a.to_pylist()[0]["hits"]) == norm(b.to_pylist()[0]["hits"]), \
+        "fixture values should stringify equal (that's the trap)"
+    # and encoding synonyms must NOT flag
+    c = pa.table({"s": pa.array(["x"], type=pa.string())})
+    d = pa.table({"s": pa.array(["x"], type=pa.large_string())})
+    assert not type_mismatches(c, d, ["s"]), "large_string==string synonym"
+    print(f"selftest ok: flags {mm[0][1]} vs {mm[0][2]} on equal values; "
+          "ignores string-vs-large_string encoding")
+
+
 def main():
+    if sys.argv[1:2] == ["--selftest"]:
+        selftest(); return
     out = sys.argv[1]
     only = set(sys.argv[2:])
     oracle = json.load(open(os.path.join(out, "oracle_sql.json")))
@@ -57,6 +119,10 @@ def main():
         if scols != ocols:
             print(f"{name}: SCHEMA MISMATCH spark={scols} oracle={ocols}")
             fails += 1; continue
+        mm = type_mismatches(sdf, odf, scols)
+        if mm:
+            det = ", ".join(f"{c}: spark={st} oracle={ot}" for c, st, ot in mm)
+            print(f"{name}: TYPE MISMATCH {det}"); fails += 1; continue
         srows = sorted(tuple(norm(r[c]) for c in scols) for r in sdf.to_pylist())
         orows = sorted(tuple(norm(r[c]) for c in ocols) for r in odf.to_pylist())
         if len(srows) != len(orows):
@@ -67,6 +133,7 @@ def main():
         else:
             print(f"{name}: ok ({len(srows)} rows)")
     sys.exit(1 if fails else 0)
+
 
 if __name__ == "__main__":
     main()

@@ -1525,7 +1525,7 @@ object SparkEntry {
         |WHERE e.label = 3 ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin,
 
     "q42_centroids" ->
-      """SELECT label, r.i AS dim,
+      """SELECT label, CAST(r.i AS INTEGER) AS dim,
         |  round(list_aggregate(list_sort(list(CAST(embedding[r.i] AS DOUBLE))), 'sum')
         |    / count(*), 6) AS mean
         |FROM embeddings CROSS JOIN range(1, 65) r(i)
@@ -2016,12 +2016,15 @@ object SparkEntry {
         |SELECT doc_id, reject_reason FROM tagged
         |WHERE reject_reason IS NOT NULL ORDER BY doc_id""".stripMargin,
 
+    // Final-output sums cast ::BIGINT: DuckDB's sum(int) is HUGEINT
+    // (decimal128 in Arrow) while Spark's sum(long) is int64, and the
+    // driver's hash gate is type-aware (r8's only red rows).
     "q111_cache_stats" ->
       """SELECT
-        |  sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS hits,
-        |  sum(CASE WHEN value > 50 THEN 0 ELSE 1 END) AS misses,
+        |  sum(CASE WHEN value > 50 THEN 1 ELSE 0 END)::BIGINT AS hits,
+        |  sum(CASE WHEN value > 50 THEN 0 ELSE 1 END)::BIGINT AS misses,
         |  count(*) AS total,
-        |  round(avg(CASE WHEN value > 50 THEN 100.0 ELSE 0.0 END), 2)
+        |  round(avg(CASE WHEN value > 50 THEN 100.0 ELSE 0.0 END), 2)::DOUBLE
         |    AS hit_rate_pct
         |FROM events""".stripMargin,
 
@@ -2032,7 +2035,7 @@ object SparkEntry {
         |per AS (SELECT component, bool_and(status = 'healthy') AS h
         |  FROM st GROUP BY component)
         |SELECT bool_and(h) AS overall_healthy, count(*) AS components,
-        |  sum(CASE WHEN NOT h THEN 1 ELSE 0 END) AS unhealthy
+        |  sum(CASE WHEN NOT h THEN 1 ELSE 0 END)::BIGINT AS unhealthy
         |FROM per""".stripMargin,
 
     // Ranks over the ROUNDED bm25 scores (the fused inputs are the
@@ -2192,7 +2195,7 @@ object SparkEntry {
 
     "q88_histogram" ->
       """SELECT CAST(floor(value / 10.0) AS BIGINT) AS bin,
-        |  CAST(floor(value / 10.0) AS BIGINT) * 10.0 AS bin_start,
+        |  (CAST(floor(value / 10.0) AS BIGINT) * 10.0)::DOUBLE AS bin_start,
         |  count(*) AS n, min(value) AS lo, max(value) AS hi
         |FROM events WHERE value IS NOT NULL
         |GROUP BY 1 ORDER BY bin""".stripMargin,
