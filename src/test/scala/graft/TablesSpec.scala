@@ -42,6 +42,63 @@ class TablesSpec extends SparkSpec {
     assert(Tables.events(spark, sfDir).schema("ts").dataType == TimestampType)
   }
 
+  // The full POST-LOADER schema of every driver table, pinned. The
+  // loadability canary above catches formats the loaders reject; this
+  // one catches the quieter failure mode — a provision change the
+  // reader ACCEPTS but that shifts a column's type (events.value
+  // double→decimal, props string→map, …), which would otherwise
+  // surface as N red oracle rows instead of one named test. Types are
+  // `DataType.sql`; nullability is deliberately not pinned (parquet
+  // writers flip it without semantic effect). `o_orderdate`/
+  // `l_shipdate` really are TIMESTAMP_NTZ today (parquet µs with
+  // isAdjustedToUTC=false) — the DuckDB oracle reads the same files
+  // naive, so NTZ is the correct pin, not a bug.
+  private val pinnedSchemas: Map[String, String] = Map(
+    "region" -> "r_regionkey:INT, r_name:STRING",
+    "nation" -> "n_nationkey:INT, n_name:STRING, n_regionkey:INT",
+    "customer" -> ("c_custkey:BIGINT, c_name:STRING, c_nationkey:INT, " +
+      "c_acctbal:DOUBLE, c_mktsegment:STRING"),
+    "supplier" -> "s_suppkey:BIGINT, s_name:STRING, s_nationkey:INT, s_acctbal:DOUBLE",
+    "part" -> ("p_partkey:BIGINT, p_name:STRING, p_brand:STRING, " +
+      "p_type:STRING, p_size:INT, p_retailprice:DOUBLE"),
+    "orders" -> ("o_orderkey:BIGINT, o_custkey:BIGINT, o_orderstatus:STRING, " +
+      "o_totalprice:DOUBLE, o_orderdate:TIMESTAMP_NTZ, o_orderpriority:STRING"),
+    "lineitem" -> ("l_orderkey:BIGINT, l_partkey:BIGINT, l_suppkey:BIGINT, " +
+      "l_linenumber:INT, l_quantity:DOUBLE, l_extendedprice:DOUBLE, " +
+      "l_discount:DOUBLE, l_tax:DOUBLE, l_returnflag:STRING, " +
+      "l_linestatus:STRING, l_shipdate:TIMESTAMP_NTZ"),
+    "events" -> ("event_id:BIGINT, ts:TIMESTAMP, user_id:BIGINT, " +
+      "event_type:STRING, value:DOUBLE, props:STRING"),
+    "documents" -> "doc_id:BIGINT, text:STRING, lang:STRING, source:STRING, n_chars:BIGINT",
+    "embeddings" -> "vec_id:BIGINT, embedding:ARRAY<FLOAT>, label:INT")
+
+  private def schemaLine(df: org.apache.spark.sql.DataFrame): String =
+    df.schema.fields.map(f => s"${f.name}:${f.dataType.sql}").mkString(", ")
+
+  test("canary: post-loader column types are pinned for all 10 tables at every provisioned SF") {
+    Seq("sf0.001", "sf0.01", "sf0.1").foreach { sf =>
+      Tables.all.foreach { name =>
+        val got = schemaLine(Tables.byName(spark, s"/root/testdata/$sf", name))
+        assert(got == pinnedSchemas(name),
+          s"table '$sf/$name' schema drifted from the pin — a provision " +
+            s"format change; update the affected loader/queries, then re-pin")
+      }
+    }
+  }
+
+  test("canary: the type pin goes red on a wrong-type fixture") {
+    import spark.implicits._
+    // documents with n_chars double instead of bigint — the kind of
+    // accepted-but-shifted change the pin exists to catch
+    val dir = java.nio.file.Files.createTempDirectory("graft_pin_red").toString
+    Seq((1L, "t", "en", "web", 1.0))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = schemaLine(Tables.byName(spark, dir, "documents"))
+    assert(got != pinnedSchemas("documents"))
+    assert(got.contains("n_chars:DOUBLE"))
+  }
+
   test("property: INT64-nanos and µs-NTZ events fixtures are identical through Tables.byName") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_evt_fmt").toString
