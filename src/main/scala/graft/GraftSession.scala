@@ -173,12 +173,27 @@ final case class GraftSession(
     *     clusters plus any cluster still holding an old version of an
     *     updated id (an update can move a doc across clusters; the old
     *     row must die where it lives). Dynamic partition overwrite
-    *     leaves every untouched cluster's files alone;
+    *     leaves every untouched cluster's files alone — and because it
+    *     only rewrites partitions PRESENT in the output, a touched
+    *     cluster the upsert fully drains (every row it held was an old
+    *     version, no new row lands there) is deleted explicitly, or
+    *     its stale files would survive and keep serving;
     *  3. reload and re-register, so later searches serve the new rows
     *     through the same planner-pruned path.
     *
-    * Last-wins by `idCol` within the batch and against the stored
-    * table. Rewrite granularity is the cluster partition (same
+    * Against the stored table the batch row always wins. WITHIN the
+    * batch, duplicate ids resolve arbitrarily (`dropDuplicates` keeps
+    * a partition-order-dependent row) — pre-reduce to one row per id
+    * (e.g. `row_number` over your version column) if a batch can carry
+    * several versions of the same id.
+    *
+    * The rewrite happens in place on the serving path: `synchronized`
+    * serializes mutators, but a SEARCH running concurrently with the
+    * upsert can observe a mixed snapshot or fail on a just-deleted
+    * file. Deployments that cannot tolerate that window should write a
+    * fresh path + [[indexKnowledge]]-style re-register, or use the
+    * MergeTable-backed KB (versioned manifests, OCC — readers pin a
+    * manifest). Rewrite granularity is the cluster partition (same
     * tradeoff as any partition-level merge); for row-keyed
     * touched-file-only merges use the MergeTable-backed KB instead.
     * Centroids drift as the corpus grows — re-run [[indexKnowledge]]
@@ -209,6 +224,21 @@ final case class GraftSession(
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("cluster").parquet(st.path)
+      // dynamic overwrite only replaces partitions present in `out`; a
+      // touched cluster with ZERO surviving rows (all were old versions
+      // of updated ids, none of the batch landed there) never appears
+      // in `out`, so its directory — all stale rows — must be deleted
+      // explicitly or they would keep being served
+      val written = out.select(col("cluster")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      val drained = touched.filterNot(written)
+      if (drained.nonEmpty) {
+        val fs = new org.apache.hadoop.fs.Path(st.path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        drained.foreach { c =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"${st.path}/cluster=$c"), true)
+        }
+      }
       val reloaded = spark.read.parquet(st.path)
       graft.plans.IvfIndex.register(
         spark, reloaded, "cluster", st.vecCol, st.cents, st.nprobe)

@@ -143,6 +143,49 @@ class GraftSessionSpec extends SparkSpec {
     } finally graft.plans.IvfIndex.unregister(spark, "embedding")
   }
 
+  test("upsertIndexedKnowledge: a fully drained cluster's stale directory dies") {
+    // The dynamic-overwrite trap: a touched cluster whose every row is
+    // an old version of an updated id, and which receives no batch row,
+    // is absent from the upsert's output — dynamic partition overwrite
+    // alone would leave its directory (all stale rows) serving forever.
+    val emb = HashEmbedder(16)
+    val g = GraftSession(spark, emb)
+    def mkKb(rows: Seq[(Long, String)]) =
+      emb.embedColumn(rows.toDF("id", "content"), "content", "embedding")
+    val initial = (1L to 12L).map(i => (i, s"document number $i about topic${i % 4}"))
+    g.loadKnowledgeBase(mkKb(initial))
+    val path = java.nio.file.Files.createTempDirectory("gs_ivf_drain").toString + "/kb"
+    g.indexKnowledge(path, nClusters = 2, nprobe = 2)
+    try {
+      // read the layout, pick the smaller cluster, and rewrite EVERY id
+      // it holds with the content of a doc from the other cluster — the
+      // identical embedding assigns to the other centroid, so the donor
+      // cluster drains completely
+      val layout = spark.read.parquet(path)
+        .select(col("id"), col("cluster"), col("content"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      val byCluster = layout.groupBy(_._2)
+      assert(byCluster.size == 2, s"need 2 populated clusters, got ${byCluster.keySet}")
+      val (drainC, drainRows) = byCluster.minBy(_._2.length)
+      val donorContent = byCluster.maxBy(_._2.length)._2.head._3
+      val batch = drainRows.map { case (id, _, _) => (id, donorContent) }.toSeq
+      g.upsertIndexedKnowledge(mkKb(batch))
+
+      val kb2 = g.knowledgeBase
+      assert(kb2.groupBy("id").count().filter(col("count") > 1).count() === 0L,
+        "stale old versions survived in the drained cluster directory")
+      assert(kb2.count() === 12L)
+      batch.foreach { case (id, c) =>
+        assert(kb2.filter(col("id") === id).select("content").head().getString(0) === c)
+      }
+      // and the drained directory itself is gone from the layout
+      val remaining = spark.read.parquet(path).select("cluster")
+        .distinct().collect().map(_.getInt(0)).toSet
+      assert(!remaining.contains(drainC),
+        s"cluster $drainC drained but its directory still holds rows")
+    } finally graft.plans.IvfIndex.unregister(spark, "embedding")
+  }
+
   test("cleanupExpired sweeps and reports the count") {
     val emb = HashEmbedder(8)
     val g = GraftSession(spark, emb)
