@@ -67,11 +67,26 @@ object Bench {
     // pay global lazy-init (codegen compiler, parquet readers, shuffle
     // machinery) that every later session gets for free — measured as a
     // 1.2-1.6x penalty confined to q01-q03 in sorted order
+    // Provenance for drift adjudication: every absolute-regression
+    // investigation so far (q80 r7, q38/q71 r7, q30 r8-watch) resolved
+    // to HOST state — a bench run minutes after the driver re-provisions
+    // the machine reads everything through a cold page cache. Record the
+    // signals that make that self-evident in the artifact itself:
+    // when the testdata was (re)provisioned, when the bench started, and
+    // the cold-JVM first-warmup wall time (inflates ~2x on a cold cache;
+    // see memory of r7/r8 A/Bs).
+    val sfMtime = try java.time.Instant
+        .ofEpochMilli(new java.io.File(sfDir).lastModified()).toString
+      catch { case _: Throwable => "unknown" }
+    val benchStart = java.time.Instant.now().toString
+    var warmupFirstSec = -1.0
     locally {
       val spark = newSession()
-      try names.take(3).foreach { n =>
+      try names.take(3).zipWithIndex.foreach { case (n, i) =>
+        val t0 = System.nanoTime()
         try SparkEntry.queries(n)(spark, sfDir).count()
         catch { case _: Throwable => () }
+        if (i == 0) warmupFirstSec = (System.nanoTime() - t0) / 1e9
       } finally {
         spark.stop()
         SparkSession.clearActiveSession()
@@ -130,8 +145,10 @@ object Bench {
     val failedField =
       if (failed.isEmpty) ""
       else s""","failed":${failed.map(n => jstr(short(n))).mkString("[", ",", "]")}"""
+    val prov = s""","provenance":{"sf_mtime":${jstr(sfMtime)},""" +
+      s""""start":${jstr(benchStart)},"warmup_first_sec":${fmt(warmupFirstSec)}}"""
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":${jstr(sfDir)}$failedField}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":${jstr(sfDir)}$prov$failedField}"""
     // Also drop a copy on disk so the result survives any output capture.
     try {
       val w = new java.io.PrintWriter("bench_last.json")
@@ -168,6 +185,13 @@ object Bench {
       "price in LexicalIndex BUILD form: the indexed serving scan they " +
       "pin is the sub-second part (RetrievalScaleDemo: 10.7s fresh vs " +
       "1.8s indexed at 400k docs once the build is amortized).")
+    println("note: provenance in the JSON line — sf_mtime is the testdata " +
+      "provision timestamp, start the bench start, warmup_first_sec the " +
+      "cold-JVM first warmup query's wall time. A bench starting within " +
+      "~1h of sf_mtime, or a warmup_first_sec ~2x its round norm, means " +
+      "cold host caches: interpret absolute per-query regressions " +
+      "against that before suspecting the code (the r7 q38/q71 and r8 " +
+      "q30 drifts all resolved this way).")
     println("note: sub-second queries carry a measured +/-0.15s run-to-run " +
       "noise band under the per-query fresh-context methodology (GC and " +
       "scheduler timing, NOT plan cost — r5's q40 0.68s vs r6's 0.36s on " +
