@@ -220,6 +220,42 @@ object AnnRecallDemo {
         SimilaritySearch.pqTopKExact(encoded, "doc_id", "embedding",
           "pq_codes", q, cb, k, shortlist))
     }
+
+    // ---- amortized ivfpq serving vs in-query training ----
+    // The q86 bench convention times pqTrain INSIDE the query (oracle
+    // self-containment); the deployment story is the opposite: encode
+    // once into the cluster-partitioned layout, persist the codebooks
+    // beside it, and every later query deserializes + scans codes only.
+    // Same shortlist/rerank as the 8000-row line above, but from DISK
+    // through the persisted layout instead of a pre-trained in-memory
+    // frame — plus the one-query-pays-everything counterfactual.
+    val ivfpqPath = s"$base/ivfpq"
+    val tPersist = System.nanoTime()
+    SimilaritySearch.pqEncodeAll(clustered, "embedding", cb)
+      .repartition(col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(ivfpqPath)
+    SimilaritySearch.pqSaveCodebooks(spark, s"$ivfpqPath/_pq_codebooks", cb)
+    println(f"persist ivfpq layout (encode+write 1M): ${(System.nanoTime() - tPersist) / 1e9}%.1f s (one-time)")
+    val served = spark.read.parquet(ivfpqPath)
+    val cbLoaded = SimilaritySearch.pqLoadCodebooks(spark, s"$ivfpqPath/_pq_codebooks")
+    println("| serving path | recall@20 | s/query |")
+    println("|---|---|---|")
+    pqMeasure("amortized: persisted codes + loaded codebooks, shortlist=8000")(q =>
+      SimilaritySearch.pqTopKExact(served, "doc_id", "embedding",
+        "pq_codes", q, cbLoaded, k, 8000))
+    locally {
+      val q = hardQueries.head
+      val t1 = System.nanoTime()
+      val cb1 = SimilaritySearch.pqTrain(
+        corpus.sample(withReplacement = false, 0.02, seed = 7),
+        "doc_id", "embedding", m = 8, k = 256, iters = 3)
+      val enc1 = SimilaritySearch.pqEncodeAll(corpus, "embedding", cb1)
+      SimilaritySearch.pqTopKExact(enc1, "doc_id", "embedding",
+        "pq_codes", q, cb1, k, 8000).collect()
+      println(f"in-query-trained single query (the q86 accounting): " +
+        f"${(System.nanoTime() - t1) / 1e9}%.1f s — training dominates; " +
+        "the amortized row above is the per-query serving cost")
+    }
     spark.stop()
   }
 }

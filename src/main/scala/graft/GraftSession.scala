@@ -120,7 +120,8 @@ final case class GraftSession(
     * the exact scan until indexKnowledge runs again — stale-index
     * answers are never served. */
   private case class IvfState(path: String, idCol: String, vecCol: String,
-      cents: org.apache.spark.sql.DataFrame, nprobe: Int)
+      cents: org.apache.spark.sql.DataFrame, nprobe: Int,
+      pqCodebooks: Option[Array[Array[Array[Float]]]] = None)
   @volatile private var ivfState: Option[IvfState] = None
 
   /** @param trainSampleFraction fraction of the KB the coarse
@@ -129,11 +130,17 @@ final case class GraftSession(
     *        seeding makes one full pass per seed, so full-corpus
     *        training is quadratic-ish in practice while a sample
     *        saturates quantizer quality (standard IVF practice,
-    *        measured in AnnRecallDemo). */
+    *        measured in AnnRecallDemo).
+    *  @param pqM > 0 upgrades the layout to ivfpq: PQ codebooks (`pqM`
+    *        subspaces × `pqK` byte codes) are trained on the same
+    *        sample, every row is encoded into a `pq_codes` column, and
+    *        [[searchKnowledgePq]] serves codes-only ADC reads. 0
+    *        (default) keeps the plain ivfflat layout. */
   def indexKnowledge(path: String, nClusters: Int, nprobe: Int,
       idCol: String = "id", vecCol: String = "embedding",
       kmeansIters: Int = 10,
-      trainSampleFraction: Double = 1.0): this.type = synchronized {
+      trainSampleFraction: Double = 1.0,
+      pqM: Int = 0, pqK: Int = 256, pqIters: Int = 5): this.type = synchronized {
     import graft.operators.SimilaritySearch
     require(trainSampleFraction > 0.0 && trainSampleFraction <= 1.0,
       s"trainSampleFraction must be in (0, 1], got $trainSampleFraction")
@@ -143,7 +150,13 @@ final case class GraftSession(
       else kb.sample(withReplacement = false, trainSampleFraction, seed = 42)
     val cents = SimilaritySearch.kmeansCentroids(train, idCol, vecCol,
       nClusters, kmeansIters).localCheckpoint(true)
-    val assigned = SimilaritySearch.assignClusters(kb, vecCol, cents)
+    val cb =
+      if (pqM > 0) Some(SimilaritySearch.pqTrain(train, idCol, vecCol,
+        pqM, pqK, pqIters))
+      else None
+    val assigned0 = SimilaritySearch.assignClusters(kb, vecCol, cents)
+    val assigned = cb.fold(assigned0)(
+      SimilaritySearch.pqEncodeAll(assigned0, vecCol, _))
     // PARTITION the persisted KB by cluster (the ivfflat list layout):
     // the planner rule's `cluster IN (probed)` filter then prunes at the
     // DIRECTORY level and a probe reads ~nprobe/nClusters of the bytes.
@@ -153,14 +166,63 @@ final case class GraftSession(
     // cluster directory holds one file, not one per shuffle task.
     assigned.repartition(org.apache.spark.sql.functions.col("cluster"))
       .write.mode("overwrite").partitionBy("cluster").parquet(path)
+    // side state AFTER the data write (mode=overwrite wipes `path`):
+    // underscore-prefixed children are invisible to partition discovery,
+    // so the data read never picks them up — and a later session can
+    // openIndexedKnowledge without retraining either quantizer
+    cents.write.mode("overwrite").parquet(s"$path/_ivf_centroids")
+    cb.foreach(SimilaritySearch.pqSaveCodebooks(spark, s"$path/_pq_codebooks", _))
     val reloaded = spark.read.parquet(path)
     graft.plans.IvfIndex.register(spark, reloaded, "cluster", vecCol, cents, nprobe)
     // NOT setKb: the registration binds to the parquet scan paths, and a
     // localCheckpoint would swap the plan's leaf for a LogicalRDD the
     // rule can't match; the file-backed frame is already lineage-free
     kbDf = Some(reloaded)
-    ivfState = Some(IvfState(path, idCol, vecCol, cents, nprobe))
+    ivfState = Some(IvfState(path, idCol, vecCol, cents, nprobe, cb))
     this
+  }
+
+  /** Reopen an index a previous session built with [[indexKnowledge]]
+    * — loads the persisted coarse centroids (and PQ codebooks, if the
+    * layout is ivfpq), registers the planner rule, and serves: the
+    * train-once-at-ingest amortization. Nothing is retrained. */
+  def openIndexedKnowledge(path: String, nprobe: Int,
+      idCol: String = "id", vecCol: String = "embedding"): this.type =
+    synchronized {
+      import graft.operators.SimilaritySearch
+      val cents = spark.read.parquet(s"$path/_ivf_centroids").localCheckpoint(true)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val cb =
+        if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/_pq_codebooks")))
+          Some(SimilaritySearch.pqLoadCodebooks(spark, s"$path/_pq_codebooks"))
+        else None
+      val reloaded = spark.read.parquet(path)
+      graft.plans.IvfIndex.register(spark, reloaded, "cluster", vecCol, cents, nprobe)
+      kbDf = Some(reloaded)
+      ivfState = Some(IvfState(path, idCol, vecCol, cents, nprobe, cb))
+      this
+    }
+
+  /** Codes-only ANN read over the ivfpq layout: embed the query, prune
+    * to the `nprobe` nearest coarse clusters (directory-level on the
+    * partitioned layout), rank the ADC `shortlist` from the 8-byte-ish
+    * codes without touching the float vectors, exact-rerank to `k`
+    * ([[graft.operators.SimilaritySearch.ivfPqTopK]]). Returns
+    * (idCol, l2sq) ascending. Requires [[indexKnowledge]] with
+    * `pqM > 0` or [[openIndexedKnowledge]] over an ivfpq layout.
+    * Size `shortlist` to cover the quantization-tied neighborhood
+    * (AnnRecallDemo measures the curve). */
+  def searchKnowledgePq(query: String, k: Int = 5,
+      shortlist: Int = 100): DataFrame = {
+    val st = ivfState.getOrElse(throw new IllegalStateException(
+      "indexKnowledge has not run in this session"))
+    val cb = st.pqCodebooks.getOrElse(throw new IllegalStateException(
+      "the index is not ivfpq — rebuild with indexKnowledge(pqM > 0)"))
+    val processed = SearchService.preprocess(spark, query)
+    val qv = embedder.embed(Seq(processed)).head
+    graft.operators.SimilaritySearch.ivfPqTopK(knowledgeBase, "cluster",
+      st.idCol, st.vecCol, "pq_codes", st.cents, qv, cb, k, shortlist, st.nprobe)
   }
 
   /** Keyed upsert into the indexed KB WITHOUT retraining or a full
@@ -205,8 +267,13 @@ final case class GraftSession(
       val st = ivfState.getOrElse(throw new IllegalStateException(
         "indexKnowledge has not run in this session"))
       val current = spark.read.parquet(st.path)
-      val batch = SimilaritySearch.assignClusters(
-          docs.dropDuplicates(st.idCol), st.vecCol, st.cents)
+      // batch rows go through the SAME fixed quantizers as the build:
+      // nearest existing centroid, and (ivfpq) the existing codebooks —
+      // both retrain only on an indexKnowledge rebuild, like ivfflat
+      val assigned = SimilaritySearch.assignClusters(
+        docs.dropDuplicates(st.idCol), st.vecCol, st.cents)
+      val batch = st.pqCodebooks.fold(assigned)(
+          SimilaritySearch.pqEncodeAll(assigned, st.vecCol, _))
         .select(current.columns.map(col): _*)
       val newIds = batch.select(col(st.idCol)).distinct()
       // clusters to rewrite: where the new rows land + where old

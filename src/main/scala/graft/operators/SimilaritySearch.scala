@@ -264,6 +264,67 @@ object SimilaritySearch {
       .limit(k)
   }
 
+  /** Persist trained PQ codebooks as parquet rows (j, c, centroid) —
+    * write under an underscore-prefixed child of the index path (e.g.
+    * `$path/_pq_codebooks`) so partition discovery over the data files
+    * ignores it, the same convention as `_SUCCESS`. One file: the
+    * codebook is m×k small vectors, driver-sized by construction. */
+  def pqSaveCodebooks(spark: SparkSession, path: String,
+      codebooks: Array[Array[Array[Float]]]): Unit = {
+    import spark.implicits._
+    val rows = for {
+      j <- codebooks.indices
+      c <- codebooks(j).indices
+    } yield (j, c, codebooks(j)(c).toSeq)
+    rows.toDF("j", "c", "centroid")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load codebooks persisted by [[pqSaveCodebooks]] — the amortization
+    * path: train once at ingest, every later session deserializes
+    * instead of re-running pqTrain. */
+  def pqLoadCodebooks(spark: SparkSession, path: String): Array[Array[Array[Float]]] = {
+    val rows = spark.read.parquet(path)
+      .select(col("j"), col("c"), col("centroid")).collect()
+    require(rows.nonEmpty, s"no codebooks at $path")
+    val m = rows.iterator.map(_.getInt(0)).max + 1
+    val k = rows.iterator.map(_.getInt(1)).max + 1
+    val cb = Array.ofDim[Array[Float]](m, k)
+    rows.foreach(r => cb(r.getInt(0))(r.getInt(1)) = toFloatArray(r.getSeq[Any](2)))
+    cb.zipWithIndex.foreach { case (sub, j) =>
+      require(sub.forall(_ != null), s"codebook subspace $j has missing entries at $path")
+    }
+    cb
+  }
+
+  /** The full ivfpq serving read: IVF probe prune (the nprobe nearest
+    * coarse clusters, collected as literals so the cluster-partitioned
+    * layout prunes at the DIRECTORY level) → codes-only ADC shortlist →
+    * exact rerank. Probe metric follows the coarse quantizer (cosine,
+    * like [[ivfTopK]]); shortlist/rerank metric is PQ's squared-L2 —
+    * for the normalized embeddings this engine serves the two rankings
+    * agree, and the q86 pair pins the ADC/rerank math independently. */
+  def ivfPqTopK(
+      corpus: DataFrame, clusterCol: String, idCol: String, vecCol: String,
+      codesCol: String, cents: DataFrame, query: Array[Float],
+      codebooks: Array[Array[Array[Float]]], k: Int, shortlist: Int,
+      nprobe: Int): DataFrame = {
+    // IO accounting: the ADC stage RANKS from the byte codes alone, but
+    // because the rerank projects the float vectors out of the same
+    // scan, the probed clusters' vector column is still read — the
+    // pure codes-only read is [[pqTopK]]. What the layout buys here is
+    // the nprobe/nClusters directory prune on BOTH columns; a
+    // deployment that must also avoid the vector-column IO entirely
+    // shortlists ids from [[pqTopK]] and point-fetches vectors from an
+    // id-sorted/bucketed copy.
+    val probed = cents
+      .withColumn("__sim", cosineSimilarity(col("centroid"), typedlit(query)))
+      .orderBy(desc("__sim")).limit(nprobe)
+      .select(col("cluster").cast("int")).collect().map(_.getInt(0)).toSeq
+    pqTopKExact(corpus.filter(col(clusterCol).isin(probed: _*)),
+      idCol, vecCol, codesCol, query, codebooks, k, shortlist)
+  }
+
   /** Lloyd's k-means over float-array vectors — learns the IVF coarse
     * quantizer when no natural cluster column exists (pgvector's
     * `ivfflat lists=k` trains exactly this). Cosine assignment, mean

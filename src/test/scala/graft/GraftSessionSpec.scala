@@ -186,6 +186,55 @@ class GraftSessionSpec extends SparkSpec {
     } finally graft.plans.IvfIndex.unregister(spark, "embedding")
   }
 
+  test("ivfpq: codes+codebooks persist, PQ search is exact at full probe/shortlist, a new session reopens without retraining") {
+    import graft.functions.VectorFunctions
+    val emb = HashEmbedder(16)
+    val g = GraftSession(spark, emb)
+    def mkKb(rows: Seq[(Long, String)]) =
+      emb.embedColumn(rows.toDF("id", "content"), "content", "embedding")
+    val initial = (1L to 12L).map(i => (i, s"document number $i about topic${i % 4}"))
+    g.loadKnowledgeBase(mkKb(initial))
+    val path = java.nio.file.Files.createTempDirectory("gs_ivfpq").toString + "/kb"
+    g.indexKnowledge(path, nClusters = 2, nprobe = 2, pqM = 4, pqK = 8, pqIters = 2)
+    try {
+      val kb = g.knowledgeBase
+      assert(kb.columns.contains("pq_codes"), "ivfpq layout must carry codes")
+      assert(kb.filter(col("pq_codes").isNull).count() === 0L)
+
+      // nprobe = all clusters and shortlist = |corpus| ⇒ the PQ read
+      // must reproduce the EXACT squared-L2 ranking (ADC only orders
+      // the shortlist; the rerank is exact) — independent oracle below
+      val q = "document number 3 about topic3"
+      val qv = emb.embed(Seq(graft.search.SearchService.preprocess(spark, q))).head
+      val qNormSq = qv.map(x => x.toDouble * x).sum
+      val want = kb.withColumn("l2sq",
+          VectorFunctions.dotProduct(col("embedding"), col("embedding"))
+            + lit(qNormSq)
+            - lit(2.0) * VectorFunctions.dotProduct(col("embedding"), typedLit(qv)))
+        .orderBy(asc("l2sq"), asc("id")).limit(4)
+        .select("id").collect().map(_.getLong(0)).toSeq
+      val got = g.searchKnowledgePq(q, k = 4, shortlist = 12)
+        .select("id").collect().map(_.getLong(0)).toSeq
+      assert(got === want, "full-probe full-shortlist PQ read must be exact")
+
+      // a FRESH session reopens the persisted layout — centroids and
+      // codebooks deserialize, nothing retrains — and serves identically
+      val g2 = GraftSession(spark, emb).openIndexedKnowledge(path, nprobe = 2)
+      assert(g2.searchKnowledgePq(q, k = 4, shortlist = 12)
+        .select("id").collect().map(_.getLong(0)).toSeq === got)
+
+      // keyed upsert encodes the batch with the FIXED codebooks: the new
+      // doc lands with codes and is served by the PQ read
+      g2.upsertIndexedKnowledge(mkKb(Seq((99L, "a brand new late-arriving document"))))
+      val kb2 = g2.knowledgeBase
+      assert(kb2.filter(col("id") === 99L).select("pq_codes").head().get(0) != null,
+        "upserted row must carry pq_codes")
+      val hits = g2.searchKnowledgePq("a brand new late-arriving document",
+        k = 3, shortlist = 13).select("id").collect().map(_.getLong(0)).toSeq
+      assert(hits.contains(99L), s"upserted doc must be PQ-retrievable, got $hits")
+    } finally graft.plans.IvfIndex.unregister(spark, "embedding")
+  }
+
   test("cleanupExpired sweeps and reports the count") {
     val emb = HashEmbedder(8)
     val g = GraftSession(spark, emb)
