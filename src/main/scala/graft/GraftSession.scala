@@ -124,6 +124,57 @@ final case class GraftSession(
       pqCodebooks: Option[Array[Array[Array[Float]]]] = None)
   @volatile private var ivfState: Option[IvfState] = None
 
+  // --- versioned publication for the IVF layout ------------------------
+  // The index data lives in `path/cluster=<c>/part-*.parquet` (the
+  // ivfflat list layout, pruned at the directory level), and the files
+  // CURRENTLY SERVED are the closed list in the latest
+  // `path/_ivf_manifests/v<N>` ([[graft.sources.Manifests]] — the
+  // MergeTable commit primitive). Readers pin one version's file list at
+  // registration time; an upsert appends new files and flips the
+  // manifest atomically, so a search planned against version N never
+  // observes a mixed snapshot or a deleted file — superseded files stay
+  // on disk until [[vacuumIndexedKnowledge]] reclaims them past a grace.
+
+  private def ivfFs(path: String): (org.apache.hadoop.fs.FileSystem,
+      org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+  private def ivfManifestDir(root: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(root, "_ivf_manifests")
+  /** Scheme-free absolute path, so `file:/x` and `file:///x` spellings
+    * of one local file compare equal (the MergeTable convention). */
+  private def normalizePath(s: String): String =
+    new org.apache.hadoop.fs.Path(s).toUri.getPath
+  private def clusterOfFile(f: String): Int = {
+    val m = "cluster=(-?\\d+)".r.findFirstMatchIn(f).getOrElse(
+      throw new IllegalStateException(s"manifest file outside a cluster dir: $f"))
+    m.group(1).toInt
+  }
+  /** Every data file under the layout's cluster directories. */
+  private def listClusterFiles(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[String] =
+    fs.listStatus(root).filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith("cluster="))
+      .flatMap(d => fs.listStatus(d.getPath).filter(_.isFile)
+        .map(_.getPath.toUri.toString))
+      .filter(f => { val n = new org.apache.hadoop.fs.Path(f).getName
+        n.startsWith("part-") && n.endsWith(".parquet") })
+      .toSeq.sorted
+  /** The layout as of its latest committed manifest, with the `cluster`
+    * partition column still inferred (basePath), so the planner rule's
+    * probe filter prunes the pinned file list exactly like a directory
+    * read. */
+  private def readIndexSnapshot(path: String): DataFrame = {
+    val (fs, root) = ivfFs(path)
+    val dir = ivfManifestDir(root)
+    val v = graft.sources.Manifests.latestVersion(fs, dir).getOrElse(
+      throw new IllegalStateException(s"no committed IVF manifest at $path"))
+    val files = graft.sources.Manifests.read(fs, dir, v)
+    spark.read.option("basePath", fs.makeQualified(root).toString)
+      .parquet(files: _*)
+  }
+
   /** @param trainSampleFraction fraction of the KB the coarse
     *        quantizer trains on. 1.0 (default) keeps small-KB behavior;
     *        at corpus scale pass ~100k/|kb| — the farthest-point
@@ -172,7 +223,15 @@ final case class GraftSession(
     // openIndexedKnowledge without retraining either quantizer
     cents.write.mode("overwrite").parquet(s"$path/_ivf_centroids")
     cb.foreach(SimilaritySearch.pqSaveCodebooks(spark, s"$path/_pq_codebooks", _))
-    val reloaded = spark.read.parquet(path)
+    // commit manifest v1: the closed file list later upserts version
+    // against. The overwrite build itself is NOT reader-atomic (it
+    // deletes the old files at `path`) — rebuild at a fresh path +
+    // openIndexedKnowledge when readers are live; the keyed upsert is
+    // the in-place maintenance path.
+    val (fs, root) = ivfFs(path)
+    graft.sources.Manifests.commit(fs, ivfManifestDir(root), 1L,
+      listClusterFiles(fs, root))
+    val reloaded = readIndexSnapshot(path)
     graft.plans.IvfIndex.register(spark, reloaded, "cluster", vecCol, cents, nprobe)
     // NOT setKb: the registration binds to the parquet scan paths, and a
     // localCheckpoint would swap the plan's leaf for a LogicalRDD the
@@ -197,7 +256,13 @@ final case class GraftSession(
         if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/_pq_codebooks")))
           Some(SimilaritySearch.pqLoadCodebooks(spark, s"$path/_pq_codebooks"))
         else None
-      val reloaded = spark.read.parquet(path)
+      // a layout built before manifests existed is adopted as v1 — its
+      // current directory contents become the first committed version
+      val (_, root) = ivfFs(path)
+      if (graft.sources.Manifests.latestVersion(fs, ivfManifestDir(root)).isEmpty)
+        graft.sources.Manifests.commit(fs, ivfManifestDir(root), 1L,
+          listClusterFiles(fs, root))
+      val reloaded = readIndexSnapshot(path)
       graft.plans.IvfIndex.register(spark, reloaded, "cluster", vecCol, cents, nprobe)
       kbDf = Some(reloaded)
       ivfState = Some(IvfState(path, idCol, vecCol, cents, nprobe, cb))
@@ -231,47 +296,68 @@ final case class GraftSession(
     *
     *  1. assign the batch to the EXISTING centroids (the coarse
     *     quantizer is fixed between rebuilds, like ivfflat's lists);
-    *  2. rewrite only the touched cluster DIRECTORIES — the batch's
-    *     clusters plus any cluster still holding an old version of an
-    *     updated id (an update can move a doc across clusters; the old
-    *     row must die where it lives). Dynamic partition overwrite
-    *     leaves every untouched cluster's files alone — and because it
-    *     only rewrites partitions PRESENT in the output, a touched
-    *     cluster the upsert fully drains (every row it held was an old
-    *     version, no new row lands there) is deleted explicitly, or
-    *     its stale files would survive and keep serving;
-    *  3. reload and re-register, so later searches serve the new rows
-    *     through the same planner-pruned path.
+    *  2. rewrite only the touched CLUSTERS — the batch's clusters plus
+    *     any cluster still holding an old version of an updated id (an
+    *     update can move a doc across clusters; the old row must die
+    *     where it lives). Their survivors + the batch are APPENDED as
+    *     new files; untouched clusters are carried into the next
+    *     manifest by reference, never copied or rewritten;
+    *  3. commit the next manifest and re-register, so later searches
+    *     serve the new version through the same planner-pruned path.
     *
     * Against the stored table the batch row always wins. WITHIN the
-    * batch, duplicate ids resolve arbitrarily (`dropDuplicates` keeps
-    * a partition-order-dependent row) — pre-reduce to one row per id
-    * (e.g. `row_number` over your version column) if a batch can carry
-    * several versions of the same id.
+    * batch, pass `versionCol` (a column of `docs`, dropped before
+    * storage) to resolve duplicate ids deterministically — highest
+    * version wins, ties arbitrary; without it, duplicate ids resolve
+    * arbitrarily (`dropDuplicates` keeps a partition-order-dependent
+    * row).
     *
-    * The rewrite happens in place on the serving path: `synchronized`
-    * serializes mutators, but a SEARCH running concurrently with the
-    * upsert can observe a mixed snapshot or fail on a just-deleted
-    * file. Deployments that cannot tolerate that window should write a
-    * fresh path + [[indexKnowledge]]-style re-register, or use the
-    * MergeTable-backed KB (versioned manifests, OCC — readers pin a
-    * manifest). Rewrite granularity is the cluster partition (same
-    * tradeoff as any partition-level merge); for row-keyed
-    * touched-file-only merges use the MergeTable-backed KB instead.
-    * Centroids drift as the corpus grows — re-run [[indexKnowledge]]
+    * Publication is ATOMIC FOR READERS: the upsert appends new files
+    * for the touched clusters, then flips `_ivf_manifests` to the next
+    * version with an exclusive-create commit
+    * ([[graft.sources.Manifests]] — the MergeTable OCC primitive). A
+    * search planned before the flip keeps reading its pinned version's
+    * files (superseded files are reclaimed only by
+    * [[vacuumIndexedKnowledge]], whose retention grace covers in-flight
+    * queries); a search planned after sees exactly the new version.
+    * Mutators are serialized per session; an accidental concurrent
+    * writer from ANOTHER session loses the manifest race loudly (its
+    * orphaned files are vacuumed) rather than corrupting the layout.
+    *
+    * Rewrite granularity is the cluster partition (same tradeoff as
+    * any partition-level merge); for row-keyed touched-file-only merges
+    * use the MergeTable-backed KB instead. Centroids drift as the
+    * corpus grows — re-run [[indexKnowledge]] (at a fresh path when
+    * readers are live: the rebuild's overwrite is not reader-atomic)
     * to retrain when recall degrades. */
-  def upsertIndexedKnowledge(docs: org.apache.spark.sql.DataFrame): this.type =
+  def upsertIndexedKnowledge(docs: org.apache.spark.sql.DataFrame,
+      versionCol: Option[String] = None): this.type =
     synchronized {
-      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.functions.{col, desc, row_number}
       import graft.operators.SimilaritySearch
       val st = ivfState.getOrElse(throw new IllegalStateException(
         "indexKnowledge has not run in this session"))
-      val current = spark.read.parquet(st.path)
+      val (fs, root) = ivfFs(st.path)
+      val mDir = ivfManifestDir(root)
+      val v = graft.sources.Manifests.latestVersion(fs, mDir).getOrElse(
+        throw new IllegalStateException(s"no committed IVF manifest at ${st.path}"))
+      val snapFiles = graft.sources.Manifests.read(fs, mDir, v)
+      val current = spark.read
+        .option("basePath", fs.makeQualified(root).toString)
+        .parquet(snapFiles: _*)
+      val one = versionCol match {
+        case Some(vc) =>
+          require(docs.columns.contains(vc), s"versionCol $vc not in the batch")
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col(st.idCol)).orderBy(desc(vc))
+          docs.withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__rn", vc)
+        case None => docs.dropDuplicates(st.idCol)
+      }
       // batch rows go through the SAME fixed quantizers as the build:
       // nearest existing centroid, and (ivfpq) the existing codebooks —
       // both retrain only on an indexKnowledge rebuild, like ivfflat
-      val assigned = SimilaritySearch.assignClusters(
-        docs.dropDuplicates(st.idCol), st.vecCol, st.cents)
+      val assigned = SimilaritySearch.assignClusters(one, st.vecCol, st.cents)
       val batch = st.pqCodebooks.fold(assigned)(
           SimilaritySearch.pqEncodeAll(assigned, st.vecCol, _))
         .select(current.columns.map(col): _*)
@@ -280,37 +366,93 @@ final case class GraftSession(
       // versions of these ids currently live
       val touched = (batch.select(col("cluster")) unionByName
           current.join(newIds, Seq(st.idCol), "left_semi").select(col("cluster")))
-        .distinct().collect().map(_.getInt(0)).toSeq
-      val kept = current.filter(col("cluster").isin(touched: _*))
+        .distinct().collect().map(_.getInt(0)).toSet
+      val kept = current.filter(col("cluster").isin(touched.toSeq: _*))
         .join(newIds, Seq(st.idCol), "left_anti")
-      // materialize BEFORE the write: the output partitions are read as
-      // input above, and an un-truncated lineage would trip Spark's
-      // cannot-overwrite-a-path-being-read-from check
-      val out = kept.unionByName(batch).localCheckpoint(true)
-      out.repartition(col("cluster"))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("cluster").parquet(st.path)
-      // dynamic overwrite only replaces partitions present in `out`; a
-      // touched cluster with ZERO surviving rows (all were old versions
-      // of updated ids, none of the batch landed there) never appears
-      // in `out`, so its directory — all stale rows — must be deleted
-      // explicitly or they would keep being served
-      val written = out.select(col("cluster")).distinct()
-        .collect().map(_.getInt(0)).toSet
-      val drained = touched.filterNot(written)
-      if (drained.nonEmpty) {
-        val fs = new org.apache.hadoop.fs.Path(st.path)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        drained.foreach { c =>
-          fs.delete(new org.apache.hadoop.fs.Path(s"${st.path}/cluster=$c"), true)
-        }
+      // APPEND the touched clusters' survivors + the batch as new files
+      // (append never deletes, so the pinned version stays readable and
+      // no overwrite-path-being-read check trips); the listing diff of
+      // the touched directories identifies what this write produced
+      def touchedFiles(): Set[String] = touched.flatMap { c =>
+        val d = new org.apache.hadoop.fs.Path(root, s"cluster=$c")
+        if (!fs.exists(d)) Set.empty[String]
+        else fs.listStatus(d).filter(_.isFile)
+          .map(_.getPath.toUri.toString)
+          // data files only: a checksumming FS also drops `.part-*.crc`
+          // siblings, which must never reach the manifest
+          .filter(f => { val n = new org.apache.hadoop.fs.Path(f).getName
+            n.startsWith("part-") && n.endsWith(".parquet") })
+          .toSet
       }
-      val reloaded = spark.read.parquet(st.path)
+      val before = touchedFiles()
+      kept.unionByName(batch).repartition(col("cluster"))
+        .write.mode("append").partitionBy("cluster").parquet(st.path)
+      val newFiles = (touchedFiles() -- before).toSeq.sorted
+      // next manifest: untouched clusters carried by reference, touched
+      // clusters ONLY from the new files — a fully drained cluster (all
+      // rows were old versions of updated ids, no batch row landed)
+      // simply contributes nothing, with no directory delete to race
+      val carried = snapFiles.filterNot(f => touched.contains(clusterOfFile(f)))
+      try graft.sources.Manifests.commit(fs, mDir, v + 1, carried ++ newFiles)
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          throw new IllegalStateException(
+            s"concurrent writer committed v${v + 1} at ${st.path} first; " +
+              "this upsert's files are orphans (vacuum reclaims them) — " +
+              "re-run against the new snapshot")
+      }
+      val reloaded = readIndexSnapshot(st.path)
       graft.plans.IvfIndex.register(
         spark, reloaded, "cluster", st.vecCol, st.cents, st.nprobe)
       kbDf = Some(reloaded)
       this
+    }
+
+  /** Reclaim data files no longer referenced by the LATEST IVF manifest
+    * (superseded versions, losers of a commit race). `retainMillis` is
+    * the concurrency grace (Delta's VACUUM retention, miniature): a
+    * query planned against an older version keeps reading its pinned
+    * files, so only files BOTH unreferenced and older than the grace
+    * are deleted — pass 0 only when no reader or writer can be in
+    * flight. Returns the number of files removed. */
+  def vacuumIndexedKnowledge(retainMillis: Long = 15L * 60L * 1000L): Int =
+    synchronized {
+      require(retainMillis >= 0, "retainMillis must be >= 0")
+      val st = ivfState.getOrElse(throw new IllegalStateException(
+        "indexKnowledge has not run in this session"))
+      val (fs, root) = ivfFs(st.path)
+      val mDir = ivfManifestDir(root)
+      val v = graft.sources.Manifests.latestVersion(fs, mDir).getOrElse(
+        throw new IllegalStateException(s"no committed IVF manifest at ${st.path}"))
+      val live = graft.sources.Manifests.read(fs, mDir, v)
+        .map(normalizePath).toSet
+      val cutoff = System.currentTimeMillis() - retainMillis
+      val clusterDirs = fs.listStatus(root).filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith("cluster="))
+      // a checksumming FS pairs each part file with a `.{name}.crc`
+      // sibling — judge liveness by the file the checksum covers, so a
+      // live file keeps its crc and a reclaimed one drops it too
+      def coveredName(n: String): String =
+        if (n.startsWith(".") && n.endsWith(".crc")) n.substring(1, n.length - 4)
+        else n
+      var removed = 0
+      clusterDirs.foreach { d =>
+        fs.listStatus(d.getPath).filter(_.isFile)
+          .filter(_.getModificationTime <= cutoff)
+          .filterNot { s =>
+            val p = s.getPath
+            val covered = new org.apache.hadoop.fs.Path(
+              p.getParent, coveredName(p.getName))
+            live.contains(normalizePath(covered.toString))
+          }
+          .foreach { s =>
+            fs.delete(s.getPath, false)
+            if (!s.getPath.getName.startsWith(".")) removed += 1
+          }
+        if (fs.listStatus(d.getPath).isEmpty) fs.delete(d.getPath, false)
+      }
+      graft.sources.Manifests.sweepTemp(fs, mDir, cutoff)
+      removed
     }
 
   /** Multi-source smart search with the embed+upsert side effect applied

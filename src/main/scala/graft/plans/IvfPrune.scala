@@ -92,8 +92,16 @@ object IvfIndex {
     * by design). `corpus` must scan files (parquet/csv/...): the
     * registration binds to those paths, which is what stops a
     * same-named column on a DIFFERENT corpus from matching this
-    * quantizer. Registering the same vecCol again for the same paths
-    * replaces the old entry; for new paths, both coexist. */
+    * quantizer. Registering the same vecCol again for an INTERSECTING
+    * path set replaces the old entry — a versioned layout's upsert
+    * shares its untouched files with the superseded version, so
+    * intersection is what identifies "the same corpus, next version"
+    * (and bounds the registry: N upserts keep 1 entry, not N). A
+    * pinned reader of the superseded version still matches the new
+    * entry through those shared files — same centroids, same answers —
+    * and a fully-rewritten corpus it shares nothing with simply falls
+    * back to the exact scan. For genuinely disjoint paths, entries
+    * coexist. */
   def register(
       spark: SparkSession, corpus: org.apache.spark.sql.DataFrame,
       clusterCol: String, vecCol: String,
@@ -114,7 +122,7 @@ object IvfIndex {
     val inner = registry.computeIfAbsent(spark,
       _ => new ConcurrentHashMap[String, Vector[Entry]]())
     inner.merge(vecCol, Vector(entry),
-      (old, _) => old.filterNot(_.paths == paths) :+ entry)
+      (old, _) => old.filterNot(_.paths.exists(paths.contains)) :+ entry)
   }
 
   def unregister(spark: SparkSession, vecCol: String): Unit =

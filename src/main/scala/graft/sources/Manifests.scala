@@ -1,0 +1,113 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileAlreadyExistsException, FileSystem, Path}
+
+/** The versioned-manifest commit primitive shared by [[MergeTable]] and
+  * the IVF index layout ([[graft.GraftSession.indexKnowledge]]): a
+  * manifest directory holds `v<N>` files, each the closed list of data
+  * files in that version. Readers resolve the latest manifest and pin
+  * ONE version; writers claim the next version with an exclusive
+  * create, so losing a race is a loud [[FileAlreadyExistsException]]
+  * (the OCC retry signal), never a silent overwrite.
+  *
+  * Same publication model as Delta/Iceberg metadata commits, miniature:
+  * the data files of a superseded version stay on disk until a vacuum
+  * with a retention grace reclaims them, which is what makes the flip
+  * atomic FOR READERS — a query planned against version N keeps reading
+  * N's files while version N+1 is committed and served to new queries.
+  */
+private[graft] object Manifests {
+
+  def versionPath(dir: Path, v: Long): Path = new Path(dir, f"v$v%020d")
+
+  def latestVersion(fs: FileSystem, dir: Path): Option[Long] = {
+    if (!fs.exists(dir)) None
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.startsWith("v")).map(_.drop(1).toLong)
+      .reduceOption(_ max _)
+  }
+
+  /** The closed file list of version `v`. */
+  def read(fs: FileSystem, dir: Path, v: Long): Seq[String] = {
+    val in = fs.open(versionPath(dir, v))
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+    finally in.close()
+  }
+
+  /** Exclusive-create commit — the OCC primitive. Atomic on HDFS-like
+    * filesystems (namenode-side exclusive create) AND on the local
+    * filesystem (temp file + link(2), which also guarantees readers
+    * never see a half-written manifest).
+    *
+    * The local branch is chosen from the RESOLVED FileSystem, not the
+    * raw path URI: a scheme-less path resolves against `fs.defaultFS`,
+    * so on a cluster with defaultFS=hdfs a bare `/warehouse/tbl` must
+    * take the HDFS branch — keying on `getScheme == null` would write
+    * (or crash writing) the manifest on the driver's local disk while
+    * every data file lands on HDFS. */
+  def commit(fs: FileSystem, dir: Path, version: Long, files: Seq[String]): Unit = {
+    fs.mkdirs(dir)
+    val target = versionPath(dir, version)
+    val bytes = (files.mkString("\n") + "\n").getBytes("UTF-8")
+    val isLocal = fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+      fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
+    if (isLocal && commitLocalAtomic(fs, target, version, bytes)) ()
+    else {
+      // HDFS-like: create(overwrite=false) is atomic namenode-side.
+      // Also the documented fallback for local filesystems without
+      // hard-link support (exFAT, some NFS/SMB/FUSE mounts), where the
+      // exists-then-create window is the best available.
+      if (fs.exists(target)) throw new FileAlreadyExistsException(target.toString)
+      val out = fs.create(target, false) // throws FileAlreadyExists on race
+      try out.write(bytes)
+      finally out.close()
+    }
+  }
+
+  /** RawLocalFileSystem's create(path, overwrite=false) is an
+    * exists-check THEN create — a real (if tiny) window where two
+    * racing writers both "win" the same version and one manifest is
+    * silently overwritten. Write the content to a temp file and claim
+    * the version with link(2): atomic, fails with EEXIST for the loser
+    * (→ the FileAlreadyExists the OCC loop retries on), and readers can
+    * never observe a half-written manifest. Returns false when the
+    * filesystem refuses the link (no hard-link support) — the caller
+    * then falls back to exclusive create. A crash between write and
+    * link can strand a `._v*_*.tmp`; [[sweepTemp]] reclaims those. */
+  private def commitLocalAtomic(
+      fs: FileSystem, target: Path, version: Long,
+      bytes: Array[Byte]): Boolean = {
+    val p = java.nio.file.Paths.get(fs.makeQualified(target).toUri.getPath)
+    val tmp = java.nio.file.Files.createTempFile(
+      p.getParent, s"._v${version}_", ".tmp")
+    try {
+      // createTempFile defaults to 0600 (owner-only) and the hard link
+      // shares the inode — restore umask-style 644 so another user's
+      // reader (fs.open in read/snapshot) isn't locked out the way the
+      // plain fs.create manifests never were
+      try java.nio.file.Files.setPosixFilePermissions(tmp,
+        java.nio.file.attribute.PosixFilePermissions.fromString("rw-r--r--"))
+      catch { case _: UnsupportedOperationException => } // non-POSIX: keep default
+      java.nio.file.Files.write(tmp, bytes)
+      try { java.nio.file.Files.createLink(p, tmp); true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new FileAlreadyExistsException(target.toString)
+        case _: UnsupportedOperationException => false
+        case _: java.nio.file.FileSystemException => false // EPERM/EXDEV/no-link FS
+      }
+    } finally java.nio.file.Files.deleteIfExists(tmp)
+  }
+
+  /** Sweep `._v*_*.tmp` files stranded in the manifest dir by a writer
+    * that crashed between the temp write and the link(2) claim. The
+    * mtime `cutoff` is the same concurrency grace as the data-file
+    * vacuum: a mid-commit writer's temp file is younger and kept. */
+  def sweepTemp(fs: FileSystem, dir: Path, cutoff: Long): Unit =
+    if (fs.exists(dir))
+      fs.listStatus(dir).filter(_.isFile)
+        .filter(s => s.getPath.getName.startsWith("._v") &&
+          s.getPath.getName.endsWith(".tmp"))
+        .filter(_.getModificationTime <= cutoff)
+        .foreach(s => fs.delete(s.getPath, false))
+}

@@ -62,8 +62,6 @@ object MergeTable {
   }
 
   private def manifestDir(root: Path) = new Path(root, "_manifests")
-  private def manifestPath(root: Path, v: Long) =
-    new Path(manifestDir(root), f"v$v%020d")
 
   /** Scheme-free absolute path — `input_file_name()` and `listStatus`
     * render the same file with different authorities (`file:/` vs
@@ -96,11 +94,7 @@ object MergeTable {
     val (fs, root) = fsOf(spark, path)
     val v = latestVersion(fs, root).getOrElse(
       throw new IllegalArgumentException(s"no merge table at $path"))
-    val in = fs.open(manifestPath(root, v))
-    val files =
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-      finally in.close()
-    Snapshot(v, files)
+    Snapshot(v, Manifests.read(fs, manifestDir(root), v))
   }
 
   /** Upsert `updates` by `keyCols` (last state wins per key, like the
@@ -316,23 +310,12 @@ object MergeTable {
     // sweep `._v*_*.tmp` stranded in _manifests by a writer that
     // crashed between the temp write and the link(2) claim; the same
     // grace keeps a mid-commit writer's temp file safe
-    val mDir = manifestDir(root)
-    if (fs.exists(mDir))
-      fs.listStatus(mDir).filter(_.isFile)
-        .filter(s => s.getPath.getName.startsWith("._v") &&
-          s.getPath.getName.endsWith(".tmp"))
-        .filter(_.getModificationTime <= cutoff)
-        .foreach(s => fs.delete(s.getPath, false))
+    Manifests.sweepTemp(fs, manifestDir(root), cutoff)
     dead.length
   }
 
-  private def latestVersion(fs: FileSystem, root: Path): Option[Long] = {
-    val dir = manifestDir(root)
-    if (!fs.exists(dir)) None
-    else fs.listStatus(dir).map(_.getPath.getName)
-      .filter(_.startsWith("v")).map(_.drop(1).toLong)
-      .reduceOption(_ max _)
-  }
+  private def latestVersion(fs: FileSystem, root: Path): Option[Long] =
+    Manifests.latestVersion(fs, manifestDir(root))
 
   /** One write = one batch directory; the manifest references its
     * part files individually. */
@@ -347,69 +330,10 @@ object MergeTable {
       .map(_.toUri.toString).toSeq.sorted
   }
 
-  /** Exclusive-create commit — the OCC primitive. Atomic on HDFS-like
-    * filesystems (namenode-side exclusive create) AND on the local
-    * filesystem (temp file + link(2), which also guarantees readers
-    * never see a half-written manifest).
-    *
-    * The local branch is chosen from the RESOLVED FileSystem, not the
-    * raw path URI: a scheme-less path resolves against `fs.defaultFS`,
-    * so on a cluster with defaultFS=hdfs a bare `/warehouse/tbl` must
-    * take the HDFS branch — keying on `getScheme == null` would write
-    * (or crash writing) the manifest on the driver's local disk while
-    * every data file lands on HDFS. */
+  /** Exclusive-create commit — delegates to the shared OCC primitive
+    * ([[Manifests.commit]]: atomic on HDFS-like filesystems and on the
+    * local filesystem via temp file + link(2)). */
   private def commit(
-      fs: FileSystem, root: Path, version: Long, files: Seq[String]): Unit = {
-    fs.mkdirs(manifestDir(root))
-    val target = manifestPath(root, version)
-    val bytes = (files.mkString("\n") + "\n").getBytes("UTF-8")
-    val isLocal = fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
-      fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
-    if (isLocal && commitLocalAtomic(fs, target, version, bytes)) ()
-    else {
-      // HDFS-like: create(overwrite=false) is atomic namenode-side.
-      // Also the documented fallback for local filesystems without
-      // hard-link support (exFAT, some NFS/SMB/FUSE mounts), where the
-      // exists-then-create window is the best available.
-      if (fs.exists(target)) throw new FileAlreadyExistsException(target.toString)
-      val out = fs.create(target, false) // throws FileAlreadyExists on race
-      try out.write(bytes)
-      finally out.close()
-    }
-  }
-
-  /** RawLocalFileSystem's create(path, overwrite=false) is an
-    * exists-check THEN create — a real (if tiny) window where two
-    * racing writers both "win" the same version and one manifest is
-    * silently overwritten. Write the content to a temp file and claim
-    * the version with link(2): atomic, fails with EEXIST for the loser
-    * (→ the FileAlreadyExists the OCC loop retries on), and readers can
-    * never observe a half-written manifest. Returns false when the
-    * filesystem refuses the link (no hard-link support) — the caller
-    * then falls back to exclusive create. A crash between write and
-    * link can strand a `._v*_*.tmp`; [[vacuum]] sweeps those. */
-  private def commitLocalAtomic(
-      fs: FileSystem, target: Path, version: Long,
-      bytes: Array[Byte]): Boolean = {
-    val p = java.nio.file.Paths.get(fs.makeQualified(target).toUri.getPath)
-    val tmp = java.nio.file.Files.createTempFile(
-      p.getParent, s"._v${version}_", ".tmp")
-    try {
-      // createTempFile defaults to 0600 (owner-only) and the hard link
-      // shares the inode — restore umask-style 644 so another user's
-      // reader (fs.open in read/snapshot) isn't locked out the way the
-      // plain fs.create manifests never were
-      try java.nio.file.Files.setPosixFilePermissions(tmp,
-        java.nio.file.attribute.PosixFilePermissions.fromString("rw-r--r--"))
-      catch { case _: UnsupportedOperationException => } // non-POSIX: keep default
-      java.nio.file.Files.write(tmp, bytes)
-      try { java.nio.file.Files.createLink(p, tmp); true }
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          throw new FileAlreadyExistsException(target.toString)
-        case _: UnsupportedOperationException => false
-        case _: java.nio.file.FileSystemException => false // EPERM/EXDEV/no-link FS
-      }
-    } finally java.nio.file.Files.deleteIfExists(tmp)
-  }
+      fs: FileSystem, root: Path, version: Long, files: Seq[String]): Unit =
+    Manifests.commit(fs, manifestDir(root), version, files)
 }

@@ -143,11 +143,11 @@ class GraftSessionSpec extends SparkSpec {
     } finally graft.plans.IvfIndex.unregister(spark, "embedding")
   }
 
-  test("upsertIndexedKnowledge: a fully drained cluster's stale directory dies") {
-    // The dynamic-overwrite trap: a touched cluster whose every row is
+  test("upsertIndexedKnowledge: a fully drained cluster stops serving; vacuum reclaims it") {
+    // The drained-cluster trap: a touched cluster whose every row is
     // an old version of an updated id, and which receives no batch row,
-    // is absent from the upsert's output — dynamic partition overwrite
-    // alone would leave its directory (all stale rows) serving forever.
+    // contributes nothing to the next manifest — its stale rows must
+    // stop being served at the flip, and its files must be reclaimable.
     val emb = HashEmbedder(16)
     val g = GraftSession(spark, emb)
     def mkKb(rows: Seq[(Long, String)]) =
@@ -178,11 +178,72 @@ class GraftSessionSpec extends SparkSpec {
       batch.foreach { case (id, c) =>
         assert(kb2.filter(col("id") === id).select("content").head().getString(0) === c)
       }
-      // and the drained directory itself is gone from the layout
-      val remaining = spark.read.parquet(path).select("cluster")
+      // the SERVED set no longer contains the drained cluster...
+      val served = kb2.select("cluster")
         .distinct().collect().map(_.getInt(0)).toSet
-      assert(!remaining.contains(drainC),
-        s"cluster $drainC drained but its directory still holds rows")
+      assert(!served.contains(drainC),
+        s"cluster $drainC drained but its stale rows are still served")
+      // ...its superseded files stay on disk for pinned readers until a
+      // vacuum (grace 0: nothing in flight here) reclaims them
+      val drainDir = new java.io.File(s"$path/cluster=$drainC")
+      assert(drainDir.exists(), "superseded files must survive until vacuum")
+      assert(g.vacuumIndexedKnowledge(retainMillis = 0L) > 0)
+      assert(!drainDir.exists(),
+        s"cluster $drainC drained but vacuum left its directory")
+      assert(g.knowledgeBase.count() === 12L, "vacuum must not touch live files")
+    } finally graft.plans.IvfIndex.unregister(spark, "embedding")
+  }
+
+  test("upsertIndexedKnowledge: readers pin a version — the manifest flip is atomic") {
+    val emb = HashEmbedder(16)
+    val g = GraftSession(spark, emb)
+    def mkKb(rows: Seq[(Long, String)]) =
+      emb.embedColumn(rows.toDF("id", "content"), "content", "embedding")
+    val initial = (1L to 12L).map(i => (i, s"document number $i about topic${i % 4}"))
+    g.loadKnowledgeBase(mkKb(initial))
+    val path = java.nio.file.Files.createTempDirectory("gs_ivf_snap").toString + "/kb"
+    g.indexKnowledge(path, nClusters = 2, nprobe = 2)
+    try {
+      // a reader planned BEFORE the upsert pins manifest v1's file list
+      val pinned = g.knowledgeBase
+      g.upsertIndexedKnowledge(mkKb(Seq(
+        (3L, "entirely different replacement text"),
+        (99L, "a brand new late-arriving document"))))
+      // ...and still reads v1 exactly: old row count, old content — no
+      // mixed snapshot, no FileNotFound (the append deleted nothing)
+      assert(pinned.count() === 12L, "pinned reader must keep seeing v1")
+      assert(pinned.filter(col("id") === 3L).select("content").head().getString(0)
+        === "document number 3 about topic3")
+      assert(pinned.filter(col("id") === 99L).count() === 0L)
+      // while the post-flip session KB serves exactly v2
+      assert(g.knowledgeBase.count() === 13L)
+      assert(g.knowledgeBase.filter(col("id") === 3L)
+        .select("content").head().getString(0)
+        === "entirely different replacement text")
+    } finally graft.plans.IvfIndex.unregister(spark, "embedding")
+  }
+
+  test("upsertIndexedKnowledge: versionCol makes intra-batch duplicates deterministic") {
+    val emb = HashEmbedder(16)
+    val g = GraftSession(spark, emb)
+    val initial = emb.embedColumn(
+      (1L to 6L).map(i => (i, s"document number $i")).toDF("id", "content"),
+      "content", "embedding")
+    g.loadKnowledgeBase(initial)
+    val path = java.nio.file.Files.createTempDirectory("gs_ivf_ver").toString + "/kb"
+    g.indexKnowledge(path, nClusters = 2, nprobe = 2)
+    try {
+      // three versions of id 3 in ONE batch, deliberately out of order
+      val batch = emb.embedColumn(
+        Seq((3L, "v2 text", 2L), (3L, "v9 text", 9L), (3L, "v5 text", 5L))
+          .toDF("id", "content", "ver"),
+        "content", "embedding")
+      g.upsertIndexedKnowledge(batch, versionCol = Some("ver"))
+      val kb2 = g.knowledgeBase
+      assert(kb2.count() === 6L)
+      assert(kb2.filter(col("id") === 3L).select("content").head().getString(0)
+        === "v9 text", "highest version must win deterministically")
+      assert(!kb2.columns.contains("ver"), "versionCol must not reach storage")
     } finally graft.plans.IvfIndex.unregister(spark, "embedding")
   }
 
