@@ -1,0 +1,106 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.GraftSession
+
+/** Continuous maintenance of the SERVING indexes from a document
+  * stream — the piece between the reference's ingest loop
+  * (`backend/services/vector_service.py:119-125`, continuous embed +
+  * `ON CONFLICT DO UPDATE`) and its search RPCs: every micro-batch
+  * becomes one committed version of the IVF/ivfpq vector index
+  * ([[GraftSession.upsertIndexedKnowledge]] — manifest-versioned,
+  * atomic for concurrent readers) and, optionally, of the BM25
+  * lexical index ([[graft.operators.LexicalIndex.upsert]] —
+  * MergeTable-versioned), so searches running WHILE the stream
+  * ingests always see a complete index version, never a half-applied
+  * batch.
+  *
+  * Exactly-once ROW STATE under at-least-once foreachBatch: both
+  * sinks are keyed upserts, so a batch replayed after a failure
+  * between upsert and checkpoint commit re-applies the same ids and
+  * the indexes converge to the same state (versions advance; rows
+  * don't duplicate). For that convergence the intra-batch duplicate
+  * winner must be DETERMINISTIC — a replay must pick the same row —
+  * so duplicates reduce by `versionCol` (highest wins) with a
+  * content-fingerprint tie-break, or by the fingerprint alone when no
+  * version column exists; the same reduced frame feeds both indexes,
+  * keeping them row-identical.
+  *
+  * At 100 TB scale the per-batch cost is the point: the IVF upsert's
+  * IO tracks the batch's cluster footprint and the lexical upsert's
+  * tracks the batch's postings — neither rewrites, rereads, or
+  * retrains on corpus-sized state, so steady-state ingest cost is
+  * proportional to the stream rate, not the corpus.
+  */
+object IndexMaintenance {
+
+  /** Start a stream that keeps the session's indexed KB (and
+    * optionally a lexical index at `lexicalPath`) fresh.
+    *
+    * @param session    holds the indexed KB ([[GraftSession
+    *                   .indexKnowledge]] / [[GraftSession
+    *                   .openIndexedKnowledge]] must have run) and the
+    *                   embedder used when the stream carries no
+    *                   `vecCol`
+    * @param docs       streaming frame with (`idCol`, `contentCol`
+    *                   [, `vecCol`][, `versionCol`])
+    * @param versionCol intra-batch duplicate resolution: highest
+    *                   version wins (dropped before storage)
+    * @param lexicalPath also maintain the BM25 index at this path
+    *                   (built/initialized beforehand, e.g.
+    *                   [[GraftSession.buildLexicalIndex]])
+    */
+  def runToIndexedKnowledge(
+      session: GraftSession, docs: DataFrame, checkpoint: String,
+      versionCol: Option[String] = None,
+      lexicalPath: Option[String] = None,
+      idCol: String = "id", contentCol: String = "content",
+      vecCol: String = "embedding"): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // one materialization (the JobProcessor convention): any later
+        // scan of an un-persisted foreachBatch frame re-executes the
+        // upstream, and the upsert scans the batch several times
+        batch.persist()
+        try {
+          if (batch.count() > 0) applyBatch(session, batch.toDF(),
+            versionCol, lexicalPath, idCol, contentCol, vecCol)
+          ()
+        } finally batch.unpersist()
+      }
+      .start()
+
+  /** One micro-batch, exposed for direct (non-streaming) backfills. */
+  private[graft] def applyBatch(
+      session: GraftSession, batch: DataFrame,
+      versionCol: Option[String], lexicalPath: Option[String],
+      idCol: String, contentCol: String, vecCol: String): Unit = {
+    // deterministic winner per id (see class doc): version desc when
+    // given, then a content fingerprint — row_number over a tied sort
+    // is partition-order-dependent and would break replay convergence
+    val contentTie = xxhash64(
+      to_json(struct(batch.columns.map(col): _*))).asc
+    val order = versionCol.map(vc => col(vc).desc).toSeq :+ contentTie
+    val w = Window.partitionBy(col(idCol)).orderBy(order: _*)
+    val one = batch.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn" +: versionCol.toSeq: _*)
+    val withVec =
+      if (one.columns.contains(vecCol)) one
+      else session.embedder.embedColumn(one, contentCol, vecCol)
+    // embedColumn is a per-partition kernel over the (persisted) batch;
+    // the upsert's several scans must not re-embed — and both indexes
+    // must see the identical reduced frame
+    withVec.persist()
+    try {
+      session.upsertIndexedKnowledge(withVec)
+      lexicalPath.foreach(lp => graft.operators.LexicalIndex.upsert(
+        session.spark, lp, withVec, idCol, contentCol))
+    } finally { withVec.unpersist(); () }
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.search.HashEmbedder
+import graft.streaming.IndexMaintenance
+
+class IndexMaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("document stream maintains the IVF index and the lexical index per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val emb = HashEmbedder(16)
+    val g = GraftSession(spark, emb)
+    val initial = (1L to 12L).map(i => (i, s"document number $i about topic${i % 4}"))
+    g.loadKnowledgeBase(emb.embedColumn(
+      initial.toDF("id", "content"), "content", "embedding"))
+    val base = java.nio.file.Files.createTempDirectory("idx_maint").toString
+    g.indexKnowledge(s"$base/kb", nClusters = 2, nprobe = 2)
+    g.buildLexicalIndex(s"$base/lex")
+    try {
+      val input = MemoryStream[(Long, String, Long)]
+      val q = IndexMaintenance.runToIndexedKnowledge(
+        g, input.toDF().toDF("id", "content", "ver"),
+        checkpoint = s"$base/ckpt",
+        versionCol = Some("ver"), lexicalPath = Some(s"$base/lex"))
+      try {
+        // micro-batch 1: two versions of id 3 (highest must win) + a new doc
+        input.addData(
+          (3L, "stale replacement draft", 1L),
+          (3L, "zebra quokka final replacement", 2L),
+          (99L, "xylophone walrus entirely new entry", 7L))
+        q.processAllAvailable()
+
+        val kb = g.knowledgeBase
+        assert(kb.count() === 13L, "12 initial + 1 new")
+        assert(kb.groupBy("id").count().filter(col("count") > 1).count() === 0L)
+        assert(kb.filter(col("id") === 3L).select("content").head().getString(0)
+          === "zebra quokka final replacement", "versionCol winner must land")
+
+        // vector serving sees the new doc through the planner-pruned path
+        val vecHits = g.searchKnowledge("xylophone walrus entirely new entry", k = 3)
+          .select("id").collect().map(_.getLong(0)).toSeq
+        assert(vecHits.contains(99L), s"vector index stale: $vecHits")
+
+        // lexical serving: rare terms only the NEW versions contain must
+        // hit through the PERSISTED index (hybridSearchKnowledge serves
+        // its lexical leg from lexIndexPath once buildLexicalIndex ran)
+        val lexHits = g.hybridSearchKnowledge("zebra quokka", k = 3)
+          .select("id").collect().map(_.getLong(0)).toSeq
+        assert(lexHits.contains(3L),
+          s"lexical index stale for the updated doc: $lexHits")
+
+        // micro-batch 2: the indexes keep converging batch over batch
+        input.addData((99L, "xylophone walrus revised entry", 8L))
+        q.processAllAvailable()
+        assert(g.knowledgeBase.count() === 13L, "upsert must replace, not append")
+        assert(g.knowledgeBase.filter(col("id") === 99L)
+          .select("content").head().getString(0) === "xylophone walrus revised entry")
+        // every micro-batch committed one IVF manifest version: v1 build + 2
+        val versions = new java.io.File(s"$base/kb/_ivf_manifests").list().toSeq.sorted
+        assert(versions.size === 3, s"expected 3 committed versions, got $versions")
+      } finally q.stop()
+    } finally graft.plans.IvfIndex.unregister(spark, "embedding")
+  }
+
+  test("applyBatch without versionCol picks a deterministic content-fingerprint winner") {
+    val emb = HashEmbedder(16)
+    val g = GraftSession(spark, emb)
+    g.loadKnowledgeBase(emb.embedColumn(
+      (1L to 6L).map(i => (i, s"document number $i")).toDF("id", "content"),
+      "content", "embedding"))
+    val base = java.nio.file.Files.createTempDirectory("idx_maint_det").toString
+    g.indexKnowledge(s"$base/kb", nClusters = 2, nprobe = 2)
+    try {
+      def winner(rows: Seq[(Long, String)]): String = {
+        IndexMaintenance.applyBatch(g, rows.toDF("id", "content"),
+          versionCol = None, lexicalPath = None,
+          idCol = "id", contentCol = "content", vecCol = "embedding")
+        g.knowledgeBase.filter(col("id") === 3L).select("content").head().getString(0)
+      }
+      val a = winner(Seq((3L, "candidate alpha"), (3L, "candidate beta")))
+      // a replay (any arrival order) must converge to the same winner —
+      // the exactly-once argument for at-least-once foreachBatch
+      val b = winner(Seq((3L, "candidate beta"), (3L, "candidate alpha")))
+      assert(a === b, "replayed batch picked a different winner")
+    } finally graft.plans.IvfIndex.unregister(spark, "embedding")
+  }
+}
