@@ -121,7 +121,8 @@ final case class GraftSession(
     * answers are never served. */
   private case class IvfState(path: String, idCol: String, vecCol: String,
       cents: org.apache.spark.sql.DataFrame, nprobe: Int,
-      pqCodebooks: Option[Array[Array[Array[Float]]]] = None)
+      pqCodebooks: Option[Array[Array[Array[Float]]]] = None,
+      version: Long = 1L)
   @volatile private var ivfState: Option[IvfState] = None
 
   // --- versioned publication for the IVF layout ------------------------
@@ -165,14 +166,28 @@ final case class GraftSession(
     * partition column still inferred (basePath), so the planner rule's
     * probe filter prunes the pinned file list exactly like a directory
     * read. */
-  private def readIndexSnapshot(path: String): DataFrame = {
+  private def readIndexSnapshot(
+      path: String, version: Option[Long] = None): (DataFrame, Long) = {
     val (fs, root) = ivfFs(path)
     val dir = ivfManifestDir(root)
-    val v = graft.sources.Manifests.latestVersion(fs, dir).getOrElse(
-      throw new IllegalStateException(s"no committed IVF manifest at $path"))
+    val v = version.getOrElse(
+      graft.sources.Manifests.latestVersion(fs, dir).getOrElse(
+        throw new IllegalStateException(s"no committed IVF manifest at $path")))
+    require(fs.exists(graft.sources.Manifests.versionPath(dir, v)),
+      s"no committed version $v at $path (have " +
+        s"${graft.sources.Manifests.listVersions(fs, dir).mkString(",")})")
     val files = graft.sources.Manifests.read(fs, dir, v)
-    spark.read.option("basePath", fs.makeQualified(root).toString)
-      .parquet(files: _*)
+    (spark.read.option("basePath", fs.makeQualified(root).toString)
+      .parquet(files: _*), v)
+  }
+
+  /** Committed versions of the indexed KB's manifest log, oldest
+    * first — what [[openIndexedKnowledge]]'s `version` accepts. */
+  def indexedKnowledgeVersions: Seq[Long] = {
+    val st = ivfState.getOrElse(throw new IllegalStateException(
+      "indexKnowledge has not run in this session"))
+    val (fs, root) = ivfFs(st.path)
+    graft.sources.Manifests.listVersions(fs, ivfManifestDir(root))
   }
 
   /** @param trainSampleFraction fraction of the KB the coarse
@@ -231,7 +246,7 @@ final case class GraftSession(
     val (fs, root) = ivfFs(path)
     graft.sources.Manifests.commit(fs, ivfManifestDir(root), 1L,
       listClusterFiles(fs, root))
-    val reloaded = readIndexSnapshot(path)
+    val (reloaded, _) = readIndexSnapshot(path)
     graft.plans.IvfIndex.register(spark, reloaded, "cluster", vecCol, cents, nprobe)
     // NOT setKb: the registration binds to the parquet scan paths, and a
     // localCheckpoint would swap the plan's leaf for a LogicalRDD the
@@ -244,9 +259,19 @@ final case class GraftSession(
   /** Reopen an index a previous session built with [[indexKnowledge]]
     * — loads the persisted coarse centroids (and PQ codebooks, if the
     * layout is ivfpq), registers the planner rule, and serves: the
-    * train-once-at-ingest amortization. Nothing is retrained. */
+    * train-once-at-ingest amortization. Nothing is retrained.
+    *
+    * `version` time-travels to an older committed manifest
+    * ([[indexedKnowledgeVersions]] lists them) — the rollback story
+    * for a bad ingest batch: reopen the last good version and the next
+    * [[upsertIndexedKnowledge]] COMMITS A NEW VERSION BASED ON IT,
+    * forking the bad batch out of the serving lineage (its manifest
+    * stays readable until its files are vacuumed; like Delta's
+    * RESTORE, [[vacuumIndexedKnowledge]] keeps only the latest and the
+    * session-pinned version's files). Default: latest. */
   def openIndexedKnowledge(path: String, nprobe: Int,
-      idCol: String = "id", vecCol: String = "embedding"): this.type =
+      idCol: String = "id", vecCol: String = "embedding",
+      version: Option[Long] = None): this.type =
     synchronized {
       import graft.operators.SimilaritySearch
       val cents = spark.read.parquet(s"$path/_ivf_centroids").localCheckpoint(true)
@@ -262,10 +287,10 @@ final case class GraftSession(
       if (graft.sources.Manifests.latestVersion(fs, ivfManifestDir(root)).isEmpty)
         graft.sources.Manifests.commit(fs, ivfManifestDir(root), 1L,
           listClusterFiles(fs, root))
-      val reloaded = readIndexSnapshot(path)
+      val (reloaded, v) = readIndexSnapshot(path, version)
       graft.plans.IvfIndex.register(spark, reloaded, "cluster", vecCol, cents, nprobe)
       kbDf = Some(reloaded)
-      ivfState = Some(IvfState(path, idCol, vecCol, cents, nprobe, cb))
+      ivfState = Some(IvfState(path, idCol, vecCol, cents, nprobe, cb, v))
       this
     }
 
@@ -339,9 +364,13 @@ final case class GraftSession(
         "indexKnowledge has not run in this session"))
       val (fs, root) = ivfFs(st.path)
       val mDir = ivfManifestDir(root)
-      val v = graft.sources.Manifests.latestVersion(fs, mDir).getOrElse(
+      // base = the version THIS SESSION pinned (not necessarily the
+      // latest): after openIndexedKnowledge(version = N) the commit
+      // below forks forward from N, which is how a bad batch is rolled
+      // back out of the serving lineage
+      val snapFiles = graft.sources.Manifests.read(fs, mDir, st.version)
+      val latest = graft.sources.Manifests.latestVersion(fs, mDir).getOrElse(
         throw new IllegalStateException(s"no committed IVF manifest at ${st.path}"))
-      val snapFiles = graft.sources.Manifests.read(fs, mDir, v)
       val current = spark.read
         .option("basePath", fs.makeQualified(root).toString)
         .parquet(snapFiles: _*)
@@ -393,28 +422,31 @@ final case class GraftSession(
       // rows were old versions of updated ids, no batch row landed)
       // simply contributes nothing, with no directory delete to race
       val carried = snapFiles.filterNot(f => touched.contains(clusterOfFile(f)))
-      try graft.sources.Manifests.commit(fs, mDir, v + 1, carried ++ newFiles)
+      try graft.sources.Manifests.commit(fs, mDir, latest + 1, carried ++ newFiles)
       catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
           throw new IllegalStateException(
-            s"concurrent writer committed v${v + 1} at ${st.path} first; " +
+            s"concurrent writer committed v${latest + 1} at ${st.path} first; " +
               "this upsert's files are orphans (vacuum reclaims them) — " +
               "re-run against the new snapshot")
       }
-      val reloaded = readIndexSnapshot(st.path)
+      val (reloaded, committed) = readIndexSnapshot(st.path, Some(latest + 1))
       graft.plans.IvfIndex.register(
         spark, reloaded, "cluster", st.vecCol, st.cents, st.nprobe)
       kbDf = Some(reloaded)
+      ivfState = Some(st.copy(version = committed))
       this
     }
 
-  /** Reclaim data files no longer referenced by the LATEST IVF manifest
-    * (superseded versions, losers of a commit race). `retainMillis` is
-    * the concurrency grace (Delta's VACUUM retention, miniature): a
-    * query planned against an older version keeps reading its pinned
-    * files, so only files BOTH unreferenced and older than the grace
-    * are deleted — pass 0 only when no reader or writer can be in
-    * flight. Returns the number of files removed. */
+  /** Reclaim data files referenced by neither the LATEST IVF manifest
+    * nor the version this session has pinned (superseded versions,
+    * losers of a commit race) — after which older versions are no
+    * longer time-travelable, like Delta's VACUUM. `retainMillis` is
+    * the concurrency grace (Delta's retention, miniature): a query
+    * planned against an older version keeps reading its pinned files,
+    * so only files BOTH unreferenced and older than the grace are
+    * deleted — pass 0 only when no reader or writer can be in flight.
+    * Returns the number of files removed. */
   def vacuumIndexedKnowledge(retainMillis: Long = 15L * 60L * 1000L): Int =
     synchronized {
       require(retainMillis >= 0, "retainMillis must be >= 0")
@@ -424,7 +456,8 @@ final case class GraftSession(
       val mDir = ivfManifestDir(root)
       val v = graft.sources.Manifests.latestVersion(fs, mDir).getOrElse(
         throw new IllegalStateException(s"no committed IVF manifest at ${st.path}"))
-      val live = graft.sources.Manifests.read(fs, mDir, v)
+      val live = (graft.sources.Manifests.read(fs, mDir, v) ++
+          graft.sources.Manifests.read(fs, mDir, st.version))
         .map(normalizePath).toSet
       val cutoff = System.currentTimeMillis() - retainMillis
       val clusterDirs = fs.listStatus(root).filter(s => s.isDirectory &&

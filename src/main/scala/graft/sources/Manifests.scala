@@ -20,12 +20,15 @@ private[graft] object Manifests {
 
   def versionPath(dir: Path, v: Long): Path = new Path(dir, f"v$v%020d")
 
-  def latestVersion(fs: FileSystem, dir: Path): Option[Long] = {
-    if (!fs.exists(dir)) None
+  def listVersions(fs: FileSystem, dir: Path): Seq[Long] = {
+    if (!fs.exists(dir)) Nil
     else fs.listStatus(dir).map(_.getPath.getName)
       .filter(_.startsWith("v")).map(_.drop(1).toLong)
-      .reduceOption(_ max _)
+      .toSeq.sorted
   }
+
+  def latestVersion(fs: FileSystem, dir: Path): Option[Long] =
+    listVersions(fs, dir).lastOption
 
   /** The closed file list of version `v`. */
   def read(fs: FileSystem, dir: Path, v: Long): Seq[String] = {

@@ -247,6 +247,42 @@ class GraftSessionSpec extends SparkSpec {
     } finally graft.plans.IvfIndex.unregister(spark, "embedding")
   }
 
+  test("openIndexedKnowledge(version): time travel, and an upsert forks a bad batch out of the lineage") {
+    val emb = HashEmbedder(16)
+    val g = GraftSession(spark, emb)
+    def mkKb(rows: Seq[(Long, String)]) =
+      emb.embedColumn(rows.toDF("id", "content"), "content", "embedding")
+    g.loadKnowledgeBase(mkKb(
+      (1L to 12L).map(i => (i, s"document number $i about topic${i % 4}"))))
+    val path = java.nio.file.Files.createTempDirectory("gs_ivf_tt").toString + "/kb"
+    g.indexKnowledge(path, nClusters = 2, nprobe = 2)
+    try {
+      g.upsertIndexedKnowledge(mkKb(Seq((99L, "good batch document"))))        // v2
+      g.upsertIndexedKnowledge(mkKb(Seq((100L, "BAD batch poisoned doc"))))    // v3
+      assert(g.indexedKnowledgeVersions === Seq(1L, 2L, 3L))
+
+      // time travel: a session opened at v2 sees exactly v2's rows
+      val g2 = GraftSession(spark, emb)
+        .openIndexedKnowledge(path, nprobe = 2, version = Some(2L))
+      assert(g2.knowledgeBase.count() === 13L)
+      assert(g2.knowledgeBase.filter(col("id") === 100L).count() === 0L,
+        "v2 must not contain the bad v3 batch")
+
+      // rollback-and-fork: an upsert from the v2 pin commits v4 BASED
+      // ON v2, dropping the bad batch from the serving lineage
+      g2.upsertIndexedKnowledge(mkKb(Seq((101L, "post-rollback document"))))
+      assert(g2.indexedKnowledgeVersions === Seq(1L, 2L, 3L, 4L))
+      val ids4 = g2.knowledgeBase.select("id").collect().map(_.getLong(0)).toSet
+      assert(ids4.contains(99L) && ids4.contains(101L) && !ids4.contains(100L),
+        s"v4 must be v2 + the new batch, without v3's rows: $ids4")
+
+      // a latest-opening session serves the forked lineage
+      val g3 = GraftSession(spark, emb).openIndexedKnowledge(path, nprobe = 2)
+      assert(g3.knowledgeBase.filter(col("id") === 100L).count() === 0L)
+      assert(g3.knowledgeBase.count() === 14L)
+    } finally graft.plans.IvfIndex.unregister(spark, "embedding")
+  }
+
   test("ivfpq: codes+codebooks persist, PQ search is exact at full probe/shortlist, a new session reopens without retraining") {
     import graft.functions.VectorFunctions
     val emb = HashEmbedder(16)
