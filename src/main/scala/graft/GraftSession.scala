@@ -118,7 +118,14 @@ final case class GraftSession(
     * [[cleanupExpired]]) swaps the held frame for a checkpointed one
     * whose plan the rule cannot match, so those sessions fall back to
     * the exact scan until indexKnowledge runs again — stale-index
-    * answers are never served. */
+    * answers are never served.
+    *
+    * Calling this on a path with a COMMITTED layout is a zero-downtime
+    * retrain: the new generation's reassignment (fresh centroids —
+    * cluster ids change meaning) is appended as new files and committed
+    * as the next manifest version, whose header pins the generation's
+    * own quantizer side dirs; readers of earlier versions keep their
+    * files and their generation's quantizers until vacuum. */
   private case class IvfState(path: String, idCol: String, vecCol: String,
       cents: org.apache.spark.sql.DataFrame, nprobe: Int,
       pqCodebooks: Option[Array[Array[Array[Float]]]] = None,
@@ -176,9 +183,39 @@ final case class GraftSession(
     require(fs.exists(graft.sources.Manifests.versionPath(dir, v)),
       s"no committed version $v at $path (have " +
         s"${graft.sources.Manifests.listVersions(fs, dir).mkString(",")})")
-    val files = graft.sources.Manifests.read(fs, dir, v)
+    val files = graft.sources.Manifests.read(fs, dir, v).filterNot(isHeader)
     (spark.read.option("basePath", fs.makeQualified(root).toString)
       .parquet(files: _*), v)
+  }
+
+  /** The quantizer pointer travels INSIDE the data manifest as a
+    * header line, so a version's files and the quantizers they were
+    * assigned with commit in ONE atomic create — no ordering window
+    * where a committed version resolves a foreign generation. A
+    * rebuild's manifest points at its new generation's side dirs; an
+    * upsert carries its base's header verbatim. */
+  private def quantizerHeader(centsDir: String, cbDir: Option[String]): String =
+    s"#quantizers centroids=$centsDir codebooks=${cbDir.getOrElse("-")}"
+  private def isHeader(line: String): Boolean = line.startsWith("#")
+  /** (centroids dir, codebooks dir) for version `v`, both relative to
+    * the layout root; headerless manifests (pre-generation layouts,
+    * the open-adopt commit) fall back to the flat side-dir names. */
+  private def resolveSideState(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, v: Long): (String, Option[String]) = {
+    val header = graft.sources.Manifests
+      .read(fs, ivfManifestDir(root), v).find(isHeader)
+    header.flatMap { h =>
+      val kv = h.split("\\s+").flatMap(_.split("=", 2) match {
+        case Array(k, value) => Some(k -> value)
+        case _ => None
+      }).toMap
+      kv.get("centroids").map(c => (c, kv.get("codebooks").filter(_ != "-")))
+    }.getOrElse {
+      ("_ivf_centroids",
+        if (fs.exists(new org.apache.hadoop.fs.Path(root, "_pq_codebooks")))
+          Some("_pq_codebooks")
+        else None)
+    }
   }
 
   /** Committed versions of the indexed KB's manifest log, oldest
@@ -230,29 +267,45 @@ final case class GraftSession(
     // rows but every file is read — IO stays corpus-sized (measured in
     // AnnRecallDemo). repartition on the cluster column first so each
     // cluster directory holds one file, not one per shuffle task.
-    assigned.repartition(org.apache.spark.sql.functions.col("cluster"))
-      .write.mode("overwrite").partitionBy("cluster").parquet(path)
-    // side state AFTER the data write (mode=overwrite wipes `path`):
-    // underscore-prefixed children are invisible to partition discovery,
-    // so the data read never picks them up — and a later session can
-    // openIndexedKnowledge without retraining either quantizer
-    cents.write.mode("overwrite").parquet(s"$path/_ivf_centroids")
-    cb.foreach(SimilaritySearch.pqSaveCodebooks(spark, s"$path/_pq_codebooks", _))
-    // commit manifest v1: the closed file list later upserts version
-    // against. The overwrite build itself is NOT reader-atomic (it
-    // deletes the old files at `path`) — rebuild at a fresh path +
-    // openIndexedKnowledge when readers are live; the keyed upsert is
-    // the in-place maintenance path.
     val (fs, root) = ivfFs(path)
-    graft.sources.Manifests.commit(fs, ivfManifestDir(root), 1L,
-      listClusterFiles(fs, root))
-    val (reloaded, _) = readIndexSnapshot(path)
+    val toWrite = assigned
+      .repartition(org.apache.spark.sql.functions.col("cluster"))
+    val prior = graft.sources.Manifests.latestVersion(fs, ivfManifestDir(root))
+    val (newFiles, commitV, centsDir, cbDir) = prior match {
+      case None =>
+        // fresh build: overwrite clears any uncommitted debris at path
+        toWrite.write.mode("overwrite").partitionBy("cluster").parquet(path)
+        (listClusterFiles(fs, root), 1L, "_ivf_centroids", "_pq_codebooks")
+      case Some(latest) =>
+        // IN-PLACE VERSIONED REBUILD (zero reader downtime): the new
+        // generation's reassignment is APPENDED as new files — cluster
+        // ids now mean the NEW centroids, so the manifest lists only
+        // this generation's files and the generation's quantizers land
+        // in their own side dirs, resolved per version through the
+        // meta log. Readers of committed versions keep their files;
+        // disk transiently holds both generations until vacuum.
+        val g = latest + 1
+        val before = listClusterFiles(fs, root).toSet
+        toWrite.write.mode("append").partitionBy("cluster").parquet(path)
+        (listClusterFiles(fs, root).filterNot(before), g,
+          s"_ivf_centroids_g$g", s"_pq_codebooks_g$g")
+    }
+    // side state BEFORE the manifest/meta commit: a version must never
+    // be resolvable before its quantizers exist. underscore-prefixed
+    // children are invisible to partition discovery, so the data read
+    // never picks them up — and a later session can openIndexedKnowledge
+    // without retraining either quantizer.
+    cents.write.mode("overwrite").parquet(s"$path/$centsDir")
+    cb.foreach(SimilaritySearch.pqSaveCodebooks(spark, s"$path/$cbDir", _))
+    graft.sources.Manifests.commit(fs, ivfManifestDir(root), commitV,
+      quantizerHeader(centsDir, cb.map(_ => cbDir)) +: newFiles)
+    val (reloaded, v) = readIndexSnapshot(path, Some(commitV))
     graft.plans.IvfIndex.register(spark, reloaded, "cluster", vecCol, cents, nprobe)
     // NOT setKb: the registration binds to the parquet scan paths, and a
     // localCheckpoint would swap the plan's leaf for a LogicalRDD the
     // rule can't match; the file-backed frame is already lineage-free
     kbDf = Some(reloaded)
-    ivfState = Some(IvfState(path, idCol, vecCol, cents, nprobe, cb))
+    ivfState = Some(IvfState(path, idCol, vecCol, cents, nprobe, cb, v))
     this
   }
 
@@ -274,20 +327,19 @@ final case class GraftSession(
       version: Option[Long] = None): this.type =
     synchronized {
       import graft.operators.SimilaritySearch
-      val cents = spark.read.parquet(s"$path/_ivf_centroids").localCheckpoint(true)
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val cb =
-        if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/_pq_codebooks")))
-          Some(SimilaritySearch.pqLoadCodebooks(spark, s"$path/_pq_codebooks"))
-        else None
+      val (fs, root) = ivfFs(path)
       // a layout built before manifests existed is adopted as v1 — its
       // current directory contents become the first committed version
-      val (_, root) = ivfFs(path)
       if (graft.sources.Manifests.latestVersion(fs, ivfManifestDir(root)).isEmpty)
         graft.sources.Manifests.commit(fs, ivfManifestDir(root), 1L,
           listClusterFiles(fs, root))
       val (reloaded, v) = readIndexSnapshot(path, version)
+      // the quantizers THAT VERSION was assigned with (a rebuild starts
+      // a new generation; meta resolves per version, flat names for
+      // pre-meta layouts)
+      val (centsDir, cbDirOpt) = resolveSideState(fs, root, v)
+      val cents = spark.read.parquet(s"$path/$centsDir").localCheckpoint(true)
+      val cb = cbDirOpt.map(d => SimilaritySearch.pqLoadCodebooks(spark, s"$path/$d"))
       graft.plans.IvfIndex.register(spark, reloaded, "cluster", vecCol, cents, nprobe)
       kbDf = Some(reloaded)
       ivfState = Some(IvfState(path, idCol, vecCol, cents, nprobe, cb, v))
@@ -352,9 +404,11 @@ final case class GraftSession(
     * Rewrite granularity is the cluster partition (same tradeoff as
     * any partition-level merge); for row-keyed touched-file-only merges
     * use the MergeTable-backed KB instead. Centroids drift as the
-    * corpus grows — re-run [[indexKnowledge]] (at a fresh path when
-    * readers are live: the rebuild's overwrite is not reader-atomic)
-    * to retrain when recall degrades. */
+    * corpus grows — re-run [[indexKnowledge]] at the SAME path to
+    * retrain when recall degrades: on an already-committed layout it
+    * appends the new generation's reassignment and commits it as the
+    * next version, so live readers keep their pinned files (zero
+    * downtime; disk transiently holds both generations until vacuum). */
   def upsertIndexedKnowledge(docs: org.apache.spark.sql.DataFrame,
       versionCol: Option[String] = None): this.type =
     synchronized {
@@ -369,6 +423,7 @@ final case class GraftSession(
       // below forks forward from N, which is how a bad batch is rolled
       // back out of the serving lineage
       val snapFiles = graft.sources.Manifests.read(fs, mDir, st.version)
+        .filterNot(isHeader)
       val latest = graft.sources.Manifests.latestVersion(fs, mDir).getOrElse(
         throw new IllegalStateException(s"no committed IVF manifest at ${st.path}"))
       val current = spark.read
@@ -422,7 +477,12 @@ final case class GraftSession(
       // rows were old versions of updated ids, no batch row landed)
       // simply contributes nothing, with no directory delete to race
       val carried = snapFiles.filterNot(f => touched.contains(clusterOfFile(f)))
-      try graft.sources.Manifests.commit(fs, mDir, latest + 1, carried ++ newFiles)
+      // the new version's rows are assigned with the BASE pin's
+      // quantizers — its manifest must say so (a fork committed after
+      // a rebuild still belongs to its base's generation)
+      val (baseCents, baseCb) = resolveSideState(fs, root, st.version)
+      try graft.sources.Manifests.commit(fs, mDir, latest + 1,
+        quantizerHeader(baseCents, baseCb) +: (carried ++ newFiles))
       catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
           throw new IllegalStateException(
@@ -458,7 +518,7 @@ final case class GraftSession(
         throw new IllegalStateException(s"no committed IVF manifest at ${st.path}"))
       val live = (graft.sources.Manifests.read(fs, mDir, v) ++
           graft.sources.Manifests.read(fs, mDir, st.version))
-        .map(normalizePath).toSet
+        .filterNot(isHeader).map(normalizePath).toSet
       val cutoff = System.currentTimeMillis() - retainMillis
       val clusterDirs = fs.listStatus(root).filter(s => s.isDirectory &&
         s.getPath.getName.startsWith("cluster="))

@@ -283,6 +283,60 @@ class GraftSessionSpec extends SparkSpec {
     } finally graft.plans.IvfIndex.unregister(spark, "embedding")
   }
 
+  test("indexKnowledge on a committed layout is a zero-downtime versioned rebuild") {
+    val emb = HashEmbedder(16)
+    val g = GraftSession(spark, emb)
+    def mkKb(rows: Seq[(Long, String)]) =
+      emb.embedColumn(rows.toDF("id", "content"), "content", "embedding")
+    g.loadKnowledgeBase(mkKb(
+      (1L to 12L).map(i => (i, s"document number $i about topic${i % 4}"))))
+    val path = java.nio.file.Files.createTempDirectory("gs_ivf_reb").toString + "/kb"
+    g.indexKnowledge(path, nClusters = 2, nprobe = 2)                       // v1, gen 1
+    try {
+      val pinned = g.knowledgeBase // a reader of v1
+      // retrain IN PLACE with more clusters and a PQ upgrade: commits
+      // v2 as generation 2 (new centroids, new codebooks, same rows)
+      g.indexKnowledge(path, nClusters = 3, nprobe = 3, pqM = 4, pqK = 8,
+        pqIters = 2)                                                        // v2, gen 2
+      assert(g.indexedKnowledgeVersions === Seq(1L, 2L))
+      assert(pinned.count() === 12L, "v1 reader must survive the rebuild")
+      assert(!pinned.columns.contains("pq_codes"))
+
+      val kb2 = g.knowledgeBase
+      assert(kb2.count() === 12L)
+      assert(kb2.select("cluster").distinct().count() === 3L,
+        "the rebuild generation must carry the NEW assignment")
+      assert(kb2.columns.contains("pq_codes"))
+      val q = "document number 3 about topic3"
+      assert(g.searchKnowledge(q, k = 3).select("id")
+        .collect().map(_.getLong(0)).contains(3L))
+      assert(g.searchKnowledgePq(q, k = 3, shortlist = 12).select("id")
+        .collect().map(_.getLong(0)).contains(3L),
+        "the gen-2 ivfpq read must serve after the in-place upgrade")
+
+      // time travel ACROSS generations resolves each version's own
+      // quantizers: v1 has gen-1 centroids, 2 clusters, and no PQ
+      val g2 = GraftSession(spark, emb)
+        .openIndexedKnowledge(path, nprobe = 2, version = Some(1L))
+      assert(g2.knowledgeBase.select("cluster").distinct().count() === 2L)
+      assert(g2.searchKnowledge(q, k = 3).select("id")
+        .collect().map(_.getLong(0)).contains(3L))
+      intercept[IllegalStateException] {
+        g2.searchKnowledgePq(q, k = 3, shortlist = 12)
+      }
+
+      // maintenance continues on the new generation (encodes with the
+      // gen-2 codebooks), and vacuum keeps the live fork working
+      g.upsertIndexedKnowledge(mkKb(Seq((99L, "a brand new late-arriving document"))))
+      assert(g.knowledgeBase.count() === 13L)
+      assert(g.vacuumIndexedKnowledge(0L) > 0)
+      assert(g.knowledgeBase.count() === 13L)
+      assert(g.searchKnowledgePq("a brand new late-arriving document",
+        k = 3, shortlist = 13).select("id")
+        .collect().map(_.getLong(0)).contains(99L))
+    } finally graft.plans.IvfIndex.unregister(spark, "embedding")
+  }
+
   test("ivfpq: codes+codebooks persist, PQ search is exact at full probe/shortlist, a new session reopens without retraining") {
     import graft.functions.VectorFunctions
     val emb = HashEmbedder(16)
