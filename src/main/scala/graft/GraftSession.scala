@@ -169,6 +169,47 @@ final case class GraftSession(
       .filter(f => { val n = new org.apache.hadoop.fs.Path(f).getName
         n.startsWith("part-") && n.endsWith(".parquet") })
       .toSeq.sorted
+  /** Write `df` (bearing a `cluster` column) as this writer's OWN new
+    * files in the layout: stage under `_staging/<uuid>` (underscore —
+    * invisible to partition discovery), then rename each part file
+    * into its cluster directory and return exactly the files this
+    * writer produced. A listing diff could capture a CONCURRENT
+    * writer's in-flight files into this writer's manifest — staged
+    * names can't. Renames are atomic per file on HDFS-like
+    * filesystems; on rename-as-copy object stores this costs one copy
+    * (the direct-write alternative needs committer task hooks this
+    * library stays out of). Part names carry the staging job's UUID,
+    * so they cannot collide with existing files. */
+  private def stageNewFiles(df: DataFrame,
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[String] = {
+    import org.apache.spark.sql.functions.col
+    val staging = new org.apache.hadoop.fs.Path(root,
+      "_staging/" + java.util.UUID.randomUUID())
+    // repartition on cluster: one file per cluster per write, not one
+    // per shuffle task (the indexKnowledge convention)
+    df.repartition(col("cluster"))
+      .write.mode("errorifexists").partitionBy("cluster")
+      .parquet(staging.toString)
+    val moved = fs.listStatus(staging)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cluster="))
+      .flatMap { d =>
+        val target = new org.apache.hadoop.fs.Path(root, d.getPath.getName)
+        fs.mkdirs(target)
+        fs.listStatus(d.getPath).filter(_.isFile).map(_.getPath)
+          .filter(p => p.getName.startsWith("part-") &&
+            p.getName.endsWith(".parquet"))
+          .map { p =>
+            val t = new org.apache.hadoop.fs.Path(target, p.getName)
+            if (!fs.rename(p, t))
+              throw new IllegalStateException(s"rename $p -> $t failed")
+            t.toUri.toString
+          }
+      }.toSeq.sorted
+    fs.delete(staging, true)
+    moved
+  }
+
   /** The layout as of its latest committed manifest, with the `cluster`
     * partition column still inferred (basePath), so the planner rule's
     * probe filter prunes the pinned file list exactly like a directory
@@ -278,16 +319,14 @@ final case class GraftSession(
         (listClusterFiles(fs, root), 1L, "_ivf_centroids", "_pq_codebooks")
       case Some(latest) =>
         // IN-PLACE VERSIONED REBUILD (zero reader downtime): the new
-        // generation's reassignment is APPENDED as new files — cluster
+        // generation's reassignment lands as new staged files — cluster
         // ids now mean the NEW centroids, so the manifest lists only
         // this generation's files and the generation's quantizers land
-        // in their own side dirs, resolved per version through the
-        // meta log. Readers of committed versions keep their files;
-        // disk transiently holds both generations until vacuum.
+        // in their own side dirs, pinned by the manifest header.
+        // Readers of committed versions keep their files; disk
+        // transiently holds both generations until vacuum.
         val g = latest + 1
-        val before = listClusterFiles(fs, root).toSet
-        toWrite.write.mode("append").partitionBy("cluster").parquet(path)
-        (listClusterFiles(fs, root).filterNot(before), g,
+        (stageNewFiles(assigned, fs, root), g,
           s"_ivf_centroids_g$g", s"_pq_codebooks_g$g")
     }
     // side state BEFORE the manifest/meta commit: a version must never
@@ -376,9 +415,10 @@ final case class GraftSession(
     *  2. rewrite only the touched CLUSTERS — the batch's clusters plus
     *     any cluster still holding an old version of an updated id (an
     *     update can move a doc across clusters; the old row must die
-    *     where it lives). Their survivors + the batch are APPENDED as
-    *     new files; untouched clusters are carried into the next
-    *     manifest by reference, never copied or rewritten;
+    *     where it lives). Their survivors + the batch land as NEW
+    *     files (staged, then renamed into the cluster dirs); untouched
+    *     clusters are carried into the next manifest by reference,
+    *     never copied or rewritten;
     *  3. commit the next manifest and re-register, so later searches
     *     serve the new version through the same planner-pruned path.
     *
@@ -389,8 +429,9 @@ final case class GraftSession(
     * arbitrarily (`dropDuplicates` keeps a partition-order-dependent
     * row).
     *
-    * Publication is ATOMIC FOR READERS: the upsert appends new files
-    * for the touched clusters, then flips `_ivf_manifests` to the next
+    * Publication is ATOMIC FOR READERS: the upsert stages new files
+    * for the touched clusters (nothing is deleted or overwritten),
+    * then flips `_ivf_manifests` to the next
     * version with an exclusive-create commit
     * ([[graft.sources.Manifests]] — the MergeTable OCC primitive). A
     * search planned before the flip keeps reading its pinned version's
@@ -453,25 +494,10 @@ final case class GraftSession(
         .distinct().collect().map(_.getInt(0)).toSet
       val kept = current.filter(col("cluster").isin(touched.toSeq: _*))
         .join(newIds, Seq(st.idCol), "left_anti")
-      // APPEND the touched clusters' survivors + the batch as new files
-      // (append never deletes, so the pinned version stays readable and
-      // no overwrite-path-being-read check trips); the listing diff of
-      // the touched directories identifies what this write produced
-      def touchedFiles(): Set[String] = touched.flatMap { c =>
-        val d = new org.apache.hadoop.fs.Path(root, s"cluster=$c")
-        if (!fs.exists(d)) Set.empty[String]
-        else fs.listStatus(d).filter(_.isFile)
-          .map(_.getPath.toUri.toString)
-          // data files only: a checksumming FS also drops `.part-*.crc`
-          // siblings, which must never reach the manifest
-          .filter(f => { val n = new org.apache.hadoop.fs.Path(f).getName
-            n.startsWith("part-") && n.endsWith(".parquet") })
-          .toSet
-      }
-      val before = touchedFiles()
-      kept.unionByName(batch).repartition(col("cluster"))
-        .write.mode("append").partitionBy("cluster").parquet(st.path)
-      val newFiles = (touchedFiles() -- before).toSeq.sorted
+      // the touched clusters' survivors + the batch land as THIS
+      // writer's new files (staged + renamed — nothing is deleted, so
+      // the pinned version stays readable throughout)
+      val newFiles = stageNewFiles(kept.unionByName(batch), fs, root)
       // next manifest: untouched clusters carried by reference, touched
       // clusters ONLY from the new files — a fully drained cluster (all
       // rows were old versions of updated ids, no batch row landed)
@@ -544,6 +570,13 @@ final case class GraftSession(
           }
         if (fs.listStatus(d.getPath).isEmpty) fs.delete(d.getPath, false)
       }
+      // staging dirs stranded by a writer that crashed between the
+      // stage write and the renames; the grace keeps live stages safe
+      val stagingRoot = new org.apache.hadoop.fs.Path(root, "_staging")
+      if (fs.exists(stagingRoot))
+        fs.listStatus(stagingRoot)
+          .filter(_.getModificationTime <= cutoff)
+          .foreach(s => fs.delete(s.getPath, true))
       graft.sources.Manifests.sweepTemp(fs, mDir, cutoff)
       removed
     }
