@@ -498,30 +498,76 @@ final case class GraftSession(
       // writer's new files (staged + renamed — nothing is deleted, so
       // the pinned version stays readable throughout)
       val newFiles = stageNewFiles(kept.unionByName(batch), fs, root)
-      // next manifest: untouched clusters carried by reference, touched
-      // clusters ONLY from the new files — a fully drained cluster (all
-      // rows were old versions of updated ids, no batch row landed)
-      // simply contributes nothing, with no directory delete to race
-      val carried = snapFiles.filterNot(f => touched.contains(clusterOfFile(f)))
-      // the new version's rows are assigned with the BASE pin's
-      // quantizers — its manifest must say so (a fork committed after
-      // a rebuild still belongs to its base's generation)
-      val (baseCents, baseCb) = resolveSideState(fs, root, st.version)
-      try graft.sources.Manifests.commit(fs, mDir, latest + 1,
-        quantizerHeader(baseCents, baseCb) +: (carried ++ newFiles))
-      catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
-          throw new IllegalStateException(
-            s"concurrent writer committed v${latest + 1} at ${st.path} first; " +
-              "this upsert's files are orphans (vacuum reclaims them) — " +
-              "re-run against the new snapshot")
-      }
-      val (reloaded, committed) = readIndexSnapshot(st.path, Some(latest + 1))
-      graft.plans.IvfIndex.register(
-        spark, reloaded, "cluster", st.vecCol, st.cents, st.nprobe)
-      kbDf = Some(reloaded)
-      ivfState = Some(st.copy(version = committed))
+      commitTouchedVersion(st, fs, root, latest, snapFiles, touched, newFiles)
       this
+    }
+
+  /** Shared maintenance-commit tail: flip the manifest to
+    * `latest + 1` — untouched clusters carried by reference, touched
+    * clusters only from `newFiles` (a fully drained cluster simply
+    * contributes nothing, with no directory delete to race), the BASE
+    * pin's quantizer header carried (a fork committed after a rebuild
+    * still belongs to its base's generation) — then reload,
+    * re-register, and advance the session pin. */
+  private def commitTouchedVersion(st: IvfState,
+      fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
+      latest: Long, snapFiles: Seq[String], touched: Set[Int],
+      newFiles: Seq[String]): Unit = {
+    val mDir = ivfManifestDir(root)
+    val carried = snapFiles.filterNot(f => touched.contains(clusterOfFile(f)))
+    val (baseCents, baseCb) = resolveSideState(fs, root, st.version)
+    try graft.sources.Manifests.commit(fs, mDir, latest + 1,
+      quantizerHeader(baseCents, baseCb) +: (carried ++ newFiles))
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"concurrent writer committed v${latest + 1} at ${st.path} first; " +
+            "this write's files are orphans (vacuum reclaims them) — " +
+            "re-run against the new snapshot")
+    }
+    val (reloaded, committed) = readIndexSnapshot(st.path, Some(latest + 1))
+    graft.plans.IvfIndex.register(
+      spark, reloaded, "cluster", st.vecCol, st.cents, st.nprobe)
+    kbDf = Some(reloaded)
+    ivfState = Some(st.copy(version = committed))
+  }
+
+  /** Row-level DELETE on the indexed KB — the reference's TTL sweep
+    * (`vector_service.py`'s cleanup `DELETE WHERE expires_at < now`,
+    * S6) at the SERVING-INDEX layer, completing the layout's CRUD:
+    * only the clusters holding a matching row are rewritten (their
+    * survivors staged as new files), the next manifest version flips
+    * atomically for readers, and rows where `cond` is NULL are kept
+    * (SQL DELETE semantics). Returns the number of rows removed.
+    * Prefer this over [[cleanupExpired]] when the KB is indexed:
+    * that path swaps the held frame for a checkpointed one the
+    * planner rule cannot match, losing the pruned serving path. */
+  def deleteIndexedKnowledge(cond: org.apache.spark.sql.Column): Long =
+    synchronized {
+      import org.apache.spark.sql.functions.{coalesce, col, lit}
+      val st = ivfState.getOrElse(throw new IllegalStateException(
+        "indexKnowledge has not run in this session"))
+      val (fs, root) = ivfFs(st.path)
+      val mDir = ivfManifestDir(root)
+      val snapFiles = graft.sources.Manifests.read(fs, mDir, st.version)
+        .filterNot(isHeader)
+      val latest = graft.sources.Manifests.latestVersion(fs, mDir).getOrElse(
+        throw new IllegalStateException(s"no committed IVF manifest at ${st.path}"))
+      val current = spark.read
+        .option("basePath", fs.makeQualified(root).toString)
+        .parquet(snapFiles: _*)
+      // one discovery pass: matched-row count per touched cluster
+      val hits = current.filter(coalesce(cond, lit(false)))
+        .groupBy(col("cluster")).count().collect()
+      val touched = hits.map(_.getInt(0)).toSet
+      val removed = hits.map(_.getLong(1)).sum
+      if (touched.isEmpty) return 0L
+      val survivors = current
+        .filter(col("cluster").isin(touched.toSeq: _*))
+        .filter(!coalesce(cond, lit(false)))
+      val newFiles = stageNewFiles(survivors, fs, root)
+      commitTouchedVersion(st, fs, root, latest, snapFiles, touched, newFiles)
+      removed
     }
 
   /** Reclaim data files referenced by neither the LATEST IVF manifest

@@ -97,6 +97,27 @@ object MergeTable {
     Snapshot(v, Manifests.read(fs, manifestDir(root), v))
   }
 
+  /** Committed versions of the table, oldest first. */
+  def versions(spark: SparkSession, path: String): Seq[Long] = {
+    val (fs, root) = fsOf(spark, path)
+    Manifests.listVersions(fs, manifestDir(root))
+  }
+
+  /** The table as of committed `version` — time travel over the
+    * manifest log. Every commit (merge, delete, compact) is a version;
+    * an older version stays readable until [[vacuum]] reclaims the
+    * files the LATEST manifest no longer references. */
+  def readAt(spark: SparkSession, path: String, version: Long): DataFrame =
+    spark.read.parquet(snapshotAt(spark, path, version).files: _*)
+
+  def snapshotAt(spark: SparkSession, path: String, version: Long): Snapshot = {
+    val (fs, root) = fsOf(spark, path)
+    require(fs.exists(Manifests.versionPath(manifestDir(root), version)),
+      s"no committed version $version at $path (have " +
+        s"${Manifests.listVersions(fs, manifestDir(root)).mkString(",")})")
+    Snapshot(version, Manifests.read(fs, manifestDir(root), version))
+  }
+
   /** Upsert `updates` by `keyCols` (last state wins per key, like the
     * reference's DO UPDATE): matched keys are replaced, new keys are
     * inserted, and only the parquet files containing a matched key are

@@ -386,6 +386,39 @@ class GraftSessionSpec extends SparkSpec {
     } finally graft.plans.IvfIndex.unregister(spark, "embedding")
   }
 
+  test("deleteIndexedKnowledge: predicate delete commits a version; misses are free") {
+    val emb = HashEmbedder(16)
+    val g = GraftSession(spark, emb)
+    g.loadKnowledgeBase(emb.embedColumn(
+      (1L to 12L).map(i => (i, s"document number $i about topic${i % 4}"))
+        .toDF("id", "content"),
+      "content", "embedding"))
+    val path = java.nio.file.Files.createTempDirectory("gs_ivf_del").toString + "/kb"
+    g.indexKnowledge(path, nClusters = 2, nprobe = 2)
+    try {
+      // the TTL-sweep shape: delete by predicate; NULL cond rows kept
+      assert(g.deleteIndexedKnowledge(col("id").isin(3L, 7L)) === 2L)
+      val kb2 = g.knowledgeBase
+      assert(kb2.count() === 10L)
+      assert(kb2.filter(col("id").isin(3L, 7L)).count() === 0L)
+      assert(g.indexedKnowledgeVersions === Seq(1L, 2L))
+      // the deleted doc is gone from the planner-pruned search path too
+      val hits = g.searchKnowledge("document number 3 about topic3", k = 12)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(!hits.contains(3L) && !hits.contains(7L))
+      // a miss deletes nothing and commits nothing
+      assert(g.deleteIndexedKnowledge(col("id") === 999L) === 0L)
+      assert(g.indexedKnowledgeVersions === Seq(1L, 2L))
+      // maintenance composes: upsert after delete, then vacuum
+      g.upsertIndexedKnowledge(emb.embedColumn(
+        Seq((3L, "doc three returns")).toDF("id", "content"),
+        "content", "embedding"))
+      assert(g.knowledgeBase.count() === 11L)
+      assert(g.vacuumIndexedKnowledge(0L) > 0)
+      assert(g.knowledgeBase.count() === 11L)
+    } finally graft.plans.IvfIndex.unregister(spark, "embedding")
+  }
+
   test("cleanupExpired sweeps and reports the count") {
     val emb = HashEmbedder(8)
     val g = GraftSession(spark, emb)

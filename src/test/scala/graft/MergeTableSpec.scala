@@ -44,6 +44,24 @@ class MergeTableSpec extends SparkSpec {
       expected.orderBy("id").collect().toSeq)
   }
 
+  test("readAt time-travels the manifest log; vacuum ends older versions' travel") {
+    val path = freshPath()
+    MergeTable.init(spark, path, rows(1 to 100, "old"))
+    MergeTable.merge(spark, path, rows(90 to 110, "new"), Seq("id"))
+    assert(MergeTable.versions(spark, path) === Seq(1L, 2L))
+    // v1 reads exactly the pre-merge table while v2 is the latest
+    val v1 = MergeTable.readAt(spark, path, 1L)
+    assert(v1.count() === 100 && v1.filter($"tag" === "new").count() === 0)
+    assert(MergeTable.read(spark, path).count() === 110)
+    intercept[IllegalArgumentException] {
+      MergeTable.snapshotAt(spark, path, 7L)
+    }
+    // vacuum reclaims v1-only files — v1 is no longer travelable
+    assert(MergeTable.vacuum(spark, path, retainMillis = 0) > 0)
+    intercept[Exception] { MergeTable.readAt(spark, path, 1L).count() }
+    assert(MergeTable.read(spark, path).count() === 110, "latest unaffected")
+  }
+
   test("only files containing matched keys are rewritten; kept files carried by reference") {
     val path = freshPath()
     MergeTable.init(spark, path, rows(1 to 1000, "old"))
