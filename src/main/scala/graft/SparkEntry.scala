@@ -998,6 +998,26 @@ object SparkEntry {
             .as("status")),
         "component", "status")),
 
+    "q113_incremental_neardup" -> ((s, d) => {
+      // the persisted dedup-index SERVING path (DedupIndex): admission
+      // probe of an incoming batch (doc_id % 4 == 0) against an index
+      // of the incumbent corpus — must return exactly the batch-
+      // touching subset of what a fresh minHashNearDups over the full
+      // corpus reports (the q33 oracle, restricted). The in-query
+      // index build is the oracle's price (the q103 pattern: a real
+      // deployment builds once at ingest and pays only the pushed
+      // bucket-probe per batch).
+      val docs = T.documents(s, d)
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_q113").toString + "/idx"
+      operators.DedupIndex.build(s, idx,
+        docs.filter(col("doc_id") % 4 =!= 0), "doc_id", "text")
+      operators.DedupIndex.nearDupsAgainst(s, idx,
+          docs.filter(col("doc_id") % 4 === 0), "doc_id", "text",
+          threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "q94_json_redact" -> ((s, d) => {
       // recursive JSON redaction over structured metadata: build a
       // nested payload from real columns, sanitize it, extract fields
@@ -1437,6 +1457,23 @@ object SparkEntry {
         |  round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
         |FROM w a JOIN w b ON a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // q33's brute-force oracle restricted to pairs touching the
+    // incoming batch (doc_id % 4 == 0) — the indexed probe must
+    // reproduce the fresh recompute exactly
+    "q113_incremental_neardup" ->
+      """WITH w AS (SELECT doc_id, list_distinct(
+        |    CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) < 3
+        |      THEN [array_to_string(regexp_split_to_array(trim(text), '\s+'), ' ')]
+        |      ELSE [array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+2], ' ')
+        |            for i in range(1, len(regexp_split_to_array(trim(text), '\s+')) - 1)] END) AS sh
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+        |FROM w a JOIN w b ON a.doc_id < b.doc_id
+        |WHERE (a.doc_id % 4 = 0 OR b.doc_id % 4 = 0)
+        |  AND len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q36_salted_count" ->

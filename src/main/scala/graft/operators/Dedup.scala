@@ -164,9 +164,6 @@ object Dedup {
   def minHashNearDupsFromShingles(
       shingled: DataFrame, numHashes: Int = 128, bands: Int = 32,
       threshold: Double = 0.8): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
-
     // Band buckets over bare ids only — the shingle arrays must NOT ride
     // through the shuffle. The self-join below consumes this twice and
     // Spark does NOT reuse the subtree across join sides (verified: the
@@ -174,13 +171,7 @@ object Dedup {
     // signature pass — numHashes minima per doc — is the CPU-heavy part
     // of LSH), so the small (id, band, bucket) table is materialized
     // once and freed when the verified pairs are.
-    val banded = shingled
-      .select(col("id"),
-        HashExpressions.minhashSignatureLongs(col("shingles"), numHashes).as("sig"))
-      .select(col("id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => hash(slice(col("sig"), b * r + 1, lit(r)), b))).as(Seq("band", "bucket")))
-      .localCheckpoint(true)
+    val banded = bandFrame(shingled, numHashes, bands).localCheckpoint(true)
 
     try {
       // Candidate pairs via band-bucket self-join. A bucket-aggregate
@@ -207,6 +198,24 @@ object Dedup {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .localCheckpoint(true) // materialize the (small) pair set
     } finally freeCheckpoint(banded)
+  }
+
+  /** (id, band, bucket) LSH band table over a [[shingleFrame]] — the
+    * banding used by [[minHashNearDupsFromShingles]], factored out so
+    * [[DedupIndex]] persists bit-identical buckets (an indexed lookup
+    * and a fresh recompute must land in the SAME buckets or the index
+    * silently loses recall). One row per (doc, band); bucket is the
+    * seeded hash of the band's signature slice. */
+  private[operators] def bandFrame(
+      shingled: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    shingled
+      .select(col("id"),
+        HashExpressions.minhashSignatureLongs(col("shingles"), numHashes).as("sig"))
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("sig"), b * r + 1, lit(r)), b))).as(Seq("band", "bucket")))
   }
 
   /** SimHash near-dups: 64-bit fingerprints, candidates via 16-bit band

@@ -1,0 +1,258 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.MergeTable
+
+/** Persisted MinHash-LSH index for [[Dedup]] — near-dup detection AT
+  * INGEST, the serving path the batch operators lack.
+  *
+  * [[Dedup.minHashNearDups]] re-shingles and re-signs the WHOLE corpus
+  * per call: right for a one-shot curation sweep, wrong for the steady
+  * state of a growing corpus, where every incoming batch must answer
+  * "is this a near-duplicate of anything we already hold?" before it
+  * is admitted (the reference's content-hash gate,
+  * `backend/services/vector_service.py:104-125`, generalized from
+  * exact to near-duplicate). At 100 TB the corpus side must be a
+  * persisted index probed per batch, never a recomputation:
+  *
+  *  - `path/bands`    — (id, band, bucket), keyed (id, band): the LSH
+  *    band table, bit-identical buckets to [[Dedup.bandFrame]] (shared
+  *    code — indexed probes and fresh recomputes MUST collide in the
+  *    same buckets or recall silently drops). BUCKET-MAJOR after
+  *    [[compact]] (files range-sorted on bucket): a batch probe pushes
+  *    `bucket IN (batch buckets)` into the parquet scan and prunes
+  *    non-matching files from footers alone — probe IO is proportional
+  *    to the buckets the batch actually hits, not the corpus.
+  *  - `path/shingles` — (id, shingles), keyed id: the verification
+  *    store. Exact-Jaccard verification reads ONLY the candidate ids'
+  *    rows (semi-join; candidates are band-collision-bounded).
+  *  - `path/params`   — one row (shingle_size, num_hashes, bands):
+  *    probes and upserts parameterize themselves from the index, so a
+  *    caller cannot accidentally probe with a different shingling than
+  *    the index was built with.
+  *
+  * All three components are [[MergeTable]]s: versioned atomic commits,
+  * OCC, time travel, vacuum — and [[upsert]] maintains the index
+  * incrementally (touched parquet files only). A doc's band rows are
+  * a FIXED set (band 0..bands-1 always present), so a keyed merge on
+  * (id, band) fully replaces stale bands with no delete pass — simpler
+  * than [[LexicalIndex.upsert]]'s stale-postings delete, because the
+  * "terms" of this index (the bands) don't vary with the document.
+  *
+  * Scale: a probe never shuffles the corpus. The corpus-sized band
+  * table is scanned once with the bucket filter pushed down, joined to
+  * the BROADCAST batch bands, and only collision candidates reach the
+  * verify join. Cost ∝ matched buckets + candidate pairs.
+  */
+object DedupIndex {
+
+  private[graft] def bandsPath(path: String) = s"$path/bands"
+  private def shinglesPath(path: String) = s"$path/shingles"
+  private def paramsPath(path: String) = s"$path/params"
+
+  final case class Params(shingleSize: Int, numHashes: Int, bands: Int)
+
+  /** Build the index at `path` from scratch (fails if one exists —
+    * CREATE INDEX semantics; use [[upsert]] for maintenance). `docs`
+    * must be unique on `idCol`; NULL-text docs are excluded (they have
+    * no content to be duplicates of — [[Dedup.exactByContent]]'s
+    * convention). */
+  def build(
+      spark: SparkSession, path: String, docs: DataFrame,
+      idCol: String, textCol: String, shingleSize: Int = 3,
+      numHashes: Int = 128, bands: Int = 32): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sh = shingled(docs, idCol, textCol, shingleSize)
+    try {
+      MergeTable.init(spark, shinglesPath(path), sh)
+      MergeTable.init(spark, bandsPath(path),
+        Dedup.bandFrame(sh, numHashes, bands))
+      import spark.implicits._
+      MergeTable.init(spark, paramsPath(path),
+        Seq((shingleSize, numHashes, bands))
+          .toDF("shingle_size", "num_hashes", "bands"))
+    } finally graft.util.Checkpoints.free(sh)
+  }
+
+  def exists(spark: SparkSession, path: String): Boolean =
+    MergeTable.exists(spark, bandsPath(path)) &&
+      MergeTable.exists(spark, shinglesPath(path)) &&
+      MergeTable.exists(spark, paramsPath(path))
+
+  /** The index's build-time parameters (1-row read). */
+  def params(spark: SparkSession, path: String): Params = {
+    val r = MergeTable.read(spark, paramsPath(path))
+      .select(col("shingle_size"), col("num_hashes"), col("bands"))
+      .head()
+    Params(r.getInt(0), r.getInt(1), r.getInt(2))
+  }
+
+  /** Incrementally admit a document batch: each doc's bands and
+    * shingles are merged by key (matched ids fully replaced — the band
+    * set per id is fixed — new ids inserted), rewriting only the
+    * parquet files the keys hit. Shingling parameters come from the
+    * index itself. NULL-text docs are skipped. */
+  def upsert(
+      spark: SparkSession, path: String, docs: DataFrame,
+      idCol: String, textCol: String): Unit = {
+    val p = params(spark, path)
+    val sh = shingled(docs, idCol, textCol, p.shingleSize)
+    try {
+      MergeTable.merge(spark, shinglesPath(path), sh, Seq("id"))
+      MergeTable.merge(spark, bandsPath(path),
+        Dedup.bandFrame(sh, p.numHashes, p.bands), Seq("id", "band"))
+      ()
+    } finally graft.util.Checkpoints.free(sh)
+  }
+
+  /** Range-sort the band files on `bucket` so probe scans prune
+    * non-matching files from parquet footers alone — [[LexicalIndex
+    * .compact]]'s locality pass for the collision table. Run after
+    * bulk loads; committed atomically like every MergeTable rewrite. */
+  def compact(spark: SparkSession, path: String, numFiles: Int): Unit = {
+    MergeTable.compactTable(spark, bandsPath(path), "bucket", numFiles)
+    ()
+  }
+
+  /** Near-duplicate pairs between `batch` and the indexed corpus (and,
+    * with `includeBatchPairs`, within the batch itself) — the
+    * admission probe. Returns (id_a, id_b, jaccard) with id_a < id_b,
+    * exact word-shingle Jaccard >= `threshold`, bit-identical to what
+    * [[Dedup.minHashNearDups]] over (corpus ∪ batch) reports for pairs
+    * touching the batch.
+    *
+    * A batch doc whose id already exists in the index is treated as a
+    * REPLACEMENT: its stale corpus copy is excluded from pairing (a
+    * doc must not collide with its own previous version), and the
+    * batch-side text is the one probed. The batch's ids are collected
+    * driver-side for that exclusion and for the pushed bucket filter,
+    * so keep batches bounded (ingest-batch sized, not corpus-sized) —
+    * [[LexicalIndex.upsert]]'s contract.
+    *
+    * Plan shape: batch shingles+bands compute once (checkpointed,
+    * broadcast — the batch is small); the corpus band scan has
+    * `bucket IN (batch buckets)` pushed to parquet (footer-pruned
+    * after [[compact]]); candidates (corpus-vs-batch band collisions +
+    * in-batch collisions) semi-join the shingle store; one bounded
+    * verify join computes exact Jaccard. */
+  def nearDupsAgainst(
+      spark: SparkSession, path: String, batch: DataFrame,
+      idCol: String, textCol: String, threshold: Double = 0.8,
+      includeBatchPairs: Boolean = true,
+      idPushLimit: Int = 100000): DataFrame = {
+    val p = params(spark, path)
+    val shB = shingled(batch, idCol, textCol, p.shingleSize)
+    try {
+      val bandsB = Dedup.bandFrame(shB, p.numHashes, p.bands)
+        .localCheckpoint(true)
+      try {
+        // driver-side batch metadata: bounded by |batch| (and ×bands),
+        // the documented batch-sized contract
+        val batchIds = shB.select(col("id")).collect().map(_.get(0)).toSeq
+        val buckets = bandsB.select(col("bucket")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+
+        // corpus-vs-batch collisions: pushed bucket scan ⋈ broadcast
+        // batch bands. The stale copy of a replaced id must not pair.
+        val collide = MergeTable.read(spark, bandsPath(path))
+          .filter(col("bucket").isin(buckets: _*))
+          .filter(!col("id").isin(batchIds: _*))
+          .select(col("band"), col("bucket"), col("id").as("cid"))
+          .join(broadcast(bandsB.select(col("band"), col("bucket"), col("id").as("bid"))),
+            Seq("band", "bucket"))
+          .select(col("cid"), col("bid")).distinct()
+          .localCheckpoint(true)
+
+        try {
+          // Verification store, CANDIDATE-PRUNED: the shingle table is
+          // corpus-sized, so a probe must never scan it whole. The
+          // usual case (candidate corpus ids fit the driver) pushes
+          // `id IN (...)` into the parquet scan; a degenerate-bucket
+          // batch falls back to a semi-join against the collision
+          // frame — more IO, never a driver OOM.
+          val nCid = collide.select(col("cid")).distinct().count()
+          val corpusShAll = MergeTable.read(spark, shinglesPath(path))
+          val corpusSh =
+            if (nCid <= idPushLimit) {
+              val cids = collide.select(col("cid")).distinct()
+                .collect().map(_.get(0)).toSeq
+              corpusShAll.filter(col("id").isin(cids: _*))
+            } else corpusShAll.join(
+              collide.select(col("cid").as("id")).distinct(), Seq("id"), "left_semi")
+
+          val candCB = collide
+            .select(least(col("cid"), col("bid")).as("id_a"),
+              greatest(col("cid"), col("bid")).as("id_b"))
+            .distinct()
+          // in-batch candidates: the plain self-join (batch-sized)
+          val candBB =
+            if (!includeBatchPairs) candCB.limit(0)
+            else bandsB.select(col("band"), col("bucket"), col("id").as("id_a"))
+              .join(bandsB.select(col("band"), col("bucket"), col("id").as("id_b")),
+                Seq("band", "bucket"))
+              .filter(col("id_a") < col("id_b"))
+              .select(col("id_a"), col("id_b"))
+              .distinct()
+          val candidates = candCB.unionByName(candBB).distinct()
+
+          // batch side of the store wins over a replaced id's stale
+          // corpus row (corpus rows with batch ids were excluded above)
+          val allSh = shB.unionByName(corpusSh)
+
+          candidates
+            .join(allSh.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
+            .join(allSh.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
+            .withColumn("jaccard",
+              size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+                size(array_union(col("sh_a"), col("sh_b"))))
+            .filter(col("jaccard") >= threshold)
+            .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+            .localCheckpoint(true) // materialize the (small) pair set
+        } finally Dedup.freeCheckpoint(collide)
+      } finally Dedup.freeCheckpoint(bandsB)
+    } finally graft.util.Checkpoints.free(shB)
+  }
+
+  /** The admission gate composed: the batch rows that are NOT a
+    * near-duplicate of the indexed corpus. A batch row is dropped when
+    * it pairs with any incumbent corpus doc, or with any SMALLER-ID
+    * batch row (conservative pairwise rule: a dropped batch row still
+    * suppresses its own near-dups — exactly one survivor per dup
+    * clique; a chain A~B~C where A̸~C keeps only A). The typical
+    * ingest step is `admit` → [[upsert]] the survivors.
+    *
+    * EAGER: the survivor frame materializes before the internal pair
+    * checkpoint is freed (the file's convention — the result must not
+    * depend on released blocks). */
+  def admit(
+      spark: SparkSession, path: String, batch: DataFrame,
+      idCol: String, textCol: String, threshold: Double = 0.8): DataFrame = {
+    val pairs = nearDupsAgainst(spark, path, batch, idCol, textCol, threshold)
+    try {
+      val batchIds = batch.select(col(idCol)).distinct()
+      // pairs are normalized id_a < id_b, and corpus incumbents are
+      // never killed: batch id X dies iff it appears as id_b of any
+      // pair (the other side is a corpus doc or a smaller batch id),
+      // or as id_a of a pair whose id_b is a corpus doc (the batch doc
+      // drew the smaller id, but the incumbent still wins).
+      val dead = pairs.select(col("id_b").as("__dead"))
+        .unionByName(
+          pairs.join(batchIds.withColumnRenamed(idCol, "id_a"), Seq("id_a"), "left_semi")
+            .join(batchIds.withColumnRenamed(idCol, "id_b"), Seq("id_b"), "left_anti")
+            .select(col("id_a").as("__dead")))
+        .distinct()
+      batch.join(dead, batch(idCol) === dead("__dead"), "left_anti")
+        .localCheckpoint(true)
+    } finally Dedup.freeCheckpoint(pairs)
+  }
+
+  /** (id, shingles) checkpointed, NULL/empty-text rows dropped. */
+  private def shingled(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int): DataFrame =
+    Dedup.shingleFrame(
+        docs.filter(col(textCol).isNotNull), idCol, textCol, shingleSize)
+      .localCheckpoint(true)
+}

@@ -1,0 +1,195 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, DedupIndex}
+
+/** Persisted MinHash-LSH dedup index: a probe against the index must
+  * report BIT-IDENTICAL batch-touching pairs to a fresh
+  * [[Dedup.minHashNearDups]] over (corpus ∪ batch), survive keyed
+  * maintenance, and gate admission deterministically. */
+class DedupIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshPath(): String =
+    java.nio.file.Files.createTempDirectory("dedup_index").toString + "/idx"
+
+  /** Corpus with planted near-dup structure: groups of 5-word docs
+    * sharing most words, plus unique fillers. */
+  private def corpus(seed: Int, n: Int): Seq[(Long, String)] = {
+    val rng = new scala.util.Random(seed)
+    val vocab = (0 until 60).map(i => s"w$i")
+    (1L to n.toLong).map { id =>
+      val base = (id % 7).toInt // 7 families of similar docs
+      val words = (0 until 12).map { j =>
+        if (rng.nextDouble() < 0.85) vocab((base * 8 + j) % vocab.size)
+        else vocab(rng.nextInt(vocab.size))
+      }
+      (id, words.mkString(" "))
+    }
+  }
+
+  private def pairs(df: DataFrame): Set[(Long, Long, Double)] =
+    df.select(col("id_a").cast("long"), col("id_b").cast("long"), col("jaccard"))
+      .as[(Long, Long, Double)].collect().toSet
+
+  test("probe == fresh recompute on the batch-touching pair set") {
+    val all = corpus(11, 80)
+    val (corp, batch) = all.partition(_._1 % 4 != 0)
+    val path = freshPath()
+    DedupIndex.build(spark, path, corp.toDF("doc_id", "text"), "doc_id", "text")
+    assert(DedupIndex.exists(spark, path))
+
+    val probed = pairs(DedupIndex.nearDupsAgainst(
+      spark, path, batch.toDF("doc_id", "text"), "doc_id", "text", threshold = 0.6))
+
+    val batchIds = batch.map(_._1).toSet
+    val fresh = pairs(Dedup.minHashNearDups(
+        all.toDF("doc_id", "text"), "doc_id", "text", threshold = 0.6))
+      .filter(p => batchIds.contains(p._1) || batchIds.contains(p._2))
+
+    assert(probed === fresh)
+    assert(probed.nonEmpty, "vacuous: planted near-dups not found")
+    // both corpus-vs-batch and in-batch pairs must be exercised
+    assert(probed.exists(p => batchIds.contains(p._1) != batchIds.contains(p._2)))
+    assert(probed.exists(p => batchIds.contains(p._1) && batchIds.contains(p._2)))
+  }
+
+  test("includeBatchPairs=false drops exactly the in-batch pairs") {
+    val all = corpus(12, 60)
+    val (corp, batch) = all.partition(_._1 % 4 != 0)
+    val path = freshPath()
+    DedupIndex.build(spark, path, corp.toDF("doc_id", "text"), "doc_id", "text")
+    val withB = pairs(DedupIndex.nearDupsAgainst(
+      spark, path, batch.toDF("doc_id", "text"), "doc_id", "text", threshold = 0.6))
+    val noB = pairs(DedupIndex.nearDupsAgainst(
+      spark, path, batch.toDF("doc_id", "text"), "doc_id", "text", threshold = 0.6,
+      includeBatchPairs = false))
+    val batchIds = batch.map(_._1).toSet
+    assert(noB === withB.filter(p => !(batchIds.contains(p._1) && batchIds.contains(p._2))))
+    assert(noB.size < withB.size)
+  }
+
+  test("the semi-join fallback path (idPushLimit=0) is bit-identical") {
+    val all = corpus(13, 60)
+    val (corp, batch) = all.partition(_._1 % 4 != 0)
+    val path = freshPath()
+    DedupIndex.build(spark, path, corp.toDF("doc_id", "text"), "doc_id", "text")
+    val pushed = pairs(DedupIndex.nearDupsAgainst(
+      spark, path, batch.toDF("doc_id", "text"), "doc_id", "text", threshold = 0.6))
+    val fallback = pairs(DedupIndex.nearDupsAgainst(
+      spark, path, batch.toDF("doc_id", "text"), "doc_id", "text", threshold = 0.6,
+      idPushLimit = 0))
+    assert(fallback === pushed)
+  }
+
+  test("upsert replaces a doc: its stale text stops pairing, new text pairs") {
+    val path = freshPath()
+    val corp = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"),
+      (3L, "unrelated words entirely different content here"))
+    DedupIndex.build(spark, path, corp.toDF("doc_id", "text"), "doc_id", "text")
+
+    // replace doc 2 with text matching doc 3's family instead of doc 1's
+    DedupIndex.upsert(spark, path,
+      Seq((2L, "unrelated words entirely different content there"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+
+    // after replacement the index must behave as a fresh build over the
+    // new corpus state — band rows fully replaced, no stale leftovers
+    val state = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "unrelated words entirely different content there"),
+      (3L, "unrelated words entirely different content here"))
+    val probe = Seq((10L, "unrelated words entirely different content here"))
+    val probed = pairs(DedupIndex.nearDupsAgainst(
+      spark, path, probe.toDF("doc_id", "text"), "doc_id", "text", threshold = 0.5))
+    val fresh = pairs(Dedup.minHashNearDups(
+        (state ++ probe).toDF("doc_id", "text"), "doc_id", "text", threshold = 0.5))
+      .filter(p => p._1 == 10L || p._2 == 10L)
+    assert(probed === fresh)
+    assert(probed.map(p => (p._1, p._2)) === Set((2L, 10L), (3L, 10L)))
+
+    // the band table holds exactly `bands` rows per doc — keyed merge
+    // on (id, band) replaced, never appended
+    val p = DedupIndex.params(spark, path)
+    val perDoc = graft.sources.MergeTable
+      .read(spark, DedupIndex.bandsPath(path))
+      .groupBy(col("id")).agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(perDoc.values.toSet === Set(p.bands.toLong))
+  }
+
+  test("a batch doc replacing an indexed id never pairs with its own stale copy") {
+    val path = freshPath()
+    val corp = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "totally disjoint vocabulary set occupying space"))
+    DedupIndex.build(spark, path, corp.toDF("doc_id", "text"), "doc_id", "text")
+    // batch carries id 1 with its text UNCHANGED: a self-pair (1,1)
+    // or a pair against the stale copy must not appear
+    val probed = pairs(DedupIndex.nearDupsAgainst(
+      spark, path,
+      Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text"),
+      "doc_id", "text", threshold = 0.5))
+    assert(probed === Set.empty[(Long, Long, Double)])
+  }
+
+  test("admit keeps one survivor per dup clique and respects incumbents") {
+    val path = freshPath()
+    val corp = Seq((1L, "alpha beta gamma delta epsilon zeta"))
+    DedupIndex.build(spark, path, corp.toDF("doc_id", "text"), "doc_id", "text")
+    val batch = Seq(
+      // near-dup of the incumbent doc 1 — dies even though 0 < 1
+      (0L, "alpha beta gamma delta epsilon eta"),
+      // an in-batch clique: 5 survives (smallest), 6 dies
+      (5L, "completely novel content about streaming joins here"),
+      (6L, "completely novel content about streaming joins there"),
+      // unique — survives
+      (9L, "nothing like anything else in corpus or batch"))
+    val admitted = DedupIndex.admit(
+        spark, path, batch.toDF("doc_id", "text"), "doc_id", "text", threshold = 0.5)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(admitted === Set(5L, 9L))
+  }
+
+  test("probe parameters come from the index, not the caller") {
+    val path = freshPath()
+    DedupIndex.build(spark, path,
+      corpus(14, 20).toDF("doc_id", "text"), "doc_id", "text",
+      shingleSize = 2, numHashes = 64, bands = 16)
+    val p = DedupIndex.params(spark, path)
+    assert(p === DedupIndex.Params(2, 64, 16))
+  }
+
+  test("the probe's corpus band scan pushes `bucket IN` to parquet (plan gate)") {
+    val path = freshPath()
+    DedupIndex.build(spark, path,
+      corpus(15, 40).toDF("doc_id", "text"), "doc_id", "text")
+    DedupIndex.compact(spark, path, numFiles = 2)
+    // the scan nearDupsAgainst issues: bands table + bucket IN filter —
+    // lost pushdown means every probe reads the corpus-sized collision
+    // table whole at 100 TB
+    val probeScan = graft.sources.MergeTable
+      .read(spark, DedupIndex.bandsPath(path))
+      .filter(col("bucket").isin(1, 2, 3))
+    val scan = graft.util.Plans.executedNodes(probeScan)
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }.head
+    assert(scan.metadata.get("PushedFilters").exists(_.contains("In(bucket")),
+      s"bucket IN not pushed: ${scan.metadata.get("PushedFilters")}")
+  }
+
+  test("NULL-text rows are excluded from build, upsert, and probes") {
+    val path = freshPath()
+    val corp = Seq((1L, "alpha beta gamma delta"), (2L, null.asInstanceOf[String]))
+    DedupIndex.build(spark, path, corp.toDF("doc_id", "text"), "doc_id", "text")
+    val probed = pairs(DedupIndex.nearDupsAgainst(
+      spark, path,
+      Seq((7L, "alpha beta gamma delta"), (8L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", threshold = 0.5))
+    assert(probed === Set((1L, 7L, 1.0)))
+  }
+}
