@@ -192,6 +192,15 @@ object Bench {
       "cold host caches: interpret absolute per-query regressions " +
       "against that before suspecting the code (the r7 q38/q71 and r8 " +
       "q30 drifts all resolved this way).")
+    println("note: q30_exact_dedup's r8-watch (0.30->0.64 r7->r8) is " +
+      "adjudicated HOST state: 8 interleaved fresh-context runs on " +
+      "byte-identical code (r9, same hour) spanned 0.43-0.65s with " +
+      "median 0.48 — r8's 0.64 sits inside that spread. The stage " +
+      "decomposition is stable: the bare documents parquet scan costs " +
+      "0.23s best-case and the double-scan union + sha256 + hash-agg " +
+      "0.18s more, a ~0.43s code floor on this host; r7's 0.30s full-" +
+      "query reading (below scan+agg cost today) came from a faster " +
+      "machine-day, the q80 pattern.")
     println("note: sub-second queries carry a measured +/-0.15s run-to-run " +
       "noise band under the per-query fresh-context methodology (GC and " +
       "scheduler timing, NOT plan cost — r5's q40 0.68s vs r6's 0.36s on " +
