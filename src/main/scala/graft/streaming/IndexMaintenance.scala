@@ -39,7 +39,8 @@ import graft.GraftSession
 object IndexMaintenance {
 
   /** Start a stream that keeps the session's indexed KB (and
-    * optionally a lexical index at `lexicalPath`) fresh.
+    * optionally a lexical index at `lexicalPath` and a near-dup index
+    * at `dedupPath`) fresh.
     *
     * @param session    holds the indexed KB ([[GraftSession
     *                   .indexKnowledge]] / [[GraftSession
@@ -53,13 +54,32 @@ object IndexMaintenance {
     * @param lexicalPath also maintain the BM25 index at this path
     *                   (built/initialized beforehand, e.g.
     *                   [[GraftSession.buildLexicalIndex]])
+    * @param dedupPath  also maintain a [[graft.operators.DedupIndex]]
+    *                   at this path (built beforehand)
+    * @param admitThreshold when set (requires `dedupPath`), gate every
+    *                   batch through [[graft.operators.DedupIndex
+    *                   .admit]] FIRST: a doc that is a near-duplicate
+    *                   (word-shingle Jaccard >= threshold) of the
+    *                   already-admitted corpus — or of a smaller-id
+    *                   doc in its own batch — is dropped before it
+    *                   reaches ANY index. This is the streaming form
+    *                   of the reference's content-hash admission gate
+    *                   (`vector_service.py:104-125`), upgraded from
+    *                   exact to near-duplicate. Replay-safe: a
+    *                   replayed batch's ids are self-excluded from the
+    *                   corpus probe, so admission decides identically
+    *                   and the keyed upserts converge.
     */
   def runToIndexedKnowledge(
       session: GraftSession, docs: DataFrame, checkpoint: String,
       versionCol: Option[String] = None,
       lexicalPath: Option[String] = None,
+      dedupPath: Option[String] = None,
+      admitThreshold: Option[Double] = None,
       idCol: String = "id", contentCol: String = "content",
-      vecCol: String = "embedding"): StreamingQuery =
+      vecCol: String = "embedding"): StreamingQuery = {
+    require(admitThreshold.isEmpty || dedupPath.nonEmpty,
+      "admitThreshold needs dedupPath: admission probes the persisted dedup index")
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -69,17 +89,22 @@ object IndexMaintenance {
         batch.persist()
         try {
           if (batch.count() > 0) applyBatch(session, batch.toDF(),
-            versionCol, lexicalPath, idCol, contentCol, vecCol)
+            versionCol, lexicalPath, dedupPath, admitThreshold,
+            idCol, contentCol, vecCol)
           ()
         } finally batch.unpersist()
       }
       .start()
+  }
 
   /** One micro-batch, exposed for direct (non-streaming) backfills. */
   private[graft] def applyBatch(
       session: GraftSession, batch: DataFrame,
       versionCol: Option[String], lexicalPath: Option[String],
-      idCol: String, contentCol: String, vecCol: String): Unit = {
+      dedupPath: Option[String] = None,
+      admitThreshold: Option[Double] = None,
+      idCol: String = "id", contentCol: String = "content",
+      vecCol: String = "embedding"): Unit = {
     // deterministic winner per id (see class doc): version desc when
     // given, then a content fingerprint — row_number over a tied sort
     // is partition-order-dependent and would break replay convergence
@@ -90,17 +115,31 @@ object IndexMaintenance {
     val one = batch.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn" +: versionCol.toSeq: _*)
+    // admission gate BEFORE any index sees the batch: near-dups of the
+    // admitted corpus (or of a smaller-id batchmate) never ingest.
+    // admit() returns a materialized frame; on replay the batch's ids
+    // are self-excluded from the corpus probe, so the same survivors
+    // come back and every downstream keyed upsert converges.
+    val admitted = (dedupPath, admitThreshold) match {
+      case (Some(dp), Some(th)) =>
+        graft.operators.DedupIndex.admit(
+          session.spark, dp, one, idCol, contentCol, th)
+      case _ => one
+    }
+    if (admitted.isEmpty) return
     val withVec =
-      if (one.columns.contains(vecCol)) one
-      else session.embedder.embedColumn(one, contentCol, vecCol)
+      if (admitted.columns.contains(vecCol)) admitted
+      else session.embedder.embedColumn(admitted, contentCol, vecCol)
     // embedColumn is a per-partition kernel over the (persisted) batch;
-    // the upsert's several scans must not re-embed — and both indexes
+    // the upsert's several scans must not re-embed — and every index
     // must see the identical reduced frame
     withVec.persist()
     try {
       session.upsertIndexedKnowledge(withVec)
       lexicalPath.foreach(lp => graft.operators.LexicalIndex.upsert(
         session.spark, lp, withVec, idCol, contentCol))
+      dedupPath.foreach(dp => graft.operators.DedupIndex.upsert(
+        session.spark, dp, withVec, idCol, contentCol))
     } finally { withVec.unpersist(); () }
   }
 }

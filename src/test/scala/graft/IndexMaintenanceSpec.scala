@@ -65,6 +65,53 @@ class IndexMaintenanceSpec extends SparkSpec {
     } finally graft.plans.IvfIndex.unregister(spark, "embedding")
   }
 
+  test("dedupPath + admitThreshold: near-dups are gated out before ANY index; replay converges") {
+    implicit val sqlCtx = spark.sqlContext
+    val emb = HashEmbedder(16)
+    val g = GraftSession(spark, emb)
+    val initial = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely different content about distributed query engines"))
+    g.loadKnowledgeBase(emb.embedColumn(
+      initial.toDF("id", "content"), "content", "embedding"))
+    val base = java.nio.file.Files.createTempDirectory("idx_maint_dedup").toString
+    g.indexKnowledge(s"$base/kb", nClusters = 2, nprobe = 2)
+    operators.DedupIndex.build(spark, s"$base/dup",
+      initial.toDF("id", "content"), "id", "content")
+    try {
+      val input = MemoryStream[(Long, String)]
+      val q = IndexMaintenance.runToIndexedKnowledge(
+        g, input.toDF().toDF("id", "content"),
+        checkpoint = s"$base/ckpt",
+        dedupPath = Some(s"$base/dup"), admitThreshold = Some(0.5))
+      try {
+        // batch: a near-dup of incumbent doc 1, an in-batch dup pair
+        // (21 survives, 22 dies), and a unique doc
+        input.addData(
+          (20L, "the quick brown fox jumps over the lazy dog tonight"),
+          (21L, "novel streaming admission content entirely fresh here"),
+          (22L, "novel streaming admission content entirely fresh there"),
+          (23L, "unique unrelated payload with no twin anywhere"))
+        q.processAllAvailable()
+
+        val ids = g.knowledgeBase.select("id").collect().map(_.getLong(0)).toSet
+        assert(ids === Set(1L, 2L, 21L, 23L),
+          s"admission gate leaked or over-killed: $ids")
+
+        // the admitted docs are now incumbents: their near-dups die in
+        // later batches, and a replayed-looking re-send of an admitted
+        // id converges (self-excluded probe) instead of self-killing
+        input.addData(
+          (30L, "novel streaming admission content entirely fresh here"),
+          (21L, "novel streaming admission content entirely fresh here"))
+        q.processAllAvailable()
+        val ids2 = g.knowledgeBase.select("id").collect().map(_.getLong(0)).toSet
+        assert(ids2 === Set(1L, 2L, 21L, 23L),
+          s"cross-batch incumbency or replay convergence broke: $ids2")
+      } finally q.stop()
+    } finally graft.plans.IvfIndex.unregister(spark, "embedding")
+  }
+
   test("applyBatch without versionCol picks a deterministic content-fingerprint winner") {
     val emb = HashEmbedder(16)
     val g = GraftSession(spark, emb)
