@@ -27,6 +27,7 @@ final case class GraftSession(
 
   @volatile private var kbDf: Option[DataFrame] = None
   @volatile private var lexIndexPath: Option[String] = None
+  @volatile private var dedupIndexPath: Option[String] = None
 
   /** Swap in a new KB under the session lock with its lineage truncated:
     * without the (lazy) localCheckpoint, a long-lived session would
@@ -99,6 +100,35 @@ final case class GraftSession(
     graft.operators.LexicalIndex.build(spark, path, knowledgeBase, idCol, contentCol)
     lexIndexPath = Some(path)
     this
+  }
+
+  /** One-call near-dup index over the held KB ([[graft.operators
+    * .DedupIndex.build]]) + remember its path: later
+    * [[admitDocuments]] calls probe it. Same staleness contract as
+    * [[buildLexicalIndex]]: the index captures the KB as of this
+    * call; keep it fresh with [[graft.operators.DedupIndex.upsert]]
+    * on your ingest batches (or let [[graft.streaming
+    * .IndexMaintenance]] do both the gating and the upkeep). */
+  def buildDedupIndex(path: String, idCol: String = "id",
+      contentCol: String = "content"): this.type = synchronized {
+    graft.operators.DedupIndex.build(spark, path, knowledgeBase, idCol, contentCol)
+    dedupIndexPath = Some(path)
+    this
+  }
+
+  /** The near-dup admission gate over the session's dedup index: the
+    * batch rows that are NOT a near-duplicate (word-shingle Jaccard >=
+    * `threshold`) of the indexed corpus or of a smaller-id batchmate —
+    * the reference's content-hash insert gate
+    * (`backend/services/vector_service.py:104-125`), upgraded from
+    * exact to near-duplicate. Requires [[buildDedupIndex]] first.
+    * Probes only; pair the survivors with [[graft.operators.DedupIndex
+    * .upsert]] (and [[upsertIndexedKnowledge]]) to admit them. */
+  def admitDocuments(batch: DataFrame, threshold: Double = 0.8,
+      idCol: String = "id", contentCol: String = "content"): DataFrame = {
+    val path = dedupIndexPath.getOrElse(throw new IllegalStateException(
+      "no dedup index: call buildDedupIndex first"))
+    graft.operators.DedupIndex.admit(spark, path, batch, idCol, contentCol, threshold)
   }
 
   /** One-call IVF indexing of the held KB — the ivfflat ergonomics of

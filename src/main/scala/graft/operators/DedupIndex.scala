@@ -141,46 +141,60 @@ object DedupIndex {
       spark: SparkSession, path: String, batch: DataFrame,
       idCol: String, textCol: String, threshold: Double = 0.8,
       includeBatchPairs: Boolean = true,
-      idPushLimit: Int = 100000): DataFrame = {
+      idPushLimit: Int = 1000): DataFrame = {
     val p = params(spark, path)
     val shB = shingled(batch, idCol, textCol, p.shingleSize)
     try {
       val bandsB = Dedup.bandFrame(shB, p.numHashes, p.bands)
         .localCheckpoint(true)
       try {
-        // driver-side batch metadata: bounded by |batch| (and ×bands),
-        // the documented batch-sized contract
-        val batchIds = shB.select(col("id")).collect().map(_.get(0)).toSeq
+        // Corpus-vs-batch collisions: one band-table scan ⋈ BROADCAST
+        // batch bands (scan-time hash probe — corpus rows that match
+        // no batch bucket die in the join, never shuffle). For a SMALL
+        // probe (≤ idPushLimit buckets) additionally push `bucket IN`
+        // into the parquet scan for footer pruning after [[compact]];
+        // a larger batch skips it — an IN over tens of thousands of
+        // literals costs more in analysis than the scan it prunes
+        // (measured: 4k docs × 32 bands = 128k literals turned a ~10 s
+        // probe into 32 s), and parquet pushdown degrades to a useless
+        // min/max range check on hash-valued buckets at that size
+        // anyway. The stale-copy exclusion (a replaced id must not
+        // pair with its own old version) filters on cid AFTER the
+        // join, where only collision rows remain.
         val buckets = bandsB.select(col("bucket")).distinct()
-          .collect().map(_.getInt(0)).toSeq
-
-        // corpus-vs-batch collisions: pushed bucket scan ⋈ broadcast
-        // batch bands. The stale copy of a replaced id must not pair.
-        val collide = MergeTable.read(spark, bandsPath(path))
-          .filter(col("bucket").isin(buckets: _*))
-          .filter(!col("id").isin(batchIds: _*))
+          .limit(idPushLimit + 1).collect().map(_.getInt(0)).toSeq
+        val corpusScan0 = MergeTable.read(spark, bandsPath(path))
+        val corpusScan =
+          if (buckets.length <= idPushLimit)
+            corpusScan0.filter(col("bucket").isin(buckets: _*))
+          else corpusScan0
+        val batchIdF = shB.select(col("id")).distinct()
+        val collide = corpusScan
           .select(col("band"), col("bucket"), col("id").as("cid"))
           .join(broadcast(bandsB.select(col("band"), col("bucket"), col("id").as("bid"))),
             Seq("band", "bucket"))
+          .join(broadcast(batchIdF.withColumnRenamed("id", "cid")),
+            Seq("cid"), "left_anti")
           .select(col("cid"), col("bid")).distinct()
           .localCheckpoint(true)
 
         try {
           // Verification store, CANDIDATE-PRUNED: the shingle table is
-          // corpus-sized, so a probe must never scan it whole. The
-          // usual case (candidate corpus ids fit the driver) pushes
-          // `id IN (...)` into the parquet scan; a degenerate-bucket
-          // batch falls back to a semi-join against the collision
-          // frame — more IO, never a driver OOM.
-          val nCid = collide.select(col("cid")).distinct().count()
+          // corpus-sized, so a probe must never scan it whole. A small
+          // candidate set pushes `id IN (...)` into the parquet scan
+          // (doc ids are write-ordered, so row-group stats actually
+          // prune, unlike hash buckets); anything larger semi-joins
+          // against the broadcast collision frame — scan-time hash
+          // probe, never a driver-side literal explosion.
+          val cids = collide.select(col("cid")).distinct()
+            .limit(idPushLimit + 1).collect().map(_.get(0)).toSeq
           val corpusShAll = MergeTable.read(spark, shinglesPath(path))
           val corpusSh =
-            if (nCid <= idPushLimit) {
-              val cids = collide.select(col("cid")).distinct()
-                .collect().map(_.get(0)).toSeq
+            if (cids.length <= idPushLimit)
               corpusShAll.filter(col("id").isin(cids: _*))
-            } else corpusShAll.join(
-              collide.select(col("cid").as("id")).distinct(), Seq("id"), "left_semi")
+            else corpusShAll.join(
+              broadcast(collide.select(col("cid").as("id")).distinct()),
+              Seq("id"), "left_semi")
 
           val candCB = collide
             .select(least(col("cid"), col("bid")).as("id_a"),

@@ -36,6 +36,29 @@ class GraftSessionSpec extends SparkSpec {
     assert(hits.select("title").as[String].collect().head === "t1")
   }
 
+  test("buildDedupIndex + admitDocuments: the near-dup admission gate over the held KB") {
+    val emb = HashEmbedder(16)
+    val g = GraftSession(spark, emb)
+    g.loadKnowledgeBase(emb.embedColumn(
+      Seq((1L, "the quick brown fox jumps over the lazy dog today"),
+        (2L, "completely different content about distributed engines"))
+        .toDF("id", "content"),
+      "content", "embedding"))
+    val gNoIdx = GraftSession(spark, emb)
+    intercept[IllegalStateException] {
+      gNoIdx.admitDocuments(Seq((9L, "x y z")).toDF("id", "content"))
+    }
+    val path = java.nio.file.Files
+      .createTempDirectory("gs_dedup").toString + "/dup"
+    g.buildDedupIndex(path)
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"), // ~doc 1
+      (11L, "novel payload with no twin anywhere in the corpus"))
+    val admitted = g.admitDocuments(batch.toDF("id", "content"), threshold = 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(admitted === Set(11L))
+  }
+
   test("smartSearch mutates the held knowledge base") {
     val g = mkSession()
     val src = new SearchService.Source {
