@@ -1018,6 +1018,19 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "q114_column_profile" -> ((s, d) => {
+      // one-pass per-column ANALYZE (Profile.profile): null/non-null/
+      // distinct counts + min/max over a mixed-type column set, with a
+      // derived nullable key (q108's shape) exercising the null path.
+      // min/max cast to string on BOTH engines; long→string is
+      // format-stable cross-engine (doubles would not be).
+      val ev = T.events(s, d).withColumn("key",
+        when(col("user_id") % 10 === 0, lit(null: java.lang.Long))
+          .otherwise(col("user_id")))
+      analytics.Profile.profile(ev, Seq("event_type", "key", "user_id"))
+        .orderBy(col("column"))
+    }),
+
     "q94_json_redact" -> ((s, d) => {
       // recursive JSON redaction over structured metadata: build a
       // nested payload from real columns, sanitize it, extract fields
@@ -1475,6 +1488,22 @@ object SparkEntry {
         |WHERE (a.doc_id % 4 = 0 OR b.doc_id % 4 = 0)
         |  AND len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q114_column_profile" ->
+      """WITH ev AS (SELECT event_type,
+        |    CASE WHEN user_id % 10 = 0 THEN NULL ELSE user_id END AS key,
+        |    user_id
+        |  FROM events)
+        |SELECT 'event_type' AS "column",
+        |  count(*) - count(event_type) AS n_nulls, count(event_type) AS n_non_null,
+        |  count(DISTINCT event_type) AS n_distinct,
+        |  min(event_type)::VARCHAR AS min_val, max(event_type)::VARCHAR AS max_val
+        |FROM ev
+        |UNION ALL SELECT 'key', count(*) - count(key), count(key),
+        |  count(DISTINCT key), min(key)::VARCHAR, max(key)::VARCHAR FROM ev
+        |UNION ALL SELECT 'user_id', count(*) - count(user_id), count(user_id),
+        |  count(DISTINCT user_id), min(user_id)::VARCHAR, max(user_id)::VARCHAR FROM ev
+        |ORDER BY "column"""".stripMargin,
 
     "q36_salted_count" ->
       "SELECT user_id, count(*) AS n FROM events GROUP BY user_id ORDER BY user_id",

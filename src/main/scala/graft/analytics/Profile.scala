@@ -1,0 +1,54 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** One-pass column profiling — the ANALYZE step a pipeline runs
+  * before committing a training job to a table it didn't produce
+  * (generalizing the reference's data-quality report,
+  * `backend/tools/data_tools.py` quality metrics, from fixed checks
+  * to per-column statistics).
+  *
+  * One aggregation over the table produces, per requested column:
+  * null/non-null counts, distinct count, and min/max (cast to string
+  * so heterogeneous column types share one output schema). The wide
+  * single-row aggregate then unpivots driver-free into one row per
+  * column via an inline array — no per-column jobs, no collect.
+  *
+  * Scale: with `exact = true` the multi-column distinct counts
+  * compile to Spark's Expand rewrite — the input is replicated
+  * ×(columns) through one shuffle; right when the answer must be
+  * exact (and what the DuckDB oracle can mirror). `exact = false`
+  * swaps in HyperLogLog++ sketches (`approx_count_distinct`):
+  * single-pass, mergeable map-side, no Expand — the 100 TB default,
+  * where a ±2% distinct estimate steers the same decisions.
+  */
+object Profile {
+
+  /** (column, n_nulls, n_non_null, n_distinct, min_val, max_val) —
+    * one row per requested column, ordered as given. `n_distinct`
+    * counts non-null values (SQL COUNT DISTINCT semantics); min/max
+    * are null for an all-null column. */
+  def profile(df: DataFrame, cols: Seq[String],
+      exact: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"columns not in frame: ${missing.mkString(",")}")
+    def dst(c: String) =
+      if (exact) countDistinct(col(c)) else approx_count_distinct(col(c))
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap(c => Seq(
+      count(col(c)).as(s"__cnt_$c"),
+      dst(c).as(s"__dst_$c"),
+      min(col(c)).cast("string").as(s"__min_$c"),
+      max(col(c)).cast("string").as(s"__max_$c")))
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("column"),
+        (col("__n") - col(s"__cnt_$c")).as("n_nulls"),
+        col(s"__cnt_$c").as("n_non_null"),
+        col(s"__dst_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_val"),
+        col(s"__max_$c").as("max_val"))): _*)).as("p"))
+      .select(col("p.*"))
+  }
+}

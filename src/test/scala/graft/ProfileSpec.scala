@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analytics.Profile
+
+/** One-pass column profiler: exact counts, null handling, and the
+  * approx (HLL, no-Expand) scale path. */
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val df = Seq(
+    (1L, Some("a"), Some(1.5)),
+    (2L, Some("b"), None),
+    (3L, Some("a"), Some(2.5)),
+    (4L, None, Some(2.5)),
+    (5L, None, None)).toDF("id", "s", "v")
+
+  test("exact profile: nulls, non-nulls, distincts, min/max per column") {
+    val rows = Profile.profile(df, Seq("id", "s", "v"))
+      .as[(String, Long, Long, Long, Option[String], Option[String])]
+      .collect().toSeq
+    assert(rows === Seq(
+      ("id", 0L, 5L, 5L, Some("1"), Some("5")),
+      ("s", 2L, 3L, 2L, Some("a"), Some("b")),
+      ("v", 2L, 3L, 2L, Some("1.5"), Some("2.5"))))
+  }
+
+  test("an all-null column profiles with null min/max and zero distincts") {
+    val allNull = df.withColumn("n", lit(null).cast("string"))
+    val r = Profile.profile(allNull, Seq("n"))
+      .as[(String, Long, Long, Long, Option[String], Option[String])].head()
+    assert(r === (("n", 5L, 0L, 0L, None, None)))
+  }
+
+  test("approx mode runs Expand-free and lands near the exact counts") {
+    val big = spark.range(10000).toDF("id")
+      .withColumn("k", col("id") % 1000)
+    val exact = Profile.profile(big, Seq("id", "k"))
+      .select("n_distinct").as[Long].collect().toSeq
+    val approx = Profile.profile(big, Seq("id", "k"), exact = false)
+      .select("n_distinct").as[Long].collect().toSeq
+    assert(exact === Seq(10000L, 1000L))
+    exact.zip(approx).foreach { case (e, a) =>
+      assert(math.abs(a - e).toDouble / e < 0.05, s"approx $a too far from $e") }
+    // the scale claim: no Expand node in the approx plan
+    val plan = graft.util.Plans.executedNodes(
+      Profile.profile(big, Seq("id", "k"), exact = false))
+    assert(!plan.exists(_.isInstanceOf[org.apache.spark.sql.execution.ExpandExec]),
+      "approx profile must not replicate the input through Expand")
+  }
+
+  test("unknown columns fail loudly") {
+    val e = intercept[IllegalArgumentException] {
+      Profile.profile(df, Seq("id", "nope"))
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+}
