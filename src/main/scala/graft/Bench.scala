@@ -184,7 +184,11 @@ object Bench {
       "scan (codes-only ADC) is the cheap part. q103/q105 pay the same " +
       "price in LexicalIndex BUILD form: the indexed serving scan they " +
       "pin is the sub-second part (RetrievalScaleDemo: 10.7s fresh vs " +
-      "1.8s indexed at 400k docs once the build is amortized).")
+      "1.8s indexed at 400k docs once the build is amortized). " +
+      "q113 is the DedupIndex analog: its ~2s is dominated by the " +
+      "in-query index build over the sf corpus; the amortized admission " +
+      "probe is the point (DedupIndexScaleDemo: 9.1s probe vs 41.0s " +
+      "fresh recompute at 1M indexed docs).")
     println("note: provenance in the JSON line — sf_mtime is the testdata " +
       "provision timestamp, start the bench start, warmup_first_sec the " +
       "cold-JVM first warmup query's wall time. A bench starting within " +
