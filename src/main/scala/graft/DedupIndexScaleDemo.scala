@@ -33,6 +33,7 @@ object DedupIndexScaleDemo {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
 
     val nDocs = sys.env.getOrElse("DEDUP_DOCS", "1000000").toLong
     val nBatch = sys.env.getOrElse("DEDUP_BATCH", "4000").toInt
@@ -45,6 +46,12 @@ object DedupIndexScaleDemo {
       .createTempDirectory("graft_dedup_idx").toString + "/idx")
     println(s"index path: $path")
 
+    // DEDUP_HOT=k plants a k-doc IDENTICAL boilerplate family at the
+    // tail of the corpus — the degenerate-bucket hazard the
+    // maxBucketPostings guard bounds
+    val nHot = sys.env.getOrElse("DEDUP_HOT", "0").toInt
+    val nUnique = nDocs - nHot
+
     // deterministic ~unique 30-word docs: at 50k vocab the chance of
     // two random docs sharing most shingles is negligible, so every
     // high-Jaccard pair found is a PLANTED one
@@ -53,16 +60,20 @@ object DedupIndexScaleDemo {
     def textFor(seed: Column): Column =
       concat_ws(" ", transform(sequence(lit(0), lit(words - 1)),
         j => wordExpr(seed, j)))
+    val hotText = "hot boilerplate " + (0 until words - 2).map(j => s"h$j").mkString(" ")
 
     val corpus = spark.range(nDocs).toDF("doc_id")
-      .select(col("doc_id"), textFor(col("doc_id")).as("text"))
+      .select(col("doc_id"),
+        when(col("doc_id") >= nUnique, lit(hotText))
+          .otherwise(textFor(col("doc_id"))).as("text"))
       .localCheckpoint(true)
-    println(s"corpus=${corpus.count()} docs")
+    println(s"corpus=${corpus.count()} docs" +
+      (if (nHot > 0) s" (incl. $nHot-doc identical family)" else ""))
 
     // batch: even slots perturb an indexed doc's LAST word (30 words →
     // 28 shingles; one changed word kills 3 → jaccard 25/31 ≈ 0.81 ≥
     // 0.8), odd slots are novel (seed range disjoint from the corpus)
-    val stride = nDocs / (nBatch / 2).max(1)
+    val stride = nUnique / (nBatch / 2).max(1)
     val batch = spark.range(nBatch).toDF("i")
       .select((col("i") + nDocs).as("doc_id"),
         when(col("i") % 2 === 0,
@@ -101,6 +112,27 @@ object DedupIndexScaleDemo {
     val probePairs = probe.count()
     val planted = probe.filter(col("id_a") < nDocs).count()
     println(s"probe pairs=$probePairs (planted corpus-hits=$planted of ${nBatch / 2})")
+
+    if (nHot > 0) {
+      // the degenerate case: ONE batch doc matching the identical
+      // family makes every one of its buckets hold nHot corpus
+      // postings — unguarded, that's nHot candidate pairs to verify;
+      // guarded, the hot buckets drop whole before pairs form
+      val hotBatch = batch.unionByName(
+        Seq((nDocs + nBatch.toLong, hotText)).toDF("doc_id", "text"))
+        .localCheckpoint(true)
+      val un = timed(s"probe incl. family-matching doc, UNGUARDED") {
+        operators.DedupIndex.nearDupsAgainst(
+          spark, path, hotBatch, "doc_id", "text", threshold = 0.8)
+      }
+      println(s"  unguarded pairs=${un.count()} (family contributes $nHot)")
+      val gd = timed(s"probe incl. family-matching doc, maxBucketPostings=1000") {
+        operators.DedupIndex.nearDupsAgainst(
+          spark, path, hotBatch, "doc_id", "text", threshold = 0.8,
+          maxBucketPostings = Some(1000))
+      }
+      println(s"  guarded pairs=${gd.count()} (family bounded out)")
+    }
 
     if (!sys.env.contains("DEDUP_SKIP_FRESH")) {
       val fresh = timed("FRESH recompute (minHashNearDups over corpus ∪ batch)") {

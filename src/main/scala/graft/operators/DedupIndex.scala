@@ -141,7 +141,10 @@ object DedupIndex {
       spark: SparkSession, path: String, batch: DataFrame,
       idCol: String, textCol: String, threshold: Double = 0.8,
       includeBatchPairs: Boolean = true,
-      idPushLimit: Int = 1000): DataFrame = {
+      idPushLimit: Int = 1000,
+      maxBucketPostings: Option[Int] = None): DataFrame = {
+    require(maxBucketPostings.forall(_ >= 1),
+      "maxBucketPostings must be >= 1 when set")
     val p = params(spark, path)
     val shB = shingled(batch, idCol, textCol, p.shingleSize)
     try {
@@ -169,10 +172,46 @@ object DedupIndex {
             corpusScan0.filter(col("bucket").isin(buckets: _*))
           else corpusScan0
         val batchIdF = shB.select(col("id")).distinct()
-        val collide = corpusScan
-          .select(col("band"), col("bucket"), col("id").as("cid"))
-          .join(broadcast(bandsB.select(col("band"), col("bucket"), col("id").as("bid"))),
-            Seq("band", "bucket"))
+        val bandsBKeyed =
+          bandsB.select(col("band"), col("bucket"), col("id").as("bid"))
+        // `maxBucketPostings` is the degenerate-bucket guard — the
+        // [[LexicalIndex]] maxDfFraction analog for collision buckets.
+        // A boilerplate family of k near-identical docs puts k corpus
+        // postings into the SAME (band, bucket); every batch doc
+        // hitting that family would contribute k candidate pairs per
+        // colliding band (the k² hazard the banded batch operators
+        // bound by never materializing cross-products). With the cap,
+        // per-bucket corpus postings are counted on the LINEAR
+        // matched-postings frame — before any batch-id join can square
+        // it — and hot buckets are dropped whole. Recall tradeoff: a
+        // pair is lost only if hot buckets were its ONLY collisions,
+        // which concentrates exactly on the degenerate family being
+        // bounded; run [[Dedup.exactByContent]] upstream so identical
+        // docs never reach the near-dup layer, and hot buckets then
+        // mean spam/boilerplate. None (default) = exact, the
+        // q113/q33-parity contract.
+        val collide = (maxBucketPostings match {
+          case None =>
+            corpusScan
+              .select(col("band"), col("bucket"), col("id").as("cid"))
+              .join(broadcast(bandsBKeyed), Seq("band", "bucket"))
+          case Some(cap) =>
+            val hits = corpusScan
+              .select(col("band"), col("bucket"), col("id").as("cid"))
+              .join(broadcast(bandsB.select(col("band"), col("bucket")).distinct()),
+                Seq("band", "bucket"))
+              .localCheckpoint(true) // counts + join read it once each
+            try {
+              val hot = hits.groupBy(col("band"), col("bucket"))
+                .agg(count(lit(1)).as("__n"))
+                .filter(col("__n") > cap)
+                .select(col("band"), col("bucket"))
+              hits.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+                .join(broadcast(bandsBKeyed), Seq("band", "bucket"))
+                // materialize before `hits` is freed (EAGER convention)
+                .localCheckpoint(true)
+            } finally Dedup.freeCheckpoint(hits)
+        })
           .join(broadcast(batchIdF.withColumnRenamed("id", "cid")),
             Seq("cid"), "left_anti")
           .select(col("cid"), col("bid")).distinct()
@@ -242,8 +281,10 @@ object DedupIndex {
     * depend on released blocks). */
   def admit(
       spark: SparkSession, path: String, batch: DataFrame,
-      idCol: String, textCol: String, threshold: Double = 0.8): DataFrame = {
-    val pairs = nearDupsAgainst(spark, path, batch, idCol, textCol, threshold)
+      idCol: String, textCol: String, threshold: Double = 0.8,
+      maxBucketPostings: Option[Int] = None): DataFrame = {
+    val pairs = nearDupsAgainst(spark, path, batch, idCol, textCol, threshold,
+      maxBucketPostings = maxBucketPostings)
     try {
       val batchIds = batch.select(col(idCol)).distinct()
       // pairs are normalized id_a < id_b, and corpus incumbents are

@@ -69,6 +69,14 @@ object IndexMaintenance {
     *                   replayed batch's ids are self-excluded from the
     *                   corpus probe, so admission decides identically
     *                   and the keyed upserts converge.
+    * @param admitMaxBucketPostings degenerate-bucket guard for the
+    *                   admission probe ([[graft.operators.DedupIndex
+    *                   .nearDupsAgainst]]'s maxBucketPostings): a
+    *                   boilerplate family accumulating in the corpus
+    *                   over many batches would otherwise make every
+    *                   later probe verify family-sized candidate
+    *                   sets — the long-running-stream form of the
+    *                   hazard. Buckets above the cap drop whole.
     */
   def runToIndexedKnowledge(
       session: GraftSession, docs: DataFrame, checkpoint: String,
@@ -76,10 +84,13 @@ object IndexMaintenance {
       lexicalPath: Option[String] = None,
       dedupPath: Option[String] = None,
       admitThreshold: Option[Double] = None,
+      admitMaxBucketPostings: Option[Int] = None,
       idCol: String = "id", contentCol: String = "content",
       vecCol: String = "embedding"): StreamingQuery = {
     require(admitThreshold.isEmpty || dedupPath.nonEmpty,
       "admitThreshold needs dedupPath: admission probes the persisted dedup index")
+    require(admitMaxBucketPostings.isEmpty || admitThreshold.nonEmpty,
+      "admitMaxBucketPostings only applies to the admission probe (set admitThreshold)")
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -90,7 +101,8 @@ object IndexMaintenance {
         try {
           if (batch.count() > 0) applyBatch(session, batch.toDF(),
             versionCol, lexicalPath, dedupPath, admitThreshold,
-            idCol, contentCol, vecCol)
+            idCol = idCol, contentCol = contentCol, vecCol = vecCol,
+            admitMaxBucketPostings = admitMaxBucketPostings)
           ()
         } finally batch.unpersist()
       }
@@ -104,7 +116,8 @@ object IndexMaintenance {
       dedupPath: Option[String] = None,
       admitThreshold: Option[Double] = None,
       idCol: String = "id", contentCol: String = "content",
-      vecCol: String = "embedding"): Unit = {
+      vecCol: String = "embedding",
+      admitMaxBucketPostings: Option[Int] = None): Unit = {
     // deterministic winner per id (see class doc): version desc when
     // given, then a content fingerprint — row_number over a tied sort
     // is partition-order-dependent and would break replay convergence
@@ -123,7 +136,8 @@ object IndexMaintenance {
     val admitted = (dedupPath, admitThreshold) match {
       case (Some(dp), Some(th)) =>
         graft.operators.DedupIndex.admit(
-          session.spark, dp, one, idCol, contentCol, th)
+          session.spark, dp, one, idCol, contentCol, th,
+          maxBucketPostings = admitMaxBucketPostings)
       case _ => one
     }
     if (admitted.isEmpty) return

@@ -181,6 +181,42 @@ class DedupIndexSpec extends SparkSpec {
       s"bucket IN not pushed: ${scan.metadata.get("PushedFilters")}")
   }
 
+  test("maxBucketPostings drops degenerate buckets, keeps normal pairs, default stays exact") {
+    val path = freshPath()
+    // a 40-doc IDENTICAL boilerplate family (every band bucket holds 40
+    // postings) + one normal doc
+    val family = (1L to 40L).map(i =>
+      (i, "identical boilerplate navigation footer text repeated everywhere"))
+    val normal = Seq((100L, "the quick brown fox jumps over the lazy dog today"))
+    DedupIndex.build(spark, path, (family ++ normal).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val batch = Seq(
+      (200L, "identical boilerplate navigation footer text repeated everywhere"),
+      (201L, "the quick brown fox jumps over the lazy dog tonight"))
+
+    // default: exact — the family member pairs with all 40 incumbents
+    val exact = pairs(DedupIndex.nearDupsAgainst(
+      spark, path, batch.toDF("doc_id", "text"), "doc_id", "text", threshold = 0.5))
+    assert(exact.count(_._2 == 200L) === 40)
+    assert(exact.exists(p => p._1 == 100L && p._2 == 201L))
+
+    // guarded: the family's buckets (40 postings each) are dropped
+    // whole; the normal near-dup (singleton buckets) survives
+    val guarded = pairs(DedupIndex.nearDupsAgainst(
+      spark, path, batch.toDF("doc_id", "text"), "doc_id", "text", threshold = 0.5,
+      maxBucketPostings = Some(10)))
+    assert(guarded.count(_._2 == 200L) === 0,
+      s"hot-family candidates not bounded: $guarded")
+    assert(guarded.exists(p => p._1 == 100L && p._2 == 201L),
+      s"guard over-killed the normal pair: $guarded")
+
+    // a cap above the family size changes nothing
+    val loose = pairs(DedupIndex.nearDupsAgainst(
+      spark, path, batch.toDF("doc_id", "text"), "doc_id", "text", threshold = 0.5,
+      maxBucketPostings = Some(100)))
+    assert(loose === exact)
+  }
+
   test("NULL-text rows are excluded from build, upsert, and probes") {
     val path = freshPath()
     val corp = Seq((1L, "alpha beta gamma delta"), (2L, null.asInstanceOf[String]))
