@@ -132,11 +132,12 @@ object DedupIndex {
     * [[LexicalIndex.upsert]]'s contract.
     *
     * Plan shape: batch shingles+bands compute once (checkpointed,
-    * broadcast — the batch is small); the corpus band scan has
-    * `bucket IN (batch buckets)` pushed to parquet (footer-pruned
-    * after [[compact]]); candidates (corpus-vs-batch band collisions +
-    * in-batch collisions) semi-join the shingle store; one bounded
-    * verify join computes exact Jaccard. */
+    * broadcast — the batch is small); the corpus band scan dies in a
+    * broadcast join on (band, bucket), with `bucket IN` additionally
+    * pushed to parquet for small probes (footer-pruned after
+    * [[compact]]); candidates (corpus-vs-batch band collisions +
+    * in-batch collisions) prune the shingle store to their own ids;
+    * one bounded verify join computes exact Jaccard. */
   def nearDupsAgainst(
       spark: SparkSession, path: String, batch: DataFrame,
       idCol: String, textCol: String, threshold: Double = 0.8,
