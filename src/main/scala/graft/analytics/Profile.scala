@@ -32,6 +32,8 @@ object Profile {
   def profile(df: DataFrame, cols: Seq[String],
       exact: Boolean = true): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
+    require(cols.distinct.size == cols.size,
+      s"duplicate columns requested: ${cols.diff(cols.distinct).distinct.mkString(",")}")
     val missing = cols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"columns not in frame: ${missing.mkString(",")}")
     def dst(c: String) =

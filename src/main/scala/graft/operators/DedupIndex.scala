@@ -58,21 +58,48 @@ object DedupIndex {
     * CREATE INDEX semantics; use [[upsert]] for maintenance). `docs`
     * must be unique on `idCol`; NULL-text docs are excluded (they have
     * no content to be duplicates of — [[Dedup.exactByContent]]'s
-    * convention). */
+    * convention).
+    *
+    * Crash safety: the three component tables initialize in sequence,
+    * so a build is not one atomic commit. A PARTIAL layout (some
+    * components committed, not all) is rejected up front with a named
+    * error instead of the component init's confusing "already exists",
+    * and a failure mid-build deletes the components THIS call created
+    * — never pre-existing data — so the path is retryable. */
   def build(
       spark: SparkSession, path: String, docs: DataFrame,
       idCol: String, textCol: String, shingleSize: Int = 3,
       numHashes: Int = 128, bands: Int = 32): Unit = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    val components = Seq(shinglesPath(path), bandsPath(path), paramsPath(path))
+    val present = components.filter(MergeTable.exists(spark, _))
+    require(present.isEmpty,
+      if (present.size == components.size) s"dedup index already exists at $path"
+      else s"PARTIAL dedup index at $path (have ${present.mkString(", ")}) — " +
+        "a previous build died mid-commit; remove the path and rebuild")
     val sh = shingled(docs, idCol, textCol, shingleSize)
+    val created = scala.collection.mutable.ListBuffer[String]()
     try {
       MergeTable.init(spark, shinglesPath(path), sh)
+      created += shinglesPath(path)
       MergeTable.init(spark, bandsPath(path),
         Dedup.bandFrame(sh, numHashes, bands))
+      created += bandsPath(path)
       import spark.implicits._
       MergeTable.init(spark, paramsPath(path),
         Seq((shingleSize, numHashes, bands))
           .toDF("shingle_size", "num_hashes", "bands"))
+      created += paramsPath(path)
+    } catch {
+      case t: Throwable =>
+        // roll back only what THIS call created, so retry can succeed
+        created.foreach { c =>
+          try {
+            val hp = new org.apache.hadoop.fs.Path(c)
+            hp.getFileSystem(spark.sessionState.newHadoopConf()).delete(hp, true)
+          } catch { case _: Throwable => () }
+        }
+        throw t
     } finally graft.util.Checkpoints.free(sh)
   }
 
@@ -93,16 +120,43 @@ object DedupIndex {
     * shingles are merged by key (matched ids fully replaced — the band
     * set per id is fixed — new ids inserted), rewriting only the
     * parquet files the keys hit. Shingling parameters come from the
-    * index itself. NULL-text docs are skipped. */
+    * index itself.
+    *
+    * A batch doc with NULL text is a CONTENT RETRACTION: the id's
+    * bands and shingles are DELETED from the index (bounded predicate
+    * delete — batch-sized id list), not skipped. Skipping would leave
+    * the retracted content's signature serving forever: future docs
+    * similar to the dead text would keep getting rejected as
+    * near-dups of content that no longer exists.
+    *
+    * Concurrency note: the two component merges (and a retraction's
+    * two deletes) are separate MergeTable commits, so a probe racing
+    * an upsert can read bands and shingles one version apart — its
+    * pair set then reflects a state between the two commits. Each
+    * commit is individually atomic (no torn files), and the shipped
+    * composition ([[graft.streaming.IndexMaintenance]]: probe, then
+    * upsert, sequentially per micro-batch) never races itself;
+    * serialize external probes against upserts when bit-exactness
+    * matters mid-maintenance. */
   def upsert(
       spark: SparkSession, path: String, docs: DataFrame,
       idCol: String, textCol: String): Unit = {
     val p = params(spark, path)
+    val retracted = docs.filter(col(textCol).isNull)
+      .select(col(idCol)).distinct().collect().map(_.get(0)).toSeq
     val sh = shingled(docs, idCol, textCol, p.shingleSize)
     try {
-      MergeTable.merge(spark, shinglesPath(path), sh, Seq("id"))
-      MergeTable.merge(spark, bandsPath(path),
-        Dedup.bandFrame(sh, p.numHashes, p.bands), Seq("id", "band"))
+      if (retracted.nonEmpty) {
+        MergeTable.deleteWhere(spark, shinglesPath(path),
+          col("id").isin(retracted: _*))
+        MergeTable.deleteWhere(spark, bandsPath(path),
+          col("id").isin(retracted: _*))
+      }
+      if (!sh.isEmpty) {
+        MergeTable.merge(spark, shinglesPath(path), sh, Seq("id"))
+        MergeTable.merge(spark, bandsPath(path),
+          Dedup.bandFrame(sh, p.numHashes, p.bands), Seq("id", "band"))
+      }
       ()
     } finally graft.util.Checkpoints.free(sh)
   }
@@ -172,7 +226,11 @@ object DedupIndex {
           if (buckets.length <= idPushLimit)
             corpusScan0.filter(col("bucket").isin(buckets: _*))
           else corpusScan0
-        val batchIdF = shB.select(col("id")).distinct()
+        // ALL batch ids, from the raw batch: a NULL-text batch row
+        // (content retraction in flight) carries no shingles but must
+        // still exclude its stale corpus copy from pairing
+        val batchIdF = batch.select(col(idCol).as("id"))
+          .filter(col("id").isNotNull).distinct()
         val bandsBKeyed =
           bandsB.select(col("band"), col("bucket"), col("id").as("bid"))
         // `maxBucketPostings` is the degenerate-bucket guard — the
@@ -197,8 +255,13 @@ object DedupIndex {
               .select(col("band"), col("bucket"), col("id").as("cid"))
               .join(broadcast(bandsBKeyed), Seq("band", "bucket"))
           case Some(cap) =>
+            // stale copies of replaced/retracted ids are excluded
+            // BEFORE counting: they can no longer pair, so they must
+            // not push an effective-postings-within-cap bucket over it
             val hits = corpusScan
               .select(col("band"), col("bucket"), col("id").as("cid"))
+              .join(broadcast(batchIdF.withColumnRenamed("id", "cid")),
+                Seq("cid"), "left_anti")
               .join(broadcast(bandsB.select(col("band"), col("bucket")).distinct()),
                 Seq("band", "bucket"))
               .localCheckpoint(true) // counts + join read it once each
@@ -240,11 +303,23 @@ object DedupIndex {
             .select(least(col("cid"), col("bid")).as("id_a"),
               greatest(col("cid"), col("bid")).as("id_b"))
             .distinct()
-          // in-batch candidates: the plain self-join (batch-sized)
+          // in-batch candidates: the self-join squares per-bucket
+          // batch membership, so the degenerate-bucket guard applies
+          // HERE too — a boilerplate family arriving inside one batch
+          // is the same k² hazard as one accumulated in the corpus
+          val bandsBSelf = maxBucketPostings match {
+            case None => bandsB
+            case Some(cap) =>
+              val hotB = bandsB.groupBy(col("band"), col("bucket"))
+                .agg(count(lit(1)).as("__n"))
+                .filter(col("__n") > cap)
+                .select(col("band"), col("bucket"))
+              bandsB.join(broadcast(hotB), Seq("band", "bucket"), "left_anti")
+          }
           val candBB =
             if (!includeBatchPairs) candCB.limit(0)
-            else bandsB.select(col("band"), col("bucket"), col("id").as("id_a"))
-              .join(bandsB.select(col("band"), col("bucket"), col("id").as("id_b")),
+            else bandsBSelf.select(col("band"), col("bucket"), col("id").as("id_a"))
+              .join(bandsBSelf.select(col("band"), col("bucket"), col("id").as("id_b")),
                 Seq("band", "bucket"))
               .filter(col("id_a") < col("id_b"))
               .select(col("id_a"), col("id_b"))

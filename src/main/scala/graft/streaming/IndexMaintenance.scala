@@ -140,20 +140,29 @@ object IndexMaintenance {
           maxBucketPostings = admitMaxBucketPostings)
       case _ => one
     }
-    if (admitted.isEmpty) return
-    val withVec =
-      if (admitted.columns.contains(vecCol)) admitted
-      else session.embedder.embedColumn(admitted, contentCol, vecCol)
-    // embedColumn is a per-partition kernel over the (persisted) batch;
-    // the upsert's several scans must not re-embed — and every index
-    // must see the identical reduced frame
-    withVec.persist()
+    val gated = admitted ne one
     try {
-      session.upsertIndexedKnowledge(withVec)
-      lexicalPath.foreach(lp => graft.operators.LexicalIndex.upsert(
-        session.spark, lp, withVec, idCol, contentCol))
-      dedupPath.foreach(dp => graft.operators.DedupIndex.upsert(
-        session.spark, dp, withVec, idCol, contentCol))
-    } finally { withVec.unpersist(); () }
+      if (admitted.isEmpty) return
+      val withVec =
+        if (admitted.columns.contains(vecCol)) admitted
+        else session.embedder.embedColumn(admitted, contentCol, vecCol)
+      // embedColumn is a per-partition kernel over the (persisted)
+      // batch; the upsert's several scans must not re-embed — and
+      // every index must see the identical reduced frame
+      withVec.persist()
+      try {
+        session.upsertIndexedKnowledge(withVec)
+        lexicalPath.foreach(lp => graft.operators.LexicalIndex.upsert(
+          session.spark, lp, withVec, idCol, contentCol))
+        dedupPath.foreach(dp => graft.operators.DedupIndex.upsert(
+          session.spark, dp, withVec, idCol, contentCol))
+      } finally { withVec.unpersist(); () }
+    } finally {
+      // admit() returns a checkpointed frame — release its blocks per
+      // batch, or a long-running gated stream accumulates them until
+      // the ContextCleaner happens to GC (the explicit-free discipline
+      // every dedup operator follows)
+      if (gated) graft.util.Checkpoints.free(admitted)
+    }
   }
 }

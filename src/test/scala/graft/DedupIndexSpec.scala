@@ -217,6 +217,83 @@ class DedupIndexSpec extends SparkSpec {
     assert(loose === exact)
   }
 
+  test("the guard also bounds an in-batch boilerplate family") {
+    val path = freshPath()
+    DedupIndex.build(spark, path,
+      Seq((1L, "totally disjoint corpus content sitting here quietly"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+    // 30 identical docs arrive INSIDE one batch + one normal near-pair
+    val batch = (200L to 229L).map(i =>
+      (i, "identical boilerplate navigation footer text repeated everywhere")) ++ Seq(
+      (300L, "completely novel content about streaming joins here"),
+      (301L, "completely novel content about streaming joins there"))
+    val unguarded = pairs(DedupIndex.nearDupsAgainst(
+      spark, path, batch.toDF("doc_id", "text"), "doc_id", "text", threshold = 0.5))
+    assert(unguarded.count(p => p._1 >= 200L && p._1 < 230L) === 30 * 29 / 2)
+    val guarded = pairs(DedupIndex.nearDupsAgainst(
+      spark, path, batch.toDF("doc_id", "text"), "doc_id", "text", threshold = 0.5,
+      maxBucketPostings = Some(10)))
+    assert(guarded.count(p => p._1 >= 200L && p._1 < 230L) === 0,
+      s"in-batch family not bounded: ${guarded.size} pairs")
+    assert(guarded.exists(p => p._1 == 300L && p._2 == 301L),
+      s"guard over-killed the normal in-batch pair: $guarded")
+  }
+
+  test("stale postings of replaced ids don't push a bucket over the guard cap") {
+    val path = freshPath()
+    // 12 identical corpus docs; cap 10. A batch REPLACING 3 of them
+    // (new unrelated text) leaves 9 effective postings per bucket —
+    // within cap — so a new near-dup of that family must still be found
+    val family = (1L to 12L).map(i =>
+      (i, "identical boilerplate navigation footer text repeated everywhere"))
+    DedupIndex.build(spark, path, family.toDF("doc_id", "text"), "doc_id", "text")
+    val batch = Seq(
+      (1L, "replaced with totally new unrelated content one"),
+      (2L, "swapped for different completely fresh payload two"),
+      (3L, "rotated into novel text without any twin three"),
+      (50L, "identical boilerplate navigation footer text repeated everywhere"))
+    val guarded = pairs(DedupIndex.nearDupsAgainst(
+      spark, path, batch.toDF("doc_id", "text"), "doc_id", "text", threshold = 0.5,
+      maxBucketPostings = Some(10)))
+    // doc 50 pairs with the 9 surviving family incumbents (4..12)
+    assert(guarded.map(_._1).filter(_ <= 12L).toSeq.sorted ===
+      (4L to 12L).toSeq, s"stale postings inflated the count: $guarded")
+  }
+
+  test("upsert with NULL text retracts the id: stale signature stops serving") {
+    val path = freshPath()
+    val corp = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "totally disjoint vocabulary set occupying space"))
+    DedupIndex.build(spark, path, corp.toDF("doc_id", "text"), "doc_id", "text")
+    DedupIndex.upsert(spark, path,
+      Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text"),
+      "doc_id", "text")
+    // the retracted content must no longer reject its lookalikes
+    val probed = pairs(DedupIndex.nearDupsAgainst(
+      spark, path,
+      Seq((9L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text"),
+      "doc_id", "text", threshold = 0.5))
+    assert(probed === Set.empty[(Long, Long, Double)],
+      s"retracted content still pairing: $probed")
+    // and its rows are physically gone from both component tables
+    import graft.sources.MergeTable
+    assert(MergeTable.read(spark, DedupIndex.bandsPath(path))
+      .filter(col("id") === 1L).count() === 0L)
+  }
+
+  test("build rejects a partial layout with a named error and rolls back its own failures") {
+    val path = freshPath()
+    // simulate a crashed build: only one component committed
+    graft.sources.MergeTable.init(spark, DedupIndex.bandsPath(path),
+      Seq((1L, 0, 7)).toDF("id", "band", "bucket"))
+    val e = intercept[IllegalArgumentException] {
+      DedupIndex.build(spark, path,
+        Seq((1L, "some text here")).toDF("doc_id", "text"), "doc_id", "text")
+    }
+    assert(e.getMessage.contains("PARTIAL"))
+  }
+
   test("NULL-text rows are excluded from build, upsert, and probes") {
     val path = freshPath()
     val corp = Seq((1L, "alpha beta gamma delta"), (2L, null.asInstanceOf[String]))

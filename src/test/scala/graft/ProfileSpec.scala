@@ -56,4 +56,11 @@ class ProfileSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("nope"))
   }
+
+  test("duplicate columns fail loudly instead of an ambiguous-reference error") {
+    val e = intercept[IllegalArgumentException] {
+      Profile.profile(df, Seq("id", "s", "id"))
+    }
+    assert(e.getMessage.contains("duplicate") && e.getMessage.contains("id"))
+  }
 }
