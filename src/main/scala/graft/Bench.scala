@@ -75,9 +75,13 @@ object Bench {
     // when the testdata was (re)provisioned, when the bench started, and
     // the cold-JVM first-warmup wall time (inflates ~2x on a cold cache;
     // see memory of r7/r8 A/Bs).
-    val sfMtime = try java.time.Instant
-        .ofEpochMilli(new java.io.File(sfDir).lastModified()).toString
-      catch { case _: Throwable => "unknown" }
+    // lastModified() returns 0 (not an exception) for a missing path —
+    // recording the epoch would read as a 56-year-settled host to the
+    // cold-cache heuristic instead of "provenance unavailable"
+    val sfMtime = try {
+      val lm = new java.io.File(sfDir).lastModified()
+      if (lm == 0L) "unknown" else java.time.Instant.ofEpochMilli(lm).toString
+    } catch { case _: Throwable => "unknown" }
     val benchStart = java.time.Instant.now().toString
     var warmupFirstSec = -1.0
     locally {

@@ -156,10 +156,14 @@ final case class GraftSession(
     * as the next manifest version, whose header pins the generation's
     * own quantizer side dirs; readers of earlier versions keep their
     * files and their generation's quantizers until vacuum. */
+  /** `explicitPin` records whether the session chose its version
+    * deliberately (openIndexedKnowledge(version = Some(N)) — the fork/
+    * rollback intent) or just opened latest: only an explicit pin may
+    * commit from a base that is no longer latest. */
   private case class IvfState(path: String, idCol: String, vecCol: String,
       cents: org.apache.spark.sql.DataFrame, nprobe: Int,
       pqCodebooks: Option[Array[Array[Array[Float]]]] = None,
-      version: Long = 1L)
+      version: Long = 1L, explicitPin: Boolean = false)
   @volatile private var ivfState: Option[IvfState] = None
 
   // --- versioned publication for the IVF layout ------------------------
@@ -180,10 +184,10 @@ final case class GraftSession(
   }
   private def ivfManifestDir(root: org.apache.hadoop.fs.Path) =
     new org.apache.hadoop.fs.Path(root, "_ivf_manifests")
-  /** Scheme-free absolute path, so `file:/x` and `file:///x` spellings
-    * of one local file compare equal (the MergeTable convention). */
+  /** Scheme-free absolute path — [[graft.sources.Manifests
+    * .normalizePath]], the shared canonical form. */
   private def normalizePath(s: String): String =
-    new org.apache.hadoop.fs.Path(s).toUri.getPath
+    graft.sources.Manifests.normalizePath(s)
   private def clusterOfFile(f: String): Int = {
     val m = "cluster=(-?\\d+)".r.findFirstMatchIn(f).getOrElse(
       throw new IllegalStateException(s"manifest file outside a cluster dir: $f"))
@@ -355,9 +359,16 @@ final case class GraftSession(
         // in their own side dirs, pinned by the manifest header.
         // Readers of committed versions keep their files; disk
         // transiently holds both generations until vacuum.
+        // WRITER-UNIQUE side-dir names (like staged part files): two
+        // racing rebuilds both target generation g, and a deterministic
+        // name would let the commit-race LOSER overwrite the winner's
+        // already-committed quantizers — pairing a committed version
+        // with foreign centroids. The manifest header pins the exact
+        // name, so readers resolve only their own generation's dirs.
         val g = latest + 1
+        val tag = java.util.UUID.randomUUID().toString.take(8)
         (stageNewFiles(assigned, fs, root), g,
-          s"_ivf_centroids_g$g", s"_pq_codebooks_g$g")
+          s"_ivf_centroids_g${g}_$tag", s"_pq_codebooks_g${g}_$tag")
     }
     // side state BEFORE the manifest/meta commit: a version must never
     // be resolvable before its quantizers exist. underscore-prefixed
@@ -366,8 +377,15 @@ final case class GraftSession(
     // without retraining either quantizer.
     cents.write.mode("overwrite").parquet(s"$path/$centsDir")
     cb.foreach(SimilaritySearch.pqSaveCodebooks(spark, s"$path/$cbDir", _))
-    graft.sources.Manifests.commit(fs, ivfManifestDir(root), commitV,
+    try graft.sources.Manifests.commit(fs, ivfManifestDir(root), commitV,
       quantizerHeader(centsDir, cb.map(_ => cbDir)) +: newFiles)
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"concurrent writer committed v$commitV at $path first; this " +
+            "rebuild's files and quantizer dirs are orphans (vacuum " +
+            "reclaims them) — re-run against the new snapshot")
+    }
     val (reloaded, v) = readIndexSnapshot(path, Some(commitV))
     graft.plans.IvfIndex.register(spark, reloaded, "cluster", vecCol, cents, nprobe)
     // NOT setKb: the registration binds to the parquet scan paths, and a
@@ -411,7 +429,8 @@ final case class GraftSession(
       val cb = cbDirOpt.map(d => SimilaritySearch.pqLoadCodebooks(spark, s"$path/$d"))
       graft.plans.IvfIndex.register(spark, reloaded, "cluster", vecCol, cents, nprobe)
       kbDf = Some(reloaded)
-      ivfState = Some(IvfState(path, idCol, vecCol, cents, nprobe, cb, v))
+      ivfState = Some(IvfState(path, idCol, vecCol, cents, nprobe, cb, v,
+        explicitPin = version.nonEmpty))
       this
     }
 
@@ -453,11 +472,12 @@ final case class GraftSession(
     *     serve the new version through the same planner-pruned path.
     *
     * Against the stored table the batch row always wins. WITHIN the
-    * batch, pass `versionCol` (a column of `docs`, dropped before
-    * storage) to resolve duplicate ids deterministically — highest
-    * version wins, ties arbitrary; without it, duplicate ids resolve
-    * arbitrarily (`dropDuplicates` keeps a partition-order-dependent
-    * row).
+    * batch, duplicate ids reduce DETERMINISTICALLY
+    * ([[graft.operators.Dedup.deterministicOnePerKey]] — the same
+    * reducer the streaming sink uses): highest `versionCol` wins when
+    * given (the column is dropped before storage), and ties — or the
+    * no-version case — break by a content fingerprint, so a replayed
+    * batch converges to the same stored state in any partition order.
     *
     * Publication is ATOMIC FOR READERS: the upsert stages new files
     * for the touched clusters (nothing is deleted or overwritten),
@@ -483,7 +503,7 @@ final case class GraftSession(
   def upsertIndexedKnowledge(docs: org.apache.spark.sql.DataFrame,
       versionCol: Option[String] = None): this.type =
     synchronized {
-      import org.apache.spark.sql.functions.{col, desc, row_number}
+      import org.apache.spark.sql.functions.col
       import graft.operators.SimilaritySearch
       val st = ivfState.getOrElse(throw new IllegalStateException(
         "indexKnowledge has not run in this session"))
@@ -500,15 +520,8 @@ final case class GraftSession(
       val current = spark.read
         .option("basePath", fs.makeQualified(root).toString)
         .parquet(snapFiles: _*)
-      val one = versionCol match {
-        case Some(vc) =>
-          require(docs.columns.contains(vc), s"versionCol $vc not in the batch")
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy(col(st.idCol)).orderBy(desc(vc))
-          docs.withColumn("__rn", row_number().over(w))
-            .filter(col("__rn") === 1).drop("__rn", vc)
-        case None => docs.dropDuplicates(st.idCol)
-      }
+      val one = graft.operators.Dedup.deterministicOnePerKey(
+        docs, st.idCol, versionCol)
       // batch rows go through the SAME fixed quantizers as the build:
       // nearest existing centroid, and (ivfpq) the existing codebooks —
       // both retrain only on an indexKnowledge rebuild, like ivfflat
@@ -544,7 +557,25 @@ final case class GraftSession(
       latest: Long, snapFiles: Seq[String], touched: Set[Int],
       newFiles: Seq[String]): Unit = {
     val mDir = ivfManifestDir(root)
+    // OCC completeness: committing latest+1 from a base BEHIND latest
+    // would silently drop the intervening version's rows from the
+    // lineage (and the same-version collision check below would never
+    // fire — latest+1 is free). Only a session that PINNED its version
+    // deliberately may fork from a non-latest base; a latest-opened
+    // session must reopen and re-run.
+    if (!st.explicitPin && latest != st.version)
+      throw new IllegalStateException(
+        s"session pin v${st.version} is behind latest v$latest at ${st.path} " +
+          "(a concurrent writer committed since this session opened) — " +
+          "reopen with openIndexedKnowledge and re-run, or open a pinned " +
+          "version explicitly to fork it")
     val carried = snapFiles.filterNot(f => touched.contains(clusterOfFile(f)))
+    // an all-files-gone commit would be unreadable at open (no parquet
+    // paths to infer a schema from): refuse it rather than brick latest
+    require(carried.nonEmpty || newFiles.nonEmpty,
+      s"refusing to commit an EMPTY index version at ${st.path} — the " +
+        "operation would remove every row; drop the layout and rebuild " +
+        "with indexKnowledge instead")
     val (baseCents, baseCb) = resolveSideState(fs, root, st.version)
     try graft.sources.Manifests.commit(fs, mDir, latest + 1,
       quantizerHeader(baseCents, baseCb) +: (carried ++ newFiles))
@@ -569,6 +600,9 @@ final case class GraftSession(
     * survivors staged as new files), the next manifest version flips
     * atomically for readers, and rows where `cond` is NULL are kept
     * (SQL DELETE semantics). Returns the number of rows removed.
+    * A delete matching EVERY row is refused (the committed version
+    * would hold no parquet files and be unreadable at open) — drop the
+    * layout and rebuild instead.
     * Prefer this over [[cleanupExpired]] when the KB is indexed:
     * that path swaps the held frame for a checkpointed one the
     * planner rule cannot match, losing the pruned serving path. */
@@ -653,6 +687,25 @@ final case class GraftSession(
         fs.listStatus(stagingRoot)
           .filter(_.getModificationTime <= cutoff)
           .foreach(s => fs.delete(s.getPath, true))
+      // superseded GENERATIONS' quantizer side dirs: each retrain lands
+      // its centroids/codebooks in a fresh `_ivf_centroids_g*` dir;
+      // once no retained version (latest + the session pin, the same
+      // liveness rule the data files use) pins a generation in its
+      // header, its full centroid set + codebooks would otherwise
+      // accumulate forever across retrains
+      val liveSide: Set[String] = {
+        val (c1, b1) = resolveSideState(fs, root, v)
+        val (c2, b2) = resolveSideState(fs, root, st.version)
+        Set(c1, c2, "_ivf_centroids", "_pq_codebooks") ++ b1 ++ b2
+      }
+      fs.listStatus(root)
+        .filter(s => s.isDirectory && {
+          val n = s.getPath.getName
+          n.startsWith("_ivf_centroids") || n.startsWith("_pq_codebooks")
+        })
+        .filterNot(s => liveSide.contains(s.getPath.getName))
+        .filter(_.getModificationTime <= cutoff)
+        .foreach(s => fs.delete(s.getPath, true))
       graft.sources.Manifests.sweepTemp(fs, mDir, cutoff)
       removed
     }

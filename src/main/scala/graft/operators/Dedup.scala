@@ -33,6 +33,26 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** One surviving row per key, DETERMINISTICALLY: highest
+    * `versionCol` first when given, ties (and the no-version case)
+    * broken by a content fingerprint over all columns — so a replayed
+    * batch picks the same winner in ANY partition order, the
+    * exactly-once-row-state requirement of at-least-once keyed sinks
+    * ([[graft.streaming.IndexMaintenance]] and [[graft.GraftSession
+    * .upsertIndexedKnowledge]] both reduce through here; a
+    * partition-order-dependent winner would make a replay diverge).
+    * `versionCol` is dropped from the output. */
+  def deterministicOnePerKey(df: DataFrame, keyCol: String,
+      versionCol: Option[String] = None): DataFrame = {
+    versionCol.foreach(vc => require(df.columns.contains(vc),
+      s"versionCol $vc not in the frame"))
+    val contentTie = xxhash64(to_json(struct(df.columns.map(col): _*))).asc
+    val order = versionCol.map(vc => col(vc).desc).toSeq :+ contentTie
+    val w = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .drop("__rn" +: versionCol.toSeq: _*)
+  }
+
   /** Null-key rows pass through untouched (task-id dedup semantics,
     * `app/state_manager.py:41-47`: unsaved tasks are always kept). */
   def firstWinsNullsKept(df: DataFrame, key: String, order: Seq[Column]): DataFrame = {

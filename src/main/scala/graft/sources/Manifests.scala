@@ -30,12 +30,21 @@ private[graft] object Manifests {
   def latestVersion(fs: FileSystem, dir: Path): Option[Long] =
     listVersions(fs, dir).lastOption
 
-  /** The closed file list of version `v`. */
+  /** The closed file list of version `v`. Blank lines are dropped so
+    * an EMPTY committed list round-trips as empty — the raw bytes of
+    * commit(Nil) are a single newline, which would otherwise read back
+    * as a phantom `Seq("")` entry and reach `spark.read.parquet("")`. */
   def read(fs: FileSystem, dir: Path, v: Long): Seq[String] = {
     val in = fs.open(versionPath(dir, v))
-    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+    try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().filter(_.nonEmpty).toList
     finally in.close()
   }
+
+  /** Scheme-free absolute path, so `file:/x` and `file:///x` spellings
+    * of one local file compare equal — the shared canonical form for
+    * manifest-membership checks ([[MergeTable]], the IVF vacuum). */
+  def normalizePath(s: String): String = new Path(s).toUri.getPath
 
   /** Exclusive-create commit — the OCC primitive. Atomic on HDFS-like
     * filesystems (namenode-side exclusive create) AND on the local

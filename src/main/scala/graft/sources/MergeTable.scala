@@ -65,8 +65,8 @@ object MergeTable {
 
   /** Scheme-free absolute path — `input_file_name()` and `listStatus`
     * render the same file with different authorities (`file:/` vs
-    * `file:///`), so comparisons use the bare path. */
-  private def normalize(s: String): String = new Path(s).toUri.getPath
+    * `file:///`), so comparisons use [[Manifests.normalizePath]]. */
+  private def normalize(s: String): String = Manifests.normalizePath(s)
 
   /** Create the table at `path` from `df` (version 1). Fails if a
     * manifest already exists. */

@@ -121,13 +121,8 @@ object IndexMaintenance {
     // deterministic winner per id (see class doc): version desc when
     // given, then a content fingerprint — row_number over a tied sort
     // is partition-order-dependent and would break replay convergence
-    val contentTie = xxhash64(
-      to_json(struct(batch.columns.map(col): _*))).asc
-    val order = versionCol.map(vc => col(vc).desc).toSeq :+ contentTie
-    val w = Window.partitionBy(col(idCol)).orderBy(order: _*)
-    val one = batch.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn" +: versionCol.toSeq: _*)
+    val one = graft.operators.Dedup.deterministicOnePerKey(
+      batch, idCol, versionCol)
     // admission gate BEFORE any index sees the batch: near-dups of the
     // admitted corpus (or of a smaller-id batchmate) never ingest.
     // admit() returns a materialized frame; on replay the batch's ids

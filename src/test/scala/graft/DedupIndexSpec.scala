@@ -294,6 +294,22 @@ class DedupIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("PARTIAL"))
   }
 
+  test("deterministicOnePerKey: same winner in any input order; version beats fingerprint") {
+    def winner(rows: Seq[(Long, String, Long)], vc: Option[String]): String =
+      Dedup.deterministicOnePerKey(rows.toDF("id", "text", "ver"), "id", vc)
+        .filter(col("id") === 1L).select("text").as[String].head()
+    val fwd = Seq((1L, "alpha", 5L), (1L, "beta", 5L), (2L, "noise", 1L))
+    val rev = Seq((2L, "noise", 1L), (1L, "beta", 5L), (1L, "alpha", 5L))
+    // equal versions: the fingerprint tie-break picks the SAME row
+    // regardless of arrival order (replay convergence)
+    assert(winner(fwd, Some("ver")) === winner(rev, Some("ver")))
+    assert(winner(fwd, None) === winner(rev, None))
+    // a higher version always beats the fingerprint order
+    val versioned = Seq((1L, "alpha", 1L), (1L, "beta", 9L))
+    assert(winner(versioned, Some("ver")) === "beta")
+    assert(winner(versioned.reverse, Some("ver")) === "beta")
+  }
+
   test("NULL-text rows are excluded from build, upsert, and probes") {
     val path = freshPath()
     val corp = Seq((1L, "alpha beta gamma delta"), (2L, null.asInstanceOf[String]))

@@ -166,6 +166,78 @@ class GraftSessionSpec extends SparkSpec {
     } finally graft.plans.IvfIndex.unregister(spark, "embedding")
   }
 
+  test("a delete matching every row is refused instead of committing an unreadable version") {
+    val emb = HashEmbedder(16)
+    val g = GraftSession(spark, emb)
+    g.loadKnowledgeBase(emb.embedColumn(
+      (1L to 6L).map(i => (i, s"document number $i")).toDF("id", "content"),
+      "content", "embedding"))
+    val path = java.nio.file.Files.createTempDirectory("gs_ivf_delall").toString + "/kb"
+    g.indexKnowledge(path, nClusters = 2, nprobe = 2)
+    try {
+      val e = intercept[IllegalArgumentException] {
+        g.deleteIndexedKnowledge(lit(true))
+      }
+      assert(e.getMessage.contains("EMPTY"))
+      // nothing was committed: the index still serves all rows
+      assert(g.knowledgeBase.count() === 6L)
+      assert(g.indexedKnowledgeVersions === Seq(1L))
+    } finally graft.plans.IvfIndex.unregister(spark, "embedding")
+  }
+
+  test("a latest-opened session whose pin fell behind must reopen, not silently drop rows") {
+    val emb = HashEmbedder(16)
+    def mkKb(rows: Seq[(Long, String)]) =
+      emb.embedColumn(rows.toDF("id", "content"), "content", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("gs_ivf_stale").toString + "/kb"
+    val a = GraftSession(spark, emb)
+    a.loadKnowledgeBase(mkKb((1L to 6L).map(i => (i, s"document number $i"))))
+    a.indexKnowledge(path, nClusters = 2, nprobe = 2)
+    try {
+      // B opens latest (v1), then A commits v2
+      val b = GraftSession(spark, emb).openIndexedKnowledge(path, nprobe = 2)
+      a.upsertIndexedKnowledge(mkKb(Seq((50L, "session a's new document"))))
+      // B's pin (v1) is behind latest (v2): committing would fork A's
+      // rows out of the lineage — must fail loudly instead
+      val e = intercept[IllegalStateException] {
+        b.upsertIndexedKnowledge(mkKb(Seq((60L, "session b's new document"))))
+      }
+      assert(e.getMessage.contains("behind latest"))
+      // after reopening, B's upsert lands WITH A's rows intact
+      b.openIndexedKnowledge(path, nprobe = 2)
+      b.upsertIndexedKnowledge(mkKb(Seq((60L, "session b's new document"))))
+      val ids = b.knowledgeBase.select("id").collect().map(_.getLong(0)).toSet
+      assert(ids === ((1L to 6L).toSet + 50L + 60L))
+    } finally graft.plans.IvfIndex.unregister(spark, "embedding")
+  }
+
+  test("vacuum reclaims superseded generations' quantizer side dirs") {
+    val emb = HashEmbedder(16)
+    val g = GraftSession(spark, emb)
+    def mkKb(rows: Seq[(Long, String)]) =
+      emb.embedColumn(rows.toDF("id", "content"), "content", "embedding")
+    g.loadKnowledgeBase(mkKb((1L to 12L).map(i => (i, s"document number $i about topic${i % 4}"))))
+    val base = java.nio.file.Files.createTempDirectory("gs_ivf_sidevac").toString
+    val path = s"$base/kb"
+    g.indexKnowledge(path, nClusters = 2, nprobe = 2)     // v1, flat dirs
+    g.indexKnowledge(path, nClusters = 3, nprobe = 3)     // v2, gen-2 dirs
+    g.indexKnowledge(path, nClusters = 2, nprobe = 2)     // v3, gen-3 dirs
+    try {
+      def sideDirs() = new java.io.File(path).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("_ivf_centroids"))
+        .map(_.getName).toSet
+      val before = sideDirs()
+      assert(before.exists(_.startsWith("_ivf_centroids_g2")), s"missing g2: $before")
+      assert(before.exists(_.startsWith("_ivf_centroids_g3")), s"missing g3: $before")
+      g.vacuumIndexedKnowledge(retainMillis = 0)
+      val after = sideDirs()
+      assert(!after.exists(_.startsWith("_ivf_centroids_g2")),
+        s"superseded generation's centroids leaked: $after")
+      assert(after.exists(_.startsWith("_ivf_centroids_g3")),
+        s"live generation's centroids vacuumed: $after")
+    } finally graft.plans.IvfIndex.unregister(spark, "embedding")
+  }
+
   test("upsertIndexedKnowledge: a fully drained cluster stops serving; vacuum reclaims it") {
     // The drained-cluster trap: a touched cluster whose every row is
     // an old version of an updated id, and which receives no batch row,

@@ -16,6 +16,15 @@ class MergeTableSpec extends SparkSpec {
   private def rows(ids: Range, tag: String) =
     ids.map(i => (i.toLong, tag, s"payload $i")).toDF("id", "tag", "body")
 
+  test("an empty committed file list round-trips as empty, not a phantom entry") {
+    val dir = new org.apache.hadoop.fs.Path(
+      java.nio.file.Files.createTempDirectory("manifests_empty").toString, "_m")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.sources.Manifests.commit(fs, dir, 1L, Nil)
+    assert(graft.sources.Manifests.read(fs, dir, 1L) === Nil,
+      "commit(Nil) must not read back as Seq(\"\")")
+  }
+
   test("init + read roundtrip at version 1; double init rejected") {
     val path = freshPath()
     val snap = MergeTable.init(spark, path, rows(1 to 50, "a"))
