@@ -123,7 +123,13 @@ final case class GraftSession(
     * (`backend/services/vector_service.py:104-125`), upgraded from
     * exact to near-duplicate. Requires [[buildDedupIndex]] first.
     * Probes only; pair the survivors with [[graft.operators.DedupIndex
-    * .upsert]] (and [[upsertIndexedKnowledge]]) to admit them. */
+    * .upsert]] (and [[upsertIndexedKnowledge]]) to admit them.
+    *
+    * The returned frame is EAGERLY MATERIALIZED (localCheckpoint —
+    * the operator convention): in a long-running ingest loop, release
+    * its storage blocks with [[graft.util.Checkpoints.free]] once the
+    * batch's upserts land, as [[graft.streaming.IndexMaintenance]]
+    * does per micro-batch; otherwise they hold until driver GC. */
   def admitDocuments(batch: DataFrame, threshold: Double = 0.8,
       idCol: String = "id", contentCol: String = "content"): DataFrame = {
     val path = dedupIndexPath.getOrElse(throw new IllegalStateException(
@@ -590,7 +596,11 @@ final case class GraftSession(
     graft.plans.IvfIndex.register(
       spark, reloaded, "cluster", st.vecCol, st.cents, st.nprobe)
     kbDf = Some(reloaded)
-    ivfState = Some(st.copy(version = committed))
+    // the fork license is ONE-SHOT: after the fork commits, this
+    // session's pin IS the latest — keeping explicitPin would exempt
+    // every later commit from the stale-base check and silently fork
+    // out other writers' subsequent versions
+    ivfState = Some(st.copy(version = committed, explicitPin = false))
   }
 
   /** Row-level DELETE on the indexed KB — the reference's TTL sweep

@@ -36,21 +36,25 @@ object Profile {
       s"duplicate columns requested: ${cols.diff(cols.distinct).distinct.mkString(",")}")
     val missing = cols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"columns not in frame: ${missing.mkString(",")}")
+    // df(c) + backtick-quoted generated aliases: a column NAMED "a.b"
+    // (legal in Spark) would otherwise resolve as struct-field access
+    // in both the input reference and the alias re-reference
+    def q(name: String) = col(s"`$name`")
     def dst(c: String) =
-      if (exact) countDistinct(col(c)) else approx_count_distinct(col(c))
+      if (exact) countDistinct(q(c)) else approx_count_distinct(q(c))
     val aggs = count(lit(1)).as("__n") +: cols.flatMap(c => Seq(
-      count(col(c)).as(s"__cnt_$c"),
+      count(q(c)).as(s"__cnt_$c"),
       dst(c).as(s"__dst_$c"),
-      min(col(c)).cast("string").as(s"__min_$c"),
-      max(col(c)).cast("string").as(s"__max_$c")))
+      min(q(c)).cast("string").as(s"__min_$c"),
+      max(q(c)).cast("string").as(s"__max_$c")))
     df.agg(aggs.head, aggs.tail: _*)
       .select(explode(array(cols.map(c => struct(
         lit(c).as("column"),
-        (col("__n") - col(s"__cnt_$c")).as("n_nulls"),
-        col(s"__cnt_$c").as("n_non_null"),
-        col(s"__dst_$c").as("n_distinct"),
-        col(s"__min_$c").as("min_val"),
-        col(s"__max_$c").as("max_val"))): _*)).as("p"))
+        (col("__n") - q(s"__cnt_$c")).as("n_nulls"),
+        q(s"__cnt_$c").as("n_non_null"),
+        q(s"__dst_$c").as("n_distinct"),
+        q(s"__min_$c").as("min_val"),
+        q(s"__max_$c").as("max_val"))): _*)).as("p"))
       .select(col("p.*"))
   }
 }

@@ -142,7 +142,7 @@ object DedupIndex {
       spark: SparkSession, path: String, docs: DataFrame,
       idCol: String, textCol: String): Unit = {
     val p = params(spark, path)
-    val retracted = docs.filter(col(textCol).isNull)
+    val retracted = docs.filter(col(textCol).isNull && col(idCol).isNotNull)
       .select(col(idCol)).distinct().collect().map(_.get(0)).toSeq
     val sh = shingled(docs, idCol, textCol, p.shingleSize)
     try {
@@ -249,7 +249,12 @@ object DedupIndex {
         // docs never reach the near-dup layer, and hot buckets then
         // mean spam/boilerplate. None (default) = exact, the
         // q113/q33-parity contract.
-        val collide = (maxBucketPostings match {
+        // the guard's `hits` checkpoint (counts + join each scan it
+        // once) stays alive until the FINAL collide frame materializes
+        // — an intermediate checkpoint here would have no explicit
+        // free and leak blocks on every guarded probe
+        var guardHits: Option[DataFrame] = None
+        val collidePre = maxBucketPostings match {
           case None =>
             corpusScan
               .select(col("band"), col("bucket"), col("id").as("cid"))
@@ -264,22 +269,22 @@ object DedupIndex {
                 Seq("cid"), "left_anti")
               .join(broadcast(bandsB.select(col("band"), col("bucket")).distinct()),
                 Seq("band", "bucket"))
-              .localCheckpoint(true) // counts + join read it once each
-            try {
-              val hot = hits.groupBy(col("band"), col("bucket"))
-                .agg(count(lit(1)).as("__n"))
-                .filter(col("__n") > cap)
-                .select(col("band"), col("bucket"))
-              hits.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
-                .join(broadcast(bandsBKeyed), Seq("band", "bucket"))
-                // materialize before `hits` is freed (EAGER convention)
-                .localCheckpoint(true)
-            } finally Dedup.freeCheckpoint(hits)
-        })
-          .join(broadcast(batchIdF.withColumnRenamed("id", "cid")),
-            Seq("cid"), "left_anti")
-          .select(col("cid"), col("bid")).distinct()
-          .localCheckpoint(true)
+              .localCheckpoint(true)
+            guardHits = Some(hits)
+            val hot = hits.groupBy(col("band"), col("bucket"))
+              .agg(count(lit(1)).as("__n"))
+              .filter(col("__n") > cap)
+              .select(col("band"), col("bucket"))
+            hits.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+              .join(broadcast(bandsBKeyed), Seq("band", "bucket"))
+        }
+        val collide =
+          try collidePre
+            .join(broadcast(batchIdF.withColumnRenamed("id", "cid")),
+              Seq("cid"), "left_anti")
+            .select(col("cid"), col("bid")).distinct()
+            .localCheckpoint(true)
+          finally guardHits.foreach(Dedup.freeCheckpoint)
 
         try {
           // Verification store, CANDIDATE-PRUNED: the shingle table is
@@ -379,11 +384,16 @@ object DedupIndex {
     } finally Dedup.freeCheckpoint(pairs)
   }
 
-  /** (id, shingles) checkpointed, NULL/empty-text rows dropped. */
+  /** (id, shingles) checkpointed; NULL-text rows dropped (no content
+    * to be a duplicate of) and NULL-id rows dropped (no identity to
+    * pair under — a NULL id riding into the candidate join would
+    * surface as a bogus self-pair via least/greatest's null-skipping,
+    * and a MergeTable key may not be NULL anyway). */
   private def shingled(
       docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int): DataFrame =
     Dedup.shingleFrame(
-        docs.filter(col(textCol).isNotNull), idCol, textCol, shingleSize)
+        docs.filter(col(textCol).isNotNull && col(idCol).isNotNull),
+        idCol, textCol, shingleSize)
       .localCheckpoint(true)
 }

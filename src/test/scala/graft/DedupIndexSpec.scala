@@ -310,6 +310,22 @@ class DedupIndexSpec extends SparkSpec {
     assert(winner(versioned.reverse, Some("ver")) === "beta")
   }
 
+  test("a NULL-id batch row never fabricates pairs (least/greatest null-skip trap)") {
+    val path = freshPath()
+    DedupIndex.build(spark, path,
+      Seq((5L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    // the NULL-id row's text collides with corpus doc 5 in every band;
+    // without the id filter it would surface as a bogus (5, 5, 1.0)
+    val probed = pairs(DedupIndex.nearDupsAgainst(
+      spark, path,
+      Seq((null.asInstanceOf[java.lang.Long], "alpha beta gamma delta epsilon zeta"),
+        (java.lang.Long.valueOf(9L), "unrelated novel content without any twin"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", threshold = 0.5))
+    assert(probed === Set.empty[(Long, Long, Double)], s"fabricated: $probed")
+  }
+
   test("NULL-text rows are excluded from build, upsert, and probes") {
     val path = freshPath()
     val corp = Seq((1L, "alpha beta gamma delta"), (2L, null.asInstanceOf[String]))

@@ -211,6 +211,33 @@ class GraftSessionSpec extends SparkSpec {
     } finally graft.plans.IvfIndex.unregister(spark, "embedding")
   }
 
+  test("the fork license is one-shot: after a fork commits, a stale pin fails again") {
+    val emb = HashEmbedder(16)
+    def mkKb(rows: Seq[(Long, String)]) =
+      emb.embedColumn(rows.toDF("id", "content"), "content", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("gs_ivf_fork1").toString + "/kb"
+    val a = GraftSession(spark, emb)
+    a.loadKnowledgeBase(mkKb((1L to 6L).map(i => (i, s"document number $i"))))
+    a.indexKnowledge(path, nClusters = 2, nprobe = 2)              // v1
+    try {
+      a.upsertIndexedKnowledge(mkKb(Seq((50L, "version two content"))))  // v2
+      // B explicitly pins v1 and forks: allowed (v3 based on v1)
+      val b = GraftSession(spark, emb)
+        .openIndexedKnowledge(path, nprobe = 2, version = Some(1L))
+      b.upsertIndexedKnowledge(mkKb(Seq((60L, "fork payload"))))   // v3
+      // A (now stale at v2) commits v4? No — A opened latest, must reopen
+      // ... and B's license must NOT carry over: A commits v4, then B
+      // (at v3, no longer explicitly pinned) must fail the stale check
+      a.openIndexedKnowledge(path, nprobe = 2)
+      a.upsertIndexedKnowledge(mkKb(Seq((70L, "post-fork content")))) // v4
+      val e = intercept[IllegalStateException] {
+        b.upsertIndexedKnowledge(mkKb(Seq((80L, "should not fork again"))))
+      }
+      assert(e.getMessage.contains("behind latest"),
+        "explicitPin must expire after the fork commit")
+    } finally graft.plans.IvfIndex.unregister(spark, "embedding")
+  }
+
   test("vacuum reclaims superseded generations' quantizer side dirs") {
     val emb = HashEmbedder(16)
     val g = GraftSession(spark, emb)

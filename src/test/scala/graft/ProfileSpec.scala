@@ -57,6 +57,13 @@ class ProfileSpec extends SparkSpec {
     assert(e.getMessage.contains("nope"))
   }
 
+  test("a literal dotted column name profiles correctly (no struct-field misparse)") {
+    val dotted = df.withColumnRenamed("s", "a.b")
+    val r = Profile.profile(dotted, Seq("a.b"))
+      .as[(String, Long, Long, Long, Option[String], Option[String])].head()
+    assert(r === (("a.b", 2L, 3L, 2L, Some("a"), Some("b"))))
+  }
+
   test("duplicate columns fail loudly instead of an ambiguous-reference error") {
     val e = intercept[IllegalArgumentException] {
       Profile.profile(df, Seq("id", "s", "id"))
