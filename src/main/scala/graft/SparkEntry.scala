@@ -1031,6 +1031,16 @@ object SparkEntry {
         .orderBy(col("column"))
     }),
 
+    "q115_lm_fluency" -> ((s, d) =>
+      // CCNet-style perplexity-proxy filter: self-trained add-0.5
+      // bigram LM, mean per-bigram negative log-prob per doc. The
+      // per-bigram ln rounds to 6 decimals and accumulates as
+      // DECIMAL(18,6) so the doc score is aggregation-order-free and
+      // engine-exact (ln parity at round-6 is the q100 precedent).
+      analytics.CorpusStats.bigramLmScore(
+          T.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     "q94_json_redact" -> ((s, d) => {
       // recursive JSON redaction over structured metadata: build a
       // nested payload from real columns, sanitize it, extract fields
@@ -1504,6 +1514,34 @@ object SparkEntry {
         |UNION ALL SELECT 'user_id', count(*) - count(user_id), count(user_id),
         |  count(DISTINCT user_id), min(user_id)::VARCHAR, max(user_id)::VARCHAR FROM ev
         |ORDER BY "column"""".stripMargin,
+
+    // add-0.5 bigram LM over the same tokenization as q84; per-bigram
+    // ln rounded to 6 then summed as DECIMAL(18,6) (order-free exact),
+    // final mean divided in double — mirrors bigramLmScore bit-for-bit
+    "q115_lm_fluency" ->
+      """WITH wds AS (SELECT doc_id,
+        |    CASE WHEN text IS NULL OR trim(text) = '' THEN []::VARCHAR[]
+        |      ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS ws
+        |  FROM documents),
+        |toks AS (SELECT unnest(ws) AS w FROM wds),
+        |uni AS (SELECT w, count(*) AS c1 FROM toks GROUP BY w),
+        |vv AS (SELECT count(*)::DOUBLE AS v FROM uni),
+        |bg AS (SELECT doc_id, unnest([array_to_string(ws[i:i+1], ' ')
+        |    for i in range(1, len(ws))]) AS b FROM wds),
+        |bc AS (SELECT b, count(*) AS c2 FROM bg GROUP BY b),
+        |lp AS (SELECT doc_id,
+        |    round(ln((coalesce(c2, 0)::DOUBLE + 0.5)
+        |      / (coalesce(c1, 0)::DOUBLE + 0.5 * (SELECT v FROM vv))), 6)
+        |      ::DECIMAL(18,6) AS lp
+        |  FROM bg LEFT JOIN bc USING (b)
+        |          LEFT JOIN uni ON uni.w = split_part(bg.b, ' ', 1)),
+        |agg AS (SELECT doc_id, count(*) AS n_bigrams, sum(lp) AS s
+        |  FROM lp GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(agg.n_bigrams, 0)::BIGINT AS n_bigrams,
+        |  round(-(s::DOUBLE) / agg.n_bigrams::DOUBLE, 6) AS nll
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |LEFT JOIN agg ON agg.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q36_salted_count" ->
       "SELECT user_id, count(*) AS n FROM events GROUP BY user_id ORDER BY user_id",

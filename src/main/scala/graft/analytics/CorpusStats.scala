@@ -125,6 +125,67 @@ object CorpusStats {
       .limit(k)
   }
 
+  /** CCNet-style perplexity-proxy scoring: an add-k-smoothed bigram
+    * language model trained on `ref` (default: the scored corpus
+    * itself — the self-scoring mode; pass a clean reference corpus for
+    * the CCNet/RedPajama filter proper) scores each document by its
+    * mean negative log-probability per bigram,
+    * `nll = -(1/n) Σ ln P(w_i | w_{i-1})`,
+    * `P(v|u) = (c(u,v) + k) / (c(u) + k·V)`. Low nll = fluent under
+    * the reference; high = boilerplate soup, gibberish, wrong
+    * language — the classic perplexity bucket filter.
+    *
+    * Cross-engine float discipline: the per-bigram ln-probability is
+    * computed from exact BIGINT counts (identical IEEE division
+    * inputs), rounded to 6 decimals, and summed as DECIMAL(18,6) —
+    * exact and commutative, so the doc score is bit-stable under ANY
+    * aggregation order and engine (the decimal-accumulation
+    * convention of q42/q107; a raw double sum over a variable-length
+    * bigram set would be partition-order-dependent even within one
+    * engine).
+    *
+    * Scale: two map-side-combined count aggregations over `ref`
+    * (unigrams, bigrams — vocab-sized outputs), then the scored
+    * corpus's exploded bigrams join those count tables on their keys
+    * and reduce per doc. No all-pairs anything; the LM "model" IS the
+    * two count tables.
+    *
+    * Returns (idCol, n_bigrams, nll) — one row per INPUT doc; a doc
+    * with fewer than two words has n_bigrams = 0 and NULL nll. */
+  def bigramLmScore(
+      df: DataFrame, idCol: String, textCol: String,
+      ref: Option[DataFrame] = None, k: Double = 0.5): DataFrame = {
+    require(k > 0, s"smoothing k must be > 0, got $k")
+    val refDf = ref.getOrElse(df)
+    val uni = refDf.select(explode(TF.wordsLower(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val bi = refDf.select(explode(
+        TF.bindOnce(TF.wordsLower(col(textCol)))(bigramsOf)).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("c2"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val docBi = df.select(col(idCol),
+        explode(TF.bindOnce(TF.wordsLower(col(textCol)))(bigramsOf)).as("b"))
+      .withColumn("w1", split(col("b"), " ").getItem(0))
+    val scored = docBi
+      .join(bi, Seq("b"), "left")
+      .join(uni.select(col("w").as("w1"), col("c1")), Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp",
+        round(log(
+          (coalesce(col("c2"), lit(0L)).cast("double") + k) /
+            (coalesce(col("c1"), lit(0L)).cast("double") +
+              col("v").cast("double") * k)), 6)
+          .cast("decimal(18,6)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("s"))
+    df.select(col(idCol)).distinct()
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(-(col("s").cast("double")) / col("n_bigrams").cast("double"), 6)
+          .as("nll"))
+  }
+
   /** The remaining Gopher/MassiveText per-document quality signals
     * (beyond the repetition metrics above): mean word length, fraction
     * of words containing a letter, symbol-to-word ratio (`#` and

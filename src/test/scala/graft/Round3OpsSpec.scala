@@ -106,6 +106,39 @@ class Round3OpsSpec extends SparkSpec {
     assert(naive.exceptAll(fold).count() === 0)
   }
 
+  // --- CorpusStats.bigramLmScore ----------------------------------------
+
+  test("bigramLmScore: hand-computed add-k probabilities, short docs get NULL") {
+    // corpus: c1(a)=3, c1(b)=3, c1(x)=1, V=3; c2("a b")=3, c2("b a")=1
+    val docs = Seq(
+      (1L, "a b a b"),
+      (2L, "a b"),
+      (3L, "x")).toDF("doc_id", "text")
+    val got = CorpusStats.bigramLmScore(docs, "doc_id", "text")
+      .orderBy(col("doc_id"))
+      .as[(Long, Long, Option[Double])].collect().toSeq
+    // P(b|a) = 3.5/4.5, ln -> -0.251314 (round 6)
+    // P(a|b) = 1.5/4.5, ln -> -1.098612
+    // doc1: -(2*(-0.251314) + (-1.098612))/3 = 0.533747
+    assert(got === Seq(
+      (1L, 3L, Some(0.533747)),
+      (2L, 1L, Some(0.251314)),
+      (3L, 0L, None)))
+  }
+
+  test("bigramLmScore: a reference-trained model scores unseen content worse") {
+    val ref = Seq(
+      (1L, "the quick brown fox jumps the quick brown dog"),
+      (2L, "the quick brown fox runs")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox"),       // all bigrams seen in ref
+      (11L, "zq wk vb xn")).toDF("doc_id", "text") // nothing seen
+    val nll = CorpusStats.bigramLmScore(batch, "doc_id", "text", ref = Some(ref))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(nll(10L) < nll(11L),
+      s"fluent-under-reference doc must score lower: $nll")
+  }
+
   // --- CorpusStats.pmiBigrams -------------------------------------------
 
   test("pmiBigrams ranks the always-adjacent pair above frequent-but-independent") {
