@@ -1041,6 +1041,22 @@ object SparkEntry {
           T.documents(s, d), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    "q116_chat_assembly" -> ((s, d) => {
+      // chat-history → SFT transcript assembly (Conversations): events
+      // as pseudo-messages, deterministic (ts, event_id) turn order,
+      // token budget 8 (each turn is 2 whitespace tokens → first 4
+      // turns per session survive), transcript joined inside the row
+      // via array_sort so collect order can't leak into the hash
+      val msgs = T.events(s, d).select(
+        col("user_id").as("session_id"),
+        col("event_type").as("role"),
+        concat(col("event_type"), lit(" #"), col("event_id")).as("content"),
+        col("ts"), col("event_id"))
+      operators.Conversations.assemble(msgs, "session_id", "role", "content",
+          Seq("ts", "event_id"), maxTokens = 8)
+        .orderBy(col("session_id"))
+    }),
+
     "q94_json_redact" -> ((s, d) => {
       // recursive JSON redaction over structured metadata: build a
       // nested payload from real columns, sanitize it, extract fields
@@ -1542,6 +1558,17 @@ object SparkEntry {
         |FROM (SELECT DISTINCT doc_id FROM documents) d
         |LEFT JOIN agg ON agg.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q116_chat_assembly" ->
+      """WITH m AS (SELECT user_id AS session_id, event_type AS role,
+        |    event_type || ' #' || event_id::VARCHAR AS content, ts, event_id
+        |  FROM events),
+        |t AS (SELECT *, len(regexp_split_to_array(trim(content), '\s+')) AS tok FROM m),
+        |r AS (SELECT *, sum(tok) OVER (PARTITION BY session_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS run FROM t)
+        |SELECT session_id, count(*) AS n_turns, sum(tok)::BIGINT AS n_tokens,
+        |  string_agg('<|' || role || '|> ' || content, chr(10) ORDER BY ts, event_id) AS text
+        |FROM r WHERE run <= 8 GROUP BY session_id ORDER BY session_id""".stripMargin,
 
     "q36_salted_count" ->
       "SELECT user_id, count(*) AS n FROM events GROUP BY user_id ORDER BY user_id",

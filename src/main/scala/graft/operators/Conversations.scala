@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Chat-history → training-example assembly: the bridge between the
+  * reference's conversation store (`chat_history` —
+  * `Supabase/chat-history.sql`, rows of (session, role, content,
+  * timestamp)) and an SFT/pretraining pipeline's transcript format.
+  *
+  * Each session's turns are ordered deterministically, formatted as
+  * `<|role|> content` lines, greedily kept EARLIEST-FIRST while the
+  * running whitespace-token count stays within a context budget
+  * (turn-level truncation — a turn either fits whole or is dropped
+  * with everything after it), and joined into one transcript string.
+  *
+  * Determinism is the hard part at scale: `collect_list` order is
+  * partition-dependent, so the transcript assembles via
+  * `array_sort(collect_list(struct(orderCols..., line)))` — the sort
+  * happens inside the row, after the shuffle, making the output
+  * bit-stable under any execution order (callers must make
+  * `orderCols` a UNIQUE key per session or ties would compare on the
+  * formatted line itself).
+  *
+  * Scale: one window pass (running token sum) + one groupBy per
+  * session — two shuffles on the session key, no driver round-trips;
+  * transcripts are bounded by `maxTokens`, so the aggregated rows
+  * stay small no matter how long the raw session history is.
+  */
+object Conversations {
+
+  /** @param orderCols deterministic intra-session turn order — must be
+    *                   unique per session (e.g. ts + a message id)
+    * @param maxTokens  whitespace-token context budget per transcript
+    * @return (sessionCol, n_turns, n_tokens, text), one row per
+    *         session that has at least one fitting turn */
+  def assemble(
+      df: DataFrame, sessionCol: String, roleCol: String,
+      contentCol: String, orderCols: Seq[String],
+      maxTokens: Int): DataFrame = {
+    require(orderCols.nonEmpty, "orderCols must name the turn order")
+    require(maxTokens >= 1, s"maxTokens must be >= 1, got $maxTokens")
+    val line = concat(lit("<|"), col(roleCol), lit("|> "), col(contentCol))
+    val tok = size(TextFunctions.words(col(contentCol)))
+    val w = Window.partitionBy(col(sessionCol))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sortKey = struct(orderCols.map(col) :+ line.as("__line"): _*)
+    df.withColumn("__tok", tok)
+      .withColumn("__run", sum(col("__tok")).over(w))
+      .filter(col("__run") <= maxTokens)
+      .groupBy(col(sessionCol))
+      .agg(
+        count(lit(1)).as("n_turns"),
+        sum(col("__tok")).as("n_tokens"),
+        array_join(
+          transform(array_sort(collect_list(sortKey)), x => x.getField("__line")),
+          "\n").as("text"))
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Conversations
+
+/** Chat-history → transcript assembly: deterministic turn order under
+  * any input order, earliest-first greedy budget truncation. */
+class ConversationsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val turns = Seq(
+    // session 1: 3 turns of 2/3/2 tokens — budget 5 keeps the first two
+    (1L, 10L, "user", "hello there"),
+    (1L, 20L, "assistant", "hi how are you"),
+    (1L, 30L, "user", "good thanks"),
+    // session 2: first turn alone blows the budget — session drops out
+    (2L, 10L, "user", "one two three four five six seven"))
+    .toDF("session_id", "seq", "role", "content")
+
+  test("assembles ordered transcripts with greedy earliest-first truncation") {
+    val got = Conversations.assemble(
+        turns, "session_id", "role", "content", Seq("seq"), maxTokens = 6)
+      .orderBy(col("session_id"))
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got === Seq(
+      (1L, 2L, 6L, "<|user|> hello there\n<|assistant|> hi how are you")))
+  }
+
+  test("output is identical for any input row order (shuffle determinism)") {
+    val shuffled = turns.orderBy(desc("seq"), asc("session_id")).repartition(7)
+    val a = Conversations.assemble(
+      turns, "session_id", "role", "content", Seq("seq"), maxTokens = 100)
+    val b = Conversations.assemble(
+      shuffled, "session_id", "role", "content", Seq("seq"), maxTokens = 100)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    val text1 = a.filter(col("session_id") === 1L)
+      .select("text").as[String].head()
+    assert(text1.linesIterator.toSeq === Seq(
+      "<|user|> hello there",
+      "<|assistant|> hi how are you",
+      "<|user|> good thanks"))
+  }
+
+  test("a turn never splits: it fits whole or truncates the tail") {
+    val got = Conversations.assemble(
+        turns, "session_id", "role", "content", Seq("seq"), maxTokens = 4)
+      .orderBy(col("session_id"))
+      .as[(Long, Long, Long, String)].collect().toSeq
+    // session 1: turn1 (2 tokens) fits, turn2 (3) would reach 5 > 4
+    assert(got === Seq((1L, 1L, 2L, "<|user|> hello there")))
+  }
+}
