@@ -156,6 +156,12 @@ object CorpusStats {
       df: DataFrame, idCol: String, textCol: String,
       ref: Option[DataFrame] = None, k: Double = 0.5): DataFrame = {
     require(k > 0, s"smoothing k must be > 0, got $k")
+    // file-local convention (repetitionMetrics, gopherSignals): the
+    // id column must not shadow the working/output columns
+    val reserved = Set("b", "w", "w1", "c1", "c2", "v", "lp", "s",
+      "n_bigrams", "nll")
+    require(!reserved.contains(idCol),
+      s"idCol '$idCol' collides with a working column; rename it first")
     val refDf = ref.getOrElse(df)
     val uni = refDf.select(explode(TF.wordsLower(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c1"))
@@ -163,32 +169,28 @@ object CorpusStats {
         TF.bindOnce(TF.wordsLower(col(textCol)))(bigramsOf)).as("b"))
       .groupBy(col("b")).agg(count(lit(1)).as("c2"))
     val vocab = uni.agg(count(lit(1)).as("v"))
-    // the "model" is one vocab-sized table: bigram counts pre-joined
-    // with their left-context unigram counts (vocab ⋈ vocab — never a
-    // corpus-sized shuffle)
-    val model = bi.withColumn("w1", split(col("b"), " ").getItem(0))
-      .join(uni.select(col("w").as("w1"), col("c1")), Seq("w1"))
-      .select(col("b"), col("c2"), col("c1"))
+    // ONE scan of the scored corpus (tokenize + bigram-explode once),
+    // flowing through two vocab-keyed left joins — bigram counts on
+    // the bigram key, context counts on the left word. Both count
+    // tables are vocab-sized: broadcast when the vocab fits an
+    // executor (the common case), shuffle joins otherwise. An earlier
+    // hit/miss split that shuffled only model misses read and
+    // re-tokenized the corpus TWICE — the dominant cost at scale —
+    // for a shuffle saving that vanishes whenever the model
+    // broadcasts; single-scan wins.
     val docBi = df.select(col(idCol),
         explode(TF.bindOnce(TF.wordsLower(col(textCol)))(bigramsOf)).as("b"))
-    def lpCol = round(log(
-        (coalesce(col("c2"), lit(0L)).cast("double") + k) /
-          (coalesce(col("c1"), lit(0L)).cast("double") +
-            col("v").cast("double") * k)), 6)
-      .cast("decimal(18,6)")
-    // ONE corpus-sized shuffle joins the scored bigram stream to the
-    // model; only bigrams the model has never seen (zero rows in
-    // self-scoring mode, the gibberish fraction in reference mode)
-    // take the second join to recover their context count
-    val hit = docBi.join(model, Seq("b"), "inner")
-    val miss = docBi.join(model.select(col("b")), Seq("b"), "left_anti")
       .withColumn("w1", split(col("b"), " ").getItem(0))
+    val scored = docBi
+      .join(bi, Seq("b"), "left")
       .join(uni.select(col("w").as("w1"), col("c1")), Seq("w1"), "left")
-      .withColumn("c2", lit(null: java.lang.Long))
-      .select(col(idCol), col("b"), col("c2"), col("c1"))
-    val scored = hit.unionByName(miss)
       .crossJoin(broadcast(vocab))
-      .withColumn("lp", lpCol)
+      .withColumn("lp",
+        round(log(
+          (coalesce(col("c2"), lit(0L)).cast("double") + k) /
+            (coalesce(col("c1"), lit(0L)).cast("double") +
+              col("v").cast("double") * k)), 6)
+          .cast("decimal(18,6)"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("s"))
     df.select(col(idCol)).distinct()

@@ -26,9 +26,16 @@ import graft.functions.TextFunctions
   * formatted line itself).
   *
   * Scale: one window pass (running token sum) + one groupBy per
-  * session — two shuffles on the session key, no driver round-trips;
-  * transcripts are bounded by `maxTokens`, so the aggregated rows
-  * stay small no matter how long the raw session history is.
+  * session — ONE shuffle on the session key (the window's exchange is
+  * reused by the per-session aggregation; plan-gated in
+  * ConversationsSpec), no driver round-trips; transcripts are bounded
+  * by `maxTokens`, so the aggregated rows stay small no matter how
+  * long the raw session history is.
+  *
+  * NULL-content turns are dropped up front: they carry nothing to
+  * train on, and keeping them would count turns/tokens for lines that
+  * vanish from the joined text (array_join skips nulls) — an
+  * internally inconsistent transcript.
   */
 object Conversations {
 
@@ -49,7 +56,8 @@ object Conversations {
       .orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val sortKey = struct(orderCols.map(col) :+ line.as("__line"): _*)
-    df.withColumn("__tok", tok)
+    df.filter(col(contentCol).isNotNull)
+      .withColumn("__tok", tok)
       .withColumn("__run", sum(col("__tok")).over(w))
       .filter(col("__run") <= maxTokens)
       .groupBy(col(sessionCol))

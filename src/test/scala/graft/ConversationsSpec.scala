@@ -10,11 +10,12 @@ class ConversationsSpec extends SparkSpec {
   import spark.implicits._
 
   private val turns = Seq(
-    // session 1: 3 turns of 2/3/2 tokens — budget 5 keeps the first two
+    // session 1: 3 turns of 2/4/2 tokens — budget 6 keeps the first two
     (1L, 10L, "user", "hello there"),
     (1L, 20L, "assistant", "hi how are you"),
     (1L, 30L, "user", "good thanks"),
-    // session 2: first turn alone blows the budget — session drops out
+    // session 2: first turn alone (7 tokens) blows every budget used
+    // below — the session drops out entirely
     (2L, 10L, "user", "one two three four five six seven"))
     .toDF("session_id", "seq", "role", "content")
 
@@ -47,7 +48,29 @@ class ConversationsSpec extends SparkSpec {
         turns, "session_id", "role", "content", Seq("seq"), maxTokens = 4)
       .orderBy(col("session_id"))
       .as[(Long, Long, Long, String)].collect().toSeq
-    // session 1: turn1 (2 tokens) fits, turn2 (3) would reach 5 > 4
+    // session 1: turn1 (2 tokens) fits, turn2 (4) would reach 6 > 4
     assert(got === Seq((1L, 1L, 2L, "<|user|> hello there")))
+  }
+
+  test("NULL-content turns are dropped, not counted into an inconsistent transcript") {
+    val withNull = turns.unionByName(
+      Seq((1L, 15L, "assistant", null.asInstanceOf[String]))
+        .toDF("session_id", "seq", "role", "content"))
+    val got = Conversations.assemble(
+        withNull, "session_id", "role", "content", Seq("seq"), maxTokens = 6)
+      .filter(col("session_id") === 1L)
+      .as[(Long, Long, Long, String)].head()
+    // identical to the no-null fixture: 2 turns, 6 tokens, 2 lines
+    assert(got === ((1L, 2L, 6L,
+      "<|user|> hello there\n<|assistant|> hi how are you")))
+    assert(got._4.linesIterator.size === got._2)
+  }
+
+  test("one hash exchange: the window's shuffle is reused by the per-session agg (plan gate)") {
+    val plan = Conversations.assemble(
+        turns, "session_id", "role", "content", Seq("seq"), maxTokens = 100)
+      .queryExecution.executedPlan.toString
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(n === 1, s"expected 1 hash exchange, got $n:\n$plan")
   }
 }
