@@ -181,6 +181,39 @@ class PropertySpec extends SparkSpec {
       s"batch all-arrivals semantics wrong: $bBurst")
   }
 
+  test("property: DedupIndex probe == fresh recompute on random corpora") {
+    // the bit-parity contract under randomized corpus shapes: random
+    // docs drawn from a small vocab (so high-Jaccard pairs actually
+    // occur), random corpus/batch partition, two thresholds
+    val vocabG = Gen.choose(5, 12)
+    for (seed <- 0 until 3) {
+      val rng = new scala.util.Random(1000 + seed)
+      val v = vocabG.apply(Gen.Parameters.default, Seed(seed.toLong)).getOrElse(8)
+      val all = (1L to 50L).map { id =>
+        val len = 6 + rng.nextInt(8)
+        (id, Seq.fill(len)(s"w${rng.nextInt(v)}").mkString(" "))
+      }
+      val (corp, batch) = all.partition(_ => rng.nextBoolean())
+      if (corp.nonEmpty && batch.nonEmpty) {
+        val path = java.nio.file.Files
+          .createTempDirectory(s"dedup_prop_$seed").toString + "/idx"
+        operators.DedupIndex.build(spark, path,
+          corp.toDF("doc_id", "text"), "doc_id", "text")
+        for (th <- Seq(0.5, 0.8)) {
+          val probed = operators.DedupIndex.nearDupsAgainst(
+              spark, path, batch.toDF("doc_id", "text"), "doc_id", "text", th)
+            .as[(Long, Long, Double)].collect().toSet
+          val batchIds = batch.map(_._1).toSet
+          val fresh = operators.Dedup.minHashNearDups(
+              all.toDF("doc_id", "text"), "doc_id", "text", threshold = th)
+            .as[(Long, Long, Double)].collect().toSet
+            .filter(p => batchIds.contains(p._1) || batchIds.contains(p._2))
+          assert(probed === fresh, s"seed=$seed th=$th diverged")
+        }
+      }
+    }
+  }
+
   test("property: firstWins result has exactly one row per key") {
     val pairs = sample(Gen.zip(Gen.chooseNum(1, 20), Gen.chooseNum(1, 1000)), 300)
     val df = pairs.map { case (k, o) => (s"k$k", o) }.toDF("k", "ord")
