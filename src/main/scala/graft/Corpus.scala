@@ -85,6 +85,32 @@ final case class Corpus(df: DataFrame, idCol: String, textCol: String) {
       evalSet: DataFrame, n: Int = 8, hashGrams: Boolean = true): Corpus =
     next(Decontaminate.decontaminate(df, evalSet, idCol, textCol, n, hashGrams))
 
+  /** CCNet-style fluency cut: drop docs whose mean per-bigram negative
+    * log-prob under an add-k bigram LM exceeds `maxNll` (high = noise/
+    * gibberish under the reference). `ref` defaults to this corpus
+    * (self-scoring); docs too short to have a bigram are KEPT (no
+    * evidence either way — [[graft.analytics.CorpusStats
+    * .bigramLmScore]]'s NULL score). */
+  def lmFilter(maxNll: Double, ref: Option[DataFrame] = None,
+      k: Double = 0.5): Corpus = {
+    val scoresRaw = CorpusStats.bigramLmScore(df, idCol, textCol, ref, k)
+    val scores = scoresRaw.select(col(idCol),
+      scoresRaw("nll").as("__nll"))
+    next(df.join(scores, Seq(idCol), "left")
+      .filter(col("__nll").isNull || col("__nll") <= maxNll)
+      .drop("__nll"))
+  }
+
+  /** Near-dup ADMISSION against a persisted [[graft.operators
+    * .DedupIndex]]: keep only the docs that are not a near-duplicate
+    * of the indexed corpus (or of a smaller-id doc in this frame).
+    * The typical ingest step then upserts the survivors into the
+    * index. Returns the survivor corpus (eagerly materialized — the
+    * admit contract). */
+  def admitAgainst(indexPath: String, threshold: Double = 0.8): Corpus =
+    next(graft.operators.DedupIndex.admit(
+      df.sparkSession, indexPath, df, idCol, textCol, threshold))
+
   /** Deterministic md5-prefix downsample (engine-portable, stable under
     * corpus growth). */
   def sample(fraction: Double): Corpus =
@@ -130,6 +156,16 @@ final case class Corpus(df: DataFrame, idCol: String, textCol: String) {
     * Maintain incrementally with [[graft.operators.LexicalIndex.upsert]]. */
   def buildLexicalIndex(path: String): Corpus = {
     graft.operators.LexicalIndex.build(df.sparkSession, path, df, idCol, textCol)
+    this
+  }
+
+  /** Persist a near-dup admission index for this corpus at `path`
+    * ([[graft.operators.DedupIndex.build]]) — later ingest batches
+    * probe it via [[admitAgainst]] instead of re-signing the corpus.
+    * Maintain incrementally with [[graft.operators.DedupIndex
+    * .upsert]]. */
+  def buildDedupIndex(path: String): Corpus = {
+    graft.operators.DedupIndex.build(df.sparkSession, path, df, idCol, textCol)
     this
   }
 

@@ -134,4 +134,37 @@ class CorpusFacadeSpec extends SparkSpec {
     assert(a.orderBy("doc_id").collect().toSeq ===
       b.orderBy("doc_id").collect().toSeq)
   }
+
+  test("lmFilter drops the high-nll doc, keeps bigram-less docs") {
+    val mixed = Seq(
+      (1L, "the quick brown fox runs fast"),
+      (2L, "the quick brown fox runs far"),
+      (3L, "zq wk vb xn qj zz pp ww"), // gibberish: every bigram is rare
+      (4L, "solo")) // no bigram — kept (no evidence)
+      .toDF("doc_id", "text")
+    val scores = graft.analytics.CorpusStats
+      .bigramLmScore(mixed, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toMap
+    // cut between the fluent pair and the gibberish doc
+    val cut = (scores(1L) max scores(2L)) + 0.001
+    assert(scores(3L) > cut, s"gibberish must score above the cut: $scores")
+    val kept = Corpus(mixed, "doc_id", "text").lmFilter(maxNll = cut)
+      .toDF.select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L, 4L))
+  }
+
+  test("buildDedupIndex + admitAgainst gate a batch through the persisted index") {
+    val path = java.nio.file.Files
+      .createTempDirectory("corpus_dedup").toString + "/idx"
+    Corpus(docs, "doc_id", "text").buildDedupIndex(path)
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog in the sunny park tonight"),
+      (11L, "entirely novel content with no twin anywhere at all"))
+      .toDF("doc_id", "text")
+    val admitted = Corpus(batch, "doc_id", "text")
+      .admitAgainst(path, threshold = 0.5)
+      .toDF.select("doc_id").as[Long].collect().toSet
+    assert(admitted === Set(11L))
+  }
 }
