@@ -1057,6 +1057,27 @@ object SparkEntry {
         .orderBy(col("session_id"))
     }),
 
+    "q117_jsonl_roundtrip" -> ((s, d) => {
+      // JSONL source/sink (Jsonl): export documents as line-JSON, drop
+      // three malformed lines into the directory, and read back schema-
+      // strict with quarantine. The oracle is the ORIGINAL table — the
+      // good side must be the bit-identical round trip, with the junk
+      // isolated instead of surfacing as all-NULL rows.
+      val docs = T.documents(s, d)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_q117").toString + "/docs_jsonl"
+      sources.Jsonl.write(docs, dir, numFiles = 2)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "extra-junk.json"),
+        java.util.Arrays.asList(
+          """{"doc_id": "not-a-number", "text": 7}""",
+          "this is not json at all",
+          ""))
+      val (good, bad) = sources.Jsonl.readWithQuarantine(s, dir, docs.schema)
+      require(bad.count() == 3L, "quarantine must isolate exactly the 3 junk lines")
+      good.orderBy(col("doc_id"))
+    }),
+
     "q94_json_redact" -> ((s, d) => {
       // recursive JSON redaction over structured metadata: build a
       // nested payload from real columns, sanitize it, extract fields
@@ -1569,6 +1590,13 @@ object SparkEntry {
         |SELECT session_id, count(*) AS n_turns, sum(tok)::BIGINT AS n_tokens,
         |  string_agg('<|' || role || '|> ' || content, chr(10) ORDER BY ts, event_id) AS text
         |FROM r WHERE run <= 8 GROUP BY session_id ORDER BY session_id""".stripMargin,
+
+    // the round trip must be IDENTITY: the oracle is simply the
+    // original table (any drift — a coerced type, a dropped null, a
+    // junk line surfacing as an all-NULL row — fails the hash)
+    "q117_jsonl_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q36_salted_count" ->
       "SELECT user_id, count(*) AS n FROM events GROUP BY user_id ORDER BY user_id",

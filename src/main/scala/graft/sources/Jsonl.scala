@@ -1,0 +1,68 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructType}
+
+/** JSONL corpus ingest/export — the format raw training data actually
+  * arrives in (one JSON object per line, splittable, append-friendly;
+  * the reference's export surface is row-JSON too,
+  * `backend/tools/data_tools.py` result payloads).
+  *
+  * The ingest is SCHEMA-STRICT with an explicit quarantine: a line
+  * that does not parse as the expected schema lands — whole and
+  * untouched — in the quarantine frame instead of silently becoming
+  * an all-NULL row (Spark's default PERMISSIVE behavior) or killing
+  * the job (FAILFAST). At 100 TB a malformed-line rate of 1e-6 is
+  * thousands of lines: you want them counted and inspectable, not
+  * guessed at.
+  *
+  * Scale note: the split is built on `from_json` over a plain text
+  * scan, NOT on the json source's `columnNameOfCorruptRecord` — Spark
+  * refuses a query that references only the corrupt column (the
+  * documented cache-the-whole-frame workaround is a non-starter at
+  * corpus scale), while the `from_json` expression carries the
+  * corrupt capture inside its output struct with no such restriction.
+  * Each returned frame is a streaming one-pass scan.
+  */
+object Jsonl {
+
+  private val Corrupt = "__corrupt"
+
+  /** (good, quarantined): `good` has exactly `schema`'s columns in
+    * order; `quarantined` is one `raw_line` string column holding
+    * each malformed line verbatim (including blank lines — a blank
+    * is not a record). Consuming both frames scans the text twice;
+    * each pass streams. */
+  def readWithQuarantine(
+      spark: SparkSession, path: String,
+      schema: StructType): (DataFrame, DataFrame) = {
+    require(!schema.fieldNames.contains(Corrupt),
+      s"schema must not contain the reserved column $Corrupt")
+    val full = schema.add(Corrupt, StringType)
+    val opts = Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> Corrupt)
+    val parsed = spark.read.textFile(path).toDF("raw_line")
+      .select(col("raw_line"),
+        from_json(col("raw_line"), full, opts).as("j"))
+    // a blank/whitespace line makes from_json return a NULL STRUCT —
+    // not a corrupt record — and would otherwise slip into `good` as
+    // an all-NULL row; both signals mean quarantine
+    val good = parsed
+      .filter(col("j").isNotNull && col(s"j.$Corrupt").isNull)
+      .select(schema.fieldNames.map(f => col(s"j.$f").as(f)).toSeq: _*)
+    val bad = parsed
+      .filter(col("j").isNull || col(s"j.$Corrupt").isNotNull)
+      .select(col("raw_line"))
+    (good, bad)
+  }
+
+  /** Export `df` as JSONL part files under `dir`. NULL fields are
+    * omitted per line (the jsonl convention); a schema-strict
+    * [[readWithQuarantine]] reads them back as NULL, so the round
+    * trip is identity for JSON-safe column types (strings, integral
+    * numbers, booleans, arrays/structs thereof). */
+  def write(df: DataFrame, dir: String, numFiles: Int = 0): Unit = {
+    val out = if (numFiles > 0) df.coalesce(numFiles) else df
+    out.write.mode("errorifexists").json(dir)
+  }
+}

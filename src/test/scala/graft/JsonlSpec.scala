@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Jsonl
+
+/** Schema-strict JSONL ingest with quarantine: good rows round-trip
+  * bit-exactly, junk lines land whole in the quarantine — never as
+  * all-NULL rows. */
+class JsonlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("text", StringType),
+    StructField("n", LongType)))
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("jsonl").toString + "/data"
+
+  test("write -> read round trip is identity, including nulls") {
+    val rows = Seq(
+      (1L, Some("hello \"quoted\" and \\slash"), Some(5L)),
+      (2L, None, Some(0L)),
+      (3L, Some("unicode: äöü 中文 🙂"), None))
+    val df = rows.toDF("id", "text", "n")
+    val dir = freshDir()
+    Jsonl.write(df, dir)
+    val (good, bad) = Jsonl.readWithQuarantine(spark, dir, schema)
+    assert(bad.isEmpty)
+    assert(good.orderBy("id").collect().toSeq === df.orderBy("id").collect().toSeq)
+  }
+
+  test("malformed, type-mismatched, and blank lines quarantine verbatim") {
+    val dir = freshDir()
+    Jsonl.write(Seq((1L, "ok", 2L)).toDF("id", "text", "n"), dir)
+    val junk = Seq(
+      """{"id": "NaN", "text": "type mismatch"}""",
+      "not json",
+      "")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "junk.json"),
+      scala.jdk.CollectionConverters.SeqHasAsJava(junk).asJava)
+    val (good, bad) = Jsonl.readWithQuarantine(spark, dir, schema)
+    assert(good.count() === 1L)
+    assert(good.filter(col("id").isNull).count() === 0L,
+      "junk must never surface as all-NULL rows")
+    assert(bad.as[String].collect().toSet === junk.toSet,
+      "quarantined lines must be verbatim")
+  }
+
+  test("a reserved-column schema and a double-write fail loudly") {
+    val dir = freshDir()
+    Jsonl.write(Seq((1L, "x", 1L)).toDF("id", "text", "n"), dir)
+    intercept[Exception] {
+      Jsonl.write(Seq((2L, "y", 2L)).toDF("id", "text", "n"), dir)
+    }
+    intercept[IllegalArgumentException] {
+      Jsonl.readWithQuarantine(spark, dir,
+        schema.add("__corrupt", StringType))
+    }
+  }
+}
