@@ -32,10 +32,12 @@ import graft.functions.TextFunctions
   * by `maxTokens`, so the aggregated rows stay small no matter how
   * long the raw session history is.
   *
-  * NULL-content turns are dropped up front: they carry nothing to
-  * train on, and keeping them would count turns/tokens for lines that
-  * vanish from the joined text (array_join skips nulls) — an
-  * internally inconsistent transcript.
+  * NULL-content and NULL-role turns are dropped up front: they carry
+  * nothing to train on (no text, or no speaker to attribute it to),
+  * and keeping either would count turns/tokens for lines that vanish
+  * from the joined text (a NULL anywhere in the formatted line makes
+  * the whole line NULL, and array_join skips nulls) — an internally
+  * inconsistent transcript.
   */
 object Conversations {
 
@@ -56,7 +58,7 @@ object Conversations {
       .orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val sortKey = struct(orderCols.map(col) :+ line.as("__line"): _*)
-    df.filter(col(contentCol).isNotNull)
+    df.filter(col(contentCol).isNotNull && col(roleCol).isNotNull)
       .withColumn("__tok", tok)
       .withColumn("__run", sum(col("__tok")).over(w))
       .filter(col("__run") <= maxTokens)

@@ -359,15 +359,29 @@ object DedupIndex {
     *
     * EAGER: the survivor frame materializes before the internal pair
     * checkpoint is freed (the file's convention — the result must not
-    * depend on released blocks). */
+    * depend on released blocks).
+    *
+    * The batch is reduced to ONE row per id up front
+    * ([[Dedup.deterministicOnePerKey]]): the pairwise candidate rule
+    * (strict id_a < id_b) can never pair two rows sharing an id, so
+    * same-id duplicates would BOTH pass the gate and then collapse
+    * arbitrarily in the follow-up [[upsert]]'s keyed merge. The
+    * streaming path ([[graft.streaming.IndexMaintenance]]) reduces
+    * before calling; this makes the guarantee hold for direct callers
+    * too (idempotent when ids are already unique). NULL-id rows keep
+    * their pass-through semantics (no identity to reduce under or to
+    * pair with) rather than collapsing into one arbitrary survivor. */
   def admit(
       spark: SparkSession, path: String, batch: DataFrame,
       idCol: String, textCol: String, threshold: Double = 0.8,
       maxBucketPostings: Option[Int] = None): DataFrame = {
-    val pairs = nearDupsAgainst(spark, path, batch, idCol, textCol, threshold,
+    val batch1 = Dedup.deterministicOnePerKey(
+        batch.filter(col(idCol).isNotNull), idCol)
+      .unionByName(batch.filter(col(idCol).isNull))
+    val pairs = nearDupsAgainst(spark, path, batch1, idCol, textCol, threshold,
       maxBucketPostings = maxBucketPostings)
     try {
-      val batchIds = batch.select(col(idCol)).distinct()
+      val batchIds = batch1.select(col(idCol)).distinct()
       // pairs are normalized id_a < id_b, and corpus incumbents are
       // never killed: batch id X dies iff it appears as id_b of any
       // pair (the other side is a corpus doc or a smaller batch id),
@@ -379,7 +393,7 @@ object DedupIndex {
             .join(batchIds.withColumnRenamed(idCol, "id_b"), Seq("id_b"), "left_anti")
             .select(col("id_a").as("__dead")))
         .distinct()
-      batch.join(dead, batch(idCol) === dead("__dead"), "left_anti")
+      batch1.join(dead, batch1(idCol) === dead("__dead"), "left_anti")
         .localCheckpoint(true)
     } finally Dedup.freeCheckpoint(pairs)
   }

@@ -66,6 +66,22 @@ class ConversationsSpec extends SparkSpec {
     assert(got._4.linesIterator.size === got._2)
   }
 
+  test("NULL-role turns are dropped too: counted turns always equal emitted lines") {
+    // a NULL role with non-null content formats to a NULL line; if it
+    // were kept it would count into n_turns/n_tokens yet vanish from
+    // the joined text (array_join skips nulls)
+    val withNullRole = turns.unionByName(
+      Seq((1L, 15L, null.asInstanceOf[String], "sneaky line"))
+        .toDF("session_id", "seq", "role", "content"))
+    val got = Conversations.assemble(
+        withNullRole, "session_id", "role", "content", Seq("seq"), maxTokens = 6)
+      .filter(col("session_id") === 1L)
+      .as[(Long, Long, Long, String)].head()
+    assert(got === ((1L, 2L, 6L,
+      "<|user|> hello there\n<|assistant|> hi how are you")))
+    assert(got._4.linesIterator.size === got._2)
+  }
+
   test("one hash exchange: the window's shuffle is reused by the per-session agg (plan gate)") {
     val plan = Conversations.assemble(
         turns, "session_id", "role", "content", Seq("seq"), maxTokens = 100)

@@ -155,6 +155,28 @@ class DedupIndexSpec extends SparkSpec {
     assert(admitted === Set(5L, 9L))
   }
 
+  test("admit reduces same-id batch rows to one survivor (no dup-key leak into upsert)") {
+    val path = freshPath()
+    DedupIndex.build(spark, path,
+      Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    // two batch rows share id 7: strict id_a < id_b can never pair
+    // them, so without the up-front reduction BOTH would pass the gate
+    // and collapse arbitrarily in the follow-up keyed merge
+    val batch = Seq(
+      (7L, "completely novel content about streaming joins here"),
+      (7L, "completely novel content about streaming joins here v2"),
+      (9L, "nothing like anything else in corpus or batch"))
+    val admitted = DedupIndex.admit(
+      spark, path, batch.toDF("doc_id", "text"), "doc_id", "text", threshold = 0.5)
+    assert(admitted.count() === 2L)
+    assert(admitted.select(col("doc_id")).as[Long].collect().toSet === Set(7L, 9L))
+    // deterministic winner: same single row for any input order
+    val reversed = DedupIndex.admit(
+      spark, path, batch.reverse.toDF("doc_id", "text"), "doc_id", "text", threshold = 0.5)
+    assert(admitted.exceptAll(reversed).isEmpty && reversed.exceptAll(admitted).isEmpty)
+  }
+
   test("probe parameters come from the index, not the caller") {
     val path = freshPath()
     DedupIndex.build(spark, path,
