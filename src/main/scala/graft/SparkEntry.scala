@@ -1078,6 +1078,28 @@ object SparkEntry {
       good.orderBy(col("doc_id"))
     }),
 
+    "q118_media_audit" -> ((s, d) => {
+      // multimodal audit: deterministic binary payloads derived
+      // in-query (encode(text) — both engines measure the same UTF-8
+      // bytes), Multimodal.audit for size+sha256 plus ByteHistogram
+      // (codegen expression) integer per-bin byte counts in the SAME
+      // scan. Count recovery round(h*n) is exact: the normalized
+      // float32 bin h carries rel error ~6e-8, so h*n misses the
+      // integer count by far less than 0.5 at document sizes.
+      val media = T.documents(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id").as("media_id"),
+          when(col("doc_id") % 3 === 0, "image")
+            .when(col("doc_id") % 3 === 1, "audio")
+            .otherwise("video").as("kind"),
+          encode(col("text"), "UTF-8").as("payload"))
+      val h = functions.BinaryFunctions.byteHistogram(col("payload"), 4)
+      val n = length(col("payload"))
+      multimodal.Multimodal.audit(media,
+          (0 until 4).map(i =>
+            s"bin${i}_n" -> round(element_at(h, i + 1) * n).cast("long")): _*)
+        .orderBy(col("media_id"))
+    }),
+
     "q94_json_redact" -> ((s, d) => {
       // recursive JSON redaction over structured metadata: build a
       // nested payload from real columns, sanitize it, extract fields
@@ -1597,6 +1619,33 @@ object SparkEntry {
     "q117_jsonl_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // byte-exact blob audit: DuckDB's sha256 takes VARCHAR (hashing its
+    // UTF-8 bytes — the same bytes Spark's sha2(encode(text)) hashes);
+    // per-bin byte counts come from the blob's hex dump (high nibble at
+    // odd positions classifies the 64-wide bin)
+    "q118_media_audit" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |         WHEN doc_id % 3 = 1 THEN 'audio'
+        |         ELSE 'video' END AS kind,
+        |    encode(text) AS payload,
+        |    sha256(text) AS payload_sha256
+        |  FROM documents WHERE text IS NOT NULL),
+        |h AS (SELECT media_id, kind,
+        |    octet_length(payload)::INT AS payload_bytes,
+        |    payload_sha256, hex(payload) AS hx
+        |  FROM m),
+        |n AS (SELECT media_id, kind, payload_bytes, payload_sha256,
+        |    [hx[i] for i in range(1, len(hx), 2)] AS nibs
+        |  FROM h)
+        |SELECT media_id, kind, payload_bytes, payload_sha256,
+        |  len(list_filter(nibs, c -> c IN ('0','1','2','3')))::BIGINT AS bin0_n,
+        |  len(list_filter(nibs, c -> c IN ('4','5','6','7')))::BIGINT AS bin1_n,
+        |  len(list_filter(nibs, c -> c IN ('8','9','A','B')))::BIGINT AS bin2_n,
+        |  len(list_filter(nibs, c -> c IN ('C','D','E','F')))::BIGINT AS bin3_n
+        |FROM n ORDER BY media_id""".stripMargin,
 
     "q36_salted_count" ->
       "SELECT user_id, count(*) AS n FROM events GROUP BY user_id ORDER BY user_id",

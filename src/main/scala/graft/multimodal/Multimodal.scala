@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -139,11 +139,17 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
-  /** Payload size + hash audit — pure column expressions (no kernel). */
-  def audit(df: DataFrame): DataFrame =
-    df.select(col("media_id"), col("kind"),
-      length(col("payload")).as("payload_bytes"),
-      sha2(col("payload"), 256).as("payload_sha256"))
+  /** Payload size + hash audit — pure column expressions (no kernel).
+    * `extra` columns (e.g. [[graft.functions.BinaryFunctions
+    * .byteHistogram]] features) are computed in the SAME pass over the
+    * payload, so an audit+features run stays one scan — the 100 TB
+    * shape; a join-back of separately-computed features would read the
+    * payload bytes twice. */
+  def audit(df: DataFrame, extra: (String, Column)*): DataFrame =
+    df.select(col("media_id") +: col("kind") +:
+      length(col("payload")).as("payload_bytes") +:
+      sha2(col("payload"), 256).as("payload_sha256") +:
+      extra.map { case (n, c) => c.as(n) }: _*)
 
   /** Partition large media tables by kind then payload-size bucket so
     * decode stages get even work distribution (the 100 TB concern:

@@ -158,4 +158,25 @@ class SearchValidationSpec extends SparkSpec {
     val audit = Multimodal.audit(rows)
     assert(audit.filter($"media_id" === 1).select("payload_bytes").as[Long].head() === 4L)
   }
+
+  test("multimodal: audit extras compute in the same pass (q118 shape)") {
+    val rows = Seq(
+      (1L, "image", Array[Byte](1, 2, 3, 4), "image/jpeg"),
+      (2L, "audio", Array[Byte](-1, -1, 65), "audio/wav")) // 0xFF,0xFF,0x41
+      .toDF("media_id", "kind", "payload", "mime")
+    val h = graft.functions.BinaryFunctions.byteHistogram($"payload", 4)
+    val a = Multimodal.audit(rows,
+      (0 until 4).map(i =>
+        s"bin${i}_n" -> round(element_at(h, i + 1) * length($"payload")).cast("long")): _*)
+    assert(a.columns.toSeq ===
+      Seq("media_id", "kind", "payload_bytes", "payload_sha256",
+        "bin0_n", "bin1_n", "bin2_n", "bin3_n"))
+    val r2 = a.filter($"media_id" === 2)
+      .select("bin0_n", "bin1_n", "bin2_n", "bin3_n")
+      .as[(Long, Long, Long, Long)].head()
+    assert(r2 === ((0L, 1L, 0L, 2L))) // 0x41 → bin1; 0xFF ×2 → bin3
+    // one pass: no join/exchange in the audit-with-features plan
+    val plan = a.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"), plan)
+  }
 }
