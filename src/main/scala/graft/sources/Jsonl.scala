@@ -36,12 +36,20 @@ object Jsonl {
     * each pass streams. */
   def readWithQuarantine(
       spark: SparkSession, path: String,
-      schema: StructType): (DataFrame, DataFrame) = {
+      schema: StructType): (DataFrame, DataFrame) =
+    splitQuarantine(spark.read.textFile(path).toDF("raw_line"), schema)
+
+  /** The schema-strict split itself, over ANY frame with a `raw_line`
+    * string column — shared by the batch reader above and the
+    * streaming ingest ([[graft.streaming.IndexMaintenance
+    * .runJsonlToIndexedKnowledge]] applies it per micro-batch). */
+  def splitQuarantine(
+      lines: DataFrame, schema: StructType): (DataFrame, DataFrame) = {
     require(!schema.fieldNames.contains(Corrupt),
       s"schema must not contain the reserved column $Corrupt")
     val full = schema.add(Corrupt, StringType)
     val opts = Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> Corrupt)
-    val parsed = spark.read.textFile(path).toDF("raw_line")
+    val parsed = lines
       .select(col("raw_line"),
         from_json(col("raw_line"), full, opts).as("j"))
     // a blank/whitespace line makes from_json return a NULL STRUCT —
@@ -54,6 +62,20 @@ object Jsonl {
       .filter(col("j").isNull || col(s"j.$Corrupt").isNotNull)
       .select(col("raw_line"))
     (good, bad)
+  }
+
+  /** Streaming raw-line source over a growing JSONL directory: the
+    * arrival path's first hop (file-source checkpointing tracks which
+    * files are consumed). Split each micro-batch with
+    * [[splitQuarantine]]; one stream, one checkpoint — returning two
+    * independent streaming frames here would mean two queries each
+    * re-scanning the text. */
+  def readStreamLines(
+      spark: SparkSession, path: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.text(path).toDF("raw_line")
   }
 
   /** Export `df` as JSONL part files under `dir`. NULL fields are

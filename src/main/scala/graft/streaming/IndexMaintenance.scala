@@ -109,6 +109,64 @@ object IndexMaintenance {
       .start()
   }
 
+  /** The full arrival path as ONE streamed, checkpointed pipeline:
+    * raw JSONL lines → schema-strict quarantine split → dedup
+    * admission → KB/index merge. The reference's job stream consumes
+    * raw request payloads the same way (`backend/services/
+    * pubnub_job_processor.py:283-384`: parse, reject malformed,
+    * process); here each hop is a scale-shaped Spark stage.
+    *
+    * Per micro-batch: malformed lines (and blank lines) land VERBATIM
+    * under `quarantinePath/batch_id=<id>/` — a per-batch OVERWRITE
+    * directory, so an at-least-once replay rewrites the same files
+    * instead of appending duplicates (idempotent quarantine, the
+    * exactly-once-row-state discipline applied to the reject sink).
+    * Good lines flow through the same [[applyBatch]] as the typed
+    * stream — deterministic duplicate reduction, optional near-dup
+    * admission gate, keyed index upserts — so replay convergence and
+    * the per-batch cost model are inherited unchanged.
+    *
+    * `schema` must carry `idCol` and `contentCol` (and `vecCol` /
+    * `versionCol` when used); read the quarantine back with
+    * `spark.read.text(quarantinePath)` (partition discovery surfaces
+    * `batch_id`). */
+  def runJsonlToIndexedKnowledge(
+      session: GraftSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      quarantinePath: String, checkpoint: String,
+      versionCol: Option[String] = None,
+      lexicalPath: Option[String] = None,
+      dedupPath: Option[String] = None,
+      admitThreshold: Option[Double] = None,
+      admitMaxBucketPostings: Option[Int] = None,
+      maxFilesPerTrigger: Option[Int] = None,
+      idCol: String = "id", contentCol: String = "content",
+      vecCol: String = "embedding"): StreamingQuery = {
+    require(admitThreshold.isEmpty || dedupPath.nonEmpty,
+      "admitThreshold needs dedupPath: admission probes the persisted dedup index")
+    require(admitMaxBucketPostings.isEmpty || admitThreshold.nonEmpty,
+      "admitMaxBucketPostings only applies to the admission probe (set admitThreshold)")
+    Seq(idCol, contentCol).foreach(c => require(schema.fieldNames.contains(c),
+      s"schema must carry $c — it has ${schema.fieldNames.mkString(", ")}"))
+    graft.sources.Jsonl.readStreamLines(session.spark, dir, maxFilesPerTrigger)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.persist()
+        try {
+          val (good, bad) = graft.sources.Jsonl.splitQuarantine(batch.toDF(), schema)
+          if (!bad.isEmpty)
+            bad.write.mode("overwrite").text(s"$quarantinePath/batch_id=$batchId")
+          if (!good.isEmpty) applyBatch(session, good,
+            versionCol, lexicalPath, dedupPath, admitThreshold,
+            idCol = idCol, contentCol = contentCol, vecCol = vecCol,
+            admitMaxBucketPostings = admitMaxBucketPostings)
+          ()
+        } finally batch.unpersist()
+      }
+      .start()
+  }
+
   /** One micro-batch, exposed for direct (non-streaming) backfills. */
   private[graft] def applyBatch(
       session: GraftSession, batch: DataFrame,

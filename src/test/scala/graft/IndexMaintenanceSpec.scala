@@ -112,6 +112,72 @@ class IndexMaintenanceSpec extends SparkSpec {
     } finally graft.plans.IvfIndex.unregister(spark, "embedding")
   }
 
+  test("JSONL arrival path: quarantine split + admission + index merge in one stream, restart-convergent") {
+    val emb = HashEmbedder(16)
+    val g = GraftSession(spark, emb)
+    val initial = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely different incumbent corpus content right here"))
+    g.loadKnowledgeBase(emb.embedColumn(
+      initial.toDF("id", "content"), "content", "embedding"))
+    val base = java.nio.file.Files.createTempDirectory("jsonl_arrival").toString
+    g.indexKnowledge(s"$base/kb", nClusters = 2, nprobe = 2)
+    operators.DedupIndex.build(spark, s"$base/dup",
+      initial.toDF("id", "content"), "id", "content")
+    val in = s"$base/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.StringType)))
+    def writeFile(name: String, lines: Seq[String]): Unit = {
+      java.nio.file.Files.write(java.nio.file.Paths.get(in, name),
+        String.join("\n", lines: _*).getBytes("UTF-8"))
+      ()
+    }
+    def start() = IndexMaintenance.runJsonlToIndexedKnowledge(
+      g, in, schema, quarantinePath = s"$base/quar", checkpoint = s"$base/ckpt",
+      dedupPath = Some(s"$base/dup"), admitThreshold = Some(0.5))
+    def kbIds = g.knowledgeBase.select("id").collect().map(_.getLong(0)).toSet
+    def quarLines = spark.read.text(s"$base/quar")
+      .select("value").collect().map(_.getString(0)).toSeq.sorted
+
+    try {
+      // arrival 1: a near-dup of incumbent 1 (gated), a novel doc
+      // (admitted), a malformed line and a blank line (quarantined)
+      writeFile("a.jsonl", Seq(
+        """{"id": 20, "content": "the quick brown fox jumps over the lazy dog today"}""",
+        """{"id": 21, "content": "novel streaming arrival content entirely fresh here"}""",
+        "", // blank INTERIOR line — a trailing one would just be the file's final newline
+        "this is not json at all"))
+      val q1 = start()
+      try q1.processAllAvailable() finally q1.stop()
+      assert(kbIds === Set(1L, 2L, 21L),
+        s"gate leaked, over-killed, or junk ingested: $kbIds")
+      assert(quarLines === Seq("", "this is not json at all"),
+        s"quarantine must hold the junk verbatim: $quarLines")
+
+      // RESTART with the same checkpoint: new arrivals only — a
+      // near-dup of the stream-admitted doc 21 (cross-restart
+      // incumbency through the maintained dedup index), a unique doc,
+      // and one more junk line landing in a NEW batch_id dir
+      writeFile("b.jsonl", Seq(
+        """{"id": 30, "content": "novel streaming arrival content entirely fresh there"}""",
+        """{"id": 31, "content": "unique unrelated payload with no twin anywhere"}""",
+        """{"id": "mistyped-id", "content": 42}"""))
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+      assert(kbIds === Set(1L, 2L, 21L, 31L),
+        s"cross-restart incumbency broke: $kbIds")
+      assert(quarLines === Seq("", "this is not json at all",
+        """{"id": "mistyped-id", "content": 42}"""), s"quarantine: $quarLines")
+      // lines landed under per-batch overwrite dirs (replay-idempotent
+      // reject sink): more than one batch_id partition exists
+      val batchDirs = new java.io.File(s"$base/quar").list()
+        .filter(_.startsWith("batch_id=")).toSeq
+      assert(batchDirs.size >= 2, s"expected per-batch dirs, got $batchDirs")
+    } finally graft.plans.IvfIndex.unregister(spark, "embedding")
+  }
+
   test("applyBatch without versionCol picks a deterministic content-fingerprint winner") {
     val emb = HashEmbedder(16)
     val g = GraftSession(spark, emb)
