@@ -1,9 +1,10 @@
 package graft.operators
 
+import org.apache.hadoop.fs.{FileAlreadyExistsException, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.sources.MergeTable
+import graft.sources.{Manifests, MergeTable}
 
 /** Persisted MinHash-LSH index for [[Dedup]] — near-dup detection AT
   * INGEST, the serving path the batch operators lack.
@@ -41,6 +42,24 @@ import graft.sources.MergeTable
   * than [[LexicalIndex.upsert]]'s stale-postings delete, because the
   * "terms" of this index (the bands) don't vary with the document.
   *
+  * CROSS-COMPONENT consistency comes from one more manifest level:
+  * `path/_manifests/v<N>` pins the three component versions that
+  * together form one consistent index state ([[Pin]]). Every write
+  * ([[build]]/[[upsert]]/[[compact]]) advances the components FIRST
+  * (each commit individually atomic, but invisible) and publishes them
+  * with ONE composite commit; every read ([[nearDupsAgainst]]/
+  * [[params]]) resolves the latest composite manifest once and reads
+  * all components AT the pinned versions — a probe racing an upsert
+  * sees the whole old index or the whole new one, never bands and
+  * shingles one version apart. Index-level writers must be serialized
+  * (the shipped streaming composition is — one maintenance stream per
+  * index); a second concurrent writer loses the composite commit race
+  * LOUDLY ([[MergeTable.CommitConflict]]), never silently. A writer
+  * crash between component commits and the composite commit leaves the
+  * new component versions unpublished — readers stay on the old pin,
+  * and the replayed batch's keyed merges converge before the next
+  * composite commit publishes them (the at-least-once contract).
+  *
   * Scale: a probe never shuffles the corpus. The corpus-sized band
   * table is scanned once with the bucket filter pushed down, joined to
   * the BROADCAST batch bands, and only collision candidates reach the
@@ -49,10 +68,50 @@ import graft.sources.MergeTable
 object DedupIndex {
 
   private[graft] def bandsPath(path: String) = s"$path/bands"
-  private def shinglesPath(path: String) = s"$path/shingles"
+  private[graft] def shinglesPath(path: String) = s"$path/shingles"
   private def paramsPath(path: String) = s"$path/params"
 
   final case class Params(shingleSize: Int, numHashes: Int, bands: Int)
+
+  /** One composite index version: the component versions that together
+    * form a consistent state. Readers resolve a pin ONCE and read
+    * every component at its pinned version. */
+  final case class Pin(version: Long, bands: Long, shingles: Long, params: Long)
+
+  private def manifestDir(spark: SparkSession, path: String) = {
+    val dir = new Path(path, "_manifests")
+    (dir.getFileSystem(spark.sessionState.newHadoopConf()), dir)
+  }
+
+  /** The latest committed composite version. */
+  def pin(spark: SparkSession, path: String): Pin = {
+    val (fs, dir) = manifestDir(spark, path)
+    val v = Manifests.latestVersion(fs, dir).getOrElse(
+      throw new IllegalArgumentException(s"no dedup index at $path"))
+    val m = Manifests.read(fs, dir, v).map { line =>
+      val Array(k, ver) = line.split("=", 2)
+      k -> ver.toLong
+    }.toMap
+    Pin(v, m("bands"), m("shingles"), m("params"))
+  }
+
+  /** The ONE commit that publishes a new index state. Exclusive-create
+    * (the [[Manifests]] OCC primitive); losing the race means a second
+    * index-level writer, which the contract forbids — fail loudly. */
+  private def commitPin(
+      spark: SparkSession, path: String, version: Long,
+      bands: Long, shingles: Long, params: Long): Unit = {
+    val (fs, dir) = manifestDir(spark, path)
+    try Manifests.commit(fs, dir, version,
+      Seq(s"bands=$bands", s"shingles=$shingles", s"params=$params"))
+    catch {
+      case _: FileAlreadyExistsException =>
+        throw new MergeTable.CommitConflict(
+          s"dedup index at $path has a concurrent index-level writer " +
+            s"(composite v$version already claimed); serialize writers — " +
+            "one maintenance stream per index")
+    }
+  }
 
   /** Build the index at `path` from scratch (fails if one exists —
     * CREATE INDEX semantics; use [[upsert]] for maintenance). `docs`
@@ -60,57 +119,50 @@ object DedupIndex {
     * no content to be duplicates of — [[Dedup.exactByContent]]'s
     * convention).
     *
-    * Crash safety: the three component tables initialize in sequence,
-    * so a build is not one atomic commit. A PARTIAL layout (some
-    * components committed, not all) is rejected up front with a named
-    * error instead of the component init's confusing "already exists",
-    * and a failure mid-build deletes the components THIS call created
-    * — never pre-existing data — so the path is retryable. */
+    * Reader-atomic: the component tables initialize in sequence but
+    * stay INVISIBLE (no composite manifest → [[exists]] false, reads
+    * throw) until the single composite v1 commit publishes all three.
+    * A build that crashed mid-way left only unpublished components;
+    * the next build clears them and starts fresh — no repair path. */
   def build(
       spark: SparkSession, path: String, docs: DataFrame,
       idCol: String, textCol: String, shingleSize: Int = 3,
       numHashes: Int = 128, bands: Int = 32): Unit = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val components = Seq(shinglesPath(path), bandsPath(path), paramsPath(path))
-    val present = components.filter(MergeTable.exists(spark, _))
-    require(present.isEmpty,
-      if (present.size == components.size) s"dedup index already exists at $path"
-      else s"PARTIAL dedup index at $path (have ${present.mkString(", ")}) — " +
-        "a previous build died mid-commit; remove the path and rebuild")
+    val (mfs, mdir) = manifestDir(spark, path)
+    require(Manifests.latestVersion(mfs, mdir).isEmpty,
+      s"dedup index already exists at $path")
+    // unpublished leftovers from a crashed build: the index never
+    // existed for readers, so clearing them is safe
+    Seq(shinglesPath(path), bandsPath(path), paramsPath(path)).foreach { c =>
+      val hp = new Path(c)
+      val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(hp)) { fs.delete(hp, true); () }
+    }
     val sh = shingled(docs, idCol, textCol, shingleSize)
-    val created = scala.collection.mutable.ListBuffer[String]()
     try {
-      MergeTable.init(spark, shinglesPath(path), sh)
-      created += shinglesPath(path)
-      MergeTable.init(spark, bandsPath(path),
+      val sv = MergeTable.init(spark, shinglesPath(path), sh)
+      val bv = MergeTable.init(spark, bandsPath(path),
         Dedup.bandFrame(sh, numHashes, bands))
-      created += bandsPath(path)
       import spark.implicits._
-      MergeTable.init(spark, paramsPath(path),
+      val pv = MergeTable.init(spark, paramsPath(path),
         Seq((shingleSize, numHashes, bands))
           .toDF("shingle_size", "num_hashes", "bands"))
-      created += paramsPath(path)
-    } catch {
-      case t: Throwable =>
-        // roll back only what THIS call created, so retry can succeed
-        created.foreach { c =>
-          try {
-            val hp = new org.apache.hadoop.fs.Path(c)
-            hp.getFileSystem(spark.sessionState.newHadoopConf()).delete(hp, true)
-          } catch { case _: Throwable => () }
-        }
-        throw t
+      commitPin(spark, path, 1L, bv.version, sv.version, pv.version)
     } finally graft.util.Checkpoints.free(sh)
   }
 
-  def exists(spark: SparkSession, path: String): Boolean =
-    MergeTable.exists(spark, bandsPath(path)) &&
-      MergeTable.exists(spark, shinglesPath(path)) &&
-      MergeTable.exists(spark, paramsPath(path))
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val (fs, dir) = manifestDir(spark, path)
+    Manifests.latestVersion(fs, dir).isDefined
+  }
 
   /** The index's build-time parameters (1-row read). */
-  def params(spark: SparkSession, path: String): Params = {
-    val r = MergeTable.read(spark, paramsPath(path))
+  def params(spark: SparkSession, path: String): Params =
+    paramsAt(spark, path, pin(spark, path))
+
+  private def paramsAt(spark: SparkSession, path: String, p: Pin): Params = {
+    val r = MergeTable.readAt(spark, paramsPath(path), p.params)
       .select(col("shingle_size"), col("num_hashes"), col("bands"))
       .head()
     Params(r.getInt(0), r.getInt(1), r.getInt(2))
@@ -129,45 +181,47 @@ object DedupIndex {
     * similar to the dead text would keep getting rejected as
     * near-dups of content that no longer exists.
     *
-    * Concurrency note: the two component merges (and a retraction's
-    * two deletes) are separate MergeTable commits, so a probe racing
-    * an upsert can read bands and shingles one version apart — its
-    * pair set then reflects a state between the two commits. Each
-    * commit is individually atomic (no torn files), and the shipped
-    * composition ([[graft.streaming.IndexMaintenance]]: probe, then
-    * upsert, sequentially per micro-batch) never races itself;
-    * serialize external probes against upserts when bit-exactness
-    * matters mid-maintenance. */
+    * Atomic for readers: the component deletes/merges commit first
+    * (unpublished), then ONE composite commit flips every reader from
+    * the whole old state to the whole new one — see the class doc for
+    * the crash/replay and single-writer contract. */
   def upsert(
       spark: SparkSession, path: String, docs: DataFrame,
       idCol: String, textCol: String): Unit = {
-    val p = params(spark, path)
+    val p0 = pin(spark, path)
+    val p = paramsAt(spark, path, p0)
     val retracted = docs.filter(col(textCol).isNull && col(idCol).isNotNull)
       .select(col(idCol)).distinct().collect().map(_.get(0)).toSeq
     val sh = shingled(docs, idCol, textCol, p.shingleSize)
     try {
+      // component versions to publish: start from the current pins so
+      // a no-op batch publishes nothing
+      var sV = p0.shingles
+      var bV = p0.bands
       if (retracted.nonEmpty) {
-        MergeTable.deleteWhere(spark, shinglesPath(path),
-          col("id").isin(retracted: _*))
-        MergeTable.deleteWhere(spark, bandsPath(path),
-          col("id").isin(retracted: _*))
+        sV = MergeTable.deleteWhere(spark, shinglesPath(path),
+          col("id").isin(retracted: _*)).version
+        bV = MergeTable.deleteWhere(spark, bandsPath(path),
+          col("id").isin(retracted: _*)).version
       }
       if (!sh.isEmpty) {
-        MergeTable.merge(spark, shinglesPath(path), sh, Seq("id"))
-        MergeTable.merge(spark, bandsPath(path),
-          Dedup.bandFrame(sh, p.numHashes, p.bands), Seq("id", "band"))
+        sV = MergeTable.merge(spark, shinglesPath(path), sh, Seq("id")).version
+        bV = MergeTable.merge(spark, bandsPath(path),
+          Dedup.bandFrame(sh, p.numHashes, p.bands), Seq("id", "band")).version
       }
-      ()
+      if (sV != p0.shingles || bV != p0.bands)
+        commitPin(spark, path, p0.version + 1, bV, sV, p0.params)
     } finally graft.util.Checkpoints.free(sh)
   }
 
   /** Range-sort the band files on `bucket` so probe scans prune
     * non-matching files from parquet footers alone — [[LexicalIndex
     * .compact]]'s locality pass for the collision table. Run after
-    * bulk loads; committed atomically like every MergeTable rewrite. */
+    * bulk loads; published with a composite commit like every write. */
   def compact(spark: SparkSession, path: String, numFiles: Int): Unit = {
-    MergeTable.compactTable(spark, bandsPath(path), "bucket", numFiles)
-    ()
+    val p0 = pin(spark, path)
+    val b = MergeTable.compactTable(spark, bandsPath(path), "bucket", numFiles)
+    commitPin(spark, path, p0.version + 1, b.version, p0.shingles, p0.params)
   }
 
   /** Near-duplicate pairs between `batch` and the indexed corpus (and,
@@ -200,7 +254,11 @@ object DedupIndex {
       maxBucketPostings: Option[Int] = None): DataFrame = {
     require(maxBucketPostings.forall(_ >= 1),
       "maxBucketPostings must be >= 1 when set")
-    val p = params(spark, path)
+    // ONE pin for the whole probe: params, bands and shingles all read
+    // at the same composite version, so an upsert landing mid-probe
+    // can't serve this probe a mixed state
+    val p0 = pin(spark, path)
+    val p = paramsAt(spark, path, p0)
     val shB = shingled(batch, idCol, textCol, p.shingleSize)
     try {
       val bandsB = Dedup.bandFrame(shB, p.numHashes, p.bands)
@@ -221,7 +279,7 @@ object DedupIndex {
         // join, where only collision rows remain.
         val buckets = bandsB.select(col("bucket")).distinct()
           .limit(idPushLimit + 1).collect().map(_.getInt(0)).toSeq
-        val corpusScan0 = MergeTable.read(spark, bandsPath(path))
+        val corpusScan0 = MergeTable.readAt(spark, bandsPath(path), p0.bands)
         val corpusScan =
           if (buckets.length <= idPushLimit)
             corpusScan0.filter(col("bucket").isin(buckets: _*))
@@ -296,7 +354,7 @@ object DedupIndex {
           // probe, never a driver-side literal explosion.
           val cids = collide.select(col("cid")).distinct()
             .limit(idPushLimit + 1).collect().map(_.get(0)).toSeq
-          val corpusShAll = MergeTable.read(spark, shinglesPath(path))
+          val corpusShAll = MergeTable.readAt(spark, shinglesPath(path), p0.shingles)
           val corpusSh =
             if (cids.length <= idPushLimit)
               corpusShAll.filter(col("id").isin(cids: _*))

@@ -304,16 +304,54 @@ class DedupIndexSpec extends SparkSpec {
       .filter(col("id") === 1L).count() === 0L)
   }
 
-  test("build rejects a partial layout with a named error and rolls back its own failures") {
+  test("build is reader-atomic: unpublished crash leftovers are invisible and cleared by a rebuild") {
     val path = freshPath()
-    // simulate a crashed build: only one component committed
+    // simulate a crashed build: a component committed, no composite
+    // manifest — the index never existed for readers
     graft.sources.MergeTable.init(spark, DedupIndex.bandsPath(path),
       Seq((1L, 0, 7)).toDF("id", "band", "bucket"))
+    assert(!DedupIndex.exists(spark, path), "unpublished components must stay invisible")
+    intercept[IllegalArgumentException](DedupIndex.pin(spark, path))
+    // the next build clears the leftovers and publishes v1 atomically
+    DedupIndex.build(spark, path,
+      Seq((5L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    assert(DedupIndex.exists(spark, path))
+    assert(DedupIndex.pin(spark, path).version === 1L)
+    val probed = pairs(DedupIndex.nearDupsAgainst(
+      spark, path, Seq((9L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text"),
+      "doc_id", "text", threshold = 0.5))
+    assert(probed === Set((5L, 9L, 1.0)), s"leftover band rows leaked into the rebuilt index: $probed")
+    // a second build on the PUBLISHED index still fails (CREATE INDEX semantics)
     val e = intercept[IllegalArgumentException] {
       DedupIndex.build(spark, path,
         Seq((1L, "some text here")).toDF("doc_id", "text"), "doc_id", "text")
     }
-    assert(e.getMessage.contains("PARTIAL"))
+    assert(e.getMessage.contains("already exists"))
+  }
+
+  test("a probe racing an upsert reads ONE pinned composite version, never a mixed state") {
+    val path = freshPath()
+    DedupIndex.build(spark, path,
+      Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val batch = Seq((7L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    def probe() = pairs(DedupIndex.nearDupsAgainst(
+      spark, path, batch, "doc_id", "text", threshold = 0.5))
+    assert(probe() === Set((1L, 7L, 1.0)))
+    // simulate an upsert IN FLIGHT: doc 1's retraction has hit the
+    // shingles component but the composite commit hasn't published —
+    // reading component-latest here would drop the pair at the verify
+    // join (the pre-fix mixed state); a pinned reader must not notice
+    graft.sources.MergeTable.deleteWhere(
+      spark, DedupIndex.shinglesPath(path), col("id") === 1L)
+    assert(probe() === Set((1L, 7L, 1.0)),
+      "probe read a mixed state: component-latest shingles with pinned bands")
+    // the PUBLISHED retraction (one composite commit) flips the whole view
+    DedupIndex.upsert(spark, path,
+      Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text"), "doc_id", "text")
+    assert(probe() === Set.empty[(Long, Long, Double)])
+    assert(DedupIndex.pin(spark, path).version === 2L)
   }
 
   test("deterministicOnePerKey: same winner in any input order; version beats fingerprint") {
