@@ -1100,6 +1100,77 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    "q119_query_preprocess" -> ((s, d) => {
+      // F1 search-query preprocessing (the reference-transcribed
+      // priority chain) over a branch-covering input mix derived from
+      // documents: null/blank → "", error-shaped → keyword extraction
+      // (exception+code / table candidates), regular → collapse+200-cap
+      val src = T.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 6 === 0, lit(null).cast("string"))
+          .when(col("doc_id") % 6 === 1, lit("   "))
+          .when(col("doc_id") % 6 === 2, concat(lit("how   do I  fix "), col("text")))
+          .when(col("doc_id") % 6 === 3,
+            concat(lit("org.apache.spark.SparkException: stage failed [JOB_"),
+              col("doc_id") % 7, lit("] at com.example.Runner(Main.java:42)")))
+          .when(col("doc_id") % 6 === 4,
+            concat(lit("Error: Table `db_"), col("doc_id") % 5,
+              lit(".users` cannot be found")))
+          .otherwise(
+            concat(lit("Traceback at worker.task(job.py:7): relation my_sch.tbl_"),
+              col("doc_id") % 9, lit(" does not exist")))
+          .as("q"))
+      src.select(col("doc_id"), TF.preprocessSearchQuery(col("q")).as("processed"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q120_upsert_by_key" -> ((s, d) => {
+      // keyed upsert MERGE semantics (Dedup.upsertByKey): incoming
+      // replaces same-key existing, new keys insert — one window pass
+      val docs = T.documents(s, d)
+      val existing = docs.select(col("doc_id"), col("text"), col("lang"), col("source"))
+      val incoming = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"),
+          concat(lit("rev2: "), substring(col("text"), 1, 40)).as("text"),
+          col("lang"), lit("editorial").as("source"))
+        .unionByName(docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"),
+            concat(lit("new: "), substring(col("text"), 1, 40)).as("text"),
+            col("lang"), lit("fresh").as("source")))
+      Dedup.upsertByKey(existing, incoming, "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    "q121_fanout_union" -> ((s, d) => {
+      // J6/D1 + J7/D2 + O7 composed: multi-source fan-out, union,
+      // priority URL-dedup (first occurrence wins in source order),
+      // limit, 500-char truncation — over deterministic fixture
+      // sources derived from documents (the HTTP connector stays at
+      // the boundary; the union pipeline is what's pinned)
+      import graft.search.SearchService
+      def fixture(nm: String, mod: Int, nullSalt: Int): SearchService.Source =
+        new SearchService.Source {
+          def name: String = nm
+          def search(sp: SparkSession, query: String, maxResults: Int): DataFrame = {
+            val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+            T.documents(sp, d).filter(col("doc_id") % 3 === mod)
+              .orderBy(col("doc_id")).limit(maxResults)
+              .select(
+                col("text").as("content"),
+                concat(lit("T"), col("doc_id")).as("title"),
+                lit(nm).as("source_type"),
+                when(col("doc_id") % 11 === nullSalt, lit(null).cast("string"))
+                  .otherwise(concat(lit("https://ex.com/p/"), col("doc_id") % 40))
+                  .as("source_url"),
+                row_number().over(w).as("rank"))
+          }
+        }
+      SearchService.fanOutSearch(s,
+          Seq(fixture("stackoverflow", 0, 3), fixture("github", 1, 5),
+            fixture("webcrawl", 2, 7)),
+          "any query", maxResults = 25)
+        .orderBy(col("source_type"), col("rank"))
+    }),
+
     "q94_json_redact" -> ((s, d) => {
       // recursive JSON redaction over structured metadata: build a
       // nested payload from real columns, sanitize it, extract fields
@@ -1646,6 +1717,98 @@ object SparkEntry {
         |  len(list_filter(nibs, c -> c IN ('8','9','A','B')))::BIGINT AS bin2_n,
         |  len(list_filter(nibs, c -> c IN ('C','D','E','F')))::BIGINT AS bin3_n
         |FROM n ORDER BY media_id""".stripMargin,
+
+    // the full reference-transcribed priority chain, replicated: note
+    // regexp_replace needs the 'g' flag (DuckDB replaces first-only by
+    // default, Spark replaces all) and the error sniff runs against
+    // lower(original) — capitalized indicators are dead, as transcribed
+    "q119_query_preprocess" ->
+      """WITH src AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 6 = 0 THEN NULL
+        |       WHEN doc_id % 6 = 1 THEN '   '
+        |       WHEN doc_id % 6 = 2 THEN 'how   do I  fix ' || text
+        |       WHEN doc_id % 6 = 3 THEN 'org.apache.spark.SparkException: stage failed [JOB_'
+        |            || (doc_id % 7) || '] at com.example.Runner(Main.java:42)'
+        |       WHEN doc_id % 6 = 4 THEN 'Error: Table `db_' || (doc_id % 5) || '.users` cannot be found'
+        |       ELSE 'Traceback at worker.task(job.py:7): relation my_sch.tbl_'
+        |            || (doc_id % 9) || ' does not exist' END AS q
+        |  FROM documents),
+        |c AS (SELECT doc_id, q, trim(regexp_replace(q, '\s+', ' ', 'g')) AS cleaned FROM src),
+        |x AS (SELECT doc_id, q, cleaned, lower(cleaned) AS lowered,
+        |    regexp_extract(cleaned, '([a-zA-Z0-9_.]+Exception)', 1) AS exc,
+        |    regexp_extract(cleaned, '\[([^\]]+)\]', 1) AS code,
+        |    regexp_extract(cleaned, '[`"'']([a-zA-Z0-9_]+\.?[a-zA-Z0-9_]*)[`"'']', 1) AS tq,
+        |    regexp_extract(cleaned, '\b([a-zA-Z0-9_]+\.[a-zA-Z0-9_]+)\b', 1) AS tb
+        |  FROM c),
+        |y AS (SELECT *,
+        |    CASE WHEN tq <> '' THEN tq ELSE tb END AS tbl,
+        |    (contains(lowered, 'table') OR contains(lowered, 'view')) AS table_related,
+        |    (contains(lowered, 'not found') OR contains(lowered, 'cannot be found')) AS nf,
+        |    regexp_matches(lower(q),
+        |      '\.utils\.|Exception:|Error:|Traceback|Caused by:|at [a-zA-Z0-9_.]+\(|\[.*\]|cannot be found|not found|does not exist') AS is_err
+        |  FROM x),
+        |z AS (SELECT doc_id, q, cleaned, is_err,
+        |    CASE WHEN table_related AND nf THEN
+        |           CASE WHEN exc <> '' AND contains(lower(exc), 'spark')
+        |                THEN 'pyspark table not found' ELSE 'sql table not found' END
+        |         WHEN exc <> '' AND code <> '' THEN exc || ' ' || code
+        |         WHEN exc <> '' AND tbl <> '' THEN exc || ' ' || tbl
+        |         WHEN exc <> '' THEN exc
+        |         WHEN code <> '' THEN code
+        |         WHEN tbl <> '' THEN tbl
+        |         ELSE cleaned END AS err_result
+        |  FROM y)
+        |SELECT doc_id,
+        |  CASE WHEN q IS NULL OR trim(q) = '' THEN ''
+        |       WHEN is_err THEN trim(substring(err_result, 1, 100))
+        |       WHEN length(cleaned) > 200 THEN trim(substring(cleaned, 1, 200))
+        |       ELSE cleaned END AS processed
+        |FROM z ORDER BY doc_id""".stripMargin,
+
+    "q120_upsert_by_key" ->
+      """WITH existing AS (SELECT doc_id, text, lang, source FROM documents),
+        |inc AS (
+        |  SELECT doc_id, 'rev2: ' || substring(text, 1, 40) AS text, lang,
+        |    'editorial' AS source
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, 'new: ' || substring(text, 1, 40), lang, 'fresh'
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |u AS (SELECT *, 0 AS src FROM inc UNION ALL SELECT *, 1 AS src FROM existing),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY src) AS rn FROM u)
+        |SELECT doc_id, text, lang, source FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q121_fanout_union" ->
+      """WITH so AS (SELECT text AS content, 'T' || doc_id AS title,
+        |    'stackoverflow' AS source_type,
+        |    CASE WHEN doc_id % 11 = 3 THEN NULL
+        |         ELSE 'https://ex.com/p/' || (doc_id % 40) END AS source_url,
+        |    row_number() OVER (ORDER BY doc_id) AS rank
+        |  FROM (SELECT * FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id LIMIT 25)),
+        |gh AS (SELECT text AS content, 'T' || doc_id AS title,
+        |    'github' AS source_type,
+        |    CASE WHEN doc_id % 11 = 5 THEN NULL
+        |         ELSE 'https://ex.com/p/' || (doc_id % 40) END AS source_url,
+        |    row_number() OVER (ORDER BY doc_id) AS rank
+        |  FROM (SELECT * FROM documents WHERE doc_id % 3 = 1 ORDER BY doc_id LIMIT 25)),
+        |wc AS (SELECT text AS content, 'T' || doc_id AS title,
+        |    'webcrawl' AS source_type,
+        |    CASE WHEN doc_id % 11 = 7 THEN NULL
+        |         ELSE 'https://ex.com/p/' || (doc_id % 40) END AS source_url,
+        |    row_number() OVER (ORDER BY doc_id) AS rank
+        |  FROM (SELECT * FROM documents WHERE doc_id % 3 = 2 ORDER BY doc_id LIMIT 25)),
+        |u AS (SELECT *, CASE source_type WHEN 'stackoverflow' THEN 0 WHEN 'github' THEN 1
+        |        WHEN 'official_doc' THEN 2 WHEN 'spark_docs' THEN 3 ELSE 4 END AS pri
+        |  FROM (SELECT * FROM so UNION ALL SELECT * FROM gh UNION ALL SELECT * FROM wc)
+        |  WHERE source_url IS NOT NULL AND source_url <> ''),
+        |d1 AS (SELECT *, row_number() OVER (PARTITION BY source_url ORDER BY pri, rank) AS rn
+        |  FROM u),
+        |t AS (SELECT content, title, source_type, source_url, rank FROM d1 WHERE rn = 1
+        |      ORDER BY pri, rank LIMIT 25)
+        |SELECT CASE WHEN length(content) > 500
+        |         THEN substring(content, 1, 500) || '...' ELSE content END AS content,
+        |  title, source_type, source_url, rank::INT AS rank
+        |FROM t ORDER BY source_type, rank""".stripMargin,
 
     "q36_salted_count" ->
       "SELECT user_id, count(*) AS n FROM events GROUP BY user_id ORDER BY user_id",
