@@ -214,6 +214,13 @@ object Bench {
       "scheduler timing, NOT plan cost — r5's q40 0.68s vs r6's 0.36s on " +
       "identical code); round-over-round deltas below ~0.2s on short " +
       "queries are not signal.")
+    println("note: q84_pmi_bigrams' r9-watch (0.75->0.91 r8->r9) is " +
+      "adjudicated HOST state: a same-day r10 interleaved A/B (3 fresh-" +
+      "context runs of q84 with untouched controls q77/q83) moved ALL " +
+      "three together — q84 1.00-1.12s, q77 0.77-0.92 (vs 0.71 r9), q83 " +
+      "0.61-0.70 (vs 0.52 r9), a uniform ~1.2-1.3x host factor with " +
+      "warmup_first_sec ~8s vs 4.4s in the same day's faster-state full " +
+      "run; no plan change, same code since r8.")
     println(line)
   }
 }

@@ -123,7 +123,14 @@ object DedupIndex {
     * stay INVISIBLE (no composite manifest → [[exists]] false, reads
     * throw) until the single composite v1 commit publishes all three.
     * A build that crashed mid-way left only unpublished components;
-    * the next build clears them and starts fresh — no repair path. */
+    * the next build clears them and starts fresh — no repair path.
+    *
+    * Two RACING builds are a caller error (the single-writer contract
+    * covers builds too): the composite-commit loser fails loudly with
+    * [[MergeTable.CommitConflict]], and the post-commit integrity read
+    * below makes the winner fail loudly too if the loser's
+    * leftover-clear swept the winner's in-flight components out from
+    * under it — a broken index must never publish silently. */
   def build(
       spark: SparkSession, path: String, docs: DataFrame,
       idCol: String, textCol: String, shingleSize: Int = 3,
@@ -149,6 +156,13 @@ object DedupIndex {
         Seq((shingleSize, numHashes, bands))
           .toDF("shingle_size", "num_hashes", "bands"))
       commitPin(spark, path, 1L, bv.version, sv.version, pv.version)
+      // integrity read-back: a racing build's leftover-clear could have
+      // deleted this build's components before the commit above — fail
+      // loudly here rather than serve a published-but-broken index
+      val p = paramsAt(spark, path, pin(spark, path))
+      require(p == Params(shingleSize, numHashes, bands),
+        s"dedup index at $path corrupted by a concurrent build (read " +
+          s"back $p); builds must be serialized — rebuild the path")
     } finally graft.util.Checkpoints.free(sh)
   }
 
