@@ -119,6 +119,12 @@ object PipelineScaleDemo {
     stage("curate")(d => Corpus(d, "doc_id", "text")
       .curate(Curation.Config(lang = None, minTokens = 10)).toDF)
     stage("dedupExact")(d => Corpus(d, "doc_id", "text").dedupExact().toDF)
+    // the slice frames (admitAgainst returns checkpointed frames) must
+    // outlive the stage: stage() materializes its OWN checkpoint of
+    // the union from their live blocks, and only then may they free —
+    // freeing inside the lambda would require a second full
+    // checkpoint of the union there, whose blocks nothing ever frees
+    var sliceFrames: Seq[DataFrame] = Nil
     stage("admitAgainst")(d => {
       // bounded admission slices (the admit contract); per-slice cost
       // printed — flatness here is the stage's own scale proof
@@ -132,11 +138,10 @@ object PipelineScaleDemo {
         println(f"    admit slice $s%2d: ${(System.nanoTime() - t0) / 1e9}%6.1f s  kept=$kept%d")
         adm
       }
-      val u = parts.reduce(_ unionByName _).localCheckpoint(true)
-      u.count() // materialize before freeing the slice checkpoints
-      parts.foreach(graft.util.Checkpoints.free)
-      u
+      sliceFrames = parts
+      parts.reduce(_ unionByName _)
     })
+    sliceFrames.foreach(graft.util.Checkpoints.free)
     stage(s"lmFilter($maxNll)")(d =>
       Corpus(d, "doc_id", "text").lmFilter(maxNll).toDF)
     stage("filterGopher")(d => Corpus(d, "doc_id", "text").filterGopher().toDF)

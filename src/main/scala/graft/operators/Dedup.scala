@@ -226,7 +226,7 @@ object Dedup {
     * and a fresh recompute must land in the SAME buckets or the index
     * silently loses recall). One row per (doc, band); bucket is the
     * seeded hash of the band's signature slice. */
-  private[operators] def bandFrame(
+  private[graft] def bandFrame(
       shingled: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands

@@ -43,13 +43,14 @@ import graft.sources.{Manifests, MergeTable}
   * "terms" of this index (the bands) don't vary with the document.
   *
   * CROSS-COMPONENT consistency comes from one more manifest level:
-  * `path/_manifests/v<N>` pins the three component versions that
-  * together form one consistent index state ([[Pin]]). Every write
-  * ([[build]]/[[upsert]]/[[compact]]) advances the components FIRST
-  * (each commit individually atomic, but invisible) and publishes them
-  * with ONE composite commit; every read ([[nearDupsAgainst]]/
-  * [[params]]) resolves the latest composite manifest once and reads
-  * all components AT the pinned versions — a probe racing an upsert
+  * `path/_manifests/v<N>` pins, for each component, the DIRECTORY it
+  * lives in and the version to read it at ([[Pin]] — manifest lines
+  * `bands=<dir>@<version>`). Every write ([[build]]/[[upsert]]/
+  * [[compact]]) advances the components FIRST (each commit
+  * individually atomic, but invisible) and publishes them with ONE
+  * composite commit; every read ([[nearDupsAgainst]]/[[params]])
+  * resolves the latest composite manifest once and reads all
+  * components AT the pinned dir+version — a probe racing an upsert
   * sees the whole old index or the whole new one, never bands and
   * shingles one version apart. Index-level writers must be serialized
   * (the shipped streaming composition is — one maintenance stream per
@@ -60,6 +61,14 @@ import graft.sources.{Manifests, MergeTable}
   * and the replayed batch's keyed merges converge before the next
   * composite commit publishes them (the at-least-once contract).
   *
+  * Component directories are BUILD-UNIQUE (`bands-<token>`): a racing
+  * [[build]] stages into its own token dirs and can never re-create
+  * another build's paths, which is what makes the double-build caller
+  * error impossible-or-loud instead of silently corrupting — see
+  * [[build]]. Pre-token manifests (`bands=<version>`) still resolve,
+  * with the dir defaulting to the component's fixed legacy name;
+  * [[migrate]] publishes a pre-composite legacy layout.
+  *
   * Scale: a probe never shuffles the corpus. The corpus-sized band
   * table is scanned once with the bucket filter pushed down, joined to
   * the BROADCAST batch bands, and only collision candidates reach the
@@ -67,16 +76,29 @@ import graft.sources.{Manifests, MergeTable}
   */
 object DedupIndex {
 
-  private[graft] def bandsPath(path: String) = s"$path/bands"
-  private[graft] def shinglesPath(path: String) = s"$path/shingles"
-  private def paramsPath(path: String) = s"$path/params"
+  /** The fixed component names — directory names in the pre-token
+    * legacy layout, manifest keys (and token-dir prefixes) since. */
+  private val ComponentNames = Seq("bands", "shingles", "params")
+
+  private def componentPath(path: String, dir: String) = s"$path/$dir"
+
+  /** Absolute path of the PINNED bands component (test/diagnostic
+    * access — component dirs are build-unique, never assume a name). */
+  private[graft] def bandsPath(spark: SparkSession, path: String): String =
+    componentPath(path, pin(spark, path).bands.dir)
+  private[graft] def shinglesPath(spark: SparkSession, path: String): String =
+    componentPath(path, pin(spark, path).shingles.dir)
 
   final case class Params(shingleSize: Int, numHashes: Int, bands: Int)
 
-  /** One composite index version: the component versions that together
+  /** One pinned component: the directory it lives in (relative to the
+    * index path) and the [[MergeTable]] version to read it at. */
+  final case class Ref(dir: String, version: Long)
+
+  /** One composite index version: the component refs that together
     * form a consistent state. Readers resolve a pin ONCE and read
-    * every component at its pinned version. */
-  final case class Pin(version: Long, bands: Long, shingles: Long, params: Long)
+    * every component at its pinned dir+version. */
+  final case class Pin(version: Long, bands: Ref, shingles: Ref, params: Ref)
 
   private def manifestDir(spark: SparkSession, path: String) = {
     val dir = new Path(path, "_manifests")
@@ -89,8 +111,13 @@ object DedupIndex {
     val v = Manifests.latestVersion(fs, dir).getOrElse(
       throw new IllegalArgumentException(s"no dedup index at $path"))
     val m = Manifests.read(fs, dir, v).map { line =>
-      val Array(k, ver) = line.split("=", 2)
-      k -> ver.toLong
+      val Array(k, rhs) = line.split("=", 2)
+      // `<dir>@<version>`; bare `<version>` is a pre-token manifest,
+      // whose components live at the fixed legacy names
+      k -> (rhs.split("@", 2) match {
+        case Array(d, ver) => Ref(d, ver.toLong)
+        case Array(ver) => Ref(k, ver.toLong)
+      })
     }.toMap
     Pin(v, m("bands"), m("shingles"), m("params"))
   }
@@ -100,10 +127,12 @@ object DedupIndex {
     * index-level writer, which the contract forbids — fail loudly. */
   private def commitPin(
       spark: SparkSession, path: String, version: Long,
-      bands: Long, shingles: Long, params: Long): Unit = {
+      bands: Ref, shingles: Ref, params: Ref): Unit = {
     val (fs, dir) = manifestDir(spark, path)
     try Manifests.commit(fs, dir, version,
-      Seq(s"bands=$bands", s"shingles=$shingles", s"params=$params"))
+      Seq(s"bands=${bands.dir}@${bands.version}",
+        s"shingles=${shingles.dir}@${shingles.version}",
+        s"params=${params.dir}@${params.version}"))
     catch {
       case _: FileAlreadyExistsException =>
         throw new MergeTable.CommitConflict(
@@ -122,15 +151,28 @@ object DedupIndex {
     * Reader-atomic: the component tables initialize in sequence but
     * stay INVISIBLE (no composite manifest → [[exists]] false, reads
     * throw) until the single composite v1 commit publishes all three.
-    * A build that crashed mid-way left only unpublished components;
+    * A build that crashed mid-way left only unpublished token dirs;
     * the next build clears them and starts fresh — no repair path.
     *
     * Two RACING builds are a caller error (the single-writer contract
-    * covers builds too): the composite-commit loser fails loudly with
-    * [[MergeTable.CommitConflict]], and the post-commit integrity read
-    * below makes the winner fail loudly too if the loser's
-    * leftover-clear swept the winner's in-flight components out from
-    * under it — a broken index must never publish silently. */
+    * covers builds too), made impossible-or-loud by BUILD-UNIQUE
+    * component dirs: each build stages into `bands-<token>` etc., so a
+    * racer can sweep this build's dirs (making its reads fail loudly,
+    * dir gone) but can never RE-CREATE them with its own data — wrong
+    * content behind a committed pin cannot happen. The leftover-clear
+    * re-checks the composite manifest immediately before deleting, so
+    * the sweep itself only fires inside the require-to-delete window;
+    * the composite-commit loser fails loudly with
+    * [[MergeTable.CommitConflict]] and reclaims its own private dirs,
+    * and the winner's post-commit read-back (at its token-unique dirs)
+    * turns the residual swept-after-commit case into a loud failure —
+    * a broken index never publishes silently.
+    *
+    * A PRE-COMPOSITE legacy layout (fixed-name component dirs, no
+    * composite manifest) is REFUSED, never cleared: build cannot
+    * distinguish a serving legacy index from a crashed legacy build,
+    * so it must not destroy either — run [[migrate]] to publish it, or
+    * delete the directory deliberately. */
   def build(
       spark: SparkSession, path: String, docs: DataFrame,
       idCol: String, textCol: String, shingleSize: Int = 3,
@@ -139,31 +181,79 @@ object DedupIndex {
     val (mfs, mdir) = manifestDir(spark, path)
     require(Manifests.latestVersion(mfs, mdir).isEmpty,
       s"dedup index already exists at $path")
-    // unpublished leftovers from a crashed build: the index never
-    // existed for readers, so clearing them is safe
-    Seq(shinglesPath(path), bandsPath(path), paramsPath(path)).foreach { c =>
-      val hp = new Path(c)
-      val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
-      if (fs.exists(hp)) { fs.delete(hp, true); () }
+    val rootP = new Path(path)
+    val fs = rootP.getFileSystem(spark.sessionState.newHadoopConf())
+    val legacy = ComponentNames.filter(n =>
+      fs.exists(new Path(rootP, n)))
+    require(legacy.isEmpty,
+      s"$path holds pre-composite component tables (${legacy.mkString(", ")}) " +
+        "with no composite manifest — a legacy-layout index or a crashed " +
+        "legacy build; build() will not destroy it. Run DedupIndex.migrate " +
+        "to publish it, or delete the directory deliberately to rebuild")
+    // unpublished token dirs from a crashed build: no composite manifest
+    // references them (there is none), so clearing them is safe — but
+    // re-check emptiness immediately before deleting, so a build that
+    // committed since the require above is never swept
+    if (fs.exists(rootP)) {
+      val leftovers = fs.listStatus(rootP).map(_.getPath)
+        .filter(p => ComponentNames.exists(n =>
+          p.getName.matches(s"$n-[0-9a-f]+")))
+      if (leftovers.nonEmpty) {
+        require(Manifests.latestVersion(mfs, mdir).isEmpty,
+          s"dedup index already exists at $path")
+        leftovers.foreach(p => fs.delete(p, true))
+      }
     }
+    val token = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val (bDir, sDir, pDir) = (s"bands-$token", s"shingles-$token", s"params-$token")
     val sh = shingled(docs, idCol, textCol, shingleSize)
     try {
-      val sv = MergeTable.init(spark, shinglesPath(path), sh)
-      val bv = MergeTable.init(spark, bandsPath(path),
+      val sv = MergeTable.init(spark, componentPath(path, sDir), sh)
+      val bv = MergeTable.init(spark, componentPath(path, bDir),
         Dedup.bandFrame(sh, numHashes, bands))
       import spark.implicits._
-      val pv = MergeTable.init(spark, paramsPath(path),
+      val pv = MergeTable.init(spark, componentPath(path, pDir),
         Seq((shingleSize, numHashes, bands))
           .toDF("shingle_size", "num_hashes", "bands"))
-      commitPin(spark, path, 1L, bv.version, sv.version, pv.version)
-      // integrity read-back: a racing build's leftover-clear could have
-      // deleted this build's components before the commit above — fail
-      // loudly here rather than serve a published-but-broken index
+      try commitPin(spark, path, 1L,
+        Ref(bDir, bv.version), Ref(sDir, sv.version), Ref(pDir, pv.version))
+      catch {
+        case e: MergeTable.CommitConflict =>
+          // this build lost the v1 race: its token dirs are private
+          // orphans no pin will ever reference — reclaim them
+          Seq(bDir, sDir, pDir).foreach(d =>
+            fs.delete(new Path(rootP, d), true))
+          throw e
+      }
+      // integrity read-back AT the token-unique pinned dir: a racing
+      // build's sweep can only have DELETED it (never re-created it),
+      // so this either proves the published index intact or fails
+      // loudly — a published-but-broken index is never served silently
       val p = paramsAt(spark, path, pin(spark, path))
       require(p == Params(shingleSize, numHashes, bands),
         s"dedup index at $path corrupted by a concurrent build (read " +
           s"back $p); builds must be serialized — rebuild the path")
     } finally graft.util.Checkpoints.free(sh)
+  }
+
+  /** Publish a PRE-COMPOSITE legacy index (components at the fixed
+    * `bands`/`shingles`/`params` dirs, each MergeTable-committed, no
+    * composite manifest — the layout the pre-token code wrote) under
+    * the composite-manifest contract: one composite v1 pinning each
+    * component at its current latest version. [[build]] refuses such a
+    * layout rather than destroy it; this is the upgrade path. */
+  def migrate(spark: SparkSession, path: String): Unit = {
+    val (mfs, mdir) = manifestDir(spark, path)
+    require(Manifests.latestVersion(mfs, mdir).isEmpty,
+      s"dedup index at $path already has a composite manifest")
+    def legacyRef(n: String): Ref = {
+      val cp = componentPath(path, n)
+      require(MergeTable.exists(spark, cp),
+        s"nothing to migrate: no committed $n component at $path")
+      Ref(n, MergeTable.snapshot(spark, cp).version)
+    }
+    commitPin(spark, path, 1L,
+      legacyRef("bands"), legacyRef("shingles"), legacyRef("params"))
   }
 
   def exists(spark: SparkSession, path: String): Boolean = {
@@ -176,7 +266,8 @@ object DedupIndex {
     paramsAt(spark, path, pin(spark, path))
 
   private def paramsAt(spark: SparkSession, path: String, p: Pin): Params = {
-    val r = MergeTable.readAt(spark, paramsPath(path), p.params)
+    val r = MergeTable.readAt(
+        spark, componentPath(path, p.params.dir), p.params.version)
       .select(col("shingle_size"), col("num_hashes"), col("bands"))
       .head()
     Params(r.getInt(0), r.getInt(1), r.getInt(2))
@@ -207,35 +298,51 @@ object DedupIndex {
     val retracted = docs.filter(col(textCol).isNull && col(idCol).isNotNull)
       .select(col(idCol)).distinct().collect().map(_.get(0)).toSeq
     val sh = shingled(docs, idCol, textCol, p.shingleSize)
+    val sPath = componentPath(path, p0.shingles.dir)
+    val bPath = componentPath(path, p0.bands.dir)
     try {
       // component versions to publish: start from the current pins so
       // a no-op batch publishes nothing
-      var sV = p0.shingles
-      var bV = p0.bands
+      var sV = p0.shingles.version
+      var bV = p0.bands.version
       if (retracted.nonEmpty) {
-        sV = MergeTable.deleteWhere(spark, shinglesPath(path),
+        sV = MergeTable.deleteWhere(spark, sPath,
           col("id").isin(retracted: _*)).version
-        bV = MergeTable.deleteWhere(spark, bandsPath(path),
+        bV = MergeTable.deleteWhere(spark, bPath,
           col("id").isin(retracted: _*)).version
       }
       if (!sh.isEmpty) {
-        sV = MergeTable.merge(spark, shinglesPath(path), sh, Seq("id")).version
-        bV = MergeTable.merge(spark, bandsPath(path),
+        sV = MergeTable.merge(spark, sPath, sh, Seq("id")).version
+        bV = MergeTable.merge(spark, bPath,
           Dedup.bandFrame(sh, p.numHashes, p.bands), Seq("id", "band")).version
       }
-      if (sV != p0.shingles || bV != p0.bands)
-        commitPin(spark, path, p0.version + 1, bV, sV, p0.params)
+      if (sV != p0.shingles.version || bV != p0.bands.version)
+        commitPin(spark, path, p0.version + 1,
+          Ref(p0.bands.dir, bV), Ref(p0.shingles.dir, sV), p0.params)
     } finally graft.util.Checkpoints.free(sh)
   }
 
   /** Range-sort the band files on `bucket` so probe scans prune
     * non-matching files from parquet footers alone — [[LexicalIndex
     * .compact]]'s locality pass for the collision table. Run after
-    * bulk loads; published with a composite commit like every write. */
+    * bulk loads; published with a composite commit like every write.
+    *
+    * The rewrite reads the bands component AT THE PINNED version, not
+    * component-latest: an upsert that crashed between its component
+    * merges and its composite commit leaves newer UNPUBLISHED component
+    * versions, and compacting those would publish the crashed batch's
+    * bands against the OLD pinned shingles — the exact mixed state the
+    * composite manifest exists to prevent. The compacted rewrite
+    * becomes the component's new tip, superseding the crashed commit's
+    * rows there; that is safe because unpublished rows are, by the
+    * at-least-once contract, awaiting a replay that re-merges them. */
   def compact(spark: SparkSession, path: String, numFiles: Int): Unit = {
     val p0 = pin(spark, path)
-    val b = MergeTable.compactTable(spark, bandsPath(path), "bucket", numFiles)
-    commitPin(spark, path, p0.version + 1, b.version, p0.shingles, p0.params)
+    val b = MergeTable.compactTableAt(
+      spark, componentPath(path, p0.bands.dir), "bucket", numFiles,
+      Some(p0.bands.version))
+    commitPin(spark, path, p0.version + 1,
+      Ref(p0.bands.dir, b.version), p0.shingles, p0.params)
   }
 
   /** Near-duplicate pairs between `batch` and the indexed corpus (and,
@@ -293,7 +400,8 @@ object DedupIndex {
         // join, where only collision rows remain.
         val buckets = bandsB.select(col("bucket")).distinct()
           .limit(idPushLimit + 1).collect().map(_.getInt(0)).toSeq
-        val corpusScan0 = MergeTable.readAt(spark, bandsPath(path), p0.bands)
+        val corpusScan0 = MergeTable.readAt(
+          spark, componentPath(path, p0.bands.dir), p0.bands.version)
         val corpusScan =
           if (buckets.length <= idPushLimit)
             corpusScan0.filter(col("bucket").isin(buckets: _*))
@@ -368,7 +476,8 @@ object DedupIndex {
           // probe, never a driver-side literal explosion.
           val cids = collide.select(col("cid")).distinct()
             .limit(idPushLimit + 1).collect().map(_.get(0)).toSeq
-          val corpusShAll = MergeTable.readAt(spark, shinglesPath(path), p0.shingles)
+          val corpusShAll = MergeTable.readAt(
+            spark, componentPath(path, p0.shingles.dir), p0.shingles.version)
           val corpusSh =
             if (cids.length <= idPushLimit)
               corpusShAll.filter(col("id").isin(cids: _*))
@@ -450,6 +559,21 @@ object DedupIndex {
     val batch1 = Dedup.deterministicOnePerKey(
         batch.filter(col(idCol).isNotNull), idCol)
       .unionByName(batch.filter(col(idCol).isNull))
+    admitOnePerId(spark, path, batch1, idCol, textCol, threshold,
+      maxBucketPostings)
+  }
+
+  /** [[admit]] minus the up-front one-per-id reduction, for callers
+    * that have ALREADY reduced the batch (the streaming path runs
+    * [[Dedup.deterministicOnePerKey]] with version-aware resolution
+    * before gating — re-reducing every micro-batch here would add a
+    * window shuffle plus a fingerprint scan to the hot ingest path for
+    * nothing). The caller's guarantee: at most one row per non-null
+    * id. NULL-id rows pass through as in [[admit]]. */
+  private[graft] def admitOnePerId(
+      spark: SparkSession, path: String, batch1: DataFrame,
+      idCol: String, textCol: String, threshold: Double,
+      maxBucketPostings: Option[Int]): DataFrame = {
     val pairs = nearDupsAgainst(spark, path, batch1, idCol, textCol, threshold,
       maxBucketPostings = maxBucketPostings)
     try {

@@ -286,15 +286,28 @@ object MergeTable {
     * version so readers never see the half-compacted state. */
   def compactTable(
       spark: SparkSession, path: String, sortCol: String,
-      numFiles: Int): Snapshot = {
+      numFiles: Int): Snapshot =
+    compactTableAt(spark, path, sortCol, numFiles, None)
+
+  /** [[compactTable]] reading the file list AT `atVersion` (latest
+    * when None). The rewrite still claims latest+1 — versions are a
+    * total order — so rows committed AFTER `atVersion` are absent from
+    * the new tip: only pass a pinned version when every later commit
+    * is known unpublished-and-awaiting-replay (the
+    * [[graft.operators.DedupIndex.compact]] case). */
+  def compactTableAt(
+      spark: SparkSession, path: String, sortCol: String,
+      numFiles: Int, atVersion: Option[Long]): Snapshot = {
     val (fs, root) = fsOf(spark, path)
-    val snap = snapshot(spark, path)
+    val snap = atVersion.map(snapshotAt(spark, path, _))
+      .getOrElse(snapshot(spark, path))
+    val tip = latestVersion(fs, root).getOrElse(snap.version)
     val sorted = spark.read.parquet(snap.files: _*)
       .repartitionByRange(numFiles, col(sortCol))
       .sortWithinPartitions(col(sortCol))
     val files = writeBatch(spark, fs, root, sorted)
-    commit(fs, root, snap.version + 1, files)
-    Snapshot(snap.version + 1, files)
+    commit(fs, root, tip + 1, files)
+    Snapshot(tip + 1, files)
   }
 
   /** Delete data files no manifest-latest version references (orphans

@@ -146,8 +146,13 @@ object IndexMaintenance {
       "admitThreshold needs dedupPath: admission probes the persisted dedup index")
     require(admitMaxBucketPostings.isEmpty || admitThreshold.nonEmpty,
       "admitMaxBucketPostings only applies to the admission probe (set admitThreshold)")
-    Seq(idCol, contentCol).foreach(c => require(schema.fieldNames.contains(c),
-      s"schema must carry $c — it has ${schema.fieldNames.mkString(", ")}"))
+    // fail at start(), not inside the first micro-batch: a missing
+    // versionCol would otherwise kill the running stream from within
+    // foreachBatch, surfaced only via query.exception. (vecCol is
+    // genuinely optional in the schema — the embedder fills it in.)
+    (Seq(idCol, contentCol) ++ versionCol).foreach(c =>
+      require(schema.fieldNames.contains(c),
+        s"schema must carry $c — it has ${schema.fieldNames.mkString(", ")}"))
     graft.sources.Jsonl.readStreamLines(session.spark, dir, maxFilesPerTrigger)
       .writeStream
       .option("checkpointLocation", checkpoint)
@@ -186,9 +191,13 @@ object IndexMaintenance {
     // admit() returns a materialized frame; on replay the batch's ids
     // are self-excluded from the corpus probe, so the same survivors
     // come back and every downstream keyed upsert converges.
+    // admitOnePerId, not admit: `one` is already reduced (and with
+    // version-aware resolution admit's own fingerprint-only pass
+    // couldn't replicate) — the public admit would re-shuffle and
+    // re-fingerprint every micro-batch of a long-running stream
     val admitted = (dedupPath, admitThreshold) match {
       case (Some(dp), Some(th)) =>
-        graft.operators.DedupIndex.admit(
+        graft.operators.DedupIndex.admitOnePerId(
           session.spark, dp, one, idCol, contentCol, th,
           maxBucketPostings = admitMaxBucketPostings)
       case _ => one

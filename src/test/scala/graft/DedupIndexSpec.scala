@@ -116,7 +116,7 @@ class DedupIndexSpec extends SparkSpec {
     // on (id, band) replaced, never appended
     val p = DedupIndex.params(spark, path)
     val perDoc = graft.sources.MergeTable
-      .read(spark, DedupIndex.bandsPath(path))
+      .read(spark, DedupIndex.bandsPath(spark, path))
       .groupBy(col("id")).agg(count(lit(1)).as("n"))
       .as[(Long, Long)].collect().toMap
     assert(perDoc.values.toSet === Set(p.bands.toLong))
@@ -195,7 +195,7 @@ class DedupIndexSpec extends SparkSpec {
     // lost pushdown means every probe reads the corpus-sized collision
     // table whole at 100 TB
     val probeScan = graft.sources.MergeTable
-      .read(spark, DedupIndex.bandsPath(path))
+      .read(spark, DedupIndex.bandsPath(spark, path))
       .filter(col("bucket").isin(1, 2, 3))
     val scan = graft.util.Plans.executedNodes(probeScan)
       .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }.head
@@ -300,15 +300,15 @@ class DedupIndexSpec extends SparkSpec {
       s"retracted content still pairing: $probed")
     // and its rows are physically gone from both component tables
     import graft.sources.MergeTable
-    assert(MergeTable.read(spark, DedupIndex.bandsPath(path))
+    assert(MergeTable.read(spark, DedupIndex.bandsPath(spark, path))
       .filter(col("id") === 1L).count() === 0L)
   }
 
   test("build is reader-atomic: unpublished crash leftovers are invisible and cleared by a rebuild") {
     val path = freshPath()
-    // simulate a crashed build: a component committed, no composite
-    // manifest — the index never existed for readers
-    graft.sources.MergeTable.init(spark, DedupIndex.bandsPath(path),
+    // simulate a crashed build: a token-staged component committed, no
+    // composite manifest — the index never existed for readers
+    graft.sources.MergeTable.init(spark, s"$path/bands-deadbeef0000",
       Seq((1L, 0, 7)).toDF("id", "band", "bucket"))
     assert(!DedupIndex.exists(spark, path), "unpublished components must stay invisible")
     intercept[IllegalArgumentException](DedupIndex.pin(spark, path))
@@ -322,12 +322,117 @@ class DedupIndexSpec extends SparkSpec {
       spark, path, Seq((9L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text"),
       "doc_id", "text", threshold = 0.5))
     assert(probed === Set((5L, 9L, 1.0)), s"leftover band rows leaked into the rebuilt index: $probed")
+    // the crashed build's token dir is physically gone, and the live
+    // components sit in THIS build's token dirs (never the fixed names)
+    val rootP = new org.apache.hadoop.fs.Path(path)
+    val fs = rootP.getFileSystem(spark.sessionState.newHadoopConf())
+    val dirs = fs.listStatus(rootP).map(_.getPath.getName).toSet
+    assert(!dirs.contains("bands-deadbeef0000"), s"leftover dir survived: $dirs")
+    assert(!dirs.exists(Set("bands", "shingles", "params")),
+      s"build used fixed component names: $dirs")
+    val pin = DedupIndex.pin(spark, path)
+    assert(pin.bands.dir.matches("bands-[0-9a-f]+") &&
+      pin.shingles.dir.matches("shingles-[0-9a-f]+"), s"non-token pin: $pin")
     // a second build on the PUBLISHED index still fails (CREATE INDEX semantics)
     val e = intercept[IllegalArgumentException] {
       DedupIndex.build(spark, path,
         Seq((1L, "some text here")).toDF("doc_id", "text"), "doc_id", "text")
     }
     assert(e.getMessage.contains("already exists"))
+  }
+
+  test("a pre-composite legacy layout is refused by build and published by migrate") {
+    val path = freshPath()
+    // the layout the pre-token code wrote: components at fixed names,
+    // each MergeTable-committed, no composite manifest
+    val corp = Seq((1L, "alpha beta gamma delta epsilon zeta"))
+    val sh = Dedup.shingleFrame(corp.toDF("doc_id", "text"), "doc_id", "text", 3)
+    graft.sources.MergeTable.init(spark, s"$path/shingles", sh)
+    graft.sources.MergeTable.init(spark, s"$path/bands",
+      Dedup.bandFrame(sh, 128, 32))
+    graft.sources.MergeTable.init(spark, s"$path/params",
+      Seq((3, 128, 32)).toDF("shingle_size", "num_hashes", "bands"))
+    // build must refuse — it cannot tell a serving legacy index from a
+    // crashed legacy build, so it must never delete either
+    val e = intercept[IllegalArgumentException] {
+      DedupIndex.build(spark, path,
+        Seq((2L, "other text")).toDF("doc_id", "text"), "doc_id", "text")
+    }
+    assert(e.getMessage.contains("migrate"), e.getMessage)
+    assert(graft.sources.MergeTable.exists(spark, s"$path/bands"),
+      "build destroyed the legacy components it refused")
+    // migrate publishes it as composite v1; probes serve it unchanged
+    DedupIndex.migrate(spark, path)
+    assert(DedupIndex.exists(spark, path))
+    assert(DedupIndex.pin(spark, path).bands.dir === "bands")
+    val probed = pairs(DedupIndex.nearDupsAgainst(
+      spark, path, Seq((9L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text"),
+      "doc_id", "text", threshold = 0.5))
+    assert(probed === Set((1L, 9L, 1.0)))
+    // maintenance works on the migrated index (fixed-name dirs pinned)
+    DedupIndex.upsert(spark, path,
+      Seq((5L, "totally disjoint vocabulary set occupying space")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    assert(DedupIndex.pin(spark, path).version === 2L)
+    // and a re-migrate is refused (already composite)
+    intercept[IllegalArgumentException](DedupIndex.migrate(spark, path))
+  }
+
+  test("compact after a crashed upsert publishes the PINNED bands, not the unpublished merge") {
+    val path = freshPath()
+    DedupIndex.build(spark, path,
+      Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    // simulate an upsert that crashed between its component merges and
+    // its composite commit: doc 7's rows land in BOTH components'
+    // latest versions, unpublished
+    val sh7 = Dedup.shingleFrame(
+      Seq((7L, "totally disjoint vocabulary set occupying space"))
+        .toDF("doc_id", "text"), "doc_id", "text", 3)
+    graft.sources.MergeTable.merge(
+      spark, DedupIndex.shinglesPath(spark, path), sh7, Seq("id"))
+    graft.sources.MergeTable.merge(
+      spark, DedupIndex.bandsPath(spark, path),
+      Dedup.bandFrame(sh7, 128, 32), Seq("id", "band"))
+    // compact must rewrite the PINNED snapshot: publishing the crashed
+    // merge's bands against the old pinned shingles would be a mixed
+    // state (band hits with no shingles → silent admission of dups)
+    DedupIndex.compact(spark, path, numFiles = 2)
+    val probed = pairs(DedupIndex.nearDupsAgainst(
+      spark, path,
+      Seq((9L, "totally disjoint vocabulary set occupying space")).toDF("doc_id", "text"),
+      "doc_id", "text", threshold = 0.5))
+    assert(probed === Set.empty[(Long, Long, Double)],
+      s"compact published the crashed upsert's unpublished bands: $probed")
+    assert(graft.sources.MergeTable
+      .read(spark, DedupIndex.bandsPath(spark, path))
+      .filter(col("id") === 7L).count() === 0L)
+    // the replayed batch re-merges and publishes normally — convergence
+    DedupIndex.upsert(spark, path,
+      Seq((7L, "totally disjoint vocabulary set occupying space")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val after = pairs(DedupIndex.nearDupsAgainst(
+      spark, path,
+      Seq((9L, "totally disjoint vocabulary set occupying space")).toDF("doc_id", "text"),
+      "doc_id", "text", threshold = 0.5))
+    assert(after === Set((7L, 9L, 1.0)))
+  }
+
+  test("admitOnePerId on an already-reduced batch matches admit") {
+    val path = freshPath()
+    DedupIndex.build(spark, path,
+      Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val batch = Seq(
+      (0L, "alpha beta gamma delta epsilon eta"),
+      (5L, "completely novel content about streaming joins here"),
+      (9L, "nothing like anything else in corpus or batch")).toDF("doc_id", "text")
+    val viaAdmit = DedupIndex.admit(
+      spark, path, batch, "doc_id", "text", threshold = 0.5)
+    val viaPrepared = DedupIndex.admitOnePerId(
+      spark, path, batch, "doc_id", "text", threshold = 0.5, None)
+    assert(viaAdmit.exceptAll(viaPrepared).isEmpty &&
+      viaPrepared.exceptAll(viaAdmit).isEmpty)
   }
 
   test("a probe racing an upsert reads ONE pinned composite version, never a mixed state") {
@@ -344,7 +449,7 @@ class DedupIndexSpec extends SparkSpec {
     // reading component-latest here would drop the pair at the verify
     // join (the pre-fix mixed state); a pinned reader must not notice
     graft.sources.MergeTable.deleteWhere(
-      spark, DedupIndex.shinglesPath(path), col("id") === 1L)
+      spark, DedupIndex.shinglesPath(spark, path), col("id") === 1L)
     assert(probe() === Set((1L, 7L, 1.0)),
       "probe read a mixed state: component-latest shingles with pinned bands")
     // the PUBLISHED retraction (one composite commit) flips the whole view
