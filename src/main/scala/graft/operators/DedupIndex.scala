@@ -218,21 +218,31 @@ object DedupIndex {
       try commitPin(spark, path, 1L,
         Ref(bDir, bv.version), Ref(sDir, sv.version), Ref(pDir, pv.version))
       catch {
-        case e: MergeTable.CommitConflict =>
-          // this build lost the v1 race: its token dirs are private
-          // orphans no pin will ever reference — reclaim them
+        // lost the v1 race OR the commit itself failed: either way the
+        // pin was not published and this build's token dirs are private
+        // orphans no pin will ever reference — reclaim, then rethrow
+        case scala.util.control.NonFatal(e) =>
           Seq(bDir, sDir, pDir).foreach(d =>
             fs.delete(new Path(rootP, d), true))
           throw e
       }
-      // integrity read-back AT the token-unique pinned dir: a racing
-      // build's sweep can only have DELETED it (never re-created it),
+      // integrity read-back of ALL THREE components AT the token-unique
+      // pinned dirs: a racing build's sweep can only have DELETED them
+      // (never re-created them — its own dirs carry a different token),
       // so this either proves the published index intact or fails
       // loudly — a published-but-broken index is never served silently
-      val p = paramsAt(spark, path, pin(spark, path))
+      val committed = pin(spark, path)
+      val p = paramsAt(spark, path, committed)
       require(p == Params(shingleSize, numHashes, bands),
         s"dedup index at $path corrupted by a concurrent build (read " +
           s"back $p); builds must be serialized — rebuild the path")
+      MergeTable.snapshotAt(
+        spark, componentPath(path, committed.bands.dir),
+        committed.bands.version)
+      MergeTable.snapshotAt(
+        spark, componentPath(path, committed.shingles.dir),
+        committed.shingles.version)
+      ()
     } finally graft.util.Checkpoints.free(sh)
   }
 
@@ -343,6 +353,49 @@ object DedupIndex {
       Some(p0.bands.version))
     commitPin(spark, path, p0.version + 1,
       Ref(p0.bands.dir, b.version), p0.shingles, p0.params)
+  }
+
+  /** Maintenance sweep over the whole index: vacuum each PINNED
+    * component table (data files superseded merges no longer
+    * reference — [[MergeTable.vacuum]], which also ends older
+    * composite pins' time travel, the same retention semantics) and
+    * delete component token dirs NO composite manifest version
+    * references — the orphans of a build that crashed, or that lost
+    * the v1 race after staging, which no other path can reclaim once
+    * the index exists (build's leftover-clear only runs pre-index,
+    * and per-component vacuum never looks at sibling dirs).
+    *
+    * `retainMillis` is the concurrency grace shared with
+    * [[MergeTable.vacuum]]: a token dir younger than the grace may be
+    * a build mid-staging and is kept. Returns the number of orphan
+    * dirs removed. */
+  def vacuum(
+      spark: SparkSession, path: String,
+      retainMillis: Long = 15L * 60L * 1000L): Int = {
+    require(retainMillis >= 0, "retainMillis must be >= 0")
+    val p0 = pin(spark, path)
+    Seq(p0.bands, p0.shingles, p0.params).foreach(r =>
+      MergeTable.vacuum(spark, componentPath(path, r.dir), retainMillis))
+    val (mfs, mdir) = manifestDir(spark, path)
+    val referenced = Manifests.listVersions(mfs, mdir).flatMap(v =>
+      Manifests.read(mfs, mdir, v).map { line =>
+        val Array(k, rhs) = line.split("=", 2)
+        rhs.split("@", 2) match {
+          case Array(d, _) => d
+          case Array(_) => k // pre-token manifest: fixed legacy dir
+        }
+      }).toSet
+    val rootP = new Path(path)
+    val fs = rootP.getFileSystem(spark.sessionState.newHadoopConf())
+    val cutoff = System.currentTimeMillis() - retainMillis
+    val orphans = fs.listStatus(rootP)
+      .filter(_.isDirectory)
+      .filter(st => ComponentNames.exists(n =>
+        st.getPath.getName.matches(s"$n-[0-9a-f]+")))
+      .filterNot(st => referenced.contains(st.getPath.getName))
+      .filter(_.getModificationTime <= cutoff)
+    orphans.foreach(st => fs.delete(st.getPath, true))
+    orphans.length
   }
 
   /** Near-duplicate pairs between `batch` and the indexed corpus (and,

@@ -290,24 +290,34 @@ object MergeTable {
     compactTableAt(spark, path, sortCol, numFiles, None)
 
   /** [[compactTable]] reading the file list AT `atVersion` (latest
-    * when None). The rewrite still claims latest+1 — versions are a
-    * total order — so rows committed AFTER `atVersion` are absent from
-    * the new tip: only pass a pinned version when every later commit
-    * is known unpublished-and-awaiting-replay (the
-    * [[graft.operators.DedupIndex.compact]] case). */
+    * when None).
+    *
+    * Commit target: the PLAIN path claims `snapshot.version + 1`, so a
+    * concurrent merge/delete landing inside the read-rewrite window
+    * conflicts LOUDLY (claiming past it would silently drop that
+    * writer's rows from the new tip). A PINNED compaction claims
+    * tip+1 instead — versions are a total order, so rows committed
+    * after `atVersion` are deliberately absent from the new tip: only
+    * pass a pinned version when every later commit is known
+    * unpublished-and-awaiting-replay (the
+    * [[graft.operators.DedupIndex.compact]] case, where index-level
+    * writers are serialized by contract). */
   def compactTableAt(
       spark: SparkSession, path: String, sortCol: String,
       numFiles: Int, atVersion: Option[Long]): Snapshot = {
     val (fs, root) = fsOf(spark, path)
     val snap = atVersion.map(snapshotAt(spark, path, _))
       .getOrElse(snapshot(spark, path))
-    val tip = latestVersion(fs, root).getOrElse(snap.version)
+    val next = atVersion match {
+      case None => snap.version + 1
+      case Some(_) => latestVersion(fs, root).getOrElse(snap.version) + 1
+    }
     val sorted = spark.read.parquet(snap.files: _*)
       .repartitionByRange(numFiles, col(sortCol))
       .sortWithinPartitions(col(sortCol))
     val files = writeBatch(spark, fs, root, sorted)
-    commit(fs, root, tip + 1, files)
-    Snapshot(tip + 1, files)
+    commit(fs, root, next, files)
+    Snapshot(next, files)
   }
 
   /** Delete data files no manifest-latest version references (orphans

@@ -91,6 +91,13 @@ object IndexMaintenance {
       "admitThreshold needs dedupPath: admission probes the persisted dedup index")
     require(admitMaxBucketPostings.isEmpty || admitThreshold.nonEmpty,
       "admitMaxBucketPostings only applies to the admission probe (set admitThreshold)")
+    // fail at start(), not inside the first micro-batch (the JSONL
+    // variant's discipline): a missing versionCol would otherwise kill
+    // the running stream from within foreachBatch. (vecCol is
+    // genuinely optional — the embedder fills it in.)
+    (Seq(idCol, contentCol) ++ versionCol).foreach(c =>
+      require(docs.columns.contains(c),
+        s"docs must carry $c — it has ${docs.columns.mkString(", ")}"))
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>

@@ -418,6 +418,43 @@ class DedupIndexSpec extends SparkSpec {
     assert(after === Set((7L, 9L, 1.0)))
   }
 
+  test("vacuum reclaims orphan token dirs and dead component files; pinned state keeps serving") {
+    val path = freshPath()
+    DedupIndex.build(spark, path,
+      Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    // an orphan from a build that lost the race after staging (its
+    // token differs from the winner's) — no other path can reclaim it
+    // once the composite manifest exists
+    graft.sources.MergeTable.init(spark, s"$path/bands-0ddba11c0de5",
+      Seq((9L, 0, 7)).toDF("id", "band", "bucket"))
+    // superseded component versions: an upsert leaves v1's touched
+    // files dead once vacuumed
+    DedupIndex.upsert(spark, path,
+      Seq((2L, "totally disjoint vocabulary set occupying space")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val removed = DedupIndex.vacuum(spark, path, retainMillis = 0L)
+    assert(removed === 1, s"expected the one orphan dir, removed $removed")
+    val rootP = new org.apache.hadoop.fs.Path(path)
+    val fs = rootP.getFileSystem(spark.sessionState.newHadoopConf())
+    val dirs = fs.listStatus(rootP).map(_.getPath.getName).toSet
+    assert(!dirs.contains("bands-0ddba11c0de5"), s"orphan survived: $dirs")
+    val pin = DedupIndex.pin(spark, path)
+    assert(dirs.contains(pin.bands.dir) && dirs.contains(pin.shingles.dir),
+      s"vacuum removed a referenced component: $dirs vs $pin")
+    // the index still serves after the sweep
+    val probed = pairs(DedupIndex.nearDupsAgainst(
+      spark, path,
+      Seq((9L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text"),
+      "doc_id", "text", threshold = 0.5))
+    assert(probed === Set((1L, 9L, 1.0)))
+    // a young orphan (inside the grace) is kept — a build mid-staging
+    graft.sources.MergeTable.init(spark, s"$path/shingles-feedfacecafe",
+      Seq((9L, Seq(1L))).toDF("id", "shingles"))
+    assert(DedupIndex.vacuum(spark, path) === 0,
+      "the retention grace must keep a possibly-mid-staging dir")
+  }
+
   test("admitOnePerId on an already-reduced batch matches admit") {
     val path = freshPath()
     DedupIndex.build(spark, path,

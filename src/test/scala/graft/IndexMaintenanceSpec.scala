@@ -65,6 +65,20 @@ class IndexMaintenanceSpec extends SparkSpec {
     } finally graft.plans.IvfIndex.unregister(spark, "embedding")
   }
 
+  test("a misconfigured versionCol fails at start(), not inside the first micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val g = GraftSession(spark, HashEmbedder(16))
+    val input = MemoryStream[(Long, String)]
+    val e = intercept[IllegalArgumentException] {
+      IndexMaintenance.runToIndexedKnowledge(
+        g, input.toDF().toDF("id", "content"),
+        checkpoint = java.nio.file.Files
+          .createTempDirectory("idx_maint_vc").toString,
+        versionCol = Some("ver"))
+    }
+    assert(e.getMessage.contains("ver"), e.getMessage)
+  }
+
   test("dedupPath + admitThreshold: near-dups are gated out before ANY index; replay converges") {
     implicit val sqlCtx = spark.sqlContext
     val emb = HashEmbedder(16)
