@@ -105,20 +105,23 @@ object DedupIndex {
     (dir.getFileSystem(spark.sessionState.newHadoopConf()), dir)
   }
 
+  /** One manifest line: `<key>=<dir>@<version>`; bare `<key>=<version>`
+    * is a pre-token manifest, whose component lives at the fixed
+    * legacy name (the key itself). */
+  private def parseRef(line: String): (String, Ref) = {
+    val Array(k, rhs) = line.split("=", 2)
+    k -> (rhs.split("@", 2) match {
+      case Array(d, ver) => Ref(d, ver.toLong)
+      case Array(ver) => Ref(k, ver.toLong)
+    })
+  }
+
   /** The latest committed composite version. */
   def pin(spark: SparkSession, path: String): Pin = {
     val (fs, dir) = manifestDir(spark, path)
     val v = Manifests.latestVersion(fs, dir).getOrElse(
       throw new IllegalArgumentException(s"no dedup index at $path"))
-    val m = Manifests.read(fs, dir, v).map { line =>
-      val Array(k, rhs) = line.split("=", 2)
-      // `<dir>@<version>`; bare `<version>` is a pre-token manifest,
-      // whose components live at the fixed legacy names
-      k -> (rhs.split("@", 2) match {
-        case Array(d, ver) => Ref(d, ver.toLong)
-        case Array(ver) => Ref(k, ver.toLong)
-      })
-    }.toMap
+    val m = Manifests.read(fs, dir, v).map(parseRef).toMap
     Pin(v, m("bands"), m("shingles"), m("params"))
   }
 
@@ -218,12 +221,24 @@ object DedupIndex {
       try commitPin(spark, path, 1L,
         Ref(bDir, bv.version), Ref(sDir, sv.version), Ref(pDir, pv.version))
       catch {
-        // lost the v1 race OR the commit itself failed: either way the
-        // pin was not published and this build's token dirs are private
-        // orphans no pin will ever reference — reclaim, then rethrow
+        // a failed commit usually means this build's token dirs are
+        // private orphans no pin will ever reference — but only
+        // usually: an exception can also surface AFTER the manifest
+        // became durable (a close() failure past a completed create),
+        // so prove the pin is absent-or-someone-else's before
+        // reclaiming; when that can't be proven, keep the dirs (a
+        // stranded orphan is recoverable via [[vacuum]], a deleted
+        // published component is not) and rethrow either way
         case scala.util.control.NonFatal(e) =>
-          Seq(bDir, sDir, pDir).foreach(d =>
-            fs.delete(new Path(rootP, d), true))
+          val safeToReclaim =
+            try Manifests.latestVersion(mfs, mdir) match {
+              case None => true
+              case Some(_) => pin(spark, path).bands.dir != bDir
+            }
+            catch { case scala.util.control.NonFatal(_) => false }
+          if (safeToReclaim)
+            Seq(bDir, sDir, pDir).foreach(d =>
+              fs.delete(new Path(rootP, d), true))
           throw e
       }
       // integrity read-back of ALL THREE components AT the token-unique
@@ -356,14 +371,16 @@ object DedupIndex {
   }
 
   /** Maintenance sweep over the whole index: vacuum each PINNED
-    * component table (data files superseded merges no longer
-    * reference — [[MergeTable.vacuum]], which also ends older
-    * composite pins' time travel, the same retention semantics) and
-    * delete component token dirs NO composite manifest version
-    * references — the orphans of a build that crashed, or that lost
-    * the v1 race after staging, which no other path can reclaim once
-    * the index exists (build's leftover-clear only runs pre-index,
-    * and per-component vacuum never looks at sibling dirs).
+    * component table (data files neither the component tip nor the
+    * serving pin references — [[MergeTable.vacuum]] with the pin in
+    * `keepVersions`; older composite pins' time travel ends, the same
+    * retention semantics) and delete component token dirs the current
+    * pin does not reference — the orphans of a build that crashed, or
+    * that lost the v1 race after staging, which no other path can
+    * reclaim once the index exists (build's leftover-clear only runs
+    * pre-index, and per-component vacuum never looks at sibling
+    * dirs; dirs are fixed for the index's lifetime, so the current
+    * pin IS the full referenced set).
     *
     * `retainMillis` is the concurrency grace shared with
     * [[MergeTable.vacuum]]: a token dir younger than the grace may be
@@ -374,17 +391,19 @@ object DedupIndex {
       retainMillis: Long = 15L * 60L * 1000L): Int = {
     require(retainMillis >= 0, "retainMillis must be >= 0")
     val p0 = pin(spark, path)
+    // each component keeps its PINNED version's files alongside its
+    // tip's: a crashed/in-flight upsert leaves the component tip ahead
+    // of the serving pin, and a latest-only vacuum there would delete
+    // files the pin still reads
     Seq(p0.bands, p0.shingles, p0.params).foreach(r =>
-      MergeTable.vacuum(spark, componentPath(path, r.dir), retainMillis))
-    val (mfs, mdir) = manifestDir(spark, path)
-    val referenced = Manifests.listVersions(mfs, mdir).flatMap(v =>
-      Manifests.read(mfs, mdir, v).map { line =>
-        val Array(k, rhs) = line.split("=", 2)
-        rhs.split("@", 2) match {
-          case Array(d, _) => d
-          case Array(_) => k // pre-token manifest: fixed legacy dir
-        }
-      }).toSet
+      MergeTable.vacuum(spark, componentPath(path, r.dir), retainMillis,
+        keepVersions = Seq(r.version)))
+    // referenced dirs come from the CURRENT pin alone: dirs are fixed
+    // for the index's lifetime (only build/migrate choose them, at v1;
+    // upsert/compact reuse the pin's), so scanning the whole composite
+    // log — O(#micro-batches) reads on a streaming index — buys nothing
+    val referenced =
+      Set(p0.bands.dir, p0.shingles.dir, p0.params.dir)
     val rootP = new Path(path)
     val fs = rootP.getFileSystem(spark.sessionState.newHadoopConf())
     val cutoff = System.currentTimeMillis() - retainMillis
@@ -395,6 +414,11 @@ object DedupIndex {
       .filterNot(st => referenced.contains(st.getPath.getName))
       .filter(_.getModificationTime <= cutoff)
     orphans.foreach(st => fs.delete(st.getPath, true))
+    // commitPin shares Manifests' temp+link primitive, which can
+    // strand `._v*_*.tmp` in the COMPOSITE manifest dir on a crash —
+    // the component-level sweeps never look there
+    val (mfs, mdir) = manifestDir(spark, path)
+    Manifests.sweepTemp(mfs, mdir, cutoff)
     orphans.length
   }
 

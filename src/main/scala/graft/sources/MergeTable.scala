@@ -316,7 +316,16 @@ object MergeTable {
       .repartitionByRange(numFiles, col(sortCol))
       .sortWithinPartitions(col(sortCol))
     val files = writeBatch(spark, fs, root, sorted)
-    commit(fs, root, next, files)
+    try commit(fs, root, next, files)
+    catch {
+      // the conflict contract every other writer exposes (merge /
+      // deleteWhere / the composite commitPin): a maintenance job
+      // catching CommitConflict to reschedule must see this one too
+      case _: FileAlreadyExistsException =>
+        throw new CommitConflict(
+          s"compactTable at $path lost the commit race for v$next " +
+            "(concurrent writer landed mid-rewrite); re-run")
+    }
     Snapshot(next, files)
   }
 
@@ -329,13 +338,24 @@ object MergeTable {
     * files its about-to-win manifest references — silent corruption on
     * the next read. Files younger than the grace are kept regardless of
     * manifest membership. Pass 0 only when no writer can be in flight
-    * (exclusive maintenance windows, tests). */
+    * (exclusive maintenance windows, tests).
+    *
+    * `keepVersions`: additional manifest versions whose files must
+    * survive regardless of age — for layers that PIN a version other
+    * than the tip (a [[graft.operators.DedupIndex]] composite pin can
+    * lag the component tip while a crashed upsert awaits replay;
+    * vacuuming to latest-only there would delete files the SERVING pin
+    * references). Time travel to versions outside latest∪keepVersions
+    * still ends, as documented. */
   def vacuum(
       spark: SparkSession, path: String,
-      retainMillis: Long = 15L * 60L * 1000L): Int = {
+      retainMillis: Long = 15L * 60L * 1000L,
+      keepVersions: Seq[Long] = Nil): Int = {
     require(retainMillis >= 0, "retainMillis must be >= 0")
     val (fs, root) = fsOf(spark, path)
-    val live = snapshot(spark, path).files.map(normalize).toSet
+    val live = (snapshot(spark, path).files ++
+      keepVersions.flatMap(v => snapshotAt(spark, path, v).files))
+      .map(normalize).toSet
     val dataDir = new Path(root, "data")
     if (!fs.exists(dataDir)) return 0
     val cutoff = System.currentTimeMillis() - retainMillis

@@ -93,10 +93,14 @@ object IndexMaintenance {
       "admitMaxBucketPostings only applies to the admission probe (set admitThreshold)")
     // fail at start(), not inside the first micro-batch (the JSONL
     // variant's discipline): a missing versionCol would otherwise kill
-    // the running stream from within foreachBatch. (vecCol is
-    // genuinely optional — the embedder fills it in.)
+    // the running stream from within foreachBatch. Matching uses the
+    // session's resolver — under default case-insensitive analysis a
+    // frame carrying `ID` resolves col("id") fine and must not be
+    // rejected here. (vecCol is genuinely optional — the embedder
+    // fills it in.)
+    val resolver = docs.sparkSession.sessionState.conf.resolver
     (Seq(idCol, contentCol) ++ versionCol).foreach(c =>
-      require(docs.columns.contains(c),
+      require(docs.columns.exists(resolver(_, c)),
         s"docs must carry $c — it has ${docs.columns.mkString(", ")}"))
     docs.writeStream
       .option("checkpointLocation", checkpoint)
@@ -155,10 +159,12 @@ object IndexMaintenance {
       "admitMaxBucketPostings only applies to the admission probe (set admitThreshold)")
     // fail at start(), not inside the first micro-batch: a missing
     // versionCol would otherwise kill the running stream from within
-    // foreachBatch, surfaced only via query.exception. (vecCol is
-    // genuinely optional in the schema — the embedder fills it in.)
+    // foreachBatch, surfaced only via query.exception. Resolver-aware
+    // like the typed variant. (vecCol is genuinely optional in the
+    // schema — the embedder fills it in.)
+    val resolver = session.spark.sessionState.conf.resolver
     (Seq(idCol, contentCol) ++ versionCol).foreach(c =>
-      require(schema.fieldNames.contains(c),
+      require(schema.fieldNames.exists(resolver(_, c)),
         s"schema must carry $c — it has ${schema.fieldNames.mkString(", ")}"))
     graft.sources.Jsonl.readStreamLines(session.spark, dir, maxFilesPerTrigger)
       .writeStream

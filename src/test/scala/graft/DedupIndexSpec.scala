@@ -455,6 +455,38 @@ class DedupIndexSpec extends SparkSpec {
       "the retention grace must keep a possibly-mid-staging dir")
   }
 
+  test("vacuum with the component tip ahead of the pin keeps the SERVING pin's files") {
+    val path = freshPath()
+    DedupIndex.build(spark, path,
+      Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    // a published upsert, so the pinned component versions have
+    // superseded predecessors (v1 files eligible for vacuum)
+    DedupIndex.upsert(spark, path,
+      Seq((2L, "totally disjoint vocabulary set occupying space")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    // crashed upsert REPLACING doc 2: its merges rewrite the files
+    // holding doc 2 in BOTH component tips (superseding the pinned
+    // files), and the composite never flips — tips AHEAD of the pin
+    val sh7 = Dedup.shingleFrame(
+      Seq((2L, "completely novel content about streaming joins here"))
+        .toDF("doc_id", "text"), "doc_id", "text", 3)
+    graft.sources.MergeTable.merge(
+      spark, DedupIndex.shinglesPath(spark, path), sh7, Seq("id"))
+    graft.sources.MergeTable.merge(
+      spark, DedupIndex.bandsPath(spark, path),
+      Dedup.bandFrame(sh7, 128, 32), Seq("id", "band"))
+    DedupIndex.vacuum(spark, path, retainMillis = 0L)
+    // a latest-only component vacuum would have deleted the pinned
+    // version's rewritten files and broken every probe until replay
+    val probed = pairs(DedupIndex.nearDupsAgainst(
+      spark, path,
+      Seq((9L, "totally disjoint vocabulary set occupying space")).toDF("doc_id", "text"),
+      "doc_id", "text", threshold = 0.5))
+    assert(probed === Set((2L, 9L, 1.0)),
+      s"vacuum broke the serving pin while the tip was ahead: $probed")
+  }
+
   test("admitOnePerId on an already-reduced batch matches admit") {
     val path = freshPath()
     DedupIndex.build(spark, path,
