@@ -353,8 +353,10 @@ object MergeTable {
       keepVersions: Seq[Long] = Nil): Int = {
     require(retainMillis >= 0, "retainMillis must be >= 0")
     val (fs, root) = fsOf(spark, path)
-    val live = (snapshot(spark, path).files ++
-      keepVersions.flatMap(v => snapshotAt(spark, path, v).files))
+    val tip = snapshot(spark, path)
+    val live = (tip.files ++
+      keepVersions.distinct.filterNot(_ == tip.version)
+        .flatMap(v => snapshotAt(spark, path, v).files))
       .map(normalize).toSet
     val dataDir = new Path(root, "data")
     if (!fs.exists(dataDir)) return 0

@@ -93,16 +93,18 @@ object IndexMaintenance {
       "admitMaxBucketPostings only applies to the admission probe (set admitThreshold)")
     // fail at start(), not inside the first micro-batch (the JSONL
     // variant's discipline): a missing versionCol would otherwise kill
-    // the running stream from within foreachBatch. Matching uses the
-    // session's resolver — under default case-insensitive analysis a
-    // frame carrying `ID` resolves col("id") fine and must not be
-    // rejected here. (vecCol is genuinely optional — the embedder
-    // fills it in.)
-    val resolver = docs.sparkSession.sessionState.conf.resolver
-    (Seq(idCol, contentCol) ++ versionCol).foreach(c =>
-      require(docs.columns.exists(resolver(_, c)),
-        s"docs must carry $c — it has ${docs.columns.mkString(", ")}"))
-    docs.writeStream
+    // the running stream from within foreachBatch — and NORMALIZE
+    // resolver-matched case variants to the requested spellings, since
+    // the per-batch kernels (deterministicOnePerKey's require,
+    // embedColumn's fieldIndex, the vecCol presence check) are
+    // exact-case: accepting `VERSION` for versionCol here and then
+    // crashing on it mid-stream would be the same late failure with
+    // extra steps. (vecCol is genuinely optional — the embedder fills
+    // it in; a case-variant of it is normalized when present.)
+    val normalized = normalizeCols(docs,
+      mandatory = Seq(idCol, contentCol) ++ versionCol,
+      optional = Seq(vecCol))
+    normalized.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         // one materialization (the JobProcessor convention): any later
@@ -159,13 +161,16 @@ object IndexMaintenance {
       "admitMaxBucketPostings only applies to the admission probe (set admitThreshold)")
     // fail at start(), not inside the first micro-batch: a missing
     // versionCol would otherwise kill the running stream from within
-    // foreachBatch, surfaced only via query.exception. Resolver-aware
-    // like the typed variant. (vecCol is genuinely optional in the
-    // schema — the embedder fills it in.)
-    val resolver = session.spark.sessionState.conf.resolver
-    (Seq(idCol, contentCol) ++ versionCol).foreach(c =>
-      require(schema.fieldNames.exists(resolver(_, c)),
-        s"schema must carry $c — it has ${schema.fieldNames.mkString(", ")}"))
+    // foreachBatch, surfaced only via query.exception. Validated here
+    // against the schema; the per-batch frames (whose columns ARE the
+    // schema's fields) then reuse the same normalization the typed
+    // variant applies, so the exact-case batch kernels see the
+    // requested spellings.
+    val probe = session.spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    normalizeCols(probe,
+      mandatory = Seq(idCol, contentCol) ++ versionCol,
+      optional = Seq(vecCol))
     graft.sources.Jsonl.readStreamLines(session.spark, dir, maxFilesPerTrigger)
       .writeStream
       .option("checkpointLocation", checkpoint)
@@ -175,7 +180,10 @@ object IndexMaintenance {
           val (good, bad) = graft.sources.Jsonl.splitQuarantine(batch.toDF(), schema)
           if (!bad.isEmpty)
             bad.write.mode("overwrite").text(s"$quarantinePath/batch_id=$batchId")
-          if (!good.isEmpty) applyBatch(session, good,
+          if (!good.isEmpty) applyBatch(session,
+            normalizeCols(good,
+              mandatory = Seq(idCol, contentCol) ++ versionCol,
+              optional = Seq(vecCol)),
             versionCol, lexicalPath, dedupPath, admitThreshold,
             idCol = idCol, contentCol = contentCol, vecCol = vecCol,
             admitMaxBucketPostings = admitMaxBucketPostings)
@@ -183,6 +191,38 @@ object IndexMaintenance {
         } finally batch.unpersist()
       }
       .start()
+  }
+
+  /** Rename resolver-matched case variants of the wanted columns to
+    * the wanted spellings (no-op when everything already matches
+    * exactly). `mandatory` columns must be present — one match, or a
+    * loud IllegalArgumentException NOW (for the streaming callers:
+    * at start(), not mid-stream); `optional` columns normalize only
+    * when present. Ambiguity (two columns both resolving to one
+    * wanted name — only possible under case-insensitive analysis,
+    * where every downstream col() would be ambiguous anyway) is
+    * refused loudly. */
+  private def normalizeCols(
+      df: DataFrame, mandatory: Seq[String],
+      optional: Seq[String]): DataFrame = {
+    val resolver = df.sparkSession.sessionState.conf.resolver
+    def matchesOf(w: String) = df.columns.filter(resolver(_, w)).toSeq
+    mandatory.foreach(w => require(matchesOf(w).nonEmpty,
+      s"docs must carry $w — it has ${df.columns.mkString(", ")}"))
+    val renames = (mandatory ++ optional).flatMap { w =>
+      matchesOf(w) match {
+        case Seq() => None
+        case Seq(m) => if (m == w) None else Some(m -> w)
+        case ms => throw new IllegalArgumentException(
+          s"ambiguous columns for $w: ${ms.mkString(", ")}")
+      }
+    }.toMap
+    // backtick-quote (the Profile.q convention): a dotted column name
+    // must select as itself, not as a struct path
+    def q(c: String) = col(s"`$c`")
+    if (renames.isEmpty) df
+    else df.select(df.columns.toSeq.map(c =>
+      renames.get(c).map(t => q(c).as(t)).getOrElse(q(c))): _*)
   }
 
   /** One micro-batch, exposed for direct (non-streaming) backfills. */

@@ -79,6 +79,33 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(e.getMessage.contains("ver"), e.getMessage)
   }
 
+  test("case-variant stream columns normalize at start and flow through the batch kernels") {
+    implicit val sqlCtx = spark.sqlContext
+    val emb = HashEmbedder(16)
+    val g = GraftSession(spark, emb)
+    g.loadKnowledgeBase(emb.embedColumn(
+      Seq((1L, "seed document about query engines")).toDF("id", "content"),
+      "content", "embedding"))
+    val base = java.nio.file.Files.createTempDirectory("idx_maint_case").toString
+    g.indexKnowledge(s"$base/kb", nClusters = 1, nprobe = 1)
+    try {
+      val input = MemoryStream[(Long, String, Long)]
+      // ID/Content/VER: resolver-matched case variants of the defaults —
+      // the exact-case batch kernels (deterministicOnePerKey's require,
+      // embedColumn's fieldIndex) must see the requested spellings
+      val q = IndexMaintenance.runToIndexedKnowledge(
+        g, input.toDF().toDF("ID", "Content", "VER"),
+        checkpoint = s"$base/ckpt", versionCol = Some("ver"))
+      try {
+        input.addData((5L, "a fresh document draft", 1L),
+          (5L, "a fresh document final", 2L))
+        q.processAllAvailable()
+        assert(g.knowledgeBase.filter(col("id") === 5L)
+          .select("content").head().getString(0) === "a fresh document final")
+      } finally q.stop()
+    } finally graft.plans.IvfIndex.unregister(spark, "embedding")
+  }
+
   test("dedupPath + admitThreshold: near-dups are gated out before ANY index; replay converges") {
     implicit val sqlCtx = spark.sqlContext
     val emb = HashEmbedder(16)
