@@ -162,7 +162,7 @@ object RetrievalScaleDemo {
           }
       }
       val df = sources.MergeTable.read(
-          spark, operators.LexicalIndex.postingsPath(path))
+          spark, operators.LexicalIndex.postingsPath(spark, path))
         .filter(col("term").isin(terms: _*))
       spark.sparkContext.addSparkListener(listener)
       val t0 = System.nanoTime()
@@ -177,7 +177,7 @@ object RetrievalScaleDemo {
       // MergeTable lays files out under versioned subdirectories —
       // count the parquet leaves recursively
       val walk = java.nio.file.Files.walk(
-        java.nio.file.Paths.get(operators.LexicalIndex.postingsPath(path)))
+        java.nio.file.Paths.get(operators.LexicalIndex.postingsPath(spark, path)))
       val onDisk =
         try walk.filter(p => p.toString.endsWith(".parquet")).count()
         finally walk.close()

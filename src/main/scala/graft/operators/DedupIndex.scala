@@ -1,10 +1,9 @@
 package graft.operators
 
-import org.apache.hadoop.fs.{FileAlreadyExistsException, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.sources.{Manifests, MergeTable}
+import graft.sources.{CompositeIndex, MergeTable}
 
 /** Persisted MinHash-LSH index for [[Dedup]] — near-dup detection AT
   * INGEST, the serving path the batch operators lack.
@@ -76,11 +75,18 @@ import graft.sources.{Manifests, MergeTable}
   */
 object DedupIndex {
 
-  /** The fixed component names — directory names in the pre-token
-    * legacy layout, manifest keys (and token-dir prefixes) since. */
-  private val ComponentNames = Seq("bands", "shingles", "params")
+  /** The composite-manifest machinery is the SHARED layer
+    * ([[CompositeIndex]] — also under [[LexicalIndex]]); this object
+    * keeps the dedup-specific surface: shingling parameters pinned in
+    * the index, retraction semantics, probes and the admission gate. */
+  private val CI = new CompositeIndex("dedup index",
+    Seq("bands", "shingles", "params"))
 
-  private def componentPath(path: String, dir: String) = s"$path/$dir"
+  type Ref = CompositeIndex.Ref
+  val Ref = CompositeIndex.Ref
+
+  private def componentPath(path: String, dir: String) =
+    CI.componentPath(path, dir)
 
   /** Absolute path of the PINNED bands component (test/diagnostic
     * access — component dirs are build-unique, never assume a name). */
@@ -91,58 +97,15 @@ object DedupIndex {
 
   final case class Params(shingleSize: Int, numHashes: Int, bands: Int)
 
-  /** One pinned component: the directory it lives in (relative to the
-    * index path) and the [[MergeTable]] version to read it at. */
-  final case class Ref(dir: String, version: Long)
-
   /** One composite index version: the component refs that together
     * form a consistent state. Readers resolve a pin ONCE and read
     * every component at its pinned dir+version. */
   final case class Pin(version: Long, bands: Ref, shingles: Ref, params: Ref)
 
-  private def manifestDir(spark: SparkSession, path: String) = {
-    val dir = new Path(path, "_manifests")
-    (dir.getFileSystem(spark.sessionState.newHadoopConf()), dir)
-  }
-
-  /** One manifest line: `<key>=<dir>@<version>`; bare `<key>=<version>`
-    * is a pre-token manifest, whose component lives at the fixed
-    * legacy name (the key itself). */
-  private def parseRef(line: String): (String, Ref) = {
-    val Array(k, rhs) = line.split("=", 2)
-    k -> (rhs.split("@", 2) match {
-      case Array(d, ver) => Ref(d, ver.toLong)
-      case Array(ver) => Ref(k, ver.toLong)
-    })
-  }
-
   /** The latest committed composite version. */
   def pin(spark: SparkSession, path: String): Pin = {
-    val (fs, dir) = manifestDir(spark, path)
-    val v = Manifests.latestVersion(fs, dir).getOrElse(
-      throw new IllegalArgumentException(s"no dedup index at $path"))
-    val m = Manifests.read(fs, dir, v).map(parseRef).toMap
-    Pin(v, m("bands"), m("shingles"), m("params"))
-  }
-
-  /** The ONE commit that publishes a new index state. Exclusive-create
-    * (the [[Manifests]] OCC primitive); losing the race means a second
-    * index-level writer, which the contract forbids — fail loudly. */
-  private def commitPin(
-      spark: SparkSession, path: String, version: Long,
-      bands: Ref, shingles: Ref, params: Ref): Unit = {
-    val (fs, dir) = manifestDir(spark, path)
-    try Manifests.commit(fs, dir, version,
-      Seq(s"bands=${bands.dir}@${bands.version}",
-        s"shingles=${shingles.dir}@${shingles.version}",
-        s"params=${params.dir}@${params.version}"))
-    catch {
-      case _: FileAlreadyExistsException =>
-        throw new MergeTable.CommitConflict(
-          s"dedup index at $path has a concurrent index-level writer " +
-            s"(composite v$version already claimed); serialize writers — " +
-            "one maintenance stream per index")
-    }
+    val p = CI.pin(spark, path)
+    Pin(p.version, p("bands"), p("shingles"), p("params"))
   }
 
   /** Build the index at `path` from scratch (fails if one exists —
@@ -181,83 +144,28 @@ object DedupIndex {
       idCol: String, textCol: String, shingleSize: Int = 3,
       numHashes: Int = 128, bands: Int = 32): Unit = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val (mfs, mdir) = manifestDir(spark, path)
-    require(Manifests.latestVersion(mfs, mdir).isEmpty,
-      s"dedup index already exists at $path")
-    val rootP = new Path(path)
-    val fs = rootP.getFileSystem(spark.sessionState.newHadoopConf())
-    val legacy = ComponentNames.filter(n =>
-      fs.exists(new Path(rootP, n)))
-    require(legacy.isEmpty,
-      s"$path holds pre-composite component tables (${legacy.mkString(", ")}) " +
-        "with no composite manifest — a legacy-layout index or a crashed " +
-        "legacy build; build() will not destroy it. Run DedupIndex.migrate " +
-        "to publish it, or delete the directory deliberately to rebuild")
-    // unpublished token dirs from a crashed build: no composite manifest
-    // references them (there is none), so clearing them is safe — but
-    // re-check emptiness immediately before deleting, so a build that
-    // committed since the require above is never swept
-    if (fs.exists(rootP)) {
-      val leftovers = fs.listStatus(rootP).map(_.getPath)
-        .filter(p => ComponentNames.exists(n =>
-          p.getName.matches(s"$n-[0-9a-f]+")))
-      if (leftovers.nonEmpty) {
-        require(Manifests.latestVersion(mfs, mdir).isEmpty,
-          s"dedup index already exists at $path")
-        leftovers.foreach(p => fs.delete(p, true))
-      }
-    }
-    val token = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
-    val (bDir, sDir, pDir) = (s"bands-$token", s"shingles-$token", s"params-$token")
+    // fail fast before the shingling scan; CompositeIndex.build
+    // re-checks under its own ordering guarantees
+    require(!exists(spark, path), s"dedup index already exists at $path")
     val sh = shingled(docs, idCol, textCol, shingleSize)
     try {
-      val sv = MergeTable.init(spark, componentPath(path, sDir), sh)
-      val bv = MergeTable.init(spark, componentPath(path, bDir),
-        Dedup.bandFrame(sh, numHashes, bands))
-      import spark.implicits._
-      val pv = MergeTable.init(spark, componentPath(path, pDir),
-        Seq((shingleSize, numHashes, bands))
-          .toDF("shingle_size", "num_hashes", "bands"))
-      try commitPin(spark, path, 1L,
-        Ref(bDir, bv.version), Ref(sDir, sv.version), Ref(pDir, pv.version))
-      catch {
-        // a failed commit usually means this build's token dirs are
-        // private orphans no pin will ever reference — but only
-        // usually: an exception can also surface AFTER the manifest
-        // became durable (a close() failure past a completed create),
-        // so prove the pin is absent-or-someone-else's before
-        // reclaiming; when that can't be proven, keep the dirs (a
-        // stranded orphan is recoverable via [[vacuum]], a deleted
-        // published component is not) and rethrow either way
-        case scala.util.control.NonFatal(e) =>
-          val safeToReclaim =
-            try Manifests.latestVersion(mfs, mdir) match {
-              case None => true
-              case Some(_) => pin(spark, path).bands.dir != bDir
-            }
-            catch { case scala.util.control.NonFatal(_) => false }
-          if (safeToReclaim)
-            Seq(bDir, sDir, pDir).foreach(d =>
-              fs.delete(new Path(rootP, d), true))
-          throw e
+      CI.build(spark, path) { dirs =>
+        val sv = MergeTable.init(spark, componentPath(path, dirs("shingles")), sh)
+        val bv = MergeTable.init(spark, componentPath(path, dirs("bands")),
+          Dedup.bandFrame(sh, numHashes, bands))
+        import spark.implicits._
+        val pv = MergeTable.init(spark, componentPath(path, dirs("params")),
+          Seq((shingleSize, numHashes, bands))
+            .toDF("shingle_size", "num_hashes", "bands"))
+        Map("bands" -> bv.version, "shingles" -> sv.version,
+          "params" -> pv.version)
       }
-      // integrity read-back of ALL THREE components AT the token-unique
-      // pinned dirs: a racing build's sweep can only have DELETED them
-      // (never re-created them — its own dirs carry a different token),
-      // so this either proves the published index intact or fails
-      // loudly — a published-but-broken index is never served silently
-      val committed = pin(spark, path)
-      val p = paramsAt(spark, path, committed)
+      // CompositeIndex.build proved every pinned component EXISTS; the
+      // params VALUES are this index's own integrity signal on top
+      val p = paramsAt(spark, path, pin(spark, path))
       require(p == Params(shingleSize, numHashes, bands),
         s"dedup index at $path corrupted by a concurrent build (read " +
           s"back $p); builds must be serialized — rebuild the path")
-      MergeTable.snapshotAt(
-        spark, componentPath(path, committed.bands.dir),
-        committed.bands.version)
-      MergeTable.snapshotAt(
-        spark, componentPath(path, committed.shingles.dir),
-        committed.shingles.version)
-      ()
     } finally graft.util.Checkpoints.free(sh)
   }
 
@@ -267,24 +175,11 @@ object DedupIndex {
     * the composite-manifest contract: one composite v1 pinning each
     * component at its current latest version. [[build]] refuses such a
     * layout rather than destroy it; this is the upgrade path. */
-  def migrate(spark: SparkSession, path: String): Unit = {
-    val (mfs, mdir) = manifestDir(spark, path)
-    require(Manifests.latestVersion(mfs, mdir).isEmpty,
-      s"dedup index at $path already has a composite manifest")
-    def legacyRef(n: String): Ref = {
-      val cp = componentPath(path, n)
-      require(MergeTable.exists(spark, cp),
-        s"nothing to migrate: no committed $n component at $path")
-      Ref(n, MergeTable.snapshot(spark, cp).version)
-    }
-    commitPin(spark, path, 1L,
-      legacyRef("bands"), legacyRef("shingles"), legacyRef("params"))
-  }
+  def migrate(spark: SparkSession, path: String): Unit =
+    CI.migrate(spark, path)
 
-  def exists(spark: SparkSession, path: String): Boolean = {
-    val (fs, dir) = manifestDir(spark, path)
-    Manifests.latestVersion(fs, dir).isDefined
-  }
+  def exists(spark: SparkSession, path: String): Boolean =
+    CI.exists(spark, path)
 
   /** The index's build-time parameters (1-row read). */
   def params(spark: SparkSession, path: String): Params =
@@ -342,8 +237,10 @@ object DedupIndex {
           Dedup.bandFrame(sh, p.numHashes, p.bands), Seq("id", "band")).version
       }
       if (sV != p0.shingles.version || bV != p0.bands.version)
-        commitPin(spark, path, p0.version + 1,
-          Ref(p0.bands.dir, bV), Ref(p0.shingles.dir, sV), p0.params)
+        CI.commitPin(spark, path, p0.version + 1, Map(
+          "bands" -> Ref(p0.bands.dir, bV),
+          "shingles" -> Ref(p0.shingles.dir, sV),
+          "params" -> p0.params))
     } finally graft.util.Checkpoints.free(sh)
   }
 
@@ -366,61 +263,19 @@ object DedupIndex {
     val b = MergeTable.compactTableAt(
       spark, componentPath(path, p0.bands.dir), "bucket", numFiles,
       Some(p0.bands.version))
-    commitPin(spark, path, p0.version + 1,
-      Ref(p0.bands.dir, b.version), p0.shingles, p0.params)
+    CI.commitPin(spark, path, p0.version + 1, Map(
+      "bands" -> Ref(p0.bands.dir, b.version),
+      "shingles" -> p0.shingles, "params" -> p0.params))
   }
 
-  /** Maintenance sweep over the whole index: vacuum each PINNED
-    * component table (data files neither the component tip nor the
-    * serving pin references — [[MergeTable.vacuum]] with the pin in
-    * `keepVersions`; older composite pins' time travel ends, the same
-    * retention semantics) and delete component token dirs the current
-    * pin does not reference — the orphans of a build that crashed, or
-    * that lost the v1 race after staging, which no other path can
-    * reclaim once the index exists (build's leftover-clear only runs
-    * pre-index, and per-component vacuum never looks at sibling
-    * dirs; dirs are fixed for the index's lifetime, so the current
-    * pin IS the full referenced set).
-    *
-    * `retainMillis` is the concurrency grace shared with
-    * [[MergeTable.vacuum]]: a token dir younger than the grace may be
-    * a build mid-staging and is kept. Returns the number of orphan
-    * dirs removed. */
+  /** Maintenance sweep over the whole index — [[CompositeIndex
+    * .vacuum]]: pinned-version-aware component vacuums, orphan
+    * token-dir reclaim, composite manifest temp sweep. Returns the
+    * number of orphan dirs removed. */
   def vacuum(
       spark: SparkSession, path: String,
-      retainMillis: Long = 15L * 60L * 1000L): Int = {
-    require(retainMillis >= 0, "retainMillis must be >= 0")
-    val p0 = pin(spark, path)
-    // each component keeps its PINNED version's files alongside its
-    // tip's: a crashed/in-flight upsert leaves the component tip ahead
-    // of the serving pin, and a latest-only vacuum there would delete
-    // files the pin still reads
-    Seq(p0.bands, p0.shingles, p0.params).foreach(r =>
-      MergeTable.vacuum(spark, componentPath(path, r.dir), retainMillis,
-        keepVersions = Seq(r.version)))
-    // referenced dirs come from the CURRENT pin alone: dirs are fixed
-    // for the index's lifetime (only build/migrate choose them, at v1;
-    // upsert/compact reuse the pin's), so scanning the whole composite
-    // log — O(#micro-batches) reads on a streaming index — buys nothing
-    val referenced =
-      Set(p0.bands.dir, p0.shingles.dir, p0.params.dir)
-    val rootP = new Path(path)
-    val fs = rootP.getFileSystem(spark.sessionState.newHadoopConf())
-    val cutoff = System.currentTimeMillis() - retainMillis
-    val orphans = fs.listStatus(rootP)
-      .filter(_.isDirectory)
-      .filter(st => ComponentNames.exists(n =>
-        st.getPath.getName.matches(s"$n-[0-9a-f]+")))
-      .filterNot(st => referenced.contains(st.getPath.getName))
-      .filter(_.getModificationTime <= cutoff)
-    orphans.foreach(st => fs.delete(st.getPath, true))
-    // commitPin shares Manifests' temp+link primitive, which can
-    // strand `._v*_*.tmp` in the COMPOSITE manifest dir on a crash —
-    // the component-level sweeps never look there
-    val (mfs, mdir) = manifestDir(spark, path)
-    Manifests.sweepTemp(mfs, mdir, cutoff)
-    orphans.length
-  }
+      retainMillis: Long = 15L * 60L * 1000L): Int =
+    CI.vacuum(spark, path, retainMillis)
 
   /** Near-duplicate pairs between `batch` and the indexed corpus (and,
     * with `includeBatchPairs`, within the batch itself) — the

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.sources.MergeTable
+import graft.sources.{CompositeIndex, MergeTable}
 
 /** Persisted inverted index for [[Lexical]] — the serving path.
   *
@@ -35,10 +35,23 @@ import graft.sources.MergeTable
   *    `maxDfFraction` guard can drop a stopword from the scan filter
   *    instead of materializing its corpus-sized posting list.
   *
-  * Both components are [[MergeTable]]s, so the index inherits versioned
-  * atomic commits and incremental maintenance: [[upsert]] replaces a
-  * document batch (delete stale postings, merge new ones) without
-  * rebuilding, rewriting only the parquet files its keys hit.
+  * All three components are [[MergeTable]]s, so the index inherits
+  * versioned atomic commits and incremental maintenance: [[upsert]]
+  * replaces a document batch (delete stale postings, merge new ones)
+  * without rebuilding, rewriting only the parquet files its keys hit.
+  * CROSS-COMPONENT consistency comes from the shared
+  * [[CompositeIndex]] manifest layer (the [[DedupIndex]] discipline):
+  * every write advances components first (individually atomic,
+  * invisible) and publishes them with ONE composite commit; every
+  * query resolves one [[CompositeIndex.Pin]] and reads postings,
+  * doclens AND termdf at the pinned versions. Without it, a query
+  * racing an upsert could score with fresh df against stale postings —
+  * silently skewed BM25, the worst kind of wrong — and a crash between
+  * the upsert's stale-postings delete and its merges would leave
+  * readers a visible state with documents' postings missing; under the
+  * composite pin both cases read the whole old index until the single
+  * publish, and the replayed batch converges (values are computed from
+  * the pinned state, merges replace by key).
   *
   * Scoring reproduces [[Lexical.bm25TopKMany]] EXACTLY (spec-gated):
   * same tokenization, same df/N/avgdl statistics (integer-valued sums,
@@ -48,9 +61,14 @@ import graft.sources.MergeTable
   */
 object LexicalIndex {
 
-  private[graft] def postingsPath(path: String) = s"$path/postings"
-  private def doclensPath(path: String) = s"$path/doclens"
-  private def termDfPath(path: String) = s"$path/termdf"
+  private val CI = new CompositeIndex("lexical index",
+    Seq("postings", "doclens", "termdf"))
+  import CompositeIndex.Ref
+
+  /** Absolute path of the PINNED postings component (test/diagnostic
+    * access — component dirs are build-unique, never assume a name). */
+  private[graft] def postingsPath(spark: SparkSession, path: String): String =
+    CI.componentPath(path, CI.pin(spark, path)("postings").dir)
 
   /** One tokenizing pass over `docs` → (postings, doclens) frames.
     * Shared by build and upsert; the returned frames are two reads of
@@ -73,23 +91,50 @@ object LexicalIndex {
 
   /** Build the index at `path` from scratch (fails if one exists —
     * the CREATE INDEX semantics; use [[upsert]] for maintenance).
-    * `docs` must be unique on `idCol`. */
+    * `docs` must be unique on `idCol`. Reader-atomic and
+    * race-hardened via [[CompositeIndex.build]]: components stage in
+    * build-unique token dirs, invisible until the single composite v1
+    * commit publishes all three; a pre-composite legacy layout is
+    * refused — run [[migrate]]. */
   def build(
       spark: SparkSession, path: String, docs: DataFrame,
       idCol: String, textCol: String): Unit = {
+    require(!exists(spark, path), s"lexical index already exists at $path")
     val (postings, doclens, handle) = tokenize(docs, idCol, textCol)
     try {
-      MergeTable.init(spark, doclensPath(path), doclens)
-      MergeTable.init(spark, postingsPath(path), postings)
-      MergeTable.init(spark, termDfPath(path),
-        postings.groupBy(col("term")).agg(count(lit(1)).as("df")))
+      CI.build(spark, path) { dirs =>
+        val dv = MergeTable.init(spark,
+          CI.componentPath(path, dirs("doclens")), doclens)
+        val pv = MergeTable.init(spark,
+          CI.componentPath(path, dirs("postings")), postings)
+        val tv = MergeTable.init(spark,
+          CI.componentPath(path, dirs("termdf")),
+          postings.groupBy(col("term")).agg(count(lit(1)).as("df")))
+        Map("postings" -> pv.version, "doclens" -> dv.version,
+          "termdf" -> tv.version)
+      }
+      ()
     } finally graft.util.Checkpoints.free(handle)
   }
 
   def exists(spark: SparkSession, path: String): Boolean =
-    MergeTable.exists(spark, postingsPath(path)) &&
-      MergeTable.exists(spark, doclensPath(path)) &&
-      MergeTable.exists(spark, termDfPath(path))
+    CI.exists(spark, path)
+
+  /** Publish a PRE-COMPOSITE legacy index (components at the fixed
+    * `postings`/`doclens`/`termdf` dirs, no composite manifest — the
+    * layout the pre-composite code wrote) under the composite
+    * contract; [[build]] refuses such a layout rather than destroy
+    * it. */
+  def migrate(spark: SparkSession, path: String): Unit =
+    CI.migrate(spark, path)
+
+  /** Maintenance sweep — [[CompositeIndex.vacuum]]: pinned-version-
+    * aware component vacuums, orphan token-dir reclaim, composite
+    * manifest temp sweep. Returns the number of orphan dirs removed. */
+  def vacuum(
+      spark: SparkSession, path: String,
+      retainMillis: Long = 15L * 60L * 1000L): Int =
+    CI.vacuum(spark, path, retainMillis)
 
   /** Incrementally replace a document batch: every doc in `docs`
     * (matched by id) gets its stale postings deleted and its fresh
@@ -97,20 +142,34 @@ object LexicalIndex {
     * MergeTable discipline. New ids insert. The batch's ids are
     * collected driver-side for the stale-postings delete predicate, so
     * keep batches bounded (ingest-batch sized, not corpus-sized —
-    * rebuild via [[build]] for corpus-scale changes). */
+    * rebuild via [[build]] for corpus-scale changes).
+    *
+    * Atomic for readers: the component deletes/merges commit first
+    * (unpublished), then ONE composite commit flips every query from
+    * the whole old index to the whole new one. The df delta and the
+    * dictionary values are computed from the PINNED state, not the
+    * component tips — under a crash-and-replay the tips may hold the
+    * crashed attempt's half-applied writes, and since the merges
+    * REPLACE by key with values derived from the pin, the replay
+    * converges to the same published state (at-least-once contract). */
   def upsert(
       spark: SparkSession, path: String, docs: DataFrame,
       idCol: String, textCol: String): Unit = {
+    val p0 = CI.pin(spark, path)
+    val pPath = CI.componentPath(path, p0("postings").dir)
+    val dPath = CI.componentPath(path, p0("doclens").dir)
+    val tPath = CI.componentPath(path, p0("termdf").dir)
     val (postings, doclens, handle) = tokenize(docs, idCol, textCol)
     try {
       val ids = doclens.select(col("id")).collect().map(_.get(0))
       if (ids.nonEmpty) {
         val idSeq = ids.toSeq
-        // df delta BEFORE the delete: each affected term's df moves by
-        // (new batch postings) - (old batch postings). The old-side
-        // probe reads only (term, id) of the id-matched rows; the
-        // touched term set is bounded by the batch's vocabulary.
-        val oldCounts = MergeTable.read(spark, postingsPath(path))
+        // df delta BEFORE the delete, against the PINNED postings: each
+        // affected term's df moves by (new batch postings) - (old batch
+        // postings). The old-side probe reads only (term, id) of the
+        // id-matched rows; the touched term set is bounded by the
+        // batch's vocabulary.
+        val oldCounts = MergeTable.readAt(spark, pPath, p0("postings").version)
           .filter(col("id").isin(idSeq: _*))
           .groupBy(col("term")).agg(count(lit(1)).as("__old"))
         val newCounts = postings.groupBy(col("term")).agg(count(lit(1)).as("__new"))
@@ -122,7 +181,7 @@ object LexicalIndex {
           .localCheckpoint(true) // must be read before AND after the delete
         try {
           val affected = delta.select(col("term"))
-          val current = MergeTable.read(spark, termDfPath(path))
+          val current = MergeTable.readAt(spark, tPath, p0("termdf").version)
             .join(affected, Seq("term"), "left_semi")
           val dfUpdates = delta.join(current, Seq("term"), "left_outer")
             .select(col("term"),
@@ -130,11 +189,14 @@ object LexicalIndex {
           // stale postings of REPLACED docs: a term the new text no
           // longer contains would survive a bare merge (its (id, term)
           // key is absent from the update frame) and keep matching
-          MergeTable.deleteWhere(spark, postingsPath(path),
-            col("id").isin(idSeq: _*))
-          MergeTable.merge(spark, postingsPath(path), postings, Seq("id", "term"))
-          MergeTable.merge(spark, doclensPath(path), doclens, Seq("id"))
-          MergeTable.merge(spark, termDfPath(path), dfUpdates, Seq("term"))
+          MergeTable.deleteWhere(spark, pPath, col("id").isin(idSeq: _*))
+          val pv = MergeTable.merge(spark, pPath, postings, Seq("id", "term"))
+          val dv = MergeTable.merge(spark, dPath, doclens, Seq("id"))
+          val tv = MergeTable.merge(spark, tPath, dfUpdates, Seq("term"))
+          CI.commitPin(spark, path, p0.version + 1, Map(
+            "postings" -> Ref(p0("postings").dir, pv.version),
+            "doclens" -> Ref(p0("doclens").dir, dv.version),
+            "termdf" -> Ref(p0("termdf").dir, tv.version)))
         } finally graft.util.Checkpoints.free(delta)
       }
       ()
@@ -144,10 +206,18 @@ object LexicalIndex {
   /** Range-sort the postings files on `term` so query-term scans prune
     * non-matching files from the parquet footers alone — the analog of
     * posting-list locality in a classical inverted index. Run after
-    * bulk loads; committed atomically like every MergeTable rewrite. */
+    * bulk loads. Rewrites the PINNED postings snapshot (a crashed
+    * upsert's unpublished component commits must not ride in — the
+    * [[DedupIndex.compact]] reasoning) and publishes with one
+    * composite commit. */
   def compact(spark: SparkSession, path: String, numFiles: Int): Unit = {
-    MergeTable.compactTable(spark, postingsPath(path), "term", numFiles)
-    ()
+    val p0 = CI.pin(spark, path)
+    val pv = MergeTable.compactTableAt(
+      spark, CI.componentPath(path, p0("postings").dir), "term", numFiles,
+      Some(p0("postings").version))
+    CI.commitPin(spark, path, p0.version + 1, Map(
+      "postings" -> Ref(p0("postings").dir, pv.version),
+      "doclens" -> p0("doclens"), "termdf" -> p0("termdf")))
   }
 
   /** [[Lexical.bm25TopK]] served from the index. */
@@ -197,14 +267,18 @@ object LexicalIndex {
       s"maxDfFraction must be in (0, 1], got $maxDfFraction")
     val lowered = queries.toList.map(_.map(_.toLowerCase(java.util.Locale.ROOT)).distinct)
     val allTerms = lowered.flatten.distinct
-    val stats = MergeTable.read(spark, doclensPath(path))
+    // ONE pin for the whole call: N/avgdl, df and postings all read at
+    // the same composite version, so an upsert landing mid-query can't
+    // serve fresh statistics against stale postings (or vice versa)
+    val p0 = CI.pin(spark, path)
+    val stats = CI.readAt(spark, path, p0, "doclens")
       .agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")).head()
     val n = stats.getLong(0)
     require(n > 0, "corpus is empty")
     val avgdl = stats.getDouble(1)
     // dictionary lookup FIRST: ≤ |terms| rows, so the stopword guard
     // can drop a ubiquitous term before its posting list is ever read
-    val dfCounts = MergeTable.read(spark, termDfPath(path))
+    val dfCounts = CI.readAt(spark, path, p0, "termdf")
       .filter(col("term").isin(allTerms: _*))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val dfCap = maxDfFraction * n
@@ -213,7 +287,7 @@ object LexicalIndex {
     // the ONLY touch of the postings table: scan the scored terms'
     // postings (predicate pushed into the scan) and keep the small
     // matched frame for every query's scoring pass
-    val matched = MergeTable.read(spark, postingsPath(path))
+    val matched = CI.readAt(spark, path, p0, "postings")
       .filter(if (scoredTerms.isEmpty) lit(false)
         else col("term").isin(scoredTerms: _*))
       .localCheckpoint(true)

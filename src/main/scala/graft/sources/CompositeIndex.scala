@@ -1,0 +1,255 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileAlreadyExistsException, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Cross-component consistency for multi-table serving indexes — the
+  * manifest level ABOVE [[MergeTable]], shared by
+  * [[graft.operators.DedupIndex]] (bands/shingles/params) and
+  * [[graft.operators.LexicalIndex]] (postings/doclens/termdf).
+  *
+  * A serving index made of several MergeTables has each component
+  * commit atomically but nothing tying the components together: a
+  * reader racing a writer could see component A at the new version and
+  * component B at the old one — for a dedup index that silently drops
+  * verification rows, for a BM25 index it silently skews df/N/avgdl
+  * statistics. This layer adds `path/_manifests/v<N>`, each version
+  * one line per component `name=<dir>@<version>` ([[CompositeIndex.Ref]]):
+  * writers advance components FIRST (individually atomic, invisible)
+  * and publish them with ONE composite commit; readers resolve the
+  * latest composite ONCE ([[pin]]) and read every component at its
+  * pinned dir+version. Index-level writers must be serialized (one
+  * maintenance stream per index); a second concurrent writer loses the
+  * composite commit race LOUDLY ([[MergeTable.CommitConflict]]), never
+  * silently. A writer crash between component commits and the
+  * composite commit leaves new component versions unpublished —
+  * readers stay on the old pin, and the replayed batch's keyed merges
+  * converge before the next composite commit publishes them (the
+  * at-least-once contract).
+  *
+  * Component directories are BUILD-UNIQUE (`<name>-<token>`): a racing
+  * [[build]] stages into its own token dirs and can never re-create
+  * another build's paths, which makes the double-build caller error
+  * impossible-or-loud instead of silently corrupting. Pre-token
+  * manifest lines (`name=<version>`) still resolve, with the dir
+  * defaulting to the component's fixed legacy name; [[migrate]]
+  * publishes a pre-composite legacy layout.
+  *
+  * Same publication model as Delta/Iceberg metadata commits (via
+  * [[Manifests]]), applied one level up: the "files" of a composite
+  * version are component versions. */
+object CompositeIndex {
+
+  /** One pinned component: the directory it lives in (relative to the
+    * index path) and the [[MergeTable]] version to read it at. */
+  final case class Ref(dir: String, version: Long)
+
+  /** One composite index version: the component refs that together
+    * form a consistent state. Readers resolve a pin ONCE and read
+    * every component at its pinned dir+version. */
+  final case class Pin(version: Long, refs: Map[String, Ref]) {
+    def apply(name: String): Ref = refs(name)
+  }
+
+  /** One manifest line: `<name>=<dir>@<version>`; bare
+    * `<name>=<version>` is a pre-token manifest, whose component lives
+    * at the fixed legacy name (the name itself). */
+  private def parseRef(line: String): (String, Ref) = {
+    val Array(k, rhs) = line.split("=", 2)
+    k -> (rhs.split("@", 2) match {
+      case Array(d, ver) => Ref(d, ver.toLong)
+      case Array(ver) => Ref(k, ver.toLong)
+    })
+  }
+}
+
+/** The composite-manifest operations for one index layout. `label` is
+  * the index kind in error messages ("dedup index", "lexical index");
+  * `componentNames` fix the layout (also the legacy fixed dir names
+  * and the token-dir prefixes). */
+final class CompositeIndex(label: String, componentNames: Seq[String]) {
+  import CompositeIndex._
+
+  require(componentNames.nonEmpty && componentNames.distinct == componentNames,
+    s"componentNames must be distinct and non-empty: $componentNames")
+
+  def componentPath(path: String, dir: String): String = s"$path/$dir"
+
+  private def manifestDir(spark: SparkSession, path: String) = {
+    val dir = new Path(path, "_manifests")
+    (dir.getFileSystem(spark.sessionState.newHadoopConf()), dir)
+  }
+
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val (fs, dir) = manifestDir(spark, path)
+    Manifests.latestVersion(fs, dir).isDefined
+  }
+
+  /** The latest committed composite version. */
+  def pin(spark: SparkSession, path: String): Pin = {
+    val (fs, dir) = manifestDir(spark, path)
+    val v = Manifests.latestVersion(fs, dir).getOrElse(
+      throw new IllegalArgumentException(s"no $label at $path"))
+    val m = Manifests.read(fs, dir, v).map(parseRef).toMap
+    componentNames.foreach(n => require(m.contains(n),
+      s"$label at $path: composite v$v is missing component $n"))
+    Pin(v, m)
+  }
+
+  /** Read one component at its pinned dir+version. */
+  def readAt(spark: SparkSession, path: String, p: Pin, name: String): DataFrame =
+    MergeTable.readAt(spark, componentPath(path, p(name).dir), p(name).version)
+
+  /** The ONE commit that publishes a new index state. Exclusive-create
+    * (the [[Manifests]] OCC primitive); losing the race means a second
+    * index-level writer, which the contract forbids — fail loudly. */
+  def commitPin(
+      spark: SparkSession, path: String, version: Long,
+      refs: Map[String, Ref]): Unit = {
+    require(refs.keySet == componentNames.toSet,
+      s"refs must cover exactly $componentNames, got ${refs.keySet}")
+    val (fs, dir) = manifestDir(spark, path)
+    try Manifests.commit(fs, dir, version,
+      componentNames.map(n => s"$n=${refs(n).dir}@${refs(n).version}"))
+    catch {
+      case _: FileAlreadyExistsException =>
+        throw new MergeTable.CommitConflict(
+          s"$label at $path has a concurrent index-level writer " +
+            s"(composite v$version already claimed); serialize writers — " +
+            "one maintenance stream per index")
+    }
+  }
+
+  /** Publish the successor of `p0` with `updated` components replacing
+    * their pinned refs (untouched components carry over). */
+  def publishNext(
+      spark: SparkSession, path: String, p0: Pin,
+      updated: Map[String, Ref]): Unit =
+    commitPin(spark, path, p0.version + 1, p0.refs ++ updated)
+
+  /** Scaffolded CREATE-INDEX: verifies no index exists, REFUSES a
+    * pre-composite legacy layout (it cannot be told apart from a
+    * crashed legacy build, so it must never be deleted — see
+    * [[migrate]]), clears unpublished token-dir leftovers (with a
+    * manifest re-check immediately before each delete, so a build that
+    * committed since the initial check is never swept), stages the
+    * components via `init` (component name → staging dir, returning
+    * each component's committed version), publishes ONE composite v1,
+    * and reads back every pinned component so a racer's sweep turns
+    * into a loud failure, never a silently-broken published index.
+    *
+    * Two RACING builds are a caller error made impossible-or-loud by
+    * the build-unique staging dirs: a racer can DELETE this build's
+    * dirs (reads then fail loudly, dir gone) but can never RE-CREATE
+    * them with its own data — wrong content behind a committed pin
+    * cannot happen. The composite-commit loser reclaims its private
+    * dirs only after proving the published pin is absent-or-someone-
+    * else's (an exception can surface after the manifest became
+    * durable), and rethrows. */
+  def build(
+      spark: SparkSession, path: String)(
+      init: Map[String, String] => Map[String, Long]): Pin = {
+    val (mfs, mdir) = manifestDir(spark, path)
+    require(Manifests.latestVersion(mfs, mdir).isEmpty,
+      s"$label already exists at $path")
+    val rootP = new Path(path)
+    val fs = rootP.getFileSystem(spark.sessionState.newHadoopConf())
+    val legacy = componentNames.filter(n => fs.exists(new Path(rootP, n)))
+    require(legacy.isEmpty,
+      s"$path holds pre-composite component tables (${legacy.mkString(", ")}) " +
+        "with no composite manifest — a legacy-layout index or a crashed " +
+        "legacy build; build() will not destroy it. Run migrate to publish " +
+        "it, or delete the directory deliberately to rebuild")
+    if (fs.exists(rootP)) {
+      val leftovers = fs.listStatus(rootP).map(_.getPath)
+        .filter(p => componentNames.exists(n =>
+          p.getName.matches(s"$n-[0-9a-f]+")))
+      if (leftovers.nonEmpty) {
+        require(Manifests.latestVersion(mfs, mdir).isEmpty,
+          s"$label already exists at $path")
+        leftovers.foreach(p => fs.delete(p, true))
+      }
+    }
+    val token = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val dirs = componentNames.map(n => n -> s"$n-$token").toMap
+    val versions = init(dirs)
+    val refs = componentNames.map(n => n -> Ref(dirs(n), versions(n))).toMap
+    try commitPin(spark, path, 1L, refs)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        val safeToReclaim =
+          try Manifests.latestVersion(mfs, mdir) match {
+            case None => true
+            case Some(_) =>
+              pin(spark, path)(componentNames.head).dir !=
+                dirs(componentNames.head)
+          }
+          catch { case scala.util.control.NonFatal(_) => false }
+        if (safeToReclaim)
+          dirs.values.foreach(d => fs.delete(new Path(rootP, d), true))
+        throw e
+    }
+    val committed = pin(spark, path)
+    componentNames.foreach(n =>
+      MergeTable.snapshotAt(spark,
+        componentPath(path, committed(n).dir), committed(n).version))
+    committed
+  }
+
+  /** Publish a PRE-COMPOSITE legacy index (components at the fixed
+    * names, each MergeTable-committed, no composite manifest) under
+    * the composite-manifest contract: one composite v1 pinning each
+    * component at its current latest version. [[build]] refuses such a
+    * layout rather than destroy it; this is the upgrade path. */
+  def migrate(spark: SparkSession, path: String): Unit = {
+    val (mfs, mdir) = manifestDir(spark, path)
+    require(Manifests.latestVersion(mfs, mdir).isEmpty,
+      s"$label at $path already has a composite manifest")
+    val refs = componentNames.map { n =>
+      val cp = componentPath(path, n)
+      require(MergeTable.exists(spark, cp),
+        s"nothing to migrate: no committed $n component at $path")
+      n -> Ref(n, MergeTable.snapshot(spark, cp).version)
+    }.toMap
+    commitPin(spark, path, 1L, refs)
+  }
+
+  /** Maintenance sweep over the whole index: vacuum each PINNED
+    * component table (data files neither the component tip nor the
+    * serving pin references — [[MergeTable.vacuum]] with the pin in
+    * `keepVersions`; older composite pins' time travel ends, the same
+    * retention semantics), delete component token dirs the current pin
+    * does not reference — orphans of a build that crashed or lost the
+    * v1 race after staging, which no other path can reclaim once the
+    * index exists (dirs are fixed for the index's lifetime, so the
+    * current pin IS the full referenced set) — and sweep manifest temp
+    * files stranded in the composite dir, which the component-level
+    * sweeps never visit.
+    *
+    * `retainMillis` is the shared concurrency grace: a token dir
+    * younger than it may be a build mid-staging and is kept. Returns
+    * the number of orphan dirs removed. */
+  def vacuum(
+      spark: SparkSession, path: String,
+      retainMillis: Long = 15L * 60L * 1000L): Int = {
+    require(retainMillis >= 0, "retainMillis must be >= 0")
+    val p0 = pin(spark, path)
+    componentNames.foreach(n =>
+      MergeTable.vacuum(spark, componentPath(path, p0(n).dir), retainMillis,
+        keepVersions = Seq(p0(n).version)))
+    val referenced = componentNames.map(n => p0(n).dir).toSet
+    val rootP = new Path(path)
+    val fs = rootP.getFileSystem(spark.sessionState.newHadoopConf())
+    val cutoff = System.currentTimeMillis() - retainMillis
+    val orphans = fs.listStatus(rootP)
+      .filter(_.isDirectory)
+      .filter(st => componentNames.exists(n =>
+        st.getPath.getName.matches(s"$n-[0-9a-f]+")))
+      .filterNot(st => referenced.contains(st.getPath.getName))
+      .filter(_.getModificationTime <= cutoff)
+    orphans.foreach(st => fs.delete(st.getPath, true))
+    val (mfs, mdir) = manifestDir(spark, path)
+    Manifests.sweepTemp(mfs, mdir, cutoff)
+    orphans.length
+  }
+}

@@ -79,9 +79,10 @@ class LexicalIndexSpec extends SparkSpec {
     val path = freshPath()
     LexicalIndex.build(spark, path, docs, "doc_id", "text")
     LexicalIndex.compact(spark, path, numFiles = 4)
-    // the plan bm25TopKMany runs for its postings touch (documented
-    // layout: `path/postings` is a MergeTable)
-    val scan = graft.sources.MergeTable.read(spark, s"$path/postings")
+    // the plan bm25TopKMany runs for its postings touch (the pinned
+    // postings component — dirs are build-unique token names)
+    val scan = graft.sources.MergeTable
+      .read(spark, LexicalIndex.postingsPath(spark, path))
       .filter(col("term").isin("w0", "w7"))
     val scans = graft.util.Plans.executedNodes(scan).collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f
@@ -190,5 +191,87 @@ class LexicalIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("corpus is empty"))
     intercept[IllegalArgumentException](
       LexicalIndex.bm25TopK(spark, freshPath(), "doc_id", Seq("term"), 5))
+  }
+
+  test("a query racing an upsert reads ONE pinned composite version, never mixed statistics") {
+    val path = freshPath()
+    LexicalIndex.build(spark, path, Seq(
+      (1L, "zebra quokka walrus"),
+      (2L, "entirely different words here")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val before = ranking(LexicalIndex.bm25TopK(spark, path, "doc_id", Seq("zebra"), 5))
+    assert(before.map(_._1) === Seq(1L))
+    // simulate an upsert IN FLIGHT: doc 1's postings delete has hit the
+    // component tip but the composite never flipped — a component-
+    // latest reader would lose the doc (or score fresh df against
+    // stale postings); a pinned reader must not notice
+    graft.sources.MergeTable.deleteWhere(
+      spark, LexicalIndex.postingsPath(spark, path), col("id") === 1L)
+    assert(ranking(LexicalIndex.bm25TopK(
+      spark, path, "doc_id", Seq("zebra"), 5)) === before,
+      "query read a mixed state: component-latest postings with pinned stats")
+    // the PUBLISHED replacement (one composite commit) flips the view
+    LexicalIndex.upsert(spark, path,
+      Seq((1L, "replaced content now")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(ranking(LexicalIndex.bm25TopK(
+      spark, path, "doc_id", Seq("zebra"), 5)).isEmpty)
+    assert(ranking(LexicalIndex.bm25TopK(
+      spark, path, "doc_id", Seq("replaced"), 5)).map(_._1) === Seq(1L))
+    // df/N statistics converged with the replacement: indexed ranking
+    // still bit-matches the fresh path over the new corpus state
+    val corpusNow = Seq(
+      (1L, "replaced content now"),
+      (2L, "entirely different words here")).toDF("doc_id", "text")
+    val q = Seq(Seq("replaced", "different"))
+    assert(LexicalIndex.bm25TopKMany(spark, path, "doc_id", q, 5).map(ranking)
+      === Lexical.bm25TopKMany(corpusNow, "doc_id", "text", q, 5).map(ranking))
+  }
+
+  test("a pre-composite legacy layout is refused by build and published by migrate") {
+    val path = freshPath()
+    // the layout the pre-composite code wrote: fixed component names,
+    // each MergeTable-committed, no composite manifest
+    val docs = Seq((1L, "zebra quokka walrus")).toDF("doc_id", "text")
+    val base = docs.select(col("doc_id").as("id"),
+      graft.functions.TextFunctions.wordsLower(col("text")).as("__ws"))
+      .select(col("id"), size(col("__ws")).cast("double").as("dl"), col("__ws"))
+    val postings = base
+      .select(col("id"), col("dl"), explode(col("__ws")).as("term"))
+      .groupBy(col("term"), col("id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .select(col("term"), col("id"), col("tf"), col("dl"))
+    graft.sources.MergeTable.init(spark, s"$path/doclens",
+      base.select(col("id"), col("dl")))
+    graft.sources.MergeTable.init(spark, s"$path/postings", postings)
+    graft.sources.MergeTable.init(spark, s"$path/termdf",
+      postings.groupBy(col("term")).agg(count(lit(1)).as("df")))
+    assert(!LexicalIndex.exists(spark, path))
+    val e = intercept[IllegalArgumentException] {
+      LexicalIndex.build(spark, path,
+        Seq((2L, "other text")).toDF("doc_id", "text"), "doc_id", "text")
+    }
+    assert(e.getMessage.contains("migrate"), e.getMessage)
+    LexicalIndex.migrate(spark, path)
+    assert(LexicalIndex.exists(spark, path))
+    assert(ranking(LexicalIndex.bm25TopK(
+      spark, path, "doc_id", Seq("zebra"), 5)).map(_._1) === Seq(1L))
+    // maintenance works on the migrated index (fixed-name dirs pinned)
+    LexicalIndex.upsert(spark, path,
+      Seq((3L, "quokka again appears")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(ranking(LexicalIndex.bm25TopK(
+      spark, path, "doc_id", Seq("quokka"), 5)).map(_._1).toSet === Set(1L, 3L))
+  }
+
+  test("vacuum reclaims orphan token dirs; the pinned index keeps serving") {
+    val path = freshPath()
+    LexicalIndex.build(spark, path,
+      Seq((1L, "zebra quokka walrus")).toDF("doc_id", "text"), "doc_id", "text")
+    graft.sources.MergeTable.init(spark, s"$path/postings-0ddba11c0de5",
+      Seq(("x", 9L, 1L, 3.0)).toDF("term", "id", "tf", "dl"))
+    LexicalIndex.upsert(spark, path,
+      Seq((2L, "fresh words arrive")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(LexicalIndex.vacuum(spark, path, retainMillis = 0L) === 1)
+    assert(ranking(LexicalIndex.bm25TopK(
+      spark, path, "doc_id", Seq("fresh"), 5)).map(_._1) === Seq(2L))
   }
 }
