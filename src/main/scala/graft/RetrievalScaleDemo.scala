@@ -122,7 +122,12 @@ object RetrievalScaleDemo {
     // postings — vs re-tokenizing the whole corpus per session above.
     val lexPath = s"$base/lex_index"
     if (!operators.LexicalIndex.exists(spark, lexPath)) {
-      time(s"LexicalIndex.build ($nKb docs, one-time)") {
+      // a reused /tmp dir may hold a pre-composite-layout index from an
+      // older build of this demo — publish it instead of rebuilding
+      // (build refuses to destroy a legacy layout)
+      if (sources.MergeTable.exists(spark, s"$lexPath/postings"))
+        operators.LexicalIndex.migrate(spark, lexPath)
+      else time(s"LexicalIndex.build ($nKb docs, one-time)") {
         operators.LexicalIndex.build(spark, lexPath, kbTable, "doc_id", "text")
         operators.LexicalIndex.compact(spark, lexPath, numFiles = 32)
       }
@@ -187,8 +192,11 @@ object RetrievalScaleDemo {
         f"scan=$secs%.2fs")
     }
     val lexRaw = s"$base/lex_uncompacted"
-    if (!operators.LexicalIndex.exists(spark, lexRaw))
-      operators.LexicalIndex.build(spark, lexRaw, kbTable, "doc_id", "text")
+    if (!operators.LexicalIndex.exists(spark, lexRaw)) {
+      if (sources.MergeTable.exists(spark, s"$lexRaw/postings"))
+        operators.LexicalIndex.migrate(spark, lexRaw)
+      else operators.LexicalIndex.build(spark, lexRaw, kbTable, "doc_id", "text")
+    }
     postingsScanIo("postings scan, UNCOMPACTED", lexRaw)
     postingsScanIo("postings scan, compacted(32)", lexPath)
     spark.stop()

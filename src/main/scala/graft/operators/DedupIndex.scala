@@ -102,11 +102,12 @@ object DedupIndex {
     * every component at its pinned dir+version. */
   final case class Pin(version: Long, bands: Ref, shingles: Ref, params: Ref)
 
-  /** The latest committed composite version. */
-  def pin(spark: SparkSession, path: String): Pin = {
-    val p = CI.pin(spark, path)
+  private def toPin(p: CompositeIndex.Pin): Pin =
     Pin(p.version, p("bands"), p("shingles"), p("params"))
-  }
+
+  /** The latest committed composite version. */
+  def pin(spark: SparkSession, path: String): Pin =
+    toPin(CI.pin(spark, path))
 
   /** Build the index at `path` from scratch (fails if one exists —
     * CREATE INDEX semantics; use [[upsert]] for maintenance). `docs`
@@ -144,12 +145,13 @@ object DedupIndex {
       idCol: String, textCol: String, shingleSize: Int = 3,
       numHashes: Int = 128, bands: Int = 32): Unit = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    // fail fast before the shingling scan; CompositeIndex.build
-    // re-checks under its own ordering guarantees
-    require(!exists(spark, path), s"dedup index already exists at $path")
+    // fail fast (index exists / refused legacy layout) BEFORE the
+    // corpus-scale shingling scan; CompositeIndex.build re-checks
+    // both under its own ordering guarantees
+    CI.requireBuildable(spark, path)
     val sh = shingled(docs, idCol, textCol, shingleSize)
     try {
-      CI.build(spark, path) { dirs =>
+      val committed = CI.build(spark, path) { dirs =>
         val sv = MergeTable.init(spark, componentPath(path, dirs("shingles")), sh)
         val bv = MergeTable.init(spark, componentPath(path, dirs("bands")),
           Dedup.bandFrame(sh, numHashes, bands))
@@ -162,7 +164,7 @@ object DedupIndex {
       }
       // CompositeIndex.build proved every pinned component EXISTS; the
       // params VALUES are this index's own integrity signal on top
-      val p = paramsAt(spark, path, pin(spark, path))
+      val p = paramsAt(spark, path, toPin(committed))
       require(p == Params(shingleSize, numHashes, bands),
         s"dedup index at $path corrupted by a concurrent build (read " +
           s"back $p); builds must be serialized — rebuild the path")

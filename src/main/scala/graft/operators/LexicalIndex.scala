@@ -99,7 +99,9 @@ object LexicalIndex {
   def build(
       spark: SparkSession, path: String, docs: DataFrame,
       idCol: String, textCol: String): Unit = {
-    require(!exists(spark, path), s"lexical index already exists at $path")
+    // fail fast (index exists / refused legacy layout) BEFORE the
+    // corpus-scale tokenization scan; CI.build re-checks
+    CI.requireBuildable(spark, path)
     val (postings, doclens, handle) = tokenize(docs, idCol, textCol)
     try {
       CI.build(spark, path) { dirs =>
@@ -193,7 +195,7 @@ object LexicalIndex {
           val pv = MergeTable.merge(spark, pPath, postings, Seq("id", "term"))
           val dv = MergeTable.merge(spark, dPath, doclens, Seq("id"))
           val tv = MergeTable.merge(spark, tPath, dfUpdates, Seq("term"))
-          CI.commitPin(spark, path, p0.version + 1, Map(
+          CI.publishNext(spark, path, p0, Map(
             "postings" -> Ref(p0("postings").dir, pv.version),
             "doclens" -> Ref(p0("doclens").dir, dv.version),
             "termdf" -> Ref(p0("termdf").dir, tv.version)))
@@ -215,9 +217,8 @@ object LexicalIndex {
     val pv = MergeTable.compactTableAt(
       spark, CI.componentPath(path, p0("postings").dir), "term", numFiles,
       Some(p0("postings").version))
-    CI.commitPin(spark, path, p0.version + 1, Map(
-      "postings" -> Ref(p0("postings").dir, pv.version),
-      "doclens" -> p0("doclens"), "termdf" -> p0("termdf")))
+    CI.publishNext(spark, path, p0,
+      Map("postings" -> Ref(p0("postings").dir, pv.version)))
   }
 
   /** [[Lexical.bm25TopK]] served from the index. */

@@ -124,8 +124,27 @@ final class CompositeIndex(label: String, componentNames: Seq[String]) {
     * their pinned refs (untouched components carry over). */
   def publishNext(
       spark: SparkSession, path: String, p0: Pin,
-      updated: Map[String, Ref]): Unit =
+      updated: Map[String, Ref]): Unit = {
+    require(updated.keySet.subsetOf(componentNames.toSet),
+      s"unknown components ${updated.keySet -- componentNames}")
     commitPin(spark, path, p0.version + 1, p0.refs ++ updated)
+  }
+
+  /** The CHEAP preconditions of [[build]] — no index published, no
+    * refused legacy layout — exposed so an index can fail fast BEFORE
+    * its corpus-scale staging scan (tokenization, shingling) instead
+    * of after it. [[build]] re-checks both under its own ordering. */
+  def requireBuildable(spark: SparkSession, path: String): Unit = {
+    require(!exists(spark, path), s"$label already exists at $path")
+    val rootP = new Path(path)
+    val fs = rootP.getFileSystem(spark.sessionState.newHadoopConf())
+    val legacy = componentNames.filter(n => fs.exists(new Path(rootP, n)))
+    require(legacy.isEmpty,
+      s"$path holds pre-composite component tables (${legacy.mkString(", ")}) " +
+        "with no composite manifest — a legacy-layout index or a crashed " +
+        "legacy build; build() will not destroy it. Run migrate to publish " +
+        "it, or delete the directory deliberately to rebuild")
+  }
 
   /** Scaffolded CREATE-INDEX: verifies no index exists, REFUSES a
     * pre-composite legacy layout (it cannot be told apart from a
@@ -149,17 +168,10 @@ final class CompositeIndex(label: String, componentNames: Seq[String]) {
   def build(
       spark: SparkSession, path: String)(
       init: Map[String, String] => Map[String, Long]): Pin = {
+    requireBuildable(spark, path)
     val (mfs, mdir) = manifestDir(spark, path)
-    require(Manifests.latestVersion(mfs, mdir).isEmpty,
-      s"$label already exists at $path")
     val rootP = new Path(path)
     val fs = rootP.getFileSystem(spark.sessionState.newHadoopConf())
-    val legacy = componentNames.filter(n => fs.exists(new Path(rootP, n)))
-    require(legacy.isEmpty,
-      s"$path holds pre-composite component tables (${legacy.mkString(", ")}) " +
-        "with no composite manifest — a legacy-layout index or a crashed " +
-        "legacy build; build() will not destroy it. Run migrate to publish " +
-        "it, or delete the directory deliberately to rebuild")
     if (fs.exists(rootP)) {
       val leftovers = fs.listStatus(rootP).map(_.getPath)
         .filter(p => componentNames.exists(n =>
@@ -173,6 +185,9 @@ final class CompositeIndex(label: String, componentNames: Seq[String]) {
     val token = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
     val dirs = componentNames.map(n => n -> s"$n-$token").toMap
     val versions = init(dirs)
+    require(versions.keySet == componentNames.toSet,
+      s"$label at $path: init must version exactly $componentNames, " +
+        s"got ${versions.keySet}")
     val refs = componentNames.map(n => n -> Ref(dirs(n), versions(n))).toMap
     try commitPin(spark, path, 1L, refs)
     catch {
