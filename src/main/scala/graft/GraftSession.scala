@@ -644,6 +644,42 @@ final case class GraftSession(
       removed
     }
 
+  /** Remove documents from EVERY surface this session serves them
+    * from — the purge path composed (the reference's row DELETE,
+    * applied across the serving stack): the knowledge base (through
+    * [[deleteIndexedKnowledge]]'s cluster-local rewrite when
+    * [[indexKnowledge]] ran, else the held frame), the lexical index
+    * ([[graft.operators.LexicalIndex.delete]] — postings, lengths AND
+    * df statistics, so rankings stop counting the dead docs), and the
+    * dedup index ([[graft.operators.DedupIndex.delete]] — the dead
+    * docs' signatures stop rejecting future lookalikes). Ids absent
+    * from a surface are no-ops there; indexes never built are
+    * skipped. Returns the number of KB rows removed.
+    *
+    * This is the one-call compliance story: after it returns, a doc
+    * is gone from storage AND from every statistic or signature that
+    * could reveal it once served it. Bounded id list — the index
+    * delete contracts. */
+  def retractDocuments(ids: Seq[Any], idCol: String = "id"): Long =
+    synchronized {
+      require(ids.nonEmpty, "ids must be non-empty")
+      import org.apache.spark.sql.functions.{coalesce, col, lit}
+      val cond = col(idCol).isin(ids: _*)
+      val removed =
+        if (ivfState.isDefined) deleteIndexedKnowledge(cond)
+        else {
+          val hit = knowledgeBase.filter(coalesce(cond, lit(false))).count()
+          if (hit > 0)
+            setKb(knowledgeBase.filter(!coalesce(cond, lit(false))))
+          hit
+        }
+      lexIndexPath.foreach(p =>
+        graft.operators.LexicalIndex.delete(spark, p, ids))
+      dedupIndexPath.foreach(p =>
+        graft.operators.DedupIndex.delete(spark, p, ids))
+      removed
+    }
+
   /** Reclaim data files referenced by neither the LATEST IVF manifest
     * nor the version this session has pinned (superseded versions,
     * losers of a commit race) — after which older versions are no

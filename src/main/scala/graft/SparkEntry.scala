@@ -1171,6 +1171,24 @@ object SparkEntry {
         .orderBy(col("source_type"), col("rank"))
     }),
 
+    "q122_bm25_after_delete" -> ((s, d) => {
+      // the serving-index PURGE path pinned against an independent
+      // engine: build over the full corpus, LexicalIndex.delete every
+      // doc_id % 7 == 0, rank the survivors. Postings, doclens AND the
+      // df dictionary must all reflect the purge — the oracle computes
+      // q100's BM25 over `WHERE doc_id % 7 <> 0` alone, so a stale df
+      // or length row fails the hash, not just a leaked dead doc. The
+      // in-query build+delete is the oracle's price (q103 convention).
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_q122").toString + "/idx"
+      operators.LexicalIndex.build(s, idx, T.documents(s, d), "doc_id", "text")
+      val dead = T.documents(s, d).filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id")).collect().map(_.get(0)).toSeq
+      operators.LexicalIndex.delete(s, idx, dead)
+      operators.LexicalIndex.bm25TopK(s, idx, "doc_id",
+        Seq("spark", "join", "slow"), k = 20)
+    }),
+
     "q94_json_redact" -> ((s, d) => {
       // recursive JSON redaction over structured metadata: build a
       // nested payload from real columns, sanitize it, extract fields
@@ -1809,6 +1827,32 @@ object SparkEntry {
         |         THEN substring(content, 1, 500) || '...' ELSE content END AS content,
         |  title, source_type, source_url, rank::INT AS rank
         |FROM t ORDER BY source_type, rank""".stripMargin,
+
+    // q122: q100's BM25 over the SURVIVING documents only — the purge
+    // must be reflected in postings, lengths, N/avgdl and df alike
+    "q122_bm25_after_delete" ->
+      """WITH w AS (SELECT doc_id,
+        |    CASE WHEN text IS NULL OR trim(lower(text)) = '' THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS ws
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |st AS (SELECT count(*)::DOUBLE AS n, avg(len(ws))::DOUBLE AS avgdl FROM w),
+        |dfs AS (SELECT
+        |    sum(CASE WHEN list_contains(ws, 'spark') THEN 1 ELSE 0 END)::DOUBLE AS df1,
+        |    sum(CASE WHEN list_contains(ws, 'join') THEN 1 ELSE 0 END)::DOUBLE AS df2,
+        |    sum(CASE WHEN list_contains(ws, 'slow') THEN 1 ELSE 0 END)::DOUBLE AS df3
+        |  FROM w),
+        |tf AS (SELECT doc_id, len(ws)::DOUBLE AS dl,
+        |    len(list_filter(ws, x -> x = 'spark'))::DOUBLE AS tf1,
+        |    len(list_filter(ws, x -> x = 'join'))::DOUBLE AS tf2,
+        |    len(list_filter(ws, x -> x = 'slow'))::DOUBLE AS tf3
+        |  FROM w),
+        |sc AS (SELECT doc_id,
+        |    (CASE WHEN tf1 > 0 THEN ln(1 + (n - df1 + 0.5)/(df1 + 0.5)) * tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * dl/avgdl)) ELSE 0 END)
+        |  + (CASE WHEN tf2 > 0 THEN ln(1 + (n - df2 + 0.5)/(df2 + 0.5)) * tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl/avgdl)) ELSE 0 END)
+        |  + (CASE WHEN tf3 > 0 THEN ln(1 + (n - df3 + 0.5)/(df3 + 0.5)) * tf3 * 2.2 / (tf3 + 1.2 * (0.25 + 0.75 * dl/avgdl)) ELSE 0 END) AS s
+        |  FROM tf, st, dfs)
+        |SELECT doc_id, round(s, 6) AS score FROM sc WHERE s > 0
+        |ORDER BY s DESC, doc_id LIMIT 20""".stripMargin,
 
     "q36_salted_count" ->
       "SELECT user_id, count(*) AS n FROM events GROUP BY user_id ORDER BY user_id",

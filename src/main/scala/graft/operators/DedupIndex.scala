@@ -246,6 +246,27 @@ object DedupIndex {
     } finally graft.util.Checkpoints.free(sh)
   }
 
+  /** Remove ids from the index outright — the purge form of
+    * [[upsert]]'s NULL-text content retraction, for callers that hold
+    * only ids (no docs frame): the ids' bands and shingles delete
+    * from both components and ONE composite commit publishes, so the
+    * dead docs' signatures stop rejecting future lookalikes. Ids
+    * absent from the index are no-ops; an all-absent batch publishes
+    * nothing. Bounded id list — the [[upsert]] batch contract. */
+  def delete(spark: SparkSession, path: String, ids: Seq[Any]): Unit = {
+    if (ids.isEmpty) return
+    val p0 = pin(spark, path)
+    val sV = MergeTable.deleteWhere(spark,
+      componentPath(path, p0.shingles.dir), col("id").isin(ids: _*)).version
+    val bV = MergeTable.deleteWhere(spark,
+      componentPath(path, p0.bands.dir), col("id").isin(ids: _*)).version
+    if (sV != p0.shingles.version || bV != p0.bands.version)
+      CI.commitPin(spark, path, p0.version + 1, Map(
+        "bands" -> Ref(p0.bands.dir, bV),
+        "shingles" -> Ref(p0.shingles.dir, sV),
+        "params" -> p0.params))
+  }
+
   /** Range-sort the band files on `bucket` so probe scans prune
     * non-matching files from parquet footers alone — [[LexicalIndex
     * .compact]]'s locality pass for the collision table. Run after

@@ -69,6 +69,8 @@ object LexicalIndex {
     * access — component dirs are build-unique, never assume a name). */
   private[graft] def postingsPath(spark: SparkSession, path: String): String =
     CI.componentPath(path, CI.pin(spark, path)("postings").dir)
+  private[graft] def termDfPath(spark: SparkSession, path: String): String =
+    CI.componentPath(path, CI.pin(spark, path)("termdf").dir)
 
   /** One tokenizing pass over `docs` → (postings, doclens) frames.
     * Shared by build and upsert; the returned frames are two reads of
@@ -203,6 +205,58 @@ object LexicalIndex {
       }
       ()
     } finally graft.util.Checkpoints.free(handle)
+  }
+
+  /** Remove documents from the index — the purge path. [[upsert]] can
+    * replace but never remove: a deleted document's postings, length
+    * and df contributions would otherwise serve (and skew every
+    * ranking's statistics) forever. For each id, the postings and
+    * doclens rows are deleted and each affected term's df decrements
+    * by the document's postings; dictionary rows whose df reaches 0
+    * are deleted outright — at 100 TB the term dictionary must not
+    * accumulate dead terms. Ids absent from the index are no-ops. The
+    * id list is driver-side (bounded batches — the [[upsert]]
+    * contract).
+    *
+    * Atomic and replay-convergent like [[upsert]]: the decrements
+    * compute from the PINNED state, every component write stays
+    * unpublished until the single composite commit, and the
+    * replace-by-key / delete-by-key writes are idempotent. */
+  def delete(spark: SparkSession, path: String, ids: Seq[Any]): Unit = {
+    if (ids.isEmpty) return
+    val p0 = CI.pin(spark, path)
+    val pPath = CI.componentPath(path, p0("postings").dir)
+    val dPath = CI.componentPath(path, p0("doclens").dir)
+    val tPath = CI.componentPath(path, p0("termdf").dir)
+    // the dying docs' per-term posting counts, from the PIN — read
+    // again after the deletes start, so it must not be a live view
+    val oldCounts = MergeTable.readAt(spark, pPath, p0("postings").version)
+      .filter(col("id").isin(ids: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("__old"))
+      .localCheckpoint(true)
+    try {
+      val dfNew = MergeTable.readAt(spark, tPath, p0("termdf").version)
+        .join(oldCounts, Seq("term"))
+        .select(col("term"), (col("df") - col("__old")).as("df"))
+        .localCheckpoint(true)
+      try {
+        val pv = MergeTable.deleteWhere(spark, pPath, col("id").isin(ids: _*))
+        val dv = MergeTable.deleteWhere(spark, dPath, col("id").isin(ids: _*))
+        val tvMerged =
+          MergeTable.merge(spark, tPath, dfNew.filter(col("df") > 0), Seq("term"))
+        // dead dictionary terms: bounded by the dying docs' vocabulary
+        val dead = dfNew.filter(col("df") <= 0).select(col("term"))
+          .collect().map(_.getString(0)).toSeq
+        val tv =
+          if (dead.isEmpty) tvMerged.version
+          else MergeTable.deleteWhere(spark, tPath,
+            col("term").isin(dead: _*)).version
+        CI.publishNext(spark, path, p0, Map(
+          "postings" -> Ref(p0("postings").dir, pv.version),
+          "doclens" -> Ref(p0("doclens").dir, dv.version),
+          "termdf" -> Ref(p0("termdf").dir, tv)))
+      } finally graft.util.Checkpoints.free(dfNew)
+    } finally graft.util.Checkpoints.free(oldCounts)
   }
 
   /** Range-sort the postings files on `term` so query-term scans prune

@@ -487,6 +487,35 @@ class DedupIndexSpec extends SparkSpec {
       s"vacuum broke the serving pin while the tip was ahead: $probed")
   }
 
+  test("delete purges ids outright: signatures stop serving; absent ids publish nothing") {
+    val path = freshPath()
+    DedupIndex.build(spark, path, Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "totally disjoint vocabulary set occupying space")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    DedupIndex.delete(spark, path, Seq(1L))
+    assert(DedupIndex.pin(spark, path).version === 2L)
+    // the purged content must no longer reject its lookalikes, while
+    // the survivor keeps serving
+    assert(pairs(DedupIndex.nearDupsAgainst(
+      spark, path,
+      Seq((9L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text"),
+      "doc_id", "text", threshold = 0.5)) === Set.empty[(Long, Long, Double)])
+    assert(pairs(DedupIndex.nearDupsAgainst(
+      spark, path,
+      Seq((9L, "totally disjoint vocabulary set occupying space")).toDF("doc_id", "text"),
+      "doc_id", "text", threshold = 0.5)) === Set((2L, 9L, 1.0)))
+    // absent ids: no component changed, so nothing publishes
+    DedupIndex.delete(spark, path, Seq(999L))
+    assert(DedupIndex.pin(spark, path).version === 2L)
+    // idempotent replay
+    DedupIndex.delete(spark, path, Seq(1L))
+    assert(pairs(DedupIndex.nearDupsAgainst(
+      spark, path,
+      Seq((9L, "totally disjoint vocabulary set occupying space")).toDF("doc_id", "text"),
+      "doc_id", "text", threshold = 0.5)) === Set((2L, 9L, 1.0)))
+  }
+
   test("admitOnePerId on an already-reduced batch matches admit") {
     val path = freshPath()
     DedupIndex.build(spark, path,

@@ -98,6 +98,46 @@ class GraftSessionSpec extends SparkSpec {
     assert(graft.operators.LexicalIndex.exists(spark, path))
   }
 
+  test("retractDocuments purges every serving surface in one call") {
+    val emb = HashEmbedder(16)
+    val g = GraftSession(spark, emb)
+    val kb = emb.embedColumn(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely different content about distributed query engines"),
+      (3L, "a third document about streaming watermark semantics"))
+      .toDF("id", "content"), "content", "embedding")
+    g.loadKnowledgeBase(kb)
+    val base = java.nio.file.Files.createTempDirectory("gs_retract").toString
+    g.indexKnowledge(s"$base/kb", nClusters = 1, nprobe = 1)
+    try {
+      g.buildLexicalIndex(s"$base/lex")
+      g.buildDedupIndex(s"$base/dup")
+      // doc 1 serves everywhere before the purge (hash-embedder
+      // similarity is crude — membership, not rank, is the signal)
+      assert(g.searchKnowledge("quick brown fox dog", k = 3)
+        .select("id").as[Long].collect().toSet.contains(1L))
+      val lookalike = Seq((9L, "the quick brown fox jumps over the lazy dog tonight"))
+        .toDF("id", "content")
+      assert(g.admitDocuments(lookalike, threshold = 0.5).isEmpty,
+        "lookalike must be rejected while doc 1 is indexed")
+
+      assert(g.retractDocuments(Seq(1L)) === 1L)
+
+      // storage: gone from the KB and the IVF serving path
+      assert(g.knowledgeBase.filter(col("id") === 1L).isEmpty)
+      assert(g.searchKnowledge("quick brown fox dog", k = 3)
+        .select("id").as[Long].collect().toSet === Set(2L, 3L))
+      // lexical statistics: rankings match a fresh index over survivors
+      assert(graft.operators.LexicalIndex.bm25TopK(
+          spark, s"$base/lex", "id", Seq("quick", "fox"), 5).isEmpty)
+      // dedup signatures: the lookalike is now admissible
+      assert(g.admitDocuments(lookalike, threshold = 0.5)
+        .select("id").as[Long].collect().toSeq === Seq(9L))
+      // absent ids are a no-op
+      assert(g.retractDocuments(Seq(999L)) === 0L)
+    } finally graft.plans.IvfIndex.unregister(spark, "embedding")
+  }
+
   test("indexKnowledge: one call makes searchKnowledge and hybridSearchKnowledge prune; nprobe=all is exact") {
     import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
     val emb = HashEmbedder(16)

@@ -262,6 +262,46 @@ class LexicalIndexSpec extends SparkSpec {
       spark, path, "doc_id", Seq("quokka"), 5)).map(_._1).toSet === Set(1L, 3L))
   }
 
+  test("delete purges docs: rankings bit-match the fresh path over the survivors") {
+    val docs = corpus(19, 40).toDF("doc_id", "text")
+    val path = freshPath()
+    LexicalIndex.build(spark, path, docs, "doc_id", "text")
+    val dead = Seq(3L, 7L, 11L, 20L)
+    LexicalIndex.delete(spark, path, dead)
+    val survivors = docs.filter(!col("doc_id").isin(dead: _*))
+    val queries = Seq(Seq("w0", "w3", "w11"), Seq("w5", "w9"))
+    // df, N, avgdl and postings must ALL reflect the purge — bit-equal
+    // to a fresh index over the surviving corpus
+    assert(LexicalIndex.bm25TopKMany(spark, path, "doc_id", queries, 40).map(ranking)
+      === Lexical.bm25TopKMany(survivors, "doc_id", "text", queries, 40).map(ranking))
+    // deleting the same ids again is idempotent — the at-least-once
+    // replay shape
+    LexicalIndex.delete(spark, path, dead)
+    assert(LexicalIndex.bm25TopKMany(spark, path, "doc_id", queries, 40).map(ranking)
+      === Lexical.bm25TopKMany(survivors, "doc_id", "text", queries, 40).map(ranking))
+  }
+
+  test("delete drops dead dictionary terms and leaves absent ids as unpublished no-ops") {
+    val path = freshPath()
+    LexicalIndex.build(spark, path, Seq(
+      (1L, "unicorn zebra"),
+      (2L, "zebra walrus")).toDF("doc_id", "text"), "doc_id", "text")
+    LexicalIndex.delete(spark, path, Seq(1L))
+    // 'unicorn' lived only in doc 1 → its dictionary row must be GONE
+    // (a 100 TB dictionary must not accumulate dead terms), while
+    // 'zebra' survives with df decremented to 1
+    import graft.sources.MergeTable
+    val dict = MergeTable.read(spark, LexicalIndex.termDfPath(spark, path))
+      .as[(String, Long)].collect().toMap
+    assert(!dict.contains("unicorn"), s"dead term kept: $dict")
+    assert(dict.get("zebra").contains(1L), s"df not decremented: $dict")
+    // absent ids: nothing changes, nothing publishes
+    val before = ranking(LexicalIndex.bm25TopK(spark, path, "doc_id", Seq("zebra"), 5))
+    LexicalIndex.delete(spark, path, Seq(999L))
+    assert(ranking(LexicalIndex.bm25TopK(
+      spark, path, "doc_id", Seq("zebra"), 5)) === before)
+  }
+
   test("vacuum reclaims orphan token dirs; the pinned index keeps serving") {
     val path = freshPath()
     LexicalIndex.build(spark, path,
