@@ -656,28 +656,33 @@ final case class GraftSession(
     * from a surface are no-ops there; indexes never built are
     * skipped. Returns the number of KB rows removed.
     *
-    * This is the one-call compliance story: after it returns, a doc
+    * This is the one-call compliance story: after it RETURNS, a doc
     * is gone from storage AND from every statistic or signature that
-    * could reveal it once served it. Bounded id list — the index
-    * delete contracts. */
+    * could reveal it once served it. The surfaces commit in sequence
+    * (each index's own atomic publish; no cross-surface transaction
+    * exists at this layer), ordered so a partial failure never
+    * claims compliance it doesn't have: the derived surfaces (lexical
+    * statistics, dedup signatures) purge FIRST and the KB — the
+    * source of truth whose deletion is the compliance event — commits
+    * LAST. If any step throws, the doc still exists in the KB and the
+    * call must be retried; every step is idempotent, so the retry
+    * converges. Bounded id list — the index delete contracts. */
   def retractDocuments(ids: Seq[Any], idCol: String = "id"): Long =
     synchronized {
       require(ids.nonEmpty, "ids must be non-empty")
       import org.apache.spark.sql.functions.{coalesce, col, lit}
       val cond = col(idCol).isin(ids: _*)
-      val removed =
-        if (ivfState.isDefined) deleteIndexedKnowledge(cond)
-        else {
-          val hit = knowledgeBase.filter(coalesce(cond, lit(false))).count()
-          if (hit > 0)
-            setKb(knowledgeBase.filter(!coalesce(cond, lit(false))))
-          hit
-        }
       lexIndexPath.foreach(p =>
         graft.operators.LexicalIndex.delete(spark, p, ids))
       dedupIndexPath.foreach(p =>
         graft.operators.DedupIndex.delete(spark, p, ids))
-      removed
+      if (ivfState.isDefined) deleteIndexedKnowledge(cond)
+      else {
+        val hit = knowledgeBase.filter(coalesce(cond, lit(false))).count()
+        if (hit > 0)
+          setKb(knowledgeBase.filter(!coalesce(cond, lit(false))))
+        hit
+      }
     }
 
   /** Reclaim data files referenced by neither the LATEST IVF manifest

@@ -1174,15 +1174,19 @@ object SparkEntry {
     "q122_bm25_after_delete" -> ((s, d) => {
       // the serving-index PURGE path pinned against an independent
       // engine: build over the full corpus, LexicalIndex.delete every
-      // doc_id % 7 == 0, rank the survivors. Postings, doclens AND the
-      // df dictionary must all reflect the purge — the oracle computes
-      // q100's BM25 over `WHERE doc_id % 7 <> 0` alone, so a stale df
-      // or length row fails the hash, not just a leaked dead doc. The
+      // doc_id % 7 == 0 below 7000, rank the survivors. Postings,
+      // doclens AND the df dictionary must all reflect the purge — the
+      // oracle computes q100's BM25 over the survivors alone, so a
+      // stale df or length row fails the hash, not just a leaked dead
+      // doc. The id cap keeps the purge batch ≤1000 ids at EVERY scale
+      // factor (delete's bounded-batch contract — sf0.01's 5000 docs
+      // are all under the cap, so the cut is corpus-wide there); the
       // in-query build+delete is the oracle's price (q103 convention).
       val idx = java.nio.file.Files
         .createTempDirectory("graft_q122").toString + "/idx"
       operators.LexicalIndex.build(s, idx, T.documents(s, d), "doc_id", "text")
-      val dead = T.documents(s, d).filter(col("doc_id") % 7 === 0)
+      val dead = T.documents(s, d)
+        .filter(col("doc_id") % 7 === 0 && col("doc_id") < 7000)
         .select(col("doc_id")).collect().map(_.get(0)).toSeq
       operators.LexicalIndex.delete(s, idx, dead)
       operators.LexicalIndex.bm25TopK(s, idx, "doc_id",
@@ -1834,7 +1838,7 @@ object SparkEntry {
       """WITH w AS (SELECT doc_id,
         |    CASE WHEN text IS NULL OR trim(lower(text)) = '' THEN []::VARCHAR[]
         |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS ws
-        |  FROM documents WHERE doc_id % 7 <> 0),
+        |  FROM documents WHERE NOT (doc_id % 7 = 0 AND doc_id < 7000)),
         |st AS (SELECT count(*)::DOUBLE AS n, avg(len(ws))::DOUBLE AS avgdl FROM w),
         |dfs AS (SELECT
         |    sum(CASE WHEN list_contains(ws, 'spark') THEN 1 ELSE 0 END)::DOUBLE AS df1,

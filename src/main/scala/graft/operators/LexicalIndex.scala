@@ -71,6 +71,8 @@ object LexicalIndex {
     CI.componentPath(path, CI.pin(spark, path)("postings").dir)
   private[graft] def termDfPath(spark: SparkSession, path: String): String =
     CI.componentPath(path, CI.pin(spark, path)("termdf").dir)
+  private[graft] def pinVersion(spark: SparkSession, path: String): Long =
+    CI.pin(spark, path).version
 
   /** One tokenizing pass over `docs` → (postings, doclens) frames.
     * Shared by build and upsert; the returned frames are two reads of
@@ -242,19 +244,29 @@ object LexicalIndex {
       try {
         val pv = MergeTable.deleteWhere(spark, pPath, col("id").isin(ids: _*))
         val dv = MergeTable.deleteWhere(spark, dPath, col("id").isin(ids: _*))
-        val tvMerged =
-          MergeTable.merge(spark, tPath, dfNew.filter(col("df") > 0), Seq("term"))
-        // dead dictionary terms: bounded by the dying docs' vocabulary
-        val dead = dfNew.filter(col("df") <= 0).select(col("term"))
-          .collect().map(_.getString(0)).toSeq
+        // the dictionary only moves when some posting actually died
         val tv =
-          if (dead.isEmpty) tvMerged.version
-          else MergeTable.deleteWhere(spark, tPath,
-            col("term").isin(dead: _*)).version
-        CI.publishNext(spark, path, p0, Map(
-          "postings" -> Ref(p0("postings").dir, pv.version),
-          "doclens" -> Ref(p0("doclens").dir, dv.version),
-          "termdf" -> Ref(p0("termdf").dir, tv)))
+          if (dfNew.isEmpty) p0("termdf").version
+          else {
+            val merged = MergeTable.merge(spark, tPath,
+              dfNew.filter(col("df") > 0), Seq("term"))
+            // dead dictionary terms: bounded by the dying docs' vocabulary
+            val dead = dfNew.filter(col("df") <= 0).select(col("term"))
+              .collect().map(_.getString(0)).toSeq
+            if (dead.isEmpty) merged.version
+            else MergeTable.deleteWhere(spark, tPath,
+              col("term").isin(dead: _*)).version
+          }
+        // all-absent ids leave every component at its pin: publish
+        // nothing (DedupIndex.delete's no-op contract — a replayed or
+        // empty-effect purge must not grow the composite log forever)
+        if (pv.version != p0("postings").version ||
+            dv.version != p0("doclens").version ||
+            tv != p0("termdf").version)
+          CI.publishNext(spark, path, p0, Map(
+            "postings" -> Ref(p0("postings").dir, pv.version),
+            "doclens" -> Ref(p0("doclens").dir, dv.version),
+            "termdf" -> Ref(p0("termdf").dir, tv)))
       } finally graft.util.Checkpoints.free(dfNew)
     } finally graft.util.Checkpoints.free(oldCounts)
   }

@@ -295,9 +295,13 @@ class LexicalIndexSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(!dict.contains("unicorn"), s"dead term kept: $dict")
     assert(dict.get("zebra").contains(1L), s"df not decremented: $dict")
-    // absent ids: nothing changes, nothing publishes
+    // absent ids: nothing changes, nothing publishes (the composite
+    // log must not grow on empty-effect purges)
     val before = ranking(LexicalIndex.bm25TopK(spark, path, "doc_id", Seq("zebra"), 5))
+    val vBefore = LexicalIndex.pinVersion(spark, path)
     LexicalIndex.delete(spark, path, Seq(999L))
+    assert(LexicalIndex.pinVersion(spark, path) === vBefore,
+      "empty-effect delete published a no-op composite version")
     assert(ranking(LexicalIndex.bm25TopK(
       spark, path, "doc_id", Seq("zebra"), 5)) === before)
   }
