@@ -192,7 +192,11 @@ object Bench {
       "q113 is the DedupIndex analog: its ~2s is dominated by the " +
       "in-query index build over the sf corpus; the amortized admission " +
       "probe is the point (DedupIndexScaleDemo: 9.1s probe vs 41.0s " +
-      "fresh recompute at 1M indexed docs).")
+      "fresh recompute at 1M indexed docs). q122 pays the q103 build " +
+      "price PLUS an in-query 1000-id purge (two bounded deleteWhere " +
+      "rewrites + the df decrement merge) — the timed region is the " +
+      "whole build+purge lifecycle; a deployment amortizes the build " +
+      "and pays only the bounded purge per retraction batch.")
     println("note: provenance in the JSON line — sf_mtime is the testdata " +
       "provision timestamp, start the bench start, warmup_first_sec the " +
       "cold-JVM first warmup query's wall time. A bench starting within " +
