@@ -40,7 +40,9 @@ object IndexMaintenance {
 
   /** Start a stream that keeps the session's indexed KB (and
     * optionally a lexical index at `lexicalPath` and a near-dup index
-    * at `dedupPath`) fresh.
+    * at `dedupPath`) fresh. Rows with a NULL `contentCol` are
+    * RETRACTIONS — the id is purged from every maintained surface
+    * (see [[applyBatch]]), making the arrival path full CRUD.
     *
     * @param session    holds the indexed KB ([[GraftSession
     *                   .indexKnowledge]] / [[GraftSession
@@ -142,7 +144,9 @@ object IndexMaintenance {
     * `schema` must carry `idCol` and `contentCol` (and `vecCol` /
     * `versionCol` when used); read the quarantine back with
     * `spark.read.text(quarantinePath)` (partition discovery surfaces
-    * `batch_id`). */
+    * `batch_id`). A well-formed line with a NULL `contentCol` (e.g.
+    * `{"id":5,"content":null}`) is a RETRACTION, not quarantine — the
+    * id purges from every maintained surface (see [[applyBatch]]). */
   def runJsonlToIndexedKnowledge(
       session: GraftSession, dir: String,
       schema: org.apache.spark.sql.types.StructType,
@@ -225,7 +229,19 @@ object IndexMaintenance {
       renames.get(c).map(t => q(c).as(t)).getOrElse(q(c))): _*)
   }
 
-  /** One micro-batch, exposed for direct (non-streaming) backfills. */
+  /** One micro-batch, exposed for direct (non-streaming) backfills.
+    *
+    * A row with a NULL `contentCol` is a RETRACTION (the
+    * [[graft.operators.DedupIndex.upsert]] convention, extended to
+    * the whole arrival path): the id's KB row deletes (cluster-local
+    * IVF rewrite), its lexical postings/length/df contributions
+    * delete, and its dedup signature deletes — instead of the
+    * pre-retraction behavior of embedding "" and storing a content-
+    * less tombstone that inflated lexical N and served garbage
+    * vectors. Retractions bypass the admission gate (nothing to
+    * near-dup) and order derived-surfaces-first like
+    * [[GraftSession.retractDocuments]]; a replayed batch's deletes
+    * are idempotent, so convergence is inherited. */
   private[graft] def applyBatch(
       session: GraftSession, batch: DataFrame,
       versionCol: Option[String], lexicalPath: Option[String],
@@ -237,8 +253,22 @@ object IndexMaintenance {
     // deterministic winner per id (see class doc): version desc when
     // given, then a content fingerprint — row_number over a tied sort
     // is partition-order-dependent and would break replay convergence
-    val one = graft.operators.Dedup.deterministicOnePerKey(
+    val one0 = graft.operators.Dedup.deterministicOnePerKey(
       batch, idCol, versionCol)
+    // retractions split off BEFORE the gate and the embed: their ids
+    // are batch-bounded (the delete contracts)
+    val retractIds = one0
+      .filter(col(contentCol).isNull && col(idCol).isNotNull)
+      .select(col(idCol)).collect().map(_.get(0)).toSeq
+    if (retractIds.nonEmpty) {
+      lexicalPath.foreach(lp => graft.operators.LexicalIndex.delete(
+        session.spark, lp, retractIds))
+      dedupPath.foreach(dp => graft.operators.DedupIndex.delete(
+        session.spark, dp, retractIds))
+      session.deleteIndexedKnowledge(col(idCol).isin(retractIds: _*))
+      ()
+    }
+    val one = one0.filter(col(contentCol).isNotNull)
     // admission gate BEFORE any index sees the batch: near-dups of the
     // admitted corpus (or of a smaller-id batchmate) never ingest.
     // admit() returns a materialized frame; on replay the batch's ids

@@ -153,6 +153,58 @@ class IndexMaintenanceSpec extends SparkSpec {
     } finally graft.plans.IvfIndex.unregister(spark, "embedding")
   }
 
+  test("NULL-content stream rows RETRACT the id from every maintained surface") {
+    implicit val sqlCtx = spark.sqlContext
+    val emb = HashEmbedder(16)
+    val g = GraftSession(spark, emb)
+    val initial = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely different content about distributed query engines"))
+    g.loadKnowledgeBase(emb.embedColumn(
+      initial.toDF("id", "content"), "content", "embedding"))
+    val base = java.nio.file.Files.createTempDirectory("idx_maint_retract").toString
+    g.indexKnowledge(s"$base/kb", nClusters = 1, nprobe = 1)
+    operators.DedupIndex.build(spark, s"$base/dup",
+      initial.toDF("id", "content"), "id", "content")
+    operators.LexicalIndex.build(spark, s"$base/lex",
+      initial.toDF("id", "content"), "id", "content")
+    try {
+      val input = MemoryStream[(Long, String)]
+      val q = IndexMaintenance.runToIndexedKnowledge(
+        g, input.toDF().toDF("id", "content"),
+        checkpoint = s"$base/ckpt",
+        lexicalPath = Some(s"$base/lex"),
+        dedupPath = Some(s"$base/dup"), admitThreshold = Some(0.5))
+      try {
+        // the retraction arrives alongside a normal insert
+        input.addData((1L, null.asInstanceOf[String]),
+          (30L, "a brand new third document about watermarks"))
+        q.processAllAvailable()
+
+        // KB: doc 1's row is GONE (not a content-less tombstone)
+        assert(g.knowledgeBase.select("id").collect().map(_.getLong(0)).toSet
+          === Set(2L, 30L))
+        // lexical: doc 1 stopped ranking; N reflects the purge
+        assert(operators.LexicalIndex.bm25TopK(
+          spark, s"$base/lex", "id", Seq("quick", "fox"), 5).isEmpty)
+        assert(operators.LexicalIndex.bm25TopK(
+            spark, s"$base/lex", "id", Seq("watermarks"), 5)
+          .select("id").as[Long].collect().toSeq === Seq(30L))
+        // dedup: doc 1's lookalike is admissible again
+        input.addData(
+          (40L, "the quick brown fox jumps over the lazy dog tonight"))
+        q.processAllAvailable()
+        assert(g.knowledgeBase.filter(col("id") === 40L).count() === 1L,
+          "retracted content still rejecting lookalikes")
+        // replayed retraction (at-least-once): converges, no error
+        input.addData((1L, null.asInstanceOf[String]))
+        q.processAllAvailable()
+        assert(g.knowledgeBase.select("id").collect().map(_.getLong(0)).toSet
+          === Set(2L, 30L, 40L))
+      } finally q.stop()
+    } finally graft.plans.IvfIndex.unregister(spark, "embedding")
+  }
+
   test("JSONL arrival path: quarantine split + admission + index merge in one stream, restart-convergent") {
     val emb = HashEmbedder(16)
     val g = GraftSession(spark, emb)
