@@ -79,6 +79,12 @@ object IndexMaintenance {
     *                   later probe verify family-sized candidate
     *                   sets — the long-running-stream form of the
     *                   hazard. Buckets above the cap drop whole.
+    * @param retractOnNullContent NULL-`contentCol` rows purge their id
+    *                   from every maintained surface ([[applyBatch]]).
+    *                   Set false when producers may emit rows with the
+    *                   content field merely MISSING (indistinguishable
+    *                   from an explicit null after parsing) — such
+    *                   rows are then dropped, never applied.
     */
   def runToIndexedKnowledge(
       session: GraftSession, docs: DataFrame, checkpoint: String,
@@ -88,7 +94,8 @@ object IndexMaintenance {
       admitThreshold: Option[Double] = None,
       admitMaxBucketPostings: Option[Int] = None,
       idCol: String = "id", contentCol: String = "content",
-      vecCol: String = "embedding"): StreamingQuery = {
+      vecCol: String = "embedding",
+      retractOnNullContent: Boolean = true): StreamingQuery = {
     require(admitThreshold.isEmpty || dedupPath.nonEmpty,
       "admitThreshold needs dedupPath: admission probes the persisted dedup index")
     require(admitMaxBucketPostings.isEmpty || admitThreshold.nonEmpty,
@@ -117,7 +124,8 @@ object IndexMaintenance {
           if (batch.count() > 0) applyBatch(session, batch.toDF(),
             versionCol, lexicalPath, dedupPath, admitThreshold,
             idCol = idCol, contentCol = contentCol, vecCol = vecCol,
-            admitMaxBucketPostings = admitMaxBucketPostings)
+            admitMaxBucketPostings = admitMaxBucketPostings,
+            retractOnNullContent = retractOnNullContent)
           ()
         } finally batch.unpersist()
       }
@@ -158,7 +166,8 @@ object IndexMaintenance {
       admitMaxBucketPostings: Option[Int] = None,
       maxFilesPerTrigger: Option[Int] = None,
       idCol: String = "id", contentCol: String = "content",
-      vecCol: String = "embedding"): StreamingQuery = {
+      vecCol: String = "embedding",
+      retractOnNullContent: Boolean = true): StreamingQuery = {
     require(admitThreshold.isEmpty || dedupPath.nonEmpty,
       "admitThreshold needs dedupPath: admission probes the persisted dedup index")
     require(admitMaxBucketPostings.isEmpty || admitThreshold.nonEmpty,
@@ -190,7 +199,8 @@ object IndexMaintenance {
               optional = Seq(vecCol)),
             versionCol, lexicalPath, dedupPath, admitThreshold,
             idCol = idCol, contentCol = contentCol, vecCol = vecCol,
-            admitMaxBucketPostings = admitMaxBucketPostings)
+            admitMaxBucketPostings = admitMaxBucketPostings,
+            retractOnNullContent = retractOnNullContent)
           ()
         } finally batch.unpersist()
       }
@@ -233,15 +243,39 @@ object IndexMaintenance {
     *
     * A row with a NULL `contentCol` is a RETRACTION (the
     * [[graft.operators.DedupIndex.upsert]] convention, extended to
-    * the whole arrival path): the id's KB row deletes (cluster-local
-    * IVF rewrite), its lexical postings/length/df contributions
-    * delete, and its dedup signature deletes — instead of the
-    * pre-retraction behavior of embedding "" and storing a content-
-    * less tombstone that inflated lexical N and served garbage
-    * vectors. Retractions bypass the admission gate (nothing to
-    * near-dup) and order derived-surfaces-first like
-    * [[GraftSession.retractDocuments]]; a replayed batch's deletes
-    * are idempotent, so convergence is inherited. */
+    * the whole arrival path): the id's lexical postings/length/df
+    * contributions delete, its dedup signature deletes, and its KB
+    * row deletes — instead of the pre-retraction behavior of
+    * embedding "" and storing a content-less tombstone that inflated
+    * lexical N and served garbage vectors. Retractions bypass the
+    * admission gate (nothing to near-dup); a replayed batch's deletes
+    * are idempotent, so convergence is inherited. Semantics and
+    * bounds:
+    *
+    *  - With `versionCol`, a retraction competes for its id by
+    *    version like any row (the deterministic per-id resolution is
+    *    uniform): VERSION YOUR RETRACTIONS on versioned streams — an
+    *    unversioned one sorts last and loses to any versioned
+    *    same-batch row for the id.
+    *  - Set `retractOnNullContent = false` when producers may emit
+    *    rows with the content field merely MISSING (a partial-update
+    *    bug is indistinguishable from an explicit null after JSON
+    *    parsing): NULL-content rows are then DROPPED, never applied.
+    *  - Surface order: derived surfaces (lexical, dedup) purge
+    *    first, then the batch's live rows upsert, then the KB delete
+    *    commits LAST — so a reload batch (retract-all + insert
+    *    replacements) never routes the KB through an empty state. A
+    *    retraction batch that leaves the KB genuinely EMPTY is
+    *    refused by [[GraftSession.deleteIndexedKnowledge]] (an empty
+    *    index version is unreadable) and poisons the stream by
+    *    replay — full teardown is an offline rebuild, not a stream
+    *    event.
+    *  - Retract ids are driver-collected and pushed as predicates:
+    *    micro-batch-bounded by construction, but cap bulk-purge
+    *    backlogs (`maxFilesPerTrigger` on the JSONL path) — the
+    *    documented delete-batch contract. The KB delete's discovery
+    *    pass scans the corpus NARROWLY (id+cluster columns only) to
+    *    find touched clusters; the rewrite itself is cluster-local. */
   private[graft] def applyBatch(
       session: GraftSession, batch: DataFrame,
       versionCol: Option[String], lexicalPath: Option[String],
@@ -249,37 +283,40 @@ object IndexMaintenance {
       admitThreshold: Option[Double] = None,
       idCol: String = "id", contentCol: String = "content",
       vecCol: String = "embedding",
-      admitMaxBucketPostings: Option[Int] = None): Unit = {
+      admitMaxBucketPostings: Option[Int] = None,
+      retractOnNullContent: Boolean = true): Unit = {
     // deterministic winner per id (see class doc): version desc when
     // given, then a content fingerprint — row_number over a tied sort
     // is partition-order-dependent and would break replay convergence
     val one0 = graft.operators.Dedup.deterministicOnePerKey(
       batch, idCol, versionCol)
-    // retractions split off BEFORE the gate and the embed: their ids
-    // are batch-bounded (the delete contracts)
-    val retractIds = one0
-      .filter(col(contentCol).isNull && col(idCol).isNotNull)
-      .select(col(idCol)).collect().map(_.get(0)).toSeq
+    // cheap pre-check on the PERSISTED batch (no window shuffle): the
+    // common zero-retraction batch must not pay a driver collect
+    val anyNullContent =
+      !batch.filter(col(contentCol).isNull && col(idCol).isNotNull).isEmpty
+    val retractIds =
+      if (!retractOnNullContent || !anyNullContent) Seq.empty[Any]
+      else one0.filter(col(contentCol).isNull && col(idCol).isNotNull)
+        .select(col(idCol)).collect().map(_.get(0)).toSeq
     if (retractIds.nonEmpty) {
       lexicalPath.foreach(lp => graft.operators.LexicalIndex.delete(
         session.spark, lp, retractIds))
       dedupPath.foreach(dp => graft.operators.DedupIndex.delete(
         session.spark, dp, retractIds))
-      session.deleteIndexedKnowledge(col(idCol).isin(retractIds: _*))
-      ()
     }
     val one = one0.filter(col(contentCol).isNotNull)
-    // admission gate BEFORE any index sees the batch: near-dups of the
-    // admitted corpus (or of a smaller-id batchmate) never ingest.
-    // admit() returns a materialized frame; on replay the batch's ids
-    // are self-excluded from the corpus probe, so the same survivors
-    // come back and every downstream keyed upsert converges.
+    // admission gate BEFORE any index sees the batch: near-dups of
+    // the admitted corpus (or of a smaller-id batchmate) never
+    // ingest. admit() returns a materialized frame; on replay the
+    // batch's ids are self-excluded from the corpus probe, so the
+    // same survivors come back and every keyed upsert converges.
     // admitOnePerId, not admit: `one` is already reduced (and with
     // version-aware resolution admit's own fingerprint-only pass
     // couldn't replicate) — the public admit would re-shuffle and
-    // re-fingerprint every micro-batch of a long-running stream
+    // re-fingerprint every micro-batch of a long-running stream.
+    // An all-retraction batch skips the probe outright.
     val admitted = (dedupPath, admitThreshold) match {
-      case (Some(dp), Some(th)) =>
+      case (Some(dp), Some(th)) if !one.isEmpty =>
         graft.operators.DedupIndex.admitOnePerId(
           session.spark, dp, one, idCol, contentCol, th,
           maxBucketPostings = admitMaxBucketPostings)
@@ -287,27 +324,36 @@ object IndexMaintenance {
     }
     val gated = admitted ne one
     try {
-      if (admitted.isEmpty) return
-      val withVec =
-        if (admitted.columns.contains(vecCol)) admitted
-        else session.embedder.embedColumn(admitted, contentCol, vecCol)
-      // embedColumn is a per-partition kernel over the (persisted)
-      // batch; the upsert's several scans must not re-embed — and
-      // every index must see the identical reduced frame
-      withVec.persist()
-      try {
-        session.upsertIndexedKnowledge(withVec)
-        lexicalPath.foreach(lp => graft.operators.LexicalIndex.upsert(
-          session.spark, lp, withVec, idCol, contentCol))
-        dedupPath.foreach(dp => graft.operators.DedupIndex.upsert(
-          session.spark, dp, withVec, idCol, contentCol))
-      } finally { withVec.unpersist(); () }
+      if (!admitted.isEmpty) {
+        val withVec =
+          if (admitted.columns.contains(vecCol)) admitted
+          else session.embedder.embedColumn(admitted, contentCol, vecCol)
+        // embedColumn is a per-partition kernel over the (persisted)
+        // batch; the upsert's several scans must not re-embed — and
+        // every index must see the identical reduced frame
+        withVec.persist()
+        try {
+          session.upsertIndexedKnowledge(withVec)
+          lexicalPath.foreach(lp => graft.operators.LexicalIndex.upsert(
+            session.spark, lp, withVec, idCol, contentCol))
+          dedupPath.foreach(dp => graft.operators.DedupIndex.upsert(
+            session.spark, dp, withVec, idCol, contentCol))
+        } finally { withVec.unpersist(); () }
+      }
     } finally {
       // admit() returns a checkpointed frame — release its blocks per
       // batch, or a long-running gated stream accumulates them until
       // the ContextCleaner happens to GC (the explicit-free discipline
       // every dedup operator follows)
       if (gated) graft.util.Checkpoints.free(admitted)
+    }
+    // KB retraction LAST — after the live rows landed, so a reload
+    // batch never routes the KB through an empty state (see doc). If
+    // an upsert above threw, this is skipped and the replayed batch
+    // redoes both halves (all idempotent).
+    if (retractIds.nonEmpty) {
+      session.deleteIndexedKnowledge(col(idCol).isin(retractIds: _*))
+      ()
     }
   }
 }

@@ -201,7 +201,73 @@ class IndexMaintenanceSpec extends SparkSpec {
         q.processAllAvailable()
         assert(g.knowledgeBase.select("id").collect().map(_.getLong(0)).toSet
           === Set(2L, 30L, 40L))
+        // RELOAD batch: retract every current id while inserting the
+        // replacements — the KB delete commits AFTER the live upserts,
+        // so the KB never routes through the (refused) empty state
+        input.addData(
+          (2L, null.asInstanceOf[String]), (30L, null.asInstanceOf[String]),
+          (40L, null.asInstanceOf[String]),
+          (50L, "the replacement corpus first entry"),
+          (51L, "the replacement corpus second entry"))
+        q.processAllAvailable()
+        assert(q.exception.isEmpty, s"reload batch poisoned the stream: ${q.exception}")
+        assert(g.knowledgeBase.select("id").collect().map(_.getLong(0)).toSet
+          === Set(50L, 51L))
       } finally q.stop()
+    } finally graft.plans.IvfIndex.unregister(spark, "embedding")
+  }
+
+  test("versioned retractions compete by version; retractOnNullContent=false drops them") {
+    implicit val sqlCtx = spark.sqlContext
+    val emb = HashEmbedder(16)
+    // versioned stream: a HIGHER-versioned retraction beats a lower-
+    // versioned same-batch insert for the id (uniform resolution; the
+    // doc's rule — version your retractions on versioned streams)
+    val g = GraftSession(spark, emb)
+    g.loadKnowledgeBase(emb.embedColumn(
+      Seq((1L, "incumbent content here"), (2L, "second incumbent entry"))
+        .toDF("id", "content"), "content", "embedding"))
+    val base = java.nio.file.Files.createTempDirectory("idx_maint_vretract").toString
+    g.indexKnowledge(s"$base/kb", nClusters = 1, nprobe = 1)
+    try {
+      val input = MemoryStream[(Long, String, Long)]
+      val q = IndexMaintenance.runToIndexedKnowledge(
+        g, input.toDF().toDF("id", "content", "ver"),
+        checkpoint = s"$base/ckpt", versionCol = Some("ver"))
+      try {
+        input.addData(
+          (1L, "stale replacement", 1L),
+          (1L, null.asInstanceOf[String], 2L), // the retraction wins (v2 > v1)
+          (2L, null.asInstanceOf[String], 1L),
+          (2L, "revived content", 5L))         // the insert wins (v5 > v1)
+        q.processAllAvailable()
+        val kb = g.knowledgeBase.select("id", "content")
+          .as[(Long, String)].collect().toMap
+        assert(!kb.contains(1L), s"versioned retraction lost: $kb")
+        assert(kb.get(2L).contains("revived content"), s"versioned insert lost: $kb")
+      } finally q.stop()
+    } finally graft.plans.IvfIndex.unregister(spark, "embedding")
+
+    // opt-out: NULL-content rows are dropped, never applied
+    val g2 = GraftSession(spark, emb)
+    g2.loadKnowledgeBase(emb.embedColumn(
+      Seq((1L, "incumbent content here")).toDF("id", "content"),
+      "content", "embedding"))
+    val base2 = java.nio.file.Files.createTempDirectory("idx_maint_noretract").toString
+    g2.indexKnowledge(s"$base2/kb", nClusters = 1, nprobe = 1)
+    try {
+      val input2 = MemoryStream[(Long, String)]
+      val q2 = IndexMaintenance.runToIndexedKnowledge(
+        g2, input2.toDF().toDF("id", "content"),
+        checkpoint = s"$base2/ckpt", retractOnNullContent = false)
+      try {
+        input2.addData((1L, null.asInstanceOf[String]),
+          (9L, "a fresh insert rides along"))
+        q2.processAllAvailable()
+        val ids = g2.knowledgeBase.select("id").as[Long].collect().toSet
+        assert(ids === Set(1L, 9L),
+          s"opt-out must keep the incumbent and drop the null row: $ids")
+      } finally q2.stop()
     } finally graft.plans.IvfIndex.unregister(spark, "embedding")
   }
 
