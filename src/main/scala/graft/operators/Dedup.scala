@@ -43,11 +43,17 @@ object Dedup {
     * partition-order-dependent winner would make a replay diverge).
     * `versionCol` is dropped from the output. */
   def deterministicOnePerKey(df: DataFrame, keyCol: String,
-      versionCol: Option[String] = None): DataFrame = {
+      versionCol: Option[String] = None,
+      tieBreak: Seq[Column] = Nil): DataFrame = {
     versionCol.foreach(vc => require(df.columns.contains(vc),
       s"versionCol $vc not in the frame"))
     val contentTie = xxhash64(to_json(struct(df.columns.map(col): _*))).asc
-    val order = versionCol.map(vc => col(vc).desc).toSeq :+ contentTie
+    // resolution order: version desc (when given), then caller
+    // tie-breaks (e.g. the streaming path's live-beats-retraction
+    // rule), then the content fingerprint — all deterministic, so a
+    // replay picks the same winner
+    val order = versionCol.map(vc => col(vc).desc).toSeq ++
+      tieBreak :+ contentTie
     val w = Window.partitionBy(col(keyCol)).orderBy(order: _*)
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
       .drop("__rn" +: versionCol.toSeq: _*)

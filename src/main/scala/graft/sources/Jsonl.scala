@@ -64,6 +64,26 @@ object Jsonl {
     (good, bad)
   }
 
+  /** The raw lines of `lines` that parse cleanly under `schema` but
+    * carry a NULL `field` — for callers that treat such lines as
+    * producer bugs to quarantine VERBATIM rather than as data (the
+    * streaming retraction opt-out, [[graft.streaming.IndexMaintenance
+    * .runJsonlToIndexedKnowledge]]: a missing field is
+    * indistinguishable from an explicit null after parsing, and a
+    * silent drop would hide exactly the bug the opt-out guards
+    * against). One streaming pass, same parse as [[splitQuarantine]]. */
+  def parsedWithNullField(
+      lines: DataFrame, schema: StructType, field: String): DataFrame = {
+    require(schema.fieldNames.contains(field), s"$field not in schema")
+    val full = schema.add(Corrupt, StringType)
+    val opts = Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> Corrupt)
+    lines
+      .select(col("raw_line"), from_json(col("raw_line"), full, opts).as("j"))
+      .filter(col("j").isNotNull && col(s"j.$Corrupt").isNull &&
+        col(s"j.$field").isNull)
+      .select(col("raw_line"))
+  }
+
   /** Streaming raw-line source over a growing JSONL directory: the
     * arrival path's first hop (file-source checkpointing tracks which
     * files are consumed). Split each micro-batch with

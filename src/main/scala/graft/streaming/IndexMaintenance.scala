@@ -84,7 +84,9 @@ object IndexMaintenance {
     *                   Set false when producers may emit rows with the
     *                   content field merely MISSING (indistinguishable
     *                   from an explicit null after parsing) — such
-    *                   rows are then dropped, never applied.
+    *                   rows are then INERT: removed before the per-id
+    *                   resolution, never applied, and quarantined
+    *                   verbatim on the JSONL path.
     */
   def runToIndexedKnowledge(
       session: GraftSession, docs: DataFrame, checkpoint: String,
@@ -190,7 +192,21 @@ object IndexMaintenance {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         batch.persist()
         try {
-          val (good, bad) = graft.sources.Jsonl.splitQuarantine(batch.toDF(), schema)
+          val (good0, bad0) = graft.sources.Jsonl.splitQuarantine(batch.toDF(), schema)
+          // opted-out NULL-content lines are producer bugs here, not
+          // retractions and not data: they must land in the quarantine
+          // VERBATIM (the reject-sink discipline — a silent drop would
+          // hide exactly the bug the opt-out guards against)
+          val (good, bad) =
+            if (retractOnNullContent) (good0, bad0)
+            else {
+              val resolver = session.spark.sessionState.conf.resolver
+              val contentField = schema.fieldNames
+                .find(resolver(_, contentCol)).getOrElse(contentCol)
+              (good0.filter(col(contentField).isNotNull),
+                bad0.unionByName(graft.sources.Jsonl.parsedWithNullField(
+                  batch.toDF(), schema, contentField)))
+            }
           if (!bad.isEmpty)
             bad.write.mode("overwrite").text(s"$quarantinePath/batch_id=$batchId")
           if (!good.isEmpty) applyBatch(session,
@@ -256,11 +272,15 @@ object IndexMaintenance {
     *    version like any row (the deterministic per-id resolution is
     *    uniform): VERSION YOUR RETRACTIONS on versioned streams — an
     *    unversioned one sorts last and loses to any versioned
-    *    same-batch row for the id.
+    *    same-batch row for the id. At EQUAL (or absent) version, a
+    *    live row beats a retraction for the same id — never a
+    *    fingerprint coin flip.
     *  - Set `retractOnNullContent = false` when producers may emit
     *    rows with the content field merely MISSING (a partial-update
     *    bug is indistinguishable from an explicit null after JSON
-    *    parsing): NULL-content rows are then DROPPED, never applied.
+    *    parsing): NULL-content rows are then INERT — removed before
+    *    the per-id resolution (so a buggy row can't veto a valid
+    *    same-batch row), and on the JSONL path quarantined verbatim.
     *  - Surface order: derived surfaces (lexical, dedup) purge
     *    first, then the batch's live rows upsert, then the KB delete
     *    commits LAST — so a reload batch (retract-all + insert
@@ -270,12 +290,14 @@ object IndexMaintenance {
     *    index version is unreadable) and poisons the stream by
     *    replay — full teardown is an offline rebuild, not a stream
     *    event.
-    *  - Retract ids are driver-collected and pushed as predicates:
-    *    micro-batch-bounded by construction, but cap bulk-purge
-    *    backlogs (`maxFilesPerTrigger` on the JSONL path) — the
-    *    documented delete-batch contract. The KB delete's discovery
-    *    pass scans the corpus NARROWLY (id+cluster columns only) to
-    *    find touched clusters; the rewrite itself is cluster-local. */
+    *  - Retract ids are driver-collected and pushed as predicates in
+    *    chunks of [[RetractChunk]] (a bulk-purge backlog degrades to
+    *    more commits, never to the isin-literal analysis cliff);
+    *    still cap trigger sizes (`maxFilesPerTrigger` on the JSONL
+    *    path, the source's own trigger bound elsewhere). The KB
+    *    delete's discovery pass scans the corpus NARROWLY (id+cluster
+    *    columns only) to find touched clusters; the rewrite itself is
+    *    cluster-local. */
   private[graft] def applyBatch(
       session: GraftSession, batch: DataFrame,
       versionCol: Option[String], lexicalPath: Option[String],
@@ -285,25 +307,53 @@ object IndexMaintenance {
       vecCol: String = "embedding",
       admitMaxBucketPostings: Option[Int] = None,
       retractOnNullContent: Boolean = true): Unit = {
+    // opt-out means NULL-content rows are INERT: removed before the
+    // per-id reduction, or a buggy null row could win it and veto a
+    // valid same-batch row for its id ("dropped, never applied")
+    val batch1 =
+      if (retractOnNullContent) batch
+      else batch.filter(col(contentCol).isNotNull)
     // deterministic winner per id (see class doc): version desc when
-    // given, then a content fingerprint — row_number over a tied sort
-    // is partition-order-dependent and would break replay convergence
+    // given, then LIVE-BEATS-RETRACTION, then a content fingerprint —
+    // row_number over a tied sort is partition-order-dependent and
+    // would break replay convergence, and without the middle rule a
+    // same-batch retract+insert for one id at equal (or absent)
+    // version would resolve by fingerprint coin flip
     val one0 = graft.operators.Dedup.deterministicOnePerKey(
-      batch, idCol, versionCol)
-    // cheap pre-check on the PERSISTED batch (no window shuffle): the
-    // common zero-retraction batch must not pay a driver collect
-    val anyNullContent =
-      !batch.filter(col(contentCol).isNull && col(idCol).isNotNull).isEmpty
+      batch1, idCol, versionCol,
+      tieBreak = Seq(col(contentCol).isNull.asc))
+    // cheap pre-checks on the PERSISTED batch (plain filters, no
+    // window shuffle); lazy so streams that never need them never pay
+    lazy val anyLive = !batch1.filter(col(contentCol).isNotNull).isEmpty
     val retractIds =
-      if (!retractOnNullContent || !anyNullContent) Seq.empty[Any]
+      if (!retractOnNullContent ||
+        batch1.filter(col(contentCol).isNull && col(idCol).isNotNull).isEmpty)
+        Seq.empty[Any]
       else one0.filter(col(contentCol).isNull && col(idCol).isNotNull)
         .select(col(idCol)).collect().map(_.get(0)).toSeq
-    if (retractIds.nonEmpty) {
-      lexicalPath.foreach(lp => graft.operators.LexicalIndex.delete(
-        session.spark, lp, retractIds))
-      dedupPath.foreach(dp => graft.operators.DedupIndex.delete(
-        session.spark, dp, retractIds))
+    // a pure-retraction batch that would empty the KB is refused
+    // BEFORE any surface purges: the refusal is permanent (checkpoint
+    // replay re-fails), so failing early keeps every surface
+    // consistently serving instead of diverging (lexical/dedup purged,
+    // KB not) for as long as the stream is poisoned
+    if (retractIds.nonEmpty && !anyLive) {
+      val hits = session.knowledgeBase
+        .filter(col(idCol).isin(retractIds: _*)).count()
+      require(hits < session.knowledgeBase.count(),
+        "retraction batch would empty the knowledge base (an empty " +
+          "index version is unreadable) — full teardown is an offline " +
+          "rebuild, not a stream event")
     }
+    // chunked deletes: retract ids ride as isin literals, and past a
+    // few thousand the literal list costs more in analysis than it
+    // prunes (the measured lesson) — bound each call, not the batch
+    if (retractIds.nonEmpty)
+      retractIds.grouped(RetractChunk).foreach { chunk =>
+        lexicalPath.foreach(lp => graft.operators.LexicalIndex.delete(
+          session.spark, lp, chunk.toSeq))
+        dedupPath.foreach(dp => graft.operators.DedupIndex.delete(
+          session.spark, dp, chunk.toSeq))
+      }
     val one = one0.filter(col(contentCol).isNotNull)
     // admission gate BEFORE any index sees the batch: near-dups of
     // the admitted corpus (or of a smaller-id batchmate) never
@@ -314,9 +364,11 @@ object IndexMaintenance {
     // version-aware resolution admit's own fingerprint-only pass
     // couldn't replicate) — the public admit would re-shuffle and
     // re-fingerprint every micro-batch of a long-running stream.
-    // An all-retraction batch skips the probe outright.
+    // An all-retraction batch skips the probe outright (anyLive is
+    // the plain-filter pre-check — gating on one.isEmpty here would
+    // pay the window twice per gated batch).
     val admitted = (dedupPath, admitThreshold) match {
-      case (Some(dp), Some(th)) if !one.isEmpty =>
+      case (Some(dp), Some(th)) if anyLive =>
         graft.operators.DedupIndex.admitOnePerId(
           session.spark, dp, one, idCol, contentCol, th,
           maxBucketPostings = admitMaxBucketPostings)
@@ -351,9 +403,15 @@ object IndexMaintenance {
     // batch never routes the KB through an empty state (see doc). If
     // an upsert above threw, this is skipped and the replayed batch
     // redoes both halves (all idempotent).
-    if (retractIds.nonEmpty) {
-      session.deleteIndexedKnowledge(col(idCol).isin(retractIds: _*))
-      ()
-    }
+    if (retractIds.nonEmpty)
+      retractIds.grouped(RetractChunk).foreach { chunk =>
+        session.deleteIndexedKnowledge(col(idCol).isin(chunk.toSeq: _*))
+        ()
+      }
   }
+
+  /** Per-call bound for retract-id predicate lists — above a few
+    * thousand isin literals, Catalyst analysis costs more than the
+    * filter prunes (the measured 128k-literal lesson). */
+  private val RetractChunk = 5000
 }

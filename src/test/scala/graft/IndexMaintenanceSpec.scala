@@ -239,16 +239,22 @@ class IndexMaintenanceSpec extends SparkSpec {
           (1L, "stale replacement", 1L),
           (1L, null.asInstanceOf[String], 2L), // the retraction wins (v2 > v1)
           (2L, null.asInstanceOf[String], 1L),
-          (2L, "revived content", 5L))         // the insert wins (v5 > v1)
+          (2L, "revived content", 5L),         // the insert wins (v5 > v1)
+          (3L, null.asInstanceOf[String], 7L),
+          (3L, "equal version live row", 7L))  // equal version: LIVE wins, not a coin flip
         q.processAllAvailable()
         val kb = g.knowledgeBase.select("id", "content")
           .as[(Long, String)].collect().toMap
         assert(!kb.contains(1L), s"versioned retraction lost: $kb")
         assert(kb.get(2L).contains("revived content"), s"versioned insert lost: $kb")
+        assert(kb.get(3L).contains("equal version live row"),
+          s"equal-version tie must resolve live-beats-retraction: $kb")
       } finally q.stop()
     } finally graft.plans.IvfIndex.unregister(spark, "embedding")
 
-    // opt-out: NULL-content rows are dropped, never applied
+    // opt-out: NULL-content rows are INERT — dropped before the per-id
+    // resolution, so a buggy higher-versioned null row can't veto a
+    // valid same-batch row for its id
     val g2 = GraftSession(spark, emb)
     g2.loadKnowledgeBase(emb.embedColumn(
       Seq((1L, "incumbent content here")).toDF("id", "content"),
@@ -256,18 +262,87 @@ class IndexMaintenanceSpec extends SparkSpec {
     val base2 = java.nio.file.Files.createTempDirectory("idx_maint_noretract").toString
     g2.indexKnowledge(s"$base2/kb", nClusters = 1, nprobe = 1)
     try {
-      val input2 = MemoryStream[(Long, String)]
+      val input2 = MemoryStream[(Long, String, Long)]
       val q2 = IndexMaintenance.runToIndexedKnowledge(
-        g2, input2.toDF().toDF("id", "content"),
-        checkpoint = s"$base2/ckpt", retractOnNullContent = false)
+        g2, input2.toDF().toDF("id", "content", "ver"),
+        checkpoint = s"$base2/ckpt", versionCol = Some("ver"),
+        retractOnNullContent = false)
       try {
-        input2.addData((1L, null.asInstanceOf[String]),
-          (9L, "a fresh insert rides along"))
+        input2.addData(
+          (1L, null.asInstanceOf[String], 9L), // the producer bug: would win by version
+          (1L, "valid lower-versioned update", 3L),
+          (9L, "a fresh insert rides along", 1L))
         q2.processAllAvailable()
-        val ids = g2.knowledgeBase.select("id").as[Long].collect().toSet
-        assert(ids === Set(1L, 9L),
-          s"opt-out must keep the incumbent and drop the null row: $ids")
+        val kb2 = g2.knowledgeBase.select("id", "content")
+          .as[(Long, String)].collect().toMap
+        assert(kb2.get(1L).contains("valid lower-versioned update"),
+          s"inert null row vetoed a valid same-batch row: $kb2")
+        assert(kb2.contains(9L), s"insert lost: $kb2")
       } finally q2.stop()
+    } finally graft.plans.IvfIndex.unregister(spark, "embedding")
+  }
+
+  test("unversioned same-batch retract+insert for one id: the live row wins deterministically") {
+    implicit val sqlCtx = spark.sqlContext
+    val emb = HashEmbedder(16)
+    val g = GraftSession(spark, emb)
+    g.loadKnowledgeBase(emb.embedColumn(
+      Seq((1L, "incumbent content here"), (2L, "second incumbent entry"))
+        .toDF("id", "content"), "content", "embedding"))
+    val base = java.nio.file.Files.createTempDirectory("idx_maint_uvr").toString
+    g.indexKnowledge(s"$base/kb", nClusters = 1, nprobe = 1)
+    try {
+      val input = MemoryStream[(Long, String)]
+      val q = IndexMaintenance.runToIndexedKnowledge(
+        g, input.toDF().toDF("id", "content"), checkpoint = s"$base/ckpt")
+      try {
+        // several ids so a fingerprint coin flip (the pre-rule hazard)
+        // could not pass by luck
+        input.addData((1L to 8L).flatMap(i => Seq(
+          (i, null.asInstanceOf[String]),
+          (i, s"replacement content number $i"))): _*)
+        q.processAllAvailable()
+        val kb = g.knowledgeBase.select("id", "content")
+          .as[(Long, String)].collect().toMap
+        (1L to 8L).foreach(i => assert(
+          kb.get(i).contains(s"replacement content number $i"),
+          s"id $i: retraction beat the same-batch live row: ${kb.get(i)}"))
+      } finally q.stop()
+    } finally graft.plans.IvfIndex.unregister(spark, "embedding")
+  }
+
+  test("a retract-all batch is refused BEFORE any surface purges (no divergence while poisoned)") {
+    implicit val sqlCtx = spark.sqlContext
+    val emb = HashEmbedder(16)
+    val g = GraftSession(spark, emb)
+    val initial = Seq(
+      (1L, "zebra quokka walrus content"), (2L, "second incumbent entry"))
+    g.loadKnowledgeBase(emb.embedColumn(
+      initial.toDF("id", "content"), "content", "embedding"))
+    val base = java.nio.file.Files.createTempDirectory("idx_maint_poison").toString
+    g.indexKnowledge(s"$base/kb", nClusters = 1, nprobe = 1)
+    operators.LexicalIndex.build(spark, s"$base/lex",
+      initial.toDF("id", "content"), "id", "content")
+    try {
+      val input = MemoryStream[(Long, String)]
+      val q = IndexMaintenance.runToIndexedKnowledge(
+        g, input.toDF().toDF("id", "content"),
+        checkpoint = s"$base/ckpt", lexicalPath = Some(s"$base/lex"))
+      try {
+        input.addData((1L, null.asInstanceOf[String]),
+          (2L, null.asInstanceOf[String]))
+        intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q.processAllAvailable()
+        }
+        // refused EARLY: the lexical index must still serve both docs —
+        // a post-purge refusal would leave the KB serving docs the
+        // statistics no longer count
+        assert(operators.LexicalIndex.bm25TopK(
+            spark, s"$base/lex", "id", Seq("zebra"), 5)
+          .select("id").as[Long].collect().toSeq === Seq(1L),
+          "derived surface purged before the refusal")
+        assert(g.knowledgeBase.count() === 2L)
+      } finally q.stop()
     } finally graft.plans.IvfIndex.unregister(spark, "embedding")
   }
 
