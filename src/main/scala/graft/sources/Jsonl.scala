@@ -54,12 +54,14 @@ object Jsonl {
         from_json(col("raw_line"), full, opts).as("j"))
     // a blank/whitespace line makes from_json return a NULL STRUCT —
     // not a corrupt record — and would otherwise slip into `good` as
-    // an all-NULL row; both signals mean quarantine
+    // an all-NULL row; both signals mean quarantine. getField, not
+    // col("j.name"): a field NAMED "a.b" (legal JSON, legal Spark)
+    // must select as itself, not parse as a nested path
     val good = parsed
-      .filter(col("j").isNotNull && col(s"j.$Corrupt").isNull)
-      .select(schema.fieldNames.map(f => col(s"j.$f").as(f)).toSeq: _*)
+      .filter(col("j").isNotNull && col("j").getField(Corrupt).isNull)
+      .select(schema.fieldNames.map(f => col("j").getField(f).as(f)).toSeq: _*)
     val bad = parsed
-      .filter(col("j").isNull || col(s"j.$Corrupt").isNotNull)
+      .filter(col("j").isNull || col("j").getField(Corrupt).isNotNull)
       .select(col("raw_line"))
     (good, bad)
   }
@@ -79,8 +81,8 @@ object Jsonl {
     val opts = Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> Corrupt)
     lines
       .select(col("raw_line"), from_json(col("raw_line"), full, opts).as("j"))
-      .filter(col("j").isNotNull && col(s"j.$Corrupt").isNull &&
-        col(s"j.$field").isNull)
+      .filter(col("j").isNotNull && col("j").getField(Corrupt).isNull &&
+        col("j").getField(field).isNull)
       .select(col("raw_line"))
   }
 

@@ -203,7 +203,9 @@ object IndexMaintenance {
               val resolver = session.spark.sessionState.conf.resolver
               val contentField = schema.fieldNames
                 .find(resolver(_, contentCol)).getOrElse(contentCol)
-              (good0.filter(col(contentField).isNotNull),
+              // backtick-quoted: a dotted field name is a top-level
+              // column of good0, not a struct path
+              (good0.filter(col(s"`$contentField`").isNotNull),
                 bad0.unionByName(graft.sources.Jsonl.parsedWithNullField(
                   batch.toDF(), schema, contentField)))
             }
@@ -322,23 +324,34 @@ object IndexMaintenance {
     val one0 = graft.operators.Dedup.deterministicOnePerKey(
       batch1, idCol, versionCol,
       tieBreak = Seq(col(contentCol).isNull.asc))
-    // cheap pre-checks on the PERSISTED batch (plain filters, no
-    // window shuffle); lazy so streams that never need them never pay
-    lazy val anyLive = !batch1.filter(col(contentCol).isNotNull).isEmpty
     val retractIds =
       if (!retractOnNullContent ||
         batch1.filter(col(contentCol).isNull && col(idCol).isNotNull).isEmpty)
         Seq.empty[Any]
       else one0.filter(col(contentCol).isNull && col(idCol).isNotNull)
         .select(col(idCol)).collect().map(_.get(0)).toSeq
-    // a pure-retraction batch that would empty the KB is refused
-    // BEFORE any surface purges: the refusal is permanent (checkpoint
-    // replay re-fails), so failing early keeps every surface
-    // consistently serving instead of diverging (lexical/dedup purged,
-    // KB not) for as long as the stream is poisoned
-    if (retractIds.nonEmpty && !anyLive) {
-      val hits = session.knowledgeBase
-        .filter(col(idCol).isin(retractIds: _*)).count()
+    // liveness of the batch AFTER per-id resolution: with no
+    // retractions a plain persisted-batch filter is exact (and pays no
+    // window); with retractions the RESOLVED winners decide — a live
+    // row that lost its id's resolution to a higher-versioned
+    // retraction must not count as life (it will never upsert)
+    val liveResolved =
+      if (retractIds.isEmpty)
+        !batch1.filter(col(contentCol).isNotNull).isEmpty
+      else !one0.filter(col(contentCol).isNotNull).isEmpty
+    // an effectively-pure retraction batch that would empty the KB is
+    // refused BEFORE any surface purges: the refusal is permanent
+    // (checkpoint replay re-fails), so failing early keeps every
+    // surface consistently serving instead of diverging (lexical/
+    // dedup purged, KB not) for as long as the stream is poisoned.
+    // (Residual late case: the admission gate killing every resolved
+    // live row of such a batch — not knowable before the purges.)
+    if (retractIds.nonEmpty && !liveResolved) {
+      // chunked like every other retract-id predicate — the pre-check
+      // must not itself pay the literal-analysis cliff it guards
+      val hits = retractIds.grouped(RetractChunk).map(chunk =>
+        session.knowledgeBase
+          .filter(col(idCol).isin(chunk.toSeq: _*)).count()).sum
       require(hits < session.knowledgeBase.count(),
         "retraction batch would empty the knowledge base (an empty " +
           "index version is unreadable) — full teardown is an offline " +
@@ -364,11 +377,11 @@ object IndexMaintenance {
     // version-aware resolution admit's own fingerprint-only pass
     // couldn't replicate) — the public admit would re-shuffle and
     // re-fingerprint every micro-batch of a long-running stream.
-    // An all-retraction batch skips the probe outright (anyLive is
-    // the plain-filter pre-check — gating on one.isEmpty here would
-    // pay the window twice per gated batch).
+    // A batch with no RESOLVED live rows skips the probe outright
+    // (liveResolved: plain filter when no retractions — no second
+    // window per gated batch — resolved winners when there are).
     val admitted = (dedupPath, admitThreshold) match {
-      case (Some(dp), Some(th)) if anyLive =>
+      case (Some(dp), Some(th)) if liveResolved =>
         graft.operators.DedupIndex.admitOnePerId(
           session.spark, dp, one, idCol, contentCol, th,
           maxBucketPostings = admitMaxBucketPostings)

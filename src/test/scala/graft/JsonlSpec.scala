@@ -50,6 +50,27 @@ class JsonlSpec extends SparkSpec {
       "quarantined lines must be verbatim")
   }
 
+  test("a dotted field name selects as itself, not as a struct path") {
+    val dotted = StructType(Seq(
+      StructField("id", LongType),
+      StructField("meta.lang", StringType)))
+    val dir = freshDir()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "d.json"),
+      scala.jdk.CollectionConverters.SeqHasAsJava(Seq(
+        """{"id": 1, "meta.lang": "en"}""",
+        """{"id": 2, "meta.lang": null}""")).asJava)
+    val (good, bad) = Jsonl.readWithQuarantine(spark, dir, dotted)
+    assert(bad.isEmpty)
+    assert(good.columns.toSeq === Seq("id", "meta.lang"))
+    assert(good.orderBy("id").select(col("`meta.lang`")).as[String]
+      .collect().toSeq === Seq("en", null))
+    assert(Jsonl.parsedWithNullField(
+      spark.read.textFile(dir).toDF("raw_line"), dotted, "meta.lang")
+      .count() === 1L)
+  }
+
   test("a reserved-column schema and a double-write fail loudly") {
     val dir = freshDir()
     Jsonl.write(Seq((1L, "x", 1L)).toDF("id", "text", "n"), dir)
