@@ -1193,6 +1193,41 @@ object SparkEntry {
         Seq("spark", "join", "slow"), k = 20)
     }),
 
+    "q123_csv_roundtrip" -> ((s, d) => {
+      // CSV source/sink (Csv): export documents as headerless schema-
+      // dialect CSV, drop four malformed lines into the directory, and
+      // read back schema-strict with quarantine. Oracle = the ORIGINAL
+      // table (the q117 convention): the good side must be the
+      // bit-identical round trip, junk isolated — never padded-NULL.
+      val docs = T.documents(s, d)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_q123").toString + "/docs_csv"
+      sources.Csv.write(docs, dir, numFiles = 2)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "extra-junk.csv"),
+        java.util.Arrays.asList(
+          "not-a-number,type mismatch,en,web,7",
+          "1,too,many,columns,entirely,here",
+          "2,\"shredded quote,en,web,7",
+          ""))
+      val (good, bad) = sources.Csv.readWithQuarantine(s, dir, docs.schema)
+      require(bad.count() == 4L, "quarantine must isolate exactly the 4 junk lines")
+      good.orderBy(col("doc_id"))
+    }),
+
+    "q124_temperature_mix" -> ((s, d) =>
+      // alpha-temperature training mixture (Sampling.temperatureMix):
+      // stratum share ∝ n^0.5 at 40% overall — the multilingual
+      // upweight-the-rare recipe. Membership is the deterministic
+      // md5 predicate (the q62 convention), but here the per-stratum
+      // thresholds DERIVE from corpus counts, so the oracle recomputes
+      // the same derivation; an engine-side drift in count, weight, or
+      // quantization fails the hash.
+      Sampling.temperatureMix(T.documents(s, d), "lang", "doc_id",
+          alpha = 0.5, targetFraction = 0.4)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+
     "q94_json_redact" -> ((s, d) => {
       // recursive JSON redaction over structured metadata: build a
       // nested payload from real columns, sanitize it, extract fields
@@ -1857,6 +1892,26 @@ object SparkEntry {
         |  FROM tf, st, dfs)
         |SELECT doc_id, round(s, 6) AS score FROM sc WHERE s > 0
         |ORDER BY s DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q123_csv_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the same double arithmetic as temperatureMix, then the q62 md5
+    // membership test against the derived per-stratum threshold; a
+    // fraction quantizing to the full 2^32 domain admits every row
+    // (the operator's t >= 2^32 branch)
+    "q124_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(*)::DOUBLE AS n FROM documents GROUP BY lang),
+        |t AS (SELECT sum(n) AS total, sum(pow(n, 0.5)) AS wsum FROM c),
+        |f AS (SELECT lang, least(1.0, pow(n, 0.5) / wsum * 0.4 * total / n) AS fr
+        |      FROM c, t),
+        |th AS (SELECT lang, CAST(round(fr * 4294967296.0) AS BIGINT) AS tq FROM f)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN th ON d.lang = th.lang
+        |WHERE CASE WHEN th.tq >= 4294967296
+        |  THEN d.doc_id IS NOT NULL
+        |  ELSE substr(md5(d.doc_id::VARCHAR), 1, 8) < printf('%08x', th.tq) END
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q36_salted_count" ->
       "SELECT user_id, count(*) AS n FROM events GROUP BY user_id ORDER BY user_id",

@@ -1,0 +1,109 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructType}
+
+/** CSV corpus ingest/export with the same schema-strict quarantine
+  * contract as [[Jsonl]] — the other format raw tabular training data
+  * arrives in (the reference ingests user CSV uploads through its
+  * file-upload tool surface, `backend/tools/data_tools.py`).
+  *
+  * A line that does not parse as the expected schema lands — whole
+  * and untouched — in the quarantine frame instead of silently
+  * becoming a padded-NULL row (Spark's default PERMISSIVE behavior)
+  * or killing the job (FAILFAST). Same scale rationale as the JSONL
+  * source: at 100 TB a 1e-6 malformed-line rate is thousands of
+  * lines you want counted and inspectable.
+  *
+  * Built on `from_csv` over a plain text scan (one streaming pass per
+  * returned frame, splittable input) rather than the csv file source,
+  * for the same reason [[Jsonl]] avoids the json source: the corrupt
+  * column rides inside the expression's output struct with no
+  * cache-the-frame restriction. Headerless by design — the schema IS
+  * the contract; a header line would just be one more quarantined
+  * row. Embedded newlines in quoted fields are NOT supported (a
+  * line-splittable scan cannot see them; multiLine CSV is not
+  * splittable and has no place in a 100 TB ingest) — [[write]]
+  * refuses strings carrying line breaks rather than emitting a file
+  * the reader would shred.
+  *
+  * NULL round trip: fields write as the `\N` sentinel (never quoted)
+  * and read back as NULL; an empty string writes as `""` and reads
+  * back as the empty string — so NULL and "" survive the trip
+  * distinctly, which Spark's default ("" for both) cannot do.
+  */
+object Csv {
+
+  private val Corrupt = "__corrupt"
+  private val NullSentinel = "\\N"
+
+  /** Options shared by [[write]] and the parser — one definition so
+    * the round trip cannot drift. Timestamps carry microseconds. */
+  private val Format = Map(
+    // the WRITER's emptyValue defaults to a quoted `""`, which the
+    // reader's default unquotes back to the empty string — with nulls
+    // on the \N sentinel the two stay distinct; do NOT set emptyValue
+    // here (on the reader it would make `""` parse as those two chars)
+    "nullValue" -> NullSentinel,
+    "timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+    "timestampNTZFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+
+  /** (good, quarantined): `good` has exactly `schema`'s columns in
+    * order; `quarantined` is one `raw_line` string column holding
+    * each malformed line verbatim (blank lines included — a blank is
+    * not a record). Consuming both frames scans the text twice; each
+    * pass streams. */
+  def readWithQuarantine(
+      spark: SparkSession, path: String,
+      schema: StructType): (DataFrame, DataFrame) =
+    splitQuarantine(spark.read.textFile(path).toDF("raw_line"), schema)
+
+  /** The schema-strict split itself, over ANY frame with a `raw_line`
+    * string column (per-micro-batch streaming use, the
+    * [[Jsonl.splitQuarantine]] shape). */
+  def splitQuarantine(
+      lines: DataFrame, schema: StructType): (DataFrame, DataFrame) = {
+    require(!schema.fieldNames.contains(Corrupt),
+      s"schema must not contain the reserved column $Corrupt")
+    val full = schema.add(Corrupt, StringType)
+    val opts = Format ++ Map(
+      "mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> Corrupt)
+    val parsed = lines
+      .select(col("raw_line"),
+        from_csv(col("raw_line"), full, opts).as("j"))
+    // three quarantine signals: a NULL struct (never produced by
+    // from_csv in practice, kept for parity), a corrupt capture (type
+    // mismatch / shredded quoting / wrong column count), and a blank
+    // line — from_csv parses "" as a one-empty-token record (first
+    // field null or empty, rest null), which is not a record at all.
+    // getField, not col("j.name"): dotted field names are literal
+    val blank = trim(col("raw_line")) === ""
+    val good = parsed
+      .filter(col("j").isNotNull && col("j").getField(Corrupt).isNull && !blank)
+      .select(schema.fieldNames.map(f => col("j").getField(f).as(f)).toSeq: _*)
+    val bad = parsed
+      .filter(col("j").isNull || col("j").getField(Corrupt).isNotNull || blank)
+      .select(col("raw_line"))
+    (good, bad)
+  }
+
+  /** Export `df` as headerless CSV part files under `dir`, in the
+    * exact dialect the reader parses. Refuses (ANSI-loud, per
+    * partition, inside the one write pass) string values containing
+    * line breaks — see class doc. */
+  def write(df: DataFrame, dir: String, numFiles: Int = 0): Unit = {
+    val guarded = df.schema.fields.filter(_.dataType == StringType)
+      .foldLeft(df) { (acc, f) =>
+        val c = col(s"`${f.name}`")
+        acc.withColumn(f.name,
+          when(c.contains("\n") || c.contains("\r") || c === NullSentinel,
+            raise_error(concat(lit(s"Csv.write: ${f.name} value cannot " +
+              s"ride a line-splittable CSV (line break, or the " +
+              s"$NullSentinel null sentinel itself): "), c)))
+            .otherwise(c))
+      }
+    val out = if (numFiles > 0) guarded.coalesce(numFiles) else guarded
+    out.write.mode("errorifexists").options(Format).csv(dir)
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Csv
+
+/** Schema-strict CSV ingest with quarantine: good rows round-trip
+  * bit-exactly (NULL and "" kept distinct), junk lines land whole in
+  * the quarantine — never as padded-NULL rows. */
+class CsvSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("text", StringType),
+    StructField("x", DoubleType)))
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("csv").toString + "/data"
+
+  test("write -> read round trip is identity: nulls, empties, quoting, unicode") {
+    val rows = Seq(
+      (1L, Some("""comma, "quoted", and \slash"""), Some(1.5)),
+      (2L, None, Some(0.1 + 0.2)),          // a non-representable double
+      (3L, Some(""), None),                 // empty string is NOT null
+      (4L, Some("unicode: äöü 中文 🙂"), Some(-0.0)))
+    val df = rows.toDF("id", "text", "x")
+    val dir = freshDir()
+    Csv.write(df, dir)
+    val (good, bad) = Csv.readWithQuarantine(spark, dir, schema)
+    assert(bad.isEmpty)
+    assert(good.orderBy("id").collect().toSeq === df.orderBy("id").collect().toSeq)
+  }
+
+  test("malformed, mis-shaped, and blank lines quarantine verbatim") {
+    val dir = freshDir()
+    Csv.write(Seq((1L, "ok", 2.0)).toDF("id", "text", "x"), dir)
+    val junk = Seq(
+      "NaN-id,type mismatch,1.0",  // id does not parse as long
+      "7,too,many,columns,here",   // wrong arity
+      """9,"shredded quote,1.0""", // unterminated quoted field
+      "")                          // blank is not a record
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "junk.csv"),
+      scala.jdk.CollectionConverters.SeqHasAsJava(junk).asJava)
+    val (good, bad) = Csv.readWithQuarantine(spark, dir, schema)
+    assert(good.count() === 1L)
+    assert(good.filter(col("id").isNull).count() === 0L,
+      "junk must never surface as padded-NULL rows")
+    assert(bad.as[String].collect().toSet === junk.toSet,
+      "quarantined lines must be verbatim")
+  }
+
+  test("timestamps round-trip at microsecond precision") {
+    val ts = StructType(Seq(
+      StructField("id", LongType), StructField("t", TimestampType)))
+    val df = Seq(
+      (1L, java.sql.Timestamp.from(java.time.Instant.parse("2026-01-02T03:04:05.123456Z"))),
+      (2L, java.sql.Timestamp.from(java.time.Instant.parse("1999-12-31T23:59:59.000001Z"))))
+      .toDF("id", "t")
+    val dir = freshDir()
+    Csv.write(df, dir)
+    val (good, bad) = Csv.readWithQuarantine(spark, dir, ts)
+    assert(bad.isEmpty)
+    assert(good.orderBy("id").collect().toSeq === df.orderBy("id").collect().toSeq)
+  }
+
+  test("a dotted field name selects as itself, not as a struct path") {
+    val dotted = StructType(Seq(
+      StructField("id", LongType),
+      StructField("meta.lang", StringType)))
+    val dir = freshDir()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "d.csv"),
+      scala.jdk.CollectionConverters.SeqHasAsJava(Seq("1,en", "2,\\N")).asJava)
+    val (good, bad) = Csv.readWithQuarantine(spark, dir, dotted)
+    assert(bad.isEmpty)
+    assert(good.columns.toSeq === Seq("id", "meta.lang"))
+    assert(good.orderBy("id").select(col("`meta.lang`")).as[String]
+      .collect().toSeq === Seq("en", null))
+  }
+
+  test("unwritable values, reserved schema, and double-writes fail loudly") {
+    val dir = freshDir()
+    intercept[Exception] {  // embedded newline can't ride a line-split format
+      Csv.write(Seq((1L, "two\nlines", 0.0)).toDF("id", "text", "x"), dir)
+    }
+    intercept[Exception] {  // a literal \N would read back as NULL
+      Csv.write(Seq((1L, "\\N", 0.0)).toDF("id", "text", "x"), dir)
+    }
+    Csv.write(Seq((1L, "x", 1.0)).toDF("id", "text", "x"), dir)
+    intercept[Exception] {
+      Csv.write(Seq((2L, "y", 2.0)).toDF("id", "text", "x"), dir)
+    }
+    intercept[IllegalArgumentException] {
+      Csv.readWithQuarantine(spark, dir, schema.add("__corrupt", StringType))
+    }
+  }
+}
