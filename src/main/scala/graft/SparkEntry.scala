@@ -1215,6 +1215,18 @@ object SparkEntry {
       good.orderBy(col("doc_id"))
     }),
 
+    "q125_binary_ann" -> ((s, d) =>
+      // 1-bit sign quantization: Hamming shortlist over in-scan codes
+      // (the persisted-codes path is the same kernel on a 16x smaller
+      // column), exact cosine rerank of the 64 survivors. The oracle
+      // re-derives pack, popcount ranking, and rerank — integer-exact
+      // through the shortlist, q40's round-6 cosine convention on top.
+      SimilaritySearch.hammingTopK(T.embeddings(s, d), "vec_id", "embedding",
+          queryVec(s, d), k = 10, rerank = 64)
+        .select(col("vec_id"), col("hamming"),
+          round(col("similarity"), 6).as("sim"))
+        .orderBy(desc("sim"), asc("vec_id"))),
+
     "q124_temperature_mix" -> ((s, d) =>
       // alpha-temperature training mixture (Sampling.temperatureMix):
       // stratum share ∝ n^0.5 at 40% overall — the multilingual
@@ -1912,6 +1924,29 @@ object SparkEntry {
         |  THEN d.doc_id IS NOT NULL
         |  ELSE substr(md5(d.doc_id::VARCHAR), 1, 8) < printf('%08x', th.tq) END
         |ORDER BY d.doc_id""".stripMargin,
+
+    // sign-bit pack (32 dims/word keeps every word positive int64 —
+    // the operator's engine-portability rule), XOR+popcount Hamming
+    // shortlist of 64, exact rerank; integer-exact until the final
+    // cosine, which follows q40's round-6 convention
+    "q125_binary_ann" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |pk AS (SELECT qv, [list_sum([CASE WHEN w*32+j < len(qv) AND qv[w*32+j+1] > 0
+        |      THEN (1::BIGINT << j) ELSE 0::BIGINT END FOR j IN range(0, 32)])::BIGINT
+        |    FOR w IN range(0, CAST(ceil(len(qv)/32.0) AS INT))] AS qc FROM q),
+        |c AS (SELECT vec_id, embedding,
+        |    [list_sum([CASE WHEN w*32+j < len(embedding) AND embedding[w*32+j+1] > 0
+        |      THEN (1::BIGINT << j) ELSE 0::BIGINT END FOR j IN range(0, 32)])::BIGINT
+        |    FOR w IN range(0, CAST(ceil(len(embedding)/32.0) AS INT))] AS code
+        |  FROM embeddings),
+        |h AS (SELECT c.vec_id, c.embedding, pk.qv,
+        |    list_sum([bit_count(xor(c.code[i], pk.qc[i]))
+        |      FOR i IN range(1, len(c.code)+1)])::BIGINT AS hamming
+        |  FROM c, pk),
+        |s AS (SELECT * FROM h ORDER BY hamming, vec_id LIMIT 64)
+        |SELECT vec_id, hamming,
+        |  round(list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]), 6) AS sim
+        |FROM s ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
 
     "q36_salted_count" ->
       "SELECT user_id, count(*) AS n FROM events GROUP BY user_id ORDER BY user_id",

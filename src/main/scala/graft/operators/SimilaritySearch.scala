@@ -325,6 +325,80 @@ object SimilaritySearch {
       idCol, vecCol, codesCol, query, codebooks, k, shortlist)
   }
 
+  /** Sign-bit binary code for a float/double vector: bit j of word w
+    * is set when dimension 32*w + j is positive. 32 dimensions per
+    * 64-bit word — not 64 — so every word stays in the POSITIVE int64
+    * range and the packing arithmetic is exact and portable across
+    * engines (a 63rd-bit shift flips int64 sign, which engines fold
+    * and format differently); XOR+popcount cost is identical either
+    * way. A 768-dim embedding becomes 24 longs = 192 bytes against
+    * 3 KiB of floats — a 16x smaller scan whose distance kernel is
+    * pure integer ALU work, the standard first-stage filter for
+    * billion-vector search. At scale, persist the codes once as a
+    * column (the PQ codes convention) instead of re-quantizing per
+    * query; [[hammingTopK]] accepts either. NULL vectors code as
+    * NULL (and rank last, like every other top-k in this file). */
+  def binaryQuantize(vec: Column): Column = {
+    val powers = typedlit((0 until 32).map(j => 1L << j).toArray)
+    // the empty-array guard matters: sequence(0, -1) would descend
+    when(size(vec) === 0, array().cast("array<long>")).otherwise(
+      transform(
+        sequence(lit(0), floor((size(vec) - lit(1)) / lit(32)).cast("int")),
+        w => aggregate(
+          sequence(lit(0), lit(31)), lit(0L),
+          (acc, j) => {
+            val idx = w * lit(32) + j
+            acc + when(idx < size(vec) && element_at(vec, (idx + 1).cast("int")) > lit(0.0),
+              element_at(powers, (j + 1).cast("int"))).otherwise(lit(0L))
+          })))
+  }
+
+  /** Hamming distance between two equal-length binary codes (XOR +
+    * popcount per word, summed). NULL codes yield NULL. */
+  def hammingDistance(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, d) => acc + d)
+
+  /** Binary-quantized search: Hamming shortlist over the 1-bit codes,
+    * then (optionally) exact cosine rerank of just the shortlist —
+    * [[pqTopKExact]]'s shape at 1 bit/dim. `rerank = 0` returns the
+    * raw Hamming top-k (`hamming` column); `rerank >= k` scans codes
+    * only for the corpus-wide pass and touches float vectors for
+    * `rerank` rows (`similarity` column added). Both stages are
+    * TakeOrdered plans with deterministic id tie-breaks; no corpus
+    * shuffle. Pass `codesCol` when the codes are persisted — the
+    * 100 TB deployment shape — otherwise codes derive in-scan from
+    * `vecCol`. */
+  def hammingTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], k: Int, rerank: Int = 0,
+      codesCol: Option[String] = None): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rerank == 0 || rerank >= k,
+      s"rerank $rerank must be 0 (off) or >= k=$k")
+    val codes = codesCol.map(c => col(s"`$c`")).getOrElse(binaryQuantize(col(vecCol)))
+    val short = corpus
+      .withColumn("hamming", hammingDistance(codes, typedlit(packBits(query))))
+      .orderBy(asc_nulls_last("hamming"), asc(idCol))
+      .limit(if (rerank > 0) rerank else k)
+    if (rerank == 0) short
+    else short
+      .withColumn("similarity", cosineSimilarity(col(vecCol), typedlit(query)))
+      .orderBy(desc_nulls_last("similarity"), asc(idCol))
+      .limit(k)
+  }
+
+  /** Driver-side twin of [[binaryQuantize]] for query vectors. */
+  private[graft] def packBits(v: Array[Float]): Array[Long] = {
+    val out = new Array[Long]((v.length + 31) / 32)
+    var i = 0
+    while (i < v.length) {
+      if (v(i) > 0f) out(i / 32) |= 1L << (i % 32)
+      i += 1
+    }
+    out
+  }
+
   /** Lloyd's k-means over float-array vectors — learns the IVF coarse
     * quantizer when no natural cluster column exists (pgvector's
     * `ivfflat lists=k` trains exactly this). Cosine assignment, mean

@@ -30,6 +30,17 @@ class PlanShapeSpec extends SparkSpec {
       "top-k must not shuffle the corpus")
   }
 
+  test("binary-quantized hammingTopK plans both stages heap-only, no corpus shuffle") {
+    val q = Tables.embeddings(spark, dir).select("embedding").head().getSeq[Float](0).toArray
+    val plan = collectPlan(operators.SimilaritySearch.hammingTopK(
+      Tables.embeddings(spark, dir), "vec_id", "embedding", q, k = 5, rerank = 20))
+    assert(plan.count(_.isInstanceOf[TakeOrderedAndProjectExec]) === 2,
+      "expected TWO TakeOrderedAndProject stages (Hamming shortlist + rerank), got:\n" +
+        plan.mkString("\n"))
+    assert(!plan.exists(_.isInstanceOf[Exchange]),
+      "binary-quantized top-k must not shuffle the corpus")
+  }
+
   test("matchDocuments ranked-distance top-k also plans heap-only (hybrid's vector leg)") {
     val q = Tables.embeddings(spark, dir).select("embedding").head().getSeq[Float](0).toArray
     val plan = collectPlan(graft.kb.KnowledgeBase.matchDocuments(

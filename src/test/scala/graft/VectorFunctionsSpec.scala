@@ -92,4 +92,55 @@ class VectorFunctionsSpec extends SparkSpec {
     val df = Seq((Array(1.0, 0.0), Array(1.0, 0.0))).toDF("a", "b")
     assert(df.select(cosineSimilarity($"a", $"b")).as[Double].collect()(0) === 1.0)
   }
+
+  test("binaryQuantize matches the driver-side packer, multi-word and edges") {
+    import graft.operators.SimilaritySearch
+    val rng = new scala.util.Random(7)
+    val vecs = Seq(
+      Array.fill(70)(rng.nextFloat() - 0.5f),   // 3 words, partial last
+      Array.fill(32)(rng.nextFloat() - 0.5f),   // exactly 1 word
+      Array.fill(64)(1f),                       // all bits of 2 words
+      Array(0f, -0f, -1f, 1e-9f))               // zeros are NOT positive
+    val df = vecs.zipWithIndex.map { case (v, i) => (i, v) }.toDF("i", "v")
+    val got = df.orderBy("i")
+      .select(SimilaritySearch.binaryQuantize($"v")).as[Array[Long]].collect()
+    val want = vecs.map(SimilaritySearch.packBits)
+    got.zip(want).foreach { case (g, w) => assert(g.toSeq === w.toSeq) }
+    // NULL in -> NULL out
+    val n = Seq((1, null: Array[Float])).toDF("i", "v")
+      .select(SimilaritySearch.binaryQuantize($"v")).collect()(0)
+    assert(n.isNullAt(0))
+  }
+
+  test("hammingDistance counts differing sign bits exactly") {
+    import graft.operators.SimilaritySearch
+    val a = Array.fill(70)(1f)
+    val b = a.clone(); b(0) = -1f; b(33) = -1f; b(69) = -1f
+    val df = Seq((a, b)).toDF("a", "b")
+    val d = df.select(SimilaritySearch.hammingDistance(
+      SimilaritySearch.binaryQuantize($"a"),
+      SimilaritySearch.binaryQuantize($"b"))).as[Long].collect()(0)
+    assert(d === 3L)
+  }
+
+  test("hammingTopK: shortlist+rerank recovers the exact neighbors, nulls last") {
+    import graft.operators.SimilaritySearch
+    val rng = new scala.util.Random(11)
+    val base = Array.fill(64)(rng.nextFloat() - 0.5f)
+    def jitter(eps: Float) =
+      base.zipWithIndex.map { case (x, i) => x + (if (i % 7 == 0) eps else -eps / 3) }
+    val corpus = (
+      (1 to 40).map(i => (i.toLong, Array.fill(64)(rng.nextFloat() - 0.5f))) ++
+        Seq((100L, jitter(0.01f)), (101L, jitter(0.02f)),
+          (102L, null: Array[Float]))).toDF("vec_id", "embedding")
+    val got = SimilaritySearch.hammingTopK(
+      corpus, "vec_id", "embedding", base, k = 2, rerank = 10)
+    assert(got.columns.contains("hamming") && got.columns.contains("similarity"))
+    assert(got.select("vec_id").as[Long].collect().toSet === Set(100L, 101L))
+    // exact brute-force agrees on the winners
+    val exact = SimilaritySearch.topK(
+        corpus.filter($"embedding".isNotNull), "embedding", base, 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(exact === Set(100L, 101L))
+  }
 }
