@@ -88,6 +88,26 @@ object Csv {
     (good, bad)
   }
 
+  /** The raw lines of `lines` that parse cleanly under `schema` but
+    * carry a NULL `field` — the [[Jsonl.parsedWithNullField]] twin for
+    * the streaming retraction opt-out (an explicit `\N` is
+    * indistinguishable from a truncated row's padded NULL after
+    * parsing, so opted-out callers quarantine such lines VERBATIM
+    * instead of silently dropping them). One streaming pass, same
+    * parse as [[splitQuarantine]]. */
+  def parsedWithNullField(
+      lines: DataFrame, schema: StructType, field: String): DataFrame = {
+    require(schema.fieldNames.contains(field), s"$field not in schema")
+    val full = schema.add(Corrupt, StringType)
+    val opts = Format ++ Map(
+      "mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> Corrupt)
+    lines
+      .select(col("raw_line"), from_csv(col("raw_line"), full, opts).as("j"))
+      .filter(col("j").isNotNull && col("j").getField(Corrupt).isNull &&
+        trim(col("raw_line")) =!= "" && col("j").getField(field).isNull)
+      .select(col("raw_line"))
+  }
+
   /** Export `df` as headerless CSV part files under `dir`, in the
     * exact dialect the reader parses. Refuses (ANSI-loud, per
     * partition, inside the one write pass) string values containing

@@ -86,12 +86,13 @@ object Jsonl {
       .select(col("raw_line"))
   }
 
-  /** Streaming raw-line source over a growing JSONL directory: the
-    * arrival path's first hop (file-source checkpointing tracks which
-    * files are consumed). Split each micro-batch with
-    * [[splitQuarantine]]; one stream, one checkpoint — returning two
-    * independent streaming frames here would mean two queries each
-    * re-scanning the text. */
+  /** Streaming raw-line source over a growing directory of line
+    * records (JSONL, [[Csv]]'s dialect — the scan is format-blind):
+    * the arrival path's first hop (file-source checkpointing tracks
+    * which files are consumed). Split each micro-batch with the
+    * format's `splitQuarantine`; one stream, one checkpoint —
+    * returning two independent streaming frames here would mean two
+    * queries each re-scanning the text. */
   def readStreamLines(
       spark: SparkSession, path: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {

@@ -169,7 +169,59 @@ object IndexMaintenance {
       maxFilesPerTrigger: Option[Int] = None,
       idCol: String = "id", contentCol: String = "content",
       vecCol: String = "embedding",
-      retractOnNullContent: Boolean = true): StreamingQuery = {
+      retractOnNullContent: Boolean = true): StreamingQuery =
+    runLinesToIndexedKnowledge(session, dir, schema, quarantinePath,
+      checkpoint, graft.sources.Jsonl.splitQuarantine,
+      graft.sources.Jsonl.parsedWithNullField,
+      versionCol, lexicalPath, dedupPath, admitThreshold,
+      admitMaxBucketPostings, maxFilesPerTrigger, idCol, contentCol,
+      vecCol, retractOnNullContent)
+
+  /** [[runJsonlToIndexedKnowledge]] for a growing directory of
+    * headerless CSV files in [[graft.sources.Csv]]'s dialect — the
+    * same quarantine/admission/merge pipeline, different parser. A
+    * well-formed line whose `contentCol` is the `\N` sentinel is the
+    * CSV spelling of the NULL-content retraction. */
+  def runCsvToIndexedKnowledge(
+      session: GraftSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      quarantinePath: String, checkpoint: String,
+      versionCol: Option[String] = None,
+      lexicalPath: Option[String] = None,
+      dedupPath: Option[String] = None,
+      admitThreshold: Option[Double] = None,
+      admitMaxBucketPostings: Option[Int] = None,
+      maxFilesPerTrigger: Option[Int] = None,
+      idCol: String = "id", contentCol: String = "content",
+      vecCol: String = "embedding",
+      retractOnNullContent: Boolean = true): StreamingQuery =
+    runLinesToIndexedKnowledge(session, dir, schema, quarantinePath,
+      checkpoint, graft.sources.Csv.splitQuarantine,
+      graft.sources.Csv.parsedWithNullField,
+      versionCol, lexicalPath, dedupPath, admitThreshold,
+      admitMaxBucketPostings, maxFilesPerTrigger, idCol, contentCol,
+      vecCol, retractOnNullContent)
+
+  /** The shared line-format arrival path: `split` is the schema-strict
+    * quarantine split ((lines, schema) => (good, bad)) and `nullLines`
+    * selects well-formed lines with a NULL field (the retraction
+    * opt-out's verbatim-quarantine source) — [[graft.sources.Jsonl]]
+    * and [[graft.sources.Csv]] each supply their pair. */
+  private def runLinesToIndexedKnowledge(
+      session: GraftSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      quarantinePath: String, checkpoint: String,
+      split: (DataFrame, org.apache.spark.sql.types.StructType) => (DataFrame, DataFrame),
+      nullLines: (DataFrame, org.apache.spark.sql.types.StructType, String) => DataFrame,
+      versionCol: Option[String],
+      lexicalPath: Option[String],
+      dedupPath: Option[String],
+      admitThreshold: Option[Double],
+      admitMaxBucketPostings: Option[Int],
+      maxFilesPerTrigger: Option[Int],
+      idCol: String, contentCol: String,
+      vecCol: String,
+      retractOnNullContent: Boolean): StreamingQuery = {
     require(admitThreshold.isEmpty || dedupPath.nonEmpty,
       "admitThreshold needs dedupPath: admission probes the persisted dedup index")
     require(admitMaxBucketPostings.isEmpty || admitThreshold.nonEmpty,
@@ -192,7 +244,7 @@ object IndexMaintenance {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         batch.persist()
         try {
-          val (good0, bad0) = graft.sources.Jsonl.splitQuarantine(batch.toDF(), schema)
+          val (good0, bad0) = split(batch.toDF(), schema)
           // opted-out NULL-content lines are producer bugs here, not
           // retractions and not data: they must land in the quarantine
           // VERBATIM (the reject-sink discipline — a silent drop would
@@ -206,8 +258,7 @@ object IndexMaintenance {
               // backtick-quoted: a dotted field name is a top-level
               // column of good0, not a struct path
               (good0.filter(col(s"`$contentField`").isNotNull),
-                bad0.unionByName(graft.sources.Jsonl.parsedWithNullField(
-                  batch.toDF(), schema, contentField)))
+                bad0.unionByName(nullLines(batch.toDF(), schema, contentField)))
             }
           if (!bad.isEmpty)
             bad.write.mode("overwrite").text(s"$quarantinePath/batch_id=$batchId")

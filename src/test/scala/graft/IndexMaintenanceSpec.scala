@@ -412,6 +412,42 @@ class IndexMaintenanceSpec extends SparkSpec {
     } finally graft.plans.IvfIndex.unregister(spark, "embedding")
   }
 
+  test("CSV arrival path: same pipeline, CSV dialect — \\N content is a retraction") {
+    val emb = HashEmbedder(16)
+    val g = GraftSession(spark, emb)
+    val initial = Seq(
+      (1L, "seed document one with stable content staying put"),
+      (2L, "seed document two with different content also staying"),
+      (3L, "doomed document three retracted by the csv stream soon"))
+    g.loadKnowledgeBase(emb.embedColumn(
+      initial.toDF("id", "content"), "content", "embedding"))
+    val base = java.nio.file.Files.createTempDirectory("csv_arrival").toString
+    g.indexKnowledge(s"$base/kb", nClusters = 2, nprobe = 2)
+    val in = s"$base/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.StringType)))
+    java.nio.file.Files.write(java.nio.file.Paths.get(in, "a.csv"),
+      String.join("\n",
+        "40,novel csv arrival with a fresh payload entirely",
+        "3,\\N",                       // retraction, CSV spelling
+        "not-a-number,type mismatch",  // quarantine
+        "41,too,many,columns").getBytes("UTF-8"))
+    val q = IndexMaintenance.runCsvToIndexedKnowledge(
+      g, in, schema, quarantinePath = s"$base/quar", checkpoint = s"$base/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    try {
+      val kbIds = g.knowledgeBase.select("id").collect().map(_.getLong(0)).toSet
+      assert(kbIds === Set(1L, 2L, 40L),
+        s"csv arrival must ingest 40 and retract 3: $kbIds")
+      val quar = spark.read.text(s"$base/quar")
+        .select("value").collect().map(_.getString(0)).toSet
+      assert(quar === Set("not-a-number,type mismatch", "41,too,many,columns"),
+        s"quarantine must hold the junk verbatim: $quar")
+    } finally graft.plans.IvfIndex.unregister(spark, "embedding")
+  }
+
   test("applyBatch without versionCol picks a deterministic content-fingerprint winner") {
     val emb = HashEmbedder(16)
     val g = GraftSession(spark, emb)
