@@ -1227,6 +1227,24 @@ object SparkEntry {
           round(col("similarity"), 6).as("sim"))
         .orderBy(desc("sim"), asc("vec_id"))),
 
+    "q126_zorder_key" -> ((s, d) => {
+      // the z-order clustering key (Layout.zOrderWrite's ordering):
+      // min-max scale each z-column into 16 bits, bit-interleave. The
+      // oracle re-derives bounds, scaling, and the 32-term interleave,
+      // so a drift anywhere in the layout math fails the hash.
+      val docs = T.documents(s, d)
+      val b = docs.agg(
+        min(col("n_chars")).cast("double"), max(col("n_chars")).cast("double"),
+        min(col("doc_id")).cast("double"), max(col("doc_id")).cast("double")).head()
+      docs.select(col("doc_id"),
+        operators.Layout.zValue(Seq(
+          operators.Layout.zScaled(col("n_chars"),
+            lit(b.getDouble(0)), lit(b.getDouble(1)), 16),
+          operators.Layout.zScaled(col("doc_id"),
+            lit(b.getDouble(2)), lit(b.getDouble(3)), 16)), 16).as("z"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q124_temperature_mix" -> ((s, d) =>
       // alpha-temperature training mixture (Sampling.temperatureMix):
       // stratum share ∝ n^0.5 at 40% overall — the multilingual
@@ -1947,6 +1965,22 @@ object SparkEntry {
         |SELECT vec_id, hamming,
         |  round(list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]), 6) AS sim
         |FROM s ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    // same double arithmetic as Layout.zScaled ((c-min)*65535/span,
+    // floor), then the 32-term literal-shift interleave of zValue
+    "q126_zorder_key" ->
+      """WITH bo AS (SELECT min(n_chars)::DOUBLE AS nmin, max(n_chars)::DOUBLE AS nmax,
+        |    min(doc_id)::DOUBLE AS dmin, max(doc_id)::DOUBLE AS dmax FROM documents),
+        |s AS (SELECT doc_id,
+        |    CASE WHEN nmax - nmin <= 0 THEN 0::BIGINT
+        |      ELSE floor((n_chars::DOUBLE - nmin) * 65535.0 / (nmax - nmin))::BIGINT END AS za,
+        |    CASE WHEN dmax - dmin <= 0 THEN 0::BIGINT
+        |      ELSE floor((doc_id::DOUBLE - dmin) * 65535.0 / (dmax - dmin))::BIGINT END AS zb
+        |  FROM documents, bo)
+        |SELECT doc_id,
+        |  list_sum([(((za >> i) & 1) << (i*2)) + (((zb >> i) & 1) << (i*2+1))
+        |    FOR i IN range(0, 16)])::BIGINT AS z
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "q36_salted_count" ->
       "SELECT user_id, count(*) AS n FROM events GROUP BY user_id ORDER BY user_id",

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout clustering for scan pruning — the `OPTIMIZE ZORDER
+  * BY` analog (Delta/Iceberg's answer to "my table is sorted by one
+  * column but filtered by two"). The reference has no layout surface
+  * at all (its Postgres tables rely on per-column btrees,
+  * `Supabase/knowledge_base-RAG.sql`); at 100 TB, layout IS the
+  * index: parquet keeps min/max per column per row group, so rows
+  * co-located in every z-dimension make those stats tight and the
+  * scan skips whole files for predicates on ANY of the z-columns —
+  * not just the lead column of a linear sort.
+  *
+  * Shape: one stats aggregate (min/max per z-column, a single tiny
+  * row) + one range shuffle on the interleaved key + a sorted write.
+  * That is exactly what an OPTIMIZE pays; there is no driver-side
+  * loop and nothing corpus-sized leaves the executors.
+  */
+object Layout {
+
+  /** Morton (z-order) value of `cols`: each column's low `bits` bits,
+    * bit-interleaved (column 0 owns bit positions 0, k, 2k, …). The
+    * expression unrolls to `bits * k` shift-mask-add terms — all
+    * literal shifts, one codegen'd projection, no lambda machinery.
+    *
+    * Inputs must already be non-negative and < 2^bits (use
+    * [[zScaled]] for arbitrary ranges): out-of-range values are
+    * CLAMPED into range (`greatest(0) → least(2^bits-1)`), which
+    * degrades locality for those rows but never corrupts neighbors'
+    * ordering. `bits * k <= 62` keeps every intermediate and the
+    * result in positive int64 — the engine-portability rule the
+    * binary quantizer follows. NULL in any column → NULL z-value
+    * (sorts last in the write path, keeping null-heavy rows together,
+    * which is itself the right layout for them). */
+  def zValue(cols: Seq[Column], bits: Int = 16): Column = {
+    val k = cols.size
+    require(k >= 1, "zValue needs at least one column")
+    require(bits >= 1 && bits * k <= 62,
+      s"bits * cols = ${bits * k} must stay in [1, 62] (positive int64)")
+    val hi = (1L << bits) - 1
+    val terms = for {
+      (c, ci) <- cols.zipWithIndex
+      // when-chain, not least/greatest: those SKIP nulls and would
+      // silently clamp a NULL to 0 instead of propagating it
+      clamped = when(c.cast("long") < 0L, lit(0L))
+        .when(c.cast("long") > hi, lit(hi))
+        .otherwise(c.cast("long"))
+      b <- 0 until bits
+    } yield shiftleft(shiftrightunsigned(clamped, b).bitwiseAND(lit(1L)), b * k + ci)
+    terms.reduce(_ + _)
+  }
+
+  /** Min-max scale `c` into [0, 2^bits) given the column's global
+    * bounds — the quantization step before [[zValue]] for columns of
+    * arbitrary range. Double arithmetic, deterministic and identical
+    * across engines (one multiply, one divide, one floor). A
+    * degenerate column (min == max) maps to 0. */
+  def zScaled(c: Column, minV: Column, maxV: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 62, s"bits $bits out of [1, 62]")
+    val span = maxV.cast("double") - minV.cast("double")
+    when(span <= 0d, lit(0L)).otherwise(
+      floor((c.cast("double") - minV.cast("double"))
+        * lit(((1L << bits) - 1).toDouble) / span).cast("long"))
+  }
+
+  /** Rewrite `df` under `path` clustered by the z-order of `zCols`
+    * (min-max scaled per column from a one-row stats pass), range-
+    * partitioned into `numFiles` files and sorted within each — after
+    * this, parquet min/max stats are tight on EVERY z-column and
+    * predicates on any of them prune at file and row-group level.
+    * Columns must be numeric/date/timestamp (cast to double for
+    * scaling); the helper z column does not survive into the files. */
+  def zOrderWrite(
+      df: DataFrame, zCols: Seq[String], path: String,
+      numFiles: Int, bits: Int = 16): Unit = {
+    require(zCols.nonEmpty, "zOrderWrite needs at least one z column")
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    val q = zCols.map(c => col(s"`$c`"))
+    val aggs = q.flatMap(c => Seq(min(c).cast("double"), max(c).cast("double")))
+    val bounds = df.agg(aggs.head, aggs.tail: _*).head()
+    val scaled = q.zipWithIndex.map { case (c, i) =>
+      require(!bounds.isNullAt(2 * i),
+        s"zOrderWrite: ${zCols(i)} has no non-null values (or df is empty) — " +
+          "cannot derive scaling bounds")
+      zScaled(c, lit(bounds.getDouble(2 * i)), lit(bounds.getDouble(2 * i + 1)), bits)
+    }
+    df.withColumn("__z", zValue(scaled, bits))
+      .repartitionByRange(numFiles, col("__z").asc_nulls_last)
+      .sortWithinPartitions(col("__z").asc_nulls_last)
+      .drop("__z")
+      .write.mode("errorifexists").parquet(path)
+  }
+}

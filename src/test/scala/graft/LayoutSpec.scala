@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Layout
+
+/** Z-order layout: the Morton math is exact, and the clustered write
+  * actually tightens per-file min/max on every z-column (the property
+  * parquet pruning feeds on). */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def refZ(vals: Seq[Long], bits: Int): Long = {
+    val k = vals.size
+    var z = 0L
+    for (ci <- 0 until k; b <- 0 until bits) {
+      val v = math.min(math.max(vals(ci), 0L), (1L << bits) - 1)
+      z |= ((v >>> b) & 1L) << (b * k + ci)
+    }
+    z
+  }
+
+  test("zValue matches the scalar reference: 2 and 3 columns, clamping, nulls") {
+    val rng = new scala.util.Random(13)
+    val rows = (1 to 200).map(_ =>
+      (rng.nextLong().abs % 100000 - 10000, // exercises the negative clamp
+        rng.nextLong().abs % 70000,         // exercises the high clamp at 2^16
+        rng.nextLong().abs % 65536))
+    val df = rows.toDF("a", "b", "c")
+    val got2 = df.select(Layout.zValue(Seq($"a", $"b"), 16)).as[Long].collect()
+    val got3 = df.select(Layout.zValue(Seq($"a", $"b", $"c"), 16)).as[Long].collect()
+    rows.zipWithIndex.foreach { case ((a, b, c), i) =>
+      assert(got2(i) === refZ(Seq(a, b), 16))
+      assert(got3(i) === refZ(Seq(a, b, c), 16))
+    }
+    val withNull = Seq((Some(3L), None: Option[Long])).toDF("a", "b")
+    assert(withNull.select(Layout.zValue(Seq($"a", $"b"), 16)).collect()(0).isNullAt(0))
+    intercept[IllegalArgumentException] {
+      Layout.zValue(Seq($"a", $"b"), 32) // 64 interleaved bits > 62
+    }
+  }
+
+  test("zScaled maps bounds to [0, 2^bits) and degenerate spans to 0") {
+    val df = Seq(0.0, 50.0, 100.0).toDF("v")
+    val s = df.select(Layout.zScaled($"v", lit(0.0), lit(100.0), 8)).as[Long].collect()
+    assert(s(0) === 0L && s(2) === 255L && s(1) === 127L)
+    val d = df.select(Layout.zScaled($"v", lit(7.0), lit(7.0), 8)).as[Long].collect()
+    assert(d.toSeq === Seq(0L, 0L, 0L))
+  }
+
+  test("zOrderWrite tightens per-file spans on BOTH columns vs a linear sort") {
+    val rng = new scala.util.Random(29)
+    val rows = (1 to 20000).map(_ => (rng.nextInt(100000).toLong, rng.nextInt(100000).toLong))
+    val df = rows.toDF("x", "y")
+    val base = java.nio.file.Files.createTempDirectory("zorder").toString
+    Layout.zOrderWrite(df, Seq("x", "y"), s"$base/z", numFiles = 16)
+    df.repartitionByRange(16, $"x").sortWithinPartitions($"x")
+      .write.parquet(s"$base/linear")
+
+    def spanSum(path: String, c: String): Double =
+      new java.io.File(path).listFiles().filter(_.getName.endsWith(".parquet"))
+        .map { f =>
+          val r = spark.read.parquet(f.getPath)
+            .agg((max(col(c)) - min(col(c))).cast("double")).head()
+          r.getDouble(0)
+        }.sum
+
+    val zr = spark.read.parquet(s"$base/z")
+    assert(zr.count() === 20000L)
+    // linear sort: x is perfectly clustered, y is not at all (each file
+    // spans ~the full y domain). z-order: BOTH columns' per-file spans
+    // shrink to a fraction of the domain — the stats pruning property.
+    val zx = spanSum(s"$base/z", "x"); val zy = spanSum(s"$base/z", "y")
+    val lx = spanSum(s"$base/linear", "x"); val ly = spanSum(s"$base/linear", "y")
+    assert(ly > 15.0 * 100000, s"baseline y should be unclustered, got $ly")
+    assert(zy < 0.5 * ly, s"z-order must tighten y spans: $zy vs $ly")
+    assert(zx < 0.5 * ly, s"z-order must keep x clustered too: $zx")
+    assert(lx < zx, "linear sort is best-possible on its lead column")
+  }
+}
