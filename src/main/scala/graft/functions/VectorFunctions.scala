@@ -44,6 +44,11 @@ object VectorFunctions {
 
   def l2Norm(a: Column): Column = toColumn(L2Norm(toExpr(a)))
 
+  /** Hamming distance between two int64 code arrays (see
+    * [[HammingDistance]]). */
+  def hammingDistance(a: Column, b: Column): Column =
+    toColumn(HammingDistance(toExpr(a), toExpr(b)))
+
   /** Unit-normalize a vector (null for zero vectors). A dedicated
     * Expression, not `transform(v, e => e / l2_norm(v))`: higher-order
     * lambdas are interpreted and re-evaluate the norm PER ELEMENT
@@ -175,6 +180,63 @@ case class DotProduct(left: Expression, right: Expression)
           ${ev.value} = 0.0;
           for (int $i = 0; $i < $n; $i++) {
             ${ev.value} += ${getter(left.dataType, x, i)} * ${getter(right.dataType, y, i)};
+          }
+        }
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Hamming distance between two equal-length int64 code arrays
+  * (XOR + popcount per word, summed) —
+  * [[graft.operators.SimilaritySearch.binaryQuantize]]'s distance
+  * kernel as a native expression: the `aggregate(zip_with(...))`
+  * formulation runs interpreted lambdas per element, where this stays
+  * inside WholeStageCodegen as a `Long.bitCount` loop. Null on length
+  * mismatch, same rule (and reason) as [[CosineSimilarity]]. */
+case class HammingDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left.dataType, right.dataType).forall {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<bigint> code arguments, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "hamming_distance"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var d = 0L; var i = 0
+    while (i < n) {
+      d += java.lang.Long.bitCount(x.getLong(i) ^ y.getLong(i)); i += 1
+    }
+    d
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      s"""
+        int $n = $x.numElements();
+        if ($n != $y.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          ${ev.value} = 0L;
+          for (int $i = 0; $i < $n; $i++) {
+            ${ev.value} += java.lang.Long.bitCount($x.getLong($i) ^ $y.getLong($i));
           }
         }
       """

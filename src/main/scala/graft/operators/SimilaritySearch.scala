@@ -353,11 +353,14 @@ object SimilaritySearch {
           })))
   }
 
-  /** Hamming distance between two equal-length binary codes (XOR +
-    * popcount per word, summed). NULL codes yield NULL. */
+  /** Hamming distance between two equal-length binary codes — a
+    * native codegen expression ([[graft.functions.VectorFunctions
+    * .HammingDistance]]: `Long.bitCount` loop inside WholeStageCodegen;
+    * the higher-order `aggregate(zip_with(...))` formulation would run
+    * interpreted lambdas per word). NULL codes — or a length
+    * mismatch — yield NULL. */
   def hammingDistance(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
-      lit(0L), (acc, d) => acc + d)
+    graft.functions.VectorFunctions.hammingDistance(a, b)
 
   /** Binary-quantized search: Hamming shortlist over the 1-bit codes,
     * then (optionally) exact cosine rerank of just the shortlist —

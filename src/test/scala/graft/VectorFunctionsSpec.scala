@@ -121,6 +121,19 @@ class VectorFunctionsSpec extends SparkSpec {
       SimilaritySearch.binaryQuantize($"a"),
       SimilaritySearch.binaryQuantize($"b"))).as[Long].collect()(0)
     assert(d === 3L)
+    // the codegen expression: length mismatch and null codes -> NULL
+    val edge = Seq(
+      (Array(1L, 2L), Array(1L), "mismatch"),
+      (null: Array[Long], Array(1L), "null")).toDF("x", "y", "tag")
+    val got = edge.select(SimilaritySearch.hammingDistance($"x", $"y")).collect()
+    assert(got.forall(_.isNullAt(0)))
+    // interpreted eval path agrees with codegen (the expression's own
+    // nullSafeEval, forced via a literal fold in the driver)
+    val lit2 = typedlit(Array(3L, 12L))
+    val folded = spark.range(1)
+      .select(SimilaritySearch.hammingDistance(lit2, typedlit(Array(0L, 8L))))
+      .as[Long].collect()(0)
+    assert(folded === 3L) // popcount(3 ^ 0) + popcount(12 ^ 8) = 2 + 1
   }
 
   test("hammingTopK: shortlist+rerank recovers the exact neighbors, nulls last") {
