@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.SimilaritySearch
+
+/** Measured recall / latency for the binary (1-bit) ANN path —
+  * [[SimilaritySearch.hammingTopK]] — against exact brute force, on
+  * the same clustered 1M×64-d corpus geometry [[AnnRecallDemo]] uses
+  * (256 latent centers + noise; queries are nudged corpus vectors).
+  *
+  * What the numbers must show, and why:
+  *  - recall@20 climbing with the Hamming shortlist size, reaching
+  *    ~1.0 at a shortlist ≪ corpus (sign bits preserve the cluster
+  *    geometry, so the true neighbors rank early by Hamming);
+  *  - persisted codes (quantize ONCE at ingest, scan 2 longs + id)
+  *    beating in-scan quantization (re-derive 64 sign bits per row
+  *    per query through interpreted HOF lambdas) — the same
+  *    amortization story as IVF/ivfpq/BM25/DedupIndex serving;
+  *  - the code column is 16 bytes/row against 256 bytes of floats:
+  *    the scan the shortlist stage pays is 16x narrower (the rerank
+  *    touches float vectors for shortlist rows only).
+  *
+  * Run: `sbt "runMain graft.BinaryAnnDemo"` (ANN_VECS to resize). */
+object BinaryAnnDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val nVecs = sys.env.getOrElse("ANN_VECS", "1000000").toLong
+    val dim = sys.env.getOrElse("ANN_DIM", "64").toInt
+    val latent = 256
+    val k = 20
+    val nQueries = 20
+    val base = java.nio.file.Files.createTempDirectory("graft_bann").toString
+
+    def centerExpr(c: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
+      (pmod(xxhash64(c * 131071L + i * 524287L), lit(2000)).cast("float") / 1000f) - 1f
+    def noiseExpr(id: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
+      (pmod(xxhash64(id * 7919L + i * 104729L + 13L), lit(300)).cast("float") / 1000f) - 0.15f
+
+    val corpus = spark.range(nVecs).select(
+        col("id").as("doc_id"),
+        pmod(col("id"), lit(latent)).as("__c"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => centerExpr(col("__c"), i) + noiseExpr(col("doc_id"), i))
+          .cast("array<float>").as("embedding"))
+      .localCheckpoint(true)
+    println(s"corpus=${corpus.count()} vectors")
+
+    // ingest-time quantization, persisted once (the serving layout)
+    val t0 = System.nanoTime()
+    corpus.withColumn("code", SimilaritySearch.binaryQuantize(col("embedding")))
+      .write.mode("overwrite").parquet(s"$base/coded")
+    println(f"one-time encode+persist: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    val coded = spark.read.parquet(s"$base/coded")
+
+    val qStep = math.max(1L, nVecs / nQueries)
+    val queries = corpus.filter(pmod(col("doc_id"), lit(qStep)) === 3)
+      .orderBy("doc_id").limit(nQueries).collect()
+      .map(_.getSeq[Float](1).toArray)
+      .map(v => v.zipWithIndex.map { case (x, i) => x + 0.001f * ((i % 21) - 10) })
+
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+
+    def measure(label: String)(run: Array[Float] => org.apache.spark.sql.DataFrame)
+        : (Seq[Set[Long]], Double) = {
+      var secs = 0.0
+      val res = queries.toSeq.map { q =>
+        val t = System.nanoTime()
+        val r = ids(run(q))
+        secs += (System.nanoTime() - t) / 1e9
+        r
+      }
+      (res, secs / queries.length)
+    }
+
+    val (exact, exactSec) = measure("exact")(q =>
+      SimilaritySearch.topK(coded, "embedding", q, k))
+    println(f"\n| path | recall@$k | s/query |")
+    println("|---|---|---|")
+    println(f"| exact cosine full scan | 1.000 | $exactSec%.3f |")
+    Seq(256, 2048, 8192).foreach { shortlist =>
+      val (got, sec) = measure(s"bin$shortlist")(q =>
+        SimilaritySearch.hammingTopK(coded, "doc_id", "embedding", q,
+          k = k, rerank = shortlist, codesCol = Some("code")))
+      val recall = got.zip(exact)
+        .map { case (g, t) => g.intersect(t).size.toDouble / k }.sum / queries.length
+      println(f"| hamming persisted codes, shortlist=$shortlist%5d | $recall%.3f | $sec%.3f |")
+    }
+    val (gotIn, secIn) = measure("inscan")(q =>
+      SimilaritySearch.hammingTopK(coded, "doc_id", "embedding", q,
+        k = k, rerank = 2048))
+    val recallIn = gotIn.zip(exact)
+      .map { case (g, t) => g.intersect(t).size.toDouble / k }.sum / queries.length
+    println(f"| hamming IN-SCAN quantize, shortlist= 2048 | $recallIn%.3f | $secIn%.3f |")
+
+    // the first-stage scan as it runs at scale: a CODES-ONLY table
+    // (id + code, ~40 B/row at d=$dim vs ${4 * dim} B of floats) —
+    // the full-row variants above drag the float column through the
+    // shortlist scan and hide the IO win. Rerank cost is then a
+    // shortlist-sized fetch against whatever point-access layout the
+    // deployment has (cluster-partitioned vectors via IVF compose, or
+    // batched queries amortizing one corpus scan via topKJoin) — it
+    // is NOT corpus-shaped, so the number that must scale is this one.
+    coded.select(col("doc_id"), col("code"))
+      .write.mode("overwrite").parquet(s"$base/codes_only")
+    val codesOnly = spark.read.parquet(s"$base/codes_only")
+    val (gotC, secC) = measure("codes-only")(q =>
+      SimilaritySearch.hammingTopK(codesOnly, "doc_id", "embedding", q,
+        k = 8192, rerank = 0, codesCol = Some("code")))
+    val coverC = gotC.zip(exact)
+      .map { case (g, t) => g.intersect(t).size.toDouble / k }.sum / queries.length
+    println(f"| hamming CODES-ONLY scan, shortlist=8192 (truth coverage) | $coverC%.3f | $secC%.3f |")
+    spark.stop()
+  }
+}
