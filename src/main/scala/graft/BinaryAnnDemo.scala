@@ -66,6 +66,8 @@ object BinaryAnnDemo {
       .orderBy("doc_id").limit(nQueries).collect()
       .map(_.getSeq[Float](1).toArray)
       .map(v => v.zipWithIndex.map { case (x, i) => x + 0.001f * ((i % 21) - 10) })
+    require(queries.nonEmpty,
+      s"ANN_VECS=$nVecs too small: the query-selection filter matched no rows")
 
     def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
       df.select("doc_id").collect().map(_.getLong(0)).toSet

@@ -1937,7 +1937,8 @@ object SparkEntry {
         |f AS (SELECT lang, least(1.0, pow(n, 0.5) / wsum * 0.4 * total / n) AS fr
         |      FROM c, t),
         |th AS (SELECT lang, CAST(round(fr * 4294967296.0) AS BIGINT) AS tq FROM f)
-        |SELECT d.doc_id, d.lang FROM documents d JOIN th ON d.lang = th.lang
+        |SELECT d.doc_id, d.lang FROM documents d
+        |JOIN th ON d.lang IS NOT DISTINCT FROM th.lang
         |WHERE CASE WHEN th.tq >= 4294967296
         |  THEN d.doc_id IS NOT NULL
         |  ELSE substr(md5(d.doc_id::VARCHAR), 1, 8) < printf('%08x', th.tq) END

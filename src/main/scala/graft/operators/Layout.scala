@@ -70,13 +70,25 @@ object Layout {
     * partitioned into `numFiles` files and sorted within each — after
     * this, parquet min/max stats are tight on EVERY z-column and
     * predicates on any of them prune at file and row-group level.
-    * Columns must be numeric/date/timestamp (cast to double for
-    * scaling); the helper z column does not survive into the files. */
+    * Columns must be numeric (scaled through double); convert date/
+    * timestamp to epoch numbers first — ANSI mode refuses the direct
+    * cast. The helper `__z` column (reserved, refused on input) does
+    * not survive into the files. */
   def zOrderWrite(
       df: DataFrame, zCols: Seq[String], path: String,
       numFiles: Int, bits: Int = 16): Unit = {
     require(zCols.nonEmpty, "zOrderWrite needs at least one z column")
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    require(!df.columns.contains("__z"),
+      "df must not carry a __z column (reserved for the clustering key " +
+        "and dropped before the write)")
+    zCols.foreach { c =>
+      val dt = df.schema(c).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"zOrderWrite: $c is ${dt.catalogString} — z columns must be " +
+          "numeric; convert date/timestamp to an epoch number first " +
+          "(unix_date / unix_micros)")
+    }
     val q = zCols.map(c => col(s"`$c`"))
     val aggs = q.flatMap(c => Seq(min(c).cast("double"), max(c).cast("double")))
     val bounds = df.agg(aggs.head, aggs.tail: _*).head()

@@ -46,6 +46,12 @@ object Csv {
     // on the \N sentinel the two stay distinct; do NOT set emptyValue
     // here (on the reader it would make `""` parse as those two chars)
     "nullValue" -> NullSentinel,
+    // the WRITER trims value whitespace by default (the reader does
+    // not) — a silent " padded " -> "padded" corruption, and a " \N"
+    // value would trim into the bare null sentinel and read back as a
+    // NULL (= a RETRACTION on the arrival path)
+    "ignoreLeadingWhiteSpace" -> "false",
+    "ignoreTrailingWhiteSpace" -> "false",
     "timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
     "timestampNTZFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
 

@@ -386,7 +386,10 @@ object IndexMaintenance {
     // window); with retractions the RESOLVED winners decide — a live
     // row that lost its id's resolution to a higher-versioned
     // retraction must not count as life (it will never upsert)
-    val liveResolved =
+    // lazy: a stream with no gating and no retractions (the steady-
+    // state arrival case) must not pay this extra action per batch —
+    // both consumers below are themselves conditional
+    lazy val liveResolved =
       if (retractIds.isEmpty)
         !batch1.filter(col(contentCol).isNotNull).isEmpty
       else !one0.filter(col(contentCol).isNotNull).isEmpty

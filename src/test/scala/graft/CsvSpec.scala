@@ -24,7 +24,9 @@ class CsvSpec extends SparkSpec {
       (1L, Some("""comma, "quoted", and \slash"""), Some(1.5)),
       (2L, None, Some(0.1 + 0.2)),          // a non-representable double
       (3L, Some(""), None),                 // empty string is NOT null
-      (4L, Some("unicode: äöü 中文 🙂"), Some(-0.0)))
+      (4L, Some("unicode: äöü 中文 🙂"), Some(-0.0)),
+      (5L, Some("  padded with spaces  "), Some(1.0)), // writer must not trim
+      (6L, Some(" \\N"), Some(2.0))) // padded sentinel stays a STRING, not NULL
     val df = rows.toDF("id", "text", "x")
     val dir = freshDir()
     Csv.write(df, dir)
