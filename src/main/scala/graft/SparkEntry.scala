@@ -1245,6 +1245,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q127_semantic_dedup" -> ((s, d) => {
+      // SemDeDup over the embedding corpus: label-derived coarse
+      // centroids (the q42/q45 quantizer), nearest-centroid
+      // re-assignment, within-cluster tau-ball pruning keeping the
+      // LOW-centroid-sim outlier. The oracle re-derives centroids,
+      // the argmax assignment, the round-6 ranking, and the survival
+      // rule — a drift in any stage fails the hash. tau=0.35 drops a
+      // ~13% slice of the corpus with ~5e-4 cosine margin to the
+      // nearest data value on both sf0.001 and sf0.01.
+      val emb = T.embeddings(s, d)
+      val cents = SimilaritySearch.centroids(emb, "label", "embedding")
+      Dedup.semanticDedup(emb, "vec_id", "embedding", cents, tau = 0.35)
+        .select(col("vec_id"), col("cluster"), col("centroid_sim"))
+        .orderBy(col("vec_id"))
+    }),
+
     "q124_temperature_mix" -> ((s, d) =>
       // alpha-temperature training mixture (Sampling.temperatureMix):
       // stratum share ∝ n^0.5 at 40% overall — the multilingual
@@ -1982,6 +1998,30 @@ object SparkEntry {
         |  list_sum([(((za >> i) & 1) << (i*2)) + (((zb >> i) & 1) << (i*2+1))
         |    FOR i IN range(0, 16)])::BIGINT AS z
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q127_semantic_dedup" ->
+      """WITH cent AS (
+        |  SELECT cluster, list(CAST(m AS FLOAT) ORDER BY dim) AS centroid FROM (
+        |    SELECT label AS cluster, r.i AS dim, avg(CAST(embedding[r.i] AS DOUBLE)) AS m
+        |    FROM embeddings CROSS JOIN range(1, 65) r(i)
+        |    GROUP BY label, r.i) GROUP BY cluster),
+        |assign AS (
+        |  SELECT vec_id, embedding, cluster,
+        |    round(list_cosine_similarity(embedding::DOUBLE[], centroid::DOUBLE[]), 6) AS centroid_sim
+        |  FROM (
+        |    SELECT e.vec_id, e.embedding, c.cluster, c.centroid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_cosine_similarity(e.embedding::DOUBLE[], c.centroid::DOUBLE[]) DESC,
+        |        c.cluster ASC) AS rn
+        |    FROM embeddings e CROSS JOIN cent c) z
+        |  WHERE rn = 1)
+        |SELECT a.vec_id, a.cluster, a.centroid_sim FROM assign a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM assign b WHERE b.cluster = a.cluster AND b.vec_id <> a.vec_id
+        |    AND (b.centroid_sim < a.centroid_sim
+        |         OR (b.centroid_sim = a.centroid_sim AND b.vec_id < a.vec_id))
+        |    AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35)
+        |ORDER BY a.vec_id""".stripMargin,
 
     "q36_salted_count" ->
       "SELECT user_id, count(*) AS n FROM events GROUP BY user_id ORDER BY user_id",

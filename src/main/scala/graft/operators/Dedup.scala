@@ -637,6 +637,64 @@ object Dedup {
     } finally freeCheckpoint(sh)
   }
 
+  /** SemDeDup-style semantic dedup (the public algorithm of Abbas et
+    * al., "SemDeDup: Data-efficient learning at web-scale through
+    * semantic deduplication", arXiv:2303.09540): assign every vector
+    * to its nearest coarse centroid, treat same-cluster pairs with
+    * cosine >= `tau` as semantic duplicates, and keep each duplicate
+    * ball's LEAST-prototypical member — the paper's keep-the-outlier
+    * policy. Concretely, a row is dropped iff a better-ranked
+    * same-cluster neighbor with cosine >= tau exists, where "better" =
+    * lower round-6 `centroid_sim`, ties to lower id — one declarative
+    * left-anti join, no iterative clustering. Returns the surviving
+    * rows with `cluster` and `centroid_sim` appended (the audit
+    * columns a curation pipeline logs).
+    *
+    * Scale: the centroids are the coarse quantizer (k rows, collected
+    * and inlined as literals — same contract as [[SimilaritySearch
+    * .assignClusters]]); the candidate step is quadratic ONLY within a
+    * cluster, and k is the knob that bounds it (SemDeDup runs ~100k
+    * clusters at web scale precisely so clusters stay small). The
+    * self-join is an equi-join on `cluster` — one shuffle per side,
+    * and Catalyst reuses the assignment subplan's exchange for both
+    * sides rather than rescanning. Because an oversized cluster turns
+    * the bound into the k² hazard, sizes above `maxClusterSize` fail
+    * LOUDLY up front (same stance as DedupIndex's degenerate-bucket
+    * guard, but dedup-correctness forbids silently skipping a
+    * cluster) — re-train with more centroids instead. The size probe
+    * is one (int-key count) aggregation job at call time.
+    *
+    * Zero-norm vectors have no direction: their cosine to anything is
+    * null, so they are never dropped, never drop a neighbor, and
+    * carry a null `centroid_sim`.
+    *
+    * Reference analog: the content-hash dedup gate of
+    * `backend/services/vector_service.py:104-125`, lifted from exact
+    * bytes to embedding semantics. */
+  def semanticDedup(
+      df: DataFrame, idCol: String, vecCol: String, cents: DataFrame,
+      tau: Double, maxClusterSize: Int = 100000): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
+    val assigned = SimilaritySearch.assignClustersWithSim(df, vecCol, cents)
+    val oversized = assigned.groupBy("cluster").count()
+      .filter(col("count") > maxClusterSize)
+      .orderBy(desc("count")).limit(3).collect()
+    require(oversized.isEmpty,
+      s"semanticDedup: cluster(s) above maxClusterSize=$maxClusterSize — " +
+        oversized.map(r => s"${r.get(0)}:${r.getLong(1)}").mkString(", ") +
+        " — train a finer coarse quantizer (more centroids) instead of " +
+        "letting the per-cluster quadratic degenerate")
+    val b = assigned.select(col("cluster").as("__b_cluster"),
+      col(idCol).as("__b_id"), col(vecCol).as("__b_vec"),
+      col("centroid_sim").as("__b_csim"))
+    val beats = (col("__b_csim") < col("centroid_sim")) ||
+      (col("__b_csim") === col("centroid_sim") && col("__b_id") < col(idCol))
+    val near = graft.functions.VectorFunctions
+      .cosineSimilarity(col(vecCol), col("__b_vec")) >= tau
+    assigned.join(b,
+      col("cluster") === col("__b_cluster") && beats && near, "left_anti")
+  }
+
   /** Embedding near-dups within coarse clusters: candidates are pairs
     * sharing `clusterCol` (IVF-style pruning), verified by cosine. */
   def embeddingNearDups(

@@ -126,16 +126,32 @@ object SimilaritySearch {
     * direction (zero norm ⇒ null cosine everywhere) get an arbitrary
     * but deterministic cluster. Centroids are collected driver-side —
     * they are the coarse quantizer, small by design. */
-  def assignClusters(df: DataFrame, vecCol: String, cents: DataFrame): DataFrame = {
+  def assignClusters(df: DataFrame, vecCol: String, cents: DataFrame): DataFrame =
+    df.withColumn("cluster", bestCentroid(vecCol, cents).getField("c"))
+
+  /** [[assignClusters]] plus the winning cosine itself: adds `cluster`
+    * AND round-6 `centroid_sim` from the same argmax struct (one
+    * expression, subexpression-eliminated in codegen — the corpus is
+    * not scanned twice). `centroid_sim` is the SemDeDup ranking key
+    * ([[graft.operators.Dedup.semanticDedup]]); round-6 because it is
+    * a cross-engine-comparable decision quantity, per the q42/q43
+    * convention. Zero-norm vectors get a null `centroid_sim` (cosine
+    * undefined) alongside their arbitrary-but-deterministic cluster. */
+  def assignClustersWithSim(
+      df: DataFrame, vecCol: String, cents: DataFrame): DataFrame = {
+    val best = bestCentroid(vecCol, cents)
+    df.withColumn("cluster", best.getField("c"))
+      .withColumn("centroid_sim", round(best.getField("s"), 6))
+  }
+
+  private def bestCentroid(vecCol: String, cents: DataFrame): Column = {
     val centArr: Seq[(Int, Array[Float])] = collectCentroids(cents)
     require(centArr.nonEmpty, "cents is empty")
     val candidates = centArr.map { case (c, v) =>
       struct(cosineSimilarity(col(vecCol), typedlit(v)).as("s"),
         lit(-c).as("negc"), lit(c).as("c"))
     }
-    val best =
-      if (candidates.size == 1) candidates.head else greatest(candidates: _*)
-    df.withColumn("cluster", best.getField("c"))
+    if (candidates.size == 1) candidates.head else greatest(candidates: _*)
   }
 
   private def collectCentroids(cents: DataFrame): Seq[(Int, Array[Float])] =

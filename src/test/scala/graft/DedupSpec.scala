@@ -292,4 +292,73 @@ class DedupSpec extends SparkSpec {
     assert(got.length === 1)
     assert(got(0)._1 === 1L && got(0)._2 === 2L)
   }
+
+  test("semanticDedup keeps the low-centroid-sim outlier of each tau ball") {
+    import graft.operators.SimilaritySearch
+    // one tight mode around (1,0) with a planted near-dup pair, one
+    // around (0,1); id 3 is FARTHER from its centroid than 1/2, so the
+    // keep-the-outlier rule must keep 3 AND the ball's low-sim member
+    val vecs = Seq(
+      (1L, Array(1f, 0.02f)), (2L, Array(1f, 0.021f)), // ball: one survives
+      (3L, Array(0.9f, 0.25f)),                        // outlier, survives
+      (4L, Array(0.02f, 1f)), (5L, Array(-0.3f, 0.95f))
+    ).toDF("id", "vec")
+    val cents = SimilaritySearch.kmeansCentroids(vecs, "id", "vec", k = 2, iters = 4)
+    val out = Dedup.semanticDedup(vecs, "id", "vec", cents, tau = 0.999)
+    assert(out.columns.toSeq ===
+      Seq("id", "vec", "cluster", "centroid_sim"))
+    val ids = out.select("id").as[Long].collect().toSet
+    assert(!(ids.contains(1L) && ids.contains(2L)),
+      "planted tau ball must lose a member")
+    assert(ids.contains(3L) && ids.contains(4L) && ids.contains(5L))
+    // the survivor of the {1,2} ball is the LOWER-centroid-sim one
+    val csims = Dedup.semanticDedup(vecs, "id", "vec", cents, tau = 0.999)
+      .filter(col("id").isin(1L, 2L)).select(col("id"), col("centroid_sim"))
+      .as[(Long, Double)].collect()
+    assert(csims.length === 1)
+    val all = SimilaritySearch.assignClustersWithSim(vecs, "vec", cents)
+      .filter(col("id").isin(1L, 2L)).select(col("id"), col("centroid_sim"))
+      .as[(Long, Double)].collect().toMap
+    assert(csims(0)._2 === all.values.min,
+      "survivor must be the least prototypical member")
+  }
+
+  test("semanticDedup: identical vectors tie on csim; lower id survives") {
+    import graft.operators.SimilaritySearch
+    val vecs = Seq(
+      (7L, Array(1f, 0f)), (5L, Array(1f, 0f)), (9L, Array(1f, 0f)),
+      (1L, Array(0f, 1f))
+    ).toDF("id", "vec")
+    val cents = SimilaritySearch.kmeansCentroids(vecs, "id", "vec", k = 2, iters = 3)
+    val ids = Dedup.semanticDedup(vecs, "id", "vec", cents, tau = 0.999999)
+      .select("id").as[Long].collect().toSet
+    assert(ids === Set(5L, 1L))
+  }
+
+  test("semanticDedup: zero-norm vectors are inert (never drop, never dropped)") {
+    import graft.operators.SimilaritySearch
+    val vecs = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(1f, 0.001f)),
+      (3L, Array(0f, 0f)), (4L, Array(0f, 1f))
+    ).toDF("id", "vec")
+    val cents = Seq((0, Array(1f, 0f)), (1, Array(0f, 1f)))
+      .toDF("cluster", "centroid")
+    val out = Dedup.semanticDedup(vecs, "id", "vec", cents, tau = 0.9)
+    val rows = out.select(col("id"), col("centroid_sim")).collect()
+    val ids = rows.map(_.getLong(0)).toSet
+    assert(ids.contains(3L), "zero-norm row must survive")
+    assert(rows.find(_.getLong(0) == 3L).get.isNullAt(1))
+    assert(!(ids.contains(1L) && ids.contains(2L)))
+  }
+
+  test("semanticDedup fails loudly on an oversized cluster") {
+    import graft.operators.SimilaritySearch
+    val vecs = (1L to 10L).map(i => (i, Array(1f, i / 100f))).toDF("id", "vec")
+    val cents = Seq((0, Array(1f, 0f))).toDF("cluster", "centroid")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.semanticDedup(vecs, "id", "vec", cents, tau = 0.99,
+        maxClusterSize = 5)
+    }
+    assert(e.getMessage.contains("maxClusterSize"))
+  }
 }
