@@ -1261,6 +1261,29 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    "q128_semantic_admission" -> ((s, d) => {
+      // the persisted semantic-index SERVING path (SemanticIndex):
+      // admission gate of an arriving embedding batch (vec_id % 7 ==
+      // 0) against an index of the incumbent corpus, under the
+      // corpus-derived label-mean quantizer. Incumbent pairs kill the
+      // batch row; in-batch balls keep the low-centroid-sim outlier
+      // (semanticDedup's policy). The in-query index build is the
+      // oracle's price (the q113 pattern: deployments build once at
+      // ingest and pay only the cluster-pruned probe per batch).
+      val emb = T.embeddings(s, d)
+      val corpus = emb.filter(col("vec_id") % 7 =!= 0)
+      val batch = emb.filter(col("vec_id") % 7 === 0)
+      val cents = SimilaritySearch.centroids(corpus, "label", "embedding")
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_q128").toString + "/idx"
+      operators.SemanticIndex.build(s, idx, corpus, "vec_id", "embedding", cents)
+      val admitted = operators.SemanticIndex.admit(
+        s, idx, batch, "vec_id", "embedding", tau = 0.35)
+      SimilaritySearch.assignClustersWithSim(admitted, "embedding", cents)
+        .select(col("vec_id"), col("cluster"), col("centroid_sim"))
+        .orderBy(col("vec_id"))
+    }),
+
     "q124_temperature_mix" -> ((s, d) =>
       // alpha-temperature training mixture (Sampling.temperatureMix):
       // stratum share ∝ n^0.5 at 40% overall — the multilingual
@@ -1998,6 +2021,36 @@ object SparkEntry {
         |  list_sum([(((za >> i) & 1) << (i*2)) + (((zb >> i) & 1) << (i*2+1))
         |    FOR i IN range(0, 16)])::BIGINT AS z
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q128_semantic_admission" ->
+      """WITH cent AS (
+        |  SELECT cluster, list(CAST(m AS FLOAT) ORDER BY dim) AS centroid FROM (
+        |    SELECT label AS cluster, r.i AS dim, avg(CAST(embedding[r.i] AS DOUBLE)) AS m
+        |    FROM embeddings CROSS JOIN range(1, 65) r(i)
+        |    WHERE vec_id % 7 <> 0
+        |    GROUP BY label, r.i) GROUP BY cluster),
+        |a AS (
+        |  SELECT vec_id, embedding, cluster,
+        |    round(list_cosine_similarity(embedding::DOUBLE[], centroid::DOUBLE[]), 6) AS centroid_sim
+        |  FROM (
+        |    SELECT e.vec_id, e.embedding, c.cluster, c.centroid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_cosine_similarity(e.embedding::DOUBLE[], c.centroid::DOUBLE[]) DESC,
+        |        c.cluster ASC) AS rn
+        |    FROM embeddings e CROSS JOIN cent c) z
+        |  WHERE rn = 1)
+        |SELECT a.vec_id, a.cluster, a.centroid_sim FROM a
+        |WHERE a.vec_id % 7 = 0
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM a c WHERE c.vec_id % 7 <> 0 AND c.cluster = a.cluster
+        |      AND list_cosine_similarity(a.embedding::DOUBLE[], c.embedding::DOUBLE[]) >= 0.35)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM a b WHERE b.vec_id % 7 = 0 AND b.vec_id <> a.vec_id
+        |      AND b.cluster = a.cluster
+        |      AND (b.centroid_sim < a.centroid_sim
+        |           OR (b.centroid_sim = a.centroid_sim AND b.vec_id < a.vec_id))
+        |      AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35)
+        |ORDER BY a.vec_id""".stripMargin,
 
     "q127_semantic_dedup" ->
       """WITH cent AS (
