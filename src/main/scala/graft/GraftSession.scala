@@ -28,6 +28,7 @@ final case class GraftSession(
   @volatile private var kbDf: Option[DataFrame] = None
   @volatile private var lexIndexPath: Option[String] = None
   @volatile private var dedupIndexPath: Option[String] = None
+  @volatile private var semIndexPath: Option[String] = None
 
   /** Swap in a new KB under the session lock with its lineage truncated:
     * without the (lazy) localCheckpoint, a long-lived session would
@@ -114,6 +115,49 @@ final case class GraftSession(
     graft.operators.DedupIndex.build(spark, path, knowledgeBase, idCol, contentCol)
     dedupIndexPath = Some(path)
     this
+  }
+
+  /** One-call SEMANTIC dedup index over the held KB's embeddings
+    * ([[graft.operators.SemanticIndex.buildKmeans]] — coarse k-means
+    * quantizer trained on a sample, every KB vector persisted with
+    * its pinned cluster assignment) + remember its path: later
+    * [[admitDocumentsSemantic]] calls probe it. Same staleness
+    * contract as [[buildDedupIndex]]; maintain incrementally with
+    * [[graft.operators.SemanticIndex.upsert]] on your ingest batches.
+    * Pick `nClusters` so clusters stay ~1e3-1e4 rows — probe cost is
+    * |batch| × (corpus / nClusters) candidate cosines. */
+  def buildSemanticIndex(path: String, nClusters: Int,
+      idCol: String = "id", vecCol: String = "embedding",
+      kmeansIters: Int = 10,
+      trainSampleFraction: Double = 1.0): this.type = synchronized {
+    require(trainSampleFraction > 0.0 && trainSampleFraction <= 1.0,
+      s"trainSampleFraction must be in (0, 1], got $trainSampleFraction")
+    val kb = knowledgeBase
+    val train =
+      if (trainSampleFraction >= 1.0) kb
+      else kb.sample(withReplacement = false, trainSampleFraction, seed = 42)
+    val cents = graft.operators.SimilaritySearch.kmeansCentroids(
+      train, idCol, vecCol, nClusters, kmeansIters)
+    graft.operators.SemanticIndex.build(spark, path, kb, idCol, vecCol, cents)
+    semIndexPath = Some(path)
+    this
+  }
+
+  /** The SEMANTIC admission gate over the session's semantic index
+    * ([[graft.operators.SemanticIndex.admit]]): the batch rows whose
+    * embedding is NOT within cosine `tau` of an indexed vector (the
+    * incumbent wins) or of a better-ranked batchmate (SemDeDup's
+    * keep-the-outlier rule) — [[admitDocuments]]'s contract lifted
+    * from word shingles to embedding semantics. Requires
+    * [[buildSemanticIndex]] first. Probes only; pair survivors with
+    * [[graft.operators.SemanticIndex.upsert]]. EAGERLY MATERIALIZED
+    * like [[admitDocuments]] — free with [[graft.util.Checkpoints
+    * .free]] in long ingest loops. */
+  def admitDocumentsSemantic(batch: DataFrame, tau: Double,
+      idCol: String = "id", vecCol: String = "embedding"): DataFrame = {
+    val path = semIndexPath.getOrElse(throw new IllegalStateException(
+      "no semantic index: call buildSemanticIndex first"))
+    graft.operators.SemanticIndex.admit(spark, path, batch, idCol, vecCol, tau)
   }
 
   /** The near-dup admission gate over the session's dedup index: the
@@ -650,9 +694,11 @@ final case class GraftSession(
     * [[deleteIndexedKnowledge]]'s cluster-local rewrite when
     * [[indexKnowledge]] ran, else the held frame), the lexical index
     * ([[graft.operators.LexicalIndex.delete]] — postings, lengths AND
-    * df statistics, so rankings stop counting the dead docs), and the
+    * df statistics, so rankings stop counting the dead docs), the
     * dedup index ([[graft.operators.DedupIndex.delete]] — the dead
-    * docs' signatures stop rejecting future lookalikes). Ids absent
+    * docs' signatures stop rejecting future lookalikes), and the
+    * semantic index ([[graft.operators.SemanticIndex.delete]] — same
+    * rationale, embedding-space). Ids absent
     * from a surface are no-ops there; indexes never built are
     * skipped. Returns the number of KB rows removed.
     *
@@ -676,6 +722,8 @@ final case class GraftSession(
         graft.operators.LexicalIndex.delete(spark, p, ids))
       dedupIndexPath.foreach(p =>
         graft.operators.DedupIndex.delete(spark, p, ids))
+      semIndexPath.foreach(p =>
+        graft.operators.SemanticIndex.delete(spark, p, ids))
       if (ivfState.isDefined) deleteIndexedKnowledge(cond)
       else {
         val hit = knowledgeBase.filter(coalesce(cond, lit(false))).count()

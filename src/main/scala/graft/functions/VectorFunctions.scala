@@ -54,6 +54,20 @@ object VectorFunctions {
     * lambdas are interpreted and re-evaluate the norm PER ELEMENT
     * (O(d²) per row — the round-1 `bindOnce` lesson). */
   def l2Normalize(a: Column): Column = toColumn(L2Normalize(toExpr(a)))
+
+  /** Argmax-cosine over a centroid set, as ONE expression with a
+    * RUNTIME loop (see [[NearestCentroid]]): `greatest(struct(cos(v,
+    * c₀)…), …)` unrolls k cosines into generated code and breaks
+    * whole-stage codegen past k ≈ 100 (the 64 KB method limit — the
+    * k=256 coarse quantizer of a 1M-vector corpus hit it), where this
+    * stays a k-independent few hundred bytes. Returns
+    * struct(s: double, c: int) — winning similarity and cluster id. */
+  def nearestCentroid(vec: Column, cents: Seq[(Int, Array[Float])]): Column = {
+    require(cents.nonEmpty, "cents is empty")
+    val sorted = cents.sortBy(_._1)
+    toColumn(NearestCentroid(toExpr(vec),
+      sorted.map(_._1).toArray, sorted.map(_._2).toArray))
+  }
 }
 
 private[functions] object FloatArrayOps {
@@ -329,6 +343,117 @@ case class L2Normalize(child: Expression)
         }
       """
     })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Nearest centroid by cosine: struct(s: double, c: int) — the winning
+  * similarity and cluster id over the inlined centroid matrix, with
+  * the SAME decision semantics as `greatest` over per-centroid
+  * `struct(cosine(vec, cᵢ), -i, i)` candidates (highest similarity
+  * wins; exact double ties and the all-null case fall to the LOWEST
+  * cluster id; a zero-norm/dimension-mismatched candidate's similarity
+  * is null and never wins; a zero-norm input vector yields a null `s`
+  * with the lowest cluster id). The centroid matrix rides as a
+  * REFERENCE OBJECT, not as literal children: generated code is a
+  * runtime loop of a few hundred bytes regardless of k, so the
+  * assignment stays inside whole-stage codegen at quantizer sizes
+  * where the unrolled form trips the 64 KB method limit and drops the
+  * whole stage to interpreted eval. Candidates are pre-sorted by
+  * cluster id (strict `>` keeps the first = lowest id on ties).
+  *
+  * NULL input vector ⇒ NULL struct (standard null propagation). */
+case class NearestCentroid(
+    child: Expression, clusterIds: Array[Int],
+    centroids: Array[Array[Float]])
+    extends UnaryExpression with FloatArrayOps {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    FloatArrayOps.check(prettyName, child.dataType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("s", DoubleType, nullable = true),
+    StructField("c", IntegerType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "nearest_centroid"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var nx = 0.0
+    var i = 0
+    while (i < n) { val v = get(child.dataType, x, i); nx += v * v; i += 1 }
+    var hasBest = false
+    var bestS = 0.0
+    var bestC = clusterIds(0)
+    if (nx != 0.0) {
+      var k = 0
+      while (k < centroids.length) {
+        val cv = centroids(k)
+        if (cv.length == n) {
+          var dot = 0.0; var ny = 0.0
+          i = 0
+          while (i < n) {
+            val xi = get(child.dataType, x, i)
+            val yi = cv(i).toDouble
+            dot += xi * yi; ny += yi * yi; i += 1
+          }
+          if (ny != 0.0) {
+            val s = dot / math.sqrt(nx * ny)
+            if (!hasBest || s > bestS) { hasBest = true; bestS = s; bestC = clusterIds(k) }
+          }
+        }
+        k += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](if (hasBest) bestS else null, bestC))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("cents", centroids, "float[][]")
+    val idsRef = ctx.addReferenceObj("cids", clusterIds, "int[]")
+    nullSafeCodeGen(ctx, ev, x => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val k = ctx.freshName("k"); val nx = ctx.freshName("nx")
+      val dot = ctx.freshName("dot"); val ny = ctx.freshName("ny")
+      val s = ctx.freshName("s"); val cv = ctx.freshName("cv")
+      val hasBest = ctx.freshName("hasBest"); val bestS = ctx.freshName("bestS")
+      val bestC = ctx.freshName("bestC")
+      s"""
+        int $n = $x.numElements();
+        double $nx = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double v = ${getter(child.dataType, x, i)};
+          $nx += v * v;
+        }
+        boolean $hasBest = false;
+        double $bestS = 0.0;
+        int $bestC = $idsRef[0];
+        if ($nx != 0.0) {
+          for (int $k = 0; $k < $centsRef.length; $k++) {
+            float[] $cv = $centsRef[$k];
+            if ($cv.length != $n) continue;
+            double $dot = 0.0, $ny = 0.0;
+            for (int $i = 0; $i < $n; $i++) {
+              double xi = ${getter(child.dataType, x, i)};
+              double yi = (double) $cv[$i];
+              $dot += xi * yi; $ny += yi * yi;
+            }
+            if ($ny == 0.0) continue;
+            double $s = $dot / java.lang.Math.sqrt($nx * $ny);
+            if (!$hasBest || $s > $bestS) {
+              $hasBest = true; $bestS = $s; $bestC = $idsRef[$k];
+            }
+          }
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          new Object[] {
+            $hasBest ? (Object) java.lang.Double.valueOf($bestS) : null,
+            java.lang.Integer.valueOf($bestC) });
+      """
+    })
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

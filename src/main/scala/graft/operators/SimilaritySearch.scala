@@ -119,13 +119,14 @@ object SimilaritySearch {
   }
 
   /** Assign every vector to its nearest centroid (max cosine), as a
-    * pure per-row EXPRESSION over the k centroid literals — no shuffle,
-    * no groupBy, no join: argmax = greatest of (sim, -cluster, cluster)
-    * structs (field-wise ordering: highest sim wins, ties to the lowest
-    * cluster id). Adds/overwrites `cluster`; rows whose vector has no
-    * direction (zero norm ⇒ null cosine everywhere) get an arbitrary
-    * but deterministic cluster. Centroids are collected driver-side —
-    * they are the coarse quantizer, small by design. */
+    * pure per-row EXPRESSION — no shuffle, no groupBy, no join: one
+    * [[graft.functions.NearestCentroid]] runtime loop over the
+    * collected centroid matrix (highest sim wins, exact ties to the
+    * lowest cluster id). Adds/overwrites `cluster`; rows whose vector
+    * has no direction (zero norm ⇒ cosine undefined everywhere) get
+    * the lowest cluster id, deterministically; a NULL vector gets a
+    * NULL cluster. Centroids are collected driver-side — they are the
+    * coarse quantizer, small by design. */
   def assignClusters(df: DataFrame, vecCol: String, cents: DataFrame): DataFrame =
     df.withColumn("cluster", bestCentroid(vecCol, cents).getField("c"))
 
@@ -144,14 +145,17 @@ object SimilaritySearch {
       .withColumn("centroid_sim", round(best.getField("s"), 6))
   }
 
+  /** One [[graft.functions.NearestCentroid]] expression: a RUNTIME
+    * loop over the centroid matrix (reference object), not k unrolled
+    * cosines — the unrolled `greatest(struct(cos…))` form broke
+    * whole-stage codegen past k ≈ 100 (64 KB method limit), which is
+    * exactly the quantizer size a large corpus needs. Decision
+    * semantics are unchanged: highest similarity, ties and the
+    * zero-norm case to the lowest cluster id. */
   private def bestCentroid(vecCol: String, cents: DataFrame): Column = {
     val centArr: Seq[(Int, Array[Float])] = collectCentroids(cents)
     require(centArr.nonEmpty, "cents is empty")
-    val candidates = centArr.map { case (c, v) =>
-      struct(cosineSimilarity(col(vecCol), typedlit(v)).as("s"),
-        lit(-c).as("negc"), lit(c).as("c"))
-    }
-    if (candidates.size == 1) candidates.head else greatest(candidates: _*)
+    graft.functions.VectorFunctions.nearestCentroid(col(vecCol), centArr)
   }
 
   private def collectCentroids(cents: DataFrame): Seq[(Int, Array[Float])] =

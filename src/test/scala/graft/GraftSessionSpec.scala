@@ -98,6 +98,35 @@ class GraftSessionSpec extends SparkSpec {
     assert(graft.operators.LexicalIndex.exists(spark, path))
   }
 
+  test("buildSemanticIndex + admitDocumentsSemantic: the embedding gate; retract purges it") {
+    val emb = HashEmbedder(16)
+    val g = GraftSession(spark, emb)
+    val kb = emb.embedColumn(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely different content about distributed query engines"))
+      .toDF("id", "content"), "content", "embedding")
+    g.loadKnowledgeBase(kb)
+    intercept[IllegalStateException] {
+      g.admitDocumentsSemantic(kb, tau = 0.99)
+    }
+    val path = java.nio.file.Files
+      .createTempDirectory("gs_sem").toString + "/sem"
+    g.buildSemanticIndex(path, nClusters = 2)
+    // a batch doc with doc 1's exact content embeds identically:
+    // cosine 1.0 to the incumbent — rejected; the novel one passes
+    val batch = emb.embedColumn(Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"),
+      (11L, "unrelated topic entirely about garbage collection pauses"))
+      .toDF("id", "content"), "content", "embedding")
+    val admitted = g.admitDocumentsSemantic(batch, tau = 0.999)
+      .select("id").as[Long].collect().toSet
+    assert(admitted === Set(11L))
+    // purge doc 1 everywhere: its embedding stops gating
+    g.retractDocuments(Seq(1L))
+    assert(g.admitDocumentsSemantic(batch, tau = 0.999)
+      .select("id").as[Long].collect().toSet === Set(10L, 11L))
+  }
+
   test("retractDocuments purges every serving surface in one call") {
     val emb = HashEmbedder(16)
     val g = GraftSession(spark, emb)

@@ -156,4 +156,40 @@ class VectorFunctionsSpec extends SparkSpec {
       .select("vec_id").as[Long].collect().toSet
     assert(exact === Set(100L, 101L))
   }
+
+  test("nearestCentroid == unrolled greatest(struct(cosine…)) decision, all edges") {
+    import org.apache.spark.sql.functions.{col, greatest, lit, struct, typedlit}
+    val rng = new scala.util.Random(7)
+    val cents: Seq[(Int, Array[Float])] =
+      (0 until 12).map(c => c -> Array.fill(8)(rng.nextFloat() - 0.5f)) :+
+        (12 -> Array.fill(8)(0f)) // a zero-norm centroid: never wins
+    val rows = (1L to 200L).map(id => (id, Array.fill(8)(rng.nextFloat() - 0.5f))) ++
+      Seq((900L, Array.fill(8)(0f)),             // zero-norm vector
+        (901L, cents(3)._2.clone()),             // exactly on a centroid
+        (902L, null: Array[Float]))              // NULL vector
+    val df = rows.toDF("id", "vec")
+    val nc = graft.functions.VectorFunctions.nearestCentroid(col("vec"), cents)
+    val unrolled = greatest(cents.map { case (c, v) =>
+      struct(graft.functions.VectorFunctions
+          .cosineSimilarity(col("vec"), typedlit(v)).as("s"),
+        lit(-c).as("negc"), lit(c).as("c"))
+    }: _*)
+    val got = df.select(col("id"), nc.getField("c").as("nc"),
+        nc.getField("s").as("ns"),
+        unrolled.getField("c").as("uc"), unrolled.getField("s").as("us"))
+      .collect()
+    got.foreach { r =>
+      if (r.getLong(0) == 902L) {
+        assert(r.isNullAt(1) && r.isNullAt(2), "NULL vec -> NULL struct")
+      } else {
+        assert(r.getInt(1) === r.getInt(3), s"cluster mismatch at id ${r.getLong(0)}")
+        if (r.isNullAt(2)) assert(r.isNullAt(4))
+        else assert(r.getDouble(2) === r.getDouble(4),
+          s"similarity mismatch at id ${r.getLong(0)}")
+      }
+    }
+    // zero-norm vector: lowest cluster id, null sim (deterministic)
+    val z = got.find(_.getLong(0) == 900L).get
+    assert(z.getInt(1) === 0 && z.isNullAt(2))
+  }
 }
