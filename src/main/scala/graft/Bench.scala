@@ -225,6 +225,16 @@ object Bench {
       "0.61-0.70 (vs 0.52 r9), a uniform ~1.2-1.3x host factor with " +
       "warmup_first_sec ~8s vs 4.4s in the same day's faster-state full " +
       "run; no plan change, same code since r8.")
+    println("note: q128_semantic_admission's cost is ~all IN-QUERY " +
+      "SemanticIndex build (the q113/q103 oracle-self-containment " +
+      "convention); the amortized serving number is " +
+      "SemanticIndexScaleDemo's: at 4M vectors/k=1024, a 4k-batch " +
+      "admission probe is 4.1s warm vs 40.8s fresh (10x). " +
+      "q127_semantic_dedup's batch form is quadratic WITHIN clusters " +
+      "by design (SemDeDup) — at the sf corpora the quantizer is the " +
+      "10-label centroid set, so cluster size grows with sf; k is the " +
+      "knob a deployment scales (same demo, flat probe at fixed " +
+      "cluster size).")
     println(line)
   }
 }
