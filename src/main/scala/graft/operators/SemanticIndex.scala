@@ -319,10 +319,23 @@ object SemanticIndex {
         batch.filter(col(idCol).isNotNull), idCol)
       .unionByName(batch.filter(col(idCol).isNull))
       .localCheckpoint(true)
+    try admitOnePerId(spark, path, batch1, idCol, vecCol, tau,
+      maxClusterPostings)
+    finally Dedup.freeCheckpoint(batch1)
+  }
+
+  /** [[admit]] minus the up-front one-per-id reduction, for callers
+    * that have ALREADY reduced the batch (the streaming path resolves
+    * winners version-aware before gating — [[DedupIndex
+    * .admitOnePerId]]'s rationale verbatim). Caller's guarantee: at
+    * most one row per non-null id. */
+  private[graft] def admitOnePerId(
+      spark: SparkSession, path: String, batch1: DataFrame,
+      idCol: String, vecCol: String, tau: Double,
+      maxClusterPostings: Option[Int]): DataFrame = {
+    val pairs = nearDupsAgainst(spark, path, batch1, idCol, vecCol, tau,
+      includeBatchPairs = true, maxClusterPostings = maxClusterPostings)
     try {
-      val pairs = nearDupsAgainst(spark, path, batch1, idCol, vecCol, tau,
-        includeBatchPairs = true, maxClusterPostings = maxClusterPostings)
-      try {
         val p0 = pin(spark, path)
         val cents = centroidsAt(spark, path, p0)
         val ranked = assignedFrame(batch1, idCol, vecCol, cents)
@@ -355,7 +368,6 @@ object SemanticIndex {
         batch1.join(dead, batch1(idCol) === dead("__dead"), "left_anti")
           .localCheckpoint(true)
       } finally Dedup.freeCheckpoint(pairs)
-    } finally Dedup.freeCheckpoint(batch1)
   }
 
   private def centroidsAt(

@@ -87,6 +87,26 @@ object IndexMaintenance {
     *                   rows are then INERT: removed before the per-id
     *                   resolution, never applied, and quarantined
     *                   verbatim on the JSONL path.
+    * @param semanticPath also maintain a [[graft.operators
+    *                   .SemanticIndex]] at this path (built
+    *                   beforehand, e.g. [[GraftSession
+    *                   .buildSemanticIndex]]): batch embeddings merge
+    *                   by key, retractions purge, same versioned-
+    *                   commit contract as the other surfaces.
+    *                   Requires `semanticTau` — maintaining the index
+    *                   without gating on it is not a composition this
+    *                   runner offers (upsert it yourself for that).
+    * @param semanticTau the SECOND admission gate, embedding space:
+    *                   after the shingle gate, batch survivors embed
+    *                   and probe the semantic index; a row within
+    *                   cosine tau of an incumbent (or of a
+    *                   better-ranked batchmate — SemDeDup's
+    *                   keep-the-outlier rule) is dropped before any
+    *                   index sees it. Catches the paraphrases word
+    *                   shingles miss.
+    * @param admitMaxClusterPostings degenerate-cluster guard for the
+    *                   semantic probe ([[graft.operators.SemanticIndex
+    *                   .nearDupsAgainst]]'s maxClusterPostings).
     */
   def runToIndexedKnowledge(
       session: GraftSession, docs: DataFrame, checkpoint: String,
@@ -97,11 +117,15 @@ object IndexMaintenance {
       admitMaxBucketPostings: Option[Int] = None,
       idCol: String = "id", contentCol: String = "content",
       vecCol: String = "embedding",
-      retractOnNullContent: Boolean = true): StreamingQuery = {
+      retractOnNullContent: Boolean = true,
+      semanticPath: Option[String] = None,
+      semanticTau: Option[Double] = None,
+      admitMaxClusterPostings: Option[Int] = None): StreamingQuery = {
     require(admitThreshold.isEmpty || dedupPath.nonEmpty,
       "admitThreshold needs dedupPath: admission probes the persisted dedup index")
     require(admitMaxBucketPostings.isEmpty || admitThreshold.nonEmpty,
       "admitMaxBucketPostings only applies to the admission probe (set admitThreshold)")
+    requireSemanticArgs(semanticPath, semanticTau, admitMaxClusterPostings)
     // fail at start(), not inside the first micro-batch (the JSONL
     // variant's discipline): a missing versionCol would otherwise kill
     // the running stream from within foreachBatch — and NORMALIZE
@@ -127,7 +151,9 @@ object IndexMaintenance {
             versionCol, lexicalPath, dedupPath, admitThreshold,
             idCol = idCol, contentCol = contentCol, vecCol = vecCol,
             admitMaxBucketPostings = admitMaxBucketPostings,
-            retractOnNullContent = retractOnNullContent)
+            retractOnNullContent = retractOnNullContent,
+            semanticPath = semanticPath, semanticTau = semanticTau,
+            admitMaxClusterPostings = admitMaxClusterPostings)
           ()
         } finally batch.unpersist()
       }
@@ -169,13 +195,17 @@ object IndexMaintenance {
       maxFilesPerTrigger: Option[Int] = None,
       idCol: String = "id", contentCol: String = "content",
       vecCol: String = "embedding",
-      retractOnNullContent: Boolean = true): StreamingQuery =
+      retractOnNullContent: Boolean = true,
+      semanticPath: Option[String] = None,
+      semanticTau: Option[Double] = None,
+      admitMaxClusterPostings: Option[Int] = None): StreamingQuery =
     runLinesToIndexedKnowledge(session, dir, schema, quarantinePath,
       checkpoint, graft.sources.Jsonl.splitQuarantine,
       graft.sources.Jsonl.parsedWithNullField,
       versionCol, lexicalPath, dedupPath, admitThreshold,
       admitMaxBucketPostings, maxFilesPerTrigger, idCol, contentCol,
-      vecCol, retractOnNullContent)
+      vecCol, retractOnNullContent, semanticPath, semanticTau,
+      admitMaxClusterPostings)
 
   /** [[runJsonlToIndexedKnowledge]] for a growing directory of
     * headerless CSV files in [[graft.sources.Csv]]'s dialect — the
@@ -194,13 +224,17 @@ object IndexMaintenance {
       maxFilesPerTrigger: Option[Int] = None,
       idCol: String = "id", contentCol: String = "content",
       vecCol: String = "embedding",
-      retractOnNullContent: Boolean = true): StreamingQuery =
+      retractOnNullContent: Boolean = true,
+      semanticPath: Option[String] = None,
+      semanticTau: Option[Double] = None,
+      admitMaxClusterPostings: Option[Int] = None): StreamingQuery =
     runLinesToIndexedKnowledge(session, dir, schema, quarantinePath,
       checkpoint, graft.sources.Csv.splitQuarantine,
       graft.sources.Csv.parsedWithNullField,
       versionCol, lexicalPath, dedupPath, admitThreshold,
       admitMaxBucketPostings, maxFilesPerTrigger, idCol, contentCol,
-      vecCol, retractOnNullContent)
+      vecCol, retractOnNullContent, semanticPath, semanticTau,
+      admitMaxClusterPostings)
 
   /** The shared line-format arrival path: `split` is the schema-strict
     * quarantine split ((lines, schema) => (good, bad)) and `nullLines`
@@ -221,11 +255,15 @@ object IndexMaintenance {
       maxFilesPerTrigger: Option[Int],
       idCol: String, contentCol: String,
       vecCol: String,
-      retractOnNullContent: Boolean): StreamingQuery = {
+      retractOnNullContent: Boolean,
+      semanticPath: Option[String] = None,
+      semanticTau: Option[Double] = None,
+      admitMaxClusterPostings: Option[Int] = None): StreamingQuery = {
     require(admitThreshold.isEmpty || dedupPath.nonEmpty,
       "admitThreshold needs dedupPath: admission probes the persisted dedup index")
     require(admitMaxBucketPostings.isEmpty || admitThreshold.nonEmpty,
       "admitMaxBucketPostings only applies to the admission probe (set admitThreshold)")
+    requireSemanticArgs(semanticPath, semanticTau, admitMaxClusterPostings)
     // fail at start(), not inside the first micro-batch: a missing
     // versionCol would otherwise kill the running stream from within
     // foreachBatch, surfaced only via query.exception. Validated here
@@ -269,7 +307,9 @@ object IndexMaintenance {
             versionCol, lexicalPath, dedupPath, admitThreshold,
             idCol = idCol, contentCol = contentCol, vecCol = vecCol,
             admitMaxBucketPostings = admitMaxBucketPostings,
-            retractOnNullContent = retractOnNullContent)
+            retractOnNullContent = retractOnNullContent,
+            semanticPath = semanticPath, semanticTau = semanticTau,
+            admitMaxClusterPostings = admitMaxClusterPostings)
           ()
         } finally batch.unpersist()
       }
@@ -359,7 +399,10 @@ object IndexMaintenance {
       idCol: String = "id", contentCol: String = "content",
       vecCol: String = "embedding",
       admitMaxBucketPostings: Option[Int] = None,
-      retractOnNullContent: Boolean = true): Unit = {
+      retractOnNullContent: Boolean = true,
+      semanticPath: Option[String] = None,
+      semanticTau: Option[Double] = None,
+      admitMaxClusterPostings: Option[Int] = None): Unit = {
     // opt-out means NULL-content rows are INERT: removed before the
     // per-id reduction, or a buggy null row could win it and veto a
     // valid same-batch row for its id ("dropped, never applied")
@@ -420,6 +463,8 @@ object IndexMaintenance {
           session.spark, lp, chunk.toSeq))
         dedupPath.foreach(dp => graft.operators.DedupIndex.delete(
           session.spark, dp, chunk.toSeq))
+        semanticPath.foreach(sp => graft.operators.SemanticIndex.delete(
+          session.spark, sp, chunk.toSeq))
       }
     val one = one0.filter(col(contentCol).isNotNull)
     // admission gate BEFORE any index sees the batch: near-dups of
@@ -442,11 +487,33 @@ object IndexMaintenance {
       case _ => one
     }
     val gated = admitted ne one
-    try {
-      if (!admitted.isEmpty) {
-        val withVec =
+    // SEMANTIC admission (second gate, embedding space): runs AFTER
+    // the text gate — shingle near-dups die on the cheaper probe
+    // first, the embedding gate catches the paraphrases shingles
+    // miss. Embedding must happen BEFORE this gate (the probe needs
+    // vectors), so a semantically-gated stream embeds the text-gate
+    // survivors rather than the final admitted set — rows the
+    // semantic gate then rejects paid an embedding call, which is
+    // exactly the real serving order (embed, then check the vector
+    // store — the reference embeds before its insert gate too,
+    // `vector_service.py:104-125`). Replay-convergent like the text
+    // gate: batch ids self-exclude from the corpus probe.
+    val admittedSem = (semanticPath, semanticTau) match {
+      case (Some(sp), Some(tau)) if liveResolved && !admitted.isEmpty =>
+        val embedded =
           if (admitted.columns.contains(vecCol)) admitted
           else session.embedder.embedColumn(admitted, contentCol, vecCol)
+        graft.operators.SemanticIndex.admitOnePerId(
+          session.spark, sp, embedded, idCol, vecCol, tau,
+          maxClusterPostings = admitMaxClusterPostings)
+      case _ => admitted
+    }
+    val gatedSem = admittedSem ne admitted
+    try {
+      if (!admittedSem.isEmpty) {
+        val withVec =
+          if (admittedSem.columns.contains(vecCol)) admittedSem
+          else session.embedder.embedColumn(admittedSem, contentCol, vecCol)
         // embedColumn is a per-partition kernel over the (persisted)
         // batch; the upsert's several scans must not re-embed — and
         // every index must see the identical reduced frame
@@ -457,6 +524,8 @@ object IndexMaintenance {
             session.spark, lp, withVec, idCol, contentCol))
           dedupPath.foreach(dp => graft.operators.DedupIndex.upsert(
             session.spark, dp, withVec, idCol, contentCol))
+          semanticPath.foreach(sp => graft.operators.SemanticIndex.upsert(
+            session.spark, sp, withVec, idCol, vecCol))
         } finally { withVec.unpersist(); () }
       }
     } finally {
@@ -464,6 +533,7 @@ object IndexMaintenance {
       // batch, or a long-running gated stream accumulates them until
       // the ContextCleaner happens to GC (the explicit-free discipline
       // every dedup operator follows)
+      if (gatedSem) graft.util.Checkpoints.free(admittedSem)
       if (gated) graft.util.Checkpoints.free(admitted)
     }
     // KB retraction LAST — after the live rows landed, so a reload
@@ -475,6 +545,21 @@ object IndexMaintenance {
         session.deleteIndexedKnowledge(col(idCol).isin(chunk.toSeq: _*))
         ()
       }
+  }
+
+  private def requireSemanticArgs(
+      semanticPath: Option[String], semanticTau: Option[Double],
+      admitMaxClusterPostings: Option[Int]): Unit = {
+    require(semanticTau.isEmpty || semanticPath.nonEmpty,
+      "semanticTau needs semanticPath: the embedding gate probes the " +
+        "persisted semantic index")
+    require(semanticPath.isEmpty || semanticTau.nonEmpty,
+      "semanticPath without semanticTau would maintain the semantic " +
+        "index but never gate on it — pass semanticTau (the intended " +
+        "composition), or omit the path and upsert it yourself")
+    require(admitMaxClusterPostings.isEmpty || semanticTau.nonEmpty,
+      "admitMaxClusterPostings only applies to the semantic admission " +
+        "probe (set semanticTau)")
   }
 
   /** Per-call bound for retract-id predicate lists — above a few

@@ -65,6 +65,66 @@ class IndexMaintenanceSpec extends SparkSpec {
     } finally graft.plans.IvfIndex.unregister(spark, "embedding")
   }
 
+  test("semantic gate in the stream: embedding dups rejected, retraction reopens, replay-safe") {
+    implicit val sqlCtx = spark.sqlContext
+    val emb = HashEmbedder(16)
+    val g = GraftSession(spark, emb)
+    val initial = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six"))
+    g.loadKnowledgeBase(emb.embedColumn(
+      initial.toDF("id", "content"), "content", "embedding"))
+    val base = java.nio.file.Files.createTempDirectory("idx_sem").toString
+    g.indexKnowledge(s"$base/kb", nClusters = 1, nprobe = 1)
+    g.buildSemanticIndex(s"$base/sem", nClusters = 2)
+    try {
+      // semanticPath without semanticTau is refused at start()
+      val inputBad = MemoryStream[(Long, String)]
+      val eBad = intercept[IllegalArgumentException] {
+        IndexMaintenance.runToIndexedKnowledge(
+          g, inputBad.toDF().toDF("id", "content"),
+          checkpoint = s"$base/ckpt_bad",
+          semanticPath = Some(s"$base/sem"))
+      }
+      assert(eBad.getMessage.contains("semanticTau"))
+
+      val input = MemoryStream[(Long, String)]
+      val q = IndexMaintenance.runToIndexedKnowledge(
+        g, input.toDF().toDF("id", "content"),
+        checkpoint = s"$base/ckpt",
+        semanticPath = Some(s"$base/sem"), semanticTau = Some(0.999))
+      try {
+        // batch 1: a row with doc 1's exact content (identical hash
+        // embedding, cosine 1.0) must die at the semantic gate; a
+        // novel row flows and starts gating later batches
+        input.addData(
+          (10L, "alpha beta gamma delta epsilon zeta"),
+          (11L, "totally novel payload about watermark state"))
+        q.processAllAvailable()
+        val kb1 = g.knowledgeBase.select("id").as[Long].collect().toSet
+        assert(!kb1.contains(10L), "embedding dup must be rejected")
+        assert(kb1.contains(11L), "novel row must be admitted")
+
+        // batch 2: a clone of the NEWLY admitted 11 is now rejected
+        // too — the stream maintained the semantic index
+        input.addData((12L, "totally novel payload about watermark state"))
+        q.processAllAvailable()
+        assert(!g.knowledgeBase.select("id").as[Long].collect().toSet
+          .contains(12L), "cross-batch incumbency through the maintained index")
+
+        // batch 3: retract doc 1 (NULL content); its embedding stops
+        // gating and the clone that batch 1 rejected is admissible
+        input.addData((1L, null.asInstanceOf[String]))
+        q.processAllAvailable()
+        assert(!g.knowledgeBase.select("id").as[Long].collect().toSet.contains(1L))
+        input.addData((10L, "alpha beta gamma delta epsilon zeta"))
+        q.processAllAvailable()
+        assert(g.knowledgeBase.select("id").as[Long].collect().toSet.contains(10L),
+          "retraction must reopen the semantic gate")
+      } finally q.stop()
+    } finally graft.plans.IvfIndex.unregister(spark, "embedding")
+  }
+
   test("a misconfigured versionCol fails at start(), not inside the first micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val g = GraftSession(spark, HashEmbedder(16))
