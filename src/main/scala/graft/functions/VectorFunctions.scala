@@ -363,7 +363,12 @@ case class L2Normalize(child: Expression)
   * whole stage to interpreted eval. Candidates are pre-sorted by
   * cluster id (strict `>` keeps the first = lowest id on ties).
   *
-  * NULL input vector ⇒ NULL struct (standard null propagation). */
+  * A NULL input vector behaves like a zero-norm one: null `s`, lowest
+  * cluster id — NOT a null struct. That is the unrolled form's exact
+  * behavior (every cosine null ⇒ the tie falls through to the lowest
+  * id), and callers rely on the struct being non-null: cluster
+  * columns are collected with `Row.getInt` in the IVF maintenance
+  * path, where a null would NPE inside a foreachBatch. */
 case class NearestCentroid(
     child: Expression, clusterIds: Array[Int],
     centroids: Array[Array[Float]])
@@ -374,10 +379,19 @@ case class NearestCentroid(
   override def dataType: DataType = StructType(Seq(
     StructField("s", DoubleType, nullable = true),
     StructField("c", IntegerType, nullable = false)))
-  override def nullable: Boolean = true
+  override def nullable: Boolean = false
   override def prettyName: String = "nearest_centroid"
 
-  override def nullSafeEval(a: Any): Any = {
+  override def eval(input: InternalRow): Any = {
+    val a = child.eval(input)
+    if (a == null) noDirection else nonNullEval(a)
+  }
+
+  private def noDirection =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](null, clusterIds(0)))
+
+  private def nonNullEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val n = x.numElements()
     var nx = 0.0
@@ -411,48 +425,63 @@ case class NearestCentroid(
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
     val centsRef = ctx.addReferenceObj("cents", centroids, "float[][]")
     val idsRef = ctx.addReferenceObj("cids", clusterIds, "int[]")
-    nullSafeCodeGen(ctx, ev, x => {
-      val n = ctx.freshName("n"); val i = ctx.freshName("i")
-      val k = ctx.freshName("k"); val nx = ctx.freshName("nx")
-      val dot = ctx.freshName("dot"); val ny = ctx.freshName("ny")
-      val s = ctx.freshName("s"); val cv = ctx.freshName("cv")
-      val hasBest = ctx.freshName("hasBest"); val bestS = ctx.freshName("bestS")
-      val bestC = ctx.freshName("bestC")
+    // null-TOLERANT: a null child takes the no-direction branch (null
+    // s, lowest id) instead of nullSafeCodeGen's null propagation —
+    // the struct itself is never null
+    val childGen = child.genCode(ctx)
+    val x = childGen.value
+    val n = ctx.freshName("n"); val i = ctx.freshName("i")
+    val k = ctx.freshName("k"); val nx = ctx.freshName("nx")
+    val dot = ctx.freshName("dot"); val ny = ctx.freshName("ny")
+    val s = ctx.freshName("s"); val cv = ctx.freshName("cv")
+    val hasBest = ctx.freshName("hasBest"); val bestS = ctx.freshName("bestS")
+    val bestC = ctx.freshName("bestC")
+    val row = "org.apache.spark.sql.catalyst.expressions.GenericInternalRow"
+    val resultCode =
       s"""
-        int $n = $x.numElements();
-        double $nx = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          double v = ${getter(child.dataType, x, i)};
-          $nx += v * v;
-        }
-        boolean $hasBest = false;
-        double $bestS = 0.0;
-        int $bestC = $idsRef[0];
-        if ($nx != 0.0) {
-          for (int $k = 0; $k < $centsRef.length; $k++) {
-            float[] $cv = $centsRef[$k];
-            if ($cv.length != $n) continue;
-            double $dot = 0.0, $ny = 0.0;
-            for (int $i = 0; $i < $n; $i++) {
-              double xi = ${getter(child.dataType, x, i)};
-              double yi = (double) $cv[$i];
-              $dot += xi * yi; $ny += yi * yi;
-            }
-            if ($ny == 0.0) continue;
-            double $s = $dot / java.lang.Math.sqrt($nx * $ny);
-            if (!$hasBest || $s > $bestS) {
-              $hasBest = true; $bestS = $s; $bestC = $idsRef[$k];
+        InternalRow ${ev.value} = null;
+        if (${childGen.isNull}) {
+          ${ev.value} = new $row(
+            new Object[] { null, java.lang.Integer.valueOf($idsRef[0]) });
+        } else {
+          int $n = $x.numElements();
+          double $nx = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            double v = ${getter(child.dataType, x.toString, i)};
+            $nx += v * v;
+          }
+          boolean $hasBest = false;
+          double $bestS = 0.0;
+          int $bestC = $idsRef[0];
+          if ($nx != 0.0) {
+            for (int $k = 0; $k < $centsRef.length; $k++) {
+              float[] $cv = $centsRef[$k];
+              if ($cv.length != $n) continue;
+              double $dot = 0.0, $ny = 0.0;
+              for (int $i = 0; $i < $n; $i++) {
+                double xi = ${getter(child.dataType, x.toString, i)};
+                double yi = (double) $cv[$i];
+                $dot += xi * yi; $ny += yi * yi;
+              }
+              if ($ny == 0.0) continue;
+              double $s = $dot / java.lang.Math.sqrt($nx * $ny);
+              if (!$hasBest || $s > $bestS) {
+                $hasBest = true; $bestS = $s; $bestC = $idsRef[$k];
+              }
             }
           }
-        }
-        ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          new Object[] {
+          ${ev.value} = new $row(new Object[] {
             $hasBest ? (Object) java.lang.Double.valueOf($bestS) : null,
             java.lang.Integer.valueOf($bestC) });
+        }
       """
-    })
+    ev.copy(
+      code = childGen.code + code"$resultCode",
+      isNull = FalseLiteral)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -225,14 +225,29 @@ object SemanticIndex {
       includeBatchPairs: Boolean = true,
       idPushLimit: Int = 1000,
       maxClusterPostings: Option[Int] = None): DataFrame = {
+    val p0 = pin(spark, path)
+    val assignedB = assignedFrame(
+        batch, idCol, vecCol, centroidsAt(spark, path, p0))
+      .localCheckpoint(true)
+    try probePinned(spark, path, p0, batch, idCol, assignedB, tau,
+      includeBatchPairs, idPushLimit, maxClusterPostings)
+    finally Dedup.freeCheckpoint(assignedB)
+  }
+
+  /** The probe body against one resolved pin and one checkpointed
+    * batch assignment — shared by [[nearDupsAgainst]] and
+    * [[admitOnePerId]] so the admission path pays ONE pin and ONE
+    * assignment pass (it needs the centroid_sim ranks the probe
+    * already computed). */
+  private def probePinned(
+      spark: SparkSession, path: String, p0: Pin, batch: DataFrame,
+      idCol: String, assignedB: DataFrame, tau: Double,
+      includeBatchPairs: Boolean, idPushLimit: Int,
+      maxClusterPostings: Option[Int]): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
     require(maxClusterPostings.forall(_ >= 1),
       "maxClusterPostings must be >= 1 when set")
-    val p0 = pin(spark, path)
-    val cents = centroidsAt(spark, path, p0)
-    val assignedB = assignedFrame(batch, idCol, vecCol, cents)
-      .localCheckpoint(true)
-    try {
+    locally {
       val clusters = assignedB.select(col("cluster")).distinct()
         .limit(idPushLimit + 1).collect().map(_.getInt(0)).toSeq
       val corpusScan0 = MergeTable.readAt(
@@ -292,7 +307,7 @@ object SemanticIndex {
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .distinct()
         .localCheckpoint(true) // materialize the (small) pair set
-    } finally Dedup.freeCheckpoint(assignedB)
+    }
   }
 
   /** The admission gate composed: the batch rows that are NOT a
@@ -333,13 +348,17 @@ object SemanticIndex {
       spark: SparkSession, path: String, batch1: DataFrame,
       idCol: String, vecCol: String, tau: Double,
       maxClusterPostings: Option[Int]): DataFrame = {
-    val pairs = nearDupsAgainst(spark, path, batch1, idCol, vecCol, tau,
-      includeBatchPairs = true, maxClusterPostings = maxClusterPostings)
+    // ONE pin and ONE assignment pass for the probe AND the ranks
+    val p0 = pin(spark, path)
+    val assignedB = assignedFrame(
+        batch1, idCol, vecCol, centroidsAt(spark, path, p0))
+      .localCheckpoint(true)
     try {
-        val p0 = pin(spark, path)
-        val cents = centroidsAt(spark, path, p0)
-        val ranked = assignedFrame(batch1, idCol, vecCol, cents)
-          .select(col("id"), col("centroid_sim"))
+      val pairs = probePinned(spark, path, p0, batch1, idCol, assignedB,
+        tau, includeBatchPairs = true, idPushLimit = 1000,
+        maxClusterPostings = maxClusterPostings)
+      try {
+        val ranked = assignedB.select(col("id"), col("centroid_sim"))
         val batchIds = batch1.select(col(idCol).as("id"))
           .filter(col("id").isNotNull).distinct()
         // orient each pair: sides in the batch carry their rank; a
@@ -368,6 +387,7 @@ object SemanticIndex {
         batch1.join(dead, batch1(idCol) === dead("__dead"), "left_anti")
           .localCheckpoint(true)
       } finally Dedup.freeCheckpoint(pairs)
+    } finally Dedup.freeCheckpoint(assignedB)
   }
 
   private def centroidsAt(

@@ -123,10 +123,11 @@ object SimilaritySearch {
     * [[graft.functions.NearestCentroid]] runtime loop over the
     * collected centroid matrix (highest sim wins, exact ties to the
     * lowest cluster id). Adds/overwrites `cluster`; rows whose vector
-    * has no direction (zero norm ⇒ cosine undefined everywhere) get
-    * the lowest cluster id, deterministically; a NULL vector gets a
-    * NULL cluster. Centroids are collected driver-side — they are the
-    * coarse quantizer, small by design. */
+    * has no direction (zero norm or NULL ⇒ cosine undefined
+    * everywhere) get the lowest cluster id, deterministically — never
+    * a NULL cluster (IVF maintenance collects this column with
+    * `Row.getInt`). Centroids are collected driver-side — they are
+    * the coarse quantizer, small by design. */
   def assignClusters(df: DataFrame, vecCol: String, cents: DataFrame): DataFrame =
     df.withColumn("cluster", bestCentroid(vecCol, cents).getField("c"))
 

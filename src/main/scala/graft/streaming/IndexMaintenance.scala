@@ -500,12 +500,20 @@ object IndexMaintenance {
     // gate: batch ids self-exclude from the corpus probe.
     val admittedSem = (semanticPath, semanticTau) match {
       case (Some(sp), Some(tau)) if liveResolved && !admitted.isEmpty =>
+        val needEmbed = !admitted.columns.contains(vecCol)
+        // checkpoint the embedded frame: admitOnePerId scans its
+        // batch several times (assignment, batch ids, the survivor
+        // anti-join), and each un-persisted scan would re-run the
+        // embedder kernel — the same must-not-re-embed rationale as
+        // withVec below
         val embedded =
-          if (admitted.columns.contains(vecCol)) admitted
+          if (!needEmbed) admitted
           else session.embedder.embedColumn(admitted, contentCol, vecCol)
-        graft.operators.SemanticIndex.admitOnePerId(
+            .localCheckpoint(true)
+        try graft.operators.SemanticIndex.admitOnePerId(
           session.spark, sp, embedded, idCol, vecCol, tau,
           maxClusterPostings = admitMaxClusterPostings)
+        finally if (needEmbed) graft.util.Checkpoints.free(embedded)
       case _ => admitted
     }
     val gatedSem = admittedSem ne admitted

@@ -179,17 +179,18 @@ class VectorFunctionsSpec extends SparkSpec {
         unrolled.getField("c").as("uc"), unrolled.getField("s").as("us"))
       .collect()
     got.foreach { r =>
-      if (r.getLong(0) == 902L) {
-        assert(r.isNullAt(1) && r.isNullAt(2), "NULL vec -> NULL struct")
-      } else {
-        assert(r.getInt(1) === r.getInt(3), s"cluster mismatch at id ${r.getLong(0)}")
-        if (r.isNullAt(2)) assert(r.isNullAt(4))
-        else assert(r.getDouble(2) === r.getDouble(4),
-          s"similarity mismatch at id ${r.getLong(0)}")
-      }
+      // includes the NULL-vec row 902: BOTH forms yield a non-null
+      // struct with null s and the lowest cluster id — the behavior
+      // IVF maintenance's Row.getInt collects rely on
+      assert(r.getInt(1) === r.getInt(3), s"cluster mismatch at id ${r.getLong(0)}")
+      if (r.isNullAt(2)) assert(r.isNullAt(4))
+      else assert(r.getDouble(2) === r.getDouble(4),
+        s"similarity mismatch at id ${r.getLong(0)}")
     }
-    // zero-norm vector: lowest cluster id, null sim (deterministic)
-    val z = got.find(_.getLong(0) == 900L).get
-    assert(z.getInt(1) === 0 && z.isNullAt(2))
+    // zero-norm AND null vectors: lowest cluster id, null sim
+    for (id <- Seq(900L, 902L)) {
+      val z = got.find(_.getLong(0) == id).get
+      assert(z.getInt(1) === 0 && z.isNullAt(2))
+    }
   }
 }
