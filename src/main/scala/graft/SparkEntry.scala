@@ -1215,6 +1215,20 @@ object SparkEntry {
       good.orderBy(col("doc_id"))
     }),
 
+    "q129_orc_roundtrip" -> ((s, d) => {
+      // ORC table interchange (Orc): export documents as ORC, read
+      // back SCHEMA-STRICT (drift fails loudly; a dropped column must
+      // never silently NULL), project in schema order. Oracle = the
+      // ORIGINAL table (the q117/q123 round-trip-identity convention
+      // — ORC carries native types, so the trip is bit-exact).
+      val docs = T.documents(s, d)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_q129").toString + "/docs_orc"
+      sources.Orc.write(docs, dir)
+      val back = sources.Orc.readStrict(s, dir, docs.schema)
+      back.orderBy(col("doc_id"))
+    }),
+
     "q125_binary_ann" -> ((s, d) =>
       // 1-bit sign quantization: Hamming shortlist over in-scan codes
       // (the persisted-codes path is the same kernel on a 16x smaller
@@ -1963,6 +1977,10 @@ object SparkEntry {
         |ORDER BY s DESC, doc_id LIMIT 20""".stripMargin,
 
     "q123_csv_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q129_orc_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
 

@@ -1,0 +1,62 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** ORC table interchange — the third storage format next to parquet
+  * (native tables/indexes) and the line formats (JSONL/CSV arrival
+  * paths). ORC is what a Hive-era lakehouse hands you: columnar,
+  * splittable, footer-indexed — schema-safe by construction, so
+  * unlike the line formats there is no quarantine path (a corrupt ORC
+  * file fails whole and loudly; there is no meaningful "bad line").
+  * What CAN drift silently is the SCHEMA — a producer adding,
+  * dropping, or retyping columns — so the reader here is
+  * schema-strict the way [[Jsonl]]/[[Csv]] are: it verifies the
+  * file schema against the expected one up front and fails loudly
+  * with the exact difference, instead of letting Spark's by-name
+  * resolution quietly NULL a renamed column for the next thousand
+  * batches.
+  *
+  * Scale notes: reads prune columns and push predicates through
+  * Spark's native vectorized ORC reader exactly as parquet does
+  * (`spark.sql.orc.impl=native` is the default); writes are plain
+  * distributed file writes. The reference stores corpus rows in
+  * Postgres (`Supabase/knowledge_base-RAG.sql:1-29`); this is that
+  * table surface for ORC-shaped lakes.
+  */
+object Orc {
+
+  /** Write `df` as ORC at `path` (overwrite — table-replacement
+    * semantics, like [[Csv.write]]). ORC carries its own types; no
+    * sentinel/quoting contract is needed. */
+  def write(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  /** Read the ORC table at `path`, REQUIRING exactly `schema` (names
+    * and types, order-insensitive; nullability is not compared —
+    * Spark's writers widen it freely). A missing, extra, or retyped
+    * column fails loudly with the difference — the schema-strict
+    * stance of every other source here. */
+  def readStrict(
+      spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    val df = spark.read.orc(path)
+    val got = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val want = schema.fields.map(f => f.name -> f.dataType).toMap
+    val missing = want.keySet -- got.keySet
+    val extra = got.keySet -- want.keySet
+    // catalogString comparison: nullability-blind at EVERY nesting
+    // level (ORC writers widen containsNull freely; a bare
+    // DataType != would flag array<float> vs array<float>)
+    val retyped = want.keySet.intersect(got.keySet)
+      .filter(n => got(n).catalogString != want(n).catalogString)
+      .map(n => s"$n: ${got(n).catalogString} != ${want(n).catalogString}")
+    require(missing.isEmpty && extra.isEmpty && retyped.isEmpty,
+      s"ORC schema drift at $path — " +
+        (if (missing.nonEmpty) s"missing ${missing.mkString(",")}; " else "") +
+        (if (extra.nonEmpty) s"unexpected ${extra.mkString(",")}; " else "") +
+        (if (retyped.nonEmpty) s"retyped ${retyped.mkString("; ")}" else ""))
+    // project to the expected order so downstream positional
+    // consumers (unions, writers) see a stable shape
+    df.select(schema.fieldNames.map(n => df(s"`$n`")): _*)
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Orc
+
+/** ORC interchange: round-trip identity through native types, and the
+  * schema-strict read that fails LOUDLY on producer drift instead of
+  * silently NULLing a renamed column. */
+class OrcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("orc_spec").toString + "/t"
+
+  test("write -> readStrict round trip is identity, incl. nulls and arrays") {
+    val rows = Seq(
+      (1L, Some("plain text"), Some(Array(1.5f, -0.0f)), Some(0.1 + 0.2)),
+      (2L, None, None, None),
+      (3L, Some(""), Some(Array.empty[Float]), Some(Double.MinPositiveValue)),
+      (4L, Some("unicode: äöü 中文 🙂"), Some(Array(Float.NaN)), Some(-1.0)))
+    val df = rows.toDF("id", "text", "vec", "x")
+    val dir = freshDir()
+    Orc.write(df, dir)
+    val back = Orc.readStrict(spark, dir, df.schema)
+    assert(back.columns.toSeq === df.columns.toSeq)
+    val a = df.orderBy("id").collect().map(_.toString).toSeq
+    val b = back.orderBy("id").collect().map(_.toString).toSeq
+    assert(a === b)
+  }
+
+  test("readStrict fails loudly on missing, extra, and retyped columns") {
+    val df = Seq((1L, "a", 2.0)).toDF("id", "text", "x")
+    val dir = freshDir()
+    Orc.write(df, dir)
+    val missing = intercept[IllegalArgumentException] {
+      Orc.readStrict(spark, dir, StructType(Seq(
+        StructField("id", LongType), StructField("text", StringType),
+        StructField("x", DoubleType), StructField("gone", StringType))))
+    }
+    assert(missing.getMessage.contains("missing gone"))
+    val extra = intercept[IllegalArgumentException] {
+      Orc.readStrict(spark, dir, StructType(Seq(
+        StructField("id", LongType), StructField("text", StringType))))
+    }
+    assert(extra.getMessage.contains("unexpected x"))
+    val retyped = intercept[IllegalArgumentException] {
+      Orc.readStrict(spark, dir, StructType(Seq(
+        StructField("id", IntegerType), StructField("text", StringType),
+        StructField("x", DoubleType))))
+    }
+    assert(retyped.getMessage.contains("retyped") &&
+      retyped.getMessage.contains("id"))
+  }
+
+  test("readStrict projects to the expected column order") {
+    val df = Seq((1L, "a")).toDF("id", "text")
+    val dir = freshDir()
+    Orc.write(df, dir)
+    val reordered = Orc.readStrict(spark, dir, StructType(Seq(
+      StructField("text", StringType), StructField("id", LongType))))
+    assert(reordered.columns.toSeq === Seq("text", "id"))
+  }
+
+  test("predicates and projections push into the ORC scan") {
+    val df = (1L to 100L).map(i => (i, s"t$i", i * 2.0)).toDF("id", "text", "x")
+    val dir = freshDir()
+    Orc.write(df, dir)
+    val q = Orc.readStrict(spark, dir, df.schema)
+      .filter(col("id") === 7L).select("text")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), EqualTo(id,7)]"), plan)
+    assert(q.as[String].collect().toSeq === Seq("t7"))
+  }
+}
