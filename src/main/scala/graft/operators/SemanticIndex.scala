@@ -225,6 +225,7 @@ object SemanticIndex {
       includeBatchPairs: Boolean = true,
       idPushLimit: Int = 1000,
       maxClusterPostings: Option[Int] = None): DataFrame = {
+    requireProbeArgs(tau, maxClusterPostings)
     val p0 = pin(spark, path)
     val assignedB = assignedFrame(
         batch, idCol, vecCol, centroidsAt(spark, path, p0))
@@ -232,6 +233,15 @@ object SemanticIndex {
     try probePinned(spark, path, p0, batch, idCol, assignedB, tau,
       includeBatchPairs, idPushLimit, maxClusterPostings)
     finally Dedup.freeCheckpoint(assignedB)
+  }
+
+  /** Fail argument bugs BEFORE any pin read, centroid collect, or
+    * assignment job — both probe entries call this first. */
+  private def requireProbeArgs(
+      tau: Double, maxClusterPostings: Option[Int]): Unit = {
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
+    require(maxClusterPostings.forall(_ >= 1),
+      "maxClusterPostings must be >= 1 when set")
   }
 
   /** The probe body against one resolved pin and one checkpointed
@@ -244,11 +254,7 @@ object SemanticIndex {
       idCol: String, assignedB: DataFrame, tau: Double,
       includeBatchPairs: Boolean, idPushLimit: Int,
       maxClusterPostings: Option[Int]): DataFrame = {
-    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
-    require(maxClusterPostings.forall(_ >= 1),
-      "maxClusterPostings must be >= 1 when set")
-    locally {
-      val clusters = assignedB.select(col("cluster")).distinct()
+    val clusters = assignedB.select(col("cluster")).distinct()
         .limit(idPushLimit + 1).collect().map(_.getInt(0)).toSeq
       val corpusScan0 = MergeTable.readAt(
         spark, componentPath(path, p0.vectors.dir), p0.vectors.version)
@@ -307,7 +313,6 @@ object SemanticIndex {
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .distinct()
         .localCheckpoint(true) // materialize the (small) pair set
-    }
   }
 
   /** The admission gate composed: the batch rows that are NOT a
@@ -348,6 +353,7 @@ object SemanticIndex {
       spark: SparkSession, path: String, batch1: DataFrame,
       idCol: String, vecCol: String, tau: Double,
       maxClusterPostings: Option[Int]): DataFrame = {
+    requireProbeArgs(tau, maxClusterPostings)
     // ONE pin and ONE assignment pass for the probe AND the ranks
     val p0 = pin(spark, path)
     val assignedB = assignedFrame(

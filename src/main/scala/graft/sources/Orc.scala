@@ -36,10 +36,21 @@ object Orc {
     * and types, order-insensitive; nullability is not compared —
     * Spark's writers widen it freely). A missing, extra, or retyped
     * column fails loudly with the difference — the schema-strict
-    * stance of every other source here. */
+    * stance of every other source here.
+    *
+    * The check is PER FILE, not merely on Spark's inferred schema:
+    * inference reads ONE footer (`spark.sql.orc.mergeSchema` is
+    * false by default), so a directory mixing producer generations
+    * could pass a directory-level check while every row from the
+    * drifted files silently reads a renamed column as NULL — the
+    * exact failure this reader exists to prevent. Footers are read
+    * in ONE distributed job (cost ∝ files, not rows) and must all
+    * agree with the first; combined with the inferred-vs-expected
+    * check that uniformity extends the guarantee to every file. */
   def readStrict(
       spark: SparkSession, path: String, schema: StructType): DataFrame = {
     val df = spark.read.orc(path)
+    requireUniformFooters(spark, df.inputFiles)
     val got = df.schema.fields.map(f => f.name -> f.dataType).toMap
     val want = schema.fields.map(f => f.name -> f.dataType).toMap
     val missing = want.keySet -- got.keySet
@@ -58,5 +69,31 @@ object Orc {
     // project to the expected order so downstream positional
     // consumers (unions, writers) see a stable shape
     df.select(schema.fieldNames.map(n => df(s"`$n`")): _*)
+  }
+
+  /** Every part file's footer schema must be IDENTICAL (string-equal
+    * ORC type description). One small distributed job over the file
+    * list; first differing file reported against the first file. */
+  private def requireUniformFooters(
+      spark: SparkSession, files: Array[String]): Unit = {
+    if (files.length <= 1) return
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val schemas = spark.sparkContext
+      .parallelize(files.toSeq, math.max(1, files.length / 64))
+      .map { f =>
+        val reader = org.apache.orc.OrcFile.createReader(
+          new org.apache.hadoop.fs.Path(f),
+          org.apache.orc.OrcFile.readerOptions(conf.value))
+        try f -> reader.getSchema.toString finally reader.close()
+      }
+      .collect()
+    val ref = schemas.find(_._1 == files.head).getOrElse(schemas.head)
+    schemas.find(_._2 != ref._2).foreach { case (f, s) =>
+      throw new IllegalArgumentException(
+        s"ORC schema drift WITHIN the directory: $f has $s but " +
+          s"${ref._1} has ${ref._2} — mixed producer generations; " +
+          "strict reads refuse per-file silent NULLs")
+    }
   }
 }

@@ -63,6 +63,29 @@ class OrcSpec extends SparkSpec {
     assert(reordered.columns.toSeq === Seq("text", "id"))
   }
 
+  test("per-file drift inside the directory fails loudly, never silent NULLs") {
+    // two producer generations in ONE directory: Spark infers from a
+    // single footer, so a directory-level check alone would pass and
+    // the drifted files' renamed column would read NULL forever
+    val dir = freshDir()
+    Seq((1L, "old", "en")).toDF("id", "text", "lang")
+      .write.mode("overwrite").orc(dir)
+    val tmp2 = freshDir()
+    Seq((2L, "new", "de")).toDF("id", "text", "language")
+      .write.mode("overwrite").orc(tmp2)
+    // move the drifted part file into the first directory
+    val src = new java.io.File(tmp2).listFiles()
+      .filter(f => f.getName.endsWith(".orc")).head
+    val dst = new java.io.File(dir, "part-drifted.orc")
+    java.nio.file.Files.copy(src.toPath, dst.toPath)
+    val e = intercept[IllegalArgumentException] {
+      Orc.readStrict(spark, dir, StructType(Seq(
+        StructField("id", LongType), StructField("text", StringType),
+        StructField("lang", StringType))))
+    }
+    assert(e.getMessage.contains("WITHIN the directory"), e.getMessage)
+  }
+
   test("predicates and projections push into the ORC scan") {
     val df = (1L to 100L).map(i => (i, s"t$i", i * 2.0)).toDF("id", "text", "x")
     val dir = freshDir()
