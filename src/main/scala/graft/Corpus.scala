@@ -111,6 +111,27 @@ final case class Corpus(df: DataFrame, idCol: String, textCol: String) {
     next(graft.operators.DedupIndex.admit(
       df.sparkSession, indexPath, df, idCol, textCol, threshold))
 
+  /** SemDeDup semantic dedup over an embedding column the frame
+    * already carries ([[graft.operators.Dedup.semanticDedup]]): keep
+    * each within-cluster tau-ball's least-prototypical member. The
+    * chain's text curation stages don't produce embeddings — bring
+    * them from your embedder (the [[GraftSession]] surface) or the
+    * source table. Appends `cluster` and `centroid_sim`. */
+  def dedupSemantic(
+      vecCol: String, cents: DataFrame, tau: Double,
+      maxClusterSize: Int = 100000): Corpus =
+    next(Dedup.semanticDedup(df, idCol, vecCol, cents, tau, maxClusterSize))
+
+  /** Semantic ADMISSION against a persisted [[graft.operators
+    * .SemanticIndex]] — [[admitAgainst]]'s embedding-space sibling:
+    * drop docs within cosine `tau` of an indexed incumbent or a
+    * better-ranked batchmate. Eagerly materialized (the admit
+    * contract); upsert survivors to keep the index fresh. */
+  def admitSemanticAgainst(
+      indexPath: String, vecCol: String, tau: Double): Corpus =
+    next(graft.operators.SemanticIndex.admit(
+      df.sparkSession, indexPath, df, idCol, vecCol, tau))
+
   /** Deterministic md5-prefix downsample (engine-portable, stable under
     * corpus growth). */
   def sample(fraction: Double): Corpus =

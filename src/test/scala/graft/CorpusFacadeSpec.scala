@@ -167,4 +167,33 @@ class CorpusFacadeSpec extends SparkSpec {
       .toDF.select("doc_id").as[Long].collect().toSet
     assert(admitted === Set(11L))
   }
+
+  test("dedupSemantic + admitSemanticAgainst: the embedding stages in the chain") {
+    import graft.operators.{SemanticIndex, SimilaritySearch}
+    val vecs = Seq(
+      (1L, "a", Array(1f, 0.01f)), (2L, "b", Array(1f, 0.011f)), // tau ball
+      (3L, "c", Array(0f, 1f))
+    ).toDF("doc_id", "text", "emb")
+    val cents = SimilaritySearch.kmeansCentroids(vecs, "doc_id", "emb", k = 2, iters = 3)
+      .localCheckpoint(true)
+    val kept = Corpus(vecs, "doc_id", "text")
+      .dedupSemantic("emb", cents, tau = 0.999)
+      .toDF
+    assert(kept.columns.contains("cluster") && kept.columns.contains("centroid_sim"))
+    val ids = kept.select("doc_id").as[Long].collect().toSet
+    assert(ids.contains(3L) && !(ids.contains(1L) && ids.contains(2L)))
+
+    val path = java.nio.file.Files
+      .createTempDirectory("corpus_sem").toString + "/idx"
+    SemanticIndex.build(spark, path,
+      vecs.filter($"doc_id" === 1L), "doc_id", "emb", cents)
+    val batch = Seq(
+      (10L, "clone", Array(1f, 0.01f)),   // ~incumbent 1: rejected
+      (11L, "novel", Array(0.02f, 1f)))   // novel cluster: admitted
+      .toDF("doc_id", "text", "emb")
+    val admitted2 = Corpus(batch, "doc_id", "text")
+      .admitSemanticAgainst(path, "emb", tau = 0.999)
+      .toDF.select("doc_id").as[Long].collect().toSet
+    assert(admitted2 === Set(11L))
+  }
 }
