@@ -66,6 +66,60 @@ class PlanShapeSpec extends SparkSpec {
       s"scan reads more columns than the query needs: $readCols")
   }
 
+  test("semantic-index probe: pushed cluster IN + broadcast batch join, from the REAL plan") {
+    // the probe returns an eager checkpoint (its producing plan is not
+    // on the result), so capture the ACTUAL executed plans with a
+    // QueryExecutionListener while the probe runs — no re-derivation
+    val emb = Tables.embeddings(spark, dir)
+    val cents = operators.SimilaritySearch.centroids(emb, "label", "embedding")
+    val path = java.nio.file.Files
+      .createTempDirectory("plan_sem").toString + "/idx"
+    operators.SemanticIndex.build(spark, path,
+      emb.filter(col("vec_id") % 5 =!= 0), "vec_id", "embedding", cents)
+    operators.SemanticIndex.compact(spark, path, numFiles = 4)
+
+    val captured = new java.util.concurrent.CopyOnWriteArrayList[SparkPlan]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+        captured.add(qe.executedPlan); ()
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      operators.SemanticIndex.nearDupsAgainst(spark, path,
+        emb.filter(col("vec_id") % 5 === 0), "vec_id", "embedding", tau = 0.35)
+      // listener delivery is async: wait for the plan that scanned the
+      // pinned vectors component
+      def probePlans() = {
+        import scala.jdk.CollectionConverters._
+        captured.asScala.flatMap(p => graft.util.Plans.flatten(p))
+          .collect { case f: FileSourceScanExec
+            if f.metadata.get("Location").exists(_.contains("/vectors-")) => f }
+      }
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (probePlans().isEmpty && System.nanoTime() < deadline) Thread.sleep(100)
+      val scans = probePlans()
+      assert(scans.nonEmpty, "no vectors-component scan captured from the probe")
+      assert(scans.exists(_.metadata.get("PushedFilters").exists(_.contains("In(cluster"))),
+        s"cluster IN not pushed into the probe's corpus scan: " +
+          scans.map(_.metadata.get("PushedFilters")).mkString(" | "))
+      // the corpus leg must die in a BROADCAST join (batch side built),
+      // never shuffle the corpus: find the captured plan holding the
+      // vectors scan and assert its join type
+      import scala.jdk.CollectionConverters._
+      val holding = captured.asScala.filter(p => graft.util.Plans.flatten(p)
+        .exists { case f: FileSourceScanExec =>
+          f.metadata.get("Location").exists(_.contains("/vectors-")); case _ => false })
+      assert(holding.exists(p => graft.util.Plans.flatten(p)
+          .exists(_.isInstanceOf[BroadcastHashJoinExec])),
+        "probe's corpus leg did not join via broadcast:\n" +
+          holding.map(_.toString).mkString("\n----\n"))
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("temporal predicate on events.ts pushes through the NTZ->instant cast") {
     // the loader casts TIMESTAMP_NTZ to TimestampType under UTC; Spark's
     // cast-unwrap must keep a ts comparison reaching the parquet footer
