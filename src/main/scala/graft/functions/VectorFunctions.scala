@@ -440,6 +440,8 @@ case class NearestCentroid(
     val s = ctx.freshName("s"); val cv = ctx.freshName("cv")
     val hasBest = ctx.freshName("hasBest"); val bestS = ctx.freshName("bestS")
     val bestC = ctx.freshName("bestC")
+    val v = ctx.freshName("v"); val xi = ctx.freshName("xi")
+    val yi = ctx.freshName("yi")
     val row = "org.apache.spark.sql.catalyst.expressions.GenericInternalRow"
     val resultCode =
       s"""
@@ -451,8 +453,8 @@ case class NearestCentroid(
           int $n = $x.numElements();
           double $nx = 0.0;
           for (int $i = 0; $i < $n; $i++) {
-            double v = ${getter(child.dataType, x.toString, i)};
-            $nx += v * v;
+            double $v = ${getter(child.dataType, x.toString, i)};
+            $nx += $v * $v;
           }
           boolean $hasBest = false;
           double $bestS = 0.0;
@@ -463,9 +465,9 @@ case class NearestCentroid(
               if ($cv.length != $n) continue;
               double $dot = 0.0, $ny = 0.0;
               for (int $i = 0; $i < $n; $i++) {
-                double xi = ${getter(child.dataType, x.toString, i)};
-                double yi = (double) $cv[$i];
-                $dot += xi * yi; $ny += yi * yi;
+                double $xi = ${getter(child.dataType, x.toString, i)};
+                double $yi = (double) $cv[$i];
+                $dot += $xi * $yi; $ny += $yi * $yi;
               }
               if ($ny == 0.0) continue;
               double $s = $dot / java.lang.Math.sqrt($nx * $ny);

@@ -196,8 +196,10 @@ object SemanticIndex {
 
   /** Semantic near-dup pairs between `batch` and the indexed corpus
     * (and, with `includeBatchPairs`, within the batch) — the admission
-    * probe. Returns (id_a, id_b, cosine) with id_a < id_b and round-6
-    * cosine >= `tau`, exactly the batch-touching subset of what
+    * probe. Returns (id_a, id_b, cosine) with id_a < id_b, where `tau`
+    * gates the EXACT cosine (a pair at 0.3499996 with tau 0.35 is out)
+    * and round-6 applies only to the returned `cosine` column —
+    * exactly the batch-touching subset of what
     * [[Dedup.semanticDedup]]'s tau-ball rule sees over (corpus ∪
     * batch) under the pinned quantizer.
     *

@@ -80,11 +80,16 @@ object Csv {
         from_csv(col("raw_line"), full, opts).as("j"))
     // three quarantine signals: a NULL struct (never produced by
     // from_csv in practice, kept for parity), a corrupt capture (type
-    // mismatch / shredded quoting / wrong column count), and a blank
-    // line — from_csv parses "" as a one-empty-token record (first
-    // field null or empty, rest null), which is not a record at all.
+    // mismatch / shredded quoting / wrong column count), and a truly
+    // EMPTY line — from_csv parses "" as a one-empty-token record
+    // (first field null or empty, rest null), which is not a record at
+    // all. Whitespace-only lines are NOT blanks: for a single-string
+    // -column schema they are a legitimate row whose value is that
+    // whitespace ([[write]] emits it verbatim — ignore*WhiteSpace is
+    // off); under wider schemas the token-count mismatch quarantines
+    // them through the corrupt capture anyway.
     // getField, not col("j.name"): dotted field names are literal
-    val blank = trim(col("raw_line")) === ""
+    val blank = col("raw_line") === ""
     val good = parsed
       .filter(col("j").isNotNull && col("j").getField(Corrupt).isNull && !blank)
       .select(schema.fieldNames.map(f => col("j").getField(f).as(f)).toSeq: _*)
@@ -110,7 +115,7 @@ object Csv {
     lines
       .select(col("raw_line"), from_csv(col("raw_line"), full, opts).as("j"))
       .filter(col("j").isNotNull && col("j").getField(Corrupt).isNull &&
-        trim(col("raw_line")) =!= "" && col("j").getField(field).isNull)
+        col("raw_line") =!= "" && col("j").getField(field).isNull)
       .select(col("raw_line"))
   }
 

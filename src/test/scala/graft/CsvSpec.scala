@@ -54,6 +54,26 @@ class CsvSpec extends SparkSpec {
       "quarantined lines must be verbatim")
   }
 
+  test("whitespace-only value round-trips under a single-string-column schema") {
+    val one = StructType(Seq(StructField("text", StringType)))
+    val df = Seq(Some("   "), Some("a"), None).toDF("text")
+    val dir = freshDir()
+    Csv.write(df, dir)
+    val (good, bad) = Csv.readWithQuarantine(spark, dir, one)
+    assert(bad.isEmpty, "a whitespace-only value is a row, not a blank line")
+    assert(good.as[Option[String]].collect().toSet === Set(Some("   "), Some("a"), None))
+    // under a wider schema the same lone-token line still quarantines
+    // (token-count mismatch -> corrupt capture), and empty lines stay blanks
+    val dir2 = freshDir()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir2))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir2, "w.csv"),
+      scala.jdk.CollectionConverters.SeqHasAsJava(Seq("   ", "", "1,ok,2.0")).asJava)
+    val (g2, b2) = Csv.readWithQuarantine(spark, dir2, schema)
+    assert(g2.count() === 1L)
+    assert(b2.as[String].collect().toSet === Set("   ", ""))
+  }
+
   test("timestamps round-trip at microsecond precision") {
     val ts = StructType(Seq(
       StructField("id", LongType), StructField("t", TimestampType)))
