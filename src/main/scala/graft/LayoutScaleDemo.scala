@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Layout
+
+/** Scale validation for z-order clustering: the measured pruning win
+  * behind `Layout.zOrderWrite`'s claim that "at 100 TB, layout IS the
+  * index" (the reference leans on per-column btrees instead,
+  * `Supabase/knowledge_base-RAG.sql:35-40` — a layout pass is the
+  * columnar analog). Writes the SAME ~10M-row table twice — z-ordered
+  * on (a, b) vs linearly sorted on a (b secondary) — then runs the
+  * same predicates over both and reports, per layout:
+  *
+  *   - row groups / files whose parquet footer stats overlap the
+  *     predicate (a direct audit of every part file's min/max — this
+  *     is exactly what the reader's row-group skip sees, independent
+  *     of cache state or codegen),
+  *   - the measured scan wall (best of 2, fresh plan each run).
+  *
+  * Expected shape: on the lead column alone, linear sort is tightest
+  * (z trades a little lead-column locality); on the OTHER column,
+  * linear reads every row group while z-order still prunes to the
+  * quadtree-block fraction; on the two-column box, z-order wins again.
+  * One-time layout costs are printed alongside — both are one range
+  * shuffle + sorted write. Run manually:
+  * `sbt "runMain graft.LayoutScaleDemo"`.
+  */
+object LayoutScaleDemo {
+
+  /** (rowGroupsMatched, rowGroupsTotal, filesMatched, filesTotal) for
+    * `ranges` (col -> [lo, hi) on int64 stats) under `dir` — a footer
+    * audit over every part file, one small distributed job (cost ∝
+    * files, the Orc.requireUniformFooters shape). */
+  def footerAudit(
+      spark: SparkSession, dir: String,
+      ranges: Seq[(String, Long, Long)]): (Long, Long, Long, Long) = {
+    val files = spark.read.parquet(dir).inputFiles
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val perFile = spark.sparkContext
+      .parallelize(files.toSeq, math.max(1, files.length / 16))
+      .map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f), conf.value)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val blocks = reader.getFooter.getBlocks
+          var matched = 0L; var total = 0L
+          val it = blocks.iterator()
+          while (it.hasNext) {
+            val b = it.next(); total += 1
+            val overlapsAll = ranges.forall { case (name, lo, hi) =>
+              val cit = b.getColumns.iterator()
+              var found: Option[Boolean] = None
+              while (cit.hasNext && found.isEmpty) {
+                val c = cit.next()
+                if (c.getPath.toDotString == name) {
+                  val st = c.getStatistics
+                  found = Some(
+                    st == null || !st.hasNonNullValue ||
+                      (st.genericGetMin.asInstanceOf[java.lang.Long] < hi &&
+                        st.genericGetMax.asInstanceOf[java.lang.Long] >= lo))
+                }
+              }
+              // a column absent from the footer can never be skipped
+              found.getOrElse(true)
+            }
+            if (overlapsAll) matched += 1
+          }
+          (matched, total, if (matched > 0) 1L else 0L, 1L)
+        } finally reader.close()
+      }
+      .collect()
+    perFile.foldLeft((0L, 0L, 0L, 0L)) { case ((a, b, c, d), (w, x, y, z)) =>
+      (a + w, b + x, c + y, d + z)
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val n = sys.env.getOrElse("LAYOUT_SCALE_ROWS", "10000000").toLong
+    val files = 32
+    // several row groups per file so the audit has sub-file granularity
+    // (default 128 MB block = 1 group/file at this size)
+    spark.sparkContext.hadoopConfiguration
+      .setInt("parquet.block.size", 2 * 1024 * 1024)
+    val base = java.nio.file.Files
+      .createTempDirectory("layout_scale").toString
+    val zPath = s"$base/zorder"
+    val lPath = s"$base/linear"
+    val dom = 1000000L
+
+    def time[T](name: String)(f: => T): T = graft.util.Timing.time(name)(f)
+
+    // two independent uniform columns (decorrelated hashes of id) —
+    // the "filtered by two columns, sorted by one" regime the operator
+    // exists for; payload gives files realistic width
+    val df = spark.range(n)
+      .withColumn("a", pmod(xxhash64(col("id")), lit(dom)))
+      .withColumn("b", pmod(xxhash64(col("id"), lit(7)), lit(dom)))
+      .withColumn("payload", concat(md5(col("id").cast("string")),
+        md5(concat(lit("x"), col("id").cast("string"))),
+        md5(concat(lit("y"), col("id").cast("string"))),
+        md5(concat(lit("z"), col("id").cast("string")))))
+
+    time(f"z-order write (a, b) into $files files") {
+      Layout.zOrderWrite(df, Seq("a", "b"), zPath, numFiles = files)
+    }
+    time(f"linear write sort (a, b) into $files files") {
+      df.repartitionByRange(files, col("a").asc_nulls_last)
+        .sortWithinPartitions(col("a").asc_nulls_last, col("b").asc_nulls_last)
+        .write.mode("errorifexists").parquet(lPath)
+    }
+
+    // 10% of the domain per dimension: box = 1% of rows two-col,
+    // ~10% single-col
+    val lo = 450000L; val hi = 550000L
+    val preds: Seq[(String, Seq[(String, Long, Long)])] = Seq(
+      ("a only  [lead column - linear's best case]",
+        Seq(("a", lo, hi))),
+      ("b only  [non-lead - linear cannot prune]",
+        Seq(("b", lo, hi))),
+      ("a AND b [two-column box]",
+        Seq(("a", lo, hi), ("b", lo, hi))))
+
+    def predCol(ranges: Seq[(String, Long, Long)]) =
+      ranges.map { case (c, l, h) => col(c) >= l && col(c) < h }
+        .reduce(_ && _)
+
+    def scanWall(dir: String, ranges: Seq[(String, Long, Long)]): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        // project the wide column too: pruning pays off on the bytes a
+        // real query materializes, not just the filter columns
+        spark.read.parquet(dir).filter(predCol(ranges))
+          .agg(count(lit(1)), sum(col("a") + col("b")),
+            sum(length(col("payload")))).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      math.min(once(), once())
+    }
+
+    var results = Map.empty[String, (Long, Long)]
+    for ((label, ranges) <- preds) {
+      val (zm, zt, zfm, zft) = footerAudit(spark, zPath, ranges)
+      val (lm, lt, lfm, lft) = footerAudit(spark, lPath, ranges)
+      val zw = scanWall(zPath, ranges)
+      val lw = scanWall(lPath, ranges)
+      println(f"$label%-46s z: rowgroups $zm%3d/$zt%3d files $zfm%2d/$zft%2d  ${zw}%6.3f s   " +
+        f"linear: rowgroups $lm%3d/$lt%3d files $lfm%2d/$lft%2d  ${lw}%6.3f s")
+      results += label.takeWhile(_ != ' ') + label.count(_ == 'A') -> (zm, lm)
+      // identical answers on both layouts, or the audit means nothing
+      val za = spark.read.parquet(zPath).filter(predCol(ranges)).count()
+      val la = spark.read.parquet(lPath).filter(predCol(ranges)).count()
+      require(za == la, s"layouts disagree on $label: $za vs $la")
+    }
+    val (zb, lb) = results("b0")
+    require(zb * 3 <= lb,
+      s"z-order must prune the non-lead column >=3x vs linear ($zb vs $lb)")
+    val (zab, lab) = results("a1")
+    require(zab <= lab,
+      s"z-order must not lose the two-column box ($zab vs $lab)")
+    spark.stop()
+  }
+}
