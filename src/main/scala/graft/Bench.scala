@@ -225,6 +225,17 @@ object Bench {
       "0.61-0.70 (vs 0.52 r9), a uniform ~1.2-1.3x host factor with " +
       "warmup_first_sec ~8s vs 4.4s in the same day's faster-state full " +
       "run; no plan change, same code since r8.")
+    println("note: q113_incremental_neardup's r10-watch (1.64->2.00 " +
+      "r9->r10, the suspected CompositeIndex manifest-commit cost) is " +
+      "adjudicated MOSTLY HOST state: an r11 interleaved A/B (3 fresh-" +
+      "context runs per arm, idle host, r9 worktree vs r11 tree) " +
+      "measured r9 code at 2.13/2.13/2.23s and r11 code at " +
+      "2.26/2.19/2.46s — BOTH arms sit at r10's recorded 2.00s level " +
+      "(r9's 1.64 came from a faster machine-day), and the code-" +
+      "attributable delta is ~0.1s, inside the noise band. That ~0.1s " +
+      "is the composite-manifest versioning layer's by-design price at " +
+      "in-query build time; the serving probe is unchanged (7-9s vs " +
+      "41s fresh at 1M docs, DedupIndexScaleDemo).")
     println("note: q128_semantic_admission's cost is ~all IN-QUERY " +
       "SemanticIndex build (the q113/q103 oracle-self-containment " +
       "convention); the amortized serving number is " +
