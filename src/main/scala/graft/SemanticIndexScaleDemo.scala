@@ -24,7 +24,9 @@ import graft.operators.{SemanticIndex, SimilaritySearch}
   * probe + admit wall time, planted recall, and the fresh-recompute
   * wall time with pair-set parity. Run:
   * `sbt "runMain graft.SemanticIndexScaleDemo"`; `SEM_VECS` /
-  * `SEM_BATCH` size corpus/batch, `SEM_PATH` reuses a built index. */
+  * `SEM_BATCH` size corpus/batch, `SEM_PATH` reuses a built index,
+  * `SEM_QUANTIZER=kmeans` trains the quantizer with
+  * [[SemanticIndex.buildKmeans]] instead of latent-label means. */
 object SemanticIndexScaleDemo {
   def main(args: Array[String]): Unit = {
     val spark: SparkSession = SparkSession.builder().master("local[32]")
@@ -75,16 +77,28 @@ object SemanticIndexScaleDemo {
     }
 
     if (reuse.isEmpty) {
-      // the quantizer: latent-label means (one shuffle). An unlabeled
-      // corpus would train kmeansCentroids on a sample instead — a few
-      // hundred vectors per centroid saturates a coarse quantizer.
-      val cents = timed("train quantizer (per-center means, one-time)") {
-        SimilaritySearch.centroids(
-          corpus.withColumn("__c", pmod(col("vec_id"), lit(latent))),
-          "__c", "vec").localCheckpoint(true)
-      }
-      timed(s"build index ($nVecs vectors, one-time)") {
-        SemanticIndex.build(spark, path, corpus, "vec_id", "vec", cents)
+      // SEM_QUANTIZER=kmeans exercises the TRAINED path end-to-end:
+      // SemanticIndex.buildKmeans runs the deterministic k-means
+      // (farthest-point init) over the corpus itself and pins the
+      // result — the unlabeled-corpus entry. Default stays the
+      // latent-label means (one shuffle); everything downstream
+      // (compact, probe, admit, fresh-recompute parity) is identical
+      // under either quantizer, which is the point: the probe
+      // contract does not depend on where the centroids came from.
+      if (sys.env.get("SEM_QUANTIZER").contains("kmeans")) {
+        timed(s"buildKmeans ($nVecs vectors, k=$latent, one-time)") {
+          SemanticIndex.buildKmeans(
+            spark, path, corpus, "vec_id", "vec", k = latent, iters = 5)
+        }
+      } else {
+        val cents = timed("train quantizer (per-center means, one-time)") {
+          SimilaritySearch.centroids(
+            corpus.withColumn("__c", pmod(col("vec_id"), lit(latent))),
+            "__c", "vec").localCheckpoint(true)
+        }
+        timed(s"build index ($nVecs vectors, one-time)") {
+          SemanticIndex.build(spark, path, corpus, "vec_id", "vec", cents)
+        }
       }
       timed("compact (cluster-major locality, one-time)") {
         SemanticIndex.compact(spark, path, numFiles = 64)

@@ -1229,6 +1229,31 @@ object SparkEntry {
       back.orderBy(col("doc_id"))
     }),
 
+    "q130_append_sink" -> ((s, d) => {
+      // S3 (row insert / append sink): two successive mode("append")
+      // parquet writes must ACCUMULATE — the second preserves the
+      // first — exactly the reference's table(...).insert(...) append
+      // semantics (`backend/api/routes/tasks.py:105`,
+      // `backend/services/chat_processor.py:126,214`). Batch twin of
+      // the streaming append spec (q117's read-back-identity
+      // convention): write odd-key orders, append even-key orders,
+      // read back; the oracle is the WHOLE table, so a clobbered or
+      // duplicated batch fails the hash.
+      val orders = T.orders(s, d)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_q130").toString + "/orders_sink"
+      orders.filter(col("o_orderkey") % 2 === 1)
+        .write.mode("append").parquet(dir)
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .write.mode("append").parquet(dir)
+      s.read.schema(orders.schema).parquet(dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("od_us"),
+          col("o_orderpriority"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     "q125_binary_ann" -> ((s, d) =>
       // 1-bit sign quantization: Hamming shortlist over in-scan codes
       // (the persisted-codes path is the same kernel on a 16x smaller
@@ -1983,6 +2008,11 @@ object SparkEntry {
     "q129_orc_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q130_append_sink" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  epoch_us(o_orderdate) AS od_us, o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     // the same double arithmetic as temperatureMix, then the q62 md5
     // membership test against the derived per-stratum threshold; a
