@@ -99,27 +99,34 @@ object GatedIngestScaleDemo {
     def cleanWords(id: Long): IndexedSeq[String] =
       (0 until 5).map(i => word(-1000L - topic(id), i)) ++
         (0 until 15).map(i => word(id, i))
-    def content(id: Long): String = (id % 20) match {
+    // stride = the run's own batch size (NOT the global perBatch):
+    // the cross-batch-dup branch must fire for ANY run size — the
+    // warmup pass included — or its code path warms up on the first
+    // timed config's bill instead
+    def content(id: Long, stride: Int): String = (id % 20) match {
       case 19 => cleanWords(id - 19).mkString(" ")            // exact dup, in-batch
       case 18 => (cleanWords(id - 18) :+ word(id, 99)).mkString(" ") // near-dup
       case 17 => (cleanWords(id - 17).take(17).reverse ++     // semantic plant
         (0 until 3).map(i => word(id, 50 + i))).mkString(" ")
-      case 16 if id - perBatch - 1 >= start =>                // cross-batch dup
-        cleanWords(id - perBatch - 1).mkString(" ")
+      case 16 if id - stride - 1 >= start =>                  // cross-batch dup
+        cleanWords(id - stride - 1).mkString(" ")
       case _ => cleanWords(id).mkString(" ")
     }
     def mkBatch(b: Int, docs: Int, base: Long): Seq[(Long, String)] =
       (0 until docs).map { i =>
-        val id = base + b.toLong * docs + i; (id, content(id))
+        val id = base + b.toLong * docs + i; (id, content(id, docs))
       }
 
     val seedDf = (0L until nSeed).map(id => (id, cleanWords(id).mkString(" ")))
       .toDF("id", "content")
 
     /** Run one configuration end-to-end; returns (total wall over the
-      * timed batches, final KB row count, per-batch walls). */
+      * timed batches, final KB row count); per-batch walls are
+      * printed, not returned. */
     def runConfig(label: String, shingleGate: Boolean,
         semanticGate: Boolean, nDocs: Int, timed: Boolean): (Double, Long) = {
+      require(nDocs % batches == 0 && (nDocs / batches) % 20 == 0,
+        s"nDocs=$nDocs must split into $batches whole-20-block batches")
       val emb = BagEmbedder()
       val g = GraftSession(spark, emb)
       val slug = label.replaceAll("[^A-Za-z0-9]+", "_")

@@ -25,7 +25,9 @@ import graft.operators.Layout
   * quadtree-block fraction; on the two-column box, z-order wins again.
   * One-time layout costs are printed alongside — both are one range
   * shuffle + sorted write. Run manually:
-  * `sbt "runMain graft.LayoutScaleDemo"`.
+  * `sbt "runMain graft.LayoutScaleDemo"` (defaults to 10M rows;
+  * COVERAGE.md's recorded numbers used LAYOUT_SCALE_ROWS=40000000 —
+  * row-group counts scale with rows, the ratios hold at both sizes).
   */
 object LayoutScaleDemo {
 
@@ -97,7 +99,7 @@ object LayoutScaleDemo {
     val lPath = s"$base/linear"
     val dom = 1000000L
 
-    def time[T](name: String)(f: => T): T = graft.util.Timing.time(name)(f)
+    import graft.util.Timing.time
 
     // two independent uniform columns (decorrelated hashes of id) —
     // the "filtered by two columns, sorted by one" regime the operator
@@ -122,12 +124,12 @@ object LayoutScaleDemo {
     // 10% of the domain per dimension: box = 1% of rows two-col,
     // ~10% single-col
     val lo = 450000L; val hi = 550000L
-    val preds: Seq[(String, Seq[(String, Long, Long)])] = Seq(
-      ("a only  [lead column - linear's best case]",
+    val preds: Seq[(String, String, Seq[(String, Long, Long)])] = Seq(
+      ("a-only", "a only  [lead column - linear's best case]",
         Seq(("a", lo, hi))),
-      ("b only  [non-lead - linear cannot prune]",
+      ("b-only", "b only  [non-lead - linear cannot prune]",
         Seq(("b", lo, hi))),
-      ("a AND b [two-column box]",
+      ("box", "a AND b [two-column box]",
         Seq(("a", lo, hi), ("b", lo, hi))))
 
     def predCol(ranges: Seq[(String, Long, Long)]) =
@@ -148,23 +150,23 @@ object LayoutScaleDemo {
     }
 
     var results = Map.empty[String, (Long, Long)]
-    for ((label, ranges) <- preds) {
+    for ((key, label, ranges) <- preds) {
       val (zm, zt, zfm, zft) = footerAudit(spark, zPath, ranges)
       val (lm, lt, lfm, lft) = footerAudit(spark, lPath, ranges)
       val zw = scanWall(zPath, ranges)
       val lw = scanWall(lPath, ranges)
       println(f"$label%-46s z: rowgroups $zm%3d/$zt%3d files $zfm%2d/$zft%2d  ${zw}%6.3f s   " +
         f"linear: rowgroups $lm%3d/$lt%3d files $lfm%2d/$lft%2d  ${lw}%6.3f s")
-      results += label.takeWhile(_ != ' ') + label.count(_ == 'A') -> (zm, lm)
+      results += key -> (zm, lm)
       // identical answers on both layouts, or the audit means nothing
       val za = spark.read.parquet(zPath).filter(predCol(ranges)).count()
       val la = spark.read.parquet(lPath).filter(predCol(ranges)).count()
       require(za == la, s"layouts disagree on $label: $za vs $la")
     }
-    val (zb, lb) = results("b0")
+    val (zb, lb) = results("b-only")
     require(zb * 3 <= lb,
       s"z-order must prune the non-lead column >=3x vs linear ($zb vs $lb)")
-    val (zab, lab) = results("a1")
+    val (zab, lab) = results("box")
     require(zab <= lab,
       s"z-order must not lose the two-column box ($zab vs $lab)")
     spark.stop()
