@@ -99,7 +99,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // that name with the same semantics, and shadowing it would change
     // behavior for SQL users (the builtin accepts non-literal patterns).
     // The codegen'd RegexpCount expression stays on the Scala path
-    // (TextFunctions.tokenCount) where the pattern is precompiled once.
+    // (and defines the oracle semantics the fused TextSignals pass
+    // must match — TextSignalsParitySpec pins the equivalence).
 
     ext.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(tokens) - 64-bit SimHash of a string array"),

@@ -256,11 +256,19 @@ object TextFunctions {
     arr
   }
 
-  /** Count-only token pass — a native [[RegexpCount]] Expression, not
+  /** Count-only token pass — the fused [[TextSignals]] single char
+    * scan (regex-equivalent by TextSignalsParitySpec), not
     * `size(regexp_extract_all(...))`: counting must not materialize a
-    * string array per row. */
+    * string array per row, and at 100 TB the count must not cost a
+    * regex pass either. */
   def tokenCount(c: Column): Column =
-    RegexpExpressions.regexpCount(c, TokenPattern)
+    textSignals(c).getField("n_tokens")
+
+  /** The fused one-pass signal struct (n_tokens, n_punct, n_chars,
+    * stop_hits, lang_hits) — see [[TextSignals]]. Callers combining
+    * several signals should bind THIS once and read fields. */
+  def textSignals(c: Column): Column =
+    ExprBridge.toColumn(TextSignals(ExprBridge.toExpr(c)))
 
   /** Whitespace word split (for shingling / minhash). */
   def words(c: Column): Column = split(trim(c), """\s+""")
@@ -317,65 +325,84 @@ object TextFunctions {
       }
     }
 
-  private val EnStopwords = Seq("the", "a", "an", "of", "and", "to", "in",
-    "is", "it", "that", "for", "on", "with", "as", "at", "by", "this")
+  /** English stopwords — the `(?i)\b(w1|w2|…)\b` regex word table the
+    * fused [[TextSignals]] pass reproduces (stop_hits). */
+  private[graft] val EnStopwords = Seq("the", "a", "an", "of", "and",
+    "to", "in", "is", "it", "that", "for", "on", "with", "as", "at", "by",
+    "this")
 
   /** Ratio of stopword tokens to all tokens (quality signal). */
-  def stopwordRatio(c: Column): Column = {
-    val pat = "(?i)\\b(" + EnStopwords.mkString("|") + ")\\b"
-    val hits = RegexpExpressions.regexpCount(c, pat)
-    val total = tokenCount(c)
-    when(total === 0, lit(0.0)).otherwise(hits.cast("double") / total)
+  def stopwordRatio(c: Column): Column =
+    bindOnce(textSignals(c))(stopwordRatioFromSignals)
+
+  /** [[stopwordRatio]] over an already-bound [[textSignals]] struct. */
+  private[graft] def stopwordRatioFromSignals(ts: Column): Column = {
+    val total = ts.getField("n_tokens")
+    when(total === 0, lit(0.0))
+      .otherwise(ts.getField("stop_hits").cast("double") / total)
   }
 
   /** Punctuation density (quality signal). */
-  def punctRatio(c: Column): Column = {
-    val p = RegexpExpressions.regexpCount(c, "[^A-Za-z0-9\\s]")
-    when(length(c) === 0, lit(0.0)).otherwise(p.cast("double") / length(c))
-  }
+  def punctRatio(c: Column): Column =
+    bindOnce(textSignals(c))(punctRatioFromSignals)
+
+  /** [[punctRatio]] over an already-bound [[textSignals]] struct. */
+  private[graft] def punctRatioFromSignals(ts: Column): Column =
+    when(ts.getField("n_chars") === 0, lit(0.0))
+      .otherwise(ts.getField("n_punct").cast("double") / ts.getField("n_chars"))
 
   /** Composite quality score in [0,1]: length, stopword and punctuation
     * signals (reference's quality tool is mocked, `data_tools.py:58-110`;
-    * this is the real implementation the mock stands in for). */
-  def qualityScore(c: Column): Column = {
-    val lenScore = least(length(c).cast("double") / 500.0, lit(1.0))
-    val stopScore = least(stopwordRatio(c) * 4.0, lit(1.0))
-    val punctPenalty = greatest(lit(1.0) - punctRatio(c) * 5.0, lit(0.0))
-    round((lenScore + stopScore + punctPenalty) / 3.0, 6)
-  }
+    * this is the real implementation the mock stands in for). One fused
+    * pass: all three signals read the same bound [[textSignals]]. */
+  def qualityScore(c: Column): Column =
+    bindOnce(textSignals(c)) { ts =>
+      val lenScore =
+        least(ts.getField("n_chars").cast("double") / 500.0, lit(1.0))
+      val stopScore = least(stopwordRatioFromSignals(ts) * 4.0, lit(1.0))
+      val punctPenalty =
+        greatest(lit(1.0) - punctRatioFromSignals(ts) * 5.0, lit(0.0))
+      round((lenScore + stopScore + punctPenalty) / 3.0, 6)
+    }
 
   /** Tiny n-gram/stopword language-ID heuristic over a fixed set of
     * languages; returns the best-scoring language code or "und". */
+  /** The per-language marker word tables — the `(?i)\b(w1|…)\b` regex
+    * forms the fused [[TextSignals]] pass reproduces (lang_hits, in
+    * this order). */
+  private[graft] val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "that", "with"),
+    "es" -> Seq("el", "la", "los", "las", "que", "para"),
+    "de" -> Seq("der", "die", "das", "und", "nicht", "mit"),
+    "fr" -> Seq("le", "la", "les", "des", "est", "dans"),
+    "it" -> Seq("il", "la", "che", "per", "con", "sono")
+  )
+
   def langIdHeuristic(c: Column): Column = {
-    val markers: Seq[(String, Seq[String])] = Seq(
-      "en" -> Seq("the", "and", "of", "to", "is", "that", "with"),
-      "es" -> Seq("el", "la", "los", "las", "que", "para"),
-      "de" -> Seq("der", "die", "das", "und", "nicht", "mit"),
-      "fr" -> Seq("le", "la", "les", "des", "est", "dans"),
-      "it" -> Seq("il", "la", "che", "per", "con", "sono")
-    )
-    // The regex scores are bound ONCE into an array and the CASE reads
-    // array elements: a fold that nests the accumulator duplicates every
-    // regex subtree 2x per level (32x at 5 languages) — codegen's
-    // subexpression elimination hides that in a small projection, but a
-    // wide projection (e.g. Curation's combined annotate) falls back and
-    // pays it for real (measured: 2.5 s -> 0.4 s at sf0.1).
-    val scoreArr = array(markers.map { case (_, ws) =>
-      val pat = "(?i)\\b(" + ws.mkString("|") + ")\\b"
-      RegexpExpressions.regexpCount(c, pat)
-    }: _*)
-    val chain = bindOnce(scoreArr) { s =>
-      val sc = markers.indices.map(i => element_at(s, i + 1))
-      val best = sc.reduce((a, b) => greatest(a, b))
-      markers.zipWithIndex.dropRight(1)
-        .foldLeft(when(best <= 0, lit("und"))) {
-          case (acc, ((lang, _), i)) => acc.when(sc(i) === best, lit(lang))
-        }.otherwise(lit(markers.last._1))
-    }
+    // scores come from the ONE fused pass; the CASE chain reads array
+    // elements from a single bound value — a fold nesting the
+    // accumulator would duplicate the score subtree 2x per level
+    // (32x at 5 languages) in a non-CSE'd wide projection
+    val chain = langFromScores(textSignals(c).getField("lang_hits"))
     // null text must stay null: with a null input every CASE condition is
     // null so the chain would fall through to the final otherwise ('it')
     when(c.isNull, lit(null: String)).otherwise(chain)
   }
+
+  /** The language decision CASE over a lang_hits array (in
+    * [[LangMarkers]] order): best score wins, first language in table
+    * order on ties, "und" when nothing scores. Shared by
+    * [[langIdHeuristic]] and callers that already hold a bound
+    * [[textSignals]] struct (Curation's one-pass annotate). */
+  private[graft] def langFromScores(scoreArr: Column): Column =
+    bindOnce(scoreArr) { s =>
+      val sc = LangMarkers.indices.map(i => element_at(s, i + 1))
+      val best = sc.reduce((a, b) => greatest(a, b))
+      LangMarkers.zipWithIndex.dropRight(1)
+        .foldLeft(when(best <= 0, lit("und"))) {
+          case (acc, ((lang, _), i)) => acc.when(sc(i) === best, lit(lang))
+        }.otherwise(lit(LangMarkers.last._1))
+    }
 
   /** Order-sensitive 64-bit document fingerprint over tokens: the
     * md5-prefix of the space-joined token sequence (tokens cannot

@@ -1,0 +1,169 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** ONE character pass computing every signal the text-quality
+  * annotate family needs — the fusion of what was previously up to 13
+  * regex passes per document (token count, punctuation count,
+  * 5-language marker hits, stopword hits): at 100 TB the curation
+  * annotate scan is the single most expensive text stage (measured
+  * 4.2 s of q70's 5.7 s at sf1), and each regex alternation pass
+  * re-reads every byte.
+  *
+  * Semantics are DEFINED BY the regex forms and pinned by
+  * TextSignalsParitySpec — each count must equal its regex twin
+  * bit-for-bit, because the DuckDB oracles re-derive them with the
+  * regexes:
+  *
+  *  - `n_tokens` = regexp_count(text, `[A-Za-z0-9]+|[^A-Za-z0-9\s]`)
+  *    — ASCII-alnum runs plus one per non-alnum-non-space code point
+  *    (the BPE-ish [[TextFunctions.TokenPattern]]).
+  *  - `n_punct` = regexp_count(text, `[^A-Za-z0-9\s]`), where `\s` is
+  *    Java's default ASCII class `[ \t\n\x0B\f\r]` (NBSP etc. COUNT
+  *    as punctuation, exactly as the regex does).
+  *  - `n_chars` = length(text) (code points, Spark's `length`).
+  *  - `stop_hits` / `lang_hits[i]` = regexp_count(text,
+  *    `(?i)\b(w1|w2|…)\b`) per word table. Java's DEFAULT `\b` is
+  *    UNICODE-aware even though `\w` is not (Pattern's Bound node
+  *    tests `Character.isLetterOrDigit(cp) || cp == '_'`): `äthe` is
+  *    ONE word run, so `the` inside it does not match — the parity
+  *    spec caught exactly this. A match must span an entire maximal
+  *    word-char run, so a run equals a marker (ASCII
+  *    case-insensitive) or contributes nothing; `x_the`, `the2`,
+  *    `theory`, `äthe` all miss, exactly as the regex misses them.
+  *
+  * Code-point iteration (surrogate pairs are ONE code point, as in
+  * Java regex character classes). Null text → null struct. The word
+  * tables live in [[TextFunctions.LangMarkers]] /
+  * [[TextFunctions.EnStopwords]] — one definition shared with the
+  * documentation of the regex forms. */
+case class TextSignals(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = TextSignals.Schema
+  override def prettyName: String = "text_signals"
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects a string column, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(s: Any): Any =
+    profile(s.asInstanceOf[UTF8String])
+
+  /** The single pass; public so generated code can call it through the
+    * expression reference (the NearestCentroid pattern — runtime loop,
+    * k-independent generated code, stays inside whole-stage codegen). */
+  def profile(u: UTF8String): InternalRow = {
+    val str = u.toString
+    val n = str.length
+    var i = 0
+    var alnumRuns = 0; var nPunct = 0; var nChars = 0; var stopHits = 0
+    val lang = new Array[Int](TextSignals.NumLangs)
+    var inTok = false
+    // \b word-run accumulator: lowercased ASCII letters only; a digit
+    // or '_' in the run (or overlength) disqualifies it as a marker
+    // but still extends the run (no boundary inside)
+    val buf = new java.lang.StringBuilder(TextSignals.MaxWordLen + 1)
+    var inWord = false; var wordOk = true
+
+    def endWord(): Unit = {
+      if (inWord && wordOk && buf.length > 0) {
+        val mask = TextSignals.WordMask.get(buf.toString)
+        if (mask != null) {
+          val m = mask.intValue()
+          var l = 0
+          while (l < TextSignals.NumLangs) {
+            if ((m & (1 << l)) != 0) lang(l) += 1
+            l += 1
+          }
+          if ((m & TextSignals.StopBit) != 0) stopHits += 1
+        }
+      }
+      inWord = false; wordOk = true; buf.setLength(0)
+    }
+
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      val isAl = (cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z') ||
+        (cp >= '0' && cp <= '9')
+      val isSp = cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B ||
+        cp == '\f' || cp == '\r'
+      nChars += 1
+      if (isAl) {
+        if (!inTok) { alnumRuns += 1; inTok = true }
+      } else {
+        inTok = false
+        if (!isSp) nPunct += 1
+      }
+      // Java default \b word chars: Unicode letters/digits plus '_'
+      if (cp == '_' || Character.isLetterOrDigit(cp)) {
+        inWord = true
+        if (cp >= 'A' && cp <= 'Z') {
+          if (buf.length >= TextSignals.MaxWordLen) wordOk = false
+          else buf.append((cp + 32).toChar)
+        } else if (cp >= 'a' && cp <= 'z') {
+          if (buf.length >= TextSignals.MaxWordLen) wordOk = false
+          else buf.append(cp.toChar)
+        } else wordOk = false // digit, '_', non-ASCII letter: not a marker
+      } else endWord()
+      i += Character.charCount(cp)
+    }
+    endWord()
+
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](alnumRuns + nPunct, nPunct, nChars, stopHits,
+        new GenericArrayData(lang.map(x => x: Any))))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("textSignals", this, classOf[TextSignals].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.profile($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TextSignals {
+  val NumLangs: Int = TextFunctions.LangMarkers.size
+  val StopBit: Int = 1 << NumLangs
+
+  val Schema: StructType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_punct", IntegerType, nullable = false),
+    StructField("n_chars", IntegerType, nullable = false),
+    StructField("stop_hits", IntegerType, nullable = false),
+    StructField("lang_hits", ArrayType(IntegerType, containsNull = false),
+      nullable = false)))
+
+  /** word → bitmask (bit i = language i marker, StopBit = stopword);
+    * words appearing in several tables OR their bits ("la" is an es
+    * AND fr marker; "the" is an en marker AND a stopword). */
+  val WordMask: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    def add(w: String, bit: Int): Unit = {
+      val prev = m.get(w)
+      m.put(w, Integer.valueOf(if (prev == null) bit else prev.intValue() | bit))
+    }
+    TextFunctions.LangMarkers.zipWithIndex.foreach { case ((_, ws), i) =>
+      ws.foreach(add(_, 1 << i))
+    }
+    TextFunctions.EnStopwords.foreach(add(_, StopBit))
+    m
+  }
+
+  val MaxWordLen: Int = {
+    val all = TextFunctions.LangMarkers.flatMap(_._2) ++ TextFunctions.EnStopwords
+    all.map(_.length).max
+  }
+}

@@ -43,11 +43,19 @@ object Curation {
     * curation asks "is this good training data?", and contentless is a
     * definitive no.) */
   def curate(df: DataFrame, idCol: String, textCol: String, cfg: Config): DataFrame = {
-    val annotated = df.filter(col(textCol).isNotNull).select(
-      col(idCol), col(textCol),
-      TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"),
-      TextFunctions.punctRatio(col(textCol)).as("punct_ratio"),
-      TextFunctions.langIdHeuristic(col(textCol)).as("lang_pred"))
+    // ONE fused text pass for all three signals (TextSignals), bound
+    // as its own projection: CollapseProject keeps the multi-use __ts
+    // alias un-inlined, so the scan stays single-pass even where a
+    // wide projection would defeat codegen subexpression elimination
+    val annotated = df.filter(col(textCol).isNotNull)
+      .select(col(idCol), col(textCol),
+        TextFunctions.textSignals(col(textCol)).as("__ts"))
+      .select(
+        col(idCol), col(textCol),
+        col("__ts").getField("n_tokens").cast("long").as("n_tokens"),
+        TextFunctions.punctRatioFromSignals(col("__ts")).as("punct_ratio"),
+        TextFunctions.langFromScores(col("__ts").getField("lang_hits"))
+          .as("lang_pred"))
     val filtered = cfg.lang.foldLeft(
       annotated.filter(
         col("n_tokens") >= cfg.minTokens && col("n_tokens") <= cfg.maxTokens &&

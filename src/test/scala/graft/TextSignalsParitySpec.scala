@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.{RegexpExpressions, TextFunctions => TF}
+
+/** The fused [[graft.functions.TextSignals]] one-pass scan is DEFINED
+  * as regex-equivalent — every DuckDB oracle re-derives the counts
+  * with the regex forms, so a single divergence anywhere (surrogate
+  * pairs, NBSP, underscores, `\b` at digit edges, case folding) goes
+  * oracle-red. This spec pins each fused field against its regex twin
+  * on an adversarial fixed table AND on generated strings, batched
+  * into one DataFrame per property (the PropertySpec convention). */
+class TextSignalsParitySpec extends SparkSpec {
+  import spark.implicits._
+
+  // the regex twins, exactly as TextFunctions computed them before the
+  // fusion (the oracle-side definitions)
+  private def regexTokenCount(c: org.apache.spark.sql.Column) =
+    RegexpExpressions.regexpCount(c, TF.TokenPattern)
+  private def regexPunct(c: org.apache.spark.sql.Column) =
+    RegexpExpressions.regexpCount(c, "[^A-Za-z0-9\\s]")
+  private def regexStop(c: org.apache.spark.sql.Column) =
+    RegexpExpressions.regexpCount(
+      c, "(?i)\\b(" + TF.EnStopwords.mkString("|") + ")\\b")
+  private def regexLang(c: org.apache.spark.sql.Column, i: Int) =
+    RegexpExpressions.regexpCount(
+      c, "(?i)\\b(" + TF.LangMarkers(i)._2.mkString("|") + ")\\b")
+
+  private val edges = Seq(
+    null, "", " ", "   ", "\t\n\f\r", "the", "THE", "tHe",
+    "the and of to is that with", "x_the the_x _the the_ the2 2the",
+    "theory andover la-la la.la la", "el la los las que para",
+    "der die das und nicht mit", "le la les des est dans",
+    "il la che per con sono", "a an the", "a-a-a", "a,a;a",
+    " the ", "äthe덿", "🙂the🙂 🙂", "the🙂and",
+    "naïve café señor", "123 456 a1b2", "__ _a_ b_c",
+    "the.and,of;to:is!that?with", "Σthe Σand", "la", "LA-la_La la",
+    "multi\nline\nthe\nand", "punct!!!###...…",
+    "ends with the", "the starts", "that that that that")
+
+  private def assertParity(texts: Seq[String]): Unit = {
+    val df = texts.toDF("t")
+    val rows = df.select(
+      col("t"),
+      TF.textSignals(col("t")).as("ts"),
+      regexTokenCount(col("t")).as("rt"),
+      regexPunct(col("t")).as("rp"),
+      length(col("t")).as("rc"),
+      regexStop(col("t")).as("rs"),
+      array(TF.LangMarkers.indices.map(i => regexLang(col("t"), i)): _*).as("rl"))
+      .collect()
+    rows.foreach { r =>
+      val t = r.getString(0)
+      if (t == null) assert(r.isNullAt(1), "null text must yield null struct")
+      else {
+        val ts = r.getStruct(1)
+        assert(ts.getInt(0) === r.getInt(2), s"n_tokens for <$t>")
+        assert(ts.getInt(1) === r.getInt(3), s"n_punct for <$t>")
+        assert(ts.getInt(2) === r.getInt(4), s"n_chars for <$t>")
+        assert(ts.getInt(3) === r.getInt(5), s"stop_hits for <$t>")
+        assert(ts.getSeq[Int](4) === r.getSeq[Int](6), s"lang_hits for <$t>")
+      }
+    }
+    assert(rows.length === texts.length)
+  }
+
+  test("fused signals == regex twins on the adversarial edge table") {
+    assertParity(edges)
+  }
+
+  test("fused signals == regex twins on generated strings") {
+    // atoms mix marker words, word chars, digits, '_', ASCII and
+    // unicode punctuation, every \s char, NBSP, and astral code points
+    val atoms = Gen.oneOf(
+      Gen.oneOf(TF.EnStopwords), Gen.oneOf(TF.LangMarkers.flatMap(_._2)),
+      Gen.oneOf("a", "Z", "0", "9", "_", " ", "\t", "\n", "", "\f",
+        "\r", ".", ",", "-", "…", " ", "é", "中", "🙂", "theory",
+        "x2", "Σ", ""))
+    val gen = Gen.listOf(atoms).map(_.mkString)
+    val samples = (0 until 400).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(42L + i)))
+    assertParity(samples)
+  }
+
+  test("derived ratios and lang decision survive the rewire, incl. nulls") {
+    val df = edges.toDF("t")
+    val rows = df.select(
+      col("t"),
+      TF.punctRatio(col("t")).as("pr"),
+      when(length(col("t")) === 0, lit(0.0))
+        .otherwise(regexPunct(col("t")).cast("double") / length(col("t"))).as("prx"),
+      TF.stopwordRatio(col("t")).as("sr"),
+      when(regexTokenCount(col("t")) === 0, lit(0.0))
+        .otherwise(regexStop(col("t")).cast("double") / regexTokenCount(col("t"))).as("srx"),
+      TF.langIdHeuristic(col("t")).as("lang")).collect()
+    rows.foreach { r =>
+      assert(Option(r.get(1)) === Option(r.get(2)), s"punctRatio for <${r.get(0)}>")
+      assert(Option(r.get(3)) === Option(r.get(4)), s"stopwordRatio for <${r.get(0)}>")
+    }
+    val byText = rows.map(r => Option(r.getString(0)).getOrElse(" null") ->
+      Option(r.getString(5)).orNull).toMap
+    assert(byText("the and of to is that with") === "en")
+    assert(byText("el la los las que para") === "es")
+    assert(byText("der die das und nicht mit") === "de")
+    assert(byText("le la les des est dans") === "fr")
+    assert(byText("il la che per con sono") === "it")
+    assert(byText("punct!!!###...…") === "und")
+    assert(byText(" null") === null)
+  }
+}
