@@ -41,11 +41,14 @@ object ProfileSf1Tail {
       t("q70 a: bare documents scan (text bytes)") {
         docs.select(count(col("text"))).head().getLong(0)
       }
-      t("q70 b: + annotate (tokenCount/punctRatio/langId)") {
-        docs.filter(col("text").isNotNull).select(
-          TF.tokenCount(col("text")).cast("long").as("n_tokens"),
-          TF.punctRatio(col("text")).as("punct_ratio"),
-          TF.langIdHeuristic(col("text")).as("lang_pred"))
+      t("q70 b: + annotate (fused TextSignals pass)") {
+        // the exact shape Curation.curate uses: one bound signal struct
+        docs.filter(col("text").isNotNull)
+          .select(TF.textSignals(col("text")).as("__ts"))
+          .select(
+            col("__ts").getField("n_tokens").cast("long").as("n_tokens"),
+            TF.punctRatioFromSignals(col("__ts")).as("punct_ratio"),
+            TF.langFromScores(col("__ts").getField("lang_hits")).as("lang_pred"))
           .filter(col("n_tokens") >= 20 && col("n_tokens") <= 1000 &&
             col("punct_ratio") <= 0.1 && col("lang_pred") === "en")
           .count()

@@ -184,9 +184,13 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
 
     "q22_quality" -> ((s, d) =>
-      T.documents(s, d).select(col("doc_id"),
-          round(TF.punctRatio(col("text")), 6).as("punct_ratio"),
-          round(TF.stopwordRatio(col("text")), 6).as("stopword_ratio"))
+      // ONE fused text pass for both ratios (the Curation.curate
+      // convention: bind the signal struct in its own projection)
+      T.documents(s, d)
+        .select(col("doc_id"), TF.textSignals(col("text")).as("__ts"))
+        .select(col("doc_id"),
+          round(TF.punctRatioFromSignals(col("__ts")), 6).as("punct_ratio"),
+          round(TF.stopwordRatioFromSignals(col("__ts")), 6).as("stopword_ratio"))
         .orderBy(col("doc_id"))),
 
     "q23_lang_source_count" -> ((s, d) =>

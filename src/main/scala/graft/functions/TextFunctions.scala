@@ -365,8 +365,6 @@ object TextFunctions {
       round((lenScore + stopScore + punctPenalty) / 3.0, 6)
     }
 
-  /** Tiny n-gram/stopword language-ID heuristic over a fixed set of
-    * languages; returns the best-scoring language code or "und". */
   /** The per-language marker word tables — the `(?i)\b(w1|…)\b` regex
     * forms the fused [[TextSignals]] pass reproduces (lang_hits, in
     * this order). */
@@ -378,6 +376,8 @@ object TextFunctions {
     "it" -> Seq("il", "la", "che", "per", "con", "sono")
   )
 
+  /** Tiny n-gram/stopword language-ID heuristic over a fixed set of
+    * languages; returns the best-scoring language code or "und". */
   def langIdHeuristic(c: Column): Column = {
     // scores come from the ONE fused pass; the CASE chain reads array
     // elements from a single bound value — a fold nesting the

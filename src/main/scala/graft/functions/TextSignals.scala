@@ -64,9 +64,12 @@ case class TextSignals(child: Expression) extends UnaryExpression {
     * expression reference (the NearestCentroid pattern — runtime loop,
     * k-independent generated code, stays inside whole-stage codegen). */
   def profile(u: UTF8String): InternalRow = {
-    val str = u.toString
-    val n = str.length
-    var i = 0
+    // decode UTF-8 in place — u.toString would copy the whole document
+    // to UTF-16 first, a second pass + per-row allocation on the
+    // hottest scan in the engine. Sequence count == UTF8String
+    // .numChars == Spark length(), so n_chars semantics are unchanged.
+    val nb = u.numBytes()
+    var off = 0
     var alnumRuns = 0; var nPunct = 0; var nChars = 0; var stopHits = 0
     val lang = new Array[Int](TextSignals.NumLangs)
     var inTok = false
@@ -92,8 +95,23 @@ case class TextSignals(child: Expression) extends UnaryExpression {
       inWord = false; wordOk = true; buf.setLength(0)
     }
 
-    while (i < n) {
-      val cp = str.codePointAt(i)
+    while (off < nb) {
+      val b0 = u.getByte(off)
+      var cp: Int = 0
+      var len = 1
+      if (b0 >= 0) cp = b0
+      else if ((b0 & 0xE0) == 0xC0 && off + 1 < nb) {
+        len = 2
+        cp = ((b0 & 0x1F) << 6) | (u.getByte(off + 1) & 0x3F)
+      } else if ((b0 & 0xF0) == 0xE0 && off + 2 < nb) {
+        len = 3
+        cp = ((b0 & 0x0F) << 12) | ((u.getByte(off + 1) & 0x3F) << 6) |
+          (u.getByte(off + 2) & 0x3F)
+      } else if ((b0 & 0xF8) == 0xF0 && off + 3 < nb) {
+        len = 4
+        cp = ((b0 & 0x07) << 18) | ((u.getByte(off + 1) & 0x3F) << 12) |
+          ((u.getByte(off + 2) & 0x3F) << 6) | (u.getByte(off + 3) & 0x3F)
+      } else cp = 0xFFFD // truncated/invalid lead byte: defensive, 1 byte
       val isAl = (cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z') ||
         (cp >= '0' && cp <= '9')
       val isSp = cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B ||
@@ -116,7 +134,7 @@ case class TextSignals(child: Expression) extends UnaryExpression {
           else buf.append(cp.toChar)
         } else wordOk = false // digit, '_', non-ASCII letter: not a marker
       } else endWord()
-      i += Character.charCount(cp)
+      off += len
     }
     endWord()
 
