@@ -26,7 +26,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - `n_punct` = regexp_count(text, `[^A-Za-z0-9\s]`), where `\s` is
   *    Java's default ASCII class `[ \t\n\x0B\f\r]` (NBSP etc. COUNT
   *    as punctuation, exactly as the regex does).
-  *  - `n_chars` = length(text) (code points, Spark's `length`).
+  *  - `n_chars` = length(text) (code points, Spark's `length`) on
+  *    valid UTF-8; on malformed bytes it counts what Java's REPLACE
+  *    decode yields (one U+FFFD per maximal malformed subsequence —
+  *    what the regex twins see via toString), like the string path
+  *    always did.
   *  - `stop_hits` / `lang_hits[i]` = regexp_count(text,
   *    `(?i)\b(w1|w2|…)\b`) per word table. Java's DEFAULT `\b` is
   *    UNICODE-aware even though `\w` is not (Pattern's Bound node
@@ -66,8 +70,13 @@ case class TextSignals(child: Expression) extends UnaryExpression {
   def profile(u: UTF8String): InternalRow = {
     // decode UTF-8 in place — u.toString would copy the whole document
     // to UTF-16 first, a second pass + per-row allocation on the
-    // hottest scan in the engine. Sequence count == UTF8String
-    // .numChars == Spark length(), so n_chars semantics are unchanged.
+    // hottest scan in the engine. The decode replicates Java's REPLACE
+    // semantics exactly (one U+FFFD per maximal malformed subsequence,
+    // JDK second-byte range checks incl. overlong/surrogate/>U+10FFFF
+    // rejection), because the regex twins that DEFINE these counts see
+    // the toString-decoded text — TextSignalsParitySpec fuzzes raw
+    // byte arrays against a string-path reference to pin this. On
+    // valid UTF-8 the sequence count also equals Spark length().
     val nb = u.numBytes()
     var off = 0
     var alnumRuns = 0; var nPunct = 0; var nChars = 0; var stopHits = 0
@@ -78,6 +87,10 @@ case class TextSignals(child: Expression) extends UnaryExpression {
     // but still extends the run (no boundary inside)
     val buf = new java.lang.StringBuilder(TextSignals.MaxWordLen + 1)
     var inWord = false; var wordOk = true
+    // Java Bound's combining-mark rule: a NON_SPACING_MARK whose
+    // nearest preceding non-mark is a letter/digit (NOT '_') is
+    // word-ish — it EXTENDS the \b run (Pattern.hasBaseCharacter)
+    var baseLD = false
 
     def endWord(): Unit = {
       if (inWord && wordOk && buf.length > 0) {
@@ -95,23 +108,57 @@ case class TextSignals(child: Expression) extends UnaryExpression {
       inWord = false; wordOk = true; buf.setLength(0)
     }
 
+    // JDK-17 java.lang.String UTF-8 REPLACE decode, transcribed (the
+    // String decoder, NOT CharsetDecoder — they disagree on malformed
+    // consumption lengths; toString uses the former). The byte-fuzz
+    // parity test arbitrates every branch against new String(bytes).
+    def notCont(i: Int): Boolean = (u.getByte(i) & 0xC0) != 0x80
     while (off < nb) {
-      val b0 = u.getByte(off)
-      var cp: Int = 0
+      val b0s = u.getByte(off)
+      val b0 = b0s & 0xFF
+      var cp: Int = 0xFFFD
       var len = 1
-      if (b0 >= 0) cp = b0
-      else if ((b0 & 0xE0) == 0xC0 && off + 1 < nb) {
-        len = 2
-        cp = ((b0 & 0x1F) << 6) | (u.getByte(off + 1) & 0x3F)
-      } else if ((b0 & 0xF0) == 0xE0 && off + 2 < nb) {
-        len = 3
-        cp = ((b0 & 0x0F) << 12) | ((u.getByte(off + 1) & 0x3F) << 6) |
-          (u.getByte(off + 2) & 0x3F)
-      } else if ((b0 & 0xF8) == 0xF0 && off + 3 < nb) {
-        len = 4
-        cp = ((b0 & 0x07) << 18) | ((u.getByte(off + 1) & 0x3F) << 12) |
-          ((u.getByte(off + 2) & 0x3F) << 6) | (u.getByte(off + 3) & 0x3F)
-      } else cp = 0xFFFD // truncated/invalid lead byte: defensive, 1 byte
+      if (b0s >= 0) cp = b0
+      else if ((b0s >> 5) == -2 && (b0s & 0x1E) != 0) { // lead C2..DF
+        if (off + 1 < nb && !notCont(off + 1)) {
+          cp = ((b0 & 0x1F) << 6) | (u.getByte(off + 1) & 0x3F); len = 2
+        } // else: FFFD consuming only the lead
+      } else if ((b0s >> 4) == -2) { // lead E0..EF
+        def overlong3(b2: Int): Boolean = b0 == 0xE0 && (b2 & 0xE0) == 0x80
+        if (off + 2 < nb) {
+          val b2 = u.getByte(off + 1) & 0xFF
+          if (overlong3(b2) || notCont(off + 1) || notCont(off + 2)) {
+            len = if (overlong3(b2) || notCont(off + 1)) 1 else 2
+          } else {
+            val c = ((b0 & 0x0F) << 12) | ((b2 & 0x3F) << 6) |
+              (u.getByte(off + 2) & 0x3F)
+            len = 3
+            if (c < 0xD800 || c > 0xDFFF) cp = c // surrogate: FFFD, 3 bytes
+          }
+        } else if (off + 1 < nb &&
+            (overlong3(u.getByte(off + 1) & 0xFF) || notCont(off + 1))) {
+          len = 1
+        } else len = nb - off // truncated valid prefix: ONE FFFD for the rest
+      } else if ((b0s >> 3) == -2) { // lead F0..F7
+        def bad2(b2: Int): Boolean =
+          (b0 == 0xF0 && (b2 < 0x90 || b2 > 0xBF)) ||
+            (b0 == 0xF4 && (b2 & 0xF0) != 0x80) || (b2 & 0xC0) != 0x80
+        if (off + 3 < nb) {
+          val b2 = u.getByte(off + 1) & 0xFF
+          val uc = ((b0 & 0x07) << 18) | ((b2 & 0x3F) << 12) |
+            ((u.getByte(off + 2) & 0x3F) << 6) | (u.getByte(off + 3) & 0x3F)
+          if (notCont(off + 1) || notCont(off + 2) || notCont(off + 3) ||
+              uc < 0x10000 || uc > 0x10FFFF) {
+            len = if (b0 > 0xF4 || bad2(b2)) 1
+              else if (notCont(off + 2)) 2 else 3
+          } else { cp = uc; len = 4 }
+        } else { // truncated
+          if (b0 > 0xF4 ||
+              (off + 1 < nb && bad2(u.getByte(off + 1) & 0xFF))) len = 1
+          else if (off + 2 < nb && notCont(off + 2)) len = 2
+          else len = nb - off // ONE FFFD for the remaining valid prefix
+        }
+      } // else: lone continuation byte or F8..FF — FFFD, 1 byte
       val isAl = (cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z') ||
         (cp >= '0' && cp <= '9')
       val isSp = cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B ||
@@ -123,9 +170,12 @@ case class TextSignals(child: Expression) extends UnaryExpression {
         inTok = false
         if (!isSp) nPunct += 1
       }
-      // Java default \b word chars: Unicode letters/digits plus '_'
-      if (cp == '_' || Character.isLetterOrDigit(cp)) {
+      // Java default \b word chars: Unicode letters/digits plus '_',
+      // and non-spacing marks riding a letter/digit base
+      val isLD = Character.isLetterOrDigit(cp)
+      if (cp == '_' || isLD) {
         inWord = true
+        baseLD = isLD
         if (cp >= 'A' && cp <= 'Z') {
           if (buf.length >= TextSignals.MaxWordLen) wordOk = false
           else buf.append((cp + 32).toChar)
@@ -133,7 +183,10 @@ case class TextSignals(child: Expression) extends UnaryExpression {
           if (buf.length >= TextSignals.MaxWordLen) wordOk = false
           else buf.append(cp.toChar)
         } else wordOk = false // digit, '_', non-ASCII letter: not a marker
-      } else endWord()
+      } else if (baseLD && cp >= 0x0300 &&
+          Character.getType(cp) == Character.NON_SPACING_MARK) {
+        wordOk = false // mark extends the run; run can't equal a marker
+      } else { endWord(); baseLD = false }
       off += len
     }
     endWord()

@@ -39,7 +39,12 @@ class TextSignalsParitySpec extends SparkSpec {
     "naïve café señor", "123 456 a1b2", "__ _a_ b_c",
     "the.and,of;to:is!that?with", "Σthe Σand", "la", "LA-la_La la",
     "multi\nline\nthe\nand", "punct!!!###...…",
-    "ends with the", "the starts", "that that that that")
+    "ends with the", "the starts", "that that that that",
+    // Java Bound's combining-mark rule: a non-spacing mark with a
+    // letter/digit base EXTENDS the \b run ("d́a" is one run, no
+    // standalone 'a'); after '_' or at start it does not
+    "d́a", "thé", "án", "_́a", "́a",
+    "d́́a the", "9́a", "la̮ la")
 
   private def assertParity(texts: Seq[String]): Unit = {
     val df = texts.toDF("t")
@@ -78,11 +83,80 @@ class TextSignalsParitySpec extends SparkSpec {
       Gen.oneOf(TF.EnStopwords), Gen.oneOf(TF.LangMarkers.flatMap(_._2)),
       Gen.oneOf("a", "Z", "0", "9", "_", " ", "\t", "\n", "", "\f",
         "\r", ".", ",", "-", "…", " ", "é", "中", "🙂", "theory",
-        "x2", "Σ", ""))
+        "x2", "Σ", "́", "̮", ""))
     val gen = Gen.listOf(atoms).map(_.mkString)
     val samples = (0 until 400).flatMap(i =>
       gen.apply(Gen.Parameters.default, Seed(42L + i)))
     assertParity(samples)
+  }
+
+  test("byte-level decode == Java REPLACE semantics on malformed UTF-8") {
+    // the in-place UTF-8 decoder must see exactly what the regex twins
+    // see through toString (one U+FFFD per maximal malformed
+    // subsequence, JDK second-byte ranges) — these branches cannot be
+    // reached through DataFrame strings, so drive profile() directly
+    // with raw bytes
+    import java.util.regex.Pattern
+    import org.apache.spark.unsafe.types.UTF8String
+    val ts = graft.functions.TextSignals(
+      org.apache.spark.sql.catalyst.expressions.Literal("x"))
+    val tokP = Pattern.compile(TF.TokenPattern)
+    val punP = Pattern.compile("[^A-Za-z0-9\\s]")
+    val stopP = Pattern.compile(
+      "(?i)\\b(" + TF.EnStopwords.mkString("|") + ")\\b")
+    val langPs = TF.LangMarkers.map { case (_, ws) =>
+      Pattern.compile("(?i)\\b(" + ws.mkString("|") + ")\\b") }
+    def rc(p: Pattern, s: String): Int = {
+      val m = p.matcher(s); var n = 0; while (m.find()) n += 1; n
+    }
+    val targeted: Seq[Array[Byte]] = Seq(
+      Array(0x6C, 0xC1, 0xA1),             // overlong 2-byte after 'l'
+      Array(0xC3, 0x61),                    // lead + ASCII: FFFD then 'a'
+      Array(0x61, 0x62, 0xE2, 0x82),        // truncated 3-byte at end
+      Array(0xE0, 0x80, 0xAF),              // overlong 3-byte
+      Array(0xED, 0xA0, 0x80),              // CESU surrogate
+      Array(0xF0, 0x90, 0x78),              // truncated 4-byte + 'x'
+      Array(0xF5, 0x80, 0x80, 0x80),        // lead beyond U+10FFFF
+      Array(0x80), Array(0xBF),             // orphan continuations
+      Array(0xF4, 0x90, 0x80, 0x80),        // > U+10FFFF via F4 90
+      Array(0x74, 0x68, 0x65, 0xC2),        // 'the' + dangling lead
+      Array(0xC2, 0xA0, 0x74, 0x68, 0x65),  // NBSP then 'the'
+      Array(0xF5, 0x80), Array(0xF4, 0x8F), // truncated beyond-range leads
+      Array(0xF0, 0x90, 0x80, 0x80),        // valid astral U+10000
+      Array(0xED, 0x9F, 0xBF),              // valid U+D7FF (surrogate edge)
+      Array(0xEE, 0x80, 0x80),              // valid U+E000
+      Array(0xE2, 0x82, 0x82),              // valid U+20A2
+      Array(0xE0, 0xA0), Array(0xF0, 0x90, 0x80), // truncated valid prefixes
+      Array(0xED, 0xA0, 0x61), Array(0xF4, 0x90, 0x61, 0x61)
+    ).map(_.map(_.toByte))
+    val rnd = new scala.util.Random(42)
+    // random raw bytes (hit malformed branches) + random bytes biased
+    // into the interesting lead/continuation ranges
+    val randoms = (0 until 1500).map { i =>
+      val n = rnd.nextInt(40)
+      val a = new Array[Byte](n)
+      if (i % 2 == 0) rnd.nextBytes(a)
+      else (0 until n).foreach { j =>
+        a(j) = (rnd.nextInt(4) match {
+          case 0 => 0x61 + rnd.nextInt(4)         // ASCII letters
+          case 1 => 0x80 + rnd.nextInt(64)        // continuations
+          case 2 => 0xC0 + rnd.nextInt(64)        // 2/3-byte leads
+          case 3 => 0xF0 + rnd.nextInt(16)        // 4-byte/invalid leads
+        }).toByte
+      }
+      a
+    }
+    (targeted ++ randoms).foreach { bytes =>
+      val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      val hex = bytes.map(b => f"${b & 0xFF}%02x").mkString(" ")
+      val row = ts.profile(UTF8String.fromBytes(bytes))
+      assert(row.getInt(0) === rc(tokP, s), s"n_tokens for [$hex]")
+      assert(row.getInt(1) === rc(punP, s), s"n_punct for [$hex]")
+      assert(row.getInt(2) === s.codePointCount(0, s.length), s"n_chars for [$hex]")
+      assert(row.getInt(3) === rc(stopP, s), s"stop_hits for [$hex]")
+      val lh = row.getArray(4).toIntArray().toSeq
+      assert(lh === langPs.map(rc(_, s)), s"lang_hits for [$hex]")
+    }
   }
 
   test("derived ratios and lang decision survive the rewire, incl. nulls") {
