@@ -225,6 +225,13 @@ object Bench {
       "0.61-0.70 (vs 0.52 r9), a uniform ~1.2-1.3x host factor with " +
       "warmup_first_sec ~8s vs 4.4s in the same day's faster-state full " +
       "run; no plan change, same code since r8.")
+    println("note: q105_hybrid_indexed oscillates with host state on " +
+      "untouched code (r9 2.08 -> r10 1.57 -> r11-window 2.19); the " +
+      "r11 window moved ALL in-query-build rows up together " +
+      "(q122 +0.26, q128 +0.27, q103 +0.10, q106 +0.16) while the " +
+      "TextSignals-fused rows improved against that same factor " +
+      "(q70 -0.27, q73 -0.13) — the uniform-host-factor signature, " +
+      "not a plan change. Watch, don't chase (the q84/q30 pattern).")
     println("note: q113_incremental_neardup's r10-watch (1.64->2.00 " +
       "r9->r10, the suspected CompositeIndex manifest-commit cost) is " +
       "adjudicated MOSTLY HOST state: an r11 interleaved A/B (3 fresh-" +
