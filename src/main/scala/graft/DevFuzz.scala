@@ -1,0 +1,66 @@
+package graft
+
+import java.util.regex.Pattern
+
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.{TextFunctions => TF}
+
+/** One-off heavy differential fuzz of [[graft.functions.TextSignals]]
+  * against its regex-twin definitions (the TextSignalsParitySpec
+  * contract at 300k scale). Scratch tool, run manually:
+  * `sbt "runMain graft.DevFuzz"`. */
+object DevFuzz {
+  def main(args: Array[String]): Unit = {
+    val ts = graft.functions.TextSignals(
+      org.apache.spark.sql.catalyst.expressions.Literal("x"))
+    val tokP = Pattern.compile(TF.TokenPattern)
+    val punP = Pattern.compile("[^A-Za-z0-9\\s]")
+    val stopP = Pattern.compile(
+      "(?i)\\b(" + TF.EnStopwords.mkString("|") + ")\\b")
+    val langPs = TF.LangMarkers.map { case (_, ws) =>
+      Pattern.compile("(?i)\\b(" + ws.mkString("|") + ")\\b") }
+    def rc(p: Pattern, s: String): Int = {
+      val m = p.matcher(s); var n = 0; while (m.find()) n += 1; n
+    }
+    def check(s: String, u: UTF8String, tag: String): Boolean = {
+      val row = ts.profile(u)
+      val exp = (rc(tokP, s), rc(punP, s), s.codePointCount(0, s.length),
+        rc(stopP, s), langPs.map(rc(_, s)))
+      val got = (row.getInt(0), row.getInt(1), row.getInt(2), row.getInt(3),
+        row.getArray(4).toIntArray().toSeq)
+      if (exp != got) {
+        println(s"$tag MISMATCH <" +
+          s.codePoints().toArray.map(c => f"U+$c%04X").mkString(" ") +
+          s"> exp=$exp got=$got")
+        false
+      } else true
+    }
+    val atoms: IndexedSeq[String] =
+      (TF.EnStopwords ++ TF.LangMarkers.flatMap(_._2) ++ Seq(
+        "a", "Z", "0", "9", "_", " ", "\t", "\n", "", "\f", "\r",
+        ".", ",", "-", "…", " ", "é", "中",
+        "🙂", "theory", "x2", "Σ",
+        "́", "̮",                    // BMP non-spacing marks
+        "𝐀",                        // U+1D400 astral letter
+        "𝅧",                        // U+1D167 astral Mn
+        "𐒠",                        // U+104A0 astral digit
+        "󠄀",                        // U+E0100 variation selector
+        "")).toIndexedSeq
+    val rnd = new scala.util.Random(7)
+    var bad = 0
+    for (_ <- 0 until 100000) {
+      val n = rnd.nextInt(25)
+      val s = (0 until n).map(_ => atoms(rnd.nextInt(atoms.length))).mkString
+      if (!check(s, UTF8String.fromString(s), "string") && bad < 5) bad += 1
+    }
+    var bad2 = 0
+    for (_ <- 0 until 200000) {
+      val n = rnd.nextInt(30); val a = new Array[Byte](n); rnd.nextBytes(a)
+      val s = new String(a, java.nio.charset.StandardCharsets.UTF_8)
+      if (!check(s, UTF8String.fromBytes(a), "byte") && bad2 < 5) bad2 += 1
+    }
+    println(s"fuzz complete: ${bad} string-path and ${bad2} byte-path " +
+      "mismatch groups (0 and 0 = parity holds at 300k scale)")
+  }
+}

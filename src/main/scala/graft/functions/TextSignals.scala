@@ -171,11 +171,15 @@ case class TextSignals(child: Expression) extends UnaryExpression {
         if (!isSp) nPunct += 1
       }
       // Java default \b word chars: Unicode letters/digits plus '_',
-      // and non-spacing marks riding a letter/digit base
+      // and non-spacing marks riding a letter/digit base. The base
+      // walk (Pattern.hasBaseCharacter) steps back one UTF-16 CHAR at
+      // a time, so an astral letter's low surrogate BLOCKS it: only a
+      // BMP letter/digit anchors mark extension, and only a BMP mark
+      // extends (an astral Mn's own surrogate blocks its walk too).
       val isLD = Character.isLetterOrDigit(cp)
       if (cp == '_' || isLD) {
         inWord = true
-        baseLD = isLD
+        baseLD = isLD && cp <= 0xFFFF
         if (cp >= 'A' && cp <= 'Z') {
           if (buf.length >= TextSignals.MaxWordLen) wordOk = false
           else buf.append((cp + 32).toChar)
@@ -183,9 +187,20 @@ case class TextSignals(child: Expression) extends UnaryExpression {
           if (buf.length >= TextSignals.MaxWordLen) wordOk = false
           else buf.append(cp.toChar)
         } else wordOk = false // digit, '_', non-ASCII letter: not a marker
-      } else if (baseLD && cp >= 0x0300 &&
+      } else if (cp >= 0x0300 &&
           Character.getType(cp) == Character.NON_SPACING_MARK) {
-        wordOk = false // mark extends the run; run can't equal a marker
+        if (cp <= 0xFFFF && baseLD) {
+          wordOk = false // mark extends the run; run can't equal a marker
+        } else {
+          // astral mark, or BMP mark with no reachable BMP base: the
+          // walk FROM the mark still finds the previous word's letters
+          // (blocking ITS right boundary), but the walk from the next
+          // word's left side dies on the mark's surrogate (or '_'), so
+          // a fresh word may start after it: poison the current run,
+          // drop it uncounted, and reset
+          if (inWord) wordOk = false
+          endWord(); baseLD = false
+        }
       } else { endWord(); baseLD = false }
       off += len
     }

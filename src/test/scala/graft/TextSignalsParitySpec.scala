@@ -44,7 +44,12 @@ class TextSignalsParitySpec extends SparkSpec {
     // letter/digit base EXTENDS the \b run ("d́a" is one run, no
     // standalone 'a'); after '_' or at start it does not
     "d́a", "thé", "án", "_́a", "́a",
-    "d́́a the", "9́a", "la̮ la")
+    "d́́a the", "9́a", "la̮ la",
+    // astral cases: Pattern.hasBaseCharacter walks UTF-16 chars, so a
+    // low surrogate blocks the mark-base scan — a mark after an astral
+    // letter (and an astral mark itself) is NOT word-ish
+    "𝐀́the", "a𝅧the", "𝐀the",
+    "𐒠́a", "a󠄀the", "á𝅧the")
 
   private def assertParity(texts: Seq[String]): Unit = {
     val df = texts.toDF("t")
@@ -83,7 +88,7 @@ class TextSignalsParitySpec extends SparkSpec {
       Gen.oneOf(TF.EnStopwords), Gen.oneOf(TF.LangMarkers.flatMap(_._2)),
       Gen.oneOf("a", "Z", "0", "9", "_", " ", "\t", "\n", "", "\f",
         "\r", ".", ",", "-", "…", " ", "é", "中", "🙂", "theory",
-        "x2", "Σ", "́", "̮", ""))
+        "x2", "Σ", "́", "̮", "𝐀", "𝅧", "𐒠", "󠄀", ""))
     val gen = Gen.listOf(atoms).map(_.mkString)
     val samples = (0 until 400).flatMap(i =>
       gen.apply(Gen.Parameters.default, Seed(42L + i)))
