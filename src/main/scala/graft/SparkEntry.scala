@@ -1233,6 +1233,16 @@ object SparkEntry {
       back.orderBy(col("doc_id"))
     }),
 
+    "q131_quality_score" -> ((s, d) =>
+      // the composite A8 quality score (length + stopword + punct
+      // signals through ONE fused TextSignals pass); the oracle
+      // re-derives all three components from the defining regexes and
+      // the same least/greatest/round-6 composition, so a drift in
+      // any signal or in the fusion itself fails the hash.
+      T.documents(s, d).select(col("doc_id"),
+          functions.TextFunctions.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))),
+
     "q130_append_sink" -> ((s, d) => {
       // S3 (row insert / append sink): two successive mode("append")
       // parquet writes must ACCUMULATE — the second preserves the
@@ -2017,6 +2027,20 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |  epoch_us(o_orderdate) AS od_us, o_orderpriority
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q131_quality_score" ->
+      """SELECT doc_id, round((
+        |    least(length(text)::DOUBLE / 500.0, 1.0)
+        |  + least((CASE WHEN tok = 0 THEN 0.0 ELSE stp::DOUBLE / tok END) * 4.0, 1.0)
+        |  + greatest(1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+        |      ELSE pun::DOUBLE / length(text) END) * 5.0, 0.0)
+        |  ) / 3.0, 6) AS quality
+        |FROM (SELECT doc_id, text,
+        |    len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS tok,
+        |    len(regexp_extract_all(text, '(?i)\b(the|a|an|of|and|to|in|is|it|that|for|on|with|as|at|by|this)\b')) AS stp,
+        |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS pun
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     // the same double arithmetic as temperatureMix, then the q62 md5
     // membership test against the derived per-stratum threshold; a
