@@ -224,6 +224,22 @@ object TextSignals {
   val NumLangs: Int = TextFunctions.LangMarkers.size
   val StopBit: Int = 1 << NumLangs
 
+  /** The DEFINING regex twins, one place only — the parity spec and
+    * the DevFuzz harness both fuzz [[TextSignals.profile]] against
+    * exactly these, so the fused pass and its oracle-side definitions
+    * cannot drift apart: (token pattern, punct class, stopword
+    * alternation, per-language marker alternations). */
+  def regexTwins: (java.util.regex.Pattern, java.util.regex.Pattern,
+      java.util.regex.Pattern, Seq[java.util.regex.Pattern]) = {
+    import java.util.regex.Pattern
+    (Pattern.compile(TextFunctions.TokenPattern),
+      Pattern.compile("[^A-Za-z0-9\\s]"),
+      Pattern.compile(
+        "(?i)\\b(" + TextFunctions.EnStopwords.mkString("|") + ")\\b"),
+      TextFunctions.LangMarkers.map { case (_, ws) =>
+        Pattern.compile("(?i)\\b(" + ws.mkString("|") + ")\\b") })
+  }
+
   val Schema: StructType = StructType(Seq(
     StructField("n_tokens", IntegerType, nullable = false),
     StructField("n_punct", IntegerType, nullable = false),

@@ -105,12 +105,9 @@ class TextSignalsParitySpec extends SparkSpec {
     import org.apache.spark.unsafe.types.UTF8String
     val ts = graft.functions.TextSignals(
       org.apache.spark.sql.catalyst.expressions.Literal("x"))
-    val tokP = Pattern.compile(TF.TokenPattern)
-    val punP = Pattern.compile("[^A-Za-z0-9\\s]")
-    val stopP = Pattern.compile(
-      "(?i)\\b(" + TF.EnStopwords.mkString("|") + ")\\b")
-    val langPs = TF.LangMarkers.map { case (_, ws) =>
-      Pattern.compile("(?i)\\b(" + ws.mkString("|") + ")\\b") }
+    // ONE definition of the twins, shared with DevFuzz — the harness
+    // and the expression cannot drift apart
+    val (tokP, punP, stopP, langPs) = graft.functions.TextSignals.regexTwins
     def rc(p: Pattern, s: String): Int = {
       val m = p.matcher(s); var n = 0; while (m.find()) n += 1; n
     }
