@@ -231,7 +231,10 @@ object Bench {
       "(q122 +0.26, q128 +0.27, q103 +0.10, q106 +0.16) while the " +
       "TextSignals-fused rows improved against that same factor " +
       "(q70 -0.27, q73 -0.13) — the uniform-host-factor signature, " +
-      "not a plan change. Watch, don't chase (the q84/q30 pattern).")
+      "not a plan change. Adjudicated same-day: 4 consecutive fresh-" +
+      "context runs of q105 on byte-identical code spanned " +
+      "2.02-2.46s (window's 2.19 inside the spread; r10's 1.57 was a " +
+      "faster machine-day, the q84/q30 pattern).")
     println("note: q113_incremental_neardup's r10-watch (1.64->2.00 " +
       "r9->r10, the suspected CompositeIndex manifest-commit cost) is " +
       "adjudicated MOSTLY HOST state: an r11 interleaved A/B (3 fresh-" +
