@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.functions.{RegexpExpressions, TextFunctions => TF}
+
+/** Annotate-bandwidth measurement for the fused [[graft.functions
+  * .TextSignals]] pass vs the regex forms that define it — the
+  * quality/language/token annotation is the first full-corpus scan of
+  * every training-data pipeline (Curation.curate), so its bandwidth
+  * bounds how fast 100 TB can be curated at all.
+  *
+  * Both sides compute the SAME eight signals over the same generated
+  * corpus (token count, punct count, stopword hits, 5 language-marker
+  * hits); aggregate equality is asserted, then each side is timed as
+  * one full-scan aggregate (sums — no shuffle beyond the final
+  * partial-merge, so the number is the SCAN, not a write). Run:
+  * `sbt "runMain graft.TextScaleDemo"`; TEXT_SCALE_DOCS sizes it. */
+object TextScaleDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val n = sys.env.getOrElse("TEXT_SCALE_DOCS", "2000000").toLong
+    // ~25 words/doc, a marker/stopword sprinkled in so the hit
+    // counters do real work; checkpointed so generation cost is paid
+    // once, outside both timed regions
+    val markers = TF.LangMarkers.flatMap(_._2) ++ Seq("the", "and", "that")
+    val markerArr = array(markers.map(lit): _*)
+    val docs = spark.range(n).select(col("id"),
+        concat_ws(" ",
+          (0 until 24).map(i =>
+            when(pmod(col("id") + i, lit(7)) === 0,
+              element_at(markerArr, (pmod(col("id") * 31 + i, lit(markers.size)) + 1).cast("int")))
+              .otherwise(concat(lit("w"), conv((col("id") * 131071 + i * 524287).cast("string"), 10, 16),
+                // sprinkle punctuation so n_punct does real work
+                when(pmod(col("id") + i, lit(5)) === 0, lit(",")).otherwise(lit(""))))): _*)
+          .as("text"))
+      .localCheckpoint(true)
+    val rows = docs.count()
+    val bytes = docs.select(sum(octet_length(col("text")))).head().getLong(0)
+    println(f"corpus: $rows%,d docs, ${bytes / 1e6}%.0f MB of text")
+
+    def time(label: String)(f: => Seq[Long]): Seq[Long] = {
+      def once(): (Double, Seq[Long]) = {
+        val t0 = System.nanoTime()
+        val r = f
+        ((System.nanoTime() - t0) / 1e9, r)
+      }
+      once() // warm
+      val (secs, r) = once()
+      println(f"$label%-28s ${secs}%6.2f s = ${rows / secs}%9.0f docs/s, " +
+        f"${bytes / secs / 1e6}%6.0f MB/s")
+      r
+    }
+
+    // the regex side: one pass per defining pattern (what the code
+    // shipped before the fusion — 8 passes over every byte)
+    val stopPat = "(?i)\\b(" + TF.EnStopwords.mkString("|") + ")\\b"
+    val langPats = TF.LangMarkers.map { case (_, ws) =>
+      "(?i)\\b(" + ws.mkString("|") + ")\\b" }
+    val regexCols =
+      Seq(RegexpExpressions.regexpCount(col("text"), TF.TokenPattern),
+        RegexpExpressions.regexpCount(col("text"), "[^A-Za-z0-9\\s]"),
+        RegexpExpressions.regexpCount(col("text"), stopPat)) ++
+        langPats.map(p => RegexpExpressions.regexpCount(col("text"), p))
+    val regexTotals = time("regex annotate (8 passes)") {
+      val r = docs.select(regexCols.map(c => sum(c).as("s")): _*).head()
+      (0 until 8).map(r.getLong)
+    }
+
+    val fusedTotals = time("fused TextSignals (1 pass)") {
+      val ts = TF.textSignals(col("text"))
+      val aggs = Seq(
+        sum(ts.getField("n_tokens")), sum(ts.getField("n_punct")),
+        sum(ts.getField("stop_hits"))) ++
+        (0 until TF.LangMarkers.size).map(i =>
+          sum(element_at(ts.getField("lang_hits"), i + 1)))
+      val r = docs.select(aggs: _*).head()
+      (0 until 8).map(r.getLong)
+    }
+    require(regexTotals == fusedTotals,
+      s"signal totals diverged: regex=$regexTotals fused=$fusedTotals")
+    println(s"signal totals identical across both paths: $fusedTotals")
+    spark.stop()
+  }
+}
