@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{RegexpExpressions, TextFunctions => TF}
 
-/** Annotate-bandwidth measurement for the fused [[graft.functions
-  * .TextSignals]] pass vs the regex forms that define it — the
+/** Annotate-bandwidth measurement for the fused
+  * [[graft.functions.TextSignals]] pass vs the regex forms that
+  * define it — the
   * quality/language/token annotation is the first full-corpus scan of
   * every training-data pipeline (Curation.curate), so its bandwidth
   * bounds how fast 100 TB can be curated at all.
@@ -59,18 +60,15 @@ object TextScaleDemo {
     }
 
     // the regex side: one pass per defining pattern (what the code
-    // shipped before the fusion — 8 passes over every byte)
-    val stopPat = "(?i)\\b(" + TF.EnStopwords.mkString("|") + ")\\b"
-    val langPats = TF.LangMarkers.map { case (_, ws) =>
-      "(?i)\\b(" + ws.mkString("|") + ")\\b" }
+    // shipped before the fusion), taken from TextSignals.regexTwins —
+    // the ONE definition the parity spec and DevFuzz also use
+    val (tokP, punP, stopP, langPs) = graft.functions.TextSignals.regexTwins
     val regexCols =
-      Seq(RegexpExpressions.regexpCount(col("text"), TF.TokenPattern),
-        RegexpExpressions.regexpCount(col("text"), "[^A-Za-z0-9\\s]"),
-        RegexpExpressions.regexpCount(col("text"), stopPat)) ++
-        langPats.map(p => RegexpExpressions.regexpCount(col("text"), p))
-    val regexTotals = time("regex annotate (8 passes)") {
+      (Seq(tokP, punP, stopP) ++ langPs).map(p =>
+        RegexpExpressions.regexpCount(col("text"), p.pattern()))
+    val regexTotals = time(s"regex annotate (${regexCols.size} passes)") {
       val r = docs.select(regexCols.map(c => sum(c).as("s")): _*).head()
-      (0 until 8).map(r.getLong)
+      regexCols.indices.map(r.getLong)
     }
 
     val fusedTotals = time("fused TextSignals (1 pass)") {
@@ -78,10 +76,10 @@ object TextScaleDemo {
       val aggs = Seq(
         sum(ts.getField("n_tokens")), sum(ts.getField("n_punct")),
         sum(ts.getField("stop_hits"))) ++
-        (0 until TF.LangMarkers.size).map(i =>
+        TF.LangMarkers.indices.map(i =>
           sum(element_at(ts.getField("lang_hits"), i + 1)))
       val r = docs.select(aggs: _*).head()
-      (0 until 8).map(r.getLong)
+      aggs.indices.map(r.getLong)
     }
     require(regexTotals == fusedTotals,
       s"signal totals diverged: regex=$regexTotals fused=$fusedTotals")
