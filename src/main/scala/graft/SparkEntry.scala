@@ -1254,18 +1254,25 @@ object SparkEntry {
       // read back; the oracle is the WHOLE table, so a clobbered or
       // duplicated batch fails the hash.
       val orders = T.orders(s, d)
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_q130").toString + "/orders_sink"
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q130")
+      val dir = tmp.toString + "/orders_sink"
       orders.filter(col("o_orderkey") % 2 === 1)
         .write.mode("append").parquet(dir)
       orders.filter(col("o_orderkey") % 2 === 0)
         .write.mode("append").parquet(dir)
-      s.read.schema(orders.schema).parquet(dir)
+      val out = s.read.schema(orders.schema).parquet(dir)
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
           col("o_totalprice"),
           unix_micros(col("o_orderdate").cast("timestamp")).as("od_us"),
           col("o_orderpriority"))
         .orderBy(col("o_orderkey"))
+        // eager pin: the returned frame must survive the sink's deletion
+        // (repeated bench/verify runs would otherwise accumulate
+        // unbounded /tmp litter); bench's scrub / Checkpoints.free
+        // releases the blocks after consumption
+        .localCheckpoint(true)
+      graft.util.Fs.deleteRecursively(tmp)
+      out
     }),
 
     "q125_binary_ann" -> ((s, d) =>
@@ -2028,6 +2035,13 @@ object SparkEntry {
         |  epoch_us(o_orderdate) AS od_us, o_orderpriority
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
+    // DIALECT CONSTRAINT (q131, and the pre-existing q22/q73 twins):
+    // DuckDB regexps run under RE2 semantics (ASCII-only \b, \s without
+    // \x0B) while the Spark side implements Java semantics (Unicode \b
+    // with combining-mark/astral rules, \s including VT). The counts
+    // agree only while the corpus has no non-ASCII letters/marks
+    // adjacent to marker words and no vertical tabs — OracleDialectSpec
+    // guards exactly that invariant over the driver corpora.
     "q131_quality_score" ->
       """SELECT doc_id, round((
         |    least(length(text)::DOUBLE / 500.0, 1.0)

@@ -323,13 +323,13 @@ case class L2Normalize(child: Expression)
     nullSafeCodeGen(ctx, ev, x => {
       val i = ctx.freshName("i"); val n = ctx.freshName("n")
       val s = ctx.freshName("s"); val norm = ctx.freshName("norm")
-      val arr = ctx.freshName("arr")
+      val arr = ctx.freshName("arr"); val v = ctx.freshName("v")
       s"""
         int $n = $x.numElements();
         double $s = 0.0;
         for (int $i = 0; $i < $n; $i++) {
-          double v = ${getter(child.dataType, x, i)};
-          $s += v * v;
+          double $v = ${getter(child.dataType, x, i)};
+          $s += $v * $v;
         }
         if ($s == 0.0) {
           ${ev.isNull} = true;

@@ -1,0 +1,21 @@
+package graft.util
+
+import java.nio.file.{Files, Path}
+
+/** Filesystem helpers for operators and queries that stage data through
+  * temp directories (append-sink read-backs, in-query index builds).
+  */
+object Fs {
+
+  /** Recursively delete `p` (no-op if absent). Queries that stage
+    * through `Files.createTempDirectory` must call this once the staged
+    * data has been consumed, or repeated bench/verify invocations
+    * accumulate unbounded /tmp litter. */
+  def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { Files.delete(f); () })
+      finally walk.close()
+    }
+}

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Corpus guard for the Spark-Java vs DuckDB-RE2 regexp dialect gap.
+  *
+  * The q22/q73/q131 oracles count word-boundary and whitespace-class
+  * matches in DuckDB, whose RE2 engine differs from Java regex in two
+  * data-dependent ways:
+  *   - `\b` is ASCII-only under RE2 but Unicode-aware under Java
+  *     (isLetterOrDigit + '_' + the combining-mark/astral extension
+  *     rules — see TextSignalsParitySpec);
+  *   - `\s` excludes vertical tab (\x0B) under RE2 but includes it
+  *     under Java.
+  * The oracle rows are therefore only bit-comparable while the corpus
+  * contains no non-ASCII characters and no vertical tabs. This spec
+  * pins that invariant over every driver-provisioned documents corpus
+  * the graded runs read (sf0.001 smoke, sf0.01 correctness, sf0.1
+  * bench) so a future re-provision that breaks it fails HERE, by name,
+  * instead of surfacing as an inscrutable oracle hash mismatch.
+  */
+class OracleDialectSpec extends SparkSpec {
+
+  test("documents corpora are ASCII-only and VT-free (oracle dialect invariant)") {
+    Seq("sf0.001", "sf0.01", "sf0.1").foreach { sf =>
+      val docs = Tables.byName(spark, s"/root/testdata/$sf", "documents")
+      val bad = docs
+        .filter(col("text").rlike("[^\\x00-\\x7F]") || col("text").contains("\u000B"))
+        .limit(1)
+        .collect()
+      assert(bad.isEmpty,
+        s"$sf/documents contains non-ASCII or VT text — the q22/q73/q131 " +
+          "DuckDB oracles are no longer dialect-safe (RE2 \\b is ASCII-only, " +
+          "RE2 \\s excludes \\x0B); re-derive or guard those oracle rows")
+    }
+  }
+}
