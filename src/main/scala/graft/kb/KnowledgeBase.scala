@@ -102,7 +102,13 @@ object KnowledgeBase {
       // both see "no table". The init loser (require, or the atomic
       // manifest commit) falls back to a merge against the winner's
       // table instead of killing the job.
-      try { MergeTable.init(spark, path, in); () }
+      // bloom filter on the unique key: min/max stats are useless on
+      // the uniform sha256 domain (every file's range covers every
+      // probe), so the content-hash point lookup — the reference's
+      // UNIQUE btree — needs the bloom to skip row groups
+      try {
+        MergeTable.init(spark, path, in, bloomKeys = Seq("content_hash")); ()
+      }
       catch {
         case _: IllegalArgumentException |
              _: org.apache.hadoop.fs.FileAlreadyExistsException =>

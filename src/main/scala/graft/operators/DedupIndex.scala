@@ -153,8 +153,12 @@ object DedupIndex {
     try {
       val committed = CI.build(spark, path) { dirs =>
         val sv = MergeTable.init(spark, componentPath(path, dirs("shingles")), sh)
+        // bucket blooms: LSH buckets are a uniform hash domain — min/max
+        // stats never skip a row group for the probe's `bucket IN`
+        // until [[compact]] range-sorts the files; the bloom skips from
+        // the first committed version
         val bv = MergeTable.init(spark, componentPath(path, dirs("bands")),
-          Dedup.bandFrame(sh, numHashes, bands))
+          Dedup.bandFrame(sh, numHashes, bands), bloomKeys = Seq("bucket"))
         import spark.implicits._
         val pv = MergeTable.init(spark, componentPath(path, dirs("params")),
           Seq((shingleSize, numHashes, bands))

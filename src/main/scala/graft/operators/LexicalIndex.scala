@@ -111,11 +111,16 @@ object LexicalIndex {
       CI.build(spark, path) { dirs =>
         val dv = MergeTable.init(spark,
           CI.componentPath(path, dirs("doclens")), doclens)
+        // term blooms: pre-[[compact]] the postings layout is id-major
+        // (term min/max spans the vocabulary in every file), so the
+        // per-term Eq probes of bm25TopK skip nothing without them
+        val bloom = Seq("term")
         val pv = MergeTable.init(spark,
-          CI.componentPath(path, dirs("postings")), postings)
+          CI.componentPath(path, dirs("postings")), postings, bloomKeys = bloom)
         val tv = MergeTable.init(spark,
           CI.componentPath(path, dirs("termdf")),
-          postings.groupBy(col("term")).agg(count(lit(1)).as("df")))
+          postings.groupBy(col("term")).agg(count(lit(1)).as("df")),
+          bloomKeys = bloom)
         Map("postings" -> pv.version, "doclens" -> dv.version,
           "termdf" -> tv.version)
       }

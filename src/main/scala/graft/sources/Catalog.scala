@@ -49,15 +49,28 @@ object Catalog {
     *  - `maxRecordsPerFile` bounds file size without another shuffle.
     *
     * Write to a NEW path then swap — compaction must never replace a
-    * live path in place (readers would see a partial table). */
+    * live path in place (readers would see a partial table).
+    *
+    * `bloomKeys` writes a parquet bloom filter on each named column —
+    * the file-skipping complement for HASH-VALUED lookup keys, where
+    * the range sort is useless (a uniform hash domain makes every
+    * file's min/max cover every probe; see [[MergeTable.init]] for the
+    * full rationale and BloomLookupScaleDemo for the measured skip).
+    * Sized adaptively to each row group's observed ndv. */
   def compact(
       df: DataFrame, sortCol: String, outPath: String,
-      numFiles: Int, maxRecordsPerFile: Long = 5000000L): Unit =
-    df.repartitionByRange(numFiles, col(sortCol))
+      numFiles: Int, maxRecordsPerFile: Long = 5000000L,
+      bloomKeys: Seq[String] = Nil): Unit = {
+    var w = df.repartitionByRange(numFiles, col(sortCol))
       .sortWithinPartitions(col(sortCol))
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
-      .parquet(outPath)
+    if (bloomKeys.nonEmpty) w = w.option("parquet.bloom.filter.adaptive.enabled", "true")
+    bloomKeys.distinct.sorted.foreach { c =>
+      w = w.option(s"parquet.bloom.filter.enabled#$c", "true")
+    }
+    w.parquet(outPath)
+  }
 
   /** True iff the scan of `df` prunes partitions (its PartitionFilters
     * is non-empty) — the explain-level assertion that a predicate

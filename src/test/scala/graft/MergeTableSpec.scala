@@ -300,4 +300,101 @@ class MergeTableSpec extends SparkSpec {
     assert(s.version === 4L)
     assert(MergeTable.read(spark, path).count() === 12)
   }
+
+  /** Per file: (blocks with a bloom on `column`, blocks whose bloom
+    * matches `probe`, total blocks) — the writer-side ground truth the
+    * reader's bloom row-group skip consults. */
+  private def bloomAudit(
+      files: Seq[String], column: String, probe: String): (Long, Long, Long) = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.io.api.Binary
+    val conf = spark.sessionState.newHadoopConf()
+    var withBloom = 0L; var matched = 0L; var total = 0L
+    files.foreach { f =>
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(f), conf))
+      try {
+        val blocks = reader.getFooter.getBlocks
+        val it = blocks.iterator()
+        while (it.hasNext) {
+          val b = it.next(); total += 1
+          val cit = b.getColumns.iterator()
+          while (cit.hasNext) {
+            val c = cit.next()
+            if (c.getPath.toDotString == column) {
+              val bf = reader.getBloomFilterDataReader(b).readBloomFilter(c)
+              if (bf != null) {
+                withBloom += 1
+                if (bf.findHash(bf.hash(Binary.fromString(probe)))) matched += 1
+              }
+            }
+          }
+        }
+      } finally reader.close()
+    }
+    (withBloom, matched, total)
+  }
+
+  test("bloom config: persisted at init, applied by every writer path, skips absent keys") {
+    val path = freshPath()
+    val hashed = (1 to 2000).map(i => (i.toLong, s"key $i")).toDF("id", "k")
+      .withColumn("h", sha2($"k", 256))
+    MergeTable.init(spark, path, hashed.repartition(4), bloomKeys = Seq("h"))
+    assert(MergeTable.bloomConfig(spark, path) === Seq("h"))
+    assert(MergeTable.bloomConfig(spark, freshPath() + "_none") === Nil)
+
+    def hOf(id: Long): String = MergeTable.read(spark, path)
+      .filter($"id" === id).select("h").head().getString(0)
+
+    // every init-written block carries the filter; a present key matches
+    val v1 = MergeTable.snapshot(spark, path).files
+    val (wb1, m1, t1) = bloomAudit(v1, "h", hOf(7L))
+    assert(wb1 === t1 && t1 > 0, s"init blocks missing blooms ($wb1/$t1)")
+    assert(m1 >= 1, "present key must match at least one block's bloom")
+
+    // absent keys: ~1% fpp per block — across 20 probes, require that
+    // the large majority match NO block (min/max stats would match ALL
+    // of them on this uniform hash domain; that contrast is the point)
+    val absentHits = (1 to 20).count { i =>
+      val p = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s"absent $i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      bloomAudit(v1, "h", p)._2 > 0
+    }
+    assert(absentHits <= 4, s"absent keys matched $absentHits/20 — blooms absent or mis-sized")
+
+    // merge: replacement files inherit the table's bloom property
+    val updates = (1 to 100).map(i => (i.toLong, s"key $i")).toDF("id", "k")
+      .withColumn("h", sha2($"k", 256))
+    MergeTable.merge(spark, path, updates, Seq("h"))
+    val v2 = MergeTable.snapshot(spark, path).files
+    val newFiles = v2.filterNot(v1.toSet)
+    assert(newFiles.nonEmpty)
+    val (wbM, _, tM) = bloomAudit(newFiles, "h", hOf(7L))
+    assert(wbM === tM && tM > 0, s"merge-written blocks missing blooms ($wbM/$tM)")
+
+    // compact: the full rewrite keeps the filters too
+    MergeTable.compactTable(spark, path, "h", 2)
+    val v3 = MergeTable.snapshot(spark, path).files
+    val (wbC, mC, tC) = bloomAudit(v3, "h", hOf(7L))
+    assert(wbC === tC && tC > 0, s"compacted blocks missing blooms ($wbC/$tC)")
+    assert(mC >= 1)
+
+    // reader end-to-end: the point lookup still answers correctly
+    assert(MergeTable.read(spark, path).filter($"h" === hOf(7L))
+      .select("k").head().getString(0) === "key 7")
+  }
+
+  test("Catalog.compact bloomKeys writes the filters on the compacted layout") {
+    val out = java.nio.file.Files.createTempDirectory("cat_bloom").toString + "/t"
+    val df = (1 to 1000).map(i => (i.toLong, s"key $i")).toDF("id", "k")
+      .withColumn("h", sha2($"k", 256))
+    graft.sources.Catalog.compact(df, "h", out, numFiles = 2,
+      bloomKeys = Seq("h"))
+    val files = spark.read.parquet(out).inputFiles.toSeq
+    val probe = df.filter($"id" === 3).select("h").head().getString(0)
+    val (wb, m, t) = bloomAudit(files, "h", probe)
+    assert(wb === t && t > 0 && m >= 1)
+  }
 }
