@@ -1243,6 +1243,43 @@ object SparkEntry {
           functions.TextFunctions.qualityScore(col("text")).as("quality"))
         .orderBy(col("doc_id"))),
 
+    "q132_media_probe" -> ((s, d) => {
+      // MediaProbe's REAL header parse pinned bit-level: valid PNG
+      // IHDR / JPEG SOF0 / GIF LSD byte sequences (plus a non-media
+      // control) are synthesized in-query from deterministic integers
+      // (the q118 deterministic-payload convention, via unhex on both
+      // engines). MediaProbe dispatches on the actual signature bytes,
+      // WALKS the JPEG segment chain to SOF, and extracts BE32/BE16/
+      // LE16 fields; the oracle re-derives mime+dims from the SAME
+      // blob's bytes by nibble arithmetic at the constructed offsets —
+      // a drift anywhere in the parser fails the hash.
+      val w = (col("doc_id") % 1000 + 1).cast("int")
+      val h = ((col("doc_id") * 7) % 800 + 1).cast("int")
+      val hx = when(col("doc_id") % 4 === 0,
+          // PNG: signature + IHDR length/tag + width/height BE32 + tail
+          concat(lit("89504E470D0A1A0A0000000D49484452"),
+            format_string("%08X%08X", w, h), lit("0806000000")))
+        .when(col("doc_id") % 4 === 1,
+          // JPEG: SOI then an SOF0 segment (len 0x11, precision 8,
+          // height BE16, width BE16, 3 components)
+          concat(lit("FFD8FFC0001108"), format_string("%04X%04X", h, w),
+            lit("03012200021101031101")))
+        .when(col("doc_id") % 4 === 2,
+          // GIF89a: logical screen descriptor width/height LE16
+          concat(lit("474946383961"),
+            format_string("%02X%02X%02X%02X", pmod(w, lit(256)),
+              shiftright(w, 8), pmod(h, lit(256)), shiftright(h, 8)),
+            lit("F70000")))
+        .otherwise(lit("4E4F545F4D45444941")) // "NOT_MEDIA": stays NULL
+      val media = T.documents(s, d).select(col("doc_id").as("media_id"),
+        unhex(hx).as("payload"),
+        lit(null).cast("string").as("mime"),
+        lit(null).cast("int").as("width"), lit(null).cast("int").as("height"))
+      multimodal.MediaProbe.probeMetadata(media)
+        .select(col("media_id"), col("mime"), col("width"), col("height"))
+        .orderBy(col("media_id"))
+    }),
+
     "q130_append_sink" -> ((s, d) => {
       // S3 (row insert / append sink): two successive mode("append")
       // parquet writes must ACCUMULATE — the second preserves the
@@ -2055,6 +2092,42 @@ object SparkEntry {
         |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS pun
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    // q132: the oracle rebuilds the SAME payload hex, converts it to a
+    // byte list by nibble arithmetic (the q118 convention: strpos over
+    // the hex alphabet), then derives mime from the SIGNATURE bytes and
+    // dims from the container-format offsets — by[k+1] is payload byte
+    // k. PNG w/h = BE32 at bytes 16/20; JPEG SOF0 h/w = BE16 at bytes
+    // 7/9 (the walker must land there); GIF w/h = LE16 at bytes 6/8.
+    "q132_media_probe" ->
+      """WITH src AS (SELECT doc_id AS media_id,
+        |    (doc_id % 1000 + 1) AS w, ((doc_id*7) % 800 + 1) AS h
+        |  FROM documents),
+        |b AS (SELECT media_id,
+        |    CASE WHEN media_id % 4 = 0 THEN '89504E470D0A1A0A0000000D49484452' || printf('%08X%08X', w, h) || '0806000000'
+        |         WHEN media_id % 4 = 1 THEN 'FFD8FFC0001108' || printf('%04X%04X', h, w) || '03012200021101031101'
+        |         WHEN media_id % 4 = 2 THEN '474946383961' || printf('%02X%02X%02X%02X', w % 256, w // 256, h % 256, h // 256) || 'F70000'
+        |         ELSE '4E4F545F4D45444941' END AS hx
+        |  FROM src),
+        |n AS (SELECT media_id,
+        |    [16*(strpos('0123456789ABCDEF', hx[2*i+1])-1) + (strpos('0123456789ABCDEF', hx[2*i+2])-1) for i in range(0, len(hx)//2)] AS by
+        |  FROM b),
+        |m AS (SELECT media_id, by,
+        |    CASE WHEN len(by) >= 8 AND by[1]=137 AND by[2]=80 AND by[3]=78 AND by[4]=71
+        |              AND by[5]=13 AND by[6]=10 AND by[7]=26 AND by[8]=10 THEN 'image/png'
+        |         WHEN len(by) >= 3 AND by[1]=255 AND by[2]=216 AND by[3]=255 THEN 'image/jpeg'
+        |         WHEN len(by) >= 6 AND by[1]=71 AND by[2]=73 AND by[3]=70 AND by[4]=56
+        |              AND (by[5]=55 OR by[5]=57) AND by[6]=97 THEN 'image/gif'
+        |         ELSE NULL END AS mime
+        |  FROM n)
+        |SELECT media_id, mime,
+        |  (CASE WHEN mime = 'image/png' THEN by[17]*16777216 + by[18]*65536 + by[19]*256 + by[20]
+        |        WHEN mime = 'image/jpeg' THEN by[10]*256 + by[11]
+        |        WHEN mime = 'image/gif' THEN by[7] + by[8]*256 END)::INT AS width,
+        |  (CASE WHEN mime = 'image/png' THEN by[21]*16777216 + by[22]*65536 + by[23]*256 + by[24]
+        |        WHEN mime = 'image/jpeg' THEN by[8]*256 + by[9]
+        |        WHEN mime = 'image/gif' THEN by[9] + by[10]*256 END)::INT AS height
+        |FROM m ORDER BY media_id""".stripMargin,
 
     // the same double arithmetic as temperatureMix, then the q62 md5
     // membership test against the derived per-stratum threshold; a
