@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF}
+
+/** Bandwidth audit of the remaining multi-pass regex chains —
+  * [[TF.sanitizeLog]] (F4: 9-10 ordered regexp_replace passes),
+  * [[TF.containsPii]] / [[TF.containsProfanity]] (F2/F3: one compiled
+  * alternation each) and [[TF.filterProfanity]] — measured
+  * TextScaleDemo-style so the fuse-or-not decision is a number, not a
+  * guess. TextSignals proved the fusion lever on the ANNOTATE family
+  * (13 regex passes → 1 byte pass, 4 → 965 MB/s), but fusion must
+  * preserve ORDERED-REPLACEMENT semantics, and sanitization is
+  * correctness-critical — so per the round brief: measure first; fuse
+  * only if a path is actually hot next to the corpus-scan budget.
+  *
+  * What these paths process is NOT the 100 TB document corpus: F4 runs
+  * on log lines at display/storage time (q94's shape) and F2/F3 on
+  * operator-bounded query/guardrail strings (q24). The question this
+  * demo answers is whether their regex cost could ever bound a
+  * pipeline the way the pre-fusion annotate scan did.
+  * Run: `sbt "runMain graft.SanitizeScaleDemo"` (SANITIZE_SCALE_DOCS
+  * sizes it; COVERAGE.md records the measured table).
+  */
+object SanitizeScaleDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val n = sys.env.getOrElse("SANITIZE_SCALE_DOCS", "2000000").toLong
+    // log-shaped lines; every ~5th row carries something redactable so
+    // the replacement branches do real work (emails, bearer tokens,
+    // passwords, cards), the rest is plain request-log noise
+    val docs = spark.range(n).select(col("id"),
+        concat(
+          lit("2026-08-15T10:"), lpad(pmod(col("id"), lit(60)).cast("string"), 2, "0"),
+          lit(" INFO request user=u"), conv(col("id").cast("string"), 10, 16),
+          when(pmod(col("id"), lit(5)) === 0,
+            concat(lit(" contact "), conv(col("id").cast("string"), 10, 36),
+              lit("@example.com")))
+            .when(pmod(col("id"), lit(5)) === 1,
+              concat(lit(" auth Bearer dG9rZW4"), conv(col("id").cast("string"), 10, 16)))
+            .when(pmod(col("id"), lit(5)) === 2,
+              lit(" password=\"hunter2secret\""))
+            .when(pmod(col("id"), lit(5)) === 3,
+              lit(" card 4111-1111-1111-1111 declined"))
+            .otherwise(lit(" path=/api/v1/jobs status=200")),
+          lit(" latency_ms="), pmod(col("id") * 31, lit(500)).cast("string"),
+          lit(" this is stupid filler text and more of it for width")).as("text"))
+      .localCheckpoint(true)
+    val rows = docs.count()
+    val bytes = docs.select(sum(octet_length(col("text")))).head().getLong(0)
+    println(f"corpus: $rows%,d log lines, ${bytes / 1e6}%.0f MB of text")
+
+    def time(label: String)(agg: org.apache.spark.sql.Column): Unit = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        docs.select(agg).head()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warm
+      val secs = once()
+      println(f"$label%-34s ${secs}%6.2f s = ${rows / secs}%9.0f rows/s, " +
+        f"${bytes / secs / 1e6}%6.0f MB/s")
+    }
+
+    // consume the result so the scan cannot be optimized away
+    time("sanitizeLog (9 ordered passes)")(
+      sum(length(TF.sanitizeLog(col("text")))))
+    time("sanitizeLog + IP (10 passes)")(
+      sum(length(TF.sanitizeLog(col("text"), redactIp = true))))
+    time("containsPii (1 alternation)")(
+      sum(when(TF.containsPii(col("text")), 1L).otherwise(0L)))
+    time("containsProfanity (1 alternation)")(
+      sum(when(TF.containsProfanity(col("text")), 1L).otherwise(0L)))
+    time("filterProfanity (1 replace pass)")(
+      sum(length(TF.filterProfanity(col("text")))))
+    // the comparator: the fused annotate pass over the SAME corpus —
+    // the bandwidth the curation scan actually runs at on this host
+    time("fused TextSignals (comparator)")(
+      sum(TF.textSignals(col("text")).getField("n_tokens")))
+
+    // sanity: the redaction actually fired on the planted rows
+    val redacted = docs.select(
+      sum(when(TF.sanitizeLog(col("text")).contains("[EMAIL_REDACTED]"), 1L)
+        .otherwise(0L))).head().getLong(0)
+    require(redacted >= rows / 5 - 1,
+      s"email redaction fired on $redacted rows — corpus shape broken")
+    spark.stop()
+  }
+}
