@@ -1280,6 +1280,27 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    "q133_per_tool_rate_limit" -> ((s, d) => {
+      // T3's per-tool form (the reference's MCP limiter: one timestamp
+      // list per (key, tool), a DIFFERENT cap per tool,
+      // `mcp_rate_limiter.py:26-29`): events fan out over the three
+      // configured tools plus an UNCONFIGURED one (admitted with
+      // window_count for audit — the null-limit branch). The oracle
+      // re-derives the arrival-ordered sliding window per (user, tool)
+      // and the per-tool cap arithmetic, so a drift in either the
+      // window count or WHICH cap applies fails the hash.
+      val ev = T.events(s, d).select(col("event_id"), col("user_id"), col("ts"),
+        when(col("event_id") % 4 === 0, "search_knowledge")
+          .when(col("event_id") % 4 === 1, "create_task")
+          .when(col("event_id") % 4 === 2, "get_task_stats")
+          .otherwise("export_report").as("tool"))
+      RateLimit.perToolAdmission(ev, "user_id", "tool", "ts",
+          RateLimit.Limits.McpPerTool, tieBreak = Seq(col("event_id")))
+        .select(col("event_id"), col("user_id"), col("tool"),
+          col("window_count"), col("allowed"))
+        .orderBy(col("event_id"))
+    }),
+
     "q130_append_sink" -> ((s, d) => {
       // S3 (row insert / append sink): two successive mode("append")
       // parquet writes must ACCUMULATE — the second preserves the
@@ -2128,6 +2149,29 @@ object SparkEntry {
         |        WHEN mime = 'image/jpeg' THEN by[8]*256 + by[9]
         |        WHEN mime = 'image/gif' THEN by[9] + by[10]*256 END)::INT AS height
         |FROM m ORDER BY media_id""".stripMargin,
+
+    // q133: the q16 sliding-window arithmetic per (user, tool) — the
+    // count of arrivals already outside the trailing 60 s window
+    // subtracts from the arrival-ordered row_number — plus the
+    // per-tool cap CASE (10/5/30; the unconfigured tool always admits)
+    "q133_per_tool_rate_limit" ->
+      """WITH e AS (SELECT event_id, user_id, ts,
+        |    CASE WHEN event_id % 4 = 0 THEN 'search_knowledge'
+        |         WHEN event_id % 4 = 1 THEN 'create_task'
+        |         WHEN event_id % 4 = 2 THEN 'get_task_stats'
+        |         ELSE 'export_report' END AS tool
+        |  FROM events),
+        |w AS (SELECT event_id, user_id, tool,
+        |    row_number() OVER (PARTITION BY user_id, tool ORDER BY epoch_us(ts), event_id)
+        |    - count(*) OVER (PARTITION BY user_id, tool ORDER BY epoch_us(ts)
+        |        RANGE BETWEEN UNBOUNDED PRECEDING AND 60000000 PRECEDING) AS window_count
+        |  FROM e)
+        |SELECT event_id, user_id, tool, window_count,
+        |  CASE WHEN tool = 'search_knowledge' THEN window_count <= 10
+        |       WHEN tool = 'create_task' THEN window_count <= 5
+        |       WHEN tool = 'get_task_stats' THEN window_count <= 30
+        |       ELSE TRUE END AS allowed
+        |FROM w ORDER BY event_id""".stripMargin,
 
     // the same double arithmetic as temperatureMix, then the q62 md5
     // membership test against the derived per-stratum threshold; a
