@@ -15,7 +15,7 @@ import graft.sources.MergeTable
   * ("is this content already ingested?") opens EVERY row group at any
   * scale — and Spark's IN-pushdown degrades to a range check above 10
   * literals, so batching probes doesn't save it. [[MergeTable.init]]'s
-  * `bloomNdv` writes a per-row-group bloom filter on the key column;
+  * `bloomKeys` writes a per-row-group bloom filter on the key column;
   * this demo measures what that buys at ≥1M rows, the way
   * LayoutScaleDemo measures z-order pruning:
   *
@@ -127,7 +127,7 @@ object BloomLookupScaleDemo {
       probes.map(p => readerAudit(spark, dir, "content_hash", p, dict, bloom))
         .reduce((a, b) => (a._1 + b._1, a._2 + b._2))
 
-    var skips = Map.empty[String, (Long, Long)]
+    var skips = Map.empty[String, (Long, Long, Long)]
     for ((label, probes) <- Seq(("present", presentProbes), ("absent", absentProbes))) {
       val (statsM, tot) = auditSum(bloomPath, probes, dict = false, bloom = false)
       val (dictM, _) = auditSum(bloomPath, probes, dict = true, bloom = false)
@@ -135,7 +135,7 @@ object BloomLookupScaleDemo {
       println(f"$label%-8s row groups surviving (sum over ${probes.size} probes): " +
         f"stats $statsM%5d/$tot%5d   +dict $dictM%5d   +bloom $bloomM%5d   " +
         f"(skip ${if (bloomM == 0) "inf" else f"${statsM.toDouble / bloomM}%.1fx"})")
-      skips += label -> (statsM, bloomM)
+      skips += label -> (statsM, bloomM, tot)
     }
 
     // Spark-side wall: the end-to-end point lookup through the normal
@@ -168,12 +168,12 @@ object BloomLookupScaleDemo {
       s"layouts disagree on the probe row: ${idsB.toSeq} vs ${idsP.toSeq}")
 
     // the claim being graded: stats prune nothing on the hash domain;
-    // the bloom skips >=10x for absent probes (fpp-bounded)
-    val (statsAbsent, bloomAbsent) = skips("absent")
-    require(statsAbsent == auditSum(bloomPath, absentProbes.take(1),
-      dict = false, bloom = false)._2 * 5,
+    // the bloom skips >=10x for absent probes (fpp-bounded). `tot` is
+    // already probes x row-groups from the audit loop above.
+    val (statsAbsent, bloomAbsent, totAbsent) = skips("absent")
+    require(statsAbsent == totAbsent,
       "min/max stats unexpectedly pruned a uniform hash domain — " +
-        "the control assumption is broken")
+        s"the control assumption is broken ($statsAbsent vs $totAbsent)")
     require(bloomAbsent * 10 <= statsAbsent,
       s"bloom must skip >=10x of the stats-matched groups ($bloomAbsent vs $statsAbsent)")
 

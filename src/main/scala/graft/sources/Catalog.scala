@@ -61,15 +61,20 @@ object Catalog {
       df: DataFrame, sortCol: String, outPath: String,
       numFiles: Int, maxRecordsPerFile: Long = 5000000L,
       bloomKeys: Seq[String] = Nil): Unit = {
-    var w = df.repartitionByRange(numFiles, col(sortCol))
-      .sortWithinPartitions(col(sortCol))
-      .write.mode("overwrite")
-      .option("maxRecordsPerFile", maxRecordsPerFile)
-    if (bloomKeys.nonEmpty) w = w.option("parquet.bloom.filter.adaptive.enabled", "true")
-    bloomKeys.distinct.sorted.foreach { c =>
-      w = w.option(s"parquet.bloom.filter.enabled#$c", "true")
+    // loud, not silent: parquet-mr ignores bloom options for columns
+    // that don't exist, which would ship a layout with no filters and
+    // quietly lose the row-group skip
+    bloomKeys.foreach { c =>
+      require(df.columns.contains(c),
+        s"bloom column $c missing from the frame being compacted")
     }
-    w.parquet(outPath)
+    MergeTable.bloomWriteOptions(
+        df.repartitionByRange(numFiles, col(sortCol))
+          .sortWithinPartitions(col(sortCol))
+          .write.mode("overwrite")
+          .option("maxRecordsPerFile", maxRecordsPerFile),
+        bloomKeys)
+      .parquet(outPath)
   }
 
   /** True iff the scan of `df` prunes partitions (its PartitionFilters

@@ -410,6 +410,13 @@ object MergeTable {
     // crashed between the temp write and the link(2) claim; the same
     // grace keeps a mid-commit writer's temp file safe
     Manifests.sweepTemp(fs, manifestDir(root), cutoff)
+    // likewise `._bloom.*.tmp` stranded in the table root by a writer
+    // that crashed between writeBloomProps' temp write and its rename
+    fs.listStatus(root).filter(_.isFile)
+      .filter(s => s.getPath.getName.startsWith("._bloom.") &&
+        s.getPath.getName.endsWith(".tmp") &&
+        s.getModificationTime <= cutoff)
+      .foreach(s => fs.delete(s.getPath, false))
     dead.length
   }
 
@@ -426,41 +433,79 @@ object MergeTable {
       df: DataFrame): Seq[String] = {
     val batch = new Path(new Path(root, "data"),
       "batch-" + java.util.UUID.randomUUID().toString)
-    var w = df.write.mode("errorifexists")
-    val bloom = readBloomProps(fs, root)
-    if (bloom.nonEmpty) {
-      // adaptive sizing: the writer observes each chunk's real ndv and
-      // keeps the smallest candidate filter meeting the target fpp —
-      // tiny test tables pay kilobytes, not the 1 MB cap. Deliberately
-      // NO expected-ndv option: an explicit ndv takes precedence over
-      // the adaptive path in parquet-mr and pins every chunk at the
-      // ndv-implied size (measured +28% table bytes vs +2%)
-      w = w.option("parquet.bloom.filter.adaptive.enabled", "true")
-      bloom.foreach { c =>
-        w = w.option(s"parquet.bloom.filter.enabled#$c", "true")
-      }
-    }
-    w.parquet(batch.toString)
+    bloomWriteOptions(df.write.mode("errorifexists"), readBloomProps(fs, root))
+      .parquet(batch.toString)
     fs.listStatus(batch).map(_.getPath)
       .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
       .map(_.toUri.toString).toSeq.sorted
   }
 
+  /** The one place the parquet bloom writer options are spelled —
+    * shared by [[writeBatch]] and [[Catalog.compact]] so the two write
+    * paths cannot drift. Sizing is ADAPTIVE: the writer observes each
+    * chunk's real ndv and keeps the smallest candidate filter meeting
+    * the target fpp — tiny test tables pay kilobytes, not the 1 MB
+    * cap. Deliberately NO expected-ndv option: an explicit ndv takes
+    * precedence over the adaptive path in parquet-mr and pins every
+    * chunk at the ndv-implied size (measured +28% table bytes vs +2%
+    * adaptive on identical data). */
+  private[sources] def bloomWriteOptions[T](
+      w: org.apache.spark.sql.DataFrameWriter[T],
+      keys: Seq[String]): org.apache.spark.sql.DataFrameWriter[T] = {
+    if (keys.isEmpty) return w
+    var out = w.option("parquet.bloom.filter.adaptive.enabled", "true")
+    keys.distinct.sorted.foreach { c =>
+      out = out.option(s"parquet.bloom.filter.enabled#$c", "true")
+    }
+    out
+  }
+
   private def bloomPropsPath(root: Path) = new Path(root, "_bloom.properties")
 
-  /** Table-lifetime bloom config: written once by [[init]] (the table's
+  /** Table-lifetime bloom config: established by [[init]] (the table's
     * key columns never change — schema evolution is unsupported), read
-    * by every [[writeBatch]]. Format: one column name per line, sorted. */
+    * by every [[writeBatch]]. Format: one column name per line, sorted.
+    *
+    * IDEMPOTENT and race-safe, not exclusive-create: init can fail
+    * AFTER this file exists but BEFORE the v1 manifest commits (a
+    * mid-writeBatch crash), and two concurrent first writers both
+    * reach here before either commits (the KnowledgeBase TOCTOU
+    * fallback depends on the init loser failing at the MANIFEST
+    * commit, where the catch routes it to merge — not here). A
+    * leftover/concurrent file with the SAME columns is therefore
+    * tolerated; different columns fail loudly (two writers disagreeing
+    * on the table's keys is a caller bug, never silently resolvable).
+    * Publication goes through temp + rename so a concurrent
+    * [[writeBatch]] reads old-or-new, never a torn file. */
   private def writeBloomProps(
       fs: FileSystem, root: Path, cols: Seq[String]): Unit = {
     cols.foreach { c =>
       require(!c.contains("\n"),
         s"bloom column name not encodable in the properties line: $c")
     }
-    val out = fs.create(bloomPropsPath(root), false)
-    try out.write(cols.distinct.sorted
-      .mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val want = cols.distinct.sorted
+    val target = bloomPropsPath(root)
+    def requireSame(): Unit = {
+      val have = readBloomProps(fs, root).sorted
+      require(have == want,
+        s"bloom config at $target already exists with different columns " +
+          s"([${have.mkString(",")}] vs requested [${want.mkString(",")}]) — " +
+          "a failed or concurrent init used other keys; delete the path " +
+          "deliberately to change a table's bloom columns")
+    }
+    if (fs.exists(target)) { requireSame(); return }
+    val tmp = new Path(root,
+      s"._bloom.${java.util.UUID.randomUUID().toString}.tmp")
+    val out = fs.create(tmp, false)
+    try out.write(want.mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    if (!fs.rename(tmp, target)) {
+      // lost the publication race (or a leftover file appeared): keep
+      // the winner's file if it agrees, clean up our temp either way
+      fs.delete(tmp, false)
+      requireSame()
+    }
   }
 
   private def readBloomProps(fs: FileSystem, root: Path): Seq[String] = {

@@ -387,14 +387,52 @@ class MergeTableSpec extends SparkSpec {
   }
 
   test("Catalog.compact bloomKeys writes the filters on the compacted layout") {
-    val out = java.nio.file.Files.createTempDirectory("cat_bloom").toString + "/t"
-    val df = (1 to 1000).map(i => (i.toLong, s"key $i")).toDF("id", "k")
-      .withColumn("h", sha2($"k", 256))
-    graft.sources.Catalog.compact(df, "h", out, numFiles = 2,
-      bloomKeys = Seq("h"))
-    val files = spark.read.parquet(out).inputFiles.toSeq
-    val probe = df.filter($"id" === 3).select("h").head().getString(0)
-    val (wb, m, t) = bloomAudit(files, "h", probe)
-    assert(wb === t && t > 0 && m >= 1)
+    val tmp = java.nio.file.Files.createTempDirectory("cat_bloom")
+    try {
+      val out = tmp.toString + "/t"
+      val df = (1 to 1000).map(i => (i.toLong, s"key $i")).toDF("id", "k")
+        .withColumn("h", sha2($"k", 256))
+      intercept[IllegalArgumentException] {
+        graft.sources.Catalog.compact(df, "h", out, numFiles = 2,
+          bloomKeys = Seq("no_such_column")) // loud, not a silent no-filter write
+      }
+      graft.sources.Catalog.compact(df, "h", out, numFiles = 2,
+        bloomKeys = Seq("h"))
+      val files = spark.read.parquet(out).inputFiles.toSeq
+      val probe = df.filter($"id" === 3).select("h").head().getString(0)
+      val (wb, m, t) = bloomAudit(files, "h", probe)
+      assert(wb === t && t > 0 && m >= 1)
+    } finally graft.util.Fs.deleteRecursively(tmp)
+  }
+
+  test("bloom props survive a failed first init and tolerate the concurrent-init race") {
+    val path = freshPath()
+    val df = rows(1 to 20, "a").withColumn("h", sha2($"body", 256))
+    // simulate a crashed init: props file exists, NO manifest committed
+    val (fs, root) = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+    }
+    fs.mkdirs(root)
+    val props = new org.apache.hadoop.fs.Path(root, "_bloom.properties")
+    val out = fs.create(props, false)
+    out.write("h\n".getBytes("UTF-8")); out.close()
+    // retry with the SAME keys succeeds (idempotent, not poisoned)
+    MergeTable.init(spark, path, df, bloomKeys = Seq("h"))
+    assert(MergeTable.bloomConfig(spark, path) === Seq("h"))
+    assert(MergeTable.read(spark, path).count() === 20)
+    // a writer disagreeing on the table's keys fails loudly
+    val path2 = freshPath()
+    val (fs2, root2) = {
+      val p = new org.apache.hadoop.fs.Path(path2)
+      (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+    }
+    fs2.mkdirs(root2)
+    val o2 = fs2.create(new org.apache.hadoop.fs.Path(root2, "_bloom.properties"), false)
+    o2.write("other\n".getBytes("UTF-8")); o2.close()
+    intercept[IllegalArgumentException] {
+      MergeTable.init(spark, path2,
+        df.withColumn("other", lit("x")), bloomKeys = Seq("h"))
+    }
   }
 }
