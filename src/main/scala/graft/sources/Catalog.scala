@@ -61,13 +61,8 @@ object Catalog {
       df: DataFrame, sortCol: String, outPath: String,
       numFiles: Int, maxRecordsPerFile: Long = 5000000L,
       bloomKeys: Seq[String] = Nil): Unit = {
-    // loud, not silent: parquet-mr ignores bloom options for columns
-    // that don't exist, which would ship a layout with no filters and
-    // quietly lose the row-group skip
-    bloomKeys.foreach { c =>
-      require(df.columns.contains(c),
-        s"bloom column $c missing from the frame being compacted")
-    }
+    MergeTable.requireBloomCols(df.columns, bloomKeys,
+      "the frame being compacted")
     MergeTable.bloomWriteOptions(
         df.repartitionByRange(numFiles, col(sortCol))
           .sortWithinPartitions(col(sortCol))

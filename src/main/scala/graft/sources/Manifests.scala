@@ -59,11 +59,24 @@ private[graft] object Manifests {
     * every data file lands on HDFS. */
   def commit(fs: FileSystem, dir: Path, version: Long, files: Seq[String]): Unit = {
     fs.mkdirs(dir)
-    val target = versionPath(dir, version)
-    val bytes = (files.mkString("\n") + "\n").getBytes("UTF-8")
+    publishExclusive(fs, versionPath(dir, version), s"._v${version}_",
+      (files.mkString("\n") + "\n").getBytes("UTF-8"))
+  }
+
+  /** Exclusive, atomic publication of `bytes` at `target` — the commit
+    * primitive with the target path generalized (also publishes
+    * [[MergeTable]]'s `_bloom.properties`). Loud
+    * [[FileAlreadyExistsException]] for the loser of a race or a
+    * pre-existing target; readers never observe a torn file. A crash
+    * between the temp write and the claim can strand a
+    * `<tmpPrefix>*.tmp` next to the target; the caller owns sweeping
+    * those ([[sweepTemp]] / the bloom-temp sweeps). */
+  private[sources] def publishExclusive(
+      fs: FileSystem, target: Path, tmpPrefix: String,
+      bytes: Array[Byte]): Unit = {
     val isLocal = fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
       fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
-    if (isLocal && commitLocalAtomic(fs, target, version, bytes)) ()
+    if (isLocal && publishLocalAtomic(fs, target, tmpPrefix, bytes)) ()
     else {
       // HDFS-like: create(overwrite=false) is atomic namenode-side.
       // Also the documented fallback for local filesystems without
@@ -78,20 +91,20 @@ private[graft] object Manifests {
 
   /** RawLocalFileSystem's create(path, overwrite=false) is an
     * exists-check THEN create — a real (if tiny) window where two
-    * racing writers both "win" the same version and one manifest is
-    * silently overwritten. Write the content to a temp file and claim
-    * the version with link(2): atomic, fails with EEXIST for the loser
-    * (→ the FileAlreadyExists the OCC loop retries on), and readers can
-    * never observe a half-written manifest. Returns false when the
-    * filesystem refuses the link (no hard-link support) — the caller
-    * then falls back to exclusive create. A crash between write and
-    * link can strand a `._v*_*.tmp`; [[sweepTemp]] reclaims those. */
-  private def commitLocalAtomic(
-      fs: FileSystem, target: Path, version: Long,
+    * racing writers both "win" the same target and one file is
+    * silently overwritten (plain rename is WORSE: POSIX rename(2)
+    * overwrites an existing target and returns success, so a loser
+    * never even learns it lost). Write the content to a temp file and
+    * claim the target with link(2): atomic, fails with EEXIST for the
+    * loser (→ the FileAlreadyExists the OCC loop retries on), and
+    * readers can never observe a half-written file. Returns false when
+    * the filesystem refuses the link (no hard-link support) — the
+    * caller then falls back to exclusive create. */
+  private def publishLocalAtomic(
+      fs: FileSystem, target: Path, tmpPrefix: String,
       bytes: Array[Byte]): Boolean = {
     val p = java.nio.file.Paths.get(fs.makeQualified(target).toUri.getPath)
-    val tmp = java.nio.file.Files.createTempFile(
-      p.getParent, s"._v${version}_", ".tmp")
+    val tmp = java.nio.file.Files.createTempFile(p.getParent, tmpPrefix, ".tmp")
     try {
       // createTempFile defaults to 0600 (owner-only) and the hard link
       // shares the inode — restore umask-style 644 so another user's

@@ -94,10 +94,7 @@ object MergeTable {
       bloomKeys: Seq[String] = Nil): Snapshot = {
     val (fs, root) = fsOf(spark, path)
     require(latestVersion(fs, root).isEmpty, s"merge table already exists at $path")
-    bloomKeys.foreach { c =>
-      require(df.columns.contains(c),
-        s"bloom column $c missing from the table schema")
-    }
+    requireBloomCols(df.columns, bloomKeys, "the table schema")
     if (bloomKeys.nonEmpty) writeBloomProps(fs, root, bloomKeys)
     val files = writeBatch(spark, fs, root, df)
     commit(fs, root, 1L, files)
@@ -410,13 +407,11 @@ object MergeTable {
     // crashed between the temp write and the link(2) claim; the same
     // grace keeps a mid-commit writer's temp file safe
     Manifests.sweepTemp(fs, manifestDir(root), cutoff)
-    // likewise `._bloom.*.tmp` stranded in the table root by a writer
-    // that crashed between writeBloomProps' temp write and its rename
-    fs.listStatus(root).filter(_.isFile)
-      .filter(s => s.getPath.getName.startsWith("._bloom.") &&
-        s.getPath.getName.endsWith(".tmp") &&
-        s.getModificationTime <= cutoff)
-      .foreach(s => fs.delete(s.getPath, false))
+    // likewise `._bloom_*.tmp` stranded in the table root by a writer
+    // that crashed between writeBloomProps' temp write and its link(2)
+    // claim (writeBloomProps itself sweeps these on the retry path,
+    // since a crashed FIRST init leaves no manifest for vacuum to open)
+    sweepBloomTemps(fs, root, cutoff)
     dead.length
   }
 
@@ -433,7 +428,9 @@ object MergeTable {
       df: DataFrame): Seq[String] = {
     val batch = new Path(new Path(root, "data"),
       "batch-" + java.util.UUID.randomUUID().toString)
-    bloomWriteOptions(df.write.mode("errorifexists"), readBloomProps(fs, root))
+    val bloom = readBloomProps(fs, root)
+    requireBloomCols(df.columns, bloom, "the batch being written")
+    bloomWriteOptions(df.write.mode("errorifexists"), bloom)
       .parquet(batch.toString)
     fs.listStatus(batch).map(_.getPath)
       .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
@@ -460,53 +457,77 @@ object MergeTable {
     out
   }
 
+  /** Loud, not silent: parquet-mr IGNORES bloom options for columns
+    * absent from the frame, which would ship a layout with no filters
+    * and quietly lose the row-group skip. One check, every entry point
+    * ([[init]], [[Catalog.compact]], [[writeBatch]]). */
+  private[sources] def requireBloomCols(
+      cols: Array[String], keys: Seq[String], where: String): Unit =
+    keys.foreach { c =>
+      require(cols.contains(c), s"bloom column $c missing from $where")
+    }
+
   private def bloomPropsPath(root: Path) = new Path(root, "_bloom.properties")
 
   /** Table-lifetime bloom config: established by [[init]] (the table's
     * key columns never change — schema evolution is unsupported), read
     * by every [[writeBatch]]. Format: one column name per line, sorted.
     *
-    * IDEMPOTENT and race-safe, not exclusive-create: init can fail
-    * AFTER this file exists but BEFORE the v1 manifest commits (a
-    * mid-writeBatch crash), and two concurrent first writers both
-    * reach here before either commits (the KnowledgeBase TOCTOU
-    * fallback depends on the init loser failing at the MANIFEST
-    * commit, where the catch routes it to merge — not here). A
-    * leftover/concurrent file with the SAME columns is therefore
-    * tolerated; different columns fail loudly (two writers disagreeing
-    * on the table's keys is a caller bug, never silently resolvable).
-    * Publication goes through temp + rename so a concurrent
-    * [[writeBatch]] reads old-or-new, never a torn file. */
+    * IDEMPOTENT and race-safe: init can fail AFTER this file exists
+    * but BEFORE the v1 manifest commits (a mid-writeBatch crash), and
+    * two concurrent first writers can both reach here before either
+    * commits (the KnowledgeBase TOCTOU fallback depends on the init
+    * loser failing at the MANIFEST commit, where the catch routes it
+    * to merge — not here). A leftover/concurrent file with the SAME
+    * columns is therefore tolerated; different columns throw a LOUD
+    * [[IllegalStateException]] — deliberately NOT the
+    * IllegalArgumentException the KB fallback catches, so the
+    * actionable message is never buried under a misleading
+    * "no merge table" from the fallback merge. Publication reuses the
+    * manifest commit primitive ([[Manifests.publishExclusive]]:
+    * link(2)-exclusive — plain rename would silently OVERWRITE on
+    * POSIX and the loser would never learn it lost), so concurrent
+    * readers see the whole file or none, never a torn one. */
   private def writeBloomProps(
       fs: FileSystem, root: Path, cols: Seq[String]): Unit = {
     cols.foreach { c =>
-      require(!c.contains("\n"),
-        s"bloom column name not encodable in the properties line: $c")
+      require(c.nonEmpty && c == c.trim && !c.contains("\n"),
+        s"bloom column name not encodable in the properties line " +
+          s"(empty, padded, or multi-line): '$c'")
     }
     val want = cols.distinct.sorted
     val target = bloomPropsPath(root)
     def requireSame(): Unit = {
       val have = readBloomProps(fs, root).sorted
-      require(have == want,
+      if (have != want) throw new IllegalStateException(
         s"bloom config at $target already exists with different columns " +
           s"([${have.mkString(",")}] vs requested [${want.mkString(",")}]) — " +
           "a failed or concurrent init used other keys; delete the path " +
           "deliberately to change a table's bloom columns")
     }
     if (fs.exists(target)) { requireSame(); return }
-    val tmp = new Path(root,
-      s"._bloom.${java.util.UUID.randomUUID().toString}.tmp")
-    val out = fs.create(tmp, false)
-    try out.write(want.mkString("", "\n", "\n")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    if (!fs.rename(tmp, target)) {
-      // lost the publication race (or a leftover file appeared): keep
-      // the winner's file if it agrees, clean up our temp either way
-      fs.delete(tmp, false)
-      requireSame()
+    // a crashed earlier init can strand a publication temp HERE, before
+    // any manifest exists — and vacuum requires a committed table, so
+    // the retry path is the only sweeper that can reach it
+    sweepBloomTemps(fs, root,
+      System.currentTimeMillis() - 15L * 60L * 1000L)
+    fs.mkdirs(root) // first init: the publication temp needs the dir
+    try Manifests.publishExclusive(fs, target, "._bloom_",
+      want.mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch {
+      // lost the publication race: keep the winner's file if it agrees
+      case _: FileAlreadyExistsException => requireSame()
     }
   }
+
+  private def sweepBloomTemps(fs: FileSystem, root: Path, cutoff: Long): Unit =
+    if (fs.exists(root))
+      fs.listStatus(root).filter(_.isFile)
+        .filter(s => s.getPath.getName.startsWith("._bloom") &&
+          s.getPath.getName.endsWith(".tmp") &&
+          s.getModificationTime <= cutoff)
+        .foreach(s => fs.delete(s.getPath, false))
 
   private def readBloomProps(fs: FileSystem, root: Path): Seq[String] = {
     val p = bloomPropsPath(root)

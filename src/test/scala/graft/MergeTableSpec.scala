@@ -421,7 +421,10 @@ class MergeTableSpec extends SparkSpec {
     MergeTable.init(spark, path, df, bloomKeys = Seq("h"))
     assert(MergeTable.bloomConfig(spark, path) === Seq("h"))
     assert(MergeTable.read(spark, path).count() === 20)
-    // a writer disagreeing on the table's keys fails loudly
+    // a writer disagreeing on the table's keys fails loudly — with
+    // IllegalStateException, NOT the IllegalArgumentException the
+    // KnowledgeBase TOCTOU fallback catches (the actionable message
+    // must not be buried under the fallback merge's "no merge table")
     val path2 = freshPath()
     val (fs2, root2) = {
       val p = new org.apache.hadoop.fs.Path(path2)
@@ -430,9 +433,16 @@ class MergeTableSpec extends SparkSpec {
     fs2.mkdirs(root2)
     val o2 = fs2.create(new org.apache.hadoop.fs.Path(root2, "_bloom.properties"), false)
     o2.write("other\n".getBytes("UTF-8")); o2.close()
-    intercept[IllegalArgumentException] {
+    val e = intercept[IllegalStateException] {
       MergeTable.init(spark, path2,
         df.withColumn("other", lit("x")), bloomKeys = Seq("h"))
+    }
+    assert(e.getMessage.contains("different columns"))
+    // padded/multiline names are rejected before anything is written
+    // (readBloomProps trims lines, so they could never round-trip)
+    intercept[IllegalArgumentException] {
+      MergeTable.init(spark, freshPath(),
+        df.withColumn("h ", $"h"), bloomKeys = Seq("h "))
     }
   }
 }
