@@ -78,14 +78,26 @@ private[graft] object Manifests {
       fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
     if (isLocal && publishLocalAtomic(fs, target, tmpPrefix, bytes)) ()
     else {
-      // HDFS-like: create(overwrite=false) is atomic namenode-side.
-      // Also the documented fallback for local filesystems without
-      // hard-link support (exFAT, some NFS/SMB/FUSE mounts), where the
-      // exists-then-create window is the best available.
+      // HDFS-like (and the no-hardlink local fallback: exFAT, some
+      // NFS/SMB/FUSE mounts): write a temp in the target's directory,
+      // claim with rename — HDFS rename is atomic and REFUSES an
+      // existing destination (returns false → the loser's FAEE), so
+      // readers see the whole file or none. A bare create-then-write
+      // at the target would expose a zero-length/torn file to
+      // concurrent readers and leave a PERMANENT partial target after
+      // a mid-write crash — fatal for fixed-name files like
+      // _bloom.properties, whose readers treat content as config.
       if (fs.exists(target)) throw new FileAlreadyExistsException(target.toString)
-      val out = fs.create(target, false) // throws FileAlreadyExists on race
-      try out.write(bytes)
-      finally out.close()
+      val tmp = new Path(target.getParent,
+        tmpPrefix + java.util.UUID.randomUUID().toString + ".tmp")
+      val out = fs.create(tmp, false)
+      try { try out.write(bytes) finally out.close() }
+      catch { case e: Throwable => fs.delete(tmp, false); throw e }
+      if (!fs.rename(tmp, target)) {
+        fs.delete(tmp, false)
+        throw new FileAlreadyExistsException(
+          s"$target (lost the publication race, or the filesystem refused the rename)")
+      }
     }
   }
 
@@ -114,6 +126,13 @@ private[graft] object Manifests {
         java.nio.file.attribute.PosixFilePermissions.fromString("rw-r--r--"))
       catch { case _: UnsupportedOperationException => } // non-POSIX: keep default
       java.nio.file.Files.write(tmp, bytes)
+      // a stale ChecksumFileSystem sidecar (.<name>.crc) left by an
+      // earlier checksummed writer whose data file was hand-deleted
+      // would fail every checksummed read of the freshly-linked bytes;
+      // the target is absent here, so the sidecar is garbage by
+      // definition (harmless for manifests, whose names are unique)
+      java.nio.file.Files.deleteIfExists(
+        p.getParent.resolve("." + p.getFileName.toString + ".crc"))
       try { java.nio.file.Files.createLink(p, tmp); true }
       catch {
         case _: java.nio.file.FileAlreadyExistsException =>
@@ -124,14 +143,18 @@ private[graft] object Manifests {
     } finally java.nio.file.Files.deleteIfExists(tmp)
   }
 
-  /** Sweep `._v*_*.tmp` files stranded in the manifest dir by a writer
-    * that crashed between the temp write and the link(2) claim. The
-    * mtime `cutoff` is the same concurrency grace as the data-file
-    * vacuum: a mid-commit writer's temp file is younger and kept. */
-  def sweepTemp(fs: FileSystem, dir: Path, cutoff: Long): Unit =
+  /** Sweep `<prefix>*.tmp` files stranded in `dir` by a writer that
+    * crashed between the temp write and the link(2)/rename claim
+    * (manifest commits use the default `._v` prefix; the bloom-config
+    * publication sweeps `._bloom`). The mtime `cutoff` is the same
+    * concurrency grace as the data-file vacuum: a mid-commit writer's
+    * temp file is younger and kept. */
+  def sweepTemp(
+      fs: FileSystem, dir: Path, cutoff: Long,
+      prefix: String = "._v"): Unit =
     if (fs.exists(dir))
       fs.listStatus(dir).filter(_.isFile)
-        .filter(s => s.getPath.getName.startsWith("._v") &&
+        .filter(s => s.getPath.getName.startsWith(prefix) &&
           s.getPath.getName.endsWith(".tmp"))
         .filter(_.getModificationTime <= cutoff)
         .foreach(s => fs.delete(s.getPath, false))

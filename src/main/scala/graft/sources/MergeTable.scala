@@ -56,6 +56,11 @@ object MergeTable {
     * MB parquet at typical document-row widths). */
   private val InsertRowsPerFile = 4000000L
 
+  /** The concurrency grace shared by [[vacuum]]'s default retention and
+    * the stranded-temp sweeps: files younger than this may belong to a
+    * writer whose commit is about to win, so they are never reclaimed. */
+  val DefaultRetainMillis: Long = 15L * 60L * 1000L
+
 
   private def fsOf(spark: SparkSession, path: String): (FileSystem, Path) = {
     val p = new Path(path)
@@ -379,7 +384,7 @@ object MergeTable {
     * still ends, as documented. */
   def vacuum(
       spark: SparkSession, path: String,
-      retainMillis: Long = 15L * 60L * 1000L,
+      retainMillis: Long = DefaultRetainMillis,
       keepVersions: Seq[Long] = Nil): Int = {
     require(retainMillis >= 0, "retainMillis must be >= 0")
     val (fs, root) = fsOf(spark, path)
@@ -429,7 +434,16 @@ object MergeTable {
     val batch = new Path(new Path(root, "data"),
       "batch-" + java.util.UUID.randomUUID().toString)
     val bloom = readBloomProps(fs, root)
-    requireBloomCols(df.columns, bloom, "the batch being written")
+    // PERSISTED-config-vs-frame mismatch is table state, not a caller
+    // argument: IllegalStateException, so the KB/JobProcessor TOCTOU
+    // fallbacks (which catch IllegalArgumentException) can't bury the
+    // actionable message under the fallback merge's "no merge table"
+    bloom.filterNot(df.columns.contains).foreach { c =>
+      throw new IllegalStateException(
+        s"bloom column $c (persisted table config at ${bloomPropsPath(root)}) " +
+          "missing from the batch being written — parquet-mr would silently " +
+          "skip the filter; the table's writers must carry the full schema")
+    }
     bloomWriteOptions(df.write.mode("errorifexists"), bloom)
       .parquet(batch.toString)
     fs.listStatus(batch).map(_.getPath)
@@ -459,8 +473,11 @@ object MergeTable {
 
   /** Loud, not silent: parquet-mr IGNORES bloom options for columns
     * absent from the frame, which would ship a layout with no filters
-    * and quietly lose the row-group skip. One check, every entry point
-    * ([[init]], [[Catalog.compact]], [[writeBatch]]). */
+    * and quietly lose the row-group skip. Validates CALLER ARGUMENTS
+    * ([[init]]'s and [[Catalog.compact]]'s bloomKeys → require/IAE);
+    * [[writeBatch]] separately guards the persisted config with
+    * IllegalStateException (a state error the TOCTOU fallbacks must
+    * not swallow). */
   private[sources] def requireBloomCols(
       cols: Array[String], keys: Seq[String], where: String): Unit =
     keys.foreach { c =>
@@ -510,7 +527,7 @@ object MergeTable {
     // any manifest exists — and vacuum requires a committed table, so
     // the retry path is the only sweeper that can reach it
     sweepBloomTemps(fs, root,
-      System.currentTimeMillis() - 15L * 60L * 1000L)
+      System.currentTimeMillis() - DefaultRetainMillis)
     fs.mkdirs(root) // first init: the publication temp needs the dir
     try Manifests.publishExclusive(fs, target, "._bloom_",
       want.mkString("", "\n", "\n")
@@ -522,12 +539,7 @@ object MergeTable {
   }
 
   private def sweepBloomTemps(fs: FileSystem, root: Path, cutoff: Long): Unit =
-    if (fs.exists(root))
-      fs.listStatus(root).filter(_.isFile)
-        .filter(s => s.getPath.getName.startsWith("._bloom") &&
-          s.getPath.getName.endsWith(".tmp") &&
-          s.getModificationTime <= cutoff)
-        .foreach(s => fs.delete(s.getPath, false))
+    Manifests.sweepTemp(fs, root, cutoff, prefix = "._bloom")
 
   private def readBloomProps(fs: FileSystem, root: Path): Seq[String] = {
     val p = bloomPropsPath(root)
