@@ -36,13 +36,17 @@ import graft.sources.MergeTable
   */
 object BloomLookupScaleDemo {
 
-  /** Row groups surviving the reader's row-group filter for an Eq probe
-    * on `column` == `probe`, summed over the part files of `dir` — one
+  /** Row groups surviving the reader's row-group filter for a probe on
+    * `column` — Eq for one value, parquet `In` for several (exactly
+    * what Spark 4 pushes for `isin`: measured `PushedFilters:
+    * [In(content_hash, [...])]` at 50 literals, NOT the min/max range
+    * degradation earlier Spark versions applied above the
+    * inFilterThreshold) — summed over the part files of `dir`, one
     * small distributed job (cost ∝ files). `useDict`/`useBloom` toggle
-    * the reader's dictionary/bloom levels; stats filtering is always on
-    * (the baseline every reader applies). */
+    * the reader's dictionary/bloom levels; stats filtering is always
+    * on (the baseline every reader applies). */
   def readerAudit(
-      spark: SparkSession, dir: String, column: String, probe: String,
+      spark: SparkSession, dir: String, column: String, probes: Seq[String],
       useDict: Boolean, useBloom: Boolean): (Long, Long) = {
     val files = MergeTable.snapshot(spark, dir).files
     val conf = new org.apache.spark.util.SerializableConfiguration(
@@ -51,9 +55,17 @@ object BloomLookupScaleDemo {
       .parallelize(files, math.max(1, files.length / 16))
       .map { f =>
         val p = new org.apache.hadoop.fs.Path(f)
-        val pred = org.apache.parquet.filter2.predicate.FilterApi.eq(
-          org.apache.parquet.filter2.predicate.FilterApi.binaryColumn(column),
-          org.apache.parquet.io.api.Binary.fromString(probe))
+        import org.apache.parquet.filter2.predicate.FilterApi
+        import org.apache.parquet.io.api.Binary
+        val pred =
+          if (probes.size == 1)
+            FilterApi.eq(FilterApi.binaryColumn(column),
+              Binary.fromString(probes.head))
+          else {
+            val set = new java.util.HashSet[Binary]()
+            probes.foreach(x => set.add(Binary.fromString(x)))
+            FilterApi.in(FilterApi.binaryColumn(column), set)
+          }
         val opts = org.apache.parquet.HadoopReadOptions.builder(conf.value, p)
           .useStatsFilter(true)
           .useDictionaryFilter(useDict)
@@ -124,7 +136,7 @@ object BloomLookupScaleDemo {
 
     def auditSum(dir: String, probes: Seq[String],
         dict: Boolean, bloom: Boolean): (Long, Long) =
-      probes.map(p => readerAudit(spark, dir, "content_hash", p, dict, bloom))
+      probes.map(p => readerAudit(spark, dir, "content_hash", Seq(p), dict, bloom))
         .reduce((a, b) => (a._1 + b._1, a._2 + b._2))
 
     var skips = Map.empty[String, (Long, Long, Long)]
@@ -136,6 +148,22 @@ object BloomLookupScaleDemo {
         f"stats $statsM%5d/$tot%5d   +dict $dictM%5d   +bloom $bloomM%5d   " +
         f"(skip ${if (bloomM == 0) "inf" else f"${statsM.toDouble / bloomM}%.1fx"})")
       skips += label -> (statsM, bloomM, tot)
+    }
+
+    // batch probes — the admission-gate shape ("which of these K
+    // hashes are already ingested?"), pushed by Spark as ONE parquet
+    // In predicate; the bloom evaluates every value per row group, so
+    // skipping degrades gracefully as K grows instead of falling off
+    // a pushdown cliff
+    for (k <- Seq(5, 50, 500)) {
+      val batch = (1 to k).map(i => sha(s"content ${i * (n / (k + 1))}"))
+      val (statsM, tot) = readerAudit(spark, bloomPath, "content_hash",
+        batch, useDict = true, useBloom = false)
+      val (bloomM, _) = readerAudit(spark, bloomPath, "content_hash",
+        batch, useDict = true, useBloom = true)
+      println(f"IN($k%4d present) one In predicate: row groups " +
+        f"stats+dict $statsM%4d/$tot%4d   +bloom $bloomM%4d/$tot%4d " +
+        f"(skip ${statsM.toDouble / math.max(bloomM, 1)}%.1fx)")
     }
 
     // Spark-side wall: the end-to-end point lookup through the normal
