@@ -1301,6 +1301,39 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "q134_content_hash_lookup" -> ((s, d) => {
+      // S5/D4's SERVING half: the unique-key point lookup against the
+      // MergeTable-backed KB (the reference's `WHERE content_hash=$1`
+      // UNIQUE-btree query). In-query table build is the oracle's
+      // price (q103 convention); the lookup itself is the bloom-
+      // skipped pushed-In scan. Content gets a per-row suffix so
+      // content_hash is unique (the upsert contract) without a
+      // winner-picking window on both sides; probe set = the %97
+      // slice PLUS two never-ingested hashes (must return nothing —
+      // the admission-gate "no" path).
+      val docs = T.documents(s, d).filter(col("text").isNotNull)
+      val kbIn = docs.select(col("doc_id"),
+        concat(col("text"), lit(" #"), col("doc_id").cast("string"))
+          .as("content"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q134")
+      graft.kb.KnowledgeBase.upsertDocumentsToTable(
+        s, tmp.toString + "/kb", kbIn, "content")
+      val present = kbIn.filter(col("doc_id") % 97 === 3)
+        .select(sha2(col("content"), 256))
+        .collect().map(_.getString(0)).toSeq
+      def sha(x: String): String = java.security.MessageDigest
+        .getInstance("SHA-256").digest(x.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val probes = present ++ Seq(sha("never ingested 1"), sha("never ingested 2"))
+      val out = graft.kb.KnowledgeBase
+        .findByContentHash(s, tmp.toString + "/kb", probes)
+        .select(col("doc_id"), col("content_hash"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true) // eager pin, then reclaim the staged table
+      graft.util.Fs.deleteRecursively(tmp)
+      out
+    }),
+
     "q130_append_sink" -> ((s, d) => {
       // S3 (row insert / append sink): two successive mode("append")
       // parquet writes must ACCUMULATE — the second preserves the
@@ -2172,6 +2205,18 @@ object SparkEntry {
         |       WHEN tool = 'get_task_stats' THEN window_count <= 30
         |       ELSE TRUE END AS allowed
         |FROM w ORDER BY event_id""".stripMargin,
+
+    // q134: the oracle re-derives the same unique-suffixed content,
+    // hashes it (DuckDB sha256(VARCHAR) hashes the UTF-8 bytes ==
+    // Spark sha2(string, 256)), and filters to the same probe slice —
+    // the two never-ingested probes match nothing on both sides
+    "q134_content_hash_lookup" ->
+      """WITH kb AS (SELECT doc_id,
+        |    sha256(text || ' #' || doc_id::VARCHAR) AS content_hash
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id, content_hash FROM kb
+        |WHERE doc_id % 97 = 3
+        |ORDER BY doc_id""".stripMargin,
 
     // the same double arithmetic as temperatureMix, then the q62 md5
     // membership test against the derived per-stratum threshold; a

@@ -117,6 +117,30 @@ object KnowledgeBase {
     } else { MergeTable.merge(spark, path, in, Seq("content_hash")); () }
   }
 
+  /** The unique-key point lookup over the MergeTable-backed KB — the
+    * reference's `SELECT ... WHERE content_hash = $1` against its
+    * UNIQUE btree (`Supabase/knowledge_base-RAG.sql:8,35-40`), and the
+    * dedup-admission question "which of these contents are already
+    * ingested?". `hashes` pushes into the parquet scan as ONE `In`
+    * predicate, which the reader evaluates against the table's
+    * content_hash BLOOM filters (written by
+    * [[upsertDocumentsToTable]]'s init) — row-group-bounded IO from
+    * the first committed version, no compact pass needed
+    * (BloomLookupScaleDemo at 4M rows: 176x row-group skip for single
+    * probes, 35x for 5-probe batches, graceful degradation by 500).
+    * Bounded-batch contract: `hashes` is an application-sized key
+    * list (one ingest batch / one request), not a data-sized frame —
+    * literal-list ANALYSIS cost grows past ~10k entries (the
+    * DedupIndex idPushLimit rationale); join against [[
+    * graft.sources.MergeTable.read]] instead at that scale. */
+  def findByContentHash(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      hashes: Seq[String]): DataFrame = {
+    require(hashes.nonEmpty, "hashes must not be empty")
+    graft.sources.MergeTable.read(spark, path)
+      .filter(col("content_hash").isin(hashes: _*))
+  }
+
   /** Hybrid retrieval: the vector ranking ([[matchDocuments]]) fused by
     * reciprocal rank with a BM25 lexical ranking over `contentCol` —
     * the extension a production RAG stack runs where the reference is

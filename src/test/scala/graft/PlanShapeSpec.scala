@@ -273,4 +273,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(readCols === Set("doc_id", "text"),
       s"curation scan should read only (doc_id, text): $readCols")
   }
+
+  test("content-hash lookup pushes ONE In predicate into the KB table scan") {
+    // the bloom row-group skip (BloomLookupScaleDemo's 176x) only
+    // fires if the In actually reaches the parquet reader — gate the
+    // pushdown so a future isin->join rewrite or a filter hoisted
+    // above a projection fails here, not at 100 TB
+    val base = java.nio.file.Files.createTempDirectory("plan_kb").toString + "/kb"
+    val docs = Tables.documents(spark, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" #"), col("doc_id").cast("string")).as("content"))
+    graft.kb.KnowledgeBase.upsertDocumentsToTable(spark, base, docs, "content")
+    val probes = docs.limit(12).select(sha2(col("content"), 256))
+      .collect().map(_.getString(0)).toSeq // 12 > the old inFilterThreshold
+    val lookup = graft.kb.KnowledgeBase.findByContentHash(spark, base, probes)
+    val scan = collectPlan(lookup).collect { case f: FileSourceScanExec => f }.head
+    assert(scan.metadata.get("PushedFilters").exists(_.contains("In(content_hash")),
+      s"content_hash In not pushed: ${scan.metadata.get("PushedFilters")}")
+    assert(lookup.count() === 12)
+  }
 }
