@@ -13,8 +13,9 @@ import graft.sources.MergeTable
   * columnar analog has no btree, and on a uniform sha256 domain every
   * file's [min,max] covers every probe, so a content-hash lookup
   * ("is this content already ingested?") opens EVERY row group at any
-  * scale — and Spark's IN-pushdown degrades to a range check above 10
-  * literals, so batching probes doesn't save it. [[MergeTable.init]]'s
+  * scale — and while Spark 4 pushes `isin` as one parquet In predicate
+  * (measured below), without blooms its per-value evaluation has only
+  * those same useless min/max stats to consult. [[MergeTable.init]]'s
   * `bloomKeys` writes a per-row-group bloom filter on the key column;
   * this demo measures what that buys at ≥1M rows, the way
   * LayoutScaleDemo measures z-order pruning:
@@ -93,6 +94,10 @@ object BloomLookupScaleDemo {
     spark.sparkContext.setLogLevel("ERROR")
 
     val n = sys.env.getOrElse("BLOOM_SCALE_ROWS", "4000000").toLong
+    // the batch audit generates up to 500 distinct present keys via
+    // i * (n / (k + 1)); a tiny n would silently collapse them to one
+    // key and mislabel the measurement — fail loudly instead
+    require(n > 1000, s"BLOOM_SCALE_ROWS must exceed 1000 (got $n)")
     val files = 16
     // several row groups per file so the audit has sub-file granularity
     // (default 128 MB block = 1 group/file at this size)
@@ -126,9 +131,7 @@ object BloomLookupScaleDemo {
     println(f"table bytes: bloom ${bloomBytes / 1e6}%.1f MB vs plain " +
       f"${plainBytes / 1e6}%.1f MB (+${(bloomBytes - plainBytes) * 100.0 / plainBytes}%.2f%%)")
 
-    def sha(s: String): String = java.security.MessageDigest
-      .getInstance("SHA-256").digest(s.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
+    def sha(s: String): String = graft.util.Hashing.sha256Hex(s)
     // probes: half present (random ids), half absent (the admission-
     // gate case — "have we ingested this content?" is mostly "no")
     val presentProbes = (1 to 5).map(i => sha(s"content ${i * (n / 7)}"))

@@ -1309,8 +1309,12 @@ object SparkEntry {
       // skipped pushed-In scan. Content gets a per-row suffix so
       // content_hash is unique (the upsert contract) without a
       // winner-picking window on both sides; probe set = the %97
-      // slice PLUS two never-ingested hashes (must return nothing —
-      // the admission-gate "no" path).
+      // slice CAPPED at doc_id < 50000 — findByContentHash's contract
+      // is an APPLICATION-sized key list, so the probe count must not
+      // grow with the corpus (~51 keys at every sf; Sf1DataGen shifts
+      // copy keys by 1e9, so the cap also pins sf1 to copy 0) — PLUS
+      // two never-ingested hashes (must return nothing — the
+      // admission-gate "no" path).
       val docs = T.documents(s, d).filter(col("text").isNotNull)
       val kbIn = docs.select(col("doc_id"),
         concat(col("text"), lit(" #"), col("doc_id").cast("string"))
@@ -1318,13 +1322,13 @@ object SparkEntry {
       val tmp = java.nio.file.Files.createTempDirectory("graft_q134")
       graft.kb.KnowledgeBase.upsertDocumentsToTable(
         s, tmp.toString + "/kb", kbIn, "content")
-      val present = kbIn.filter(col("doc_id") % 97 === 3)
+      val present = kbIn
+        .filter(col("doc_id") % 97 === 3 && col("doc_id") < 50000)
         .select(sha2(col("content"), 256))
         .collect().map(_.getString(0)).toSeq
-      def sha(x: String): String = java.security.MessageDigest
-        .getInstance("SHA-256").digest(x.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
-      val probes = present ++ Seq(sha("never ingested 1"), sha("never ingested 2"))
+      import graft.util.Hashing.sha256Hex
+      val probes = present ++
+        Seq(sha256Hex("never ingested 1"), sha256Hex("never ingested 2"))
       val out = graft.kb.KnowledgeBase
         .findByContentHash(s, tmp.toString + "/kb", probes)
         .select(col("doc_id"), col("content_hash"))
@@ -2215,7 +2219,7 @@ object SparkEntry {
         |    sha256(text || ' #' || doc_id::VARCHAR) AS content_hash
         |  FROM documents WHERE text IS NOT NULL)
         |SELECT doc_id, content_hash FROM kb
-        |WHERE doc_id % 97 = 3
+        |WHERE doc_id % 97 = 3 AND doc_id < 50000
         |ORDER BY doc_id""".stripMargin,
 
     // the same double arithmetic as temperatureMix, then the q62 md5

@@ -353,8 +353,8 @@ object DedupIndex {
         // versions), which the reader evaluates against BOTH the
         // footer stats (effective after [[compact]] range-sorts on
         // bucket) and the bucket BLOOM written at [[build]] (effective
-        // from the first committed version — measured 6x row-group
-        // skip at 50 values, graceful degradation by 500). A larger
+        // from the first committed version — measured 35x row-group
+        // skip at 5 values, 3.8x at 50, graceful by 500). A larger
         // batch still skips the literal list: an IN over tens of
         // thousands of literals costs more in ANALYSIS than the scan
         // it prunes (measured: 4k docs × 32 bands = 128k literals

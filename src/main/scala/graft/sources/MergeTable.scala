@@ -84,9 +84,9 @@ object MergeTable {
     * fingerprints — the reference's `UNIQUE content_hash` btree,
     * `Supabase/knowledge_base-RAG.sql:8,35-40`): min/max stats are
     * useless on a uniform hash domain (every file's range covers every
-    * probe) and Spark's IN-pushdown degrades to a range check above 10
-    * literals, so without blooms a point lookup opens every row group
-    * at any scale. Filters are sized ADAPTIVELY to each row group's
+    * probe) — and that is all a pushed Eq/In predicate can consult
+    * without them — so a point lookup opens every row group at any
+    * scale. Filters are sized ADAPTIVELY to each row group's
     * observed ndv (the writer keeps the smallest of its candidate
     * filters meeting the 1% fpp target; setting an explicit
     * expected-ndv would DISABLE that and pin every chunk at the

@@ -1,0 +1,14 @@
+package graft.util
+
+/** Driver-side hash helpers for constructing probe keys that must
+  * match engine-computed hashes bit-exactly. */
+object Hashing {
+
+  /** Lowercase-hex SHA-256 of the UTF-8 bytes — the driver-side twin
+    * of Spark's `sha2(col, 256)` and DuckDB's `sha256(VARCHAR)` (both
+    * hash the UTF-8 bytes and emit lowercase hex). */
+  def sha256Hex(s: String): String = java.security.MessageDigest
+    .getInstance("SHA-256")
+    .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    .map("%02x".format(_)).mkString
+}
