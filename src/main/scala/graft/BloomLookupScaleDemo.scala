@@ -189,6 +189,30 @@ object BloomLookupScaleDemo {
         f"bloom $bw%6.3f s vs plain $pw%6.3f s (${pw / bw}%.1fx)")
     }
 
+    // merge touched-file DISCOVERY: a small update batch pushes its
+    // exact key list as one In predicate into the key-column scan, so
+    // on the bloomed table discovery opens only the row groups that
+    // can hold a matched key; the plain table's only consultable stat
+    // is the useless hash-domain min/max. Best-of-2 (two real commits
+    // each — the second merge re-discovers against v2's files).
+    def mergeWall(dir: String): Double = {
+      def once(): Double = {
+        val updates = spark.range(1, 11)
+          .select((col("id") * (n / 11)).as("id"))
+          .withColumn("content_hash", sha2(concat(lit("content "),
+            col("id").cast("string")), 256))
+          .withColumn("payload", md5(col("id").cast("string")))
+        val t0 = System.nanoTime()
+        MergeTable.merge(spark, dir, updates, Seq("content_hash"))
+        (System.nanoTime() - t0) / 1e9
+      }
+      math.min(once(), once())
+    }
+    val mb = mergeWall(bloomPath)
+    val mp = mergeWall(plainPath)
+    println(f"10-row keyed merge (discovery-dominated): bloom $mb%6.3f s vs " +
+      f"plain $mp%6.3f s (${mp / mb}%.1fx)")
+
     // correctness: both layouts agree with the generator
     val p0 = presentProbes.head
     val idsB = MergeTable.read(spark, bloomPath)

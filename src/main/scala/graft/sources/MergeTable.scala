@@ -253,17 +253,29 @@ object MergeTable {
     MergeStats(snap.version + 1, kept.size, hit.size, newFiles.size, nU)
   }
 
+  /** Small-batch cap for pushing the EXACT update-key list into the
+    * discovery scan (one parquet In predicate) instead of the [min,max]
+    * range: above it, the literal list costs more in Catalyst analysis
+    * than the scan it prunes (the DedupIndex idPushLimit rationale —
+    * 128k literals measured tripling a probe). */
+  private val DiscoveryInLimit = 1000
+
   /** The touched-file discovery plan: distinct `input_file_name` of
     * rows whose key matches an update key, scanning ONLY the key
-    * column. Single-key [min,max] of the update keys is pushed into the
-    * parquet scan (MergeTableSpec gates `PushedFilters`), so on a
-    * [[compactTable]]'d (key-range-sorted) table most files are pruned
-    * at the footer level before the semi-join runs. */
+    * column. For a single key column, a SMALL batch (≤
+    * [[DiscoveryInLimit]] distinct keys) pushes the exact key list as
+    * ONE parquet In predicate — the reader checks it against footer
+    * stats AND the table's bloom filters, so on a hash/uuid key domain
+    * (content_hash, request_id — where a RANGE covers every file) a
+    * bloomed table's discovery opens only the row groups that can hold
+    * a matched key. Larger batches fall back to the [min,max] range,
+    * which prunes on [[compactTable]]'d (key-range-sorted) layouts.
+    * MergeTableSpec gates both `PushedFilters` shapes. */
   private[graft] def discoveryFrame(
       spark: SparkSession, files: Seq[String], u: DataFrame,
       keyCols: Seq[String]): DataFrame = {
     val base = spark.read.parquet(files: _*)
-    // The range filter goes DIRECTLY on the relation, before the
+    // The filter goes DIRECTLY on the relation, before the
     // projection that adds input_file_name(): that expression is
     // non-deterministic, and Catalyst refuses to push any predicate
     // through a projection containing one — filtering after it would
@@ -271,9 +283,15 @@ object MergeTable {
     val ranged =
       if (keyCols.size == 1) {
         val k = keyCols.head
-        val r = u.agg(min(col(k)).as("lo"), max(col(k)).as("hi")).head()
-        if (r.isNullAt(0)) base
-        else base.filter(col(k) >= lit(r.get(0)) && col(k) <= lit(r.get(1)))
+        val keys = u.select(col(k)).distinct()
+          .limit(DiscoveryInLimit + 1).collect().map(_.get(0)).toSeq
+        if (keys.isEmpty || keys.contains(null)) base
+        else if (keys.size <= DiscoveryInLimit)
+          base.filter(col(k).isin(keys: _*))
+        else {
+          val r = u.agg(min(col(k)).as("lo"), max(col(k)).as("hi")).head()
+          base.filter(col(k) >= lit(r.get(0)) && col(k) <= lit(r.get(1)))
+        }
       } else base
     ranged.select(keyCols.map(col) :+ input_file_name().as("__file"): _*)
       .join(broadcast(u.select(keyCols.map(col): _*).distinct()),

@@ -196,7 +196,15 @@ object JobProcessor {
         // exists→init is a TOCTOU race: a concurrent query targeting the
         // same path can win the init; the loser merges instead of dying
         // (the OCC contract runToMergeTable's doc promises)
-        try { graft.sources.MergeTable.init(spark, tablePath, deduped); () }
+        // bloom on the unique key: request ids are a uuid-shaped domain
+        // where min/max stats cover every probe, so both the merge's
+        // touched-file discovery (small batches push the exact key
+        // list as one In predicate) and any point lookup need the
+        // filters to skip row groups
+        try {
+          graft.sources.MergeTable.init(spark, tablePath, deduped,
+            bloomKeys = Seq("request_id")); ()
+        }
         catch {
           case _: IllegalArgumentException |
                _: org.apache.hadoop.fs.FileAlreadyExistsException =>

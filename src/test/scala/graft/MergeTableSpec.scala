@@ -181,24 +181,33 @@ class MergeTableSpec extends SparkSpec {
     assert(MergeTable.snapshot(spark, path).version === 1L)
   }
 
-  test("touched-file discovery pushes the key range into the parquet scan") {
+  test("touched-file discovery pushes keys into the parquet scan (In small, range large)") {
     val path = freshPath()
     MergeTable.init(spark, path, rows(1 to 1000, "a"))
     MergeTable.compactTable(spark, path, "id", numFiles = 8)
     val snap = MergeTable.snapshot(spark, path)
-    val df = MergeTable.discoveryFrame(
-      spark, snap.files, rows(10 to 20, "new"), Seq("id"))
-    val scans = graft.util.Plans.executedNodes(df).collect {
-      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    def pushedFor(updates: org.apache.spark.sql.DataFrame): (String, String) = {
+      val df = MergeTable.discoveryFrame(spark, snap.files, updates, Seq("id"))
+      val scans = graft.util.Plans.executedNodes(df).collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty, "expected a parquet scan in the discovery plan")
+      (scans.map(_.metadata.getOrElse("PushedFilters", "")).mkString,
+        scans.head.metadata.getOrElse("ReadSchema", ""))
     }
-    assert(scans.nonEmpty, "expected a parquet scan in the discovery plan")
-    val pushed = scans.map(_.metadata.getOrElse("PushedFilters", "")).mkString
-    assert(pushed.contains("GreaterThanOrEqual(id") &&
-      pushed.contains("LessThanOrEqual(id"),
-      s"update key range must reach the parquet footer level, got: $pushed")
+    // small batch: the EXACT key list as one In predicate — what the
+    // reader checks against the table's bloom filters on hash domains
+    val (pushedIn, readIn) = pushedFor(rows(10 to 20, "new"))
+    assert(pushedIn.contains("In(id"),
+      s"small-batch keys must push as one In predicate, got: $pushedIn")
     // the scan reads only the key column (+ synthetic file name)
-    val read = scans.head.metadata.getOrElse("ReadSchema", "")
-    assert(!read.contains("tag"), s"discovery must not read data columns: $read")
+    assert(!readIn.contains("tag"), s"discovery must not read data columns: $readIn")
+    // large batch (> DiscoveryInLimit distinct keys): the [min,max]
+    // range, which prunes on the compacted (key-range-sorted) layout
+    val (pushedRange, _) = pushedFor(rows(1 to 1500, "new"))
+    assert(pushedRange.contains("GreaterThanOrEqual(id") &&
+      pushedRange.contains("LessThanOrEqual(id"),
+      s"large-batch key range must reach the footer level, got: $pushedRange")
   }
 
   test("merge rejects NULL keys and schema drift loudly") {
