@@ -210,8 +210,9 @@ object BloomLookupScaleDemo {
     }
     val mb = mergeWall(bloomPath)
     val mp = mergeWall(plainPath)
-    println(f"10-row keyed merge (discovery-dominated): bloom $mb%6.3f s vs " +
-      f"plain $mp%6.3f s (${mp / mb}%.1fx)")
+    println(f"10-row keyed merge (wall is REWRITE-dominated on warm local " +
+      f"NVMe; the discovery win is the row-group skip above): bloom $mb%6.3f s " +
+      f"vs plain $mp%6.3f s (${mp / mb}%.1fx)")
 
     // correctness: both layouts agree with the generator
     val p0 = presentProbes.head

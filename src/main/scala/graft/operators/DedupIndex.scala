@@ -362,14 +362,13 @@ object DedupIndex {
         // (a replaced id must not pair with its own old version)
         // filters on cid AFTER the join, where only collision rows
         // remain.
-        val buckets = bandsB.select(col("bucket")).distinct()
-          .limit(idPushLimit + 1).collect().map(_.getInt(0)).toSeq
+        val buckets = graft.util.Pushdown.keyLiterals(bandsB, "bucket", idPushLimit)
         val corpusScan0 = MergeTable.readAt(
           spark, componentPath(path, p0.bands.dir), p0.bands.version)
-        val corpusScan =
-          if (buckets.length <= idPushLimit)
-            corpusScan0.filter(col("bucket").isin(buckets: _*))
-          else corpusScan0
+        val corpusScan = buckets match {
+          case Some(bs) => corpusScan0.filter(col("bucket").isin(bs: _*))
+          case None => corpusScan0
+        }
         // ALL batch ids, from the raw batch: a NULL-text batch row
         // (content retraction in flight) carries no shingles but must
         // still exclude its stale corpus copy from pairing
@@ -438,16 +437,15 @@ object DedupIndex {
           // prune, unlike hash buckets); anything larger semi-joins
           // against the broadcast collision frame — scan-time hash
           // probe, never a driver-side literal explosion.
-          val cids = collide.select(col("cid")).distinct()
-            .limit(idPushLimit + 1).collect().map(_.get(0)).toSeq
+          val cids = graft.util.Pushdown.keyLiterals(collide, "cid", idPushLimit)
           val corpusShAll = MergeTable.readAt(
             spark, componentPath(path, p0.shingles.dir), p0.shingles.version)
-          val corpusSh =
-            if (cids.length <= idPushLimit)
-              corpusShAll.filter(col("id").isin(cids: _*))
-            else corpusShAll.join(
+          val corpusSh = cids match {
+            case Some(cs) => corpusShAll.filter(col("id").isin(cs: _*))
+            case None => corpusShAll.join(
               broadcast(collide.select(col("cid").as("id")).distinct()),
               Seq("id"), "left_semi")
+          }
 
           val candCB = collide
             .select(least(col("cid"), col("bid")).as("id_a"),

@@ -256,16 +256,15 @@ object SemanticIndex {
       idCol: String, assignedB: DataFrame, tau: Double,
       includeBatchPairs: Boolean, idPushLimit: Int,
       maxClusterPostings: Option[Int]): DataFrame = {
-    val clusters = assignedB.select(col("cluster")).distinct()
-        .limit(idPushLimit + 1).collect().map(_.getInt(0)).toSeq
+    val clusters = graft.util.Pushdown.keyLiterals(assignedB, "cluster", idPushLimit)
       val corpusScan0 = MergeTable.readAt(
         spark, componentPath(path, p0.vectors.dir), p0.vectors.version)
-      val corpusScan =
-        if (clusters.length <= idPushLimit)
-          corpusScan0.filter(col("cluster").isin(clusters: _*))
-        else corpusScan0.join(
+      val corpusScan = clusters match {
+        case Some(cs) => corpusScan0.filter(col("cluster").isin(cs: _*))
+        case None => corpusScan0.join(
           broadcast(assignedB.select(col("cluster")).distinct()),
           Seq("cluster"), "left_semi")
+      }
       // ALL batch ids, from the raw batch: a NULL-vec row (retraction
       // in flight) must still exclude its stale corpus copy
       val batchIds = batch.select(col(idCol).as("id"))

@@ -223,7 +223,7 @@ object MergeTable {
 
     val touched: Set[String] =
       if (nU == 0) Set.empty
-      else discoveryFrame(spark, snap.files, u, keyCols)
+      else discoveryFrame(spark, snap.files, u, keyCols, nU)
         .collect().map(r => normalize(r.getString(0))).toSet
 
     val (hit, kept) = snap.files.partition(f => touched.contains(normalize(f)))
@@ -262,36 +262,42 @@ object MergeTable {
 
   /** The touched-file discovery plan: distinct `input_file_name` of
     * rows whose key matches an update key, scanning ONLY the key
-    * column. For a single key column, a SMALL batch (≤
-    * [[DiscoveryInLimit]] distinct keys) pushes the exact key list as
-    * ONE parquet In predicate — the reader checks it against footer
-    * stats AND the table's bloom filters, so on a hash/uuid key domain
-    * (content_hash, request_id — where a RANGE covers every file) a
-    * bloomed table's discovery opens only the row groups that can hold
-    * a matched key. Larger batches fall back to the [min,max] range,
-    * which prunes on [[compactTable]]'d (key-range-sorted) layouts.
-    * MergeTableSpec gates both `PushedFilters` shapes. */
+    * column. `nKeys` is the caller's distinct-key count ([[merge]]
+    * enforces key uniqueness, so `mergeOnce` passes its row count —
+    * large batches never pay a probe job just to learn "too big").
+    *
+    * For a single key column and a SMALL batch (≤ [[DiscoveryInLimit]]
+    * keys) the exact key list pushes as ONE parquet In predicate — the
+    * reader checks it against footer stats AND the table's bloom
+    * filters, so on a hash/uuid key domain (content_hash, request_id —
+    * where a RANGE covers every file) a bloomed table's discovery
+    * opens only the row groups that can hold a matched key; the In IS
+    * the complete membership test, so no semi-join follows. Larger
+    * batches push the [min,max] range (pruning on [[compactTable]]'d
+    * key-range-sorted layouts) and semi-join against the broadcast key
+    * set. MergeTableSpec gates both `PushedFilters` shapes. */
   private[graft] def discoveryFrame(
       spark: SparkSession, files: Seq[String], u: DataFrame,
-      keyCols: Seq[String]): DataFrame = {
+      keyCols: Seq[String], nKeys: Long): DataFrame = {
     val base = spark.read.parquet(files: _*)
-    // The filter goes DIRECTLY on the relation, before the
-    // projection that adds input_file_name(): that expression is
-    // non-deterministic, and Catalyst refuses to push any predicate
-    // through a projection containing one — filtering after it would
-    // silently scan every file (caught by the PushedFilters plan gate).
+    // Filters go DIRECTLY on the relation, before the projection that
+    // adds input_file_name(): that expression is non-deterministic, and
+    // Catalyst refuses to push any predicate through a projection
+    // containing one — filtering after it would silently scan every
+    // file (caught by the PushedFilters plan gate).
+    if (keyCols.size == 1 && nKeys <= DiscoveryInLimit) {
+      val k = keyCols.head
+      val keys = u.select(col(k)).distinct().collect().map(_.get(0)).toSeq
+      if (keys.nonEmpty && !keys.contains(null))
+        return base.filter(col(k).isin(keys: _*))
+          .select(input_file_name().as("__file")).distinct()
+    }
     val ranged =
       if (keyCols.size == 1) {
         val k = keyCols.head
-        val keys = u.select(col(k)).distinct()
-          .limit(DiscoveryInLimit + 1).collect().map(_.get(0)).toSeq
-        if (keys.isEmpty || keys.contains(null)) base
-        else if (keys.size <= DiscoveryInLimit)
-          base.filter(col(k).isin(keys: _*))
-        else {
-          val r = u.agg(min(col(k)).as("lo"), max(col(k)).as("hi")).head()
-          base.filter(col(k) >= lit(r.get(0)) && col(k) <= lit(r.get(1)))
-        }
+        val r = u.agg(min(col(k)).as("lo"), max(col(k)).as("hi")).head()
+        if (r.isNullAt(0)) base
+        else base.filter(col(k) >= lit(r.get(0)) && col(k) <= lit(r.get(1)))
       } else base
     ranged.select(keyCols.map(col) :+ input_file_name().as("__file"): _*)
       .join(broadcast(u.select(keyCols.map(col): _*).distinct()),

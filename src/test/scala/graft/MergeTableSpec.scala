@@ -186,8 +186,10 @@ class MergeTableSpec extends SparkSpec {
     MergeTable.init(spark, path, rows(1 to 1000, "a"))
     MergeTable.compactTable(spark, path, "id", numFiles = 8)
     val snap = MergeTable.snapshot(spark, path)
-    def pushedFor(updates: org.apache.spark.sql.DataFrame): (String, String) = {
-      val df = MergeTable.discoveryFrame(spark, snap.files, updates, Seq("id"))
+    def pushedFor(updates: org.apache.spark.sql.DataFrame,
+        nKeys: Long): (String, String) = {
+      val df = MergeTable.discoveryFrame(spark, snap.files, updates,
+        Seq("id"), nKeys)
       val scans = graft.util.Plans.executedNodes(df).collect {
         case f: org.apache.spark.sql.execution.FileSourceScanExec => f
       }
@@ -197,17 +199,19 @@ class MergeTableSpec extends SparkSpec {
     }
     // small batch: the EXACT key list as one In predicate — what the
     // reader checks against the table's bloom filters on hash domains
-    val (pushedIn, readIn) = pushedFor(rows(10 to 20, "new"))
+    val (pushedIn, readIn) = pushedFor(rows(10 to 20, "new"), 11)
     assert(pushedIn.contains("In(id"),
       s"small-batch keys must push as one In predicate, got: $pushedIn")
     // the scan reads only the key column (+ synthetic file name)
     assert(!readIn.contains("tag"), s"discovery must not read data columns: $readIn")
     // large batch (> DiscoveryInLimit distinct keys): the [min,max]
     // range, which prunes on the compacted (key-range-sorted) layout
-    val (pushedRange, _) = pushedFor(rows(1 to 1500, "new"))
+    val (pushedRange, readRange) = pushedFor(rows(1 to 1500, "new"), 1500)
     assert(pushedRange.contains("GreaterThanOrEqual(id") &&
       pushedRange.contains("LessThanOrEqual(id"),
       s"large-batch key range must reach the footer level, got: $pushedRange")
+    assert(!readRange.contains("tag"),
+      s"range-path discovery must not read data columns: $readRange")
   }
 
   test("merge rejects NULL keys and schema drift loudly") {
