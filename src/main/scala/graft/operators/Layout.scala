@@ -73,10 +73,18 @@ object Layout {
     * Columns must be numeric (scaled through double); convert date/
     * timestamp to epoch numbers first — ANSI mode refuses the direct
     * cast. The helper `__z` column (reserved, refused on input) does
-    * not survive into the files. */
+    * not survive into the files.
+    *
+    * `bloomKeys` adds parquet bloom filters on the named columns in
+    * the SAME write — the two pruning layers compose: the z-layout
+    * makes min/max tight for RANGE predicates on the z-columns, the
+    * blooms skip row groups for POINT probes on hash-valued keys the
+    * layout can't help (content_hash, buckets — see
+    * [[graft.sources.MergeTable.init]] / BloomLookupScaleDemo). */
   def zOrderWrite(
       df: DataFrame, zCols: Seq[String], path: String,
-      numFiles: Int, bits: Int = 16): Unit = {
+      numFiles: Int, bits: Int = 16,
+      bloomKeys: Seq[String] = Nil): Unit = {
     require(zCols.nonEmpty, "zOrderWrite needs at least one z column")
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
     require(!df.columns.contains("__z"),
@@ -98,10 +106,15 @@ object Layout {
           "cannot derive scaling bounds")
       zScaled(c, lit(bounds.getDouble(2 * i)), lit(bounds.getDouble(2 * i + 1)), bits)
     }
-    df.withColumn("__z", zValue(scaled, bits))
-      .repartitionByRange(numFiles, col("__z").asc_nulls_last)
-      .sortWithinPartitions(col("__z").asc_nulls_last)
-      .drop("__z")
-      .write.mode("errorifexists").parquet(path)
+    graft.sources.MergeTable.requireBloomCols(df.columns, bloomKeys,
+      "the frame being z-order written")
+    graft.sources.MergeTable.bloomWriteOptions(
+        df.withColumn("__z", zValue(scaled, bits))
+          .repartitionByRange(numFiles, col("__z").asc_nulls_last)
+          .sortWithinPartitions(col("__z").asc_nulls_last)
+          .drop("__z")
+          .write.mode("errorifexists"),
+        bloomKeys)
+      .parquet(path)
   }
 }

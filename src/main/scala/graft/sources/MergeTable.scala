@@ -484,7 +484,7 @@ object MergeTable {
     * precedence over the adaptive path in parquet-mr and pins every
     * chunk at the ndv-implied size (measured +28% table bytes vs +2%
     * adaptive on identical data). */
-  private[sources] def bloomWriteOptions[T](
+  private[graft] def bloomWriteOptions[T](
       w: org.apache.spark.sql.DataFrameWriter[T],
       keys: Seq[String]): org.apache.spark.sql.DataFrameWriter[T] = {
     if (keys.isEmpty) return w
@@ -502,7 +502,7 @@ object MergeTable {
     * [[writeBatch]] separately guards the persisted config with
     * IllegalStateException (a state error the TOCTOU fallbacks must
     * not swallow). */
-  private[sources] def requireBloomCols(
+  private[graft] def requireBloomCols(
       cols: Array[String], keys: Seq[String], where: String): Unit =
     keys.foreach { c =>
       require(cols.contains(c), s"bloom column $c missing from $where")

@@ -77,4 +77,50 @@ class LayoutSpec extends SparkSpec {
     assert(zx < 0.5 * ly, s"z-order must keep x clustered too: $zx")
     assert(lx < zx, "linear sort is best-possible on its lead column")
   }
+
+  test("zOrderWrite bloomKeys: layout for ranges + blooms for point keys in ONE write") {
+    import org.apache.spark.sql.functions.{concat, lit, sha2}
+    val df = (1 to 2000).map(i => (i.toLong, (i * 31 % 1000).toLong)).toDF("x", "y")
+      .withColumn("h", sha2(concat(lit("k"), $"x".cast("string")), 256))
+    val base = java.nio.file.Files.createTempDirectory("zbloom")
+    try {
+      val out = s"$base/z"
+      intercept[IllegalArgumentException] {
+        Layout.zOrderWrite(df, Seq("x", "y"), s"$base/bad", numFiles = 2,
+          bloomKeys = Seq("no_such")) // loud, not a silent no-filter write
+      }
+      Layout.zOrderWrite(df, Seq("x", "y"), out, numFiles = 2,
+        bloomKeys = Seq("h"))
+      val conf = spark.sessionState.newHadoopConf()
+      val probe = df.filter($"x" === 7).select("h").head().getString(0)
+      var withBloom = 0; var total = 0; var matched = 0
+      new java.io.File(out.substring(0)).listFiles()
+        .filter(_.getName.endsWith(".parquet")).foreach { f =>
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(f.getPath), conf))
+          try {
+            val it = reader.getFooter.getBlocks.iterator()
+            while (it.hasNext) {
+              val b = it.next(); total += 1
+              val cit = b.getColumns.iterator()
+              while (cit.hasNext) {
+                val c = cit.next()
+                if (c.getPath.toDotString == "h") {
+                  val bf = reader.getBloomFilterDataReader(b).readBloomFilter(c)
+                  if (bf != null) {
+                    withBloom += 1
+                    if (bf.findHash(bf.hash(
+                      org.apache.parquet.io.api.Binary.fromString(probe)))) matched += 1
+                  }
+                }
+              }
+            }
+          } finally reader.close()
+        }
+      assert(withBloom === total && total > 0,
+        s"z-order-written blocks missing blooms ($withBloom/$total)")
+      assert(matched >= 1, "present key must match at least one block's bloom")
+    } finally graft.util.Fs.deleteRecursively(base)
+  }
 }
