@@ -97,6 +97,8 @@ object Layout {
           "numeric; convert date/timestamp to an epoch number first " +
           "(unix_date / unix_micros)")
     }
+    graft.util.ParquetBloom.requireCols(df.columns, bloomKeys,
+      "the frame being z-order written")
     val q = zCols.map(c => col(s"`$c`"))
     val aggs = q.flatMap(c => Seq(min(c).cast("double"), max(c).cast("double")))
     val bounds = df.agg(aggs.head, aggs.tail: _*).head()
@@ -106,9 +108,7 @@ object Layout {
           "cannot derive scaling bounds")
       zScaled(c, lit(bounds.getDouble(2 * i)), lit(bounds.getDouble(2 * i + 1)), bits)
     }
-    graft.sources.MergeTable.requireBloomCols(df.columns, bloomKeys,
-      "the frame being z-order written")
-    graft.sources.MergeTable.bloomWriteOptions(
+    graft.util.ParquetBloom.writeOptions(
         df.withColumn("__z", zValue(scaled, bits))
           .repartitionByRange(numFiles, col("__z").asc_nulls_last)
           .sortWithinPartitions(col("__z").asc_nulls_last)

@@ -61,9 +61,9 @@ object Catalog {
       df: DataFrame, sortCol: String, outPath: String,
       numFiles: Int, maxRecordsPerFile: Long = 5000000L,
       bloomKeys: Seq[String] = Nil): Unit = {
-    MergeTable.requireBloomCols(df.columns, bloomKeys,
+    graft.util.ParquetBloom.requireCols(df.columns, bloomKeys,
       "the frame being compacted")
-    MergeTable.bloomWriteOptions(
+    graft.util.ParquetBloom.writeOptions(
         df.repartitionByRange(numFiles, col(sortCol))
           .sortWithinPartitions(col(sortCol))
           .write.mode("overwrite")

@@ -99,7 +99,7 @@ object MergeTable {
       bloomKeys: Seq[String] = Nil): Snapshot = {
     val (fs, root) = fsOf(spark, path)
     require(latestVersion(fs, root).isEmpty, s"merge table already exists at $path")
-    requireBloomCols(df.columns, bloomKeys, "the table schema")
+    graft.util.ParquetBloom.requireCols(df.columns, bloomKeys, "the table schema")
     if (bloomKeys.nonEmpty) writeBloomProps(fs, root, bloomKeys)
     val files = writeBatch(spark, fs, root, df)
     commit(fs, root, 1L, files)
@@ -287,10 +287,16 @@ object MergeTable {
     // file (caught by the PushedFilters plan gate).
     if (keyCols.size == 1 && nKeys <= DiscoveryInLimit) {
       val k = keyCols.head
-      val keys = u.select(col(k)).distinct().collect().map(_.get(0)).toSeq
-      if (keys.nonEmpty && !keys.contains(null))
-        return base.filter(col(k).isin(keys: _*))
-          .select(input_file_name().as("__file")).distinct()
+      // the bounded helper, not a bare collect: the driver-side fetch
+      // must stay limit-capped even if a future caller understates
+      // nKeys (it is the only thing standing between a mis-sized batch
+      // and a driver OOM)
+      graft.util.Pushdown.keyLiterals(u, k, DiscoveryInLimit) match {
+        case Some(keys) if keys.nonEmpty && !keys.contains(null) =>
+          return base.filter(col(k).isin(keys: _*))
+            .select(input_file_name().as("__file")).distinct()
+        case _ => () // empty, NULL-keyed, or mis-stated nKeys: range path
+      }
     }
     val ranged =
       if (keyCols.size == 1) {
@@ -468,45 +474,12 @@ object MergeTable {
           "missing from the batch being written — parquet-mr would silently " +
           "skip the filter; the table's writers must carry the full schema")
     }
-    bloomWriteOptions(df.write.mode("errorifexists"), bloom)
+    graft.util.ParquetBloom.writeOptions(df.write.mode("errorifexists"), bloom)
       .parquet(batch.toString)
     fs.listStatus(batch).map(_.getPath)
       .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
       .map(_.toUri.toString).toSeq.sorted
   }
-
-  /** The one place the parquet bloom writer options are spelled —
-    * shared by [[writeBatch]] and [[Catalog.compact]] so the two write
-    * paths cannot drift. Sizing is ADAPTIVE: the writer observes each
-    * chunk's real ndv and keeps the smallest candidate filter meeting
-    * the target fpp — tiny test tables pay kilobytes, not the 1 MB
-    * cap. Deliberately NO expected-ndv option: an explicit ndv takes
-    * precedence over the adaptive path in parquet-mr and pins every
-    * chunk at the ndv-implied size (measured +28% table bytes vs +2%
-    * adaptive on identical data). */
-  private[graft] def bloomWriteOptions[T](
-      w: org.apache.spark.sql.DataFrameWriter[T],
-      keys: Seq[String]): org.apache.spark.sql.DataFrameWriter[T] = {
-    if (keys.isEmpty) return w
-    var out = w.option("parquet.bloom.filter.adaptive.enabled", "true")
-    keys.distinct.sorted.foreach { c =>
-      out = out.option(s"parquet.bloom.filter.enabled#$c", "true")
-    }
-    out
-  }
-
-  /** Loud, not silent: parquet-mr IGNORES bloom options for columns
-    * absent from the frame, which would ship a layout with no filters
-    * and quietly lose the row-group skip. Validates CALLER ARGUMENTS
-    * ([[init]]'s and [[Catalog.compact]]'s bloomKeys → require/IAE);
-    * [[writeBatch]] separately guards the persisted config with
-    * IllegalStateException (a state error the TOCTOU fallbacks must
-    * not swallow). */
-  private[graft] def requireBloomCols(
-      cols: Array[String], keys: Seq[String], where: String): Unit =
-    keys.foreach { c =>
-      require(cols.contains(c), s"bloom column $c missing from $where")
-    }
 
   private def bloomPropsPath(root: Path) = new Path(root, "_bloom.properties")
 

@@ -1,0 +1,38 @@
+package graft.util
+
+import org.apache.spark.sql.DataFrameWriter
+
+/** The one place the parquet bloom-filter writer options are spelled —
+  * shared by every bloom-writing path (MergeTable.writeBatch,
+  * Catalog.compact, Layout.zOrderWrite) so they cannot drift.
+  *
+  * Sizing is ADAPTIVE: the writer observes each chunk's real ndv and
+  * keeps the smallest candidate filter meeting the target fpp — tiny
+  * test tables pay kilobytes, not the 1 MB cap. Deliberately NO
+  * expected-ndv option: an explicit ndv takes precedence over the
+  * adaptive path in parquet-mr and pins every chunk at the ndv-implied
+  * size (measured +28% table bytes vs +2% adaptive on identical data).
+  */
+object ParquetBloom {
+
+  def writeOptions[T](
+      w: DataFrameWriter[T], keys: Seq[String]): DataFrameWriter[T] = {
+    if (keys.isEmpty) return w
+    var out = w.option("parquet.bloom.filter.adaptive.enabled", "true")
+    keys.distinct.sorted.foreach { c =>
+      out = out.option(s"parquet.bloom.filter.enabled#$c", "true")
+    }
+    out
+  }
+
+  /** Loud, not silent: parquet-mr IGNORES bloom options for columns
+    * absent from the frame, which would ship a layout with no filters
+    * and quietly lose the row-group skip. Validates CALLER ARGUMENTS
+    * (require → IllegalArgumentException); MergeTable.writeBatch
+    * separately guards its PERSISTED config with IllegalStateException
+    * (a state error its TOCTOU fallbacks must not swallow). */
+  def requireCols(cols: Array[String], keys: Seq[String], where: String): Unit =
+    keys.foreach { c =>
+      require(cols.contains(c), s"bloom column $c missing from $where")
+    }
+}

@@ -94,7 +94,7 @@ class LayoutSpec extends SparkSpec {
       val conf = spark.sessionState.newHadoopConf()
       val probe = df.filter($"x" === 7).select("h").head().getString(0)
       var withBloom = 0; var total = 0; var matched = 0
-      new java.io.File(out.substring(0)).listFiles()
+      new java.io.File(out).listFiles()
         .filter(_.getName.endsWith(".parquet")).foreach { f =>
           val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
             org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
