@@ -39,7 +39,11 @@ object Bench {
   private val PhaseRows = Set(
     "q86_pq_topk", "q86b_pq_exact", "q103_bm25_indexed",
     "q105_hybrid_indexed", "q106_bm25_guarded", "q113_incremental_neardup",
-    "q122_bm25_after_delete", "q128_semantic_admission")
+    "q122_bm25_after_delete", "q128_semantic_admission",
+    // q134 builds its MergeTable in-query (q103 convention); its serve
+    // leg is eager too (checkpoint before the temp-table delete), so
+    // "serve" is the count of pinned blocks — build carries ~everything
+    "q134_content_hash_lookup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -233,7 +237,7 @@ object Bench {
       "whole build+purge lifecycle; a deployment amortizes the build " +
       "and pays only the bounded purge per retraction batch.")
     println("note: the JSON 'phases' field decomposes each in-query-build " +
-      "row (q86/q86b/q103/q105/q106/q113/q122/q128) into build (the eager " +
+      "row (q86/q86b/q103/q105/q106/q113/q122/q128/q134) into build (the eager " +
       "index/codebook construction inside the query lambda) + serve (the " +
       "returned frame's count — the pushed-down serving scan), from the " +
       "same run as the recorded total. Adjudicate round-over-round deltas " +
