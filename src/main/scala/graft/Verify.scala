@@ -20,12 +20,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     def deleteRecursively(p: java.nio.file.Path): Unit =
-      if (Files.exists(p)) {
-        val walk = Files.walk(p)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => { Files.delete(f); () })
-        finally walk.close()
-      }
+      graft.util.Fs.deleteRecursively(p)
     SparkEntry.queries.foreach { case (name, fn) =>
       if (only.nonEmpty && !only.contains(name)) ()
       else try {

@@ -76,17 +76,31 @@ private[graft] object Manifests {
       bytes: Array[Byte]): Unit = {
     val isLocal = fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
       fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
-    if (isLocal && publishLocalAtomic(fs, target, tmpPrefix, bytes)) ()
-    else {
-      // HDFS-like (and the no-hardlink local fallback: exFAT, some
-      // NFS/SMB/FUSE mounts): write a temp in the target's directory,
-      // claim with rename — HDFS rename is atomic and REFUSES an
-      // existing destination (returns false → the loser's FAEE), so
-      // readers see the whole file or none. A bare create-then-write
-      // at the target would expose a zero-length/torn file to
-      // concurrent readers and leave a PERMANENT partial target after
-      // a mid-write crash — fatal for fixed-name files like
-      // _bloom.properties, whose readers treat content as config.
+    if (isLocal) {
+      if (!publishLocalAtomic(fs, target, tmpPrefix, bytes)) {
+        // local WITHOUT hard-link support (exFAT, some NFS/SMB/FUSE
+        // mounts): exclusive create is the best available claim.
+        // Deliberately NOT temp+rename here — these mounts go through
+        // POSIX rename(2), which silently REPLACES an existing target
+        // and returns success, so a racing loser would never learn it
+        // lost and the winner's file would be silently destroyed (the
+        // exact invariant this object exists to uphold). The residual
+        // risks — a one-call exists→create window and a torn read of
+        // an in-flight write — are the documented best-available
+        // tradeoff on such filesystems.
+        if (fs.exists(target)) throw new FileAlreadyExistsException(target.toString)
+        val out = fs.create(target, false) // throws FileAlreadyExists on race
+        try out.write(bytes)
+        finally out.close()
+      }
+    } else {
+      // HDFS-like: write a temp in the target's directory, claim with
+      // rename — HDFS rename is atomic and REFUSES an existing
+      // destination (returns false → the loser's FAEE), so readers see
+      // the whole file or none, and a mid-write crash strands only a
+      // swept temp instead of a PERMANENT partial target (fatal for
+      // fixed-name files like _bloom.properties, whose readers treat
+      // content as config).
       if (fs.exists(target)) throw new FileAlreadyExistsException(target.toString)
       val tmp = new Path(target.getParent,
         tmpPrefix + java.util.UUID.randomUUID().toString + ".tmp")

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.hadoop.conf.Configuration
+
+/** Shared test-side parquet bloom-filter audit (used by MergeTableSpec
+  * and LayoutSpec): the writer-side ground truth the reader's bloom
+  * row-group skip consults. */
+object BloomAudit {
+
+  /** Per file set: (blocks with a bloom on `column`, blocks whose bloom
+    * matches `probe`, total blocks). */
+  def audit(
+      conf: Configuration, files: Seq[String], column: String,
+      probe: String): (Long, Long, Long) = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.io.api.Binary
+    var withBloom = 0L; var matched = 0L; var total = 0L
+    files.foreach { f =>
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(f), conf))
+      try {
+        val blocks = reader.getFooter.getBlocks
+        val it = blocks.iterator()
+        while (it.hasNext) {
+          val b = it.next(); total += 1
+          val cit = b.getColumns.iterator()
+          while (cit.hasNext) {
+            val c = cit.next()
+            if (c.getPath.toDotString == column) {
+              val bf = reader.getBloomFilterDataReader(b).readBloomFilter(c)
+              if (bf != null) {
+                withBloom += 1
+                if (bf.findHash(bf.hash(Binary.fromString(probe)))) matched += 1
+              }
+            }
+          }
+        }
+      } finally reader.close()
+    }
+    (withBloom, matched, total)
+  }
+}

@@ -91,33 +91,11 @@ class LayoutSpec extends SparkSpec {
       }
       Layout.zOrderWrite(df, Seq("x", "y"), out, numFiles = 2,
         bloomKeys = Seq("h"))
-      val conf = spark.sessionState.newHadoopConf()
       val probe = df.filter($"x" === 7).select("h").head().getString(0)
-      var withBloom = 0; var total = 0; var matched = 0
-      new java.io.File(out).listFiles()
-        .filter(_.getName.endsWith(".parquet")).foreach { f =>
-          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-              new org.apache.hadoop.fs.Path(f.getPath), conf))
-          try {
-            val it = reader.getFooter.getBlocks.iterator()
-            while (it.hasNext) {
-              val b = it.next(); total += 1
-              val cit = b.getColumns.iterator()
-              while (cit.hasNext) {
-                val c = cit.next()
-                if (c.getPath.toDotString == "h") {
-                  val bf = reader.getBloomFilterDataReader(b).readBloomFilter(c)
-                  if (bf != null) {
-                    withBloom += 1
-                    if (bf.findHash(bf.hash(
-                      org.apache.parquet.io.api.Binary.fromString(probe)))) matched += 1
-                  }
-                }
-              }
-            }
-          } finally reader.close()
-        }
+      val files = new java.io.File(out).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSeq
+      val (withBloom, matched, total) = BloomAudit.audit(
+        spark.sessionState.newHadoopConf(), files, "h", probe)
       assert(withBloom === total && total > 0,
         s"z-order-written blocks missing blooms ($withBloom/$total)")
       assert(matched >= 1, "present key must match at least one block's bloom")

@@ -314,40 +314,9 @@ class MergeTableSpec extends SparkSpec {
     assert(MergeTable.read(spark, path).count() === 12)
   }
 
-  /** Per file: (blocks with a bloom on `column`, blocks whose bloom
-    * matches `probe`, total blocks) — the writer-side ground truth the
-    * reader's bloom row-group skip consults. */
   private def bloomAudit(
-      files: Seq[String], column: String, probe: String): (Long, Long, Long) = {
-    import org.apache.parquet.hadoop.ParquetFileReader
-    import org.apache.parquet.hadoop.util.HadoopInputFile
-    import org.apache.parquet.io.api.Binary
-    val conf = spark.sessionState.newHadoopConf()
-    var withBloom = 0L; var matched = 0L; var total = 0L
-    files.foreach { f =>
-      val reader = ParquetFileReader.open(
-        HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(f), conf))
-      try {
-        val blocks = reader.getFooter.getBlocks
-        val it = blocks.iterator()
-        while (it.hasNext) {
-          val b = it.next(); total += 1
-          val cit = b.getColumns.iterator()
-          while (cit.hasNext) {
-            val c = cit.next()
-            if (c.getPath.toDotString == column) {
-              val bf = reader.getBloomFilterDataReader(b).readBloomFilter(c)
-              if (bf != null) {
-                withBloom += 1
-                if (bf.findHash(bf.hash(Binary.fromString(probe)))) matched += 1
-              }
-            }
-          }
-        }
-      } finally reader.close()
-    }
-    (withBloom, matched, total)
-  }
+      files: Seq[String], column: String, probe: String): (Long, Long, Long) =
+    BloomAudit.audit(spark.sessionState.newHadoopConf(), files, column, probe)
 
   test("bloom config: persisted at init, applied by every writer path, skips absent keys") {
     val path = freshPath()

@@ -279,17 +279,20 @@ class PlanShapeSpec extends SparkSpec {
     // fires if the In actually reaches the parquet reader — gate the
     // pushdown so a future isin->join rewrite or a filter hoisted
     // above a projection fails here, not at 100 TB
-    val base = java.nio.file.Files.createTempDirectory("plan_kb").toString + "/kb"
-    val docs = Tables.documents(spark, dir).filter(col("text").isNotNull)
-      .select(col("doc_id"),
-        concat(col("text"), lit(" #"), col("doc_id").cast("string")).as("content"))
-    graft.kb.KnowledgeBase.upsertDocumentsToTable(spark, base, docs, "content")
-    val probes = docs.limit(12).select(sha2(col("content"), 256))
-      .collect().map(_.getString(0)).toSeq // 12 > the old inFilterThreshold
-    val lookup = graft.kb.KnowledgeBase.findByContentHash(spark, base, probes)
-    val scan = collectPlan(lookup).collect { case f: FileSourceScanExec => f }.head
-    assert(scan.metadata.get("PushedFilters").exists(_.contains("In(content_hash")),
-      s"content_hash In not pushed: ${scan.metadata.get("PushedFilters")}")
-    assert(lookup.count() === 12)
+    val tmp = java.nio.file.Files.createTempDirectory("plan_kb")
+    try {
+      val base = tmp.toString + "/kb"
+      val docs = Tables.documents(spark, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" #"), col("doc_id").cast("string")).as("content"))
+      graft.kb.KnowledgeBase.upsertDocumentsToTable(spark, base, docs, "content")
+      val probes = docs.limit(12).select(sha2(col("content"), 256))
+        .collect().map(_.getString(0)).toSeq // 12 > the old inFilterThreshold
+      val lookup = graft.kb.KnowledgeBase.findByContentHash(spark, base, probes)
+      val scan = collectPlan(lookup).collect { case f: FileSourceScanExec => f }.head
+      assert(scan.metadata.get("PushedFilters").exists(_.contains("In(content_hash")),
+        s"content_hash In not pushed: ${scan.metadata.get("PushedFilters")}")
+      assert(lookup.count() === 12)
+    } finally graft.util.Fs.deleteRecursively(tmp)
   }
 }
