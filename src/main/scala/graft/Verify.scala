@@ -19,8 +19,6 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    def deleteRecursively(p: java.nio.file.Path): Unit =
-      graft.util.Fs.deleteRecursively(p)
     SparkEntry.queries.foreach { case (name, fn) =>
       if (only.nonEmpty && !only.contains(name)) ()
       else try {
@@ -29,7 +27,7 @@ object Verify {
         // mode("overwrite") touches anything) leaves a MISSING output —
         // graded as a failure — instead of the prior round's parquet
         // being silently graded as a pass
-        deleteRecursively(Paths.get(s"$outDir/$name"))
+        graft.util.Fs.deleteRecursively(Paths.get(s"$outDir/$name"))
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
       } catch { case e: Throwable =>

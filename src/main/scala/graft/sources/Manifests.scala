@@ -84,14 +84,20 @@ private[graft] object Manifests {
         // POSIX rename(2), which silently REPLACES an existing target
         // and returns success, so a racing loser would never learn it
         // lost and the winner's file would be silently destroyed (the
-        // exact invariant this object exists to uphold). The residual
-        // risks — a one-call exists→create window and a torn read of
-        // an in-flight write — are the documented best-available
-        // tradeoff on such filesystems.
-        if (fs.exists(target)) throw new FileAlreadyExistsException(target.toString)
-        val out = fs.create(target, false) // throws FileAlreadyExists on race
-        try out.write(bytes)
-        finally out.close()
+        // exact invariant this object exists to uphold). Residual
+        // risks, documented as the best-available tradeoff on such
+        // filesystems: create(overwrite=false) is itself an
+        // exists-then-open pair (a tiny two-racer window remains), a
+        // concurrent reader can observe the in-flight write, and a
+        // HARD CRASH mid-write leaves a torn file at the target name
+        // (the failure-cleanup below covers every non-crash error).
+        val out = fs.create(target, false) // FileAlreadyExists when present
+        try { try out.write(bytes) finally out.close() }
+        catch { case e: Throwable =>
+          // we won the create, so the partial target is ours to remove —
+          // otherwise it would poison every later publication attempt
+          fs.delete(target, false); throw e
+        }
       }
     } else {
       // HDFS-like: write a temp in the target's directory, claim with
