@@ -1284,18 +1284,20 @@ object SparkEntry {
       // T3's per-tool form (the reference's MCP limiter: one timestamp
       // list per (key, tool), a DIFFERENT cap per tool,
       // `mcp_rate_limiter.py:26-29`): events fan out over the three
-      // configured tools plus an UNCONFIGURED one (admitted with
-      // window_count for audit — the null-limit branch). The oracle
-      // re-derives the arrival-ordered sliding window per (user, tool)
-      // and the per-tool cap arithmetic, so a drift in either the
-      // window count or WHICH cap applies fails the hash.
+      // configured tools plus an UNCONFIGURED one, which takes the
+      // reference's (10, 60) fallback cap (`self._limits.get(tool,
+      // (10, 60))` — the defaultLimit branch). The oracle re-derives
+      // the arrival-ordered sliding window per (user, tool) and the
+      // per-tool cap arithmetic, so a drift in either the window count
+      // or WHICH cap applies fails the hash.
       val ev = T.events(s, d).select(col("event_id"), col("user_id"), col("ts"),
         when(col("event_id") % 4 === 0, "search_knowledge")
           .when(col("event_id") % 4 === 1, "create_task")
           .when(col("event_id") % 4 === 2, "get_task_stats")
           .otherwise("export_report").as("tool"))
       RateLimit.perToolAdmission(ev, "user_id", "tool", "ts",
-          RateLimit.Limits.McpPerTool, tieBreak = Seq(col("event_id")))
+          RateLimit.Limits.McpPerTool, tieBreak = Seq(col("event_id")),
+          defaultLimit = Some(RateLimit.Limits.McpDefault))
         .select(col("event_id"), col("user_id"), col("tool"),
           col("window_count"), col("allowed"))
         .orderBy(col("event_id"))
@@ -2190,7 +2192,8 @@ object SparkEntry {
     // q133: the q16 sliding-window arithmetic per (user, tool) — the
     // count of arrivals already outside the trailing 60 s window
     // subtracts from the arrival-ordered row_number — plus the
-    // per-tool cap CASE (10/5/30; the unconfigured tool always admits)
+    // per-tool cap CASE (10/5/30; the unconfigured tool takes the
+    // reference's (10, 60) fallback cap)
     "q133_per_tool_rate_limit" ->
       """WITH e AS (SELECT event_id, user_id, ts,
         |    CASE WHEN event_id % 4 = 0 THEN 'search_knowledge'
@@ -2207,7 +2210,7 @@ object SparkEntry {
         |  CASE WHEN tool = 'search_knowledge' THEN window_count <= 10
         |       WHEN tool = 'create_task' THEN window_count <= 5
         |       WHEN tool = 'get_task_stats' THEN window_count <= 30
-        |       ELSE TRUE END AS allowed
+        |       ELSE window_count <= 10 END AS allowed
         |FROM w ORDER BY event_id""".stripMargin,
 
     // q134: the oracle re-derives the same unique-suffixed content,

@@ -75,18 +75,35 @@ object RateLimit {
       "search_knowledge" -> Limit(10, 60),
       "create_task" -> Limit(5, 60),
       "get_task_stats" -> Limit(30, 60))
+    /** The reference's fallback cap for tools with no configured limit
+      * (`mcp_rate_limiter.py`: `self._limits.get(tool, (10, 60))`). */
+    val McpDefault: Limit = Limit(10, 60)
   }
 
   /** Per-(identifier, tool) sliding-window admission with per-tool limits
     * (the reference's MCP limiter keeps a timestamp list per (key, tool)
     * with a different cap per tool). Events whose tool has no configured
-    * limit are admitted with window_count for audit. */
+    * limit take `defaultLimit` when one is given (the reference's
+    * `.get(tool, (10, 60))` fallback — pass [[Limits.McpDefault]] for
+    * its exact behavior); with `defaultLimit = None` they are admitted
+    * unconditionally, window_count kept for audit.
+    *
+    * Fidelity note (same as [[slidingWindowAdmission]]): window_count
+    * counts *all* arrivals in the trailing window, while the reference's
+    * limiter appends only ADMITTED timestamps to its per-(key, tool)
+    * list — after a burst above the cap the reference re-admits sooner,
+    * so this batch form is strictly *stricter* until the window drains.
+    * That accounting is inherently stateful (each admission depends on
+    * prior admission VERDICTS, not just prior arrivals);
+    * `graft.streaming.StreamingRateLimiter` keeps admitted timestamps
+    * in per-key state and matches the reference exactly. */
   def perToolAdmission(
       events: DataFrame, idCol: String, toolCol: String, tsCol: String,
       limits: Map[String, Limit],
-      tieBreak: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
+      tieBreak: Seq[org.apache.spark.sql.Column] = Nil,
+      defaultLimit: Option[Limit] = None): DataFrame = {
     require(limits.nonEmpty, "limits must not be empty")
-    require(limits.values.map(_.windowSeconds).toSet.size == 1,
+    require((limits.values ++ defaultLimit).map(_.windowSeconds).toSet.size == 1,
       "perToolAdmission assumes one window length across tools " +
         "(the reference uses 60 s everywhere); differing windows need one pass per window")
     val windowSeconds = limits.values.head.windowSeconds
@@ -97,7 +114,10 @@ object RateLimit {
       .orderBy(micros +: tieBreak: _*)
     val outside = Window.partitionBy(col(idCol), col(toolCol)).orderBy(micros)
       .rangeBetween(Window.unboundedPreceding, -(windowSeconds * 1000000L))
-    val maxForTool = limits.foldLeft(lit(null: Integer).cast("int")) {
+    val fallback = defaultLimit
+      .map(l => lit(l.maxRequests).cast("int"))
+      .getOrElse(lit(null: Integer).cast("int"))
+    val maxForTool = limits.foldLeft(fallback) {
       case (acc, (tool, l)) => when(col(toolCol) === tool, l.maxRequests).otherwise(acc)
     }
     events

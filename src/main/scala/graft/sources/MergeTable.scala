@@ -101,6 +101,19 @@ object MergeTable {
     require(latestVersion(fs, root).isEmpty, s"merge table already exists at $path")
     graft.util.ParquetBloom.requireCols(df.columns, bloomKeys, "the table schema")
     if (bloomKeys.nonEmpty) writeBloomProps(fs, root, bloomKeys)
+    else {
+      // a leftover _bloom.properties from a crashed/raced init that DID
+      // name keys must not be silently adopted as this table's config
+      // (writeBatch reads and applies whatever the file says) — the
+      // same different-columns IllegalStateException writeBloomProps
+      // raises, with "none" as this init's requested set
+      val have = readBloomProps(fs, root)
+      if (have.nonEmpty) throw new IllegalStateException(
+        s"bloom config at ${bloomPropsPath(root)} already exists with columns " +
+          s"[${have.mkString(",")}] but this init requested none — a failed or " +
+          "concurrent init used other keys; delete the path deliberately to " +
+          "change a table's bloom columns")
+    }
     val files = writeBatch(spark, fs, root, df)
     commit(fs, root, 1L, files)
     Snapshot(1L, files)
@@ -485,7 +498,15 @@ object MergeTable {
 
   /** Table-lifetime bloom config: established by [[init]] (the table's
     * key columns never change — schema evolution is unsupported), read
-    * by every [[writeBatch]]. Format: one column name per line, sorted.
+    * by every [[writeBatch]]. Format: one column name per line, sorted,
+    * closed by a `#end` terminator line — the validity sentinel that
+    * lets [[readBloomProps]] distinguish a complete file from one TORN
+    * by a hard crash mid-write on the no-hardlink publication fallback
+    * (the one path where a fixed-name target can be left partial;
+    * `Manifests.publishExclusive`). Unlike a torn uniquely-named
+    * manifest, a torn fixed-name CONFIG would silently misconfigure
+    * every later writer with the prefix of the column list, so the
+    * reader fails loudly instead of returning partial columns.
     *
     * IDEMPOTENT and race-safe: init can fail AFTER this file exists
     * but BEFORE the v1 manifest commits (a mid-writeBatch crash), and
@@ -505,9 +526,10 @@ object MergeTable {
   private def writeBloomProps(
       fs: FileSystem, root: Path, cols: Seq[String]): Unit = {
     cols.foreach { c =>
-      require(c.nonEmpty && c == c.trim && !c.contains("\n"),
+      require(c.nonEmpty && c == c.trim && !c.contains("\n") && !c.startsWith("#"),
         s"bloom column name not encodable in the properties line " +
-          s"(empty, padded, or multi-line): '$c'")
+          s"(empty, padded, multi-line, or '#'-prefixed — '#' opens the " +
+          s"format's terminator sentinel): '$c'")
     }
     val want = cols.distinct.sorted
     val target = bloomPropsPath(root)
@@ -527,7 +549,7 @@ object MergeTable {
       System.currentTimeMillis() - DefaultRetainMillis)
     fs.mkdirs(root) // first init: the publication temp needs the dir
     try Manifests.publishExclusive(fs, target, "._bloom_",
-      want.mkString("", "\n", "\n")
+      (want.mkString("", "\n", "\n") + BloomTerminator + "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch {
       // lost the publication race: keep the winner's file if it agrees
@@ -538,6 +560,12 @@ object MergeTable {
   private def sweepBloomTemps(fs: FileSystem, root: Path, cutoff: Long): Unit =
     Manifests.sweepTemp(fs, root, cutoff, prefix = "._bloom")
 
+  /** The bloom-config validity sentinel: the file's final line. Its
+    * absence means the bytes are a torn PREFIX of a real config (every
+    * writer emits it last), so the reader throws instead of adopting
+    * partial column names as table config. */
+  private val BloomTerminator = "#end"
+
   private def readBloomProps(fs: FileSystem, root: Path): Seq[String] = {
     val p = bloomPropsPath(root)
     if (!fs.exists(p)) return Nil
@@ -546,7 +574,14 @@ object MergeTable {
       try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
         java.nio.charset.StandardCharsets.UTF_8)
       finally in.close()
-    text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+    val lines = text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+    if (lines.lastOption.contains(BloomTerminator)) lines.init
+    else throw new IllegalStateException(
+      s"bloom config at $p is torn or foreign (missing the '$BloomTerminator' " +
+        "terminator line) — likely a hard crash mid-write on a filesystem " +
+        "without atomic publication; adopting its partial column list would " +
+        "misconfigure every later writer. Recover the intended config and " +
+        "rewrite the file, or delete it deliberately for a bloom-less table")
   }
 
   /** Exclusive-create commit — delegates to the shared OCC primitive

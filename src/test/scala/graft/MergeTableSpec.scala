@@ -398,7 +398,7 @@ class MergeTableSpec extends SparkSpec {
     fs.mkdirs(root)
     val props = new org.apache.hadoop.fs.Path(root, "_bloom.properties")
     val out = fs.create(props, false)
-    out.write("h\n".getBytes("UTF-8")); out.close()
+    out.write("h\n#end\n".getBytes("UTF-8")); out.close()
     // retry with the SAME keys succeeds (idempotent, not poisoned)
     MergeTable.init(spark, path, df, bloomKeys = Seq("h"))
     assert(MergeTable.bloomConfig(spark, path) === Seq("h"))
@@ -414,7 +414,7 @@ class MergeTableSpec extends SparkSpec {
     }
     fs2.mkdirs(root2)
     val o2 = fs2.create(new org.apache.hadoop.fs.Path(root2, "_bloom.properties"), false)
-    o2.write("other\n".getBytes("UTF-8")); o2.close()
+    o2.write("other\n#end\n".getBytes("UTF-8")); o2.close()
     val e = intercept[IllegalStateException] {
       MergeTable.init(spark, path2,
         df.withColumn("other", lit("x")), bloomKeys = Seq("h"))
@@ -426,5 +426,44 @@ class MergeTableSpec extends SparkSpec {
       MergeTable.init(spark, freshPath(),
         df.withColumn("h ", $"h"), bloomKeys = Seq("h "))
     }
+  }
+
+  test("bloom props: leftover keyed config is not adopted by a bloom-less init") {
+    // a crashed/raced earlier init named keys; re-initializing WITHOUT
+    // bloomKeys must not silently inherit them as this table's config
+    val path = freshPath()
+    val (fs, root) = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+    }
+    fs.mkdirs(root)
+    val out = fs.create(new org.apache.hadoop.fs.Path(root, "_bloom.properties"), false)
+    out.write("h\n#end\n".getBytes("UTF-8")); out.close()
+    val df = rows(1 to 5, "a").withColumn("h", sha2($"body", 256))
+    val e = intercept[IllegalStateException] {
+      MergeTable.init(spark, path, df) // no bloomKeys
+    }
+    assert(e.getMessage.contains("requested none"))
+    assert(!MergeTable.exists(spark, path)) // nothing was committed
+  }
+
+  test("bloom props: a torn config (missing the terminator) fails loudly, not partially") {
+    // simulate the no-hardlink fallback's hard-crash residue: a prefix
+    // of the real bytes at the FIXED target name — the reader must not
+    // parse the partial column list as table config
+    val path = freshPath()
+    val (fs, root) = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+    }
+    fs.mkdirs(root)
+    val out = fs.create(new org.apache.hadoop.fs.Path(root, "_bloom.properties"), false)
+    out.write("h\nk".getBytes("UTF-8")); out.close() // torn mid-second-column
+    val df = rows(1 to 5, "a").withColumn("h", sha2($"body", 256))
+    val e1 = intercept[IllegalStateException] { MergeTable.bloomConfig(spark, path) }
+    assert(e1.getMessage.contains("torn or foreign"))
+    // every entry point that would consult the config fails the same way
+    intercept[IllegalStateException] { MergeTable.init(spark, path, df, bloomKeys = Seq("h")) }
+    intercept[IllegalStateException] { MergeTable.init(spark, path, df) }
   }
 }

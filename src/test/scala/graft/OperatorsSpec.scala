@@ -285,7 +285,26 @@ class OperatorsSpec extends SparkSpec {
       .orderBy("event_id").select("tool", "allowed").as[(String, Boolean)].collect()
     assert(got.take(8).map(_._2).toSeq === Seq(true, true, true, true, true, false, false, false))
     assert(got.slice(8, 16).forall(_._2)) // 8 < 10 cap
-    assert(got.last._2) // unconfigured tool admitted
+    assert(got.last._2) // unconfigured tool admitted (no defaultLimit)
+  }
+
+  test("per-tool admission: defaultLimit caps unconfigured tools (reference fallback)") {
+    // three burst arrivals on a tool with no configured limit
+    val rows = (0 until 3).map(i =>
+      (i.toLong, "u", "export_report",
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(i))))
+    val capped = RateLimit.perToolAdmission(rows.toDF("event_id", "id", "tool", "ts"),
+        "id", "tool", "ts", RateLimit.Limits.McpPerTool,
+        defaultLimit = Some(RateLimit.Limit(2, 60)))
+      .orderBy("event_id").select("allowed").as[Boolean].collect()
+    assert(capped.toSeq === Seq(true, true, false))
+    // a default whose window disagrees with the configured tools is loud
+    intercept[IllegalArgumentException] {
+      RateLimit.perToolAdmission(rows.toDF("event_id", "id", "tool", "ts"),
+        "id", "tool", "ts", RateLimit.Limits.McpPerTool,
+        defaultLimit = Some(RateLimit.Limit(2, 120)))
+    }
+    assert(RateLimit.Limits.McpDefault === RateLimit.Limit(10, 60))
   }
 
   test("reference limit constants") {
