@@ -181,6 +181,64 @@ class MergeTableSpec extends SparkSpec {
     assert(MergeTable.snapshot(spark, path).version === 1L)
   }
 
+  test("a reader pinned at version N survives a concurrent commit + vacuum with grace") {
+    // the Manifests atomicity-for-readers claim as a test: a query
+    // planned against version N keeps reading N's files while N+1 is
+    // committed AND a graced vacuum runs — the grace (not luck) is what
+    // keeps the superseded files alive for in-flight readers
+    val path = freshPath()
+    MergeTable.init(spark, path, rows(1 to 100, "a"))               // v1
+    val pinned = MergeTable.readAt(spark, path, 1L)                 // planned against v1
+    MergeTable.merge(spark, path, rows(1 to 100, "b"), Seq("id"))   // v2 rewrites every v1 file
+    assert(MergeTable.vacuum(spark, path) === 0,
+      "v1's files are inside the retention grace and must survive")
+    assert(pinned.count() === 100)
+    assert(pinned.filter($"tag" === "a").count() === 100,
+      "the pinned reader must still see version 1's content, not v2's")
+    assert(MergeTable.read(spark, path).filter($"tag" === "b").count() === 100)
+    // beyond the grace the pin ends, as documented: the files are gone
+    // and a new reader of v1 fails instead of returning partial data
+    assert(MergeTable.vacuum(spark, path, retainMillis = 0) > 0)
+    intercept[Exception] { MergeTable.readAt(spark, path, 1L).count() }
+    assert(MergeTable.read(spark, path).count() === 100) // the tip is intact
+  }
+
+  test("bloom temps stranded by a crashed publisher are swept by vacuum and by init's retry") {
+    def plantExpired(dir: String, name: String): java.nio.file.Path = {
+      val p = java.nio.file.Paths.get(dir, name)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, "partial".getBytes("UTF-8"))
+      java.nio.file.Files.setLastModifiedTime(p, // older than the grace
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - MergeTable.DefaultRetainMillis - 60000))
+      p
+    }
+    // sweeping caller 1: vacuum on a committed table
+    val path = freshPath()
+    MergeTable.init(spark, path, rows(1 to 20, "a").withColumn("h", sha2($"body", 256)),
+      bloomKeys = Seq("h"))
+    val litter = plantExpired(path, "._bloom_dead.tmp")
+    MergeTable.vacuum(spark, path, retainMillis = MergeTable.DefaultRetainMillis)
+    assert(!java.nio.file.Files.exists(litter),
+      "vacuum must sweep expired bloom publication temps in the table root")
+    assert(MergeTable.bloomConfig(spark, path) === Seq("h")) // config untouched
+    // sweeping caller 2: a crashed FIRST init leaves no manifest, so
+    // vacuum cannot run — the retry init's writeBloomProps is the only
+    // sweeper that can reach the litter, and the commit must still land
+    val path2 = freshPath()
+    val litter2 = plantExpired(path2, "._bloom_dead.tmp")
+    val young = java.nio.file.Paths.get(path2, "._bloom_inflight.tmp")
+    java.nio.file.Files.write(young, "racing".getBytes("UTF-8")) // fresh: kept
+    MergeTable.init(spark, path2, rows(1 to 20, "a").withColumn("h", sha2($"body", 256)),
+      bloomKeys = Seq("h"))
+    assert(!java.nio.file.Files.exists(litter2),
+      "init's retry path must sweep expired bloom temps before publishing")
+    assert(java.nio.file.Files.exists(young),
+      "a younger temp may belong to a mid-publication racer and must be kept")
+    assert(MergeTable.bloomConfig(spark, path2) === Seq("h"))
+    assert(MergeTable.read(spark, path2).count() === 20)
+  }
+
   test("touched-file discovery pushes keys into the parquet scan (In small, range large)") {
     val path = freshPath()
     MergeTable.init(spark, path, rows(1 to 1000, "a"))
