@@ -43,7 +43,16 @@ object Bench {
     // q134 builds its MergeTable in-query (q103 convention); its serve
     // leg is eager too (checkpoint before the temp-table delete), so
     // "serve" is the count of pinned blocks — build carries ~everything
-    "q134_content_hash_lookup")
+    "q134_content_hash_lookup",
+    // the band-heavy dedup rows (largest sf1 ratios: q33 3.3x, q38 2.6x,
+    // q37 2.3x at r12): their lambdas are EAGER through the internal
+    // localCheckpoints (shingle frame, banded signatures, verified pair
+    // set), so build = candidate generation + verification — the
+    // shuffle-bound legs believed to carry the sf scaling — and serve =
+    // the final ordered count. A ratio whose growth sits in build with a
+    // flat serve leg is the banding shuffle scaling with the corpus, not
+    // a serving regression.
+    "q33_minhash_neardups", "q37_ngram_jaccard", "q38_dup_clusters")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

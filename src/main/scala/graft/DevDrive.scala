@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scratch: decompose relation-construction cost at many paths (deleted before commit). */
+object DevDrive {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time[T](name: String)(f: => T): T = graft.util.Timing.time(name)(f)
+
+    val root = java.nio.file.Files.createTempDirectory("relcost")
+    val seedDir = root.resolve("seed")
+    spark.range(1).toDF("id").coalesce(1).write.parquet(seedDir.toString)
+    val seed = {
+      val s = java.nio.file.Files.list(seedDir)
+      try s.filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      finally s.close()
+    }
+    val n = sys.env.getOrElse("N", "10000").toInt
+    val batch = root.resolve("data")
+    java.nio.file.Files.createDirectories(batch)
+    java.util.stream.IntStream.range(0, n).parallel().forEach { i =>
+      java.nio.file.Files.copy(seed, batch.resolve(f"part-$i%06d-c000.parquet"))
+    }
+    val files = (0 until n).map(i => "file://" + batch.resolve(f"part-$i%06d-c000.parquet").toString)
+    val schema = spark.read.parquet(files.head).schema
+
+    time(s"[$n] plain read.parquet") { spark.read.parquet(files: _*) }
+    time(s"[$n] with explicit schema") { spark.read.schema(schema).parquet(files: _*) }
+    spark.conf.set("spark.sql.sources.parallelPartitionDiscovery.parallelism", "64")
+    time(s"[$n] schema + parallelism=64") { spark.read.schema(schema).parquet(files: _*) }
+    spark.conf.set("spark.sql.sources.parallelPartitionDiscovery.threshold", "1000000")
+    time(s"[$n] schema + driver-side listing") { spark.read.schema(schema).parquet(files: _*) }
+    spark.stop()
+  }
+}

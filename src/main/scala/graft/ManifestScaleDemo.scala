@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+import graft.sources.{Manifests, MergeTable}
+
+/** Scale measurement for MANIFEST RESOLUTION — the one metadata path a
+  * 100 TB table exercises on every query: read the version file, build
+  * the file list, hand it to `spark.read.parquet(files: _*)`. A 100 TB
+  * table at healthy 0.5–1 GB files is 1e5–2e5 files, so the curve is
+  * measured at 1k/10k/100k files (tiny files — the DATA volume is
+  * irrelevant to metadata cost), plus the version-directory curve at
+  * 1k commits and the vacuum manifest-retention sweep that bounds it.
+  * Run manually: `sbt "runMain graft.ManifestScaleDemo"`
+  * (`MANIFEST_SCALE_MAX_FILES` caps the largest rung).
+  */
+object ManifestScaleDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val maxFiles = sys.env.getOrElse("MANIFEST_SCALE_MAX_FILES", "100000").toInt
+    val root = java.nio.file.Files.createTempDirectory("manifest_scale")
+    val conf = spark.sparkContext.hadoopConfiguration
+    def time[T](name: String)(f: => T): T = graft.util.Timing.time(name)(f)
+
+    // one tiny committed parquet file to clone — realistic bytes, not a
+    // hand-rolled stub, so every cloned path is a readable table file
+    val seedDir = root.resolve("seed")
+    spark.range(1).toDF("id").coalesce(1).write.parquet(seedDir.toString)
+    val seed = {
+      val s = java.nio.file.Files.list(seedDir)
+      try s.filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      finally s.close()
+    }
+    def cloneFiles(dir: java.nio.file.Path, n: Int): Unit =
+      java.util.stream.IntStream.range(0, n).parallel().forEach { i =>
+        java.nio.file.Files.copy(seed, dir.resolve(f"part-$i%06d-c000.parquet"))
+      }
+
+    // ---- file-count curve ------------------------------------------------
+    for (n <- Seq(1000, 10000, 100000).filter(_ <= maxFiles)) {
+      val tbl = root.resolve(f"t$n%d")
+      val batch = tbl.resolve("data").resolve("batch-0")
+      java.nio.file.Files.createDirectories(batch)
+      time(f"[$n%,d files] clone data files") { cloneFiles(batch, n) }
+      val files = (0 until n).map(i =>
+        "file://" + batch.resolve(f"part-$i%06d-c000.parquet").toString)
+      val seedSize = java.nio.file.Files.size(seed)
+      val mdir = new Path(tbl.toString, "_manifests")
+      val fs = mdir.getFileSystem(conf)
+      // v1: a LEGACY size-less manifest — resolution must re-stat every
+      // path (spark.read.parquet over explicit paths, the old cost)
+      time(f"[$n%,d files] commit (legacy, paths only)") {
+        Manifests.commit(fs, mdir, 1L, files)
+      }
+      val snap = time(f"[$n%,d files] snapshot (read manifest)") {
+        MergeTable.snapshot(spark, tbl.toString)
+      }
+      require(snap.files.size == n, s"manifest round-trip lost files: ${snap.files.size}")
+      time(f"[$n%,d files] LEGACY relation (listing job)") {
+        MergeTable.read(spark, tbl.toString)
+      }
+      // v2: the SIZED manifest every current writer commits — resolution
+      // is a metadata read, zero filesystem stats (ManifestFileIndex)
+      time(f"[$n%,d files] commit (sized entries)") {
+        Manifests.commit(fs, mdir, 2L, files.map(f => f + "\t" + seedSize))
+      }
+      val df = time(f"[$n%,d files] SIZED relation (manifest-backed)") {
+        MergeTable.read(spark, tbl.toString)
+      }
+      time(f"[$n%,d files] count() over all files") {
+        require(df.count() == n.toLong)
+      }
+      time(f"[$n%,d files] steady-state re-resolve (snapshot+relation)") {
+        MergeTable.read(spark, tbl.toString)
+      }
+    }
+
+    // ---- version-count curve ---------------------------------------------
+    val vtbl = root.resolve("versions")
+    val vdata = vtbl.resolve("data").resolve("batch-0")
+    java.nio.file.Files.createDirectories(vdata)
+    cloneFiles(vdata, 32)
+    val vfiles = (0 until 32).map(i =>
+      "file://" + vdata.resolve(f"part-$i%06d-c000.parquet").toString)
+    val vmdir = new Path(vtbl.toString, "_manifests")
+    val vfs = vmdir.getFileSystem(conf)
+    time("[1k commits] 1000 sequential commits (32-file lists)") {
+      (1 to 1000).foreach(v => Manifests.commit(vfs, vmdir, v.toLong, vfiles))
+    }
+    time("[1k commits] listVersions over 1000 manifests") {
+      require(Manifests.listVersions(vfs, vmdir).size == 1000)
+    }
+    time("[1k commits] snapshot at tip") {
+      require(MergeTable.snapshot(spark, vtbl.toString).version == 1000L)
+    }
+    // the bound: vacuum's manifest retention sweeps expired non-tip
+    // versions (their mtimes are "now", so age them below the cutoff)
+    Manifests.listVersions(vfs, vmdir).dropRight(1).foreach { v =>
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(Manifests.versionPath(vmdir, v).toUri.getPath),
+        java.nio.file.attribute.FileTime.fromMillis(1000L))
+    }
+    time("[1k commits] vacuum sweeps expired manifests") {
+      MergeTable.vacuum(spark, vtbl.toString, retainMillis = 60000)
+    }
+    time("[1k commits] listVersions after retention") {
+      require(Manifests.listVersions(vfs, vmdir) == Seq(1000L),
+        "retention must keep exactly the tip")
+    }
+    require(MergeTable.snapshot(spark, vtbl.toString).files.size == 32,
+      "tip content must survive the manifest sweep")
+
+    graft.util.Fs.deleteRecursively(root)
+    spark.stop()
+  }
+}

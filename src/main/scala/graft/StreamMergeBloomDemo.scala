@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.MergeTable
+
+/** The bloom story's STREAMING number: a sustained keyed-merge stream —
+  * the exact micro-batch operation `JobProcessor.runToMergeTable`
+  * commits per trigger ([[graft.streaming.JobProcessor.mergeResponsesBatch]])
+  * — against a ≥40M-row response table, bloomed on `request_id` (how
+  * the JobProcessor inits it) vs an unbloomed control, on a COLD page
+  * cache. BloomLookupScaleDemo measured the row-group skip and the
+  * point-lookup wall; this demo measures what the skip buys the
+  * steady-state INGEST path, where every micro-batch must first
+  * discover which files hold its replayed request_ids.
+  *
+  * Cold cache is the regime that matters: a 100 TB table's key column
+  * does not live in page cache, so each micro-batch's touched-file
+  * discovery either reads the key column of every row group (min/max
+  * stats are useless on a uuid-shaped domain) or consults the bloom
+  * bitsets and opens only candidate groups. The demo drops the kernel
+  * page cache before every timed merge (requires root —
+  * `/proc/sys/vm/drop_caches`; without the permission it records
+  * warm-cache numbers and says so).
+  *
+  * Run manually: `sbt "runMain graft.StreamMergeBloomDemo"`
+  * (STREAM_BLOOM_ROWS overrides the 40M default; idle host — timing).
+  */
+object StreamMergeBloomDemo {
+
+  private def dropCaches(): Boolean =
+    try {
+      new ProcessBuilder("sh", "-c", "sync; echo 1 > /proc/sys/vm/drop_caches")
+        .start().waitFor() == 0
+    } catch { case _: Exception => false }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.util.Timing.time
+
+    val n = sys.env.getOrElse("STREAM_BLOOM_ROWS", "40000000").toLong
+    require(n >= 1000000, s"STREAM_BLOOM_ROWS too small to mean anything (got $n)")
+    val files = 16
+    // several row groups per file so skipping has sub-file granularity
+    spark.sparkContext.hadoopConfiguration
+      .setInt("parquet.block.size", 8 * 1024 * 1024)
+    val base = java.nio.file.Files
+      .createTempDirectory("stream_bloom").toString
+    val bloomPath = s"$base/with_bloom"
+    val plainPath = s"$base/no_bloom"
+    val cold = dropCaches()
+    if (!cold) println("WARNING: cannot drop page cache (not root?) — " +
+      "the numbers below are WARM-cache and understate the bloom win")
+
+    // the JobProcessor response-table shape (request_id, job_id,
+    // user_query, ai_response, ts), request_id a sha256 domain
+    def responseRows(ids: DataFrame): DataFrame = ids
+      .withColumn("request_id", sha2(concat(lit("req "),
+        col("id").cast("string")), 256))
+      .withColumn("job_id", pmod(col("id"), lit(1000L)).cast("string"))
+      .withColumn("user_query", md5(col("id").cast("string")))
+      .withColumn("ai_response", concat(md5(col("id").cast("string")),
+        md5(concat(lit("x"), col("id").cast("string"))),
+        md5(concat(lit("y"), col("id").cast("string")))))
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("id") % 86400))
+      .drop("id")
+
+    val seed = responseRows(spark.range(n).repartition(files).toDF())
+    time(f"init WITH bloom (request_id) $n%,d rows") {
+      MergeTable.init(spark, bloomPath, seed, bloomKeys = Seq("request_id"))
+    }
+    time("init WITHOUT bloom (control, same data/layout)") {
+      MergeTable.init(spark, plainPath, seed)
+    }
+
+    // one micro-batch: 10 replayed request_ids (spread over the table —
+    // the at-least-once redelivery the keyed MERGE absorbs) + 10 new
+    def batchFor(round: Int): DataFrame = {
+      val replayed = spark.range(1, 11)
+        .select((col("id") * (n / 11) + round).as("id"))
+      val fresh = spark.range(n + round * 10L, n + round * 10L + 10).toDF()
+      responseRows(replayed.unionByName(fresh))
+    }
+
+    // cold discovery-only attribution: the touched-file scan a merge
+    // runs first (exact key list pushed as one In predicate)
+    def coldDiscovery(dir: String, batch: DataFrame): Double = {
+      val snap = MergeTable.snapshot(spark, dir)
+      val u = batch.localCheckpoint(true)
+      try {
+        dropCaches()
+        val t0 = System.nanoTime()
+        MergeTable.discoveryFrame(
+          MergeTable.relationFor(spark, snap.entries), u,
+          Seq("request_id"), 20).collect()
+        (System.nanoTime() - t0) / 1e9
+      } finally graft.util.Checkpoints.free(u)
+    }
+
+    val rounds = 6
+    def stream(dir: String, label: String): Seq[Double] = {
+      val walls = (1 to rounds).map { r =>
+        val batch = batchFor(r)
+        dropCaches()
+        val t0 = System.nanoTime()
+        graft.streaming.JobProcessor.mergeResponsesBatch(spark, batch, dir)
+        val w = (System.nanoTime() - t0) / 1e9
+        println(f"  $label round $r%2d: merge wall $w%6.3f s")
+        w
+      }
+      walls
+    }
+
+    println(s"sustained keyed-merge stream: $rounds micro-batches each " +
+      s"(10 replayed + 10 new request_ids), cache dropped before every merge")
+    val db = coldDiscovery(bloomPath, batchFor(0))
+    val dp = coldDiscovery(plainPath, batchFor(0))
+    println(f"cold discovery only: bloom $db%6.3f s vs plain $dp%6.3f s (${dp / db}%.1fx)")
+    val wb = stream(bloomPath, "bloom")
+    val wp = stream(plainPath, "plain")
+    def stats(w: Seq[Double]): (Double, Double) =
+      (w.sum, w.sorted.apply(w.size / 2))
+    val (sb, medB) = stats(wb)
+    val (sp, medP) = stats(wp)
+    println(f"bloom: total $sb%6.2f s, median $medB%6.3f s | " +
+      f"plain: total $sp%6.2f s, median $medP%6.3f s | " +
+      f"stream wall ${sp / sb}%.2fx, median ${medP / medB}%.2fx" +
+      (if (cold) " (cold cache)" else " (WARM cache)"))
+
+    // both tables must have absorbed the same stream identically
+    val cb = MergeTable.read(spark, bloomPath).count()
+    val cp = MergeTable.read(spark, plainPath).count()
+    require(cb == cp && cb == n + rounds * 10L,
+      s"tables diverged after the stream: $cb vs $cp (expect ${n + rounds * 10})")
+
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(base))
+    spark.stop()
+  }
+}

@@ -1,0 +1,63 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
+import org.apache.spark.sql.types.StructType
+
+/** Zero-listing [[FileIndex]] over a manifest's closed (path, size)
+  * list — the Delta/Iceberg trick that makes snapshot resolution a
+  * METADATA read instead of a filesystem walk. `spark.read.parquet`
+  * over N explicit paths re-discovers what the manifest already knows:
+  * it stats every path (a distributed listing job whose default
+  * parallelism of one task PER PATH cost a measured 17 s of pure task
+  * overhead at 10k files — ManifestScaleDemo), only to learn sizes the
+  * committing writer recorded. This index hands Spark those recorded
+  * sizes directly: no listing job, no per-path RPC, flat cost at any
+  * file count.
+  *
+  * The execution path downstream is completely unchanged — this is
+  * still `FileSourceScanExec` over `ParquetFileFormat`, so predicate
+  * pushdown, bloom-filter row-group skipping, `input_file_name()`, and
+  * whole-stage codegen all behave exactly as with `spark.read.parquet`
+  * (PlanShapeSpec gates the pushed-filter shapes against this index).
+  *
+  * Sizes must be exact: Spark plans splits from `FileStatus.getLen`,
+  * so a drifted size would truncate or over-read a file. They are, by
+  * construction — parquet data files are immutable, and the committing
+  * writer records the post-write `listStatus` sizes into the manifest
+  * ([[MergeTable.writeBatch]]).
+  *
+  * Modification times are not stored (0): the parquet read path never
+  * consults them; only the `_metadata.file_modification_time` metadata
+  * column would surface the placeholder.
+  */
+private[graft] final class ManifestFileIndex(
+    entries: Seq[MergeTable.FileEntry]) extends FileIndex {
+  require(entries.forall(_.size >= 0),
+    "ManifestFileIndex needs a recorded size for every file; " +
+      "size-less (legacy) manifests take the listing path")
+
+  private val statuses: Array[FileStatus] = entries.map { e =>
+    new FileStatus(e.size, false, 1, 128L * 1024 * 1024, 0L, new Path(e.path))
+  }.toArray
+
+  override def rootPaths: Seq[Path] = statuses.map(_.getPath).toSeq
+
+  override def listFiles(
+      partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
+    Seq(PartitionDirectory(InternalRow.empty, statuses))
+
+  override def inputFiles: Array[String] = entries.map(_.path).toArray
+
+  override def refresh(): Unit = () // immutable by construction
+
+  override val sizeInBytes: Long = entries.map(_.size).sum
+
+  override def partitionSchema: StructType = StructType(Nil)
+
+  override def toString: String =
+    s"ManifestFileIndex(${entries.size} files, $sizeInBytes bytes)"
+}

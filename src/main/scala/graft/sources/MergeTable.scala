@@ -35,7 +35,16 @@ import org.apache.spark.sql.functions._
   */
 object MergeTable {
 
-  final case class Snapshot(version: Long, files: Seq[String])
+  /** One manifest entry: the data file's path and its exact byte size
+    * as recorded by the committing writer (−1 for lines from a legacy
+    * size-less manifest). The size is what lets [[read]] build the
+    * relation with ZERO filesystem calls ([[ManifestFileIndex]]). */
+  final case class FileEntry(path: String, size: Long)
+
+  final case class Snapshot(version: Long, entries: Seq[FileEntry]) {
+    /** The closed file-path list of this version. */
+    def files: Seq[String] = entries.map(_.path)
+  }
 
   /** @param filesRewritten files of the previous version REPLACED
     *        (hit by a matched key / delete predicate) — the Delta
@@ -133,17 +142,51 @@ object MergeTable {
   }
 
   /** The table as of its latest committed version. */
-  def read(spark: SparkSession, path: String): DataFrame = {
-    val snap = snapshot(spark, path)
-    spark.read.parquet(snap.files: _*)
-  }
+  def read(spark: SparkSession, path: String): DataFrame =
+    relationFor(spark, snapshot(spark, path).entries)
 
   def snapshot(spark: SparkSession, path: String): Snapshot = {
     val (fs, root) = fsOf(spark, path)
     val v = latestVersion(fs, root).getOrElse(
       throw new IllegalArgumentException(s"no merge table at $path"))
-    Snapshot(v, Manifests.read(fs, manifestDir(root), v))
+    Snapshot(v, Manifests.read(fs, manifestDir(root), v).map(decodeEntry))
   }
+
+  /** Manifest line codec: `<path>\t<size>`; a line without the tab is a
+    * legacy size-less entry (size −1 → [[relationFor]] takes the
+    * listing path for the whole snapshot). [[Manifests]] itself stays
+    * content-agnostic — other layers (the IVF layout, CompositeIndex)
+    * store their own line formats in the same commit primitive. */
+  private def encodeEntry(e: FileEntry): String =
+    if (e.size >= 0) e.path + "\t" + e.size else e.path
+
+  private def decodeEntry(line: String): FileEntry = {
+    val i = line.lastIndexOf('\t')
+    if (i < 0) FileEntry(line, -1L)
+    else FileEntry(line.substring(0, i), line.substring(i + 1).toLong)
+  }
+
+  /** The relation over a snapshot's entries. With recorded sizes (every
+    * manifest this code writes) the relation is built from the manifest
+    * alone — no listing job, no per-path stat; `spark.read.parquet`
+    * over explicit paths re-stats every file, measured 17–23 s at
+    * 10k–100k files (ManifestScaleDemo) for information the committing
+    * writer already recorded. One footer read (schema of the head file
+    * — all files agree by the writer invariant) is the only IO. */
+  private[graft] def relationFor(
+      spark: SparkSession, entries: Seq[FileEntry]): DataFrame =
+    if (entries.nonEmpty && entries.forall(_.size >= 0)) {
+      val schema = spark.read.parquet(entries.head.path).schema
+      val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+        new ManifestFileIndex(entries),
+        partitionSchema = new org.apache.spark.sql.types.StructType(),
+        dataSchema = schema,
+        bucketSpec = None,
+        fileFormat =
+          new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
+        options = Map.empty)(spark)
+      spark.baseRelationToDataFrame(relation)
+    } else spark.read.parquet(entries.map(_.path): _*)
 
   /** Committed versions of the table, oldest first. */
   def versions(spark: SparkSession, path: String): Seq[Long] = {
@@ -156,14 +199,14 @@ object MergeTable {
     * an older version stays readable until [[vacuum]] reclaims the
     * files the LATEST manifest no longer references. */
   def readAt(spark: SparkSession, path: String, version: Long): DataFrame =
-    spark.read.parquet(snapshotAt(spark, path, version).files: _*)
+    relationFor(spark, snapshotAt(spark, path, version).entries)
 
   def snapshotAt(spark: SparkSession, path: String, version: Long): Snapshot = {
     val (fs, root) = fsOf(spark, path)
     require(fs.exists(Manifests.versionPath(manifestDir(root), version)),
       s"no committed version $version at $path (have " +
         s"${Manifests.listVersions(fs, manifestDir(root)).mkString(",")})")
-    Snapshot(version, Manifests.read(fs, manifestDir(root), version))
+    Snapshot(version, Manifests.read(fs, manifestDir(root), version).map(decodeEntry))
   }
 
   /** Upsert `updates` by `keyCols` (last state wins per key, like the
@@ -207,11 +250,12 @@ object MergeTable {
       keyCols: Seq[String], nU: Long): MergeStats = {
     val (fs, root) = fsOf(spark, path)
     val snap = snapshot(spark, path)
+    val base = relationFor(spark, snap.entries)
     // Table schema = head file's schema. SAFE BY INVARIANT: init and
     // every commit write the full, identical column set (the check
     // below rejects updates that add or drop columns loudly instead of
     // silently projecting them away), so all files in a manifest agree.
-    val tableSchema = spark.read.parquet(snap.files.head).schema
+    val tableSchema = base.schema
     val cols = tableSchema.map(_.name)
     require(keyCols.forall(cols.contains),
       s"key ${keyCols.mkString(",")} missing from table")
@@ -236,10 +280,10 @@ object MergeTable {
 
     val touched: Set[String] =
       if (nU == 0) Set.empty
-      else discoveryFrame(spark, snap.files, u, keyCols, nU)
+      else discoveryFrame(base, u, keyCols, nU)
         .collect().map(r => normalize(r.getString(0))).toSet
 
-    val (hit, kept) = snap.files.partition(f => touched.contains(normalize(f)))
+    val (hit, kept) = snap.entries.partition(e => touched.contains(normalize(e.path)))
     // Insert-only batches write ceil(nU / InsertRowsPerFile) files: one
     // file per batch fragments nothing, but a single writer task for an
     // arbitrarily large first load would serialize the whole write (the
@@ -251,7 +295,7 @@ object MergeTable {
       if (hit.isEmpty && nU == 0)
         return MergeStats(snap.version, kept.size, 0, 0, 0)
       else if (hit.isEmpty) u.select(cols.map(col): _*).coalesce(insertFiles)
-      else spark.read.parquet(hit: _*)
+      else relationFor(spark, hit)
         .join(broadcast(u.select(keyCols.map(col): _*).distinct()),
           keyCols, "left_anti")
         .select(cols.map(col): _*)
@@ -288,11 +332,13 @@ object MergeTable {
     * the complete membership test, so no semi-join follows. Larger
     * batches push the [min,max] range (pruning on [[compactTable]]'d
     * key-range-sorted layouts) and semi-join against the broadcast key
-    * set. MergeTableSpec gates both `PushedFilters` shapes. */
+    * set. MergeTableSpec gates both `PushedFilters` shapes.
+    *
+    * `base` is the snapshot's relation ([[relationFor]] — manifest-
+    * backed, so discovery pays no listing job either). */
   private[graft] def discoveryFrame(
-      spark: SparkSession, files: Seq[String], u: DataFrame,
+      base: DataFrame, u: DataFrame,
       keyCols: Seq[String], nKeys: Long): DataFrame = {
-    val base = spark.read.parquet(files: _*)
     // Filters go DIRECTLY on the relation, before the projection that
     // adds input_file_name(): that expression is non-deterministic, and
     // Catalyst refuses to push any predicate through a projection
@@ -339,13 +385,13 @@ object MergeTable {
       try {
         val (fs, root) = fsOf(spark, path)
         val snap = snapshot(spark, path)
-        val touched = spark.read.parquet(snap.files: _*)
+        val touched = relationFor(spark, snap.entries)
           .filter(cond)
           .select(input_file_name().as("__file")).distinct()
           .collect().map(r => normalize(r.getString(0))).toSet
-        val (hit, kept) = snap.files.partition(f => touched.contains(normalize(f)))
+        val (hit, kept) = snap.entries.partition(e => touched.contains(normalize(e.path)))
         if (hit.isEmpty) return MergeStats(snap.version, kept.size, 0, 0, 0)
-        val survivors = spark.read.parquet(hit: _*)
+        val survivors = relationFor(spark, hit)
           .filter(!coalesce(cond, lit(false)))
           .coalesce(hit.size) // one output file per hit file (see mergeOnce)
         val newFiles = writeBatch(spark, fs, root, survivors)
@@ -390,7 +436,7 @@ object MergeTable {
       case None => snap.version + 1
       case Some(_) => latestVersion(fs, root).getOrElse(snap.version) + 1
     }
-    val sorted = spark.read.parquet(snap.files: _*)
+    val sorted = relationFor(spark, snap.entries)
       .repartitionByRange(numFiles, col(sortCol))
       .sortWithinPartitions(col(sortCol))
     val files = writeBatch(spark, fs, root, sorted)
@@ -408,7 +454,10 @@ object MergeTable {
   }
 
   /** Delete data files no manifest-latest version references (orphans
-    * from failed/superseded commits). Returns the number removed.
+    * from failed/superseded commits), and expired version manifests
+    * beyond tip ∪ `keepVersions` (bounding the version directory's
+    * growth — Delta's log retention, miniature). Returns the number of
+    * data files removed.
     *
     * `retainMillis` is the concurrency grace (Delta's VACUUM retention,
     * miniature): a merge/compact writes its batch files BEFORE its
@@ -455,6 +504,20 @@ object MergeTable {
     // crashed between the temp write and the link(2) claim; the same
     // grace keeps a mid-commit writer's temp file safe
     Manifests.sweepTemp(fs, manifestDir(root), cutoff)
+    // manifest retention (Delta's log retention, miniature): expired
+    // version files beyond tip ∪ keepVersions are removed, bounding the
+    // otherwise ever-growing version directory that every snapshot's
+    // listStatus walks (a commit-per-minute table accrues ~500k
+    // manifests/year; ManifestScaleDemo has the measured curve). Time
+    // travel to swept versions ends, exactly as it does for their data
+    // files — which this same vacuum just reclaimed under the same
+    // cutoff. The tip is never swept regardless of age.
+    val keepManifests = (keepVersions :+ tip.version).toSet
+    Manifests.listVersions(fs, manifestDir(root))
+      .filterNot(keepManifests.contains)
+      .map(v => Manifests.versionPath(manifestDir(root), v))
+      .filter(p => fs.getFileStatus(p).getModificationTime <= cutoff)
+      .foreach(p => fs.delete(p, false))
     // likewise `._bloom_*.tmp` stranded in the table root by a writer
     // that crashed between writeBloomProps' temp write and its link(2)
     // claim (writeBloomProps itself sweeps these on the retry path,
@@ -473,9 +536,11 @@ object MergeTable {
     * options through. */
   private def writeBatch(
       spark: SparkSession, fs: FileSystem, root: Path,
-      df: DataFrame): Seq[String] = {
+      df: DataFrame): Seq[FileEntry] = {
     val batch = new Path(new Path(root, "data"),
       "batch-" + java.util.UUID.randomUUID().toString)
+    require(!batch.toUri.toString.contains("\t"),
+      s"table path not encodable in a manifest line (contains a tab): $root")
     val bloom = readBloomProps(fs, root)
     // PERSISTED-config-vs-frame mismatch is table state, not a caller
     // argument: IllegalStateException, so the KB/JobProcessor TOCTOU
@@ -489,9 +554,13 @@ object MergeTable {
     }
     graft.util.ParquetBloom.writeOptions(df.write.mode("errorifexists"), bloom)
       .parquet(batch.toString)
-    fs.listStatus(batch).map(_.getPath)
-      .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
-      .map(_.toUri.toString).toSeq.sorted
+    // the post-write listStatus is where the manifest's exact sizes come
+    // from — what lets every later read skip the listing job entirely
+    fs.listStatus(batch)
+      .filter(s => s.getPath.getName.startsWith("part-") &&
+        s.getPath.getName.endsWith(".parquet"))
+      .map(s => FileEntry(s.getPath.toUri.toString, s.getLen))
+      .toSeq.sortBy(_.path)
   }
 
   private def bloomPropsPath(root: Path) = new Path(root, "_bloom.properties")
@@ -588,6 +657,6 @@ object MergeTable {
     * ([[Manifests.commit]]: atomic on HDFS-like filesystems and on the
     * local filesystem via temp file + link(2)). */
   private def commit(
-      fs: FileSystem, root: Path, version: Long, files: Seq[String]): Unit =
-    Manifests.commit(fs, manifestDir(root), version, files)
+      fs: FileSystem, root: Path, version: Long, entries: Seq[FileEntry]): Unit =
+    Manifests.commit(fs, manifestDir(root), version, entries.map(encodeEntry))
 }

@@ -246,7 +246,8 @@ class MergeTableSpec extends SparkSpec {
     val snap = MergeTable.snapshot(spark, path)
     def pushedFor(updates: org.apache.spark.sql.DataFrame,
         nKeys: Long): (String, String) = {
-      val df = MergeTable.discoveryFrame(spark, snap.files, updates,
+      val df = MergeTable.discoveryFrame(
+        MergeTable.relationFor(spark, snap.entries), updates,
         Seq("id"), nKeys)
       val scans = graft.util.Plans.executedNodes(df).collect {
         case f: org.apache.spark.sql.execution.FileSourceScanExec => f
