@@ -265,6 +265,14 @@ final class CompositeIndex(label: String, componentNames: Seq[String]) {
     orphans.foreach(st => fs.delete(st.getPath, true))
     val (mfs, mdir) = manifestDir(spark, path)
     Manifests.sweepTemp(mfs, mdir, cutoff)
+    // pin-log retention: the composite log grows one manifest per
+    // upsert/compact (commitPin), and every pin() resolution listStatus-
+    // walks it — the same unbounded growth the component-level vacuum
+    // bounds one layer down. Expired pins beyond the serving pin are
+    // swept; their component manifests/files were reclaimed above under
+    // the same cutoff (keepVersions = the serving pin only), so an old
+    // pin is unreadable history either way.
+    Manifests.sweepVersions(mfs, mdir, cutoff, Set(p0.version))
     orphans.length
   }
 }

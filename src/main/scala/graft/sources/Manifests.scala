@@ -178,4 +178,29 @@ private[graft] object Manifests {
           s.getPath.getName.endsWith(".tmp"))
         .filter(_.getModificationTime <= cutoff)
         .foreach(s => fs.delete(s.getPath, false))
+
+  /** Version-log retention (Delta's log cleanup, miniature): delete
+    * `v<N>` manifests in `dir` whose version is not in `keep` and whose
+    * mtime is at or before `cutoff` — bounding the directory every
+    * [[latestVersion]] `listStatus`-walks (a commit-per-minute log
+    * grows ~500k entries/year unbounded). Time travel to swept versions
+    * ends, the same retention semantics as the data files reclaimed
+    * under the same cutoff.
+    *
+    * ONE `listStatus` supplies both names and mtimes (no per-version
+    * stat RPCs — at the very scale this targets, N stats per sweep
+    * would be the new bottleneck), and a concurrent sweeper racing the
+    * same directory is tolerated: deleting an already-deleted manifest
+    * is a no-op `false`, never an exception. */
+  def sweepVersions(
+      fs: FileSystem, dir: Path, cutoff: Long, keep: Set[Long]): Unit =
+    if (fs.exists(dir))
+      fs.listStatus(dir).filter(_.isFile)
+        .filter { s =>
+          val nm = s.getPath.getName
+          nm.length > 1 && nm.startsWith("v") && nm.drop(1).forall(_.isDigit)
+        }
+        .filterNot(s => keep.contains(s.getPath.getName.drop(1).toLong))
+        .filter(_.getModificationTime <= cutoff)
+        .foreach(s => fs.delete(s.getPath, false))
 }

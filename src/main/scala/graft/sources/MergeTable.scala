@@ -504,20 +504,12 @@ object MergeTable {
     // crashed between the temp write and the link(2) claim; the same
     // grace keeps a mid-commit writer's temp file safe
     Manifests.sweepTemp(fs, manifestDir(root), cutoff)
-    // manifest retention (Delta's log retention, miniature): expired
-    // version files beyond tip ∪ keepVersions are removed, bounding the
-    // otherwise ever-growing version directory that every snapshot's
-    // listStatus walks (a commit-per-minute table accrues ~500k
-    // manifests/year; ManifestScaleDemo has the measured curve). Time
-    // travel to swept versions ends, exactly as it does for their data
-    // files — which this same vacuum just reclaimed under the same
-    // cutoff. The tip is never swept regardless of age.
-    val keepManifests = (keepVersions :+ tip.version).toSet
-    Manifests.listVersions(fs, manifestDir(root))
-      .filterNot(keepManifests.contains)
-      .map(v => Manifests.versionPath(manifestDir(root), v))
-      .filter(p => fs.getFileStatus(p).getModificationTime <= cutoff)
-      .foreach(p => fs.delete(p, false))
+    // manifest retention: expired version files beyond tip ∪
+    // keepVersions are removed (ManifestScaleDemo has the measured
+    // curve; 1000 manifests swept in 0.2 s). The tip is never swept
+    // regardless of age.
+    Manifests.sweepVersions(fs, manifestDir(root), cutoff,
+      (keepVersions :+ tip.version).toSet)
     // likewise `._bloom_*.tmp` stranded in the table root by a writer
     // that crashed between writeBloomProps' temp write and its link(2)
     // claim (writeBloomProps itself sweeps these on the retry path,
@@ -647,10 +639,14 @@ object MergeTable {
     if (lines.lastOption.contains(BloomTerminator)) lines.init
     else throw new IllegalStateException(
       s"bloom config at $p is torn or foreign (missing the '$BloomTerminator' " +
-        "terminator line) — likely a hard crash mid-write on a filesystem " +
-        "without atomic publication; adopting its partial column list would " +
-        "misconfigure every later writer. Recover the intended config and " +
-        "rewrite the file, or delete it deliberately for a bloom-less table")
+        "terminator line): either a hard crash mid-write on a filesystem " +
+        "without atomic publication, or a complete config written by a " +
+        "pre-terminator version of this library — the two are " +
+        "indistinguishable, and adopting a torn file's partial column list " +
+        s"would misconfigure every later writer. If the column list is " +
+        s"known-complete, append a '$BloomTerminator' line to adopt it; " +
+        "otherwise recover the intended config, or delete the file " +
+        "deliberately for a bloom-less table")
   }
 
   /** Exclusive-create commit — delegates to the shared OCC primitive

@@ -455,6 +455,33 @@ class DedupIndexSpec extends SparkSpec {
       "the retention grace must keep a possibly-mid-staging dir")
   }
 
+  test("vacuum bounds the composite pin log: expired pins beyond the serving pin are swept") {
+    val path = freshPath()
+    DedupIndex.build(spark, path,
+      Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    DedupIndex.upsert(spark, path,
+      Seq((2L, "totally disjoint vocabulary set occupying space")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    DedupIndex.upsert(spark, path,
+      Seq((3L, "another batch of unrelated words entirely")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val mdir = new org.apache.hadoop.fs.Path(path, "_manifests")
+    val fs = mdir.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(graft.sources.Manifests.listVersions(fs, mdir) === Seq(1L, 2L, 3L),
+      "build + two upserts must have committed three pins")
+    DedupIndex.vacuum(spark, path, retainMillis = 0L)
+    assert(graft.sources.Manifests.listVersions(fs, mdir) === Seq(3L),
+      "expired pins beyond the serving pin must be swept (the pin log " +
+        "otherwise grows one manifest per upsert, walked by every pin())")
+    // the index still serves from the surviving pin
+    val probed = pairs(DedupIndex.nearDupsAgainst(
+      spark, path,
+      Seq((9L, "another batch of unrelated words entirely")).toDF("doc_id", "text"),
+      "doc_id", "text", threshold = 0.5))
+    assert(probed === Set((3L, 9L, 1.0)))
+  }
+
   test("vacuum with the component tip ahead of the pin keeps the SERVING pin's files") {
     val path = freshPath()
     DedupIndex.build(spark, path,
