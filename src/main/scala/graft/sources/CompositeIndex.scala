@@ -85,15 +85,33 @@ final class CompositeIndex(label: String, componentNames: Seq[String]) {
     Manifests.latestVersion(fs, dir).isDefined
   }
 
-  /** The latest committed composite version. */
+  /** The latest committed composite version.
+    *
+    * Resolve-then-read is two filesystem operations, so a pin that was
+    * the latest at the `listStatus` can be SWEPT before the read: a
+    * concurrent commit advances the log and a concurrent vacuum's
+    * retention reclaims the superseded pin (its age, not its
+    * time-since-superseded, is what the grace measures — Delta's log
+    * cleanup has the same property). The FileNotFound retry re-resolves
+    * the (necessarily newer) latest; bounded, because each retry
+    * requires another writer+vacuum landing inside the window. */
   def pin(spark: SparkSession, path: String): Pin = {
     val (fs, dir) = manifestDir(spark, path)
-    val v = Manifests.latestVersion(fs, dir).getOrElse(
-      throw new IllegalArgumentException(s"no $label at $path"))
-    val m = Manifests.read(fs, dir, v).map(parseRef).toMap
-    componentNames.foreach(n => require(m.contains(n),
-      s"$label at $path: composite v$v is missing component $n"))
-    Pin(v, m)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val v = Manifests.latestVersion(fs, dir).getOrElse(
+        throw new IllegalArgumentException(s"no $label at $path"))
+      try {
+        val m = Manifests.read(fs, dir, v).map(parseRef).toMap
+        componentNames.foreach(n => require(m.contains(n),
+          s"$label at $path: composite v$v is missing component $n"))
+        return Pin(v, m)
+      } catch {
+        case _: java.io.FileNotFoundException if attempt < 3 => // re-resolve
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Read one component at its pinned dir+version. */
@@ -249,13 +267,18 @@ final class CompositeIndex(label: String, componentNames: Seq[String]) {
       retainMillis: Long = 15L * 60L * 1000L): Int = {
     require(retainMillis >= 0, "retainMillis must be >= 0")
     val p0 = pin(spark, path)
+    // cutoff is fixed HERE, before the component vacuums: those can take
+    // minutes on a large index, and a cutoff computed after them would
+    // swallow that elapsed time out of the grace — a pin committed
+    // mid-maintenance could age past a late-computed cutoff and be
+    // swept (the keepFrom floor below also protects it structurally)
+    val cutoff = System.currentTimeMillis() - retainMillis
     componentNames.foreach(n =>
       MergeTable.vacuum(spark, componentPath(path, p0(n).dir), retainMillis,
         keepVersions = Seq(p0(n).version)))
     val referenced = componentNames.map(n => p0(n).dir).toSet
     val rootP = new Path(path)
     val fs = rootP.getFileSystem(spark.sessionState.newHadoopConf())
-    val cutoff = System.currentTimeMillis() - retainMillis
     val orphans = fs.listStatus(rootP)
       .filter(_.isDirectory)
       .filter(st => componentNames.exists(n =>
@@ -264,15 +287,16 @@ final class CompositeIndex(label: String, componentNames: Seq[String]) {
       .filter(_.getModificationTime <= cutoff)
     orphans.foreach(st => fs.delete(st.getPath, true))
     val (mfs, mdir) = manifestDir(spark, path)
-    Manifests.sweepTemp(mfs, mdir, cutoff)
-    // pin-log retention: the composite log grows one manifest per
-    // upsert/compact (commitPin), and every pin() resolution listStatus-
-    // walks it — the same unbounded growth the component-level vacuum
-    // bounds one layer down. Expired pins beyond the serving pin are
-    // swept; their component manifests/files were reclaimed above under
-    // the same cutoff (keepVersions = the serving pin only), so an old
-    // pin is unreadable history either way.
-    Manifests.sweepVersions(mfs, mdir, cutoff, Set(p0.version))
+    // one listing sweeps the composite dir's stranded commit temps AND
+    // its pin-log retention: the log grows one manifest per upsert/
+    // compact (commitPin), and every pin() resolution listStatus-walks
+    // it — the same unbounded growth the component-level vacuum bounds
+    // one layer down. Expired pins below the serving pin are swept
+    // (keepFrom = p0.version structurally protects the serving pin and
+    // anything committed during this maintenance pass); their component
+    // manifests/files were reclaimed above under the same cutoff, so an
+    // old pin is unreadable history either way.
+    Manifests.sweepLog(mfs, mdir, cutoff, Set.empty, keepFrom = p0.version)
     orphans.length
   }
 }

@@ -179,28 +179,44 @@ private[graft] object Manifests {
         .filter(_.getModificationTime <= cutoff)
         .foreach(s => fs.delete(s.getPath, false))
 
-  /** Version-log retention (Delta's log cleanup, miniature): delete
-    * `v<N>` manifests in `dir` whose version is not in `keep` and whose
-    * mtime is at or before `cutoff` — bounding the directory every
+  /** One log-maintenance pass over a manifest directory: sweep expired
+    * `<tmpPrefix>*.tmp` publication temps ([[sweepTemp]] semantics) AND
+    * expired `v<N>` version manifests — the version-log retention
+    * (Delta's log cleanup, miniature) that bounds the directory every
     * [[latestVersion]] `listStatus`-walks (a commit-per-minute log
     * grows ~500k entries/year unbounded). Time travel to swept versions
     * ends, the same retention semantics as the data files reclaimed
     * under the same cutoff.
     *
-    * ONE `listStatus` supplies both names and mtimes (no per-version
-    * stat RPCs — at the very scale this targets, N stats per sweep
-    * would be the new bottleneck), and a concurrent sweeper racing the
-    * same directory is tolerated: deleting an already-deleted manifest
-    * is a no-op `false`, never an exception. */
-  def sweepVersions(
-      fs: FileSystem, dir: Path, cutoff: Long, keep: Set[Long]): Unit =
-    if (fs.exists(dir))
-      fs.listStatus(dir).filter(_.isFile)
-        .filter { s =>
-          val nm = s.getPath.getName
-          nm.length > 1 && nm.startsWith("v") && nm.drop(1).forall(_.isDigit)
-        }
-        .filterNot(s => keep.contains(s.getPath.getName.drop(1).toLong))
-        .filter(_.getModificationTime <= cutoff)
-        .foreach(s => fs.delete(s.getPath, false))
+    * A version survives if it is in `keep` OR `>= keepFrom`. The floor
+    * protects commits LANDING DURING the caller's maintenance pass
+    * structurally, not just by mtime grace: a concurrent writer's new
+    * version is numbered above the caller's resolved tip/pin, so it can
+    * never be swept even under `retainMillis = 0` or a same-second
+    * mtime tie with the cutoff.
+    *
+    * ONE `listStatus` supplies names and mtimes for both sweeps (no
+    * per-version stat RPCs and no second listing — at the very scale
+    * this targets, either would be the new bottleneck), and a
+    * concurrent sweeper racing the same directory is tolerated:
+    * deleting an already-deleted file is a no-op `false`, never an
+    * exception. */
+  def sweepLog(
+      fs: FileSystem, dir: Path, cutoff: Long,
+      keep: Set[Long], keepFrom: Long,
+      tmpPrefix: String = "._v"): Unit = {
+    if (!fs.exists(dir)) return
+    fs.listStatus(dir).filter(_.isFile)
+      .filter(_.getModificationTime <= cutoff)
+      .foreach { s =>
+        val nm = s.getPath.getName
+        val isTemp = nm.startsWith(tmpPrefix) && nm.endsWith(".tmp")
+        val isSweepableVersion =
+          nm.length > 1 && nm.startsWith("v") && nm.drop(1).forall(_.isDigit) && {
+            val v = nm.drop(1).toLong
+            !keep.contains(v) && v < keepFrom
+          }
+        if (isTemp || isSweepableVersion) fs.delete(s.getPath, false)
+      }
+  }
 }

@@ -145,11 +145,27 @@ object MergeTable {
   def read(spark: SparkSession, path: String): DataFrame =
     relationFor(spark, snapshot(spark, path).entries)
 
+  /** The latest committed snapshot. Resolve-then-read is two filesystem
+    * operations, so the resolved tip can be swept before the read when
+    * a concurrent commit supersedes it AND a concurrent vacuum's
+    * manifest retention reclaims it inside the window (the grace is
+    * keyed on the manifest's age, not its time-since-superseded); the
+    * FileNotFound retry re-resolves the newer tip. Bounded: each retry
+    * requires another writer+vacuum pair landing inside the window. */
   def snapshot(spark: SparkSession, path: String): Snapshot = {
     val (fs, root) = fsOf(spark, path)
-    val v = latestVersion(fs, root).getOrElse(
-      throw new IllegalArgumentException(s"no merge table at $path"))
-    Snapshot(v, Manifests.read(fs, manifestDir(root), v).map(decodeEntry))
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val v = latestVersion(fs, root).getOrElse(
+        throw new IllegalArgumentException(s"no merge table at $path"))
+      try return Snapshot(v,
+        Manifests.read(fs, manifestDir(root), v).map(decodeEntry))
+      catch {
+        case _: java.io.FileNotFoundException if attempt < 3 => // re-resolve
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Manifest line codec: `<path>\t<size>`; a line without the tab is a
@@ -500,16 +516,14 @@ object MergeTable {
     fs.listStatus(dataDir).filter(_.isDirectory)
       .filter(d => fs.listStatus(d.getPath).isEmpty)
       .foreach(d => fs.delete(d.getPath, false))
-    // sweep `._v*_*.tmp` stranded in _manifests by a writer that
-    // crashed between the temp write and the link(2) claim; the same
-    // grace keeps a mid-commit writer's temp file safe
-    Manifests.sweepTemp(fs, manifestDir(root), cutoff)
-    // manifest retention: expired version files beyond tip ∪
-    // keepVersions are removed (ManifestScaleDemo has the measured
-    // curve; 1000 manifests swept in 0.2 s). The tip is never swept
-    // regardless of age.
-    Manifests.sweepVersions(fs, manifestDir(root), cutoff,
-      (keepVersions :+ tip.version).toSet)
+    // one listing over _manifests sweeps both the `._v*_*.tmp` temps a
+    // crashed commit strands AND expired version manifests beyond
+    // tip ∪ keepVersions — the version-log retention (ManifestScaleDemo:
+    // 1000 manifests swept in 0.2 s). Versions >= the resolved tip are
+    // structurally protected (a concurrent writer's commit lands above
+    // the tip), and the grace keeps a mid-commit writer's temp safe.
+    Manifests.sweepLog(fs, manifestDir(root), cutoff,
+      keepVersions.toSet, keepFrom = tip.version)
     // likewise `._bloom_*.tmp` stranded in the table root by a writer
     // that crashed between writeBloomProps' temp write and its link(2)
     // claim (writeBloomProps itself sweeps these on the retry path,
