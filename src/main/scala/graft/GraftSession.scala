@@ -805,7 +805,15 @@ final case class GraftSession(
         .filterNot(s => liveSide.contains(s.getPath.getName))
         .filter(_.getModificationTime <= cutoff)
         .foreach(s => fs.delete(s.getPath, true))
-      graft.sources.Manifests.sweepTemp(fs, mDir, cutoff)
+      // one listing sweeps the stranded commit temps AND the version-log
+      // retention: expired manifests below the latest (keepFrom = v,
+      // structurally protecting commits landing during this pass) and
+      // outside the session pin are reclaimed — their data files just
+      // were, under the same liveness rule, so they are unreadable
+      // history either way; without this the log grows one v<N> per
+      // commit forever and every snapshot resolution walks it
+      graft.sources.Manifests.sweepLog(fs, mDir, cutoff,
+        keep = Set(st.version), keepFrom = v)
       removed
     }
 

@@ -85,33 +85,20 @@ final class CompositeIndex(label: String, componentNames: Seq[String]) {
     Manifests.latestVersion(fs, dir).isDefined
   }
 
-  /** The latest committed composite version.
-    *
-    * Resolve-then-read is two filesystem operations, so a pin that was
-    * the latest at the `listStatus` can be SWEPT before the read: a
-    * concurrent commit advances the log and a concurrent vacuum's
-    * retention reclaims the superseded pin (its age, not its
-    * time-since-superseded, is what the grace measures — Delta's log
-    * cleanup has the same property). The FileNotFound retry re-resolves
-    * the (necessarily newer) latest; bounded, because each retry
-    * requires another writer+vacuum landing inside the window. */
+  /** The latest committed composite version, via
+    * [[Manifests.latestLines]]'s swept-tip retry (the pin-log retention
+    * in [[vacuum]] can reclaim a just-superseded pin between a reader's
+    * resolve and read). The retry covers the pin manifest only; the
+    * pinned component reads carry the component-level retention
+    * contract. */
   def pin(spark: SparkSession, path: String): Pin = {
     val (fs, dir) = manifestDir(spark, path)
-    var attempt = 0
-    while (true) {
-      attempt += 1
-      val v = Manifests.latestVersion(fs, dir).getOrElse(
-        throw new IllegalArgumentException(s"no $label at $path"))
-      try {
-        val m = Manifests.read(fs, dir, v).map(parseRef).toMap
-        componentNames.foreach(n => require(m.contains(n),
-          s"$label at $path: composite v$v is missing component $n"))
-        return Pin(v, m)
-      } catch {
-        case _: java.io.FileNotFoundException if attempt < 3 => // re-resolve
-      }
-    }
-    throw new IllegalStateException("unreachable")
+    val (v, lines) = Manifests.latestLines(fs, dir)(
+      throw new IllegalArgumentException(s"no $label at $path"))
+    val m = lines.map(parseRef).toMap
+    componentNames.foreach(n => require(m.contains(n),
+      s"$label at $path: composite v$v is missing component $n"))
+    Pin(v, m)
   }
 
   /** Read one component at its pinned dir+version. */
@@ -293,9 +280,11 @@ final class CompositeIndex(label: String, componentNames: Seq[String]) {
     // it — the same unbounded growth the component-level vacuum bounds
     // one layer down. Expired pins below the serving pin are swept
     // (keepFrom = p0.version structurally protects the serving pin and
-    // anything committed during this maintenance pass); their component
-    // manifests/files were reclaimed above under the same cutoff, so an
-    // old pin is unreadable history either way.
+    // anything committed during this maintenance pass). The component
+    // vacuums above run under their own, later cutoffs, so an old pin
+    // can briefly outlive the component state it references (until the
+    // next vacuum) — harmless, since pin() only ever resolves the
+    // latest: a surviving old pin is unreadable history either way.
     Manifests.sweepLog(mfs, mdir, cutoff, Set.empty, keepFrom = p0.version)
     orphans.length
   }

@@ -30,6 +30,31 @@ private[graft] object Manifests {
   def latestVersion(fs: FileSystem, dir: Path): Option[Long] =
     listVersions(fs, dir).lastOption
 
+  /** Resolve the latest version and read its lines — with a bounded
+    * FileNotFound retry, because resolve-then-read is two filesystem
+    * operations: a concurrent commit can supersede the resolved tip and
+    * a concurrent [[sweepLog]] retention pass can reclaim it inside the
+    * window (the grace is keyed on the manifest's AGE, not its
+    * time-since-superseded — Delta's log cleanup has the same
+    * property). The retry re-resolves the necessarily-newer latest;
+    * bounded, because each retry requires another writer+vacuum pair
+    * landing inside the window. `ifEmpty` supplies the no-versions
+    * failure (thrown, never retried — content/absence errors are the
+    * caller's contract, only the swept-tip race is recovered). */
+  def latestLines(
+      fs: FileSystem, dir: Path)(ifEmpty: => Nothing): (Long, Seq[String]) = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val v = latestVersion(fs, dir).getOrElse(ifEmpty)
+      try return (v, read(fs, dir, v))
+      catch {
+        case _: java.io.FileNotFoundException if attempt < 3 => // re-resolve
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** The closed file list of version `v`. Blank lines are dropped so
     * an EMPTY committed list round-trips as empty — the raw bytes of
     * commit(Nil) are a single newline, which would otherwise read back

@@ -145,27 +145,18 @@ object MergeTable {
   def read(spark: SparkSession, path: String): DataFrame =
     relationFor(spark, snapshot(spark, path).entries)
 
-  /** The latest committed snapshot. Resolve-then-read is two filesystem
-    * operations, so the resolved tip can be swept before the read when
-    * a concurrent commit supersedes it AND a concurrent vacuum's
-    * manifest retention reclaims it inside the window (the grace is
-    * keyed on the manifest's age, not its time-since-superseded); the
-    * FileNotFound retry re-resolves the newer tip. Bounded: each retry
-    * requires another writer+vacuum pair landing inside the window. */
+  /** The latest committed snapshot, via [[Manifests.latestLines]]'s
+    * swept-tip retry. The retry covers the MANIFEST read only: the
+    * snapshot's data files carry the documented retention contract
+    * instead (a query outliving the vacuum grace on a superseded
+    * version can lose files mid-scan — Delta's VACUUM has the same
+    * age-keyed property; size the grace to the longest in-flight
+    * query). */
   def snapshot(spark: SparkSession, path: String): Snapshot = {
     val (fs, root) = fsOf(spark, path)
-    var attempt = 0
-    while (true) {
-      attempt += 1
-      val v = latestVersion(fs, root).getOrElse(
-        throw new IllegalArgumentException(s"no merge table at $path"))
-      try return Snapshot(v,
-        Manifests.read(fs, manifestDir(root), v).map(decodeEntry))
-      catch {
-        case _: java.io.FileNotFoundException if attempt < 3 => // re-resolve
-      }
-    }
-    throw new IllegalStateException("unreachable")
+    val (v, lines) = Manifests.latestLines(fs, manifestDir(root))(
+      throw new IllegalArgumentException(s"no merge table at $path"))
+    Snapshot(v, lines.map(decodeEntry))
   }
 
   /** Manifest line codec: `<path>\t<size>`; a line without the tab is a

@@ -181,6 +181,33 @@ class MergeTableSpec extends SparkSpec {
     assert(MergeTable.snapshot(spark, path).version === 1L)
   }
 
+  test("sweepLog: the keepFrom floor protects versions >= it regardless of mtime") {
+    // the structural guarantee behind concurrent-commit safety: a
+    // version at or above the sweeper's resolved tip survives even
+    // with a backdated mtime and retain=0 (an mtime-only sweep would
+    // reintroduce the swept-just-committed-pin bug)
+    val dir = new org.apache.hadoop.fs.Path(
+      java.nio.file.Files.createTempDirectory("sweep_floor").toString, "_m")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.sources.Manifests.commit(fs, dir, 1L, Seq("a"))
+    graft.sources.Manifests.commit(fs, dir, 2L, Seq("b"))
+    graft.sources.Manifests.commit(fs, dir, 3L, Seq("c"))
+    val old = java.nio.file.attribute.FileTime.fromMillis(1000L)
+    (1L to 3L).foreach { v =>
+      java.nio.file.Files.setLastModifiedTime(java.nio.file.Paths.get(
+        graft.sources.Manifests.versionPath(dir, v).toUri.getPath), old)
+    }
+    // a stranded temp in the same directory is swept by the same listing
+    val tmp = java.nio.file.Paths.get(dir.toUri.getPath, "._v9_dead.tmp")
+    java.nio.file.Files.write(tmp, "orphan".getBytes("UTF-8"))
+    java.nio.file.Files.setLastModifiedTime(tmp, old)
+    graft.sources.Manifests.sweepLog(fs, dir,
+      cutoff = System.currentTimeMillis(), keep = Set(1L), keepFrom = 3L)
+    assert(graft.sources.Manifests.listVersions(fs, dir) === Seq(1L, 3L),
+      "keep-set and keepFrom-floor versions must survive; v2 must not")
+    assert(!java.nio.file.Files.exists(tmp), "the temp shares the one listing")
+  }
+
   test("a reader pinned at version N survives a concurrent commit + vacuum with grace") {
     // the Manifests atomicity-for-readers claim as a test: a query
     // planned against version N keeps reading N's files while N+1 is
