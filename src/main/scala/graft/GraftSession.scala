@@ -302,16 +302,39 @@ final case class GraftSession(
       path: String, version: Option[Long] = None): (DataFrame, Long) = {
     val (fs, root) = ivfFs(path)
     val dir = ivfManifestDir(root)
-    val v = version.getOrElse(
-      graft.sources.Manifests.latestVersion(fs, dir).getOrElse(
-        throw new IllegalStateException(s"no committed IVF manifest at $path")))
-    require(fs.exists(graft.sources.Manifests.versionPath(dir, v)),
-      s"no committed version $v at $path (have " +
-        s"${graft.sources.Manifests.listVersions(fs, dir).mkString(",")})")
-    val files = graft.sources.Manifests.read(fs, dir, v).filterNot(isHeader)
+    // latest goes through the swept-tip retry (the IVF log has version
+    // retention now — a concurrent commit+vacuum can reclaim the
+    // resolved tip between the listStatus and the read); an EXPLICIT
+    // version keeps the loud travel-ended failure
+    val (v, lines) = version match {
+      case None =>
+        graft.sources.Manifests.latestLines(fs, dir)(
+          throw new IllegalStateException(s"no committed IVF manifest at $path"))
+      case Some(v0) =>
+        require(fs.exists(graft.sources.Manifests.versionPath(dir, v0)),
+          s"no committed version $v0 at $path (have " +
+            s"${graft.sources.Manifests.listVersions(fs, dir).mkString(",")})")
+        (v0, graft.sources.Manifests.read(fs, dir, v0))
+    }
+    val files = lines.filterNot(isHeader)
     (spark.read.option("basePath", fs.makeQualified(root).toString)
       .parquet(files: _*), v)
   }
+
+  /** Run `f`, converting a FileNotFound on the SESSION-PINNED manifest
+    * `v` into the guided reopen error: with version retention on the
+    * IVF log, another session's vacuum can reclaim a superseded pin's
+    * manifest, and the raw FileNotFoundException would otherwise
+    * preempt the deliberate stale-pin message the commit path raises. */
+  private def pinnedManifest[T](path: String, v: Long)(f: => T): T =
+    try f
+    catch {
+      case _: java.io.FileNotFoundException =>
+        throw new IllegalStateException(
+          s"session pin v$v at $path was superseded and its manifest " +
+            "reclaimed by a retention sweep (a concurrent session's " +
+            "vacuum) — reopen with openIndexedKnowledge and re-run")
+    }
 
   /** The quantizer pointer travels INSIDE the data manifest as a
     * header line, so a version's files and the quantizers they were
@@ -563,8 +586,9 @@ final case class GraftSession(
       // latest): after openIndexedKnowledge(version = N) the commit
       // below forks forward from N, which is how a bad batch is rolled
       // back out of the serving lineage
-      val snapFiles = graft.sources.Manifests.read(fs, mDir, st.version)
-        .filterNot(isHeader)
+      val snapFiles = pinnedManifest(st.path, st.version) {
+        graft.sources.Manifests.read(fs, mDir, st.version)
+      }.filterNot(isHeader)
       val latest = graft.sources.Manifests.latestVersion(fs, mDir).getOrElse(
         throw new IllegalStateException(s"no committed IVF manifest at ${st.path}"))
       val current = spark.read
@@ -626,7 +650,9 @@ final case class GraftSession(
       s"refusing to commit an EMPTY index version at ${st.path} — the " +
         "operation would remove every row; drop the layout and rebuild " +
         "with indexKnowledge instead")
-    val (baseCents, baseCb) = resolveSideState(fs, root, st.version)
+    val (baseCents, baseCb) = pinnedManifest(st.path, st.version) {
+      resolveSideState(fs, root, st.version)
+    }
     try graft.sources.Manifests.commit(fs, mDir, latest + 1,
       quantizerHeader(baseCents, baseCb) +: (carried ++ newFiles))
     catch {
@@ -667,8 +693,9 @@ final case class GraftSession(
         "indexKnowledge has not run in this session"))
       val (fs, root) = ivfFs(st.path)
       val mDir = ivfManifestDir(root)
-      val snapFiles = graft.sources.Manifests.read(fs, mDir, st.version)
-        .filterNot(isHeader)
+      val snapFiles = pinnedManifest(st.path, st.version) {
+        graft.sources.Manifests.read(fs, mDir, st.version)
+      }.filterNot(isHeader)
       val latest = graft.sources.Manifests.latestVersion(fs, mDir).getOrElse(
         throw new IllegalStateException(s"no committed IVF manifest at ${st.path}"))
       val current = spark.read
@@ -749,10 +776,17 @@ final case class GraftSession(
         "indexKnowledge has not run in this session"))
       val (fs, root) = ivfFs(st.path)
       val mDir = ivfManifestDir(root)
-      val v = graft.sources.Manifests.latestVersion(fs, mDir).getOrElse(
+      // latest through the swept-tip retry (a concurrent session's
+      // commit+vacuum can reclaim the resolved tip mid-read); the
+      // session pin through the guided reopen error
+      val (v, latestLines) = graft.sources.Manifests.latestLines(fs, mDir)(
         throw new IllegalStateException(s"no committed IVF manifest at ${st.path}"))
-      val live = (graft.sources.Manifests.read(fs, mDir, v) ++
-          graft.sources.Manifests.read(fs, mDir, st.version))
+      val pinLines =
+        if (st.version == v) latestLines
+        else pinnedManifest(st.path, st.version) {
+          graft.sources.Manifests.read(fs, mDir, st.version)
+        }
+      val live = (latestLines ++ pinLines)
         .filterNot(isHeader).map(normalizePath).toSet
       val cutoff = System.currentTimeMillis() - retainMillis
       val clusterDirs = fs.listStatus(root).filter(s => s.isDirectory &&
@@ -794,7 +828,9 @@ final case class GraftSession(
       // accumulate forever across retrains
       val liveSide: Set[String] = {
         val (c1, b1) = resolveSideState(fs, root, v)
-        val (c2, b2) = resolveSideState(fs, root, st.version)
+        val (c2, b2) = pinnedManifest(st.path, st.version) {
+          resolveSideState(fs, root, st.version)
+        }
         Set(c1, c2, "_ivf_centroids", "_pq_codebooks") ++ b1 ++ b2
       }
       fs.listStatus(root)
