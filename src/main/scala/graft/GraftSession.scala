@@ -298,38 +298,60 @@ final case class GraftSession(
     * partition column still inferred (basePath), so the planner rule's
     * probe filter prunes the pinned file list exactly like a directory
     * read. */
+  /** The version's relation, resolved version, and RAW manifest lines
+    * (header included — callers parse the quantizer pointer from the
+    * in-hand lines via [[sideStateOf]] instead of re-reading the
+    * manifest, which would reopen the swept-tip race per extra read). */
   private def readIndexSnapshot(
-      path: String, version: Option[Long] = None): (DataFrame, Long) = {
+      path: String,
+      version: Option[Long] = None): (DataFrame, Long, Seq[String]) = {
     val (fs, root) = ivfFs(path)
     val dir = ivfManifestDir(root)
     // latest goes through the swept-tip retry (the IVF log has version
     // retention now — a concurrent commit+vacuum can reclaim the
     // resolved tip between the listStatus and the read); an EXPLICIT
-    // version keeps the loud travel-ended failure
+    // version keeps the loud travel-ended failure, raised from the read
+    // itself (an exists pre-check would be a TOCTOU against the sweep)
     val (v, lines) = version match {
       case None =>
         graft.sources.Manifests.latestLines(fs, dir)(
           throw new IllegalStateException(s"no committed IVF manifest at $path"))
       case Some(v0) =>
-        require(fs.exists(graft.sources.Manifests.versionPath(dir, v0)),
-          s"no committed version $v0 at $path (have " +
-            s"${graft.sources.Manifests.listVersions(fs, dir).mkString(",")})")
-        (v0, graft.sources.Manifests.read(fs, dir, v0))
+        try (v0, graft.sources.Manifests.read(fs, dir, v0))
+        catch {
+          case _: java.io.FileNotFoundException =>
+            throw new IllegalArgumentException(
+              s"no committed version $v0 at $path (have " +
+                s"${graft.sources.Manifests.listVersions(fs, dir).mkString(",")})" +
+                " — never committed, or reclaimed by the retention sweep")
+        }
     }
     val files = lines.filterNot(isHeader)
     (spark.read.option("basePath", fs.makeQualified(root).toString)
-      .parquet(files: _*), v)
+      .parquet(files: _*), v, lines)
   }
 
-  /** Run `f`, converting a FileNotFound on the SESSION-PINNED manifest
-    * `v` into the guided reopen error: with version retention on the
-    * IVF log, another session's vacuum can reclaim a superseded pin's
-    * manifest, and the raw FileNotFoundException would otherwise
-    * preempt the deliberate stale-pin message the commit path raises. */
-  private def pinnedManifest[T](path: String, v: Long)(f: => T): T =
+  /** Run `f` (a read of the SESSION-PINNED manifest `v`), converting a
+    * FileNotFound into actionable guidance: with version retention on
+    * the IVF log, another session's vacuum can reclaim a superseded
+    * pin's manifest, and the raw FileNotFoundException would otherwise
+    * preempt the deliberate stale-pin message the commit path raises.
+    * A missing LOG (layout deleted, wrong path) is diagnosed apart —
+    * blaming a sweep there would send the operator chasing a race that
+    * never happened. Covers the manifest read only: the pin's DATA
+    * files carry the age-keyed retention contract (a scan can still
+    * lose them mid-query past the grace; reopen + re-run is the remedy
+    * either way). */
+  private def pinnedManifest[T](
+      fs: org.apache.hadoop.fs.FileSystem, mDir: org.apache.hadoop.fs.Path,
+      path: String, v: Long)(f: => T): T =
     try f
     catch {
-      case _: java.io.FileNotFoundException =>
+      case e: java.io.FileNotFoundException =>
+        if (graft.sources.Manifests.latestVersion(fs, mDir).isEmpty)
+          throw new IllegalStateException(
+            s"no committed IVF manifest at $path — the layout was deleted " +
+              "or the path is wrong", e)
         throw new IllegalStateException(
           s"session pin v$v at $path was superseded and its manifest " +
             "reclaimed by a retention sweep (a concurrent session's " +
@@ -345,13 +367,17 @@ final case class GraftSession(
   private def quantizerHeader(centsDir: String, cbDir: Option[String]): String =
     s"#quantizers centroids=$centsDir codebooks=${cbDir.getOrElse("-")}"
   private def isHeader(line: String): Boolean = line.startsWith("#")
-  /** (centroids dir, codebooks dir) for version `v`, both relative to
-    * the layout root; headerless manifests (pre-generation layouts,
-    * the open-adopt commit) fall back to the flat side-dir names. */
-  private def resolveSideState(fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path, v: Long): (String, Option[String]) = {
-    val header = graft.sources.Manifests
-      .read(fs, ivfManifestDir(root), v).find(isHeader)
+  /** (centroids dir, codebooks dir) parsed from a manifest's IN-HAND
+    * lines — every caller already holds the version's lines, so the
+    * quantizer pointer never costs a second manifest read (which would
+    * reopen the swept-tip race per extra read, and double the log RPCs
+    * on every open/upsert/delete/vacuum). Headerless manifests
+    * (pre-generation layouts, the open-adopt commit) fall back to the
+    * flat side-dir names. */
+  private def sideStateOf(lines: Seq[String],
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): (String, Option[String]) = {
+    val header = lines.find(isHeader)
     header.flatMap { h =>
       val kv = h.split("\\s+").flatMap(_.split("=", 2) match {
         case Array(k, value) => Some(k -> value)
@@ -459,7 +485,7 @@ final case class GraftSession(
             "rebuild's files and quantizer dirs are orphans (vacuum " +
             "reclaims them) — re-run against the new snapshot")
     }
-    val (reloaded, v) = readIndexSnapshot(path, Some(commitV))
+    val (reloaded, v, _) = readIndexSnapshot(path, Some(commitV))
     graft.plans.IvfIndex.register(spark, reloaded, "cluster", vecCol, cents, nprobe)
     // NOT setKb: the registration binds to the parquet scan paths, and a
     // localCheckpoint would swap the plan's leaf for a LogicalRDD the
@@ -493,11 +519,12 @@ final case class GraftSession(
       if (graft.sources.Manifests.latestVersion(fs, ivfManifestDir(root)).isEmpty)
         graft.sources.Manifests.commit(fs, ivfManifestDir(root), 1L,
           listClusterFiles(fs, root))
-      val (reloaded, v) = readIndexSnapshot(path, version)
+      val (reloaded, v, vLines) = readIndexSnapshot(path, version)
       // the quantizers THAT VERSION was assigned with (a rebuild starts
       // a new generation; meta resolves per version, flat names for
-      // pre-meta layouts)
-      val (centsDir, cbDirOpt) = resolveSideState(fs, root, v)
+      // pre-meta layouts) — parsed from the lines just read, never a
+      // second manifest open
+      val (centsDir, cbDirOpt) = sideStateOf(vLines, fs, root)
       val cents = spark.read.parquet(s"$path/$centsDir").localCheckpoint(true)
       val cb = cbDirOpt.map(d => SimilaritySearch.pqLoadCodebooks(spark, s"$path/$d"))
       graft.plans.IvfIndex.register(spark, reloaded, "cluster", vecCol, cents, nprobe)
@@ -586,9 +613,10 @@ final case class GraftSession(
       // latest): after openIndexedKnowledge(version = N) the commit
       // below forks forward from N, which is how a bad batch is rolled
       // back out of the serving lineage
-      val snapFiles = pinnedManifest(st.path, st.version) {
+      val snapLines = pinnedManifest(fs, mDir, st.path, st.version) {
         graft.sources.Manifests.read(fs, mDir, st.version)
-      }.filterNot(isHeader)
+      }
+      val snapFiles = snapLines.filterNot(isHeader)
       val latest = graft.sources.Manifests.latestVersion(fs, mDir).getOrElse(
         throw new IllegalStateException(s"no committed IVF manifest at ${st.path}"))
       val current = spark.read
@@ -615,7 +643,7 @@ final case class GraftSession(
       // writer's new files (staged + renamed — nothing is deleted, so
       // the pinned version stays readable throughout)
       val newFiles = stageNewFiles(kept.unionByName(batch), fs, root)
-      commitTouchedVersion(st, fs, root, latest, snapFiles, touched, newFiles)
+      commitTouchedVersion(st, fs, root, latest, snapLines, touched, newFiles)
       this
     }
 
@@ -628,9 +656,10 @@ final case class GraftSession(
     * re-register, and advance the session pin. */
   private def commitTouchedVersion(st: IvfState,
       fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
-      latest: Long, snapFiles: Seq[String], touched: Set[Int],
+      latest: Long, snapLines: Seq[String], touched: Set[Int],
       newFiles: Seq[String]): Unit = {
     val mDir = ivfManifestDir(root)
+    val snapFiles = snapLines.filterNot(isHeader)
     // OCC completeness: committing latest+1 from a base BEHIND latest
     // would silently drop the intervening version's rows from the
     // lineage (and the same-version collision check below would never
@@ -650,9 +679,9 @@ final case class GraftSession(
       s"refusing to commit an EMPTY index version at ${st.path} — the " +
         "operation would remove every row; drop the layout and rebuild " +
         "with indexKnowledge instead")
-    val (baseCents, baseCb) = pinnedManifest(st.path, st.version) {
-      resolveSideState(fs, root, st.version)
-    }
+    // the base pin's quantizer pointer, from the lines already in hand —
+    // never a second manifest read
+    val (baseCents, baseCb) = sideStateOf(snapLines, fs, root)
     try graft.sources.Manifests.commit(fs, mDir, latest + 1,
       quantizerHeader(baseCents, baseCb) +: (carried ++ newFiles))
     catch {
@@ -662,7 +691,7 @@ final case class GraftSession(
             "this write's files are orphans (vacuum reclaims them) — " +
             "re-run against the new snapshot")
     }
-    val (reloaded, committed) = readIndexSnapshot(st.path, Some(latest + 1))
+    val (reloaded, committed, _) = readIndexSnapshot(st.path, Some(latest + 1))
     graft.plans.IvfIndex.register(
       spark, reloaded, "cluster", st.vecCol, st.cents, st.nprobe)
     kbDf = Some(reloaded)
@@ -693,9 +722,10 @@ final case class GraftSession(
         "indexKnowledge has not run in this session"))
       val (fs, root) = ivfFs(st.path)
       val mDir = ivfManifestDir(root)
-      val snapFiles = pinnedManifest(st.path, st.version) {
+      val snapLines = pinnedManifest(fs, mDir, st.path, st.version) {
         graft.sources.Manifests.read(fs, mDir, st.version)
-      }.filterNot(isHeader)
+      }
+      val snapFiles = snapLines.filterNot(isHeader)
       val latest = graft.sources.Manifests.latestVersion(fs, mDir).getOrElse(
         throw new IllegalStateException(s"no committed IVF manifest at ${st.path}"))
       val current = spark.read
@@ -711,7 +741,7 @@ final case class GraftSession(
         .filter(col("cluster").isin(touched.toSeq: _*))
         .filter(!coalesce(cond, lit(false)))
       val newFiles = stageNewFiles(survivors, fs, root)
-      commitTouchedVersion(st, fs, root, latest, snapFiles, touched, newFiles)
+      commitTouchedVersion(st, fs, root, latest, snapLines, touched, newFiles)
       removed
     }
 
@@ -783,7 +813,7 @@ final case class GraftSession(
         throw new IllegalStateException(s"no committed IVF manifest at ${st.path}"))
       val pinLines =
         if (st.version == v) latestLines
-        else pinnedManifest(st.path, st.version) {
+        else pinnedManifest(fs, mDir, st.path, st.version) {
           graft.sources.Manifests.read(fs, mDir, st.version)
         }
       val live = (latestLines ++ pinLines)
@@ -826,11 +856,11 @@ final case class GraftSession(
       // liveness rule the data files use) pins a generation in its
       // header, its full centroid set + codebooks would otherwise
       // accumulate forever across retrains
+      // quantizer pointers parsed from the lines already in hand (the
+      // same liveness rule the data files use) — no extra manifest reads
       val liveSide: Set[String] = {
-        val (c1, b1) = resolveSideState(fs, root, v)
-        val (c2, b2) = pinnedManifest(st.path, st.version) {
-          resolveSideState(fs, root, st.version)
-        }
+        val (c1, b1) = sideStateOf(latestLines, fs, root)
+        val (c2, b2) = sideStateOf(pinLines, fs, root)
         Set(c1, c2, "_ivf_centroids", "_pq_codebooks") ++ b1 ++ b2
       }
       fs.listStatus(root)

@@ -280,6 +280,35 @@ class GraftSessionSpec extends SparkSpec {
     } finally graft.plans.IvfIndex.unregister(spark, "embedding")
   }
 
+  test("a session pin whose manifest was swept by retention gets the guided reopen error") {
+    val emb = HashEmbedder(16)
+    def mkKb(rows: Seq[(Long, String)]) =
+      emb.embedColumn(rows.toDF("id", "content"), "content", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("gs_ivf_swept").toString + "/kb"
+    val a = GraftSession(spark, emb)
+    a.loadKnowledgeBase(mkKb((1L to 6L).map(i => (i, s"document number $i"))))
+    a.indexKnowledge(path, nClusters = 2, nprobe = 2)                 // v1
+    try {
+      val b = GraftSession(spark, emb).openIndexedKnowledge(path, nprobe = 2) // pins v1
+      a.upsertIndexedKnowledge(mkKb(Seq((50L, "superseding commit")))) // v2
+      // simulate a concurrent session's vacuum reclaiming the
+      // superseded pin's manifest (the retention sweep)
+      val v1 = java.nio.file.Paths.get(path, "_ivf_manifests", f"v${1L}%020d")
+      assert(java.nio.file.Files.deleteIfExists(v1))
+      val e = intercept[IllegalStateException] {
+        b.upsertIndexedKnowledge(mkKb(Seq((60L, "doomed batch"))))
+      }
+      assert(e.getMessage.contains("retention sweep") &&
+        e.getMessage.contains("reopen"), e.getMessage)
+      // a missing LOG is diagnosed apart — not blamed on a sweep
+      graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(path, "_ivf_manifests"))
+      val e2 = intercept[IllegalStateException] {
+        b.upsertIndexedKnowledge(mkKb(Seq((61L, "also doomed"))))
+      }
+      assert(e2.getMessage.contains("layout was deleted"), e2.getMessage)
+    } finally graft.plans.IvfIndex.unregister(spark, "embedding")
+  }
+
   test("the fork license is one-shot: after a fork commits, a stale pin fails again") {
     val emb = HashEmbedder(16)
     def mkKb(rows: Seq[(Long, String)]) =
