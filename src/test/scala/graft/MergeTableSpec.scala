@@ -181,6 +181,43 @@ class MergeTableSpec extends SparkSpec {
     assert(MergeTable.snapshot(spark, path).version === 1L)
   }
 
+  test("reads resolve through ManifestFileIndex (zero-listing), sized exactly") {
+    val path = freshPath()
+    MergeTable.init(spark, path, rows(1 to 200, "a"))
+    MergeTable.merge(spark, path, rows(150 to 250, "b"), Seq("id"))
+    val df = MergeTable.read(spark, path)
+    val scans = df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "expected a parquet scan")
+    val loc = scans.head.relation.location
+    assert(loc.isInstanceOf[graft.sources.ManifestFileIndex],
+      s"read must resolve from manifest metadata, not a listing job: $loc")
+    // the index's recorded sizes must be the files' exact on-disk sizes
+    // (Spark plans splits from them — a drifted size truncates a scan)
+    val snap = MergeTable.snapshot(spark, path)
+    snap.entries.foreach { e =>
+      val real = new java.io.File(new java.net.URI(e.path)).length()
+      assert(e.size === real, s"manifest size drifted for ${e.path}")
+    }
+    assert(loc.sizeInBytes === snap.entries.map(_.size).sum)
+    // a legacy (size-less) manifest takes the listing path, same rows
+    val (fs, root) = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+    }
+    val mdir = new org.apache.hadoop.fs.Path(root, "_manifests")
+    graft.sources.Manifests.commit(fs, mdir, 3L, snap.files) // paths only
+    val legacy = MergeTable.read(spark, path)
+    val legacyScan = legacy.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(!legacyScan.relation.location.isInstanceOf[graft.sources.ManifestFileIndex],
+      "a size-less manifest must fall back to the listing relation")
+    assert(legacy.orderBy("id").collect().toSeq ===
+      df.orderBy("id").collect().toSeq)
+  }
+
   test("sweepLog: the keepFrom floor protects versions >= it regardless of mtime") {
     // the structural guarantee behind concurrent-commit safety: a
     // version at or above the sweeper's resolved tip survives even
