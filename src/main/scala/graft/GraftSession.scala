@@ -353,9 +353,10 @@ final case class GraftSession(
             s"no committed IVF manifest at $path — the layout was deleted " +
               "or the path is wrong", e)
         throw new IllegalStateException(
-          s"session pin v$v at $path was superseded and its manifest " +
+          s"session pin v$v at $path no longer resolves: superseded and " +
             "reclaimed by a retention sweep (a concurrent session's " +
-            "vacuum) — reopen with openIndexedKnowledge and re-run")
+            "vacuum), or the layout was rebuilt since this session " +
+            "opened — reopen with openIndexedKnowledge and re-run", e)
     }
 
   /** The quantizer pointer travels INSIDE the data manifest as a

@@ -50,6 +50,14 @@ private[graft] object Manifests {
       try return (v, read(fs, dir, v))
       catch {
         case _: java.io.FileNotFoundException if attempt < 3 => // re-resolve
+        case e: java.io.FileNotFoundException =>
+          // exhausted: keep the context the bare FNFE lacks (which log,
+          // which version, what it probably means) and the cause chain
+          throw new IllegalStateException(
+            s"manifest log at $dir resolved latest v$v but the file " +
+              "vanished 3 times in a row — either retention sweeps are " +
+              "racing this reader unusually fast, or the filesystem is " +
+              "failing reads (stale handle?)", e)
       }
     }
     throw new IllegalStateException("unreachable")

@@ -208,12 +208,21 @@ object MergeTable {
   def readAt(spark: SparkSession, path: String, version: Long): DataFrame =
     relationFor(spark, snapshotAt(spark, path, version).entries)
 
+  /** A PINNED version's snapshot. The travel-ended failure is raised
+    * from the read itself — an exists pre-check would be a TOCTOU
+    * against a concurrent vacuum's retention sweep, surfacing a raw
+    * FileNotFound instead of this message. */
   def snapshotAt(spark: SparkSession, path: String, version: Long): Snapshot = {
     val (fs, root) = fsOf(spark, path)
-    require(fs.exists(Manifests.versionPath(manifestDir(root), version)),
-      s"no committed version $version at $path (have " +
-        s"${Manifests.listVersions(fs, manifestDir(root)).mkString(",")})")
-    Snapshot(version, Manifests.read(fs, manifestDir(root), version).map(decodeEntry))
+    try Snapshot(version,
+      Manifests.read(fs, manifestDir(root), version).map(decodeEntry))
+    catch {
+      case _: java.io.FileNotFoundException =>
+        throw new IllegalArgumentException(
+          s"no committed version $version at $path (have " +
+            s"${Manifests.listVersions(fs, manifestDir(root)).mkString(",")})" +
+            " — never committed, or reclaimed by the retention sweep")
+    }
   }
 
   /** Upsert `updates` by `keyCols` (last state wins per key, like the
@@ -534,10 +543,13 @@ object MergeTable {
   private def writeBatch(
       spark: SparkSession, fs: FileSystem, root: Path,
       df: DataFrame): Seq[FileEntry] = {
+    // manifest-line safety of the path\tsize codec needs no runtime
+    // guard: every stored path comes from getPath.toUri.toString, and
+    // hadoop Path builds its URI through the quoting multi-arg URI
+    // constructor — a literal tab in a user-supplied root is stored as
+    // %09, so a raw tab can never reach a manifest line
     val batch = new Path(new Path(root, "data"),
       "batch-" + java.util.UUID.randomUUID().toString)
-    require(!batch.toUri.toString.contains("\t"),
-      s"table path not encodable in a manifest line (contains a tab): $root")
     val bloom = readBloomProps(fs, root)
     // PERSISTED-config-vs-frame mismatch is table state, not a caller
     // argument: IllegalStateException, so the KB/JobProcessor TOCTOU
