@@ -317,14 +317,7 @@ final case class GraftSession(
         graft.sources.Manifests.latestLines(fs, dir)(
           throw new IllegalStateException(s"no committed IVF manifest at $path"))
       case Some(v0) =>
-        try (v0, graft.sources.Manifests.read(fs, dir, v0))
-        catch {
-          case _: java.io.FileNotFoundException =>
-            throw new IllegalArgumentException(
-              s"no committed version $v0 at $path (have " +
-                s"${graft.sources.Manifests.listVersions(fs, dir).mkString(",")})" +
-                " — never committed, or reclaimed by the retention sweep")
-        }
+        (v0, graft.sources.Manifests.readPinned(fs, dir, v0, path))
     }
     val files = lines.filterNot(isHeader)
     (spark.read.option("basePath", fs.makeQualified(root).toString)

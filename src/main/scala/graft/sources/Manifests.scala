@@ -41,6 +41,10 @@ private[graft] object Manifests {
     * landing inside the window. `ifEmpty` supplies the no-versions
     * failure (thrown, never retried — content/absence errors are the
     * caller's contract, only the swept-tip race is recovered). */
+  /** Resolve-read attempts before [[latestLines]] gives up — one
+    * constant so the retry guard and its failure message cannot drift. */
+  private val ReadRetries = 3
+
   def latestLines(
       fs: FileSystem, dir: Path)(ifEmpty: => Nothing): (Long, Seq[String]) = {
     var attempt = 0
@@ -49,19 +53,35 @@ private[graft] object Manifests {
       val v = latestVersion(fs, dir).getOrElse(ifEmpty)
       try return (v, read(fs, dir, v))
       catch {
-        case _: java.io.FileNotFoundException if attempt < 3 => // re-resolve
+        case _: java.io.FileNotFoundException if attempt < ReadRetries => // re-resolve
         case e: java.io.FileNotFoundException =>
           // exhausted: keep the context the bare FNFE lacks (which log,
           // which version, what it probably means) and the cause chain
           throw new IllegalStateException(
             s"manifest log at $dir resolved latest v$v but the file " +
-              "vanished 3 times in a row — either retention sweeps are " +
-              "racing this reader unusually fast, or the filesystem is " +
-              "failing reads (stale handle?)", e)
+              s"vanished $ReadRetries times in a row — either retention " +
+              "sweeps are racing this reader unusually fast, or the " +
+              "filesystem is failing reads (stale handle?)", e)
       }
     }
     throw new IllegalStateException("unreachable")
   }
+
+  /** Read a PINNED version's lines, converting a FileNotFound into the
+    * crafted travel-ended message — raised from the read itself, because
+    * an exists pre-check would be a TOCTOU against a concurrent
+    * retention sweep (the raw FNFE would then escape). Shared by
+    * [[MergeTable.snapshotAt]] and the IVF explicit-version open. */
+  def readPinned(
+      fs: FileSystem, dir: Path, v: Long, what: String): Seq[String] =
+    try read(fs, dir, v)
+    catch {
+      case e: java.io.FileNotFoundException =>
+        throw new IllegalArgumentException(
+          s"no committed version $v at $what (have " +
+            s"${listVersions(fs, dir).mkString(",")}) — never committed, " +
+            "or reclaimed by the retention sweep", e)
+    }
 
   /** The closed file list of version `v`. Blank lines are dropped so
     * an EMPTY committed list round-trips as empty — the raw bytes of

@@ -107,6 +107,24 @@ object MergeTable {
       spark: SparkSession, path: String, df: DataFrame,
       bloomKeys: Seq[String] = Nil): Snapshot = {
     val (fs, root) = fsOf(spark, path)
+    // Manifests store each file as getPath.toUri.toString, and reads
+    // rebuild paths with new Path(stored) — hadoop's Path(String) does
+    // NOT decode percent-escapes, so a root containing a character the
+    // URI form encodes (space, tab, '%', '#') writes data at the literal
+    // path but stores addresses that read back with the escape kept
+    // literally (verified against hadoop-client 3.4.2): every read
+    // misses, and vacuum's live-set comparison would reclaim LIVE files.
+    // Refuse such roots at creation, the one chokepoint.
+    locally {
+      val stored = root.toUri.toString
+      val back = new Path(stored).toUri.getPath
+      require(back == root.toUri.getPath,
+        s"merge-table root does not round-trip through its URI form " +
+          s"('$stored' reads back as '$back') — a root containing " +
+          "characters that percent-encode (space, tab, '%', '#') would " +
+          "make every stored manifest path unreadable and corrupt " +
+          "vacuum's liveness check; use a root without them")
+    }
     require(latestVersion(fs, root).isEmpty, s"merge table already exists at $path")
     graft.util.ParquetBloom.requireCols(df.columns, bloomKeys, "the table schema")
     if (bloomKeys.nonEmpty) writeBloomProps(fs, root, bloomKeys)
@@ -208,21 +226,13 @@ object MergeTable {
   def readAt(spark: SparkSession, path: String, version: Long): DataFrame =
     relationFor(spark, snapshotAt(spark, path, version).entries)
 
-  /** A PINNED version's snapshot. The travel-ended failure is raised
-    * from the read itself — an exists pre-check would be a TOCTOU
-    * against a concurrent vacuum's retention sweep, surfacing a raw
-    * FileNotFound instead of this message. */
+  /** A PINNED version's snapshot; the travel-ended failure comes from
+    * [[Manifests.readPinned]] (raised from the read itself, cause
+    * chained — never an exists pre-check a sweep could invalidate). */
   def snapshotAt(spark: SparkSession, path: String, version: Long): Snapshot = {
     val (fs, root) = fsOf(spark, path)
-    try Snapshot(version,
-      Manifests.read(fs, manifestDir(root), version).map(decodeEntry))
-    catch {
-      case _: java.io.FileNotFoundException =>
-        throw new IllegalArgumentException(
-          s"no committed version $version at $path (have " +
-            s"${Manifests.listVersions(fs, manifestDir(root)).mkString(",")})" +
-            " — never committed, or reclaimed by the retention sweep")
-    }
+    Snapshot(version,
+      Manifests.readPinned(fs, manifestDir(root), version, path).map(decodeEntry))
   }
 
   /** Upsert `updates` by `keyCols` (last state wins per key, like the

@@ -218,6 +218,37 @@ class MergeTableSpec extends SparkSpec {
       df.orderBy("id").collect().toSeq)
   }
 
+  test("init refuses roots whose URI form does not round-trip (space/tab/%/#)") {
+    // stored manifest paths are URI-encoded but new Path(stored) keeps
+    // the escape literally (hadoop Path(String) never decodes) — such a
+    // root would write data at the literal path, store unreadable
+    // addresses, and make vacuum reclaim LIVE files
+    val base = java.nio.file.Files.createTempDirectory("mt_root").toString
+    for (bad <- Seq("has tab\there", "has space", "per%cent", "ha#sh")) {
+      val e = intercept[IllegalArgumentException] {
+        MergeTable.init(spark, s"$base/$bad/t", rows(1 to 3, "a"))
+      }
+      assert(e.getMessage.contains("round-trip"), s"'$bad': ${e.getMessage}")
+    }
+  }
+
+  test("a pinned version swept mid-read fails with the travel-ended message, cause kept") {
+    val path = freshPath()
+    MergeTable.init(spark, path, rows(1 to 10, "a"))
+    MergeTable.merge(spark, path, rows(5 to 6, "b"), Seq("id")) // v2 = tip
+    // simulate the retention sweep reclaiming v1 between a reader's
+    // resolve and read (snapshotAt has no exists pre-check to fool)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(
+      path, "_manifests", f"v${1L}%020d"))
+    val e = intercept[IllegalArgumentException] {
+      MergeTable.snapshotAt(spark, path, 1L)
+    }
+    assert(e.getMessage.contains("reclaimed by the retention sweep"), e.getMessage)
+    assert(e.getCause.isInstanceOf[java.io.FileNotFoundException],
+      "the FNFE naming the vanished file must survive as the cause")
+    assert(MergeTable.read(spark, path).count() === 10) // tip unaffected
+  }
+
   test("sweepLog: the keepFrom floor protects versions >= it regardless of mtime") {
     // the structural guarantee behind concurrent-commit safety: a
     // version at or above the sweeper's resolved tip survives even
