@@ -415,6 +415,11 @@ final case class GraftSession(
     import graft.operators.SimilaritySearch
     require(trainSampleFraction > 0.0 && trainSampleFraction <= 1.0,
       s"trainSampleFraction must be in (0, 1], got $trainSampleFraction")
+    // the IVF layout stores/compares paths with the same URI-string
+    // idiom as MergeTable manifests — same corruption for roots that
+    // percent-encode, refused at the same point: creation
+    graft.sources.Manifests.requireRoundTrippableRoot(
+      new org.apache.hadoop.fs.Path(path), "IVF layout")
     val kb = knowledgeBase
     val train =
       if (trainSampleFraction >= 1.0) kb
@@ -510,9 +515,12 @@ final case class GraftSession(
       val (fs, root) = ivfFs(path)
       // a layout built before manifests existed is adopted as v1 — its
       // current directory contents become the first committed version
-      if (graft.sources.Manifests.latestVersion(fs, ivfManifestDir(root)).isEmpty)
+      // (a manifest-creation point, so the root must round-trip too)
+      if (graft.sources.Manifests.latestVersion(fs, ivfManifestDir(root)).isEmpty) {
+        graft.sources.Manifests.requireRoundTrippableRoot(root, "IVF layout")
         graft.sources.Manifests.commit(fs, ivfManifestDir(root), 1L,
           listClusterFiles(fs, root))
+      }
       val (reloaded, v, vLines) = readIndexSnapshot(path, version)
       // the quantizers THAT VERSION was assigned with (a rebuild starts
       // a new generation; meta resolves per version, flat names for

@@ -30,6 +30,10 @@ private[graft] object Manifests {
   def latestVersion(fs: FileSystem, dir: Path): Option[Long] =
     listVersions(fs, dir).lastOption
 
+  /** Resolve-read attempts before [[latestLines]] gives up — one
+    * constant so the retry guard and its failure message cannot drift. */
+  private val ReadRetries = 3
+
   /** Resolve the latest version and read its lines — with a bounded
     * FileNotFound retry, because resolve-then-read is two filesystem
     * operations: a concurrent commit can supersede the resolved tip and
@@ -41,10 +45,6 @@ private[graft] object Manifests {
     * landing inside the window. `ifEmpty` supplies the no-versions
     * failure (thrown, never retried — content/absence errors are the
     * caller's contract, only the swept-tip race is recovered). */
-  /** Resolve-read attempts before [[latestLines]] gives up — one
-    * constant so the retry guard and its failure message cannot drift. */
-  private val ReadRetries = 3
-
   def latestLines(
       fs: FileSystem, dir: Path)(ifEmpty: => Nothing): (Long, Seq[String]) = {
     var attempt = 0
@@ -65,6 +65,27 @@ private[graft] object Manifests {
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** Refuse a layout root whose URI form does not round-trip: manifests
+    * store each file as `getPath.toUri.toString`, and reads rebuild
+    * paths with `new Path(stored)` — hadoop's Path(String) never
+    * DECODES percent-escapes, so a root containing a character the URI
+    * form encodes (space, tab, '%', '#') writes data at the literal
+    * path while the stored addresses read back with the escape kept
+    * literally (verified against hadoop-client 3.4.2): every read
+    * misses, and a liveness comparison between stored and listed paths
+    * would reclaim LIVE files. Called at every layout-CREATION
+    * chokepoint ([[MergeTable.init]], the IVF `indexKnowledge`). */
+  def requireRoundTrippableRoot(root: Path, what: String): Unit = {
+    val stored = root.toUri.toString
+    val back = new Path(stored).toUri.getPath
+    require(back == root.toUri.getPath,
+      s"$what root does not round-trip through its URI form ('$stored' " +
+        s"reads back as '$back') — a root containing characters that " +
+        "percent-encode (space, tab, '%', '#') would make every stored " +
+        "manifest path unreadable and corrupt the vacuum liveness check; " +
+        "use a root without them")
   }
 
   /** Read a PINNED version's lines, converting a FileNotFound into the

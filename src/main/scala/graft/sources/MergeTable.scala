@@ -107,24 +107,7 @@ object MergeTable {
       spark: SparkSession, path: String, df: DataFrame,
       bloomKeys: Seq[String] = Nil): Snapshot = {
     val (fs, root) = fsOf(spark, path)
-    // Manifests store each file as getPath.toUri.toString, and reads
-    // rebuild paths with new Path(stored) — hadoop's Path(String) does
-    // NOT decode percent-escapes, so a root containing a character the
-    // URI form encodes (space, tab, '%', '#') writes data at the literal
-    // path but stores addresses that read back with the escape kept
-    // literally (verified against hadoop-client 3.4.2): every read
-    // misses, and vacuum's live-set comparison would reclaim LIVE files.
-    // Refuse such roots at creation, the one chokepoint.
-    locally {
-      val stored = root.toUri.toString
-      val back = new Path(stored).toUri.getPath
-      require(back == root.toUri.getPath,
-        s"merge-table root does not round-trip through its URI form " +
-          s"('$stored' reads back as '$back') — a root containing " +
-          "characters that percent-encode (space, tab, '%', '#') would " +
-          "make every stored manifest path unreadable and corrupt " +
-          "vacuum's liveness check; use a root without them")
-    }
+    Manifests.requireRoundTrippableRoot(root, "merge-table")
     require(latestVersion(fs, root).isEmpty, s"merge table already exists at $path")
     graft.util.ParquetBloom.requireCols(df.columns, bloomKeys, "the table schema")
     if (bloomKeys.nonEmpty) writeBloomProps(fs, root, bloomKeys)
@@ -651,7 +634,15 @@ object MergeTable {
   /** The bloom-config validity sentinel: the file's final line. Its
     * absence means the bytes are a torn PREFIX of a real config (every
     * writer emits it last), so the reader throws instead of adopting
-    * partial column names as table config. */
+    * partial column names as table config.
+    *
+    * Deliberately FAIL-CLOSED for configs written by a pre-terminator
+    * version of this format (no automatic legacy acceptance, unlike
+    * size-less manifests, which fall back to the listing path): a
+    * terminator-less file is byte-indistinguishable from a torn one,
+    * and silently adopting a torn config misconfigures every later
+    * writer — the worse failure. The error message carries the exact
+    * one-line migration step (append `#end`). */
   private val BloomTerminator = "#end"
 
   private def readBloomProps(fs: FileSystem, root: Path): Seq[String] = {
