@@ -11,11 +11,13 @@ import org.apache.spark.sql.SparkSession
   *     (measured: BENCH_r12's stored tail is 2000 chars and its line,
   *     2390 chars, lost its head and failed the driver's parse), so the
   *     line must stay under 2000: query keys are shortened to their
-  *     `qNN` prefix, seconds rounded to ms, phases emitted as compact
-  *     `[build, serve]` 2-decimal pairs, provenance timestamps to
-  *     second precision. The full line is also written to
-  *     `bench_last.json`, which the round commits as `BENCH_r*_local
-  *     .json` so truncation can never lose the artifact.
+  *     `qNN` prefix, query seconds at 2 decimals (10 ms — under the
+  *     ±150 ms sub-second noise band), phases as compact
+  *     `[build, serve]` 2-decimal pairs, provenance timestamps at
+  *     second precision. `bench_last.json` (no tail budget) keeps the
+  *     FULL precision — 3-decimal queries, verbose phases — and the
+  *     round commits it as `BENCH_r*_local.json` so truncation can
+  *     never lose the artifact.
   *
   * Isolation: queries run in SORTED-NAME order (stable across rounds —
   * map-hash order shifts whenever a query is added, which moves
@@ -223,10 +225,24 @@ object Bench {
       s""""start":${jstr(benchStart)},"warmup_first_sec":${fmt(warmupFirstSec)}}"""
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$phasesField,"sf":${jstr(sfDir)}$prov$failedField}"""
-    // Also drop a copy on disk so the result survives any output capture.
+    // The on-disk copy has NO tail budget, so it keeps FULL precision —
+    // 3-decimal queries, verbose {build, serve} phases, the exact
+    // provenance — for the round's committed BENCH_r*_local.json and
+    // the drift adjudication that reads 30-60 ms serve legs; only the
+    // PRINTED line pays the compaction the driver's 2000-char tail
+    // demands.
     try {
+      val qsFull = results.map { case (k, v) => s""""${short(k)}":${fmt(v)}""" }
+        .mkString("{", ",", "}")
+      val phasesFull =
+        if (phases.isEmpty) ""
+        else phases.map { case (k, (b, sv)) =>
+          s""""${short(k)}":{"build":${fmt(b)},"serve":${fmt(sv)}}""" }
+          .mkString(""","phases":{""", ",", "}")
+      val full =
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsFull$phasesFull,"sf":${jstr(sfDir)}$prov$failedField}"""
       val w = new java.io.PrintWriter("bench_last.json")
-      try w.println(line) finally w.close()
+      try w.println(full) finally w.close()
     } catch { case _: Throwable => () }
     // Print LAST so the lines sit at the very end of the captured tail.
     if (failed.nonEmpty)

@@ -418,8 +418,10 @@ final case class GraftSession(
     // the IVF layout stores/compares paths with the same URI-string
     // idiom as MergeTable manifests — same corruption for roots that
     // percent-encode, refused at the same point: creation
-    graft.sources.Manifests.requireRoundTrippableRoot(
-      new org.apache.hadoop.fs.Path(path), "IVF layout")
+    locally {
+      val (gFs, gRoot) = ivfFs(path)
+      graft.sources.Manifests.requireRoundTrippableRoot(gFs, gRoot, "IVF layout")
+    }
     val kb = knowledgeBase
     val train =
       if (trainSampleFraction >= 1.0) kb
@@ -517,7 +519,7 @@ final case class GraftSession(
       // current directory contents become the first committed version
       // (a manifest-creation point, so the root must round-trip too)
       if (graft.sources.Manifests.latestVersion(fs, ivfManifestDir(root)).isEmpty) {
-        graft.sources.Manifests.requireRoundTrippableRoot(root, "IVF layout")
+        graft.sources.Manifests.requireRoundTrippableRoot(fs, root, "IVF layout")
         graft.sources.Manifests.commit(fs, ivfManifestDir(root), 1L,
           listClusterFiles(fs, root))
       }

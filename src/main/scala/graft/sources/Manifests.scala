@@ -76,11 +76,19 @@ private[graft] object Manifests {
     * literally (verified against hadoop-client 3.4.2): every read
     * misses, and a liveness comparison between stored and listed paths
     * would reclaim LIVE files. Called at every layout-CREATION
-    * chokepoint ([[MergeTable.init]], the IVF `indexKnowledge`). */
-  def requireRoundTrippableRoot(root: Path, what: String): Unit = {
-    val stored = root.toUri.toString
+    * chokepoint ([[MergeTable.init]], the IVF `indexKnowledge`, and
+    * `openIndexedKnowledge`'s adopt-as-v1 commit).
+    *
+    * Validates the QUALIFIED form: stored paths come from
+    * `listStatus`/staging, which return fully-qualified paths, so a
+    * harmless-looking RELATIVE root resolved under a working directory
+    * containing a space would corrupt exactly the same way. */
+  def requireRoundTrippableRoot(
+      fs: FileSystem, root: Path, what: String): Unit = {
+    val qualified = fs.makeQualified(root)
+    val stored = qualified.toUri.toString
     val back = new Path(stored).toUri.getPath
-    require(back == root.toUri.getPath,
+    require(back == qualified.toUri.getPath,
       s"$what root does not round-trip through its URI form ('$stored' " +
         s"reads back as '$back') — a root containing characters that " +
         "percent-encode (space, tab, '%', '#') would make every stored " +

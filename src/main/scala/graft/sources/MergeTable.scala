@@ -107,7 +107,7 @@ object MergeTable {
       spark: SparkSession, path: String, df: DataFrame,
       bloomKeys: Seq[String] = Nil): Snapshot = {
     val (fs, root) = fsOf(spark, path)
-    Manifests.requireRoundTrippableRoot(root, "merge-table")
+    Manifests.requireRoundTrippableRoot(fs, root, "merge-table")
     require(latestVersion(fs, root).isEmpty, s"merge table already exists at $path")
     graft.util.ParquetBloom.requireCols(df.columns, bloomKeys, "the table schema")
     if (bloomKeys.nonEmpty) writeBloomProps(fs, root, bloomKeys)
