@@ -44,13 +44,22 @@ private[graft] object Manifests {
     * bounded, because each retry requires another writer+vacuum pair
     * landing inside the window. `ifEmpty` supplies the no-versions
     * failure (thrown, never retried — content/absence errors are the
-    * caller's contract, only the swept-tip race is recovered). */
+    * caller's contract, only the swept-tip race is recovered).
+    *
+    * `onResolve` is a test seam: invoked with the resolved version
+    * BETWEEN the resolve and the read — the exact window the retry
+    * exists for — so a deterministic test can commit+sweep inside it
+    * instead of hoping a tight concurrent loop lands there
+    * (MergeTableSpec drives both the recovery and the exhaustion
+    * path through it). Production callers leave the default no-op. */
   def latestLines(
-      fs: FileSystem, dir: Path)(ifEmpty: => Nothing): (Long, Seq[String]) = {
+      fs: FileSystem, dir: Path, onResolve: Long => Unit = _ => ())(
+      ifEmpty: => Nothing): (Long, Seq[String]) = {
     var attempt = 0
     while (true) {
       attempt += 1
       val v = latestVersion(fs, dir).getOrElse(ifEmpty)
+      onResolve(v)
       try return (v, read(fs, dir, v))
       catch {
         case _: java.io.FileNotFoundException if attempt < ReadRetries => // re-resolve
@@ -277,6 +286,23 @@ private[graft] object Manifests {
     * never be swept even under `retainMillis = 0` or a same-second
     * mtime tie with the cutoff.
     *
+    * `sweepable` is the caller's last word on an otherwise-expired
+    * version (consulted only after the age/keep/floor gates pass —
+    * never on the hot path). [[MergeTable.vacuum]] passes a liveness
+    * check there so that on INSERT-ONLY lineages — where every old
+    * version's data files stay live in the tip and vacuum never
+    * reclaims them — time travel is not silently narrowed by routine
+    * maintenance: a version's manifest is swept only when at least one
+    * of its data files was (or would be) reclaimed under the same
+    * cutoff. The check costs one manifest read per candidate, which is
+    * self-limiting: any lineage that ever rewrites files (every merge
+    * hit, every compaction) turns its superseded versions sweepable,
+    * so candidates do not accumulate across passes under normal
+    * maintenance. Layers that keep the default `_ => true` (the IVF
+    * log, the composite pin log) retain the pure age-keyed retention —
+    * Delta's logRetentionDuration semantics, where time travel can end
+    * before the data files go away.
+    *
     * ONE `listStatus` supplies names and mtimes for both sweeps (no
     * per-version stat RPCs and no second listing — at the very scale
     * this targets, either would be the new bottleneck), and a
@@ -286,7 +312,8 @@ private[graft] object Manifests {
   def sweepLog(
       fs: FileSystem, dir: Path, cutoff: Long,
       keep: Set[Long], keepFrom: Long,
-      tmpPrefix: String = "._v"): Unit = {
+      tmpPrefix: String = "._v",
+      sweepable: Long => Boolean = _ => true): Unit = {
     if (!fs.exists(dir)) return
     fs.listStatus(dir).filter(_.isFile)
       .filter(_.getModificationTime <= cutoff)
@@ -296,7 +323,7 @@ private[graft] object Manifests {
         val isSweepableVersion =
           nm.length > 1 && nm.startsWith("v") && nm.drop(1).forall(_.isDigit) && {
             val v = nm.drop(1).toLong
-            !keep.contains(v) && v < keepFrom
+            !keep.contains(v) && v < keepFrom && sweepable(v)
           }
         if (isTemp || isSweepableVersion) fs.delete(s.getPath, false)
       }

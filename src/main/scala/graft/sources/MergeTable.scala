@@ -41,9 +41,21 @@ object MergeTable {
     * relation with ZERO filesystem calls ([[ManifestFileIndex]]). */
   final case class FileEntry(path: String, size: Long)
 
-  final case class Snapshot(version: Long, entries: Seq[FileEntry]) {
-    /** The closed file-path list of this version. */
+  /** @param entries the BASE data files of the version
+    * @param delta the row-level-merge delta files ([[mergeLite]]) —
+    *        small, last-wins-per-key rows whose key set suppresses the
+    *        superseded base rows at read time (empty on tables that
+    *        only ever rewrite-merge)
+    * @param dvKeys the key columns the delta's suppression joins on
+    *        (nonempty iff `delta` is) */
+  final case class Snapshot(
+      version: Long, entries: Seq[FileEntry],
+      delta: Seq[FileEntry] = Nil, dvKeys: Seq[String] = Nil) {
+    /** The BASE file-path list of this version. */
     def files: Seq[String] = entries.map(_.path)
+    /** Every data file the version references, base and delta — the
+      * vacuum-liveness set. */
+    def allFiles: Seq[String] = (entries ++ delta).map(_.path)
   }
 
   /** @param filesRewritten files of the previous version REPLACED
@@ -125,7 +137,7 @@ object MergeTable {
           "change a table's bloom columns")
     }
     val files = writeBatch(spark, fs, root, df)
-    commit(fs, root, 1L, files)
+    commit(fs, root, 1L, encodeSnapshot(files, Nil, Nil))
     Snapshot(1L, files)
   }
 
@@ -136,6 +148,94 @@ object MergeTable {
     readBloomProps(fs, root)
   }
 
+  /** One-time migration for a bloom config written by a PRE-TERMINATOR
+    * version of this format: validates the column list against the
+    * table's current schema and republishes it closed by the `#end`
+    * sentinel, after which every reader accepts it. Idempotent — an
+    * already-terminated config returns unchanged. Returns the adopted
+    * columns.
+    *
+    * The CALLER asserts completeness: a torn prefix of a real config is
+    * byte-indistinguishable from a complete terminator-less one (which
+    * is exactly why [[readBloomProps]] fails closed), and the schema
+    * check here can only refuse clearly-foreign content (a name no
+    * table column has) — it cannot prove no trailing column was lost.
+    * Run it only when the intended column list is known.
+    *
+    * Publication: on the local filesystem the replacement is ONE atomic
+    * rename over the target (readers see the old or the new bytes,
+    * never torn, never absent). On filesystems whose
+    * `FileSystem.rename` refuses an existing destination (HDFS-like),
+    * the replace is delete-then-rename with a crash window that leaves
+    * the config ABSENT — run it in a maintenance window there; recovery
+    * is re-creating the file from the same known column list the adopt
+    * required. */
+  def adoptBloomConfig(spark: SparkSession, path: String): Seq[String] = {
+    val (fs, root) = fsOf(spark, path)
+    val target = bloomPropsPath(root)
+    require(fs.exists(target), s"no bloom config at $target to adopt")
+    val in = fs.open(target)
+    val text =
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    val lines = text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+    if (lines.lastOption.contains(BloomTerminator)) return lines.init // adopted already
+    require(lines.nonEmpty,
+      s"bloom config at $target is empty — nothing to adopt; delete the " +
+        "file deliberately for a bloom-less table")
+    lines.foreach(c => require(!c.startsWith("#") && !c.contains("\t"),
+      s"bloom config at $target holds a line that is not a plausible " +
+        s"column name ('$c') — foreign content, not a legacy config"))
+    // refuse clearly-foreign content: every adopted name must be a
+    // column of the table as it stands (schema evolution is
+    // unsupported, so the committed files' schema IS the table's)
+    val tableCols = read(spark, path).schema.map(_.name).toSet
+    lines.filterNot(tableCols.contains) match {
+      case Nil => ()
+      case bad => throw new IllegalArgumentException(
+        s"bloom config at $target names column(s) [${bad.mkString(",")}] " +
+          s"absent from the table schema [${tableCols.toSeq.sorted.mkString(",")}] " +
+          "— foreign or stale content; recover the intended list instead " +
+          "of adopting this file")
+    }
+    val bytes = (lines.mkString("", "\n", "\n") + BloomTerminator + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val isLocal = fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+      fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
+    if (isLocal) {
+      val p = java.nio.file.Paths.get(fs.makeQualified(target).toUri.getPath)
+      val tmp = java.nio.file.Files.createTempFile(
+        p.getParent, "._bloom_adopt_", ".tmp")
+      try {
+        try java.nio.file.Files.setPosixFilePermissions(tmp,
+          java.nio.file.attribute.PosixFilePermissions.fromString("rw-r--r--"))
+        catch { case _: UnsupportedOperationException => } // non-POSIX: keep default
+        java.nio.file.Files.write(tmp, bytes)
+        // a stale ChecksumFileSystem sidecar would fail checksummed
+        // reads of the replaced bytes (the publishLocalAtomic rationale)
+        java.nio.file.Files.deleteIfExists(
+          p.getParent.resolve("." + p.getFileName.toString + ".crc"))
+        java.nio.file.Files.move(tmp, p,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } finally java.nio.file.Files.deleteIfExists(tmp)
+    } else {
+      val tmp = new Path(target.getParent,
+        "._bloom_adopt_" + java.util.UUID.randomUUID().toString + ".tmp")
+      val out = fs.create(tmp, false)
+      try { try out.write(bytes) finally out.close() }
+      catch { case e: Throwable => fs.delete(tmp, false); throw e }
+      fs.delete(target, false) // the documented non-local crash window
+      if (!fs.rename(tmp, target)) {
+        fs.delete(tmp, false)
+        throw new java.io.IOException(
+          s"filesystem refused publishing the adopted bloom config at $target")
+      }
+    }
+    lines
+  }
+
   /** True when a committed merge table exists at `path`. */
   def exists(spark: SparkSession, path: String): Boolean = {
     val (fs, root) = fsOf(spark, path)
@@ -144,7 +244,7 @@ object MergeTable {
 
   /** The table as of its latest committed version. */
   def read(spark: SparkSession, path: String): DataFrame =
-    relationFor(spark, snapshot(spark, path).entries)
+    logicalFrame(spark, snapshot(spark, path))
 
   /** The latest committed snapshot, via [[Manifests.latestLines]]'s
     * swept-tip retry. The retry covers the MANIFEST read only: the
@@ -157,21 +257,68 @@ object MergeTable {
     val (fs, root) = fsOf(spark, path)
     val (v, lines) = Manifests.latestLines(fs, manifestDir(root))(
       throw new IllegalArgumentException(s"no merge table at $path"))
-    Snapshot(v, lines.map(decodeEntry))
+    decodeLines(lines, v)
   }
 
-  /** Manifest line codec: `<path>\t<size>`; a line without the tab is a
-    * legacy size-less entry (size −1 → [[relationFor]] takes the
-    * listing path for the whole snapshot). [[Manifests]] itself stays
-    * content-agnostic — other layers (the IVF layout, CompositeIndex)
-    * store their own line formats in the same commit primitive. */
+  /** Manifest line codec: `<path>\t<size>` for base data files; a line
+    * without the tab is a legacy size-less entry (size −1 →
+    * [[relationFor]] takes the listing path for the whole snapshot);
+    * `delta\t<path>\t<size>` for [[mergeLite]] delta files and
+    * `dvkeys\t<k1,k2>` for their key columns (the tag tokens can never
+    * collide with a data path — stored paths are URI forms, which
+    * always carry a scheme or a leading '/'). [[Manifests]] itself
+    * stays content-agnostic — other layers (the IVF layout,
+    * CompositeIndex) store their own line formats in the same commit
+    * primitive. */
   private def encodeEntry(e: FileEntry): String =
     if (e.size >= 0) e.path + "\t" + e.size else e.path
 
+  private val DeltaTag = "delta\t"
+  private val DvKeysTag = "dvkeys\t"
+
+  private def encodeSnapshot(
+      entries: Seq[FileEntry], delta: Seq[FileEntry],
+      dvKeys: Seq[String]): Seq[String] = {
+    require(delta.isEmpty == dvKeys.isEmpty,
+      "delta files and dvKeys must be committed together")
+    entries.map(encodeEntry) ++
+      (if (delta.isEmpty) Nil
+       else (DvKeysTag + dvKeys.mkString(",")) +:
+         delta.map(e => DeltaTag + encodeEntry(e)))
+  }
+
+  private def decodeLines(lines: Seq[String], version: Long): Snapshot = {
+    val entries = Seq.newBuilder[FileEntry]
+    val delta = Seq.newBuilder[FileEntry]
+    var dvKeys: Seq[String] = Nil
+    lines.foreach { line =>
+      if (line.startsWith(DeltaTag))
+        delta += decodeEntry(line.substring(DeltaTag.length))
+      else if (line.startsWith(DvKeysTag))
+        dvKeys = line.substring(DvKeysTag.length).split(",").toSeq
+      else entries += decodeEntry(line)
+    }
+    val d = delta.result()
+    require(d.isEmpty || dvKeys.nonEmpty,
+      s"manifest v$version carries delta files but no dvkeys line — " +
+        "foreign or hand-edited content")
+    Snapshot(version, entries.result(), d, if (d.isEmpty) Nil else dvKeys)
+  }
+
   private def decodeEntry(line: String): FileEntry = {
     val i = line.lastIndexOf('\t')
-    if (i < 0) FileEntry(line, -1L)
-    else FileEntry(line.substring(0, i), line.substring(i + 1).toLong)
+    if (i < 0) return FileEntry(line, -1L)
+    val suffix = line.substring(i + 1)
+    // A foreign or hand-edited line whose tab suffix is not a size must
+    // not throw a raw NumberFormatException out of snapshot(): treat it
+    // as a legacy size-less entry (the WHOLE line as the path). Our own
+    // writers can never produce such a line (stored paths URI-encode a
+    // literal tab as %09), so the later read fails with a not-found
+    // error naming the full offending line — the diagnosable failure.
+    // length <= 18 keeps the all-digits parse inside Long range.
+    if (suffix.nonEmpty && suffix.length <= 18 && suffix.forall(_.isDigit))
+      FileEntry(line.substring(0, i), suffix.toLong)
+    else FileEntry(line, -1L)
   }
 
   /** The relation over a snapshot's entries. With recorded sizes (every
@@ -196,6 +343,27 @@ object MergeTable {
       spark.baseRelationToDataFrame(relation)
     } else spark.read.parquet(entries.map(_.path): _*)
 
+  /** The readable frame of a snapshot. DV-free snapshots return the
+    * bare base relation — the plan is bit-identical to pre-[[mergeLite]]
+    * reads, so tables that only ever rewrite-merge pay ZERO read
+    * overhead. With delta state, the base relation is anti-joined
+    * against the delta's (small, broadcast) key set — the key-tombstone
+    * suppression: every base row whose key a mergeLite re-wrote is
+    * superseded by the delta's copy — and unioned with the delta
+    * relation. User predicates still push into BOTH parquet scans
+    * (broadcast anti-join and union are pushdown-transparent;
+    * MergeTableSpec gates the PushedFilters shape). */
+  private def logicalFrame(spark: SparkSession, snap: Snapshot): DataFrame =
+    if (snap.delta.isEmpty) relationFor(spark, snap.entries)
+    else {
+      val deltaDf = relationFor(spark, snap.delta)
+      if (snap.entries.isEmpty) deltaDf
+      else relationFor(spark, snap.entries)
+        .join(broadcast(deltaDf.select(snap.dvKeys.map(col): _*).distinct()),
+          snap.dvKeys, "left_anti")
+        .unionByName(deltaDf)
+    }
+
   /** Committed versions of the table, oldest first. */
   def versions(spark: SparkSession, path: String): Seq[Long] = {
     val (fs, root) = fsOf(spark, path)
@@ -207,15 +375,15 @@ object MergeTable {
     * an older version stays readable until [[vacuum]] reclaims the
     * files the LATEST manifest no longer references. */
   def readAt(spark: SparkSession, path: String, version: Long): DataFrame =
-    relationFor(spark, snapshotAt(spark, path, version).entries)
+    logicalFrame(spark, snapshotAt(spark, path, version))
 
   /** A PINNED version's snapshot; the travel-ended failure comes from
     * [[Manifests.readPinned]] (raised from the read itself, cause
     * chained — never an exists pre-check a sweep could invalidate). */
   def snapshotAt(spark: SparkSession, path: String, version: Long): Snapshot = {
     val (fs, root) = fsOf(spark, path)
-    Snapshot(version,
-      Manifests.readPinned(fs, manifestDir(root), version, path).map(decodeEntry))
+    decodeLines(
+      Manifests.readPinned(fs, manifestDir(root), version, path), version)
   }
 
   /** Upsert `updates` by `keyCols` (last state wins per key, like the
@@ -224,7 +392,9 @@ object MergeTable {
     * rewritten. `updates` must be unique per key and NULL-free in every
     * key column — the same contract Delta's MERGE effectively enforces
     * (NULL keys never match the semi/anti joins, so a null-keyed row
-    * would silently re-insert as a new duplicate on every merge). */
+    * would silently re-insert as a new duplicate on every merge).
+    * A table carrying row-level ([[mergeLite]]) state folds it into the
+    * same commit, emitting a DV-free manifest. */
   def merge(
       spark: SparkSession, path: String, updates: DataFrame,
       keyCols: Seq[String], maxRetries: Int = 5): MergeStats = {
@@ -259,12 +429,44 @@ object MergeTable {
       keyCols: Seq[String], nU: Long): MergeStats = {
     val (fs, root) = fsOf(spark, path)
     val snap = snapshot(spark, path)
-    val base = relationFor(spark, snap.entries)
-    // Table schema = head file's schema. SAFE BY INVARIANT: init and
-    // every commit write the full, identical column set (the check
-    // below rejects updates that add or drop columns loudly instead of
-    // silently projecting them away), so all files in a manifest agree.
-    val tableSchema = base.schema
+    if (snap.delta.isEmpty)
+      rewriteMerge(spark, fs, root, snap.version, snap.entries, u, keyCols, nU)
+    else {
+      // FOLD the row-level state into this rewrite: the effective
+      // update set is delta ⊎ u (last wins per key, u newest), applied
+      // against the BASE files in one commit that emits a DV-free
+      // manifest — a rewrite merge is exactly the compaction the delta
+      // was deferring, so it absorbs it for free rather than paying a
+      // second rewrite later.
+      if (snap.dvKeys != keyCols) throw new IllegalStateException(
+        s"table at $path carries row-level (mergeLite) state keyed by " +
+          s"[${snap.dvKeys.mkString(",")}] — merge by the same keys")
+      val deltaDf = relationFor(spark, snap.delta)
+      // validate u BEFORE combining: combinedDelta's selects would
+      // otherwise surface a missing column as a raw AnalysisException
+      requireConforms(deltaDf.schema, u, keyCols)
+      val combined = combinedDelta(deltaDf, u, keyCols, deltaDf.columns.toSeq)
+      rewriteMerge(spark, fs, root, snap.version, snap.entries, combined,
+        keyCols, combined.count())
+    }
+  }
+
+  /** delta ⊎ u, last wins per key (u newest) — unique per key because
+    * both inputs are. Projected to `cols` order so union legs agree. */
+  private def combinedDelta(
+      deltaDf: DataFrame, u: DataFrame, keyCols: Seq[String],
+      cols: Seq[String]): DataFrame =
+    deltaDf
+      .join(broadcast(u.select(keyCols.map(col): _*).distinct()),
+        keyCols, "left_anti")
+      .select(cols.map(col): _*)
+      .unionByName(u.select(cols.map(col): _*))
+
+  /** Schema/type conformance of an update frame against the table
+    * schema — shared by the rewrite and row-level merge paths. */
+  private def requireConforms(
+      tableSchema: org.apache.spark.sql.types.StructType,
+      u: DataFrame, keyCols: Seq[String]): Unit = {
     val cols = tableSchema.map(_.name)
     require(keyCols.forall(cols.contains),
       s"key ${keyCols.mkString(",")} missing from table")
@@ -286,13 +488,29 @@ object MergeTable {
           s"the table stores ${tableTypes(f.name).catalogString} — cast the " +
           "update frame to the table schema before merging")
     }
+  }
+
+  /** The rewrite-merge core: apply `u` against `baseEntries` (touched
+    * files rewritten, untouched carried by reference) and commit a
+    * DV-free manifest as `baseVersion + 1`. */
+  private def rewriteMerge(
+      spark: SparkSession, fs: FileSystem, root: Path,
+      baseVersion: Long, baseEntries: Seq[FileEntry], u: DataFrame,
+      keyCols: Seq[String], nU: Long): MergeStats = {
+    val base = relationFor(spark, baseEntries)
+    // Table schema = head file's schema. SAFE BY INVARIANT: init and
+    // every commit write the full, identical column set (requireConforms
+    // rejects updates that add or drop columns loudly instead of
+    // silently projecting them away), so all files in a manifest agree.
+    requireConforms(base.schema, u, keyCols)
+    val cols = base.schema.map(_.name)
 
     val touched: Set[String] =
       if (nU == 0) Set.empty
       else discoveryFrame(base, u, keyCols, nU)
         .collect().map(r => normalize(r.getString(0))).toSet
 
-    val (hit, kept) = snap.entries.partition(e => touched.contains(normalize(e.path)))
+    val (hit, kept) = baseEntries.partition(e => touched.contains(normalize(e.path)))
     // Insert-only batches write ceil(nU / InsertRowsPerFile) files: one
     // file per batch fragments nothing, but a single writer task for an
     // arbitrarily large first load would serialize the whole write (the
@@ -302,7 +520,7 @@ object MergeTable {
       (nU + InsertRowsPerFile - 1) / InsertRowsPerFile).toInt
     val replaced =
       if (hit.isEmpty && nU == 0)
-        return MergeStats(snap.version, kept.size, 0, 0, 0)
+        return MergeStats(baseVersion, kept.size, 0, 0, 0)
       else if (hit.isEmpty) u.select(cols.map(col): _*).coalesce(insertFiles)
       else relationFor(spark, hit)
         .join(broadcast(u.select(keyCols.map(col): _*).distinct()),
@@ -315,8 +533,119 @@ object MergeTable {
         // measured 34 new files for a 1-file hit at 10M rows
         .coalesce(hit.size)
     val newFiles = writeBatch(spark, fs, root, replaced)
-    commit(fs, root, snap.version + 1, kept ++ newFiles) // throws on race
-    MergeStats(snap.version + 1, kept.size, hit.size, newFiles.size, nU)
+    // kept entries pass through withSizes: a legacy size-less table's
+    // FIRST merge upgrades its manifest to the zero-listing read path
+    commit(fs, root, baseVersion + 1,
+      encodeSnapshot(withSizes(fs, kept) ++ newFiles, Nil, Nil)) // throws on race
+    MergeStats(baseVersion + 1, kept.size, hit.size, newFiles.size, nU)
+  }
+
+  /** Legacy-manifest migration at commit time (closing the r13 gap): an
+    * entry carried into a new manifest without a recorded size (written
+    * before the `path\tsize` codec) is stat'ed ONCE here, so a legacy
+    * table's first merge/delete upgrades it to the zero-listing read
+    * path — the listing fallback is then reached only by genuinely old,
+    * never-modified tables. Cost: one getFileStatus per legacy file,
+    * once per table lifetime. */
+  private def withSizes(fs: FileSystem, entries: Seq[FileEntry]): Seq[FileEntry] =
+    entries.map(e =>
+      if (e.size >= 0) e
+      else FileEntry(e.path, fs.getFileStatus(new Path(e.path)).getLen))
+
+  /** Default bound on accumulated [[mergeLite]] delta rows before a
+    * call folds into a rewrite merge: the delta's key set rides a
+    * broadcast anti-join on EVERY read, so it must stay
+    * executor-memory-small (1M hash keys ≈ 100 MB broadcast — about
+    * the practical ceiling; deployments with wide rows tune it down). */
+  val DefaultMaxDeltaRows: Long = 1000000L
+
+  /** Row-level MERGE — absorbs `updates` WITHOUT rewriting any base
+    * file (the keyed analog of Delta's deletion vectors). A rewrite
+    * [[merge]] pays a full file rewrite for every file a redelivered
+    * key touches — StreamMergeBloomDemo measured replay batches
+    * rewrite-dominated (~1x bloom win) because 10 redelivered ids
+    * spread across ~10 files rewrite them all. mergeLite instead
+    * appends the updates as a small DELTA file and lets the read path
+    * suppress superseded base rows by key ([[logicalFrame]]: base
+    * ANTI-JOIN delta-keys ∪ delta — the tombstone set IS the delta's
+    * key set, so no separate tombstone sidecars exist and the
+    * tombstone/delta invariant cannot drift). A 10-row replay costs a
+    * 10-row write at ANY table size (MergeLiteDemo quantifies both the
+    * write win and the read tax).
+    *
+    * Consecutive mergeLites COMBINE their deltas (last wins per key,
+    * still one delta file set); once the combined delta would exceed
+    * `maxDeltaRows`, the call FOLDS instead — one rewrite merge of the
+    * combined rows, clearing the row-level state. [[deleteWhere]] folds
+    * before predicate deletes (its per-file rewrite cannot see the key
+    * suppression), and [[compactTable]]/[[merge]] fold naturally.
+    * Same contract as [[merge]]: unique, NULL-free keys; exact schema. */
+  def mergeLite(
+      spark: SparkSession, path: String, updates: DataFrame,
+      keyCols: Seq[String], maxDeltaRows: Long = DefaultMaxDeltaRows,
+      maxRetries: Int = 5): MergeStats = {
+    require(keyCols.nonEmpty, "keyCols must name at least one column")
+    keyCols.foreach(k => require(!k.exists(c => c == ',' || c == '\t' || c == '\n'),
+      s"key column name not encodable in the manifest dvkeys line: '$k'"))
+    val u = updates.localCheckpoint(true) // one computation across retries
+    try {
+      require(keyCols.forall(u.columns.contains),
+        s"key ${keyCols.mkString(",")} missing from updates")
+      val nU = u.count()
+      require(nU == u.dropDuplicates(keyCols).count(),
+        s"updates must be unique on ${keyCols.mkString(",")}")
+      require(u.filter(keyCols.map(col(_).isNull).reduce(_ || _)).isEmpty,
+        s"updates contain NULL in a key column (${keyCols.mkString(",")}); " +
+          "NULL keys cannot match and would duplicate on every merge")
+      var attempt = 0
+      while (attempt < maxRetries) {
+        attempt += 1
+        try return mergeLiteOnce(spark, path, u, keyCols, nU, maxDeltaRows)
+        catch {
+          case _: FileAlreadyExistsException => // lost the race: re-snapshot
+        }
+      }
+      throw new CommitConflict(
+        s"mergeLite at $path lost $maxRetries optimistic commits in a row")
+    } finally graft.util.Checkpoints.free(u)
+  }
+
+  private def mergeLiteOnce(
+      spark: SparkSession, path: String, u: DataFrame,
+      keyCols: Seq[String], nU: Long, maxDeltaRows: Long): MergeStats = {
+    val (fs, root) = fsOf(spark, path)
+    val snap = snapshot(spark, path)
+    // persisted-state-vs-frame mismatch: IllegalStateException, so a
+    // caller's IllegalArgumentException fallback can't bury it (the
+    // writeBatch bloom-guard convention)
+    if (snap.delta.nonEmpty && snap.dvKeys != keyCols)
+      throw new IllegalStateException(
+        s"table at $path carries row-level state keyed by " +
+          s"[${snap.dvKeys.mkString(",")}] — mergeLite by the same keys")
+    val base = relationFor(spark, snap.entries)
+    requireConforms(base.schema, u, keyCols)
+    val cols = base.schema.map(_.name)
+    if (nU == 0)
+      return MergeStats(snap.version, snap.entries.size + snap.delta.size, 0, 0, 0)
+    val combined =
+      if (snap.delta.isEmpty) u.select(cols.map(col): _*)
+      else combinedDelta(relationFor(spark, snap.delta), u, keyCols, cols)
+    val n = if (snap.delta.isEmpty) nU else combined.count()
+    if (n > maxDeltaRows)
+      // past the read-tax bound: fold the combined rows in ONE rewrite
+      // merge (the compaction the delta was deferring), emitting a
+      // DV-free manifest
+      return rewriteMerge(spark, fs, root, snap.version, snap.entries,
+        combined, keyCols, n)
+    // the delta stays one coalesced file set: it is re-written whole on
+    // every mergeLite (bounded by maxDeltaRows, so the rewrite is the
+    // small side by construction), while the base is never touched
+    val deltaFiles = writeBatch(spark, fs, root, combined.coalesce(
+      math.max(1L, (n + InsertRowsPerFile - 1) / InsertRowsPerFile).toInt))
+    commit(fs, root, snap.version + 1,
+      encodeSnapshot(withSizes(fs, snap.entries), deltaFiles, keyCols))
+    MergeStats(snap.version + 1, snap.entries.size, snap.delta.size,
+      deltaFiles.size, nU)
   }
 
   /** Small-batch cap for pushing the EXACT update-key list into the
@@ -393,7 +722,20 @@ object MergeTable {
       attempt += 1
       try {
         val (fs, root) = fsOf(spark, path)
-        val snap = snapshot(spark, path)
+        val snap0 = snapshot(spark, path)
+        val snap =
+          if (snap0.delta.isEmpty) snap0
+          else {
+            // FOLD row-level (mergeLite) state first: the per-file
+            // rewrite below reasons about PHYSICAL rows and cannot see
+            // the key suppression — deleting a matching DELTA row
+            // directly would un-tombstone its key and RESURRECT the
+            // superseded base row
+            val deltaDf = relationFor(spark, snap0.delta)
+            rewriteMerge(spark, fs, root, snap0.version, snap0.entries,
+              deltaDf, snap0.dvKeys, deltaDf.count())
+            snapshot(spark, path)
+          }
         val touched = relationFor(spark, snap.entries)
           .filter(cond)
           .select(input_file_name().as("__file")).distinct()
@@ -402,9 +744,10 @@ object MergeTable {
         if (hit.isEmpty) return MergeStats(snap.version, kept.size, 0, 0, 0)
         val survivors = relationFor(spark, hit)
           .filter(!coalesce(cond, lit(false)))
-          .coalesce(hit.size) // one output file per hit file (see mergeOnce)
+          .coalesce(hit.size) // one output file per hit file (see rewriteMerge)
         val newFiles = writeBatch(spark, fs, root, survivors)
-        commit(fs, root, snap.version + 1, kept ++ newFiles)
+        commit(fs, root, snap.version + 1,
+          encodeSnapshot(withSizes(fs, kept) ++ newFiles, Nil, Nil))
         return MergeStats(snap.version + 1, kept.size, hit.size, newFiles.size, 0)
       } catch {
         case _: FileAlreadyExistsException => // lost the race: re-snapshot
@@ -445,11 +788,14 @@ object MergeTable {
       case None => snap.version + 1
       case Some(_) => latestVersion(fs, root).getOrElse(snap.version) + 1
     }
-    val sorted = relationFor(spark, snap.entries)
+    // logicalFrame, not the bare base relation: a compaction of a table
+    // carrying mergeLite delta state applies the key suppression and
+    // absorbs the delta rows — the rewrite IS the fold
+    val sorted = logicalFrame(spark, snap)
       .repartitionByRange(numFiles, col(sortCol))
       .sortWithinPartitions(col(sortCol))
     val files = writeBatch(spark, fs, root, sorted)
-    try commit(fs, root, next, files)
+    try commit(fs, root, next, encodeSnapshot(files, Nil, Nil))
     catch {
       // the conflict contract every other writer exposes (merge /
       // deleteWhere / the composite commitPin): a maintenance job
@@ -464,9 +810,13 @@ object MergeTable {
 
   /** Delete data files no manifest-latest version references (orphans
     * from failed/superseded commits), and expired version manifests
-    * beyond tip ∪ `keepVersions` (bounding the version directory's
-    * growth — Delta's log retention, miniature). Returns the number of
-    * data files removed.
+    * whose data was reclaimed (bounding the version directory's
+    * growth — Delta's log retention, miniature, but LIVENESS-GATED:
+    * a version's manifest is swept only when at least one of its data
+    * files is gone or going under this same cutoff, so on insert-only
+    * lineages — where every old version's files stay live in the tip —
+    * time travel is never narrowed by routine maintenance). Returns the
+    * number of data files removed.
     *
     * `retainMillis` is the concurrency grace (Delta's VACUUM retention,
     * miniature): a merge/compact writes its batch files BEFORE its
@@ -490,9 +840,9 @@ object MergeTable {
     require(retainMillis >= 0, "retainMillis must be >= 0")
     val (fs, root) = fsOf(spark, path)
     val tip = snapshot(spark, path)
-    val live = (tip.files ++
+    val live = (tip.allFiles ++
       keepVersions.distinct.filterNot(_ == tip.version)
-        .flatMap(v => snapshotAt(spark, path, v).files))
+        .flatMap(v => snapshotAt(spark, path, v).allFiles))
       .map(normalize).toSet
     val dataDir = new Path(root, "data")
     if (!fs.exists(dataDir)) return 0
@@ -515,8 +865,23 @@ object MergeTable {
     // 1000 manifests swept in 0.2 s). Versions >= the resolved tip are
     // structurally protected (a concurrent writer's commit lands above
     // the tip), and the grace keeps a mid-commit writer's temp safe.
+    // The liveness gate (`sweepable`) keeps time travel as wide as the
+    // DATA allows: on insert-only lineages every old version's files
+    // stay live in the tip, and sweeping their manifests would narrow
+    // readAt/snapshotAt as a silent side effect of routine maintenance —
+    // so a version's manifest is swept only when at least one of its
+    // files was (or would be) reclaimed under this same cutoff. One
+    // small manifest read per expired candidate; self-limiting, because
+    // any rewrite (merge hit, compaction) makes superseded versions
+    // sweepable and each pass then clears them.
     Manifests.sweepLog(fs, manifestDir(root), cutoff,
-      keepVersions.toSet, keepFrom = tip.version)
+      keepVersions.toSet, keepFrom = tip.version,
+      sweepable = v =>
+        try !decodeLines(Manifests.read(fs, manifestDir(root), v), v)
+          .allFiles.forall(p => live.contains(normalize(p)))
+        catch { // a racing sweeper already won; nothing left to delete
+          case _: java.io.FileNotFoundException => false
+        })
     // likewise `._bloom_*.tmp` stranded in the table root by a writer
     // that crashed between writeBloomProps' temp write and its link(2)
     // claim (writeBloomProps itself sweeps these on the retry path,
@@ -662,15 +1027,18 @@ object MergeTable {
         "pre-terminator version of this library — the two are " +
         "indistinguishable, and adopting a torn file's partial column list " +
         s"would misconfigure every later writer. If the column list is " +
-        s"known-complete, append a '$BloomTerminator' line to adopt it; " +
-        "otherwise recover the intended config, or delete the file " +
-        "deliberately for a bloom-less table")
+        s"known-complete, MergeTable.adoptBloomConfig(path) validates it " +
+        s"against the table schema and republishes it terminated (or " +
+        s"append a '$BloomTerminator' line by hand); otherwise recover " +
+        "the intended config, or delete the file deliberately for a " +
+        "bloom-less table")
   }
 
   /** Exclusive-create commit — delegates to the shared OCC primitive
     * ([[Manifests.commit]]: atomic on HDFS-like filesystems and on the
-    * local filesystem via temp file + link(2)). */
+    * local filesystem via temp file + link(2)). `lines` come from
+    * [[encodeSnapshot]]. */
   private def commit(
-      fs: FileSystem, root: Path, version: Long, entries: Seq[FileEntry]): Unit =
-    Manifests.commit(fs, manifestDir(root), version, entries.map(encodeEntry))
+      fs: FileSystem, root: Path, version: Long, lines: Seq[String]): Unit =
+    Manifests.commit(fs, manifestDir(root), version, lines)
 }

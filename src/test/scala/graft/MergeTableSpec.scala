@@ -601,6 +601,302 @@ class MergeTableSpec extends SparkSpec {
     assert(!MergeTable.exists(spark, path)) // nothing was committed
   }
 
+  test("a foreign tab-suffixed manifest line decodes as legacy, not a NumberFormatException") {
+    val path = freshPath()
+    MergeTable.init(spark, path, rows(1 to 10, "a"))
+    val real = MergeTable.snapshot(spark, path).files.head
+    val (fs, mdir) = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      (p.getFileSystem(spark.sparkContext.hadoopConfiguration),
+        new org.apache.hadoop.fs.Path(p, "_manifests"))
+    }
+    // a hand-edited line with a non-numeric suffix, and one whose
+    // "size" overflows Long — snapshot() must classify both as legacy
+    // size-less entries instead of throwing from the codec
+    graft.sources.Manifests.commit(fs, mdir, 2L,
+      Seq(real + "\tnot_a_size", real + "\t99999999999999999999"))
+    val snap = MergeTable.snapshot(spark, path) // must not throw
+    assert(snap.version === 2L)
+    assert(snap.entries.forall(_.size === -1L),
+      "unparseable size suffixes must be treated as legacy entries")
+    assert(snap.entries.forall(_.path.contains("\t")),
+      "the WHOLE offending line is kept as the path so the downstream " +
+        "read failure names it")
+  }
+
+  test("a legacy size-less table's first merge upgrades its manifest to sized entries") {
+    val path = freshPath()
+    MergeTable.init(spark, path, rows(1 to 200, "a"))
+    MergeTable.compactTable(spark, path, "id", numFiles = 4)
+    val sized = MergeTable.snapshot(spark, path)
+    val (fs, mdir) = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      (p.getFileSystem(spark.sparkContext.hadoopConfiguration),
+        new org.apache.hadoop.fs.Path(p, "_manifests"))
+    }
+    // rewrite the tip as a LEGACY manifest (paths only, pre-size codec)
+    graft.sources.Manifests.commit(fs, mdir, 3L, sized.files)
+    assert(MergeTable.snapshot(spark, path).entries.forall(_.size < 0))
+    // a narrow merge touches 1 file; the other 3 are carried by
+    // reference — but now WITH their stat'ed sizes
+    MergeTable.merge(spark, path, rows(5 to 6, "b"), Seq("id"))
+    val after = MergeTable.snapshot(spark, path)
+    assert(after.entries.forall(_.size >= 0),
+      "kept legacy entries must be upgraded with sizes at commit time")
+    after.entries.foreach { e =>
+      assert(e.size === new java.io.File(new java.net.URI(e.path)).length(),
+        s"migrated size must be the exact on-disk size for ${e.path}")
+    }
+    // and the read path is back on the zero-listing index
+    val scan = MergeTable.read(spark, path).queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.relation.location.isInstanceOf[graft.sources.ManifestFileIndex])
+    assert(MergeTable.read(spark, path).count() === 200)
+    // deleteWhere upgrades too
+    graft.sources.Manifests.commit(fs, mdir, 5L,
+      MergeTable.snapshot(spark, path).files)
+    MergeTable.deleteWhere(spark, path, $"id" === 7L)
+    assert(MergeTable.snapshot(spark, path).entries.forall(_.size >= 0))
+  }
+
+  test("latestLines: the swept-tip interleave recovers; exhaustion fails with context") {
+    val dir = new org.apache.hadoop.fs.Path(
+      java.nio.file.Files.createTempDirectory("latest_retry").toString, "_m")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val M = graft.sources.Manifests
+    M.commit(fs, dir, 1L, Seq("a"))
+    // the retry's reason-for-existing, driven deterministically through
+    // the onResolve seam: reader resolves the tip → a writer commits
+    // v+1 AND a retention sweep reclaims the resolved tip → the read
+    // FNFs → the retry re-resolves the necessarily-newer latest
+    var interleaved = false
+    val (v, lines) = M.latestLines(fs, dir, onResolve = v =>
+      if (!interleaved) {
+        interleaved = true
+        M.commit(fs, dir, v + 1, Seq("b")) // concurrent writer
+        fs.delete(M.versionPath(dir, v), false) // concurrent sweeper
+      })(throw new IllegalStateException("no versions"))
+    assert(v === 2L && lines === Seq("b"),
+      "the retry must land on the post-sweep tip")
+    // exhaustion: an adversarial sweeper that reclaims EVERY resolved
+    // tip — after the bounded retries the failure carries the log dir,
+    // the version, and the FNFE cause
+    var next = 2L
+    val e = intercept[IllegalStateException] {
+      M.latestLines(fs, dir, onResolve = v => {
+        next += 1
+        M.commit(fs, dir, next, Seq("x"))
+        fs.delete(M.versionPath(dir, v), false)
+      })(throw new IllegalStateException("no versions"))
+    }
+    assert(e.getMessage.contains("vanished") && e.getMessage.contains("_m"),
+      e.getMessage)
+    assert(e.getCause.isInstanceOf[java.io.FileNotFoundException])
+  }
+
+  test("insert-only lineage: vacuum keeps old manifests while their data stays live") {
+    val path = freshPath()
+    MergeTable.init(spark, path, rows(1 to 50, "a"))                  // v1
+    MergeTable.merge(spark, path, rows(51 to 60, "b"), Seq("id"))     // v2: pure insert
+    MergeTable.merge(spark, path, rows(61 to 70, "c"), Seq("id"))     // v3: pure insert
+    // every v1/v2 file is still referenced by the tip — a default
+    // vacuum past the grace must NOT end their time travel
+    assert(MergeTable.vacuum(spark, path, retainMillis = 0) === 0)
+    assert(MergeTable.versions(spark, path) === Seq(1L, 2L, 3L),
+      "manifests of versions whose files are all live must survive")
+    assert(MergeTable.readAt(spark, path, 1L).count() === 50)
+    assert(MergeTable.readAt(spark, path, 2L).count() === 60)
+    // a compaction orphans the old files; the SAME vacuum semantics now
+    // sweep both the files and the manifests that reference them
+    MergeTable.compactTable(spark, path, "id", numFiles = 2)          // v4
+    assert(MergeTable.vacuum(spark, path, retainMillis = 0) > 0)
+    assert(MergeTable.versions(spark, path) === Seq(4L),
+      "once the data is reclaimed the manifests go with it")
+    assert(MergeTable.read(spark, path).count() === 70)
+  }
+
+  test("adoptBloomConfig migrates a pre-terminator config; refuses foreign content") {
+    val path = freshPath()
+    val df = rows(1 to 20, "a").withColumn("h", sha2($"body", 256))
+    MergeTable.init(spark, path, df, bloomKeys = Seq("h"))
+    // simulate a config written by the pre-terminator library version
+    val props = java.nio.file.Paths.get(path, "_bloom.properties")
+    java.nio.file.Files.write(props, "h\n".getBytes("UTF-8"))
+    intercept[IllegalStateException] { MergeTable.bloomConfig(spark, path) }
+    // the one-time migration validates against the schema and republishes
+    assert(MergeTable.adoptBloomConfig(spark, path) === Seq("h"))
+    assert(MergeTable.bloomConfig(spark, path) === Seq("h"))
+    // idempotent: an already-terminated config returns unchanged
+    assert(MergeTable.adoptBloomConfig(spark, path) === Seq("h"))
+    // and the table's writers work again (merge by the hash key: the
+    // identical bodies hash to EXISTING keys, so the rows are replaced)
+    MergeTable.merge(spark, path,
+      rows(1 to 3, "b").withColumn("h", sha2($"body", 256)), Seq("h"))
+    val got = MergeTable.read(spark, path)
+    assert(got.count() === 20)
+    assert(got.filter($"tag" === "b").count() === 3)
+    // foreign content: a name no table column has is refused
+    java.nio.file.Files.write(props, "h\nno_such_col\n".getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      MergeTable.adoptBloomConfig(spark, path)
+    }
+    assert(e.getMessage.contains("no_such_col"))
+    // implausible line (tab) refused before any schema read
+    java.nio.file.Files.write(props, "h\ta\n".getBytes("UTF-8"))
+    intercept[IllegalArgumentException] { MergeTable.adoptBloomConfig(spark, path) }
+  }
+
+  test("mergeLite: absorbs updates without touching any base file; read equals rewrite merge") {
+    val pLite = freshPath()
+    val pFull = freshPath()
+    MergeTable.init(spark, pLite, rows(1 to 1000, "old"))
+    MergeTable.init(spark, pFull, rows(1 to 1000, "old"))
+    MergeTable.compactTable(spark, pLite, "id", 8)
+    MergeTable.compactTable(spark, pFull, "id", 8)
+    val updates = rows(990 to 1010, "new") // 11 replacements + 10 inserts
+    val base = MergeTable.snapshot(spark, pLite)
+    val stats = MergeTable.mergeLite(spark, pLite, updates, Seq("id"))
+    MergeTable.merge(spark, pFull, updates, Seq("id"))
+    assert(stats.version === 3L && stats.rowsUpserted === 21L)
+    val after = MergeTable.snapshot(spark, pLite)
+    assert(after.entries.map(_.path) === base.entries.map(_.path),
+      "mergeLite must carry every base file by reference, untouched")
+    assert(after.delta.nonEmpty && after.dvKeys === Seq("id"))
+    // logical content identical to the rewrite merge on the same inputs
+    assert(MergeTable.read(spark, pLite).orderBy("id").collect().toSeq ===
+      MergeTable.read(spark, pFull).orderBy("id").collect().toSeq)
+    assert(MergeTable.read(spark, pLite).count() === 1010)
+  }
+
+  test("mergeLite: consecutive calls combine deltas last-wins; threshold folds to DV-free") {
+    val path = freshPath()
+    MergeTable.init(spark, path, rows(1 to 100, "old"))
+    MergeTable.mergeLite(spark, path, rows(5 to 9, "first"), Seq("id"))
+    MergeTable.mergeLite(spark, path, rows(7 to 12, "second"), Seq("id"))
+    val got = MergeTable.read(spark, path)
+    assert(got.count() === 100)
+    assert(got.filter($"tag" === "first").count() === 2)   // 5,6
+    assert(got.filter($"tag" === "second").count() === 6)  // 7..12
+    val snap = MergeTable.snapshot(spark, path)
+    assert(snap.delta.nonEmpty, "still row-level state")
+    // the combined delta is unique per key (the invariant the fold and
+    // the read suppression both lean on)
+    val deltaRows = MergeTable.readAt(spark, path, snap.version)
+      .filter($"tag" =!= "old").count()
+    assert(deltaRows === 8)
+    // exceeding maxDeltaRows folds: ONE rewrite commit, no delta lines
+    MergeTable.mergeLite(spark, path, rows(20 to 40, "third"), Seq("id"),
+      maxDeltaRows = 10)
+    val folded = MergeTable.snapshot(spark, path)
+    assert(folded.delta.isEmpty && folded.dvKeys.isEmpty,
+      "past the read-tax bound the call must fold to a DV-free manifest")
+    val after = MergeTable.read(spark, path)
+    assert(after.count() === 100)
+    assert(after.filter($"tag" === "first").count() === 2)
+    assert(after.filter($"tag" === "second").count() === 6)
+    assert(after.filter($"tag" === "third").count() === 21)
+  }
+
+  test("mergeLite interop: merge/deleteWhere/compact fold; deletes don't resurrect") {
+    // full merge folds
+    val p1 = freshPath()
+    MergeTable.init(spark, p1, rows(1 to 100, "old"))
+    MergeTable.mergeLite(spark, p1, rows(5 to 9, "lite"), Seq("id"))
+    MergeTable.merge(spark, p1, rows(8 to 12, "full"), Seq("id"))
+    val s1 = MergeTable.snapshot(spark, p1)
+    assert(s1.delta.isEmpty, "a rewrite merge must fold the row-level state")
+    val g1 = MergeTable.read(spark, p1)
+    assert(g1.count() === 100)
+    assert(g1.filter($"tag" === "lite").count() === 3)  // 5,6,7
+    assert(g1.filter($"tag" === "full").count() === 5)  // 8..12
+    // deleteWhere folds FIRST — deleting the delta's copy of a key must
+    // not resurrect the superseded base row
+    val p2 = freshPath()
+    MergeTable.init(spark, p2, rows(1 to 100, "old"))
+    MergeTable.mergeLite(spark, p2, rows(50 to 54, "lite"), Seq("id"))
+    MergeTable.deleteWhere(spark, p2, $"tag" === "lite")
+    val g2 = MergeTable.read(spark, p2)
+    assert(g2.count() === 95, "the 5 lite rows are gone")
+    assert(g2.filter($"id" === 52L).count() === 0,
+      "the superseded base row must NOT be resurrected by the delete")
+    // compactTable folds
+    val p3 = freshPath()
+    MergeTable.init(spark, p3, rows(1 to 100, "old"))
+    MergeTable.mergeLite(spark, p3, rows(5 to 9, "lite"), Seq("id"))
+    val s3 = MergeTable.compactTable(spark, p3, "id", 2)
+    assert(MergeTable.snapshotAt(spark, p3, s3.version).delta.isEmpty)
+    val g3 = MergeTable.read(spark, p3)
+    assert(g3.count() === 100 && g3.filter($"tag" === "lite").count() === 5)
+    // mismatched keys against persisted row-level state: loud, typed
+    val p4 = freshPath()
+    MergeTable.init(spark, p4, rows(1 to 10, "old"))
+    MergeTable.mergeLite(spark, p4, rows(1 to 2, "lite"), Seq("id"))
+    val byTag = Seq((3L, "t3", "b3"), (4L, "t4", "b4")).toDF("id", "tag", "body")
+    intercept[IllegalStateException] {
+      MergeTable.mergeLite(spark, p4, byTag, Seq("tag"))
+    }
+    intercept[IllegalStateException] {
+      MergeTable.merge(spark, p4, byTag, Seq("tag"))
+    }
+    // contract checks shared with merge: NULL keys refused
+    intercept[IllegalArgumentException] {
+      MergeTable.mergeLite(spark, p4,
+        rows(11 to 11, "x").withColumn("id", lit(null).cast("long")), Seq("id"))
+    }
+  }
+
+  test("mergeLite: time travel and vacuum account for delta files") {
+    val path = freshPath()
+    MergeTable.init(spark, path, rows(1 to 100, "old"))               // v1
+    MergeTable.mergeLite(spark, path, rows(5 to 9, "lite"), Seq("id")) // v2 (DV)
+    MergeTable.merge(spark, path, rows(20 to 22, "full"), Seq("id"))   // v3 (folds)
+    // the DV version stays travelable: its delta files must be LIVE to
+    // a graced vacuum even though the tip no longer references them
+    val v2 = MergeTable.readAt(spark, path, 2L)
+    assert(v2.count() === 100 && v2.filter($"tag" === "lite").count() === 5)
+    assert(v2.filter($"tag" === "full").count() === 0)
+    assert(MergeTable.vacuum(spark, path) === 0,
+      "delta files inside the grace must survive")
+    assert(MergeTable.readAt(spark, path, 2L).filter($"tag" === "lite").count() === 5)
+    // keepVersions pins the DV version past the grace — delta included
+    assert(MergeTable.vacuum(spark, path, retainMillis = 0,
+      keepVersions = Seq(2L)) >= 0)
+    assert(MergeTable.readAt(spark, path, 2L).filter($"tag" === "lite").count() === 5,
+      "a kept DV version's delta files must be in the liveness set")
+    // unpinned: the fold's vacuum reclaims the superseded delta files
+    assert(MergeTable.vacuum(spark, path, retainMillis = 0) > 0)
+    intercept[Exception] { MergeTable.readAt(spark, path, 2L).count() }
+    assert(MergeTable.read(spark, path).count() === 100)
+  }
+
+  test("mergeLite read plan: both legs scan through ManifestFileIndex with pushed filters") {
+    val path = freshPath()
+    MergeTable.init(spark, path, rows(1 to 1000, "old"))
+    MergeTable.mergeLite(spark, path, rows(500 to 509, "lite"), Seq("id"))
+    val df = MergeTable.read(spark, path).filter($"id" === 505L)
+    // AQE-aware: the join+union plan finalizes only after execution
+    val scans = graft.util.Plans.executedNodes(df).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    // base leg + delta leg + the broadcast key-set build scan
+    assert(scans.size >= 2, s"expected base+delta scans, got ${scans.size}")
+    scans.foreach { s =>
+      assert(s.relation.location.isInstanceOf[graft.sources.ManifestFileIndex],
+        s"every leg must stay on the zero-listing index: ${s.relation.location}")
+    }
+    // the user predicate reaches BOTH data scans' parquet footers
+    val dataScans = scans.filter(_.metadata.getOrElse("ReadSchema", "").contains("tag"))
+    assert(dataScans.size >= 2, "base and delta data scans expected")
+    dataScans.foreach { s =>
+      val pushed = s.metadata.getOrElse("PushedFilters", "")
+      assert(pushed.contains("EqualTo(id,505"),
+        s"user predicate must push into the scan: $pushed")
+    }
+    assert(df.count() === 1)
+    assert(df.select("tag").head().getString(0) === "lite")
+  }
+
   test("bloom props: a torn config (missing the terminator) fails loudly, not partially") {
     // simulate the no-hardlink fallback's hard-crash residue: a prefix
     // of the real bytes at the FIXED target name — the reader must not
