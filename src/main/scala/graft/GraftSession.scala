@@ -243,16 +243,19 @@ final case class GraftSession(
       throw new IllegalStateException(s"manifest file outside a cluster dir: $f"))
     m.group(1).toInt
   }
-  /** Every data file under the layout's cluster directories. */
+  /** Every data file under the layout's cluster directories, with its
+    * exact listed size — what lets every later open build the relation
+    * from the manifest alone ([[graft.sources.ClusteredManifestFileIndex]]). */
   private def listClusterFiles(fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path): Seq[String] =
+      root: org.apache.hadoop.fs.Path): Seq[graft.sources.MergeTable.FileEntry] =
     fs.listStatus(root).filter(s => s.isDirectory &&
         s.getPath.getName.startsWith("cluster="))
       .flatMap(d => fs.listStatus(d.getPath).filter(_.isFile)
-        .map(_.getPath.toUri.toString))
-      .filter(f => { val n = new org.apache.hadoop.fs.Path(f).getName
+        .map(s => graft.sources.MergeTable.FileEntry(
+          s.getPath.toUri.toString, s.getLen)))
+      .filter(e => { val n = new org.apache.hadoop.fs.Path(e.path).getName
         n.startsWith("part-") && n.endsWith(".parquet") })
-      .toSeq.sorted
+      .toSeq.sortBy(_.path)
   /** Write `df` (bearing a `cluster` column) as this writer's OWN new
     * files in the layout: stage under `_staging/<uuid>` (underscore —
     * invisible to partition discovery), then rename each part file
@@ -266,7 +269,7 @@ final case class GraftSession(
     * so they cannot collide with existing files. */
   private def stageNewFiles(df: DataFrame,
       fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path): Seq[String] = {
+      root: org.apache.hadoop.fs.Path): Seq[graft.sources.MergeTable.FileEntry] = {
     import org.apache.spark.sql.functions.col
     val staging = new org.apache.hadoop.fs.Path(root,
       "_staging/" + java.util.UUID.randomUUID())
@@ -280,24 +283,47 @@ final case class GraftSession(
       .flatMap { d =>
         val target = new org.apache.hadoop.fs.Path(root, d.getPath.getName)
         fs.mkdirs(target)
-        fs.listStatus(d.getPath).filter(_.isFile).map(_.getPath)
-          .filter(p => p.getName.startsWith("part-") &&
-            p.getName.endsWith(".parquet"))
-          .map { p =>
+        fs.listStatus(d.getPath)
+          .filter(s => s.isFile && s.getPath.getName.startsWith("part-") &&
+            s.getPath.getName.endsWith(".parquet"))
+          .map { s =>
+            val p = s.getPath
             val t = new org.apache.hadoop.fs.Path(target, p.getName)
             if (!fs.rename(p, t))
               throw new IllegalStateException(s"rename $p -> $t failed")
-            t.toUri.toString
+            // rename moves the inode — the staged length IS the final
+            // length, recorded into the manifest so opens never re-stat
+            graft.sources.MergeTable.FileEntry(t.toUri.toString, s.getLen)
           }
-      }.toSeq.sorted
+      }.toSeq.sortBy(_.path)
     fs.delete(staging, true)
     moved
   }
 
-  /** The layout as of its latest committed manifest, with the `cluster`
-    * partition column still inferred (basePath), so the planner rule's
-    * probe filter prunes the pinned file list exactly like a directory
-    * read. */
+  /** A manifest's data entries (header excluded) — the shared
+    * `path\tsize` codec; pre-size lines decode as legacy (−1). */
+  private def entriesOf(lines: Seq[String]): Seq[graft.sources.MergeTable.FileEntry] =
+    lines.filterNot(isHeader).map(graft.sources.MergeTable.decodeEntry)
+
+  /** The relation over a version's entries. With recorded sizes (every
+    * manifest this code writes) the relation is built from the manifest
+    * alone via the PARTITIONED zero-listing index — the `cluster`
+    * column is parsed from each recorded path, so the planner rule's
+    * probe filter prunes the file list exactly like a directory read,
+    * with no per-path listing job (19.5 s at 10k files through
+    * `spark.read.parquet` — ManifestScaleDemo/IvfOpenScaleDemo).
+    * Legacy size-less manifests keep the basePath listing read. */
+  private def relationOfEntries(
+      entries: Seq[graft.sources.MergeTable.FileEntry],
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): DataFrame =
+    if (entries.nonEmpty && entries.forall(_.size >= 0))
+      graft.sources.ClusteredManifestFileIndex.relation(spark, "cluster",
+        entries.groupBy(e => clusterOfFile(e.path)).toSeq.sortBy(_._1))
+    else
+      spark.read.option("basePath", fs.makeQualified(root).toString)
+        .parquet(entries.map(_.path): _*)
+
   /** The version's relation, resolved version, and RAW manifest lines
     * (header included — callers parse the quantizer pointer from the
     * in-hand lines via [[sideStateOf]] instead of re-reading the
@@ -319,9 +345,7 @@ final case class GraftSession(
       case Some(v0) =>
         (v0, graft.sources.Manifests.readPinned(fs, dir, v0, path))
     }
-    val files = lines.filterNot(isHeader)
-    (spark.read.option("basePath", fs.makeQualified(root).toString)
-      .parquet(files: _*), v, lines)
+    (relationOfEntries(entriesOf(lines), fs, root), v, lines)
   }
 
   /** Run `f` (a read of the SESSION-PINNED manifest `v`), converting a
@@ -478,7 +502,8 @@ final case class GraftSession(
     cents.write.mode("overwrite").parquet(s"$path/$centsDir")
     cb.foreach(SimilaritySearch.pqSaveCodebooks(spark, s"$path/$cbDir", _))
     try graft.sources.Manifests.commit(fs, ivfManifestDir(root), commitV,
-      quantizerHeader(centsDir, cb.map(_ => cbDir)) +: newFiles)
+      quantizerHeader(centsDir, cb.map(_ => cbDir)) +:
+        newFiles.map(graft.sources.MergeTable.encodeEntry))
     catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
         throw new IllegalStateException(
@@ -521,7 +546,7 @@ final case class GraftSession(
       if (graft.sources.Manifests.latestVersion(fs, ivfManifestDir(root)).isEmpty) {
         graft.sources.Manifests.requireRoundTrippableRoot(fs, root, "IVF layout")
         graft.sources.Manifests.commit(fs, ivfManifestDir(root), 1L,
-          listClusterFiles(fs, root))
+          listClusterFiles(fs, root).map(graft.sources.MergeTable.encodeEntry))
       }
       val (reloaded, v, vLines) = readIndexSnapshot(path, version)
       // the quantizers THAT VERSION was assigned with (a rebuild starts
@@ -620,12 +645,9 @@ final case class GraftSession(
       val snapLines = pinnedManifest(fs, mDir, st.path, st.version) {
         graft.sources.Manifests.read(fs, mDir, st.version)
       }
-      val snapFiles = snapLines.filterNot(isHeader)
       val latest = graft.sources.Manifests.latestVersion(fs, mDir).getOrElse(
         throw new IllegalStateException(s"no committed IVF manifest at ${st.path}"))
-      val current = spark.read
-        .option("basePath", fs.makeQualified(root).toString)
-        .parquet(snapFiles: _*)
+      val current = relationOfEntries(entriesOf(snapLines), fs, root)
       val one = graft.operators.Dedup.deterministicOnePerKey(
         docs, st.idCol, versionCol)
       // batch rows go through the SAME fixed quantizers as the build:
@@ -661,9 +683,9 @@ final case class GraftSession(
   private def commitTouchedVersion(st: IvfState,
       fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
       latest: Long, snapLines: Seq[String], touched: Set[Int],
-      newFiles: Seq[String]): Unit = {
+      newFiles: Seq[graft.sources.MergeTable.FileEntry]): Unit = {
     val mDir = ivfManifestDir(root)
-    val snapFiles = snapLines.filterNot(isHeader)
+    val snapEntries = entriesOf(snapLines)
     // OCC completeness: committing latest+1 from a base BEHIND latest
     // would silently drop the intervening version's rows from the
     // lineage (and the same-version collision check below would never
@@ -676,7 +698,15 @@ final case class GraftSession(
           "(a concurrent writer committed since this session opened) — " +
           "reopen with openIndexedKnowledge and re-run, or open a pinned " +
           "version explicitly to fork it")
-    val carried = snapFiles.filterNot(f => touched.contains(clusterOfFile(f)))
+    val carried0 = snapEntries.filterNot(e => touched.contains(clusterOfFile(e.path)))
+    // legacy size-less entries carried into a new manifest are stat'ed
+    // ONCE here (the MergeTable migration-on-commit pattern), so a
+    // pre-size layout's first upsert/delete upgrades it to the
+    // zero-listing open path
+    val carried = carried0.map(e =>
+      if (e.size >= 0) e
+      else graft.sources.MergeTable.FileEntry(e.path,
+        fs.getFileStatus(new org.apache.hadoop.fs.Path(e.path)).getLen))
     // an all-files-gone commit would be unreadable at open (no parquet
     // paths to infer a schema from): refuse it rather than brick latest
     require(carried.nonEmpty || newFiles.nonEmpty,
@@ -687,7 +717,8 @@ final case class GraftSession(
     // never a second manifest read
     val (baseCents, baseCb) = sideStateOf(snapLines, fs, root)
     try graft.sources.Manifests.commit(fs, mDir, latest + 1,
-      quantizerHeader(baseCents, baseCb) +: (carried ++ newFiles))
+      quantizerHeader(baseCents, baseCb) +:
+        (carried ++ newFiles).map(graft.sources.MergeTable.encodeEntry))
     catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
         throw new IllegalStateException(
@@ -729,12 +760,9 @@ final case class GraftSession(
       val snapLines = pinnedManifest(fs, mDir, st.path, st.version) {
         graft.sources.Manifests.read(fs, mDir, st.version)
       }
-      val snapFiles = snapLines.filterNot(isHeader)
       val latest = graft.sources.Manifests.latestVersion(fs, mDir).getOrElse(
         throw new IllegalStateException(s"no committed IVF manifest at ${st.path}"))
-      val current = spark.read
-        .option("basePath", fs.makeQualified(root).toString)
-        .parquet(snapFiles: _*)
+      val current = relationOfEntries(entriesOf(snapLines), fs, root)
       // one discovery pass: matched-row count per touched cluster
       val hits = current.filter(coalesce(cond, lit(false)))
         .groupBy(col("cluster")).count().collect()
@@ -820,8 +848,8 @@ final case class GraftSession(
         else pinnedManifest(fs, mDir, st.path, st.version) {
           graft.sources.Manifests.read(fs, mDir, st.version)
         }
-      val live = (latestLines ++ pinLines)
-        .filterNot(isHeader).map(normalizePath).toSet
+      val live = (entriesOf(latestLines) ++ entriesOf(pinLines))
+        .map(e => normalizePath(e.path)).toSet
       val cutoff = System.currentTimeMillis() - retainMillis
       val clusterDirs = fs.listStatus(root).filter(s => s.isDirectory &&
         s.getPath.getName.startsWith("cluster="))

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** IVF session-open cost at 100 TB-grade cluster-file counts (r13
+  * verdict #5). The r13 round made MergeTable reads metadata-only but
+  * left the IVF layout on directory-style reads with a recorded reason;
+  * this demo supplies the number that reason was missing — and, since
+  * the answer is "well over 1 s" (an open through
+  * `spark.read.parquet(files: _*)` pays Spark's one-listing-task-PER-
+  * PATH relation construction, 19.5 s at 10k files in
+  * ManifestScaleDemo), it also measures the fix: size-carrying IVF
+  * manifest lines + [[graft.sources.ClusteredManifestFileIndex]], the
+  * partitioned zero-listing index whose `cluster` values are parsed
+  * from the recorded paths (so the planner rule's probe filter still
+  * prunes partitions).
+  *
+  * Three timed opens over the SAME synthesized layout (one small file
+  * per cluster — the indexKnowledge write shape):
+  *   1. adopt-as-v1 (pre-manifest layout): pays ONE directory listing
+  *      to enumerate the files, then commits a SIZED manifest;
+  *   2. reopen (sized manifest): the zero-listing path — the steady
+  *      state every serving session pays;
+  *   3. legacy open (size-less manifest, simulated): the pre-r14 path
+  *      through the per-path listing job — what the fix retires.
+  *
+  * Run manually: `sbt "runMain graft.IvfOpenScaleDemo"`
+  * (IVF_OPEN_CLUSTERS overrides the 10000 default; idle host — timing).
+  */
+object IvfOpenScaleDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val k = sys.env.getOrElse("IVF_OPEN_CLUSTERS", "10000").toInt
+    val rowsPerCluster = 4
+    val base = java.nio.file.Files.createTempDirectory("ivf_open").toString
+    val path = s"$base/ivf"
+
+    // synthesize the indexKnowledge layout shape directly (kmeans on
+    // 10k clusters would dominate the demo's wall for no extra signal):
+    // one file per cluster dir, embedding + id columns, centroids side
+    // dir — enough for openIndexedKnowledge to adopt and serve
+    val df = spark.range(k.toLong * rowsPerCluster).select(
+      col("id"),
+      (col("id") % k).cast("int").as("cluster"),
+      expr("transform(sequence(0, 7), j -> " +
+        "cast(pmod(id * 31 + j, 97) as float) / cast(97 as float))")
+        .as("embedding"))
+    import graft.util.Timing.time
+    time(f"write layout: $k%,d cluster dirs x 1 file") {
+      df.repartition(col("cluster"))
+        .write.mode("errorifexists").partitionBy("cluster").parquet(path)
+    }
+    df.groupBy(col("cluster")).agg(first(col("embedding")).as("centroid"))
+      .coalesce(1).write.parquet(s"$path/_ivf_centroids")
+
+    def timedOpen(label: String): Double = {
+      val g = GraftSession(spark, graft.search.HashEmbedder(8))
+      val t0 = System.nanoTime()
+      g.openIndexedKnowledge(path, nprobe = 10, idCol = "id",
+        vecCol = "embedding")
+      val w = (System.nanoTime() - t0) / 1e9
+      val got = g.knowledgeBase.count()
+      require(got == k.toLong * rowsPerCluster, s"open lost rows: $got")
+      println(f"$label%-58s $w%7.3f s")
+      w
+    }
+
+    timedOpen(s"open 1: adopt-as-v1 (one listing + sized manifest commit)")
+    val steady = timedOpen(s"open 2: reopen, sized manifest (zero-listing index)")
+    val steady2 = timedOpen(s"open 3: reopen again (steady state)")
+
+    // the retired path, simulated: a size-less manifest (pre-r14 codec)
+    // forces the basePath read and its per-path listing job
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mDir = new org.apache.hadoop.fs.Path(root, "_ivf_manifests")
+    val (_, lines) = graft.sources.Manifests.latestLines(fs, mDir)(
+      throw new IllegalStateException("no manifest"))
+    val pathsOnly = lines.map(l =>
+      if (l.startsWith("#")) l
+      else graft.sources.MergeTable.decodeEntry(l).path)
+    graft.sources.Manifests.commit(fs, mDir,
+      graft.sources.Manifests.latestVersion(fs, mDir).get + 1, pathsOnly)
+    val legacy = timedOpen(s"open 4: LEGACY size-less manifest (per-path listing job)")
+
+    println(f"zero-listing open vs legacy at $k%,d files: " +
+      f"${legacy / ((steady + steady2) / 2)}%.0fx")
+
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(base))
+    spark.stop()
+  }
+}

@@ -72,6 +72,30 @@ object ProfileSf1Tail {
         Dedup.embeddingNearDups(emb, "vec_id", "embedding",
           clusterCol = "label", minCosine = 0.3).count()
       }
+      // q77 (distinctive terms): the largest un-adjudicated sf1 ratio of
+      // r13 (5.0x for 10x). Candidate growth drivers: the (doc_id, term)
+      // tf shuffle (rows = total token occurrences, linear in corpus
+      // bytes) and the term-df join fan-in. The stages isolate them.
+      t("q77 a: tokenize + explode (scan leg)") {
+        docs.select(col("doc_id"),
+          explode(TF.words(lower(col("text")))).as("term")).count()
+      }
+      t("q77 b: + tf agg (shuffle on doc_id,term)") {
+        docs.select(col("doc_id"),
+          explode(TF.words(lower(col("text")))).as("term"))
+          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("cnt"))
+          .count()
+      }
+      t("q77 c: + df agg (second shuffle, term)") {
+        docs.select(col("doc_id"),
+          explode(TF.words(lower(col("text")))).as("term"))
+          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("cnt"))
+          .groupBy(col("term")).agg(count(lit(1)).as("df"))
+          .count()
+      }
+      t("q77 d: full query (join + per-doc top-1 window)") {
+        SparkEntry.queries("q77_distinctive_terms")(spark, d).count()
+      }
       t("q73 a: stopwordRatio scan") {
         docs.select(col("doc_id"), col("lang"),
           TF.stopwordRatio(col("text")).as("sw")).count()

@@ -39,9 +39,8 @@ private[graft] final class ManifestFileIndex(
     "ManifestFileIndex needs a recorded size for every file; " +
       "size-less (legacy) manifests take the listing path")
 
-  private val statuses: Array[FileStatus] = entries.map { e =>
-    new FileStatus(e.size, false, 1, 128L * 1024 * 1024, 0L, new Path(e.path))
-  }.toArray
+  private val statuses: Array[FileStatus] =
+    entries.map(ManifestFileIndex.statusOf).toArray
 
   override def rootPaths: Seq[Path] = statuses.map(_.getPath).toSeq
 
@@ -60,4 +59,93 @@ private[graft] final class ManifestFileIndex(
 
   override def toString: String =
     s"ManifestFileIndex(${entries.size} files, $sizeInBytes bytes)"
+}
+
+private[graft] object ManifestFileIndex {
+  private[sources] def statusOf(e: MergeTable.FileEntry): FileStatus =
+    new FileStatus(e.size, false, 1, 128L * 1024 * 1024, 0L, new Path(e.path))
+}
+
+/** The PARTITIONED zero-listing index — [[ManifestFileIndex]] for the
+  * IVF cluster layout (r13 verdict #5): one int partition column whose
+  * value per file is parsed from the recorded path by the caller, so a
+  * session open costs a manifest read instead of the per-path listing
+  * job (measured 19.5 s at 10k files through `spark.read.parquet` —
+  * ManifestScaleDemo) AND the planner rule's `cluster IN (probed)`
+  * filter still prunes at the partition level: `listFiles` evaluates
+  * the pushed partition filters against each cluster's values row, the
+  * same bound-predicate mechanism Spark's own
+  * PartitioningAwareFileIndex uses. Execution downstream is unchanged
+  * (FileSourceScanExec over ParquetFileFormat). */
+private[graft] final class ClusteredManifestFileIndex(
+    clusterCol: String,
+    clusters: Seq[(Int, Seq[MergeTable.FileEntry])]) extends FileIndex {
+  require(clusters.forall(_._2.forall(_.size >= 0)),
+    "ClusteredManifestFileIndex needs a recorded size for every file")
+
+  override val partitionSchema: StructType =
+    StructType(Seq(org.apache.spark.sql.types.StructField(
+      clusterCol, org.apache.spark.sql.types.IntegerType, nullable = true)))
+
+  private val dirs: Array[PartitionDirectory] = clusters.map { case (c, es) =>
+    PartitionDirectory(InternalRow(c),
+      es.map(ManifestFileIndex.statusOf).toArray)
+  }.toArray
+
+  override def rootPaths: Seq[Path] =
+    clusters.flatMap(_._2.map(e => new Path(e.path)))
+
+  override def listFiles(
+      partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
+    if (partitionFilters.isEmpty) dirs.toSeq
+    else {
+      import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, Predicate}
+      val bound = Predicate.createInterpreted(
+        partitionFilters.reduce(And(_, _)).transform {
+          case a: AttributeReference =>
+            val i = partitionSchema.fieldIndex(a.name)
+            BoundReference(i, partitionSchema(i).dataType, nullable = true)
+        })
+      dirs.filter(d => bound.eval(d.values)).toSeq
+    }
+
+  override def inputFiles: Array[String] =
+    clusters.flatMap(_._2.map(_.path)).toArray
+
+  override def refresh(): Unit = () // immutable by construction
+
+  override val sizeInBytes: Long = clusters.map(_._2.map(_.size).sum).sum
+
+  override def toString: String =
+    s"ClusteredManifestFileIndex(${clusters.size} clusters, " +
+      s"${inputFiles.length} files, $sizeInBytes bytes)"
+}
+
+private[graft] object ClusteredManifestFileIndex {
+
+  /** The relation over a cluster-partitioned layout's sized entries —
+    * schema = ONE footer read (head file; all files agree by the
+    * writer invariant) plus the partition column appended, exactly as
+    * the basePath directory read renders it. */
+  def relation(
+      spark: org.apache.spark.sql.SparkSession, clusterCol: String,
+      clusters: Seq[(Int, Seq[MergeTable.FileEntry])]): org.apache.spark.sql.DataFrame = {
+    require(clusters.nonEmpty && clusters.head._2.nonEmpty, "empty layout")
+    val dataSchema = spark.read.parquet(clusters.head._2.head.path).schema
+    require(!dataSchema.fieldNames.contains(clusterCol),
+      s"data files already carry a physical '$clusterCol' column — this " +
+        "layout was not written with partitionBy and cannot take the " +
+        "partitioned index")
+    val idx = new ClusteredManifestFileIndex(clusterCol, clusters)
+    val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      idx,
+      partitionSchema = idx.partitionSchema,
+      dataSchema = dataSchema,
+      bucketSpec = None,
+      fileFormat =
+        new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
+      options = Map.empty)(spark)
+    spark.baseRelationToDataFrame(rel)
+  }
 }

@@ -270,7 +270,9 @@ object MergeTable {
     * stays content-agnostic — other layers (the IVF layout,
     * CompositeIndex) store their own line formats in the same commit
     * primitive. */
-  private def encodeEntry(e: FileEntry): String =
+  // private[graft]: the IVF layout (GraftSession) shares the
+  // `path\tsize` entry codec for its own manifest lines
+  private[graft] def encodeEntry(e: FileEntry): String =
     if (e.size >= 0) e.path + "\t" + e.size else e.path
 
   private val DeltaTag = "delta\t"
@@ -305,7 +307,7 @@ object MergeTable {
     Snapshot(version, entries.result(), d, if (d.isEmpty) Nil else dvKeys)
   }
 
-  private def decodeEntry(line: String): FileEntry = {
+  private[graft] def decodeEntry(line: String): FileEntry = {
     val i = line.lastIndexOf('\t')
     if (i < 0) return FileEntry(line, -1L)
     val suffix = line.substring(i + 1)

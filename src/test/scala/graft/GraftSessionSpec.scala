@@ -198,6 +198,68 @@ class GraftSessionSpec extends SparkSpec {
     } finally graft.plans.IvfIndex.unregister(spark, "embedding")
   }
 
+  test("IVF opens resolve through the partitioned zero-listing index; legacy manifests upgrade on commit") {
+    val emb = HashEmbedder(16)
+    val g = GraftSession(spark, emb)
+    def mkKb(rows: Seq[(Long, String)]) =
+      emb.embedColumn(rows.toDF("id", "content"), "content", "embedding")
+    g.loadKnowledgeBase(mkKb(
+      (1L to 12L).map(i => (i, s"document number $i about topic${i % 4}"))))
+    val path = java.nio.file.Files.createTempDirectory("gs_ivf_zl").toString + "/kb"
+    g.indexKnowledge(path, nClusters = 2, nprobe = 1)
+    try {
+      def scanLocations(df: org.apache.spark.sql.DataFrame) =
+        graft.util.Plans.executedNodes(df).collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.relation.location
+        }
+      // the served frame scans through the partitioned manifest index —
+      // no per-path listing job at open
+      val locs = scanLocations(g.knowledgeBase)
+      assert(locs.nonEmpty && locs.forall(
+        _.isInstanceOf[graft.sources.ClusteredManifestFileIndex]),
+        s"indexed KB must read through the zero-listing index: $locs")
+      // nprobe=1 of 2 clusters: the probe filter must PRUNE the scan to
+      // a strict subset of the layout's files (partition-level pruning
+      // through the custom index's listFiles)
+      val all = g.knowledgeBase.inputFiles.toSet
+      val probed = g.searchKnowledge("document number 3 about topic3", k = 2)
+      val probeScan = graft.util.Plans.executedNodes(probed).collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.relation.location.isInstanceOf[graft.sources.ClusteredManifestFileIndex] => f
+      }.head
+      val scanned = probeScan.metrics.get("numFiles").map(_.value).getOrElse(-1L)
+      assert(scanned > 0 && scanned < all.size,
+        s"nprobe=1 must scan a strict subset of ${all.size} files, scanned $scanned")
+      // a LEGACY (size-less) manifest still opens — via the basePath
+      // listing fallback — and the next commit upgrades it to sized
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val mDir = new org.apache.hadoop.fs.Path(root, "_ivf_manifests")
+      val (v, lines) = graft.sources.Manifests.latestLines(fs, mDir)(
+        throw new IllegalStateException("no manifest"))
+      graft.sources.Manifests.commit(fs, mDir, v + 1, lines.map(l =>
+        if (l.startsWith("#")) l
+        else graft.sources.MergeTable.decodeEntry(l).path))
+      val g2 = GraftSession(spark, emb)
+      g2.openIndexedKnowledge(path, nprobe = 2, idCol = "id", vecCol = "embedding")
+      assert(scanLocations(g2.knowledgeBase).forall(
+        !_.isInstanceOf[graft.sources.ClusteredManifestFileIndex]),
+        "a size-less manifest must take the listing fallback")
+      assert(g2.knowledgeBase.count() === 12L)
+      g2.upsertIndexedKnowledge(mkKb(Seq((99L, "late arrival"))))
+      val (_, upgraded) = graft.sources.Manifests.latestLines(fs, mDir)(
+        throw new IllegalStateException("no manifest"))
+      assert(upgraded.filterNot(_.startsWith("#")).forall(
+        graft.sources.MergeTable.decodeEntry(_).size >= 0),
+        "the first commit on a legacy IVF manifest must record sizes")
+      assert(scanLocations(g2.knowledgeBase).forall(
+        _.isInstanceOf[graft.sources.ClusteredManifestFileIndex]),
+        "post-upgrade reads must be back on the zero-listing index")
+      assert(g2.knowledgeBase.count() === 13L)
+    } finally graft.plans.IvfIndex.unregister(spark, "embedding")
+  }
+
   test("upsertIndexedKnowledge: keyed last-wins into the partitioned layout, searches see it") {
     val emb = HashEmbedder(16)
     val g = GraftSession(spark, emb)
