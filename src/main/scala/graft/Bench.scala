@@ -52,6 +52,8 @@ object Bench {
     // leg is eager too (checkpoint before the temp-table delete), so
     // "serve" is the count of pinned blocks — build carries ~everything
     "q134_content_hash_lookup",
+    // q135 = init + two mergeLites + eager read pin, all in the lambda
+    "q135_merge_lite",
     // the band-heavy dedup rows (largest sf1 ratios: q33 3.3x, q38 2.6x,
     // q37 2.3x at r12): their lambdas are EAGER through the internal
     // localCheckpoints (shingle frame, banded signatures, verified pair

@@ -1340,6 +1340,36 @@ object SparkEntry {
       out
     }),
 
+    "q135_merge_lite" -> ((s, d) => {
+      // D4/S5's ROW-LEVEL form: mergeLite absorbs a keyed update batch
+      // as a small DELTA whose key set suppresses the superseded base
+      // rows at read time (the keyed analog of Delta's deletion
+      // vectors — MergeLiteDemo measures the 9.5x replay-wall win at
+      // 40M rows); the oracle is the upsert algebra itself, stacked
+      // TWICE so both the base suppression and the delta last-wins
+      // combine face DuckDB: base ANTI u1 ∪ u1, then ANTI u2 ∪ u2.
+      // In-query table build is the oracle's price (q134 convention);
+      // slices are absolute-bounded so the table is application-sized
+      // at every sf (doc_id < 300 pins copy 0 at sf1 too).
+      val docs = T.documents(s, d).filter(col("text").isNotNull)
+      def slice(lo: Int, hi: Int, tag: Option[String]) = docs
+        .filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .select(col("doc_id"),
+          tag.map(lit(_)).getOrElse(col("lang")).as("lang"),
+          substring(col("text"), 1, 40).as("head"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q135")
+      val t = tmp.toString + "/t"
+      graft.sources.MergeTable.init(s, t, slice(0, 300, None))
+      graft.sources.MergeTable.mergeLite(s, t, slice(200, 350, Some("xx")), Seq("doc_id"))
+      graft.sources.MergeTable.mergeLite(s, t, slice(280, 320, Some("yy")), Seq("doc_id"))
+      val out = graft.sources.MergeTable.read(s, t)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true) // eager pin, then reclaim the staged table
+      graft.util.Fs.deleteRecursively(tmp)
+      out
+    }),
+
     "q130_append_sink" -> ((s, d) => {
       // S3 (row insert / append sink): two successive mode("append")
       // parquet writes must ACCUMULATE — the second preserves the
@@ -2224,6 +2254,21 @@ object SparkEntry {
         |SELECT doc_id, content_hash FROM kb
         |WHERE doc_id % 97 = 3 AND doc_id < 50000
         |ORDER BY doc_id""".stripMargin,
+
+    // q135: the upsert algebra mergeLite's read path must reproduce,
+    // stacked twice — base ANTI u1 ∪ u1, then ANTI u2 ∪ u2 (last wins)
+    "q135_merge_lite" ->
+      """WITH base AS (SELECT doc_id, lang FROM documents
+        |    WHERE text IS NOT NULL AND doc_id >= 0 AND doc_id < 300),
+        |u1 AS (SELECT doc_id, 'xx' AS lang FROM documents
+        |    WHERE text IS NOT NULL AND doc_id >= 200 AND doc_id < 350),
+        |u2 AS (SELECT doc_id, 'yy' AS lang FROM documents
+        |    WHERE text IS NOT NULL AND doc_id >= 280 AND doc_id < 320),
+        |m1 AS (SELECT * FROM base WHERE doc_id NOT IN (SELECT doc_id FROM u1)
+        |       UNION ALL SELECT * FROM u1),
+        |m2 AS (SELECT * FROM m1 WHERE doc_id NOT IN (SELECT doc_id FROM u2)
+        |       UNION ALL SELECT * FROM u2)
+        |SELECT doc_id, lang FROM m2 ORDER BY doc_id""".stripMargin,
 
     // the same double arithmetic as temperatureMix, then the q62 md5
     // membership test against the derived per-stratum threshold; a
