@@ -698,15 +698,12 @@ final case class GraftSession(
           "(a concurrent writer committed since this session opened) — " +
           "reopen with openIndexedKnowledge and re-run, or open a pinned " +
           "version explicitly to fork it")
-    val carried0 = snapEntries.filterNot(e => touched.contains(clusterOfFile(e.path)))
     // legacy size-less entries carried into a new manifest are stat'ed
-    // ONCE here (the MergeTable migration-on-commit pattern), so a
+    // ONCE (MergeTable's shared migration-on-commit helper), so a
     // pre-size layout's first upsert/delete upgrades it to the
     // zero-listing open path
-    val carried = carried0.map(e =>
-      if (e.size >= 0) e
-      else graft.sources.MergeTable.FileEntry(e.path,
-        fs.getFileStatus(new org.apache.hadoop.fs.Path(e.path)).getLen))
+    val carried = graft.sources.MergeTable.withSizes(fs,
+      snapEntries.filterNot(e => touched.contains(clusterOfFile(e.path))))
     // an all-files-gone commit would be unreadable at open (no parquet
     // paths to infer a schema from): refuse it rather than brick latest
     require(carried.nonEmpty || newFiles.nonEmpty,

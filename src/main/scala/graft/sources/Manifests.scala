@@ -199,11 +199,7 @@ private[graft] object Manifests {
       // fixed-name files like _bloom.properties, whose readers treat
       // content as config).
       if (fs.exists(target)) throw new FileAlreadyExistsException(target.toString)
-      val tmp = new Path(target.getParent,
-        tmpPrefix + java.util.UUID.randomUUID().toString + ".tmp")
-      val out = fs.create(tmp, false)
-      try { try out.write(bytes) finally out.close() }
-      catch { case e: Throwable => fs.delete(tmp, false); throw e }
+      val tmp = stageHadoopTemp(fs, target, tmpPrefix, bytes)
       if (!fs.rename(tmp, target)) {
         fs.delete(tmp, false)
         throw new FileAlreadyExistsException(
@@ -227,23 +223,8 @@ private[graft] object Manifests {
       fs: FileSystem, target: Path, tmpPrefix: String,
       bytes: Array[Byte]): Boolean = {
     val p = java.nio.file.Paths.get(fs.makeQualified(target).toUri.getPath)
-    val tmp = java.nio.file.Files.createTempFile(p.getParent, tmpPrefix, ".tmp")
+    val tmp = stageLocalTemp(p, tmpPrefix, bytes)
     try {
-      // createTempFile defaults to 0600 (owner-only) and the hard link
-      // shares the inode — restore umask-style 644 so another user's
-      // reader (fs.open in read/snapshot) isn't locked out the way the
-      // plain fs.create manifests never were
-      try java.nio.file.Files.setPosixFilePermissions(tmp,
-        java.nio.file.attribute.PosixFilePermissions.fromString("rw-r--r--"))
-      catch { case _: UnsupportedOperationException => } // non-POSIX: keep default
-      java.nio.file.Files.write(tmp, bytes)
-      // a stale ChecksumFileSystem sidecar (.<name>.crc) left by an
-      // earlier checksummed writer whose data file was hand-deleted
-      // would fail every checksummed read of the freshly-linked bytes;
-      // the target is absent here, so the sidecar is garbage by
-      // definition (harmless for manifests, whose names are unique)
-      java.nio.file.Files.deleteIfExists(
-        p.getParent.resolve("." + p.getFileName.toString + ".crc"))
       try { java.nio.file.Files.createLink(p, tmp); true }
       catch {
         case _: java.nio.file.FileAlreadyExistsException =>
@@ -252,6 +233,82 @@ private[graft] object Manifests {
         case _: java.nio.file.FileSystemException => false // EPERM/EXDEV/no-link FS
       }
     } finally java.nio.file.Files.deleteIfExists(tmp)
+  }
+
+  /** Deliberate atomic-as-available REPLACEMENT of `target` with
+    * `bytes` — the maintenance-time counterpart of [[publishExclusive]]
+    * (which refuses an existing target), sharing its
+    * filesystem-semantics knowledge so the subtle invariants (temp
+    * perms, stale `.crc` sidecars, which rename overwrites where) live
+    * in one place. Local filesystems get ONE atomic rename over the
+    * target (readers see old or new bytes, never torn, never absent);
+    * filesystems whose `FileSystem.rename` refuses an existing
+    * destination (HDFS-like) get delete-then-rename with a crash
+    * window that leaves the target ABSENT — callers must be
+    * maintenance operations whose recovery is re-running with the same
+    * known content ([[MergeTable.adoptBloomConfig]] documents this). */
+  private[sources] def publishReplace(
+      fs: FileSystem, target: Path, tmpPrefix: String,
+      bytes: Array[Byte]): Unit = {
+    val isLocal = fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+      fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
+    if (isLocal) {
+      val p = java.nio.file.Paths.get(fs.makeQualified(target).toUri.getPath)
+      val tmp = stageLocalTemp(p, tmpPrefix, bytes)
+      try java.nio.file.Files.move(tmp, p,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      finally java.nio.file.Files.deleteIfExists(tmp)
+    } else {
+      val tmp = stageHadoopTemp(fs, target, tmpPrefix, bytes)
+      fs.delete(target, false) // the documented non-local crash window
+      if (!fs.rename(tmp, target)) {
+        fs.delete(tmp, false)
+        throw new java.io.IOException(
+          s"filesystem refused publishing the replacement at $target")
+      }
+    }
+  }
+
+  /** The shared local staging step of every publication (exclusive and
+    * replace): a fresh temp next to `p`, world-readable (createTempFile
+    * defaults to 0600, and the later link(2)/rename shares the inode —
+    * another user's reader would otherwise be locked out), content
+    * written, and `p`'s stale ChecksumFileSystem `.crc` sidecar removed
+    * (it would fail every checksummed read of the claimed bytes). The
+    * CALLER performs the claim (link(2) / atomic move) and owns
+    * deleting the temp afterwards; a failure inside the staging cleans
+    * its own temp. */
+  private def stageLocalTemp(
+      p: java.nio.file.Path, tmpPrefix: String,
+      bytes: Array[Byte]): java.nio.file.Path = {
+    val tmp = java.nio.file.Files.createTempFile(p.getParent, tmpPrefix, ".tmp")
+    try {
+      try java.nio.file.Files.setPosixFilePermissions(tmp,
+        java.nio.file.attribute.PosixFilePermissions.fromString("rw-r--r--"))
+      catch { case _: UnsupportedOperationException => } // non-POSIX: keep default
+      java.nio.file.Files.write(tmp, bytes)
+      java.nio.file.Files.deleteIfExists(
+        p.getParent.resolve("." + p.getFileName.toString + ".crc"))
+      tmp
+    } catch {
+      case e: Throwable => java.nio.file.Files.deleteIfExists(tmp); throw e
+    }
+  }
+
+  /** The shared non-local staging step: a uniquely-named temp in
+    * `target`'s directory, content written, cleaned up on any write
+    * failure. The caller performs the rename claim and owns the temp
+    * on its own failure paths. */
+  private def stageHadoopTemp(
+      fs: FileSystem, target: Path, tmpPrefix: String,
+      bytes: Array[Byte]): Path = {
+    val tmp = new Path(target.getParent,
+      tmpPrefix + java.util.UUID.randomUUID().toString + ".tmp")
+    val out = fs.create(tmp, false)
+    try { try out.write(bytes) finally out.close() }
+    catch { case e: Throwable => fs.delete(tmp, false); throw e }
+    tmp
   }
 
   /** Sweep `<prefix>*.tmp` files stranded in `dir` by a writer that
@@ -294,11 +351,12 @@ private[graft] object Manifests {
     * reclaims them — time travel is not silently narrowed by routine
     * maintenance: a version's manifest is swept only when at least one
     * of its data files was (or would be) reclaimed under the same
-    * cutoff. The check costs one manifest read per candidate, which is
-    * self-limiting: any lineage that ever rewrites files (every merge
-    * hit, every compaction) turns its superseded versions sweepable,
-    * so candidates do not accumulate across passes under normal
-    * maintenance. Layers that keep the default `_ => true` (the IVF
+    * cutoff. The check costs one manifest read per expired-but-kept
+    * candidate PER PASS: lineages that rewrite (merge hits,
+    * compactions) turn superseded versions sweepable and clear them,
+    * while a pure-insert lineage re-reads its retained history every
+    * vacuum until its first compaction (the caller documents the
+    * measured cost). Layers that keep the default `_ => true` (the IVF
     * log, the composite pin log) retain the pure age-keyed retention —
     * Delta's logRetentionDuration semantics, where time travel can end
     * before the data files go away.

@@ -199,40 +199,9 @@ object MergeTable {
           "— foreign or stale content; recover the intended list instead " +
           "of adopting this file")
     }
-    val bytes = (lines.mkString("", "\n", "\n") + BloomTerminator + "\n")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val isLocal = fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
-      fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
-    if (isLocal) {
-      val p = java.nio.file.Paths.get(fs.makeQualified(target).toUri.getPath)
-      val tmp = java.nio.file.Files.createTempFile(
-        p.getParent, "._bloom_adopt_", ".tmp")
-      try {
-        try java.nio.file.Files.setPosixFilePermissions(tmp,
-          java.nio.file.attribute.PosixFilePermissions.fromString("rw-r--r--"))
-        catch { case _: UnsupportedOperationException => } // non-POSIX: keep default
-        java.nio.file.Files.write(tmp, bytes)
-        // a stale ChecksumFileSystem sidecar would fail checksummed
-        // reads of the replaced bytes (the publishLocalAtomic rationale)
-        java.nio.file.Files.deleteIfExists(
-          p.getParent.resolve("." + p.getFileName.toString + ".crc"))
-        java.nio.file.Files.move(tmp, p,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      } finally java.nio.file.Files.deleteIfExists(tmp)
-    } else {
-      val tmp = new Path(target.getParent,
-        "._bloom_adopt_" + java.util.UUID.randomUUID().toString + ".tmp")
-      val out = fs.create(tmp, false)
-      try { try out.write(bytes) finally out.close() }
-      catch { case e: Throwable => fs.delete(tmp, false); throw e }
-      fs.delete(target, false) // the documented non-local crash window
-      if (!fs.rename(tmp, target)) {
-        fs.delete(tmp, false)
-        throw new java.io.IOException(
-          s"filesystem refused publishing the adopted bloom config at $target")
-      }
-    }
+    Manifests.publishReplace(fs, target, "._bloom_adopt_",
+      (lines.mkString("", "\n", "\n") + BloomTerminator + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     lines
   }
 
@@ -400,7 +369,7 @@ object MergeTable {
   def merge(
       spark: SparkSession, path: String, updates: DataFrame,
       keyCols: Seq[String], maxRetries: Int = 5): MergeStats = {
-    require(keyCols.nonEmpty, "keyCols must name at least one column")
+    requireKeyCols(keyCols)
     val u = updates.localCheckpoint(true) // one computation across retries
     try {
       // presence check FIRST: dropDuplicates on a missing column throws a
@@ -439,18 +408,42 @@ object MergeTable {
       // against the BASE files in one commit that emits a DV-free
       // manifest — a rewrite merge is exactly the compaction the delta
       // was deferring, so it absorbs it for free rather than paying a
-      // second rewrite later.
-      if (snap.dvKeys != keyCols) throw new IllegalStateException(
+      // second rewrite later. Key comparison is SET equality: join
+      // keys are unordered, and refusing a reordered spelling of the
+      // same set would be a spurious failure.
+      if (snap.dvKeys.toSet != keyCols.toSet) throw new IllegalStateException(
         s"table at $path carries row-level (mergeLite) state keyed by " +
           s"[${snap.dvKeys.mkString(",")}] — merge by the same keys")
       val deltaDf = relationFor(spark, snap.delta)
       // validate u BEFORE combining: combinedDelta's selects would
       // otherwise surface a missing column as a raw AnalysisException
       requireConforms(deltaDf.schema, u, keyCols)
+      // checkpointed: the combined frame feeds the fold's count,
+      // discovery collect, AND rewrite — one computation, not three
       val combined = combinedDelta(deltaDf, u, keyCols, deltaDf.columns.toSeq)
-      rewriteMerge(spark, fs, root, snap.version, snap.entries, combined,
-        keyCols, combined.count())
+        .localCheckpoint(true)
+      try {
+        val stats = rewriteMerge(spark, fs, root, snap.version, snap.entries,
+          combined, keyCols, combined.count())
+        // report the CALLER's upsert count, not the fold's combined
+        // total — rowsUpserted means "rows this call absorbed" on every
+        // other path, and accounting against it must not see the delta
+        stats.copy(rowsUpserted = nU)
+      } finally graft.util.Checkpoints.free(combined)
     }
+  }
+
+  /** Shared key-list contract of [[merge]] and [[mergeLite]]: nonempty
+    * and DUPLICATE-FREE — a repeated name would brick the table: a
+    * first mergeLite with `Seq("id","id")` commits `dvkeys id,id` and
+    * every later read's using-columns join dies on an
+    * ambiguous-reference AnalysisException until a fold clears it, and
+    * the set-equality guards would pass the repeated spelling through
+    * to the same raw failure. */
+  private def requireKeyCols(keyCols: Seq[String]): Unit = {
+    require(keyCols.nonEmpty, "keyCols must name at least one column")
+    require(keyCols.distinct.size == keyCols.size,
+      s"keyCols repeats a column name: ${keyCols.mkString(",")}")
   }
 
   /** delta ⊎ u, last wins per key (u newest) — unique per key because
@@ -548,8 +541,9 @@ object MergeTable {
     * table's first merge/delete upgrades it to the zero-listing read
     * path — the listing fallback is then reached only by genuinely old,
     * never-modified tables. Cost: one getFileStatus per legacy file,
-    * once per table lifetime. */
-  private def withSizes(fs: FileSystem, entries: Seq[FileEntry]): Seq[FileEntry] =
+    * once per table lifetime. private[graft]: the IVF commit path
+    * (GraftSession.commitTouchedVersion) applies the same migration. */
+  private[graft] def withSizes(fs: FileSystem, entries: Seq[FileEntry]): Seq[FileEntry] =
     entries.map(e =>
       if (e.size >= 0) e
       else FileEntry(e.path, fs.getFileStatus(new Path(e.path)).getLen))
@@ -586,8 +580,12 @@ object MergeTable {
       spark: SparkSession, path: String, updates: DataFrame,
       keyCols: Seq[String], maxDeltaRows: Long = DefaultMaxDeltaRows,
       maxRetries: Int = 5): MergeStats = {
-    require(keyCols.nonEmpty, "keyCols must name at least one column")
-    keyCols.foreach(k => require(!k.exists(c => c == ',' || c == '\t' || c == '\n'),
+    requireKeyCols(keyCols)
+    // '\r' too: Manifests.read splits lines on CR as well as LF, so a
+    // CR inside a stored name would shear the dvkeys line into a
+    // phantom entry and corrupt every later snapshot
+    keyCols.foreach(k => require(
+      !k.exists(c => c == ',' || c == '\t' || c == '\n' || c == '\r'),
       s"key column name not encodable in the manifest dvkeys line: '$k'"))
     val u = updates.localCheckpoint(true) // one computation across retries
     try {
@@ -619,8 +617,9 @@ object MergeTable {
     val snap = snapshot(spark, path)
     // persisted-state-vs-frame mismatch: IllegalStateException, so a
     // caller's IllegalArgumentException fallback can't bury it (the
-    // writeBatch bloom-guard convention)
-    if (snap.delta.nonEmpty && snap.dvKeys != keyCols)
+    // writeBatch bloom-guard convention). SET equality — join keys are
+    // unordered (the mergeOnce fold rationale).
+    if (snap.delta.nonEmpty && snap.dvKeys.toSet != keyCols.toSet)
       throw new IllegalStateException(
         s"table at $path carries row-level state keyed by " +
           s"[${snap.dvKeys.mkString(",")}] — mergeLite by the same keys")
@@ -629,25 +628,34 @@ object MergeTable {
     val cols = base.schema.map(_.name)
     if (nU == 0)
       return MergeStats(snap.version, snap.entries.size + snap.delta.size, 0, 0, 0)
+    // checkpointed when a prior delta exists: the combined frame feeds
+    // count + write (or the fold's discovery + rewrite) — one
+    // computation of the delta scan and anti-join, not two or three.
+    // u alone is already pinned by mergeLite's checkpoint.
     val combined =
       if (snap.delta.isEmpty) u.select(cols.map(col): _*)
       else combinedDelta(relationFor(spark, snap.delta), u, keyCols, cols)
-    val n = if (snap.delta.isEmpty) nU else combined.count()
-    if (n > maxDeltaRows)
-      // past the read-tax bound: fold the combined rows in ONE rewrite
-      // merge (the compaction the delta was deferring), emitting a
-      // DV-free manifest
-      return rewriteMerge(spark, fs, root, snap.version, snap.entries,
-        combined, keyCols, n)
-    // the delta stays one coalesced file set: it is re-written whole on
-    // every mergeLite (bounded by maxDeltaRows, so the rewrite is the
-    // small side by construction), while the base is never touched
-    val deltaFiles = writeBatch(spark, fs, root, combined.coalesce(
-      math.max(1L, (n + InsertRowsPerFile - 1) / InsertRowsPerFile).toInt))
-    commit(fs, root, snap.version + 1,
-      encodeSnapshot(withSizes(fs, snap.entries), deltaFiles, keyCols))
-    MergeStats(snap.version + 1, snap.entries.size, snap.delta.size,
-      deltaFiles.size, nU)
+        .localCheckpoint(true)
+    try {
+      val n = if (snap.delta.isEmpty) nU else combined.count()
+      if (n > maxDeltaRows)
+        // past the read-tax bound: fold the combined rows in ONE rewrite
+        // merge (the compaction the delta was deferring), emitting a
+        // DV-free manifest — reporting the CALLER's row count, as every
+        // other path does
+        return rewriteMerge(spark, fs, root, snap.version, snap.entries,
+          combined, keyCols, n).copy(rowsUpserted = nU)
+      // the delta stays one coalesced file set: it is re-written whole on
+      // every mergeLite (bounded by maxDeltaRows, so the rewrite is the
+      // small side by construction), while the base is never touched
+      val deltaFiles = writeBatch(spark, fs, root, combined.coalesce(
+        math.max(1L, (n + InsertRowsPerFile - 1) / InsertRowsPerFile).toInt))
+      commit(fs, root, snap.version + 1,
+        encodeSnapshot(withSizes(fs, snap.entries), deltaFiles,
+          snap.dvKeys match { case Nil => keyCols; case pinned => pinned }))
+      MergeStats(snap.version + 1, snap.entries.size, snap.delta.size,
+        deltaFiles.size, nU)
+    } finally if (snap.delta.nonEmpty) graft.util.Checkpoints.free(combined)
   }
 
   /** Small-batch cap for pushing the EXACT update-key list into the
@@ -872,10 +880,14 @@ object MergeTable {
     // stay live in the tip, and sweeping their manifests would narrow
     // readAt/snapshotAt as a silent side effect of routine maintenance —
     // so a version's manifest is swept only when at least one of its
-    // files was (or would be) reclaimed under this same cutoff. One
-    // small manifest read per expired candidate; self-limiting, because
-    // any rewrite (merge hit, compaction) makes superseded versions
-    // sweepable and each pass then clears them.
+    // files was (or would be) reclaimed under this same cutoff. Cost:
+    // one small manifest read per expired-but-kept candidate PER PASS —
+    // on a lineage that rewrites (any merge hit, any compaction) the
+    // superseded versions turn sweepable and each pass clears them, but
+    // a PURE-insert lineage re-reads its whole retained history every
+    // vacuum (1000 manifests ≈ 0.2 s, ManifestScaleDemo; at 10k+
+    // versions, compact — which any such table needs anyway for its
+    // file count — and the next vacuum sweeps the backlog in one pass).
     Manifests.sweepLog(fs, manifestDir(root), cutoff,
       keepVersions.toSet, keepFrom = tip.version,
       sweepable = v =>

@@ -844,6 +844,18 @@ class MergeTableSpec extends SparkSpec {
       MergeTable.mergeLite(spark, p4,
         rows(11 to 11, "x").withColumn("id", lit(null).cast("long")), Seq("id"))
     }
+    // ...but a REORDERED spelling of the same key set is accepted
+    // (join keys are unordered — set equality, not Seq equality)
+    val p5 = freshPath()
+    MergeTable.init(spark, p5, rows(1 to 10, "old"))
+    MergeTable.mergeLite(spark, p5,
+      Seq((1L, "t1", "b1")).toDF("id", "tag", "body"), Seq("id", "tag"))
+    MergeTable.mergeLite(spark, p5,
+      Seq((2L, "t2", "b2")).toDF("id", "tag", "body"), Seq("tag", "id"))
+    MergeTable.merge(spark, p5,
+      Seq((3L, "t3", "b3")).toDF("id", "tag", "body"), Seq("tag", "id"))
+    assert(MergeTable.read(spark, p5).count() === 13)
+    assert(MergeTable.snapshot(spark, p5).delta.isEmpty, "the merge folded")
   }
 
   test("mergeLite: time travel and vacuum account for delta files") {
