@@ -143,11 +143,25 @@ object JobProcessor {
     * matched rows instead of appending — the table converges to the
     * same state (versions advance; rows don't duplicate). OCC commit
     * retries inside [[graft.sources.MergeTable.merge]] handle racing
-    * writers on the same table. */
+    * writers on the same table.
+    *
+    * `rowLevel` routes each micro-batch through
+    * [[graft.sources.MergeTable.mergeLite]] instead of the rewrite
+    * merge — the REPLAY-HEAVY deployment's knob: a redelivered batch
+    * whose keys spread across the table rewrites every touched file
+    * under the default path (StreamMergeBloomDemo's honest ~1x replay
+    * number), while the row-level path writes only the batch
+    * (MergeLiteDemo: 9.5x median replay wall at 40M rows). The
+    * exactly-once convergence argument is unchanged — a replayed batch
+    * re-combines the same keys last-wins, so the delta converges to
+    * the same rows. Keep the default for insert-mostly streams: the
+    * accumulated delta rides every read as a broadcast anti-join until
+    * its fold, which insert-heavy traffic would trigger constantly. */
   def runToMergeTable(
       spark: SparkSession, requests: DataFrame, ragContent: DataFrame,
       completer: Completer, tablePath: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String,
+      rowLevel: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
     responses(requests, ragContent, completer)
       .writeStream
       .option("checkpointLocation", checkpoint)
@@ -156,7 +170,7 @@ object JobProcessor {
         batch.persist()
         try {
           if (batch.count() > 0)
-            mergeResponsesBatch(spark, batch.toDF(), tablePath)
+            mergeResponsesBatch(spark, batch.toDF(), tablePath, rowLevel)
           ()
         } finally batch.unpersist()
       }
@@ -173,7 +187,15 @@ object JobProcessor {
     * streaming query; with it, the newest `ts` wins — the documented
     * MERGE semantics. */
   private[graft] def mergeResponsesBatch(
-      spark: SparkSession, batch: DataFrame, tablePath: String): Unit = {
+      spark: SparkSession, batch: DataFrame, tablePath: String,
+      rowLevel: Boolean = false): Unit = {
+    def mergeInto(updates: DataFrame): Unit = {
+      if (rowLevel) graft.sources.MergeTable.mergeLite(
+        spark, tablePath, updates, Seq("request_id"))
+      else graft.sources.MergeTable.merge(
+        spark, tablePath, updates, Seq("request_id"))
+      ()
+    }
     // tie-break equal-ts duplicates on a content fingerprint: row_number
     // over a tied sort key is partition-order-dependent, and a replay of
     // this batch after a crash must pick the SAME winner or the
@@ -208,13 +230,10 @@ object JobProcessor {
         catch {
           case _: IllegalArgumentException |
                _: org.apache.hadoop.fs.FileAlreadyExistsException =>
-            graft.sources.MergeTable.merge(
-              spark, tablePath, deduped, Seq("request_id")); ()
+            mergeInto(deduped)
         }
       } finally deduped.unpersist()
-    } else
-      graft.sources.MergeTable.merge(
-        spark, tablePath, deduped, Seq("request_id"))
+    } else mergeInto(deduped)
     ()
   }
 

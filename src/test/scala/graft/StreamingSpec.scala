@@ -323,4 +323,38 @@ class StreamingSpec extends SparkSpec {
       JobProcessor.mergeResponsesBatch(spark, bad, fresh)
     }
   }
+
+  test("keyed MERGE sink, row-level mode: replay converges without touching base files") {
+    // the replay-heavy deployment's knob: rowLevel routes micro-batches
+    // through mergeLite — a redelivered batch must converge to the same
+    // row state (exactly-once semantics) while every base file is
+    // carried by reference (MergeLiteDemo's 9.5x replay-wall rationale)
+    import graft.sources.MergeTable
+    val table = java.nio.file.Files.createTempDirectory("rowlvl_root").toString + "/tbl"
+    def resp(rid: String, ans: String, t: java.sql.Timestamp) =
+      (rid, "j1", "q", ans, t)
+    val b1 = Seq(resp("r1", "first", ts(0)), resp("r2", "second", ts(5)))
+      .toDF("request_id", "job_id", "user_query", "ai_response", "ts")
+    JobProcessor.mergeResponsesBatch(spark, b1, table, rowLevel = true) // init (full write)
+    val base = MergeTable.snapshot(spark, table)
+    // a replay batch: r1 redelivered with a newer answer + a new r3
+    val b2 = Seq(resp("r1", "replayed fresh", ts(400)), resp("r3", "third", ts(10)))
+      .toDF("request_id", "job_id", "user_query", "ai_response", "ts")
+    JobProcessor.mergeResponsesBatch(spark, b2, table, rowLevel = true)
+    val snap = MergeTable.snapshot(spark, table)
+    assert(snap.entries.map(_.path) === base.entries.map(_.path),
+      "row-level replay must carry every base file by reference")
+    assert(snap.delta.nonEmpty && snap.dvKeys === Seq("request_id"))
+    val got = MergeTable.read(spark, table)
+    assert(got.count() === 3)
+    assert(got.filter($"request_id" === "r1").select("ai_response").as[String]
+      .head() === "replayed fresh")
+    // the SAME batch redelivered (at-least-once): state converges, no
+    // duplicate rows, base still untouched
+    JobProcessor.mergeResponsesBatch(spark, b2, table, rowLevel = true)
+    val got2 = MergeTable.read(spark, table)
+    assert(got2.count() === 3, "redelivery must not duplicate rows")
+    assert(MergeTable.snapshot(spark, table).entries.map(_.path)
+      === base.entries.map(_.path))
+  }
 }
