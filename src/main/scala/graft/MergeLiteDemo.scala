@@ -23,10 +23,15 @@ import graft.sources.MergeTable
   *   2. READ TAX while delta state exists: a full-scan aggregate and a
   *      bloom-skipped point lookup on the DV table vs the same table
   *      after its fold (the anti-join's broadcast probe is the only
-  *      plan delta);
+  *      plan delta) — with the spread replay keys this is the WORST
+  *      case, the suppression scope covering every base file;
   *   3. the FOLD's own wall — the deferred compaction a deployment pays
   *      once per `maxDeltaRows` of absorbed updates instead of once per
-  *      micro-batch.
+  *      micro-batch;
+  *   4. (phase 2b) the SCOPED tax: an insert-only delta (scope empty,
+  *      reads join-free) and a localized replay (scope 1 of 16 files) —
+  *      the regimes where the manifest-recorded scope turns the flat
+  *      anti-join tax into a touched-fraction tax.
   *
   * Run manually: `sbt "runMain graft.MergeLiteDemo"` (MERGE_LITE_ROWS
   * overrides the 40M default; idle host — timing).
@@ -119,7 +124,9 @@ object MergeLiteDemo {
       s"arms diverged: lite $cl, rewrite $cf (expect $nExpect)")
     val dv = MergeTable.snapshot(spark, litePath)
     println(f"lite table state: ${dv.entries.size} base files untouched, " +
-      f"${dv.delta.size} delta file(s) carrying the ${4 * 20} absorbed rows")
+      f"${dv.delta.size} delta file(s) carrying the ${4 * 20} absorbed rows, " +
+      f"suppression scope ${dv.dvFiles.map(_.size).getOrElse(-1)} of " +
+      f"${dv.entries.size} base files (spread replay keys: the worst case)")
 
     // phase 2 — the read tax while delta state exists. Same table
     // before/after its fold, so the anti-join is the ONLY delta.
@@ -164,6 +171,52 @@ object MergeLiteDemo {
     println(f"fold wall (80-row combined delta against $n%,d rows): $foldWall%6.2f s")
     require(MergeTable.read(spark, litePath).count() == nExpect,
       "fold changed the logical content")
+
+    // phase 2b — SCOPED suppression: the manifest records which base
+    // files discovery proved to hold a superseded row, so the anti-join
+    // applies only there. Two regimes against the same folded table:
+    // an INSERT-ONLY delta (scope empty — the JobProcessor steady
+    // state) and a LOCALIZED replay (10 redelivered keys all living in
+    // one base file — time-correlated redelivery). Phase 2's number is
+    // the adversarial ceiling: spread keys touch every file.
+    println("phase 2b — scoped read tax: proportional to the touched " +
+      "files, not the table")
+    import spark.implicits._
+    MergeTable.mergeLite(spark, litePath,
+      responseRows(spark.range(3 * n, 3 * n + 20).toDF()), Seq("request_id"))
+    val sIns = MergeTable.snapshot(spark, litePath)
+    println(s"  insert-only delta: scope ${sIns.dvFiles.map(_.size)} " +
+      s"(no base file can hold a superseded row — reads are join-free)")
+    scanAgg(litePath); pointLookup(litePath) // JVM-warm the new plan shape
+    val aggIns = scanAgg(litePath)
+    val lookIns = pointLookup(litePath)
+    // localized replay: 10 EXISTING keys sampled from one base file
+    val f0 = MergeTable.read(spark, litePath)
+      .select(input_file_name().as("f")).head().getString(0)
+    val localKeys = MergeTable.read(spark, litePath)
+      .filter(input_file_name() === f0)
+      .select("request_id").limit(10).as[String].collect().toSeq
+    val localBatch = localKeys.toDF("request_id")
+      .withColumn("job_id", lit("replay"))
+      .withColumn("user_query", md5(col("request_id")))
+      .withColumn("ai_response", concat(md5(col("request_id")),
+        md5(concat(lit("x"), col("request_id"))),
+        md5(concat(lit("y"), col("request_id")))))
+      .withColumn("ts", timestamp_seconds(lit(1700000000L)))
+    MergeTable.mergeLite(spark, litePath, localBatch, Seq("request_id"))
+    val sLoc = MergeTable.snapshot(spark, litePath)
+    println(s"  localized replay: scope ${sLoc.dvFiles.map(_.size)} of " +
+      s"${sLoc.entries.size} base files")
+    scanAgg(litePath); pointLookup(litePath)
+    val aggLoc = scanAgg(litePath)
+    val lookLoc = pointLookup(litePath)
+    println(f"scoped read tax (cold, vs folded $aggPlain%6.3f s): " +
+      f"insert-only agg $aggIns%6.3f s (${aggIns / aggPlain}%.2fx), " +
+      f"localized-replay agg $aggLoc%6.3f s (${aggLoc / aggPlain}%.2fx) — " +
+      f"vs ${aggDv / aggPlain}%.2fx when the scope covers every file; " +
+      f"point lookups $lookIns%6.3f / $lookLoc%6.3f vs $lookPlain%6.3f s")
+    require(MergeTable.read(spark, litePath).count() == nExpect + 20,
+      "phase 2b changed the logical content beyond its 20 inserts")
 
     graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(base))
     spark.stop()

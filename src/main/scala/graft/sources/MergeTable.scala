@@ -47,10 +47,21 @@ object MergeTable {
     *        superseded base rows at read time (empty on tables that
     *        only ever rewrite-merge)
     * @param dvKeys the key columns the delta's suppression joins on
-    *        (nonempty iff `delta` is) */
+    *        (nonempty iff `delta` is)
+    * @param dvFiles the SCOPE of the suppression: the base files that
+    *        contain at least one row a delta key supersedes (recorded
+    *        by [[mergeLite]]'s discovery — exact, so base files outside
+    *        it provably hold no superseded row and read BARE, paying
+    *        zero anti-join tax; an insert-only delta scopes to the
+    *        empty set). `None` = unscoped — a manifest written before
+    *        scoping landed, or a batch too large/multi-keyed to scope
+    *        with a cheap point-probe discovery: suppression falls back
+    *        to every base file, and the next small mergeLite upgrades
+    *        it. Always a subset of `entries`. */
   final case class Snapshot(
       version: Long, entries: Seq[FileEntry],
-      delta: Seq[FileEntry] = Nil, dvKeys: Seq[String] = Nil) {
+      delta: Seq[FileEntry] = Nil, dvKeys: Seq[String] = Nil,
+      dvFiles: Option[Seq[String]] = None) {
     /** The BASE file-path list of this version. */
     def files: Seq[String] = entries.map(_.path)
     /** Every data file the version references, base and delta — the
@@ -232,10 +243,18 @@ object MergeTable {
   /** Manifest line codec: `<path>\t<size>` for base data files; a line
     * without the tab is a legacy size-less entry (size −1 →
     * [[relationFor]] takes the listing path for the whole snapshot);
-    * `delta\t<path>\t<size>` for [[mergeLite]] delta files and
-    * `dvkeys\t<k1,k2>` for their key columns (the tag tokens can never
-    * collide with a data path — stored paths are URI forms, which
-    * always carry a scheme or a leading '/'). [[Manifests]] itself
+    * `delta\t<path>\t<size>` for [[mergeLite]] delta files,
+    * `dvkeys\t<k1,k2>` for their key columns, and the suppression
+    * scope as a `dvfiles\t<n>` header followed by n `dvfile\t<path>`
+    * lines naming the touched base files (header absent = legacy
+    * unscoped manifest, suppression over every base file; header
+    * present with n=0 = a proven insert-only delta). The count header
+    * is what distinguishes "scoped to nothing" from "never scoped",
+    * and a foreign edit that drops or duplicates scope lines fails the
+    * count check loudly instead of silently widening or narrowing the
+    * suppression. The tag tokens can never collide with a data path —
+    * stored paths are URI forms, which always carry a scheme or a
+    * leading '/'. [[Manifests]] itself
     * stays content-agnostic — other layers (the IVF layout,
     * CompositeIndex) store their own line formats in the same commit
     * primitive. */
@@ -246,34 +265,73 @@ object MergeTable {
 
   private val DeltaTag = "delta\t"
   private val DvKeysTag = "dvkeys\t"
+  private val DvFilesTag = "dvfiles\t"
+  private val DvFileTag = "dvfile\t"
 
   private def encodeSnapshot(
       entries: Seq[FileEntry], delta: Seq[FileEntry],
-      dvKeys: Seq[String]): Seq[String] = {
+      dvKeys: Seq[String], dvFiles: Option[Seq[String]] = None): Seq[String] = {
     require(delta.isEmpty == dvKeys.isEmpty,
       "delta files and dvKeys must be committed together")
+    require(dvFiles.isEmpty || delta.nonEmpty,
+      "a suppression scope (dvFiles) requires delta state")
     entries.map(encodeEntry) ++
       (if (delta.isEmpty) Nil
        else (DvKeysTag + dvKeys.mkString(",")) +:
-         delta.map(e => DeltaTag + encodeEntry(e)))
+         (dvFiles.toSeq.flatMap(fs =>
+            (DvFilesTag + fs.size) +: fs.map(DvFileTag + _)) ++
+          delta.map(e => DeltaTag + encodeEntry(e))))
   }
 
   private def decodeLines(lines: Seq[String], version: Long): Snapshot = {
     val entries = Seq.newBuilder[FileEntry]
     val delta = Seq.newBuilder[FileEntry]
+    val dvFiles = Seq.newBuilder[String]
     var dvKeys: Seq[String] = Nil
+    var dvCount: Option[Int] = None
     lines.foreach { line =>
       if (line.startsWith(DeltaTag))
         delta += decodeEntry(line.substring(DeltaTag.length))
       else if (line.startsWith(DvKeysTag))
         dvKeys = line.substring(DvKeysTag.length).split(",").toSeq
+      else if (line.startsWith(DvFilesTag)) {
+        require(dvCount.isEmpty,
+          s"manifest v$version carries two dvfiles headers — foreign or " +
+            "hand-edited content")
+        val s = line.substring(DvFilesTag.length)
+        require(s.nonEmpty && s.length <= 9 && s.forall(_.isDigit),
+          s"manifest v$version dvfiles header is not a count: '$line'")
+        dvCount = Some(s.toInt)
+      } else if (line.startsWith(DvFileTag))
+        dvFiles += line.substring(DvFileTag.length)
       else entries += decodeEntry(line)
     }
     val d = delta.result()
+    val dvf = dvFiles.result()
     require(d.isEmpty || dvKeys.nonEmpty,
       s"manifest v$version carries delta files but no dvkeys line — " +
         "foreign or hand-edited content")
-    Snapshot(version, entries.result(), d, if (d.isEmpty) Nil else dvKeys)
+    require(dvCount.isEmpty || d.nonEmpty,
+      s"manifest v$version carries a suppression scope but no delta " +
+        "files — foreign or hand-edited content")
+    require(dvCount.map(_.toLong).getOrElse(0L) == dvf.size,
+      s"manifest v$version suppression scope is torn or hand-edited: " +
+        s"header says ${dvCount.getOrElse(0)} dvfile lines, found ${dvf.size}")
+    // the documented subset invariant, enforced: a scope line naming no
+    // committed base entry would silently NARROW the suppression (the
+    // genuinely touched file would partition into the bare leg and its
+    // superseded rows would read back) — the one scope corruption the
+    // count header can't see, so it must fail here, loudly
+    val es = entries.result()
+    if (dvf.nonEmpty) {
+      val entryNorm = es.map(e => Manifests.normalizePath(e.path)).toSet
+      dvf.find(p => !entryNorm.contains(Manifests.normalizePath(p))).foreach(p =>
+        throw new IllegalArgumentException(
+          s"manifest v$version scope line names no base entry ('$p') — " +
+            "foreign or hand-edited content"))
+    }
+    Snapshot(version, es, d, if (d.isEmpty) Nil else dvKeys,
+      if (d.isEmpty) None else dvCount.map(_ => dvf))
   }
 
   private[graft] def decodeEntry(line: String): FileEntry = {
@@ -317,22 +375,42 @@ object MergeTable {
   /** The readable frame of a snapshot. DV-free snapshots return the
     * bare base relation — the plan is bit-identical to pre-[[mergeLite]]
     * reads, so tables that only ever rewrite-merge pay ZERO read
-    * overhead. With delta state, the base relation is anti-joined
-    * against the delta's (small, broadcast) key set — the key-tombstone
-    * suppression: every base row whose key a mergeLite re-wrote is
-    * superseded by the delta's copy — and unioned with the delta
-    * relation. User predicates still push into BOTH parquet scans
-    * (broadcast anti-join and union are pushdown-transparent;
-    * MergeTableSpec gates the PushedFilters shape). */
+    * overhead. With delta state, the anti-join against the delta's
+    * (small, broadcast) key set — the key-tombstone suppression: every
+    * base row whose key a mergeLite re-wrote is superseded by the
+    * delta's copy — applies ONLY to the base files the manifest's
+    * suppression scope names (the files mergeLite's exact discovery
+    * proved to hold a superseded row); every other base file reads
+    * BARE, so the full-scan tax is proportional to the files a replay
+    * actually touched, not the table (and an insert-only delta — scope
+    * empty — reads with no join at all: bare base ∪ delta). Manifests
+    * from before scoping landed carry no scope and suppress over every
+    * base file, exactly the old plan. User predicates still push into
+    * EVERY parquet scan (broadcast anti-join and union are
+    * pushdown-transparent; MergeTableSpec gates the PushedFilters
+    * shape). */
   private def logicalFrame(spark: SparkSession, snap: Snapshot): DataFrame =
     if (snap.delta.isEmpty) relationFor(spark, snap.entries)
     else {
       val deltaDf = relationFor(spark, snap.delta)
       if (snap.entries.isEmpty) deltaDf
-      else relationFor(spark, snap.entries)
-        .join(broadcast(deltaDf.select(snap.dvKeys.map(col): _*).distinct()),
-          snap.dvKeys, "left_anti")
-        .unionByName(deltaDf)
+      else {
+        def suppressed(entries: Seq[FileEntry]): DataFrame =
+          relationFor(spark, entries)
+            .join(broadcast(deltaDf.select(snap.dvKeys.map(col): _*).distinct()),
+              snap.dvKeys, "left_anti")
+        val legs = snap.dvFiles match {
+          case None => Seq(suppressed(snap.entries))
+          case Some(dv) =>
+            val dvNorm = dv.map(normalize).toSet
+            val (touched, bare) =
+              snap.entries.partition(e => dvNorm.contains(normalize(e.path)))
+            Seq(
+              if (bare.nonEmpty) Some(relationFor(spark, bare)) else None,
+              if (touched.nonEmpty) Some(suppressed(touched)) else None).flatten
+        }
+        (legs :+ deltaDf).reduce(_ unionByName _)
+      }
     }
 
   /** Committed versions of the table, oldest first. */
@@ -567,7 +645,16 @@ object MergeTable {
     * key set, so no separate tombstone sidecars exist and the
     * tombstone/delta invariant cannot drift). A 10-row replay costs a
     * 10-row write at ANY table size (MergeLiteDemo quantifies both the
-    * write win and the read tax).
+    * write win and the read tax). The suppression is SCOPED: the commit
+    * records which base files discovery proved to hold a superseded
+    * row (Delta's file-granular deletion-vector attachment, by key),
+    * so reads anti-join only those files — the rest of the table, and
+    * ALL of it after an insert-only batch, reads bare. Scoping runs
+    * only when its discovery is a cheap point probe (single key
+    * column, ≤1000 keys — the replay shape); larger batches commit
+    * unscoped rather than paying a base key-column scan per write, and
+    * reads then suppress over every base file until a later small
+    * batch re-scopes.
     *
     * Consecutive mergeLites COMBINE their deltas (last wins per key,
     * still one delta file set); once the combined delta would exceed
@@ -645,6 +732,37 @@ object MergeTable {
         // other path does
         return rewriteMerge(spark, fs, root, snap.version, snap.entries,
           combined, keyCols, n).copy(rowsUpserted = nU)
+      // the suppression SCOPE: the base files holding a row one of the
+      // delta's keys supersedes, found by the same exact discovery the
+      // rewrite path uses (never a false negative — parquet filtering
+      // is exact above the pruning). Scoping is what keeps the read tax
+      // proportional to the REPLAY, not the table: unscoped, every full
+      // scan anti-joins the whole base (measured 4.6x on a 40M-row
+      // wide-key table); scoped, only the touched files pay, and an
+      // insert-only delta pays nothing. Discovery runs ONLY when it is
+      // cheap — the single-column In-pushdown path (bloom/footer-pruned
+      // point probes): a larger or multi-column batch would fall to the
+      // range+semi-join path, a full base key-column scan on hash
+      // domains, re-introducing on the WRITE path the very table-scale
+      // cost mergeLite exists to avoid. Such batches commit UNSCOPED
+      // (reads suppress over every base file — the correct, pre-scoping
+      // plan) and a later small batch re-scopes via the upgrade path.
+      // A prior scope unions in (base entries are immutable while delta
+      // state exists, so its paths stay valid and its proof stays
+      // true); a prior UNSCOPED delta upgrades once via discovery over
+      // the full combined key set, when that set is small enough.
+      def cheapDiscovery(frame: DataFrame, nKeys: Long): Option[Set[String]] =
+        if (keyCols.size == 1 && nKeys <= DiscoveryInLimit)
+          Some(discoveryFrame(base, frame, keyCols, nKeys)
+            .collect().map(r => normalize(r.getString(0))).toSet)
+        else None
+      val touchedNorm: Option[Set[String]] =
+        if (snap.delta.isEmpty) cheapDiscovery(u, nU)
+        else if (snap.dvFiles.isDefined)
+          cheapDiscovery(u, nU).map(_ ++ snap.dvFiles.get.map(normalize))
+        else cheapDiscovery(combined, n)
+      val scope = touchedNorm.map(t =>
+        snap.entries.map(_.path).filter(p => t.contains(normalize(p))))
       // the delta stays one coalesced file set: it is re-written whole on
       // every mergeLite (bounded by maxDeltaRows, so the rewrite is the
       // small side by construction), while the base is never touched
@@ -652,7 +770,8 @@ object MergeTable {
         math.max(1L, (n + InsertRowsPerFile - 1) / InsertRowsPerFile).toInt))
       commit(fs, root, snap.version + 1,
         encodeSnapshot(withSizes(fs, snap.entries), deltaFiles,
-          snap.dvKeys match { case Nil => keyCols; case pinned => pinned }))
+          snap.dvKeys match { case Nil => keyCols; case pinned => pinned },
+          scope))
       MergeStats(snap.version + 1, snap.entries.size, snap.delta.size,
         deltaFiles.size, nU)
     } finally if (snap.delta.nonEmpty) graft.util.Checkpoints.free(combined)

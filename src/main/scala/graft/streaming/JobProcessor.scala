@@ -154,9 +154,13 @@ object JobProcessor {
     * (MergeLiteDemo: 9.5x median replay wall at 40M rows). The
     * exactly-once convergence argument is unchanged — a replayed batch
     * re-combines the same keys last-wins, so the delta converges to
-    * the same rows. Keep the default for insert-mostly streams: the
-    * accumulated delta rides every read as a broadcast anti-join until
-    * its fold, which insert-heavy traffic would trigger constantly. */
+    * the same rows. The read tax is SCOPED: the manifest records which
+    * base files hold superseded rows, so insert-only batches leave
+    * reads join-free and a replay taxes only its touched files
+    * (MergeLiteDemo phase 2b). Keep the default for insert-mostly
+    * streams anyway: each mergeLite rewrites the accumulated delta
+    * WHOLE, so sustained insert traffic pays quadratic write
+    * amplification between folds, which it would trigger constantly. */
   def runToMergeTable(
       spark: SparkSession, requests: DataFrame, ragContent: DataFrame,
       completer: Completer, tablePath: String,

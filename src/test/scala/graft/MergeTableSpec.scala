@@ -16,6 +16,21 @@ class MergeTableSpec extends SparkSpec {
   private def rows(ids: Range, tag: String) =
     ids.map(i => (i.toLong, tag, s"payload $i")).toDF("id", "tag", "body")
 
+  /** Tamper with a table's TIP manifest in place (foreign-edit /
+    * pre-scoping-writer simulation): read its lines, rewrite them
+    * through `f`. */
+  private def tamperManifest(path: String)(f: Seq[String] => Seq[String]): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mdir = new org.apache.hadoop.fs.Path(root, "_manifests")
+    val v = graft.sources.Manifests.latestVersion(fs, mdir).get
+    val vPath = graft.sources.Manifests.versionPath(mdir, v)
+    val lines = f(graft.sources.Manifests.read(fs, mdir, v))
+    fs.delete(vPath, false)
+    val out = fs.create(vPath, false)
+    out.write((lines.mkString("\n") + "\n").getBytes("UTF-8")); out.close()
+  }
+
   test("an empty committed file list round-trips as empty, not a phantom entry") {
     val dir = new org.apache.hadoop.fs.Path(
       java.nio.file.Files.createTempDirectory("manifests_empty").toString, "_m")
@@ -907,6 +922,156 @@ class MergeTableSpec extends SparkSpec {
     }
     assert(df.count() === 1)
     assert(df.select("tag").head().getString(0) === "lite")
+  }
+
+  test("mergeLite scope: only touched base files pay the anti-join") {
+    val path = freshPath()
+    MergeTable.init(spark, path, rows(1 to 1000, "old"))
+    MergeTable.compactTable(spark, path, "id", 8) // 8 range-sorted files
+    // 10 contiguous replacement keys live in ONE range-sorted file
+    MergeTable.mergeLite(spark, path, rows(10 to 19, "lite"), Seq("id"))
+    val snap = MergeTable.snapshot(spark, path)
+    val basePaths = snap.entries.map(_.path).toSet
+    assert(snap.dvFiles.isDefined, "new mergeLites must commit a scope")
+    assert(snap.dvFiles.get.size === 1,
+      s"10 contiguous keys live in one range-sorted file: ${snap.dvFiles.get}")
+    assert(snap.dvFiles.get.toSet.subsetOf(basePaths),
+      "the scope names committed base entries verbatim")
+    def baseName(p: String) = new org.apache.hadoop.fs.Path(p).getName
+    val scopeNames = snap.dvFiles.get.map(baseName).toSet
+    val baseNames = snap.entries.map(e => baseName(e.path)).toSet
+    val df = MergeTable.read(spark, path)
+    val nodes = graft.util.Plans.executedNodes(df)
+    val joins = nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(joins.nonEmpty, "the touched file still needs its suppression join")
+    // every base file streamed through an anti-join is in the scope...
+    val joinedBase = joins.flatMap(j => graft.util.Plans.flatten(j.left))
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .flatMap(_.relation.location.inputFiles).map(baseName)
+      .filter(baseNames).toSet
+    assert(joinedBase === scopeNames,
+      s"anti-join must cover exactly the scope: $joinedBase vs $scopeNames")
+    // ...and the other 7 files reach the union without any join above
+    val scannedBase = nodes.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.flatMap(_.relation.location.inputFiles).map(baseName).filter(baseNames).toSet
+    assert(scannedBase === baseNames, "every base file is still read")
+    assert(df.count() === 1000)
+    assert(df.filter($"tag" === "lite").count() === 10)
+  }
+
+  test("mergeLite scope: an insert-only delta reads join-free; scopes accumulate") {
+    val path = freshPath()
+    MergeTable.init(spark, path, rows(1 to 100, "old"))
+    MergeTable.mergeLite(spark, path, rows(200 to 209, "new"), Seq("id"))
+    val snap = MergeTable.snapshot(spark, path)
+    assert(snap.dvFiles === Some(Nil),
+      "no base file can hold a superseded row: the scope is empty, not absent")
+    val df = MergeTable.read(spark, path)
+    val joins = graft.util.Plans.executedNodes(df).collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(joins.isEmpty, "insert-only delta: bare base ∪ delta, no join")
+    assert(df.count() === 110)
+    // a later replacing batch widens the scope from empty to its files
+    MergeTable.mergeLite(spark, path, rows(5 to 6, "lite"), Seq("id"))
+    val s2 = MergeTable.snapshot(spark, path)
+    assert(s2.dvFiles.exists(_.nonEmpty), "the replacement batch scopes its file")
+    val g = MergeTable.read(spark, path)
+    assert(g.count() === 110)
+    assert(g.filter($"tag" === "lite").count() === 2)
+    assert(g.filter($"tag" === "new").count() === 10)
+  }
+
+  test("mergeLite scope: a pre-scoping manifest suppresses everywhere and upgrades on the next call") {
+    val path = freshPath()
+    MergeTable.init(spark, path, rows(1 to 100, "old"))
+    MergeTable.mergeLite(spark, path, rows(5 to 9, "lite"), Seq("id"))
+    // strip the scope lines: the manifest a pre-scoping writer committed
+    tamperManifest(path)(_.filterNot(l =>
+      l.startsWith("dvfiles\t") || l.startsWith("dvfile\t")))
+    val snap = MergeTable.snapshot(spark, path)
+    assert(snap.dvFiles === None, "scope absent = legacy unscoped manifest")
+    // reads fall back to suppressing over every base file — correct
+    val g = MergeTable.read(spark, path)
+    assert(g.count() === 100 && g.filter($"tag" === "lite").count() === 5)
+    // the next mergeLite upgrades: discovery re-runs over the FULL
+    // combined key set, so the prior batch's touched files are scoped too
+    MergeTable.mergeLite(spark, path, rows(200 to 201, "new"), Seq("id"))
+    val s2 = MergeTable.snapshot(spark, path)
+    assert(s2.dvFiles.exists(_.nonEmpty),
+      "the upgrade must scope the PRIOR batch's touched files")
+    val g2 = MergeTable.read(spark, path)
+    assert(g2.count() === 102)
+    assert(g2.filter($"tag" === "lite").count() === 5)
+  }
+
+  test("mergeLite scope: foreign/torn scope lines are refused loudly") {
+    val path = freshPath()
+    MergeTable.init(spark, path, rows(1 to 100, "old"))
+    MergeTable.mergeLite(spark, path, rows(5 to 6, "lite"), Seq("id"))
+    val lines = {
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val mdir = new org.apache.hadoop.fs.Path(root, "_manifests")
+      graft.sources.Manifests.read(fs, mdir,
+        MergeTable.snapshot(spark, path).version)
+    }
+    def rewrite(ls: Seq[String]): Unit = tamperManifest(path)(_ => ls)
+    // header count disagreeing with the dvfile lines: torn or edited
+    rewrite(lines.map(l => if (l.startsWith("dvfiles\t")) "dvfiles\t7" else l))
+    val e1 = intercept[IllegalArgumentException] { MergeTable.snapshot(spark, path) }
+    assert(e1.getMessage.contains("torn or hand-edited"))
+    // dvfile lines with no header: foreign content
+    rewrite(lines.filterNot(_.startsWith("dvfiles\t")))
+    val e2 = intercept[IllegalArgumentException] { MergeTable.snapshot(spark, path) }
+    assert(e2.getMessage.contains("torn or hand-edited"))
+    // a non-numeric header: named, not a raw NumberFormatException
+    rewrite(lines.map(l => if (l.startsWith("dvfiles\t")) "dvfiles\tx" else l))
+    val e3 = intercept[IllegalArgumentException] { MergeTable.snapshot(spark, path) }
+    assert(e3.getMessage.contains("not a count"))
+    // TWO headers: refused even when either count alone would check out
+    rewrite(lines.flatMap(l =>
+      if (l.startsWith("dvfiles\t")) Seq("dvfiles\t0", l) else Seq(l)))
+    val e4 = intercept[IllegalArgumentException] { MergeTable.snapshot(spark, path) }
+    assert(e4.getMessage.contains("two dvfiles headers"))
+    // a scope line naming no base entry would silently NARROW the
+    // suppression (the real touched file falls into the bare leg and
+    // its superseded rows read back) — refused at decode
+    rewrite(lines.map(l =>
+      if (l.startsWith("dvfile\t")) "dvfile\tfile:/nowhere/else.parquet" else l))
+    val e5 = intercept[IllegalArgumentException] { MergeTable.snapshot(spark, path) }
+    assert(e5.getMessage.contains("names no base entry"))
+  }
+
+  test("mergeLite scope: batches past the point-probe limit commit unscoped, not a base scan") {
+    val path = freshPath()
+    MergeTable.init(spark, path, rows(1 to 5000, "old"))
+    // 1001 single-column keys: one past DiscoveryInLimit — the In-push
+    // discovery no longer applies and the range path would scan the
+    // whole base key column per write, so the commit stays unscoped
+    MergeTable.mergeLite(spark, path, rows(3000 to 4000, "big"), Seq("id"))
+    val s1 = MergeTable.snapshot(spark, path)
+    assert(s1.dvFiles === None, "a large batch must not pay discovery")
+    val g1 = MergeTable.read(spark, path)
+    assert(g1.count() === 5000 && g1.filter($"tag" === "big").count() === 1001)
+    // a later small batch re-scopes over the full combined key set...
+    // but only when THAT set is small; here it isn't (1003 keys), so
+    // the table stays unscoped — and stays correct
+    MergeTable.mergeLite(spark, path, rows(10 to 11, "small"), Seq("id"))
+    assert(MergeTable.snapshot(spark, path).dvFiles === None,
+      "the combined key set is still past the limit: no upgrade")
+    val g2 = MergeTable.read(spark, path)
+    assert(g2.count() === 5000 && g2.filter($"tag" === "small").count() === 2)
+    // multi-column keys likewise skip discovery
+    val p2 = freshPath()
+    MergeTable.init(spark, p2, rows(1 to 50, "old"))
+    MergeTable.mergeLite(spark, p2,
+      Seq((7L, "old", "replaced")).toDF("id", "tag", "body"), Seq("id", "tag"))
+    assert(MergeTable.snapshot(spark, p2).dvFiles === None)
+    assert(MergeTable.read(spark, p2).filter($"body" === "replaced").count() === 1)
   }
 
   test("bloom props: a torn config (missing the terminator) fails loudly, not partially") {
