@@ -31,7 +31,11 @@ import graft.sources.MergeTable
   *   4. (phase 2b) the SCOPED tax: an insert-only delta (scope empty,
   *      reads join-free) and a localized replay (scope 1 of 16 files) —
   *      the regimes where the manifest-recorded scope turns the flat
-  *      anti-join tax into a touched-fraction tax.
+  *      anti-join tax into a touched-fraction tax;
+  *   5. (phase 4) append-vs-combine WRITE amplification: disjoint
+  *      batches append their own delta file set (O(batch) per commit)
+  *      while overlapping ones re-write the accumulated delta whole —
+  *      the sustained-stream cost the append path removes.
   *
   * Run manually: `sbt "runMain graft.MergeLiteDemo"` (MERGE_LITE_ROWS
   * overrides the 40M default; idle host — timing).
@@ -190,12 +194,16 @@ object MergeLiteDemo {
     scanAgg(litePath); pointLookup(litePath) // JVM-warm the new plan shape
     val aggIns = scanAgg(litePath)
     val lookIns = pointLookup(litePath)
-    // localized replay: 10 EXISTING keys sampled from one base file
-    val f0 = MergeTable.read(spark, litePath)
-      .select(input_file_name().as("f")).head().getString(0)
+    // localized replay: 10 EXISTING keys sampled from one BASE file —
+    // pinned by basename from the snapshot's entries, not head() over
+    // the union (which could serve a delta partition first and quietly
+    // measure the join-free regime instead)
+    val b0 = new org.apache.hadoop.fs.Path(
+      MergeTable.snapshot(spark, litePath).entries.head.path).getName
     val localKeys = MergeTable.read(spark, litePath)
-      .filter(input_file_name() === f0)
+      .filter(input_file_name().endsWith(b0))
       .select("request_id").limit(10).as[String].collect().toSeq
+    require(localKeys.size == 10, s"base-file key sample came up short ($b0)")
     val localBatch = localKeys.toDF("request_id")
       .withColumn("job_id", lit("replay"))
       .withColumn("user_query", md5(col("request_id")))
@@ -217,6 +225,47 @@ object MergeLiteDemo {
       f"point lookups $lookIns%6.3f / $lookLoc%6.3f vs $lookPlain%6.3f s")
     require(MergeTable.read(spark, litePath).count() == nExpect + 20,
       "phase 2b changed the logical content beyond its 20 inserts")
+
+    // phase 4 — append-vs-combine write amplification on a sustained
+    // insert-heavy rowLevel stream: disjoint batches APPEND their own
+    // file set (O(batch) per commit), while an overlapping stream
+    // COMBINES — re-writes the accumulated delta whole each call (the
+    // cost every batch paid before the append path existed). Warm
+    // cache: this row is write-path cost, not IO-skipping.
+    println("phase 4 — append-vs-combine write amplification " +
+      "(4 x 200k-row batches into a 1M-row table, warm)")
+    val bRows = 200000L
+    val aPath = s"$base/append"
+    val cPath = s"$base/combine"
+    val seedSmall = responseRows(spark.range(1000000L).repartition(4).toDF())
+    MergeTable.init(spark, aPath, seedSmall, bloomKeys = Seq("request_id"))
+    MergeTable.init(spark, cPath, seedSmall, bloomKeys = Seq("request_id"))
+    // append arm: batch i strictly new ids; combine arm: consecutive
+    // batches share 1000 ids, so every call after the first overlaps
+    def ids(lo: Long): DataFrame =
+      responseRows(spark.range(10000000L + lo, 10000000L + lo + bRows).toDF())
+    val (wa, wc) = (1 to 4).map { i =>
+      val t0 = System.nanoTime()
+      val sa = MergeTable.mergeLite(spark, aPath, ids(i * bRows), Seq("request_id"))
+      val a = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val sc = MergeTable.mergeLite(spark, cPath,
+        ids((i - 1) * (bRows - 1000)), Seq("request_id"))
+      val c = (System.nanoTime() - t1) / 1e9
+      println(f"  batch $i: append $a%6.3f s " +
+        f"(wrote ${sa.filesWritten}, re-wrote ${sa.filesRewritten}) | " +
+        f"combine $c%6.3f s (re-wrote ${sc.filesRewritten} delta sets whole)")
+      (a, c)
+    }.unzip
+    println(f"append total ${wa.sum}%6.2f s (flat per batch) vs combine " +
+      f"total ${wc.sum}%6.2f s (grows with the accumulated delta): " +
+      f"${wc.sum / wa.sum}%.1fx")
+    require(MergeTable.read(spark, aPath).count() == 1000000L + 4 * bRows,
+      "append arm diverged")
+    // combine arm: 4 batches overlapping 1000 keys pairwise cover
+    // [0, 4*bRows - 3000) distinct new ids
+    require(MergeTable.read(spark, cPath).count() == 1000000L + 4 * bRows - 3000,
+      "combine arm diverged")
 
     graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(base))
     spark.stop()

@@ -45,7 +45,10 @@ object MergeTable {
     * @param delta the row-level-merge delta files ([[mergeLite]]) —
     *        small, last-wins-per-key rows whose key set suppresses the
     *        superseded base rows at read time (empty on tables that
-    *        only ever rewrite-merge)
+    *        only ever rewrite-merge). Keys are unique ACROSS the whole
+    *        delta file set — disjoint batches append their own files,
+    *        overlapping ones re-write the set combined — so the read
+    *        union needs no precedence order between delta files
     * @param dvKeys the key columns the delta's suppression joins on
     *        (nonempty iff `delta` is)
     * @param dvFiles the SCOPE of the suppression: the base files that
@@ -633,6 +636,15 @@ object MergeTable {
     * the practical ceiling; deployments with wide rows tune it down). */
   val DefaultMaxDeltaRows: Long = 1000000L
 
+  /** Default bound on accumulated [[mergeLite]] delta FILES before a
+    * disjoint-key batch stops appending its own file set and re-writes
+    * the delta whole instead: appends keep a sustained stream's write
+    * cost O(batch) (no quadratic delta re-write between folds), and
+    * this cap keeps the read union's delta file count bounded — the
+    * periodic small compaction is amortized to 1/maxDeltaFiles of the
+    * calls. */
+  val DefaultMaxDeltaFiles: Int = 64
+
   /** Row-level MERGE — absorbs `updates` WITHOUT rewriting any base
     * file (the keyed analog of Delta's deletion vectors). A rewrite
     * [[merge]] pays a full file rewrite for every file a redelivered
@@ -656,18 +668,26 @@ object MergeTable {
     * reads then suppress over every base file until a later small
     * batch re-scopes.
     *
-    * Consecutive mergeLites COMBINE their deltas (last wins per key,
-    * still one delta file set); once the combined delta would exceed
-    * `maxDeltaRows`, the call FOLDS instead — one rewrite merge of the
-    * combined rows, clearing the row-level state. [[deleteWhere]] folds
-    * before predicate deletes (its per-file rewrite cannot see the key
-    * suppression), and [[compactTable]]/[[merge]] fold naturally.
+    * Consecutive mergeLites accumulate: a batch whose keys are
+    * DISJOINT from the delta's (the common shape — new ids supersede
+    * BASE rows, not delta rows) APPENDS its own file set, leaving the
+    * prior delta files untouched, so a sustained stream pays O(batch)
+    * per commit; an overlapping batch COMBINES (last wins per key, one
+    * re-written delta file set — small by `maxDeltaRows`), as does a
+    * batch arriving at the `maxDeltaFiles` cap (bounding the read
+    * union's file count, amortized 1/cap). Once the accumulated delta
+    * would exceed `maxDeltaRows`, the call FOLDS instead — one rewrite
+    * merge of the combined rows, clearing the row-level state.
+    * [[deleteWhere]] folds before predicate deletes (its per-file
+    * rewrite cannot see the key suppression), and
+    * [[compactTable]]/[[merge]] fold naturally.
     * Same contract as [[merge]]: unique, NULL-free keys; exact schema. */
   def mergeLite(
       spark: SparkSession, path: String, updates: DataFrame,
       keyCols: Seq[String], maxDeltaRows: Long = DefaultMaxDeltaRows,
-      maxRetries: Int = 5): MergeStats = {
+      maxRetries: Int = 5, maxDeltaFiles: Int = DefaultMaxDeltaFiles): MergeStats = {
     requireKeyCols(keyCols)
+    require(maxDeltaFiles >= 1, "maxDeltaFiles must be >= 1")
     // '\r' too: Manifests.read splits lines on CR as well as LF, so a
     // CR inside a stored name would shear the dvkeys line into a
     // phantom entry and corrupt every later snapshot
@@ -687,7 +707,8 @@ object MergeTable {
       var attempt = 0
       while (attempt < maxRetries) {
         attempt += 1
-        try return mergeLiteOnce(spark, path, u, keyCols, nU, maxDeltaRows)
+        try return mergeLiteOnce(
+          spark, path, u, keyCols, nU, maxDeltaRows, maxDeltaFiles)
         catch {
           case _: FileAlreadyExistsException => // lost the race: re-snapshot
         }
@@ -699,7 +720,8 @@ object MergeTable {
 
   private def mergeLiteOnce(
       spark: SparkSession, path: String, u: DataFrame,
-      keyCols: Seq[String], nU: Long, maxDeltaRows: Long): MergeStats = {
+      keyCols: Seq[String], nU: Long, maxDeltaRows: Long,
+      maxDeltaFiles: Int): MergeStats = {
     val (fs, root) = fsOf(spark, path)
     val snap = snapshot(spark, path)
     // persisted-state-vs-frame mismatch: IllegalStateException, so a
@@ -715,16 +737,105 @@ object MergeTable {
     val cols = base.schema.map(_.name)
     if (nU == 0)
       return MergeStats(snap.version, snap.entries.size + snap.delta.size, 0, 0, 0)
-    // checkpointed when a prior delta exists: the combined frame feeds
-    // count + write (or the fold's discovery + rewrite) — one
-    // computation of the delta scan and anti-join, not two or three.
-    // u alone is already pinned by mergeLite's checkpoint.
+    // the suppression SCOPE: the base files holding a row one of the
+    // delta's keys supersedes, found by the same exact discovery the
+    // rewrite path uses (never a false negative — parquet filtering
+    // is exact above the pruning). Scoping is what keeps the read tax
+    // proportional to the REPLAY, not the table: unscoped, every full
+    // scan anti-joins the whole base (measured 4.6x on a 40M-row
+    // wide-key table); scoped, only the touched files pay, and an
+    // insert-only delta pays nothing. Discovery runs ONLY when it is
+    // cheap — the single-column In-pushdown path (bloom/footer-pruned
+    // point probes): a larger or multi-column batch would fall to the
+    // range+semi-join path, a full base key-column scan on hash
+    // domains, re-introducing on the WRITE path the very table-scale
+    // cost mergeLite exists to avoid. Such batches commit UNSCOPED
+    // (reads suppress over every base file — the correct, pre-scoping
+    // plan) and a later small batch re-scopes via the upgrade path.
+    def cheapDiscovery(frame: DataFrame, nKeys: Long): Option[Set[String]] =
+      if (keyCols.size == 1 && nKeys <= DiscoveryInLimit)
+        Some(discoveryFrame(base, frame, keyCols, nKeys)
+          .collect().map(r => normalize(r.getString(0))).toSet)
+      else None
+    def scopeOf(touched: Option[Set[String]]): Option[Seq[String]] =
+      touched.map(t => snap.entries.map(_.path).filter(p => t.contains(normalize(p))))
+    def filesFor(rows: Long): Int =
+      math.max(1L, (rows + InsertRowsPerFile - 1) / InsertRowsPerFile).toInt
+    def commitDelta(deltaEntries: Seq[FileEntry], scope: Option[Seq[String]]): Unit =
+      commit(fs, root, snap.version + 1,
+        encodeSnapshot(withSizes(fs, snap.entries), deltaEntries,
+          snap.dvKeys match { case Nil => keyCols; case pinned => pinned },
+          scope))
+
+    val deltaDf = if (snap.delta.isEmpty) None
+      else Some(relationFor(spark, snap.delta))
+    // APPEND when the batch's keys are DISJOINT from the accumulated
+    // delta's — the common shape (new request_ids; redelivered keys
+    // supersede BASE rows, not delta rows): the old delta files are
+    // carried by reference and only the batch is written, so a
+    // sustained stream pays O(batch) per commit instead of re-writing
+    // a growing delta whole (quadratic between folds). Disjointness is
+    // what keeps last-wins trivial: keys stay unique ACROSS the delta
+    // file sets, so the read union needs no precedence order. The
+    // file-set cap bounds the read union's file count — hitting it
+    // falls back to one combine re-write (amortized 1/maxDeltaFiles).
+    // The disjointness probe is delta-sized (small by maxDeltaRows)
+    // and shares ONE delta pass with the row counts the fold check and
+    // the combine sizing need (left join against the unique-keyed
+    // batch preserves the delta's row count); nU > maxDeltaRows skips
+    // it — such a batch folds regardless.
+    val probe: Option[(Long, Long)] = // (delta rows, overlapping rows)
+      if (nU <= maxDeltaRows)
+        deltaDf.map { d =>
+          // a fresh marker name: a key column literally named like the
+          // marker would be silently overwritten by withColumn and the
+          // probe would compare keys against the constant
+          val hit = Iterator.from(0).map("__hit" + _)
+            .find(!keyCols.contains(_)).get
+          val r = d.select(keyCols.map(col): _*)
+            .join(broadcast(u.select(keyCols.map(col): _*)
+              .withColumn(hit, lit(true))), keyCols, "left")
+            .agg(count(lit(1)), count(col(hit))).head()
+          (r.getLong(0), r.getLong(1))
+        }
+      else None
+    val appendable = probe.exists(p => p._2 == 0L &&
+      p._1 + nU <= maxDeltaRows && snap.delta.size < maxDeltaFiles)
+    if (appendable) {
+      val n = probe.get._1 + nU // exact: disjoint
+      // a prior scope unions in (base entries are immutable while delta
+      // state exists, so its paths stay valid and its proof stays
+      // true); a prior UNSCOPED table upgrades here too when the FULL
+      // accumulated key set is small enough to probe — no combine
+      // needed, the key union is just two projections
+      val scope = scopeOf(snap.dvFiles match {
+        case Some(prior) =>
+          cheapDiscovery(u, nU).map(_ ++ prior.map(normalize))
+        case None => cheapDiscovery(
+          deltaDf.get.select(keyCols.map(col): _*)
+            .unionByName(u.select(keyCols.map(col): _*)), n)
+      })
+      val newFiles = writeBatch(spark, fs, root,
+        u.select(cols.map(col): _*).coalesce(filesFor(nU)))
+      commitDelta(withSizes(fs, snap.delta) ++ newFiles, scope)
+      return MergeStats(snap.version + 1, snap.entries.size + snap.delta.size,
+        0, newFiles.size, nU)
+    }
+    // COMBINE: fresh delta, overlapping keys (last-wins re-write of the
+    // delta — small by maxDeltaRows), the file-set cap's compaction, or
+    // the over-threshold fold below.
+    // Checkpointed when a prior delta exists: the combined frame feeds
+    // the write (or the fold's discovery + rewrite) — one computation
+    // of the delta scan and anti-join. u alone is already pinned by
+    // mergeLite's checkpoint.
     val combined =
       if (snap.delta.isEmpty) u.select(cols.map(col): _*)
-      else combinedDelta(relationFor(spark, snap.delta), u, keyCols, cols)
-        .localCheckpoint(true)
+      else combinedDelta(deltaDf.get, u, keyCols, cols).localCheckpoint(true)
     try {
-      val n = if (snap.delta.isEmpty) nU else combined.count()
+      // exact without a job whenever the probe ran: combined =
+      // delta − overlap + batch (both inputs unique per key)
+      val n = probe.map(p => p._1 - p._2 + nU).getOrElse(
+        if (snap.delta.isEmpty) nU else combined.count())
       if (n > maxDeltaRows)
         // past the read-tax bound: fold the combined rows in ONE rewrite
         // merge (the compaction the delta was deferring), emitting a
@@ -732,46 +843,15 @@ object MergeTable {
         // other path does
         return rewriteMerge(spark, fs, root, snap.version, snap.entries,
           combined, keyCols, n).copy(rowsUpserted = nU)
-      // the suppression SCOPE: the base files holding a row one of the
-      // delta's keys supersedes, found by the same exact discovery the
-      // rewrite path uses (never a false negative — parquet filtering
-      // is exact above the pruning). Scoping is what keeps the read tax
-      // proportional to the REPLAY, not the table: unscoped, every full
-      // scan anti-joins the whole base (measured 4.6x on a 40M-row
-      // wide-key table); scoped, only the touched files pay, and an
-      // insert-only delta pays nothing. Discovery runs ONLY when it is
-      // cheap — the single-column In-pushdown path (bloom/footer-pruned
-      // point probes): a larger or multi-column batch would fall to the
-      // range+semi-join path, a full base key-column scan on hash
-      // domains, re-introducing on the WRITE path the very table-scale
-      // cost mergeLite exists to avoid. Such batches commit UNSCOPED
-      // (reads suppress over every base file — the correct, pre-scoping
-      // plan) and a later small batch re-scopes via the upgrade path.
-      // A prior scope unions in (base entries are immutable while delta
-      // state exists, so its paths stay valid and its proof stays
-      // true); a prior UNSCOPED delta upgrades once via discovery over
-      // the full combined key set, when that set is small enough.
-      def cheapDiscovery(frame: DataFrame, nKeys: Long): Option[Set[String]] =
-        if (keyCols.size == 1 && nKeys <= DiscoveryInLimit)
-          Some(discoveryFrame(base, frame, keyCols, nKeys)
-            .collect().map(r => normalize(r.getString(0))).toSet)
-        else None
+      // prior scope unions in; a prior UNSCOPED delta upgrades once via
+      // discovery over the full combined key set, when that is small
       val touchedNorm: Option[Set[String]] =
         if (snap.delta.isEmpty) cheapDiscovery(u, nU)
         else if (snap.dvFiles.isDefined)
           cheapDiscovery(u, nU).map(_ ++ snap.dvFiles.get.map(normalize))
         else cheapDiscovery(combined, n)
-      val scope = touchedNorm.map(t =>
-        snap.entries.map(_.path).filter(p => t.contains(normalize(p))))
-      // the delta stays one coalesced file set: it is re-written whole on
-      // every mergeLite (bounded by maxDeltaRows, so the rewrite is the
-      // small side by construction), while the base is never touched
-      val deltaFiles = writeBatch(spark, fs, root, combined.coalesce(
-        math.max(1L, (n + InsertRowsPerFile - 1) / InsertRowsPerFile).toInt))
-      commit(fs, root, snap.version + 1,
-        encodeSnapshot(withSizes(fs, snap.entries), deltaFiles,
-          snap.dvKeys match { case Nil => keyCols; case pinned => pinned },
-          scope))
+      val deltaFiles = writeBatch(spark, fs, root, combined.coalesce(filesFor(n)))
+      commitDelta(deltaFiles, scopeOf(touchedNorm))
       MergeStats(snap.version + 1, snap.entries.size, snap.delta.size,
         deltaFiles.size, nU)
     } finally if (snap.delta.nonEmpty) graft.util.Checkpoints.free(combined)

@@ -157,10 +157,13 @@ object JobProcessor {
     * the same rows. The read tax is SCOPED: the manifest records which
     * base files hold superseded rows, so insert-only batches leave
     * reads join-free and a replay taxes only its touched files
-    * (MergeLiteDemo phase 2b). Keep the default for insert-mostly
-    * streams anyway: each mergeLite rewrites the accumulated delta
-    * WHOLE, so sustained insert traffic pays quadratic write
-    * amplification between folds, which it would trigger constantly. */
+    * (MergeLiteDemo phase 2b); disjoint-key batches APPEND their own
+    * delta file set, so sustained traffic writes O(batch) per commit
+    * (phase 4). Keep the default for insert-mostly streams anyway:
+    * an insert-only rewrite merge already writes just the batch (no
+    * file is hit), and its rows land in the BASE once — the row-level
+    * path parks them in the delta and later pays the fold's full-table
+    * rewrite for no replay benefit. */
   def runToMergeTable(
       spark: SparkSession, requests: DataFrame, ragContent: DataFrame,
       completer: Completer, tablePath: String,

@@ -997,15 +997,26 @@ class MergeTableSpec extends SparkSpec {
     // reads fall back to suppressing over every base file — correct
     val g = MergeTable.read(spark, path)
     assert(g.count() === 100 && g.filter($"tag" === "lite").count() === 5)
-    // the next mergeLite upgrades: discovery re-runs over the FULL
-    // combined key set, so the prior batch's touched files are scoped too
+    // a DISJOINT batch appends AND upgrades: the full accumulated key
+    // set (prior delta ∪ batch, 7 keys) is small enough to probe, so
+    // the PRIOR batch's touched files are scoped without a combine
     MergeTable.mergeLite(spark, path, rows(200 to 201, "new"), Seq("id"))
     val s2 = MergeTable.snapshot(spark, path)
     assert(s2.dvFiles.exists(_.nonEmpty),
-      "the upgrade must scope the PRIOR batch's touched files")
+      "the append-path upgrade must scope the PRIOR batch's touched files")
     val g2 = MergeTable.read(spark, path)
     assert(g2.count() === 102)
     assert(g2.filter($"tag" === "lite").count() === 5)
+    // an OVERLAPPING batch combines and keeps the scope through the
+    // re-written delta
+    MergeTable.mergeLite(spark, path, rows(9 to 10, "over"), Seq("id"))
+    val s3 = MergeTable.snapshot(spark, path)
+    assert(s3.dvFiles.exists(_.nonEmpty),
+      "the combine must carry the scope, not drop it")
+    val g3 = MergeTable.read(spark, path)
+    assert(g3.count() === 102)
+    assert(g3.filter($"tag" === "lite").count() === 4)  // 5..8 (9 overridden)
+    assert(g3.filter($"tag" === "over").count() === 2)  // 9,10
   }
 
   test("mergeLite scope: foreign/torn scope lines are refused loudly") {
@@ -1044,6 +1055,55 @@ class MergeTableSpec extends SparkSpec {
       if (l.startsWith("dvfile\t")) "dvfile\tfile:/nowhere/else.parquet" else l))
     val e5 = intercept[IllegalArgumentException] { MergeTable.snapshot(spark, path) }
     assert(e5.getMessage.contains("names no base entry"))
+  }
+
+  test("mergeLite append: disjoint batches append their file set; overlap combines; the cap compacts") {
+    val path = freshPath()
+    MergeTable.init(spark, path, rows(1 to 100, "old"))
+    MergeTable.mergeLite(spark, path, rows(5 to 9, "b1"), Seq("id"))
+    val d1 = MergeTable.snapshot(spark, path).delta
+    // disjoint keys: the prior delta files are carried BY REFERENCE —
+    // same paths, only the batch is written
+    val stats2 = MergeTable.mergeLite(spark, path, rows(200 to 204, "b2"), Seq("id"))
+    val s2 = MergeTable.snapshot(spark, path)
+    assert(s2.delta.size === d1.size + stats2.filesWritten,
+      "a disjoint batch must append, not re-write the delta")
+    assert(d1.toSet.subsetOf(s2.delta.toSet),
+      "the prior delta files must be carried untouched")
+    assert(stats2.filesRewritten === 0)
+    val g2 = MergeTable.read(spark, path)
+    assert(g2.count() === 105)
+    assert(g2.filter($"tag" === "b1").count() === 5)
+    assert(g2.filter($"tag" === "b2").count() === 5)
+    // an overlapping batch COMBINES: one re-written delta file set,
+    // last wins per key — no duplicate survives the union
+    MergeTable.mergeLite(spark, path, rows(8 to 9, "b3"), Seq("id"))
+    val s3 = MergeTable.snapshot(spark, path)
+    assert(s3.delta.toSet.intersect(d1.toSet).isEmpty,
+      "an overlapping batch must re-write the delta combined")
+    val g3 = MergeTable.read(spark, path)
+    assert(g3.count() === 105)
+    assert(g3.filter($"tag" === "b1").count() === 3) // 5,6,7
+    assert(g3.filter($"tag" === "b3").count() === 2) // 8,9
+    assert(g3.groupBy("id").count().filter($"count" > 1).isEmpty)
+    // the file-set cap forces a combine even on disjoint keys
+    val nBefore = MergeTable.snapshot(spark, path).delta.size
+    MergeTable.mergeLite(spark, path, rows(300 to 301, "b4"), Seq("id"),
+      maxDeltaFiles = nBefore)
+    val s4 = MergeTable.snapshot(spark, path)
+    assert(s4.delta.size <= nBefore,
+      "at the cap the delta must compact, not keep appending")
+    assert(MergeTable.read(spark, path).count() === 107)
+    // the fold threshold is honored from the append path too
+    MergeTable.mergeLite(spark, path, rows(400 to 409, "b5"), Seq("id"),
+      maxDeltaRows = 10)
+    val s5 = MergeTable.snapshot(spark, path)
+    assert(s5.delta.isEmpty && s5.dvKeys.isEmpty,
+      "past maxDeltaRows a disjoint batch must fold to a DV-free manifest")
+    val g5 = MergeTable.read(spark, path)
+    assert(g5.count() === 117)
+    assert(g5.filter($"tag" === "b5").count() === 10)
+    assert(g5.filter($"tag" === "b1").count() === 3)
   }
 
   test("mergeLite scope: batches past the point-probe limit commit unscoped, not a base scan") {
