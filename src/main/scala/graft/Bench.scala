@@ -54,6 +54,10 @@ object Bench {
     "q134_content_hash_lookup",
     // q135 = init + two mergeLites + eager read pin, all in the lambda
     "q135_merge_lite",
+    // q136 = init + mergeLite + zero-copy clone + branch merge + eager
+    // read pin — build carries the staged-table lineage, serve is the
+    // pinned count
+    "q136_clone_branch",
     // the band-heavy dedup rows (largest sf1 ratios: q33 3.3x, q38 2.6x,
     // q37 2.3x at r12): their lambdas are EAGER through the internal
     // localCheckpoints (shingle frame, banded signatures, verified pair
@@ -286,7 +290,8 @@ object Bench {
       "whole build+purge lifecycle; a deployment amortizes the build " +
       "and pays only the bounded purge per retraction batch.")
     println("note: the JSON 'phases' field decomposes each in-query-build " +
-      "row (q86/q86b/q103/q105/q106/q113/q122/q128/q134) and the band-heavy " +
+      "row (q86/q86b/q103/q105/q106/q113/q122/q128/q134, and the staged-" +
+      "MergeTable rows q135/q136) and the band-heavy " +
       "dedup rows (q33/q37/q38) as a compact [build, serve] 2-decimal pair " +
       "— build = the eager work inside the query lambda (index/codebook " +
       "construction; for the dedup rows, candidate generation + " +

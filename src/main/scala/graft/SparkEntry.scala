@@ -1370,6 +1370,42 @@ object SparkEntry {
       out
     }),
 
+    "q136_clone_branch" -> ((s, d) => {
+      // Zero-copy CLONE (Delta SHALLOW CLONE analog): branch a table by
+      // committing one manifest that references the source's files —
+      // base, delta, and suppression scope verbatim — then evolve the
+      // BRANCH independently (a keyed merge that folds the carried
+      // row-level state) while the source stays untouched. The oracle
+      // is the upsert algebra applied to the branch's lineage: base
+      // ANTI u1 ∪ u1 (the cloned DV state), then ANTI u2 ∪ u2 (the
+      // branch's own merge). The read goes through the CLONE.
+      val docs = T.documents(s, d).filter(col("text").isNotNull)
+      def slice(lo: Int, hi: Int, tag: Option[String]) = docs
+        .filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .select(col("doc_id"),
+          tag.map(lit(_)).getOrElse(col("lang")).as("lang"),
+          substring(col("text"), 1, 40).as("head"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q136")
+      val src = tmp.toString + "/src"
+      val dst = tmp.toString + "/branch"
+      graft.sources.MergeTable.init(s, src, slice(0, 300, None))
+      graft.sources.MergeTable.mergeLite(s, src, slice(200, 350, Some("xx")), Seq("doc_id"))
+      graft.sources.MergeTable.cloneTable(s, src, dst)
+      graft.sources.MergeTable.merge(s, dst, slice(100, 150, Some("yy")), Seq("doc_id"))
+      // branch independence is part of the checked semantics: the
+      // source must not see the branch's merge (fails the whole query
+      // loudly rather than silently passing a corrupted-source run)
+      require(graft.sources.MergeTable.read(s, src)
+        .filter(col("lang") === "yy").isEmpty,
+        "clone leaked a branch write into the source")
+      val out = graft.sources.MergeTable.read(s, dst)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true) // eager pin, then reclaim the staged tables
+      graft.util.Fs.deleteRecursively(tmp)
+      out
+    }),
+
     "q130_append_sink" -> ((s, d) => {
       // S3 (row insert / append sink): two successive mode("append")
       // parquet writes must ACCUMULATE — the second preserves the
@@ -2264,6 +2300,23 @@ object SparkEntry {
         |    WHERE text IS NOT NULL AND doc_id >= 200 AND doc_id < 350),
         |u2 AS (SELECT doc_id, 'yy' AS lang FROM documents
         |    WHERE text IS NOT NULL AND doc_id >= 280 AND doc_id < 320),
+        |m1 AS (SELECT * FROM base WHERE doc_id NOT IN (SELECT doc_id FROM u1)
+        |       UNION ALL SELECT * FROM u1),
+        |m2 AS (SELECT * FROM m1 WHERE doc_id NOT IN (SELECT doc_id FROM u2)
+        |       UNION ALL SELECT * FROM u2)
+        |SELECT doc_id, lang FROM m2 ORDER BY doc_id""".stripMargin,
+
+    // q136: the branch's lineage — the cloned DV state (base ANTI u1 ∪
+    // u1) then the branch's own merge (ANTI u2 ∪ u2); the Spark side
+    // reads through the zero-copy CLONE, so a clone that dropped or
+    // duplicated carried state fails the hash
+    "q136_clone_branch" ->
+      """WITH base AS (SELECT doc_id, lang FROM documents
+        |    WHERE text IS NOT NULL AND doc_id >= 0 AND doc_id < 300),
+        |u1 AS (SELECT doc_id, 'xx' AS lang FROM documents
+        |    WHERE text IS NOT NULL AND doc_id >= 200 AND doc_id < 350),
+        |u2 AS (SELECT doc_id, 'yy' AS lang FROM documents
+        |    WHERE text IS NOT NULL AND doc_id >= 100 AND doc_id < 150),
         |m1 AS (SELECT * FROM base WHERE doc_id NOT IN (SELECT doc_id FROM u1)
         |       UNION ALL SELECT * FROM u1),
         |m2 AS (SELECT * FROM m1 WHERE doc_id NOT IN (SELECT doc_id FROM u2)

@@ -137,22 +137,72 @@ object MergeTable {
     require(latestVersion(fs, root).isEmpty, s"merge table already exists at $path")
     graft.util.ParquetBloom.requireCols(df.columns, bloomKeys, "the table schema")
     if (bloomKeys.nonEmpty) writeBloomProps(fs, root, bloomKeys)
-    else {
-      // a leftover _bloom.properties from a crashed/raced init that DID
-      // name keys must not be silently adopted as this table's config
-      // (writeBatch reads and applies whatever the file says) — the
-      // same different-columns IllegalStateException writeBloomProps
-      // raises, with "none" as this init's requested set
-      val have = readBloomProps(fs, root)
-      if (have.nonEmpty) throw new IllegalStateException(
-        s"bloom config at ${bloomPropsPath(root)} already exists with columns " +
-          s"[${have.mkString(",")}] but this init requested none — a failed or " +
-          "concurrent init used other keys; delete the path deliberately to " +
-          "change a table's bloom columns")
-    }
+    else requireNoForeignBloom(fs, root)
     val files = writeBatch(spark, fs, root, df)
     commit(fs, root, 1L, encodeSnapshot(files, Nil, Nil))
     Snapshot(1L, files)
+  }
+
+  /** Zero-copy CLONE (Delta SHALLOW CLONE, miniature): `dst` becomes a
+    * new table whose v1 manifest references `src`'s CURRENT files —
+    * base, delta, and suppression scope carried verbatim — so branching
+    * a 100 TB table is one manifest write, no data copied. The branch
+    * is then fully independent: merges/deletes/compactions on either
+    * side commit to their OWN manifest log, and writes land under
+    * their own `data/` directory (a clone's vacuum lists only its own
+    * directory, so it can never reclaim source files, and vice versa —
+    * safe by construction, not by bookkeeping).
+    *
+    * LIFETIME CAVEAT (same as Delta's shallow clone): the shared files
+    * live under `src`'s retention. While `src`'s tip still references
+    * them they are safe from its vacuum; once `src` rewrites or
+    * compacts them away they become reclaimable there, and this
+    * clone's reads then fail with file-not-found. A clone meant to
+    * outlive the source's churn should be materialized — one
+    * [[compactTable]] on the clone rewrites everything into its own
+    * files and severs the dependency.
+    *
+    * The source's bloom CONFIG is copied (future writers on the clone
+    * maintain the same filters); its data files already carry them. */
+  def cloneTable(spark: SparkSession, src: String, dst: String): Snapshot = {
+    val (dstFs, dstRoot) = fsOf(spark, dst)
+    val (srcFs, srcRoot) = fsOf(spark, src)
+    require(normalize(srcRoot.toString) != normalize(dstRoot.toString),
+      s"clone source and destination are the same table: $src")
+    Manifests.requireRoundTrippableRoot(dstFs, dstRoot, "merge-table")
+    require(latestVersion(dstFs, dstRoot).isEmpty,
+      s"merge table already exists at $dst")
+    val snap = snapshot(spark, src) // tip; clone-at-version = readAt + clone of a compacted copy
+    val bloom = readBloomProps(srcFs, srcRoot)
+    if (bloom.nonEmpty) writeBloomProps(dstFs, dstRoot, bloom)
+    // a bloom-less source must not let the clone silently adopt a
+    // leftover destination config a crashed/raced earlier init left —
+    // the same refusal init(bloomKeys = Nil) makes (and a TORN leftover
+    // fails loudly HERE, at creation, not on the clone's first write)
+    else requireNoForeignBloom(dstFs, dstRoot)
+    // sizes ride along (withSizes upgrades a legacy size-less source
+    // once, here, so the clone starts on the zero-listing read path) —
+    // returned as committed, so the caller's snapshot agrees with disk
+    val entries = withSizes(srcFs, snap.entries)
+    val delta = withSizes(srcFs, snap.delta)
+    commit(dstFs, dstRoot, 1L,
+      encodeSnapshot(entries, delta, snap.dvKeys, snap.dvFiles))
+    Snapshot(1L, entries, delta, snap.dvKeys, snap.dvFiles)
+  }
+
+  /** The refusal [[init]] (no keys) and [[cloneTable]] (bloom-less
+    * source) share: a leftover `_bloom.properties` from a crashed or
+    * raced keyed init must not be silently adopted as this table's
+    * config (writeBatch reads and applies whatever the file says) —
+    * the same different-columns IllegalStateException writeBloomProps
+    * raises, with "none" as the requested set. */
+  private def requireNoForeignBloom(fs: FileSystem, root: Path): Unit = {
+    val have = readBloomProps(fs, root)
+    if (have.nonEmpty) throw new IllegalStateException(
+      s"bloom config at ${bloomPropsPath(root)} already exists with columns " +
+        s"[${have.mkString(",")}] but this table requested none — a failed or " +
+        "concurrent init used other keys; delete the path deliberately to " +
+        "change a table's bloom columns")
   }
 
   /** The persisted bloom-filter columns of the table at `path` (empty

@@ -1134,6 +1134,72 @@ class MergeTableSpec extends SparkSpec {
     assert(MergeTable.read(spark, p2).filter($"body" === "replaced").count() === 1)
   }
 
+  test("cloneTable: zero-copy branch — shared files, carried DV state, independent evolution") {
+    val src = freshPath()
+    val dst = freshPath()
+    MergeTable.init(spark, src, rows(1 to 100, "old"))
+    MergeTable.mergeLite(spark, src, rows(5 to 9, "lite"), Seq("id"))
+    val snap = MergeTable.cloneTable(spark, src, dst)
+    assert(snap.version === 1L)
+    val s = MergeTable.snapshot(spark, dst)
+    val srcSnap = MergeTable.snapshot(spark, src)
+    assert(s.entries === srcSnap.entries, "base files shared by reference")
+    assert(s.delta === srcSnap.delta && s.dvKeys === Seq("id") &&
+      s.dvFiles === srcSnap.dvFiles, "row-level state carried verbatim")
+    assert(MergeTable.read(spark, dst).orderBy("id").collect().toSeq ===
+      MergeTable.read(spark, src).orderBy("id").collect().toSeq)
+    // refusals: self-clone, clone onto an existing table
+    intercept[IllegalArgumentException] { MergeTable.cloneTable(spark, src, src) }
+    intercept[IllegalArgumentException] { MergeTable.cloneTable(spark, src, dst) }
+    // independent evolution: a merge on the clone never touches the source
+    MergeTable.merge(spark, dst, rows(50 to 54, "branch"), Seq("id"))
+    assert(MergeTable.read(spark, src).filter($"tag" === "branch").isEmpty)
+    assert(MergeTable.read(spark, dst).filter($"tag" === "branch").count() === 5)
+    assert(MergeTable.read(spark, src).filter($"tag" === "lite").count() === 5)
+    // the clone's vacuum lists only ITS data/ — source files are out of
+    // reach by construction
+    MergeTable.vacuum(spark, dst, retainMillis = 0)
+    assert(MergeTable.read(spark, src).count() === 100)
+    assert(MergeTable.read(spark, dst).count() === 100)
+    // a MATERIALIZED clone (one compaction) survives source churn...
+    val dst2 = freshPath()
+    MergeTable.cloneTable(spark, src, dst2)
+    MergeTable.compactTable(spark, dst2, "id", 2)
+    MergeTable.compactTable(spark, src, "id", 2)
+    MergeTable.vacuum(spark, src, retainMillis = 0)
+    assert(MergeTable.read(spark, dst2).count() === 100)
+    // ...while the unmaterialized branch's shared files are now gone —
+    // the documented shallow-clone lifetime caveat, failing loudly
+    intercept[Exception] { MergeTable.read(spark, dst).count() }
+  }
+
+  test("cloneTable: the source's bloom config rides along so the clone's writers maintain filters") {
+    val src = freshPath()
+    val dst = freshPath()
+    val df = rows(1 to 20, "a").withColumn("h", sha2($"body", 256))
+    MergeTable.init(spark, src, df, bloomKeys = Seq("h"))
+    MergeTable.cloneTable(spark, src, dst)
+    assert(MergeTable.bloomConfig(spark, dst) === Seq("h"))
+    // a keyed merge on the clone writes with the inherited config
+    MergeTable.merge(spark, dst,
+      rows(21 to 22, "b").withColumn("h", sha2($"body", 256)), Seq("h"))
+    assert(MergeTable.read(spark, dst).count() === 22)
+    // a BLOOM-LESS source must not let the clone silently adopt a
+    // leftover destination config (the init(bloomKeys = Nil) refusal)
+    val src2 = freshPath()
+    val dst2 = freshPath()
+    MergeTable.init(spark, src2, rows(1 to 5, "a"))
+    val p = new org.apache.hadoop.fs.Path(dst2)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p)
+    val out = fs.create(new org.apache.hadoop.fs.Path(p, "_bloom.properties"), false)
+    out.write("h\n#end\n".getBytes("UTF-8")); out.close()
+    val e = intercept[IllegalStateException] {
+      MergeTable.cloneTable(spark, src2, dst2)
+    }
+    assert(e.getMessage.contains("requested none"))
+  }
+
   test("bloom props: a torn config (missing the terminator) fails loudly, not partially") {
     // simulate the no-hardlink fallback's hard-crash residue: a prefix
     // of the real bytes at the FIXED target name — the reader must not
