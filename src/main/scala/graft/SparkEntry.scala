@@ -1406,6 +1406,52 @@ object SparkEntry {
       out
     }),
 
+    "q137_changed_rows" -> ((s, d) => {
+      // CHANGE DATA FEED at churn cost: the rows upserted between two
+      // committed versions, computed from the manifest diff (added vs
+      // retired files + the suppression-scope carryover) instead of
+      // diffing two full reads. Semantically EXACTLY readAt(to) EXCEPT
+      // readAt(from) — which is the DuckDB oracle, computed the
+      // expensive way. Lineage: v1 init, v2 rewrite merge, v3 row-level
+      // merge (delta + scope), so the diff crosses both write paths.
+      val docs = T.documents(s, d).filter(col("text").isNotNull)
+      def slice(lo: Int, hi: Int, tag: Option[String]) = docs
+        .filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .select(col("doc_id"),
+          tag.map(lit(_)).getOrElse(col("lang")).as("lang"),
+          substring(col("text"), 1, 40).as("head"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q137")
+      val t = tmp.toString + "/t"
+      graft.sources.MergeTable.init(s, t, slice(0, 300, None))
+      graft.sources.MergeTable.merge(s, t, slice(200, 350, Some("xx")), Seq("doc_id"))
+      graft.sources.MergeTable.mergeLite(s, t, slice(100, 120, Some("yy")), Seq("doc_id"))
+      val out = graft.sources.MergeTable.changesBetween(s, t, 1L, 3L, Seq("doc_id"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true)
+      graft.util.Fs.deleteRecursively(tmp)
+      out
+    }),
+
+    "q138_deleted_keys" -> ((s, d) => {
+      // the DELETE side of the feed: keys present at fromV and absent
+      // at toV, from the same manifest diff — oracle = key-level EXCEPT
+      val docs = T.documents(s, d).filter(col("text").isNotNull)
+      val base = docs.filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("lang"),
+          substring(col("text"), 1, 40).as("head"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q138")
+      val t = tmp.toString + "/t"
+      graft.sources.MergeTable.init(s, t, base)
+      graft.sources.MergeTable.deleteWhere(s, t,
+        col("doc_id") >= 50 && col("doc_id") < 70)
+      val out = graft.sources.MergeTable.deletesBetween(s, t, 1L, 2L, Seq("doc_id"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true)
+      graft.util.Fs.deleteRecursively(tmp)
+      out
+    }),
+
     "q130_append_sink" -> ((s, d) => {
       // S3 (row insert / append sink): two successive mode("append")
       // parquet writes must ACCUMULATE — the second preserves the
@@ -2305,6 +2351,37 @@ object SparkEntry {
         |m2 AS (SELECT * FROM m1 WHERE doc_id NOT IN (SELECT doc_id FROM u2)
         |       UNION ALL SELECT * FROM u2)
         |SELECT doc_id, lang FROM m2 ORDER BY doc_id""".stripMargin,
+
+    // q137: the change feed's contract IS readAt(to) EXCEPT
+    // readAt(from) — DuckDB computes it the expensive way (two full
+    // materializations) while the Spark side reads only the churned
+    // files; identical rows prove the shortcut exact
+    "q137_changed_rows" ->
+      """WITH base AS (SELECT doc_id, lang,
+        |        substr(text, 1, 40) AS head FROM documents
+        |    WHERE text IS NOT NULL AND doc_id >= 0 AND doc_id < 300),
+        |u1 AS (SELECT doc_id, 'xx' AS lang, substr(text, 1, 40) AS head
+        |    FROM documents
+        |    WHERE text IS NOT NULL AND doc_id >= 200 AND doc_id < 350),
+        |u2 AS (SELECT doc_id, 'yy' AS lang, substr(text, 1, 40) AS head
+        |    FROM documents
+        |    WHERE text IS NOT NULL AND doc_id >= 100 AND doc_id < 120),
+        |v1 AS (SELECT * FROM base),
+        |m1 AS (SELECT * FROM base WHERE doc_id NOT IN (SELECT doc_id FROM u1)
+        |       UNION ALL SELECT * FROM u1),
+        |v3 AS (SELECT * FROM m1 WHERE doc_id NOT IN (SELECT doc_id FROM u2)
+        |       UNION ALL SELECT * FROM u2)
+        |SELECT doc_id, lang FROM (SELECT * FROM v3 EXCEPT SELECT * FROM v1)
+        |ORDER BY doc_id""".stripMargin,
+
+    // q138: key-level EXCEPT across a predicate delete
+    "q138_deleted_keys" ->
+      """WITH v1 AS (SELECT doc_id FROM documents
+        |    WHERE text IS NOT NULL AND doc_id < 300),
+        |v2 AS (SELECT doc_id FROM v1
+        |    WHERE NOT (doc_id >= 50 AND doc_id < 70))
+        |SELECT doc_id FROM (SELECT doc_id FROM v1 EXCEPT SELECT doc_id FROM v2)
+        |ORDER BY doc_id""".stripMargin,
 
     // q136: the branch's lineage — the cloned DV state (base ANTI u1 ∪
     // u1) then the branch's own merge (ANTI u2 ∪ u2); the Spark side

@@ -479,6 +479,168 @@ object MergeTable {
   def readAt(spark: SparkSession, path: String, version: Long): DataFrame =
     logicalFrame(spark, snapshotAt(spark, path, version))
 
+  /** CHANGE DATA FEED, at churn cost: the rows upserted between
+    * committed versions `fromV` (exclusive) and `toV` (inclusive) — the
+    * incremental-consumption primitive (re-embed only the documents a
+    * merge changed, refresh an index from a version cursor) that at
+    * 100 TB cannot be "diff two full reads".
+    *
+    * Semantically EXACTLY `readAt(toV) EXCEPT readAt(fromV)` (bag
+    * semantics coincide — keys are unique per version), but computed
+    * from the manifest DIFF: a keyed write only creates/retires files,
+    * never mutates one, so every row that changed lives in a file
+    * ADDED since `fromV`, and its previous state (if any) lives in a
+    * file RETIRED since `fromV` (a changed key's old file was hit by
+    * the very merge that changed it). The scan is added ∪ retired
+    * files — proportional to the CHURN, not the table. Rows carried
+    * verbatim through a rewrite/compaction/fold (same key, same
+    * content, new file) cancel in the join, so maintenance passes
+    * report nothing. A redelivered no-op update (same content
+    * re-merged) also cancels — matching the EXCEPT oracle; consumers
+    * keyed on "did anything change" see exactly the changes.
+    *
+    * `keyCols` must be the table's merge keys (unique per version —
+    * not persisted for DV-free tables, so the caller supplies them;
+    * a delta-carrying version's dvKeys must agree). Both versions must
+    * still be readable (vacuum retention). Cost notes: the probe side
+    * also reads the CARRIED base files `toV`'s suppression scope names
+    * (a mergeLite supersedes rows without retiring their files — the
+    * superseded state lives there; scope files are the touched files,
+    * i.e. churn) plus the small delta sets (bounded by maxDeltaRows);
+    * an UNSCOPED delta version falls back to probing every carried
+    * base file; a compaction between the versions churns every file —
+    * the diff then IS two full scans, which is also the honest
+    * answer. */
+  def changesBetween(
+      spark: SparkSession, path: String, fromV: Long, toV: Long,
+      keyCols: Seq[String]): DataFrame = {
+    val (from, to) = diffSnapshots(spark, path, fromV, toV, keyCols)
+    val fromSet = from.allFiles.map(normalize).toSet
+    val toSet = to.allFiles.map(normalize).toSet
+    val added = diffSide(spark, to, fromSet, Nil).getOrElse {
+      val empty = logicalFrame(spark, to)
+      requireDiffKeys(empty.columns, keyCols)
+      return empty.limit(0) // no new files: no changes
+    }
+    requireDiffKeys(added.columns, keyCols)
+    val cols = added.columns.toSeq // the table's natural order, every path
+    // the probe holds every key's PREVIOUS live state: rows in files
+    // `from` referenced and `to` doesn't, plus — because a row-level
+    // merge supersedes without retiring — `from`-live rows in the
+    // carried base files `to`'s scope names (unscoped: all carried),
+    // with `from`'s own delta riding along for exact suppression
+    val carriedProbe: Seq[FileEntry] =
+      if (to.delta.isEmpty) Nil
+      else {
+        val carried = from.entries.filter(e => toSet.contains(normalize(e.path)))
+        to.dvFiles match {
+          case Some(scope) =>
+            val s = scope.map(normalize).toSet
+            carried.filter(e => s.contains(normalize(e.path)))
+          case None => carried
+        }
+      }
+    diffSide(spark, from, toSet, carriedProbe) match {
+      case None => added
+      case Some(retired) =>
+        // absent-or-differs: null-safe struct compare keeps a changed
+        // row, drops a carried/no-op one (join keys are unique per
+        // version, so the left join preserves added's row count). The
+        // marker gets a fresh name (the mergeLiteOnce __hit rationale:
+        // a real column by that name would make the join ambiguous)
+        // and the final select restores the table's column order the
+        // USING join would otherwise rearrange.
+        val nonKey = added.columns.filterNot(keyCols.contains).toSeq
+        val was = Iterator.from(0).map("__was" + _)
+          .find(!added.columns.contains(_)).get
+        val probe = retired
+          .select(keyCols.map(col) :+
+            struct(nonKey.map(col): _*).as(was): _*)
+        added.join(probe, keyCols, "left")
+          .filter(!(struct(nonKey.map(col): _*) <=> col(was)))
+          .select(cols.map(col): _*)
+    }
+  }
+
+  /** The DELETE side of the feed: keys present at `fromV` and absent
+    * at `toV` (a [[deleteWhere]] between the versions), at the same
+    * churn cost. Keys only — the deleted rows' content is `fromV`'s.
+    * (Row-level merges never delete keys, so the carried-file subtlety
+    * of [[changesBetween]] does not arise: every path that removes a
+    * key retires its file first.) */
+  def deletesBetween(
+      spark: SparkSession, path: String, fromV: Long, toV: Long,
+      keyCols: Seq[String]): DataFrame = {
+    val (from, to) = diffSnapshots(spark, path, fromV, toV, keyCols)
+    val fromSet = from.allFiles.map(normalize).toSet
+    val toSet = to.allFiles.map(normalize).toSet
+    val retired = diffSide(spark, from, toSet, Nil).getOrElse {
+      val empty = logicalFrame(spark, from)
+      requireDiffKeys(empty.columns, keyCols)
+      return empty.limit(0).select(keyCols.map(col): _*) // nothing retired
+    }
+    requireDiffKeys(retired.columns, keyCols)
+    val retiredKeys = retired.select(keyCols.map(col): _*)
+    diffSide(spark, to, fromSet, Nil) match {
+      case None => retiredKeys
+      case Some(added) =>
+        retiredKeys.join(added.select(keyCols.map(col): _*),
+          keyCols, "left_anti")
+    }
+  }
+
+  /** The friendly missing-key refusal every keyed entry point emits —
+    * a typo'd key would otherwise die later as a raw USING-join
+    * AnalysisException deep inside the diff plan. */
+  private def requireDiffKeys(cols: Seq[String], keyCols: Seq[String]): Unit =
+    require(keyCols.forall(cols.contains),
+      s"key ${keyCols.mkString(",")} missing from table")
+
+  private def diffSnapshots(
+      spark: SparkSession, path: String, fromV: Long, toV: Long,
+      keyCols: Seq[String]): (Snapshot, Snapshot) = {
+    requireKeyCols(keyCols)
+    require(fromV < toV, s"diff window must go forward: v$fromV -> v$toV")
+    val from = snapshotAt(spark, path, fromV)
+    val to = snapshotAt(spark, path, toV)
+    Seq(from, to).foreach(s =>
+      if (s.delta.nonEmpty && s.dvKeys.toSet != keyCols.toSet)
+        throw new IllegalArgumentException(
+          s"version ${s.version} carries row-level state keyed by " +
+            s"[${s.dvKeys.mkString(",")}] — diff by the same keys"))
+    (from, to)
+  }
+
+  /** One side of the version diff as a LOGICAL frame: the snapshot's
+    * live rows restricted to its files NOT in `other`, plus `extra`
+    * carried files — with the snapshot's OWN key suppression applied
+    * (its full delta rides along whenever any restricted base file
+    * exists: the delta is bounded small, and a partial key set would
+    * resurrect superseded rows inside the side). */
+  private def diffSide(
+      spark: SparkSession, s: Snapshot, other: Set[String],
+      extra: Seq[FileEntry]): Option[DataFrame] = {
+    val base = (s.entries.filterNot(e => other.contains(normalize(e.path))) ++
+      extra).distinct
+    val deltaDiff = s.delta.filterNot(e => other.contains(normalize(e.path)))
+    // whenever the side holds base rows, suppression needs the FULL
+    // delta key set — a partial one would resurrect superseded rows
+    // inside the side. The full delta also UNIONS its rows in, possibly
+    // beyond the diff; that is harmless-by-construction: a delta file
+    // on both sides contributes identical rows to both, which cancel in
+    // the changes join and match away in the deletes anti-join — and
+    // the delta is bounded small (maxDeltaRows).
+    val delta = if (base.isEmpty) deltaDiff else s.delta
+    if (base.isEmpty && delta.isEmpty) None
+    else {
+      val baseNorm = base.map(e => normalize(e.path)).toSet
+      Some(logicalFrame(spark,
+        Snapshot(s.version, base, delta,
+          if (delta.isEmpty) Nil else s.dvKeys,
+          s.dvFiles.map(_.filter(p => baseNorm.contains(normalize(p)))))))
+    }
+  }
+
   /** A PINNED version's snapshot; the travel-ended failure comes from
     * [[Manifests.readPinned]] (raised from the read itself, cause
     * chained — never an exists pre-check a sweep could invalidate). */

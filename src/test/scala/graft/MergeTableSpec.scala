@@ -1173,6 +1173,107 @@ class MergeTableSpec extends SparkSpec {
     intercept[Exception] { MergeTable.read(spark, dst).count() }
   }
 
+  test("changesBetween/deletesBetween: the version diff equals EXCEPT, at churn cost") {
+    val path = freshPath()
+    MergeTable.init(spark, path, rows(1 to 100, "old"))                 // v1
+    MergeTable.compactTable(spark, path, "id", 8)                       // v2
+    MergeTable.merge(spark, path, rows(95 to 110, "m"), Seq("id"))      // v3
+    MergeTable.mergeLite(spark, path, rows(3 to 5, "dv"), Seq("id"))    // v4 (delta)
+    MergeTable.mergeLite(spark, path, rows(200 to 202, "dv2"), Seq("id")) // v5 (append)
+    // the oracle, computed the expensive way: EXCEPT over full reads
+    def exceptOracle(from: Long, to: Long) =
+      MergeTable.readAt(spark, path, to)
+        .exceptAll(MergeTable.readAt(spark, path, from))
+        .orderBy("id").collect().toSeq
+    for ((f, t) <- Seq((2L, 3L), (2L, 4L), (2L, 5L), (3L, 5L), (4L, 5L))) {
+      val got = MergeTable.changesBetween(spark, path, f, t, Seq("id"))
+        .orderBy("id").collect().toSeq
+      assert(got === exceptOracle(f, t), s"diff v$f -> v$t diverged from EXCEPT")
+    }
+    // the churn gate: the v4 -> v5 diff (one appended delta file) must
+    // scan only the files the window TOUCHED — added/retired files,
+    // the target's suppression-scope files (where superseded state
+    // lives), and the small delta — never the table's untouched base
+    def names(ps: Iterable[String]) =
+      ps.map(p => new org.apache.hadoop.fs.Path(p).getName).toSet
+    val s4 = MergeTable.snapshotAt(spark, path, 4L)
+    val s5 = MergeTable.snapshotAt(spark, path, 5L)
+    val churned = (s5.allFiles.toSet -- s4.allFiles.toSet) ++
+      (s4.allFiles.toSet -- s5.allFiles.toSet)
+    val allowed = names(churned) ++ names(s5.dvFiles.get) ++
+      names(s4.delta.map(_.path))
+    val df = MergeTable.changesBetween(spark, path, 4L, 5L, Seq("id"))
+    val scanned = names(graft.util.Plans.executedNodes(df).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.flatMap(_.relation.location.inputFiles))
+    assert(scanned.subsetOf(allowed),
+      s"the diff must scan only touched files: ${scanned -- allowed} leaked")
+    val untouchedBase = names(s5.entries.map(_.path)) --
+      names(s5.dvFiles.get) -- names(churned)
+    assert(untouchedBase.nonEmpty && scanned.intersect(untouchedBase).isEmpty,
+      "untouched base files must never be read by the diff")
+    // a NO-OP row-level redelivery cancels too: the appended delta row
+    // is byte-identical to the suppressed base row, whose file was NOT
+    // retired — the probe's carried-scope extension is what sees it
+    MergeTable.mergeLite(spark, path, rows(50 to 50, "old"), Seq("id")) // v6
+    assert(MergeTable.changesBetween(spark, path, 5L, 6L, Seq("id")).isEmpty,
+      "an identical redelivered row must cancel against its carried base copy")
+    assert(MergeTable.changesBetween(spark, path, 5L, 6L, Seq("id")).collect().toSeq ===
+      MergeTable.readAt(spark, path, 6L)
+        .exceptAll(MergeTable.readAt(spark, path, 5L)).collect().toSeq)
+    // maintenance passes cancel: a compaction churns every file but
+    // changes nothing — the diff is empty
+    MergeTable.compactTable(spark, path, "id", 4)                       // v7 (folds)
+    assert(MergeTable.changesBetween(spark, path, 6L, 7L, Seq("id")).isEmpty,
+      "carried rows must cancel in the join")
+    // a no-op re-merge (identical content) also cancels
+    MergeTable.merge(spark, path, rows(95 to 97, "m"), Seq("id"))       // v8
+    assert(MergeTable.changesBetween(spark, path, 7L, 8L, Seq("id")).isEmpty)
+    // deletes: keys gone in the window, carried keys silent
+    MergeTable.deleteWhere(spark, path, $"id" >= 20L && $"id" < 25L)    // v9
+    val dels = MergeTable.deletesBetween(spark, path, 8L, 9L, Seq("id"))
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(dels === Seq(20L, 21L, 22L, 23L, 24L))
+    assert(MergeTable.deletesBetween(spark, path, 7L, 8L, Seq("id")).isEmpty,
+      "a no-op window reports no deletes")
+    // upserts across the delete window: nothing was upserted
+    assert(MergeTable.changesBetween(spark, path, 8L, 9L, Seq("id")).isEmpty)
+    // key mismatch against persisted row-level state: loud
+    intercept[IllegalArgumentException] {
+      MergeTable.changesBetween(spark, path, 4L, 5L, Seq("tag"))
+    }
+  }
+
+  test("changesBetween: table column order survives a non-leading key; typo'd keys are friendly") {
+    val path = freshPath()
+    // key NOT first: the USING join would put it first without the
+    // final re-select — consumers writing the feed positionally care
+    val df = rows(1 to 20, "a").select($"tag", $"id", $"body")
+    MergeTable.init(spark, path, df)
+    MergeTable.merge(spark, path,
+      rows(5 to 6, "b").select($"tag", $"id", $"body"), Seq("id"))
+    val ch = MergeTable.changesBetween(spark, path, 1L, 2L, Seq("id"))
+    assert(ch.columns.toSeq === Seq("tag", "id", "body"),
+      "the feed must keep the table's column order on every path")
+    assert(ch.count() === 2)
+    val e = intercept[IllegalArgumentException] {
+      MergeTable.changesBetween(spark, path, 1L, 2L, Seq("nope"))
+    }
+    assert(e.getMessage.contains("missing from table"))
+    intercept[IllegalArgumentException] {
+      MergeTable.deletesBetween(spark, path, 1L, 2L, Seq("nope"))
+    }
+    // a real column named like the probe marker must not break the join
+    val p2 = freshPath()
+    MergeTable.init(spark, p2,
+      rows(1 to 10, "a").withColumn("__was0", lit("x")))
+    MergeTable.merge(spark, p2,
+      rows(3 to 4, "b").withColumn("__was0", lit("y")), Seq("id"))
+    val ch2 = MergeTable.changesBetween(spark, p2, 1L, 2L, Seq("id"))
+    assert(ch2.count() === 2)
+    assert(ch2.columns.count(_ == "__was0") === 1)
+  }
+
   test("cloneTable: the source's bloom config rides along so the clone's writers maintain filters") {
     val src = freshPath()
     val dst = freshPath()
