@@ -79,6 +79,24 @@ object ManifestScaleDemo {
       time(f"[$n%,d files] steady-state re-resolve (snapshot+relation)") {
         MergeTable.read(spark, tbl.toString)
       }
+      // zero-copy clone: branching an n-file table is ONE manifest
+      // write (entries already sized, so no stats either)
+      val cloneDir = root.resolve(f"clone$n%d")
+      time(f"[$n%,d files] cloneTable (zero-copy branch)") {
+        MergeTable.cloneTable(spark, tbl.toString, cloneDir.toString)
+      }
+      // change feed: a 2-file churn window against an n-file table
+      // costs two manifest parses + a 2-file scan, never the table
+      val extra = (n until n + 2).map { i =>
+        java.nio.file.Files.copy(seed, batch.resolve(f"part-$i%06d-c000.parquet"))
+        "file://" + batch.resolve(f"part-$i%06d-c000.parquet").toString +
+          "\t" + seedSize
+      }
+      Manifests.commit(fs, mdir, 3L, files.map(f => f + "\t" + seedSize) ++ extra)
+      time(f"[$n%,d files] changesBetween over a 2-file window (count)") {
+        require(MergeTable.changesBetween(spark, tbl.toString, 2L, 3L,
+          Seq("id")).count() == 2L)
+      }
     }
 
     // ---- version-count curve ---------------------------------------------
