@@ -391,6 +391,61 @@ object IndexMaintenance {
     *    delete's discovery pass scans the corpus NARROWLY (id+cluster
     *    columns only) to find touched clusters; the rewrite itself is
     *    cluster-local. */
+  /** Catch the indexed KB (and optional lexical / dedup / semantic
+    * surfaces) up with a keyed [[graft.sources.MergeTable]] that OTHER
+    * writers advance — the BATCH counterpart of the streaming arrival
+    * path, driven by the storage layer's change feed at churn cost:
+    * only the rows the `(sinceVersion, tip]` window upserted are
+    * applied ([[graft.sources.MergeTable.changesBetween]]), only the
+    * keys it deleted are retracted (NULL-content rows through the
+    * [[applyBatch]] CRUD convention), and a window that committed
+    * nothing new applies nothing. `sinceVersion = 0` bootstraps from a
+    * full read.
+    *
+    * No admission gates run here — the table IS the upstream truth the
+    * arrival path already gated; gating a sync would silently diverge
+    * the indexes from it. The semantic surface is maintained without
+    * the tau gate for the same reason (the direct-applyBatch
+    * composition the runner's doc points at). Idempotent per window
+    * (keyed upserts + keyed purges), so a crashed sync re-runs safely.
+    *
+    * @return the table's tip version — persist it as the next cursor */
+  def syncFromTable(
+      session: GraftSession, tablePath: String, sinceVersion: Long,
+      idCol: String = "id", contentCol: String = "content",
+      vecCol: String = "embedding",
+      lexicalPath: Option[String] = None,
+      dedupPath: Option[String] = None,
+      semanticPath: Option[String] = None): Long = {
+    val spark = session.spark
+    require(sinceVersion >= 0, "sinceVersion must be >= 0 (0 bootstraps)")
+    val tip = graft.sources.MergeTable.snapshot(spark, tablePath).version
+    if (tip == sinceVersion) return tip
+    require(tip > sinceVersion,
+      s"cursor v$sinceVersion is ahead of the table tip v$tip at " +
+        s"$tablePath — the cursor belongs to another table or lineage")
+    val batch =
+      if (sinceVersion == 0L) graft.sources.MergeTable.read(spark, tablePath)
+      else {
+        val changed = graft.sources.MergeTable.changesBetween(
+          spark, tablePath, sinceVersion, tip, Seq(idCol))
+        val deleted = graft.sources.MergeTable.deletesBetween(
+          spark, tablePath, sinceVersion, tip, Seq(idCol))
+        // deleted keys become retraction rows: every non-key column
+        // NULL (typed from the feed's schema), content included
+        val retract = changed.columns.foldLeft(deleted)((df, c) =>
+          if (c == idCol) df
+          else df.withColumn(c, lit(null).cast(changed.schema(c).dataType)))
+          .select(changed.columns.map(col).toSeq: _*)
+        changed.unionByName(retract)
+      }
+    applyBatch(session, batch, versionCol = None,
+      lexicalPath = lexicalPath, dedupPath = dedupPath,
+      idCol = idCol, contentCol = contentCol, vecCol = vecCol,
+      semanticPath = semanticPath)
+    tip
+  }
+
   private[graft] def applyBatch(
       session: GraftSession, batch: DataFrame,
       versionCol: Option[String], lexicalPath: Option[String],

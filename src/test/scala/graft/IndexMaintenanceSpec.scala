@@ -530,4 +530,64 @@ class IndexMaintenanceSpec extends SparkSpec {
       assert(a === b, "replayed batch picked a different winner")
     } finally graft.plans.IvfIndex.unregister(spark, "embedding")
   }
+
+  test("syncFromTable: the change feed drives offline index catch-up, retractions included") {
+    val emb = HashEmbedder(16)
+    val g = GraftSession(spark, emb)
+    val base = java.nio.file.Files.createTempDirectory("sync_cdf").toString
+    val table = s"$base/docs"
+    val lex = s"$base/lex"
+    def doc(i: Long, text: String) = (i, text)
+    val v1 = emb.embedColumn(
+      (1L to 12L).map(i => doc(i, s"document number $i about topic${i % 4}"))
+        .toDF("id", "content"), "content", "embedding")
+    graft.sources.MergeTable.init(spark, table, v1)                    // v1
+    // the serving session bootstraps from v1 and indexes it
+    g.loadKnowledgeBase(graft.sources.MergeTable.readAt(spark, table, 1L))
+    g.indexKnowledge(s"$base/kb", nClusters = 2, nprobe = 2)
+    g.buildLexicalIndex(lex)
+    try {
+      // OTHER writers advance the table across every write path:
+      // rewrite merge (update 3 + insert 99), row-level merge (insert
+      // 100), and a predicate delete (5) — which folds, then deletes
+      graft.sources.MergeTable.merge(spark, table, emb.embedColumn(Seq(
+        doc(3L, "zebra quokka final replacement"),
+        doc(99L, "xylophone walrus entirely new entry")).toDF("id", "content"),
+        "content", "embedding"), Seq("id"))
+      graft.sources.MergeTable.mergeLite(spark, table, emb.embedColumn(Seq(
+        doc(100L, "aardvark bonobo appended entry")).toDF("id", "content"),
+        "content", "embedding"), Seq("id"))
+      graft.sources.MergeTable.deleteWhere(spark, table, col("id") === 5L)
+      val tip = graft.sources.MergeTable.snapshot(spark, table).version
+
+      val cursor = IndexMaintenance.syncFromTable(
+        g, table, sinceVersion = 1L, lexicalPath = Some(lex))
+      assert(cursor === tip, "the sync must return the tip as the next cursor")
+      val kb = g.knowledgeBase
+      assert(kb.count() === 13L, "12 + 2 inserts - 1 delete")
+      assert(kb.filter(col("id") === 5L).isEmpty, "deleted key must retract")
+      assert(kb.filter(col("id") === 3L).select("content").head().getString(0)
+        === "zebra quokka final replacement")
+      // both serving paths see the synced state
+      val vecHits = g.searchKnowledge("aardvark bonobo appended entry", k = 3)
+        .select("id").collect().map(_.getLong(0)).toSeq
+      assert(vecHits.contains(100L), s"vector index stale after sync: $vecHits")
+      val lexHits = g.hybridSearchKnowledge("zebra quokka", k = 3)
+        .select("id").collect().map(_.getLong(0)).toSeq
+      assert(lexHits.contains(3L), s"lexical index stale after sync: $lexHits")
+
+      // idempotent: re-running the same window converges to the same state
+      assert(IndexMaintenance.syncFromTable(
+        g, table, sinceVersion = 1L, lexicalPath = Some(lex)) === tip)
+      assert(g.knowledgeBase.count() === 13L)
+      // a no-op window applies nothing and keeps the cursor
+      assert(IndexMaintenance.syncFromTable(
+        g, table, sinceVersion = cursor, lexicalPath = Some(lex)) === cursor)
+      // a cursor from another lineage fails loudly
+      val e = intercept[IllegalArgumentException] {
+        IndexMaintenance.syncFromTable(g, table, sinceVersion = cursor + 10)
+      }
+      assert(e.getMessage.contains("ahead of the table tip"))
+    } finally graft.plans.IvfIndex.unregister(spark, "embedding")
+  }
 }
