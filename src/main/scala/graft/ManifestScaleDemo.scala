@@ -97,6 +97,25 @@ object ManifestScaleDemo {
         require(MergeTable.changesBetween(spark, tbl.toString, 2L, 3L,
           Seq("id")).count() == 2L)
       }
+      // manifest STATS pruning: v4 records a per-file [lo, hi) range on
+      // `id` (file i covers [i*1000, (i+1)*1000) — what a compaction
+      // would have written); a point predicate then schedules ONE file
+      // instead of a task per file. The v3 read (no stats) is the
+      // honest baseline: same data, same predicate, every file opened.
+      val allSized = files.map(f => f + "\t" + seedSize) ++ extra
+      Manifests.commit(fs, mdir, 4L, "statcol\tid" +:
+        (allSized.map(_.split("\t")(0)).zipWithIndex.map { case (p, i) =>
+          s"stat\t$p\t${i * 1000L}\t${i * 1000L + 999L}"
+        } ++ allSized))
+      val probeId = (n / 2) * 1000L + 7
+      time(f"[$n%,d files] point filter WITHOUT stats (task per file)") {
+        MergeTable.readAt(spark, tbl.toString, 3L)
+          .filter(org.apache.spark.sql.functions.col("id") === probeId).count()
+      }
+      time(f"[$n%,d files] point filter WITH manifest stats (files pruned)") {
+        MergeTable.read(spark, tbl.toString)
+          .filter(org.apache.spark.sql.functions.col("id") === probeId).count()
+      }
     }
 
     // ---- version-count curve ---------------------------------------------

@@ -1452,6 +1452,29 @@ object SparkEntry {
       out
     }),
 
+    "q139_stats_pruned_range" -> ((s, d) => {
+      // Manifest file-level stats, end-to-end: compacting on doc_id
+      // records each file's [lo, hi] in the manifest (Delta's
+      // stats-in-log), and a range read then schedules ONLY the
+      // covering files — planning-time pruning MergeTableSpec gates
+      // via the scan's numFiles metric; this row pins the VALUES
+      // against the plain SQL range.
+      val docs = T.documents(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"), col("lang"),
+          substring(col("text"), 1, 40).as("head"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q139")
+      val t = tmp.toString + "/t"
+      graft.sources.MergeTable.init(s, t, docs)
+      graft.sources.MergeTable.compactTable(s, t, "doc_id", 4)
+      val out = graft.sources.MergeTable.read(s, t)
+        .filter(col("doc_id") >= 100 && col("doc_id") < 220)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true)
+      graft.util.Fs.deleteRecursively(tmp)
+      out
+    }),
+
     "q130_append_sink" -> ((s, d) => {
       // S3 (row insert / append sink): two successive mode("append")
       // parquet writes must ACCUMULATE — the second preserves the
@@ -2372,6 +2395,12 @@ object SparkEntry {
         |v3 AS (SELECT * FROM m1 WHERE doc_id NOT IN (SELECT doc_id FROM u2)
         |       UNION ALL SELECT * FROM u2)
         |SELECT doc_id, lang FROM (SELECT * FROM v3 EXCEPT SELECT * FROM v1)
+        |ORDER BY doc_id""".stripMargin,
+
+    // q139: the pruned range read returns exactly the SQL range
+    "q139_stats_pruned_range" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE text IS NOT NULL AND doc_id >= 100 AND doc_id < 220
         |ORDER BY doc_id""".stripMargin,
 
     // q138: key-level EXCEPT across a predicate delete

@@ -34,7 +34,9 @@ import org.apache.spark.sql.types.StructType
   * column would surface the placeholder.
   */
 private[graft] final class ManifestFileIndex(
-    entries: Seq[MergeTable.FileEntry]) extends FileIndex {
+    entries: Seq[MergeTable.FileEntry],
+    stats: Option[(String, Map[String, (Long, Long)])] = None)
+  extends FileIndex {
   require(entries.forall(_.size >= 0),
     "ManifestFileIndex needs a recorded size for every file; " +
       "size-less (legacy) manifests take the listing path")
@@ -44,10 +46,32 @@ private[graft] final class ManifestFileIndex(
 
   override def rootPaths: Seq[Path] = statuses.map(_.getPath).toSeq
 
+  /** Manifest-stats FILE pruning (Delta's stats-in-log, evaluated at
+    * planning time): a pushed data filter whose conjunct provably
+    * excludes a file's recorded [lo, hi] drops the file before any
+    * task is scheduled or footer opened — the difference between "one
+    * task per 100k files discovers emptiness" and "one file read".
+    * Strictly conservative: only simple comparisons against literals
+    * on the stats column prune; anything else — other columns, casts,
+    * IS NULL, files without a recorded range — keeps the file. */
   override def listFiles(
       partitionFilters: Seq[Expression],
-      dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
-    Seq(PartitionDirectory(InternalRow.empty, statuses))
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val kept = stats match {
+      case Some((colName, ranges)) if dataFilters.nonEmpty =>
+        val excluders = dataFilters.flatMap(
+          ManifestFileIndex.rangeExcluder(colName, _))
+        if (excluders.isEmpty) statuses
+        else statuses.filter { st =>
+          ranges.get(Manifests.normalizePath(st.getPath.toString)) match {
+            case Some((lo, hi)) => !excluders.exists(ex => ex(lo, hi))
+            case None => true // no recorded range: unprunable
+          }
+        }
+      case _ => statuses
+    }
+    Seq(PartitionDirectory(InternalRow.empty, kept))
+  }
 
   override def inputFiles: Array[String] = entries.map(_.path).toArray
 
@@ -58,12 +82,76 @@ private[graft] final class ManifestFileIndex(
   override def partitionSchema: StructType = StructType(Nil)
 
   override def toString: String =
-    s"ManifestFileIndex(${entries.size} files, $sizeInBytes bytes)"
+    s"ManifestFileIndex(${entries.size} files, $sizeInBytes bytes" +
+      stats.map(s => s", stats on ${s._1}").getOrElse("") + ")"
 }
 
 private[graft] object ManifestFileIndex {
   private[sources] def statusOf(e: MergeTable.FileEntry): FileStatus =
     new FileStatus(e.size, false, 1, 128L * 1024 * 1024, 0L, new Path(e.path))
+
+  /** A conjunct's proof-of-emptiness against a file's [lo, hi], or
+    * None when the shape is not one this pruner reasons about. The
+    * literal must be a plain Number of the column's long-ordered
+    * family (Catalyst wraps mismatched types in casts, which do NOT
+    * match these patterns — so a type-confused predicate never
+    * prunes). NULL literals never prune (nothing matches them
+    * anyway). */
+  private[sources] def rangeExcluder(
+      colName: String, e: Expression): Option[(Long, Long) => Boolean] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def isCol(x: Expression): Boolean = x match {
+      case a: AttributeReference => a.name.equalsIgnoreCase(colName)
+      case _ => false
+    }
+    def v(x: Any): Option[Long] = x match {
+      case n: java.lang.Number => Some(n.longValue)
+      case _ => None
+    }
+    e match {
+      case EqualTo(a, Literal(x, _)) if isCol(a) =>
+        v(x).map(q => (lo, hi) => q < lo || q > hi)
+      case EqualTo(Literal(x, _), a) if isCol(a) =>
+        v(x).map(q => (lo, hi) => q < lo || q > hi)
+      case EqualNullSafe(a, Literal(x, _)) if isCol(a) && x != null =>
+        v(x).map(q => (lo, hi) => q < lo || q > hi)
+      case EqualNullSafe(Literal(x, _), a) if isCol(a) && x != null =>
+        v(x).map(q => (lo, hi) => q < lo || q > hi)
+      case GreaterThan(a, Literal(x, _)) if isCol(a) => // col > q
+        v(x).map(q => (_, hi) => hi <= q)
+      case GreaterThanOrEqual(a, Literal(x, _)) if isCol(a) => // col >= q
+        v(x).map(q => (_, hi) => hi < q)
+      case LessThan(a, Literal(x, _)) if isCol(a) => // col < q
+        v(x).map(q => (lo, _) => lo >= q)
+      case LessThanOrEqual(a, Literal(x, _)) if isCol(a) => // col <= q
+        v(x).map(q => (lo, _) => lo > q)
+      case GreaterThan(Literal(x, _), a) if isCol(a) => // q > col ⟺ col < q
+        v(x).map(q => (lo, _) => lo >= q)
+      case GreaterThanOrEqual(Literal(x, _), a) if isCol(a) => // col <= q
+        v(x).map(q => (lo, _) => lo > q)
+      case LessThan(Literal(x, _), a) if isCol(a) => // col > q
+        v(x).map(q => (_, hi) => hi <= q)
+      case LessThanOrEqual(Literal(x, _), a) if isCol(a) => // col >= q
+        v(x).map(q => (_, hi) => hi < q)
+      case In(a, list) if isCol(a) && list.nonEmpty &&
+          list.forall(_.isInstanceOf[Literal]) =>
+        val qs = list.map(l => v(l.asInstanceOf[Literal].value))
+        if (qs.forall(_.isDefined)) {
+          // hoisted: the closure runs once per candidate FILE — at 100k
+          // files a per-call flatten would re-copy the literal list
+          // 100k times in the planner thread
+          val vs = qs.flatten.toArray
+          Some((lo, hi) => vs.forall(q => q < lo || q > hi))
+        } else None
+      case And(l, r) =>
+        (rangeExcluder(colName, l), rangeExcluder(colName, r)) match {
+          case (Some(f), Some(g)) => Some((lo, hi) => f(lo, hi) || g(lo, hi))
+          case (one @ Some(_), None) => one
+          case (None, g) => g
+        }
+      case _ => None
+    }
+  }
 }
 
 /** The PARTITIONED zero-listing index — [[ManifestFileIndex]] for the

@@ -61,10 +61,22 @@ object MergeTable {
     *        with a cheap point-probe discovery: suppression falls back
     *        to every base file, and the next small mergeLite upgrades
     *        it. Always a subset of `entries`. */
+  /** Per-file [lo, hi] of one long-ordered column, recorded in the
+    * manifest (Delta's stats-in-log, miniature): lets the read path
+    * prune FILES at planning time on range/point predicates — no task
+    * scheduled, no footer opened — instead of paying a task per file
+    * to discover emptiness. Ranges cover the file's NON-NULL values
+    * (parquet footer semantics); files absent from `ranges` are
+    * unprunable and always read. `col`'s Spark type must be
+    * long-ordered ([[statsSupported]]); established by
+    * [[compactTable]] and maintained by every later writer. */
+  final case class TableStats(col: String, ranges: Map[String, (Long, Long)])
+
   final case class Snapshot(
       version: Long, entries: Seq[FileEntry],
       delta: Seq[FileEntry] = Nil, dvKeys: Seq[String] = Nil,
-      dvFiles: Option[Seq[String]] = None) {
+      dvFiles: Option[Seq[String]] = None,
+      stats: Option[TableStats] = None) {
     /** The BASE file-path list of this version. */
     def files: Seq[String] = entries.map(_.path)
     /** Every data file the version references, base and delta — the
@@ -186,8 +198,9 @@ object MergeTable {
     val entries = withSizes(srcFs, snap.entries)
     val delta = withSizes(srcFs, snap.delta)
     commit(dstFs, dstRoot, 1L,
-      encodeSnapshot(entries, delta, snap.dvKeys, snap.dvFiles))
-    Snapshot(1L, entries, delta, snap.dvKeys, snap.dvFiles)
+      encodeSnapshot(entries, delta, snap.dvKeys, snap.dvFiles,
+        stats = snap.stats))
+    Snapshot(1L, entries, delta, snap.dvKeys, snap.dvFiles, snap.stats)
   }
 
   /** The refusal [[init]] (no keys) and [[cloneTable]] (bloom-less
@@ -320,15 +333,25 @@ object MergeTable {
   private val DvKeysTag = "dvkeys\t"
   private val DvFilesTag = "dvfiles\t"
   private val DvFileTag = "dvfile\t"
+  private val StatColTag = "statcol\t"
+  private val StatTag = "stat\t"
 
   private def encodeSnapshot(
       entries: Seq[FileEntry], delta: Seq[FileEntry],
-      dvKeys: Seq[String], dvFiles: Option[Seq[String]] = None): Seq[String] = {
+      dvKeys: Seq[String], dvFiles: Option[Seq[String]] = None,
+      stats: Option[TableStats] = None): Seq[String] = {
     require(delta.isEmpty == dvKeys.isEmpty,
       "delta files and dvKeys must be committed together")
     require(dvFiles.isEmpty || delta.nonEmpty,
       "a suppression scope (dvFiles) requires delta state")
+    stats.foreach(s => require(
+      !s.col.exists(c => c == '\t' || c == '\n' || c == '\r'),
+      s"stats column name not encodable in the manifest: '${s.col}'"))
     entries.map(encodeEntry) ++
+      stats.toSeq.flatMap(s =>
+        (StatColTag + s.col) +: s.ranges.toSeq.sortBy(_._1).map {
+          case (p, (lo, hi)) => s"$StatTag$p\t$lo\t$hi"
+        }) ++
       (if (delta.isEmpty) Nil
        else (DvKeysTag + dvKeys.mkString(",")) +:
          (dvFiles.toSeq.flatMap(fs =>
@@ -340,12 +363,41 @@ object MergeTable {
     val entries = Seq.newBuilder[FileEntry]
     val delta = Seq.newBuilder[FileEntry]
     val dvFiles = Seq.newBuilder[String]
+    val statRanges = Map.newBuilder[String, (Long, Long)]
     var dvKeys: Seq[String] = Nil
     var dvCount: Option[Int] = None
+    var statCol: Option[String] = None
+    def parseLong(s: String, what: String): Long =
+      // the FULL Long range: footer min/max of a hashed/snowflake 64-bit
+      // key routinely exceeds 18 digits, and refusing it here would
+      // brick the table on its own committed manifest
+      try java.lang.Long.parseLong(s)
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"manifest v$version $what is not a number: '$s'")
+      }
     lines.foreach { line =>
       if (line.startsWith(DeltaTag))
         delta += decodeEntry(line.substring(DeltaTag.length))
-      else if (line.startsWith(DvKeysTag))
+      else if (line.startsWith(StatColTag)) {
+        require(statCol.isEmpty,
+          s"manifest v$version carries two statcol lines — foreign or " +
+            "hand-edited content")
+        statCol = Some(line.substring(StatColTag.length))
+      } else if (line.startsWith(StatTag)) {
+        val body = line.substring(StatTag.length)
+        val j = body.lastIndexOf('\t')
+        val i = if (j > 0) body.lastIndexOf('\t', j - 1) else -1
+        require(i > 0,
+          s"manifest v$version stat line is torn or hand-edited: '$line'")
+        val lo = parseLong(body.substring(i + 1, j), "stat lo")
+        val hi = parseLong(body.substring(j + 1), "stat hi")
+        // an INVERTED range would silently prune live rows — the same
+        // silent-row-drop the unknown-path refusal below guards against
+        require(lo <= hi,
+          s"manifest v$version stat range is inverted ($lo > $hi): '$line'")
+        statRanges += body.substring(0, i) -> ((lo, hi))
+      } else if (line.startsWith(DvKeysTag))
         dvKeys = line.substring(DvKeysTag.length).split(",").toSeq
       else if (line.startsWith(DvFilesTag)) {
         require(dvCount.isEmpty,
@@ -383,8 +435,23 @@ object MergeTable {
           s"manifest v$version scope line names no base entry ('$p') — " +
             "foreign or hand-edited content"))
     }
+    val ranges = statRanges.result()
+    require(statCol.isDefined || ranges.isEmpty,
+      s"manifest v$version carries stat lines but no statcol — foreign " +
+        "or hand-edited content")
+    // stat lines for unknown files are refused like scope lines: a
+    // foreign path here means the stats no longer describe this
+    // version's files — pruning on them could silently drop live rows
+    if (ranges.nonEmpty) {
+      val known = (es ++ d).map(e => Manifests.normalizePath(e.path)).toSet
+      ranges.keys.find(p => !known.contains(Manifests.normalizePath(p)))
+        .foreach(p => throw new IllegalArgumentException(
+          s"manifest v$version stat line names no data file ('$p') — " +
+            "foreign or hand-edited content"))
+    }
     Snapshot(version, es, d, if (d.isEmpty) Nil else dvKeys,
-      if (d.isEmpty) None else dvCount.map(_ => dvf))
+      if (d.isEmpty) None else dvCount.map(_ => dvf),
+      statCol.map(c => TableStats(c, ranges)))
   }
 
   private[graft] def decodeEntry(line: String): FileEntry = {
@@ -403,6 +470,84 @@ object MergeTable {
     else FileEntry(line, -1L)
   }
 
+  /** Spark types whose parquet footer min/max are EXACTLY long-ordered
+    * — the safety boundary of manifest stats pruning. Strings are out
+    * (parquet orders unsigned bytes, Java Strings UTF-16 code units —
+    * supplementary characters disagree); INT96 timestamps record no
+    * usable footer stats (write with TIMESTAMP_MICROS to prune on
+    * time). */
+  private[graft] def statsSupported(
+      dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | DateType |
+           TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+  }
+
+  /** Footer-read per-file [lo, hi] for `colName` — metadata IO only
+    * (one footer per file, the same class of read the schema probe
+    * pays; bounded by the batch size at every call site). A file whose
+    * footer lacks usable stats for the column in ANY block is omitted
+    * — unprunable, always read; an all-null block contributes nothing
+    * (value predicates cannot match its rows). */
+  private def collectStats(
+      conf: org.apache.hadoop.conf.Configuration,
+      entries: Seq[FileEntry], colName: String): Map[String, (Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    // PARALLEL footer reads: serial per-file round-trips would add
+    // latency ∝ batch size to every commit on remote stores (the
+    // listing-job lesson, in miniature)
+    val out = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+    val es = entries.toIndexedSeq
+    java.util.stream.IntStream.range(0, es.size).parallel().forEach { i =>
+      val e = es(i)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new Path(e.path), conf))
+      try {
+        var lo = Long.MaxValue
+        var hi = Long.MinValue
+        var usable = true
+        r.getFooter.getBlocks.asScala.foreach { b =>
+          if (usable) b.getColumns.asScala
+            .find(_.getPath.toDotString == colName) match {
+            case Some(c) =>
+              val s = c.getStatistics
+              if (s == null || s.isEmpty) usable = false
+              else if (s.hasNonNullValue)
+                (s.genericGetMin, s.genericGetMax) match {
+                  case (mn: java.lang.Number, mx: java.lang.Number) =>
+                    lo = math.min(lo, mn.longValue)
+                    hi = math.max(hi, mx.longValue)
+                  case _ => usable = false
+                }
+            // hasNonNullValue false with recorded stats = all-null
+            // block: skip — its rows can't satisfy a value predicate
+            case None => usable = false
+          }
+        }
+        if (usable && lo <= hi) { out.put(e.path, (lo, hi)); () }
+      } finally r.close()
+    }
+    out.asScala.toMap
+  }
+
+  /** The stats a commit carries forward: kept entries keep their
+    * recorded ranges (filtered — a stat line for a vanished path fails
+    * decode validation), fresh files get footer-collected ones. */
+  private def carriedStats(
+      conf: org.apache.hadoop.conf.Configuration,
+      snapStats: Option[TableStats], kept: Seq[FileEntry],
+      fresh: Seq[FileEntry]): Option[TableStats] =
+    snapStats.map { s =>
+      val keptNorm = kept.map(e => normalize(e.path)).toSet
+      TableStats(s.col,
+        s.ranges.filter { case (p, _) => keptNorm.contains(normalize(p)) } ++
+          collectStats(conf, fresh, s.col))
+    }
+
   /** The relation over a snapshot's entries. With recorded sizes (every
     * manifest this code writes) the relation is built from the manifest
     * alone — no listing job, no per-path stat; `spark.read.parquet`
@@ -412,10 +557,24 @@ object MergeTable {
     * — all files agree by the writer invariant) is the only IO. */
   private[graft] def relationFor(
       spark: SparkSession, entries: Seq[FileEntry]): DataFrame =
+    relationFor(spark, entries, None)
+
+  private[graft] def relationFor(
+      spark: SparkSession, entries: Seq[FileEntry],
+      stats: Option[TableStats]): DataFrame =
     if (entries.nonEmpty && entries.forall(_.size >= 0)) {
       val schema = spark.read.parquet(entries.head.path).schema
+      // manifest stats become a planning-time FILE pruner: resolved
+      // against the actual schema (name + long-ordered type) so a
+      // renamed/retyped column silently disables pruning rather than
+      // mis-evaluating it
+      val pruner = stats.flatMap(s =>
+        schema.find(_.name.equalsIgnoreCase(s.col))
+          .filter(f => statsSupported(f.dataType))
+          .map(f => (f.name,
+            s.ranges.map { case (p, r) => normalize(p) -> r })))
       val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
-        new ManifestFileIndex(entries),
+        new ManifestFileIndex(entries, pruner),
         partitionSchema = new org.apache.spark.sql.types.StructType(),
         dataSchema = schema,
         bucketSpec = None,
@@ -443,13 +602,13 @@ object MergeTable {
     * pushdown-transparent; MergeTableSpec gates the PushedFilters
     * shape). */
   private def logicalFrame(spark: SparkSession, snap: Snapshot): DataFrame =
-    if (snap.delta.isEmpty) relationFor(spark, snap.entries)
+    if (snap.delta.isEmpty) relationFor(spark, snap.entries, snap.stats)
     else {
-      val deltaDf = relationFor(spark, snap.delta)
+      val deltaDf = relationFor(spark, snap.delta, snap.stats)
       if (snap.entries.isEmpty) deltaDf
       else {
         def suppressed(entries: Seq[FileEntry]): DataFrame =
-          relationFor(spark, entries)
+          relationFor(spark, entries, snap.stats)
             .join(broadcast(deltaDf.select(snap.dvKeys.map(col): _*).distinct()),
               snap.dvKeys, "left_anti")
         val legs = snap.dvFiles match {
@@ -459,7 +618,7 @@ object MergeTable {
             val (touched, bare) =
               snap.entries.partition(e => dvNorm.contains(normalize(e.path)))
             Seq(
-              if (bare.nonEmpty) Some(relationFor(spark, bare)) else None,
+              if (bare.nonEmpty) Some(relationFor(spark, bare, snap.stats)) else None,
               if (touched.nonEmpty) Some(suppressed(touched)) else None).flatten
         }
         (legs :+ deltaDf).reduce(_ unionByName _)
@@ -637,7 +796,8 @@ object MergeTable {
       Some(logicalFrame(spark,
         Snapshot(s.version, base, delta,
           if (delta.isEmpty) Nil else s.dvKeys,
-          s.dvFiles.map(_.filter(p => baseNorm.contains(normalize(p)))))))
+          s.dvFiles.map(_.filter(p => baseNorm.contains(normalize(p)))),
+          s.stats))) // ranges are looked up per file: extras are inert
     }
   }
 
@@ -694,7 +854,8 @@ object MergeTable {
     val (fs, root) = fsOf(spark, path)
     val snap = snapshot(spark, path)
     if (snap.delta.isEmpty)
-      rewriteMerge(spark, fs, root, snap.version, snap.entries, u, keyCols, nU)
+      rewriteMerge(spark, fs, root, snap.version, snap.entries, u, keyCols, nU,
+        snapStats = snap.stats)
     else {
       // FOLD the row-level state into this rewrite: the effective
       // update set is delta ⊎ u (last wins per key, u newest), applied
@@ -717,7 +878,7 @@ object MergeTable {
         .localCheckpoint(true)
       try {
         val stats = rewriteMerge(spark, fs, root, snap.version, snap.entries,
-          combined, keyCols, combined.count())
+          combined, keyCols, combined.count(), snapStats = snap.stats)
         // report the CALLER's upsert count, not the fold's combined
         // total — rowsUpserted means "rows this call absorbed" on every
         // other path, and accounting against it must not see the delta
@@ -784,7 +945,8 @@ object MergeTable {
   private def rewriteMerge(
       spark: SparkSession, fs: FileSystem, root: Path,
       baseVersion: Long, baseEntries: Seq[FileEntry], u: DataFrame,
-      keyCols: Seq[String], nU: Long): MergeStats = {
+      keyCols: Seq[String], nU: Long,
+      snapStats: Option[TableStats] = None): MergeStats = {
     val base = relationFor(spark, baseEntries)
     // Table schema = head file's schema. SAFE BY INVARIANT: init and
     // every commit write the full, identical column set (requireConforms
@@ -824,7 +986,10 @@ object MergeTable {
     // kept entries pass through withSizes: a legacy size-less table's
     // FIRST merge upgrades its manifest to the zero-listing read path
     commit(fs, root, baseVersion + 1,
-      encodeSnapshot(withSizes(fs, kept) ++ newFiles, Nil, Nil)) // throws on race
+      encodeSnapshot(withSizes(fs, kept) ++ newFiles, Nil, Nil,
+        stats = carriedStats(
+          spark.sparkContext.hadoopConfiguration, snapStats, kept,
+          newFiles))) // throws on race
     MergeStats(baseVersion + 1, kept.size, hit.size, newFiles.size, nU)
   }
 
@@ -973,11 +1138,20 @@ object MergeTable {
       touched.map(t => snap.entries.map(_.path).filter(p => t.contains(normalize(p))))
     def filesFor(rows: Long): Int =
       math.max(1L, (rows + InsertRowsPerFile - 1) / InsertRowsPerFile).toInt
-    def commitDelta(deltaEntries: Seq[FileEntry], scope: Option[Seq[String]]): Unit =
+    def commitDelta(
+        deltaEntries: Seq[FileEntry], scope: Option[Seq[String]],
+        fresh: Seq[FileEntry]): Unit = {
+      val freshSet = fresh.map(e => normalize(e.path)).toSet
       commit(fs, root, snap.version + 1,
         encodeSnapshot(withSizes(fs, snap.entries), deltaEntries,
           snap.dvKeys match { case Nil => keyCols; case pinned => pinned },
-          scope))
+          scope,
+          stats = carriedStats(spark.sparkContext.hadoopConfiguration,
+            snap.stats,
+            snap.entries ++
+              deltaEntries.filterNot(e => freshSet.contains(normalize(e.path))),
+            fresh)))
+    }
 
     val deltaDf = if (snap.delta.isEmpty) None
       else Some(relationFor(spark, snap.delta))
@@ -1029,7 +1203,7 @@ object MergeTable {
       })
       val newFiles = writeBatch(spark, fs, root,
         u.select(cols.map(col): _*).coalesce(filesFor(nU)))
-      commitDelta(withSizes(fs, snap.delta) ++ newFiles, scope)
+      commitDelta(withSizes(fs, snap.delta) ++ newFiles, scope, newFiles)
       return MergeStats(snap.version + 1, snap.entries.size + snap.delta.size,
         0, newFiles.size, nU)
     }
@@ -1054,7 +1228,7 @@ object MergeTable {
         // DV-free manifest — reporting the CALLER's row count, as every
         // other path does
         return rewriteMerge(spark, fs, root, snap.version, snap.entries,
-          combined, keyCols, n).copy(rowsUpserted = nU)
+          combined, keyCols, n, snapStats = snap.stats).copy(rowsUpserted = nU)
       // prior scope unions in; a prior UNSCOPED delta upgrades once via
       // discovery over the full combined key set, when that is small
       val touchedNorm: Option[Set[String]] =
@@ -1063,7 +1237,7 @@ object MergeTable {
           cheapDiscovery(u, nU).map(_ ++ snap.dvFiles.get.map(normalize))
         else cheapDiscovery(combined, n)
       val deltaFiles = writeBatch(spark, fs, root, combined.coalesce(filesFor(n)))
-      commitDelta(deltaFiles, scopeOf(touchedNorm))
+      commitDelta(deltaFiles, scopeOf(touchedNorm), deltaFiles)
       MergeStats(snap.version + 1, snap.entries.size, snap.delta.size,
         deltaFiles.size, nU)
     } finally if (snap.delta.nonEmpty) graft.util.Checkpoints.free(combined)
@@ -1154,10 +1328,13 @@ object MergeTable {
             // superseded base row
             val deltaDf = relationFor(spark, snap0.delta)
             rewriteMerge(spark, fs, root, snap0.version, snap0.entries,
-              deltaDf, snap0.dvKeys, deltaDf.count())
+              deltaDf, snap0.dvKeys, deltaDf.count(), snapStats = snap0.stats)
             snapshot(spark, path)
           }
-        val touched = relationFor(spark, snap.entries)
+        // manifest stats prune the DISCOVERY too: a TTL sweep on the
+        // stats column schedules tasks only for files whose recorded
+        // range can match — the 100k-file sweep reads the expirable few
+        val touched = relationFor(spark, snap.entries, snap.stats)
           .filter(cond)
           .select(input_file_name().as("__file")).distinct()
           .collect().map(r => normalize(r.getString(0))).toSet
@@ -1168,7 +1345,9 @@ object MergeTable {
           .coalesce(hit.size) // one output file per hit file (see rewriteMerge)
         val newFiles = writeBatch(spark, fs, root, survivors)
         commit(fs, root, snap.version + 1,
-          encodeSnapshot(withSizes(fs, kept) ++ newFiles, Nil, Nil))
+          encodeSnapshot(withSizes(fs, kept) ++ newFiles, Nil, Nil,
+            stats = carriedStats(spark.sparkContext.hadoopConfiguration,
+              snap.stats, kept, newFiles)))
         return MergeStats(snap.version + 1, kept.size, hit.size, newFiles.size, 0)
       } catch {
         case _: FileAlreadyExistsException => // lost the race: re-snapshot
@@ -1212,11 +1391,22 @@ object MergeTable {
     // logicalFrame, not the bare base relation: a compaction of a table
     // carrying mergeLite delta state applies the key suppression and
     // absorbs the delta rows — the rewrite IS the fold
-    val sorted = logicalFrame(spark, snap)
+    val frame = logicalFrame(spark, snap)
+    val sorted = frame
       .repartitionByRange(numFiles, col(sortCol))
       .sortWithinPartitions(col(sortCol))
     val files = writeBatch(spark, fs, root, sorted)
-    try commit(fs, root, next, encodeSnapshot(files, Nil, Nil))
+    // ESTABLISH manifest stats on the sort column (long-ordered types
+    // only): the compacted layout's per-file ranges are tight by
+    // construction, and every later writer maintains them
+    // (carriedStats) — range/point predicates then prune FILES at
+    // planning time, not tasks at run time
+    val stats = frame.schema.find(_.name.equalsIgnoreCase(sortCol))
+      .filter(f => statsSupported(f.dataType))
+      .map(f => TableStats(f.name, collectStats(
+        spark.sparkContext.hadoopConfiguration, files, f.name)))
+      .filter(_.ranges.nonEmpty)
+    try commit(fs, root, next, encodeSnapshot(files, Nil, Nil, stats = stats))
     catch {
       // the conflict contract every other writer exposes (merge /
       // deleteWhere / the composite commitPin): a maintenance job
@@ -1226,7 +1416,7 @@ object MergeTable {
           s"compactTable at $path lost the commit race for v$next " +
             "(concurrent writer landed mid-rewrite); re-run")
     }
-    Snapshot(next, files)
+    Snapshot(next, files, stats = stats)
   }
 
   /** Delete data files no manifest-latest version references (orphans

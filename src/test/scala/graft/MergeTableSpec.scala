@@ -1134,6 +1134,105 @@ class MergeTableSpec extends SparkSpec {
     assert(MergeTable.read(spark, p2).filter($"body" === "replaced").count() === 1)
   }
 
+  test("manifest stats: compaction establishes per-file ranges; predicates prune FILES at planning time") {
+    val path = freshPath()
+    MergeTable.init(spark, path, rows(1 to 1000, "old"))
+    MergeTable.compactTable(spark, path, "id", 8) // 8 range-sorted files
+    val snap = MergeTable.snapshot(spark, path)
+    assert(snap.stats.exists(_.col === "id"), "compaction must establish stats")
+    assert(snap.stats.get.ranges.size === 8, "every compacted file gets a range")
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long =
+      graft.util.Plans.executedNodes(df).collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.map(_.metrics("numFiles").value).sum
+    // a point predicate schedules ONE file, not eight
+    val point = MergeTable.read(spark, path).filter($"id" === 505L)
+    assert(scannedFiles(point) === 1L, "point predicate must prune to one file")
+    assert(point.count() === 1)
+    // a range predicate spanning two files schedules two
+    val range = MergeTable.read(spark, path).filter($"id" >= 200L && $"id" < 400L)
+    assert(scannedFiles(range) <= 3L, "range must prune to the covering files")
+    assert(range.count() === 200)
+    // an In list prunes to its covering set
+    val in = MergeTable.read(spark, path).filter($"id".isin(10L, 990L))
+    assert(scannedFiles(in) === 2L)
+    assert(in.count() === 2)
+    // a predicate on ANOTHER column never prunes (conservative)
+    val other = MergeTable.read(spark, path).filter($"tag" === "old")
+    assert(scannedFiles(other) === 8L)
+    assert(other.count() === 1000)
+    // correctness at the boundary: results identical to the unpruned read
+    assert(MergeTable.read(spark, path).filter($"id" <= 125L).count() ===
+      MergeTable.read(spark, path).collect().count(_.getLong(0) <= 125L))
+  }
+
+  test("manifest stats: every writer maintains the ranges; time travel and tampering behave") {
+    val path = freshPath()
+    MergeTable.init(spark, path, rows(1 to 1000, "old"))
+    MergeTable.compactTable(spark, path, "id", 8)                       // v3? (init=v1, compact=v2)
+    val v0 = MergeTable.snapshot(spark, path)
+    // a rewrite merge refreshes the hit file's range and keeps the rest
+    MergeTable.merge(spark, path, rows(10 to 19, "m"), Seq("id"))
+    val s1 = MergeTable.snapshot(spark, path)
+    assert(s1.stats.exists(_.ranges.size === 8), "merge must carry + refresh stats")
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long =
+      graft.util.Plans.executedNodes(df).collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.map(_.metrics("numFiles").value).sum
+    assert(scannedFiles(MergeTable.read(spark, path).filter($"id" === 15L)) === 1L)
+    // a row-level merge's delta file gets a range too; scoped reads keep pruning
+    MergeTable.mergeLite(spark, path, rows(500 to 504, "dv"), Seq("id"))
+    val s2 = MergeTable.snapshot(spark, path)
+    assert(s2.stats.exists(_.ranges.size === 9), "the delta file joins the stats")
+    val probe = MergeTable.read(spark, path).filter($"id" === 15L)
+    assert(probe.count() === 1)
+    assert(scannedFiles(probe) <= 3L,
+      "a DV read's point probe stays file-pruned on every leg")
+    // deleteWhere's discovery prunes on the stats column (folds first here)
+    MergeTable.deleteWhere(spark, path, $"id" === 700L)
+    assert(MergeTable.read(spark, path).count() === 999)
+    assert(MergeTable.snapshot(spark, path).stats.isDefined)
+    // time travel: the compacted version's stats are version-pinned
+    assert(MergeTable.snapshotAt(spark, path, v0.version).stats ===
+      v0.stats)
+    // tampering: a stat line naming no file, or stats with no statcol,
+    // or a non-numeric bound — all refuse loudly
+    val lines = {
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      graft.sources.Manifests.read(fs, new org.apache.hadoop.fs.Path(root, "_manifests"),
+        MergeTable.snapshot(spark, path).version)
+    }
+    def rewrite(ls: Seq[String]): Unit = tamperManifest(path)(_ => ls)
+    rewrite(lines.map(l =>
+      if (l.startsWith("stat\t")) "stat\tfile:/nowhere.parquet\t0\t1" else l))
+    val e1 = intercept[IllegalArgumentException] { MergeTable.snapshot(spark, path) }
+    assert(e1.getMessage.contains("names no data file"))
+    rewrite(lines.filterNot(_.startsWith("statcol\t")))
+    val e2 = intercept[IllegalArgumentException] { MergeTable.snapshot(spark, path) }
+    assert(e2.getMessage.contains("no statcol"))
+    rewrite(lines.map(l =>
+      if (l.startsWith("stat\t")) l.reverse.replaceFirst("^\\d", "x").reverse else l))
+    val e3 = intercept[IllegalArgumentException] { MergeTable.snapshot(spark, path) }
+    assert(e3.getMessage.contains("is not a number"))
+    def rebounds(l: String, lo: String, hi: String) =
+      if (!l.startsWith("stat\t")) l
+      else { val p = l.split("\t"); s"${p(0)}\t${p(1)}\t$lo\t$hi" }
+    // an INVERTED range would silently prune live rows: refused
+    rewrite(lines.map(rebounds(_, "900", "100")))
+    val e4 = intercept[IllegalArgumentException] { MergeTable.snapshot(spark, path) }
+    assert(e4.getMessage.contains("inverted"))
+    // the FULL Long range is legal — 19-digit footer min/max of a
+    // hashed/snowflake key must not brick the table (review catch)
+    rewrite(lines.map(rebounds(_,
+      Long.MinValue.toString, Long.MaxValue.toString)))
+    val wide = MergeTable.snapshot(spark, path)
+    assert(wide.stats.exists(_.ranges.values.forall(
+      r => r._1 == Long.MinValue && r._2 == Long.MaxValue)))
+    assert(MergeTable.read(spark, path).filter($"id" === 15L).count() === 1,
+      "an all-covering range prunes nothing and reads stay correct")
+  }
+
   test("cloneTable: zero-copy branch — shared files, carried DV state, independent evolution") {
     val src = freshPath()
     val dst = freshPath()
