@@ -61,6 +61,7 @@ object Bench {
     // q137/q138 = staged lineage + the manifest-diff change feed;
     // q139 = staged compaction + the stats-pruned range read
     "q137_changed_rows", "q138_deleted_keys", "q139_stats_pruned_range",
+    "q140_zorder_table",
     // the band-heavy dedup rows (largest sf1 ratios: q33 3.3x, q38 2.6x,
     // q37 2.3x at r12): their lambdas are EAGER through the internal
     // localCheckpoints (shingle frame, banded signatures, verified pair
@@ -294,7 +295,7 @@ object Bench {
       "and pays only the bounded purge per retraction batch.")
     println("note: the JSON 'phases' field decomposes each in-query-build " +
       "row (q86/q86b/q103/q105/q106/q113/q122/q128/q134, and the staged-" +
-      "MergeTable rows q135-q139) and the band-heavy " +
+      "MergeTable rows q135-q140) and the band-heavy " +
       "dedup rows (q33/q37/q38) as a compact [build, serve] 2-decimal pair " +
       "— build = the eager work inside the query lambda (index/codebook " +
       "construction; for the dedup rows, candidate generation + " +

@@ -105,7 +105,7 @@ object ManifestScaleDemo {
       val allSized = files.map(f => f + "\t" + seedSize) ++ extra
       Manifests.commit(fs, mdir, 4L, "statcol\tid" +:
         (allSized.map(_.split("\t")(0)).zipWithIndex.map { case (p, i) =>
-          s"stat\t$p\t${i * 1000L}\t${i * 1000L + 999L}"
+          s"stat\tid\t$p\t${i * 1000L}\t${i * 1000L + 999L}"
         } ++ allSized))
       val probeId = (n / 2) * 1000L + 7
       time(f"[$n%,d files] point filter WITHOUT stats (task per file)") {

@@ -1475,6 +1475,31 @@ object SparkEntry {
       out
     }),
 
+    "q140_zorder_table" -> ((s, d) => {
+      // Z-ORDER compaction inside the versioned table (OPTIMIZE ZORDER
+      // analog): the rewrite clusters on the Morton interleave of
+      // (doc_id, text_len) and records manifest stats for BOTH, so a
+      // predicate on either column prunes files at planning time
+      // (plan-gated in MergeTableSpec); this row pins the VALUES of a
+      // two-column range read against plain SQL.
+      val docs = T.documents(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"), col("lang"),
+          length(col("text")).as("text_len"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q140")
+      val t = tmp.toString + "/t"
+      graft.sources.MergeTable.init(s, t, docs)
+      graft.sources.MergeTable.compactTableZOrder(s, t,
+        Seq("doc_id", "text_len"), 4)
+      val out = graft.sources.MergeTable.read(s, t)
+        .filter(col("text_len") >= 200 && col("text_len") < 600 &&
+          col("doc_id") < 400)
+        .select(col("doc_id"), col("lang"), col("text_len"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true)
+      graft.util.Fs.deleteRecursively(tmp)
+      out
+    }),
+
     "q130_append_sink" -> ((s, d) => {
       // S3 (row insert / append sink): two successive mode("append")
       // parquet writes must ACCUMULATE — the second preserves the
@@ -2401,6 +2426,13 @@ object SparkEntry {
     "q139_stats_pruned_range" ->
       """SELECT doc_id, lang FROM documents
         |WHERE text IS NOT NULL AND doc_id >= 100 AND doc_id < 220
+        |ORDER BY doc_id""".stripMargin,
+
+    // q140: the z-ordered table's two-column range read equals plain SQL
+    "q140_zorder_table" ->
+      """SELECT doc_id, lang, length(text) AS text_len FROM documents
+        |WHERE text IS NOT NULL AND length(text) >= 200
+        |  AND length(text) < 600 AND doc_id < 400
         |ORDER BY doc_id""".stripMargin,
 
     // q138: key-level EXCEPT across a predicate delete

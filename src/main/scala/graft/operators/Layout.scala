@@ -85,36 +85,60 @@ object Layout {
       df: DataFrame, zCols: Seq[String], path: String,
       numFiles: Int, bits: Int = 16,
       bloomKeys: Seq[String] = Nil): Unit = {
-    require(zCols.nonEmpty, "zOrderWrite needs at least one z column")
+    graft.util.ParquetBloom.requireCols(df.columns, bloomKeys,
+      "the frame being z-order written")
+    graft.util.ParquetBloom.writeOptions(
+        zClustered(df, zCols, numFiles, bits).write.mode("errorifexists"),
+        bloomKeys)
+      .parquet(path)
+  }
+
+  /** The shared clustering pipeline of [[zOrderWrite]] and
+    * [[graft.sources.MergeTable.compactTableZOrder]]: validate
+    * EVERYTHING up front (a table-scale bounds job must never run just
+    * to discover an argument error), derive global bounds, min-max
+    * scale, interleave, range-shuffle + sort on the curve, drop the
+    * key. */
+  def zClustered(
+      df: DataFrame, zCols: Seq[String], numFiles: Int,
+      bits: Int = 16): DataFrame = {
+    require(zCols.nonEmpty, "needs at least one z column")
+    // case-INSENSITIVE distinctness: Spark resolves names that way, so
+    // Seq("id","ID") would double-interleave one column
+    require(zCols.map(_.toLowerCase).distinct.size == zCols.size,
+      s"z columns repeat a name: ${zCols.mkString(",")}")
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
-    require(!df.columns.contains("__z"),
-      "df must not carry a __z column (reserved for the clustering key " +
-        "and dropped before the write)")
+    // zValue would catch this too — but only AFTER the bounds agg ran
+    // over the whole table (4+ columns at the default 16 bits always
+    // fail the 62-bit budget)
+    require(bits >= 1 && bits * zCols.size <= 62,
+      s"bits * cols = ${bits * zCols.size} must stay in [1, 62] " +
+        "(positive int64) — lower bits for more columns")
+    // exists+equalsIgnoreCase, not contains: withColumn resolves
+    // case-insensitively, so a '__Z' data column would be silently
+    // REPLACED by the clustering key and then dropped — data loss
+    require(!df.columns.exists(_.equalsIgnoreCase("__z")),
+      "frame must not carry a __z column (reserved for the clustering " +
+        "key and dropped before the write)")
     zCols.foreach { c =>
       val dt = df.schema(c).dataType
       require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
-        s"zOrderWrite: $c is ${dt.catalogString} — z columns must be " +
+        s"z column $c is ${dt.catalogString} — z columns must be " +
           "numeric; convert date/timestamp to an epoch number first " +
           "(unix_date / unix_micros)")
     }
-    graft.util.ParquetBloom.requireCols(df.columns, bloomKeys,
-      "the frame being z-order written")
     val q = zCols.map(c => col(s"`$c`"))
     val aggs = q.flatMap(c => Seq(min(c).cast("double"), max(c).cast("double")))
     val bounds = df.agg(aggs.head, aggs.tail: _*).head()
     val scaled = q.zipWithIndex.map { case (c, i) =>
       require(!bounds.isNullAt(2 * i),
-        s"zOrderWrite: ${zCols(i)} has no non-null values (or df is empty) — " +
+        s"${zCols(i)} has no non-null values (or the frame is empty) — " +
           "cannot derive scaling bounds")
       zScaled(c, lit(bounds.getDouble(2 * i)), lit(bounds.getDouble(2 * i + 1)), bits)
     }
-    graft.util.ParquetBloom.writeOptions(
-        df.withColumn("__z", zValue(scaled, bits))
-          .repartitionByRange(numFiles, col("__z").asc_nulls_last)
-          .sortWithinPartitions(col("__z").asc_nulls_last)
-          .drop("__z")
-          .write.mode("errorifexists"),
-        bloomKeys)
-      .parquet(path)
+    df.withColumn("__z", zValue(scaled, bits))
+      .repartitionByRange(numFiles, col("__z").asc_nulls_last)
+      .sortWithinPartitions(col("__z").asc_nulls_last)
+      .drop("__z")
   }
 }

@@ -35,7 +35,7 @@ import org.apache.spark.sql.types.StructType
   */
 private[graft] final class ManifestFileIndex(
     entries: Seq[MergeTable.FileEntry],
-    stats: Option[(String, Map[String, (Long, Long)])] = None)
+    stats: Seq[(String, Map[String, (Long, Long)])] = Nil)
   extends FileIndex {
   require(entries.forall(_.size >= 0),
     "ManifestFileIndex needs a recorded size for every file; " +
@@ -57,19 +57,26 @@ private[graft] final class ManifestFileIndex(
   override def listFiles(
       partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val kept = stats match {
-      case Some((colName, ranges)) if dataFilters.nonEmpty =>
-        val excluders = dataFilters.flatMap(
-          ManifestFileIndex.rangeExcluder(colName, _))
-        if (excluders.isEmpty) statuses
+    val kept =
+      if (stats.isEmpty || dataFilters.isEmpty) statuses
+      else {
+        // per stats column: its excluders and its range lookup — a
+        // file drops when ANY column's recorded range provably can't
+        // satisfy the filters (multi-column z-order layouts prune on
+        // whichever z column the predicate names)
+        val active = stats.flatMap { case (colName, ranges) =>
+          val ex = dataFilters.flatMap(
+            ManifestFileIndex.rangeExcluder(colName, _))
+          if (ex.isEmpty) None else Some((ranges, ex))
+        }
+        if (active.isEmpty) statuses
         else statuses.filter { st =>
-          ranges.get(Manifests.normalizePath(st.getPath.toString)) match {
-            case Some((lo, hi)) => !excluders.exists(ex => ex(lo, hi))
-            case None => true // no recorded range: unprunable
+          val p = Manifests.normalizePath(st.getPath.toString)
+          !active.exists { case (ranges, ex) =>
+            ranges.get(p).exists { case (lo, hi) => ex.exists(_(lo, hi)) }
           }
         }
-      case _ => statuses
-    }
+      }
     Seq(PartitionDirectory(InternalRow.empty, kept))
   }
 
@@ -83,7 +90,8 @@ private[graft] final class ManifestFileIndex(
 
   override def toString: String =
     s"ManifestFileIndex(${entries.size} files, $sizeInBytes bytes" +
-      stats.map(s => s", stats on ${s._1}").getOrElse("") + ")"
+      (if (stats.isEmpty) ""
+       else s", stats on ${stats.map(_._1).mkString(",")}") + ")"
 }
 
 private[graft] object ManifestFileIndex {

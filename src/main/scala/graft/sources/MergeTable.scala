@@ -76,7 +76,7 @@ object MergeTable {
       version: Long, entries: Seq[FileEntry],
       delta: Seq[FileEntry] = Nil, dvKeys: Seq[String] = Nil,
       dvFiles: Option[Seq[String]] = None,
-      stats: Option[TableStats] = None) {
+      stats: Seq[TableStats] = Nil) {
     /** The BASE file-path list of this version. */
     def files: Seq[String] = entries.map(_.path)
     /** Every data file the version references, base and delta — the
@@ -339,7 +339,7 @@ object MergeTable {
   private def encodeSnapshot(
       entries: Seq[FileEntry], delta: Seq[FileEntry],
       dvKeys: Seq[String], dvFiles: Option[Seq[String]] = None,
-      stats: Option[TableStats] = None): Seq[String] = {
+      stats: Seq[TableStats] = Nil): Seq[String] = {
     require(delta.isEmpty == dvKeys.isEmpty,
       "delta files and dvKeys must be committed together")
     require(dvFiles.isEmpty || delta.nonEmpty,
@@ -347,10 +347,12 @@ object MergeTable {
     stats.foreach(s => require(
       !s.col.exists(c => c == '\t' || c == '\n' || c == '\r'),
       s"stats column name not encodable in the manifest: '${s.col}'"))
+    require(stats.map(_.col).distinct.size == stats.size,
+      "duplicate stats column")
     entries.map(encodeEntry) ++
-      stats.toSeq.flatMap(s =>
+      stats.flatMap(s =>
         (StatColTag + s.col) +: s.ranges.toSeq.sortBy(_._1).map {
-          case (p, (lo, hi)) => s"$StatTag$p\t$lo\t$hi"
+          case (p, (lo, hi)) => s"$StatTag${s.col}\t$p\t$lo\t$hi"
         }) ++
       (if (delta.isEmpty) Nil
        else (DvKeysTag + dvKeys.mkString(",")) +:
@@ -363,10 +365,11 @@ object MergeTable {
     val entries = Seq.newBuilder[FileEntry]
     val delta = Seq.newBuilder[FileEntry]
     val dvFiles = Seq.newBuilder[String]
-    val statRanges = Map.newBuilder[String, (Long, Long)]
+    val statRanges = Seq.newBuilder[(String, String, (Long, Long))]
+    val legacyStatRanges = Seq.newBuilder[(String, (Long, Long))]
     var dvKeys: Seq[String] = Nil
     var dvCount: Option[Int] = None
-    var statCol: Option[String] = None
+    var statCols: Vector[String] = Vector.empty
     def parseLong(s: String, what: String): Long =
       // the FULL Long range: footer min/max of a hashed/snowflake 64-bit
       // key routinely exceeds 18 digits, and refusing it here would
@@ -380,15 +383,32 @@ object MergeTable {
       if (line.startsWith(DeltaTag))
         delta += decodeEntry(line.substring(DeltaTag.length))
       else if (line.startsWith(StatColTag)) {
-        require(statCol.isEmpty,
-          s"manifest v$version carries two statcol lines — foreign or " +
-            "hand-edited content")
-        statCol = Some(line.substring(StatColTag.length))
+        val c = line.substring(StatColTag.length)
+        require(!statCols.contains(c),
+          s"manifest v$version declares stats column '$c' twice — " +
+            "foreign or hand-edited content")
+        statCols = statCols :+ c
       } else if (line.startsWith(StatTag)) {
+        // stat\t<col>\t<path>\t<lo>\t<hi> — the column leads (it can
+        // never contain a tab, enforced at encode), the path is the
+        // middle (URI-encoded, tab-free), bounds close the line.
+        // LEGACY (single-column era): stat\t<path>\t<lo>\t<hi> — the
+        // first field is then a PATH, distinguishable unambiguously
+        // because stored paths are URI forms that always carry a
+        // scheme or a leading '/' while column names never do (the
+        // tag-collision rationale above); such lines bind to the
+        // manifest's sole declared statcol.
         val body = line.substring(StatTag.length)
+        val c = body.indexOf('\t')
         val j = body.lastIndexOf('\t')
         val i = if (j > 0) body.lastIndexOf('\t', j - 1) else -1
-        require(i > 0,
+        require(c > 0 && i >= c,
+          s"manifest v$version stat line is torn or hand-edited: '$line'")
+        val first = body.substring(0, c)
+        val legacy = first.contains(':') || first.startsWith("/")
+        require(!legacy || i > 0,
+          s"manifest v$version stat line is torn or hand-edited: '$line'")
+        require(legacy || i > c,
           s"manifest v$version stat line is torn or hand-edited: '$line'")
         val lo = parseLong(body.substring(i + 1, j), "stat lo")
         val hi = parseLong(body.substring(j + 1), "stat hi")
@@ -396,7 +416,8 @@ object MergeTable {
         // silent-row-drop the unknown-path refusal below guards against
         require(lo <= hi,
           s"manifest v$version stat range is inverted ($lo > $hi): '$line'")
-        statRanges += body.substring(0, i) -> ((lo, hi))
+        if (legacy) legacyStatRanges += ((body.substring(0, i), (lo, hi)))
+        else statRanges += ((first, body.substring(c + 1, i), (lo, hi)))
       } else if (line.startsWith(DvKeysTag))
         dvKeys = line.substring(DvKeysTag.length).split(",").toSeq
       else if (line.startsWith(DvFilesTag)) {
@@ -435,23 +456,41 @@ object MergeTable {
           s"manifest v$version scope line names no base entry ('$p') — " +
             "foreign or hand-edited content"))
     }
-    val ranges = statRanges.result()
-    require(statCol.isDefined || ranges.isEmpty,
-      s"manifest v$version carries stat lines but no statcol — foreign " +
-        "or hand-edited content")
+    // legacy single-column stat lines bind to the sole declared statcol
+    val legacyRows = legacyStatRanges.result()
+    if (legacyRows.nonEmpty) require(statCols.size == 1,
+      s"manifest v$version carries legacy (column-less) stat lines but " +
+        s"${statCols.size} declared stats columns — cannot bind them")
+    val rangeRows = statRanges.result() ++
+      legacyRows.map(r => (statCols.headOption.getOrElse(""), r._1, r._2))
+    // a stat line's column must be DECLARED: undeclared-column stat
+    // lines are foreign content (the dvfiles-header rationale)
+    rangeRows.find(r => !statCols.contains(r._1)).foreach(r =>
+      throw new IllegalArgumentException(
+        s"manifest v$version stat line names undeclared column " +
+          s"'${r._1}' — foreign or hand-edited content"))
     // stat lines for unknown files are refused like scope lines: a
     // foreign path here means the stats no longer describe this
     // version's files — pruning on them could silently drop live rows
-    if (ranges.nonEmpty) {
+    if (rangeRows.nonEmpty) {
       val known = (es ++ d).map(e => Manifests.normalizePath(e.path)).toSet
-      ranges.keys.find(p => !known.contains(Manifests.normalizePath(p)))
+      rangeRows.map(_._2).find(p => !known.contains(Manifests.normalizePath(p)))
         .foreach(p => throw new IllegalArgumentException(
           s"manifest v$version stat line names no data file ('$p') — " +
             "foreign or hand-edited content"))
     }
+    // keyed on the NORMALIZED path: file:/x and file:///x are the same
+    // file, and letting both through would make one range silently win
+    // in the pruner's normalized map
+    require(rangeRows.map(r => (r._1, Manifests.normalizePath(r._2)))
+        .distinct.size == rangeRows.size,
+      s"manifest v$version repeats a (column, file) stat line — foreign " +
+        "or hand-edited content")
+    val byCol = rangeRows.groupBy(_._1)
+      .map { case (c, rs) => c -> rs.map(r => r._2 -> r._3).toMap }
     Snapshot(version, es, d, if (d.isEmpty) Nil else dvKeys,
       if (d.isEmpty) None else dvCount.map(_ => dvf),
-      statCol.map(c => TableStats(c, ranges)))
+      statCols.map(c => TableStats(c, byCol.getOrElse(c, Map.empty))))
   }
 
   private[graft] def decodeEntry(line: String): FileEntry = {
@@ -494,12 +533,15 @@ object MergeTable {
     * (value predicates cannot match its rows). */
   private def collectStats(
       conf: org.apache.hadoop.conf.Configuration,
-      entries: Seq[FileEntry], colName: String): Map[String, (Long, Long)] = {
+      entries: Seq[FileEntry],
+      colNames: Seq[String]): Map[String, Map[String, (Long, Long)]] = {
     import scala.jdk.CollectionConverters._
-    // PARALLEL footer reads: serial per-file round-trips would add
-    // latency ∝ batch size to every commit on remote stores (the
-    // listing-job lesson, in miniature)
-    val out = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+    // PARALLEL footer reads, ONE open per file for ALL columns (the
+    // footer holds every column's block statistics): serial or
+    // per-column round-trips would add latency ∝ batch × columns to
+    // every commit on remote stores (the listing-job lesson)
+    val out = colNames.map(c =>
+      c -> new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()).toMap
     val es = entries.toIndexedSeq
     java.util.stream.IntStream.range(0, es.size).parallel().forEach { i =>
       val e = es(i)
@@ -507,31 +549,34 @@ object MergeTable {
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
           new Path(e.path), conf))
       try {
-        var lo = Long.MaxValue
-        var hi = Long.MinValue
-        var usable = true
-        r.getFooter.getBlocks.asScala.foreach { b =>
-          if (usable) b.getColumns.asScala
-            .find(_.getPath.toDotString == colName) match {
-            case Some(c) =>
-              val s = c.getStatistics
-              if (s == null || s.isEmpty) usable = false
-              else if (s.hasNonNullValue)
-                (s.genericGetMin, s.genericGetMax) match {
-                  case (mn: java.lang.Number, mx: java.lang.Number) =>
-                    lo = math.min(lo, mn.longValue)
-                    hi = math.max(hi, mx.longValue)
-                  case _ => usable = false
-                }
-            // hasNonNullValue false with recorded stats = all-null
-            // block: skip — its rows can't satisfy a value predicate
-            case None => usable = false
+        val blocks = r.getFooter.getBlocks.asScala.toSeq
+        colNames.foreach { colName =>
+          var lo = Long.MaxValue
+          var hi = Long.MinValue
+          var usable = true
+          blocks.foreach { b =>
+            if (usable) b.getColumns.asScala
+              .find(_.getPath.toDotString == colName) match {
+              case Some(c) =>
+                val s = c.getStatistics
+                if (s == null || s.isEmpty) usable = false
+                else if (s.hasNonNullValue)
+                  (s.genericGetMin, s.genericGetMax) match {
+                    case (mn: java.lang.Number, mx: java.lang.Number) =>
+                      lo = math.min(lo, mn.longValue)
+                      hi = math.max(hi, mx.longValue)
+                    case _ => usable = false
+                  }
+              // hasNonNullValue false with recorded stats = all-null
+              // block: skip — its rows can't satisfy a value predicate
+              case None => usable = false
+            }
           }
+          if (usable && lo <= hi) { out(colName).put(e.path, (lo, hi)); () }
         }
-        if (usable && lo <= hi) { out.put(e.path, (lo, hi)); () }
       } finally r.close()
     }
-    out.asScala.toMap
+    out.map { case (c, m) => c -> m.asScala.toMap }
   }
 
   /** The stats a commit carries forward: kept entries keep their
@@ -539,14 +584,15 @@ object MergeTable {
     * decode validation), fresh files get footer-collected ones. */
   private def carriedStats(
       conf: org.apache.hadoop.conf.Configuration,
-      snapStats: Option[TableStats], kept: Seq[FileEntry],
-      fresh: Seq[FileEntry]): Option[TableStats] =
-    snapStats.map { s =>
-      val keptNorm = kept.map(e => normalize(e.path)).toSet
-      TableStats(s.col,
-        s.ranges.filter { case (p, _) => keptNorm.contains(normalize(p)) } ++
-          collectStats(conf, fresh, s.col))
-    }
+      snapStats: Seq[TableStats], kept: Seq[FileEntry],
+      fresh: Seq[FileEntry]): Seq[TableStats] = {
+    if (snapStats.isEmpty) return Nil
+    val keptNorm = kept.map(e => normalize(e.path)).toSet
+    val freshStats = collectStats(conf, fresh, snapStats.map(_.col))
+    snapStats.map(s => TableStats(s.col,
+      s.ranges.filter { case (p, _) => keptNorm.contains(normalize(p)) } ++
+        freshStats.getOrElse(s.col, Map.empty)))
+  }
 
   /** The relation over a snapshot's entries. With recorded sizes (every
     * manifest this code writes) the relation is built from the manifest
@@ -557,11 +603,11 @@ object MergeTable {
     * — all files agree by the writer invariant) is the only IO. */
   private[graft] def relationFor(
       spark: SparkSession, entries: Seq[FileEntry]): DataFrame =
-    relationFor(spark, entries, None)
+    relationFor(spark, entries, Nil)
 
   private[graft] def relationFor(
       spark: SparkSession, entries: Seq[FileEntry],
-      stats: Option[TableStats]): DataFrame =
+      stats: Seq[TableStats]): DataFrame =
     if (entries.nonEmpty && entries.forall(_.size >= 0)) {
       val schema = spark.read.parquet(entries.head.path).schema
       // manifest stats become a planning-time FILE pruner: resolved
@@ -573,6 +619,7 @@ object MergeTable {
           .filter(f => statsSupported(f.dataType))
           .map(f => (f.name,
             s.ranges.map { case (p, r) => normalize(p) -> r })))
+        .toSeq
       val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
         new ManifestFileIndex(entries, pruner),
         partitionSchema = new org.apache.spark.sql.types.StructType(),
@@ -946,7 +993,7 @@ object MergeTable {
       spark: SparkSession, fs: FileSystem, root: Path,
       baseVersion: Long, baseEntries: Seq[FileEntry], u: DataFrame,
       keyCols: Seq[String], nU: Long,
-      snapStats: Option[TableStats] = None): MergeStats = {
+      snapStats: Seq[TableStats] = Nil): MergeStats = {
     val base = relationFor(spark, baseEntries)
     // Table schema = head file's schema. SAFE BY INVARIANT: init and
     // every commit write the full, identical column set (requireConforms
@@ -1401,11 +1448,7 @@ object MergeTable {
     // construction, and every later writer maintains them
     // (carriedStats) — range/point predicates then prune FILES at
     // planning time, not tasks at run time
-    val stats = frame.schema.find(_.name.equalsIgnoreCase(sortCol))
-      .filter(f => statsSupported(f.dataType))
-      .map(f => TableStats(f.name, collectStats(
-        spark.sparkContext.hadoopConfiguration, files, f.name)))
-      .filter(_.ranges.nonEmpty)
+    val stats = establishStats(spark, frame.schema, files, Seq(sortCol))
     try commit(fs, root, next, encodeSnapshot(files, Nil, Nil, stats = stats))
     catch {
       // the conflict contract every other writer exposes (merge /
@@ -1414,6 +1457,50 @@ object MergeTable {
       case _: FileAlreadyExistsException =>
         throw new CommitConflict(
           s"compactTable at $path lost the commit race for v$next " +
+            "(concurrent writer landed mid-rewrite); re-run")
+    }
+    Snapshot(next, files, stats = stats)
+  }
+
+  /** The per-file stats a compaction ESTABLISHES: footer ranges for
+    * every named column whose Spark type is long-ordered (others are
+    * silently skipped — documented at [[statsSupported]]); a column
+    * yielding no usable footer range is dropped whole. */
+  private def establishStats(
+      spark: SparkSession, schema: org.apache.spark.sql.types.StructType,
+      files: Seq[FileEntry], cols: Seq[String]): Seq[TableStats] = {
+    val resolved = cols.flatMap(c => schema.find(_.name.equalsIgnoreCase(c))
+      .filter(f => statsSupported(f.dataType)).map(_.name)).distinct
+    if (resolved.isEmpty) return Nil
+    val ranges = collectStats(
+      spark.sparkContext.hadoopConfiguration, files, resolved)
+    resolved.map(c => TableStats(c, ranges.getOrElse(c, Map.empty)))
+      .filter(_.ranges.nonEmpty)
+  }
+
+  /** Z-ORDER compaction: rewrite the table clustered on the Morton
+    * interleave of `zCols` (each min-max scaled to `bits` — the
+    * OPTIMIZE ZORDER analog, [[graft.operators.Layout]]'s curve inside
+    * the versioned-commit contract), and ESTABLISH manifest stats for
+    * EVERY long-ordered z column: the curve gives each file a tight
+    * range on all of them at once, so planning-time file skipping
+    * works for predicates on ANY z column — not just a single sort
+    * key. Same commit/conflict contract as [[compactTable]]. */
+  def compactTableZOrder(
+      spark: SparkSession, path: String, zCols: Seq[String],
+      numFiles: Int, bits: Int = 16): Snapshot = {
+    val (fs, root) = fsOf(spark, path)
+    val snap = snapshot(spark, path)
+    val next = snap.version + 1
+    val frame = logicalFrame(spark, snap)
+    val sorted = graft.operators.Layout.zClustered(frame, zCols, numFiles, bits)
+    val files = writeBatch(spark, fs, root, sorted)
+    val stats = establishStats(spark, frame.schema, files, zCols)
+    try commit(fs, root, next, encodeSnapshot(files, Nil, Nil, stats = stats))
+    catch {
+      case _: FileAlreadyExistsException =>
+        throw new CommitConflict(
+          s"compactTableZOrder at $path lost the commit race for v$next " +
             "(concurrent writer landed mid-rewrite); re-run")
     }
     Snapshot(next, files, stats = stats)

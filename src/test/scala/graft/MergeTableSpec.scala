@@ -1140,7 +1140,7 @@ class MergeTableSpec extends SparkSpec {
     MergeTable.compactTable(spark, path, "id", 8) // 8 range-sorted files
     val snap = MergeTable.snapshot(spark, path)
     assert(snap.stats.exists(_.col === "id"), "compaction must establish stats")
-    assert(snap.stats.get.ranges.size === 8, "every compacted file gets a range")
+    assert(snap.stats.head.ranges.size === 8, "every compacted file gets a range")
     def scannedFiles(df: org.apache.spark.sql.DataFrame): Long =
       graft.util.Plans.executedNodes(df).collect {
         case f: org.apache.spark.sql.execution.FileSourceScanExec => f
@@ -1191,7 +1191,7 @@ class MergeTableSpec extends SparkSpec {
     // deleteWhere's discovery prunes on the stats column (folds first here)
     MergeTable.deleteWhere(spark, path, $"id" === 700L)
     assert(MergeTable.read(spark, path).count() === 999)
-    assert(MergeTable.snapshot(spark, path).stats.isDefined)
+    assert(MergeTable.snapshot(spark, path).stats.nonEmpty)
     // time travel: the compacted version's stats are version-pinned
     assert(MergeTable.snapshotAt(spark, path, v0.version).stats ===
       v0.stats)
@@ -1205,19 +1205,19 @@ class MergeTableSpec extends SparkSpec {
     }
     def rewrite(ls: Seq[String]): Unit = tamperManifest(path)(_ => ls)
     rewrite(lines.map(l =>
-      if (l.startsWith("stat\t")) "stat\tfile:/nowhere.parquet\t0\t1" else l))
+      if (l.startsWith("stat\t")) "stat\tid\tfile:/nowhere.parquet\t0\t1" else l))
     val e1 = intercept[IllegalArgumentException] { MergeTable.snapshot(spark, path) }
     assert(e1.getMessage.contains("names no data file"))
     rewrite(lines.filterNot(_.startsWith("statcol\t")))
     val e2 = intercept[IllegalArgumentException] { MergeTable.snapshot(spark, path) }
-    assert(e2.getMessage.contains("no statcol"))
+    assert(e2.getMessage.contains("undeclared column"))
     rewrite(lines.map(l =>
       if (l.startsWith("stat\t")) l.reverse.replaceFirst("^\\d", "x").reverse else l))
     val e3 = intercept[IllegalArgumentException] { MergeTable.snapshot(spark, path) }
     assert(e3.getMessage.contains("is not a number"))
     def rebounds(l: String, lo: String, hi: String) =
       if (!l.startsWith("stat\t")) l
-      else { val p = l.split("\t"); s"${p(0)}\t${p(1)}\t$lo\t$hi" }
+      else { val p = l.split("\t"); s"${p(0)}\t${p(1)}\t${p(2)}\t$lo\t$hi" }
     // an INVERTED range would silently prune live rows: refused
     rewrite(lines.map(rebounds(_, "900", "100")))
     val e4 = intercept[IllegalArgumentException] { MergeTable.snapshot(spark, path) }
@@ -1231,6 +1231,56 @@ class MergeTableSpec extends SparkSpec {
       r => r._1 == Long.MinValue && r._2 == Long.MaxValue)))
     assert(MergeTable.read(spark, path).filter($"id" === 15L).count() === 1,
       "an all-covering range prunes nothing and reads stay correct")
+    // LEGACY single-column stat lines (column-less, path-first) still
+    // decode — they bind to the sole declared statcol (review catch:
+    // the multi-column codec must not brick its own earlier manifests)
+    def legacyLine(l: String) =
+      if (!l.startsWith("stat\t")) l
+      else { val p = l.split("\t"); s"${p(0)}\t${p(2)}\t${p(3)}\t${p(4)}" }
+    rewrite(lines.map(legacyLine))
+    val leg = MergeTable.snapshot(spark, path)
+    assert(leg.stats.exists(s => s.col === "id" && s.ranges.nonEmpty),
+      "legacy stat lines must bind to the declared statcol")
+    // ...but with TWO declared columns the binding is ambiguous: refused
+    rewrite("statcol\tbogus" +: lines.map(legacyLine))
+    val e6 = intercept[IllegalArgumentException] { MergeTable.snapshot(spark, path) }
+    assert(e6.getMessage.contains("cannot bind"))
+  }
+
+  test("compactTableZOrder: manifest stats on EVERY z column; either predicate prunes files") {
+    val path = freshPath()
+    // two independent numeric dimensions: id and a decoupled second axis
+    val df = (1 to 4096).map(i =>
+      (i.toLong, ((i * 2654435761L) % 4096L), s"payload $i"))
+      .toDF("id", "axis", "body")
+    MergeTable.init(spark, path, df)
+    val snap = MergeTable.compactTableZOrder(spark, path, Seq("id", "axis"), 16)
+    assert(snap.stats.map(_.col).toSet === Set("id", "axis"),
+      "both z columns must carry manifest stats")
+    assert(snap.stats.forall(_.ranges.size === 16))
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long =
+      graft.util.Plans.executedNodes(df).collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.map(_.metrics("numFiles").value).sum
+    // a point predicate on EITHER column prunes well below the 16 files
+    val byId = MergeTable.read(spark, path).filter($"id" === 2000L)
+    assert(byId.count() === 1)
+    assert(scannedFiles(byId) <= 8, s"id predicate must prune z files")
+    val byAxis = MergeTable.read(spark, path).filter($"axis" === 1234L)
+    val axisRows = byAxis.count()
+    assert(scannedFiles(byAxis) <= 8, s"axis predicate must prune z files")
+    // correctness: both pruned reads equal the full-scan answers
+    val full = MergeTable.read(spark, path).collect()
+    assert(axisRows === full.count(_.getLong(1) == 1234L))
+    assert(full.count(_.getLong(0) == 2000L) === 1)
+    // a later merge keeps BOTH columns' stats fresh
+    MergeTable.merge(spark, path,
+      Seq((2000L, 9999L, "updated")).toDF("id", "axis", "body"), Seq("id"))
+    val s2 = MergeTable.snapshot(spark, path)
+    assert(s2.stats.map(_.col).toSet === Set("id", "axis"))
+    assert(s2.stats.forall(_.ranges.size === 16))
+    assert(MergeTable.read(spark, path).filter($"id" === 2000L)
+      .select("body").head().getString(0) === "updated")
   }
 
   test("cloneTable: zero-copy branch — shared files, carried DV state, independent evolution") {
