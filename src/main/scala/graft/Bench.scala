@@ -217,14 +217,9 @@ object Bench {
     val qs = results.map { case (k, v) => s""""${short(k)}":${fmt2(v)}""" }
       .mkString("{", ",", "}")
     // The PhaseRows decomposition lives ONLY in the on-disk artifact
-    // now (bench_last.json → the round's committed BENCH_r*_local.json,
-    // which round-over-round adjudication already reads): at 132
-    // queries the printed line with 16 phase rows measured 2032 chars —
-    // PAST the driver's 2000-char tail, the exact r12 truncation
-    // failure — and dropping phases from the line alone buys ~360
-    // chars of suite-growth margin while losing nothing the committed
-    // artifact doesn't keep.
-    val phasesField = ""
+    // (see the header doc: at 132 queries the printed line with 16
+    // phase rows measured 2032 chars — past the driver's 2000-char
+    // tail, the exact r12 truncation failure).
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // JSON string escape for interpolated values (sfDir comes from the
     // environment; a quote/backslash would break the driver's json.load)
@@ -235,7 +230,7 @@ object Bench {
     val prov = s""","provenance":{"sf_mtime":${jstr(sfMtime)},""" +
       s""""start":${jstr(benchStart)},"warmup_first_sec":${fmt(warmupFirstSec)}}"""
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$phasesField,"sf":${jstr(sfDir)}$prov$failedField}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":${jstr(sfDir)}$prov$failedField}"""
     // The on-disk copy has NO tail budget, so it keeps FULL precision —
     // 3-decimal queries, verbose {build, serve} phases, the exact
     // provenance — for the round's committed BENCH_r*_local.json and
@@ -294,10 +289,12 @@ object Bench {
       "rewrites + the df decrement merge) — the timed region is the " +
       "whole build+purge lifecycle; a deployment amortizes the build " +
       "and pays only the bounded purge per retraction batch.")
-    println("note: the JSON 'phases' field decomposes each in-query-build " +
-      "row (q86/q86b/q103/q105/q106/q113/q122/q128/q134, and the staged-" +
+    println("note: the build/serve decomposition of each in-query-build " +
+      "row (q86/q86b/q103/q105/q106/q113/q122/q128/q134, the staged-" +
       "MergeTable rows q135-q140) and the band-heavy " +
-      "dedup rows (q33/q37/q38) as a compact [build, serve] 2-decimal pair " +
+      "dedup rows (q33/q37/q38) lives in bench_last.json / the committed " +
+      "BENCH_r*_local.json 'phases' objects (NOT in the printed line — " +
+      "tail budget) " +
       "— build = the eager work inside the query lambda (index/codebook " +
       "construction; for the dedup rows, candidate generation + " +
       "verification through their internal checkpoints), serve = the " +
