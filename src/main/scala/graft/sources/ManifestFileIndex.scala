@@ -35,7 +35,8 @@ import org.apache.spark.sql.types.StructType
   */
 private[graft] final class ManifestFileIndex(
     entries: Seq[MergeTable.FileEntry],
-    stats: Seq[(String, Map[String, (Long, Long)])] = Nil)
+    stats: Seq[(String, Map[String, (Long, Long)])] = Nil,
+    caseSensitive: Boolean = false)
   extends FileIndex {
   require(entries.forall(_.size >= 0),
     "ManifestFileIndex needs a recorded size for every file; " +
@@ -66,7 +67,7 @@ private[graft] final class ManifestFileIndex(
         // whichever z column the predicate names)
         val active = stats.flatMap { case (colName, ranges) =>
           val ex = dataFilters.flatMap(
-            ManifestFileIndex.rangeExcluder(colName, _))
+            ManifestFileIndex.rangeExcluder(colName, _, caseSensitive))
           if (ex.isEmpty) None else Some((ranges, ex))
         }
         if (active.isEmpty) statuses
@@ -104,12 +105,18 @@ private[graft] object ManifestFileIndex {
     * family (Catalyst wraps mismatched types in casts, which do NOT
     * match these patterns — so a type-confused predicate never
     * prunes). NULL literals never prune (nothing matches them
-    * anyway). */
+    * anyway). Attribute matching honors the session's case
+    * sensitivity (`caseSensitive` — the relationFor resolver rationale:
+    * under spark.sql.caseSensitive=true, `id` and `ID` are distinct
+    * columns and a case-blind match would prune on the wrong one's
+    * ranges). */
   private[sources] def rangeExcluder(
-      colName: String, e: Expression): Option[(Long, Long) => Boolean] = {
+      colName: String, e: Expression,
+      caseSensitive: Boolean = false): Option[(Long, Long) => Boolean] = {
     import org.apache.spark.sql.catalyst.expressions._
     def isCol(x: Expression): Boolean = x match {
-      case a: AttributeReference => a.name.equalsIgnoreCase(colName)
+      case a: AttributeReference =>
+        if (caseSensitive) a.name == colName else a.name.equalsIgnoreCase(colName)
       case _ => false
     }
     def v(x: Any): Option[Long] = x match {
@@ -152,7 +159,8 @@ private[graft] object ManifestFileIndex {
           Some((lo, hi) => vs.forall(q => q < lo || q > hi))
         } else None
       case And(l, r) =>
-        (rangeExcluder(colName, l), rangeExcluder(colName, r)) match {
+        (rangeExcluder(colName, l, caseSensitive),
+         rangeExcluder(colName, r, caseSensitive)) match {
           case (Some(f), Some(g)) => Some((lo, hi) => f(lo, hi) || g(lo, hi))
           case (one @ Some(_), None) => one
           case (None, g) => g

@@ -329,6 +329,23 @@ object MergeTable {
   private[graft] def encodeEntry(e: FileEntry): String =
     if (e.size >= 0) e.path + "\t" + e.size else e.path
 
+  /** A column name the stat-line codec can store AND read back
+    * unambiguously. Tab/CR/LF would shear the line (the dvkeys
+    * rationale); ':' anywhere or a leading '/' would make the DECODER
+    * classify the line as a legacy (column-less, path-first) stat line
+    * — `decodeLines` distinguishes the two formats by exactly that
+    * content sniff, because stored paths are URI forms (always a
+    * scheme or a leading '/') while column names never are. Without
+    * this guard a compaction on a column named `a:b` would COMMIT
+    * successfully and then every later snapshot() would throw on its
+    * own manifest — the table-bricking failure mode the legacy-decode
+    * comments exist to avoid (review catch, r14 ADVICE). Shared by
+    * [[encodeSnapshot]] (the backstop) and [[establishStats]] (which
+    * skips such columns up front, before any data file is written). */
+  private def statColEncodable(c: String): Boolean =
+    !c.exists(ch => ch == '\t' || ch == '\n' || ch == '\r') &&
+      !c.contains(':') && !c.startsWith("/")
+
   private val DeltaTag = "delta\t"
   private val DvKeysTag = "dvkeys\t"
   private val DvFilesTag = "dvfiles\t"
@@ -344,8 +361,7 @@ object MergeTable {
       "delta files and dvKeys must be committed together")
     require(dvFiles.isEmpty || delta.nonEmpty,
       "a suppression scope (dvFiles) requires delta state")
-    stats.foreach(s => require(
-      !s.col.exists(c => c == '\t' || c == '\n' || c == '\r'),
+    stats.foreach(s => require(statColEncodable(s.col),
       s"stats column name not encodable in the manifest: '${s.col}'"))
     require(stats.map(_.col).distinct.size == stats.size,
       "duplicate stats column")
@@ -360,6 +376,13 @@ object MergeTable {
             (DvFilesTag + fs.size) +: fs.map(DvFileTag + _)) ++
           delta.map(e => DeltaTag + encodeEntry(e))))
   }
+
+  /** Test seam for the encode backstop ([[statColEncodable]]): the
+    * spec drives the refusal directly — no public writer can reach it
+    * since [[establishStats]] filters such names first. */
+  private[graft] def encodeSnapshotForTest(
+      entries: Seq[FileEntry], stats: Seq[TableStats]): Seq[String] =
+    encodeSnapshot(entries, Nil, Nil, stats = stats)
 
   private def decodeLines(lines: Seq[String], version: Long): Snapshot = {
     val entries = Seq.newBuilder[FileEntry]
@@ -530,12 +553,28 @@ object MergeTable {
     * pays; bounded by the batch size at every call site). A file whose
     * footer lacks usable stats for the column in ANY block is omitted
     * — unprunable, always read; an all-null block contributes nothing
-    * (value predicates cannot match its rows). */
-  private def collectStats(
+    * (value predicates cannot match its rows). A file whose footer
+    * cannot be READ at all likewise degrades to "no stats" instead of
+    * failing the commit from a pool thread: the data files are already
+    * written and the commit is still correct without pruning metadata
+    * for that file (the documented unprunable fallback) — a raw
+    * parquet exception here would abort a finished write over an
+    * optimization (review catch, r14 ADVICE).
+    *
+    * UNIT SAFETY (review catch, r14 ADVICE): recorded ranges must be
+    * in the unit Catalyst literals use, or the pruner silently drops
+    * live rows. Timestamp footers carry the file's PHYSICAL unit —
+    * TIMESTAMP(MILLIS) under
+    * spark.sql.parquet.outputTimestampType=TIMESTAMP_MILLIS — while
+    * Catalyst timestamp literals are always MICROS, so MILLIS ranges
+    * convert (×1000, exact) and any other unit (NANOS, INT96's binary
+    * stats) yields no stats rather than wrong ones. */
+  private[graft] def collectStats(
       conf: org.apache.hadoop.conf.Configuration,
       entries: Seq[FileEntry],
       colNames: Seq[String]): Map[String, Map[String, (Long, Long)]] = {
     import scala.jdk.CollectionConverters._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
     // PARALLEL footer reads, ONE open per file for ALL columns (the
     // footer holds every column's block statistics): serial or
     // per-column round-trips would add latency ∝ batch × columns to
@@ -545,36 +584,63 @@ object MergeTable {
     val es = entries.toIndexedSeq
     java.util.stream.IntStream.range(0, es.size).parallel().forEach { i =>
       val e = es(i)
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new Path(e.path), conf))
       try {
-        val blocks = r.getFooter.getBlocks.asScala.toSeq
-        colNames.foreach { colName =>
-          var lo = Long.MaxValue
-          var hi = Long.MinValue
-          var usable = true
-          blocks.foreach { b =>
-            if (usable) b.getColumns.asScala
-              .find(_.getPath.toDotString == colName) match {
-              case Some(c) =>
-                val s = c.getStatistics
-                if (s == null || s.isEmpty) usable = false
-                else if (s.hasNonNullValue)
-                  (s.genericGetMin, s.genericGetMax) match {
-                    case (mn: java.lang.Number, mx: java.lang.Number) =>
-                      lo = math.min(lo, mn.longValue)
-                      hi = math.max(hi, mx.longValue)
-                    case _ => usable = false
-                  }
-              // hasNonNullValue false with recorded stats = all-null
-              // block: skip — its rows can't satisfy a value predicate
-              case None => usable = false
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new Path(e.path), conf))
+        try {
+          val blocks = r.getFooter.getBlocks.asScala.toSeq
+          colNames.foreach { colName =>
+            var lo = Long.MaxValue
+            var hi = Long.MinValue
+            var usable = true
+            blocks.foreach { b =>
+              if (usable) b.getColumns.asScala
+                .find(_.getPath.toDotString == colName) match {
+                case Some(c) =>
+                  // Catalyst-micros conversion for timestamp columns;
+                  // identity for plain integrals/dates (INT32 DATE is
+                  // days on both sides). None = a unit this pruner
+                  // cannot represent exactly — no stats, never wrong
+                  // stats.
+                  val toMicros: Long => Option[Long] =
+                    c.getPrimitiveType.getLogicalTypeAnnotation match {
+                      case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                        t.getUnit match {
+                          case LogicalTypeAnnotation.TimeUnit.MICROS =>
+                            v => Some(v)
+                          case LogicalTypeAnnotation.TimeUnit.MILLIS =>
+                            v => try Some(Math.multiplyExact(v, 1000L))
+                                 catch { case _: ArithmeticException => None }
+                          case _ => _ => None // NANOS: lossy — skip
+                        }
+                      case _ => v => Some(v)
+                    }
+                  val s = c.getStatistics
+                  if (s == null || s.isEmpty) usable = false
+                  else if (s.hasNonNullValue)
+                    (s.genericGetMin, s.genericGetMax) match {
+                      case (mn: java.lang.Number, mx: java.lang.Number) =>
+                        (toMicros(mn.longValue), toMicros(mx.longValue)) match {
+                          case (Some(a), Some(b)) =>
+                            lo = math.min(lo, a)
+                            hi = math.max(hi, b)
+                          case _ => usable = false
+                        }
+                      case _ => usable = false
+                    }
+                // hasNonNullValue false with recorded stats = all-null
+                // block: skip — its rows can't satisfy a value predicate
+                case None => usable = false
+              }
             }
+            if (usable && lo <= hi) { out(colName).put(e.path, (lo, hi)); () }
           }
-          if (usable && lo <= hi) { out(colName).put(e.path, (lo, hi)); () }
-        }
-      } finally r.close()
+        } finally r.close()
+      } catch {
+        // unreadable footer: this file just records no stats (see doc)
+        case scala.util.control.NonFatal(_) => ()
+      }
     }
     out.map { case (c, m) => c -> m.asScala.toMap }
   }
@@ -613,15 +679,21 @@ object MergeTable {
       // manifest stats become a planning-time FILE pruner: resolved
       // against the actual schema (name + long-ordered type) so a
       // renamed/retyped column silently disables pruning rather than
-      // mis-evaluating it
+      // mis-evaluating it. Resolution uses the SESSION's resolver:
+      // under spark.sql.caseSensitive=true two columns differing only
+      // in case are distinct, and a case-blind match here would apply
+      // one column's ranges to the other's predicates — silent row
+      // loss (review catch, r14 ADVICE).
+      val resolver = spark.sessionState.conf.resolver
       val pruner = stats.flatMap(s =>
-        schema.find(_.name.equalsIgnoreCase(s.col))
+        schema.find(f => resolver(f.name, s.col))
           .filter(f => statsSupported(f.dataType))
           .map(f => (f.name,
             s.ranges.map { case (p, r) => normalize(p) -> r })))
         .toSeq
       val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
-        new ManifestFileIndex(entries, pruner),
+        new ManifestFileIndex(entries, pruner,
+          spark.sessionState.conf.caseSensitiveAnalysis),
         partitionSchema = new org.apache.spark.sql.types.StructType(),
         dataSchema = schema,
         bucketSpec = None,
@@ -1465,12 +1537,17 @@ object MergeTable {
   /** The per-file stats a compaction ESTABLISHES: footer ranges for
     * every named column whose Spark type is long-ordered (others are
     * silently skipped — documented at [[statsSupported]]); a column
-    * yielding no usable footer range is dropped whole. */
+    * yielding no usable footer range is dropped whole. Names the
+    * stat-line codec cannot round-trip ([[statColEncodable]]) are
+    * skipped here, BEFORE any data file is written — encodeSnapshot's
+    * backstop would otherwise fail the commit after the rewrite. */
   private def establishStats(
       spark: SparkSession, schema: org.apache.spark.sql.types.StructType,
       files: Seq[FileEntry], cols: Seq[String]): Seq[TableStats] = {
-    val resolved = cols.flatMap(c => schema.find(_.name.equalsIgnoreCase(c))
-      .filter(f => statsSupported(f.dataType)).map(_.name)).distinct
+    val resolver = spark.sessionState.conf.resolver
+    val resolved = cols.flatMap(c => schema.find(f => resolver(f.name, c))
+      .filter(f => statsSupported(f.dataType))
+      .map(_.name).filter(statColEncodable)).distinct
     if (resolved.isEmpty) return Nil
     val ranges = collectStats(
       spark.sparkContext.hadoopConfiguration, files, resolved)

@@ -1469,4 +1469,130 @@ class MergeTableSpec extends SparkSpec {
     intercept[IllegalStateException] { MergeTable.init(spark, path, df, bloomKeys = Seq("h")) }
     intercept[IllegalStateException] { MergeTable.init(spark, path, df) }
   }
+
+  test("manifest stats: TIMESTAMP_MILLIS footers convert to Catalyst micros — pruning never drops rows") {
+    // the r14 ADVICE unit bug: footer min/max of a MILLIS-written
+    // timestamp column are millis, Catalyst literals always micros —
+    // recording the raw values would prune files that DO contain
+    // matching rows. The fix converts (×1000, exact) at collection.
+    val path = freshPath()
+    val prev = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
+    try {
+      val df = (1 to 1000).map(i =>
+        (i.toLong, java.sql.Timestamp.valueOf(s"2026-01-01 00:00:00")
+          .toInstant.plusSeconds(i.toLong * 60)))
+        .toDF("id", "ts")
+      MergeTable.init(spark, path, df)
+      MergeTable.compactTable(spark, path, "ts", 8)
+      val snap = MergeTable.snapshot(spark, path)
+      assert(snap.stats.exists(s => s.col == "ts" && s.ranges.size === 8),
+        "MILLIS timestamps must still get (converted) stats")
+      // the recorded bounds are MICROS: a 2026 epoch is ~1.77e15 µs
+      // (~1.77e12 in millis — three orders of magnitude off)
+      assert(snap.stats.find(_.col == "ts").get.ranges.values
+        .forall { case (lo, hi) => lo > 1000000000000000L && hi >= lo },
+        "recorded ranges must be in Catalyst micros, not the file's millis")
+      def scannedFiles(q: org.apache.spark.sql.DataFrame): Long =
+        graft.util.Plans.executedNodes(q).collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }.map(_.metrics("numFiles").value).sum
+      // a timestamp point predicate must both PRUNE and FIND the row
+      val probe = java.sql.Timestamp.from(
+        java.sql.Timestamp.valueOf("2026-01-01 00:00:00").toInstant
+          .plusSeconds(500L * 60))
+      val point = MergeTable.read(spark, path).filter($"ts" === probe)
+      assert(point.count() === 1,
+        "mis-unit stats would silently prune the live row away")
+      assert(scannedFiles(point) === 1L, "converted stats must still prune")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+      case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    }
+  }
+
+  test("manifest stats: a column name the codec can't round-trip is skipped, never committed") {
+    // the r14 ADVICE brick: `stat\ta:b\t...` decodes as a LEGACY
+    // path-first line (':' sniff) and every later snapshot() throws on
+    // the table's own committed manifest. establishStats now skips such
+    // names before any data file is written; encodeSnapshot backstops.
+    val path = freshPath()
+    val df = (1 to 100).map(i => (i.toLong, s"p$i")).toDF("a:b", "body")
+    MergeTable.init(spark, path, df)
+    val snap = MergeTable.compactTable(spark, path, "a:b", 2)
+    assert(snap.stats.isEmpty,
+      "a ':'-named sort column must not establish stats (decode ambiguity)")
+    // the table is NOT bricked: snapshot and read keep working
+    assert(MergeTable.snapshot(spark, path).version === snap.version)
+    assert(MergeTable.read(spark, path).count() === 100)
+    // the encode backstop refuses hand-built unencodable stats
+    intercept[IllegalArgumentException] {
+      MergeTable.encodeSnapshotForTest(
+        Seq(MergeTable.FileEntry("file:/x.parquet", 1L)),
+        Seq(MergeTable.TableStats("/lead", Map("file:/x.parquet" -> (0L, 1L)))))
+    }
+  }
+
+  test("manifest stats: case-sensitive sessions never bind one column's ranges to another") {
+    // r14 ADVICE: under spark.sql.caseSensitive=true, `id` and `ID`
+    // are distinct columns; equalsIgnoreCase binding would prune ID
+    // predicates on id's ranges — silent row loss.
+    val prev = spark.conf.get("spark.sql.caseSensitive")
+    spark.conf.set("spark.sql.caseSensitive", "true")
+    try {
+      val path = freshPath()
+      // id ascends 1..400; ID descends 400..1 — their per-file ranges
+      // DISAGREE after a range-sort on id, so a wrongly-bound pruner
+      // provably drops live rows
+      val df = (1 to 400).map(i => (i.toLong, (401 - i).toLong, s"p$i"))
+        .toDF("id", "ID", "body")
+      MergeTable.init(spark, path, df)
+      MergeTable.compactTable(spark, path, "id", 4)
+      val snap = MergeTable.snapshot(spark, path)
+      assert(snap.stats.map(_.col) === Seq("id"),
+        "exactly the sort column (case-exact) gets stats")
+      // ID === 390 lives in the file holding id 11 (low id range); a
+      // case-blind pruner would look for 390 in id's ranges and keep
+      // only the HIGH-id file — dropping the live row
+      val q = MergeTable.read(spark, path).filter($"ID" === 390L)
+      assert(q.count() === 1,
+        "case-variant predicate must not be pruned on the other column's ranges")
+      // and an `id` predicate still prunes exactly
+      def scannedFiles(x: org.apache.spark.sql.DataFrame): Long =
+        graft.util.Plans.executedNodes(x).collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }.map(_.metrics("numFiles").value).sum
+      val p = MergeTable.read(spark, path).filter($"id" === 11L)
+      assert(p.count() === 1 && scannedFiles(p) === 1L)
+    } finally spark.conf.set("spark.sql.caseSensitive", prev)
+  }
+
+  test("stats collection degrades per-file on unreadable footers instead of failing the commit") {
+    // r14 ADVICE: a single unreadable just-committed file threw a raw
+    // parquet exception from a ForkJoin pool thread and aborted the
+    // whole commit AFTER its data files were written. The fix: that
+    // file simply records no stats (the documented unprunable
+    // fallback).
+    val dir = java.nio.file.Files.createTempDirectory("collect_stats").toString
+    val good = s"$dir/good.parquet"
+    (1 to 10).map(i => (i.toLong, s"p$i")).toDF("id", "body")
+      .coalesce(1).write.parquet(s"$dir/g")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/g"))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    fs.rename(part, new org.apache.hadoop.fs.Path(good))
+    val bad = s"$dir/bad.parquet"
+    val out = fs.create(new org.apache.hadoop.fs.Path(bad), false)
+    out.write("this is not parquet".getBytes("UTF-8")); out.close()
+    val got = MergeTable.collectStats(
+      spark.sparkContext.hadoopConfiguration,
+      Seq(MergeTable.FileEntry(good, fs.getFileStatus(
+          new org.apache.hadoop.fs.Path(good)).getLen),
+        MergeTable.FileEntry(bad, 19L)),
+      Seq("id"))
+    assert(got("id").keySet.map(p => p.substring(p.lastIndexOf('/') + 1)) ===
+      Set("good.parquet"),
+      "the readable file keeps its stats; the unreadable one records none")
+  }
 }
