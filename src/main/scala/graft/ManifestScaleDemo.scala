@@ -97,6 +97,15 @@ object ManifestScaleDemo {
         require(MergeTable.changesBetween(spark, tbl.toString, 2L, 3L,
           Seq("id")).count() == 2L)
       }
+      // the feed's COST ESTIMATE (r14 verdict #6): pure manifest
+      // algebra a consumer runs BEFORE paying the scan — flat-cheap at
+      // any file count, and it prices exactly the sets the feed reads
+      time(f"[$n%,d files] changesCostEstimate (manifest algebra only)") {
+        val est = MergeTable.changesCostEstimate(spark, tbl.toString, 2L, 3L,
+          Seq("id"))
+        require(est.addedFiles == 2 && est.probeFiles == 0 && !est.fullScan,
+          s"the 2-file window must price as 2 added files: $est")
+      }
       // manifest STATS pruning: v4 records a per-file [lo, hi) range on
       // `id` (file i covers [i*1000, (i+1)*1000) — what a compaction
       // would have written); a point predicate then schedules ONE file

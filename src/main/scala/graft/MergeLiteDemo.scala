@@ -35,7 +35,15 @@ import graft.sources.MergeTable
   *   5. (phase 4) append-vs-combine WRITE amplification: disjoint
   *      batches append their own delta file set (O(batch) per commit)
   *      while overlapping ones re-write the accumulated delta whole —
-  *      the sustained-stream cost the append path removes.
+  *      the sustained-stream cost the append path removes;
+  *   6. (phase 5, r15) the UNSCOPED tax and the maintenance RESCOPE: a
+  *      past-the-In-limit batch commits unscoped, every scan pays the
+  *      whole-base anti-join, and rescopeDelta bounds it with one
+  *      deliberate off-write-path discovery scan;
+  *   7. (phase 6, r15) SCOPE-AWARE FOLD: a fold seeded from the scope
+  *      vs the same fold paying the base key-column discovery scan —
+  *      identical rewrite, the scan isolated (A/B via zero-copy clones,
+  *      one with its manifest scope re-committed stripped).
   *
   * Run manually: `sbt "runMain graft.MergeLiteDemo"` (MERGE_LITE_ROWS
   * overrides the 40M default; idle host — timing).
@@ -266,6 +274,74 @@ object MergeLiteDemo {
     // [0, 4*bRows - 3000) distinct new ids
     require(MergeTable.read(spark, cPath).count() == 1000000L + 4 * bRows - 3000,
       "combine arm diverged")
+
+    // phase 5 — the UNSCOPED tax and the maintenance RESCOPE (r15):
+    // a batch past the In-probe limit (1500 spread EXISTING keys)
+    // commits unscoped, so every full scan pays the whole-base
+    // anti-join until rescopeDelta runs the one deliberate discovery
+    // scan off the write path. Measured: tax before, the rescope wall,
+    // tax after.
+    println("phase 5 — unscoped read tax, bounded by the maintenance rescope")
+    // fold phase 2b's state first so this phase starts DV-free
+    MergeTable.merge(spark, litePath, replayBatch(998).limit(0), Seq("request_id"))
+    MergeTable.vacuum(spark, litePath, retainMillis = 0)
+    val spread = responseRows(
+      spark.range(1500).select((col("id") * (n / 1501) + 3).as("id")))
+    MergeTable.mergeLite(spark, litePath, spread, Seq("request_id"))
+    val sUn = MergeTable.snapshot(spark, litePath)
+    require(sUn.dvFiles.isEmpty, "1500 keys must commit unscoped")
+    scanAgg(litePath) // JVM-warm the unscoped plan shape
+    val aggUnscoped = scanAgg(litePath)
+    dropCaches()
+    val tRescope = System.nanoTime()
+    val sRe = MergeTable.rescopeDelta(spark, litePath)
+    val rescopeWall = (System.nanoTime() - tRescope) / 1e9
+    println(s"  rescope scoped ${sRe.dvFiles.map(_.size).getOrElse(-1)} of " +
+      s"${sRe.entries.size} base files (spread keys: all touched — the " +
+      "honest worst case; the win is on later scans of UNtouched files " +
+      "and on localized deltas)")
+    scanAgg(litePath)
+    val aggRescoped = scanAgg(litePath)
+    println(f"unscoped tax: full-scan agg $aggUnscoped%6.3f s unscoped vs " +
+      f"$aggRescoped%6.3f s rescoped (${aggUnscoped / aggRescoped}%.2fx); " +
+      f"rescope wall $rescopeWall%6.2f s — one base key-column scan, " +
+      "paid once in maintenance instead of on every read")
+    require(MergeTable.read(spark, litePath).count() == nExpect + 20,
+      "phase 5 replaced existing keys only")
+
+    // phase 6 — SCOPE-AWARE FOLD (r15): a fold whose update set derives
+    // from the delta seeds its touched-file set from the suppression
+    // scope and SKIPS the base discovery scan. A/B on identical state:
+    // the clone keeps its scope, the twin re-commits its manifest
+    // scope-stripped (what a pre-scoping writer left behind).
+    println("phase 6 — scope-aware fold: seeded vs discovery")
+    val scopedPath = s"$base/fold_scoped"
+    val strippedPath = s"$base/fold_stripped"
+    MergeTable.cloneTable(spark, litePath, scopedPath)
+    MergeTable.cloneTable(spark, litePath, strippedPath)
+    locally { // strip the scope: the legacy-unscoped manifest shape
+      val mdir = new org.apache.hadoop.fs.Path(strippedPath, "_manifests")
+      val fs = mdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val v = graft.sources.Manifests.latestVersion(fs, mdir).get
+      graft.sources.Manifests.commit(fs, mdir, v + 1,
+        graft.sources.Manifests.read(fs, mdir, v).filterNot(l =>
+          l.startsWith("dvfiles\t") || l.startsWith("dvfile\t")))
+    }
+    require(MergeTable.snapshot(spark, strippedPath).dvFiles.isEmpty)
+    def foldWallOf(dir: String): Double = {
+      dropCaches()
+      val t = System.nanoTime()
+      MergeTable.merge(spark, dir, replayBatch(997).limit(0), Seq("request_id"))
+      (System.nanoTime() - t) / 1e9
+    }
+    val wStripped = foldWallOf(strippedPath)
+    val wScoped = foldWallOf(scopedPath)
+    println(f"fold wall: scoped (discovery skipped) $wScoped%6.2f s vs " +
+      f"unscoped (base key-column discovery scan) $wStripped%6.2f s " +
+      f"(${wStripped / wScoped}%.2fx) — the delta IS the scan the seed removes")
+    require(MergeTable.read(spark, scopedPath).count() ==
+      MergeTable.read(spark, strippedPath).count(),
+      "the seeded fold must produce the discovery fold's content")
 
     graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(base))
     spark.stop()

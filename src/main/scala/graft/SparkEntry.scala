@@ -1500,6 +1500,102 @@ object SparkEntry {
       out
     }),
 
+    "q141_schema_evolution" -> ((s, d) => {
+      // ADDITIVE SCHEMA EVOLUTION (Delta mergeSchema analog): a merge
+      // with allowSchemaEvolution widens the table with a new column —
+      // files written before the widening read it as NULL (the parquet
+      // missing-column convention), merged rows carry values, and the
+      // manifest records the widened schema so every later reader and
+      // version pin agree. Oracle = the upsert algebra with DuckDB's
+      // NULL-padded projection of the pre-widening rows.
+      val docs = T.documents(s, d).filter(col("text").isNotNull)
+      def slice(lo: Int, hi: Int, tag: Option[String]) = docs
+        .filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .select(col("doc_id"),
+          tag.map(lit(_)).getOrElse(col("lang")).as("lang"),
+          substring(col("text"), 1, 40).as("head"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q141")
+      val t = tmp.toString + "/t"
+      graft.sources.MergeTable.init(s, t, slice(0, 300, None))
+      graft.sources.MergeTable.merge(s, t,
+        slice(200, 350, Some("xx")).withColumn("score", col("doc_id") * 2L),
+        Seq("doc_id"), allowSchemaEvolution = true)
+      val out = graft.sources.MergeTable.read(s, t)
+        .select(col("doc_id"), col("lang"), col("score"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true) // eager pin, then reclaim the staged table
+      graft.util.Fs.deleteRecursively(tmp)
+      out
+    }),
+
+    "q142_rescoped_delta" -> ((s, d) => {
+      // MAINTENANCE RE-SCOPE: a multi-column-key mergeLite commits
+      // UNSCOPED (the write path refuses the base discovery scan), and
+      // rescopeDelta later runs that one scan deliberately, committing
+      // a manifest-only version whose scope confines the read-side
+      // anti-join (plan-gated in MergeTableSpec). The oracle is the
+      // composite-key upsert algebra; identical rows prove the rescope
+      // changes the PLAN, never the data.
+      val docs = T.documents(s, d)
+        .filter(col("text").isNotNull && col("lang").isNotNull)
+      def slice(lo: Int, hi: Int, upd: Boolean) = docs
+        .filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .select(col("doc_id"), col("lang"),
+          (if (upd) concat(lit("upd "), substring(col("text"), 1, 20))
+           else substring(col("text"), 1, 20)).as("head"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q142")
+      val t = tmp.toString + "/t"
+      graft.sources.MergeTable.init(s, t, slice(0, 300, upd = false))
+      graft.sources.MergeTable.mergeLite(s, t, slice(200, 350, upd = true),
+        Seq("doc_id", "lang"))
+      // the staged lineage must actually exercise the unscoped->scoped
+      // transition (fails loudly rather than silently passing a
+      // single-key run that scoped at write time)
+      require(graft.sources.MergeTable.snapshot(s, t).dvFiles.isEmpty,
+        "a multi-column-key batch must commit unscoped")
+      graft.sources.MergeTable.rescopeDelta(s, t)
+      require(graft.sources.MergeTable.snapshot(s, t).dvFiles.isDefined,
+        "the maintenance pass must scope the delta")
+      val out = graft.sources.MergeTable.read(s, t)
+        .select(col("doc_id"), col("lang"), col("head"))
+        .orderBy(col("doc_id"), col("lang"))
+        .localCheckpoint(true) // eager pin, then reclaim the staged table
+      graft.util.Fs.deleteRecursively(tmp)
+      out
+    }),
+
+    "q143_hex_pruned_lookup" -> ((s, d) => {
+      // HEX-DOMAIN FILE STATS: compacting on a sha256 column records
+      // per-file 16-char-prefix bounds in the manifest (Delta's
+      // truncated string min/max, specialised to the hex domain where
+      // byte order and UTF-16 order provably agree), so a content_hash
+      // point/In read schedules only the covering files — at 100k
+      // files the difference between 100k tasks and one
+      // (plan-gated in MergeTableSpec; this row pins the VALUES).
+      // q134's probe shape: ~51 present keys at every sf + 2 absent.
+      val docs = T.documents(s, d).filter(col("text").isNotNull)
+      val kb = docs.select(col("doc_id"),
+        sha2(concat(col("text"), lit(" #"), col("doc_id").cast("string")),
+          256).as("h"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q143")
+      val t = tmp.toString + "/t"
+      graft.sources.MergeTable.init(s, t, kb)
+      graft.sources.MergeTable.compactTable(s, t, "h", 8)
+      val present = kb
+        .filter(col("doc_id") % 97 === 3 && col("doc_id") < 50000)
+        .select(col("h")).collect().map(_.getString(0)).toSeq
+      import graft.util.Hashing.sha256Hex
+      val probes = present ++
+        Seq(sha256Hex("never ingested 1"), sha256Hex("never ingested 2"))
+      val out = graft.sources.MergeTable.read(s, t)
+        .filter(col("h").isin(probes: _*))
+        .select(col("doc_id"), col("h"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true) // eager pin, then reclaim the staged table
+      graft.util.Fs.deleteRecursively(tmp)
+      out
+    }),
+
     "q130_append_sink" -> ((s, d) => {
       // S3 (row insert / append sink): two successive mode("append")
       // parquet writes must ACCUMULATE — the second preserves the
@@ -2460,6 +2556,49 @@ object SparkEntry {
         |m2 AS (SELECT * FROM m1 WHERE doc_id NOT IN (SELECT doc_id FROM u2)
         |       UNION ALL SELECT * FROM u2)
         |SELECT doc_id, lang FROM m2 ORDER BY doc_id""".stripMargin,
+
+    // q141: additive evolution — the widened read must equal the
+    // upsert algebra with the old rows NULL-padded on the new column
+    "q141_schema_evolution" ->
+      """WITH base AS (SELECT doc_id, lang, NULL::BIGINT AS score
+        |    FROM documents
+        |    WHERE text IS NOT NULL AND doc_id >= 0 AND doc_id < 300),
+        |u1 AS (SELECT doc_id, 'xx' AS lang, doc_id * 2 AS score
+        |    FROM documents
+        |    WHERE text IS NOT NULL AND doc_id >= 200 AND doc_id < 350),
+        |m1 AS (SELECT * FROM base WHERE doc_id NOT IN (SELECT doc_id FROM u1)
+        |       UNION ALL SELECT * FROM u1)
+        |SELECT doc_id, lang, score FROM m1 ORDER BY doc_id""".stripMargin,
+
+    // q142: the composite-key upsert algebra — the rescope between
+    // write and read must be invisible in the DATA (NOT EXISTS, not a
+    // row-value NOT IN: NULL langs are filtered but the join spelling
+    // stays null-proof)
+    "q142_rescoped_delta" ->
+      """WITH base AS (SELECT doc_id, lang, substr(text, 1, 20) AS head
+        |    FROM documents
+        |    WHERE text IS NOT NULL AND lang IS NOT NULL
+        |      AND doc_id >= 0 AND doc_id < 300),
+        |u1 AS (SELECT doc_id, lang, 'upd ' || substr(text, 1, 20) AS head
+        |    FROM documents
+        |    WHERE text IS NOT NULL AND lang IS NOT NULL
+        |      AND doc_id >= 200 AND doc_id < 350),
+        |m1 AS (SELECT b.* FROM base b
+        |       WHERE NOT EXISTS (SELECT 1 FROM u1
+        |         WHERE u1.doc_id = b.doc_id AND u1.lang = b.lang)
+        |       UNION ALL SELECT * FROM u1)
+        |SELECT doc_id, lang, head FROM m1 ORDER BY doc_id, lang""".stripMargin,
+
+    // q143: the hex-stats-pruned point lookup returns exactly the
+    // probe slice (q134's hashing convention; absent probes match
+    // nothing on both sides)
+    "q143_hex_pruned_lookup" ->
+      """WITH kb AS (SELECT doc_id,
+        |    sha256(text || ' #' || doc_id::VARCHAR) AS h
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id, h FROM kb
+        |WHERE doc_id % 97 = 3 AND doc_id < 50000
+        |ORDER BY doc_id""".stripMargin,
 
     // the same double arithmetic as temperatureMix, then the q62 md5
     // membership test against the derived per-stratum threshold; a

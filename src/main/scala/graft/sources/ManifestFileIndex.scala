@@ -35,7 +35,7 @@ import org.apache.spark.sql.types.StructType
   */
 private[graft] final class ManifestFileIndex(
     entries: Seq[MergeTable.FileEntry],
-    stats: Seq[(String, Map[String, (Long, Long)])] = Nil,
+    stats: Seq[(String, Map[String, (Long, Long)], Boolean)] = Nil, // (col, ranges, hex)
     caseSensitive: Boolean = false)
   extends FileIndex {
   require(entries.forall(_.size >= 0),
@@ -65,9 +65,10 @@ private[graft] final class ManifestFileIndex(
         // file drops when ANY column's recorded range provably can't
         // satisfy the filters (multi-column z-order layouts prune on
         // whichever z column the predicate names)
-        val active = stats.flatMap { case (colName, ranges) =>
-          val ex = dataFilters.flatMap(
-            ManifestFileIndex.rangeExcluder(colName, _, caseSensitive))
+        val active = stats.flatMap { case (colName, ranges, hex) =>
+          val ex = dataFilters.flatMap(f =>
+            if (hex) ManifestFileIndex.hexExcluder(colName, f, caseSensitive)
+            else ManifestFileIndex.rangeExcluder(colName, f, caseSensitive))
           if (ex.isEmpty) None else Some((ranges, ex))
         }
         if (active.isEmpty) statuses
@@ -92,7 +93,8 @@ private[graft] final class ManifestFileIndex(
   override def toString: String =
     s"ManifestFileIndex(${entries.size} files, $sizeInBytes bytes" +
       (if (stats.isEmpty) ""
-       else s", stats on ${stats.map(_._1).mkString(",")}") + ")"
+       else s", stats on ${stats.map(s =>
+         if (s._3) s._1 + "(hex)" else s._1).mkString(",")}") + ")"
 }
 
 private[graft] object ManifestFileIndex {
@@ -161,6 +163,78 @@ private[graft] object ManifestFileIndex {
       case And(l, r) =>
         (rangeExcluder(colName, l, caseSensitive),
          rangeExcluder(colName, r, caseSensitive)) match {
+          case (Some(f), Some(g)) => Some((lo, hi) => f(lo, hi) || g(lo, hi))
+          case (one @ Some(_), None) => one
+          case (None, g) => g
+        }
+      case _ => None
+    }
+  }
+
+  /** [[rangeExcluder]]'s HEX-DOMAIN twin: string predicates against a
+    * column whose recorded per-file bounds are [[MergeTable.hexLoBound]]
+    * encodings. A literal maps to its own [qLo, qHi] bound pair; by
+    * the bound monotonicity (hexLoBound doc), a file can hold a
+    * matching hex value only when the bound intervals overlap — so
+    * disjointness proves emptiness. A literal with a non-hex char in
+    * its first 16 never prunes (such a value may still sort inside a
+    * hex file's byte range, and hex files may contain non-hex rows
+    * between their hex min/max — only HEX literals carry the proof). */
+  private[sources] def hexExcluder(
+      colName: String, e: Expression,
+      caseSensitive: Boolean = false): Option[(Long, Long) => Boolean] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def isCol(x: Expression): Boolean = x match {
+      case a: AttributeReference =>
+        if (caseSensitive) a.name == colName else a.name.equalsIgnoreCase(colName)
+      case _ => false
+    }
+    // (qLo, qHi) of a string literal, None when not in the hex domain
+    def v(x: Any): Option[(Long, Long)] = x match {
+      case s: org.apache.spark.unsafe.types.UTF8String =>
+        val str = s.toString
+        for { a <- MergeTable.hexLoBound(str)
+              b <- MergeTable.hexHiBound(str) } yield (a, b)
+      case _ => None
+    }
+    e match {
+      case EqualTo(a, Literal(x, _)) if isCol(a) =>
+        v(x).map { case (qLo, qHi) => (lo, hi) => qHi < lo || qLo > hi }
+      case EqualTo(Literal(x, _), a) if isCol(a) =>
+        v(x).map { case (qLo, qHi) => (lo, hi) => qHi < lo || qLo > hi }
+      case EqualNullSafe(a, Literal(x, _)) if isCol(a) && x != null =>
+        v(x).map { case (qLo, qHi) => (lo, hi) => qHi < lo || qLo > hi }
+      case EqualNullSafe(Literal(x, _), a) if isCol(a) && x != null =>
+        v(x).map { case (qLo, qHi) => (lo, hi) => qHi < lo || qLo > hi }
+      // col > q / col >= q: rows can exist only if file max >= q,
+      // provable false when hi < qLo (then max < q). Strict vs
+      // non-strict collapse to the same conservative test.
+      case GreaterThan(a, Literal(x, _)) if isCol(a) =>
+        v(x).map { case (qLo, _) => (_, hi) => hi < qLo }
+      case GreaterThanOrEqual(a, Literal(x, _)) if isCol(a) =>
+        v(x).map { case (qLo, _) => (_, hi) => hi < qLo }
+      case LessThan(a, Literal(x, _)) if isCol(a) =>
+        v(x).map { case (_, qHi) => (lo, _) => lo > qHi }
+      case LessThanOrEqual(a, Literal(x, _)) if isCol(a) =>
+        v(x).map { case (_, qHi) => (lo, _) => lo > qHi }
+      case GreaterThan(Literal(x, _), a) if isCol(a) => // q > col ⟺ col < q
+        v(x).map { case (_, qHi) => (lo, _) => lo > qHi }
+      case GreaterThanOrEqual(Literal(x, _), a) if isCol(a) => // col <= q
+        v(x).map { case (_, qHi) => (lo, _) => lo > qHi }
+      case LessThan(Literal(x, _), a) if isCol(a) => // col > q
+        v(x).map { case (qLo, _) => (_, hi) => hi < qLo }
+      case LessThanOrEqual(Literal(x, _), a) if isCol(a) => // col >= q
+        v(x).map { case (qLo, _) => (_, hi) => hi < qLo }
+      case In(a, list) if isCol(a) && list.nonEmpty &&
+          list.forall(_.isInstanceOf[Literal]) =>
+        val qs = list.map(l => v(l.asInstanceOf[Literal].value))
+        if (qs.forall(_.isDefined)) {
+          val vs = qs.flatten.toArray // hoisted (the rangeExcluder note)
+          Some((lo, hi) => vs.forall { case (qLo, qHi) => qHi < lo || qLo > hi })
+        } else None
+      case And(l, r) =>
+        (hexExcluder(colName, l, caseSensitive),
+         hexExcluder(colName, r, caseSensitive)) match {
           case (Some(f), Some(g)) => Some((lo, hi) => f(lo, hi) || g(lo, hi))
           case (one @ Some(_), None) => one
           case (None, g) => g

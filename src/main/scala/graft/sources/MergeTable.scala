@@ -68,15 +68,74 @@ object MergeTable {
     * to discover emptiness. Ranges cover the file's NON-NULL values
     * (parquet footer semantics); files absent from `ranges` are
     * unprunable and always read. `col`'s Spark type must be
-    * long-ordered ([[statsSupported]]); established by
-    * [[compactTable]] and maintained by every later writer. */
-  final case class TableStats(col: String, ranges: Map[String, (Long, Long)])
+    * long-ordered ([[statsSupported]]) — or, with `hex = true`, a
+    * STRING column in the lowercase-hex domain (content_hash, md5/
+    * sha256 keys — Delta's truncated string min/max, specialised to
+    * the one domain where byte order, UTF-16 order, and a 64-bit
+    * prefix encoding provably agree; [[hexLoBound]]): bounds are then
+    * the sign-flipped u64 of the value's first 16 hex chars, padded
+    * low/high, and a file whose footer min/max are not hex records no
+    * stats (unprunable, never wrong). Established by [[compactTable]]
+    * / [[compactTableZOrder]] and maintained by every later writer. */
+  final case class TableStats(
+      col: String, ranges: Map[String, (Long, Long)], hex: Boolean = false)
 
+  /** Lower/upper bound encodings for the lowercase-hex string domain:
+    * the u64 of the FIRST 16 hex chars (shorter strings pad with 0x0
+    * for the lower bound, 0xf for the upper), shifted by Long.MinValue
+    * so plain SIGNED comparisons preserve unsigned order. None when
+    * any of the first 16 chars is outside [0-9a-f] — the value is not
+    * in the domain and must never prune. Monotone over hex strings in
+    * byte order (= UTF-16 order on ASCII), so for any hex value v in
+    * a file: hexLoBound(min) <= hexLoBound(v) <= hexHiBound(v) <=
+    * hexHiBound(max) — the soundness inequality the pruner relies on;
+    * parquet's own truncated-binary stats stay conservative because a
+    * truncated-up max either remains hex (still an upper bound) or
+    * stops being hex (no stats recorded). */
+  private[sources] def hexLoBound(s: String): Option[Long] = hexBound(s, 0x0)
+  private[sources] def hexHiBound(s: String): Option[Long] = hexBound(s, 0xf)
+  private def hexBound(s: String, pad: Int): Option[Long] = {
+    var v = 0L
+    var i = 0
+    val n = math.min(16, s.length)
+    while (i < n) {
+      val c = s.charAt(i)
+      val d =
+        if (c >= '0' && c <= '9') c - '0'
+        else if (c >= 'a' && c <= 'f') c - 'a' + 10
+        else return None
+      v = (v << 4) | d.toLong
+      i += 1
+    }
+    while (i < 16) { v = (v << 4) | pad.toLong; i += 1 }
+    Some(v + Long.MinValue) // flip the sign bit: unsigned order -> signed
+  }
+
+  /** @param schemaJson the version's LOGICAL schema (Spark StructType
+    *        JSON), recorded by every commit since additive schema
+    *        evolution landed: the authoritative read schema once a
+    *        merge with `allowSchemaEvolution` has widened the table —
+    *        files written before the widening lack the new columns and
+    *        read them as NULL (the parquet missing-column convention
+    *        Spark's reader already implements), so the head file's
+    *        footer can no longer define the table. Version-pinned by
+    *        construction: time travel and clones see the schema as of
+    *        THEIR manifest. `None` = a legacy manifest — the reader
+    *        probes the head file (all files agree pre-evolution) and
+    *        the next commit records it, the withSizes convention. A
+    *        recorded schema also makes snapshot→relation a ZERO-IO
+    *        step (the head-footer probe was the read path's last
+    *        per-open filesystem call). */
   final case class Snapshot(
       version: Long, entries: Seq[FileEntry],
       delta: Seq[FileEntry] = Nil, dvKeys: Seq[String] = Nil,
       dvFiles: Option[Seq[String]] = None,
-      stats: Seq[TableStats] = Nil) {
+      stats: Seq[TableStats] = Nil,
+      schemaJson: Option[String] = None) {
+    /** The decoded recorded schema (None on legacy manifests). */
+    def schema: Option[org.apache.spark.sql.types.StructType] =
+      schemaJson.map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
     /** The BASE file-path list of this version. */
     def files: Seq[String] = entries.map(_.path)
     /** Every data file the version references, base and delta — the
@@ -151,8 +210,11 @@ object MergeTable {
     if (bloomKeys.nonEmpty) writeBloomProps(fs, root, bloomKeys)
     else requireNoForeignBloom(fs, root)
     val files = writeBatch(spark, fs, root, df)
-    commit(fs, root, 1L, encodeSnapshot(files, Nil, Nil))
-    Snapshot(1L, files)
+    // asNullable: file-backed reads render every column nullable, so
+    // the recorded schema must agree with what a probe would have said
+    val sj = Some(asNullableSchema(df.schema).json)
+    commit(fs, root, 1L, encodeSnapshot(files, Nil, Nil, schemaJson = sj))
+    Snapshot(1L, files, schemaJson = sj)
   }
 
   /** Zero-copy CLONE (Delta SHALLOW CLONE, miniature): `dst` becomes a
@@ -197,10 +259,14 @@ object MergeTable {
     // returned as committed, so the caller's snapshot agrees with disk
     val entries = withSizes(srcFs, snap.entries)
     val delta = withSizes(srcFs, snap.delta)
+    // a legacy schema-less source upgrades once, here (the withSizes
+    // convention): the clone starts with zero-IO opens and a pinned,
+    // evolution-ready schema
+    val sj = Some(asNullableSchema(tableSchemaOf(spark, snap)).json)
     commit(dstFs, dstRoot, 1L,
       encodeSnapshot(entries, delta, snap.dvKeys, snap.dvFiles,
-        stats = snap.stats))
-    Snapshot(1L, entries, delta, snap.dvKeys, snap.dvFiles, snap.stats)
+        stats = snap.stats, schemaJson = sj))
+    Snapshot(1L, entries, delta, snap.dvKeys, snap.dvFiles, snap.stats, sj)
   }
 
   /** The refusal [[init]] (no keys) and [[cloneTable]] (bloom-less
@@ -265,8 +331,8 @@ object MergeTable {
       s"bloom config at $target holds a line that is not a plausible " +
         s"column name ('$c') — foreign content, not a legacy config"))
     // refuse clearly-foreign content: every adopted name must be a
-    // column of the table as it stands (schema evolution is
-    // unsupported, so the committed files' schema IS the table's)
+    // column of the table as it stands (read() binds the manifest's
+    // recorded schema, so this sees evolved columns too)
     val tableCols = read(spark, path).schema.map(_.name).toSet
     lines.filterNot(tableCols.contains) match {
       case Nil => ()
@@ -351,12 +417,18 @@ object MergeTable {
   private val DvFilesTag = "dvfiles\t"
   private val DvFileTag = "dvfile\t"
   private val StatColTag = "statcol\t"
+  // hex-domain string stats column ("statcolhex\t" does not prefix-
+  // collide with "statcol\t": the 8th char differs). Its stat lines
+  // share the numeric codec — bounds are the hexBound encodings.
+  private val StatColHexTag = "statcolhex\t"
   private val StatTag = "stat\t"
+  private val SchemaTag = "schema\t"
 
   private def encodeSnapshot(
       entries: Seq[FileEntry], delta: Seq[FileEntry],
       dvKeys: Seq[String], dvFiles: Option[Seq[String]] = None,
-      stats: Seq[TableStats] = Nil): Seq[String] = {
+      stats: Seq[TableStats] = Nil,
+      schemaJson: Option[String] = None): Seq[String] = {
     require(delta.isEmpty == dvKeys.isEmpty,
       "delta files and dvKeys must be committed together")
     require(dvFiles.isEmpty || delta.nonEmpty,
@@ -365,11 +437,19 @@ object MergeTable {
       s"stats column name not encodable in the manifest: '${s.col}'"))
     require(stats.map(_.col).distinct.size == stats.size,
       "duplicate stats column")
-    entries.map(encodeEntry) ++
+    // compact StructType JSON escapes control characters inside names
+    // (\t, \n render as two-char sequences), so the line can only be
+    // sheared by a hand-built non-JSON payload — refused here
+    schemaJson.foreach(j => require(
+      !j.exists(c => c == '\t' || c == '\n' || c == '\r'),
+      "schema JSON must be a single tab-free manifest line"))
+    schemaJson.map(SchemaTag + _).toSeq ++
+      entries.map(encodeEntry) ++
       stats.flatMap(s =>
-        (StatColTag + s.col) +: s.ranges.toSeq.sortBy(_._1).map {
-          case (p, (lo, hi)) => s"$StatTag${s.col}\t$p\t$lo\t$hi"
-        }) ++
+        ((if (s.hex) StatColHexTag else StatColTag) + s.col) +:
+          s.ranges.toSeq.sortBy(_._1).map {
+            case (p, (lo, hi)) => s"$StatTag${s.col}\t$p\t$lo\t$hi"
+          }) ++
       (if (delta.isEmpty) Nil
        else (DvKeysTag + dvKeys.mkString(",")) +:
          (dvFiles.toSeq.flatMap(fs =>
@@ -392,7 +472,14 @@ object MergeTable {
     val legacyStatRanges = Seq.newBuilder[(String, (Long, Long))]
     var dvKeys: Seq[String] = Nil
     var dvCount: Option[Int] = None
-    var statCols: Vector[String] = Vector.empty
+    var statCols: Vector[(String, Boolean)] = Vector.empty // (name, hex)
+    var schemaJson: Option[String] = None
+    def declareStatCol(c: String, hex: Boolean): Unit = {
+      require(!statCols.exists(_._1 == c),
+        s"manifest v$version declares stats column '$c' twice — " +
+          "foreign or hand-edited content")
+      statCols = statCols :+ (c -> hex)
+    }
     def parseLong(s: String, what: String): Long =
       // the FULL Long range: footer min/max of a hashed/snowflake 64-bit
       // key routinely exceeds 18 digits, and refusing it here would
@@ -405,13 +492,11 @@ object MergeTable {
     lines.foreach { line =>
       if (line.startsWith(DeltaTag))
         delta += decodeEntry(line.substring(DeltaTag.length))
-      else if (line.startsWith(StatColTag)) {
-        val c = line.substring(StatColTag.length)
-        require(!statCols.contains(c),
-          s"manifest v$version declares stats column '$c' twice — " +
-            "foreign or hand-edited content")
-        statCols = statCols :+ c
-      } else if (line.startsWith(StatTag)) {
+      else if (line.startsWith(StatColHexTag))
+        declareStatCol(line.substring(StatColHexTag.length), hex = true)
+      else if (line.startsWith(StatColTag))
+        declareStatCol(line.substring(StatColTag.length), hex = false)
+      else if (line.startsWith(StatTag)) {
         // stat\t<col>\t<path>\t<lo>\t<hi> — the column leads (it can
         // never contain a tab, enforced at encode), the path is the
         // middle (URI-encoded, tab-free), bounds close the line.
@@ -453,6 +538,26 @@ object MergeTable {
         dvCount = Some(s.toInt)
       } else if (line.startsWith(DvFileTag))
         dvFiles += line.substring(DvFileTag.length)
+      else if (line.startsWith(SchemaTag)) {
+        require(schemaJson.isEmpty,
+          s"manifest v$version carries two schema lines — foreign or " +
+            "hand-edited content")
+        val j = line.substring(SchemaTag.length)
+        // validate HERE, at decode, so a corrupted schema line fails
+        // the snapshot read loudly instead of surfacing as a json4s
+        // stack trace from deep inside some later relation build
+        try {
+          val dt = org.apache.spark.sql.types.DataType.fromJson(j)
+          require(dt.isInstanceOf[org.apache.spark.sql.types.StructType] &&
+            dt.asInstanceOf[org.apache.spark.sql.types.StructType].nonEmpty)
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            throw new IllegalArgumentException(
+              s"manifest v$version schema line is not a StructType JSON — " +
+                "foreign or hand-edited content")
+        }
+        schemaJson = Some(j)
+      }
       else entries += decodeEntry(line)
     }
     val d = delta.result()
@@ -485,10 +590,10 @@ object MergeTable {
       s"manifest v$version carries legacy (column-less) stat lines but " +
         s"${statCols.size} declared stats columns — cannot bind them")
     val rangeRows = statRanges.result() ++
-      legacyRows.map(r => (statCols.headOption.getOrElse(""), r._1, r._2))
+      legacyRows.map(r => (statCols.headOption.map(_._1).getOrElse(""), r._1, r._2))
     // a stat line's column must be DECLARED: undeclared-column stat
     // lines are foreign content (the dvfiles-header rationale)
-    rangeRows.find(r => !statCols.contains(r._1)).foreach(r =>
+    rangeRows.find(r => !statCols.exists(_._1 == r._1)).foreach(r =>
       throw new IllegalArgumentException(
         s"manifest v$version stat line names undeclared column " +
           s"'${r._1}' — foreign or hand-edited content"))
@@ -513,7 +618,9 @@ object MergeTable {
       .map { case (c, rs) => c -> rs.map(r => r._2 -> r._3).toMap }
     Snapshot(version, es, d, if (d.isEmpty) Nil else dvKeys,
       if (d.isEmpty) None else dvCount.map(_ => dvf),
-      statCols.map(c => TableStats(c, byCol.getOrElse(c, Map.empty))))
+      statCols.map { case (c, hex) =>
+        TableStats(c, byCol.getOrElse(c, Map.empty), hex) },
+      schemaJson)
   }
 
   private[graft] def decodeEntry(line: String): FileEntry = {
@@ -534,10 +641,12 @@ object MergeTable {
 
   /** Spark types whose parquet footer min/max are EXACTLY long-ordered
     * — the safety boundary of manifest stats pruning. Strings are out
-    * (parquet orders unsigned bytes, Java Strings UTF-16 code units —
-    * supplementary characters disagree); INT96 timestamps record no
-    * usable footer stats (write with TIMESTAMP_MICROS to prune on
-    * time). */
+    * of THIS path (parquet orders unsigned bytes, Java Strings UTF-16
+    * code units — supplementary characters disagree) but get the
+    * hex-domain bounds instead ([[hexLoBound]] — ASCII-hex is the
+    * subdomain where the orders provably agree); INT96 timestamps
+    * record no usable footer stats (write with TIMESTAMP_MICROS to
+    * prune on time). */
   private[graft] def statsSupported(
       dt: org.apache.spark.sql.types.DataType): Boolean = {
     import org.apache.spark.sql.types._
@@ -572,15 +681,16 @@ object MergeTable {
   private[graft] def collectStats(
       conf: org.apache.hadoop.conf.Configuration,
       entries: Seq[FileEntry],
-      colNames: Seq[String]): Map[String, Map[String, (Long, Long)]] = {
+      cols: Seq[(String, Boolean)]): Map[String, Map[String, (Long, Long)]] = {
     import scala.jdk.CollectionConverters._
     import org.apache.parquet.schema.LogicalTypeAnnotation
     // PARALLEL footer reads, ONE open per file for ALL columns (the
     // footer holds every column's block statistics): serial or
     // per-column round-trips would add latency ∝ batch × columns to
     // every commit on remote stores (the listing-job lesson)
-    val out = colNames.map(c =>
-      c -> new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()).toMap
+    val out = cols.map { case (c, _) =>
+      c -> new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+    }.toMap
     val es = entries.toIndexedSeq
     java.util.stream.IntStream.range(0, es.size).parallel().forEach { i =>
       val e = es(i)
@@ -590,7 +700,7 @@ object MergeTable {
             new Path(e.path), conf))
         try {
           val blocks = r.getFooter.getBlocks.asScala.toSeq
-          colNames.foreach { colName =>
+          cols.foreach { case (colName, hexCol) =>
             var lo = Long.MaxValue
             var hi = Long.MinValue
             var usable = true
@@ -618,17 +728,34 @@ object MergeTable {
                     }
                   val s = c.getStatistics
                   if (s == null || s.isEmpty) usable = false
-                  else if (s.hasNonNullValue)
-                    (s.genericGetMin, s.genericGetMax) match {
-                      case (mn: java.lang.Number, mx: java.lang.Number) =>
-                        (toMicros(mn.longValue), toMicros(mx.longValue)) match {
-                          case (Some(a), Some(b)) =>
-                            lo = math.min(lo, a)
-                            hi = math.max(hi, b)
-                          case _ => usable = false
-                        }
-                      case _ => usable = false
+                  else if (s.hasNonNullValue) {
+                    // hex string columns: bound-encode the BINARY
+                    // min/max ([[hexLoBound]]); non-hex values (or a
+                    // truncated-up max that left the domain) yield no
+                    // stats for the file — unprunable, never wrong
+                    val bounds: Option[(Long, Long)] =
+                      (s.genericGetMin, s.genericGetMax) match {
+                        case (mn: org.apache.parquet.io.api.Binary,
+                              mx: org.apache.parquet.io.api.Binary) if hexCol =>
+                          for {
+                            a <- hexLoBound(mn.toStringUsingUTF8)
+                            b <- hexHiBound(mx.toStringUsingUTF8)
+                          } yield (a, b)
+                        case (mn: java.lang.Number, mx: java.lang.Number)
+                            if !hexCol =>
+                          for {
+                            a <- toMicros(mn.longValue)
+                            b <- toMicros(mx.longValue)
+                          } yield (a, b)
+                        case _ => None
+                      }
+                    bounds match {
+                      case Some((a, b)) =>
+                        lo = math.min(lo, a)
+                        hi = math.max(hi, b)
+                      case None => usable = false
                     }
+                  }
                 // hasNonNullValue false with recorded stats = all-null
                 // block: skip — its rows can't satisfy a value predicate
                 case None => usable = false
@@ -654,10 +781,10 @@ object MergeTable {
       fresh: Seq[FileEntry]): Seq[TableStats] = {
     if (snapStats.isEmpty) return Nil
     val keptNorm = kept.map(e => normalize(e.path)).toSet
-    val freshStats = collectStats(conf, fresh, snapStats.map(_.col))
+    val freshStats = collectStats(conf, fresh, snapStats.map(s => (s.col, s.hex)))
     snapStats.map(s => TableStats(s.col,
       s.ranges.filter { case (p, _) => keptNorm.contains(normalize(p)) } ++
-        freshStats.getOrElse(s.col, Map.empty)))
+        freshStats.getOrElse(s.col, Map.empty), s.hex))
   }
 
   /** The relation over a snapshot's entries. With recorded sizes (every
@@ -669,13 +796,27 @@ object MergeTable {
     * — all files agree by the writer invariant) is the only IO. */
   private[graft] def relationFor(
       spark: SparkSession, entries: Seq[FileEntry]): DataFrame =
-    relationFor(spark, entries, Nil)
+    relationFor(spark, entries, Nil, None)
 
   private[graft] def relationFor(
       spark: SparkSession, entries: Seq[FileEntry],
       stats: Seq[TableStats]): DataFrame =
+    relationFor(spark, entries, stats, None)
+
+  /** `schemaOpt` — the manifest-recorded LOGICAL schema: on an evolved
+    * table it is WIDER than an old file's physical schema (the reader
+    * fills the missing columns with NULL), so every read of a file
+    * SUBSET — suppression legs, hit-file rewrites, delta scans — must
+    * bind to it, never to whatever the subset's head file happens to
+    * carry. None = legacy manifest: probe the head file (all files
+    * agree pre-evolution). */
+  private[graft] def relationFor(
+      spark: SparkSession, entries: Seq[FileEntry],
+      stats: Seq[TableStats],
+      schemaOpt: Option[org.apache.spark.sql.types.StructType]): DataFrame =
     if (entries.nonEmpty && entries.forall(_.size >= 0)) {
-      val schema = spark.read.parquet(entries.head.path).schema
+      val schema = schemaOpt.getOrElse(
+        spark.read.parquet(entries.head.path).schema)
       // manifest stats become a planning-time FILE pruner: resolved
       // against the actual schema (name + long-ordered type) so a
       // renamed/retyped column silently disables pruning rather than
@@ -687,9 +828,14 @@ object MergeTable {
       val resolver = spark.sessionState.conf.resolver
       val pruner = stats.flatMap(s =>
         schema.find(f => resolver(f.name, s.col))
-          .filter(f => statsSupported(f.dataType))
+          // the recorded KIND must match the resolved type: numeric
+          // ranges bind long-ordered columns, hex bounds bind strings —
+          // a retyped column silently disables pruning, never misreads
+          .filter(f =>
+            if (s.hex) f.dataType == org.apache.spark.sql.types.StringType
+            else statsSupported(f.dataType))
           .map(f => (f.name,
-            s.ranges.map { case (p, r) => normalize(p) -> r })))
+            s.ranges.map { case (p, r) => normalize(p) -> r }, s.hex)))
         .toSeq
       val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
         new ManifestFileIndex(entries, pruner,
@@ -701,7 +847,12 @@ object MergeTable {
           new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
         options = Map.empty)(spark)
       spark.baseRelationToDataFrame(relation)
-    } else spark.read.parquet(entries.map(_.path): _*)
+    } else schemaOpt match {
+      // legacy size-less entries take the listing path, but an evolved
+      // table's recorded schema still binds (NULL-filled old files)
+      case Some(sc) => spark.read.schema(sc).parquet(entries.map(_.path): _*)
+      case None => spark.read.parquet(entries.map(_.path): _*)
+    }
 
   /** The readable frame of a snapshot. DV-free snapshots return the
     * bare base relation — the plan is bit-identical to pre-[[mergeLite]]
@@ -720,14 +871,15 @@ object MergeTable {
     * EVERY parquet scan (broadcast anti-join and union are
     * pushdown-transparent; MergeTableSpec gates the PushedFilters
     * shape). */
-  private def logicalFrame(spark: SparkSession, snap: Snapshot): DataFrame =
-    if (snap.delta.isEmpty) relationFor(spark, snap.entries, snap.stats)
+  private def logicalFrame(spark: SparkSession, snap: Snapshot): DataFrame = {
+    val sc = snap.schema // every leg binds the SAME manifest schema
+    if (snap.delta.isEmpty) relationFor(spark, snap.entries, snap.stats, sc)
     else {
-      val deltaDf = relationFor(spark, snap.delta, snap.stats)
+      val deltaDf = relationFor(spark, snap.delta, snap.stats, sc)
       if (snap.entries.isEmpty) deltaDf
       else {
         def suppressed(entries: Seq[FileEntry]): DataFrame =
-          relationFor(spark, entries, snap.stats)
+          relationFor(spark, entries, snap.stats, sc)
             .join(broadcast(deltaDf.select(snap.dvKeys.map(col): _*).distinct()),
               snap.dvKeys, "left_anti")
         val legs = snap.dvFiles match {
@@ -737,12 +889,32 @@ object MergeTable {
             val (touched, bare) =
               snap.entries.partition(e => dvNorm.contains(normalize(e.path)))
             Seq(
-              if (bare.nonEmpty) Some(relationFor(spark, bare, snap.stats)) else None,
+              if (bare.nonEmpty) Some(relationFor(spark, bare, snap.stats, sc)) else None,
               if (touched.nonEmpty) Some(suppressed(touched)) else None).flatten
         }
         (legs :+ deltaDf).reduce(_ unionByName _)
       }
     }
+  }
+
+  /** The table's LOGICAL schema as of `snap`: the manifest's recorded
+    * schema when present (evolution-aware, zero IO), else the head
+    * file's footer (legacy manifests — all files agree by the
+    * pre-evolution writer invariant). */
+  private def tableSchemaOf(
+      spark: SparkSession, snap: Snapshot): org.apache.spark.sql.types.StructType =
+    snap.schema.getOrElse {
+      val head = (snap.entries ++ snap.delta).headOption.getOrElse(
+        throw new IllegalStateException(
+          s"version ${snap.version} references no data files"))
+      spark.read.parquet(head.path).schema
+    }
+
+  /** The table's current logical schema — public surface for callers
+    * preparing update frames ([[merge]]'s cast-to-table contract). */
+  def tableSchema(
+      spark: SparkSession, path: String): org.apache.spark.sql.types.StructType =
+    tableSchemaOf(spark, snapshot(spark, path))
 
   /** Committed versions of the table, oldest first. */
   def versions(spark: SparkSession, path: String): Seq[Long] = {
@@ -807,20 +979,9 @@ object MergeTable {
     // merge supersedes without retiring — `from`-live rows in the
     // carried base files `to`'s scope names (unscoped: all carried),
     // with `from`'s own delta riding along for exact suppression
-    val carriedProbe: Seq[FileEntry] =
-      if (to.delta.isEmpty) Nil
-      else {
-        val carried = from.entries.filter(e => toSet.contains(normalize(e.path)))
-        to.dvFiles match {
-          case Some(scope) =>
-            val s = scope.map(normalize).toSet
-            carried.filter(e => s.contains(normalize(e.path)))
-          case None => carried
-        }
-      }
-    diffSide(spark, from, toSet, carriedProbe) match {
+    diffSide(spark, from, toSet, carriedProbeFor(from, to, toSet)) match {
       case None => added
-      case Some(retired) =>
+      case Some(retired0) =>
         // absent-or-differs: null-safe struct compare keeps a changed
         // row, drops a carried/no-op one (join keys are unique per
         // version, so the left join preserves added's row count). The
@@ -828,6 +989,11 @@ object MergeTable {
         // a real column by that name would make the join ambiguous)
         // and the final select restores the table's column order the
         // USING join would otherwise rearrange.
+        // Across a schema WIDENING, `from`'s side lacks the new
+        // columns: pad them with NULL — exactly how a pre-widening
+        // FILE reads at `to` — so a carried row (new column NULL both
+        // sides) still cancels and a backfilled one still reports.
+        val retired = padTo(retired0, added.schema)
         val nonKey = added.columns.filterNot(keyCols.contains).toSeq
         val was = Iterator.from(0).map("__was" + _)
           .find(!added.columns.contains(_)).get
@@ -867,6 +1033,63 @@ object MergeTable {
     }
   }
 
+  /** The carried base files the probe side must ALSO read (the
+    * changesBetween doc's carried-file subtlety): a mergeLite at `to`
+    * supersedes rows without retiring their files, so the superseded
+    * state lives in files BOTH versions reference — scoped to `to`'s
+    * suppression scope when recorded, every carried file when not. */
+  private def carriedProbeFor(
+      from: Snapshot, to: Snapshot, toSet: Set[String]): Seq[FileEntry] =
+    if (to.delta.isEmpty) Nil
+    else {
+      val carried = from.entries.filter(e => toSet.contains(normalize(e.path)))
+      to.dvFiles match {
+        case Some(scope) =>
+          val s = scope.map(normalize).toSet
+          carried.filter(e => s.contains(normalize(e.path)))
+        case None => carried
+      }
+    }
+
+  /** The cost shape of [[changesBetween]] BEFORE paying it (r14
+    * verdict #6): pure manifest algebra — file counts and recorded
+    * byte sizes of exactly the sets the feed would scan, zero data IO
+    * (one manifest read per side, ∝ manifest size). A consumer checks
+    * [[ChangesCost.fullScan]] before a window that might contain a
+    * compaction: a pure-rewrite version churns every file, so the diff
+    * honestly degenerates to ~two full scans — better skipped or
+    * scheduled off-peak than discovered 100k scheduled tasks later.
+    * Legacy size-less entries count −1 bytes; callers on such tables
+    * read the file counts only. */
+  final case class ChangesCost(
+      addedFiles: Int, addedBytes: Long,
+      probeFiles: Int, probeBytes: Long,
+      tableFiles: Int, tableBytes: Long) {
+    /** The scan the feed pays, both sides. */
+    def scanFiles: Int = addedFiles + probeFiles
+    def scanBytes: Long = addedBytes + probeBytes
+    /** True when the window costs at least a full read of the CURRENT
+      * table — the compaction-in-window shape. */
+    def fullScan: Boolean = tableBytes > 0 && scanBytes >= tableBytes
+  }
+
+  def changesCostEstimate(
+      spark: SparkSession, path: String, fromV: Long, toV: Long,
+      keyCols: Seq[String]): ChangesCost = {
+    val (from, to) = diffSnapshots(spark, path, fromV, toV, keyCols)
+    val fromSet = from.allFiles.map(normalize).toSet
+    val toSet = to.allFiles.map(normalize).toSet
+    val (addBase, addDelta) = diffSideFiles(to, fromSet, Nil)
+    val (probeBase, probeDelta) =
+      diffSideFiles(from, toSet, carriedProbeFor(from, to, toSet))
+    def bytes(es: Seq[FileEntry]) = es.map(_.size).sum
+    val added = addBase ++ addDelta
+    val probe = probeBase ++ probeDelta
+    val table = to.entries ++ to.delta
+    ChangesCost(added.size, bytes(added), probe.size, bytes(probe),
+      table.size, bytes(table))
+  }
+
   /** The friendly missing-key refusal every keyed entry point emits —
     * a typo'd key would otherwise die later as a raw USING-join
     * AnalysisException deep inside the diff plan. */
@@ -895,9 +1118,13 @@ object MergeTable {
     * (its full delta rides along whenever any restricted base file
     * exists: the delta is bounded small, and a partial key set would
     * resurrect superseded rows inside the side). */
-  private def diffSide(
-      spark: SparkSession, s: Snapshot, other: Set[String],
-      extra: Seq[FileEntry]): Option[DataFrame] = {
+  /** The exact (base, delta) FILE sets one diff side reads — shared by
+    * [[diffSide]] (which builds the logical frame over them) and
+    * [[changesCostEstimate]] (which only counts them), so the estimate
+    * can never drift from what the feed actually scans. */
+  private def diffSideFiles(
+      s: Snapshot, other: Set[String],
+      extra: Seq[FileEntry]): (Seq[FileEntry], Seq[FileEntry]) = {
     val base = (s.entries.filterNot(e => other.contains(normalize(e.path))) ++
       extra).distinct
     val deltaDiff = s.delta.filterNot(e => other.contains(normalize(e.path)))
@@ -908,7 +1135,13 @@ object MergeTable {
     // on both sides contributes identical rows to both, which cancel in
     // the changes join and match away in the deletes anti-join — and
     // the delta is bounded small (maxDeltaRows).
-    val delta = if (base.isEmpty) deltaDiff else s.delta
+    (base, if (base.isEmpty) deltaDiff else s.delta)
+  }
+
+  private def diffSide(
+      spark: SparkSession, s: Snapshot, other: Set[String],
+      extra: Seq[FileEntry]): Option[DataFrame] = {
+    val (base, delta) = diffSideFiles(s, other, extra)
     if (base.isEmpty && delta.isEmpty) None
     else {
       val baseNorm = base.map(e => normalize(e.path)).toSet
@@ -916,7 +1149,8 @@ object MergeTable {
         Snapshot(s.version, base, delta,
           if (delta.isEmpty) Nil else s.dvKeys,
           s.dvFiles.map(_.filter(p => baseNorm.contains(normalize(p)))),
-          s.stats))) // ranges are looked up per file: extras are inert
+          s.stats, // ranges are looked up per file: extras are inert
+          s.schemaJson))) // the side binds ITS version's schema
     }
   }
 
@@ -937,10 +1171,18 @@ object MergeTable {
     * (NULL keys never match the semi/anti joins, so a null-keyed row
     * would silently re-insert as a new duplicate on every merge).
     * A table carrying row-level ([[mergeLite]]) state folds it into the
-    * same commit, emitting a DV-free manifest. */
+    * same commit, emitting a DV-free manifest.
+    *
+    * `allowSchemaEvolution` (Delta's `mergeSchema`, additive half):
+    * extra `updates` columns WIDEN the table — the commit records the
+    * widened schema in the manifest, files written before it read the
+    * new columns as NULL, and time travel / clones stay pinned to
+    * their version's schema. Dropping or retyping a column is refused
+    * in both modes ([[conformedSchema]]). */
   def merge(
       spark: SparkSession, path: String, updates: DataFrame,
-      keyCols: Seq[String], maxRetries: Int = 5): MergeStats = {
+      keyCols: Seq[String], maxRetries: Int = 5,
+      allowSchemaEvolution: Boolean = false): MergeStats = {
     requireKeyCols(keyCols)
     val u = updates.localCheckpoint(true) // one computation across retries
     try {
@@ -957,7 +1199,7 @@ object MergeTable {
       var attempt = 0
       while (attempt < maxRetries) {
         attempt += 1
-        try return mergeOnce(spark, path, u, keyCols, nU)
+        try return mergeOnce(spark, path, u, keyCols, nU, allowSchemaEvolution)
         catch {
           case _: FileAlreadyExistsException => // lost the race: re-snapshot
         }
@@ -969,12 +1211,14 @@ object MergeTable {
 
   private def mergeOnce(
       spark: SparkSession, path: String, u: DataFrame,
-      keyCols: Seq[String], nU: Long): MergeStats = {
+      keyCols: Seq[String], nU: Long, allowEvolution: Boolean): MergeStats = {
     val (fs, root) = fsOf(spark, path)
     val snap = snapshot(spark, path)
+    val schema0 = tableSchemaOf(spark, snap)
     if (snap.delta.isEmpty)
       rewriteMerge(spark, fs, root, snap.version, snap.entries, u, keyCols, nU,
-        snapStats = snap.stats)
+        snapStats = snap.stats, tableSchema = schema0,
+        allowEvolution = allowEvolution)
     else {
       // FOLD the row-level state into this rewrite: the effective
       // update set is delta ⊎ u (last wins per key, u newest), applied
@@ -987,17 +1231,35 @@ object MergeTable {
       if (snap.dvKeys.toSet != keyCols.toSet) throw new IllegalStateException(
         s"table at $path carries row-level (mergeLite) state keyed by " +
           s"[${snap.dvKeys.mkString(",")}] — merge by the same keys")
-      val deltaDf = relationFor(spark, snap.delta)
+      val deltaDf = relationFor(spark, snap.delta, Nil, Some(schema0))
       // validate u BEFORE combining: combinedDelta's selects would
-      // otherwise surface a missing column as a raw AnalysisException
-      requireConforms(deltaDf.schema, u, keyCols)
+      // otherwise surface a missing column as a raw AnalysisException.
+      // With evolution the delta rows pad to the widened schema — the
+      // same NULL-fill the read path gives pre-widening FILES.
+      val widened = conformedSchema(schema0, u, keyCols, allowEvolution)
       // checkpointed: the combined frame feeds the fold's count,
       // discovery collect, AND rewrite — one computation, not three
-      val combined = combinedDelta(deltaDf, u, keyCols, deltaDf.columns.toSeq)
+      val combined = combinedDelta(
+        padTo(deltaDf, widened), u, keyCols, widened.map(_.name))
         .localCheckpoint(true)
       try {
+        // scope-aware fold: combined's keys = delta keys ∪ u's keys.
+        // The suppression scope already names every base file a DELTA
+        // key touches (exact — the mergeLite discovery invariant), so
+        // only u's own keys need discovering: the base scan is sized
+        // to THIS batch, not batch + accumulated delta.
+        val known: Option[Set[String]] = snap.dvFiles.map { scope =>
+          scope.map(normalize).toSet ++
+            (if (nU == 0) Set.empty[String]
+             else discoveryFrame(
+                 relationFor(spark, snap.entries, Nil, Some(widened)),
+                 u, keyCols, nU)
+               .collect().map(r => normalize(r.getString(0))).toSet)
+        }
         val stats = rewriteMerge(spark, fs, root, snap.version, snap.entries,
-          combined, keyCols, combined.count(), snapStats = snap.stats)
+          combined, keyCols, combined.count(), snapStats = snap.stats,
+          tableSchema = schema0, allowEvolution = allowEvolution,
+          knownTouched = known)
         // report the CALLER's upsert count, not the fold's combined
         // total — rowsUpserted means "rows this call absorbed" on every
         // other path, and accounting against it must not see the delta
@@ -1031,53 +1293,138 @@ object MergeTable {
       .unionByName(u.select(cols.map(col): _*))
 
   /** Schema/type conformance of an update frame against the table
-    * schema — shared by the rewrite and row-level merge paths. */
+    * schema — shared by the rewrite and row-level merge paths. Exact
+    * match required (the pre-evolution contract). */
   private def requireConforms(
       tableSchema: org.apache.spark.sql.types.StructType,
       u: DataFrame, keyCols: Seq[String]): Unit = {
+    conformedSchema(tableSchema, u, keyCols, allowEvolution = false); ()
+  }
+
+  /** Conformance + ADDITIVE schema evolution (Delta's `mergeSchema`,
+    * additive half): returns the schema the commit should record.
+    *
+    *  - every TABLE column must appear in `u` with the exact type
+    *    (dropping or retyping a column is refused in BOTH modes —
+    *    a dropped column silently NULLing out across the table, or a
+    *    retyped one committing mixed physical types, are the two
+    *    silent corruptions evolution must never allow);
+    *  - EXTRA `u` columns widen the schema when `allowEvolution` —
+    *    appended after the table's columns in `u`'s order, forced
+    *    nullable (old files read them as NULL); refused otherwise;
+    *  - a new name that collides with an existing one ignoring case is
+    *    refused regardless of the session's case sensitivity: the
+    *    manifest outlives any one session's conf, and a later
+    *    case-insensitive session could not resolve the table at all.
+    *
+    * Type equality via catalogString, which ignores nullability: a
+    * nullability-only difference (array<float> containsNull true vs
+    * false) is the same physical type, and rejecting it would produce
+    * an error whose two printed types look identical. */
+  private def conformedSchema(
+      tableSchema: org.apache.spark.sql.types.StructType,
+      u: DataFrame, keyCols: Seq[String],
+      allowEvolution: Boolean): org.apache.spark.sql.types.StructType = {
     val cols = tableSchema.map(_.name)
     require(keyCols.forall(cols.contains),
       s"key ${keyCols.mkString(",")} missing from table")
-    require(u.columns.toSet == cols.toSet,
+    val missing = cols.filterNot(u.columns.contains)
+    require(missing.isEmpty,
+      s"updates are missing table column(s) [${missing.mkString(",")}] — " +
+        "evolution is ADDITIVE only; dropping a column needs a deliberate " +
+        "table rewrite")
+    val fresh = u.schema.filterNot(f => cols.contains(f.name))
+    if (fresh.nonEmpty && !allowEvolution) throw new IllegalArgumentException(
       s"updates schema [${u.columns.sorted.mkString(",")}] must match table " +
-        s"schema [${cols.sorted.mkString(",")}] exactly — schema evolution is " +
-        "not supported; add columns by rewriting the table")
+        s"schema [${cols.sorted.mkString(",")}] exactly — pass " +
+        "allowSchemaEvolution = true to merge() to widen the table " +
+        s"additively with [${fresh.map(_.name).mkString(",")}]")
+    fresh.foreach { f =>
+      require(!cols.exists(_.equalsIgnoreCase(f.name)),
+        s"new column ${f.name} collides with an existing column ignoring " +
+          "case — a case-insensitive session could not resolve the table")
+      require(f.name.nonEmpty && !f.name.exists(c => c == '\n' || c == '\r'),
+        s"new column name not storable: '${f.name}'")
+    }
     // Names alone are not enough: a same-named column with a drifted
     // type (id INT vs table LONG) would commit parquet files with mixed
-    // physical types and fail or mis-merge on later reads. Compared via
-    // catalogString, which ignores nullability: a nullability-only
-    // difference (array<float> containsNull true vs false) is the same
-    // physical type, and rejecting it would produce an error whose two
-    // printed types look identical.
+    // physical types and fail or mis-merge on later reads.
     val tableTypes = tableSchema.map(f => f.name -> f.dataType).toMap
-    u.schema.foreach { f =>
+    u.schema.filter(f => cols.contains(f.name)).foreach { f =>
       require(f.dataType.catalogString == tableTypes(f.name).catalogString,
         s"updates column ${f.name} has type ${f.dataType.catalogString} but " +
           s"the table stores ${tableTypes(f.name).catalogString} — cast the " +
-          "update frame to the table schema before merging")
+          "update frame to the table schema before merging (retyping a " +
+          "column is never evolution)")
     }
+    org.apache.spark.sql.types.StructType(
+      tableSchema.fields ++ fresh.map(f => f.copy(nullable = true)))
   }
+
+  /** The schema with every field (recursively) nullable — what a
+    * file-backed READ of the same data reports, so the manifest's
+    * recorded schema always agrees with what a head-file probe would
+    * have said (Catalyst's `asNullable` is spark-private). */
+  private def asNullableSchema(
+      s: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    def relax(dt: DataType): DataType = dt match {
+      case st: StructType => StructType(st.fields.map(f =>
+        f.copy(dataType = relax(f.dataType), nullable = true)))
+      case a: ArrayType =>
+        a.copy(elementType = relax(a.elementType), containsNull = true)
+      case m: MapType => m.copy(keyType = relax(m.keyType),
+        valueType = relax(m.valueType), valueContainsNull = true)
+      case other => other
+    }
+    relax(s).asInstanceOf[StructType]
+  }
+
+  /** `df` projected to exactly `schema`'s columns, missing ones filled
+    * with typed NULLs — the read-side convention for files written
+    * before a widening, applied frame-side where a LOGICAL frame (a
+    * delta scan, a CDF probe) predates the evolved schema. */
+  private def padTo(
+      df: DataFrame, schema: org.apache.spark.sql.types.StructType): DataFrame =
+    df.select(schema.map(f =>
+      if (df.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)): _*)
 
   /** The rewrite-merge core: apply `u` against `baseEntries` (touched
     * files rewritten, untouched carried by reference) and commit a
-    * DV-free manifest as `baseVersion + 1`. */
+    * DV-free manifest as `baseVersion + 1`. `tableSchema` is the
+    * CURRENT manifest schema (the caller resolves it once per
+    * attempt); the commit records the possibly-widened result, so the
+    * next version's manifest is always self-describing. */
+  /** `knownTouched` (scope-aware fold, r14 verdict #5): the normalized
+    * base-file set the caller has ALREADY proven to contain every row
+    * a key of `u` matches — the suppression scope, for folds whose
+    * update set derives from the delta. When present the base
+    * key-column discovery scan is skipped entirely: fold cost becomes
+    * ∝ scope files, not the table. A conservative SUPERSET is also
+    * sound (extra files rewrite their rows verbatim); a SUBSET is not
+    * (a missed file would keep its superseded rows) — callers pass
+    * exact sets only. */
   private def rewriteMerge(
       spark: SparkSession, fs: FileSystem, root: Path,
       baseVersion: Long, baseEntries: Seq[FileEntry], u: DataFrame,
       keyCols: Seq[String], nU: Long,
-      snapStats: Seq[TableStats] = Nil): MergeStats = {
-    val base = relationFor(spark, baseEntries)
-    // Table schema = head file's schema. SAFE BY INVARIANT: init and
-    // every commit write the full, identical column set (requireConforms
-    // rejects updates that add or drop columns loudly instead of
-    // silently projecting them away), so all files in a manifest agree.
-    requireConforms(base.schema, u, keyCols)
-    val cols = base.schema.map(_.name)
+      snapStats: Seq[TableStats] = Nil,
+      tableSchema: org.apache.spark.sql.types.StructType,
+      allowEvolution: Boolean = false,
+      knownTouched: Option[Set[String]] = None): MergeStats = {
+    val widened = conformedSchema(tableSchema, u, keyCols, allowEvolution)
+    // the base binds the WIDENED schema: pre-widening files fill the
+    // new columns with NULL, so the replaced leg's select below can
+    // project every column of the new table shape
+    val base = relationFor(spark, baseEntries, Nil, Some(widened))
+    val cols = widened.map(_.name)
 
-    val touched: Set[String] =
+    val touched: Set[String] = knownTouched.getOrElse {
       if (nU == 0) Set.empty
       else discoveryFrame(base, u, keyCols, nU)
         .collect().map(r => normalize(r.getString(0))).toSet
+    }
 
     val (hit, kept) = baseEntries.partition(e => touched.contains(normalize(e.path)))
     // Insert-only batches write ceil(nU / InsertRowsPerFile) files: one
@@ -1091,7 +1438,7 @@ object MergeTable {
       if (hit.isEmpty && nU == 0)
         return MergeStats(baseVersion, kept.size, 0, 0, 0)
       else if (hit.isEmpty) u.select(cols.map(col): _*).coalesce(insertFiles)
-      else relationFor(spark, hit)
+      else relationFor(spark, hit, Nil, Some(widened))
         .join(broadcast(u.select(keyCols.map(col): _*).distinct()),
           keyCols, "left_anti")
         .select(cols.map(col): _*)
@@ -1104,11 +1451,13 @@ object MergeTable {
     val newFiles = writeBatch(spark, fs, root, replaced)
     // kept entries pass through withSizes: a legacy size-less table's
     // FIRST merge upgrades its manifest to the zero-listing read path
+    // (and the recorded schema line upgrades it to zero-IO opens)
     commit(fs, root, baseVersion + 1,
       encodeSnapshot(withSizes(fs, kept) ++ newFiles, Nil, Nil,
         stats = carriedStats(
           spark.sparkContext.hadoopConfiguration, snapStats, kept,
-          newFiles))) // throws on race
+          newFiles),
+        schemaJson = Some(asNullableSchema(widened).json))) // throws on race
     MergeStats(baseVersion + 1, kept.size, hit.size, newFiles.size, nU)
   }
 
@@ -1228,9 +1577,10 @@ object MergeTable {
       throw new IllegalStateException(
         s"table at $path carries row-level state keyed by " +
           s"[${snap.dvKeys.mkString(",")}] — mergeLite by the same keys")
-    val base = relationFor(spark, snap.entries)
-    requireConforms(base.schema, u, keyCols)
-    val cols = base.schema.map(_.name)
+    val schema0 = tableSchemaOf(spark, snap)
+    val base = relationFor(spark, snap.entries, Nil, Some(schema0))
+    requireConforms(schema0, u, keyCols)
+    val cols = schema0.map(_.name)
     if (nU == 0)
       return MergeStats(snap.version, snap.entries.size + snap.delta.size, 0, 0, 0)
     // the suppression SCOPE: the base files holding a row one of the
@@ -1269,11 +1619,12 @@ object MergeTable {
             snap.stats,
             snap.entries ++
               deltaEntries.filterNot(e => freshSet.contains(normalize(e.path))),
-            fresh)))
+            fresh),
+          schemaJson = Some(asNullableSchema(schema0).json)))
     }
 
     val deltaDf = if (snap.delta.isEmpty) None
-      else Some(relationFor(spark, snap.delta))
+      else Some(relationFor(spark, snap.delta, Nil, Some(schema0)))
     // APPEND when the batch's keys are DISJOINT from the accumulated
     // delta's — the common shape (new request_ids; redelivered keys
     // supersede BASE rows, not delta rows): the old delta files are
@@ -1341,13 +1692,23 @@ object MergeTable {
       // delta − overlap + batch (both inputs unique per key)
       val n = probe.map(p => p._1 - p._2 + nU).getOrElse(
         if (snap.delta.isEmpty) nU else combined.count())
-      if (n > maxDeltaRows)
+      if (n > maxDeltaRows) {
         // past the read-tax bound: fold the combined rows in ONE rewrite
         // merge (the compaction the delta was deferring), emitting a
         // DV-free manifest — reporting the CALLER's row count, as every
-        // other path does
+        // other path does. Scope-aware (the mergeOnce-fold rationale):
+        // the scope covers the delta's keys exactly, so only u's keys
+        // pay a discovery scan.
+        val known: Option[Set[String]] =
+          snap.dvFiles.filter(_ => snap.delta.nonEmpty).map { scope =>
+            scope.map(normalize).toSet ++
+              discoveryFrame(base, u, keyCols, nU)
+                .collect().map(r => normalize(r.getString(0))).toSet
+          }
         return rewriteMerge(spark, fs, root, snap.version, snap.entries,
-          combined, keyCols, n, snapStats = snap.stats).copy(rowsUpserted = nU)
+          combined, keyCols, n, snapStats = snap.stats,
+          tableSchema = schema0, knownTouched = known).copy(rowsUpserted = nU)
+      }
       // prior scope unions in; a prior UNSCOPED delta upgrades once via
       // discovery over the full combined key set, when that is small
       val touchedNorm: Option[Set[String]] =
@@ -1360,6 +1721,57 @@ object MergeTable {
       MergeStats(snap.version + 1, snap.entries.size, snap.delta.size,
         deltaFiles.size, nU)
     } finally if (snap.delta.nonEmpty) graft.util.Checkpoints.free(combined)
+  }
+
+  /** MAINTENANCE RE-SCOPE (r14 verdict #2): give an UNSCOPED delta
+    * manifest its suppression scope by deliberately running the base
+    * key-column discovery scan the WRITE path refused to pay — large
+    * or multi-column mergeLite batches commit unscoped, and until now
+    * the full-base read tax (every scan anti-joins every base file)
+    * persisted until a small single-key batch happened to upgrade it,
+    * which on some workloads never arrives. This pass runs the one
+    * scan off the write path (schedule it with compact/vacuum), then
+    * commits a version with IDENTICAL entries/delta/keys/stats and the
+    * discovered scope: reads thereafter anti-join only the touched
+    * files. No data file is written — the commit is one manifest.
+    *
+    * No-op (snapshot returned unchanged, nothing committed) when the
+    * table carries no delta or is already scoped. Same OCC contract as
+    * every writer ([[CommitConflict]] after `maxRetries` lost races). */
+  def rescopeDelta(
+      spark: SparkSession, path: String, maxRetries: Int = 5): Snapshot = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      attempt += 1
+      try {
+        val (fs, root) = fsOf(spark, path)
+        val snap = snapshot(spark, path)
+        if (snap.delta.isEmpty || snap.dvFiles.isDefined) return snap
+        val schema0 = tableSchemaOf(spark, snap)
+        // stats ride into the discovery scan: a compacted key layout
+        // prunes most base files before any task runs
+        val base = relationFor(spark, snap.entries, snap.stats, Some(schema0))
+        val deltaKeys = relationFor(spark, snap.delta, Nil, Some(schema0))
+          .select(snap.dvKeys.map(col): _*)
+        val nKeys = deltaKeys.count() // delta-sized (maxDeltaRows-bounded)
+        val touched = discoveryFrame(base, deltaKeys, snap.dvKeys, nKeys)
+          .collect().map(r => normalize(r.getString(0))).toSet
+        val scope = snap.entries.map(_.path)
+          .filter(p => touched.contains(normalize(p)))
+        val entries = withSizes(fs, snap.entries)
+        val delta = withSizes(fs, snap.delta)
+        val sj = Some(asNullableSchema(schema0).json)
+        commit(fs, root, snap.version + 1,
+          encodeSnapshot(entries, delta, snap.dvKeys, Some(scope),
+            stats = snap.stats, schemaJson = sj))
+        return Snapshot(snap.version + 1, entries, delta, snap.dvKeys,
+          Some(scope), snap.stats, sj)
+      } catch {
+        case _: FileAlreadyExistsException => // lost the race: re-snapshot
+      }
+    }
+    throw new CommitConflict(
+      s"rescopeDelta at $path lost $maxRetries optimistic commits in a row")
   }
 
   /** Small-batch cap for pushing the EXACT update-key list into the
@@ -1444,29 +1856,37 @@ object MergeTable {
             // rewrite below reasons about PHYSICAL rows and cannot see
             // the key suppression — deleting a matching DELTA row
             // directly would un-tombstone its key and RESURRECT the
-            // superseded base row
-            val deltaDf = relationFor(spark, snap0.delta)
+            // superseded base row. The fold's update set is EXACTLY
+            // the delta, whose suppression scope (when recorded) is
+            // the exact touched-file set — discovery skipped
+            // (scope-aware fold, r14 verdict #5).
+            val schema00 = tableSchemaOf(spark, snap0)
+            val deltaDf = relationFor(spark, snap0.delta, Nil, Some(schema00))
             rewriteMerge(spark, fs, root, snap0.version, snap0.entries,
-              deltaDf, snap0.dvKeys, deltaDf.count(), snapStats = snap0.stats)
+              deltaDf, snap0.dvKeys, deltaDf.count(), snapStats = snap0.stats,
+              tableSchema = schema00,
+              knownTouched = snap0.dvFiles.map(_.map(normalize).toSet))
             snapshot(spark, path)
           }
+        val schema0 = tableSchemaOf(spark, snap)
         // manifest stats prune the DISCOVERY too: a TTL sweep on the
         // stats column schedules tasks only for files whose recorded
         // range can match — the 100k-file sweep reads the expirable few
-        val touched = relationFor(spark, snap.entries, snap.stats)
+        val touched = relationFor(spark, snap.entries, snap.stats, Some(schema0))
           .filter(cond)
           .select(input_file_name().as("__file")).distinct()
           .collect().map(r => normalize(r.getString(0))).toSet
         val (hit, kept) = snap.entries.partition(e => touched.contains(normalize(e.path)))
         if (hit.isEmpty) return MergeStats(snap.version, kept.size, 0, 0, 0)
-        val survivors = relationFor(spark, hit)
+        val survivors = relationFor(spark, hit, Nil, Some(schema0))
           .filter(!coalesce(cond, lit(false)))
           .coalesce(hit.size) // one output file per hit file (see rewriteMerge)
         val newFiles = writeBatch(spark, fs, root, survivors)
         commit(fs, root, snap.version + 1,
           encodeSnapshot(withSizes(fs, kept) ++ newFiles, Nil, Nil,
             stats = carriedStats(spark.sparkContext.hadoopConfiguration,
-              snap.stats, kept, newFiles)))
+              snap.stats, kept, newFiles),
+            schemaJson = Some(asNullableSchema(schema0).json)))
         return MergeStats(snap.version + 1, kept.size, hit.size, newFiles.size, 0)
       } catch {
         case _: FileAlreadyExistsException => // lost the race: re-snapshot
@@ -1521,7 +1941,9 @@ object MergeTable {
     // (carriedStats) — range/point predicates then prune FILES at
     // planning time, not tasks at run time
     val stats = establishStats(spark, frame.schema, files, Seq(sortCol))
-    try commit(fs, root, next, encodeSnapshot(files, Nil, Nil, stats = stats))
+    val sj = Some(asNullableSchema(frame.schema).json)
+    try commit(fs, root, next,
+      encodeSnapshot(files, Nil, Nil, stats = stats, schemaJson = sj))
     catch {
       // the conflict contract every other writer exposes (merge /
       // deleteWhere / the composite commitPin): a maintenance job
@@ -1531,27 +1953,37 @@ object MergeTable {
           s"compactTable at $path lost the commit race for v$next " +
             "(concurrent writer landed mid-rewrite); re-run")
     }
-    Snapshot(next, files, stats = stats)
+    Snapshot(next, files, stats = stats, schemaJson = sj)
   }
 
   /** The per-file stats a compaction ESTABLISHES: footer ranges for
-    * every named column whose Spark type is long-ordered (others are
-    * silently skipped — documented at [[statsSupported]]); a column
-    * yielding no usable footer range is dropped whole. Names the
-    * stat-line codec cannot round-trip ([[statColEncodable]]) are
-    * skipped here, BEFORE any data file is written — encodeSnapshot's
-    * backstop would otherwise fail the commit after the rewrite. */
+    * every named column whose Spark type is long-ordered, HEX-domain
+    * bounds for STRING columns (files whose footer min/max are not
+    * lowercase hex record nothing — so on a genuinely-hex key column
+    * like content_hash every compacted file prunes, and on an ordinary
+    * string column the attempt degrades to no stats, never wrong
+    * ones); other types are silently skipped — documented at
+    * [[statsSupported]]. A column yielding no usable footer range is
+    * dropped whole. Names the stat-line codec cannot round-trip
+    * ([[statColEncodable]]) are skipped here, BEFORE any data file is
+    * written — encodeSnapshot's backstop would otherwise fail the
+    * commit after the rewrite. */
   private def establishStats(
       spark: SparkSession, schema: org.apache.spark.sql.types.StructType,
       files: Seq[FileEntry], cols: Seq[String]): Seq[TableStats] = {
     val resolver = spark.sessionState.conf.resolver
-    val resolved = cols.flatMap(c => schema.find(f => resolver(f.name, c))
-      .filter(f => statsSupported(f.dataType))
-      .map(_.name).filter(statColEncodable)).distinct
+    val resolved: Seq[(String, Boolean)] = cols.flatMap(c =>
+      schema.find(f => resolver(f.name, c)).flatMap { f =>
+        if (statsSupported(f.dataType)) Some(f.name -> false)
+        else if (f.dataType == org.apache.spark.sql.types.StringType)
+          Some(f.name -> true)
+        else None
+      }.filter(t => statColEncodable(t._1))).distinct
     if (resolved.isEmpty) return Nil
     val ranges = collectStats(
       spark.sparkContext.hadoopConfiguration, files, resolved)
-    resolved.map(c => TableStats(c, ranges.getOrElse(c, Map.empty)))
+    resolved.map { case (c, hex) =>
+      TableStats(c, ranges.getOrElse(c, Map.empty), hex) }
       .filter(_.ranges.nonEmpty)
   }
 
@@ -1573,14 +2005,16 @@ object MergeTable {
     val sorted = graft.operators.Layout.zClustered(frame, zCols, numFiles, bits)
     val files = writeBatch(spark, fs, root, sorted)
     val stats = establishStats(spark, frame.schema, files, zCols)
-    try commit(fs, root, next, encodeSnapshot(files, Nil, Nil, stats = stats))
+    val sj = Some(asNullableSchema(frame.schema).json)
+    try commit(fs, root, next,
+      encodeSnapshot(files, Nil, Nil, stats = stats, schemaJson = sj))
     catch {
       case _: FileAlreadyExistsException =>
         throw new CommitConflict(
           s"compactTableZOrder at $path lost the commit race for v$next " +
             "(concurrent writer landed mid-rewrite); re-run")
     }
-    Snapshot(next, files, stats = stats)
+    Snapshot(next, files, stats = stats, schemaJson = sj)
   }
 
   /** Delete data files no manifest-latest version references (orphans
@@ -1712,8 +2146,8 @@ object MergeTable {
   private def bloomPropsPath(root: Path) = new Path(root, "_bloom.properties")
 
   /** Table-lifetime bloom config: established by [[init]] (the table's
-    * key columns never change — schema evolution is unsupported), read
-    * by every [[writeBatch]]. Format: one column name per line, sorted,
+    * key columns never change — evolution only ADDS non-key columns),
+    * read by every [[writeBatch]]. Format: one column name per line, sorted,
     * closed by a `#end` terminator line — the validity sentinel that
     * lets [[readBloomProps]] distinguish a complete file from one TORN
     * by a hard crash mid-write on the no-hardlink publication fallback

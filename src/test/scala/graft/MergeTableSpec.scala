@@ -1590,9 +1590,334 @@ class MergeTableSpec extends SparkSpec {
       Seq(MergeTable.FileEntry(good, fs.getFileStatus(
           new org.apache.hadoop.fs.Path(good)).getLen),
         MergeTable.FileEntry(bad, 19L)),
-      Seq("id"))
+      Seq("id" -> false))
     assert(got("id").keySet.map(p => p.substring(p.lastIndexOf('/') + 1)) ===
       Set("good.parquet"),
       "the readable file keeps its stats; the unreadable one records none")
+  }
+
+  test("schema evolution: merge(allowSchemaEvolution) widens additively; old files read NULL; versions pin their schema") {
+    val path = freshPath()
+    MergeTable.init(spark, path, rows(1 to 100, "a"))
+    val evolved = rows(90 to 110, "b").withColumn("score", $"id" * 2.0)
+    // without the flag: refused with the actionable message
+    val e = intercept[IllegalArgumentException] {
+      MergeTable.merge(spark, path, evolved, Seq("id"))
+    }
+    assert(e.getMessage.contains("allowSchemaEvolution"))
+    MergeTable.merge(spark, path, evolved, Seq("id"),
+      allowSchemaEvolution = true)
+    val got = MergeTable.read(spark, path)
+    assert(got.columns.toSeq === Seq("id", "tag", "body", "score"),
+      "new columns append after the table's, in the update's order")
+    assert(got.count() === 110)
+    assert(got.filter($"score".isNotNull).count() === 21,
+      "merged rows carry the new column's values")
+    assert(got.filter($"id" < 90 && $"score".isNotNull).count() === 0,
+      "files written before the widening read the new column as NULL")
+    // the schema is VERSION-PINNED: time travel reads the old shape
+    assert(MergeTable.readAt(spark, path, 1L).columns.toSeq ===
+      Seq("id", "tag", "body"))
+    assert(MergeTable.tableSchema(spark, path).fieldNames.toSeq ===
+      Seq("id", "tag", "body", "score"))
+    // a later exact-schema merge must carry the widened column set
+    val e2 = intercept[IllegalArgumentException] {
+      MergeTable.merge(spark, path, rows(1 to 5, "c"), Seq("id"))
+    }
+    assert(e2.getMessage.contains("missing table column"))
+    MergeTable.merge(spark, path,
+      rows(1 to 5, "c").withColumn("score", lit(null).cast("double")),
+      Seq("id"))
+    assert(MergeTable.read(spark, path).count() === 110)
+    // predicates on the evolved column push into every leg and see the
+    // NULL fill (no phantom matches from pre-widening files)
+    assert(MergeTable.read(spark, path)
+      .filter($"score" > 0.0).count() === 21) // all of 90..110 keep score
+  }
+
+  test("schema evolution: drops, retypes, and case-colliding names are refused in both modes") {
+    val path = freshPath()
+    MergeTable.init(spark, path, rows(1 to 20, "a"))
+    // dropping a column is never evolution
+    val dropped = (1 to 5).map(i => (i.toLong, s"t$i")).toDF("id", "tag")
+    val e1 = intercept[IllegalArgumentException] {
+      MergeTable.merge(spark, path, dropped, Seq("id"),
+        allowSchemaEvolution = true)
+    }
+    assert(e1.getMessage.contains("ADDITIVE only"))
+    // retyping a column is never evolution
+    val retyped = rows(1 to 5, "x").withColumn("body", lit(1))
+    val e2 = intercept[IllegalArgumentException] {
+      MergeTable.merge(spark, path, retyped, Seq("id"),
+        allowSchemaEvolution = true)
+    }
+    assert(e2.getMessage.contains("cast the"))
+    // a new name that collides ignoring case: a case-insensitive
+    // session could never resolve the widened table
+    val collide = rows(1 to 5, "x").select($"id", $"tag", $"body",
+      lit(1.0).as("TAG"))
+    val e3 = intercept[IllegalArgumentException] {
+      MergeTable.merge(spark, path, collide, Seq("id"),
+        allowSchemaEvolution = true)
+    }
+    assert(e3.getMessage.contains("ignoring"))
+    // nothing committed by any refusal
+    assert(MergeTable.snapshot(spark, path).version === 1L)
+  }
+
+  test("schema evolution across mergeLite state: the fold pads delta rows; later mergeLites conform to the widened schema") {
+    val path = freshPath()
+    MergeTable.init(spark, path, rows(1 to 100, "a"))
+    MergeTable.mergeLite(spark, path, rows(50 to 60, "dv"), Seq("id"))
+    // the widening merge FOLDS the delta, padding its rows with NULL
+    MergeTable.merge(spark, path,
+      rows(90 to 105, "b").withColumn("score", $"id" * 1.0), Seq("id"),
+      allowSchemaEvolution = true)
+    val got = MergeTable.read(spark, path)
+    assert(got.count() === 105)
+    assert(got.filter($"tag" === "dv").count() === 11)
+    assert(got.filter($"tag" === "dv" && $"score".isNotNull).count() === 0,
+      "folded delta rows read the new column as NULL")
+    assert(got.filter($"score".isNotNull).count() === 16)
+    assert(MergeTable.snapshot(spark, path).delta.isEmpty,
+      "the widening merge folds to a DV-free manifest")
+    // mergeLite against the evolved table: must carry the widened set
+    intercept[IllegalArgumentException] {
+      MergeTable.mergeLite(spark, path, rows(1 to 3, "z"), Seq("id"))
+    }
+    MergeTable.mergeLite(spark, path,
+      rows(1 to 3, "z").withColumn("score", lit(9.0)), Seq("id"))
+    val g2 = MergeTable.read(spark, path)
+    assert(g2.count() === 105)
+    assert(g2.filter($"tag" === "z").agg(sum($"score")).head().getDouble(0)
+      === 27.0)
+  }
+
+  test("schema evolution across clone and the change feed") {
+    val path = freshPath()
+    MergeTable.init(spark, path, rows(1 to 100, "a"))                 // v1
+    MergeTable.merge(spark, path,
+      rows(50 to 55, "b").withColumn("score", lit(1.0)), Seq("id"),
+      allowSchemaEvolution = true)                                    // v2
+    // CDF across the widening: the probe side pads the new column with
+    // NULL (exactly how a pre-widening file reads), so carried rows
+    // cancel and only the 6 merged rows report
+    val ch = MergeTable.changesBetween(spark, path, 1L, 2L, Seq("id"))
+    assert(ch.columns.toSeq === Seq("id", "tag", "body", "score"))
+    assert(ch.count() === 6)
+    assert(ch.filter($"score" === 1.0).count() === 6)
+    // a pure rewrite after the widening still reports nothing...
+    MergeTable.compactTable(spark, path, "id", 2)                     // v3
+    assert(MergeTable.changesBetween(spark, path, 2L, 3L, Seq("id")).count()
+      === 0, "carried rows cancel across a post-widening compaction")
+    // ...and a window SPANNING the widening + compaction reports the
+    // merged rows once
+    assert(MergeTable.changesBetween(spark, path, 1L, 3L, Seq("id")).count()
+      === 6)
+    // the clone carries the evolved schema verbatim
+    val dst = freshPath()
+    val cs = MergeTable.cloneTable(spark, path, dst)
+    assert(cs.schemaJson.isDefined)
+    assert(MergeTable.tableSchema(spark, dst).fieldNames.toSeq ===
+      Seq("id", "tag", "body", "score"))
+    assert(MergeTable.read(spark, dst).count() === 100)
+  }
+
+  test("scope-aware fold: a seeded suppression scope folds bit-identically to the discovery fold") {
+    def build(): String = {
+      val p = freshPath()
+      MergeTable.init(spark, p, rows(1 to 1000, "a"))
+      MergeTable.compactTable(spark, p, "id", 8)
+      MergeTable.mergeLite(spark, p, rows(100 to 110, "dv"), Seq("id"))
+      p
+    }
+    val scoped = build()
+    val unscoped = build()
+    assert(MergeTable.snapshot(spark, scoped).dvFiles.exists(_.nonEmpty))
+    // strip the scope from the twin (a pre-scoping-writer manifest):
+    // its fold must run the discovery scan the seeded one skips
+    tamperManifest(unscoped)(_.filterNot(l =>
+      l.startsWith("dvfiles\t") || l.startsWith("dvfile\t")))
+    assert(MergeTable.snapshot(spark, unscoped).dvFiles === None)
+    // the same fold-triggering merge on both: u's keys straddle the
+    // delta's (105-115), so the touched set = scope ∪ u's own files
+    val u = rows(105 to 115, "m")
+    val s1 = MergeTable.merge(spark, scoped, u, Seq("id"))
+    val s2 = MergeTable.merge(spark, unscoped, u, Seq("id"))
+    assert(s1.filesRewritten === s2.filesRewritten,
+      "the seeded touched-set must equal what discovery finds")
+    assert(s1.filesKept === s2.filesKept)
+    assert(MergeTable.read(spark, scoped).orderBy("id").collect().toSeq ===
+      MergeTable.read(spark, unscoped).orderBy("id").collect().toSeq,
+      "fold-with-scope must equal fold-without, bit for bit")
+    // deleteWhere's fold seeds from the scope too — and the fold's
+    // update set is EXACTLY the delta, so NO discovery scan runs; the
+    // delete must still see the delta rows' latest state
+    MergeTable.mergeLite(spark, scoped, rows(200 to 205, "dv2"), Seq("id"))
+    assert(MergeTable.snapshot(spark, scoped).dvFiles.exists(_.nonEmpty))
+    MergeTable.deleteWhere(spark, scoped, $"tag" === "dv2")
+    val after = MergeTable.read(spark, scoped)
+    assert(after.count() === 994, "6 dv2 rows deleted from 1000 keys")
+    assert(after.filter($"tag" === "dv2").count() === 0)
+    assert(after.filter($"id" === 107L).select("tag").head().getString(0)
+      === "m", "folded state survives the scoped delete")
+    // an INSERT-ONLY delta (scope = empty set) folds by pure insert:
+    // zero base files rewritten
+    val p3 = freshPath()
+    MergeTable.init(spark, p3, rows(1 to 100, "a"))
+    MergeTable.mergeLite(spark, p3, rows(200 to 205, "new"), Seq("id"))
+    assert(MergeTable.snapshot(spark, p3).dvFiles === Some(Nil))
+    val s3 = MergeTable.merge(spark, p3, rows(300 to 305, "m2"), Seq("id"))
+    assert(s3.filesRewritten === 0,
+      "insert-only delta + disjoint batch: the seeded fold rewrites nothing")
+    assert(MergeTable.read(spark, p3).count() === 112)
+  }
+
+  test("rescopeDelta: the maintenance pass scopes an unscoped delta; reads confine the anti-join") {
+    val path = freshPath()
+    MergeTable.init(spark, path, rows(1 to 1000, "old"))
+    MergeTable.compactTable(spark, path, "id", 8)
+    // a MULTI-COLUMN-key batch commits UNSCOPED (the write path refuses
+    // the base scan) — the r14 verdict's persistent-read-tax shape
+    val u = (10 to 19).map(i => (i.toLong, "old", s"replaced $i"))
+      .toDF("id", "tag", "body")
+    MergeTable.mergeLite(spark, path, u, Seq("id", "tag"))
+    assert(MergeTable.snapshot(spark, path).dvFiles === None,
+      "multi-column keys skip write-path discovery")
+    // unscoped read: EVERY base file streams through the anti-join
+    def joinedBaseFiles(df: org.apache.spark.sql.DataFrame): Set[String] = {
+      def baseName(p: String) = new org.apache.hadoop.fs.Path(p).getName
+      graft.util.Plans.executedNodes(df).collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+      }.flatMap(j => graft.util.Plans.flatten(j.left))
+        .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+        .flatMap(_.relation.location.inputFiles).map(baseName).toSet
+    }
+    val baseNames = MergeTable.snapshot(spark, path).entries
+      .map(e => new org.apache.hadoop.fs.Path(e.path).getName).toSet
+    assert(baseNames.subsetOf(joinedBaseFiles(MergeTable.read(spark, path))),
+      "unscoped: the full-base anti-join tax")
+    // the maintenance pass runs the deliberate discovery and commits
+    // ONLY a manifest (no data files written)
+    val before = MergeTable.snapshot(spark, path)
+    val rescoped = MergeTable.rescopeDelta(spark, path)
+    assert(rescoped.version === before.version + 1)
+    assert(rescoped.entries.map(_.path) === before.entries.map(_.path),
+      "rescope writes no data file")
+    assert(rescoped.delta.map(_.path) === before.delta.map(_.path))
+    assert(rescoped.dvFiles.exists(_.size === 1),
+      "10 contiguous keys live in one range-sorted file")
+    // scoped read: the anti-join is confined to the scope file
+    val scopeNames = rescoped.dvFiles.get
+      .map(p => new org.apache.hadoop.fs.Path(p).getName).toSet
+    val after = MergeTable.read(spark, path)
+    assert((joinedBaseFiles(after) intersect baseNames) === scopeNames,
+      "post-rescope reads anti-join exactly the scope")
+    assert(after.count() === 1000)
+    assert(after.filter($"body".startsWith("replaced")).count() === 10)
+    // idempotent: an already-scoped (or delta-free) table is a no-op
+    assert(MergeTable.rescopeDelta(spark, path).version === rescoped.version)
+    val clean = freshPath()
+    MergeTable.init(spark, clean, rows(1 to 10, "a"))
+    assert(MergeTable.rescopeDelta(spark, clean).version === 1L)
+  }
+
+  test("hex stats: a content_hash compaction records hex bounds; point reads prune to one file") {
+    val path = freshPath()
+    val df = (1 to 2000).map(i => (i.toLong, s"payload $i"))
+      .toDF("id", "body").withColumn("h", sha2($"body", 256))
+    MergeTable.init(spark, path, df)
+    MergeTable.compactTable(spark, path, "h", 8)
+    val snap = MergeTable.snapshot(spark, path)
+    assert(snap.stats.exists(s => s.col == "h" && s.hex && s.ranges.size == 8),
+      s"a hex-domain string sort column must establish per-file bounds: ${snap.stats}")
+    def scannedFiles(q: org.apache.spark.sql.DataFrame): Long =
+      graft.util.Plans.executedNodes(q).collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.map(_.metrics("numFiles").value).sum
+    // an equality probe on a PRESENT hash schedules one file and finds it
+    val present = graft.util.Hashing.sha256Hex("payload 777")
+    val point = MergeTable.read(spark, path).filter($"h" === present)
+    assert(point.count() === 1)
+    assert(scannedFiles(point) === 1L, "hex stats must prune the point read")
+    // an ABSENT hash schedules at most one covering file and finds nothing
+    val absent = graft.util.Hashing.sha256Hex("never ingested")
+    val miss = MergeTable.read(spark, path).filter($"h" === absent)
+    assert(miss.count() === 0)
+    assert(scannedFiles(miss) <= 1L)
+    // an In list prunes to its covering set
+    val probes = Seq("payload 1", "payload 2000").map(graft.util.Hashing.sha256Hex)
+    val inq = MergeTable.read(spark, path).filter($"h".isin(probes: _*))
+    assert(inq.count() === 2)
+    assert(scannedFiles(inq) <= 2L)
+    // a NON-HEX literal never prunes (no proof) — and stays correct
+    val odd = MergeTable.read(spark, path).filter($"h" === "not-a-hash")
+    assert(scannedFiles(odd) === 8L)
+    assert(odd.count() === 0)
+    // a later merge maintains the hex bounds on its fresh file
+    val one = df.filter($"id" === 777L).withColumn("body", lit("updated"))
+      .select($"id", $"body", $"h")
+    MergeTable.merge(spark, path, one, Seq("h"))
+    val s2 = MergeTable.snapshot(spark, path)
+    assert(s2.stats.exists(s => s.col == "h" && s.hex && s.ranges.size == 8),
+      "the rewrite's fresh file re-records its hex bounds")
+    val again = MergeTable.read(spark, path).filter($"h" === present)
+    assert(again.count() === 1 && scannedFiles(again) === 1L)
+  }
+
+  test("hex stats: non-hex string values degrade to no stats for their files — never wrong pruning") {
+    val path = freshPath()
+    // half the corpus is hex-16+, half is arbitrary text: after a
+    // range-sort on the column, low files are all-hex (stats), high
+    // files contain 'payload …' (non-hex footer max -> no stats)
+    val df = (1 to 400).map { i =>
+      val v = if (i % 2 == 0) graft.util.Hashing.sha256Hex(s"v$i")
+              else s"payload $i"
+      (i.toLong, v)
+    }.toDF("id", "s")
+    MergeTable.init(spark, path, df)
+    MergeTable.compactTable(spark, path, "s", 4)
+    val snap = MergeTable.snapshot(spark, path)
+    val hs = snap.stats.find(s => s.col == "s" && s.hex)
+    assert(hs.exists(s => s.ranges.nonEmpty && s.ranges.size < 4),
+      s"hex files record bounds, mixed/non-hex files record none: $hs")
+    // every probe — hex or not — returns exactly the full-scan answer
+    val all = MergeTable.read(spark, path).collect().map(_.getString(1)).toSet
+    for (probe <- Seq(graft.util.Hashing.sha256Hex("v2"), "payload 3",
+        "payload 399", graft.util.Hashing.sha256Hex("missing"))) {
+      val got = MergeTable.read(spark, path).filter($"s" === probe).count()
+      assert(got === (if (all.contains(probe)) 1L else 0L),
+        s"probe '$probe' must match the full scan")
+    }
+  }
+
+  test("changesCostEstimate: manifest-only cost shape matches what the feed scans; compaction flags fullScan") {
+    val path = freshPath()
+    MergeTable.init(spark, path, rows(1 to 1000, "a"))       // v1
+    MergeTable.compactTable(spark, path, "id", 8)            // v2
+    MergeTable.merge(spark, path, rows(10 to 19, "m"), Seq("id")) // v3: 1 file churned
+    val narrow = MergeTable.changesCostEstimate(spark, path, 2L, 3L, Seq("id"))
+    assert(narrow.addedFiles === 1 && narrow.probeFiles === 1,
+      s"a one-file merge diff scans two files: $narrow")
+    assert(!narrow.fullScan)
+    assert(narrow.addedBytes > 0 && narrow.tableFiles === 8)
+    // a mergeLite window: added = delta file, probe = carried scope file
+    MergeTable.mergeLite(spark, path, rows(500 to 504, "dv"), Seq("id")) // v4
+    val lite = MergeTable.changesCostEstimate(spark, path, 3L, 4L, Seq("id"))
+    assert(lite.addedFiles === 1, s"the delta file: $lite")
+    assert(lite.probeFiles ===
+      MergeTable.snapshot(spark, path).dvFiles.map(_.size).getOrElse(-1),
+      s"the probe side is exactly the carried scope: $lite")
+    assert(!lite.fullScan)
+    // the estimate prices exactly what changesBetween reads: its row
+    // answer on this window stays the 5 upserted rows
+    assert(MergeTable.changesBetween(spark, path, 3L, 4L, Seq("id")).count() === 5)
+    // a compaction in the window: everything churns — flagged
+    MergeTable.compactTable(spark, path, "id", 8)            // v5 (folds)
+    val wide = MergeTable.changesCostEstimate(spark, path, 4L, 5L, Seq("id"))
+    assert(wide.fullScan, s"compaction windows must flag fullScan: $wide")
+    assert(wide.scanFiles >= 16)
+    // and the honest answer over that window is still "nothing changed"
+    assert(MergeTable.changesBetween(spark, path, 4L, 5L, Seq("id")).count() === 0)
   }
 }
