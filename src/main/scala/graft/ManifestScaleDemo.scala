@@ -132,12 +132,26 @@ object ManifestScaleDemo {
     val vdata = vtbl.resolve("data").resolve("batch-0")
     java.nio.file.Files.createDirectories(vdata)
     cloneFiles(vdata, 32)
+    // one CHURNED file per superseded version: version v references
+    // extra_v, the tip does not — the shape the r14 liveness-gated
+    // retention sweeps (a pure insert-only lineage deliberately KEEPS
+    // its expired manifests so routine maintenance never narrows time
+    // travel; a churned lineage reclaims)
+    val extraDir = vtbl.resolve("data").resolve("batch-extra")
+    java.nio.file.Files.createDirectories(extraDir)
+    cloneFiles(extraDir, 999)
     val vfiles = (0 until 32).map(i =>
       "file://" + vdata.resolve(f"part-$i%06d-c000.parquet").toString)
     val vmdir = new Path(vtbl.toString, "_manifests")
     val vfs = vmdir.getFileSystem(conf)
-    time("[1k commits] 1000 sequential commits (32-file lists)") {
-      (1 to 1000).foreach(v => Manifests.commit(vfs, vmdir, v.toLong, vfiles))
+    time("[1k commits] 1000 sequential commits (32-file lists, 1 churned file each)") {
+      (1 to 1000).foreach { v =>
+        val extra =
+          if (v < 1000) Seq("file://" +
+            extraDir.resolve(f"part-${v - 1}%06d-c000.parquet").toString)
+          else Nil
+        Manifests.commit(vfs, vmdir, v.toLong, vfiles ++ extra)
+      }
     }
     time("[1k commits] listVersions over 1000 manifests") {
       require(Manifests.listVersions(vfs, vmdir).size == 1000)

@@ -285,9 +285,25 @@ object MergeLiteDemo {
     // fold phase 2b's state first so this phase starts DV-free
     MergeTable.merge(spark, litePath, replayBatch(998).limit(0), Seq("request_id"))
     MergeTable.vacuum(spark, litePath, retainMillis = 0)
-    val spread = responseRows(
-      spark.range(1500).select((col("id") * (n / 1501) + 3).as("id")))
-    MergeTable.mergeLite(spark, litePath, spread, Seq("request_id"))
+    // 1500 EXISTING keys — past the In-probe limit, so the write path
+    // refuses discovery and commits UNSCOPED — all sampled from ONE
+    // base file (a time-correlated bulk correction), so the rescope
+    // has a real win to expose: unscoped reads anti-join all 16 files
+    // for a delta that provably touches 1
+    val b5 = new org.apache.hadoop.fs.Path(
+      MergeTable.snapshot(spark, litePath).entries.head.path).getName
+    val localIds5 = MergeTable.read(spark, litePath)
+      .filter(input_file_name().endsWith(b5))
+      .select("request_id").limit(1500).as[String].collect().toSeq
+    require(localIds5.size == 1500, s"key sample came up short ($b5)")
+    val batch5 = localIds5.toDF("request_id")
+      .withColumn("job_id", lit("bulkfix"))
+      .withColumn("user_query", md5(col("request_id")))
+      .withColumn("ai_response", concat(md5(col("request_id")),
+        md5(concat(lit("x"), col("request_id"))),
+        md5(concat(lit("y"), col("request_id")))))
+      .withColumn("ts", timestamp_seconds(lit(1700000000L)))
+    MergeTable.mergeLite(spark, litePath, batch5, Seq("request_id"))
     val sUn = MergeTable.snapshot(spark, litePath)
     require(sUn.dvFiles.isEmpty, "1500 keys must commit unscoped")
     scanAgg(litePath) // JVM-warm the unscoped plan shape
@@ -297,10 +313,8 @@ object MergeLiteDemo {
     val sRe = MergeTable.rescopeDelta(spark, litePath)
     val rescopeWall = (System.nanoTime() - tRescope) / 1e9
     println(s"  rescope scoped ${sRe.dvFiles.map(_.size).getOrElse(-1)} of " +
-      s"${sRe.entries.size} base files (spread keys: all touched — the " +
-      "honest worst case; the win is on later scans of UNtouched files " +
-      "and on localized deltas)")
-    scanAgg(litePath)
+      s"${sRe.entries.size} base files")
+    scanAgg(litePath) // JVM-warm the scoped plan shape
     val aggRescoped = scanAgg(litePath)
     println(f"unscoped tax: full-scan agg $aggUnscoped%6.3f s unscoped vs " +
       f"$aggRescoped%6.3f s rescoped (${aggUnscoped / aggRescoped}%.2fx); " +

@@ -1343,8 +1343,16 @@ object MergeTable {
       require(!cols.exists(_.equalsIgnoreCase(f.name)),
         s"new column ${f.name} collides with an existing column ignoring " +
           "case — a case-insensitive session could not resolve the table")
-      require(f.name.nonEmpty && !f.name.exists(c => c == '\n' || c == '\r'),
+      require(f.name.nonEmpty &&
+          !f.name.exists(c => c == '\n' || c == '\r' || c == '\t'),
         s"new column name not storable: '${f.name}'")
+      // a typed refusal BEFORE the rewrite: parquet cannot store VOID,
+      // and letting it through would fail writeBatch after discovery
+      // already ran — with parquet's error, not an actionable one
+      require(!hasNullType(f.dataType),
+        s"new column ${f.name} has type ${f.dataType.catalogString} — " +
+          "cast the NULL literal to the intended type (VOID is not a " +
+          "storable parquet type)")
     }
     // Names alone are not enough: a same-named column with a drifted
     // type (id INT vs table LONG) would commit parquet files with mixed
@@ -1359,6 +1367,19 @@ object MergeTable {
     }
     org.apache.spark.sql.types.StructType(
       tableSchema.fields ++ fresh.map(f => f.copy(nullable = true)))
+  }
+
+  /** True when the type contains VOID anywhere (an uncast NULL
+    * literal) — unstorable in parquet, refused at conformance. */
+  private def hasNullType(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case NullType => true
+      case s: StructType => s.fields.exists(f => hasNullType(f.dataType))
+      case a: ArrayType => hasNullType(a.elementType)
+      case m: MapType => hasNullType(m.keyType) || hasNullType(m.valueType)
+      case _ => false
+    }
   }
 
   /** The schema with every field (recursively) nullable — what a

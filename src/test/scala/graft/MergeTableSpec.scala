@@ -1661,6 +1661,14 @@ class MergeTableSpec extends SparkSpec {
         allowSchemaEvolution = true)
     }
     assert(e3.getMessage.contains("ignoring"))
+    // an uncast NULL literal (VOID) refuses with the actionable cast
+    // hint instead of parquet's write-time error
+    val voidCol = rows(1 to 5, "x").withColumn("extra", lit(null))
+    val e4 = intercept[IllegalArgumentException] {
+      MergeTable.merge(spark, path, voidCol, Seq("id"),
+        allowSchemaEvolution = true)
+    }
+    assert(e4.getMessage.contains("VOID"))
     // nothing committed by any refusal
     assert(MergeTable.snapshot(spark, path).version === 1L)
   }
