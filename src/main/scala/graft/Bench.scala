@@ -368,6 +368,11 @@ object Bench {
       "is the composite-manifest versioning layer's by-design price at " +
       "in-query build time; the serving probe is unchanged (7-9s vs " +
       "41s fresh at 1M docs, DedupIndexScaleDemo).")
+    println("note: q128_semantic_admission's BUILD leg is PINNED (r15, " +
+      "the q61/q62 5-run idle-window methodology): totals 2.16-2.97s, " +
+      "build 2.10-2.89s, serve FLAT 0.054-0.081s on the byte-identical " +
+      "plan - r14's 2.59s sits inside the band, r13's 1.46s below it " +
+      "(faster machine-day). Read deltas on this row against that band.")
     println("note: q128_semantic_admission's cost is ~all IN-QUERY " +
       "SemanticIndex build (the q113/q103 oracle-self-containment " +
       "convention); the amortized serving number is " +

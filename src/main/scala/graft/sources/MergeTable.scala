@@ -238,7 +238,19 @@ object MergeTable {
     *
     * The source's bloom CONFIG is copied (future writers on the clone
     * maintain the same filters); its data files already carry them. */
-  def cloneTable(spark: SparkSession, src: String, dst: String): Snapshot = {
+  def cloneTable(spark: SparkSession, src: String, dst: String): Snapshot =
+    cloneTableAt(spark, src, dst, None)
+
+  /** [[cloneTable]] pinned at a committed `atVersion` (tip when None) —
+    * branch the table AS OF an older version without materializing it
+    * first. The lifetime caveat above applies more sharply: a pinned
+    * version's files may already be superseded at the source's tip, so
+    * they are vacuum-reclaimable there the moment the source's grace
+    * expires — materialize (compact) a pinned clone promptly unless
+    * the source's vacuum is known quiet. */
+  def cloneTableAt(
+      spark: SparkSession, src: String, dst: String,
+      atVersion: Option[Long]): Snapshot = {
     val (dstFs, dstRoot) = fsOf(spark, dst)
     val (srcFs, srcRoot) = fsOf(spark, src)
     require(normalize(srcRoot.toString) != normalize(dstRoot.toString),
@@ -246,7 +258,8 @@ object MergeTable {
     Manifests.requireRoundTrippableRoot(dstFs, dstRoot, "merge-table")
     require(latestVersion(dstFs, dstRoot).isEmpty,
       s"merge table already exists at $dst")
-    val snap = snapshot(spark, src) // tip; clone-at-version = readAt + clone of a compacted copy
+    val snap = atVersion.map(snapshotAt(spark, src, _))
+      .getOrElse(snapshot(spark, src))
     val bloom = readBloomProps(srcFs, srcRoot)
     if (bloom.nonEmpty) writeBloomProps(dstFs, dstRoot, bloom)
     // a bloom-less source must not let the clone silently adopt a
@@ -1547,11 +1560,16 @@ object MergeTable {
     * [[deleteWhere]] folds before predicate deletes (its per-file
     * rewrite cannot see the key suppression), and
     * [[compactTable]]/[[merge]] fold naturally.
-    * Same contract as [[merge]]: unique, NULL-free keys; exact schema. */
+    * Same contract as [[merge]]: unique, NULL-free keys; exact schema —
+    * or additive widening with `allowSchemaEvolution` (the [[merge]]
+    * semantics: the commit records the widened schema, every file
+    * written before it — base AND prior delta files alike — reads the
+    * new columns as NULL). */
   def mergeLite(
       spark: SparkSession, path: String, updates: DataFrame,
       keyCols: Seq[String], maxDeltaRows: Long = DefaultMaxDeltaRows,
-      maxRetries: Int = 5, maxDeltaFiles: Int = DefaultMaxDeltaFiles): MergeStats = {
+      maxRetries: Int = 5, maxDeltaFiles: Int = DefaultMaxDeltaFiles,
+      allowSchemaEvolution: Boolean = false): MergeStats = {
     requireKeyCols(keyCols)
     require(maxDeltaFiles >= 1, "maxDeltaFiles must be >= 1")
     // '\r' too: Manifests.read splits lines on CR as well as LF, so a
@@ -1574,7 +1592,8 @@ object MergeTable {
       while (attempt < maxRetries) {
         attempt += 1
         try return mergeLiteOnce(
-          spark, path, u, keyCols, nU, maxDeltaRows, maxDeltaFiles)
+          spark, path, u, keyCols, nU, maxDeltaRows, maxDeltaFiles,
+          allowSchemaEvolution)
         catch {
           case _: FileAlreadyExistsException => // lost the race: re-snapshot
         }
@@ -1587,7 +1606,7 @@ object MergeTable {
   private def mergeLiteOnce(
       spark: SparkSession, path: String, u: DataFrame,
       keyCols: Seq[String], nU: Long, maxDeltaRows: Long,
-      maxDeltaFiles: Int): MergeStats = {
+      maxDeltaFiles: Int, allowEvolution: Boolean): MergeStats = {
     val (fs, root) = fsOf(spark, path)
     val snap = snapshot(spark, path)
     // persisted-state-vs-frame mismatch: IllegalStateException, so a
@@ -1600,8 +1619,10 @@ object MergeTable {
           s"[${snap.dvKeys.mkString(",")}] — mergeLite by the same keys")
     val schema0 = tableSchemaOf(spark, snap)
     val base = relationFor(spark, snap.entries, Nil, Some(schema0))
-    requireConforms(schema0, u, keyCols)
-    val cols = schema0.map(_.name)
+    // the widened shape this commit records; every pre-existing file —
+    // base AND prior delta files — reads the new columns as NULL
+    val widened = conformedSchema(schema0, u, keyCols, allowEvolution)
+    val cols = widened.map(_.name)
     if (nU == 0)
       return MergeStats(snap.version, snap.entries.size + snap.delta.size, 0, 0, 0)
     // the suppression SCOPE: the base files holding a row one of the
@@ -1641,7 +1662,7 @@ object MergeTable {
             snap.entries ++
               deltaEntries.filterNot(e => freshSet.contains(normalize(e.path))),
             fresh),
-          schemaJson = Some(asNullableSchema(schema0).json)))
+          schemaJson = Some(asNullableSchema(widened).json)))
     }
 
     val deltaDf = if (snap.delta.isEmpty) None
@@ -1707,7 +1728,8 @@ object MergeTable {
     // mergeLite's checkpoint.
     val combined =
       if (snap.delta.isEmpty) u.select(cols.map(col): _*)
-      else combinedDelta(deltaDf.get, u, keyCols, cols).localCheckpoint(true)
+      else combinedDelta(padTo(deltaDf.get, widened), u, keyCols, cols)
+        .localCheckpoint(true)
     try {
       // exact without a job whenever the probe ran: combined =
       // delta − overlap + batch (both inputs unique per key)
@@ -1728,7 +1750,8 @@ object MergeTable {
           }
         return rewriteMerge(spark, fs, root, snap.version, snap.entries,
           combined, keyCols, n, snapStats = snap.stats,
-          tableSchema = schema0, knownTouched = known).copy(rowsUpserted = nU)
+          tableSchema = schema0, allowEvolution = allowEvolution,
+          knownTouched = known).copy(rowsUpserted = nU)
       }
       // prior scope unions in; a prior UNSCOPED delta upgrades once via
       // discovery over the full combined key set, when that is small

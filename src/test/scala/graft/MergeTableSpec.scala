@@ -1781,6 +1781,58 @@ class MergeTableSpec extends SparkSpec {
     assert(MergeTable.read(spark, p3).count() === 112)
   }
 
+  test("schema evolution via mergeLite: widened deltas ride over NULL-filled base and prior-delta files") {
+    val path = freshPath()
+    MergeTable.init(spark, path, rows(1 to 100, "a"))
+    MergeTable.mergeLite(spark, path, rows(10 to 15, "dv"), Seq("id"))
+    // refused without the flag (the merge() message shape)
+    intercept[IllegalArgumentException] {
+      MergeTable.mergeLite(spark, path,
+        rows(20 to 25, "w").withColumn("score", lit(1.0)), Seq("id"))
+    }
+    // the widening batch is DISJOINT from the delta: the APPEND path —
+    // prior delta files keep their old physical schema and read the
+    // new column as NULL through the widened manifest schema
+    MergeTable.mergeLite(spark, path,
+      rows(20 to 25, "w").withColumn("score", lit(1.0)), Seq("id"),
+      allowSchemaEvolution = true)
+    val got = MergeTable.read(spark, path)
+    assert(got.columns.toSeq === Seq("id", "tag", "body", "score"))
+    assert(got.count() === 100)
+    assert(got.filter($"score".isNotNull).count() === 6)
+    assert(got.filter($"tag" === "dv" && $"score".isNull).count() === 6,
+      "prior delta files read the new column as NULL")
+    // an OVERLAPPING widened batch takes the COMBINE path (pads the
+    // old delta rows), and a fold clears it all into the widened base
+    MergeTable.mergeLite(spark, path,
+      rows(15 to 16, "x").withColumn("score", lit(2.0)), Seq("id"),
+      allowSchemaEvolution = true)
+    val g2 = MergeTable.read(spark, path)
+    assert(g2.count() === 100)
+    assert(g2.filter($"id" === 15L).select("tag").head().getString(0) === "x")
+    assert(g2.filter($"id" === 10L && $"score".isNull).count() === 1)
+    MergeTable.merge(spark, path, g2.localCheckpoint(true), Seq("id"))
+    assert(MergeTable.snapshot(spark, path).delta.isEmpty)
+    assert(MergeTable.read(spark, path).filter($"score".isNotNull).count() === 8)
+  }
+
+  test("cloneTableAt: a pinned-version clone branches the table AS OF that version") {
+    val src = freshPath()
+    MergeTable.init(spark, src, rows(1 to 100, "a"))                  // v1
+    MergeTable.merge(spark, src, rows(90 to 110, "b"), Seq("id"))     // v2
+    val dst = freshPath()
+    val cs = MergeTable.cloneTableAt(spark, src, dst, Some(1L))
+    assert(cs.version === 1L)
+    val got = MergeTable.read(spark, dst)
+    assert(got.count() === 100 && got.filter($"tag" === "b").count() === 0,
+      "the pinned clone sees v1, not the tip")
+    // and the clone evolves independently of the source's tip
+    MergeTable.merge(spark, dst, rows(1 to 5, "z"), Seq("id"))
+    assert(MergeTable.read(spark, dst).filter($"tag" === "z").count() === 5)
+    assert(MergeTable.read(spark, src).filter($"tag" === "z").count() === 0)
+    assert(MergeTable.read(spark, src).count() === 110)
+  }
+
   test("rescopeDelta: the maintenance pass scopes an unscoped delta; reads confine the anti-join") {
     val path = freshPath()
     MergeTable.init(spark, path, rows(1 to 1000, "old"))
