@@ -402,7 +402,17 @@ object MergeTable {
     * leading '/'. [[Manifests]] itself
     * stays content-agnostic — other layers (the IVF layout,
     * CompositeIndex) store their own line formats in the same commit
-    * primitive. */
+    * primitive.
+    *
+    * READER-VERSION CONTRACT: the codec is append-only but FORWARD
+    * only — a reader must be at least as new as the table's newest
+    * writer. An older reader decodes an unknown tagged line
+    * (`schema\t`, `statcolhex\t`) as a phantom size-less entry and
+    * fails the subsequent read with a path error, not a clean
+    * protocol refusal; the v1 format shipped without a version line,
+    * and retrofitting one would break old readers identically, so the
+    * deployment rule is upgrade-readers-first (Delta's
+    * minReaderVersion, by convention instead of enforcement). */
   // private[graft]: the IVF layout (GraftSession) shares the
   // `path\tsize` entry codec for its own manifest lines
   private[graft] def encodeEntry(e: FileEntry): String =
@@ -690,7 +700,12 @@ object MergeTable {
     * spark.sql.parquet.outputTimestampType=TIMESTAMP_MILLIS — while
     * Catalyst timestamp literals are always MICROS, so MILLIS ranges
     * convert (×1000, exact) and any other unit (NANOS, INT96's binary
-    * stats) yields no stats rather than wrong ones. */
+    * stats) yields no stats rather than wrong ones. Ranges a PRE-FIX
+    * writer recorded on a MILLIS column are wrong in the manifest and
+    * byte-indistinguishable from correct ones — a table suspected of
+    * carrying them re-establishes via [[compactTable]] (no released
+    * version of this library ever wrote them; recorded for
+    * completeness). */
   private[graft] def collectStats(
       conf: org.apache.hadoop.conf.Configuration,
       entries: Seq[FileEntry],
@@ -1093,12 +1108,18 @@ object MergeTable {
     val fromSet = from.allFiles.map(normalize).toSet
     val toSet = to.allFiles.map(normalize).toSet
     val (addBase, addDelta) = diffSideFiles(to, fromSet, Nil)
-    val (probeBase, probeDelta) =
-      diffSideFiles(from, toSet, carriedProbeFor(from, to, toSet))
     def bytes(es: Seq[FileEntry]) = es.map(_.size).sum
     val added = addBase ++ addDelta
-    val probe = probeBase ++ probeDelta
     val table = to.entries ++ to.delta
+    // mirror the feed's early return (review catch): a window adding
+    // NO file — a rescope, a keepVersions-only commit — answers
+    // "no changes" from the manifests alone; the probe side is never
+    // built, so it must not be priced either
+    if (added.isEmpty)
+      return ChangesCost(0, 0L, 0, 0L, table.size, bytes(table))
+    val (probeBase, probeDelta) =
+      diffSideFiles(from, toSet, carriedProbeFor(from, to, toSet))
+    val probe = probeBase ++ probeDelta
     ChangesCost(added.size, bytes(added), probe.size, bytes(probe),
       table.size, bytes(table))
   }
@@ -1265,7 +1286,7 @@ object MergeTable {
           scope.map(normalize).toSet ++
             (if (nU == 0) Set.empty[String]
              else discoveryFrame(
-                 relationFor(spark, snap.entries, Nil, Some(widened)),
+                 relationFor(spark, snap.entries, snap.stats, Some(widened)),
                  u, keyCols, nU)
                .collect().map(r => normalize(r.getString(0))).toSet)
         }
@@ -1352,6 +1373,13 @@ object MergeTable {
         s"schema [${cols.sorted.mkString(",")}] exactly — pass " +
         "allowSchemaEvolution = true to merge() to widen the table " +
         s"additively with [${fresh.map(_.name).mkString(",")}]")
+    // fresh-vs-fresh too (review catch): two case-variant NEW columns
+    // in one evolving batch would commit a schema no case-insensitive
+    // session can ever resolve — the same cross-session brick
+    require(fresh.map(_.name.toLowerCase).distinct.size == fresh.size,
+      s"new columns [${fresh.map(_.name).mkString(",")}] collide with each " +
+        "other ignoring case — a case-insensitive session could not " +
+        "resolve the table")
     fresh.foreach { f =>
       require(!cols.exists(_.equalsIgnoreCase(f.name)),
         s"new column ${f.name} collides with an existing column ignoring " +
@@ -1450,8 +1478,11 @@ object MergeTable {
     val widened = conformedSchema(tableSchema, u, keyCols, allowEvolution)
     // the base binds the WIDENED schema: pre-widening files fill the
     // new columns with NULL, so the replaced leg's select below can
-    // project every column of the new table shape
-    val base = relationFor(spark, baseEntries, Nil, Some(widened))
+    // project every column of the new table shape. Manifest stats
+    // ride along so the DISCOVERY scan below prunes files at planning
+    // time on a compacted key layout (the rescopeDelta rationale;
+    // sound — stats exclusion is conservative).
+    val base = relationFor(spark, baseEntries, snapStats, Some(widened))
     val cols = widened.map(_.name)
 
     val touched: Set[String] = knownTouched.getOrElse {
@@ -1469,8 +1500,21 @@ object MergeTable {
     val insertFiles = math.max(1L,
       (nU + InsertRowsPerFile - 1) / InsertRowsPerFile).toInt
     val replaced =
-      if (hit.isEmpty && nU == 0)
-        return MergeStats(baseVersion, kept.size, 0, 0, 0)
+      if (hit.isEmpty && nU == 0) {
+        // a zero-row update is a no-op — EXCEPT when it widens the
+        // schema (the declare-a-column-ahead-of-backfill shape): the
+        // widening must commit deterministically, not depend on
+        // whether delta state happened to route the call through a
+        // fold (review catch). One manifest write, stats carried
+        // verbatim (no file changed), no data IO.
+        if (widened.length == tableSchema.length)
+          return MergeStats(baseVersion, kept.size, 0, 0, 0)
+        commit(fs, root, baseVersion + 1,
+          encodeSnapshot(withSizes(fs, kept), Nil, Nil,
+            stats = snapStats,
+            schemaJson = Some(asNullableSchema(widened).json)))
+        return MergeStats(baseVersion + 1, kept.size, 0, 0, 0)
+      }
       else if (hit.isEmpty) u.select(cols.map(col): _*).coalesce(insertFiles)
       else relationFor(spark, hit, Nil, Some(widened))
         .join(broadcast(u.select(keyCols.map(col): _*).distinct()),
@@ -1618,7 +1662,8 @@ object MergeTable {
         s"table at $path carries row-level state keyed by " +
           s"[${snap.dvKeys.mkString(",")}] — mergeLite by the same keys")
     val schema0 = tableSchemaOf(spark, snap)
-    val base = relationFor(spark, snap.entries, Nil, Some(schema0))
+    // stats ride into the cheapDiscovery probes (conservative pruning)
+    val base = relationFor(spark, snap.entries, snap.stats, Some(schema0))
     // the widened shape this commit records; every pre-existing file —
     // base AND prior delta files — reads the new columns as NULL
     val widened = conformedSchema(schema0, u, keyCols, allowEvolution)

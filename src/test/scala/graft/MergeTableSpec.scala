@@ -1669,8 +1669,41 @@ class MergeTableSpec extends SparkSpec {
         allowSchemaEvolution = true)
     }
     assert(e4.getMessage.contains("VOID"))
+    // two case-variant NEW columns in one batch would commit a schema
+    // no case-insensitive session could ever resolve (review catch)
+    val freshPair = rows(1 to 5, "x").select($"id", $"tag", $"body",
+      lit(1.0).as("score"), lit(2.0).as("Score"))
+    val e5 = intercept[IllegalArgumentException] {
+      MergeTable.merge(spark, path, freshPair, Seq("id"),
+        allowSchemaEvolution = true)
+    }
+    assert(e5.getMessage.contains("collide with each other"))
     // nothing committed by any refusal
     assert(MergeTable.snapshot(spark, path).version === 1L)
+  }
+
+  test("schema evolution: a ZERO-ROW widening commits deterministically (declare-ahead-of-backfill)") {
+    val path = freshPath()
+    MergeTable.init(spark, path, rows(1 to 50, "a"))
+    // zero rows, zero new columns: a true no-op — no version bump
+    MergeTable.merge(spark, path, rows(1 to 0, "x"), Seq("id"))
+    assert(MergeTable.snapshot(spark, path).version === 1L)
+    // zero rows, ONE new column: the widening must still commit (it
+    // previously no-opped on DV-free tables but committed through the
+    // fold on delta-carrying ones — review catch)
+    val declared = rows(1 to 0, "x").withColumn("score", lit(0.0))
+    val st = MergeTable.merge(spark, path, declared, Seq("id"),
+      allowSchemaEvolution = true)
+    assert(st.version === 2L && st.rowsUpserted === 0L)
+    assert(MergeTable.tableSchema(spark, path).fieldNames.toSeq ===
+      Seq("id", "tag", "body", "score"))
+    val got = MergeTable.read(spark, path)
+    assert(got.count() === 50 && got.filter($"score".isNull).count() === 50)
+    // and the backfill then conforms without re-flagging evolution
+    MergeTable.merge(spark, path,
+      rows(1 to 5, "b").withColumn("score", lit(1.0)), Seq("id"))
+    assert(MergeTable.read(spark, path)
+      .filter($"score".isNotNull).count() === 5)
   }
 
   test("schema evolution across mergeLite state: the fold pads delta rows; later mergeLites conform to the widened schema") {
@@ -1979,5 +2012,19 @@ class MergeTableSpec extends SparkSpec {
     assert(wide.scanFiles >= 16)
     // and the honest answer over that window is still "nothing changed"
     assert(MergeTable.changesBetween(spark, path, 4L, 5L, Seq("id")).count() === 0)
+    // a window adding NO file (a rescope-shaped manifest-only commit)
+    // prices as FREE — the feed early-returns without scanning, and
+    // the estimate must mirror that, not charge the probe side
+    // (review catch)
+    MergeTable.mergeLite(spark, path, rows(30 to 34, "dv5"), Seq("id")) // v6
+    MergeTable.rescopeDelta(spark, path)  // no-op (already scoped) — force
+    tamperManifest(path)(ls => ls.filterNot(l =>
+      l.startsWith("dvfiles\t") || l.startsWith("dvfile\t")))
+    val rescoped = MergeTable.rescopeDelta(spark, path)       // v7: same files
+    assert(rescoped.version === 7L)
+    val free = MergeTable.changesCostEstimate(spark, path, 6L, 7L, Seq("id"))
+    assert(free.scanFiles === 0 && free.scanBytes === 0L && !free.fullScan,
+      s"a no-added-file window must price as free: $free")
+    assert(MergeTable.changesBetween(spark, path, 6L, 7L, Seq("id")).count() === 0)
   }
 }
