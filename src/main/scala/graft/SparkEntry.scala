@@ -1482,9 +1482,13 @@ object SparkEntry {
       // predicate on either column prunes files at planning time
       // (plan-gated in MergeTableSpec); this row pins the VALUES of a
       // two-column range read against plain SQL.
+      // text_len cast to LONG at the source: DuckDB's length() is
+      // BIGINT, and the driver's type-aware hash must see one type on
+      // both sides (the r8 int64-vs-decimal lesson; flagged by the
+      // local gate this round)
       val docs = T.documents(s, d).filter(col("text").isNotNull)
         .select(col("doc_id"), col("lang"),
-          length(col("text")).as("text_len"))
+          length(col("text")).cast("long").as("text_len"))
       val tmp = java.nio.file.Files.createTempDirectory("graft_q140")
       val t = tmp.toString + "/t"
       graft.sources.MergeTable.init(s, t, docs)

@@ -85,15 +85,26 @@ object MergeTable {
     * for the lower bound, 0xf for the upper), shifted by Long.MinValue
     * so plain SIGNED comparisons preserve unsigned order. None when
     * any of the first 16 chars is outside [0-9a-f] — the value is not
-    * in the domain and must never prune. Monotone over hex strings in
-    * byte order (= UTF-16 order on ASCII), so for any hex value v in
-    * a file: hexLoBound(min) <= hexLoBound(v) <= hexHiBound(v) <=
-    * hexHiBound(max) — the soundness inequality the pruner relies on;
-    * parquet's own truncated-binary stats stay conservative because a
-    * truncated-up max either remains hex (still an upper bound) or
-    * stops being hex (no stats recorded). */
-  private[sources] def hexLoBound(s: String): Option[Long] = hexBound(s, 0x0)
-  private[sources] def hexHiBound(s: String): Option[Long] = hexBound(s, 0xf)
+    * in the domain and must never prune.
+    *
+    * SOUNDNESS LEMMA (PropertySpec-pinned; note hexHiBound is NOT
+    * monotone — on a prefix pair like "a" < "ab" the 0xf padding makes
+    * hi("a") > hi("ab"), and the pruner never relies on it): over hex
+    * strings in byte order (= UTF-16 order on ASCII),
+    *   (1) hexLoBound IS monotone, and
+    *   (2) hexLoBound(s) <= hexHiBound(s) for every s.
+    * These two alone make every excluder conservative: for a file with
+    * hex footer [min, max] and any hex v with min <= v <= max, the
+    * probe interval [lo(v), hi(v)] always intersects the recorded
+    * [lo(min), hi(max)] — lo(v) <= lo(max) <= hi(max) by (1)+(2), and
+    * hi(v) >= lo(v) >= lo(min) likewise — so equality never prunes a
+    * present value, and the range excluders' contrapositives (e.g.
+    * hi(max) < lo(q) ⟹ max < q) follow the same way. Parquet's own
+    * truncated-binary stats stay conservative too: a truncated-up max
+    * either remains hex (still a byte-order upper bound) or stops
+    * being hex (no stats recorded). */
+  private[graft] def hexLoBound(s: String): Option[Long] = hexBound(s, 0x0)
+  private[graft] def hexHiBound(s: String): Option[Long] = hexBound(s, 0xf)
   private def hexBound(s: String, pad: Int): Option[Long] = {
     var v = 0L
     var i = 0

@@ -334,4 +334,52 @@ class PropertySpec extends SparkSpec {
         .as[(Long, Double)].collect().toMap
     assert(fused(Seq(a, b)) === fused(Seq(b, a)))
   }
+
+  test("property: hex stat bounds satisfy the pruner's soundness lemma and refuse non-hex") {
+    // The lemma (MergeTable.hexLoBound doc): lo is MONOTONE over hex
+    // strings in byte order and lo(s) <= hi(s) — together these make
+    // every excluder conservative. hi is deliberately NOT monotone
+    // (prefix pairs: hi("a") > hi("ab") from the 0xf pad — the first
+    // draft of this property asserted hi-monotonicity and ScalaCheck
+    // refuted it with "" vs "0"; the pruner never needs it).
+    import graft.sources.MergeTable.{hexLoBound, hexHiBound}
+    val hexChars = Gen.oneOf(('0' to '9') ++ ('a' to 'f'))
+    val hexStr = for {
+      n <- Gen.chooseNum(0, 24) // spans shorter-than-16 and longer
+      cs <- Gen.listOfN(n, hexChars)
+    } yield cs.mkString
+    val hs = sample(hexStr, 300)
+    hs.foreach { s =>
+      val (lo, hi) = (hexLoBound(s), hexHiBound(s))
+      assert(lo.isDefined && hi.isDefined, s"hex '$s' must encode")
+      assert(lo.get <= hi.get, s"lo <= hi for '$s'") // lemma (2)
+      if (s.length >= 16) assert(lo.get === hi.get,
+        "at 16+ chars the pad vanishes: lo == hi (the 16-char prefix)")
+    }
+    // lemma (1): lo monotone against java.lang.String order (= byte
+    // order on this ASCII domain)
+    val sorted = hs.sorted
+    sorted.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(hexLoBound(a).get <= hexLoBound(b).get, s"lo('$a') <= lo('$b')")
+      case _ => ()
+    }
+    // the CONSEQUENCE the pruner actually evaluates: for any in-range
+    // value b of a file with footer [a, c], the probe interval
+    // [lo(b), hi(b)] intersects the recorded [lo(a), hi(c)] — the
+    // equality excluder must never fire on a present value
+    for (Seq(a, b, c) <- sorted.sliding(3) if a <= b && b <= c) {
+      assert(hexHiBound(b).get >= hexLoBound(a).get &&
+        hexLoBound(b).get <= hexHiBound(c).get,
+        s"probe '$b' must overlap file range ['$a','$c']")
+    }
+    // a non-hex char anywhere in the FIRST 16 refuses; beyond is inert
+    assert(hexLoBound("abcZ").isEmpty && hexHiBound("Zabc").isEmpty)
+    assert(hexLoBound("ABC").isEmpty, "uppercase is outside the domain")
+    assert(hexLoBound("0123456789abcdefZZZZ").isDefined,
+      "chars past the 16-char prefix never affect the encoding")
+    val nonHex = sample(Gen.alphaStr.suchThat(s =>
+      s.take(16).exists(c => !(('0' to '9').contains(c) || ('a' to 'f').contains(c)))), 50)
+    nonHex.foreach(s => assert(hexLoBound(s).isEmpty, s"'$s' must refuse"))
+  }
 }
