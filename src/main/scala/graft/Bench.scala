@@ -63,9 +63,11 @@ object Bench {
     // q139 = staged compaction + the stats-pruned range read
     "q137_changed_rows", "q138_deleted_keys", "q139_stats_pruned_range",
     "q140_zorder_table",
-    // q141-q143 = staged MergeTable lineages (evolution merge / unscoped
-    // mergeLite + rescope / hex-stats compaction), the q134 convention
+    // q141-q144 = staged MergeTable lineages (evolution merge / unscoped
+    // mergeLite + rescope / hex-stats compaction / keyed tombstone
+    // delete), the q134 convention
     "q141_schema_evolution", "q142_rescoped_delta", "q143_hex_pruned_lookup",
+    "q144_delete_lite",
     // the band-heavy dedup rows (largest sf1 ratios: q33 3.3x, q38 2.6x,
     // q37 2.3x at r12): their lambdas are EAGER through the internal
     // localCheckpoints (shingle frame, banded signatures, verified pair

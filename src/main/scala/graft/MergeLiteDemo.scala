@@ -43,7 +43,10 @@ import graft.sources.MergeTable
   *   7. (phase 6, r15) SCOPE-AWARE FOLD: a fold seeded from the scope
   *      vs the same fold paying the base key-column discovery scan —
   *      identical rewrite, the scan isolated (A/B via zero-copy clones,
-  *      one with its manifest scope re-committed stripped).
+  *      one with its manifest scope re-committed stripped);
+  *   8. (phase 7, r15) KEYED RETRACTION: deleteLite's tombstone write
+  *      (the deletion-vector delete — O(keys) at any table size) vs
+  *      deleteWhere's per-file rewrites on the same 10 spread keys.
   *
   * Run manually: `sbt "runMain graft.MergeLiteDemo"` (MERGE_LITE_ROWS
   * overrides the 40M default; idle host — timing).
@@ -356,6 +359,36 @@ object MergeLiteDemo {
     require(MergeTable.read(spark, scopedPath).count() ==
       MergeTable.read(spark, strippedPath).count(),
       "the seeded fold must produce the discovery fold's content")
+
+    // phase 7 — KEYED RETRACTION (r15): deleteLite records the keys as
+    // tombstones (one key-only file, no base rewrite — the deletion-
+    // vector delete) while deleteWhere rewrites every file a key lives
+    // in. 10 spread ids — the GDPR-erasure / bad-batch shape — against
+    // the two identical folded 40M tables from phase 6.
+    println("phase 7 — keyed retraction: deleteLite (tombstones) vs " +
+      "deleteWhere (file rewrites), 10 spread keys")
+    val retract = responseRows(
+      spark.range(1, 11).select((col("id") * (n / 11) + 5).as("id")))
+      .select("request_id").localCheckpoint(true)
+    val retractKeys = retract.as[String].collect().toSeq
+    dropCaches()
+    val t7a = System.nanoTime()
+    MergeTable.deleteLite(spark, scopedPath, retract, Seq("request_id"))
+    val wLite = (System.nanoTime() - t7a) / 1e9
+    dropCaches()
+    val t7b = System.nanoTime()
+    MergeTable.deleteWhere(spark, strippedPath,
+      col("request_id").isin(retractKeys: _*))
+    val wWhere = (System.nanoTime() - t7b) / 1e9
+    val cLite = MergeTable.read(spark, scopedPath).count()
+    val cWhere = MergeTable.read(spark, strippedPath).count()
+    require(cLite == cWhere, s"retraction arms diverged: $cLite vs $cWhere")
+    val sDel = MergeTable.snapshot(spark, scopedPath)
+    println(f"retraction wall: deleteLite $wLite%6.2f s (one ${sDel.deletes.size}-file " +
+      f"tombstone set, scope ${sDel.dvFiles.map(_.size).getOrElse(-1)} of " +
+      f"${sDel.entries.size} base files, zero rewrites) vs deleteWhere " +
+      f"$wWhere%6.2f s (bloom-pruned discovery + per-file rewrites): " +
+      f"${wWhere / wLite}%.1fx — both arms at ${cLite}%,d rows")
 
     graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(base))
     spark.stop()

@@ -1600,6 +1600,37 @@ object SparkEntry {
       out
     }),
 
+    "q144_delete_lite" -> ((s, d) => {
+      // ROW-LEVEL DELETE (the tombstone half of the deletion-vector
+      // analog): a keyed retraction lands as a key-only tombstone file
+      // — no base rewrite — and the read suppresses the deleted rows.
+      // The lineage stacks a mergeLite first, then deletes keys living
+      // in BOTH the base (100-130) and the delta (210-215), so the
+      // delta/tombstone disjointness invariant faces DuckDB too.
+      val docs = T.documents(s, d).filter(col("text").isNotNull)
+      def slice(lo: Int, hi: Int, tag: Option[String]) = docs
+        .filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .select(col("doc_id"),
+          tag.map(lit(_)).getOrElse(col("lang")).as("lang"),
+          substring(col("text"), 1, 40).as("head"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q144")
+      val t = tmp.toString + "/t"
+      graft.sources.MergeTable.init(s, t, slice(0, 300, None))
+      graft.sources.MergeTable.mergeLite(s, t, slice(200, 350, Some("xx")),
+        Seq("doc_id"))
+      graft.sources.MergeTable.deleteLite(s, t,
+        docs.filter((col("doc_id") >= 100 && col("doc_id") < 130) ||
+            (col("doc_id") >= 210 && col("doc_id") < 215))
+          .select(col("doc_id")),
+        Seq("doc_id"))
+      val out = graft.sources.MergeTable.read(s, t)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true) // eager pin, then reclaim the staged table
+      graft.util.Fs.deleteRecursively(tmp)
+      out
+    }),
+
     "q130_append_sink" -> ((s, d) => {
       // S3 (row insert / append sink): two successive mode("append")
       // parquet writes must ACCUMULATE — the second preserves the
@@ -2602,6 +2633,23 @@ object SparkEntry {
         |  FROM documents WHERE text IS NOT NULL)
         |SELECT doc_id, h FROM kb
         |WHERE doc_id % 97 = 3 AND doc_id < 50000
+        |ORDER BY doc_id""".stripMargin,
+
+    // q144: the upsert algebra then the tombstone suppression — rows
+    // whose doc_id was retracted vanish whether they lived in the
+    // base or the delta
+    "q144_delete_lite" ->
+      """WITH base AS (SELECT doc_id, lang FROM documents
+        |    WHERE text IS NOT NULL AND doc_id >= 0 AND doc_id < 300),
+        |u1 AS (SELECT doc_id, 'xx' AS lang FROM documents
+        |    WHERE text IS NOT NULL AND doc_id >= 200 AND doc_id < 350),
+        |m1 AS (SELECT * FROM base WHERE doc_id NOT IN (SELECT doc_id FROM u1)
+        |       UNION ALL SELECT * FROM u1),
+        |dels AS (SELECT doc_id FROM documents WHERE text IS NOT NULL
+        |    AND ((doc_id >= 100 AND doc_id < 130)
+        |      OR (doc_id >= 210 AND doc_id < 215)))
+        |SELECT doc_id, lang FROM m1
+        |WHERE doc_id NOT IN (SELECT doc_id FROM dels)
         |ORDER BY doc_id""".stripMargin,
 
     // the same double arithmetic as temperatureMix, then the q62 md5

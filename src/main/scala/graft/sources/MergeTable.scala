@@ -137,12 +137,27 @@ object MergeTable {
     *        recorded schema also makes snapshot→relation a ZERO-IO
     *        step (the head-footer probe was the read path's last
     *        per-open filesystem call). */
+  /** @param deletes the row-level DELETE key files ([[deleteLite]]):
+    *        parquet files holding ONLY the key columns of deleted
+    *        rows. They contribute NO rows to the read — their key set
+    *        joins the delta's in the base-leg suppression (a deleted
+    *        base row is superseded by nothing) — and their keys are
+    *        DISJOINT from the delta's by commit invariant (a key
+    *        re-inserted after deletion moves from `deletes` to
+    *        `delta` in the same commit). Kept as ONE combined file
+    *        set per commit (key-only rows are narrow; re-writing the
+    *        accumulated set costs ~nothing next to mergeLite's wide
+    *        rows, and the read union's file count stays flat). */
   final case class Snapshot(
       version: Long, entries: Seq[FileEntry],
       delta: Seq[FileEntry] = Nil, dvKeys: Seq[String] = Nil,
       dvFiles: Option[Seq[String]] = None,
       stats: Seq[TableStats] = Nil,
-      schemaJson: Option[String] = None) {
+      schemaJson: Option[String] = None,
+      deletes: Seq[FileEntry] = Nil) {
+    /** True when the version carries ANY row-level state — update
+      * delta, delete keys, or both. */
+    def rowLevel: Boolean = delta.nonEmpty || deletes.nonEmpty
     /** The decoded recorded schema (None on legacy manifests). */
     def schema: Option[org.apache.spark.sql.types.StructType] =
       schemaJson.map(j => org.apache.spark.sql.types.DataType.fromJson(j)
@@ -151,7 +166,7 @@ object MergeTable {
     def files: Seq[String] = entries.map(_.path)
     /** Every data file the version references, base and delta — the
       * vacuum-liveness set. */
-    def allFiles: Seq[String] = (entries ++ delta).map(_.path)
+    def allFiles: Seq[String] = (entries ++ delta ++ deletes).map(_.path)
   }
 
   /** @param filesRewritten files of the previous version REPLACED
@@ -283,14 +298,16 @@ object MergeTable {
     // returned as committed, so the caller's snapshot agrees with disk
     val entries = withSizes(srcFs, snap.entries)
     val delta = withSizes(srcFs, snap.delta)
+    val dels = withSizes(srcFs, snap.deletes)
     // a legacy schema-less source upgrades once, here (the withSizes
     // convention): the clone starts with zero-IO opens and a pinned,
     // evolution-ready schema
     val sj = Some(asNullableSchema(tableSchemaOf(spark, snap)).json)
     commit(dstFs, dstRoot, 1L,
       encodeSnapshot(entries, delta, snap.dvKeys, snap.dvFiles,
-        stats = snap.stats, schemaJson = sj))
-    Snapshot(1L, entries, delta, snap.dvKeys, snap.dvFiles, snap.stats, sj)
+        stats = snap.stats, schemaJson = sj, deletes = dels))
+    Snapshot(1L, entries, delta, snap.dvKeys, snap.dvFiles, snap.stats, sj,
+      dels)
   }
 
   /** The refusal [[init]] (no keys) and [[cloneTable]] (bloom-less
@@ -400,6 +417,7 @@ object MergeTable {
     * without the tab is a legacy size-less entry (size −1 →
     * [[relationFor]] takes the listing path for the whole snapshot);
     * `delta\t<path>\t<size>` for [[mergeLite]] delta files,
+    * `ddel\t<path>\t<size>` for [[deleteLite]] key-tombstone files,
     * `dvkeys\t<k1,k2>` for their key columns, and the suppression
     * scope as a `dvfiles\t<n>` header followed by n `dvfile\t<path>`
     * lines naming the touched base files (header absent = legacy
@@ -447,6 +465,8 @@ object MergeTable {
       !c.contains(':') && !c.startsWith("/")
 
   private val DeltaTag = "delta\t"
+  // deleteLite key files — read-side tombstone keys with no row payload
+  private val DDelTag = "ddel\t"
   private val DvKeysTag = "dvkeys\t"
   private val DvFilesTag = "dvfiles\t"
   private val DvFileTag = "dvfile\t"
@@ -462,11 +482,12 @@ object MergeTable {
       entries: Seq[FileEntry], delta: Seq[FileEntry],
       dvKeys: Seq[String], dvFiles: Option[Seq[String]] = None,
       stats: Seq[TableStats] = Nil,
-      schemaJson: Option[String] = None): Seq[String] = {
-    require(delta.isEmpty == dvKeys.isEmpty,
-      "delta files and dvKeys must be committed together")
-    require(dvFiles.isEmpty || delta.nonEmpty,
-      "a suppression scope (dvFiles) requires delta state")
+      schemaJson: Option[String] = None,
+      deletes: Seq[FileEntry] = Nil): Seq[String] = {
+    require((delta.isEmpty && deletes.isEmpty) == dvKeys.isEmpty,
+      "row-level files (delta/deletes) and dvKeys must be committed together")
+    require(dvFiles.isEmpty || delta.nonEmpty || deletes.nonEmpty,
+      "a suppression scope (dvFiles) requires row-level state")
     stats.foreach(s => require(statColEncodable(s.col),
       s"stats column name not encodable in the manifest: '${s.col}'"))
     require(stats.map(_.col).distinct.size == stats.size,
@@ -484,11 +505,12 @@ object MergeTable {
           s.ranges.toSeq.sortBy(_._1).map {
             case (p, (lo, hi)) => s"$StatTag${s.col}\t$p\t$lo\t$hi"
           }) ++
-      (if (delta.isEmpty) Nil
+      (if (delta.isEmpty && deletes.isEmpty) Nil
        else (DvKeysTag + dvKeys.mkString(",")) +:
          (dvFiles.toSeq.flatMap(fs =>
             (DvFilesTag + fs.size) +: fs.map(DvFileTag + _)) ++
-          delta.map(e => DeltaTag + encodeEntry(e))))
+          delta.map(e => DeltaTag + encodeEntry(e)) ++
+          deletes.map(e => DDelTag + encodeEntry(e))))
   }
 
   /** Test seam for the encode backstop ([[statColEncodable]]): the
@@ -501,6 +523,7 @@ object MergeTable {
   private def decodeLines(lines: Seq[String], version: Long): Snapshot = {
     val entries = Seq.newBuilder[FileEntry]
     val delta = Seq.newBuilder[FileEntry]
+    val deletes = Seq.newBuilder[FileEntry]
     val dvFiles = Seq.newBuilder[String]
     val statRanges = Seq.newBuilder[(String, String, (Long, Long))]
     val legacyStatRanges = Seq.newBuilder[(String, (Long, Long))]
@@ -526,6 +549,8 @@ object MergeTable {
     lines.foreach { line =>
       if (line.startsWith(DeltaTag))
         delta += decodeEntry(line.substring(DeltaTag.length))
+      else if (line.startsWith(DDelTag))
+        deletes += decodeEntry(line.substring(DDelTag.length))
       else if (line.startsWith(StatColHexTag))
         declareStatCol(line.substring(StatColHexTag.length), hex = true)
       else if (line.startsWith(StatColTag))
@@ -595,12 +620,14 @@ object MergeTable {
       else entries += decodeEntry(line)
     }
     val d = delta.result()
+    val dels = deletes.result()
+    val rowLevel = d.nonEmpty || dels.nonEmpty
     val dvf = dvFiles.result()
-    require(d.isEmpty || dvKeys.nonEmpty,
-      s"manifest v$version carries delta files but no dvkeys line — " +
+    require(!rowLevel || dvKeys.nonEmpty,
+      s"manifest v$version carries row-level files but no dvkeys line — " +
         "foreign or hand-edited content")
-    require(dvCount.isEmpty || d.nonEmpty,
-      s"manifest v$version carries a suppression scope but no delta " +
+    require(dvCount.isEmpty || rowLevel,
+      s"manifest v$version carries a suppression scope but no row-level " +
         "files — foreign or hand-edited content")
     require(dvCount.map(_.toLong).getOrElse(0L) == dvf.size,
       s"manifest v$version suppression scope is torn or hand-edited: " +
@@ -635,7 +662,7 @@ object MergeTable {
     // foreign path here means the stats no longer describe this
     // version's files — pruning on them could silently drop live rows
     if (rangeRows.nonEmpty) {
-      val known = (es ++ d).map(e => Manifests.normalizePath(e.path)).toSet
+      val known = (es ++ d ++ dels).map(e => Manifests.normalizePath(e.path)).toSet
       rangeRows.map(_._2).find(p => !known.contains(Manifests.normalizePath(p)))
         .foreach(p => throw new IllegalArgumentException(
           s"manifest v$version stat line names no data file ('$p') — " +
@@ -650,11 +677,11 @@ object MergeTable {
         "or hand-edited content")
     val byCol = rangeRows.groupBy(_._1)
       .map { case (c, rs) => c -> rs.map(r => r._2 -> r._3).toMap }
-    Snapshot(version, es, d, if (d.isEmpty) Nil else dvKeys,
-      if (d.isEmpty) None else dvCount.map(_ => dvf),
+    Snapshot(version, es, d, if (rowLevel) dvKeys else Nil,
+      if (rowLevel) dvCount.map(_ => dvf) else None,
       statCols.map { case (c, hex) =>
         TableStats(c, byCol.getOrElse(c, Map.empty), hex) },
-      schemaJson)
+      schemaJson, dels)
   }
 
   private[graft] def decodeEntry(line: String): FileEntry = {
@@ -912,15 +939,32 @@ object MergeTable {
     * shape). */
   private def logicalFrame(spark: SparkSession, snap: Snapshot): DataFrame = {
     val sc = snap.schema // every leg binds the SAME manifest schema
-    if (snap.delta.isEmpty) relationFor(spark, snap.entries, snap.stats, sc)
+    if (!snap.rowLevel) relationFor(spark, snap.entries, snap.stats, sc)
     else {
-      val deltaDf = relationFor(spark, snap.delta, snap.stats, sc)
-      if (snap.entries.isEmpty) deltaDf
+      val deltaDf =
+        if (snap.delta.isEmpty) None
+        else Some(relationFor(spark, snap.delta, snap.stats, sc))
+      // the SUPPRESSION key set: the delta's keys (each supersedes its
+      // base row with the delta's copy) ∪ the delete tombstones (each
+      // supersedes its base row with nothing). Delete-key files hold
+      // exactly the key columns — their schema derives from the table
+      // schema's key fields, zero IO.
+      val suppressKeys: Option[DataFrame] = {
+        val legs =
+          deltaDf.map(_.select(snap.dvKeys.map(col): _*)).toSeq ++
+            (if (snap.deletes.isEmpty) Nil
+             else Seq(relationFor(spark, snap.deletes, Nil,
+               sc.map(keySchemaOf(_, snap.dvKeys)))))
+        if (legs.isEmpty) None else Some(legs.reduce(_ unionByName _).distinct())
+      }
+      if (snap.entries.isEmpty) deltaDf.getOrElse(
+        // deletes with no base and no delta: an empty table of the
+        // recorded schema (nothing left for the tombstones to suppress)
+        relationFor(spark, snap.entries, snap.stats, sc))
       else {
         def suppressed(entries: Seq[FileEntry]): DataFrame =
           relationFor(spark, entries, snap.stats, sc)
-            .join(broadcast(deltaDf.select(snap.dvKeys.map(col): _*).distinct()),
-              snap.dvKeys, "left_anti")
+            .join(broadcast(suppressKeys.get), snap.dvKeys, "left_anti")
         val legs = snap.dvFiles match {
           case None => Seq(suppressed(snap.entries))
           case Some(dv) =>
@@ -931,10 +975,21 @@ object MergeTable {
               if (bare.nonEmpty) Some(relationFor(spark, bare, snap.stats, sc)) else None,
               if (touched.nonEmpty) Some(suppressed(touched)) else None).flatten
         }
-        (legs :+ deltaDf).reduce(_ unionByName _)
+        (legs ++ deltaDf.toSeq).reduce(_ unionByName _)
       }
     }
   }
+
+  /** The key-columns StructType of `schema` in `dvKeys` order — the
+    * schema of a [[deleteLite]] tombstone file, derived instead of
+    * probed (zero IO; the writer projects exactly these fields). */
+  private def keySchemaOf(
+      schema: org.apache.spark.sql.types.StructType,
+      dvKeys: Seq[String]): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      dvKeys.map(k => schema.find(_.name == k).getOrElse(
+        throw new IllegalStateException(
+          s"delete-key column $k missing from the recorded table schema"))))
 
   /** The table's LOGICAL schema as of `snap`: the manifest's recorded
     * schema when present (evolution-aware, zero IO), else the head
@@ -1046,25 +1101,30 @@ object MergeTable {
   }
 
   /** The DELETE side of the feed: keys present at `fromV` and absent
-    * at `toV` (a [[deleteWhere]] between the versions), at the same
-    * churn cost. Keys only — the deleted rows' content is `fromV`'s.
-    * (Row-level merges never delete keys, so the carried-file subtlety
-    * of [[changesBetween]] does not arise: every path that removes a
-    * key retires its file first.) */
+    * at `toV` — a [[deleteWhere]] (file-churning) or a [[deleteLite]]
+    * (tombstoning) between the versions — at the same churn cost.
+    * Keys only — the deleted rows' content is `fromV`'s. A deleteLite
+    * removes keys WITHOUT retiring their files, so both sides extend
+    * by the carried files `to`'s suppression scope names (the
+    * changesBetween carried-file subtlety, mirrored): the from-side
+    * reads their pre-delete rows, the to-side reads them under `to`'s
+    * tombstones, and the anti-join leaves exactly the vanished keys —
+    * carried live rows appear on both sides and cancel. */
   def deletesBetween(
       spark: SparkSession, path: String, fromV: Long, toV: Long,
       keyCols: Seq[String]): DataFrame = {
     val (from, to) = diffSnapshots(spark, path, fromV, toV, keyCols)
     val fromSet = from.allFiles.map(normalize).toSet
     val toSet = to.allFiles.map(normalize).toSet
-    val retired = diffSide(spark, from, toSet, Nil).getOrElse {
+    val carried = carriedProbeFor(from, to, toSet)
+    val retired = diffSide(spark, from, toSet, carried).getOrElse {
       val empty = logicalFrame(spark, from)
       requireDiffKeys(empty.columns, keyCols)
       return empty.limit(0).select(keyCols.map(col): _*) // nothing retired
     }
     requireDiffKeys(retired.columns, keyCols)
     val retiredKeys = retired.select(keyCols.map(col): _*)
-    diffSide(spark, to, fromSet, Nil) match {
+    diffSide(spark, to, fromSet, carried) match {
       case None => retiredKeys
       case Some(added) =>
         retiredKeys.join(added.select(keyCols.map(col): _*),
@@ -1079,7 +1139,7 @@ object MergeTable {
     * suppression scope when recorded, every carried file when not. */
   private def carriedProbeFor(
       from: Snapshot, to: Snapshot, toSet: Set[String]): Seq[FileEntry] =
-    if (to.delta.isEmpty) Nil
+    if (!to.rowLevel) Nil
     else {
       val carried = from.entries.filter(e => toSet.contains(normalize(e.path)))
       to.dvFiles match {
@@ -1118,19 +1178,19 @@ object MergeTable {
     val (from, to) = diffSnapshots(spark, path, fromV, toV, keyCols)
     val fromSet = from.allFiles.map(normalize).toSet
     val toSet = to.allFiles.map(normalize).toSet
-    val (addBase, addDelta) = diffSideFiles(to, fromSet, Nil)
+    val (addBase, addDelta, addDels) = diffSideFiles(to, fromSet, Nil)
     def bytes(es: Seq[FileEntry]) = es.map(_.size).sum
-    val added = addBase ++ addDelta
-    val table = to.entries ++ to.delta
+    val table = to.entries ++ to.delta ++ to.deletes
     // mirror the feed's early return (review catch): a window adding
-    // NO file — a rescope, a keepVersions-only commit — answers
-    // "no changes" from the manifests alone; the probe side is never
-    // built, so it must not be priced either
-    if (added.isEmpty)
+    // NO live-row file — a rescope, a pure deleteLite (tombstones hold
+    // no rows) — answers "no changes" from the manifests alone; the
+    // probe side is never built, so it must not be priced either
+    if (addBase.isEmpty && addDelta.isEmpty)
       return ChangesCost(0, 0L, 0, 0L, table.size, bytes(table))
-    val (probeBase, probeDelta) =
+    val added = addBase ++ addDelta ++ addDels
+    val (probeBase, probeDelta, probeDels) =
       diffSideFiles(from, toSet, carriedProbeFor(from, to, toSet))
-    val probe = probeBase ++ probeDelta
+    val probe = probeBase ++ probeDelta ++ probeDels
     ChangesCost(added.size, bytes(added), probe.size, bytes(probe),
       table.size, bytes(table))
   }
@@ -1150,7 +1210,7 @@ object MergeTable {
     val from = snapshotAt(spark, path, fromV)
     val to = snapshotAt(spark, path, toV)
     Seq(from, to).foreach(s =>
-      if (s.delta.nonEmpty && s.dvKeys.toSet != keyCols.toSet)
+      if (s.rowLevel && s.dvKeys.toSet != keyCols.toSet)
         throw new IllegalArgumentException(
           s"version ${s.version} carries row-level state keyed by " +
             s"[${s.dvKeys.mkString(",")}] — diff by the same keys"))
@@ -1169,33 +1229,40 @@ object MergeTable {
     * can never drift from what the feed actually scans. */
   private def diffSideFiles(
       s: Snapshot, other: Set[String],
-      extra: Seq[FileEntry]): (Seq[FileEntry], Seq[FileEntry]) = {
+      extra: Seq[FileEntry]): (Seq[FileEntry], Seq[FileEntry], Seq[FileEntry]) = {
     val base = (s.entries.filterNot(e => other.contains(normalize(e.path))) ++
       extra).distinct
     val deltaDiff = s.delta.filterNot(e => other.contains(normalize(e.path)))
+    val delDiff = s.deletes.filterNot(e => other.contains(normalize(e.path)))
     // whenever the side holds base rows, suppression needs the FULL
-    // delta key set — a partial one would resurrect superseded rows
-    // inside the side. The full delta also UNIONS its rows in, possibly
-    // beyond the diff; that is harmless-by-construction: a delta file
-    // on both sides contributes identical rows to both, which cancel in
-    // the changes join and match away in the deletes anti-join — and
-    // the delta is bounded small (maxDeltaRows).
-    (base, if (base.isEmpty) deltaDiff else s.delta)
+    // delta key set AND the full tombstone set — a partial one would
+    // resurrect superseded/deleted rows inside the side. The full delta
+    // also UNIONS its rows in, possibly beyond the diff; that is
+    // harmless-by-construction: a delta file on both sides contributes
+    // identical rows to both, which cancel in the changes join and
+    // match away in the deletes anti-join — and the row-level state is
+    // bounded small (maxDeltaRows). Tombstone files contribute no rows
+    // at all.
+    (base,
+      if (base.isEmpty) deltaDiff else s.delta,
+      if (base.isEmpty) delDiff else s.deletes)
   }
 
   private def diffSide(
       spark: SparkSession, s: Snapshot, other: Set[String],
       extra: Seq[FileEntry]): Option[DataFrame] = {
-    val (base, delta) = diffSideFiles(s, other, extra)
+    val (base, delta, dels) = diffSideFiles(s, other, extra)
+    // tombstones alone hold no live rows: the side is empty
     if (base.isEmpty && delta.isEmpty) None
     else {
       val baseNorm = base.map(e => normalize(e.path)).toSet
       Some(logicalFrame(spark,
         Snapshot(s.version, base, delta,
-          if (delta.isEmpty) Nil else s.dvKeys,
+          if (delta.isEmpty && dels.isEmpty) Nil else s.dvKeys,
           s.dvFiles.map(_.filter(p => baseNorm.contains(normalize(p)))),
           s.stats, // ranges are looked up per file: extras are inert
-          s.schemaJson))) // the side binds ITS version's schema
+          s.schemaJson, // the side binds ITS version's schema
+          dels)))
     }
   }
 
@@ -1260,23 +1327,24 @@ object MergeTable {
     val (fs, root) = fsOf(spark, path)
     val snap = snapshot(spark, path)
     val schema0 = tableSchemaOf(spark, snap)
-    if (snap.delta.isEmpty)
+    if (!snap.rowLevel)
       rewriteMerge(spark, fs, root, snap.version, snap.entries, u, keyCols, nU,
         snapStats = snap.stats, tableSchema = schema0,
         allowEvolution = allowEvolution)
     else {
       // FOLD the row-level state into this rewrite: the effective
       // update set is delta ⊎ u (last wins per key, u newest), applied
-      // against the BASE files in one commit that emits a DV-free
-      // manifest — a rewrite merge is exactly the compaction the delta
-      // was deferring, so it absorbs it for free rather than paying a
-      // second rewrite later. Key comparison is SET equality: join
-      // keys are unordered, and refusing a reordered spelling of the
-      // same set would be a spurious failure.
+      // against the BASE files — and the delete tombstones, MINUS any
+      // key u re-inserts, drop their base rows without replacement —
+      // in one commit that emits a DV-free manifest: a rewrite merge
+      // is exactly the compaction the row-level state was deferring,
+      // so it absorbs it for free rather than paying a second rewrite
+      // later. Key comparison is SET equality: join keys are
+      // unordered, and refusing a reordered spelling of the same set
+      // would be a spurious failure.
       if (snap.dvKeys.toSet != keyCols.toSet) throw new IllegalStateException(
-        s"table at $path carries row-level (mergeLite) state keyed by " +
-          s"[${snap.dvKeys.mkString(",")}] — merge by the same keys")
-      val deltaDf = relationFor(spark, snap.delta, Nil, Some(schema0))
+        s"table at $path carries row-level (mergeLite/deleteLite) state " +
+          s"keyed by [${snap.dvKeys.mkString(",")}] — merge by the same keys")
       // validate u BEFORE combining: combinedDelta's selects would
       // otherwise surface a missing column as a raw AnalysisException.
       // With evolution the delta rows pad to the widened schema — the
@@ -1284,15 +1352,29 @@ object MergeTable {
       val widened = conformedSchema(schema0, u, keyCols, allowEvolution)
       // checkpointed: the combined frame feeds the fold's count,
       // discovery collect, AND rewrite — one computation, not three
-      val combined = combinedDelta(
-        padTo(deltaDf, widened), u, keyCols, widened.map(_.name))
+      val combined = (
+        if (snap.delta.isEmpty) u.select(widened.map(f => col(f.name)): _*)
+        else combinedDelta(
+          padTo(relationFor(spark, snap.delta, Nil, Some(schema0)), widened),
+          u, keyCols, widened.map(_.name)))
         .localCheckpoint(true)
+      // tombstones minus the keys u re-inserts (last wins): those rows
+      // drop from their base files with no replacement. Checkpointed —
+      // the frame feeds rewriteMerge's discovery count AND anti-join.
+      val removeKeys: Option[DataFrame] =
+        if (snap.deletes.isEmpty) None
+        else Some(relationFor(spark, snap.deletes, Nil,
+            Some(keySchemaOf(schema0, keyCols)))
+          .join(broadcast(u.select(keyCols.map(col): _*).distinct()),
+            keyCols, "left_anti")
+          .localCheckpoint(true))
       try {
-        // scope-aware fold: combined's keys = delta keys ∪ u's keys.
-        // The suppression scope already names every base file a DELTA
-        // key touches (exact — the mergeLite discovery invariant), so
-        // only u's own keys need discovering: the base scan is sized
-        // to THIS batch, not batch + accumulated delta.
+        // scope-aware fold: combined's keys = delta keys ∪ u's keys,
+        // and the tombstones' files are in the scope too (deleteLite
+        // records them like mergeLite does). The suppression scope
+        // already names every base file a DELTA or DELETE key touches
+        // (exact — the discovery invariant), so only u's own keys need
+        // discovering: the base scan is sized to THIS batch.
         val known: Option[Set[String]] = snap.dvFiles.map { scope =>
           scope.map(normalize).toSet ++
             (if (nU == 0) Set.empty[String]
@@ -1304,12 +1386,15 @@ object MergeTable {
         val stats = rewriteMerge(spark, fs, root, snap.version, snap.entries,
           combined, keyCols, combined.count(), snapStats = snap.stats,
           tableSchema = schema0, allowEvolution = allowEvolution,
-          knownTouched = known)
+          knownTouched = known, removeKeys = removeKeys)
         // report the CALLER's upsert count, not the fold's combined
         // total — rowsUpserted means "rows this call absorbed" on every
         // other path, and accounting against it must not see the delta
         stats.copy(rowsUpserted = nU)
-      } finally graft.util.Checkpoints.free(combined)
+      } finally {
+        graft.util.Checkpoints.free(combined)
+        removeKeys.foreach(graft.util.Checkpoints.free)
+      }
     }
   }
 
@@ -1478,6 +1563,11 @@ object MergeTable {
     * sound (extra files rewrite their rows verbatim); a SUBSET is not
     * (a missed file would keep its superseded rows) — callers pass
     * exact sets only. */
+  /** `removeKeys` ([[deleteLite]] folds): keys whose base rows must be
+    * DROPPED without replacement — the tombstone half of a fold. The
+    * caller guarantees they are disjoint from `u`'s keys (the commit
+    * invariant: a re-inserted key moves out of the tombstone set), and
+    * that `knownTouched` — when passed — covers their files too. */
   private def rewriteMerge(
       spark: SparkSession, fs: FileSystem, root: Path,
       baseVersion: Long, baseEntries: Seq[FileEntry], u: DataFrame,
@@ -1485,7 +1575,8 @@ object MergeTable {
       snapStats: Seq[TableStats] = Nil,
       tableSchema: org.apache.spark.sql.types.StructType,
       allowEvolution: Boolean = false,
-      knownTouched: Option[Set[String]] = None): MergeStats = {
+      knownTouched: Option[Set[String]] = None,
+      removeKeys: Option[DataFrame] = None): MergeStats = {
     val widened = conformedSchema(tableSchema, u, keyCols, allowEvolution)
     // the base binds the WIDENED schema: pre-widening files fill the
     // new columns with NULL, so the replaced leg's select below can
@@ -1497,9 +1588,13 @@ object MergeTable {
     val cols = widened.map(_.name)
 
     val touched: Set[String] = knownTouched.getOrElse {
-      if (nU == 0) Set.empty
-      else discoveryFrame(base, u, keyCols, nU)
-        .collect().map(r => normalize(r.getString(0))).toSet
+      val uTouched =
+        if (nU == 0) Set.empty[String]
+        else discoveryFrame(base, u, keyCols, nU)
+          .collect().map(r => normalize(r.getString(0))).toSet
+      uTouched ++ removeKeys.toSeq.flatMap(rk =>
+        discoveryFrame(base, rk, keyCols, rk.count())
+          .collect().map(r => normalize(r.getString(0))))
     }
 
     val (hit, kept) = baseEntries.partition(e => touched.contains(normalize(e.path)))
@@ -1528,8 +1623,14 @@ object MergeTable {
       }
       else if (hit.isEmpty) u.select(cols.map(col): _*).coalesce(insertFiles)
       else relationFor(spark, hit, Nil, Some(widened))
-        .join(broadcast(u.select(keyCols.map(col): _*).distinct()),
-          keyCols, "left_anti")
+        .join(broadcast({
+          // replaced keys AND removed keys drop from the hit files; only
+          // the replaced ones re-enter via u — a removed key's row ends
+          // here (the deleteLite fold)
+          val uk = u.select(keyCols.map(col): _*)
+          removeKeys.map(rk => uk.unionByName(rk.select(keyCols.map(col): _*)))
+            .getOrElse(uk).distinct()
+        }), keyCols, "left_anti")
         .select(cols.map(col): _*)
         .unionByName(u.select(cols.map(col): _*))
         // as many output files as were hit: without this, the replaced
@@ -1668,7 +1769,7 @@ object MergeTable {
     // caller's IllegalArgumentException fallback can't bury it (the
     // writeBatch bloom-guard convention). SET equality — join keys are
     // unordered (the mergeOnce fold rationale).
-    if (snap.delta.nonEmpty && snap.dvKeys.toSet != keyCols.toSet)
+    if (snap.rowLevel && snap.dvKeys.toSet != keyCols.toSet)
       throw new IllegalStateException(
         s"table at $path carries row-level state keyed by " +
           s"[${snap.dvKeys.mkString(",")}] — mergeLite by the same keys")
@@ -1705,9 +1806,40 @@ object MergeTable {
       touched.map(t => snap.entries.map(_.path).filter(p => t.contains(normalize(p))))
     def filesFor(rows: Long): Int =
       math.max(1L, (rows + InsertRowsPerFile - 1) / InsertRowsPerFile).toInt
+
+    // DELETE-tombstone interplay: a key u re-inserts must LEAVE the
+    // tombstone set in this same commit (the delta/deletes
+    // disjointness invariant — a key is superseded by its delta row OR
+    // by nothing, never both). One tombstone-sized probe decides; on
+    // overlap the surviving keys re-write as one fresh key file
+    // (key-only rows — the re-write is trivial next to the delta's
+    // wide rows, which is also why deletes never take an append path).
+    val deletesDf: Option[DataFrame] = if (snap.deletes.isEmpty) None
+      else Some(relationFor(spark, snap.deletes, Nil,
+        Some(keySchemaOf(schema0, keyCols))))
+    val delProbe: Option[(Long, Long)] = deletesDf.map { d =>
+      val hit = Iterator.from(0).map("__hit" + _)
+        .find(!keyCols.contains(_)).get
+      val r = d.join(broadcast(u.select(keyCols.map(col): _*)
+          .withColumn(hit, lit(true))), keyCols, "left")
+        .agg(count(lit(1)), count(col(hit))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val delRemaining = delProbe.map(p => p._1 - p._2).getOrElse(0L)
+    /** The delete-file state this commit carries: untouched when u
+      * re-inserts no tombstoned key, else the surviving keys
+      * re-written (empty when u re-inserts them all). */
+    def deleteState(): Seq[FileEntry] = delProbe match {
+      case None => Nil
+      case Some((_, 0L)) => withSizes(fs, snap.deletes)
+      case Some(_) if delRemaining == 0L => Nil
+      case Some(_) => writeBatch(spark, fs, root,
+        deletesDf.get.join(broadcast(u.select(keyCols.map(col): _*).distinct()),
+          keyCols, "left_anti").coalesce(1))
+    }
     def commitDelta(
         deltaEntries: Seq[FileEntry], scope: Option[Seq[String]],
-        fresh: Seq[FileEntry]): Unit = {
+        fresh: Seq[FileEntry], delEntries: Seq[FileEntry]): Unit = {
       val freshSet = fresh.map(e => normalize(e.path)).toSet
       commit(fs, root, snap.version + 1,
         encodeSnapshot(withSizes(fs, snap.entries), deltaEntries,
@@ -1718,8 +1850,15 @@ object MergeTable {
             snap.entries ++
               deltaEntries.filterNot(e => freshSet.contains(normalize(e.path))),
             fresh),
-          schemaJson = Some(asNullableSchema(widened).json)))
+          schemaJson = Some(asNullableSchema(widened).json),
+          deletes = delEntries))
     }
+    // surviving delete KEYS, for the unscoped-upgrade discovery and the
+    // fold's removal set
+    def deleteSurvivorKeys(): Option[DataFrame] =
+      deletesDf.filter(_ => delRemaining > 0L).map(d =>
+        d.join(broadcast(u.select(keyCols.map(col): _*).distinct()),
+          keyCols, "left_anti"))
 
     val deltaDf = if (snap.delta.isEmpty) None
       else Some(relationFor(spark, snap.delta, Nil, Some(schema0)))
@@ -1753,25 +1892,30 @@ object MergeTable {
           (r.getLong(0), r.getLong(1))
         }
       else None
+    // the budget covers the WHOLE suppression broadcast: delta rows
+    // plus surviving tombstones
     val appendable = probe.exists(p => p._2 == 0L &&
-      p._1 + nU <= maxDeltaRows && snap.delta.size < maxDeltaFiles)
+      p._1 + nU + delRemaining <= maxDeltaRows && snap.delta.size < maxDeltaFiles)
     if (appendable) {
       val n = probe.get._1 + nU // exact: disjoint
       // a prior scope unions in (base entries are immutable while delta
       // state exists, so its paths stay valid and its proof stays
       // true); a prior UNSCOPED table upgrades here too when the FULL
-      // accumulated key set is small enough to probe — no combine
-      // needed, the key union is just two projections
+      // accumulated key set — delta ∪ batch ∪ surviving tombstones —
+      // is small enough to probe
       val scope = scopeOf(snap.dvFiles match {
         case Some(prior) =>
           cheapDiscovery(u, nU).map(_ ++ prior.map(normalize))
-        case None => cheapDiscovery(
-          deltaDf.get.select(keyCols.map(col): _*)
-            .unionByName(u.select(keyCols.map(col): _*)), n)
+        case None =>
+          val keysAll = (Seq(deltaDf.get.select(keyCols.map(col): _*),
+            u.select(keyCols.map(col): _*)) ++ deleteSurvivorKeys().toSeq)
+            .reduce(_ unionByName _)
+          cheapDiscovery(keysAll, n + delRemaining)
       })
       val newFiles = writeBatch(spark, fs, root,
         u.select(cols.map(col): _*).coalesce(filesFor(nU)))
-      commitDelta(withSizes(fs, snap.delta) ++ newFiles, scope, newFiles)
+      commitDelta(withSizes(fs, snap.delta) ++ newFiles, scope, newFiles,
+        deleteState())
       return MergeStats(snap.version + 1, snap.entries.size + snap.delta.size,
         0, newFiles.size, nU)
     }
@@ -1791,15 +1935,17 @@ object MergeTable {
       // delta − overlap + batch (both inputs unique per key)
       val n = probe.map(p => p._1 - p._2 + nU).getOrElse(
         if (snap.delta.isEmpty) nU else combined.count())
-      if (n > maxDeltaRows) {
+      if (n + delRemaining > maxDeltaRows) {
         // past the read-tax bound: fold the combined rows in ONE rewrite
-        // merge (the compaction the delta was deferring), emitting a
-        // DV-free manifest — reporting the CALLER's row count, as every
-        // other path does. Scope-aware (the mergeOnce-fold rationale):
-        // the scope covers the delta's keys exactly, so only u's keys
-        // pay a discovery scan.
+        // merge (the compaction the row-level state was deferring),
+        // emitting a DV-free manifest — reporting the CALLER's row
+        // count, as every other path does. Scope-aware (the
+        // mergeOnce-fold rationale): the scope covers the delta AND
+        // tombstone keys exactly, so only u's keys pay a discovery
+        // scan; surviving tombstones drop their base rows via the
+        // rewrite's removal set.
         val known: Option[Set[String]] =
-          snap.dvFiles.filter(_ => snap.delta.nonEmpty).map { scope =>
+          snap.dvFiles.filter(_ => snap.rowLevel).map { scope =>
             scope.map(normalize).toSet ++
               discoveryFrame(base, u, keyCols, nU)
                 .collect().map(r => normalize(r.getString(0))).toSet
@@ -1807,17 +1953,22 @@ object MergeTable {
         return rewriteMerge(spark, fs, root, snap.version, snap.entries,
           combined, keyCols, n, snapStats = snap.stats,
           tableSchema = schema0, allowEvolution = allowEvolution,
-          knownTouched = known).copy(rowsUpserted = nU)
+          knownTouched = known,
+          removeKeys = deleteSurvivorKeys()).copy(rowsUpserted = nU)
       }
-      // prior scope unions in; a prior UNSCOPED delta upgrades once via
-      // discovery over the full combined key set, when that is small
+      // prior scope unions in; a prior UNSCOPED table upgrades once via
+      // discovery over the full key set — combined ∪ surviving
+      // tombstones — when that is small
       val touchedNorm: Option[Set[String]] =
-        if (snap.delta.isEmpty) cheapDiscovery(u, nU)
-        else if (snap.dvFiles.isDefined)
-          cheapDiscovery(u, nU).map(_ ++ snap.dvFiles.get.map(normalize))
-        else cheapDiscovery(combined, n)
+        if (snap.dvFiles.isDefined || !snap.rowLevel)
+          cheapDiscovery(u, nU).map(_ ++
+            snap.dvFiles.map(_.map(normalize)).getOrElse(Nil))
+        else cheapDiscovery(
+          (Seq(combined.select(keyCols.map(col): _*)) ++
+            deleteSurvivorKeys().toSeq).reduce(_ unionByName _),
+          n + delRemaining)
       val deltaFiles = writeBatch(spark, fs, root, combined.coalesce(filesFor(n)))
-      commitDelta(deltaFiles, scopeOf(touchedNorm), deltaFiles)
+      commitDelta(deltaFiles, scopeOf(touchedNorm), deltaFiles, deleteState())
       MergeStats(snap.version + 1, snap.entries.size, snap.delta.size,
         deltaFiles.size, nU)
     } finally if (snap.delta.nonEmpty) graft.util.Checkpoints.free(combined)
@@ -1846,26 +1997,34 @@ object MergeTable {
       try {
         val (fs, root) = fsOf(spark, path)
         val snap = snapshot(spark, path)
-        if (snap.delta.isEmpty || snap.dvFiles.isDefined) return snap
+        if (!snap.rowLevel || snap.dvFiles.isDefined) return snap
         val schema0 = tableSchemaOf(spark, snap)
         // stats ride into the discovery scan: a compacted key layout
         // prunes most base files before any task runs
         val base = relationFor(spark, snap.entries, snap.stats, Some(schema0))
-        val deltaKeys = relationFor(spark, snap.delta, Nil, Some(schema0))
-          .select(snap.dvKeys.map(col): _*)
-        val nKeys = deltaKeys.count() // delta-sized (maxDeltaRows-bounded)
-        val touched = discoveryFrame(base, deltaKeys, snap.dvKeys, nKeys)
+        // the FULL suppression key set: delta keys ∪ tombstones — the
+        // scope must name every file either kind can touch
+        val allKeys = ((if (snap.delta.isEmpty) Nil
+          else Seq(relationFor(spark, snap.delta, Nil, Some(schema0))
+            .select(snap.dvKeys.map(col): _*))) ++
+          (if (snap.deletes.isEmpty) Nil
+           else Seq(relationFor(spark, snap.deletes, Nil,
+             Some(keySchemaOf(schema0, snap.dvKeys))))))
+          .reduce(_ unionByName _).distinct()
+        val nKeys = allKeys.count() // row-level-sized (maxDeltaRows-bounded)
+        val touched = discoveryFrame(base, allKeys, snap.dvKeys, nKeys)
           .collect().map(r => normalize(r.getString(0))).toSet
         val scope = snap.entries.map(_.path)
           .filter(p => touched.contains(normalize(p)))
         val entries = withSizes(fs, snap.entries)
         val delta = withSizes(fs, snap.delta)
+        val dels = withSizes(fs, snap.deletes)
         val sj = Some(asNullableSchema(schema0).json)
         commit(fs, root, snap.version + 1,
           encodeSnapshot(entries, delta, snap.dvKeys, Some(scope),
-            stats = snap.stats, schemaJson = sj))
+            stats = snap.stats, schemaJson = sj, deletes = dels))
         return Snapshot(snap.version + 1, entries, delta, snap.dvKeys,
-          Some(scope), snap.stats, sj)
+          Some(scope), snap.stats, sj, dels)
       } catch {
         case _: FileAlreadyExistsException => // lost the race: re-snapshot
       }
@@ -1934,6 +2093,190 @@ object MergeTable {
       .select(col("__file")).distinct()
   }
 
+  /** Row-level keyed DELETE — removes the rows whose keys appear in
+    * `keys` WITHOUT rewriting any base file: the tombstone half of the
+    * deletion-vector analog ([[mergeLite]] is the update/insert half).
+    * [[deleteWhere]] pays a full rewrite of every file a matched key
+    * lives in — a 10-key retraction (a GDPR erasure, a bad-batch
+    * rollback) rewrites ~10 files at any table size. deleteLite
+    * instead records the keys as TOMBSTONES (a key-only parquet file
+    * in the manifest's `ddel` set): the read path adds them to the
+    * base-leg suppression join — a deleted base row is superseded by
+    * nothing — so the delete is an O(keys) write at any table size,
+    * and [[compactTable]]/[[merge]]/[[deleteWhere]] folds clear the
+    * tombstones by dropping their rows during the rewrite they were
+    * already paying.
+    *
+    * Interplay invariant (enforced by every writer): tombstone keys
+    * and delta keys are DISJOINT. Deleting a key that lives in the
+    * delta re-writes the delta without it (delta files are small by
+    * `maxDeltaRows`) AND tombstones it (its base row, if any, must
+    * stay suppressed); a later mergeLite/merge that re-inserts a
+    * tombstoned key removes it from the tombstone set in that same
+    * commit (last wins). Tombstones are kept as ONE combined key file
+    * (narrow rows — re-writing the accumulated set costs ~nothing next
+    * to the delta's wide rows, and the read union's file count stays
+    * flat). The suppression-scope discipline matches mergeLite: a
+    * cheap point-probe discovery scopes the commit, larger batches
+    * commit unscoped and [[rescopeDelta]] bounds the tax.
+    *
+    * `keys` needs the key columns only (extra columns are ignored);
+    * duplicates are collapsed (deletes are idempotent); NULL keys are
+    * refused; keys absent from the table are inert (they suppress
+    * nothing) but count toward the fold budget. Once accumulated
+    * delta + tombstone rows would exceed `maxDeltaRows`, the call
+    * FOLDS: one rewrite merge that drops every tombstoned row and
+    * materializes the delta, emitting a DV-free manifest. */
+  def deleteLite(
+      spark: SparkSession, path: String, keys: DataFrame,
+      keyCols: Seq[String], maxDeltaRows: Long = DefaultMaxDeltaRows,
+      maxRetries: Int = 5): MergeStats = {
+    requireKeyCols(keyCols)
+    keyCols.foreach(k => require(
+      !k.exists(c => c == ',' || c == '\t' || c == '\n' || c == '\r'),
+      s"key column name not encodable in the manifest dvkeys line: '$k'"))
+    require(keyCols.forall(keys.columns.contains),
+      s"key ${keyCols.mkString(",")} missing from keys frame")
+    val u = keys.select(keyCols.map(col): _*).distinct().localCheckpoint(true)
+    try {
+      val nK = u.count()
+      require(nK == 0 ||
+        u.filter(keyCols.map(col(_).isNull).reduce(_ || _)).isEmpty,
+        s"keys contain NULL in a key column (${keyCols.mkString(",")}); " +
+          "NULL keys never match and would tombstone nothing")
+      var attempt = 0
+      while (attempt < maxRetries) {
+        attempt += 1
+        try return deleteLiteOnce(spark, path, u, keyCols, nK, maxDeltaRows)
+        catch {
+          case _: FileAlreadyExistsException => // lost the race: re-snapshot
+        }
+      }
+      throw new CommitConflict(
+        s"deleteLite at $path lost $maxRetries optimistic commits in a row")
+    } finally graft.util.Checkpoints.free(u)
+  }
+
+  private def deleteLiteOnce(
+      spark: SparkSession, path: String, k: DataFrame,
+      keyCols: Seq[String], nK: Long, maxDeltaRows: Long): MergeStats = {
+    val (fs, root) = fsOf(spark, path)
+    val snap = snapshot(spark, path)
+    if (snap.rowLevel && snap.dvKeys.toSet != keyCols.toSet)
+      throw new IllegalStateException(
+        s"table at $path carries row-level state keyed by " +
+          s"[${snap.dvKeys.mkString(",")}] — deleteLite by the same keys")
+    val schema0 = tableSchemaOf(spark, snap)
+    require(keyCols.forall(schema0.fieldNames.contains),
+      s"key ${keyCols.mkString(",")} missing from table")
+    if (nK == 0)
+      return MergeStats(snap.version,
+        snap.entries.size + snap.delta.size + snap.deletes.size, 0, 0, 0)
+    val keySchema = keySchemaOf(schema0, keyCols)
+    // key TYPES must match the table's: a drifted type would silently
+    // tombstone nothing (the join never matches) — the requireConforms
+    // rationale, scoped to the key columns
+    k.schema.foreach { f =>
+      val t = keySchema(keySchema.fieldIndex(f.name)).dataType
+      require(f.dataType.catalogString == t.catalogString,
+        s"keys column ${f.name} has type ${f.dataType.catalogString} but " +
+          s"the table stores ${t.catalogString} — cast the keys frame")
+    }
+    val base = relationFor(spark, snap.entries, snap.stats, Some(schema0))
+    // delta interplay: keys living in the delta lose their delta row
+    // (the delta re-writes without them — small by maxDeltaRows)
+    val deltaDf = if (snap.delta.isEmpty) None
+      else Some(relationFor(spark, snap.delta, Nil, Some(schema0)))
+    val deltaProbe: Option[(Long, Long)] = deltaDf.map { d =>
+      val hit = Iterator.from(0).map("__hit" + _)
+        .find(!keyCols.contains(_)).get
+      val r = d.select(keyCols.map(col): _*)
+        .join(broadcast(k.withColumn(hit, lit(true))), keyCols, "left")
+        .agg(count(lit(1)), count(col(hit))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val deltaRemaining = deltaProbe.map(p => p._1 - p._2).getOrElse(0L)
+    // the accumulated tombstone set: prior ∪ k (distinct — both inputs
+    // unique, overlap collapses in the union)
+    val deletesDf = if (snap.deletes.isEmpty) None
+      else Some(relationFor(spark, snap.deletes, Nil, Some(keySchema)))
+    val allTombstones = (deletesDf.toSeq :+ k.select(keyCols.map(col): _*))
+      .reduce(_ unionByName _).distinct().localCheckpoint(true)
+    try {
+      val delTotal = allTombstones.count()
+      if (deltaRemaining + delTotal > maxDeltaRows) {
+        // FOLD: drop every tombstoned row and materialize the delta
+        // survivors in the one rewrite the budget was deferring
+        val survivors = deltaProbe match {
+          case None => padTo(base.limit(0), schema0) // typed empty frame
+          case Some((_, 0L)) => deltaDf.get
+          case Some(_) => deltaDf.get
+            .join(broadcast(k), keyCols, "left_anti")
+        }
+        val known: Option[Set[String]] = snap.dvFiles.map { scope =>
+          scope.map(normalize).toSet ++
+            discoveryFrame(base, k, keyCols, nK)
+              .collect().map(r => normalize(r.getString(0))).toSet
+        }
+        val st = rewriteMerge(spark, fs, root, snap.version, snap.entries,
+          survivors, keyCols, deltaRemaining, snapStats = snap.stats,
+          tableSchema = schema0, knownTouched = known,
+          removeKeys = Some(allTombstones))
+        if (st.version != snap.version) return st.copy(rowsUpserted = 0)
+        // nothing touched and no delta: the tombstones provably
+        // suppress nothing — the correct folded state is a clean
+        // entries-only manifest (deleting absent keys is a no-op)
+        commit(fs, root, snap.version + 1,
+          encodeSnapshot(withSizes(fs, snap.entries), Nil, Nil,
+            stats = snap.stats,
+            schemaJson = Some(asNullableSchema(schema0).json)))
+        return MergeStats(snap.version + 1, snap.entries.size, 0, 0, 0)
+      }
+      // normal path: carry/re-write the delta, write the combined
+      // tombstone file, scope like mergeLite
+      val newDelta: Seq[FileEntry] = deltaProbe match {
+        case None => Nil
+        case Some((_, 0L)) => withSizes(fs, snap.delta)
+        case Some(_) if deltaRemaining == 0L => Nil
+        case Some(_) => writeBatch(spark, fs, root,
+          deltaDf.get.join(broadcast(k), keyCols, "left_anti")
+            .coalesce(math.max(1, snap.delta.size)))
+      }
+      val delFiles = writeBatch(spark, fs, root, allTombstones.coalesce(1))
+      val scope: Option[Seq[String]] = (snap.dvFiles match {
+        case Some(prior) =>
+          (if (keyCols.size == 1 && nK <= DiscoveryInLimit)
+            Some(discoveryFrame(base, k, keyCols, nK)
+              .collect().map(r => normalize(r.getString(0))).toSet)
+          else None).map(_ ++ prior.map(normalize))
+        case None =>
+          if (keyCols.size == 1 && delTotal + deltaRemaining <= DiscoveryInLimit)
+            Some(discoveryFrame(base,
+              (Seq(allTombstones) ++
+                (if (deltaRemaining > 0L)
+                  Seq(deltaDf.get.join(broadcast(k), keyCols, "left_anti")
+                    .select(keyCols.map(col): _*))
+                 else Nil)).reduce(_ unionByName _),
+              keyCols, delTotal + deltaRemaining)
+              .collect().map(r => normalize(r.getString(0))).toSet)
+          else None
+      }).map(t => snap.entries.map(_.path).filter(p => t.contains(normalize(p))))
+      val newDeltaFresh = deltaProbe.exists(_._2 > 0L) && deltaRemaining > 0L
+      commit(fs, root, snap.version + 1,
+        encodeSnapshot(withSizes(fs, snap.entries), newDelta,
+          snap.dvKeys match { case Nil => keyCols; case pinned => pinned },
+          scope,
+          stats = carriedStats(spark.sparkContext.hadoopConfiguration,
+            snap.stats,
+            snap.entries ++ (if (newDeltaFresh) Nil else newDelta),
+            if (newDeltaFresh) newDelta else Nil),
+          schemaJson = Some(asNullableSchema(schema0).json),
+          deletes = delFiles))
+      MergeStats(snap.version + 1,
+        snap.entries.size + newDelta.size, 0, delFiles.size, 0)
+    } finally graft.util.Checkpoints.free(allTombstones)
+  }
+
   /** Row-level DELETE: rewrite only the files that contain a row
     * matching `cond`, keeping their non-matching rows — the reference's
     * TTL sweep (`DELETE WHERE expires_at < now`,
@@ -1950,23 +2293,38 @@ object MergeTable {
         val (fs, root) = fsOf(spark, path)
         val snap0 = snapshot(spark, path)
         val snap =
-          if (snap0.delta.isEmpty) snap0
+          if (!snap0.rowLevel) snap0
           else {
-            // FOLD row-level (mergeLite) state first: the per-file
-            // rewrite below reasons about PHYSICAL rows and cannot see
-            // the key suppression — deleting a matching DELTA row
-            // directly would un-tombstone its key and RESURRECT the
-            // superseded base row. The fold's update set is EXACTLY
-            // the delta, whose suppression scope (when recorded) is
-            // the exact touched-file set — discovery skipped
-            // (scope-aware fold, r14 verdict #5).
+            // FOLD row-level (mergeLite/deleteLite) state first: the
+            // per-file rewrite below reasons about PHYSICAL rows and
+            // cannot see the key suppression — deleting a matching
+            // DELTA row directly would un-tombstone its key and
+            // RESURRECT the superseded base row. The fold's update set
+            // is EXACTLY the delta (+ the tombstones as removals),
+            // whose suppression scope (when recorded) is the exact
+            // touched-file set — discovery skipped (scope-aware fold,
+            // r14 verdict #5).
             val schema00 = tableSchemaOf(spark, snap0)
-            val deltaDf = relationFor(spark, snap0.delta, Nil, Some(schema00))
-            rewriteMerge(spark, fs, root, snap0.version, snap0.entries,
-              deltaDf, snap0.dvKeys, deltaDf.count(), snapStats = snap0.stats,
-              tableSchema = schema00,
-              knownTouched = snap0.dvFiles.map(_.map(normalize).toSet))
-            snapshot(spark, path)
+            val deltaDf =
+              if (snap0.delta.isEmpty)
+                relationFor(spark, snap0.entries, Nil, Some(schema00)).limit(0)
+              else relationFor(spark, snap0.delta, Nil, Some(schema00))
+            val removeKeys = if (snap0.deletes.isEmpty) None
+              else Some(relationFor(spark, snap0.deletes, Nil,
+                Some(keySchemaOf(schema00, snap0.dvKeys))))
+            val folded = rewriteMerge(spark, fs, root, snap0.version,
+              snap0.entries, deltaDf, snap0.dvKeys,
+              if (snap0.delta.isEmpty) 0L else deltaDf.count(),
+              snapStats = snap0.stats, tableSchema = schema00,
+              knownTouched = snap0.dvFiles.map(_.map(normalize).toSet),
+              removeKeys = removeKeys)
+            // tombstones that suppress nothing + no delta: the fold has
+            // nothing to rewrite and commits nothing — the predicate
+            // path below is still sound (no base row was suppressed)
+            // and its own commit drops the inert row-level lines
+            if (folded.version == snap0.version) snap0.copy(
+              delta = Nil, dvKeys = Nil, dvFiles = None, deletes = Nil)
+            else snapshot(spark, path)
           }
         val schema0 = tableSchemaOf(spark, snap)
         // manifest stats prune the DISCOVERY too: a TTL sweep on the

@@ -1866,6 +1866,170 @@ class MergeTableSpec extends SparkSpec {
     assert(MergeTable.read(spark, src).count() === 110)
   }
 
+  test("deleteLite: a keyed retraction tombstones rows without rewriting any base file") {
+    val path = freshPath()
+    MergeTable.init(spark, path, rows(1 to 1000, "a"))
+    MergeTable.compactTable(spark, path, "id", 8)
+    val before = MergeTable.snapshot(spark, path)
+    val st = MergeTable.deleteLite(spark, path,
+      Seq(10L, 500L, 999L).toDF("id"), Seq("id"))
+    assert(st.version === before.version + 1)
+    val snap = MergeTable.snapshot(spark, path)
+    assert(snap.entries.map(_.path) === before.entries.map(_.path),
+      "no base file rewritten — the tombstone write is O(keys)")
+    assert(snap.deletes.size === 1, "one combined tombstone file")
+    assert(snap.dvKeys === Seq("id") && snap.delta.isEmpty)
+    assert(snap.dvFiles.exists(s => s.nonEmpty && s.size <= 3),
+      s"scoped to the covering files: ${snap.dvFiles}")
+    val got = MergeTable.read(spark, path)
+    assert(got.count() === 997)
+    assert(got.filter($"id".isin(10L, 500L, 999L)).count() === 0)
+    // absent keys are inert and deletes are idempotent
+    MergeTable.deleteLite(spark, path, Seq(10L, 5000L).toDF("id"), Seq("id"))
+    assert(MergeTable.read(spark, path).count() === 997)
+    // time travel still sees the pre-delete rows; vacuum keeps the
+    // tombstone files live
+    assert(MergeTable.readAt(spark, path, before.version).count() === 1000)
+    MergeTable.vacuum(spark, path, retainMillis = 0)
+    assert(MergeTable.read(spark, path).count() === 997)
+    // NULL keys and drifted key types refuse loudly
+    intercept[IllegalArgumentException] {
+      MergeTable.deleteLite(spark, path,
+        Seq[java.lang.Long](7L, null).toDF("id"), Seq("id"))
+    }
+    intercept[IllegalArgumentException] {
+      MergeTable.deleteLite(spark, path, Seq(7).toDF("id"), Seq("id"))
+    }
+  }
+
+  test("deleteLite + mergeLite interplay: re-inserts leave the tombstones; delta deletions tombstone; folds clear all") {
+    val path = freshPath()
+    MergeTable.init(spark, path, rows(1 to 100, "a"))
+    MergeTable.deleteLite(spark, path, (5L to 9L).toDF("id"), Seq("id"))
+    assert(MergeTable.read(spark, path).count() === 95)
+    // mergeLite re-inserts 7,8 — they must leave the tombstone set in
+    // the same commit (last wins)
+    MergeTable.mergeLite(spark, path, rows(7 to 8, "back"), Seq("id"))
+    val g = MergeTable.read(spark, path)
+    assert(g.count() === 97)
+    assert(g.filter($"tag" === "back").count() === 2)
+    assert(g.filter($"id" === 5L).isEmpty)
+    // deleting a key that lives in the DELTA: the delta re-writes
+    // without it and the key tombstones (its base row stays suppressed)
+    MergeTable.deleteLite(spark, path, Seq(7L).toDF("id"), Seq("id"))
+    val g2 = MergeTable.read(spark, path)
+    assert(g2.count() === 96)
+    assert(g2.filter($"id" === 7L).isEmpty)
+    assert(g2.filter($"id" === 8L && $"tag" === "back").count() === 1)
+    val snap = MergeTable.snapshot(spark, path)
+    assert(snap.delta.nonEmpty && snap.deletes.nonEmpty)
+    // a MERGE folds everything: tombstoned rows drop during the
+    // rewrite, the delta materializes, the manifest comes out DV-free
+    MergeTable.merge(spark, path, rows(50 to 52, "m"), Seq("id"))
+    assert(!MergeTable.snapshot(spark, path).rowLevel)
+    val g3 = MergeTable.read(spark, path)
+    assert(g3.count() === 96)
+    assert(g3.filter($"tag" === "m").count() === 3)
+    assert(g3.filter($"id".isin(5L, 6L, 7L, 9L)).count() === 0)
+    assert(g3.filter($"id" === 8L).select("tag").head().getString(0) === "back")
+  }
+
+  test("deleteLite: merge re-inserting a tombstoned key wins; deleteWhere and compact fold tombstones") {
+    val path = freshPath()
+    MergeTable.init(spark, path, rows(1 to 100, "a"))
+    MergeTable.deleteLite(spark, path, (10L to 19L).toDF("id"), Seq("id"))
+    // the fold's removal set = tombstones MINUS u's re-inserts
+    MergeTable.merge(spark, path, rows(15 to 15, "again"), Seq("id"))
+    val g = MergeTable.read(spark, path)
+    assert(g.count() === 91)
+    assert(g.filter($"id" === 15L).select("tag").head().getString(0) === "again")
+    assert(g.filter($"id" === 10L).isEmpty)
+    // deleteWhere on a tombstone-carrying table folds first, then
+    // applies its predicate — no resurrection
+    val p2 = freshPath()
+    MergeTable.init(spark, p2, rows(1 to 100, "a"))
+    MergeTable.deleteLite(spark, p2, Seq(1L, 2L).toDF("id"), Seq("id"))
+    MergeTable.deleteWhere(spark, p2, $"id" > 90L)
+    val h = MergeTable.read(spark, p2)
+    assert(h.count() === 88)
+    assert(h.filter($"id".isin(1L, 2L)).count() === 0)
+    // compaction absorbs tombstones too (logicalFrame IS the fold)
+    val p3 = freshPath()
+    MergeTable.init(spark, p3, rows(1 to 100, "a"))
+    MergeTable.deleteLite(spark, p3, Seq(50L).toDF("id"), Seq("id"))
+    val cs = MergeTable.compactTable(spark, p3, "id", 2)
+    assert(!cs.rowLevel)
+    assert(MergeTable.read(spark, p3).count() === 99)
+  }
+
+  test("deleteLite: the fold budget counts tombstones; oversize and absent-key folds stay clean") {
+    val path = freshPath()
+    MergeTable.init(spark, path, rows(1 to 2000, "a"))
+    MergeTable.deleteLite(spark, path, (1L to 5L).toDF("id"), Seq("id"),
+      maxDeltaRows = 4)
+    assert(!MergeTable.snapshot(spark, path).rowLevel,
+      "over-budget deleteLite folds to a DV-free manifest")
+    assert(MergeTable.read(spark, path).count() === 1995)
+    // absent-keys-only oversize: nothing to rewrite — a clean
+    // entries-only manifest commits and no key is lost
+    val p2 = freshPath()
+    MergeTable.init(spark, p2, rows(1 to 10, "a"))
+    MergeTable.deleteLite(spark, p2, (100L to 120L).toDF("id"), Seq("id"),
+      maxDeltaRows = 4)
+    assert(!MergeTable.snapshot(spark, p2).rowLevel)
+    assert(MergeTable.read(spark, p2).count() === 10)
+    // and a mergeLite whose budget is blown by TOMBSTONES folds too
+    val p3 = freshPath()
+    MergeTable.init(spark, p3, rows(1 to 100, "a"))
+    MergeTable.deleteLite(spark, p3, (1L to 6L).toDF("id"), Seq("id"),
+      maxDeltaRows = 100)
+    MergeTable.mergeLite(spark, p3, rows(50 to 145, "m"), Seq("id"),
+      maxDeltaRows = 100) // 96 delta + 6 tombstones > 100
+    assert(!MergeTable.snapshot(spark, p3).rowLevel)
+    val g3 = MergeTable.read(spark, p3)
+    assert(g3.count() === 139) // 100 - 6 deleted + 45 new (101..145)
+    assert(g3.filter($"id" <= 6L).count() === 0)
+    assert(g3.filter($"tag" === "m").count() === 96)
+  }
+
+  test("deleteLite: the change feed sees tombstoned keys as deletes, never as changes; clones carry them") {
+    val path = freshPath()
+    MergeTable.init(spark, path, rows(1 to 100, "a"))               // v1
+    MergeTable.deleteLite(spark, path, Seq(10L, 20L).toDF("id"), Seq("id")) // v2
+    assert(MergeTable.deletesBetween(spark, path, 1L, 2L, Seq("id"))
+      .as[Long].collect().sorted.toSeq === Seq(10L, 20L))
+    assert(MergeTable.changesBetween(spark, path, 1L, 2L, Seq("id")).count()
+      === 0, "a pure delete window reports no changed rows")
+    val est = MergeTable.changesCostEstimate(spark, path, 1L, 2L, Seq("id"))
+    assert(est.scanFiles === 0,
+      s"the changes feed early-returns on a tombstone-only window: $est")
+    // the EXCEPT oracle both ways (the q137 convention, in-spec)
+    val v1 = MergeTable.readAt(spark, path, 1L)
+    val v2 = MergeTable.readAt(spark, path, 2L)
+    assert(v1.exceptAll(v2).select("id").as[Long].collect().sorted.toSeq
+      === Seq(10L, 20L))
+    assert(v2.exceptAll(v1).isEmpty)
+    // a mixed window: mergeLite changes + a deleteLite delete
+    MergeTable.mergeLite(spark, path, rows(30 to 32, "m"), Seq("id"))  // v3
+    MergeTable.deleteLite(spark, path, Seq(40L).toDF("id"), Seq("id")) // v4
+    assert(MergeTable.deletesBetween(spark, path, 2L, 4L, Seq("id"))
+      .as[Long].collect().toSeq === Seq(40L))
+    val ch = MergeTable.changesBetween(spark, path, 2L, 4L, Seq("id"))
+    assert(ch.count() === 3 && ch.filter($"tag" === "m").count() === 3)
+    // rescope covers tombstones: strip the scope, re-scope, read right
+    tamperManifest(path)(_.filterNot(l =>
+      l.startsWith("dvfiles\t") || l.startsWith("dvfile\t")))
+    assert(MergeTable.snapshot(spark, path).dvFiles === None)
+    val rs = MergeTable.rescopeDelta(spark, path)
+    assert(rs.dvFiles.isDefined && rs.deletes.nonEmpty)
+    assert(MergeTable.read(spark, path).count() === 97)
+    // clones carry the tombstones verbatim
+    val dst = freshPath()
+    MergeTable.cloneTable(spark, path, dst)
+    assert(MergeTable.snapshot(spark, dst).deletes.nonEmpty)
+    assert(MergeTable.read(spark, dst).count() === 97)
+  }
+
   test("rescopeDelta: the maintenance pass scopes an unscoped delta; reads confine the anti-join") {
     val path = freshPath()
     MergeTable.init(spark, path, rows(1 to 1000, "old"))
