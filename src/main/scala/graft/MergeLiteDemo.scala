@@ -383,6 +383,7 @@ object MergeLiteDemo {
     val cLite = MergeTable.read(spark, scopedPath).count()
     val cWhere = MergeTable.read(spark, strippedPath).count()
     require(cLite == cWhere, s"retraction arms diverged: $cLite vs $cWhere")
+    graft.util.Checkpoints.free(retract)
     val sDel = MergeTable.snapshot(spark, scopedPath)
     println(f"retraction wall: deleteLite $wLite%6.2f s (one ${sDel.deletes.size}-file " +
       f"tombstone set, scope ${sDel.dvFiles.map(_.size).getOrElse(-1)} of " +

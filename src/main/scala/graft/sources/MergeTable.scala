@@ -136,8 +136,8 @@ object MergeTable {
     *        the next commit records it, the withSizes convention. A
     *        recorded schema also makes snapshot→relation a ZERO-IO
     *        step (the head-footer probe was the read path's last
-    *        per-open filesystem call). */
-  /** @param deletes the row-level DELETE key files ([[deleteLite]]):
+    *        per-open filesystem call).
+    * @param deletes the row-level DELETE key files ([[deleteLite]]):
     *        parquet files holding ONLY the key columns of deleted
     *        rows. They contribute NO rows to the read — their key set
     *        joins the delta's in the base-leg suppression (a deleted
@@ -1116,7 +1116,14 @@ object MergeTable {
     val (from, to) = diffSnapshots(spark, path, fromV, toV, keyCols)
     val fromSet = from.allFiles.map(normalize).toSet
     val toSet = to.allFiles.map(normalize).toSet
-    val carried = carriedProbeFor(from, to, toSet)
+    // carried files matter to the DELETE side only when `to` holds
+    // TOMBSTONES: a mergeLite-only window never removes a key without
+    // retiring its file, so the manifest-only "nothing retired" early
+    // return stays available there (review catch — gating on rowLevel
+    // made every delta-window poll pay two scope-sized scans for a
+    // provably empty answer)
+    val carried =
+      if (to.deletes.isEmpty) Nil else carriedProbeFor(from, to, toSet)
     val retired = diffSide(spark, from, toSet, carried).getOrElse {
       val empty = logicalFrame(spark, from)
       requireDiffKeys(empty.columns, keyCols)
@@ -1798,10 +1805,7 @@ object MergeTable {
     // (reads suppress over every base file — the correct, pre-scoping
     // plan) and a later small batch re-scopes via the upgrade path.
     def cheapDiscovery(frame: DataFrame, nKeys: Long): Option[Set[String]] =
-      if (keyCols.size == 1 && nKeys <= DiscoveryInLimit)
-        Some(discoveryFrame(base, frame, keyCols, nKeys)
-          .collect().map(r => normalize(r.getString(0))).toSet)
-      else None
+      pointDiscovery(base, frame, keyCols, nKeys)
     def scopeOf(touched: Option[Set[String]]): Option[Seq[String]] =
       touched.map(t => snap.entries.map(_.path).filter(p => t.contains(normalize(p))))
     def filesFor(rows: Long): Int =
@@ -1817,18 +1821,17 @@ object MergeTable {
     val deletesDf: Option[DataFrame] = if (snap.deletes.isEmpty) None
       else Some(relationFor(spark, snap.deletes, Nil,
         Some(keySchemaOf(schema0, keyCols))))
-    val delProbe: Option[(Long, Long)] = deletesDf.map { d =>
-      val hit = Iterator.from(0).map("__hit" + _)
-        .find(!keyCols.contains(_)).get
-      val r = d.join(broadcast(u.select(keyCols.map(col): _*)
-          .withColumn(hit, lit(true))), keyCols, "left")
-        .agg(count(lit(1)), count(col(hit))).head()
-      (r.getLong(0), r.getLong(1))
-    }
+    // gated like the delta probe below: a past-budget batch folds
+    // regardless, so broadcasting its full key set just to learn the
+    // overlap would be a wasted pre-fold job (review catch)
+    val delProbe: Option[(Long, Long)] =
+      if (nU <= maxDeltaRows) deletesDf.map(overlapProbe(_, u, keyCols))
+      else None
     val delRemaining = delProbe.map(p => p._1 - p._2).getOrElse(0L)
     /** The delete-file state this commit carries: untouched when u
       * re-inserts no tombstoned key, else the surviving keys
-      * re-written (empty when u re-inserts them all). */
+      * re-written (empty when u re-inserts them all). Only reached on
+      * the append/combine paths, where the probe always ran. */
     def deleteState(): Seq[FileEntry] = delProbe match {
       case None => Nil
       case Some((_, 0L)) => withSizes(fs, snap.deletes)
@@ -1854,9 +1857,11 @@ object MergeTable {
           deletes = delEntries))
     }
     // surviving delete KEYS, for the unscoped-upgrade discovery and the
-    // fold's removal set
+    // fold's removal set. Independent of the (gated) probe: the fold
+    // path must see the tombstones even when the probe was skipped; a
+    // probe-confirmed empty survivor set drops to None.
     def deleteSurvivorKeys(): Option[DataFrame] =
-      deletesDf.filter(_ => delRemaining > 0L).map(d =>
+      deletesDf.filter(_ => delProbe.isEmpty || delRemaining > 0L).map(d =>
         d.join(broadcast(u.select(keyCols.map(col): _*).distinct()),
           keyCols, "left_anti"))
 
@@ -1878,19 +1883,7 @@ object MergeTable {
     // batch preserves the delta's row count); nU > maxDeltaRows skips
     // it — such a batch folds regardless.
     val probe: Option[(Long, Long)] = // (delta rows, overlapping rows)
-      if (nU <= maxDeltaRows)
-        deltaDf.map { d =>
-          // a fresh marker name: a key column literally named like the
-          // marker would be silently overwritten by withColumn and the
-          // probe would compare keys against the constant
-          val hit = Iterator.from(0).map("__hit" + _)
-            .find(!keyCols.contains(_)).get
-          val r = d.select(keyCols.map(col): _*)
-            .join(broadcast(u.select(keyCols.map(col): _*)
-              .withColumn(hit, lit(true))), keyCols, "left")
-            .agg(count(lit(1)), count(col(hit))).head()
-          (r.getLong(0), r.getLong(1))
-        }
+      if (nU <= maxDeltaRows) deltaDf.map(overlapProbe(_, u, keyCols))
       else None
     // the budget covers the WHOLE suppression broadcast: delta rows
     // plus surviving tombstones
@@ -1950,11 +1943,17 @@ object MergeTable {
               discoveryFrame(base, u, keyCols, nU)
                 .collect().map(r => normalize(r.getString(0))).toSet
           }
-        return rewriteMerge(spark, fs, root, snap.version, snap.entries,
+        // checkpointed (the mergeOnce convention): rewriteMerge reads
+        // the removal frame up to three times — count, discovery,
+        // hit-file anti-join — and each replan would re-scan the
+        // tombstone files and re-broadcast u's keys (review catch)
+        val removeKeys = deleteSurvivorKeys().map(_.localCheckpoint(true))
+        try return rewriteMerge(spark, fs, root, snap.version, snap.entries,
           combined, keyCols, n, snapStats = snap.stats,
           tableSchema = schema0, allowEvolution = allowEvolution,
           knownTouched = known,
-          removeKeys = deleteSurvivorKeys()).copy(rowsUpserted = nU)
+          removeKeys = removeKeys).copy(rowsUpserted = nU)
+        finally removeKeys.foreach(graft.util.Checkpoints.free)
       }
       // prior scope unions in; a prior UNSCOPED table upgrades once via
       // discovery over the full key set — combined ∪ surviving
@@ -2032,6 +2031,39 @@ object MergeTable {
     throw new CommitConflict(
       s"rescopeDelta at $path lost $maxRetries optimistic commits in a row")
   }
+
+  /** One pass over row-level frame `d` answering (its row count, how
+    * many of its keys `u` also carries) — the disjointness/overlap
+    * probe every row-level writer needs (append admission, tombstone
+    * re-insert detection, delta deletion detection). The left join
+    * against the unique-keyed `u` preserves `d`'s row count; the
+    * marker gets a fresh name because a key column literally named
+    * like it would be overwritten by withColumn and the probe would
+    * compare keys against the constant. */
+  private def overlapProbe(
+      d: DataFrame, u: DataFrame, keyCols: Seq[String]): (Long, Long) = {
+    val hit = Iterator.from(0).map("__hit" + _)
+      .find(!keyCols.contains(_)).get
+    val r = d.select(keyCols.map(col): _*)
+      .join(broadcast(u.select(keyCols.map(col): _*)
+        .withColumn(hit, lit(true))), keyCols, "left")
+      .agg(count(lit(1)), count(col(hit))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** The cheap point-probe discovery gate shared by every scoping
+    * writer: Some(touched normalized base files) only when the key set
+    * rides the single-column In-pushdown path (≤ [[DiscoveryInLimit]]
+    * keys — bloom/footer-pruned point probes); None = the caller
+    * commits unscoped rather than paying a base key-column scan on the
+    * write path ([[rescopeDelta]] bounds that later). */
+  private def pointDiscovery(
+      base: DataFrame, frame: DataFrame, keyCols: Seq[String],
+      nKeys: Long): Option[Set[String]] =
+    if (keyCols.size == 1 && nKeys <= DiscoveryInLimit)
+      Some(discoveryFrame(base, frame, keyCols, nKeys)
+        .collect().map(r => normalize(r.getString(0))).toSet)
+    else None
 
   /** Small-batch cap for pushing the EXACT update-key list into the
     * discovery scan (one parquet In predicate) instead of the [min,max]
@@ -2233,47 +2265,58 @@ object MergeTable {
         return MergeStats(snap.version + 1, snap.entries.size, 0, 0, 0)
       }
       // normal path: carry/re-write the delta, write the combined
-      // tombstone file, scope like mergeLite
-      val newDelta: Seq[FileEntry] = deltaProbe match {
-        case None => Nil
-        case Some((_, 0L)) => withSizes(fs, snap.delta)
-        case Some(_) if deltaRemaining == 0L => Nil
-        case Some(_) => writeBatch(spark, fs, root,
-          deltaDf.get.join(broadcast(k), keyCols, "left_anti")
-            .coalesce(math.max(1, snap.delta.size)))
-      }
-      val delFiles = writeBatch(spark, fs, root, allTombstones.coalesce(1))
-      val scope: Option[Seq[String]] = (snap.dvFiles match {
-        case Some(prior) =>
-          (if (keyCols.size == 1 && nK <= DiscoveryInLimit)
-            Some(discoveryFrame(base, k, keyCols, nK)
-              .collect().map(r => normalize(r.getString(0))).toSet)
-          else None).map(_ ++ prior.map(normalize))
-        case None =>
-          if (keyCols.size == 1 && delTotal + deltaRemaining <= DiscoveryInLimit)
-            Some(discoveryFrame(base,
-              (Seq(allTombstones) ++
-                (if (deltaRemaining > 0L)
-                  Seq(deltaDf.get.join(broadcast(k), keyCols, "left_anti")
-                    .select(keyCols.map(col): _*))
-                 else Nil)).reduce(_ unionByName _),
-              keyCols, delTotal + deltaRemaining)
-              .collect().map(r => normalize(r.getString(0))).toSet)
-          else None
-      }).map(t => snap.entries.map(_.path).filter(p => t.contains(normalize(p))))
-      val newDeltaFresh = deltaProbe.exists(_._2 > 0L) && deltaRemaining > 0L
-      commit(fs, root, snap.version + 1,
-        encodeSnapshot(withSizes(fs, snap.entries), newDelta,
-          snap.dvKeys match { case Nil => keyCols; case pinned => pinned },
-          scope,
-          stats = carriedStats(spark.sparkContext.hadoopConfiguration,
-            snap.stats,
-            snap.entries ++ (if (newDeltaFresh) Nil else newDelta),
-            if (newDeltaFresh) newDelta else Nil),
-          schemaJson = Some(asNullableSchema(schema0).json),
-          deletes = delFiles))
-      MergeStats(snap.version + 1,
-        snap.entries.size + newDelta.size, 0, delFiles.size, 0)
+      // tombstone file, scope like mergeLite. The survivors anti-join
+      // is computed ONCE and checkpointed when it feeds both the delta
+      // re-write and the unscoped-upgrade discovery (review catch).
+      val deltaTouched = deltaProbe.exists(_._2 > 0L)
+      val survivorsCkpt: Option[DataFrame] =
+        if (deltaTouched && deltaRemaining > 0L)
+          Some(deltaDf.get.join(broadcast(k), keyCols, "left_anti")
+            .localCheckpoint(true))
+        else None
+      try {
+        val newDelta: Seq[FileEntry] = deltaProbe match {
+          case None => Nil
+          case Some((_, 0L)) => withSizes(fs, snap.delta)
+          case Some(_) if deltaRemaining == 0L => Nil
+          case Some(_) => writeBatch(spark, fs, root,
+            survivorsCkpt.get.coalesce(math.max(1, snap.delta.size)))
+        }
+        val delFiles = writeBatch(spark, fs, root, allTombstones.coalesce(1))
+        val scope: Option[Seq[String]] = (snap.dvFiles match {
+          case Some(prior) =>
+            pointDiscovery(base, k, keyCols, nK).map(_ ++ prior.map(normalize))
+          case None =>
+            // an untouched delta's keys are all disjoint from k, so the
+            // raw delta frame stands in for the survivors there
+            val keysAll = (Seq(allTombstones) ++
+              (if (deltaRemaining == 0L) Nil
+               else Seq(survivorsCkpt.getOrElse(deltaDf.get)
+                 .select(keyCols.map(col): _*)))).reduce(_ unionByName _)
+            pointDiscovery(base, keysAll, keyCols, delTotal + deltaRemaining)
+        }).map(t => snap.entries.map(_.path).filter(p => t.contains(normalize(p))))
+        commit(fs, root, snap.version + 1,
+          encodeSnapshot(withSizes(fs, snap.entries), newDelta,
+            snap.dvKeys match { case Nil => keyCols; case pinned => pinned },
+            scope,
+            stats = carriedStats(spark.sparkContext.hadoopConfiguration,
+              snap.stats,
+              snap.entries ++ (if (survivorsCkpt.isDefined) Nil else newDelta),
+              if (survivorsCkpt.isDefined) newDelta else Nil),
+            schemaJson = Some(asNullableSchema(schema0).json),
+            deletes = delFiles))
+        // honest churn accounting (review catch): a touched delta's old
+        // files were REPLACED, as was any prior tombstone file; fresh
+        // writes are the new delta set (when re-written) + the
+        // tombstone file — filesRewritten stays proportional to the
+        // row-level state, never the base
+        val deltaReplaced = if (deltaTouched) snap.delta.size else 0
+        MergeStats(snap.version + 1,
+          snap.entries.size + (if (deltaTouched) 0 else snap.delta.size),
+          deltaReplaced + snap.deletes.size,
+          delFiles.size + (if (survivorsCkpt.isDefined) newDelta.size else 0),
+          0)
+      } finally survivorsCkpt.foreach(graft.util.Checkpoints.free)
     } finally graft.util.Checkpoints.free(allTombstones)
   }
 
