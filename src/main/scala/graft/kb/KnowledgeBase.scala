@@ -141,6 +141,26 @@ object KnowledgeBase {
       .filter(col("content_hash").isin(hashes: _*))
   }
 
+  /** The unique-key RETRACTION over the MergeTable-backed KB — the
+    * reference's `DELETE FROM knowledge_base WHERE content_hash = $1`
+    * (the erase-this-document admin path), expressed as a row-level
+    * tombstone write ([[graft.sources.MergeTable.deleteLite]]): an
+    * application-sized hash list deletes in O(keys) at any table size
+    * — no base file rewritten (31.5× over the per-file-rewrite path at
+    * 40M rows, MergeLiteDemo phase 7); the tombstones clear on the
+    * table's next compact/merge fold, and a later re-ingest of the
+    * same content simply re-inserts (the tombstone leaves with it).
+    * Same bounded-batch contract as [[findByContentHash]]. */
+  def retractByContentHash(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      hashes: Seq[String]): Unit = {
+    require(hashes.nonEmpty, "hashes must not be empty")
+    import spark.implicits._
+    graft.sources.MergeTable.deleteLite(spark, path,
+      hashes.toDF("content_hash"), Seq("content_hash"))
+    ()
+  }
+
   /** Hybrid retrieval: the vector ranking ([[matchDocuments]]) fused by
     * reciprocal rank with a BM25 lexical ranking over `contentCol` —
     * the extension a production RAG stack runs where the reference is

@@ -471,6 +471,26 @@ class MergeTableSpec extends SparkSpec {
     assert(got.filter($"content" === "how to join")
       .select("source_type").head().getString(0) === "gh") // incoming wins
     assert(MergeTable.snapshot(spark, path).version === 2L)
+    // the retraction path (DELETE WHERE content_hash = $1) is a
+    // tombstone write: no base file rewritten, the row is gone, and a
+    // later re-ingest of the same content comes back (the tombstone
+    // leaves with it)
+    val h = got.filter($"content" === "how to agg")
+      .select("content_hash").head().getString(0)
+    val before = MergeTable.snapshot(spark, path)
+    graft.kb.KnowledgeBase.retractByContentHash(spark, path, Seq(h))
+    val after = MergeTable.snapshot(spark, path)
+    assert(after.entries.map(_.path) === before.entries.map(_.path),
+      "retraction must not rewrite base files")
+    assert(after.deletes.nonEmpty)
+    val g2 = MergeTable.read(spark, path)
+    assert(g2.count() === 2 && g2.filter($"content" === "how to agg").isEmpty)
+    graft.kb.KnowledgeBase.upsertDocumentsToTable(spark, path,
+      docs(Seq(("how to agg", "re-ingested"))))
+    val g3 = MergeTable.read(spark, path)
+    assert(g3.count() === 3)
+    assert(g3.filter($"content" === "how to agg")
+      .select("source_type").head().getString(0) === "re-ingested")
   }
 
   test("versions are linear across operations") {
