@@ -1385,10 +1385,9 @@ object MergeTable {
         val known: Option[Set[String]] = snap.dvFiles.map { scope =>
           scope.map(normalize).toSet ++
             (if (nU == 0) Set.empty[String]
-             else discoveryFrame(
+             else discoverTouched(
                  relationFor(spark, snap.entries, snap.stats, Some(widened)),
-                 u, keyCols, nU)
-               .collect().map(r => normalize(r.getString(0))).toSet)
+                 u, keyCols, nU))
         }
         val stats = rewriteMerge(spark, fs, root, snap.version, snap.entries,
           combined, keyCols, combined.count(), snapStats = snap.stats,
@@ -1597,11 +1596,9 @@ object MergeTable {
     val touched: Set[String] = knownTouched.getOrElse {
       val uTouched =
         if (nU == 0) Set.empty[String]
-        else discoveryFrame(base, u, keyCols, nU)
-          .collect().map(r => normalize(r.getString(0))).toSet
+        else discoverTouched(base, u, keyCols, nU)
       uTouched ++ removeKeys.toSeq.flatMap(rk =>
-        discoveryFrame(base, rk, keyCols, rk.count())
-          .collect().map(r => normalize(r.getString(0))))
+        discoverTouched(base, rk, keyCols, rk.count()))
     }
 
     val (hit, kept) = baseEntries.partition(e => touched.contains(normalize(e.path)))
@@ -1939,9 +1936,7 @@ object MergeTable {
         // rewrite's removal set.
         val known: Option[Set[String]] =
           snap.dvFiles.filter(_ => snap.rowLevel).map { scope =>
-            scope.map(normalize).toSet ++
-              discoveryFrame(base, u, keyCols, nU)
-                .collect().map(r => normalize(r.getString(0))).toSet
+            scope.map(normalize).toSet ++ discoverTouched(base, u, keyCols, nU)
           }
         // checkpointed (the mergeOnce convention): rewriteMerge reads
         // the removal frame up to three times — count, discovery,
@@ -2011,8 +2006,7 @@ object MergeTable {
              Some(keySchemaOf(schema0, snap.dvKeys))))))
           .reduce(_ unionByName _).distinct()
         val nKeys = allKeys.count() // row-level-sized (maxDeltaRows-bounded)
-        val touched = discoveryFrame(base, allKeys, snap.dvKeys, nKeys)
-          .collect().map(r => normalize(r.getString(0))).toSet
+        val touched = discoverTouched(base, allKeys, snap.dvKeys, nKeys)
         val scope = snap.entries.map(_.path)
           .filter(p => touched.contains(normalize(p)))
         val entries = withSizes(fs, snap.entries)
@@ -2061,9 +2055,17 @@ object MergeTable {
       base: DataFrame, frame: DataFrame, keyCols: Seq[String],
       nKeys: Long): Option[Set[String]] =
     if (keyCols.size == 1 && nKeys <= DiscoveryInLimit)
-      Some(discoveryFrame(base, frame, keyCols, nKeys)
-        .collect().map(r => normalize(r.getString(0))).toSet)
+      Some(discoverTouched(base, frame, keyCols, nKeys))
     else None
+
+  /** [[discoveryFrame]] collected to the NORMALIZED touched-file set —
+    * the driver-side terminal every scoping/fold/rewrite path shares
+    * (file-count-bounded: one string per matched file, never rows). */
+  private def discoverTouched(
+      base: DataFrame, frame: DataFrame, keyCols: Seq[String],
+      nKeys: Long): Set[String] =
+    discoveryFrame(base, frame, keyCols, nKeys)
+      .collect().map(r => normalize(r.getString(0))).toSet
 
   /** Small-batch cap for pushing the EXACT update-key list into the
     * discovery scan (one parquet In predicate) instead of the [min,max]
@@ -2245,11 +2247,8 @@ object MergeTable {
           case Some(_) => deltaDf.get
             .join(broadcast(k), keyCols, "left_anti")
         }
-        val known: Option[Set[String]] = snap.dvFiles.map { scope =>
-          scope.map(normalize).toSet ++
-            discoveryFrame(base, k, keyCols, nK)
-              .collect().map(r => normalize(r.getString(0))).toSet
-        }
+        val known: Option[Set[String]] = snap.dvFiles.map(scope =>
+          scope.map(normalize).toSet ++ discoverTouched(base, k, keyCols, nK))
         val st = rewriteMerge(spark, fs, root, snap.version, snap.entries,
           survivors, keyCols, deltaRemaining, snapStats = snap.stats,
           tableSchema = schema0, knownTouched = known,
