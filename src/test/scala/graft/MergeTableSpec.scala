@@ -2050,6 +2050,48 @@ class MergeTableSpec extends SparkSpec {
     assert(MergeTable.read(spark, dst).count() === 97)
   }
 
+  test("deleteLite plan shape: the tombstone anti-join covers exactly the scope; bare files skip it") {
+    val path = freshPath()
+    MergeTable.init(spark, path, rows(1 to 1000, "a"))
+    MergeTable.compactTable(spark, path, "id", 8)
+    // 5 contiguous keys live in ONE range-sorted file
+    MergeTable.deleteLite(spark, path, (10L to 14L).toDF("id"), Seq("id"))
+    val snap = MergeTable.snapshot(spark, path)
+    assert(snap.dvFiles.exists(_.size === 1))
+    def baseName(p: String) = new org.apache.hadoop.fs.Path(p).getName
+    val scopeNames = snap.dvFiles.get.map(baseName).toSet
+    val baseNames = snap.entries.map(e => baseName(e.path)).toSet
+    val df = MergeTable.read(spark, path)
+    val nodes = graft.util.Plans.executedNodes(df)
+    val joins = nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(joins.nonEmpty, "the tombstoned file needs its suppression join")
+    val joinedBase = joins.flatMap(j => graft.util.Plans.flatten(j.left))
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .flatMap(_.relation.location.inputFiles).map(baseName)
+      .filter(baseNames).toSet
+    assert(joinedBase === scopeNames,
+      s"tombstone anti-join must cover exactly the scope: $joinedBase vs $scopeNames")
+    // every base file still reads (7 bare + 1 suppressed)...
+    val scannedBase = nodes.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.flatMap(_.relation.location.inputFiles).map(baseName).filter(baseNames).toSet
+    assert(scannedBase === baseNames)
+    // ...and manifest stats still prune a point read UNDER the
+    // suppression (the pruned leg is the bare one here)
+    def scannedFiles(q: org.apache.spark.sql.DataFrame): Long =
+      graft.util.Plans.executedNodes(q).collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.filter(_.relation.location.isInstanceOf[graft.sources.ManifestFileIndex])
+        .map(_.metrics("numFiles").value).sum
+    val point = MergeTable.read(spark, path).filter($"id" === 800L)
+    assert(point.count() === 1)
+    assert(scannedFiles(point) <= 2L,
+      "stats pruning must survive the tombstone union")
+    assert(df.count() === 995)
+  }
+
   test("rescopeDelta: the maintenance pass scopes an unscoped delta; reads confine the anti-join") {
     val path = freshPath()
     MergeTable.init(spark, path, rows(1 to 1000, "old"))
