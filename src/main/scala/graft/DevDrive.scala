@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch end-to-end drive (verify skill): exercises the round's
+  * changed surface through the PUBLIC API on real testdata. */
+object DevDrive {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.sources.MergeTable
+    val sf = "/root/testdata/sf0.001"
+    val tmp = java.nio.file.Files.createTempDirectory("devdrive").toString
+
+    // 1) schema evolution end-to-end on real documents
+    val docs = Tables.documents(spark, sf).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"), substring(col("text"), 1, 40).as("head"))
+    val t = s"$tmp/t"
+    MergeTable.init(spark, t, docs)
+    MergeTable.merge(spark, t,
+      docs.filter(col("doc_id") < 50).withColumn("quality", col("doc_id") * 0.5),
+      Seq("doc_id"), allowSchemaEvolution = true)
+    val r = MergeTable.read(spark, t)
+    println(s"evolved cols: ${r.columns.mkString(",")}")
+    println(s"rows=${r.count()} withQuality=${r.filter(col("quality").isNotNull).count()} " +
+      s"nullQuality=${r.filter(col("quality").isNull).count()}")
+    println(s"v1 cols (pinned): ${MergeTable.readAt(spark, t, 1L).columns.mkString(",")}")
+
+    // 2) unscoped mergeLite + rescope + CDF cost estimate
+    val t2 = s"$tmp/t2"
+    MergeTable.init(spark, t2, docs.filter(col("lang").isNotNull))
+    MergeTable.mergeLite(spark, t2,
+      docs.filter(col("lang").isNotNull && col("doc_id") < 20)
+        .withColumn("head", lit("upd")), Seq("doc_id", "lang"))
+    println(s"scope before rescope: ${MergeTable.snapshot(spark, t2).dvFiles}")
+    val rs = MergeTable.rescopeDelta(spark, t2)
+    println(s"scope after rescope: ${rs.dvFiles.map(_.size)}")
+    println(s"rescoped rows: ${MergeTable.read(spark, t2).filter(col("head") === "upd").count()}")
+    println("cost estimate v1->v3: " +
+      MergeTable.changesCostEstimate(spark, t2, 1L, 3L, Seq("doc_id", "lang")))
+
+    // 2b) mergeLite evolution: widened delta over NULL-filled files
+    val t4 = s"$tmp/t4"
+    MergeTable.init(spark, t4, docs.limit(200))
+    MergeTable.mergeLite(spark, t4,
+      docs.limit(200).filter(col("doc_id") < 10).withColumn("rank", col("doc_id") * 3L),
+      Seq("doc_id"), allowSchemaEvolution = true)
+    val r4 = MergeTable.read(spark, t4)
+    println(s"mergeLite-evolved cols: ${r4.columns.mkString(",")} " +
+      s"rank rows=${r4.filter(col("rank").isNotNull).count()} of ${r4.count()}")
+
+    // 2c) deleteLite: keyed tombstone retraction + CDF delete feed
+    val t5 = s"$tmp/t5"
+    MergeTable.init(spark, t5, docs)                                  // v1
+    MergeTable.deleteLite(spark, t5,
+      docs.filter(col("doc_id") < 15).select("doc_id"), Seq("doc_id")) // v2
+    val r5 = MergeTable.read(spark, t5)
+    println(s"deleteLite rows: ${r5.count()} (of ${docs.count()}), " +
+      s"tombstone files: ${MergeTable.snapshot(spark, t5).deletes.size}")
+    println("deleted keys feed: " + MergeTable
+      .deletesBetween(spark, t5, 1L, 2L, Seq("doc_id")).count())
+    MergeTable.mergeLite(spark, t5,
+      docs.filter(col("doc_id") === 3L).withColumn("head", lit("back")),
+      Seq("doc_id"))                                                  // v3
+    println(s"re-insert after delete: ${MergeTable.read(spark, t5)
+      .filter(col("head") === "back").count()} row(s) back")
+
+    // 2d) KB retraction: the reference's DELETE WHERE content_hash=$1
+    val t6 = s"$tmp/t6"
+    graft.kb.KnowledgeBase.upsertDocumentsToTable(spark, t6,
+      docs.limit(100).select(col("head").as("content"), col("lang")))
+    val h6 = MergeTable.read(spark, t6).select("content_hash")
+      .head().getString(0)
+    graft.kb.KnowledgeBase.retractByContentHash(spark, t6, Seq(h6))
+    println(s"KB retraction: ${MergeTable.read(spark, t6).count()} rows " +
+      s"left, tombstones=${MergeTable.snapshot(spark, t6).deletes.size}")
+
+    // 3) hex stats on a sha256 key, pruned point read
+    val t3 = s"$tmp/t3"
+    val kb = docs.select(col("doc_id"), sha2(col("head"), 256).as("h"))
+    MergeTable.init(spark, t3, kb)
+    MergeTable.compactTable(spark, t3, "h", 4)
+    val snap3 = MergeTable.snapshot(spark, t3)
+    println(s"hex stats: ${snap3.stats.map(s => (s.col, s.hex, s.ranges.size))}")
+    val probe = kb.filter(col("doc_id") === 7L).select("h").head().getString(0)
+    val hit = MergeTable.read(spark, t3).filter(col("h") === probe)
+    println(s"hex point read rows: ${hit.count()}")
+    hit.explain()
+
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(tmp))
+    println("DEVDRIVE OK")
+    spark.stop()
+  }
+}

@@ -588,6 +588,23 @@ class IndexMaintenanceSpec extends SparkSpec {
         IndexMaintenance.syncFromTable(g, table, sinceVersion = cursor + 10)
       }
       assert(e.getMessage.contains("ahead of the table tip"))
+
+      // a ROW-LEVEL retraction (deleteLite tombstones — no base file
+      // rewritten) flows through the SAME feed: deletesBetween reports
+      // the tombstoned keys via the carried-scope probe and the next
+      // sync purges them from every index
+      graft.sources.MergeTable.deleteLite(spark, table,
+        Seq(7L, 100L).toDF("id"), Seq("id"))
+      val tip2 = graft.sources.MergeTable.snapshot(spark, table).version
+      assert(IndexMaintenance.syncFromTable(
+        g, table, sinceVersion = cursor, lexicalPath = Some(lex)) === tip2)
+      assert(g.knowledgeBase.count() === 11L, "13 - 2 tombstoned")
+      assert(g.knowledgeBase.filter(col("id").isin(7L, 100L)).isEmpty,
+        "tombstoned keys must retract from the synced KB")
+      val vecHits2 = g.searchKnowledge("aardvark bonobo appended entry", k = 3)
+        .select("id").collect().map(_.getLong(0)).toSeq
+      assert(!vecHits2.contains(100L),
+        s"tombstoned key must leave the vector serving path: $vecHits2")
     } finally graft.plans.IvfIndex.unregister(spark, "embedding")
   }
 }
