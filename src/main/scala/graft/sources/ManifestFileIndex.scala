@@ -160,6 +160,18 @@ private[graft] object ManifestFileIndex {
           val vs = qs.flatten.toArray
           Some((lo, hi) => vs.forall(q => q < lo || q > hi))
         } else None
+      // Catalyst rewrites In-lists longer than
+      // spark.sql.optimizer.inSetConversionThreshold (default 10) to
+      // InSet — exactly the batched-lookup shape this pruner exists
+      // for; without this case a 50-key probe got NO file pruning.
+      // A null in the set maps to None and disables pruning (the In
+      // convention: conservative, never wrong).
+      case InSet(a, hset) if isCol(a) && hset.nonEmpty =>
+        val qs = hset.toSeq.map(v)
+        if (qs.forall(_.isDefined)) {
+          val vs = qs.flatten.toArray
+          Some((lo, hi) => vs.forall(q => q < lo || q > hi))
+        } else None
       case And(l, r) =>
         (rangeExcluder(colName, l, caseSensitive),
          rangeExcluder(colName, r, caseSensitive)) match {
@@ -230,6 +242,16 @@ private[graft] object ManifestFileIndex {
         val qs = list.map(l => v(l.asInstanceOf[Literal].value))
         if (qs.forall(_.isDefined)) {
           val vs = qs.flatten.toArray // hoisted (the rangeExcluder note)
+          Some((lo, hi) => vs.forall { case (qLo, qHi) => qHi < lo || qLo > hi })
+        } else None
+      // InSet: the >10-literal rewrite (rangeExcluder note) — its hset
+      // holds UTF8String values, which v() already handles. The q143
+      // headline shape (a ~50-hash batched KB probe) lands HERE, not
+      // in In.
+      case InSet(a, hset) if isCol(a) && hset.nonEmpty =>
+        val qs = hset.toSeq.map(v)
+        if (qs.forall(_.isDefined)) {
+          val vs = qs.flatten.toArray
           Some((lo, hi) => vs.forall { case (qLo, qHi) => qHi < lo || qLo > hi })
         } else None
       case And(l, r) =>

@@ -617,7 +617,26 @@ object MergeTable {
         }
         schemaJson = Some(j)
       }
-      else entries += decodeEntry(line)
+      else {
+        // UNKNOWN-TAG refusal (the enforceable half of the reader-
+        // version contract): a future codec generation's tag would
+        // otherwise decode as a phantom size-less entry and fail much
+        // later with a confusing path error. Stored paths are URI
+        // forms — always a scheme (':') or a leading '/' — while tag
+        // tokens never are, so a first field that is neither is
+        // provably a tag this reader predates. Costs nothing at open
+        // time (no marker file, no extra RPC) and turns the failure
+        // into an actionable upgrade message.
+        val tab = line.indexOf('\t')
+        val first = if (tab > 0) line.substring(0, tab) else line
+        if (!first.contains(':') && !first.startsWith("/"))
+          throw new IllegalStateException(
+            s"manifest v$version carries an unknown tag '$first' — this " +
+              "table was written by a newer graft writer; upgrade the " +
+              "reader (the codec is append-only, forward-compatible for " +
+              "readers at or above the writer's generation)")
+        entries += decodeEntry(line)
+      }
     }
     val d = delta.result()
     val dels = deletes.result()
@@ -1784,8 +1803,22 @@ object MergeTable {
     // base AND prior delta files — reads the new columns as NULL
     val widened = conformedSchema(schema0, u, keyCols, allowEvolution)
     val cols = widened.map(_.name)
-    if (nU == 0)
-      return MergeStats(snap.version, snap.entries.size + snap.delta.size, 0, 0, 0)
+    if (nU == 0) {
+      // zero-row no-op — EXCEPT when it widens the schema: commit the
+      // manifest-only widening deterministically (merge()'s zero-row
+      // branch does the same), carrying every piece of row-level state
+      // verbatim. Declaring a column ahead of its backfill must not
+      // depend on which writer API the caller reached for.
+      if (widened.length == schema0.length)
+        return MergeStats(snap.version, snap.entries.size + snap.delta.size, 0, 0, 0)
+      commit(fs, root, snap.version + 1,
+        encodeSnapshot(withSizes(fs, snap.entries), withSizes(fs, snap.delta),
+          snap.dvKeys, snap.dvFiles, stats = snap.stats,
+          schemaJson = Some(asNullableSchema(widened).json),
+          deletes = withSizes(fs, snap.deletes)))
+      return MergeStats(snap.version + 1,
+        snap.entries.size + snap.delta.size, 0, 0, 0)
+    }
     // the suppression SCOPE: the base files holding a row one of the
     // delta's keys supersedes, found by the same exact discovery the
     // rewrite path uses (never a false negative — parquet filtering
@@ -1835,7 +1868,7 @@ object MergeTable {
       case Some(_) if delRemaining == 0L => Nil
       case Some(_) => writeBatch(spark, fs, root,
         deletesDf.get.join(broadcast(u.select(keyCols.map(col): _*).distinct()),
-          keyCols, "left_anti").coalesce(1))
+          keyCols, "left_anti").coalesce(1), keyOnly = true)
     }
     def commitDelta(
         deltaEntries: Seq[FileEntry], scope: Option[Seq[String]],
@@ -2281,7 +2314,8 @@ object MergeTable {
           case Some(_) => writeBatch(spark, fs, root,
             survivorsCkpt.get.coalesce(math.max(1, snap.delta.size)))
         }
-        val delFiles = writeBatch(spark, fs, root, allTombstones.coalesce(1))
+        val delFiles = writeBatch(spark, fs, root, allTombstones.coalesce(1),
+          keyOnly = true)
         val scope: Option[Seq[String]] = (snap.dvFiles match {
           case Some(prior) =>
             pointDiscovery(base, k, keyCols, nK).map(_ ++ prior.map(normalize))
@@ -2613,7 +2647,7 @@ object MergeTable {
     * options through. */
   private def writeBatch(
       spark: SparkSession, fs: FileSystem, root: Path,
-      df: DataFrame): Seq[FileEntry] = {
+      df: DataFrame, keyOnly: Boolean = false): Seq[FileEntry] = {
     // manifest-line safety of the path\tsize codec needs no runtime
     // guard: every stored path comes from getPath.toUri.toString, and
     // hadoop Path builds its URI through the quoting multi-arg URI
@@ -2621,7 +2655,16 @@ object MergeTable {
     // %09, so a raw tab can never reach a manifest line
     val batch = new Path(new Path(root, "data"),
       "batch-" + java.util.UUID.randomUUID().toString)
-    val bloom = readBloomProps(fs, root)
+    val bloomAll = readBloomProps(fs, root)
+    // Key-only files (tombstone sets, surviving-key re-writes) carry
+    // the key columns BY DESIGN, never the full schema — for them the
+    // bloom config intersects with the frame (a non-key bloom column
+    // simply has no data to filter here), while full-width writers
+    // keep the strict guard: a MISSING bloom column there means
+    // parquet-mr would silently skip the filter on real data.
+    val bloom =
+      if (keyOnly) bloomAll.filter(df.columns.contains)
+      else bloomAll
     // PERSISTED-config-vs-frame mismatch is table state, not a caller
     // argument: IllegalStateException, so the KB/JobProcessor TOCTOU
     // fallbacks (which catch IllegalArgumentException) can't bury the

@@ -2253,4 +2253,103 @@ class MergeTableSpec extends SparkSpec {
       s"a no-added-file window must price as free: $free")
     assert(MergeTable.changesBetween(spark, path, 6L, 7L, Seq("id")).count() === 0)
   }
+
+  test("deleteLite works under a bloom config with non-key columns (key-only tombstone files)") {
+    // r15 ADVICE: tombstone files are key-only BY DESIGN, so a bloom
+    // config naming any non-key column must intersect, not throw
+    val path = freshPath()
+    MergeTable.init(spark, path, rows(1 to 100, "a"),
+      bloomKeys = Seq("id", "tag"))
+    val st = MergeTable.deleteLite(spark, path, Seq(5L, 6L).toDF("id"), Seq("id"))
+    assert(st.version === 2L)
+    val got = MergeTable.read(spark, path)
+    assert(got.count() === 98)
+    assert(got.filter($"id".isin(5L, 6L)).count() === 0)
+    // the mergeLite overlap path re-writes the SURVIVING keys file —
+    // also key-only, also under the two-column bloom config
+    MergeTable.mergeLite(spark, path, rows(6 to 6, "back"), Seq("id"))
+    val after = MergeTable.read(spark, path)
+    assert(after.count() === 99)
+    assert(after.filter($"id" === 5L).count() === 0)
+    assert(after.filter($"id" === 6L).select($"tag").as[String].head() === "back")
+    // full-width writers still refuse a frame dropping a bloom column —
+    // schema conformance catches it before the writeBatch strict guard
+    // (which stays as defense-in-depth for non-conformance-checked paths)
+    intercept[IllegalArgumentException] {
+      MergeTable.merge(spark, path,
+        Seq((200L, "no body")).toDF("id", "body"), Seq("id"))
+    }
+  }
+
+  test("mergeLite: a zero-row widening commits manifest-only (merge parity), carrying row-level state") {
+    val path = freshPath()
+    MergeTable.init(spark, path, rows(1 to 20, "a"))
+    MergeTable.mergeLite(spark, path, rows(5 to 6, "dv"), Seq("id"))   // v2
+    MergeTable.deleteLite(spark, path, Seq(7L).toDF("id"), Seq("id")) // v3
+    val before = MergeTable.snapshot(spark, path)
+    val zero = rows(1 to 0, "x").withColumn("score", lit(0.5))
+    val st = MergeTable.mergeLite(spark, path, zero, Seq("id"),
+      allowSchemaEvolution = true)
+    assert(st.version === before.version + 1,
+      "a zero-row WIDENING must commit deterministically, like merge()")
+    val snap = MergeTable.snapshot(spark, path)
+    assert(snap.delta.map(_.path) === before.delta.map(_.path) &&
+      snap.deletes.map(_.path) === before.deletes.map(_.path),
+      "manifest-only: every row-level file carried verbatim")
+    val got = MergeTable.read(spark, path)
+    assert(got.columns.contains("score"))
+    assert(got.count() === 19 && got.filter($"score".isNull).count() === 19)
+    assert(got.filter($"id" === 5L).select($"tag").as[String].head() === "dv")
+    // a zero-row SAME-schema frame stays a version-preserving no-op
+    val st2 = MergeTable.mergeLite(spark, path,
+      zero.select(got.columns.map(col): _*), Seq("id"))
+    assert(st2.version === st.version)
+  }
+
+  test("file pruning survives the In→InSet rewrite (>10 literals) on both stat domains") {
+    val path = freshPath()
+    val df = (1 to 2000).map(i => (i.toLong, s"payload $i"))
+      .toDF("id", "body").withColumn("h", sha2($"body", 256))
+    MergeTable.init(spark, path, df)
+    MergeTable.compactTable(spark, path, "h", 8)
+    def scannedFiles(q: org.apache.spark.sql.DataFrame): Long =
+      graft.util.Plans.executedNodes(q).collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.map(_.metrics("numFiles").value).sum
+    assert(spark.conf.get("spark.sql.optimizer.inSetConversionThreshold").toInt <= 12,
+      "the probe below must exceed the In→InSet threshold to exercise InSet")
+    // 12 present hashes that all share a leading hex nibble — they live
+    // in at most two of the 8 range-sorted files, and 12 literals is
+    // past the default In→InSet threshold (10), so the planner hands
+    // the pruner an InSet, the shape that previously got NO pruning
+    val lowProbes = (1 to 2000).iterator
+      .map(i => graft.util.Hashing.sha256Hex(s"payload $i"))
+      .filter(_.startsWith("0")).take(12).toSeq
+    assert(lowProbes.size === 12)
+    val hexQ = MergeTable.read(spark, path).filter($"h".isin(lowProbes: _*))
+    assert(hexQ.count() === 12)
+    assert(scannedFiles(hexQ) <= 2L,
+      s"InSet hex probes must prune (scanned ${scannedFiles(hexQ)} of 8)")
+    // numeric domain: 12 contiguous low ids live in the lowest id-file
+    val idPath = freshPath()
+    MergeTable.init(spark, idPath, df)
+    MergeTable.compactTable(spark, idPath, "id", 8)
+    val idQ = MergeTable.read(spark, idPath)
+      .filter($"id".isin((1L to 12L): _*))
+    assert(idQ.count() === 12)
+    assert(scannedFiles(idQ) <= 1L,
+      s"InSet range probes must prune (scanned ${scannedFiles(idQ)} of 8)")
+  }
+
+  test("reader-version: an unknown manifest tag refuses loudly with an upgrade message") {
+    val path = freshPath()
+    MergeTable.init(spark, path, rows(1 to 5, "a"))
+    tamperManifest(path)(ls => ls :+ "futureformat\tpayload")
+    val e = intercept[IllegalStateException] {
+      MergeTable.snapshot(spark, path)
+    }
+    assert(e.getMessage.contains("unknown tag 'futureformat'") &&
+      e.getMessage.contains("newer graft writer"),
+      s"got: ${e.getMessage}")
+  }
 }
