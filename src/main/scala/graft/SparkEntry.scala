@@ -1631,6 +1631,52 @@ object SparkEntry {
       out
     }),
 
+    "q145_column_mapping" -> ((s, d) => {
+      // COLUMN MAPPING (Delta column mapping analog): RENAME and DROP
+      // are manifest-only commits — physical names in every parquet
+      // footer stay put; the manifest's logical→physical indirection
+      // re-aliases at the read boundary. The lineage walks the full
+      // surface: rename, merge BY THE NEW NAME, evolution-ADD a
+      // column, DROP it, then RE-ADD the same logical name — which
+      // gets a FRESH physical name, so the dropped values must NOT
+      // resurrect (the classic column-mapping trap, here pinned by
+      // the oracle: rows 100-129 end with score NULL, not doc_id*3).
+      val docs = T.documents(s, d).filter(col("text").isNotNull)
+      def slice(lo: Int, hi: Int, tag: Option[String], titled: Boolean) = docs
+        .filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .select(col("doc_id"),
+          tag.map(lit(_)).getOrElse(col("lang")).as("lang"),
+          substring(col("text"), 1, 40).as(if (titled) "title" else "head"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q145")
+      val t = tmp.toString + "/t"
+      val MT = graft.sources.MergeTable
+      MT.init(s, t, slice(0, 300, None, titled = false))            // v1
+      MT.renameColumn(s, t, "head", "title")                        // v2
+      require(MT.snapshot(s, t).colMap.ren == Map("head" -> "title"),
+        "the lineage must exercise a live rename")
+      MT.merge(s, t, slice(200, 350, Some("xx"), titled = true),
+        Seq("doc_id"))                                              // v3
+      MT.merge(s, t,
+        slice(100, 130, None, titled = true)
+          .withColumn("score", col("doc_id") * 3L),
+        Seq("doc_id"), allowSchemaEvolution = true)                 // v4
+      MT.dropColumn(s, t, "score")                                  // v5
+      MT.merge(s, t,
+        slice(50, 80, None, titled = true)
+          .withColumn("score", col("doc_id") * 7L),
+        Seq("doc_id"), allowSchemaEvolution = true)                 // v6
+      val cm = MT.snapshot(s, t).colMap
+      require(cm.retired == Seq("score") &&
+        cm.ren.exists { case (p, l) => l == "score" && p != "score" },
+        s"the re-added column must carry a fresh physical name: $cm")
+      val out = MT.read(s, t)
+        .select(col("doc_id"), col("lang"), col("title"), col("score"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true) // eager pin, then reclaim the staged table
+      graft.util.Fs.deleteRecursively(tmp)
+      out
+    }),
+
     "q130_append_sink" -> ((s, d) => {
       // S3 (row insert / append sink): two successive mode("append")
       // parquet writes must ACCUMULATE — the second preserves the
@@ -2651,6 +2697,37 @@ object SparkEntry {
         |SELECT doc_id, lang FROM m1
         |WHERE doc_id NOT IN (SELECT doc_id FROM dels)
         |ORDER BY doc_id""".stripMargin,
+
+    // q145: the rename/drop algebra re-derived relationally — renames
+    // are pure projection aliases (no data change), the drop truncates
+    // the column, and the re-add restores it ONLY for the re-merged
+    // rows: everything else reads NULL (resurrected doc_id*3 values on
+    // rows 100-129 would fail the hash)
+    "q145_column_mapping" ->
+      """WITH base AS (SELECT doc_id, lang, substr(text, 1, 40) AS title
+        |    FROM documents
+        |    WHERE text IS NOT NULL AND doc_id >= 0 AND doc_id < 300),
+        |u1 AS (SELECT doc_id, 'xx' AS lang, substr(text, 1, 40) AS title
+        |    FROM documents
+        |    WHERE text IS NOT NULL AND doc_id >= 200 AND doc_id < 350),
+        |m1 AS (SELECT * FROM base WHERE doc_id NOT IN (SELECT doc_id FROM u1)
+        |       UNION ALL SELECT * FROM u1),
+        |u2 AS (SELECT doc_id, lang, substr(text, 1, 40) AS title,
+        |       doc_id * 3 AS score
+        |    FROM documents
+        |    WHERE text IS NOT NULL AND doc_id >= 100 AND doc_id < 130),
+        |m2 AS (SELECT doc_id, lang, title, NULL::BIGINT AS score FROM m1
+        |       WHERE doc_id NOT IN (SELECT doc_id FROM u2)
+        |       UNION ALL SELECT * FROM u2),
+        |m3 AS (SELECT doc_id, lang, title FROM m2),
+        |u3 AS (SELECT doc_id, lang, substr(text, 1, 40) AS title,
+        |       doc_id * 7 AS score
+        |    FROM documents
+        |    WHERE text IS NOT NULL AND doc_id >= 50 AND doc_id < 80),
+        |m4 AS (SELECT doc_id, lang, title, NULL::BIGINT AS score FROM m3
+        |       WHERE doc_id NOT IN (SELECT doc_id FROM u3)
+        |       UNION ALL SELECT * FROM u3)
+        |SELECT doc_id, lang, title, score FROM m4 ORDER BY doc_id""".stripMargin,
 
     // the same double arithmetic as temperatureMix, then the q62 md5
     // membership test against the derived per-stratum threshold; a

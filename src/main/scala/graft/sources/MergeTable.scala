@@ -154,7 +154,8 @@ object MergeTable {
       dvFiles: Option[Seq[String]] = None,
       stats: Seq[TableStats] = Nil,
       schemaJson: Option[String] = None,
-      deletes: Seq[FileEntry] = Nil) {
+      deletes: Seq[FileEntry] = Nil,
+      colMap: ColMap = ColMap.empty) {
     /** True when the version carries ANY row-level state — update
       * delta, delete keys, or both. */
     def rowLevel: Boolean = delta.nonEmpty || deletes.nonEmpty
@@ -167,6 +168,129 @@ object MergeTable {
     /** Every data file the version references, base and delta — the
       * vacuum-liveness set. */
     def allFiles: Seq[String] = (entries ++ delta ++ deletes).map(_.path)
+  }
+
+  /** COLUMN MAPPING state (Delta column mapping, the name-indirection
+    * technique): the manifest's recorded schema and every persisted
+    * artifact — data files, dvkeys, stats lines, bloom config — speak
+    * PHYSICAL column names, which never change once assigned; the
+    * mapping translates them to the user-facing LOGICAL names at the
+    * public boundary. That one indirection is what makes
+    * [[renameColumn]] a manifest-only commit (no file rewritten — the
+    * physical name in every parquet footer stays put) and
+    * [[dropColumn]] a manifest-only retirement (old files keep the
+    * data; readers stop binding it; [[retired]] remembers the name so
+    * a later re-ADD of the same logical name gets a FRESH physical
+    * name and never resurrects the dropped data — the classic
+    * column-mapping trap).
+    *
+    * @param ren physical → logical for exactly the columns whose two
+    *        names DIFFER (identity pairs are never stored — an
+    *        unmapped table encodes as no line at all, and its plans
+    *        are bit-identical to pre-mapping reads)
+    * @param retired physical names that once held data in files still
+    *        referenced by manifests — never reusable for new columns */
+  final case class ColMap(ren: Map[String, String], retired: Seq[String]) {
+    def isEmpty: Boolean = ren.isEmpty && retired.isEmpty
+    /** The user-facing name of physical column `phys`. */
+    def logicalOf(phys: String): String = ren.getOrElse(phys, phys)
+  }
+
+  object ColMap {
+    val empty: ColMap = ColMap(Map.empty, Nil)
+
+    private def mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+    /** One-line JSON: `{"ren":{"<phys>":"<logical>"},"retired":[...]}`.
+      * Jackson escapes control characters inside names, so the line
+      * can never shear the manifest (the schema-line rationale);
+      * deterministic key order so byte-equal states encode equal. */
+    def encode(cm: ColMap): String = {
+      val root = mapper.createObjectNode()
+      val r = root.putObject("ren")
+      cm.ren.toSeq.sortBy(_._1).foreach { case (p, l) => r.put(p, l) }
+      val a = root.putArray("retired")
+      cm.retired.foreach(a.add)
+      mapper.writeValueAsString(root)
+    }
+
+    def decode(json: String, version: Long): ColMap =
+      try {
+        val root = mapper.readTree(json)
+        require(root.isObject && root.has("ren") && root.has("retired") &&
+          root.get("ren").isObject && root.get("retired").isArray)
+        val ren = scala.collection.mutable.Map.empty[String, String]
+        root.get("ren").fields().forEachRemaining { e =>
+          require(e.getValue.isTextual); ren += e.getKey -> e.getValue.asText()
+        }
+        val retired = Seq.newBuilder[String]
+        root.get("retired").forEach { n =>
+          require(n.isTextual); retired += n.asText()
+        }
+        ColMap(ren.toMap, retired.result())
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          throw new IllegalArgumentException(
+            s"manifest v$version colmap line is not a {ren, retired} JSON " +
+              "object — foreign or hand-edited content")
+      }
+  }
+
+  /** The PHYSICAL→LOGICAL projection at the public read boundary —
+    * identity (the very same frame, zero plan delta) on unmapped
+    * tables. Catalyst pushes predicates and pruning straight through
+    * the aliasing Project, so logical-name filters still reach the
+    * parquet scan (and the manifest stat pruners, which speak physical
+    * names) untouched. */
+  private def presentLogical(df: DataFrame, cm: ColMap): DataFrame =
+    if (cm.ren.isEmpty) df
+    else df.select(df.columns.map(c => col(c).as(cm.logicalOf(c))): _*)
+
+  /** The LOGICAL→PHYSICAL translation at the writer boundary: rename
+    * the incoming frame's columns into the table's physical namespace
+    * and translate the key columns. A frame column naming no live
+    * logical is a NEW column (the evolution path downstream decides
+    * whether to accept it): its physical name is its logical name
+    * unless that name was EVER used physically — live OR retired, a
+    * case-insensitive check because the manifest outlives any one
+    * session's case sensitivity — in which case a fresh suffixed name
+    * is assigned and recorded in the returned (extended) mapping, so
+    * re-adding a dropped column can never resurrect the old data.
+    * Identity on unmapped tables with no retired names: the very same
+    * frame. */
+  private def inbound(
+      cm: ColMap, schema0: org.apache.spark.sql.types.StructType,
+      df: DataFrame, keyCols: Seq[String])
+    : (DataFrame, Seq[String], ColMap) = {
+    if (cm.isEmpty) return (df, keyCols, cm)
+    val l2p: Map[String, String] =
+      schema0.fields.map(f => cm.logicalOf(f.name) -> f.name).toMap
+    var used = (schema0.fieldNames.toSeq ++ cm.retired)
+      .map(_.toLowerCase).toSet
+    var cm2 = cm
+    val mapped = df.columns.toSeq.map { c =>
+      l2p.get(c) match {
+        case Some(p) => c -> p
+        case None =>
+          var p = c; var n = 0
+          while (used.contains(p.toLowerCase)) { n += 1; p = s"${c}_$n" }
+          used += p.toLowerCase
+          if (p != c) cm2 = cm2.copy(ren = cm2.ren + (p -> c))
+          c -> p
+      }
+    }
+    val out =
+      if (mapped.forall { case (l, p) => l == p }) df
+      else df.select(mapped.map { case (l, p) => col(l).as(p) }: _*)
+    val pKeys = keyCols.map(k => l2p.getOrElse(k, {
+      // a renamed-away physical name is NOT addressable (the
+      // physicalNameOf refusal): silently honoring it would key the
+      // write on a column the caller just renamed, under its old name
+      require(!cm.ren.contains(k),
+        s"column '$k' was renamed to '${cm.ren(k)}' — key by the new name")
+      k
+    }))
+    (out, pKeys, cm2)
   }
 
   /** @param filesRewritten files of the previous version REPLACED
@@ -239,7 +363,8 @@ object MergeTable {
     // asNullable: file-backed reads render every column nullable, so
     // the recorded schema must agree with what a probe would have said
     val sj = Some(asNullableSchema(df.schema).json)
-    commit(fs, root, 1L, encodeSnapshot(files, Nil, Nil, schemaJson = sj))
+    commit(fs, root, 1L, encodeSnapshot(files, Nil, Nil, schemaJson = sj,
+      colMap = ColMap.empty))
     Snapshot(1L, files, schemaJson = sj)
   }
 
@@ -305,9 +430,10 @@ object MergeTable {
     val sj = Some(asNullableSchema(tableSchemaOf(spark, snap)).json)
     commit(dstFs, dstRoot, 1L,
       encodeSnapshot(entries, delta, snap.dvKeys, snap.dvFiles,
-        stats = snap.stats, schemaJson = sj, deletes = dels))
+        stats = snap.stats, schemaJson = sj, deletes = dels,
+        colMap = snap.colMap))
     Snapshot(1L, entries, delta, snap.dvKeys, snap.dvFiles, snap.stats, sj,
-      dels)
+      dels, snap.colMap)
   }
 
   /** The refusal [[init]] (no keys) and [[cloneTable]] (bloom-less
@@ -396,8 +522,10 @@ object MergeTable {
   }
 
   /** The table as of its latest committed version. */
-  def read(spark: SparkSession, path: String): DataFrame =
-    logicalFrame(spark, snapshot(spark, path))
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val snap = snapshot(spark, path)
+    presentLogical(logicalFrame(spark, snap), snap.colMap)
+  }
 
   /** The latest committed snapshot, via [[Manifests.latestLines]]'s
     * swept-tip retry. The retry covers the MANIFEST read only: the
@@ -477,13 +605,20 @@ object MergeTable {
   private val StatColHexTag = "statcolhex\t"
   private val StatTag = "stat\t"
   private val SchemaTag = "schema\t"
+  // column mapping: physical->logical renames + retired physical names
+  private val ColMapTag = "colmap\t"
 
+  // colMap is deliberately REQUIRED (no default): a committing writer
+  // that forgot to carry the table's column mapping would silently
+  // revert every rename and resurrect every dropped column on its
+  // commit — the compiler forces each site to decide.
   private def encodeSnapshot(
       entries: Seq[FileEntry], delta: Seq[FileEntry],
       dvKeys: Seq[String], dvFiles: Option[Seq[String]] = None,
       stats: Seq[TableStats] = Nil,
       schemaJson: Option[String] = None,
-      deletes: Seq[FileEntry] = Nil): Seq[String] = {
+      deletes: Seq[FileEntry] = Nil,
+      colMap: ColMap): Seq[String] = {
     require((delta.isEmpty && deletes.isEmpty) == dvKeys.isEmpty,
       "row-level files (delta/deletes) and dvKeys must be committed together")
     require(dvFiles.isEmpty || delta.nonEmpty || deletes.nonEmpty,
@@ -498,7 +633,15 @@ object MergeTable {
     schemaJson.foreach(j => require(
       !j.exists(c => c == '\t' || c == '\n' || c == '\r'),
       "schema JSON must be a single tab-free manifest line"))
-    schemaJson.map(SchemaTag + _).toSeq ++
+    require(colMap.isEmpty || schemaJson.isDefined,
+      "a column mapping requires a recorded schema line")
+    val cmLine = if (colMap.isEmpty) Nil else {
+      val j = ColMap.encode(colMap)
+      require(!j.exists(c => c == '\t' || c == '\n' || c == '\r'),
+        "colmap JSON must be a single tab-free manifest line")
+      Seq(ColMapTag + j)
+    }
+    schemaJson.map(SchemaTag + _).toSeq ++ cmLine ++
       entries.map(encodeEntry) ++
       stats.flatMap(s =>
         ((if (s.hex) StatColHexTag else StatColTag) + s.col) +:
@@ -518,7 +661,7 @@ object MergeTable {
     * since [[establishStats]] filters such names first. */
   private[graft] def encodeSnapshotForTest(
       entries: Seq[FileEntry], stats: Seq[TableStats]): Seq[String] =
-    encodeSnapshot(entries, Nil, Nil, stats = stats)
+    encodeSnapshot(entries, Nil, Nil, stats = stats, colMap = ColMap.empty)
 
   private def decodeLines(lines: Seq[String], version: Long): Snapshot = {
     val entries = Seq.newBuilder[FileEntry]
@@ -531,6 +674,7 @@ object MergeTable {
     var dvCount: Option[Int] = None
     var statCols: Vector[(String, Boolean)] = Vector.empty // (name, hex)
     var schemaJson: Option[String] = None
+    var colMap: Option[ColMap] = None
     def declareStatCol(c: String, hex: Boolean): Unit = {
       require(!statCols.exists(_._1 == c),
         s"manifest v$version declares stats column '$c' twice — " +
@@ -617,6 +761,12 @@ object MergeTable {
         }
         schemaJson = Some(j)
       }
+      else if (line.startsWith(ColMapTag)) {
+        require(colMap.isEmpty,
+          s"manifest v$version carries two colmap lines — foreign or " +
+            "hand-edited content")
+        colMap = Some(ColMap.decode(line.substring(ColMapTag.length), version))
+      }
       else {
         // UNKNOWN-TAG refusal (the enforceable half of the reader-
         // version contract): a future codec generation's tag would
@@ -696,11 +846,35 @@ object MergeTable {
         "or hand-edited content")
     val byCol = rangeRows.groupBy(_._1)
       .map { case (c, rs) => c -> rs.map(r => r._2 -> r._3).toMap }
+    // column-mapping cross-checks (the scope/stat-line convention: a
+    // torn or foreign mapping must fail the snapshot read loudly, not
+    // mis-bind columns): every renamed physical must be a schema
+    // field, logical names must stay unambiguous, and a retired name
+    // colliding with a live field would resurrect dropped data
+    colMap.foreach { cm =>
+      require(schemaJson.isDefined,
+        s"manifest v$version carries a colmap line but no schema line — " +
+          "foreign or hand-edited content")
+      val fields = org.apache.spark.sql.types.DataType.fromJson(schemaJson.get)
+        .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
+      cm.ren.keys.find(!fields.contains(_)).foreach(p =>
+        throw new IllegalArgumentException(
+          s"manifest v$version colmap renames unknown physical column " +
+            s"'$p' — foreign or hand-edited content"))
+      val logicals = fields.map(cm.logicalOf)
+      require(logicals.distinct.size == logicals.size,
+        s"manifest v$version colmap makes two columns share a logical " +
+          "name — foreign or hand-edited content")
+      cm.retired.find(fields.contains).foreach(p =>
+        throw new IllegalArgumentException(
+          s"manifest v$version colmap retires live physical column '$p' — " +
+            "foreign or hand-edited content"))
+    }
     Snapshot(version, es, d, if (rowLevel) dvKeys else Nil,
       if (rowLevel) dvCount.map(_ => dvf) else None,
       statCols.map { case (c, hex) =>
         TableStats(c, byCol.getOrElse(c, Map.empty), hex) },
-      schemaJson, dels)
+      schemaJson, dels, colMap.getOrElse(ColMap.empty))
   }
 
   private[graft] def decodeEntry(line: String): FileEntry = {
@@ -1024,10 +1198,140 @@ object MergeTable {
     }
 
   /** The table's current logical schema — public surface for callers
-    * preparing update frames ([[merge]]'s cast-to-table contract). */
+    * preparing update frames ([[merge]]'s cast-to-table contract).
+    * Field names are the LOGICAL (user-facing) names; the recorded
+    * physical schema is an internal detail of the column mapping. */
   def tableSchema(
-      spark: SparkSession, path: String): org.apache.spark.sql.types.StructType =
-    tableSchemaOf(spark, snapshot(spark, path))
+      spark: SparkSession, path: String): org.apache.spark.sql.types.StructType = {
+    val snap = snapshot(spark, path)
+    val s = tableSchemaOf(spark, snap)
+    if (snap.colMap.ren.isEmpty) s
+    else org.apache.spark.sql.types.StructType(
+      s.fields.map(f => f.copy(name = snap.colMap.logicalOf(f.name))))
+  }
+
+  /** RENAME a column — a MANIFEST-ONLY commit (Delta column mapping,
+    * the rename half): the column's PHYSICAL name in every parquet
+    * footer, stat line, dvkeys entry, and bloom config stays exactly
+    * what it was; only the logical→physical indirection the public
+    * boundary applies changes. No data file is opened, let alone
+    * rewritten — a 100 TB table renames in one manifest write.
+    * Version-pinned like the schema: readAt/clone/CDF at an older
+    * version see the old name. Row-level merge KEYS rename freely
+    * (the dvkeys line stores the physical name). Refused: renaming a
+    * column that does not exist, or onto a name already live
+    * (case-insensitively — the manifest outlives any one session's
+    * case sensitivity), or a name the manifest line codec cannot
+    * carry. Reference frame: the Supabase schema migration the
+    * reference would run as `ALTER TABLE knowledge_base RENAME COLUMN`
+    * (`Supabase/knowledge_base-RAG.sql`), which rewrites nothing
+    * either — this is the same catalog-level operation at the file
+    * layer. */
+  def renameColumn(
+      spark: SparkSession, path: String, from: String, to: String,
+      maxRetries: Int = 5): Snapshot = {
+    require(to.nonEmpty && to == to.trim &&
+      !to.exists(c => c == '\t' || c == '\n' || c == '\r'),
+      s"new column name not encodable in the manifest: '$to'")
+    var attempt = 0
+    while (attempt < maxRetries) {
+      attempt += 1
+      try {
+        val (fs, root) = fsOf(spark, path)
+        val snap = snapshot(spark, path)
+        val schema0 = snap.schema.getOrElse(throw new IllegalStateException(
+          s"table at $path has no recorded schema line (legacy manifest) — " +
+            "run one merge or compactTable first to record it"))
+        val cm = snap.colMap
+        val phys = schema0.fieldNames.find(p => cm.logicalOf(p) == from)
+          .getOrElse(throw new IllegalArgumentException(
+            s"no column named '$from' (live columns: " +
+              s"${schema0.fieldNames.map(cm.logicalOf).mkString(",")})"))
+        if (from == to) return snap
+        val liveLogicals = schema0.fieldNames.map(cm.logicalOf)
+        require(!liveLogicals.exists(l => l.equalsIgnoreCase(to) && l != from),
+          s"a column named '$to' already exists (case-insensitive — the " +
+            "manifest outlives any one session's case sensitivity)")
+        val cm2 = cm.copy(ren =
+          if (to == phys) cm.ren - phys else cm.ren + (phys -> to))
+        val entries = withSizes(fs, snap.entries)
+        val delta = withSizes(fs, snap.delta)
+        val dels = withSizes(fs, snap.deletes)
+        commit(fs, root, snap.version + 1,
+          encodeSnapshot(entries, delta, snap.dvKeys, snap.dvFiles,
+            stats = snap.stats, schemaJson = snap.schemaJson,
+            deletes = dels, colMap = cm2))
+        return Snapshot(snap.version + 1, entries, delta, snap.dvKeys,
+          snap.dvFiles, snap.stats, snap.schemaJson, dels, cm2)
+      } catch {
+        case _: FileAlreadyExistsException => // lost the race: re-snapshot
+      }
+    }
+    throw new CommitConflict(
+      s"renameColumn at $path lost $maxRetries optimistic commits in a row")
+  }
+
+  /** DROP a column — a MANIFEST-ONLY retirement (Delta column mapping,
+    * the drop half): the recorded schema loses the field, its stat
+    * lines drop, and its physical name enters the RETIRED set so a
+    * later re-ADD of the same logical name gets a fresh physical name
+    * and can never resurrect the dropped data (the classic
+    * column-mapping trap, spec-pinned). The data itself stays in the
+    * existing files — readers simply stop binding it — and is
+    * reclaimed file-by-file as ordinary rewrites (merge/compact)
+    * replace them; a compaction purges it wholesale. Version-pinned:
+    * readAt/clone/CDF before the drop still read the column. Refused:
+    * the last remaining column, a row-level merge key (fold first —
+    * the state is keyed by it), a persisted bloom column (bloom config
+    * is table-lifetime, the init contract), and legacy schema-less
+    * manifests. */
+  def dropColumn(
+      spark: SparkSession, path: String, name: String,
+      maxRetries: Int = 5): Snapshot = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      attempt += 1
+      try {
+        val (fs, root) = fsOf(spark, path)
+        val snap = snapshot(spark, path)
+        val schema0 = snap.schema.getOrElse(throw new IllegalStateException(
+          s"table at $path has no recorded schema line (legacy manifest) — " +
+            "run one merge or compactTable first to record it"))
+        val cm = snap.colMap
+        val phys = schema0.fieldNames.find(p => cm.logicalOf(p) == name)
+          .getOrElse(throw new IllegalArgumentException(
+            s"no column named '$name' (live columns: " +
+              s"${schema0.fieldNames.map(cm.logicalOf).mkString(",")})"))
+        require(schema0.length > 1, "cannot drop the table's last column")
+        require(!snap.dvKeys.contains(phys),
+          s"'$name' keys the table's row-level (mergeLite/deleteLite) " +
+            "state — fold it first (compactTable) before dropping")
+        val bloom = readBloomProps(fs, root)
+        require(!bloom.contains(phys),
+          s"'$name' carries a persisted parquet bloom filter — bloom " +
+            "columns are table-lifetime (the init contract) and every " +
+            "writer must keep maintaining them")
+        val schema2 = org.apache.spark.sql.types.StructType(
+          schema0.filterNot(_.name == phys))
+        val cm2 = ColMap(cm.ren - phys, cm.retired :+ phys)
+        val entries = withSizes(fs, snap.entries)
+        val delta = withSizes(fs, snap.delta)
+        val dels = withSizes(fs, snap.deletes)
+        val sj = Some(asNullableSchema(schema2).json)
+        val stats2 = snap.stats.filterNot(_.col == phys)
+        commit(fs, root, snap.version + 1,
+          encodeSnapshot(entries, delta, snap.dvKeys, snap.dvFiles,
+            stats = stats2, schemaJson = sj,
+            deletes = dels, colMap = cm2))
+        return Snapshot(snap.version + 1, entries, delta, snap.dvKeys,
+          snap.dvFiles, stats2, sj, dels, cm2)
+      } catch {
+        case _: FileAlreadyExistsException => // lost the race: re-snapshot
+      }
+    }
+    throw new CommitConflict(
+      s"dropColumn at $path lost $maxRetries optimistic commits in a row")
+  }
 
   /** Committed versions of the table, oldest first. */
   def versions(spark: SparkSession, path: String): Seq[Long] = {
@@ -1039,8 +1343,12 @@ object MergeTable {
     * manifest log. Every commit (merge, delete, compact) is a version;
     * an older version stays readable until [[vacuum]] reclaims the
     * files the LATEST manifest no longer references. */
-  def readAt(spark: SparkSession, path: String, version: Long): DataFrame =
-    logicalFrame(spark, snapshotAt(spark, path, version))
+  def readAt(spark: SparkSession, path: String, version: Long): DataFrame = {
+    // the MAPPING is version-pinned like the schema: time travel to a
+    // pre-rename version reads the old names
+    val snap = snapshotAt(spark, path, version)
+    presentLogical(logicalFrame(spark, snap), snap.colMap)
+  }
 
   /** CHANGE DATA FEED, at churn cost: the rows upserted between
     * committed versions `fromV` (exclusive) and `toV` (inclusive) — the
@@ -1077,15 +1385,18 @@ object MergeTable {
   def changesBetween(
       spark: SparkSession, path: String, fromV: Long, toV: Long,
       keyCols: Seq[String]): DataFrame = {
-    val (from, to) = diffSnapshots(spark, path, fromV, toV, keyCols)
+    val (from, to, pKeys) = diffSnapshots(spark, path, fromV, toV, keyCols)
     val fromSet = from.allFiles.map(normalize).toSet
     val toSet = to.allFiles.map(normalize).toSet
+    // the feed computes on PHYSICAL names (stable across a mid-window
+    // rename) and presents the END version's logical names at the end
+    def outbound(df: DataFrame): DataFrame = presentLogical(df, to.colMap)
     val added = diffSide(spark, to, fromSet, Nil).getOrElse {
       val empty = logicalFrame(spark, to)
-      requireDiffKeys(empty.columns, keyCols)
-      return empty.limit(0) // no new files: no changes
+      requireDiffKeys(empty.columns, pKeys)
+      return outbound(empty.limit(0)) // no new files: no changes
     }
-    requireDiffKeys(added.columns, keyCols)
+    requireDiffKeys(added.columns, pKeys)
     val cols = added.columns.toSeq // the table's natural order, every path
     // the probe holds every key's PREVIOUS live state: rows in files
     // `from` referenced and `to` doesn't, plus — because a row-level
@@ -1093,7 +1404,7 @@ object MergeTable {
     // carried base files `to`'s scope names (unscoped: all carried),
     // with `from`'s own delta riding along for exact suppression
     diffSide(spark, from, toSet, carriedProbeFor(from, to, toSet)) match {
-      case None => added
+      case None => outbound(added)
       case Some(retired0) =>
         // absent-or-differs: null-safe struct compare keeps a changed
         // row, drops a carried/no-op one (join keys are unique per
@@ -1106,16 +1417,20 @@ object MergeTable {
         // columns: pad them with NULL — exactly how a pre-widening
         // FILE reads at `to` — so a carried row (new column NULL both
         // sides) still cancels and a backfilled one still reports.
+        // Across a mid-window DROP, `from`'s side CARRIES the dropped
+        // physical column but `added`'s schema (the to-version's)
+        // lacks it — padTo projects it away, so the compare covers
+        // exactly the surviving columns.
         val retired = padTo(retired0, added.schema)
-        val nonKey = added.columns.filterNot(keyCols.contains).toSeq
+        val nonKey = added.columns.filterNot(pKeys.contains).toSeq
         val was = Iterator.from(0).map("__was" + _)
           .find(!added.columns.contains(_)).get
         val probe = retired
-          .select(keyCols.map(col) :+
+          .select(pKeys.map(col) :+
             struct(nonKey.map(col): _*).as(was): _*)
-        added.join(probe, keyCols, "left")
+        outbound(added.join(probe, pKeys, "left")
           .filter(!(struct(nonKey.map(col): _*) <=> col(was)))
-          .select(cols.map(col): _*)
+          .select(cols.map(col): _*))
     }
   }
 
@@ -1132,9 +1447,12 @@ object MergeTable {
   def deletesBetween(
       spark: SparkSession, path: String, fromV: Long, toV: Long,
       keyCols: Seq[String]): DataFrame = {
-    val (from, to) = diffSnapshots(spark, path, fromV, toV, keyCols)
+    val (from, to, pKeys) = diffSnapshots(spark, path, fromV, toV, keyCols)
     val fromSet = from.allFiles.map(normalize).toSet
     val toSet = to.allFiles.map(normalize).toSet
+    // outputs present the END version's logical key names (the
+    // changesBetween convention)
+    def outbound(df: DataFrame): DataFrame = presentLogical(df, to.colMap)
     // carried files matter to the DELETE side only when `to` holds
     // TOMBSTONES: a mergeLite-only window never removes a key without
     // retiring its file, so the manifest-only "nothing retired" early
@@ -1145,17 +1463,17 @@ object MergeTable {
       if (to.deletes.isEmpty) Nil else carriedProbeFor(from, to, toSet)
     val retired = diffSide(spark, from, toSet, carried).getOrElse {
       val empty = logicalFrame(spark, from)
-      requireDiffKeys(empty.columns, keyCols)
-      return empty.limit(0).select(keyCols.map(col): _*) // nothing retired
+      requireDiffKeys(empty.columns, pKeys)
+      return outbound(empty.limit(0).select(pKeys.map(col): _*)) // nothing retired
     }
-    requireDiffKeys(retired.columns, keyCols)
-    val retiredKeys = retired.select(keyCols.map(col): _*)
-    diffSide(spark, to, fromSet, carried) match {
+    requireDiffKeys(retired.columns, pKeys)
+    val retiredKeys = retired.select(pKeys.map(col): _*)
+    outbound(diffSide(spark, to, fromSet, carried) match {
       case None => retiredKeys
       case Some(added) =>
-        retiredKeys.join(added.select(keyCols.map(col): _*),
-          keyCols, "left_anti")
-    }
+        retiredKeys.join(added.select(pKeys.map(col): _*),
+          pKeys, "left_anti")
+    })
   }
 
   /** The carried base files the probe side must ALSO read (the
@@ -1201,7 +1519,7 @@ object MergeTable {
   def changesCostEstimate(
       spark: SparkSession, path: String, fromV: Long, toV: Long,
       keyCols: Seq[String]): ChangesCost = {
-    val (from, to) = diffSnapshots(spark, path, fromV, toV, keyCols)
+    val (from, to, _) = diffSnapshots(spark, path, fromV, toV, keyCols)
     val fromSet = from.allFiles.map(normalize).toSet
     val toSet = to.allFiles.map(normalize).toSet
     val (addBase, addDelta, addDels) = diffSideFiles(to, fromSet, Nil)
@@ -1228,19 +1546,26 @@ object MergeTable {
     require(keyCols.forall(cols.contains),
       s"key ${keyCols.mkString(",")} missing from table")
 
+  /** Returns the two pinned snapshots plus the caller's key columns
+    * translated to PHYSICAL names — via the END version's mapping,
+    * which is correct for BOTH sides because physical names are stable
+    * across renames (the whole point of the mapping: a mid-window
+    * rename moves no data and changes no physical name). */
   private def diffSnapshots(
       spark: SparkSession, path: String, fromV: Long, toV: Long,
-      keyCols: Seq[String]): (Snapshot, Snapshot) = {
+      keyCols: Seq[String]): (Snapshot, Snapshot, Seq[String]) = {
     requireKeyCols(keyCols)
     require(fromV < toV, s"diff window must go forward: v$fromV -> v$toV")
     val from = snapshotAt(spark, path, fromV)
     val to = snapshotAt(spark, path, toV)
+    val pKeys = keyCols.map(physicalNameOf(to, _))
     Seq(from, to).foreach(s =>
-      if (s.rowLevel && s.dvKeys.toSet != keyCols.toSet)
+      if (s.rowLevel && s.dvKeys.toSet != pKeys.toSet)
         throw new IllegalArgumentException(
           s"version ${s.version} carries row-level state keyed by " +
-            s"[${s.dvKeys.mkString(",")}] — diff by the same keys"))
-    (from, to)
+            s"[${s.dvKeys.map(s.colMap.logicalOf).mkString(",")}] — " +
+            "diff by the same keys"))
+    (from, to, pKeys)
   }
 
   /** One side of the version diff as a LOGICAL frame: the snapshot's
@@ -1348,15 +1673,20 @@ object MergeTable {
   }
 
   private def mergeOnce(
-      spark: SparkSession, path: String, u: DataFrame,
-      keyCols: Seq[String], nU: Long, allowEvolution: Boolean): MergeStats = {
+      spark: SparkSession, path: String, u0: DataFrame,
+      keyCols0: Seq[String], nU: Long, allowEvolution: Boolean): MergeStats = {
     val (fs, root) = fsOf(spark, path)
     val snap = snapshot(spark, path)
     val schema0 = tableSchemaOf(spark, snap)
+    // writer boundary: the caller speaks LOGICAL names; everything
+    // below (schema line, dvkeys, stats, data files) speaks PHYSICAL.
+    // Re-derived per attempt — a concurrent rename can land between
+    // OCC retries.
+    val (u, keyCols, cm1) = inbound(snap.colMap, schema0, u0, keyCols0)
     if (!snap.rowLevel)
       rewriteMerge(spark, fs, root, snap.version, snap.entries, u, keyCols, nU,
         snapStats = snap.stats, tableSchema = schema0,
-        allowEvolution = allowEvolution)
+        allowEvolution = allowEvolution, colMap0 = cm1)
     else {
       // FOLD the row-level state into this rewrite: the effective
       // update set is delta ⊎ u (last wins per key, u newest), applied
@@ -1411,7 +1741,7 @@ object MergeTable {
         val stats = rewriteMerge(spark, fs, root, snap.version, snap.entries,
           combined, keyCols, combined.count(), snapStats = snap.stats,
           tableSchema = schema0, allowEvolution = allowEvolution,
-          knownTouched = known, removeKeys = removeKeys)
+          knownTouched = known, removeKeys = removeKeys, colMap0 = cm1)
         // report the CALLER's upsert count, not the fold's combined
         // total — rowsUpserted means "rows this call absorbed" on every
         // other path, and accounting against it must not see the delta
@@ -1601,7 +1931,8 @@ object MergeTable {
       tableSchema: org.apache.spark.sql.types.StructType,
       allowEvolution: Boolean = false,
       knownTouched: Option[Set[String]] = None,
-      removeKeys: Option[DataFrame] = None): MergeStats = {
+      removeKeys: Option[DataFrame] = None,
+      colMap0: ColMap): MergeStats = {
     val widened = conformedSchema(tableSchema, u, keyCols, allowEvolution)
     // the base binds the WIDENED schema: pre-widening files fill the
     // new columns with NULL, so the replaced leg's select below can
@@ -1641,7 +1972,8 @@ object MergeTable {
         commit(fs, root, baseVersion + 1,
           encodeSnapshot(withSizes(fs, kept), Nil, Nil,
             stats = snapStats,
-            schemaJson = Some(asNullableSchema(widened).json)))
+            schemaJson = Some(asNullableSchema(widened).json),
+            colMap = colMap0))
         return MergeStats(baseVersion + 1, kept.size, 0, 0, 0)
       }
       else if (hit.isEmpty) u.select(cols.map(col): _*).coalesce(insertFiles)
@@ -1670,7 +2002,8 @@ object MergeTable {
         stats = carriedStats(
           spark.sparkContext.hadoopConfiguration, snapStats, kept,
           newFiles),
-        schemaJson = Some(asNullableSchema(widened).json))) // throws on race
+        schemaJson = Some(asNullableSchema(widened).json),
+        colMap = colMap0)) // throws on race
     MergeStats(baseVersion + 1, kept.size, hit.size, newFiles.size, nU)
   }
 
@@ -1783,11 +2116,15 @@ object MergeTable {
   }
 
   private def mergeLiteOnce(
-      spark: SparkSession, path: String, u: DataFrame,
-      keyCols: Seq[String], nU: Long, maxDeltaRows: Long,
+      spark: SparkSession, path: String, u0: DataFrame,
+      keyCols0: Seq[String], nU: Long, maxDeltaRows: Long,
       maxDeltaFiles: Int, allowEvolution: Boolean): MergeStats = {
     val (fs, root) = fsOf(spark, path)
     val snap = snapshot(spark, path)
+    val schema0 = tableSchemaOf(spark, snap)
+    // writer boundary (the mergeOnce rationale): logical in, physical
+    // below — re-derived per OCC attempt
+    val (u, keyCols, cm1) = inbound(snap.colMap, schema0, u0, keyCols0)
     // persisted-state-vs-frame mismatch: IllegalStateException, so a
     // caller's IllegalArgumentException fallback can't bury it (the
     // writeBatch bloom-guard convention). SET equality — join keys are
@@ -1795,8 +2132,8 @@ object MergeTable {
     if (snap.rowLevel && snap.dvKeys.toSet != keyCols.toSet)
       throw new IllegalStateException(
         s"table at $path carries row-level state keyed by " +
-          s"[${snap.dvKeys.mkString(",")}] — mergeLite by the same keys")
-    val schema0 = tableSchemaOf(spark, snap)
+          s"[${snap.dvKeys.map(snap.colMap.logicalOf).mkString(",")}] — " +
+          "mergeLite by the same keys")
     // stats ride into the cheapDiscovery probes (conservative pruning)
     val base = relationFor(spark, snap.entries, snap.stats, Some(schema0))
     // the widened shape this commit records; every pre-existing file —
@@ -1815,7 +2152,7 @@ object MergeTable {
         encodeSnapshot(withSizes(fs, snap.entries), withSizes(fs, snap.delta),
           snap.dvKeys, snap.dvFiles, stats = snap.stats,
           schemaJson = Some(asNullableSchema(widened).json),
-          deletes = withSizes(fs, snap.deletes)))
+          deletes = withSizes(fs, snap.deletes), colMap = cm1))
       return MergeStats(snap.version + 1,
         snap.entries.size + snap.delta.size, 0, 0, 0)
     }
@@ -1883,6 +2220,7 @@ object MergeTable {
             snap.entries ++
               deltaEntries.filterNot(e => freshSet.contains(normalize(e.path))),
             fresh),
+          colMap = cm1,
           schemaJson = Some(asNullableSchema(widened).json),
           deletes = delEntries))
     }
@@ -1980,7 +2318,7 @@ object MergeTable {
           combined, keyCols, n, snapStats = snap.stats,
           tableSchema = schema0, allowEvolution = allowEvolution,
           knownTouched = known,
-          removeKeys = removeKeys).copy(rowsUpserted = nU)
+          removeKeys = removeKeys, colMap0 = cm1).copy(rowsUpserted = nU)
         finally removeKeys.foreach(graft.util.Checkpoints.free)
       }
       // prior scope unions in; a prior UNSCOPED table upgrades once via
@@ -2048,9 +2386,10 @@ object MergeTable {
         val sj = Some(asNullableSchema(schema0).json)
         commit(fs, root, snap.version + 1,
           encodeSnapshot(entries, delta, snap.dvKeys, Some(scope),
-            stats = snap.stats, schemaJson = sj, deletes = dels))
+            stats = snap.stats, schemaJson = sj, deletes = dels,
+            colMap = snap.colMap))
         return Snapshot(snap.version + 1, entries, delta, snap.dvKeys,
-          Some(scope), snap.stats, sj, dels)
+          Some(scope), snap.stats, sj, dels, snap.colMap)
       } catch {
         case _: FileAlreadyExistsException => // lost the race: re-snapshot
       }
@@ -2225,17 +2564,22 @@ object MergeTable {
   }
 
   private def deleteLiteOnce(
-      spark: SparkSession, path: String, k: DataFrame,
-      keyCols: Seq[String], nK: Long, maxDeltaRows: Long): MergeStats = {
+      spark: SparkSession, path: String, k0: DataFrame,
+      keyCols0: Seq[String], nK: Long, maxDeltaRows: Long): MergeStats = {
     val (fs, root) = fsOf(spark, path)
     val snap = snapshot(spark, path)
+    val schema0 = tableSchemaOf(spark, snap)
+    // writer boundary (the mergeOnce rationale); the extended-map slot
+    // is discarded — a key naming no live column extends nothing that
+    // commits, and fails the membership check just below
+    val (k, keyCols, _) = inbound(snap.colMap, schema0, k0, keyCols0)
     if (snap.rowLevel && snap.dvKeys.toSet != keyCols.toSet)
       throw new IllegalStateException(
         s"table at $path carries row-level state keyed by " +
-          s"[${snap.dvKeys.mkString(",")}] — deleteLite by the same keys")
-    val schema0 = tableSchemaOf(spark, snap)
+          s"[${snap.dvKeys.map(snap.colMap.logicalOf).mkString(",")}] — " +
+          "deleteLite by the same keys")
     require(keyCols.forall(schema0.fieldNames.contains),
-      s"key ${keyCols.mkString(",")} missing from table")
+      s"key ${keyCols0.mkString(",")} missing from table")
     if (nK == 0)
       return MergeStats(snap.version,
         snap.entries.size + snap.delta.size + snap.deletes.size, 0, 0, 0)
@@ -2285,7 +2629,7 @@ object MergeTable {
         val st = rewriteMerge(spark, fs, root, snap.version, snap.entries,
           survivors, keyCols, deltaRemaining, snapStats = snap.stats,
           tableSchema = schema0, knownTouched = known,
-          removeKeys = Some(allTombstones))
+          removeKeys = Some(allTombstones), colMap0 = snap.colMap)
         if (st.version != snap.version) return st.copy(rowsUpserted = 0)
         // nothing touched and no delta: the tombstones provably
         // suppress nothing — the correct folded state is a clean
@@ -2293,7 +2637,8 @@ object MergeTable {
         commit(fs, root, snap.version + 1,
           encodeSnapshot(withSizes(fs, snap.entries), Nil, Nil,
             stats = snap.stats,
-            schemaJson = Some(asNullableSchema(schema0).json)))
+            schemaJson = Some(asNullableSchema(schema0).json),
+            colMap = snap.colMap))
         return MergeStats(snap.version + 1, snap.entries.size, 0, 0, 0)
       }
       // normal path: carry/re-write the delta, write the combined
@@ -2337,7 +2682,7 @@ object MergeTable {
               snap.entries ++ (if (survivorsCkpt.isDefined) Nil else newDelta),
               if (survivorsCkpt.isDefined) newDelta else Nil),
             schemaJson = Some(asNullableSchema(schema0).json),
-            deletes = delFiles))
+            deletes = delFiles, colMap = snap.colMap))
         // honest churn accounting (review catch): a touched delta's old
         // files were REPLACED, as was any prior tombstone file; fresh
         // writes are the new delta set (when re-written) + the
@@ -2393,7 +2738,7 @@ object MergeTable {
               if (snap0.delta.isEmpty) 0L else deltaDf.count(),
               snapStats = snap0.stats, tableSchema = schema00,
               knownTouched = snap0.dvFiles.map(_.map(normalize).toSet),
-              removeKeys = removeKeys)
+              removeKeys = removeKeys, colMap0 = snap0.colMap)
             // tombstones that suppress nothing + no delta: the fold has
             // nothing to rewrite and commits nothing — the predicate
             // path below is still sound (no base row was suppressed)
@@ -2403,24 +2748,38 @@ object MergeTable {
             else snapshot(spark, path)
           }
         val schema0 = tableSchemaOf(spark, snap)
-        // manifest stats prune the DISCOVERY too: a TTL sweep on the
+        // the predicate speaks LOGICAL names: evaluate it over the
+        // logical-aliased view (identity on unmapped tables) — Catalyst
+        // pushes the filter through the aliasing Project, so parquet
+        // pushdown and the manifest stat pruners (physical-named) are
+        // unaffected — then project survivors back to physical for the
+        // rewrite.
+        // Manifest stats prune the DISCOVERY too: a TTL sweep on the
         // stats column schedules tasks only for files whose recorded
         // range can match — the 100k-file sweep reads the expirable few
-        val touched = relationFor(spark, snap.entries, snap.stats, Some(schema0))
+        val touched = presentLogical(
+            relationFor(spark, snap.entries, snap.stats, Some(schema0)),
+            snap.colMap)
           .filter(cond)
           .select(input_file_name().as("__file")).distinct()
           .collect().map(r => normalize(r.getString(0))).toSet
         val (hit, kept) = snap.entries.partition(e => touched.contains(normalize(e.path)))
         if (hit.isEmpty) return MergeStats(snap.version, kept.size, 0, 0, 0)
-        val survivors = relationFor(spark, hit, Nil, Some(schema0))
+        val survivorsL = presentLogical(
+            relationFor(spark, hit, Nil, Some(schema0)), snap.colMap)
           .filter(!coalesce(cond, lit(false)))
+        val survivors = (
+          if (snap.colMap.ren.isEmpty) survivorsL
+          else survivorsL.select(schema0.fieldNames.toSeq
+            .map(p => col(snap.colMap.logicalOf(p)).as(p)): _*))
           .coalesce(hit.size) // one output file per hit file (see rewriteMerge)
         val newFiles = writeBatch(spark, fs, root, survivors)
         commit(fs, root, snap.version + 1,
           encodeSnapshot(withSizes(fs, kept) ++ newFiles, Nil, Nil,
             stats = carriedStats(spark.sparkContext.hadoopConfiguration,
               snap.stats, kept, newFiles),
-            schemaJson = Some(asNullableSchema(schema0).json)))
+            schemaJson = Some(asNullableSchema(schema0).json),
+            colMap = snap.colMap))
         return MergeStats(snap.version + 1, kept.size, hit.size, newFiles.size, 0)
       } catch {
         case _: FileAlreadyExistsException => // lost the race: re-snapshot
@@ -2465,19 +2824,23 @@ object MergeTable {
     // carrying mergeLite delta state applies the key suppression and
     // absorbs the delta rows — the rewrite IS the fold
     val frame = logicalFrame(spark, snap)
+    // the caller names the sort column LOGICALLY; the frame (and the
+    // stats the compaction establishes) speak PHYSICAL
+    val pSort = physicalNameOf(snap, sortCol)
     val sorted = frame
-      .repartitionByRange(numFiles, col(sortCol))
-      .sortWithinPartitions(col(sortCol))
+      .repartitionByRange(numFiles, col(pSort))
+      .sortWithinPartitions(col(pSort))
     val files = writeBatch(spark, fs, root, sorted)
     // ESTABLISH manifest stats on the sort column (long-ordered types
     // only): the compacted layout's per-file ranges are tight by
     // construction, and every later writer maintains them
     // (carriedStats) — range/point predicates then prune FILES at
     // planning time, not tasks at run time
-    val stats = establishStats(spark, frame.schema, files, Seq(sortCol))
+    val stats = establishStats(spark, frame.schema, files, Seq(pSort))
     val sj = Some(asNullableSchema(frame.schema).json)
     try commit(fs, root, next,
-      encodeSnapshot(files, Nil, Nil, stats = stats, schemaJson = sj))
+      encodeSnapshot(files, Nil, Nil, stats = stats, schemaJson = sj,
+        colMap = snap.colMap))
     catch {
       // the conflict contract every other writer exposes (merge /
       // deleteWhere / the composite commitPin): a maintenance job
@@ -2487,8 +2850,24 @@ object MergeTable {
           s"compactTable at $path lost the commit race for v$next " +
             "(concurrent writer landed mid-rewrite); re-run")
     }
-    Snapshot(next, files, stats = stats, schemaJson = sj)
+    Snapshot(next, files, stats = stats, schemaJson = sj,
+      colMap = snap.colMap)
   }
+
+  /** The physical name of caller-facing `logical` — itself on unmapped
+    * tables or unknown names (downstream surfaces the miss exactly as
+    * before mapping existed). A RENAMED column's old physical name is
+    * refused rather than silently honored: it is not a live logical
+    * name, and binding it would address the column under a name the
+    * user just renamed away. */
+  private def physicalNameOf(snap: Snapshot, logical: String): String =
+    if (snap.colMap.ren.isEmpty) logical
+    else snap.colMap.ren.find(_._2 == logical).map(_._1).getOrElse {
+      require(!snap.colMap.ren.contains(logical),
+        s"column '$logical' was renamed to " +
+          s"'${snap.colMap.ren(logical)}' — address it by the new name")
+      logical
+    }
 
   /** The per-file stats a compaction ESTABLISHES: footer ranges for
     * every named column whose Spark type is long-ordered, HEX-domain
@@ -2536,19 +2915,22 @@ object MergeTable {
     val snap = snapshot(spark, path)
     val next = snap.version + 1
     val frame = logicalFrame(spark, snap)
-    val sorted = graft.operators.Layout.zClustered(frame, zCols, numFiles, bits)
+    val pZ = zCols.map(physicalNameOf(snap, _)) // the compactTableAt rationale
+    val sorted = graft.operators.Layout.zClustered(frame, pZ, numFiles, bits)
     val files = writeBatch(spark, fs, root, sorted)
-    val stats = establishStats(spark, frame.schema, files, zCols)
+    val stats = establishStats(spark, frame.schema, files, pZ)
     val sj = Some(asNullableSchema(frame.schema).json)
     try commit(fs, root, next,
-      encodeSnapshot(files, Nil, Nil, stats = stats, schemaJson = sj))
+      encodeSnapshot(files, Nil, Nil, stats = stats, schemaJson = sj,
+        colMap = snap.colMap))
     catch {
       case _: FileAlreadyExistsException =>
         throw new CommitConflict(
           s"compactTableZOrder at $path lost the commit race for v$next " +
             "(concurrent writer landed mid-rewrite); re-run")
     }
-    Snapshot(next, files, stats = stats, schemaJson = sj)
+    Snapshot(next, files, stats = stats, schemaJson = sj,
+      colMap = snap.colMap)
   }
 
   /** Delete data files no manifest-latest version references (orphans

@@ -2341,6 +2341,157 @@ class MergeTableSpec extends SparkSpec {
       s"InSet range probes must prune (scanned ${scannedFiles(idQ)} of 8)")
   }
 
+  test("column mapping: rename is manifest-only; reads, writes, pruning, and row-level keys follow the new name") {
+    val path = freshPath()
+    val df = (1 to 1000).map(i => (i.toLong, s"t$i", s"payload $i"))
+      .toDF("id", "tag", "body")
+    MergeTable.init(spark, path, df)
+    MergeTable.compactTable(spark, path, "id", 4)            // v2: stats on id
+    val before = MergeTable.snapshot(spark, path)
+    val renamed = MergeTable.renameColumn(spark, path, "body", "content") // v3
+    assert(renamed.version === before.version + 1)
+    assert(renamed.entries.map(_.path) === before.entries.map(_.path),
+      "rename writes no data file")
+    val got = MergeTable.read(spark, path)
+    assert(got.columns.toSeq === Seq("id", "tag", "content"))
+    assert(got.filter($"content" === "payload 7").count() === 1)
+    assert(MergeTable.tableSchema(spark, path).fieldNames.toSeq ===
+      Seq("id", "tag", "content"))
+    // manifest stat pruning still fires through the aliasing Project
+    def scannedFiles(q: org.apache.spark.sql.DataFrame): Long =
+      graft.util.Plans.executedNodes(q).collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.map(_.metrics("numFiles").value).sum
+    val point = MergeTable.read(spark, path).filter($"id" === 3L)
+    assert(point.count() === 1 && scannedFiles(point) === 1L,
+      "pushdown + file pruning must survive the rename projection")
+    // write by the NEW name (rewrite merge)
+    MergeTable.merge(spark, path,
+      Seq((5L, "x", "updated")).toDF("id", "tag", "content"), Seq("id")) // v4
+    assert(MergeTable.read(spark, path)
+      .filter($"content" === "updated").count() === 1)
+    // rename a row-level KEY column: dvkeys stores the physical name,
+    // so existing delta/tombstone state keeps working under the new name
+    MergeTable.mergeLite(spark, path,
+      Seq((7L, "y", "dv")).toDF("id", "tag", "content"), Seq("id"))      // v5
+    MergeTable.renameColumn(spark, path, "id", "doc_id")                 // v6
+    assert(MergeTable.read(spark, path).filter($"doc_id" === 7L)
+      .select($"content").as[String].head() === "dv")
+    MergeTable.mergeLite(spark, path,
+      Seq((7L, "y", "dv2")).toDF("doc_id", "tag", "content"), Seq("doc_id")) // v7
+    MergeTable.deleteLite(spark, path, Seq(8L).toDF("doc_id"), Seq("doc_id")) // v8
+    val now = MergeTable.read(spark, path)
+    assert(now.count() === 999)
+    assert(now.filter($"doc_id" === 7L)
+      .select($"content").as[String].head() === "dv2")
+    // version-pinned: time travel before the renames reads old names
+    assert(MergeTable.readAt(spark, path, 2L).columns.toSeq ===
+      Seq("id", "tag", "body"))
+    assert(MergeTable.readAt(spark, path, 5L).columns.toSeq ===
+      Seq("id", "tag", "content"))
+    // the renamed-away name is not addressable
+    intercept[IllegalArgumentException] {
+      MergeTable.deleteLite(spark, path, Seq(9L).toDF("id"), Seq("id"))
+    }
+    intercept[IllegalArgumentException] {
+      MergeTable.renameColumn(spark, path, "tag", "CONTENT") // case-insensitive collision
+    }
+    // a clone carries the mapping
+    val dst = freshPath()
+    MergeTable.cloneTable(spark, path, dst)
+    assert(MergeTable.read(spark, dst).columns.toSeq ===
+      Seq("doc_id", "tag", "content"))
+    // deleteWhere by the logical name still prunes + rewrites correctly
+    val st = MergeTable.deleteWhere(spark, path, $"content" === "payload 10")
+    assert(st.filesRewritten >= 1)
+    assert(MergeTable.read(spark, path).count() === 998)
+    assert(MergeTable.read(spark, path)
+      .filter($"content" === "payload 10").count() === 0)
+  }
+
+  test("column mapping: drop retires the column; re-add gets a fresh physical name (no resurrection)") {
+    val path = freshPath()
+    val df = (1 to 100).map(i => (i.toLong, s"t$i", i * 10))
+      .toDF("id", "tag", "score")
+    MergeTable.init(spark, path, df)
+    val dropped = MergeTable.dropColumn(spark, path, "score") // v2
+    assert(dropped.entries.map(_.path) ===
+      MergeTable.snapshotAt(spark, path, 1L).entries.map(_.path),
+      "drop writes no data file")
+    val got = MergeTable.read(spark, path)
+    assert(got.columns.toSeq === Seq("id", "tag"))
+    // pre-drop versions still read it (vacuum permitting)
+    assert(MergeTable.readAt(spark, path, 1L)
+      .filter($"score" === 50).count() === 1)
+    // re-ADD a column with the same name via evolution: fresh physical,
+    // old data must NOT resurrect — every row reads the new value or NULL
+    MergeTable.merge(spark, path,
+      Seq((5L, "t5", 999)).toDF("id", "tag", "score"), Seq("id"),
+      allowSchemaEvolution = true)                            // v3
+    val back = MergeTable.read(spark, path)
+    assert(back.columns.toSeq === Seq("id", "tag", "score"))
+    assert(back.filter($"score" === 999).count() === 1)
+    assert(back.filter($"score".isNull).count() === 99,
+      "dropped data must not resurrect through the re-added name")
+    val snap = MergeTable.snapshot(spark, path)
+    assert(snap.colMap.retired === Seq("score"))
+    assert(snap.colMap.ren.values.toSeq === Seq("score"),
+      s"the re-added column needs a fresh physical name: ${snap.colMap}")
+    // rename the re-added column; then the dropped physical is still retired
+    MergeTable.renameColumn(spark, path, "score", "quality")  // v4
+    assert(MergeTable.read(spark, path)
+      .filter($"quality" === 999).count() === 1)
+    // refusals
+    intercept[IllegalArgumentException] {
+      MergeTable.dropColumn(spark, path, "nope")
+    }
+    val keyed = freshPath()
+    MergeTable.init(spark, keyed, rows(1 to 10, "a"))
+    MergeTable.mergeLite(spark, keyed, rows(3 to 3, "dv"), Seq("id"))
+    intercept[IllegalArgumentException] {
+      MergeTable.dropColumn(spark, keyed, "id") // row-level key
+    }
+    val bloomed = freshPath()
+    MergeTable.init(spark, bloomed, rows(1 to 10, "a"), bloomKeys = Seq("tag"))
+    intercept[IllegalArgumentException] {
+      MergeTable.dropColumn(spark, bloomed, "tag") // bloom column
+    }
+    val tiny = freshPath()
+    MergeTable.init(spark, tiny, Seq(1L).toDF("id"))
+    intercept[IllegalArgumentException] {
+      MergeTable.dropColumn(spark, tiny, "id") // last column
+    }
+  }
+
+  test("column mapping: CDF windows crossing a rename/drop report under the end version's names") {
+    val path = freshPath()
+    MergeTable.init(spark, path, rows(1 to 100, "a"))                  // v1
+    MergeTable.merge(spark, path, rows(5 to 6, "m"), Seq("id"))        // v2
+    MergeTable.renameColumn(spark, path, "body", "content")            // v3
+    MergeTable.merge(spark, path,
+      (7 to 7).map(i => (i.toLong, "n", s"payload $i"))
+        .toDF("id", "tag", "content"), Seq("id"))                      // v4
+    // the window CROSSES the rename: changes computed on stable
+    // physical names, presented under v4's logical names
+    val ch = MergeTable.changesBetween(spark, path, 1L, 4L, Seq("id"))
+    assert(ch.columns.toSeq === Seq("id", "tag", "content"))
+    assert(ch.count() === 3)
+    assert(ch.filter($"tag" === "n").count() === 1,
+      "the post-rename merge's row reports under the new column name")
+    // deletes feed across a deleteLite after the rename
+    MergeTable.deleteLite(spark, path, Seq(9L).toDF("id"), Seq("id"))  // v5
+    val del = MergeTable.deletesBetween(spark, path, 4L, 5L, Seq("id"))
+    assert(del.columns.toSeq === Seq("id") && del.as[Long].collect().toSeq === Seq(9L))
+    // a window crossing a DROP reports only surviving columns
+    MergeTable.dropColumn(spark, path, "tag")                          // v6
+    MergeTable.merge(spark, path,
+      Seq((11L, "changed")).toDF("id", "content"), Seq("id"))          // v7
+    val ch2 = MergeTable.changesBetween(spark, path, 5L, 7L, Seq("id"))
+    assert(ch2.columns.toSeq === Seq("id", "content"))
+    assert(ch2.count() === 1 &&
+      ch2.select($"content").as[String].head() === "changed")
+  }
+
   test("reader-version: an unknown manifest tag refuses loudly with an upgrade message") {
     val path = freshPath()
     MergeTable.init(spark, path, rows(1 to 5, "a"))
