@@ -72,6 +72,17 @@ object DevDrive {
     println(s"re-insert after delete: ${MergeTable.read(spark, t5)
       .filter(col("head") === "back").count()} row(s) back")
 
+    // 2c2) predicate delete on the tombstone path + column mapping
+    val t7 = s"$tmp/t7"
+    MergeTable.init(spark, t7, docs)
+    MergeTable.renameColumn(spark, t7, "head", "title")
+    val st7 = MergeTable.deleteWhereLite(spark, t7,
+      col("doc_id") % 11 === 0, Seq("doc_id"))
+    println(s"deleteWhereLite: ${MergeTable.read(spark, t7).count()} rows " +
+      s"left of ${docs.count()}, base files rewritten=${st7.filesRewritten}, " +
+      s"tombstone files=${MergeTable.snapshot(spark, t7).deletes.size}, " +
+      s"cols=${MergeTable.read(spark, t7).columns.mkString(",")}")
+
     // 2d) KB retraction: the reference's DELETE WHERE content_hash=$1
     val t6 = s"$tmp/t6"
     graft.kb.KnowledgeBase.upsertDocumentsToTable(spark, t6,

@@ -1677,6 +1677,38 @@ object SparkEntry {
       out
     }),
 
+    "q146_predicate_delete_lite" -> ((s, d) => {
+      // PREDICATE DELETE ON THE TOMBSTONE PATH (deleteWhereLite): one
+      // stats/bloom-pruned discovery scan materializes the matching
+      // keys, which commit as tombstones — O(matched keys) write at
+      // any table size, where deleteWhere rewrites every matched file
+      // (56.2 s vs 1.78 s at 40M in the r15 A/B). The lineage stacks a
+      // mergeLite first so the predicate must see THROUGH the delta
+      // suppression: superseded base rows must not re-match.
+      val docs = T.documents(s, d).filter(col("text").isNotNull)
+      def slice(lo: Int, hi: Int, tag: Option[String]) = docs
+        .filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .select(col("doc_id"),
+          tag.map(lit(_)).getOrElse(col("lang")).as("lang"),
+          substring(col("text"), 1, 40).as("head"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q146")
+      val t = tmp.toString + "/t"
+      val MT = graft.sources.MergeTable
+      MT.init(s, t, slice(0, 300, None))
+      MT.mergeLite(s, t, slice(200, 350, Some("xx")), Seq("doc_id"))
+      MT.deleteWhereLite(s, t, col("doc_id") % 7 === 3, Seq("doc_id"))
+      // the lineage must actually exercise the tombstone path (fails
+      // loudly rather than silently passing through a fold)
+      require(MT.snapshot(s, t).deletes.nonEmpty,
+        "a selective predicate delete must land as tombstones")
+      val out = MT.read(s, t)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true) // eager pin, then reclaim the staged table
+      graft.util.Fs.deleteRecursively(tmp)
+      out
+    }),
+
     "q130_append_sink" -> ((s, d) => {
       // S3 (row insert / append sink): two successive mode("append")
       // parquet writes must ACCUMULATE — the second preserves the
@@ -2728,6 +2760,21 @@ object SparkEntry {
         |       WHERE doc_id NOT IN (SELECT doc_id FROM u3)
         |       UNION ALL SELECT * FROM u3)
         |SELECT doc_id, lang, title, score FROM m4 ORDER BY doc_id""".stripMargin,
+
+    // q146: the upsert algebra then DuckDB's own DELETE WHERE shape —
+    // the predicate evaluates over the MERGED state (m1), so a
+    // superseded base row matching the predicate must not ghost-delete
+    // its delta replacement
+    "q146_predicate_delete_lite" ->
+      """WITH base AS (SELECT doc_id, lang FROM documents
+        |    WHERE text IS NOT NULL AND doc_id >= 0 AND doc_id < 300),
+        |u1 AS (SELECT doc_id, 'xx' AS lang FROM documents
+        |    WHERE text IS NOT NULL AND doc_id >= 200 AND doc_id < 350),
+        |m1 AS (SELECT * FROM base WHERE doc_id NOT IN (SELECT doc_id FROM u1)
+        |       UNION ALL SELECT * FROM u1)
+        |SELECT doc_id, lang FROM m1
+        |WHERE doc_id % 7 <> 3
+        |ORDER BY doc_id""".stripMargin,
 
     // the same double arithmetic as temperatureMix, then the q62 md5
     // membership test against the derived per-stratum threshold; a

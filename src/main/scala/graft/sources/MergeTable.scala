@@ -2698,12 +2698,48 @@ object MergeTable {
     } finally graft.util.Checkpoints.free(allTombstones)
   }
 
+  /** PREDICATE delete on the TOMBSTONE path — the bridge between
+    * [[deleteWhere]] (predicate in, every matched file rewritten:
+    * 56.2 s at 40M rows for a 10-row match in the r15 A/B) and
+    * [[deleteLite]] (keys in, O(keys) write: 1.78 s on the same
+    * table). The discovery scan runs ONCE — stats/bloom-pruned
+    * exactly like any read, with the current tombstone/delta
+    * suppression applied so an already-deleted or superseded row can
+    * never re-match — materializes the matching KEYS, and commits
+    * them through the deleteLite tombstone path. Past the
+    * `maxDeltaRows` budget, deleteLite's own fold takes over: the
+    * commit becomes the rewrite the budget was deferring, i.e. the
+    * fallback IS deleteWhere's cost, chosen by measured key count
+    * rather than up front.
+    *
+    * `keyCols` must be the table's merge keys (unique per version) —
+    * removing a key removes exactly the predicate's rows. Semantics
+    * vs deleteWhere: bit-equal on a quiescent table (spec-pinned);
+    * under concurrency the predicate binds to the DISCOVERY snapshot
+    * (a concurrent writer's new matching rows are not re-discovered
+    * by the commit retries, where deleteWhere re-runs its discovery
+    * per attempt — the price of the O(keys) write path). */
+  def deleteWhereLite(
+      spark: SparkSession, path: String,
+      cond: org.apache.spark.sql.Column, keyCols: Seq[String],
+      maxDeltaRows: Long = DefaultMaxDeltaRows,
+      maxRetries: Int = 5): MergeStats = {
+    requireKeyCols(keyCols)
+    val keys = read(spark, path).filter(cond)
+      .select(keyCols.map(col): _*).distinct().localCheckpoint(true)
+    try deleteLite(spark, path, keys, keyCols, maxDeltaRows, maxRetries)
+    finally graft.util.Checkpoints.free(keys)
+  }
+
   /** Row-level DELETE: rewrite only the files that contain a row
     * matching `cond`, keeping their non-matching rows — the reference's
     * TTL sweep (`DELETE WHERE expires_at < now`,
     * `vector_service.py` cleanup loop) at the storage layer. The
     * predicate is pushed into the discovery scan, so with range-sorted
-    * files most are never opened. Commits optimistically like [[merge]]. */
+    * files most are never opened. Commits optimistically like [[merge]].
+    * For SELECTIVE predicates on large tables prefer
+    * [[deleteWhereLite]], which turns the match into tombstones
+    * instead of rewriting every matched file. */
   def deleteWhere(
       spark: SparkSession, path: String,
       cond: org.apache.spark.sql.Column, maxRetries: Int = 5): MergeStats = {

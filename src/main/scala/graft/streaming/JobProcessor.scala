@@ -244,6 +244,94 @@ object JobProcessor {
     ()
   }
 
+  /** Stream of CDC OPERATIONS → keyed MergeTable: the retraction-aware
+    * completion of [[runToMergeTable]] (which is upsert-only — a `D`
+    * op had no path to the tombstone delete until this). The
+    * reference's retraction (`DELETE FROM knowledge_base WHERE
+    * content_hash = $1`, `vector_service.py`) gained a batch API in
+    * [[graft.kb.KnowledgeBase.retractByContentHash]]; this is its
+    * streaming twin: upserts route through
+    * [[graft.sources.MergeTable.mergeLite]], deletes through
+    * [[graft.sources.MergeTable.deleteLite]] — both O(batch) writes.
+    *
+    * Per-batch semantics match [[graft.query.Relational.applyChanges]]:
+    * last-op-wins per key under `(seq desc, content fingerprint)` —
+    * the fingerprint tie-break keeps a replayed batch picking the SAME
+    * winner (the mergeResponsesBatch hazard) — so after the window a
+    * key is EITHER upserted or deleted, never both, and the two keyed
+    * writes commute. Cross-batch ordering is the UPSTREAM's contract:
+    * feed this sink [[StreamingCdc.changelog]] (whose per-key state
+    * admits only monotone-seq winners) when the source can deliver
+    * stragglers; a raw at-least-once source applies each batch's
+    * winners as newest.
+    *
+    * Exactly-once row state under at-least-once foreachBatch, the
+    * runToMergeTable argument extended to deletes: a replayed batch
+    * re-upserts the same rows (last-wins, converges) and re-tombstones
+    * the same keys (tombstoning an absent key is a no-op) — the table
+    * converges to the same live rows either way. */
+  def runChangesToMergeTable(
+      spark: SparkSession, ops: DataFrame, tablePath: String,
+      checkpoint: String, keyCols: Seq[String] = Seq("key"),
+      seqCol: String = "seq", opCol: String = "op",
+      deleteValue: String = "D"): org.apache.spark.sql.streaming.StreamingQuery =
+    ops.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // one materialization (see run); empty batches commit nothing
+        batch.persist()
+        try {
+          if (batch.count() > 0)
+            applyCdcBatch(spark, batch.toDF(), tablePath, keyCols, seqCol,
+              opCol, deleteValue)
+          ()
+        } finally batch.unpersist()
+      }
+      .start()
+
+  /** One micro-batch of [[runChangesToMergeTable]]: reconcile the
+    * batch's ops per key, then route the winners to the two keyed
+    * writes. */
+  private[graft] def applyCdcBatch(
+      spark: SparkSession, batch: DataFrame, tablePath: String,
+      keyCols: Seq[String], seqCol: String, opCol: String,
+      deleteValue: String): Unit = {
+    val MT = graft.sources.MergeTable
+    // deterministic winner under replay (the mergeResponsesBatch
+    // rationale): seq first, content fingerprint breaking exact ties
+    val contentTie = xxhash64(
+      to_json(struct(batch.columns.map(col): _*))).asc
+    val winners = graft.operators.Dedup.firstWins(
+      batch, keyCols, Seq(col(seqCol).desc, contentTie)).persist()
+    try {
+      val ups = winners.filter(col(opCol) =!= deleteValue).drop(opCol)
+      val dels = winners.filter(col(opCol) === deleteValue)
+        .select(keyCols.map(col): _*)
+      if (ups.count() > 0) {
+        if (!MT.exists(spark, tablePath)) {
+          // init bypasses mergeLite's guards — enforce the NULL-key
+          // contract here (the mergeResponsesBatch rationale), and
+          // treat a lost exists→init race as "merge instead" per the
+          // OCC contract
+          require(ups.filter(keyCols.map(col(_).isNull).reduce(_ || _)).isEmpty,
+            s"batch contains NULL in key (${keyCols.mkString(",")}); " +
+              "merge-table keys must be non-null")
+          try { MT.init(spark, tablePath, ups, bloomKeys = keyCols); () }
+          catch {
+            case _: IllegalArgumentException |
+                 _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+              MT.mergeLite(spark, tablePath, ups, keyCols); ()
+          }
+        } else { MT.mergeLite(spark, tablePath, ups, keyCols); () }
+      }
+      // a delete against a never-initialized table removes nothing —
+      // and the exists re-check covers the init this very batch made
+      if (dels.count() > 0 && MT.exists(spark, tablePath)) {
+        MT.deleteLite(spark, tablePath, dels, keyCols); ()
+      }
+    } finally winners.unpersist()
+  }
+
   /** Run to a parquet `job_responses` sink with checkpointing; the
     * `foreachBatch` shape also side-publishes counts (the reference's
     * publish tap) via the provided callback. */

@@ -2492,6 +2492,59 @@ class MergeTableSpec extends SparkSpec {
       ch2.select($"content").as[String].head() === "changed")
   }
 
+  test("deleteWhereLite: predicate deletes ride the tombstone path, bit-equal to deleteWhere") {
+    val a = freshPath(); val b = freshPath()
+    val df = (1 to 2000)
+      .map(i => (i.toLong, if (i % 100 == 7) "bad" else "ok", s"payload $i"))
+      .toDF("id", "tag", "body")
+    MergeTable.init(spark, a, df)
+    MergeTable.init(spark, b, df)
+    // identical row-level state on both arms first: the predicate must
+    // see THROUGH the delta suppression and the prior tombstones
+    for (p <- Seq(a, b)) {
+      MergeTable.mergeLite(spark, p,
+        Seq((107L, "bad", "still bad"), (2001L, "bad", "delta-only bad"))
+          .toDF("id", "tag", "body"), Seq("id"))
+      MergeTable.deleteLite(spark, p, Seq(207L).toDF("id"), Seq("id"))
+    }
+    val before = MergeTable.snapshot(spark, a)
+    val sa = MergeTable.deleteWhereLite(spark, a, $"tag" === "bad", Seq("id"))
+    val sb = MergeTable.deleteWhere(spark, b, $"tag" === "bad")
+    // the lite arm writes NO base file: entries carried verbatim
+    val sna = MergeTable.snapshot(spark, a)
+    assert(sna.entries.map(_.path) === before.entries.map(_.path),
+      "predicate-lite must not rewrite base files")
+    assert(sna.deletes.nonEmpty, "the match lands as tombstones")
+    assert(sa.version === before.version + 1)
+    // bit-equal both ways
+    val ra = MergeTable.read(spark, a)
+    val rb = MergeTable.read(spark, b)
+    assert(ra.exceptAll(rb).isEmpty && rb.exceptAll(ra).isEmpty,
+      "deleteWhereLite must equal deleteWhere bit-for-bit")
+    // 2000 init + 1 delta insert - 1 prior tombstone = 2000 live; the
+    // predicate matches 19 base rows + the delta's two "bad" rows
+    // (id 107 superseded, id 2001 delta-only) minus nothing = 20
+    assert(ra.count() === 1980 && ra.filter($"tag" === "bad").count() === 0)
+    // an empty match commits nothing
+    val v = MergeTable.snapshot(spark, a).version
+    assert(MergeTable.deleteWhereLite(spark, a,
+      $"tag" === "absent", Seq("id")).version === v)
+    // past the delta budget the deleteLite fold takes over: the commit
+    // becomes the deferred rewrite (tombstones cleared, rows gone)
+    val c = freshPath()
+    MergeTable.init(spark, c, df)
+    MergeTable.deleteWhereLite(spark, c, $"id" <= 1000, Seq("id"),
+      maxDeltaRows = 10)
+    val snc = MergeTable.snapshot(spark, c)
+    assert(snc.deletes.isEmpty && snc.delta.isEmpty,
+      "a past-budget predicate delete folds instead of accumulating")
+    assert(MergeTable.read(spark, c).count() === 1000)
+    // composes with column mapping: predicate and keys by the new names
+    MergeTable.renameColumn(spark, c, "id", "doc_id")
+    MergeTable.deleteWhereLite(spark, c, $"doc_id" > 1990, Seq("doc_id"))
+    assert(MergeTable.read(spark, c).count() === 990)
+  }
+
   test("reader-version: an unknown manifest tag refuses loudly with an upgrade message") {
     val path = freshPath()
     MergeTable.init(spark, path, rows(1 to 5, "a"))
