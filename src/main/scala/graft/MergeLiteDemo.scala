@@ -391,6 +391,54 @@ object MergeLiteDemo {
       f"$wWhere%6.2f s (bloom-pruned discovery + per-file rewrites): " +
       f"${wWhere / wLite}%.1fx — both arms at ${cLite}%,d rows")
 
+    // phase 8 — TOMBSTONE CREEP under sequential small deletes (r16):
+    // a delete-heavy table accumulates tombstones one small deleteLite
+    // at a time; the read's suppression broadcast must stay FLAT (the
+    // key set is tiny) until the threshold-triggered fold clears it.
+    // 1000 single-key retractions — the sustained GDPR-queue shape —
+    // against the 40M scoped table, read wall sampled every 250.
+    println("phase 8 — 1000 sequential single-key deleteLites: read wall " +
+      "stays flat; foldIfTombstones clears at the threshold")
+    val delIds = spark.range(12, 1012)
+      .select((col("id") * (n / 1013)).as("id"))
+    val delKeys = responseRows(delIds).select("request_id")
+      .as[String].collect().toSeq
+    def readWall(): Double = {
+      dropCaches()
+      val t0 = System.nanoTime()
+      MergeTable.read(spark, scopedPath)
+        .agg(count(lit(1)), sum(length(col("ai_response")))).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(f"  read wall at ${0}%4d tombstones: ${readWall()}%6.2f s")
+    var deleteWall = 0.0
+    delKeys.zipWithIndex.foreach { case (k, i) =>
+      val t0 = System.nanoTime()
+      MergeTable.deleteLite(spark, scopedPath,
+        Seq(k).toDF("request_id"), Seq("request_id"))
+      deleteWall += (System.nanoTime() - t0) / 1e9
+      if ((i + 1) % 250 == 0) {
+        val p = MergeTable.rowLevelPressure(spark, scopedPath)
+        println(f"  read wall at ${i + 1}%4d tombstones: ${readWall()}%6.2f s " +
+          f"(pressure: ${p.tombstoneRows} tombstone rows in " +
+          f"${p.tombstoneFiles} file(s), scope ${p.scopeFiles} files; " +
+          f"cumulative delete wall $deleteWall%6.1f s)")
+      }
+    }
+    // threshold policy: under stays put, over folds — then reads are
+    // suppression-free again
+    require(MergeTable.foldIfTombstones(spark, scopedPath, 2000L).isEmpty,
+      "under-threshold must not fold")
+    val t8 = System.nanoTime()
+    val folded8 = MergeTable.foldIfTombstones(spark, scopedPath, 500L)
+    val wFold8 = (System.nanoTime() - t8) / 1e9
+    require(folded8.isDefined && !MergeTable.snapshot(spark, scopedPath).rowLevel,
+      "over-threshold must fold to a DV-free manifest")
+    println(f"  threshold fold: $wFold8%6.2f s " +
+      f"(rewrote ${folded8.get.filesRewritten} of " +
+      f"${MergeTable.snapshot(spark, scopedPath).entries.size} base files); " +
+      f"read wall after fold: ${readWall()}%6.2f s")
+
     graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(base))
     spark.stop()
   }

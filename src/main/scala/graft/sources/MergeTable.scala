@@ -1333,6 +1333,116 @@ object MergeTable {
       s"dropColumn at $path lost $maxRetries optimistic commits in a row")
   }
 
+  /** ROW-LEVEL PRESSURE of a table version — the numbers that grow
+    * until a fold clears them. The delta's and tombstones' key sets
+    * ride a broadcast on every read, so their ROW counts are the read
+    * tax (bounded by the maxDeltaRows budget, but only the budget
+    * cliff forces the fold today — this surface lets maintenance act
+    * BEFORE the cliff). Row counts come from parquet FOOTERS (row
+    * counts are footer metadata; zero data IO), sizes and file counts
+    * from the manifest alone. */
+  final case class RowLevelPressure(
+      version: Long,
+      deltaRows: Long, deltaFiles: Int, deltaBytes: Long,
+      tombstoneRows: Long, tombstoneFiles: Int, tombstoneBytes: Long,
+      scopeFiles: Int, unscoped: Boolean) {
+    /** What the maxDeltaRows budget counts: delta + tombstone rows. */
+    def rowLevelRows: Long = deltaRows + tombstoneRows
+  }
+
+  def rowLevelPressure(spark: SparkSession, path: String): RowLevelPressure = {
+    val snap = snapshot(spark, path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    RowLevelPressure(snap.version,
+      footerRowCount(conf, snap.delta), snap.delta.size,
+      snap.delta.map(_.size.max(0L)).sum,
+      footerRowCount(conf, snap.deletes), snap.deletes.size,
+      snap.deletes.map(_.size.max(0L)).sum,
+      snap.dvFiles.map(_.size)
+        .getOrElse(if (snap.rowLevel) snap.entries.size else 0),
+      unscoped = snap.rowLevel && snap.dvFiles.isEmpty)
+  }
+
+  /** Total row count from parquet footers — metadata-only, one open
+    * per file, parallel (the collectStats convention). */
+  private def footerRowCount(
+      conf: org.apache.hadoop.conf.Configuration,
+      entries: Seq[FileEntry]): Long = {
+    if (entries.isEmpty) return 0L
+    import scala.jdk.CollectionConverters._
+    val es = entries.toIndexedSeq
+    val total = new java.util.concurrent.atomic.AtomicLong(0L)
+    java.util.stream.IntStream.range(0, es.size).parallel().forEach { i =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new Path(es(i).path), conf))
+      try total.addAndGet(
+        r.getFooter.getBlocks.asScala.map(_.getRowCount).sum): Unit
+      finally r.close()
+    }
+    total.get()
+  }
+
+  /** Deliberate maintenance FOLD of the row-level state: absorb the
+    * delta rows into the base, drop every tombstoned row, and commit a
+    * DV-free manifest — the rewrite the budget was deferring, run on
+    * the operator's schedule instead of at the budget cliff. Rewrite
+    * cost ∝ the suppression scope (the scope-aware fold path), not the
+    * table. A no-op on tables without row-level state. Unlike
+    * [[compactTable]] this re-sorts nothing and rewrites only touched
+    * files. */
+  def foldRowLevel(
+      spark: SparkSession, path: String, maxRetries: Int = 5): MergeStats = {
+    val snap0 = snapshot(spark, path)
+    if (!snap0.rowLevel)
+      return MergeStats(snap0.version, snap0.entries.size, 0, 0, 0)
+    // a zero-row merge by the pinned keys routes through mergeOnce's
+    // fold branch (delta ⊎ nothing applied, tombstones removed)
+    val logicalKeys = snap0.dvKeys.map(snap0.colMap.logicalOf)
+    val st = merge(spark, path, read(spark, path).limit(0), logicalKeys,
+      maxRetries = maxRetries)
+    // inert row-level state (tombstones that provably suppress nothing
+    // and no delta) leaves the merge a no-op: clear the lines with a
+    // manifest-only commit, the deleteLite-fold convention
+    var attempt = 0
+    while (attempt < maxRetries) {
+      attempt += 1
+      val snap = snapshot(spark, path)
+      if (!snap.rowLevel)
+        return if (st.version >= snap.version) st
+          else MergeStats(snap.version, snap.entries.size, 0, 0, 0)
+      val (fs, root) = fsOf(spark, path)
+      try {
+        commit(fs, root, snap.version + 1,
+          encodeSnapshot(withSizes(fs, snap.entries), Nil, Nil,
+            stats = snap.stats,
+            schemaJson = Some(asNullableSchema(tableSchemaOf(spark, snap)).json),
+            colMap = snap.colMap))
+        return MergeStats(snap.version + 1, snap.entries.size, 0, 0, 0)
+      } catch {
+        case _: FileAlreadyExistsException => // lost the race: re-snapshot
+      }
+    }
+    throw new CommitConflict(
+      s"foldRowLevel at $path lost $maxRetries optimistic commits in a row")
+  }
+
+  /** The "fold before the cliff" policy (delete-heavy tables creep
+    * toward the maxDeltaRows budget one small deleteLite at a time;
+    * only the budget forced a fold before this): fold when the
+    * accumulated TOMBSTONE rows exceed `maxTombstoneRows` — one
+    * footer-metadata check per call, a scope-proportional rewrite only
+    * when triggered. Returns the fold's stats, or None when under the
+    * threshold. */
+  def foldIfTombstones(
+      spark: SparkSession, path: String,
+      maxTombstoneRows: Long): Option[MergeStats] = {
+    require(maxTombstoneRows >= 0, "maxTombstoneRows must be >= 0")
+    val p = rowLevelPressure(spark, path)
+    if (p.tombstoneRows > maxTombstoneRows) Some(foldRowLevel(spark, path))
+    else None
+  }
+
   /** Committed versions of the table, oldest first. */
   def versions(spark: SparkSession, path: String): Seq[Long] = {
     val (fs, root) = fsOf(spark, path)

@@ -2545,6 +2545,52 @@ class MergeTableSpec extends SparkSpec {
     assert(MergeTable.read(spark, c).count() === 990)
   }
 
+  test("rowLevelPressure + foldIfTombstones: footer-metadata telemetry; threshold fold clears tombstones; CDF across the fold stays correct") {
+    val path = freshPath()
+    MergeTable.init(spark, path, rows(1 to 1000, "a"))
+    MergeTable.mergeLite(spark, path, rows(10 to 14, "dv"), Seq("id"))    // v2
+    MergeTable.deleteLite(spark, path, (20L to 26L).toDF("id"), Seq("id")) // v3
+    val p = MergeTable.rowLevelPressure(spark, path)
+    assert(p.deltaRows === 5 && p.tombstoneRows === 7 && p.rowLevelRows === 12,
+      s"footer row counts: $p")
+    assert(p.deltaFiles >= 1 && p.tombstoneFiles === 1 &&
+      p.deltaBytes > 0 && p.tombstoneBytes > 0)
+    assert(!p.unscoped && p.scopeFiles >= 1, s"scoped state: $p")
+    // under threshold: no fold, no commit
+    assert(MergeTable.foldIfTombstones(spark, path, 100L).isEmpty)
+    assert(MergeTable.snapshot(spark, path).version === 3L)
+    // over threshold: the fold clears every piece of row-level state
+    assert(MergeTable.foldIfTombstones(spark, path, 5L).isDefined)
+    val snap = MergeTable.snapshot(spark, path)
+    assert(!snap.rowLevel, "the fold must commit a DV-free manifest")
+    assert(MergeTable.read(spark, path).count() === 993)
+    val p2 = MergeTable.rowLevelPressure(spark, path)
+    assert(p2.rowLevelRows === 0 && p2.scopeFiles === 0 && !p2.unscoped)
+    // CDF across the fold: carried rows cancel — the fold window
+    // reports nothing in either feed
+    assert(MergeTable.changesBetween(
+      spark, path, 3L, snap.version, Seq("id")).count() === 0)
+    assert(MergeTable.deletesBetween(
+      spark, path, 3L, snap.version, Seq("id")).count() === 0)
+    // and the whole lineage still reports the real churn
+    assert(MergeTable.deletesBetween(
+      spark, path, 1L, snap.version, Seq("id")).count() === 7)
+    assert(MergeTable.changesBetween(
+      spark, path, 1L, snap.version, Seq("id")).count() === 5)
+    // INERT tombstones (keys absent from the table) clear via the
+    // manifest-only branch
+    val q = freshPath()
+    MergeTable.init(spark, q, rows(1 to 10, "a"))
+    MergeTable.deleteLite(spark, q, Seq(999L).toDF("id"), Seq("id"))
+    assert(MergeTable.snapshot(spark, q).rowLevel)
+    MergeTable.foldRowLevel(spark, q)
+    assert(!MergeTable.snapshot(spark, q).rowLevel)
+    assert(MergeTable.read(spark, q).count() === 10)
+    // no-op on a DV-free table
+    val v = MergeTable.snapshot(spark, q).version
+    assert(MergeTable.foldRowLevel(spark, q).version === v)
+  }
+
   test("reader-version: an unknown manifest tag refuses loudly with an upgrade message") {
     val path = freshPath()
     MergeTable.init(spark, path, rows(1 to 5, "a"))
