@@ -2104,17 +2104,106 @@ object MergeTable {
         // measured 34 new files for a 1-file hit at 10M rows
         .coalesce(hit.size)
     val newFiles = writeBatch(spark, fs, root, replaced)
+    commitRaceHookForTest()
     // kept entries pass through withSizes: a legacy size-less table's
     // FIRST merge upgrades its manifest to the zero-listing read path
     // (and the recorded schema line upgrades it to zero-IO opens)
-    commit(fs, root, baseVersion + 1,
-      encodeSnapshot(withSizes(fs, kept) ++ newFiles, Nil, Nil,
-        stats = carriedStats(
-          spark.sparkContext.hadoopConfiguration, snapStats, kept,
-          newFiles),
-        schemaJson = Some(asNullableSchema(widened).json),
-        colMap = colMap0)) // throws on race
-    MergeStats(baseVersion + 1, kept.size, hit.size, newFiles.size, nU)
+    try {
+      commit(fs, root, baseVersion + 1,
+        encodeSnapshot(withSizes(fs, kept) ++ newFiles, Nil, Nil,
+          stats = carriedStats(
+            spark.sparkContext.hadoopConfiguration, snapStats, kept,
+            newFiles),
+          schemaJson = Some(asNullableSchema(widened).json),
+          colMap = colMap0)) // throws on race
+      MergeStats(baseVersion + 1, kept.size, hit.size, newFiles.size, nU)
+    } catch {
+      case e: FileAlreadyExistsException =>
+        // lost the OCC race. INSERT-ONLY commits (no file hit, no keys
+        // removed) can try the disjointness REBASE instead of the full
+        // re-attempt; everything else re-runs whole (merge()'s loop).
+        (if (hit.isEmpty && removeKeys.isEmpty && nU > 0)
+           rebaseInsertOnly(spark, fs, root, u, keyCols, nU, newFiles,
+             widened, colMap0, baseEntries)
+         else None).getOrElse(throw e)
+    }
+  }
+
+  /** Test seam for the OCC race (no-op in production): runs after a
+    * rewrite-merge's batch files land and before its commit — the
+    * window a concurrent winner occupies. Single-threaded test use
+    * only; the hook must reset itself before committing anything or
+    * the inner write recurses into it. */
+  private[graft] var commitRaceHookForTest: () => Unit = () => ()
+
+  /** REBASE of a lost insert-only commit onto the winner's tip —
+    * multi-writer reconciliation, the provably-safe case (Delta's
+    * disjoint-commit reconciliation, miniature).
+    *
+    * INVARIANT ANALYSIS — why these four checks make the rebase sound:
+    * an insert-only commit's only claims are (1) "my keys exist
+    * nowhere in the table" (discovery proved it against MY base) and
+    * (2) "my new files carry schema `widened` under mapping `colMap0`".
+    * Files are immutable, so (1) stays proven for every file CARRIED
+    * from my base; it can only break in files the winner ADDED — hence
+    * the key probe over exactly `tip − base` (cost ∝ the winner's
+    * churn, not the table; their insert/merge batch in the common
+    * case). (2) breaks only if the winner changed the recorded schema
+    * or the column mapping — both refused by exact equality. ROW-LEVEL
+    * state is refused whole: a winner's tombstone for one of my keys
+    * has no defined order against my insert (their delete neither
+    * precedes nor follows my row), and a winner's delta key hides
+    * row-level state the base-file probe can't see — key overlap, not
+    * file overlap, is the real conflict variable once suppression
+    * exists. A torn rebase (crash between validation and commit)
+    * leaves the winner's tip untouched and my batch files orphaned —
+    * vacuum-reclaimable, never referenced; the table stays readable
+    * because the commit itself is the same atomic manifest publish
+    * every writer uses.
+    *
+    * Returns None when any check refuses — the caller falls back to
+    * the full re-attempt, which re-runs discovery against the new tip
+    * (today's always-correct path). */
+  private def rebaseInsertOnly(
+      spark: SparkSession, fs: FileSystem, root: Path,
+      u: DataFrame, keyCols: Seq[String], nU: Long,
+      newFiles: Seq[FileEntry],
+      widened: org.apache.spark.sql.types.StructType,
+      colMap0: ColMap, baseEntries: Seq[FileEntry]): Option[MergeStats] = {
+    val mySchemaJson = Some(asNullableSchema(widened).json)
+    var attempt = 0
+    while (attempt < 3) {
+      attempt += 1
+      val tip = snapshot(spark, root.toString)
+      if (tip.rowLevel) return None
+      if (tip.schemaJson != mySchemaJson) return None
+      if (tip.colMap != colMap0) return None
+      val baseSet = baseEntries.map(e => normalize(e.path)).toSet
+      val mineSet = newFiles.map(e => normalize(e.path)).toSet
+      val added = tip.entries.filterNot(e =>
+        baseSet.contains(normalize(e.path)) ||
+          mineSet.contains(normalize(e.path)))
+      if (added.nonEmpty) {
+        val overlap = relationFor(spark, withSizes(fs, added), tip.stats,
+            Some(widened))
+          .join(broadcast(u.select(keyCols.map(col): _*)), keyCols, "left_semi")
+          .limit(1).count()
+        if (overlap > 0) return None // stale insert-only claim: replay whole
+      }
+      try {
+        commit(fs, root, tip.version + 1,
+          encodeSnapshot(withSizes(fs, tip.entries) ++ newFiles, Nil, Nil,
+            stats = carriedStats(spark.sparkContext.hadoopConfiguration,
+              tip.stats, tip.entries, newFiles),
+            schemaJson = tip.schemaJson,
+            colMap = tip.colMap))
+        return Some(MergeStats(tip.version + 1, tip.entries.size, 0,
+          newFiles.size, nU))
+      } catch {
+        case _: FileAlreadyExistsException => // another winner: re-validate
+      }
+    }
+    None
   }
 
   /** Legacy-manifest migration at commit time (closing the r13 gap): an

@@ -2591,6 +2591,72 @@ class MergeTableSpec extends SparkSpec {
     assert(MergeTable.foldRowLevel(spark, q).version === v)
   }
 
+  test("multi-writer OCC: a lost insert-only commit rebases onto a disjoint winner in one attempt") {
+    val path = freshPath()
+    MergeTable.init(spark, path, rows(1 to 100, "a"))             // v1
+    // inject a concurrent winner in the loser's write→commit window;
+    // the hook resets itself first (the seam's recursion contract)
+    MergeTable.commitRaceHookForTest = () => {
+      MergeTable.commitRaceHookForTest = () => ()
+      MergeTable.merge(spark, path, rows(200 to 209, "winner"), Seq("id")); ()
+    }
+    val st =
+      try MergeTable.merge(spark, path, rows(300 to 309, "loser"), Seq("id"))
+      finally MergeTable.commitRaceHookForTest = () => ()
+    assert(st.version === 3L && st.filesRewritten === 0,
+      s"the rebase lands right after the winner: $st")
+    val got = MergeTable.read(spark, path)
+    assert(got.count() === 120)
+    assert(got.filter($"tag" === "winner").count() === 10)
+    assert(got.filter($"tag" === "loser").count() === 10)
+    // REBASE evidence (vs a silent full re-attempt): every part file on
+    // disk is referenced by the tip — a re-attempt would have abandoned
+    // the loser's first batch as an orphan
+    val tipNames = MergeTable.snapshot(spark, path).entries
+      .map(e => new org.apache.hadoop.fs.Path(e.path).getName).toSet
+    val onDisk = new java.io.File(path, "data").listFiles
+      .filter(_.isDirectory).flatMap(_.listFiles)
+      .filter(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(onDisk === tipNames,
+      "the loser must reuse its written batch (no orphan files)")
+  }
+
+  test("multi-writer OCC: key overlap and row-level winners refuse the rebase and serialize correctly") {
+    // overlapping keys: the loser's insert-only claim went stale — the
+    // full re-attempt must RE-DISCOVER and replace, never duplicate
+    val p2 = freshPath()
+    MergeTable.init(spark, p2, rows(1 to 100, "a"))
+    MergeTable.commitRaceHookForTest = () => {
+      MergeTable.commitRaceHookForTest = () => ()
+      MergeTable.merge(spark, p2, rows(150 to 150, "winner"), Seq("id")); ()
+    }
+    try MergeTable.merge(spark, p2, rows(150 to 150, "loser"), Seq("id"))
+    finally MergeTable.commitRaceHookForTest = () => ()
+    val g2 = MergeTable.read(spark, p2)
+    assert(g2.count() === 101)
+    assert(g2.filter($"id" === 150L).count() === 1,
+      "overlapping concurrent inserts must serialize, never duplicate")
+    assert(g2.filter($"id" === 150L).select($"tag").as[String].head() === "loser",
+      "the retried writer is newest and wins")
+    // a winner that leaves ROW-LEVEL state refuses the rebase (key
+    // overlap, not file overlap, is the conflict variable once
+    // suppression exists) — the retry folds it, today's correct path
+    val p3 = freshPath()
+    MergeTable.init(spark, p3, rows(1 to 100, "a"))
+    MergeTable.commitRaceHookForTest = () => {
+      MergeTable.commitRaceHookForTest = () => ()
+      MergeTable.mergeLite(spark, p3, rows(50 to 50, "dv"), Seq("id")); ()
+    }
+    try MergeTable.merge(spark, p3, rows(400 to 404, "b"), Seq("id"))
+    finally MergeTable.commitRaceHookForTest = () => ()
+    val g3 = MergeTable.read(spark, p3)
+    assert(g3.count() === 105) // 100 + 5 inserts; id 50 was a replace
+    assert(g3.filter($"id" === 50L).select($"tag").as[String].head() === "dv")
+    assert(!MergeTable.snapshot(spark, p3).rowLevel,
+      "the loser's retry folds the winner's row-level state")
+  }
+
   test("reader-version: an unknown manifest tag refuses loudly with an upgrade message") {
     val path = freshPath()
     MergeTable.init(spark, path, rows(1 to 5, "a"))
