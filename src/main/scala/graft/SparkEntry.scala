@@ -1709,6 +1709,48 @@ object SparkEntry {
       out
     }),
 
+    "q147_image_dhash" -> ((s, d) => {
+      // PERCEPTUAL IMAGE HASHES (dHash/aHash) — integer-exact from raw
+      // RGB24 pixels: fixed-point BT.601 luma, integer box-mean onto
+      // the 9x8 / 8x8 grids, gradient/mean bits packed into a long.
+      // The pixel GENERATION below is the deterministic fake decode
+      // (the multimodal stub convention — codecs are the documented
+      // connector boundary); everything from pixels down is the real
+      // codegen expression, and DuckDB re-derives the exact 64-bit
+      // values from the same integer algebra. Same-seed doc_ids get
+      // identical images, so the hash classes are the image near-dup
+      // classes Multimodal.imageNearDups pairs (banded-join exactness
+      // is spec-pinned; this row pins the kernel bits).
+      import s.implicits._
+      val ids = T.documents(s, d)
+        .filter(col("text").isNotNull && col("doc_id") < 350)
+        .select(col("doc_id")).as[Long]
+      val imgs = ids.mapPartitions(_.map { id =>
+        val seed = (id % 50).toInt
+        val w = 16 + seed % 7
+        val h = 16 + seed % 5
+        val buf = new Array[Byte](w * h * 3)
+        var i = 0; var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            buf(i) = ((seed * 31 + x * 7 + y * 13) % 256).toByte
+            buf(i + 1) = ((seed * 17 + x * 11 + y * 3) % 256).toByte
+            buf(i + 2) = ((seed * 23 + x * 5 + y * 19) % 256).toByte
+            i += 3; x += 1
+          }
+          y += 1
+        }
+        (id, w, h, buf)
+      }).toDF("doc_id", "w", "h", "rgb")
+      imgs.select(col("doc_id"),
+        graft.functions.ImageFunctions.dhash64(col("w"), col("h"), col("rgb"))
+          .as("dhash"),
+        graft.functions.ImageFunctions.ahash64(col("w"), col("h"), col("rgb"))
+          .as("ahash"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q130_append_sink" -> ((s, d) => {
       // S3 (row insert / append sink): two successive mode("append")
       // parquet writes must ACCUMULATE — the second preserves the
@@ -2775,6 +2817,52 @@ object SparkEntry {
         |SELECT doc_id, lang FROM m1
         |WHERE doc_id % 7 <> 3
         |ORDER BY doc_id""".stripMargin,
+
+    // q147: the full dHash/aHash integer algebra re-derived in SQL —
+    // pixels from the same seed formulas, fixed-point BT.601 luma,
+    // integer box-mean cells over the forward map, gradient/mean bits
+    // summed into the two's-complement long (bit 63 via HUGEINT to
+    // dodge DuckDB's signed-shift overflow)
+    "q147_image_dhash" ->
+      """WITH docs AS (
+        |  SELECT doc_id, 16 + (doc_id % 50) % 7 AS w,
+        |    16 + (doc_id % 50) % 5 AS h, doc_id % 50 AS seed
+        |  FROM documents WHERE text IS NOT NULL AND doc_id < 350),
+        |px AS (
+        |  SELECT doc_id, w, h, ty.y, tx.x,
+        |    ((seed*31 + tx.x*7 + ty.y*13) % 256) AS r,
+        |    ((seed*17 + tx.x*11 + ty.y*3) % 256) AS g,
+        |    ((seed*23 + tx.x*5 + ty.y*19) % 256) AS b
+        |  FROM docs, LATERAL (SELECT unnest(range(0, h)) AS y) ty,
+        |             LATERAL (SELECT unnest(range(0, w)) AS x) tx),
+        |lum AS (SELECT doc_id, w, h, y, x,
+        |        (299*r + 587*g + 114*b) // 1000 AS l FROM px),
+        |dc AS (SELECT doc_id, (y*8)//h AS ci, (x*9)//w AS cj,
+        |         sum(l)//count(*) AS cell
+        |       FROM lum GROUP BY 1, 2, 3),
+        |db AS (SELECT a.doc_id,
+        |         sum(CASE WHEN a.cell > b.cell THEN
+        |               CASE WHEN a.ci*8 + a.cj = 63
+        |                    THEN -9223372036854775808::HUGEINT
+        |                    ELSE (1::BIGINT << (a.ci*8 + a.cj))::HUGEINT END
+        |             ELSE 0::HUGEINT END)::BIGINT AS dhash
+        |       FROM dc a JOIN dc b ON a.doc_id = b.doc_id AND a.ci = b.ci
+        |         AND b.cj = a.cj + 1
+        |       WHERE a.cj < 8 GROUP BY 1),
+        |ac AS (SELECT doc_id, (y*8)//h AS ci, (x*8)//w AS cj,
+        |         sum(l)//count(*) AS cell
+        |       FROM lum GROUP BY 1, 2, 3),
+        |am AS (SELECT doc_id, sum(cell)//64 AS mean FROM ac GROUP BY 1),
+        |ab AS (SELECT ac.doc_id,
+        |         sum(CASE WHEN cell > mean THEN
+        |               CASE WHEN ac.ci*8 + ac.cj = 63
+        |                    THEN -9223372036854775808::HUGEINT
+        |                    ELSE (1::BIGINT << (ac.ci*8 + ac.cj))::HUGEINT END
+        |             ELSE 0::HUGEINT END)::BIGINT AS ahash
+        |       FROM ac JOIN am ON ac.doc_id = am.doc_id GROUP BY 1)
+        |SELECT d.doc_id, db.dhash, ab.ahash FROM docs d
+        |JOIN db ON d.doc_id = db.doc_id JOIN ab ON d.doc_id = ab.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // the same double arithmetic as temperatureMix, then the q62 md5
     // membership test against the derived per-stratum threshold; a

@@ -1,0 +1,157 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+
+import ExprBridge.{toColumn, toExpr}
+
+/** PERCEPTUAL image hashes over DECODED pixel buffers — the standard
+  * training-data image dedup keys (dHash/aHash): a byte-level key
+  * (sha256, [[BinaryFunctions.byteHistogram]]) misses a RE-ENCODED
+  * duplicate, while a hash of the downscaled luma grid survives
+  * re-encoding, mild recompression, and small edits, and near-dups
+  * land within a small Hamming distance — joinable at scale with the
+  * same 4×16-bit banding the text SimHash path uses
+  * ([[graft.operators.Dedup.simHashNearDups]]).
+  *
+  * Input is the DECODE KERNEL's output contract: a row-major RGB24
+  * buffer (3 bytes per pixel) plus width/height — the shape
+  * [[graft.multimodal.Multimodal.Kernel]] implementations produce.
+  * The codec step itself stays the documented connector boundary
+  * (this container carries no image codecs); everything from raw
+  * pixels down is real, integer-exact, and engine-portable: luma is
+  * the fixed-point BT.601 weighting `(299r + 587g + 114b) / 1000`,
+  * the downscale is an integer box-mean over the forward cell map
+  * `(y*gh/h, x*gw/w)`, and every division floors — so an oracle can
+  * re-derive the exact bits with integer SQL (the q147 row does).
+  *
+  * Malformed inputs (buffer length ≠ w*h*3, or an image smaller than
+  * the grid) hash to NULL — no hash, never a wrong one.
+  */
+object ImageFunctions {
+  /** 64-bit difference hash: 8×9 luma grid, bit(i,j) = cell(i,j) >
+    * cell(i,j+1). Gradient-based — robust to global brightness shifts. */
+  def dhash64(width: Column, height: Column, rgb: Column): Column =
+    toColumn(ImageHash64(toExpr(width), toExpr(height), toExpr(rgb),
+      difference = true))
+
+  /** 64-bit average hash: 8×8 luma grid, bit = cell > grid mean. */
+  def ahash64(width: Column, height: Column, rgb: Column): Column =
+    toColumn(ImageHash64(toExpr(width), toExpr(height), toExpr(rgb),
+      difference = false))
+}
+
+/** Static kernel callable from generated Java. Boxed return: null =
+  * malformed input (the expression's NULL contract). */
+object ImageHashUtil {
+
+  /** Integer box-mean luma grid (gw × gh, row-major): every pixel
+    * lands in cell (y*gh/h, x*gw/w); cell value = sum(luma)/count,
+    * all divisions flooring — bit-reproducible in any integer SQL. */
+  private def lumaCells(
+      w: Int, h: Int, rgb: Array[Byte], gw: Int, gh: Int): Array[Long] = {
+    val sums = new Array[Long](gw * gh)
+    val counts = new Array[Long](gw * gh)
+    var y = 0
+    var idx = 0
+    while (y < h) {
+      val ci = y * gh / h
+      var x = 0
+      while (x < w) {
+        val cj = x * gw / w
+        val r = rgb(idx) & 0xFF
+        val g = rgb(idx + 1) & 0xFF
+        val b = rgb(idx + 2) & 0xFF
+        val c = ci * gw + cj
+        sums(c) += (299 * r + 587 * g + 114 * b) / 1000
+        counts(c) += 1
+        idx += 3
+        x += 1
+      }
+      y += 1
+    }
+    var i = 0
+    while (i < sums.length) { sums(i) /= counts(i); i += 1 }
+    sums
+  }
+
+  def dhash64(w: Int, h: Int, rgb: Array[Byte]): java.lang.Long = {
+    if (rgb == null || w < 9 || h < 8 || rgb.length != w * h * 3) return null
+    val cells = lumaCells(w, h, rgb, 9, 8)
+    var bits = 0L
+    var i = 0
+    while (i < 8) {
+      var j = 0
+      while (j < 8) {
+        if (cells(i * 9 + j) > cells(i * 9 + j + 1)) bits |= 1L << (i * 8 + j)
+        j += 1
+      }
+      i += 1
+    }
+    java.lang.Long.valueOf(bits)
+  }
+
+  def ahash64(w: Int, h: Int, rgb: Array[Byte]): java.lang.Long = {
+    if (rgb == null || w < 8 || h < 8 || rgb.length != w * h * 3) return null
+    val cells = lumaCells(w, h, rgb, 8, 8)
+    var sum = 0L
+    var i = 0
+    while (i < 64) { sum += cells(i); i += 1 }
+    val mean = sum / 64
+    var bits = 0L
+    i = 0
+    while (i < 64) {
+      if (cells(i) > mean) bits |= 1L << i
+      i += 1
+    }
+    java.lang.Long.valueOf(bits)
+  }
+}
+
+case class ImageHash64(
+    w: Expression, h: Expression, px: Expression,
+    difference: Boolean) extends TernaryExpression {
+
+  override def first: Expression = w
+  override def second: Expression = h
+  override def third: Expression = px
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (w.dataType, h.dataType, px.dataType) match {
+      case (IntegerType, IntegerType, BinaryType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (int, int, binary), got " +
+          s"(${a.catalogString}, ${b.catalogString}, ${c.catalogString})")
+    }
+
+  override def dataType: DataType = LongType
+  // NULL on malformed buffers (the no-wrong-hash contract), beyond the
+  // null-in-null-out TernaryExpression default
+  override def nullable: Boolean = true
+  override def prettyName: String = if (difference) "dhash64" else "ahash64"
+
+  private def fn: String = if (difference) "dhash64" else "ahash64"
+
+  override def nullSafeEval(w: Any, h: Any, p: Any): Any =
+    if (difference)
+      ImageHashUtil.dhash64(w.asInstanceOf[Int], h.asInstanceOf[Int],
+        p.asInstanceOf[Array[Byte]])
+    else
+      ImageHashUtil.ahash64(w.asInstanceOf[Int], h.asInstanceOf[Int],
+        p.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (w, h, p) => s"""
+      java.lang.Long r = graft.functions.ImageHashUtil.$fn($w, $h, $p);
+      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.longValue(); }
+    """)
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): Expression =
+    copy(w = newFirst, h = newSecond, px = newThird)
+}

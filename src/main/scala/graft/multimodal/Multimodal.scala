@@ -175,6 +175,29 @@ object Multimodal {
     * returning: the (small — dup pairs only) result is materialized as
     * its own checkpoint, which the caller may free with
     * [[graft.util.Checkpoints.free]] once consumed. */
+  /** PERCEPTUAL image near-dup pairs over DECODED pixel buffers: a
+    * dHash per image ([[graft.functions.ImageFunctions.dhash64]] —
+    * codegen, integer-exact), then the same 4×16-bit banded Hamming
+    * join the text SimHash path uses
+    * ([[graft.operators.Dedup.bandedHammingPairs]] — exact recall at
+    * hamming <= 3 by pigeonhole). This is the key [[binaryNearDups]]
+    * cannot provide: its byte histogram is codec-sensitive, so a
+    * RE-ENCODED duplicate image escapes it; the luma-grid gradient
+    * survives re-encoding and mild edits. Images smaller than the
+    * 9×8 grid (or with malformed buffers) hash to NULL and are
+    * excluded, never mis-paired. Input columns: an id, int width/
+    * height, and the decode kernel's row-major RGB24 payload. */
+  def imageNearDups(
+      df: DataFrame, idCol: String, widthCol: String, heightCol: String,
+      rgbCol: String, maxHamming: Int = 3): DataFrame =
+    graft.operators.Dedup.bandedHammingPairs(
+      df.select(col(idCol).as("id"),
+        graft.functions.ImageFunctions.dhash64(
+          col(widthCol).cast("int"), col(heightCol).cast("int"),
+          col(rgbCol)).as("fp"))
+        .filter(col("fp").isNotNull),
+      maxHamming)
+
   def binaryNearDups(
       df: DataFrame, idCol: String, payloadCol: String,
       minCosine: Double = 0.995, bins: Int = 64, clusters: Int = 16): DataFrame = {

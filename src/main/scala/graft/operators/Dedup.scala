@@ -258,21 +258,34 @@ object Dedup {
     * return the same pair set. */
   def simHashNearDups(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3): DataFrame =
+    bandedHammingPairs(
+      df.select(col(idCol).as("id"),
+        HashExpressions.simhash64Md5(TextFunctions.words(col(textCol))).as("fp")),
+      maxHamming)
+
+  /** Banded Hamming PAIR JOIN over 64-bit fingerprints — the band
+    * machinery of [[simHashNearDups]], factored out so every 64-bit
+    * perceptual key rides it (text SimHash here; image dHash via
+    * [[graft.multimodal.Multimodal.imageNearDups]]). `fp` must carry
+    * (id, fp); two ids pair when hamming(fp_a, fp_b) <= maxHamming.
+    * Pigeonhole recall guarantee: at hamming <= 3, at least one of the
+    * four 16-bit bands is equal — the banded join is EXACT, never a
+    * candidate-losing approximation.
+    *
+    * Band-bucket SELF-JOIN, same shape as minHashNearDupsFromShingles.
+    * The earlier bucket-aggregate (collect_list per bucket, nested
+    * transform to pairs) built each bucket's whole k²/2 pair array
+    * inside ONE aggregation row — a degenerate bucket (1M empty-text
+    * docs share a fingerprint on a dirty crawl) OOMs the executor on
+    * a single row. The join produces the same pairs but STREAMS them;
+    * the (id, band, bucket, fp) table is materialized once because the
+    * join consumes it twice (Spark does not reuse the subtree across
+    * join sides). */
+  private[graft] def bandedHammingPairs(
+      fp: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming <= 3,
       s"maxHamming=$maxHamming exceeds the 4x16-bit banding recall guarantee (<=3)")
-    val fp = df.select(col(idCol).as("id"),
-      HashExpressions.simhash64Md5(TextFunctions.words(col(textCol))).as("fp"))
-
-    // Band-bucket SELF-JOIN, same shape as minHashNearDupsFromShingles.
-    // The earlier bucket-aggregate (collect_list per bucket, nested
-    // transform to pairs) built each bucket's whole k²/2 pair array
-    // inside ONE aggregation row — a degenerate bucket (1M empty-text
-    // docs share a fingerprint on a dirty crawl) OOMs the executor on
-    // a single row. The join produces the same pairs but STREAMS them;
-    // the (id, band, bucket, fp) table is materialized once because the
-    // join consumes it twice (Spark does not reuse the subtree across
-    // join sides).
     val banded = fp.select(
       posexplode(array((0 until 4).map(b =>
         shiftright(col("fp"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{ImageFunctions, ImageHashUtil}
+import graft.multimodal.Multimodal
+
+/** Perceptual image hashing (dHash/aHash) over decoded RGB24 buffers
+  * and the banded Hamming pair join — the image-dedup key a byte-level
+  * fingerprint cannot provide (re-encoded duplicates escape it). */
+class ImageHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** RGB24 buffer where every pixel is gray value `lum(x, y)` — with
+    * r=g=b=v the BT.601 fixed-point luma is exactly v, so the test
+    * controls the luma plane directly. */
+  private def gray(w: Int, h: Int)(lum: (Int, Int) => Int): Array[Byte] = {
+    val buf = new Array[Byte](w * h * 3)
+    var i = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = lum(x, y).toByte
+        buf(i) = v; buf(i + 1) = v; buf(i + 2) = v
+        i += 3; x += 1
+      }
+      y += 1
+    }
+    buf
+  }
+
+  test("dhash64: on a 9x8 image the cells ARE the pixels — bits hand-checkable") {
+    // luma rises with x on even rows, falls on odd rows: bit(i,j) =
+    // cell(i,j) > cell(i,j+1) = (i odd)
+    val img = gray(9, 8)((x, y) => if (y % 2 == 0) x * 10 else 250 - x * 10)
+    val expected = (0 until 8).foldLeft(0L) { (acc, i) =>
+      if (i % 2 == 1) acc | (0xFFL << (i * 8)) else acc
+    }
+    assert(ImageHashUtil.dhash64(9, 8, img) === expected)
+    // and through the CODEGEN expression over a DataFrame
+    val got = Seq((1L, 9, 8, img)).toDF("id", "w", "h", "rgb")
+      .select(ImageFunctions.dhash64($"w", $"h", $"rgb").as("d"))
+      .as[Long].head()
+    assert(got === expected, "codegen and kernel must agree")
+  }
+
+  test("dhash64 is brightness-shift invariant; ahash64 flags the mean split") {
+    val base = gray(18, 16)((x, y) => 40 + x * 9 + y * 3)
+    val brighter = gray(18, 16)((x, y) => 41 + x * 9 + y * 3) // +1 everywhere
+    val d0 = ImageHashUtil.dhash64(18, 16, base)
+    assert(d0 === ImageHashUtil.dhash64(18, 16, brighter),
+      "a global brightness shift must not move the gradient hash")
+    // aHash: left half dark, right half bright → low-j bits clear,
+    // high-j bits set in every row (8x8 grid over a 16-wide image)
+    val split = gray(16, 16)((x, _) => if (x < 8) 10 else 200)
+    val a = ImageHashUtil.ahash64(16, 16, split)
+    for (i <- 0 until 8; j <- 0 until 8)
+      assert(((a >> (i * 8 + j)) & 1L) === (if (j >= 4) 1L else 0L),
+        s"bit ($i,$j) of the split image")
+  }
+
+  test("malformed buffers hash to NULL, never a wrong value") {
+    assert(ImageHashUtil.dhash64(9, 8, new Array[Byte](5)) === null)
+    assert(ImageHashUtil.dhash64(8, 8, new Array[Byte](8 * 8 * 3)) === null,
+      "narrower than the 9-wide grid")
+    assert(ImageHashUtil.ahash64(7, 8, new Array[Byte](7 * 8 * 3)) === null)
+    val df = Seq(
+      (1L, 9, 8, gray(9, 8)((x, _) => x)),
+      (2L, 9, 8, new Array[Byte](3)), // torn buffer
+      (3L, 4, 4, gray(4, 4)((_, _) => 7))) // smaller than the grid
+      .toDF("id", "w", "h", "rgb")
+      .select($"id", ImageFunctions.dhash64($"w", $"h", $"rgb").as("d"))
+    assert(df.filter($"d".isNull).select($"id").as[Long].collect().sorted
+      === Array(2L, 3L))
+  }
+
+  test("imageNearDups: banded pairs equal brute-force pairs; re-encoded duplicates caught") {
+    // 120 images in 30 classes; within a class the image repeats with a
+    // +1 brightness shift (the re-encode stand-in) — dHash identical,
+    // byte content different
+    val imgs = (0 until 120).map { i =>
+      val seed = i % 30
+      val w = 12 + seed % 5
+      val h = 10 + seed % 4
+      (i.toLong, w, h, gray(w, h)((x, y) =>
+        (20 + ((seed * 31 + x * 7 + y * 13) % 200) + i / 30) % 256))
+    }.toDF("id", "w", "h", "rgb")
+    val pairs = Multimodal.imageNearDups(imgs, "id", "w", "h", "rgb",
+      maxHamming = 3)
+    // brute force over the same hashes
+    val fp = imgs.select($"id",
+      ImageFunctions.dhash64($"w", $"h", $"rgb").as("fp"))
+    val brute = fp.as("a").join(fp.as("b"), $"a.id" < $"b.id")
+      .withColumn("hamming", bit_count($"a.fp".bitwiseXOR($"b.fp")))
+      .filter($"hamming" <= 3)
+      .select($"a.id".as("id_a"), $"b.id".as("id_b"), $"hamming")
+    assert(pairs.exceptAll(brute).isEmpty && brute.exceptAll(pairs).isEmpty,
+      "the 4x16 banding must be exact at hamming <= 3")
+    // every same-class pair is found despite differing bytes
+    val n = pairs.count()
+    assert(n >= 30L * (4 * 3) / 2,
+      s"same-class (re-encoded) duplicates must pair: got $n")
+  }
+}
