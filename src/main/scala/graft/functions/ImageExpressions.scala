@@ -79,7 +79,11 @@ object ImageHashUtil {
   }
 
   def dhash64(w: Int, h: Int, rgb: Array[Byte]): java.lang.Long = {
-    if (rgb == null || w < 9 || h < 8 || rgb.length != w * h * 3) return null
+    // length check in LONG: corrupt metadata (w=h=37838) wraps w*h*3
+    // around Int and a matching buffer would pass the guard, then
+    // lumaCells walks past the array — crash, not the NULL contract
+    if (rgb == null || w < 9 || h < 8 ||
+      rgb.length.toLong != w.toLong * h * 3) return null
     val cells = lumaCells(w, h, rgb, 9, 8)
     var bits = 0L
     var i = 0
@@ -95,7 +99,8 @@ object ImageHashUtil {
   }
 
   def ahash64(w: Int, h: Int, rgb: Array[Byte]): java.lang.Long = {
-    if (rgb == null || w < 8 || h < 8 || rgb.length != w * h * 3) return null
+    if (rgb == null || w < 8 || h < 8 ||
+      rgb.length.toLong != w.toLong * h * 3) return null // (dhash64 note)
     val cells = lumaCells(w, h, rgb, 8, 8)
     var sum = 0L
     var i = 0

@@ -158,23 +158,6 @@ object Multimodal {
     df.repartitionByRange(partitions, col("kind"),
       ceil(log2(length(col("payload")) + 1)))
 
-  /** REAL codec-free binary near-dup: normalized byte-histogram
-    * features (codegen expression, no decode stub) bucketed by k-means
-    * and verified by cosine within buckets — byte-identical copies and
-    * lightly-corrupted variants (flipped bytes, truncated tails) land
-    * at cosine ≈ 1, while genuinely different payloads separate. Routes
-    * straight into [[graft.operators.Dedup.embeddingNearDups]].
-    *
-    * EMPTY (and null) payloads are excluded, not paired: their all-zero
-    * histogram has no direction, so "similarity" is undefined — route
-    * them to exact hash dedup ([[audit]]'s sha256) instead.
-    *
-    * The histogram scan is checkpointed once — k-means, assignment and
-    * both sides of the verify self-join otherwise each re-hash every
-    * payload byte. The big histogram checkpoint is RELEASED before
-    * returning: the (small — dup pairs only) result is materialized as
-    * its own checkpoint, which the caller may free with
-    * [[graft.util.Checkpoints.free]] once consumed. */
   /** PERCEPTUAL image near-dup pairs over DECODED pixel buffers: a
     * dHash per image ([[graft.functions.ImageFunctions.dhash64]] —
     * codegen, integer-exact), then the same 4×16-bit banded Hamming
@@ -198,6 +181,23 @@ object Multimodal {
         .filter(col("fp").isNotNull),
       maxHamming)
 
+  /** REAL codec-free binary near-dup: normalized byte-histogram
+    * features (codegen expression, no decode stub) bucketed by k-means
+    * and verified by cosine within buckets — byte-identical copies and
+    * lightly-corrupted variants (flipped bytes, truncated tails) land
+    * at cosine ≈ 1, while genuinely different payloads separate. Routes
+    * straight into [[graft.operators.Dedup.embeddingNearDups]].
+    *
+    * EMPTY (and null) payloads are excluded, not paired: their all-zero
+    * histogram has no direction, so "similarity" is undefined — route
+    * them to exact hash dedup ([[audit]]'s sha256) instead.
+    *
+    * The histogram scan is checkpointed once — k-means, assignment and
+    * both sides of the verify self-join otherwise each re-hash every
+    * payload byte. The big histogram checkpoint is RELEASED before
+    * returning: the (small — dup pairs only) result is materialized as
+    * its own checkpoint, which the caller may free with
+    * [[graft.util.Checkpoints.free]] once consumed. */
   def binaryNearDups(
       df: DataFrame, idCol: String, payloadCol: String,
       minCosine: Double = 0.995, bins: Int = 64, clusters: Int = 16): DataFrame = {

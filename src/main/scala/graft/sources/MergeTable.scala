@@ -272,6 +272,16 @@ object MergeTable {
       l2p.get(c) match {
         case Some(p) => c -> p
         case None =>
+          // NEW logical name: refuse a case-insensitive collision with
+          // a LIVE logical — conformedSchema's cross-session guard sees
+          // only physical names on a mapped table, so the logical-side
+          // check must happen here or `title`/`TITLE` could both commit
+          // and brick every case-insensitive session (review catch, r16)
+          l2p.keys.find(_.equalsIgnoreCase(c)).foreach(existing =>
+            throw new IllegalArgumentException(
+              s"new column '$c' collides with existing column " +
+                s"'$existing' ignoring case; the manifest outlives any " +
+                "one session's case sensitivity"))
           var p = c; var n = 0
           while (used.contains(p.toLowerCase)) { n += 1; p = s"${c}_$n" }
           used += p.toLowerCase
@@ -1373,12 +1383,23 @@ object MergeTable {
     val es = entries.toIndexedSeq
     val total = new java.util.concurrent.atomic.AtomicLong(0L)
     java.util.stream.IntStream.range(0, es.size).parallel().forEach { i =>
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new Path(es(i).path), conf))
-      try total.addAndGet(
-        r.getFooter.getBlocks.asScala.map(_.getRowCount).sum): Unit
-      finally r.close()
+      // unlike collectStats (whose per-file failures degrade to "no
+      // stats" — optional data), a missing count would silently
+      // UNDERREPORT pressure: fail loudly, naming the file, instead of
+      // the bare ForkJoin stack a raw open would throw
+      try {
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new Path(es(i).path), conf))
+        try total.addAndGet(
+          r.getFooter.getBlocks.asScala.map(_.getRowCount).sum): Unit
+        finally r.close()
+      } catch {
+        case e: Exception => throw new IllegalStateException(
+          s"rowLevelPressure cannot read the footer of ${es(i).path} — " +
+            "a row-level file referenced by the tip manifest is " +
+            "unreadable (mid-replacement or reclaimed?)", e)
+      }
     }
     total.get()
   }
@@ -1668,7 +1689,7 @@ object MergeTable {
     require(fromV < toV, s"diff window must go forward: v$fromV -> v$toV")
     val from = snapshotAt(spark, path, fromV)
     val to = snapshotAt(spark, path, toV)
-    val pKeys = keyCols.map(physicalNameOf(to, _))
+    val pKeys = keyCols.map(physicalNameOf(spark, to, _))
     Seq(from, to).foreach(s =>
       if (s.rowLevel && s.dvKeys.toSet != pKeys.toSet)
         throw new IllegalArgumentException(
@@ -1796,7 +1817,8 @@ object MergeTable {
     if (!snap.rowLevel)
       rewriteMerge(spark, fs, root, snap.version, snap.entries, u, keyCols, nU,
         snapStats = snap.stats, tableSchema = schema0,
-        allowEvolution = allowEvolution, colMap0 = cm1)
+        allowEvolution = allowEvolution, colMap0 = cm1,
+        allowRebase = true) // pure caller batch, DV-free base (see doc)
     else {
       // FOLD the row-level state into this rewrite: the effective
       // update set is delta ⊎ u (last wins per key, u newest), applied
@@ -2042,7 +2064,16 @@ object MergeTable {
       allowEvolution: Boolean = false,
       knownTouched: Option[Set[String]] = None,
       removeKeys: Option[DataFrame] = None,
-      colMap0: ColMap): MergeStats = {
+      colMap0: ColMap,
+      // true ONLY for a PURE caller-batch insert against a DV-free base
+      // (mergeOnce's non-fold branch). FOLD calls must never rebase:
+      // their `u` is delta-carried state whose validity depends on the
+      // base's row-level lines — a winner that deleted those delta keys
+      // (e.g. a past-budget deleteLite emitting an entries-only
+      // manifest with NO file change, so `added` is empty and the key
+      // probe never runs) would see the rebase silently RESURRECT them
+      // (review catch, r16).
+      allowRebase: Boolean = false): MergeStats = {
     val widened = conformedSchema(tableSchema, u, keyCols, allowEvolution)
     // the base binds the WIDENED schema: pre-widening files fill the
     // new columns with NULL, so the replaced leg's select below can
@@ -2122,7 +2153,7 @@ object MergeTable {
         // lost the OCC race. INSERT-ONLY commits (no file hit, no keys
         // removed) can try the disjointness REBASE instead of the full
         // re-attempt; everything else re-runs whole (merge()'s loop).
-        (if (hit.isEmpty && removeKeys.isEmpty && nU > 0)
+        (if (allowRebase && hit.isEmpty && removeKeys.isEmpty && nU > 0)
            rebaseInsertOnly(spark, fs, root, u, keyCols, nU, newFiles,
              widened, colMap0, baseEntries)
          else None).getOrElse(throw e)
@@ -3061,7 +3092,7 @@ object MergeTable {
     val frame = logicalFrame(spark, snap)
     // the caller names the sort column LOGICALLY; the frame (and the
     // stats the compaction establishes) speak PHYSICAL
-    val pSort = physicalNameOf(snap, sortCol)
+    val pSort = physicalNameOf(spark, snap, sortCol)
     val sorted = frame
       .repartitionByRange(numFiles, col(pSort))
       .sortWithinPartitions(col(pSort))
@@ -3091,18 +3122,26 @@ object MergeTable {
 
   /** The physical name of caller-facing `logical` — itself on unmapped
     * tables or unknown names (downstream surfaces the miss exactly as
-    * before mapping existed). A RENAMED column's old physical name is
-    * refused rather than silently honored: it is not a live logical
-    * name, and binding it would address the column under a name the
-    * user just renamed away. */
-  private def physicalNameOf(snap: Snapshot, logical: String): String =
+    * before mapping existed). Matching honors the SESSION's resolver
+    * (the relationFor convention): under the default case-insensitive
+    * analysis, `TITLE` must address a column renamed to `title` just
+    * as it would an unmapped column. A RENAMED column's old physical
+    * name is refused rather than silently honored: it is not a live
+    * logical name, and binding it would address the column under a
+    * name the user just renamed away. */
+  private def physicalNameOf(
+      spark: SparkSession, snap: Snapshot, logical: String): String = {
+    val resolver = spark.sessionState.conf.resolver
     if (snap.colMap.ren.isEmpty) logical
-    else snap.colMap.ren.find(_._2 == logical).map(_._1).getOrElse {
-      require(!snap.colMap.ren.contains(logical),
-        s"column '$logical' was renamed to " +
-          s"'${snap.colMap.ren(logical)}' — address it by the new name")
-      logical
-    }
+    else snap.colMap.ren.find(r => resolver(r._2, logical)).map(_._1)
+      .getOrElse {
+        snap.colMap.ren.keys.find(resolver(_, logical)).foreach(p =>
+          throw new IllegalArgumentException(
+            s"column '$logical' was renamed to " +
+              s"'${snap.colMap.ren(p)}' — address it by the new name"))
+        logical
+      }
+  }
 
   /** The per-file stats a compaction ESTABLISHES: footer ranges for
     * every named column whose Spark type is long-ordered, HEX-domain
@@ -3150,7 +3189,7 @@ object MergeTable {
     val snap = snapshot(spark, path)
     val next = snap.version + 1
     val frame = logicalFrame(spark, snap)
-    val pZ = zCols.map(physicalNameOf(snap, _)) // the compactTableAt rationale
+    val pZ = zCols.map(physicalNameOf(spark, snap, _)) // the compactTableAt rationale
     val sorted = graft.operators.Layout.zClustered(frame, pZ, numFiles, bits)
     val files = writeBatch(spark, fs, root, sorted)
     val stats = establishStats(spark, frame.schema, files, pZ)

@@ -304,6 +304,11 @@ object JobProcessor {
     val winners = graft.operators.Dedup.firstWins(
       batch, keyCols, Seq(col(seqCol).desc, contentTie)).persist()
     try {
+      // a NULL op matches NEITHER filter below — the row would vanish
+      // silently; refuse loudly like the NULL-key contract
+      require(winners.filter(col(opCol).isNull).isEmpty,
+        s"batch contains NULL in op column '$opCol'; every CDC op must " +
+          s"be an upsert marker or '$deleteValue'")
       val ups = winners.filter(col(opCol) =!= deleteValue).drop(opCol)
       val dels = winners.filter(col(opCol) === deleteValue)
         .select(keyCols.map(col): _*)

@@ -62,6 +62,10 @@ class ImageHashSpec extends SparkSpec {
 
   test("malformed buffers hash to NULL, never a wrong value") {
     assert(ImageHashUtil.dhash64(9, 8, new Array[Byte](5)) === null)
+    // corrupt metadata whose w*h*3 WRAPS Int (37838^2*3 = 2^32+175436):
+    // a buffer of the wrapped length passed the old Int guard and then
+    // crashed the kernel past the array end (r16 review catch)
+    assert(ImageHashUtil.dhash64(37838, 37838, new Array[Byte](175436)) === null)
     assert(ImageHashUtil.dhash64(8, 8, new Array[Byte](8 * 8 * 3)) === null,
       "narrower than the 9-wide grid")
     assert(ImageHashUtil.ahash64(7, 8, new Array[Byte](7 * 8 * 3)) === null)

@@ -2657,6 +2657,55 @@ class MergeTableSpec extends SparkSpec {
       "the loser's retry folds the winner's row-level state")
   }
 
+  test("multi-writer OCC: a lost FOLD commit never rebases — a winner's delete cannot resurrect delta keys") {
+    // r16 review catch: the fold's `u` is delta-carried state. A winner
+    // deleting those very delta keys past-budget commits an
+    // entries-only manifest with NO file change — `added` empty, the
+    // key probe never runs — so an unguarded rebase would resurrect
+    // the deleted key. The rebase must be insert-branch-only.
+    val path = freshPath()
+    MergeTable.init(spark, path, rows(1 to 100, "a"))              // v1
+    MergeTable.mergeLite(spark, path, rows(200 to 200, "delta"), Seq("id")) // v2
+    MergeTable.commitRaceHookForTest = () => {
+      MergeTable.commitRaceHookForTest = () => ()
+      // past-budget delete of the delta key: folds to entries-only
+      MergeTable.deleteLite(spark, path, Seq(200L).toDF("id"), Seq("id"),
+        maxDeltaRows = 0); ()
+    }
+    try MergeTable.merge(spark, path, rows(300 to 300, "b"), Seq("id"))
+    finally MergeTable.commitRaceHookForTest = () => ()
+    val got = MergeTable.read(spark, path)
+    assert(got.filter($"id" === 200L).count() === 0,
+      "the winner's durable delete must hold — no rebase resurrection")
+    assert(got.filter($"id" === 300L).count() === 1)
+    assert(got.count() === 101)
+  }
+
+  test("column mapping: a case-colliding new logical name is refused; case-variant addressing resolves") {
+    val path = freshPath()
+    MergeTable.init(spark, path, rows(1 to 50, "a"))
+    MergeTable.renameColumn(spark, path, "body", "title")
+    // evolution add "TITLE": collides with live logical "title" ignoring
+    // case — conformedSchema sees only PHYSICAL names here, so the
+    // boundary must refuse (r16 review catch)
+    val e = intercept[IllegalArgumentException] {
+      MergeTable.merge(spark, path,
+        rows(1 to 1, "a").withColumnRenamed("body", "title")
+          .withColumn("TITLE", lit("dup")),
+        Seq("id"), allowSchemaEvolution = true)
+    }
+    assert(e.getMessage.contains("ignoring case"))
+    // case-variant addressing of a RENAMED column honors the session's
+    // (default case-insensitive) resolver, like unmapped columns do
+    MergeTable.compactTable(spark, path, "TITLE", 2)
+    assert(MergeTable.read(spark, path).columns.toSeq ===
+      Seq("id", "tag", "title"))
+    // the renamed-away name stays refused
+    intercept[IllegalArgumentException] {
+      MergeTable.compactTable(spark, path, "body", 2)
+    }
+  }
+
   test("reader-version: an unknown manifest tag refuses loudly with an upgrade message") {
     val path = freshPath()
     MergeTable.init(spark, path, rows(1 to 5, "a"))

@@ -353,6 +353,19 @@ class StreamingSpec extends SparkSpec {
     assert(got.filter($"key" === "k1").select($"payload").as[String].head() === "v1b")
   }
 
+  test("CDC sink batch: a NULL op is refused loudly, never silently dropped") {
+    // a NULL op matches neither the upsert nor the delete filter — the
+    // row would vanish without error (r16 review catch)
+    val table = java.nio.file.Files.createTempDirectory("cdcnull").toString + "/t"
+    val bad = Seq(("k1", 1L, "U", "v1"), ("k2", 2L, null: String, "v2"))
+      .toDF("key", "seq", "op", "payload")
+    val e = intercept[IllegalArgumentException] {
+      JobProcessor.applyCdcBatch(spark, bad, table,
+        Seq("key"), "seq", "op", "D")
+    }
+    assert(e.getMessage.contains("NULL in op column"))
+  }
+
   test("keyed MERGE sink batch: duplicate request_ids converge last-wins, NULL keys refused") {
     // An at-least-once source can deliver the same request_id twice in
     // ONE micro-batch (replay, re-request) — upstream responses() dedup
