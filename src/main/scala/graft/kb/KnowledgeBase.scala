@@ -235,6 +235,25 @@ object KnowledgeBase {
       expiresCol: String = "expires_at"): DataFrame =
     kb.filter(!expired(now, expiresCol))
 
+  /** The STORAGE-level TTL sweep over a MergeTable-backed KB — the
+    * reference's periodic `DELETE FROM knowledge_base WHERE expires_at
+    * < NOW()` cleanup loop (`vector_service.py`), on the TOMBSTONE
+    * path: one stats-pruned discovery scan finds the expired keys and
+    * they commit as tombstones via
+    * [[graft.sources.MergeTable.deleteWhereLite]] — O(expired keys)
+    * write per sweep instead of rewriting every file an expired row
+    * lives in; a past-budget sweep (mass expiry) folds into the
+    * rewrite it would have cost anyway. Requires the ingest schema to
+    * carry `expiresCol` (NULL = never expires, matching [[expired]]).
+    * Pass a LITERAL `now` (e.g. `lit(ts)`) when the sweep must be
+    * reproducible across OCC retries. */
+  def cleanupExpiredTable(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      now: Column = current_timestamp(),
+      expiresCol: String = "expires_at"): graft.sources.MergeTable.MergeStats =
+    graft.sources.MergeTable.deleteWhereLite(spark, path,
+      expired(now, expiresCol), Seq("content_hash"))
+
   /** Access bump for one id (`UPDATE ... SET access_count = access_count
     * + 1, last_accessed = NOW() WHERE id = kb_id`) as a column rewrite —
     * on Delta this would be a keyed UPDATE. */

@@ -493,6 +493,33 @@ class MergeTableSpec extends SparkSpec {
       .select("source_type").head().getString(0) === "re-ingested")
   }
 
+  test("knowledge-base TTL sweep rides the tombstone path (cleanupExpiredTable)") {
+    val path = freshPath()
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val later = java.sql.Timestamp.valueOf("2026-12-31 00:00:00")
+    val docs = Seq(
+      ("stale doc a", t0), ("stale doc b", t0),
+      ("fresh doc", later), ("immortal doc", null: java.sql.Timestamp))
+      .toDF("content", "expires_at")
+    graft.kb.KnowledgeBase.upsertDocumentsToTable(spark, path, docs)
+    val before = MergeTable.snapshot(spark, path)
+    val st = graft.kb.KnowledgeBase.cleanupExpiredTable(spark, path,
+      now = lit(java.sql.Timestamp.valueOf("2026-06-01 00:00:00")))
+    assert(st.version === before.version + 1)
+    val after = MergeTable.snapshot(spark, path)
+    assert(after.entries.map(_.path) === before.entries.map(_.path),
+      "the sweep must land as tombstones, not file rewrites")
+    assert(after.deletes.nonEmpty)
+    val got = MergeTable.read(spark, path)
+    assert(got.count() === 2, "expired rows gone; NULL expiry survives")
+    assert(got.filter($"content".startsWith("stale")).isEmpty)
+    // idempotent: nothing left to expire → no commit
+    val v = MergeTable.snapshot(spark, path).version
+    assert(graft.kb.KnowledgeBase.cleanupExpiredTable(spark, path,
+      now = lit(java.sql.Timestamp.valueOf("2026-06-01 00:00:00")))
+      .version === v)
+  }
+
   test("versions are linear across operations") {
     val path = freshPath()
     MergeTable.init(spark, path, rows(1 to 10, "a"))
