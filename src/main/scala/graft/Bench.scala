@@ -68,9 +68,11 @@ object Bench {
     // delete), the q134 convention
     "q141_schema_evolution", "q142_rescoped_delta", "q143_hex_pruned_lookup",
     "q144_delete_lite",
-    // q145/q146 = staged MergeTable lineages (rename/drop column
-    // mapping walk / predicate tombstone delete), the q134 convention
+    // q145/q146/q148 = staged MergeTable lineages (rename/drop column
+    // mapping walk / predicate tombstone delete / type-widening
+    // merge), the q134 convention
     "q145_column_mapping", "q146_predicate_delete_lite",
+    "q148_type_widening",
     // the band-heavy dedup rows (largest sf1 ratios: q33 3.3x, q38 2.6x,
     // q37 2.3x at r12): their lambdas are EAGER through the internal
     // localCheckpoints (shingle frame, banded signatures, verified pair

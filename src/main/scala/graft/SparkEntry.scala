@@ -1751,6 +1751,38 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q148_type_widening" -> ((s, d) => {
+      // TYPE WIDENING (Delta type widening, restricted to the lossless
+      // allowlist Spark 4's parquet readers promote natively): a merge
+      // with allowSchemaEvolution retypes score INT -> LONG in the
+      // recorded schema; files written before the widening PROMOTE at
+      // scan time — no rewrite, value-exact. Oracle = the upsert
+      // algebra with both sides in the wide type.
+      val docs = T.documents(s, d).filter(col("text").isNotNull)
+      val MT = graft.sources.MergeTable
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q148")
+      val t = tmp.toString + "/t"
+      MT.init(s, t, docs.filter(col("doc_id") >= 0 && col("doc_id") < 300)
+        .select(col("doc_id"), col("lang"),
+          (col("doc_id") % 100).cast("int").as("score")))
+      MT.merge(s, t,
+        docs.filter(col("doc_id") >= 200 && col("doc_id") < 350)
+          .select(col("doc_id"), lit("xx").as("lang"),
+            (col("doc_id") * 3L).as("score")),
+        Seq("doc_id"), allowSchemaEvolution = true)
+      // the lineage must actually exercise the retype (fails loudly
+      // rather than silently passing a same-type run)
+      require(MT.snapshot(s, t).schema.get("score").dataType ==
+        org.apache.spark.sql.types.LongType,
+        "the evolving merge must widen score to LONG")
+      val out = MT.read(s, t)
+        .select(col("doc_id"), col("lang"), col("score"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true) // eager pin, then reclaim the staged table
+      graft.util.Fs.deleteRecursively(tmp)
+      out
+    }),
+
     "q130_append_sink" -> ((s, d) => {
       // S3 (row insert / append sink): two successive mode("append")
       // parquet writes must ACCUMULATE — the second preserves the
@@ -2863,6 +2895,20 @@ object SparkEntry {
         |SELECT d.doc_id, db.dhash, ab.ahash FROM docs d
         |JOIN db ON d.doc_id = db.doc_id JOIN ab ON d.doc_id = ab.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // q148: the widened upsert algebra — DuckDB's BIGINT arithmetic is
+    // the wide type on both legs, so value equality across the
+    // promotion is exactly what the hash pins
+    "q148_type_widening" ->
+      """WITH base AS (SELECT doc_id, lang, doc_id % 100 AS score
+        |    FROM documents
+        |    WHERE text IS NOT NULL AND doc_id >= 0 AND doc_id < 300),
+        |u1 AS (SELECT doc_id, 'xx' AS lang, doc_id * 3 AS score
+        |    FROM documents
+        |    WHERE text IS NOT NULL AND doc_id >= 200 AND doc_id < 350),
+        |m1 AS (SELECT * FROM base WHERE doc_id NOT IN (SELECT doc_id FROM u1)
+        |       UNION ALL SELECT * FROM u1)
+        |SELECT doc_id, lang, score FROM m1 ORDER BY doc_id""".stripMargin,
 
     // the same double arithmetic as temperatureMix, then the q62 md5
     // membership test against the derived per-stratum threshold; a

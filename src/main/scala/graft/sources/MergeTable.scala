@@ -1980,17 +1980,62 @@ object MergeTable {
     }
     // Names alone are not enough: a same-named column with a drifted
     // type (id INT vs table LONG) would commit parquet files with mixed
-    // physical types and fail or mis-merge on later reads.
+    // physical types and fail or mis-merge on later reads. With
+    // evolution, a WIDENING retype from the lossless allowlist is the
+    // exception (Delta's type widening): the recorded schema takes the
+    // wider type and every narrower file PROMOTES at scan time —
+    // Spark 4's parquet readers (both vectorized and row-based)
+    // up-convert int32→long / float→double physical pages, and pushed
+    // filters + bloom probes stay exact through the promotion
+    // (probe-verified on this build: point/range/out-of-range/bloom).
     val tableTypes = tableSchema.map(f => f.name -> f.dataType).toMap
+    var widenedTypes = Map.empty[String, org.apache.spark.sql.types.DataType]
     u.schema.filter(f => cols.contains(f.name)).foreach { f =>
-      require(f.dataType.catalogString == tableTypes(f.name).catalogString,
-        s"updates column ${f.name} has type ${f.dataType.catalogString} but " +
-          s"the table stores ${tableTypes(f.name).catalogString} — cast the " +
-          "update frame to the table schema before merging (retyping a " +
-          "column is never evolution)")
+      val t = tableTypes(f.name)
+      if (f.dataType.catalogString != t.catalogString) {
+        if (allowEvolution && losslessWidening(t, f.dataType))
+          widenedTypes += f.name -> f.dataType
+        else if (losslessWidening(f.dataType, t)) {
+          // the NARROWER side arriving is a caller mistake, not
+          // evolution — today's exact cast-the-frame contract
+          throw new IllegalArgumentException(
+            s"updates column ${f.name} has type ${f.dataType.catalogString} " +
+              s"but the table stores ${t.catalogString} — cast the update " +
+              "frame to the table schema before merging")
+        } else throw new IllegalArgumentException(
+          s"updates column ${f.name} has type ${f.dataType.catalogString} but " +
+            s"the table stores ${t.catalogString} — " +
+            (if (allowEvolution)
+              "only lossless widenings (byte→short→int→long, float→double, " +
+                "integral→double) are evolution; anything else needs a " +
+                "deliberate table rewrite"
+             else "cast the update frame to the table schema before " +
+               "merging (retyping a column is never exact-mode evolution)"))
+      }
     }
     org.apache.spark.sql.types.StructType(
-      tableSchema.fields ++ fresh.map(f => f.copy(nullable = true)))
+      tableSchema.fields.map(f =>
+        widenedTypes.get(f.name).map(w => f.copy(dataType = w)).getOrElse(f)) ++
+        fresh.map(f => f.copy(nullable = true)))
+  }
+
+  /** The lossless type-widening allowlist (Delta's type widening,
+    * restricted to promotions Spark 4's parquet readers perform
+    * natively and exactly): up the integral chain, float→double, and
+    * integral-up-to-int→double (exact in a 52-bit mantissa; LONG→double
+    * is lossy and stays refused). */
+  private def losslessWidening(
+      from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (ByteType | ShortType | IntegerType, DoubleType) => true
+      case _ => false
+    }
   }
 
   /** True when the type contains VOID anywhere (an uncast NULL
@@ -2030,10 +2075,17 @@ object MergeTable {
     * before a widening, applied frame-side where a LOGICAL frame (a
     * delta scan, a CDF probe) predates the evolved schema. */
   private def padTo(
-      df: DataFrame, schema: org.apache.spark.sql.types.StructType): DataFrame =
+      df: DataFrame, schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    // present columns CAST to the target type (a no-op when already
+    // equal): across a TYPE widening the narrow side must promote or
+    // the downstream union/struct-compare would fail analysis
+    val types = df.schema.map(f => f.name -> f.dataType).toMap
     df.select(schema.map(f =>
-      if (df.columns.contains(f.name)) col(f.name)
-      else lit(null).cast(f.dataType).as(f.name)): _*)
+      if (df.columns.contains(f.name)) {
+        if (types(f.name) == f.dataType) col(f.name)
+        else col(f.name).cast(f.dataType).as(f.name)
+      } else lit(null).cast(f.dataType).as(f.name)): _*)
+  }
 
   /** The rewrite-merge core: apply `u` against `baseEntries` (touched
     * files rewritten, untouched carried by reference) and commit a
@@ -2107,8 +2159,9 @@ object MergeTable {
         // widening must commit deterministically, not depend on
         // whether delta state happened to route the call through a
         // fold (review catch). One manifest write, stats carried
-        // verbatim (no file changed), no data IO.
-        if (widened.length == tableSchema.length)
+        // verbatim (no file changed), no data IO. STRUCTURAL compare,
+        // not length: a TYPE widening keeps the column count.
+        if (asNullableSchema(widened) == asNullableSchema(tableSchema))
           return MergeStats(baseVersion, kept.size, 0, 0, 0)
         commit(fs, root, baseVersion + 1,
           encodeSnapshot(withSizes(fs, kept), Nil, Nil,
@@ -2375,8 +2428,9 @@ object MergeTable {
       // manifest-only widening deterministically (merge()'s zero-row
       // branch does the same), carrying every piece of row-level state
       // verbatim. Declaring a column ahead of its backfill must not
-      // depend on which writer API the caller reached for.
-      if (widened.length == schema0.length)
+      // depend on which writer API the caller reached for. STRUCTURAL
+      // compare, not length (the rewriteMerge type-widening rationale).
+      if (asNullableSchema(widened) == asNullableSchema(schema0))
         return MergeStats(snap.version, snap.entries.size + snap.delta.size, 0, 0, 0)
       commit(fs, root, snap.version + 1,
         encodeSnapshot(withSizes(fs, snap.entries), withSizes(fs, snap.delta),

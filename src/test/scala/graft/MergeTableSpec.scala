@@ -1692,13 +1692,14 @@ class MergeTableSpec extends SparkSpec {
         allowSchemaEvolution = true)
     }
     assert(e1.getMessage.contains("ADDITIVE only"))
-    // retyping a column is never evolution
+    // a CROSS-KIND retype (string -> int) is never evolution — only
+    // the lossless widening allowlist is (r16)
     val retyped = rows(1 to 5, "x").withColumn("body", lit(1))
     val e2 = intercept[IllegalArgumentException] {
       MergeTable.merge(spark, path, retyped, Seq("id"),
         allowSchemaEvolution = true)
     }
-    assert(e2.getMessage.contains("cast the"))
+    assert(e2.getMessage.contains("lossless widenings"))
     // a new name that collides ignoring case: a case-insensitive
     // session could never resolve the widened table
     val collide = rows(1 to 5, "x").select($"id", $"tag", $"body",
@@ -2731,6 +2732,80 @@ class MergeTableSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       MergeTable.compactTable(spark, path, "body", 2)
     }
+  }
+
+  test("type widening: lossless retypes are evolution — old files promote at scan, versions pin their type") {
+    val path = freshPath()
+    val df = (1 to 1000).map(i => (i.toLong, s"t$i", i % 100))
+      .toDF("id", "tag", "score") // score: INT
+    MergeTable.init(spark, path, df)
+    MergeTable.compactTable(spark, path, "score", 4) // stats on the int column
+    // widen score INT -> LONG via an evolving merge
+    val up = (200 to 350).map(i => (i.toLong, "xx", i * 3L))
+      .toDF("id", "tag", "score")
+    MergeTable.merge(spark, path, up, Seq("id"), allowSchemaEvolution = true)
+    val got = MergeTable.read(spark, path)
+    assert(got.schema("score").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(got.count() === 1000)
+    assert(got.filter($"id" === 10L).select($"score").as[Long].head() === 10L,
+      "pre-widening files must promote, value-exact")
+    assert(got.filter($"id" === 300L).select($"score").as[Long].head() === 900L)
+    // the int-era stat ranges still prune the promoted column
+    def scannedFiles(q: org.apache.spark.sql.DataFrame): Long =
+      graft.util.Plans.executedNodes(q).collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.map(_.metrics("numFiles").value).sum
+    val pruned = MergeTable.read(spark, path).filter($"score" === 5L)
+    assert(pruned.count() > 0 && scannedFiles(pruned) < 5L,
+      s"int-era stats must keep pruning the widened column")
+    // version pinning: the pre-widening version still reads INT
+    assert(MergeTable.readAt(spark, path, 2L).schema("score").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    // CDF across the widening window promotes the narrow side
+    val ch = MergeTable.changesBetween(spark, path, 2L, 3L, Seq("id"))
+    assert(ch.count() === 151 &&
+      ch.schema("score").dataType === org.apache.spark.sql.types.LongType)
+    // zero-row TYPE widening commits manifest-only (float -> double)
+    val p2 = freshPath()
+    MergeTable.init(spark, p2,
+      Seq((1L, 1.5f)).toDF("id", "w"))
+    val v2 = MergeTable.snapshot(spark, p2).version
+    MergeTable.merge(spark, p2,
+      Seq((1L, 0.0d)).toDF("id", "w").limit(0), Seq("id"),
+      allowSchemaEvolution = true)
+    val s2 = MergeTable.snapshot(spark, p2)
+    assert(s2.version === v2 + 1 &&
+      s2.schema.get("w").dataType === org.apache.spark.sql.types.DoubleType,
+      "a zero-row TYPE widening must commit deterministically")
+    assert(MergeTable.read(spark, p2).select($"w").as[Double].head() === 1.5d)
+    // refusals: narrowing, lossy widening, exact mode
+    intercept[IllegalArgumentException] {
+      MergeTable.merge(spark, path,
+        (1 to 1).map(i => (i.toLong, "a", i)).toDF("id", "tag", "score"),
+        Seq("id"), allowSchemaEvolution = true) // INT arrives, table LONG
+    }
+    intercept[IllegalArgumentException] {
+      MergeTable.merge(spark, path,
+        (1 to 1).map(i => (i.toLong, "a", i.toDouble)).toDF("id", "tag", "score"),
+        Seq("id"), allowSchemaEvolution = true) // LONG -> DOUBLE is lossy
+    }
+    intercept[IllegalArgumentException] {
+      MergeTable.merge(spark, p2,
+        Seq((1L, 2.5f)).toDF("id", "w"), Seq("id")) // exact mode: no retype
+    }
+    // mergeLite widens too, folding the delta through the cast
+    val p3 = freshPath()
+    MergeTable.init(spark, p3, (1 to 100).map(i => (i.toLong, i % 7))
+      .toDF("id", "n"))
+    MergeTable.mergeLite(spark, p3, Seq((5L, 99)).toDF("id", "n"), Seq("id"))
+    MergeTable.mergeLite(spark, p3, Seq((6L, 1000000000000L)).toDF("id", "n"),
+      Seq("id"), allowSchemaEvolution = true) // INT -> LONG with live delta
+    val g3 = MergeTable.read(spark, p3)
+    assert(g3.schema("n").dataType === org.apache.spark.sql.types.LongType)
+    assert(g3.filter($"id" === 5L).select($"n").as[Long].head() === 99L)
+    assert(g3.filter($"id" === 6L).select($"n").as[Long].head() === 1000000000000L)
+    assert(g3.count() === 100)
   }
 
   test("reader-version: an unknown manifest tag refuses loudly with an upgrade message") {
