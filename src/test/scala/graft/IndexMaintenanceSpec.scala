@@ -607,4 +607,62 @@ class IndexMaintenanceSpec extends SparkSpec {
         s"tombstoned key must leave the vector serving path: $vecHits2")
     } finally graft.plans.IvfIndex.unregister(spark, "embedding")
   }
+
+  test("full retraction pipeline: CDC stream (U/D) → keyed table → cursor sync purges serving") {
+    // the r16 composition: StreamingCdc-shaped ops drive
+    // runChangesToMergeTable (upserts → mergeLite, deletes →
+    // deleteLite), and syncFromTable's CDF cursor carries BOTH kinds
+    // into the serving indexes — the reference's retraction
+    // (DELETE WHERE content_hash) end-to-end from a stream.
+    implicit val sqlCtx = spark.sqlContext
+    val emb = HashEmbedder(16)
+    val g = GraftSession(spark, emb)
+    val base = java.nio.file.Files.createTempDirectory("cdc_pipe").toString
+    val table = s"$base/docs"
+    val lex = s"$base/lex"
+    def ev(text: String) = emb.embed(Seq(text)).head
+    def up(id: Long, seq: Long, text: String) = (id, seq, "U", text, ev(text))
+    def del(id: Long, seq: Long) =
+      (id, seq, "D", null: String, null: Array[Float])
+    val input = MemoryStream[(Long, Long, String, String, Array[Float])]
+    val q = graft.streaming.JobProcessor.runChangesToMergeTable(
+      spark, input.toDF().toDF("id", "seq", "op", "content", "embedding"),
+      table, s"$base/ckpt", keyCols = Seq("id"))
+    try {
+      input.addData((1L to 8L).map(i =>
+        up(i, 1L, s"document number $i about topic${i % 3}")): _*)
+      q.processAllAvailable()
+      assert(graft.sources.MergeTable.read(spark, table).count() === 8)
+      // serving bootstraps from the table and indexes it
+      g.loadKnowledgeBase(graft.sources.MergeTable.read(spark, table)
+        .select(col("id"), col("content"), col("embedding")))
+      g.indexKnowledge(s"$base/kb", nClusters = 2, nprobe = 2)
+      g.buildLexicalIndex(lex)
+      val cursor = graft.sources.MergeTable.snapshot(spark, table).version
+      try {
+        // second stream batch interleaves upserts and deletes
+        input.addData(
+          up(3L, 2L, "zebra quokka full replacement"),
+          up(9L, 1L, "xylophone walrus brand new"),
+          del(5L, 2L), del(7L, 2L))
+        q.processAllAvailable()
+        val live = graft.sources.MergeTable.read(spark, table)
+        assert(live.count() === 7 &&
+          live.filter(col("id").isin(5L, 7L)).isEmpty)
+        // one cursor sync carries the whole stream window into serving
+        val tip = graft.sources.MergeTable.snapshot(spark, table).version
+        assert(IndexMaintenance.syncFromTable(
+          g, table, sinceVersion = cursor, lexicalPath = Some(lex)) === tip)
+        assert(g.knowledgeBase.count() === 7)
+        assert(g.knowledgeBase.filter(col("id").isin(5L, 7L)).isEmpty,
+          "stream deletes must retract from the synced KB")
+        val lexHits = g.hybridSearchKnowledge("zebra quokka", k = 3)
+          .select("id").collect().map(_.getLong(0)).toSeq
+        assert(lexHits.contains(3L), s"lexical serving stale: $lexHits")
+        val vecHits = g.searchKnowledge("xylophone walrus brand new", k = 3)
+          .select("id").collect().map(_.getLong(0)).toSeq
+        assert(vecHits.contains(9L), s"vector serving stale: $vecHits")
+      } finally graft.plans.IvfIndex.unregister(spark, "embedding")
+    } finally q.stop()
+  }
 }
