@@ -2007,8 +2007,9 @@ object MergeTable {
             s"the table stores ${t.catalogString} — " +
             (if (allowEvolution)
               "only lossless widenings (byte→short→int→long, float→double, " +
-                "integral→double) are evolution; anything else needs a " +
-                "deliberate table rewrite"
+                "byte/short/int→double) are evolution; anything else — " +
+                "including the lossy long→double — needs a deliberate " +
+                "table rewrite"
              else "cast the update frame to the table schema before " +
                "merging (retyping a column is never exact-mode evolution)"))
       }
@@ -2018,6 +2019,24 @@ object MergeTable {
         widenedTypes.get(f.name).map(w => f.copy(dataType = w)).getOrElse(f)) ++
         fresh.map(f => f.copy(nullable = true)))
   }
+
+  /** Stat declarations still VALID under the (possibly type-widened)
+    * schema: a column widened OUT of the long-ordered family
+    * (int→double) drops its stats line on the widening commit —
+    * collectStats would otherwise record truncated `longValue` ranges
+    * for the new double-typed files, wrong metadata that stays dormant
+    * only while relationFor's statsSupported filter ignores it (the
+    * byte-indistinguishable-from-correct landmine; review catch, r16) —
+    * and every later commit would keep paying footer reads for a
+    * column that can never prune again. Hex stats bind strings, which
+    * widening never touches. Widening WITHIN the family (int→long)
+    * keeps its stats: the recorded ranges remain exact and the pruner
+    * binds the promoted type (spec-pinned). */
+  private def statsUnderSchema(
+      stats: Seq[TableStats],
+      schema: org.apache.spark.sql.types.StructType): Seq[TableStats] =
+    stats.filter(s => s.hex ||
+      schema.find(_.name == s.col).forall(f => statsSupported(f.dataType)))
 
   /** The lossless type-widening allowlist (Delta's type widening,
     * restricted to promotions Spark 4's parquet readers perform
@@ -2127,6 +2146,10 @@ object MergeTable {
       // (review catch, r16).
       allowRebase: Boolean = false): MergeStats = {
     val widened = conformedSchema(tableSchema, u, keyCols, allowEvolution)
+    // a widening can invalidate stat declarations (int→double): they
+    // drop on THIS commit, before carriedStats pays footer reads for
+    // them — see statsUnderSchema
+    val snapStats2 = statsUnderSchema(snapStats, widened)
     // the base binds the WIDENED schema: pre-widening files fill the
     // new columns with NULL, so the replaced leg's select below can
     // project every column of the new table shape. Manifest stats
@@ -2165,7 +2188,7 @@ object MergeTable {
           return MergeStats(baseVersion, kept.size, 0, 0, 0)
         commit(fs, root, baseVersion + 1,
           encodeSnapshot(withSizes(fs, kept), Nil, Nil,
-            stats = snapStats,
+            stats = snapStats2,
             schemaJson = Some(asNullableSchema(widened).json),
             colMap = colMap0))
         return MergeStats(baseVersion + 1, kept.size, 0, 0, 0)
@@ -2196,7 +2219,7 @@ object MergeTable {
       commit(fs, root, baseVersion + 1,
         encodeSnapshot(withSizes(fs, kept) ++ newFiles, Nil, Nil,
           stats = carriedStats(
-            spark.sparkContext.hadoopConfiguration, snapStats, kept,
+            spark.sparkContext.hadoopConfiguration, snapStats2, kept,
             newFiles),
           schemaJson = Some(asNullableSchema(widened).json),
           colMap = colMap0)) // throws on race
@@ -2434,7 +2457,8 @@ object MergeTable {
         return MergeStats(snap.version, snap.entries.size + snap.delta.size, 0, 0, 0)
       commit(fs, root, snap.version + 1,
         encodeSnapshot(withSizes(fs, snap.entries), withSizes(fs, snap.delta),
-          snap.dvKeys, snap.dvFiles, stats = snap.stats,
+          snap.dvKeys, snap.dvFiles,
+          stats = statsUnderSchema(snap.stats, widened),
           schemaJson = Some(asNullableSchema(widened).json),
           deletes = withSizes(fs, snap.deletes), colMap = cm1))
       return MergeStats(snap.version + 1,
@@ -2500,7 +2524,7 @@ object MergeTable {
           snap.dvKeys match { case Nil => keyCols; case pinned => pinned },
           scope,
           stats = carriedStats(spark.sparkContext.hadoopConfiguration,
-            snap.stats,
+            statsUnderSchema(snap.stats, widened),
             snap.entries ++
               deltaEntries.filterNot(e => freshSet.contains(normalize(e.path))),
             fresh),

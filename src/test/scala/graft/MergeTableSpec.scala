@@ -2794,6 +2794,24 @@ class MergeTableSpec extends SparkSpec {
       MergeTable.merge(spark, p2,
         Seq((1L, 2.5f)).toDF("id", "w"), Seq("id")) // exact mode: no retype
     }
+    // widening a STAT column out of the long-ordered family (int ->
+    // double) drops its stats line on the widening commit: collectStats
+    // would otherwise record truncated longValue ranges for the new
+    // double files — wrong metadata, dormant only while statsSupported
+    // filters it (r16 review catch)
+    val p4 = freshPath()
+    MergeTable.init(spark, p4, (1 to 400).map(i => (i.toLong, i % 50))
+      .toDF("id", "v"))
+    MergeTable.compactTable(spark, p4, "v", 4)
+    assert(MergeTable.snapshot(spark, p4).stats.exists(_.col == "v"))
+    MergeTable.merge(spark, p4,
+      Seq((5L, 2.5d)).toDF("id", "v"), Seq("id"),
+      allowSchemaEvolution = true) // v: INT -> DOUBLE
+    val s4 = MergeTable.snapshot(spark, p4)
+    assert(s4.schema.get("v").dataType === org.apache.spark.sql.types.DoubleType)
+    assert(!s4.stats.exists(_.col == "v"),
+      "a column widened out of the long-ordered family must drop its stats")
+    assert(MergeTable.read(spark, p4).filter($"v" === 2.5d).count() === 1)
     // mergeLite widens too, folding the delta through the cast
     val p3 = freshPath()
     MergeTable.init(spark, p3, (1 to 100).map(i => (i.toLong, i % 7))
