@@ -1464,6 +1464,38 @@ object MergeTable {
     else None
   }
 
+  /** One-call operational summary of the table at its tip — the
+    * DESCRIBE DETAIL analog (Delta's, miniature): everything an
+    * operator needs to size maintenance, all from the manifest plus
+    * [[rowLevelPressure]]'s footer-metadata row counts (zero data IO).
+    * Names are presented LOGICALLY (the public-surface convention);
+    * `renamedColumns` maps logical→physical for the mapped subset. */
+  final case class TableInfo(
+      version: Long,
+      baseFiles: Int, baseBytes: Long,
+      schema: org.apache.spark.sql.types.StructType,
+      keyColumns: Seq[String],
+      renamedColumns: Map[String, String],
+      retiredPhysicalColumns: Seq[String],
+      statsColumns: Seq[String],
+      bloomColumns: Seq[String],
+      pressure: RowLevelPressure)
+
+  def describe(spark: SparkSession, path: String): TableInfo = {
+    val snap = snapshot(spark, path)
+    val (fs, root) = fsOf(spark, path)
+    TableInfo(
+      snap.version,
+      snap.entries.size, snap.entries.map(_.size.max(0L)).sum,
+      tableSchema(spark, path),
+      snap.dvKeys.map(snap.colMap.logicalOf),
+      snap.colMap.ren.map(_.swap),
+      snap.colMap.retired,
+      snap.stats.map(s => snap.colMap.logicalOf(s.col)),
+      readBloomProps(fs, root).map(snap.colMap.logicalOf),
+      rowLevelPressure(spark, path))
+  }
+
   /** Committed versions of the table, oldest first. */
   def versions(spark: SparkSession, path: String): Seq[Long] = {
     val (fs, root) = fsOf(spark, path)

@@ -2826,6 +2826,52 @@ class MergeTableSpec extends SparkSpec {
     assert(g3.count() === 100)
   }
 
+  test("describe: the one-call operational summary presents logical names and live pressure") {
+    val path = freshPath()
+    MergeTable.init(spark, path, rows(1 to 200, "a"), bloomKeys = Seq("id"))
+    MergeTable.compactTable(spark, path, "id", 4)
+    MergeTable.renameColumn(spark, path, "body", "content")
+    MergeTable.mergeLite(spark, path,
+      Seq((5L, "dv", "x")).toDF("id", "tag", "content"), Seq("id"))
+    MergeTable.deleteLite(spark, path, Seq(9L).toDF("id"), Seq("id"))
+    val info = MergeTable.describe(spark, path)
+    assert(info.version === MergeTable.snapshot(spark, path).version)
+    assert(info.baseFiles === 4 && info.baseBytes > 0)
+    assert(info.schema.fieldNames.toSeq === Seq("id", "tag", "content"))
+    assert(info.keyColumns === Seq("id"))
+    assert(info.renamedColumns === Map("content" -> "body"))
+    assert(info.retiredPhysicalColumns.isEmpty)
+    assert(info.statsColumns === Seq("id"))
+    assert(info.bloomColumns === Seq("id"))
+    assert(info.pressure.deltaRows === 1 && info.pressure.tombstoneRows === 1)
+    MergeTable.dropColumn(spark, path, "tag")
+    assert(MergeTable.describe(spark, path).retiredPhysicalColumns === Seq("tag"))
+  }
+
+  test("a rename racing a merge fails the merge loudly, never silently mis-binds the old name") {
+    // the caller's frame speaks the PRE-rename name; after the winner's
+    // rename lands, the retry must refuse (the old logical is no longer
+    // addressable) rather than bind the column under the stale name
+    val path = freshPath()
+    MergeTable.init(spark, path, rows(1 to 50, "a"))
+    MergeTable.commitRaceHookForTest = () => {
+      MergeTable.commitRaceHookForTest = () => ()
+      MergeTable.renameColumn(spark, path, "body", "content"); ()
+    }
+    val e =
+      try intercept[IllegalArgumentException] {
+        MergeTable.merge(spark, path, rows(60 to 62, "b"), Seq("id"))
+      } finally MergeTable.commitRaceHookForTest = () => ()
+    assert(e.getMessage.contains("missing table column"),
+      s"stale-name addressing must refuse loudly: ${e.getMessage}")
+    // the table is untouched by the failed attempt; the new name works
+    assert(MergeTable.read(spark, path).count() === 50)
+    MergeTable.merge(spark, path,
+      (60 to 62).map(i => (i.toLong, "b", s"payload $i"))
+        .toDF("id", "tag", "content"), Seq("id"))
+    assert(MergeTable.read(spark, path).count() === 53)
+  }
+
   test("reader-version: an unknown manifest tag refuses loudly with an upgrade message") {
     val path = freshPath()
     MergeTable.init(spark, path, rows(1 to 5, "a"))

@@ -353,6 +353,29 @@ class StreamingSpec extends SparkSpec {
     assert(got.filter($"key" === "k1").select($"payload").as[String].head() === "v1b")
   }
 
+  test("CDC sink batch: composite keys route upserts and deletes correctly") {
+    import graft.sources.MergeTable
+    val table = java.nio.file.Files.createTempDirectory("cdcck").toString + "/t"
+    def df(rows: Seq[(String, Long, Long, String, String)]) =
+      rows.toDF("k1", "k2", "seq", "op", "payload")
+    JobProcessor.applyCdcBatch(spark,
+      df(Seq(("a", 1L, 1L, "U", "v1"), ("b", 1L, 1L, "U", "v2"),
+        ("a", 2L, 1L, "U", "v3"))),
+      table, Seq("k1", "k2"), "seq", "op", "D")
+    assert(MergeTable.read(spark, table).count() === 3)
+    JobProcessor.applyCdcBatch(spark,
+      df(Seq(("a", 1L, 2L, "D", null), ("c", 1L, 1L, "U", "v4"),
+        ("a", 2L, 2L, "U", "v3b"))),
+      table, Seq("k1", "k2"), "seq", "op", "D")
+    val got = MergeTable.read(spark, table)
+    assert(got.count() === 3)
+    assert(got.filter($"k1" === "a" && $"k2" === 1L).isEmpty,
+      "only the exact composite key deletes")
+    assert(got.filter($"k1" === "a" && $"k2" === 2L)
+      .select($"payload").as[String].head() === "v3b")
+    assert(got.filter($"k1" === "c").count() === 1)
+  }
+
   test("CDC sink batch: a NULL op is refused loudly, never silently dropped") {
     // a NULL op matches neither the upsert nor the delete filter — the
     // row would vanish without error (r16 review catch)
