@@ -268,6 +268,13 @@ object MergeTable {
     var used = (schema0.fieldNames.toSeq ++ cm.retired)
       .map(_.toLowerCase).toSet
     var cm2 = cm
+    // new LOGICAL names accepted earlier in THIS batch: two case-variant
+    // new columns (e.g. 'Score' then 'score') must collide here — the
+    // physical suffixing below would otherwise reroute the second to a
+    // fresh physical name, conformedSchema's fresh-vs-fresh check would
+    // see distinct physical names and pass, and the commit would record
+    // two live logicals differing only by case (review catch, r17)
+    var newLogicals = List.empty[String]
     val mapped = df.columns.toSeq.map { c =>
       l2p.get(c) match {
         case Some(p) => c -> p
@@ -277,11 +284,13 @@ object MergeTable {
           // only physical names on a mapped table, so the logical-side
           // check must happen here or `title`/`TITLE` could both commit
           // and brick every case-insensitive session (review catch, r16)
-          l2p.keys.find(_.equalsIgnoreCase(c)).foreach(existing =>
-            throw new IllegalArgumentException(
-              s"new column '$c' collides with existing column " +
-                s"'$existing' ignoring case; the manifest outlives any " +
-                "one session's case sensitivity"))
+          (l2p.keys ++ newLogicals).find(_.equalsIgnoreCase(c))
+            .foreach(existing =>
+              throw new IllegalArgumentException(
+                s"new column '$c' collides with existing column " +
+                  s"'$existing' ignoring case; the manifest outlives any " +
+                  "one session's case sensitivity"))
+          newLogicals ::= c
           var p = c; var n = 0
           while (used.contains(p.toLowerCase)) { n += 1; p = s"${c}_$n" }
           used += p.toLowerCase
@@ -1253,13 +1262,20 @@ object MergeTable {
           s"table at $path has no recorded schema line (legacy manifest) — " +
             "run one merge or compactTable first to record it"))
         val cm = snap.colMap
-        val phys = schema0.fieldNames.find(p => cm.logicalOf(p) == from)
+        // resolve `from` with the SESSION resolver — the physicalNameOf
+        // convention every other surface (compact, CDF, merge keys)
+        // already honors; exact-case-only here made renameColumn refuse
+        // a column the rest of the API addresses fine (review, r17)
+        val resolver = spark.sessionState.conf.resolver
+        val phys = schema0.fieldNames.find(p => resolver(cm.logicalOf(p), from))
           .getOrElse(throw new IllegalArgumentException(
             s"no column named '$from' (live columns: " +
               s"${schema0.fieldNames.map(cm.logicalOf).mkString(",")})"))
-        if (from == to) return snap
+        val curLogical = cm.logicalOf(phys)
+        if (curLogical == to) return snap
         val liveLogicals = schema0.fieldNames.map(cm.logicalOf)
-        require(!liveLogicals.exists(l => l.equalsIgnoreCase(to) && l != from),
+        require(
+          !liveLogicals.exists(l => l.equalsIgnoreCase(to) && l != curLogical),
           s"a column named '$to' already exists (case-insensitive — the " +
             "manifest outlives any one session's case sensitivity)")
         val cm2 = cm.copy(ren =
@@ -1308,7 +1324,10 @@ object MergeTable {
           s"table at $path has no recorded schema line (legacy manifest) — " +
             "run one merge or compactTable first to record it"))
         val cm = snap.colMap
-        val phys = schema0.fieldNames.find(p => cm.logicalOf(p) == name)
+        // session-resolver addressing, the renameColumn/physicalNameOf
+        // convention (review, r17)
+        val resolver = spark.sessionState.conf.resolver
+        val phys = schema0.fieldNames.find(p => resolver(cm.logicalOf(p), name))
           .getOrElse(throw new IllegalArgumentException(
             s"no column named '$name' (live columns: " +
               s"${schema0.fieldNames.map(cm.logicalOf).mkString(",")})"))
@@ -1417,31 +1436,46 @@ object MergeTable {
     val snap0 = snapshot(spark, path)
     if (!snap0.rowLevel)
       return MergeStats(snap0.version, snap0.entries.size, 0, 0, 0)
-    // a zero-row merge by the pinned keys routes through mergeOnce's
-    // fold branch (delta ⊎ nothing applied, tombstones removed)
-    val logicalKeys = snap0.dvKeys.map(snap0.colMap.logicalOf)
-    val st = merge(spark, path, read(spark, path).limit(0), logicalKeys,
-      maxRetries = maxRetries)
-    // inert row-level state (tombstones that provably suppress nothing
-    // and no delta) leaves the merge a no-op: clear the lines with a
-    // manifest-only commit, the deleteLite-fold convention
+    val (fs, root) = fsOf(spark, path)
     var attempt = 0
     while (attempt < maxRetries) {
       attempt += 1
-      val snap = snapshot(spark, path)
-      if (!snap.rowLevel)
-        return if (st.version >= snap.version) st
-          else MergeStats(snap.version, snap.entries.size, 0, 0, 0)
-      val (fs, root) = fsOf(spark, path)
+      val pre = snapshot(spark, path)
+      if (!pre.rowLevel)
+        return MergeStats(pre.version, pre.entries.size, 0, 0, 0)
+      // a zero-row merge by the pinned keys routes through mergeOnce's
+      // fold branch (delta ⊎ nothing applied, tombstones removed).
+      // Keys re-derived per attempt — a concurrent rename can land
+      // between loops.
+      val logicalKeys = pre.dvKeys.map(pre.colMap.logicalOf)
+      val st = merge(spark, path, read(spark, path).limit(0), logicalKeys,
+        maxRetries = maxRetries)
+      // The merge either COMMITTED a fold (its version's manifest is
+      // DV-free — done, regardless of what concurrent writers do next)
+      // or was a NO-OP, proving the row-level state inert at EXACTLY
+      // st.version (rewriteMerge's zero-hit/zero-row return reports the
+      // base version uncommitted). Read that pinned version, never the
+      // tip: a mergeLite/deleteLite landing after the proof must not be
+      // blind-cleared — its delta rows would be dropped and its
+      // deletions resurrected (review catch, r17).
+      val proven = snapshotAt(spark, path, st.version)
+      if (!proven.rowLevel) return st
+      // inert state: clear the lines with a manifest-only commit pinned
+      // at proven.version + 1 — OCC refuses if anyone advanced past the
+      // proof, and the loop then re-proves through merge()
+      commitRaceHookForTest()
       try {
-        commit(fs, root, snap.version + 1,
-          encodeSnapshot(withSizes(fs, snap.entries), Nil, Nil,
-            stats = snap.stats,
-            schemaJson = Some(asNullableSchema(tableSchemaOf(spark, snap)).json),
-            colMap = snap.colMap))
-        return MergeStats(snap.version + 1, snap.entries.size, 0, 0, 0)
+        commit(fs, root, proven.version + 1,
+          encodeSnapshot(withSizes(fs, proven.entries), Nil, Nil,
+            stats = proven.stats,
+            schemaJson =
+              Some(asNullableSchema(tableSchemaOf(spark, proven)).json),
+            colMap = proven.colMap))
+        return MergeStats(proven.version + 1, proven.entries.size, 0, 0, 0)
       } catch {
-        case _: FileAlreadyExistsException => // lost the race: re-snapshot
+        case _: FileAlreadyExistsException =>
+        // tip advanced past the proven version: loop back through
+        // merge() to re-prove inertness against the new tip
       }
     }
     throw new CommitConflict(

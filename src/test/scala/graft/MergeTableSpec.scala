@@ -2872,6 +2872,83 @@ class MergeTableSpec extends SparkSpec {
     assert(MergeTable.read(spark, path).count() === 53)
   }
 
+  test("foldRowLevel: a mergeLite landing between the inertness proof and the manifest-only clear survives (never blind-cleared)") {
+    val path = freshPath()
+    MergeTable.init(spark, path, rows(1 to 10, "a"))
+    // INERT tombstone (key absent): the zero-row merge proves it inert
+    // and foldRowLevel takes the manifest-only clearing branch — the
+    // exact window the r17 review named
+    MergeTable.deleteLite(spark, path, Seq(999L).toDF("id"), Seq("id"))
+    MergeTable.commitRaceHookForTest = () => {
+      MergeTable.commitRaceHookForTest = () => ()
+      MergeTable.mergeLite(spark, path,
+        rows(5 to 5, "racer"), Seq("id")); ()
+    }
+    try MergeTable.foldRowLevel(spark, path)
+    finally MergeTable.commitRaceHookForTest = () => ()
+    // the racer's delta row must be live — the pinned-version commit
+    // lost OCC and the retry re-proved through merge(), folding it in
+    val got = MergeTable.read(spark, path)
+    assert(got.count() === 10)
+    assert(got.filter($"tag" === "racer").count() === 1,
+      "a concurrent mergeLite's delta rows must never be blind-cleared")
+    assert(!MergeTable.snapshot(spark, path).rowLevel)
+  }
+
+  test("foldRowLevel: a deleteLite landing between the inertness proof and the clear is not resurrected") {
+    val path = freshPath()
+    MergeTable.init(spark, path, rows(1 to 10, "a"))
+    MergeTable.deleteLite(spark, path, Seq(999L).toDF("id"), Seq("id"))
+    MergeTable.commitRaceHookForTest = () => {
+      MergeTable.commitRaceHookForTest = () => ()
+      MergeTable.deleteLite(spark, path, Seq(5L).toDF("id"), Seq("id")); ()
+    }
+    try MergeTable.foldRowLevel(spark, path)
+    finally MergeTable.commitRaceHookForTest = () => ()
+    val got = MergeTable.read(spark, path)
+    assert(got.count() === 9, "the racer's deletion must hold across the fold")
+    assert(got.filter($"id" === 5L).count() === 0,
+      "a concurrent deleteLite's tombstone must never be resurrected")
+    assert(!MergeTable.snapshot(spark, path).rowLevel)
+  }
+
+  test("inbound evolution: two case-variant NEW columns in one batch refuse on a mapped table") {
+    val path = freshPath()
+    MergeTable.init(spark, path, rows(1 to 10, "a"))
+    MergeTable.renameColumn(spark, path, "body", "content") // mapping live
+    val u = (11 to 12).map(i =>
+        (i.toLong, "b", s"p$i", i * 1.0, i * 2.0))
+      .toDF("id", "tag", "content", "Score", "score")
+    val e = intercept[IllegalArgumentException] {
+      MergeTable.merge(spark, path, u, Seq("id"),
+        allowSchemaEvolution = true)
+    }
+    assert(e.getMessage.contains("ignoring case"),
+      s"case-variant fresh columns must collide, not suffix: ${e.getMessage}")
+    // the table is untouched by the refused attempt
+    assert(MergeTable.read(spark, path).columns.toSeq ===
+      Seq("id", "tag", "content"))
+  }
+
+  test("renameColumn/dropColumn honor the session resolver (case-insensitive addressing, the physicalNameOf convention)") {
+    val path = freshPath()
+    MergeTable.init(spark, path, rows(1 to 10, "a"))
+    // address 'tag' as 'Tag' — every other surface resolves this fine
+    MergeTable.renameColumn(spark, path, "Tag", "label")
+    assert(MergeTable.read(spark, path).columns.toSeq ===
+      Seq("id", "label", "body"))
+    // exact-target no-op returns without a commit
+    val v = MergeTable.snapshot(spark, path).version
+    assert(MergeTable.renameColumn(spark, path, "label", "label").version === v)
+    // a pure CASE change of a column onto itself is a legit rename
+    MergeTable.renameColumn(spark, path, "label", "Label")
+    assert(MergeTable.read(spark, path).columns.toSeq ===
+      Seq("id", "Label", "body"))
+    // drop by a case variant
+    MergeTable.dropColumn(spark, path, "lAbEl")
+    assert(MergeTable.read(spark, path).columns.toSeq === Seq("id", "body"))
+  }
+
   test("reader-version: an unknown manifest tag refuses loudly with an upgrade message") {
     val path = freshPath()
     MergeTable.init(spark, path, rows(1 to 5, "a"))
