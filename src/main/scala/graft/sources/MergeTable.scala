@@ -2379,6 +2379,142 @@ object MergeTable {
     None
   }
 
+  /** REBASE of a lost row-level APPEND commit (mergeLite's append
+    * shape / deleteLite's delta-carrying shape) onto the winner's tip —
+    * the second rung of multi-writer reconciliation after
+    * [[rebaseInsertOnly]]: two streams doing mergeLite/deleteLite on
+    * DISJOINT keys land in one retry round instead of serializing via
+    * full re-attempts.
+    *
+    * INVARIANT ANALYSIS — what a row-level append claims, and how each
+    * claim is re-proven against the winner's tip:
+    *
+    *  1. "My keys appear in no OTHER suppression state" (key uniqueness
+    *     across delta files; the tombstone/delta disjointness
+    *     invariant). My own probes proved this against MY base's
+    *     delta/tombstones; the winner may have changed both — so the
+    *     claim is re-proven directly against the TIP's row-level state:
+    *     one overlap probe over tip.delta and one over tip.deletes
+    *     (both maxDeltaRows-bounded frames), zero overlap required.
+    *     Probing tip state directly assumes nothing about WHAT the
+    *     winner did (append, combine, fold, rescope — all covered).
+    *  2. "My scope names every base file holding one of my keys." Files
+    *     CARRIED from my base are immutable, so the proof holds for
+    *     them; files the winner ADDED (insert batch, fold/compaction
+    *     output, deleteWhere rewrite) could hold my keys — probed over
+    *     exactly `tip − base`, the rebaseInsertOnly idiom (cost ∝ the
+    *     winner's churn). Zero hits required: a hit means a scoped
+    *     commit would fail to suppress that file's row — a visible
+    *     duplicate (mergeLite) or a missed deletion (deleteLite). Files
+    *     the winner REMOVED drop out of the composed scope (inert).
+    *  3. "My files carry schema X under mapping M" — exact equality of
+    *     tip.schemaJson/tip.colMap, as in rebaseInsertOnly (an evolving
+    *     or renaming winner refuses; the full retry handles it).
+    *  4. "The suppression stays within budget" — re-checked against the
+    *     TIP's footer row counts plus mine; past-budget refuses (the
+    *     full retry folds, the correct response to a full suppression
+    *     set), as does the delta file cap.
+    *
+    * FOLD commits never reach here: they go through [[rewriteMerge]],
+    * whose own rebase is gated to pure inserts — a fold's input is
+    * delta-carried state whose validity the r16 analysis showed cannot
+    * survive a winner. Delta-REWRITING commits (mergeLite's combine of
+    * an existing delta, deleteLite touching delta keys) are gated out
+    * at the call sites: their commit replaces row-level files the
+    * winner may also have replaced, and key disjointness alone cannot
+    * reconcile two rewrites of the same file set. A torn rebase leaves
+    * my batch/tombstone files orphaned — vacuum-reclaimable, never
+    * referenced (the rebaseInsertOnly durability argument).
+    *
+    * Returns None when any check refuses — the caller rethrows and the
+    * outer loop re-attempts whole (today's always-correct path). */
+  private def rebaseRowLevelAppend(
+      spark: SparkSession, fs: FileSystem, root: Path,
+      u: DataFrame, keyCols: Seq[String], nMine: Long,
+      myDeltaFiles: Seq[FileEntry],
+      myTombstones: Boolean,
+      mySchemaJson: Option[String], myColMap: ColMap,
+      baseEntries: Seq[FileEntry], baseStats: Seq[TableStats],
+      maxDeltaRows: Long, maxDeltaFiles: Int): Option[MergeStats] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    // written at most ONCE, at the first commit attempt, and reused
+    // across re-validations (files are immutable; a refused rebase
+    // leaves it a vacuum-reclaimable orphan, never referenced)
+    lazy val tombFiles: Seq[FileEntry] =
+      writeBatch(spark, fs, root,
+        u.select(keyCols.map(col): _*).coalesce(1), keyOnly = true)
+    var attempt = 0
+    while (attempt < 3) {
+      attempt += 1
+      val tip = snapshot(spark, root.toString)
+      if (tip.schemaJson != mySchemaJson) return None      // claim 3
+      if (tip.colMap != myColMap) return None
+      if (tip.dvKeys.nonEmpty && tip.dvKeys.toSet != keyCols.toSet)
+        return None // mismatched key set: let the retry raise loudly
+      val schema = tip.schema.getOrElse(return None)       // legacy: no rebase
+      // claim 4: budget and file cap against the TIP's state plus mine
+      if (footerRowCount(conf, tip.delta) + footerRowCount(conf, tip.deletes) +
+          nMine > maxDeltaRows) return None
+      if (tip.delta.size + myDeltaFiles.size > maxDeltaFiles) return None
+      // claim 1: my keys vs the tip's row-level state, both directions
+      if (tip.delta.nonEmpty && overlapProbe(
+          relationFor(spark, tip.delta, Nil, Some(schema)), u, keyCols)._2 > 0)
+        return None
+      if (tip.deletes.nonEmpty && overlapProbe(
+          relationFor(spark, tip.deletes, Nil,
+            Some(keySchemaOf(schema, keyCols))), u, keyCols)._2 > 0)
+        return None
+      // claim 2: my keys vs the files the winner added
+      val baseSet = baseEntries.map(e => normalize(e.path)).toSet
+      val added = tip.entries.filterNot(e => baseSet.contains(normalize(e.path)))
+      if (added.nonEmpty) {
+        val overlap = relationFor(spark, withSizes(fs, added), tip.stats,
+            Some(schema))
+          .join(broadcast(u.select(keyCols.map(col): _*)), keyCols, "left_semi")
+          .limit(1).count()
+        if (overlap > 0) return None // a scoped commit would miss this file
+      }
+      // scope composition: the tip's scope covers the tip's own
+      // suppression keys; mine covers my keys (point-probed against MY
+      // base — sound for carried files, and added files were just
+      // proven key-free; removed files filter out). Either side
+      // unscoped → unscoped (suppress-everywhere is always sound;
+      // rescopeDelta bounds it later).
+      val scope: Option[Seq[String]] =
+        if (tip.rowLevel && tip.dvFiles.isEmpty) None
+        else pointDiscovery(
+            relationFor(spark, baseEntries, baseStats, Some(schema)),
+            u, keyCols, nMine)
+          .map { mine =>
+            val tipScopeNorm =
+              tip.dvFiles.getOrElse(Nil).map(normalize).toSet
+            tip.entries.map(_.path).filter(p =>
+              mine.contains(normalize(p)) ||
+                tipScopeNorm.contains(normalize(p)))
+          }
+      try {
+        val myTombs = if (myTombstones) tombFiles else Nil
+        commit(fs, root, tip.version + 1,
+          encodeSnapshot(withSizes(fs, tip.entries),
+            withSizes(fs, tip.delta) ++ myDeltaFiles,
+            tip.dvKeys match { case Nil => keyCols; case pinned => pinned },
+            scope,
+            stats = carriedStats(conf, tip.stats,
+              tip.entries ++ tip.delta, myDeltaFiles),
+            schemaJson = tip.schemaJson,
+            deletes = withSizes(fs, tip.deletes) ++ myTombs,
+            colMap = tip.colMap))
+        return Some(MergeStats(tip.version + 1,
+          tip.entries.size + tip.delta.size, 0,
+          myDeltaFiles.size + myTombs.size,
+          if (myTombstones) 0 else nMine))
+      } catch {
+        case _: FileAlreadyExistsException => // another winner: re-validate
+      }
+    }
+    None
+  }
+
   /** Legacy-manifest migration at commit time (closing the r13 gap): an
     * entry carried into a new manifest without a recorded size (written
     * before the `path\tsize` codec) is stat'ed ONCE here, so a legacy
@@ -2649,8 +2785,25 @@ object MergeTable {
       })
       val newFiles = writeBatch(spark, fs, root,
         u.select(cols.map(col): _*).coalesce(filesFor(nU)))
-      commitDelta(withSizes(fs, snap.delta) ++ newFiles, scope, newFiles,
-        deleteState())
+      commitRaceHookForTest()
+      try {
+        commitDelta(withSizes(fs, snap.delta) ++ newFiles, scope, newFiles,
+          deleteState())
+      } catch {
+        case e: FileAlreadyExistsException =>
+          // lost the OCC race. A PURE append (prior delta carried by
+          // construction; tombstones untouched — probe-confirmed zero
+          // re-insert overlap, or none exist) can try the disjointness
+          // rebase; a tombstone-touching commit re-runs whole.
+          return (if (delProbe.forall(_._2 == 0L))
+            rebaseRowLevelAppend(spark, fs, root, u, keyCols, nU,
+              myDeltaFiles = newFiles, myTombstones = false,
+              mySchemaJson = Some(asNullableSchema(widened).json),
+              myColMap = cm1, baseEntries = snap.entries,
+              baseStats = snap.stats,
+              maxDeltaRows = maxDeltaRows, maxDeltaFiles = maxDeltaFiles)
+          else None).getOrElse(throw e)
+      }
       return MergeStats(snap.version + 1, snap.entries.size + snap.delta.size,
         0, newFiles.size, nU)
     }
@@ -2707,7 +2860,24 @@ object MergeTable {
             deleteSurvivorKeys().toSeq).reduce(_ unionByName _),
           n + delRemaining)
       val deltaFiles = writeBatch(spark, fs, root, combined.coalesce(filesFor(n)))
-      commitDelta(deltaFiles, scopeOf(touchedNorm), deltaFiles, deleteState())
+      commitRaceHookForTest()
+      try {
+        commitDelta(deltaFiles, scopeOf(touchedNorm), deltaFiles, deleteState())
+      } catch {
+        case e: FileAlreadyExistsException =>
+          // the combine path is append-SHAPED only when there was no
+          // prior delta to rewrite (the first mergeLite on a DV-free
+          // table — combined IS the caller's batch) and the tombstones
+          // were untouched; a delta-rewriting combine re-runs whole
+          return (if (snap.delta.isEmpty && delProbe.forall(_._2 == 0L))
+            rebaseRowLevelAppend(spark, fs, root, u, keyCols, nU,
+              myDeltaFiles = deltaFiles, myTombstones = false,
+              mySchemaJson = Some(asNullableSchema(widened).json),
+              myColMap = cm1, baseEntries = snap.entries,
+              baseStats = snap.stats,
+              maxDeltaRows = maxDeltaRows, maxDeltaFiles = maxDeltaFiles)
+          else None).getOrElse(throw e)
+      }
       MergeStats(snap.version + 1, snap.entries.size, snap.delta.size,
         deltaFiles.size, nU)
     } finally if (snap.delta.nonEmpty) graft.util.Checkpoints.free(combined)
@@ -3035,6 +3205,7 @@ object MergeTable {
         }
         val delFiles = writeBatch(spark, fs, root, allTombstones.coalesce(1),
           keyOnly = true)
+        commitRaceHookForTest()
         val scope: Option[Seq[String]] = (snap.dvFiles match {
           case Some(prior) =>
             pointDiscovery(base, k, keyCols, nK).map(_ ++ prior.map(normalize))
@@ -3047,16 +3218,34 @@ object MergeTable {
                  .select(keyCols.map(col): _*)))).reduce(_ unionByName _)
             pointDiscovery(base, keysAll, keyCols, delTotal + deltaRemaining)
         }).map(t => snap.entries.map(_.path).filter(p => t.contains(normalize(p))))
-        commit(fs, root, snap.version + 1,
-          encodeSnapshot(withSizes(fs, snap.entries), newDelta,
-            snap.dvKeys match { case Nil => keyCols; case pinned => pinned },
-            scope,
-            stats = carriedStats(spark.sparkContext.hadoopConfiguration,
-              snap.stats,
-              snap.entries ++ (if (survivorsCkpt.isDefined) Nil else newDelta),
-              if (survivorsCkpt.isDefined) newDelta else Nil),
-            schemaJson = Some(asNullableSchema(schema0).json),
-            deletes = delFiles, colMap = snap.colMap))
+        try {
+          commit(fs, root, snap.version + 1,
+            encodeSnapshot(withSizes(fs, snap.entries), newDelta,
+              snap.dvKeys match { case Nil => keyCols; case pinned => pinned },
+              scope,
+              stats = carriedStats(spark.sparkContext.hadoopConfiguration,
+                snap.stats,
+                snap.entries ++ (if (survivorsCkpt.isDefined) Nil else newDelta),
+                if (survivorsCkpt.isDefined) newDelta else Nil),
+              schemaJson = Some(asNullableSchema(schema0).json),
+              deletes = delFiles, colMap = snap.colMap))
+        } catch {
+          case e: FileAlreadyExistsException =>
+            // lost the OCC race. Append-SHAPED only when the delta was
+            // carried untouched (no tombstoned key lived in it): the
+            // rebase appends MY keys as a fresh key-only file onto the
+            // tip's tombstone list (the combined file written above
+            // binds MY base's tombstones — stale vs the tip — and
+            // becomes a vacuum-reclaimable orphan)
+            return (if (!deltaTouched)
+              rebaseRowLevelAppend(spark, fs, root, k, keyCols, nK,
+                myDeltaFiles = Nil, myTombstones = true,
+                mySchemaJson = Some(asNullableSchema(schema0).json),
+                myColMap = snap.colMap, baseEntries = snap.entries,
+                baseStats = snap.stats, maxDeltaRows = maxDeltaRows,
+                maxDeltaFiles = Int.MaxValue)
+            else None).getOrElse(throw e)
+        }
         // honest churn accounting (review catch): a touched delta's old
         // files were REPLACED, as was any prior tombstone file; fresh
         // writes are the new delta set (when re-written) + the

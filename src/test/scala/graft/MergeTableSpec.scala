@@ -2949,6 +2949,148 @@ class MergeTableSpec extends SparkSpec {
     assert(MergeTable.read(spark, path).columns.toSeq === Seq("id", "body"))
   }
 
+  /** Every part file on disk that the tip references — orphan-freedom
+    * is the rebase evidence: a full re-attempt abandons the loser's
+    * first batch as an orphan. */
+  private def orphanParts(path: String): Set[String] = {
+    val snap = MergeTable.snapshot(spark, path)
+    val refd = (snap.entries ++ snap.delta ++ snap.deletes)
+      .map(e => new org.apache.hadoop.fs.Path(e.path).getName).toSet
+    new java.io.File(path, "data").listFiles
+      .filter(_.isDirectory).flatMap(_.listFiles)
+      .filter(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet")).map(_.getName).toSet -- refd
+  }
+
+  test("multi-writer OCC: two disjoint-key mergeLites land in one retry round — both deltas live, no orphan files") {
+    val path = freshPath()
+    MergeTable.init(spark, path, rows(1 to 100, "a"))               // v1
+    MergeTable.commitRaceHookForTest = () => {
+      MergeTable.commitRaceHookForTest = () => ()
+      MergeTable.mergeLite(spark, path, rows(200 to 209, "winner"), Seq("id")); ()
+    }
+    val st =
+      try MergeTable.mergeLite(spark, path, rows(300 to 309, "loser"), Seq("id"))
+      finally MergeTable.commitRaceHookForTest = () => ()
+    assert(st.version === 3L, s"the rebase lands right after the winner: $st")
+    val got = MergeTable.read(spark, path)
+    assert(got.count() === 120)
+    assert(got.filter($"tag" === "winner").count() === 10)
+    assert(got.filter($"tag" === "loser").count() === 10)
+    val snap = MergeTable.snapshot(spark, path)
+    assert(snap.delta.nonEmpty && snap.rowLevel)
+    assert(orphanParts(path).isEmpty,
+      "the loser must reuse its written delta batch (no orphan files)")
+    // CDF across the rebased commit reports the TRUE churn: the window
+    // covering only the rebase carries the loser's rows alone
+    assert(MergeTable.changesBetween(spark, path, 2L, 3L, Seq("id"))
+      .count() === 10)
+    assert(MergeTable.changesBetween(spark, path, 1L, 3L, Seq("id"))
+      .count() === 20)
+    assert(MergeTable.deletesBetween(spark, path, 1L, 3L, Seq("id"))
+      .count() === 0)
+    // a later fold absorbs both writers' rows cleanly
+    MergeTable.foldRowLevel(spark, path)
+    assert(MergeTable.read(spark, path).count() === 120)
+  }
+
+  test("multi-writer OCC: overlapping-key mergeLites refuse the rebase and serialize last-wins") {
+    val path = freshPath()
+    MergeTable.init(spark, path, rows(1 to 100, "a"))
+    MergeTable.commitRaceHookForTest = () => {
+      MergeTable.commitRaceHookForTest = () => ()
+      MergeTable.mergeLite(spark, path, rows(150 to 150, "winner"), Seq("id")); ()
+    }
+    try MergeTable.mergeLite(spark, path, rows(150 to 150, "loser"), Seq("id"))
+    finally MergeTable.commitRaceHookForTest = () => ()
+    val got = MergeTable.read(spark, path)
+    assert(got.count() === 101)
+    assert(got.filter($"id" === 150L).count() === 1,
+      "overlapping concurrent upserts must serialize, never duplicate")
+    assert(got.filter($"id" === 150L).select($"tag").as[String].head()
+      === "loser", "the retried writer is newest and wins")
+  }
+
+  test("multi-writer OCC: a deleteLite racing a disjoint-key mergeLite composes; same-key refuses and serializes") {
+    val path = freshPath()
+    MergeTable.init(spark, path, rows(1 to 100, "a"))               // v1
+    MergeTable.commitRaceHookForTest = () => {
+      MergeTable.commitRaceHookForTest = () => ()
+      MergeTable.mergeLite(spark, path, rows(200 to 200, "dv"), Seq("id")); ()
+    }
+    val st =
+      try MergeTable.deleteLite(spark, path, Seq(50L).toDF("id"), Seq("id"))
+      finally MergeTable.commitRaceHookForTest = () => ()
+    assert(st.version === 3L, s"the tombstone append rebases in one round: $st")
+    val got = MergeTable.read(spark, path)
+    assert(got.count() === 100) // 100 + 1 upsert-insert − 1 delete
+    assert(got.filter($"id" === 50L).count() === 0,
+      "the loser's deletion must land")
+    assert(got.filter($"id" === 200L).select($"tag").as[String].head() === "dv",
+      "the winner's delta row must survive the rebase")
+    val snap = MergeTable.snapshot(spark, path)
+    assert(snap.delta.nonEmpty && snap.deletes.nonEmpty,
+      "both writers' row-level state composes in the tip")
+    // CDF: the rebase window carries the deletion alone
+    assert(MergeTable.deletesBetween(spark, path, 2L, 3L, Seq("id"))
+      .select($"id").as[Long].collect().toSeq === Seq(50L))
+    assert(MergeTable.changesBetween(spark, path, 2L, 3L, Seq("id"))
+      .count() === 0)
+
+    // SAME key: the winner deletes what the loser upserts — the rebase
+    // refuses (tip tombstone overlap) and the full retry serializes:
+    // the loser's upsert is newest, re-inserting the key and clearing
+    // its tombstone in one commit
+    val p2 = freshPath()
+    MergeTable.init(spark, p2, rows(1 to 100, "a"))
+    MergeTable.commitRaceHookForTest = () => {
+      MergeTable.commitRaceHookForTest = () => ()
+      MergeTable.deleteLite(spark, p2, Seq(60L).toDF("id"), Seq("id")); ()
+    }
+    try MergeTable.mergeLite(spark, p2, rows(60 to 60, "loser"), Seq("id"))
+    finally MergeTable.commitRaceHookForTest = () => ()
+    val g2 = MergeTable.read(spark, p2)
+    assert(g2.count() === 100)
+    assert(g2.filter($"id" === 60L).select($"tag").as[String].head()
+      === "loser", "the retried upsert is newest: re-insert wins")
+    assert(MergeTable.snapshot(spark, p2).deletes.isEmpty,
+      "the re-inserted key's tombstone must leave in the same commit")
+  }
+
+  test("multi-writer OCC: a mergeLite racing an insert-only merge rebases when keys are disjoint, refuses on overlap") {
+    val path = freshPath()
+    MergeTable.init(spark, path, rows(1 to 100, "a"))
+    // winner APPENDS base files (insert-only merge): the loser's scope
+    // proof must be re-checked over tip − base — disjoint keys pass
+    MergeTable.commitRaceHookForTest = () => {
+      MergeTable.commitRaceHookForTest = () => ()
+      MergeTable.merge(spark, path, rows(400 to 409, "ins"), Seq("id")); ()
+    }
+    val st =
+      try MergeTable.mergeLite(spark, path, rows(500 to 500, "lite"), Seq("id"))
+      finally MergeTable.commitRaceHookForTest = () => ()
+    assert(st.version === 3L)
+    val got = MergeTable.read(spark, path)
+    assert(got.count() === 111)
+    assert(got.filter($"tag" === "ins").count() === 10)
+    assert(got.filter($"tag" === "lite").count() === 1)
+    assert(orphanParts(path).isEmpty)
+    // OVERLAP with a winner-added file: the loser's key lives in the
+    // winner's new base file — a scoped rebase would fail to suppress
+    // it (a visible duplicate), so it must refuse and re-attempt whole
+    MergeTable.commitRaceHookForTest = () => {
+      MergeTable.commitRaceHookForTest = () => ()
+      MergeTable.merge(spark, path, rows(600 to 600, "winsert"), Seq("id")); ()
+    }
+    try MergeTable.mergeLite(spark, path, rows(600 to 600, "loser2"), Seq("id"))
+    finally MergeTable.commitRaceHookForTest = () => ()
+    val g2 = MergeTable.read(spark, path)
+    assert(g2.filter($"id" === 600L).count() === 1,
+      "a key landing in a winner-added base file must never duplicate")
+    assert(g2.filter($"id" === 600L).select($"tag").as[String].head()
+      === "loser2")
+  }
+
   test("reader-version: an unknown manifest tag refuses loudly with an upgrade message") {
     val path = freshPath()
     MergeTable.init(spark, path, rows(1 to 5, "a"))
