@@ -1783,6 +1783,63 @@ object SparkEntry {
       out
     }),
 
+    "q149_image_dedup_index" -> ((s, d) => {
+      // PERSISTED PERCEPTUAL IMAGE DEDUP INDEX (ImageDedupIndex): the
+      // corpus's dHash band table builds once as a staged MergeTable
+      // composite (the q134 staged-lineage convention), then a batch
+      // probes it — bucket-pruned scan, broadcast batch bands, one
+      // bit_count verify. The 4x16-bit pigeonhole banding is EXACT at
+      // hamming <= 3, so DuckDB brute-forces every batch-touching pair
+      // from the same re-derived 64-bit hashes (q147's integer
+      // algebra) and must match bit-for-bit.
+      import s.implicits._
+      def imgs(lo: Long, hi: Long) = {
+        val ids = T.documents(s, d)
+          .filter(col("text").isNotNull &&
+            col("doc_id") >= lo && col("doc_id") < hi)
+          .select(col("doc_id")).as[Long]
+        ids.mapPartitions(_.map { id =>
+          val seed = (id % 50).toInt
+          val w = 16 + seed % 7
+          val h = 16 + seed % 5
+          val buf = new Array[Byte](w * h * 3)
+          var i = 0; var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              buf(i) = ((seed * 31 + x * 7 + y * 13) % 256).toByte
+              buf(i + 1) = ((seed * 17 + x * 11 + y * 3) % 256).toByte
+              buf(i + 2) = ((seed * 23 + x * 5 + y * 19) % 256).toByte
+              i += 3; x += 1
+            }
+            y += 1
+          }
+          (id, w, h, buf)
+        }).toDF("doc_id", "w", "h", "rgb")
+      }
+      val IDX = graft.operators.ImageDedupIndex
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q149")
+      val idx = tmp.toString + "/idx"
+      IDX.buildFromImages(s, idx, imgs(0L, 280L), "doc_id", "w", "h", "rgb")
+      val probe = imgs(280L, 350L).select(col("doc_id"),
+        graft.functions.ImageFunctions.dhash64(col("w"), col("h"), col("rgb"))
+          .as("fp"))
+      val pairsDf = IDX.nearDupsAgainst(s, idx, probe, "doc_id", "fp")
+      // the lineage must actually exercise the index probe (fails
+      // loudly rather than silently passing an empty corpus)
+      require(pairsDf.limit(1).count() > 0,
+        "the planted hash classes must produce indexed pairs")
+      val out = pairsDf
+        .select(col("id_a").cast("long").as("id_a"),
+          col("id_b").cast("long").as("id_b"),
+          col("hamming").cast("long").as("hamming"))
+        .orderBy(col("id_a"), col("id_b"))
+        .localCheckpoint(true) // eager pin, then reclaim the staged index
+      graft.util.Checkpoints.free(pairsDf)
+      graft.util.Fs.deleteRecursively(tmp)
+      out
+    }),
+
     "q130_append_sink" -> ((s, d) => {
       // S3 (row insert / append sink): two successive mode("append")
       // parquet writes must ACCUMULATE — the second preserves the
@@ -2895,6 +2952,51 @@ object SparkEntry {
         |SELECT d.doc_id, db.dhash, ab.ahash FROM docs d
         |JOIN db ON d.doc_id = db.doc_id JOIN ab ON d.doc_id = ab.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // q149: brute-force dHash Hamming over all batch-touching pairs —
+    // the banded index probe is pigeonhole-EXACT at hamming <= 3, so
+    // the oracle needs no banding, only the q147 hash re-derivation
+    // and an all-pairs bit_count
+    "q149_image_dedup_index" ->
+      """WITH docs AS (
+        |  SELECT doc_id, 16 + (doc_id % 50) % 7 AS w,
+        |    16 + (doc_id % 50) % 5 AS h, doc_id % 50 AS seed
+        |  FROM documents WHERE text IS NOT NULL AND doc_id < 350),
+        |px AS (
+        |  SELECT doc_id, w, h, ty.y, tx.x,
+        |    ((seed*31 + tx.x*7 + ty.y*13) % 256) AS r,
+        |    ((seed*17 + tx.x*11 + ty.y*3) % 256) AS g,
+        |    ((seed*23 + tx.x*5 + ty.y*19) % 256) AS b
+        |  FROM docs, LATERAL (SELECT unnest(range(0, h)) AS y) ty,
+        |             LATERAL (SELECT unnest(range(0, w)) AS x) tx),
+        |lum AS (SELECT doc_id, w, h, y, x,
+        |        (299*r + 587*g + 114*b) // 1000 AS l FROM px),
+        |dc AS (SELECT doc_id, (y*8)//h AS ci, (x*9)//w AS cj,
+        |         sum(l)//count(*) AS cell
+        |       FROM lum GROUP BY 1, 2, 3),
+        |hashes AS (SELECT a.doc_id,
+        |         sum(CASE WHEN a.cell > b.cell THEN
+        |               CASE WHEN a.ci*8 + a.cj = 63
+        |                    THEN -9223372036854775808::HUGEINT
+        |                    ELSE (1::BIGINT << (a.ci*8 + a.cj))::HUGEINT END
+        |             ELSE 0::HUGEINT END)::BIGINT AS dhash
+        |       FROM dc a JOIN dc b ON a.doc_id = b.doc_id AND a.ci = b.ci
+        |         AND b.cj = a.cj + 1
+        |       WHERE a.cj < 8 GROUP BY 1),
+        |corp AS (SELECT * FROM hashes WHERE doc_id < 280),
+        |bat AS (SELECT * FROM hashes WHERE doc_id >= 280),
+        |cb AS (SELECT least(c.doc_id, b.doc_id) AS id_a,
+        |         greatest(c.doc_id, b.doc_id) AS id_b,
+        |         bit_count(xor(c.dhash, b.dhash))::BIGINT AS hamming
+        |       FROM corp c, bat b
+        |       WHERE bit_count(xor(c.dhash, b.dhash)) <= 3),
+        |bb AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         bit_count(xor(a.dhash, b.dhash))::BIGINT AS hamming
+        |       FROM bat a JOIN bat b ON a.doc_id < b.doc_id
+        |       WHERE bit_count(xor(a.dhash, b.dhash)) <= 3)
+        |SELECT DISTINCT id_a, id_b, hamming
+        |FROM (SELECT * FROM cb UNION ALL SELECT * FROM bb)
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // q148: the widened upsert algebra — DuckDB's BIGINT arithmetic is
     // the wide type on both legs, so value equality across the

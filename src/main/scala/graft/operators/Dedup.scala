@@ -286,12 +286,7 @@ object Dedup {
       fp: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming <= 3,
       s"maxHamming=$maxHamming exceeds the 4x16-bit banding recall guarantee (<=3)")
-    val banded = fp.select(
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("fp"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
-        .as(Seq("band", "bucket")),
-      col("id"), col("fp"))
-      .localCheckpoint(true)
+    val banded = hammingBands(fp).localCheckpoint(true)
 
     try banded.select(col("band"), col("bucket"),
         col("id").as("id_a"), col("fp").as("fp_a"))
@@ -306,6 +301,20 @@ object Dedup {
       .localCheckpoint(true) // materialize the (small) pair set
     finally freeCheckpoint(banded)
   }
+
+  /** The 4×16-bit band decomposition of a 64-bit fingerprint frame —
+    * (band, bucket, id, fp) per input row, band 0..3. Factored so the
+    * batch operators ([[bandedHammingPairs]]) and the persisted index
+    * ([[graft.operators.ImageDedupIndex]]) derive bit-identical
+    * buckets: indexed probes and fresh recomputes MUST collide in the
+    * same buckets or recall silently drops (the [[graft.operators
+    * .DedupIndex]] bandFrame convention, 64-bit Hamming form). */
+  private[graft] def hammingBands(fp: DataFrame): DataFrame =
+    fp.select(
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("fp"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band", "bucket")),
+      col("id"), col("fp"))
 
   /** Connectivity-preserving simhash near-dup EDGES — the dedup-graph
     * form of [[simHashNearDups]] that stays LINEAR when fingerprints

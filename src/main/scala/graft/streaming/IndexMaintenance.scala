@@ -348,6 +348,123 @@ object IndexMaintenance {
       renames.get(c).map(t => q(c).as(t)).getOrElse(q(c))): _*)
   }
 
+  /** IMAGE arrival path: decoded image rows → perceptual near-dup
+    * admission against a persisted [[graft.operators.ImageDedupIndex]]
+    * → keyed [[graft.sources.MergeTable]] store merge → index upsert —
+    * the image pillar's twin of [[runToIndexedKnowledge]]'s gated text
+    * ingest: a duplicate (or near-duplicate, hamming <= `maxHamming`)
+    * of anything already admitted never lands in the store, and the
+    * corpus is never re-paired — the probe cost tracks the BATCH
+    * (bucket-pruned index scan), not the corpus.
+    *
+    * Exactly-once ROW STATE under at-least-once foreachBatch (the
+    * file's contract): the store merge and the band upsert are keyed,
+    * intra-batch duplicates reduce deterministically
+    * ([[graft.operators.Dedup.deterministicOnePerKey]], versionCol
+    * honored, live-beats-retraction at ties), and admission is
+    * replay-convergent — a replayed batch's ids self-exclude from the
+    * corpus probe, so the same survivors come back and every keyed
+    * write converges (spec-pinned re-admit case).
+    *
+    * CRUD semantics, the [[applyBatch]] conventions translated:
+    *  - a row with NULL `rgbCol` is a RETRACTION: the id purges from
+    *    the index and deletes from the store (O(keys), deleteLite);
+    *  - an UN-HASHABLE live row (sub-grid or malformed buffer —
+    *    [[graft.functions.ImageFunctions.dhash64]] NULLs it) has no
+    *    perceptual identity: it passes the gate and lands in the
+    *    store for byte-level audit, but never enters the band index;
+    *  - the store is created on the first live batch (keyed by
+    *    `idCol`), the exists→init TOCTOU falling back to merge (the
+    *    [[graft.streaming.JobProcessor.runToMergeTable]] contract).
+    *
+    * The INDEX must exist before the stream starts ([[graft.operators
+    * .ImageDedupIndex.build]], possibly from an empty frame) — the
+    * pinned kernel (dhash64/ahash64) is index state, not a stream
+    * argument, so a probe can never hash differently than the corpus
+    * it probes. */
+  def runImagesToDedupedStore(
+      spark: org.apache.spark.sql.SparkSession, images: DataFrame,
+      storePath: String, indexPath: String, checkpoint: String,
+      idCol: String = "img_id", widthCol: String = "w",
+      heightCol: String = "h", rgbCol: String = "rgb",
+      maxHamming: Int = 3,
+      versionCol: Option[String] = None): StreamingQuery = {
+    require(graft.operators.ImageDedupIndex.exists(spark, indexPath),
+      s"no image dedup index at $indexPath — build it first (the " +
+        "pinned hash kernel is index state)")
+    val normalized = normalizeCols(images,
+      mandatory = Seq(idCol, widthCol, heightCol, rgbCol) ++ versionCol,
+      optional = Nil)
+    normalized.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.persist()
+        try {
+          if (batch.count() > 0)
+            applyImageBatch(spark, batch.toDF(), storePath, indexPath,
+              idCol, widthCol, heightCol, rgbCol, maxHamming, versionCol)
+          ()
+        } finally batch.unpersist()
+      }
+      .start()
+  }
+
+  /** One image micro-batch, exposed for direct backfills (the
+    * [[applyBatch]] convention). */
+  private[graft] def applyImageBatch(
+      spark: org.apache.spark.sql.SparkSession, batch: DataFrame,
+      storePath: String, indexPath: String,
+      idCol: String, widthCol: String, heightCol: String, rgbCol: String,
+      maxHamming: Int, versionCol: Option[String]): Unit = {
+    import graft.operators.ImageDedupIndex
+    // deterministic winner per id: version desc when given, then
+    // live-beats-retraction, then the content fingerprint
+    val one = graft.operators.Dedup.deterministicOnePerKey(
+      batch.filter(col(idCol).isNotNull), idCol, versionCol,
+      tieBreak = Seq(col(rgbCol).isNull.asc))
+    val retractKeys = one.filter(col(rgbCol).isNull).select(col(idCol))
+    if (!retractKeys.isEmpty) {
+      // the index purge rides id-list predicates — chunked like every
+      // retract path (the isin-literal analysis cliff); the store
+      // delete takes the keys FRAME (deleteLite: O(keys), no literals)
+      retractKeys.distinct().collect().map(_.get(0)).toSeq
+        .grouped(RetractChunk)
+        .foreach(chunk => ImageDedupIndex.delete(spark, indexPath, chunk.toSeq))
+      if (graft.sources.MergeTable.exists(spark, storePath)) {
+        graft.sources.MergeTable.deleteLite(
+          spark, storePath, retractKeys, Seq(idCol)); ()
+      }
+    }
+    val live = one.filter(col(rgbCol).isNotNull)
+    if (live.isEmpty) return
+    val admitted = ImageDedupIndex.admitImages(spark, indexPath, live,
+      idCol, widthCol, heightCol, rgbCol, maxHamming, fpColOut = "__fp")
+    try {
+      if (!admitted.isEmpty) {
+        val toStore = admitted.drop("__fp")
+        // exists→init TOCTOU: the loser merges (the JobProcessor
+        // contract)
+        if (!graft.sources.MergeTable.exists(spark, storePath))
+          try {
+            graft.sources.MergeTable.init(spark, storePath, toStore); ()
+          } catch {
+            case _: IllegalArgumentException |
+                 _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+              graft.sources.MergeTable.merge(
+                spark, storePath, toStore, Seq(idCol)); ()
+          }
+        else {
+          graft.sources.MergeTable.merge(
+            spark, storePath, toStore, Seq(idCol)); ()
+        }
+        val fps = admitted.filter(col("__fp").isNotNull)
+          .select(col(idCol), col("__fp"))
+        if (!fps.isEmpty) ImageDedupIndex.upsert(
+          spark, indexPath, fps, idCol, "__fp")
+      }
+    } finally graft.util.Checkpoints.free(admitted)
+  }
+
   /** One micro-batch, exposed for direct (non-streaming) backfills.
     *
     * A row with a NULL `contentCol` is a RETRACTION (the

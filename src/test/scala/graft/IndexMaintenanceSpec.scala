@@ -665,4 +665,62 @@ class IndexMaintenanceSpec extends SparkSpec {
       } finally graft.plans.IvfIndex.unregister(spark, "embedding")
     } finally q.stop()
   }
+
+  test("image stream: perceptual admission gates the store, retraction purges, replay converges") {
+    implicit val sqlCtx = spark.sqlContext
+    def img(seed: Int): (Int, Int, Array[Byte]) = {
+      val w = 16 + seed % 7; val h = 16 + seed % 5
+      val buf = new Array[Byte](w * h * 3)
+      var i = 0; var y = 0
+      while (y < h) { var x = 0; while (x < w) {
+        buf(i) = ((seed * 31 + x * 7 + y * 13) % 256).toByte
+        buf(i + 1) = ((seed * 17 + x * 11 + y * 3) % 256).toByte
+        buf(i + 2) = ((seed * 23 + x * 5 + y * 19) % 256).toByte
+        i += 3; x += 1 }; y += 1 }
+      (w, h, buf)
+    }
+    val base = java.nio.file.Files.createTempDirectory("idx_maint_img").toString
+    // incumbent image id 1 (family 0) seeds the index
+    val (w0, h0, b0) = img(0)
+    operators.ImageDedupIndex.buildFromImages(spark, s"$base/idx",
+      Seq((1L, w0, h0, b0)).toDF("img_id", "w", "h", "rgb"),
+      "img_id", "w", "h", "rgb")
+    val input = MemoryStream[(Long, Int, Int, Array[Byte])]
+    val q = IndexMaintenance.runImagesToDedupedStore(spark,
+      input.toDF().toDF("img_id", "w", "h", "rgb"),
+      storePath = s"$base/store", indexPath = s"$base/idx",
+      checkpoint = s"$base/ckpt")
+    try {
+      val (w9, h9, b9) = img(9)
+      val (w5, h5, b5) = img(5)
+      // dup of the incumbent (dies), new family (lands), its in-batch
+      // dup (dies), an un-hashable buffer (passes, store-only)
+      input.addData(
+        (10L, w0, h0, b0), (11L, w9, h9, b9), (12L, w9, h9, b9),
+        (13L, 5, 5, Array[Byte](1, 2, 3)))
+      q.processAllAvailable()
+      def storeIds: Set[Long] = graft.sources.MergeTable
+        .read(spark, s"$base/store").select($"img_id").as[Long].collect().toSet
+      assert(storeIds === Set(11L, 13L),
+        s"admission gate leaked or over-killed: $storeIds")
+      // incumbency: a later dup of the admitted 11 dies; a replay-shaped
+      // re-send of 11 converges (self-excluded probe, keyed merge)
+      input.addData((20L, w9, h9, b9), (11L, w9, h9, b9))
+      q.processAllAvailable()
+      assert(storeIds === Set(11L, 13L), s"incumbency/replay broke: $storeIds")
+      // retraction: NULL rgb purges 11 from store and index; its
+      // content then re-admits under a fresh id
+      input.addData((11L, 0, 0, null.asInstanceOf[Array[Byte]]))
+      q.processAllAvailable()
+      assert(storeIds === Set(13L), s"retraction must purge the store: $storeIds")
+      input.addData((30L, w9, h9, b9))
+      q.processAllAvailable()
+      assert(storeIds === Set(13L, 30L),
+        s"a retracted image's content must re-admit: $storeIds")
+      // a genuinely new family still lands
+      input.addData((40L, w5, h5, b5))
+      q.processAllAvailable()
+      assert(storeIds === Set(13L, 30L, 40L))
+    } finally q.stop()
+  }
 }
