@@ -176,6 +176,48 @@ object ManifestScaleDemo {
     require(MergeTable.snapshot(spark, vtbl.toString).files.size == 32,
       "tip content must survive the manifest sweep")
 
+    // ---- insert-only lineage: the trimLog bound ---------------------------
+    // Every version's files stay live in the tip, so the liveness-gated
+    // vacuum above deliberately keeps ALL 1000 manifests (time travel
+    // stays wide) — and the log grows O(files × versions) forever. The
+    // explicit horizon trim is the operator's bound for exactly this
+    // shape (r16 verdict #4).
+    val itbl = root.resolve("insertonly")
+    val idata = itbl.resolve("data").resolve("batch-0")
+    java.nio.file.Files.createDirectories(idata)
+    cloneFiles(idata, 1000)
+    val imdir = new Path(itbl.toString, "_manifests")
+    val ifs = imdir.getFileSystem(conf)
+    time("[1k commits, insert-only] 1000 sequential commits (version v = first v files)") {
+      (1 to 1000).foreach { v =>
+        Manifests.commit(ifs, imdir, v.toLong, (0 until v).map(i =>
+          "file://" + idata.resolve(f"part-$i%06d-c000.parquet").toString))
+      }
+    }
+    val logBytes = ifs.listStatus(imdir).map(_.getLen).sum
+    println(f"[1k commits, insert-only] log size: ${logBytes / 1024}%,d KiB " +
+      f"across ${Manifests.listVersions(ifs, imdir).size}%,d manifests")
+    Manifests.listVersions(ifs, imdir).foreach { v =>
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(Manifests.versionPath(imdir, v).toUri.getPath),
+        java.nio.file.attribute.FileTime.fromMillis(1000L))
+    }
+    time("[1k commits, insert-only] vacuum (liveness gate keeps every manifest)") {
+      MergeTable.vacuum(spark, itbl.toString, retainMillis = 60000)
+      require(Manifests.listVersions(ifs, imdir).size == 1000,
+        "insert-only: vacuum must not narrow time travel")
+    }
+    time("[1k commits, insert-only] trimLog to a 24-version horizon") {
+      require(MergeTable.trimLog(spark, itbl.toString, keepLast = 24,
+        retainMillis = 0L) == 976)
+    }
+    val trimmedBytes = ifs.listStatus(imdir).map(_.getLen).sum
+    println(f"[1k commits, insert-only] log after trim: " +
+      f"${trimmedBytes / 1024}%,d KiB across " +
+      f"${Manifests.listVersions(ifs, imdir).size}%,d manifests")
+    require(MergeTable.snapshot(spark, itbl.toString).files.size == 1000,
+      "the tip must survive the trim untouched")
+
     graft.util.Fs.deleteRecursively(root)
     spark.stop()
   }

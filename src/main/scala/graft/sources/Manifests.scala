@@ -366,13 +366,17 @@ private[graft] object Manifests {
     * this targets, either would be the new bottleneck), and a
     * concurrent sweeper racing the same directory is tolerated:
     * deleting an already-deleted file is a no-op `false`, never an
-    * exception. */
+    * exception.
+    *
+    * Returns the number of VERSION manifests removed (temps excluded)
+    * — what [[MergeTable.trimLog]] reports to its caller. */
   def sweepLog(
       fs: FileSystem, dir: Path, cutoff: Long,
       keep: Set[Long], keepFrom: Long,
       tmpPrefix: String = "._v",
-      sweepable: Long => Boolean = _ => true): Unit = {
-    if (!fs.exists(dir)) return
+      sweepable: Long => Boolean = _ => true): Int = {
+    if (!fs.exists(dir)) return 0
+    var swept = 0
     fs.listStatus(dir).filter(_.isFile)
       .filter(_.getModificationTime <= cutoff)
       .foreach { s =>
@@ -383,7 +387,10 @@ private[graft] object Manifests {
             val v = nm.drop(1).toLong
             !keep.contains(v) && v < keepFrom && sweepable(v)
           }
-        if (isTemp || isSweepableVersion) fs.delete(s.getPath, false)
+        if (isTemp || isSweepableVersion) {
+          if (fs.delete(s.getPath, false) && isSweepableVersion) swept += 1
+        }
       }
+    swept
   }
 }

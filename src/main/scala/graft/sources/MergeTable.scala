@@ -1513,11 +1513,22 @@ object MergeTable {
       retiredPhysicalColumns: Seq[String],
       statsColumns: Seq[String],
       bloomColumns: Seq[String],
-      pressure: RowLevelPressure)
+      pressure: RowLevelPressure,
+      manifestVersions: Int, manifestBytes: Long)
 
   def describe(spark: SparkSession, path: String): TableInfo = {
     val snap = snapshot(spark, path)
     val (fs, root) = fsOf(spark, path)
+    // metadata pressure from the same listing trimLog/vacuum walk:
+    // each manifest is a full snapshot, so on insert-only or
+    // between-folds row-level lineages (where vacuum's liveness gate
+    // deliberately never sweeps) these two numbers are what tells the
+    // operator the LOG — not the data — is the thing growing
+    val mStats = fs.listStatus(manifestDir(root)).filter(_.isFile)
+      .filter { s =>
+        val nm = s.getPath.getName
+        nm.length > 1 && nm.startsWith("v") && nm.drop(1).forall(_.isDigit)
+      }
     TableInfo(
       snap.version,
       snap.entries.size, snap.entries.map(_.size.max(0L)).sum,
@@ -1527,7 +1538,8 @@ object MergeTable {
       snap.colMap.retired,
       snap.stats.map(s => snap.colMap.logicalOf(s.col)),
       readBloomProps(fs, root).map(snap.colMap.logicalOf),
-      rowLevelPressure(spark, path))
+      rowLevelPressure(spark, path),
+      mStats.length, mStats.map(_.getLen).sum)
   }
 
   /** Committed versions of the table, oldest first. */
@@ -3281,17 +3293,63 @@ object MergeTable {
     * under concurrency the predicate binds to the DISCOVERY snapshot
     * (a concurrent writer's new matching rows are not re-discovered
     * by the commit retries, where deleteWhere re-runs its discovery
-    * per attempt — the price of the O(keys) write path). */
+    * per attempt — the price of the O(keys) write path).
+    *
+    * `rediscoverPerRetry = true` opts back into deleteWhere's
+    * concurrent semantics at tombstone cost: whenever a concurrent
+    * commit interleaves with this call — a lost OCC race, OR a
+    * disjoint-key REBASE that landed this call's tombstones on top of
+    * a winner's commit (the row-level rebase makes interference
+    * invisible to the retry loop: the commit *succeeds*, version
+    * jumping past the discovery snapshot) — the pruned discovery
+    * re-runs against the fresh tip, so rows a racing writer inserted
+    * (or un-suppressed) inside the window re-match and die in the
+    * same call. The loop converges when one pass lands exactly one
+    * version past its own discovery (nothing interleaved: the
+    * predicate provably saw the committed-against state), paying zero
+    * extra scans on a quiescent table; each interference costs one
+    * more stats/bloom-pruned discovery + O(matched-keys) commit, and
+    * `maxRetries` interleaved passes in a row raise [[CommitConflict]]
+    * rather than silently downgrading to the discovery-bound
+    * semantics. */
   def deleteWhereLite(
       spark: SparkSession, path: String,
       cond: org.apache.spark.sql.Column, keyCols: Seq[String],
       maxDeltaRows: Long = DefaultMaxDeltaRows,
-      maxRetries: Int = 5): MergeStats = {
+      maxRetries: Int = 5,
+      rediscoverPerRetry: Boolean = false): MergeStats = {
     requireKeyCols(keyCols)
-    val keys = read(spark, path).filter(cond)
+    def discovered(): DataFrame = read(spark, path).filter(cond)
       .select(keyCols.map(col): _*).distinct().localCheckpoint(true)
-    try deleteLite(spark, path, keys, keyCols, maxDeltaRows, maxRetries)
-    finally graft.util.Checkpoints.free(keys)
+    if (!rediscoverPerRetry) {
+      val keys = discovered()
+      try return deleteLite(spark, path, keys, keyCols, maxDeltaRows,
+        maxRetries)
+      finally graft.util.Checkpoints.free(keys)
+    }
+    var attempt = 0
+    while (attempt < maxRetries) {
+      attempt += 1
+      val preV = snapshot(spark, path).version
+      val keys = discovered()
+      try {
+        val landed =
+          try Some(deleteLite(spark, path, keys, keyCols, maxDeltaRows,
+            maxRetries = 1))
+          catch { case _: CommitConflict => None } // lost: rediscover
+        landed match {
+          // no-op (empty match, version unchanged) or clean single
+          // commit: nothing interleaved between discovery and commit
+          case Some(st) if st.version <= preV + 1 => return st
+          // version jumped: the rebase landed us past a concurrent
+          // winner whose rows this discovery never saw — go again
+          case _ => ()
+        }
+      } finally graft.util.Checkpoints.free(keys)
+    }
+    throw new CommitConflict(
+      s"deleteWhereLite at $path saw $maxRetries interleaved commits " +
+        "in a row (rediscoverPerRetry could not converge)")
   }
 
   /** Row-level DELETE: rewrite only the files that contain a row
@@ -3624,6 +3682,168 @@ object MergeTable {
     // since a crashed FIRST init leaves no manifest for vacuum to open)
     sweepBloomTemps(fs, root, cutoff)
     dead.length
+  }
+
+  /** EXPLICIT version-log retention — the horizon-keyed trim
+    * [[vacuum]]'s liveness gate deliberately never performs.
+    *
+    * Vacuum sweeps a version's manifest only when some of its DATA was
+    * reclaimed, which keeps time travel as wide as the data allows —
+    * but on the two lineage shapes where no data is ever reclaimed the
+    * log grows O(files × versions) bytes forever: pure-insert lineages
+    * (every old version's files stay live in the tip) and row-level
+    * lineages between folds (mergeLite/deleteLite ADD delta/tombstone
+    * files without retiring base files). Each manifest is the FULL
+    * snapshot (entries + stats lines), so a 100k-file table committing
+    * row-level batches every minute writes ~500k full snapshots a year
+    * — real metadata storage, and a linearly slower `listVersions`
+    * walk on every maintenance pass (Delta bounds the same growth with
+    * `logRetentionDuration`; this is that knob, made explicit).
+    *
+    * `keepLast` names the TRAVEL HORIZON: the newest `keepLast`
+    * committed versions survive (the tip always does — `keepLast >= 1`
+    * enforced). Versions below the horizon are removed when they clear
+    * three independent gates, each a different writer/reader protected:
+    *  - `keepVersions`: session-pinned versions survive regardless of
+    *    age (the [[vacuum]] convention — a composite-index pin or a
+    *    serving reader's explicit version must never vanish under it);
+    *    time travel to them keeps working because this trim never
+    *    touches DATA files — reclaiming those stays vacuum's job, with
+    *    its own liveness reasoning.
+    *  - the structural floor: `keepFrom` is the oldest in-horizon
+    *    version, so a commit LANDING DURING the trim (numbered above
+    *    the resolved tip) can never be swept, even at
+    *    `retainMillis = 0`.
+    *  - the mtime grace: a manifest younger than `retainMillis` is
+    *    kept even below the horizon — the same two-filesystem-ops
+    *    guard as the data vacuum (a reader that resolved a version
+    *    list moments ago may still be opening one of these files; the
+    *    bounded [[Manifests.latestLines]] retry covers the tip, the
+    *    grace covers pinned-version readers).
+    *
+    * Travel to a trimmed version thereafter fails LOUDLY with the
+    * crafted "reclaimed by the retention sweep" message
+    * ([[Manifests.readPinned]]) — as does a [[changesBetween]] /
+    * [[deletesBetween]] window whose `fromV` fell below the horizon:
+    * CDF consumers must keep their cursor inside the retention window,
+    * exactly Delta's CDF-vs-log-retention contract.
+    *
+    * Returns the number of version manifests removed. One
+    * `listStatus` + one delete per swept version; no data IO, no
+    * manifest reads (unlike vacuum's liveness probe, the horizon rule
+    * needs only names and mtimes). Schedule with [[vacuum]] — or let
+    * [[maintain]] drive both from one policy. */
+  def trimLog(
+      spark: SparkSession, path: String, keepLast: Int,
+      retainMillis: Long = DefaultRetainMillis,
+      keepVersions: Seq[Long] = Nil): Int = {
+    require(keepLast >= 1, "keepLast must be >= 1 (the tip always survives)")
+    require(retainMillis >= 0, "retainMillis must be >= 0")
+    val (fs, root) = fsOf(spark, path)
+    val dir = manifestDir(root)
+    val versions = Manifests.listVersions(fs, dir)
+    if (versions.isEmpty) return 0
+    val keepFrom = versions.takeRight(keepLast).head
+    Manifests.sweepLog(fs, dir,
+      System.currentTimeMillis() - retainMillis,
+      keepVersions.toSet, keepFrom = keepFrom)
+  }
+
+  /** Budgets for ONE scheduled [[maintain]] pass — every threshold
+    * `Option`al, `None` = that branch never runs. The defaults make
+    * `MaintenancePolicy()` a safe no-op-ish sweep: rescope when
+    * unscoped (one discovery scan, no data write) and vacuum at the
+    * standard grace; folding, compaction and log-trimming are opt-in
+    * because their budgets are table-shape judgments the operator
+    * owns (a fold rewrites the scope, a compaction rewrites the
+    * table, a trim narrows time travel). */
+  final case class MaintenancePolicy(
+      rescope: Boolean = true,
+      foldAtTombstoneRows: Option[Long] = None,
+      compactAtFiles: Option[Int] = None,
+      compactSortCol: Option[String] = None,
+      compactTargetFiles: Option[Int] = None,
+      vacuumRetainMillis: Option[Long] = Some(DefaultRetainMillis),
+      logKeepLast: Option[Int] = None,
+      keepVersions: Seq[Long] = Nil)
+
+  /** What one [[maintain]] pass actually did. `before` is the
+    * [[describe]] the decisions were made from (so a scheduler's log
+    * shows WHY each branch fired); `endVersion` the tip after the
+    * pass. */
+  final case class MaintenanceReport(
+      before: TableInfo,
+      rescoped: Boolean,
+      folded: Option[MergeStats],
+      compactedToVersion: Option[Long],
+      dataFilesReclaimed: Int,
+      manifestsTrimmed: Int,
+      endVersion: Long)
+
+  /** ONE scheduled maintenance entry point — the operator loop's
+    * parts ([[describe]] → [[rescopeDelta]] → [[foldIfTombstones]] →
+    * [[compactTable]] → [[vacuum]] → [[trimLog]]) composed in their
+    * canonical order, each branch gated by the policy's budgets, and
+    * a report of what ran. A 100 TB deployment schedules THIS per
+    * table instead of five calls whose ordering subtleties
+    * (rescope-before-fold is wasted work, compact absorbs row-level
+    * state, vacuum's grace vs a trim's horizon) every operator would
+    * otherwise rediscover.
+    *
+    * Branch semantics, in execution order:
+    *  - RESCOPE runs when the tip carries an unscoped delta
+    *    ([[RowLevelPressure.unscoped]]) — EXCEPT when this same pass
+    *    will fold: the fold rewrites the scoped files and drops the
+    *    row-level state the rescope would have annotated, so the
+    *    discovery scan would be paid twice for one outcome.
+    *  - FOLD runs when tombstone rows exceed `foldAtTombstoneRows`
+    *    (the [[foldIfTombstones]] threshold), using the pressure
+    *    counts `before` already paid for — no second footer pass.
+    *  - COMPACT runs when the CURRENT base file count (re-read after
+    *    a fold may have changed it — one manifest read, no data IO)
+    *    exceeds `compactAtFiles`; requires `compactSortCol` and
+    *    `compactTargetFiles` (refused loudly up front, not when the
+    *    threshold eventually trips in production).
+    *  - VACUUM at `vacuumRetainMillis`, then TRIM at `logKeepLast`,
+    *    both honoring `keepVersions` — the pins survive data
+    *    reclamation AND log retention.
+    *
+    * Each branch is the underlying operation unchanged — same OCC,
+    * same refusals, same stats — so everything spec-pinned about the
+    * parts holds under the composition. */
+  def maintain(
+      spark: SparkSession, path: String,
+      policy: MaintenancePolicy = MaintenancePolicy()): MaintenanceReport = {
+    if (policy.compactAtFiles.isDefined)
+      require(policy.compactSortCol.isDefined &&
+        policy.compactTargetFiles.isDefined,
+        "compactAtFiles set without compactSortCol/compactTargetFiles — " +
+          "the compaction branch needs a layout to rewrite INTO; refusing " +
+          "up front rather than when the threshold first trips")
+    val before = describe(spark, path)
+    val willFold =
+      policy.foldAtTombstoneRows.exists(before.pressure.tombstoneRows > _)
+    val rescoped =
+      if (policy.rescope && before.pressure.unscoped && !willFold)
+        rescopeDelta(spark, path).version != before.version
+      else false
+    val folded = if (willFold) Some(foldRowLevel(spark, path)) else None
+    val compacted = policy.compactAtFiles.flatMap { maxFiles =>
+      val files = snapshot(spark, path).entries.size
+      if (files > maxFiles)
+        Some(compactTable(spark, path, policy.compactSortCol.get,
+          policy.compactTargetFiles.get).version)
+      else None
+    }
+    val reclaimed = policy.vacuumRetainMillis
+      .map(r => vacuum(spark, path, r, policy.keepVersions)).getOrElse(0)
+    val trimmed = policy.logKeepLast
+      .map(k => trimLog(spark, path, k,
+        policy.vacuumRetainMillis.getOrElse(DefaultRetainMillis),
+        policy.keepVersions))
+      .getOrElse(0)
+    MaintenanceReport(before, rescoped, folded, compacted, reclaimed,
+      trimmed, snapshot(spark, path).version)
   }
 
   private def latestVersion(fs: FileSystem, root: Path): Option[Long] =

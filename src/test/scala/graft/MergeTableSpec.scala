@@ -3102,4 +3102,169 @@ class MergeTableSpec extends SparkSpec {
       e.getMessage.contains("newer graft writer"),
       s"got: ${e.getMessage}")
   }
+
+  test("trimLog: explicit horizon retention on the lineages vacuum's liveness gate never sweeps") {
+    val path = freshPath()
+    MergeTable.init(spark, path, rows(1 to 100, "a")) // v1
+    for (i <- 2 to 8) // pure-insert lineage: every old file stays live
+      MergeTable.merge(spark, path,
+        rows(i * 1000 to i * 1000 + 50, "a"), Seq("id"))  // v2..v8
+    // vacuum at grace 0: data all live in the tip, so the liveness
+    // gate keeps EVERY manifest — the exact growth trimLog exists for
+    MergeTable.vacuum(spark, path, 0L)
+    assert(MergeTable.versions(spark, path) === (1L to 8L),
+      "insert-only lineage: vacuum must not narrow time travel")
+    val info0 = MergeTable.describe(spark, path)
+    assert(info0.manifestVersions === 8 && info0.manifestBytes > 0,
+      "describe must surface the log's metadata pressure")
+    // horizon 3 with v2 session-pinned: v1/v3/v4/v5 go, v2 survives
+    assert(MergeTable.trimLog(spark, path, keepLast = 3,
+      retainMillis = 0L, keepVersions = Seq(2L)) === 4)
+    assert(MergeTable.versions(spark, path) === Seq(2L, 6L, 7L, 8L))
+    // travel inside the horizon and to the pin still works — the trim
+    // touched no data files
+    assert(MergeTable.readAt(spark, path, 6L).count() === 100 + 5 * 51)
+    assert(MergeTable.readAt(spark, path, 2L).count() === 151)
+    // outside: the crafted retention message, not a bare FNFE
+    val e = intercept[IllegalArgumentException](
+      MergeTable.readAt(spark, path, 3L).count())
+    assert(e.getMessage.contains("retention sweep"), s"got: ${e.getMessage}")
+    // a CDF window whose fromV fell below the horizon refuses the same
+    // way — cursors must stay inside the retention window
+    val e2 = intercept[IllegalArgumentException](
+      MergeTable.changesBetween(spark, path, 3L, 8L, Seq("id")).count())
+    assert(e2.getMessage.contains("retention sweep"), s"got: ${e2.getMessage}")
+    // ... while a window inside the horizon keeps working
+    assert(MergeTable.changesBetween(spark, path, 6L, 8L, Seq("id"))
+      .count() === 2 * 51)
+    // the mtime grace protects below-horizon manifests younger than it
+    assert(MergeTable.trimLog(spark, path, keepLast = 1,
+      retainMillis = 60L * 60L * 1000L) === 0)
+    assert(MergeTable.versions(spark, path) === Seq(2L, 6L, 7L, 8L))
+    // the tip always survives, even at keepLast = 1 / grace 0
+    assert(MergeTable.trimLog(spark, path, keepLast = 1,
+      retainMillis = 0L) === 3)
+    assert(MergeTable.versions(spark, path) === Seq(8L))
+    assert(MergeTable.read(spark, path).count() === 100 + 7 * 51)
+    val info1 = MergeTable.describe(spark, path)
+    assert(info1.manifestVersions === 1 &&
+      info1.manifestBytes < info0.manifestBytes)
+    intercept[IllegalArgumentException](
+      MergeTable.trimLog(spark, path, keepLast = 0))
+  }
+
+  test("deleteWhereLite rediscoverPerRetry: a racing writer's new matches re-match; the default binds to discovery") {
+    def build(): String = {
+      val p = freshPath()
+      MergeTable.init(spark, p, (1 to 100)
+        .map(i => (i.toLong, if (i % 10 == 7) "bad" else "ok", s"p $i"))
+        .toDF("id", "tag", "body"))
+      p
+    }
+    def raceInsertBad(p: String): Unit = {
+      MergeTable.commitRaceHookForTest = () => {
+        MergeTable.commitRaceHookForTest = () => ()
+        MergeTable.merge(spark, p,
+          Seq((1001L, "bad", "landed mid-delete")).toDF("id", "tag", "body"),
+          Seq("id")); ()
+      }
+    }
+    // DEFAULT: the predicate binds to the discovery snapshot — the
+    // racer's new matching row survives the retried commit
+    val a = build()
+    raceInsertBad(a)
+    try MergeTable.deleteWhereLite(spark, a, $"tag" === "bad", Seq("id"))
+    finally MergeTable.commitRaceHookForTest = () => ()
+    val ra = MergeTable.read(spark, a).filter($"tag" === "bad")
+    assert(ra.count() === 1 &&
+      ra.select($"id").as[Long].head() === 1001L,
+      "default semantics: discovery-bound, documented")
+    // OPT-IN: the lost commit re-runs discovery against the fresh tip,
+    // so the racer's row dies in the same call
+    val b = build()
+    raceInsertBad(b)
+    try MergeTable.deleteWhereLite(spark, b, $"tag" === "bad", Seq("id"),
+      rediscoverPerRetry = true)
+    finally MergeTable.commitRaceHookForTest = () => ()
+    assert(MergeTable.read(spark, b).filter($"tag" === "bad").count() === 0,
+      "rediscoverPerRetry: deleteWhere's concurrent semantics at tombstone cost")
+    assert(MergeTable.read(spark, b).count() === 90,
+      "the non-matching rows (100 - 10 bad; the racer's 1001 gone too) survive")
+    // quiescent: both modes identical, one commit
+    val c = build()
+    val s = MergeTable.deleteWhereLite(spark, c, $"tag" === "bad",
+      Seq("id"), rediscoverPerRetry = true)
+    assert(s.version === 2L &&
+      MergeTable.read(spark, c).filter($"tag" === "bad").count() === 0)
+  }
+
+  test("maintain: one policy pass drives rescope, fold, compact, vacuum and trim from described state") {
+    import MergeTable.{MaintenancePolicy, maintain}
+    // branch 1: RESCOPE — unscoped delta, nothing else over budget
+    val p1 = freshPath()
+    MergeTable.init(spark, p1, rows(1 to 1000, "old"))
+    MergeTable.compactTable(spark, p1, "id", 8)
+    MergeTable.mergeLite(spark, p1,
+      (10 to 19).map(i => (i.toLong, "old", s"r $i")).toDF("id", "tag", "body"),
+      Seq("id", "tag")) // multi-column key: commits unscoped
+    val r1 = maintain(spark, p1, MaintenancePolicy(
+      foldAtTombstoneRows = Some(1000L)))
+    assert(r1.before.pressure.unscoped && r1.rescoped &&
+      r1.folded.isEmpty && r1.compactedToVersion.isEmpty,
+      s"got: $r1")
+    assert(MergeTable.snapshot(spark, p1).dvFiles.isDefined,
+      "the pass must have scoped the delta")
+    // branch 2: FOLD preempts the rescope (one outcome, one scan) —
+    // fresh unscoped delta AND tombstones over threshold
+    MergeTable.mergeLite(spark, p1,
+      (30 to 39).map(i => (i.toLong, "old", s"r2 $i")).toDF("id", "tag", "body"),
+      Seq("id", "tag"))
+    MergeTable.deleteLite(spark, p1,
+      (50L to 60L).map(i => (i, "old")).toDF("id", "tag"), Seq("id", "tag"))
+    val r2 = maintain(spark, p1, MaintenancePolicy(
+      foldAtTombstoneRows = Some(5L)))
+    assert(r2.before.pressure.unscoped && !r2.rescoped && r2.folded.isDefined,
+      s"a firing fold must absorb the rescope: $r2")
+    val sn2 = MergeTable.snapshot(spark, p1)
+    assert(sn2.delta.isEmpty && sn2.deletes.isEmpty,
+      "the fold cleared the row-level state")
+    assert(MergeTable.read(spark, p1).count() === 1000 - 11,
+      "fold result: the deleteLite keys are gone, the merges applied")
+    // branch 3: COMPACT + VACUUM in one pass (vacuum's liveness gate
+    // sweeps the superseded manifests itself once the rewrite killed
+    // their files — trim has nothing left to do here, by design)
+    val files = MergeTable.snapshot(spark, p1).entries.size
+    val r3 = maintain(spark, p1, MaintenancePolicy(
+      compactAtFiles = Some(files - 1), compactSortCol = Some("id"),
+      compactTargetFiles = Some(2),
+      vacuumRetainMillis = Some(0L), logKeepLast = Some(1)))
+    assert(r3.compactedToVersion.isDefined &&
+      r3.dataFilesReclaimed > 0 && r3.manifestsTrimmed === 0, s"got: $r3")
+    assert(MergeTable.snapshot(spark, p1).entries.size === 2)
+    assert(MergeTable.versions(spark, p1) === Seq(r3.endVersion))
+    assert(MergeTable.read(spark, p1).count() === 989)
+    // branch 4: TRIM carries the lineage vacuum can't — insert-only
+    // commits on top of the compacted tip (all files live, liveness
+    // gate silent), the horizon policy bounds the log anyway
+    for (i <- 1 to 3)
+      MergeTable.merge(spark, p1,
+        (i * 10000 to i * 10000 + 5)
+          .map(j => (j.toLong, "old", s"n $j")).toDF("id", "tag", "body"),
+        Seq("id", "tag"))
+    val r3b = maintain(spark, p1, MaintenancePolicy(
+      vacuumRetainMillis = Some(0L), logKeepLast = Some(1)))
+    assert(r3b.manifestsTrimmed === 3 && r3b.dataFilesReclaimed === 0,
+      s"got: $r3b")
+    assert(MergeTable.versions(spark, p1) === Seq(r3b.endVersion))
+    assert(MergeTable.read(spark, p1).count() === 989 + 18)
+    // the compact branch refuses a policy without a layout, up front
+    intercept[IllegalArgumentException](maintain(spark, p1,
+      MaintenancePolicy(compactAtFiles = Some(1))))
+    // a quiet table: the default policy does nothing but report
+    val r4 = maintain(spark, p1, MaintenancePolicy(
+      foldAtTombstoneRows = Some(0L), logKeepLast = Some(10)))
+    assert(!r4.rescoped && r4.folded.isEmpty &&
+      r4.compactedToVersion.isEmpty && r4.manifestsTrimmed === 0 &&
+      r4.endVersion === r3b.endVersion, s"got: $r4")
+  }
 }
