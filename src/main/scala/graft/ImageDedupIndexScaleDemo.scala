@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Serving-cost measurement for the persisted perceptual image-dedup
+  * index ([[operators.ImageDedupIndex]]) — the image pillar's
+  * [[DedupIndexScaleDemo]]: at 1M indexed images' worth of dHash
+  * fingerprints, what does the per-batch admission probe cost versus
+  * re-pairing the corpus (the only alternative
+  * [[multimodal.Multimodal.imageNearDups]] offers)?
+  *
+  * The corpus side is FINGERPRINTS, not pixels, by design: hashes are
+  * computed once at ingest and travel as data (the index never ships
+  * or re-decodes image bytes), so 1M 64-bit fps stand in for 1M
+  * images exactly — the probe's cost structure is identical.
+  *
+  *  - **build** + bucket-major **compact**: one-time, amortized;
+  *  - **probe** ([[operators.ImageDedupIndex.nearDupsAgainst]]) at
+  *    two batch sizes (cost must track the BATCH, not the corpus):
+  *    bucket-pruned band scan, broadcast batch bands, one bit_count
+  *    verify on the collision rows;
+  *  - **fresh recompute** ([[operators.Dedup.bandedHammingPairs]]
+  *    over corpus ∪ batch, restricted to batch-touching pairs): what
+  *    every ingest batch would pay without the index.
+  *
+  * Probe and recompute must agree EXACTLY (shared banding, pigeonhole
+  * exactness at hamming ≤ 3), and every planted near-dup (1–3 bits
+  * flipped off an indexed fp) must be found.
+  * Run: `sbt "runMain graft.ImageDedupIndexScaleDemo"`; `IMG_DOCS` /
+  * `IMG_BATCH` size the corpus/batch. */
+object ImageDedupIndexScaleDemo {
+  def main(args: Array[String]): Unit = {
+    val spark: SparkSession = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val nImgs = sys.env.getOrElse("IMG_DOCS", "1000000").toLong
+    val nBatch = sys.env.getOrElse("IMG_BATCH", "4000").toInt
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_img_idx").toString + "/idx"
+    def time[T](name: String)(f: => T): T = graft.util.Timing.time(name)(f)
+    val IDX = operators.ImageDedupIndex
+
+    // deterministic pseudo-random 64-bit fps: at 1M draws from 2^64 the
+    // chance of an UNPLANTED pair landing within hamming 3 is ~1e-3,
+    // so observed pairs are the planted ones (and any accident shows
+    // identically on both arms — the equality check is unaffected)
+    val corpus = spark.range(nImgs).select($"id", xxhash64($"id").as("fp"))
+    time(f"[$nImgs%,d fps] build index") {
+      IDX.build(spark, path, corpus, "id", "fp")
+    }
+    time(f"[$nImgs%,d fps] compact (bucket-major)") {
+      IDX.compact(spark, path, 16)
+    }
+
+    // batch: half planted near-dups (target fp with 1–3 LOW bits of a
+    // rotating window flipped → hamming 1..3), half novel
+    def batchOf(n: Int): DataFrame = {
+      val half = n / 2
+      val stride = nImgs / half
+      val planted = spark.range(half).select(
+        ($"id" + nImgs).as("id"),
+        ($"id" % 62).as("b0"), ($"id" % 3).as("extra"),
+        xxhash64($"id" * stride).as("base"))
+        .select($"id", expr(
+          "base ^ shiftleft(CAST(1 AS BIGINT), CAST(b0 AS INT)) " +
+            "^ IF(extra >= 1, shiftleft(CAST(1 AS BIGINT), CAST(b0 AS INT) + 1), CAST(0 AS BIGINT)) " +
+            "^ IF(extra = 2, shiftleft(CAST(1 AS BIGINT), CAST(b0 AS INT) + 2), CAST(0 AS BIGINT))")
+          .as("fp"))
+      val novel = spark.range(half).select(
+        ($"id" + nImgs + half).as("id"),
+        xxhash64($"id" + 7777777L * nImgs).as("fp"))
+      planted.unionByName(novel)
+    }
+
+    // untimed warmup: the first probe pays codegen/broadcast warmup
+    // that would otherwise make the batch-size comparison read inverted
+    locally {
+      val w = batchOf(64).localCheckpoint(true)
+      val r = IDX.nearDupsAgainst(spark, path, w, "id", "fp")
+      r.count()
+      graft.util.Checkpoints.free(r); graft.util.Checkpoints.free(w)
+    }
+
+    for (bn <- Seq(nBatch / 4, nBatch)) {
+      val batch = batchOf(bn).localCheckpoint(true)
+      val probed = time(f"[batch $bn%,d] indexed probe (nearDupsAgainst)") {
+        IDX.nearDupsAgainst(spark, path, batch, "id", "fp")
+      }
+      val nProbe = probed.count()
+      println(f"[batch $bn%,d] pairs via index: $nProbe%,d")
+      require(nProbe >= bn / 2,
+        s"every planted near-dup must surface: $nProbe < ${bn / 2}")
+      if (bn == nBatch) {
+        val fresh = time(f"[batch $bn%,d] fresh recompute (corpus ∪ batch re-pair)") {
+          val ids = batch.select($"id".as("bid"))
+          val all = operators.Dedup.bandedHammingPairs(
+            corpus.unionByName(batch), 3)
+            .join(broadcast(ids),
+              $"id_a" === $"bid" || $"id_b" === $"bid", "left_semi")
+            .localCheckpoint(true)
+          all
+        }
+        val nFresh = fresh.count()
+        println(f"[batch $bn%,d] pairs via recompute: $nFresh%,d")
+        require(probed.exceptAll(fresh).isEmpty &&
+          fresh.exceptAll(probed).isEmpty,
+          "indexed probe and fresh recompute must agree bit-for-bit")
+        graft.util.Checkpoints.free(fresh)
+      }
+      graft.util.Checkpoints.free(probed)
+      graft.util.Checkpoints.free(batch)
+    }
+
+    graft.util.Fs.deleteRecursively(
+      java.nio.file.Paths.get(path).getParent)
+    spark.stop()
+  }
+}
