@@ -1783,6 +1783,53 @@ object SparkEntry {
       out
     }),
 
+    "q150_maintenance" -> ((s, d) => {
+      // ONE-CALL MAINTENANCE (maintain): the operator loop's parts —
+      // fold-if-over-threshold, compact-if-fragmented, vacuum, log
+      // trim — driven from ONE policy over a staged lineage (the q134
+      // convention): init + insert-only merge + mergeLite + predicate
+      // deleteLite, then a single maintain() that folds the row-level
+      // state, compacts to a 2-file doc_id layout, reclaims the dead
+      // files and bounds the manifest log to the tip. The final read
+      // must equal the relational algebra of the lineage (oracle), and
+      // the loud requires prove each branch actually fired — a pass
+      // that silently skipped a branch fails here, not in production.
+      val docs = T.documents(s, d).filter(col("text").isNotNull)
+      def slice(lo: Int, hi: Int, tag: Option[String]) = docs
+        .filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .select(col("doc_id"),
+          tag.map(lit(_)).getOrElse(col("lang")).as("lang"),
+          substring(col("text"), 1, 40).as("head"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q150")
+      val t = tmp.toString + "/t"
+      val MT = graft.sources.MergeTable
+      MT.init(s, t, slice(0, 300, None))                       // v1
+      MT.merge(s, t, slice(300, 400, None), Seq("doc_id"))     // v2 inserts
+      MT.mergeLite(s, t, slice(100, 150, Some("xx")), Seq("doc_id")) // v3
+      MT.deleteWhereLite(s, t, col("doc_id") % 5 === 0, Seq("doc_id")) // v4
+      require(MT.snapshot(s, t).deletes.nonEmpty,
+        "the lineage must reach maintain with live tombstones")
+      val rep = MT.maintain(s, t, MT.MaintenancePolicy(
+        foldAtTombstoneRows = Some(0L),
+        compactAtFiles = Some(1), compactSortCol = Some("doc_id"),
+        compactTargetFiles = Some(2),
+        vacuumRetainMillis = Some(0L), logKeepLast = Some(1)))
+      require(rep.folded.isDefined && rep.compactedToVersion.isDefined &&
+        rep.dataFilesReclaimed > 0,
+        s"every maintenance branch must fire on this lineage: $rep")
+      require(MT.versions(s, t) == Seq(rep.endVersion),
+        "vacuum + trim must bound the log to the tip")
+      val sn = MT.snapshot(s, t)
+      require(sn.delta.isEmpty && sn.deletes.isEmpty && sn.entries.size == 2,
+        "the maintained tip is a clean 2-file layout")
+      val out = MT.read(s, t)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true) // eager pin, then reclaim the staged table
+      graft.util.Fs.deleteRecursively(tmp)
+      out
+    }),
+
     "q149_image_dedup_index" -> ((s, d) => {
       // PERSISTED PERCEPTUAL IMAGE DEDUP INDEX (ImageDedupIndex): the
       // corpus's dHash band table builds once as a staged MergeTable
@@ -2952,6 +2999,23 @@ object SparkEntry {
         |SELECT d.doc_id, db.dhash, ab.ahash FROM docs d
         |JOIN db ON d.doc_id = db.doc_id JOIN ab ON d.doc_id = ab.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // q150: the lineage's relational algebra — inserts union, the
+    // mergeLite override wins per key, the predicate delete filters
+    // the MERGED state; fold/compact/vacuum/trim must not change a row
+    "q150_maintenance" ->
+      """WITH base AS (SELECT doc_id, lang FROM documents
+        |    WHERE text IS NOT NULL AND doc_id >= 0 AND doc_id < 300),
+        |ins AS (SELECT doc_id, lang FROM documents
+        |    WHERE text IS NOT NULL AND doc_id >= 300 AND doc_id < 400),
+        |all1 AS (SELECT * FROM base UNION ALL SELECT * FROM ins),
+        |u1 AS (SELECT doc_id, 'xx' AS lang FROM documents
+        |    WHERE text IS NOT NULL AND doc_id >= 100 AND doc_id < 150),
+        |m1 AS (SELECT * FROM all1 WHERE doc_id NOT IN (SELECT doc_id FROM u1)
+        |       UNION ALL SELECT * FROM u1)
+        |SELECT doc_id, lang FROM m1
+        |WHERE doc_id % 5 <> 0
+        |ORDER BY doc_id""".stripMargin,
 
     // q149: brute-force dHash Hamming over all batch-touching pairs —
     // the banded index probe is pigeonhole-EXACT at hamming <= 3, so
