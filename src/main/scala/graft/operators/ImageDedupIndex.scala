@@ -161,9 +161,14 @@ object ImageDedupIndex {
       .select(col(idCol)).distinct().collect().map(_.get(0)).toSeq
     val fp = requireFpFrame(hashes, idCol, fpCol)
     var bV = p0.bands.version
-    if (retracted.nonEmpty)
+    // chunked like every bulk id-predicate purge (the isin-literal
+    // analysis cliff — a 200k-retraction backlog as ONE In expression
+    // would blow up Catalyst; [[graft.streaming.IndexMaintenance]]'s
+    // RetractChunk convention)
+    retracted.grouped(RetractChunk).foreach { chunk =>
       bV = MergeTable.deleteWhere(spark, bPath,
-        col("id").isin(retracted: _*)).version
+        col("id").isin(chunk: _*)).version
+    }
     if (!fp.isEmpty)
       bV = MergeTable.merge(spark, bPath,
         Dedup.hammingBands(fp), Seq("id", "band")).version
@@ -171,6 +176,9 @@ object ImageDedupIndex {
       CI.commitPin(spark, path, p0.version + 1, Map(
         "bands" -> Ref(p0.bands.dir, bV), "params" -> p0.params))
   }
+
+  /** Bulk id-predicate chunk size (the IndexMaintenance convention). */
+  private val RetractChunk = 5000
 
   /** [[upsert]] from raw decoded images, hashing with the PINNED
     * kernel. An image whose buffer no longer hashes (NULL payload,
@@ -189,12 +197,17 @@ object ImageDedupIndex {
   }
 
   /** Remove ids outright — the purge form of the NULL-fp retraction,
-    * for callers that hold only ids. Bounded id list. */
+    * for callers that hold only ids. Chunked at [[RetractChunk]], so
+    * a bulk backlog degrades to more commits, never a Catalyst-
+    * breaking literal list. */
   def delete(spark: SparkSession, path: String, ids: Seq[Any]): Unit = {
     if (ids.isEmpty) return
     val p0 = pin(spark, path)
-    val bV = MergeTable.deleteWhere(spark,
-      componentPath(path, p0.bands.dir), col("id").isin(ids: _*)).version
+    var bV = p0.bands.version
+    ids.grouped(RetractChunk).foreach { chunk =>
+      bV = MergeTable.deleteWhere(spark,
+        componentPath(path, p0.bands.dir), col("id").isin(chunk: _*)).version
+    }
     if (bV != p0.bands.version)
       CI.commitPin(spark, path, p0.version + 1, Map(
         "bands" -> Ref(p0.bands.dir, bV), "params" -> p0.params))

@@ -3311,7 +3311,13 @@ object MergeTable {
     * more stats/bloom-pruned discovery + O(matched-keys) commit, and
     * `maxRetries` interleaved passes in a row raise [[CommitConflict]]
     * rather than silently downgrading to the discovery-bound
-    * semantics. */
+    * semantics. UNLIKE every other writer's CommitConflict (which
+    * implies nothing committed), each converging-loop pass is an
+    * independently COMMITTED deleteLite — on exhaustion, the earlier
+    * passes' deletions are already durable; the raise means "could
+    * not prove the predicate saw a quiescent tip", not "no rows were
+    * deleted". Callers that retry the call repeat an idempotent
+    * delete (already-deleted keys re-match nothing). */
   def deleteWhereLite(
       spark: SparkSession, path: String,
       cond: org.apache.spark.sql.Column, keyCols: Seq[String],
@@ -3348,8 +3354,9 @@ object MergeTable {
       } finally graft.util.Checkpoints.free(keys)
     }
     throw new CommitConflict(
-      s"deleteWhereLite at $path saw $maxRetries interleaved commits " +
-        "in a row (rediscoverPerRetry could not converge)")
+      s"deleteWhereLite at $path saw $maxRetries interleaved commits in " +
+        "a row (rediscoverPerRetry could not converge; deletions from " +
+        "completed passes are already durable — re-running is idempotent)")
   }
 
   /** Row-level DELETE: rewrite only the files that contain a row
@@ -3793,9 +3800,13 @@ object MergeTable {
     * Branch semantics, in execution order:
     *  - RESCOPE runs when the tip carries an unscoped delta
     *    ([[RowLevelPressure.unscoped]]) — EXCEPT when this same pass
-    *    will fold: the fold rewrites the scoped files and drops the
+    *    will fold OR compact: both rewrite the files and drop the
     *    row-level state the rescope would have annotated, so the
-    *    discovery scan would be paid twice for one outcome.
+    *    discovery scan would be paid twice for one outcome. (The
+    *    compact gate here reads `before`'s file count; if the fold
+    *    shrinks the table under `compactAtFiles` and the compaction
+    *    then does not fire, the skipped rescope simply runs on the
+    *    next pass — a one-pass delay, never a wrong state.)
     *  - FOLD runs when tombstone rows exceed `foldAtTombstoneRows`
     *    (the [[foldIfTombstones]] threshold), using the pressure
     *    counts `before` already paid for — no second footer pass.
@@ -3823,8 +3834,10 @@ object MergeTable {
     val before = describe(spark, path)
     val willFold =
       policy.foldAtTombstoneRows.exists(before.pressure.tombstoneRows > _)
+    val mayCompact = policy.compactAtFiles.exists(before.baseFiles > _)
     val rescoped =
-      if (policy.rescope && before.pressure.unscoped && !willFold)
+      if (policy.rescope && before.pressure.unscoped && !willFold &&
+          !mayCompact)
         rescopeDelta(spark, path).version != before.version
       else false
     val folded = if (willFold) Some(foldRowLevel(spark, path)) else None

@@ -457,8 +457,12 @@ object IndexMaintenance {
           graft.sources.MergeTable.merge(
             spark, storePath, toStore, Seq(idCol)); ()
         }
-        val fps = admitted.filter(col("__fp").isNotNull)
-          .select(col(idCol), col("__fp"))
+        // ALL admitted rows reach the index upsert, NULL fps included:
+        // a previously-indexed id arriving LIVE but un-hashable must
+        // RETRACT its stale bands (upsert's NULL-fp rule) — otherwise
+        // the dead fingerprint keeps rejecting lookalikes of content
+        // that no longer exists anywhere (review catch)
+        val fps = admitted.select(col(idCol), col("__fp"))
         if (!fps.isEmpty) ImageDedupIndex.upsert(
           spark, indexPath, fps, idCol, "__fp")
       }

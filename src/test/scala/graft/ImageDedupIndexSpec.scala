@@ -17,26 +17,9 @@ class ImageDedupIndexSpec extends SparkSpec {
   private def freshPath(): String =
     java.nio.file.Files.createTempDirectory("image_dedup_index").toString + "/idx"
 
-  /** Deterministic fake decode (the q147 generator): same seed →
-    * identical pixels; `tweak` perturbs one channel slightly so a
-    * near-dup (small positive hamming) exists alongside exact classes. */
-  private def img(seed: Int, tweak: Int = 0): (Int, Int, Array[Byte]) = {
-    val w = 16 + seed % 7
-    val h = 16 + seed % 5
-    val buf = new Array[Byte](w * h * 3)
-    var i = 0; var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        buf(i) = ((seed * 31 + x * 7 + y * 13 + tweak * ((x + y) % 2)) % 256).toByte
-        buf(i + 1) = ((seed * 17 + x * 11 + y * 3) % 256).toByte
-        buf(i + 2) = ((seed * 23 + x * 5 + y * 19) % 256).toByte
-        i += 3; x += 1
-      }
-      y += 1
-    }
-    (w, h, buf)
-  }
+  /** Deterministic fake decode — the shared [[TestImages.img]]. */
+  private def img(seed: Int, tweak: Int = 0): (Int, Int, Array[Byte]) =
+    TestImages.img(seed, tweak)
 
   /** Images with planted classes: ids sharing `id % families` render
     * identically (hamming 0); every 10th id gets a tweaked variant of

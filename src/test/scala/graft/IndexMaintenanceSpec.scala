@@ -668,17 +668,7 @@ class IndexMaintenanceSpec extends SparkSpec {
 
   test("image stream: perceptual admission gates the store, retraction purges, replay converges") {
     implicit val sqlCtx = spark.sqlContext
-    def img(seed: Int): (Int, Int, Array[Byte]) = {
-      val w = 16 + seed % 7; val h = 16 + seed % 5
-      val buf = new Array[Byte](w * h * 3)
-      var i = 0; var y = 0
-      while (y < h) { var x = 0; while (x < w) {
-        buf(i) = ((seed * 31 + x * 7 + y * 13) % 256).toByte
-        buf(i + 1) = ((seed * 17 + x * 11 + y * 3) % 256).toByte
-        buf(i + 2) = ((seed * 23 + x * 5 + y * 19) % 256).toByte
-        i += 3; x += 1 }; y += 1 }
-      (w, h, buf)
-    }
+    def img(seed: Int): (Int, Int, Array[Byte]) = TestImages.img(seed)
     val base = java.nio.file.Files.createTempDirectory("idx_maint_img").toString
     // incumbent image id 1 (family 0) seeds the index
     val (w0, h0, b0) = img(0)
@@ -721,6 +711,19 @@ class IndexMaintenanceSpec extends SparkSpec {
       input.addData((40L, w5, h5, b5))
       q.processAllAvailable()
       assert(storeIds === Set(13L, 30L, 40L))
+      // a LIVE but UN-HASHABLE replacement retracts incumbency: 40's
+      // content is replaced by a corrupt buffer — the store keeps the
+      // row (byte-level audit), but the stale fingerprint must leave
+      // the index, so a lookalike of the OLD pixels re-admits (review
+      // catch: a dead fingerprint must not reject ghosts forever)
+      input.addData((40L, 5, 5, Array[Byte](9, 9, 9)))
+      q.processAllAvailable()
+      assert(storeIds === Set(13L, 30L, 40L),
+        "the un-hashable replacement stays in the store for audit")
+      input.addData((41L, w5, h5, b5))
+      q.processAllAvailable()
+      assert(storeIds === Set(13L, 30L, 40L, 41L),
+        "a retracted-by-corruption fingerprint must not keep rejecting lookalikes")
     } finally q.stop()
   }
 }

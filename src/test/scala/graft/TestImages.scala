@@ -1,0 +1,30 @@
+package graft
+
+/** Shared deterministic fake decode for the image specs (the q147
+  * generator): same seed → identical pixels, so hash classes are the
+  * planted near-dup classes; `tweak` perturbs one channel slightly so
+  * a near-dup with small positive hamming exists alongside exact
+  * classes. One copy here — ImageDedupIndexSpec and
+  * IndexMaintenanceSpec must test the SAME corpus scheme or a future
+  * change to the formulas silently decouples them. (SparkEntry's q149
+  * inline copy stays deliberately independent: the correctness gate
+  * re-derives the pixels in DuckDB from the committed formulas.) */
+object TestImages {
+  def img(seed: Int, tweak: Int = 0): (Int, Int, Array[Byte]) = {
+    val w = 16 + seed % 7
+    val h = 16 + seed % 5
+    val buf = new Array[Byte](w * h * 3)
+    var i = 0; var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        buf(i) = ((seed * 31 + x * 7 + y * 13 + tweak * ((x + y) % 2)) % 256).toByte
+        buf(i + 1) = ((seed * 17 + x * 11 + y * 3) % 256).toByte
+        buf(i + 2) = ((seed * 23 + x * 5 + y * 19) % 256).toByte
+        i += 3; x += 1
+      }
+      y += 1
+    }
+    (w, h, buf)
+  }
+}
