@@ -1830,6 +1830,38 @@ object SparkEntry {
       out
     }),
 
+    "q151_simhash_index" -> ((s, d) => {
+      // PERSISTED SIMHASH TEXT NEAR-DUP INDEX (SimHashIndex — the text
+      // facade over the q149 Hamming core): the corpus's 64-bit
+      // simhash fingerprints band once into a staged composite index,
+      // then a document batch probes it (bucket-pruned scan, broadcast
+      // batch bands, one bit_count verify). Banding is pigeonhole-
+      // EXACT at hamming <= 3, so DuckDB brute-forces every batch-
+      // touching pair from the q34 md5-bit re-derivation and must
+      // match bit-for-bit. The cheap always-on text gate next to the
+      // recall-tunable MinHash index (q113).
+      val docs = T.documents(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q151")
+      val idx = tmp.toString + "/idx"
+      val SHI = graft.operators.SimHashIndex
+      SHI.build(s, idx, docs.filter(col("doc_id") < 280), "doc_id", "text")
+      val pairsDf = SHI.nearDupsAgainst(s, idx,
+        docs.filter(col("doc_id") >= 280 && col("doc_id") < 350),
+        "doc_id", "text")
+      require(pairsDf.limit(1).count() > 0,
+        "the corpus's planted near-dup classes must produce indexed pairs")
+      val out = pairsDf
+        .select(col("id_a").cast("long").as("id_a"),
+          col("id_b").cast("long").as("id_b"),
+          col("hamming").cast("long").as("hamming"))
+        .orderBy(col("id_a"), col("id_b"))
+        .localCheckpoint(true) // eager pin, then reclaim the staged index
+      graft.util.Checkpoints.free(pairsDf)
+      graft.util.Fs.deleteRecursively(tmp)
+      out
+    }),
+
     "q149_image_dedup_index" -> ((s, d) => {
       // PERSISTED PERCEPTUAL IMAGE DEDUP INDEX (ImageDedupIndex): the
       // corpus's dHash band table builds once as a staged MergeTable
@@ -3016,6 +3048,29 @@ object SparkEntry {
         |SELECT doc_id, lang FROM m1
         |WHERE doc_id % 5 <> 0
         |ORDER BY doc_id""".stripMargin,
+
+    // q151: the q34 md5-bit simhash re-derivation, restricted to
+    // pairs touching the probe batch — the banded index is pigeonhole-
+    // EXACT at hamming <= 3, so the oracle needs no banding
+    "q151_simhash_index" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |    WHERE text IS NOT NULL AND doc_id < 350),
+        |toks AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM d),
+        |grid AS (SELECT j, k FROM (SELECT unnest(range(1, 17)) AS j) a,
+        |                          (SELECT unnest(range(0, 4)) AS k) b),
+        |bits AS (SELECT t.doc_id, g.j, g.k,
+        |    (sum(CASE WHEN ((instr('0123456789abcdef', md5(t.tok)[g.j]) - 1) >> g.k) % 2 = 1
+        |         THEN 1 ELSE -1 END) > 0) AS bit
+        |  FROM toks t CROSS JOIN grid g
+        |  GROUP BY t.doc_id, g.j, g.k),
+        |ham AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END)::BIGINT AS hamming
+        |  FROM bits a JOIN bits b ON a.j = b.j AND a.k = b.k AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT id_a, id_b, hamming FROM ham
+        |WHERE hamming <= 3 AND (id_a >= 280 OR id_b >= 280)
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // q149: brute-force dHash Hamming over all batch-touching pairs —
     // the banded index probe is pigeonhole-EXACT at hamming <= 3, so

@@ -86,10 +86,21 @@ object ImageDedupIndex {
     MergeTable.readAt(spark, componentPath(path, p.params.dir),
       p.params.version).select(col("algo")).head().getString(0)
 
+  /** Every kernel a band index can pin: the pixel pair served by the
+    * image wrappers here, and the text pair served by
+    * [[SimHashIndex]] — one validation set so [[build]] accepts any
+    * facade's kernel while each facade's hashers stay strict. */
+  private[graft] val KnownKernels =
+    Set("dhash64", "ahash64", SimHashIndex.Md5Kernel, SimHashIndex.XxKernel)
+
   private def hashBy(algo: String)(
       w: Column, h: Column, rgb: Column): Column = algo match {
     case "dhash64" => graft.functions.ImageFunctions.dhash64(w, h, rgb)
     case "ahash64" => graft.functions.ImageFunctions.ahash64(w, h, rgb)
+    case other if KnownKernels.contains(other) =>
+      throw new IllegalArgumentException(
+        s"'$other' is a TEXT kernel — this index serves documents; " +
+          "probe it through SimHashIndex, not the image wrappers")
     case other => throw new IllegalArgumentException(
       s"unknown image hash kernel '$other' (dhash64|ahash64)")
   }
@@ -119,7 +130,8 @@ object ImageDedupIndex {
   def build(
       spark: SparkSession, path: String, hashes: DataFrame,
       idCol: String, fpCol: String, algo: String = "dhash64"): Unit = {
-    hashBy(algo)(lit(1), lit(1), lit(Array.empty[Byte])) // validate name
+    require(KnownKernels.contains(algo),
+      s"unknown hash kernel '$algo' (${KnownKernels.toSeq.sorted.mkString("|")})")
     CI.requireBuildable(spark, path)
     val fp = requireFpFrame(hashes, idCol, fpCol).localCheckpoint(true)
     try {

@@ -512,6 +512,53 @@ object IndexMaintenance {
     *    delete's discovery pass scans the corpus NARROWLY (id+cluster
     *    columns only) to find touched clusters; the rewrite itself is
     *    cluster-local. */
+  /** Catch a perceptual image-dedup index up with a keyed image store
+    * that OTHER writers advance — [[syncFromTable]]'s shape for the
+    * image pillar, at churn cost: rows the `(sinceVersion, tip]`
+    * window upserted re-hash with the index's PINNED kernel and merge
+    * ([[graft.operators.ImageDedupIndex.upsertImages]] — a row whose
+    * buffer no longer hashes retracts its bands, the ghost-incumbent
+    * rule), keys it deleted purge in [[RetractChunk]]ed predicates,
+    * and a window that committed nothing applies nothing.
+    * `sinceVersion = 0` bootstraps from a full read. No admission gate
+    * runs — the store is the truth the arrival path already gated
+    * ([[runImagesToDedupedStore]]); gating a sync would diverge the
+    * index from it. Idempotent per window (keyed merges + keyed
+    * purges): a crashed sync re-runs safely.
+    *
+    * @return the store's tip version — persist it as the next cursor */
+  def syncImagesFromTable(
+      spark: org.apache.spark.sql.SparkSession, storePath: String,
+      sinceVersion: Long, indexPath: String,
+      idCol: String = "img_id", widthCol: String = "w",
+      heightCol: String = "h", rgbCol: String = "rgb"): Long = {
+    import graft.operators.ImageDedupIndex
+    require(ImageDedupIndex.exists(spark, indexPath),
+      s"no image dedup index at $indexPath — build it first")
+    require(sinceVersion >= 0, "sinceVersion must be >= 0 (0 bootstraps)")
+    val MT = graft.sources.MergeTable
+    val tip = MT.snapshot(spark, storePath).version
+    if (tip == sinceVersion) return tip
+    require(tip > sinceVersion,
+      s"cursor v$sinceVersion is ahead of the store tip v$tip at " +
+        s"$storePath — the cursor belongs to another table or lineage")
+    if (sinceVersion == 0L) {
+      ImageDedupIndex.upsertImages(spark, indexPath,
+        MT.read(spark, storePath), idCol, widthCol, heightCol, rgbCol)
+    } else {
+      val changed = MT.changesBetween(
+        spark, storePath, sinceVersion, tip, Seq(idCol))
+      if (!changed.isEmpty)
+        ImageDedupIndex.upsertImages(spark, indexPath, changed,
+          idCol, widthCol, heightCol, rgbCol)
+      val deleted = MT.deletesBetween(
+          spark, storePath, sinceVersion, tip, Seq(idCol))
+        .select(col(idCol)).collect().map(_.get(0)).toSeq
+      ImageDedupIndex.delete(spark, indexPath, deleted)
+    }
+    tip
+  }
+
   /** Catch the indexed KB (and optional lexical / dedup / semantic
     * surfaces) up with a keyed [[graft.sources.MergeTable]] that OTHER
     * writers advance — the BATCH counterpart of the streaming arrival

@@ -726,4 +726,47 @@ class IndexMaintenanceSpec extends SparkSpec {
         "a retracted-by-corruption fingerprint must not keep rejecting lookalikes")
     } finally q.stop()
   }
+
+  test("syncImagesFromTable: the store's change feed drives offline image-index catch-up") {
+    val MT = graft.sources.MergeTable
+    val IDX = operators.ImageDedupIndex
+    val base = java.nio.file.Files.createTempDirectory("img_sync").toString
+    val (store, idx) = (s"$base/store", s"$base/idx")
+    def i(seed: Int) = TestImages.img(seed)
+    def row(id: Long, seed: Int) = { val (w, h, b) = i(seed); (id, w, h, b) }
+    def probe(seed: Int): Set[Long] = {
+      val (w, h, b) = i(seed)
+      val df = IDX.nearDupsAgainst(spark, idx,
+        Seq((999L, w, h, b)).toDF("img_id", "w", "h", "rgb")
+          .select($"img_id", graft.functions.ImageFunctions
+            .dhash64($"w", $"h", $"rgb").as("fp")),
+        "img_id", "fp")
+      val s = df.select($"id_a".cast("long")).as[Long].collect().toSet - 999L
+      graft.util.Checkpoints.free(df); s
+    }
+    // a store OTHER writers advance; the index trails it by cursor
+    MT.init(spark, store,
+      Seq(row(1L, 1), row(2L, 2)).toDF("img_id", "w", "h", "rgb")) // v1
+    IDX.build(spark, idx,
+      Seq.empty[(Long, Long)].toDF("id", "fp"), "id", "fp")
+    var cur = IndexMaintenance.syncImagesFromTable(spark, store, 0L, idx)
+    assert(probe(1) === Set(1L) && probe(2) === Set(2L),
+      "bootstrap must index the full store")
+    // window: replace 2's content, insert 3, delete 1
+    MT.merge(spark, store,
+      Seq(row(2L, 9), row(3L, 3)).toDF("img_id", "w", "h", "rgb"),
+      Seq("img_id"))                                                 // v2
+    MT.deleteLite(spark, store, Seq(1L).toDF("img_id"), Seq("img_id")) // v3
+    cur = IndexMaintenance.syncImagesFromTable(spark, store, cur, idx)
+    assert(probe(2).isEmpty, "2's OLD content must stop pairing after its replacement")
+    assert(probe(9) === Set(2L), "2 pairs under its NEW content")
+    assert(probe(1).isEmpty, "the deleted key must purge")
+    assert(probe(3) === Set(3L), "the inserted key must index")
+    // idempotent: a caught-up cursor applies nothing
+    assert(IndexMaintenance.syncImagesFromTable(spark, store, cur, idx) === cur)
+    // a foreign/ahead cursor refuses loudly
+    val e = intercept[IllegalArgumentException](
+      IndexMaintenance.syncImagesFromTable(spark, store, cur + 10, idx))
+    assert(e.getMessage.contains("ahead of the store tip"))
+  }
 }
