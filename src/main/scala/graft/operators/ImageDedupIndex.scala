@@ -30,13 +30,15 @@ import graft.sources.{CompositeIndex, MergeTable}
   *    a bit_count on the already-joined collision rows, zero extra IO.
   *    BUCKET-MAJOR after [[compact]]; bucket BLOOM from [[build]]
   *    (hash-domain buckets defeat min/max stats until the range-sort).
-  *  - `path/params` — one row (algo): which 64-bit kernel
-  *    ("dhash64" | "ahash64") produced the fingerprints. The
-  *    image-frame wrappers ([[upsertImages]]/[[admitImages]]) hash
-  *    with the PINNED algo, so a caller cannot accidentally probe a
-  *    dHash index with aHash fingerprints; the fp-frame core surface
-  *    is kernel-agnostic by design (hashes computed at ingest travel
-  *    as data — the 100 TB path never ships pixels to the index).
+  *  - `path/params` — one row (algo): which 64-bit kernel produced
+  *    the fingerprints — any of [[KnownKernels]] (the pixel pair
+  *    "dhash64"/"ahash64" served by the image wrappers here, or the
+  *    simhash text pair served by [[SimHashIndex]]). Facade wrappers
+  *    hash with the PINNED algo, so a caller cannot accidentally
+  *    probe a dHash index with aHash (or text) fingerprints; the
+  *    fp-frame core surface is kernel-agnostic by design (hashes
+  *    computed at ingest travel as data — the 100 TB path never
+  *    ships pixels to the index).
   *
   * Both components are [[MergeTable]]s under ONE composite manifest
   * ([[CompositeIndex]] — the [[DedupIndex]] crash/replay, atomicity
@@ -78,7 +80,9 @@ object ImageDedupIndex {
   def exists(spark: SparkSession, path: String): Boolean =
     CI.exists(spark, path)
 
-  /** The pinned hash kernel ("dhash64" | "ahash64"; 1-row read). */
+  /** The pinned hash kernel — any member of [[KnownKernels]] (the
+    * pixel pair served here, or [[SimHashIndex]]'s text pair); 1-row
+    * read. */
   def algo(spark: SparkSession, path: String): String =
     algoAt(spark, path, pin(spark, path))
 
@@ -168,29 +172,35 @@ object ImageDedupIndex {
       idCol: String, fpCol: String): Unit = {
     val p0 = pin(spark, path)
     val bPath = componentPath(path, p0.bands.dir)
-    val retracted = hashes
-      .filter(col(fpCol).isNull && col(idCol).isNotNull)
-      .select(col(idCol)).distinct().collect().map(_.get(0)).toSeq
-    val fp = requireFpFrame(hashes, idCol, fpCol)
-    var bV = p0.bands.version
-    // chunked like every bulk id-predicate purge (the isin-literal
-    // analysis cliff — a 200k-retraction backlog as ONE In expression
-    // would blow up Catalyst; [[graft.streaming.IndexMaintenance]]'s
-    // RetractChunk convention)
-    retracted.grouped(RetractChunk).foreach { chunk =>
-      bV = MergeTable.deleteWhere(spark, bPath,
-        col("id").isin(chunk: _*)).version
-    }
-    if (!fp.isEmpty)
-      bV = MergeTable.merge(spark, bPath,
-        Dedup.hammingBands(fp), Seq("id", "band")).version
-    if (bV != p0.bands.version)
-      CI.commitPin(spark, path, p0.version + 1, Map(
-        "bands" -> Ref(p0.bands.dir, bV), "params" -> p0.params))
+    // ONE materialization of the (id, fp) projection: the retraction
+    // collect, the liveness probe and the bands merge all act on it —
+    // an expensive upstream (a CDF churn diff, a hash over pixels)
+    // must not re-execute per action (review catch)
+    val h = hashes.select(col(idCol).as("id"), col(fpCol).cast("long").as("fp"))
+      .filter(col("id").isNotNull).localCheckpoint(true)
+    try {
+      val retracted = h.filter(col("fp").isNull)
+        .select(col("id")).distinct().collect().map(_.get(0)).toSeq
+      val fp = h.filter(col("fp").isNotNull)
+      var bV = p0.bands.version
+      // chunked like every bulk id-predicate purge (the isin-literal
+      // analysis cliff — [[graft.util.Pushdown.RetractChunk]])
+      retracted.grouped(RetractChunk).foreach { chunk =>
+        bV = MergeTable.deleteWhere(spark, bPath,
+          col("id").isin(chunk: _*)).version
+      }
+      if (!fp.isEmpty)
+        bV = MergeTable.merge(spark, bPath,
+          Dedup.hammingBands(fp), Seq("id", "band")).version
+      if (bV != p0.bands.version)
+        CI.commitPin(spark, path, p0.version + 1, Map(
+          "bands" -> Ref(p0.bands.dir, bV), "params" -> p0.params))
+    } finally graft.util.Checkpoints.free(h)
   }
 
-  /** Bulk id-predicate chunk size (the IndexMaintenance convention). */
-  private val RetractChunk = 5000
+  /** Bulk id-predicate chunk size — the shared
+    * [[graft.util.Pushdown.RetractChunk]]. */
+  private val RetractChunk = graft.util.Pushdown.RetractChunk
 
   /** [[upsert]] from raw decoded images, hashing with the PINNED
     * kernel. An image whose buffer no longer hashes (NULL payload,
@@ -208,10 +218,33 @@ object ImageDedupIndex {
       "id", "fp")
   }
 
+  /** Remove ids by FRAME — the scale form of [[delete]]: the purge
+    * rides [[MergeTable.deleteLite]] on the exact (id, band) key set
+    * (each id owns precisely bands 0..3), an O(keys) tombstone write
+    * with NO driver materialization and NO literal predicates — a
+    * 10M-key retention purge is one keyed commit, where the isin form
+    * would be 2000 discovery scans of the corpus-sized band table
+    * (review catch). The tombstones fold at the next [[compact]]. */
+  def deleteKeys(
+      spark: SparkSession, path: String, ids: DataFrame,
+      idCol: String): Unit = {
+    val p0 = pin(spark, path)
+    val keyFrame = ids.select(col(idCol).as("id"))
+      .filter(col("id").isNotNull).distinct()
+      .crossJoin(spark.range(4).select(col("id").cast("int").as("band")))
+    if (keyFrame.isEmpty) return
+    val bV = MergeTable.deleteLite(spark,
+      componentPath(path, p0.bands.dir), keyFrame, Seq("id", "band")).version
+    if (bV != p0.bands.version)
+      CI.commitPin(spark, path, p0.version + 1, Map(
+        "bands" -> Ref(p0.bands.dir, bV), "params" -> p0.params))
+  }
+
   /** Remove ids outright — the purge form of the NULL-fp retraction,
     * for callers that hold only ids. Chunked at [[RetractChunk]], so
     * a bulk backlog degrades to more commits, never a Catalyst-
-    * breaking literal list. */
+    * breaking literal list. For id sets that are already a frame (or
+    * unbounded), prefer [[deleteKeys]]. */
   def delete(spark: SparkSession, path: String, ids: Seq[Any]): Unit = {
     if (ids.isEmpty) return
     val p0 = pin(spark, path)

@@ -92,7 +92,19 @@ object SimHashIndex {
       idCol, "fp")
   }
 
-  /** Remove ids outright — [[ImageDedupIndex.delete]] (chunked). */
+  /** [[upsert]] from an already-fingerprinted frame — the admit
+    * survivors' `fpColOut`, applied with NO re-hash (the admit →
+    * upsert loop's cost contract). NULL fps retract, the
+    * [[ImageDedupIndex.upsert]] rule. */
+  def upsertHashed(
+      spark: SparkSession, path: String, hashes: DataFrame,
+      idCol: String, fpCol: String): Unit = {
+    textAlgo(spark, path) // refuse pixel indexes before writing
+    ImageDedupIndex.upsert(spark, path, hashes, idCol, fpCol)
+  }
+
+  /** Remove ids outright — [[ImageDedupIndex.delete]] (chunked);
+    * frame-sized sets go through [[ImageDedupIndex.deleteKeys]]. */
   def delete(spark: SparkSession, path: String, ids: Seq[Any]): Unit =
     ImageDedupIndex.delete(spark, path, ids)
 
@@ -121,9 +133,9 @@ object SimHashIndex {
   /** The admission gate — [[ImageDedupIndex.admit]]'s survivor rule
     * (incumbents win; one survivor per in-batch clique) over documents,
     * with the fingerprint appended as `fpColOut` on the survivors so
-    * the follow-up [[upsert]] needs no re-hash. A NULL-text row passes
-    * the gate (no content to be a duplicate of) — route it to the
-    * caller's retraction path. */
+    * the follow-up [[upsertHashed]] needs no re-hash. A NULL-text row
+    * passes the gate (no content to be a duplicate of) — route it to
+    * the caller's retraction path. */
   def admit(
       spark: SparkSession, path: String, batch: DataFrame,
       idCol: String, textCol: String, maxHamming: Int = 3,

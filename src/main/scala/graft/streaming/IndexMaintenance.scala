@@ -424,12 +424,9 @@ object IndexMaintenance {
       tieBreak = Seq(col(rgbCol).isNull.asc))
     val retractKeys = one.filter(col(rgbCol).isNull).select(col(idCol))
     if (!retractKeys.isEmpty) {
-      // the index purge rides id-list predicates — chunked like every
-      // retract path (the isin-literal analysis cliff); the store
-      // delete takes the keys FRAME (deleteLite: O(keys), no literals)
-      retractKeys.distinct().collect().map(_.get(0)).toSeq
-        .grouped(RetractChunk)
-        .foreach(chunk => ImageDedupIndex.delete(spark, indexPath, chunk.toSeq))
+      // both purges take the keys FRAME (deleteLite: O(keys), no
+      // literals, no driver materialization)
+      ImageDedupIndex.deleteKeys(spark, indexPath, retractKeys, idCol)
       if (graft.sources.MergeTable.exists(spark, storePath)) {
         graft.sources.MergeTable.deleteLite(
           spark, storePath, retractKeys, Seq(idCol)); ()
@@ -518,10 +515,13 @@ object IndexMaintenance {
     * window upserted re-hash with the index's PINNED kernel and merge
     * ([[graft.operators.ImageDedupIndex.upsertImages]] — a row whose
     * buffer no longer hashes retracts its bands, the ghost-incumbent
-    * rule), keys it deleted purge in [[RetractChunk]]ed predicates,
-    * and a window that committed nothing applies nothing.
-    * `sinceVersion = 0` bootstraps from a full read. No admission gate
-    * runs — the store is the truth the arrival path already gated
+    * rule), keys it deleted purge as a keyed frame
+    * ([[graft.operators.ImageDedupIndex.deleteKeys]]: O(keys), no
+    * driver materialization), and a window that committed nothing
+    * applies nothing. `sinceVersion = 0` bootstraps from a full read
+    * AND purges index ids the store no longer holds (a re-bootstrap
+    * after cursor loss must not leave ghost incumbents). No admission
+    * gate runs — the store is the truth the arrival path already gated
     * ([[runImagesToDedupedStore]]); gating a sync would diverge the
     * index from it. Idempotent per window (keyed merges + keyed
     * purges): a crashed sync re-runs safely.
@@ -545,16 +545,27 @@ object IndexMaintenance {
     if (sinceVersion == 0L) {
       ImageDedupIndex.upsertImages(spark, indexPath,
         MT.read(spark, storePath), idCol, widthCol, heightCol, rgbCol)
+      // a RE-bootstrap (cursor lost/reset after prior syncs) must also
+      // purge index ids the store no longer holds — otherwise keys
+      // deleted in pre-reset windows survive as ghost incumbents and
+      // reject lookalikes of content that exists nowhere (review
+      // catch, the applyImageBatch ghost rule). Frame-sized anti-join,
+      // keyed purge: no driver materialization.
+      val ghosts = MT.read(spark,
+          ImageDedupIndex.bandsPath(spark, indexPath))
+        .select(col("id")).distinct()
+        .join(MT.read(spark, storePath).select(col(idCol).as("id"))
+          .distinct(), Seq("id"), "left_anti")
+      ImageDedupIndex.deleteKeys(spark, indexPath, ghosts, "id")
     } else {
       val changed = MT.changesBetween(
         spark, storePath, sinceVersion, tip, Seq(idCol))
       if (!changed.isEmpty)
         ImageDedupIndex.upsertImages(spark, indexPath, changed,
           idCol, widthCol, heightCol, rgbCol)
-      val deleted = MT.deletesBetween(
-          spark, storePath, sinceVersion, tip, Seq(idCol))
-        .select(col(idCol)).collect().map(_.get(0)).toSeq
-      ImageDedupIndex.delete(spark, indexPath, deleted)
+      ImageDedupIndex.deleteKeys(spark, indexPath,
+        MT.deletesBetween(spark, storePath, sinceVersion, tip, Seq(idCol)),
+        idCol)
     }
     tip
   }
@@ -793,8 +804,7 @@ object IndexMaintenance {
         "probe (set semanticTau)")
   }
 
-  /** Per-call bound for retract-id predicate lists — above a few
-    * thousand isin literals, Catalyst analysis costs more than the
-    * filter prunes (the measured 128k-literal lesson). */
-  private val RetractChunk = 5000
+  /** Per-call bound for retract-id predicate lists — the shared
+    * [[graft.util.Pushdown.RetractChunk]]. */
+  private val RetractChunk = graft.util.Pushdown.RetractChunk
 }

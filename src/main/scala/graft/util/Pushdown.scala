@@ -23,4 +23,12 @@ object Pushdown {
       .limit(limit + 1).collect().map(_.get(0)).toSeq
     if (keys.length <= limit) Some(keys) else None
   }
+
+  /** Per-call bound for bulk id-predicate lists (retraction purges):
+    * above a few thousand isin literals, Catalyst analysis costs more
+    * than the filter prunes (the measured 128k-literal lesson). ONE
+    * constant for every chunked purge ([[graft.streaming
+    * .IndexMaintenance]], [[graft.operators.ImageDedupIndex]]) so the
+    * bound cannot drift per call site. */
+  val RetractChunk = 5000
 }

@@ -768,5 +768,12 @@ class IndexMaintenanceSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       IndexMaintenance.syncImagesFromTable(spark, store, cur + 10, idx))
     assert(e.getMessage.contains("ahead of the store tip"))
+    // RE-bootstrap after cursor loss: a key deleted in an unsynced
+    // window must purge when the cursor resets to 0 — ghost
+    // fingerprints must not survive a bootstrap over a live index
+    MT.deleteLite(spark, store, Seq(3L).toDF("img_id"), Seq("img_id")) // v4
+    IndexMaintenance.syncImagesFromTable(spark, store, 0L, idx)
+    assert(probe(3).isEmpty, "re-bootstrap must purge ghost incumbents")
+    assert(probe(9) === Set(2L), "live keys survive the re-bootstrap")
   }
 }

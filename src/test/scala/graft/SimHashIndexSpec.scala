@@ -93,9 +93,10 @@ class SimHashIndexSpec extends SparkSpec {
     val adm1 = SimHashIndex.admit(spark, path, batch1, "doc_id", "text")
     assert(adm1.select(col("doc_id")).as[Long].collect().sorted.toSeq ===
       Seq(202L, 204L))
-    SimHashIndex.upsert(spark, path,
-      adm1.filter(col("fp").isNotNull).select(col("doc_id"), col("text")),
-      "doc_id", "text")
+    // survivors land through the NO-RE-HASH path (admit's appended fp)
+    SimHashIndex.upsertHashed(spark, path,
+      adm1.filter(col("fp").isNotNull).select(col("doc_id"), col("fp")),
+      "doc_id", "fp")
     // batch-1's admitted survivor now rejects its dup...
     assert(SimHashIndex.admit(spark, path,
       Seq((301L, novel)).toDF("doc_id", "text"), "doc_id", "text").isEmpty)
