@@ -1840,15 +1840,18 @@ object SparkEntry {
       // touching pair from the q34 md5-bit re-derivation and must
       // match bit-for-bit. The cheap always-on text gate next to the
       // recall-tunable MinHash index (q113).
+      // corpus/batch by doc_id MODULUS, not a fixed range: the planted
+      // near-dup classes spread over the whole id space, so a range
+      // window goes pair-empty as SF grows — the modular split keeps
+      // cross-split pairs at every SF (7 at sf0.01, 110 at sf0.1)
       val docs = T.documents(s, d).filter(col("text").isNotNull)
         .select(col("doc_id"), col("text"))
       val tmp = java.nio.file.Files.createTempDirectory("graft_q151")
       val idx = tmp.toString + "/idx"
       val SHI = graft.operators.SimHashIndex
-      SHI.build(s, idx, docs.filter(col("doc_id") < 280), "doc_id", "text")
+      SHI.build(s, idx, docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
       val pairsDf = SHI.nearDupsAgainst(s, idx,
-        docs.filter(col("doc_id") >= 280 && col("doc_id") < 350),
-        "doc_id", "text")
+        docs.filter(col("doc_id") % 5 === 0), "doc_id", "text")
       require(pairsDf.limit(1).count() > 0,
         "the corpus's planted near-dup classes must produce indexed pairs")
       val out = pairsDf
@@ -3053,10 +3056,9 @@ object SparkEntry {
     // pairs touching the probe batch — the banded index is pigeonhole-
     // EXACT at hamming <= 3, so the oracle needs no banding
     "q151_simhash_index" ->
-      """WITH d AS (SELECT doc_id, text FROM documents
-        |    WHERE text IS NOT NULL AND doc_id < 350),
-        |toks AS (SELECT doc_id,
-        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM d),
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
         |grid AS (SELECT j, k FROM (SELECT unnest(range(1, 17)) AS j) a,
         |                          (SELECT unnest(range(0, 4)) AS k) b),
         |bits AS (SELECT t.doc_id, g.j, g.k,
@@ -3069,7 +3071,7 @@ object SparkEntry {
         |  FROM bits a JOIN bits b ON a.j = b.j AND a.k = b.k AND a.doc_id < b.doc_id
         |  GROUP BY a.doc_id, b.doc_id)
         |SELECT id_a, id_b, hamming FROM ham
-        |WHERE hamming <= 3 AND (id_a >= 280 OR id_b >= 280)
+        |WHERE hamming <= 3 AND (id_a % 5 = 0 OR id_b % 5 = 0)
         |ORDER BY id_a, id_b""".stripMargin,
 
     // q149: brute-force dHash Hamming over all batch-touching pairs —
