@@ -1,0 +1,82 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch end-to-end drive of the surfaces this round touched:
+  * MergeTable writers (fused validation), maintain (fold absorption),
+  * LexicalIndex (build read-back, upsert checkpoint), and the
+  * SimilaritySearch plan gate. Run: `sbt "runMain graft.DevDrive"`. */
+object DevDrive {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = Tables.documents(spark, sfDir).filter(col("text").isNotNull)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_devdrive")
+
+    // MergeTable lineage: init + merge + mergeLite + deleteLite + maintain
+    val t = tmp.toString + "/t"
+    val MT = graft.sources.MergeTable
+    def slice(lo: Int, hi: Int, tag: Option[String]) = docs
+      .filter(col("doc_id") >= lo && col("doc_id") < hi)
+      .select(col("doc_id"),
+        tag.map(lit(_)).getOrElse(col("lang")).as("lang"),
+        substring(col("text"), 1, 40).as("head"))
+    MT.init(spark, t, slice(0, 300, None))
+    MT.merge(spark, t, slice(300, 400, None), Seq("doc_id"))
+    MT.mergeLite(spark, t, slice(100, 150, Some("xx")), Seq("doc_id"))
+    MT.deleteLite(spark, t,
+      slice(0, 20, None).select(col("doc_id")), Seq("doc_id"))
+    val rep = MT.maintain(spark, t, MT.MaintenancePolicy(
+      foldAtTombstoneRows = Some(0L),
+      compactAtFiles = Some(1), compactSortCol = Some("doc_id"),
+      compactTargetFiles = Some(2),
+      vacuumRetainMillis = Some(0L), logKeepLast = Some(1)))
+    assert(rep.folded.isEmpty && rep.compactedToVersion.isDefined,
+      s"fold absorption must hold: $rep")
+    val n = MT.read(spark, t).count()
+    println(s"[devdrive] maintained table rows=$n report=$rep")
+    assert(n > 0)
+    // validation refusals still loud
+    val dup = slice(0, 2, None).unionAll(slice(0, 2, None))
+    val e = try { MT.merge(spark, t, dup, Seq("doc_id")); "none" }
+      catch { case ex: IllegalArgumentException => ex.getMessage }
+    assert(e.contains("unique"), s"dup refusal: $e")
+    val nullKey = slice(0, 2, None).withColumn("doc_id", lit(null).cast("long"))
+    val e2 = try { MT.merge(spark, t, nullKey, Seq("doc_id")); "none" }
+      catch { case ex: IllegalArgumentException => ex.getMessage }
+    assert(e2.contains("NULL"), s"null refusal: $e2")
+
+    // LexicalIndex: build → query → upsert → delete → query
+    val L = graft.operators.LexicalIndex
+    val idx = tmp.toString + "/lex"
+    L.build(spark, idx, docs.limit(200), "doc_id", "text")
+    val r1 = L.bm25TopK(spark, idx, "doc_id", Seq("data", "pipeline"), 5)
+    println(s"[devdrive] bm25 top5 rows=${r1.count()}")
+    L.upsert(spark, idx, docs.limit(20), "doc_id", "text")
+    L.delete(spark, idx, docs.limit(5).select(col("doc_id"))
+      .collect().map(_.get(0)).toSeq)
+    val r2 = L.bm25TopK(spark, idx, "doc_id", Seq("data", "pipeline"), 5)
+    println(s"[devdrive] bm25 after upsert+delete rows=${r2.count()}")
+
+    // plan gate: topK = TakeOrderedAndProject directly over the scan
+    val emb = Tables.byName(spark, sfDir, "embeddings")
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val topk = graft.operators.SimilaritySearch
+      .topK(emb, "embedding", Array.fill(dim)(0.1f), k = 5)
+    val planTxt = topk.queryExecution.executedPlan.toString()
+    assert(planTxt.contains("TakeOrderedAndProject"),
+      s"topK plan must be TakeOrderedAndProject, got:\n$planTxt")
+    assert(!planTxt.contains("Exchange"), "topK plan must not shuffle")
+    println(s"[devdrive] topK rows=${topk.count()}")
+    println("[devdrive] OK")
+    graft.util.Fs.deleteRecursively(tmp)
+    spark.stop()
+  }
+}

@@ -1814,8 +1814,12 @@ object SparkEntry {
         compactAtFiles = Some(1), compactSortCol = Some("doc_id"),
         compactTargetFiles = Some(2),
         vacuumRetainMillis = Some(0L), logKeepLast = Some(1)))
-      require(rep.folded.isDefined && rep.compactedToVersion.isDefined &&
-        rep.dataFilesReclaimed > 0,
+      // r17: with fold AND compact both over budget, the compaction
+      // ABSORBS the fold (one full rewrite, not two — maintain doc):
+      // folded stays None, the pressure `before` proves the fold work
+      // existed, and the clean-tip require below proves it happened
+      require(rep.before.pressure.tombstoneRows > 0 && rep.folded.isEmpty &&
+        rep.compactedToVersion.isDefined && rep.dataFilesReclaimed > 0,
         s"every maintenance branch must fire on this lineage: $rep")
       require(MT.versions(s, t) == Seq(rep.endVersion),
         "vacuum + trim must bound the log to the tip")

@@ -115,11 +115,17 @@ object LexicalIndex {
         // (term min/max spans the vocabulary in every file), so the
         // per-term Eq probes of bm25TopK skip nothing without them
         val bloom = Seq("term")
-        val pv = MergeTable.init(spark,
-          CI.componentPath(path, dirs("postings")), postings, bloomKeys = bloom)
+        val pPath = CI.componentPath(path, dirs("postings"))
+        val pv = MergeTable.init(spark, pPath, postings, bloomKeys = bloom)
+        // the dictionary derives from the postings component JUST
+        // WRITTEN — one column-pruned read of `term` — instead of
+        // re-running the corpus-wide explode + (term,id,dl)
+        // aggregation a second time (guide §1.2: same rows, one fewer
+        // full pass + shuffle over the tokenized corpus)
         val tv = MergeTable.init(spark,
           CI.componentPath(path, dirs("termdf")),
-          postings.groupBy(col("term")).agg(count(lit(1)).as("df")),
+          MergeTable.read(spark, pPath).select(col("term"))
+            .groupBy(col("term")).agg(count(lit(1)).as("df")),
           bloomKeys = bloom)
         Map("postings" -> pv.version, "doclens" -> dv.version,
           "termdf" -> tv.version)
@@ -170,7 +176,10 @@ object LexicalIndex {
     val pPath = CI.componentPath(path, p0("postings").dir)
     val dPath = CI.componentPath(path, p0("doclens").dir)
     val tPath = CI.componentPath(path, p0("termdf").dir)
-    val (postings, doclens, handle) = tokenize(docs, idCol, textCol)
+    val (postings0, doclens, handle) = tokenize(docs, idCol, textCol)
+    // two consumers below (the df-delta aggregation and the postings
+    // merge): one checkpoint pins the batch-sized explode+groupBy once
+    val postings = postings0.localCheckpoint(true)
     try {
       val ids = doclens.select(col("id")).collect().map(_.get(0))
       if (ids.nonEmpty) {
@@ -211,7 +220,10 @@ object LexicalIndex {
         } finally graft.util.Checkpoints.free(delta)
       }
       ()
-    } finally graft.util.Checkpoints.free(handle)
+    } finally {
+      graft.util.Checkpoints.free(postings)
+      graft.util.Checkpoints.free(handle)
+    }
   }
 
   /** Remove documents from the index — the purge path. [[upsert]] can

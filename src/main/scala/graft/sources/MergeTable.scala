@@ -1862,12 +1862,7 @@ object MergeTable {
       // raw AnalysisException, which would shadow the friendly message
       require(keyCols.forall(u.columns.contains),
         s"key ${keyCols.mkString(",")} missing from updates")
-      val nU = u.count()
-      require(nU == u.dropDuplicates(keyCols).count(),
-        s"updates must be unique on ${keyCols.mkString(",")}")
-      require(u.filter(keyCols.map(col(_).isNull).reduce(_ || _)).isEmpty,
-        s"updates contain NULL in a key column (${keyCols.mkString(",")}); " +
-          "NULL keys cannot match and would duplicate on every merge")
+      val nU = validatedBatchCount(u, keyCols)
       var attempt = 0
       while (attempt < maxRetries) {
         attempt += 1
@@ -1879,6 +1874,31 @@ object MergeTable {
       throw new CommitConflict(
         s"merge at $path lost $maxRetries optimistic commits in a row")
     } finally graft.util.Checkpoints.free(u)
+  }
+
+  /** One-pass writer-batch validation (guide §1.2/§2.3): row count,
+    * uniqueness on `keyCols`, and the NULL-key refusal in a SINGLE
+    * key-only aggregate action. The previous shape was three actions —
+    * count, a `dropDuplicates(keyCols).count()` whose exchange carried
+    * the FULL batch width, and a null-probe scan; this one scans the
+    * batch once and shuffles only the key columns (partial aggregation
+    * below the exchange). `struct` makes the distinct count NULL-key
+    * tolerant (a bare multi-column countDistinct drops NULL rows, which
+    * would mask duplicates from the uniqueness check on the path to the
+    * NULL refusal); with NULLs refused first the struct-distinct equals
+    * the dropDuplicates count exactly. */
+  private def validatedBatchCount(u: DataFrame, keyCols: Seq[String]): Long = {
+    val anyNull = keyCols.map(col(_).isNull).reduce(_ || _)
+    val row = u.select(
+      count(lit(1)).as("n"),
+      count(when(anyNull, lit(1))).as("nNull"),
+      countDistinct(struct(keyCols.map(col): _*)).as("nDist")).head()
+    val (n, nNull, nDist) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    require(nNull == 0L,
+      s"updates contain NULL in a key column (${keyCols.mkString(",")}); " +
+        "NULL keys cannot match and would duplicate on every merge")
+    require(n == nDist, s"updates must be unique on ${keyCols.mkString(",")}")
+    n
   }
 
   private def mergeOnce(
@@ -2614,12 +2634,7 @@ object MergeTable {
     try {
       require(keyCols.forall(u.columns.contains),
         s"key ${keyCols.mkString(",")} missing from updates")
-      val nU = u.count()
-      require(nU == u.dropDuplicates(keyCols).count(),
-        s"updates must be unique on ${keyCols.mkString(",")}")
-      require(u.filter(keyCols.map(col(_).isNull).reduce(_ || _)).isEmpty,
-        s"updates contain NULL in a key column (${keyCols.mkString(",")}); " +
-          "NULL keys cannot match and would duplicate on every merge")
+      val nU = validatedBatchCount(u, keyCols)
       var attempt = 0
       while (attempt < maxRetries) {
         attempt += 1
@@ -3101,9 +3116,13 @@ object MergeTable {
       s"key ${keyCols.mkString(",")} missing from keys frame")
     val u = keys.select(keyCols.map(col): _*).distinct().localCheckpoint(true)
     try {
-      val nK = u.count()
-      require(nK == 0 ||
-        u.filter(keyCols.map(col(_).isNull).reduce(_ || _)).isEmpty,
+      // one-pass count + NULL refusal (the validatedBatchCount shape;
+      // uniqueness is structural here — u is already distinct())
+      val vr = u.select(count(lit(1)).as("n"),
+        count(when(keyCols.map(col(_).isNull).reduce(_ || _), lit(1)))
+          .as("nNull")).head()
+      val nK = vr.getLong(0)
+      require(vr.getLong(1) == 0L,
         s"keys contain NULL in a key column (${keyCols.mkString(",")}); " +
           "NULL keys never match and would tombstone nothing")
       var attempt = 0
@@ -3810,9 +3829,16 @@ object MergeTable {
     *  - FOLD runs when tombstone rows exceed `foldAtTombstoneRows`
     *    (the [[foldIfTombstones]] threshold), using the pressure
     *    counts `before` already paid for — no second footer pass.
+    *    EXCEPT when the compaction branch will also fire: the
+    *    compaction rewrite folds the row-level state itself
+    *    ([[compactTableAt]] rewrites from the logical frame), so the
+    *    pass runs ONE full rewrite, not two — the report then shows
+    *    `folded = None` with `compactedToVersion` set, and the tip is
+    *    row-level-free either way.
     *  - COMPACT runs when the CURRENT base file count (re-read after
     *    a fold may have changed it — one manifest read, no data IO)
-    *    exceeds `compactAtFiles`; requires `compactSortCol` and
+    *    exceeds `compactAtFiles` — or unconditionally when it absorbed
+    *    the fold above; requires `compactSortCol` and
     *    `compactTargetFiles` (refused loudly up front, not when the
     *    threshold eventually trips in production).
     *  - VACUUM at `vacuumRetainMillis`, then TRIM at `logKeepLast`,
@@ -3835,15 +3861,29 @@ object MergeTable {
     val willFold =
       policy.foldAtTombstoneRows.exists(before.pressure.tombstoneRows > _)
     val mayCompact = policy.compactAtFiles.exists(before.baseFiles > _)
+    // When the fold AND the compaction would both fire in this pass,
+    // the compaction ABSORBS the fold: compactTableAt rewrites from
+    // logicalFrame (key suppression applied, delta and tombstones
+    // folded — "the rewrite IS the fold"), so running foldRowLevel
+    // first would pay a second full-table rewrite for the same end
+    // state (guide §1.2: one outcome, one pass). The report then
+    // carries `folded = None` with `compactedToVersion` set — the
+    // row-level state is provably gone from the tip either way.
+    val foldAbsorbed = willFold && mayCompact
     val rescoped =
       if (policy.rescope && before.pressure.unscoped && !willFold &&
           !mayCompact)
         rescopeDelta(spark, path).version != before.version
       else false
-    val folded = if (willFold) Some(foldRowLevel(spark, path)) else None
+    val folded =
+      if (willFold && !foldAbsorbed) Some(foldRowLevel(spark, path)) else None
     val compacted = policy.compactAtFiles.flatMap { maxFiles =>
       val files = snapshot(spark, path).entries.size
-      if (files > maxFiles)
+      // the absorbed fold MUST compact even if a hypothetical plain
+      // fold would have shrunk the table under the file threshold —
+      // the rewrite is what clears the row-level state this pass
+      // promised to clear
+      if (files > maxFiles || foldAbsorbed)
         Some(compactTable(spark, path, policy.compactSortCol.get,
           policy.compactTargetFiles.get).version)
       else None

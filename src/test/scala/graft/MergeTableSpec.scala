@@ -3267,4 +3267,55 @@ class MergeTableSpec extends SparkSpec {
       r4.compactedToVersion.isEmpty && r4.manifestsTrimmed === 0 &&
       r4.endVersion === r3b.endVersion, s"got: $r4")
   }
+
+  test("maintain: a firing compaction absorbs the fold — one rewrite, same end state") {
+    import MergeTable.{MaintenancePolicy, maintain}
+    // two identical lineages: fold+compact both over budget
+    def stage(p: String): Unit = {
+      MergeTable.init(spark, p, rows(1 to 500, "old"))
+      MergeTable.compactTable(spark, p, "id", 8)
+      MergeTable.mergeLite(spark, p,
+        (10L to 19L).map(i => (i, "new", s"m $i")).toDF("id", "tag", "body"),
+        Seq("id"))
+      MergeTable.deleteLite(spark, p,
+        (50L to 60L).map(Tuple1(_)).toDF("id"), Seq("id"))
+    }
+    val pa = freshPath(); stage(pa)
+    val ra = maintain(spark, pa, MaintenancePolicy(
+      foldAtTombstoneRows = Some(0L),
+      compactAtFiles = Some(2), compactSortCol = Some("id"),
+      compactTargetFiles = Some(3)))
+    // absorbed: no separate fold rewrite ran, the compaction version is
+    // exactly before+1 (ONE commit covers both outcomes)
+    assert(ra.before.pressure.tombstoneRows > 0 && ra.folded.isEmpty &&
+      ra.compactedToVersion === Some(ra.before.version + 1), s"got: $ra")
+    val sna = MergeTable.snapshot(spark, pa)
+    assert(sna.delta.isEmpty && sna.deletes.isEmpty &&
+      sna.entries.size === 3, "the single rewrite folded AND compacted")
+    // content equals the explicit fold-then-compact composition
+    val pb = freshPath(); stage(pb)
+    MergeTable.foldIfTombstones(spark, pb, maxTombstoneRows = 0L)
+    MergeTable.compactTable(spark, pb, "id", 3)
+    val a = MergeTable.read(spark, pa).orderBy($"id").collect().toSeq
+    val b = MergeTable.read(spark, pb).orderBy($"id").collect().toSeq
+    assert(a === b, "absorbed fold must be bit-equal to fold-then-compact")
+    // an absorbed fold still compacts even when a plain fold would have
+    // dropped the file count under the threshold (the promise is the
+    // cleared row-level state, not the file count)
+    val pc = freshPath()
+    MergeTable.init(spark, pc, rows(1 to 100, "old"))
+    MergeTable.mergeLite(spark, pc,
+      (1L to 5L).map(i => (i, "new", s"m $i")).toDF("id", "tag", "body"),
+      Seq("id"))
+    MergeTable.deleteLite(spark, pc, Seq(Tuple1(7L)).toDF("id"), Seq("id"))
+    val files0 = MergeTable.snapshot(spark, pc).entries.size
+    val rc = maintain(spark, pc, MaintenancePolicy(
+      foldAtTombstoneRows = Some(0L),
+      compactAtFiles = Some(files0 - 1), compactSortCol = Some("id"),
+      compactTargetFiles = Some(1)))
+    val snc = MergeTable.snapshot(spark, pc)
+    assert(rc.folded.isEmpty && rc.compactedToVersion.isDefined &&
+      snc.delta.isEmpty && snc.deletes.isEmpty && snc.entries.size === 1,
+      s"got: $rc / $snc")
+  }
 }
