@@ -152,17 +152,22 @@ object DedupIndex {
     val sh = shingled(docs, idCol, textCol, shingleSize)
     try {
       val committed = CI.build(spark, path) { dirs =>
-        val sv = MergeTable.init(spark, componentPath(path, dirs("shingles")), sh)
-        // bucket blooms: LSH buckets are a uniform hash domain — min/max
-        // stats never skip a row group for the probe's `bucket IN`
-        // until [[compact]] range-sorts the files; the bloom skips from
-        // the first committed version
-        val bv = MergeTable.init(spark, componentPath(path, dirs("bands")),
-          Dedup.bandFrame(sh, numHashes, bands), bloomKeys = Seq("bucket"))
         import spark.implicits._
-        val pv = MergeTable.init(spark, componentPath(path, dirs("params")),
-          Seq((shingleSize, numHashes, bands))
-            .toDF("shingle_size", "num_hashes", "bands"))
+        // the three component writes are independent (separate tables,
+        // all reading the one checkpointed shingle frame): overlap them
+        // from driver threads (guide §2.6) instead of serializing three
+        // write jobs + their planning/commit gaps
+        val (sv, bv, pv) = graft.util.Par.three(
+          MergeTable.init(spark, componentPath(path, dirs("shingles")), sh),
+          // bucket blooms: LSH buckets are a uniform hash domain — min/max
+          // stats never skip a row group for the probe's `bucket IN`
+          // until [[compact]] range-sorts the files; the bloom skips from
+          // the first committed version
+          MergeTable.init(spark, componentPath(path, dirs("bands")),
+            Dedup.bandFrame(sh, numHashes, bands), bloomKeys = Seq("bucket")),
+          MergeTable.init(spark, componentPath(path, dirs("params")),
+            Seq((shingleSize, numHashes, bands))
+              .toDF("shingle_size", "num_hashes", "bands")))
         Map("bands" -> bv.version, "shingles" -> sv.version,
           "params" -> pv.version)
       }
@@ -231,16 +236,24 @@ object DedupIndex {
       // a no-op batch publishes nothing
       var sV = p0.shingles.version
       var bV = p0.bands.version
+      // shingles and bands are independent components: the retraction
+      // purges overlap, as do the admission merges (guide §2.6); the
+      // per-component delete-before-merge order is preserved by the
+      // two phases
       if (retracted.nonEmpty) {
-        sV = MergeTable.deleteWhere(spark, sPath,
-          col("id").isin(retracted: _*)).version
-        bV = MergeTable.deleteWhere(spark, bPath,
-          col("id").isin(retracted: _*)).version
+        val (sd, bd) = graft.util.Par.both(
+          MergeTable.deleteWhere(spark, sPath,
+            col("id").isin(retracted: _*)).version,
+          MergeTable.deleteWhere(spark, bPath,
+            col("id").isin(retracted: _*)).version)
+        sV = sd; bV = bd
       }
       if (!sh.isEmpty) {
-        sV = MergeTable.merge(spark, sPath, sh, Seq("id")).version
-        bV = MergeTable.merge(spark, bPath,
-          Dedup.bandFrame(sh, p.numHashes, p.bands), Seq("id", "band")).version
+        val (sm, bm) = graft.util.Par.both(
+          MergeTable.merge(spark, sPath, sh, Seq("id")).version,
+          MergeTable.merge(spark, bPath,
+            Dedup.bandFrame(sh, p.numHashes, p.bands), Seq("id", "band")).version)
+        sV = sm; bV = bm
       }
       if (sV != p0.shingles.version || bV != p0.bands.version)
         CI.commitPin(spark, path, p0.version + 1, Map(

@@ -140,11 +140,13 @@ object ImageDedupIndex {
     val fp = requireFpFrame(hashes, idCol, fpCol).localCheckpoint(true)
     try {
       CI.build(spark, path) { dirs =>
-        val bv = MergeTable.init(spark, componentPath(path, dirs("bands")),
-          Dedup.hammingBands(fp), bloomKeys = Seq("bucket"))
         import spark.implicits._
-        val pv = MergeTable.init(spark, componentPath(path, dirs("params")),
-          Seq(algo).toDF("algo"))
+        // independent component writes — overlap them (guide §2.6)
+        val (bv, pv) = graft.util.Par.both(
+          MergeTable.init(spark, componentPath(path, dirs("bands")),
+            Dedup.hammingBands(fp), bloomKeys = Seq("bucket")),
+          MergeTable.init(spark, componentPath(path, dirs("params")),
+            Seq(algo).toDF("algo")))
         Map("bands" -> bv.version, "params" -> pv.version)
       }
       ()

@@ -109,14 +109,17 @@ object LexicalIndex {
     val (postings, doclens, handle) = tokenize(docs, idCol, textCol)
     try {
       CI.build(spark, path) { dirs =>
-        val dv = MergeTable.init(spark,
-          CI.componentPath(path, dirs("doclens")), doclens)
         // term blooms: pre-[[compact]] the postings layout is id-major
         // (term min/max spans the vocabulary in every file), so the
         // per-term Eq probes of bm25TopK skip nothing without them
         val bloom = Seq("term")
         val pPath = CI.componentPath(path, dirs("postings"))
-        val pv = MergeTable.init(spark, pPath, postings, bloomKeys = bloom)
+        // doclens and postings are independent component writes over the
+        // one checkpointed tokenized frame: overlap them (guide §2.6)
+        val (dv, pv) = graft.util.Par.both(
+          MergeTable.init(spark,
+            CI.componentPath(path, dirs("doclens")), doclens),
+          MergeTable.init(spark, pPath, postings, bloomKeys = bloom))
         // the dictionary derives from the postings component JUST
         // WRITTEN — one column-pruned read of `term` — instead of
         // re-running the corpus-wide explode + (term,id,dl)
@@ -206,13 +209,20 @@ object LexicalIndex {
           val dfUpdates = delta.join(current, Seq("term"), "left_outer")
             .select(col("term"),
               (coalesce(col("df"), lit(0L)) + col("__delta")).as("df"))
-          // stale postings of REPLACED docs: a term the new text no
-          // longer contains would survive a bare merge (its (id, term)
-          // key is absent from the update frame) and keep matching
-          MergeTable.deleteWhere(spark, pPath, col("id").isin(idSeq: _*))
-          val pv = MergeTable.merge(spark, pPath, postings, Seq("id", "term"))
-          val dv = MergeTable.merge(spark, dPath, doclens, Seq("id"))
-          val tv = MergeTable.merge(spark, tPath, dfUpdates, Seq("term"))
+          // the three components are independent tables: the postings
+          // delete→merge chain, the doclens merge and the termdf merge
+          // overlap from driver threads (guide §2.6). Within postings
+          // the order stays delete-then-merge: stale postings of
+          // REPLACED docs — a term the new text no longer contains
+          // would survive a bare merge (its (id, term) key is absent
+          // from the update frame) and keep matching.
+          val (pv, dv, tv) = graft.util.Par.three(
+            {
+              MergeTable.deleteWhere(spark, pPath, col("id").isin(idSeq: _*))
+              MergeTable.merge(spark, pPath, postings, Seq("id", "term"))
+            },
+            MergeTable.merge(spark, dPath, doclens, Seq("id")),
+            MergeTable.merge(spark, tPath, dfUpdates, Seq("term")))
           CI.publishNext(spark, path, p0, Map(
             "postings" -> Ref(p0("postings").dir, pv.version),
             "doclens" -> Ref(p0("doclens").dir, dv.version),
@@ -259,10 +269,13 @@ object LexicalIndex {
         .select(col("term"), (col("df") - col("__old")).as("df"))
         .localCheckpoint(true)
       try {
-        val pv = MergeTable.deleteWhere(spark, pPath, col("id").isin(ids: _*))
-        val dv = MergeTable.deleteWhere(spark, dPath, col("id").isin(ids: _*))
-        // the dictionary only moves when some posting actually died
-        val tv =
+        // three independent components (guide §2.6): the two id-purges
+        // and the dictionary chain overlap; within termdf the order
+        // stays merge-then-delete on the one table.
+        val (pv, dv, tv) = graft.util.Par.three(
+          MergeTable.deleteWhere(spark, pPath, col("id").isin(ids: _*)),
+          MergeTable.deleteWhere(spark, dPath, col("id").isin(ids: _*)),
+          // the dictionary only moves when some posting actually died
           if (dfNew.isEmpty) p0("termdf").version
           else {
             val merged = MergeTable.merge(spark, tPath,
@@ -273,7 +286,7 @@ object LexicalIndex {
             if (dead.isEmpty) merged.version
             else MergeTable.deleteWhere(spark, tPath,
               col("term").isin(dead: _*)).version
-          }
+          })
         // all-absent ids leave every component at its pin: publish
         // nothing (DedupIndex.delete's no-op contract — a replayed or
         // empty-effect purge must not grow the composite log forever)

@@ -93,10 +93,12 @@ object SemanticIndex {
       require(nCents >= 1, "cents is empty")
       val assigned = assignedFrame(docs, idCol, vecCol, centsN)
       val committed = CI.build(spark, path) { dirs =>
-        val vv = MergeTable.init(
-          spark, componentPath(path, dirs("vectors")), assigned)
-        val cv = MergeTable.init(
-          spark, componentPath(path, dirs("centroids")), centsN)
+        // independent component writes — overlap them (guide §2.6)
+        val (vv, cv) = graft.util.Par.both(
+          MergeTable.init(
+            spark, componentPath(path, dirs("vectors")), assigned),
+          MergeTable.init(
+            spark, componentPath(path, dirs("centroids")), centsN))
         Map("vectors" -> vv.version, "centroids" -> cv.version)
       }
       // CompositeIndex.build proved the pinned components exist; the

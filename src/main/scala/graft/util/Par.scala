@@ -1,0 +1,36 @@
+package graft.util
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+
+/** Run INDEPENDENT Spark actions from driver threads so the scheduler
+  * overlaps their jobs (optimization guide §2.6): actions are only
+  * sequential because driver code calls them sequentially. Two
+  * component writes of one composite-index build (separate MergeTable
+  * directories, no data dependency) are the canonical case — the
+  * second write's tasks back-fill the executor slots the first's task
+  * tail leaves idle, and its driver-side planning/footer/manifest IO
+  * overlaps the first's running job instead of extending the wall.
+  *
+  * FIFO scheduling (the default) gives the earlier-submitted job its
+  * resources first — exactly the back-fill behaviour wanted here.
+  *
+  * Failure: the FIRST Await to throw propagates its cause; a sibling
+  * already in flight runs to completion detached. Callers are
+  * composite-index builds whose staging dirs are swept on abort, so a
+  * detached sibling's output is reclaimed, never published.
+  */
+object Par {
+  private implicit val ec: ExecutionContext = ExecutionContext.global
+
+  def both[A, B](a: => A, b: => B): (A, B) = {
+    val fa = Future(a); val fb = Future(b)
+    (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf))
+  }
+
+  def three[A, B, C](a: => A, b: => B, c: => C): (A, B, C) = {
+    val fa = Future(a); val fb = Future(b); val fc = Future(c)
+    (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf),
+      Await.result(fc, Duration.Inf))
+  }
+}
