@@ -1,0 +1,82 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Formatted-plan evidence for the r17 build-phase optimizations whose
+  * effect is invisible in a query's SERVING plan (the staged lambdas
+  * return localCheckpoint-pinned frames): dumps the before/after plan
+  * of the changed INTERNAL stage so the plan-shape claims in
+  * OPTIMIZATION_r17.md are checkable. Writes plans/r17/internal_*.txt.
+  *
+  * Usage: runMain graft.PlanEvidence
+  */
+object PlanEvidence {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val out = Paths.get("plans/r17")
+    Files.createDirectories(out)
+    def dump(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val txt = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      Files.writeString(out.resolve(s"$name.txt"), txt)
+      println(s"[evidence] wrote $name")
+    }
+    // the writer-batch shape every merge/mergeLite validates: a staged
+    // slice of documents, keyed by doc_id (the q135 lineage's batch)
+    val u = Tables.documents(spark, sfDir).filter(col("text").isNotNull)
+      .filter(col("doc_id") >= 200 && col("doc_id") < 350)
+      .select(col("doc_id"), col("lang"), substring(col("text"), 1, 40).as("head"))
+    val keyCols = Seq("doc_id")
+
+    // BEFORE (r16): three actions — count, dropDuplicates(keys).count
+    // (full-width exchange), NULL-probe scan. The dropDuplicates plan is
+    // the expensive one; dump it plus the null probe.
+    dump("internal_validation_before_dropDuplicates",
+      u.dropDuplicates(keyCols).groupBy().count())
+    dump("internal_validation_before_nullprobe",
+      u.filter(keyCols.map(col(_).isNull).reduce(_ || _)))
+    // AFTER (r17): ONE key-only aggregate (partial agg below the
+    // exchange; only doc_id flows through it)
+    val anyNull = keyCols.map(col(_).isNull).reduce(_ || _)
+    dump("internal_validation_after_fused",
+      u.select(count(lit(1)).as("n"),
+        count(when(anyNull, lit(1))).as("nNull"),
+        countDistinct(struct(keyCols.map(col): _*)).as("nDist")))
+
+    // LexicalIndex.build termdf: BEFORE recomputed the corpus-wide
+    // explode + (term,id,dl) aggregation; AFTER reads the term column
+    // of the postings component just written.
+    val docs = Tables.documents(spark, sfDir).filter(col("text").isNotNull)
+      .limit(2000)
+    val base = docs.repartition(8).select(col("doc_id").as("id"),
+        graft.functions.TextFunctions.wordsLower(col("text")).as("__ws"))
+      .select(col("id"), size(col("__ws")).cast("double").as("dl"), col("__ws"))
+      .localCheckpoint(true)
+    val postings = base
+      .select(col("id"), col("dl"), explode(col("__ws")).as("term"))
+      .groupBy(col("term"), col("id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .select(col("term"), col("id"), col("tf"), col("dl"))
+    dump("internal_lexical_termdf_before",
+      postings.groupBy(col("term")).agg(count(lit(1)).as("df")))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_evidence")
+    val pPath = tmp.toString + "/postings"
+    graft.sources.MergeTable.init(spark, pPath, postings, bloomKeys = Seq("term"))
+    dump("internal_lexical_termdf_after",
+      graft.sources.MergeTable.read(spark, pPath).select(col("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("df")))
+    graft.util.Checkpoints.free(base)
+    graft.util.Fs.deleteRecursively(tmp)
+    spark.stop()
+  }
+}

@@ -304,15 +304,22 @@ object JobProcessor {
     val winners = graft.operators.Dedup.firstWins(
       batch, keyCols, Seq(col(seqCol).desc, contentTie)).persist()
     try {
-      // a NULL op matches NEITHER filter below — the row would vanish
-      // silently; refuse loudly like the NULL-key contract
-      require(winners.filter(col(opCol).isNull).isEmpty,
+      // ONE aggregate over the persisted winners replaces three actions
+      // (NULL-op probe, ups count, dels count — the validatedBatchCount
+      // fusion, micro-batch form): a NULL op matches NEITHER route
+      // filter below — the row would vanish silently — so it is refused
+      // loudly like the NULL-key contract.
+      val routed = winners.select(
+        count(when(col(opCol).isNull, lit(1))).as("nNullOp"),
+        count(when(col(opCol) =!= deleteValue, lit(1))).as("nUps"),
+        count(when(col(opCol) === deleteValue, lit(1))).as("nDels")).head()
+      require(routed.getLong(0) == 0L,
         s"batch contains NULL in op column '$opCol'; every CDC op must " +
           s"be an upsert marker or '$deleteValue'")
       val ups = winners.filter(col(opCol) =!= deleteValue).drop(opCol)
       val dels = winners.filter(col(opCol) === deleteValue)
         .select(keyCols.map(col): _*)
-      if (ups.count() > 0) {
+      if (routed.getLong(1) > 0) {
         if (!MT.exists(spark, tablePath)) {
           // init bypasses mergeLite's guards — enforce the NULL-key
           // contract here (the mergeResponsesBatch rationale), and
@@ -331,7 +338,7 @@ object JobProcessor {
       }
       // a delete against a never-initialized table removes nothing —
       // and the exists re-check covers the init this very batch made
-      if (dels.count() > 0 && MT.exists(spark, tablePath)) {
+      if (routed.getLong(2) > 0 && MT.exists(spark, tablePath)) {
         MT.deleteLite(spark, tablePath, dels, keyCols); ()
       }
     } finally winners.unpersist()
