@@ -272,6 +272,19 @@ object LexicalIndex {
         // three independent components (guide §2.6): the two id-purges
         // and the dictionary chain overlap; within termdf the order
         // stays merge-then-delete on the one table.
+        //
+        // Purge mechanism deliberately stays deleteWhere (the eager
+        // per-file rewrite), NOT deleteWhereLite (r17 A/B): the
+        // tombstone path's fixed machinery (discovery checkpoint +
+        // delta/tombstone probes + scope discovery per component)
+        // measured MORE jobs (40 → 64) and a slower wall at sf0.1 than
+        // the rewrite it defers, and this index's serving reads then
+        // pay the suppression anti-join until the next rewrite folds
+        // it anyway. The crossover favors tombstones only on tables
+        // orders of magnitude past the bench corpus (MergeLiteDemo:
+        // 17.7x at 40M rows) — a deployment there calls
+        // MergeTable.deleteWhereLite on the components directly (the
+        // q146-pinned path); the default keeps reads bare.
         val (pv, dv, tv) = graft.util.Par.three(
           MergeTable.deleteWhere(spark, pPath, col("id").isin(ids: _*)),
           MergeTable.deleteWhere(spark, dPath, col("id").isin(ids: _*)),
