@@ -49,7 +49,11 @@ object ProfileJobs {
           jobs.synchronized(jobs.toSeq).sortBy(_.start).foreach { j =>
             val gap = if (prevEnd == 0) 0.0 else (j.start - prevEnd) / 1e3
             prevEnd = math.max(prevEnd, j.end)
-            println(f"  job ${j.id}%3d ${(j.end - j.start) / 1e3}%8.3f s  (gap ${gap}%6.3f)  ${j.desc.take(120)}")
+            // a job whose end event has not drained yet must not print a
+            // huge negative duration and corrupt the gap accounting
+            val dur = if (j.end == 0L) "  running" else
+              f"${(j.end - j.start) / 1e3}%8.3f s"
+            println(f"  job ${j.id}%3d $dur  (gap ${gap}%6.3f)  ${j.desc.take(120)}")
           }
         }
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))

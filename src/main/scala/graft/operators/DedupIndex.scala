@@ -236,24 +236,31 @@ object DedupIndex {
       // a no-op batch publishes nothing
       var sV = p0.shingles.version
       var bV = p0.bands.version
-      // shingles and bands are independent components: the retraction
-      // purges overlap, as do the admission merges (guide §2.6); the
-      // per-component delete-before-merge order is preserved by the
-      // two phases
-      if (retracted.nonEmpty) {
-        val (sd, bd) = graft.util.Par.both(
-          MergeTable.deleteWhere(spark, sPath,
-            col("id").isin(retracted: _*)).version,
-          MergeTable.deleteWhere(spark, bPath,
-            col("id").isin(retracted: _*)).version)
-        sV = sd; bV = bd
-      }
-      if (!sh.isEmpty) {
-        val (sm, bm) = graft.util.Par.both(
-          MergeTable.merge(spark, sPath, sh, Seq("id")).version,
-          MergeTable.merge(spark, bPath,
-            Dedup.bandFrame(sh, p.numHashes, p.bands), Seq("id", "band")).version)
-        sV = sm; bV = bm
+      // shingles and bands are independent components: each component's
+      // delete-then-merge CHAIN runs as one branch and the two branches
+      // overlap (guide §2.6) — per-component order preserved, no
+      // cross-component barrier between the delete and merge phases
+      // (a slow shingles purge must not hold up the bands merge)
+      val doRetract = retracted.nonEmpty
+      val doMerge = !sh.isEmpty
+      if (doRetract || doMerge) {
+        val (sv2, bv2) = graft.util.Par.both(
+          {
+            var v = sV
+            if (doRetract) v = MergeTable.deleteWhere(spark, sPath,
+              col("id").isin(retracted: _*)).version
+            if (doMerge) v = MergeTable.merge(spark, sPath, sh, Seq("id")).version
+            v
+          },
+          {
+            var v = bV
+            if (doRetract) v = MergeTable.deleteWhere(spark, bPath,
+              col("id").isin(retracted: _*)).version
+            if (doMerge) v = MergeTable.merge(spark, bPath,
+              Dedup.bandFrame(sh, p.numHashes, p.bands), Seq("id", "band")).version
+            v
+          })
+        sV = sv2; bV = bv2
       }
       if (sV != p0.shingles.version || bV != p0.bands.version)
         CI.commitPin(spark, path, p0.version + 1, Map(

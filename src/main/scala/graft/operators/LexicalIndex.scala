@@ -180,12 +180,15 @@ object LexicalIndex {
     val dPath = CI.componentPath(path, p0("doclens").dir)
     val tPath = CI.componentPath(path, p0("termdf").dir)
     val (postings0, doclens, handle) = tokenize(docs, idCol, textCol)
-    // two consumers below (the df-delta aggregation and the postings
-    // merge): one checkpoint pins the batch-sized explode+groupBy once
-    val postings = postings0.localCheckpoint(true)
+    var postings: Option[DataFrame] = None
     try {
       val ids = doclens.select(col("id")).collect().map(_.get(0))
       if (ids.nonEmpty) {
+        // two consumers below (the df-delta aggregation and the
+        // postings merge): one checkpoint pins the batch-sized
+        // explode+groupBy once — taken only past the empty-batch gate,
+        // so a no-op batch evaluates nothing (review catch)
+        postings = Some(postings0.localCheckpoint(true))
         val idSeq = ids.toSeq
         // df delta BEFORE the delete, against the PINNED postings: each
         // affected term's df moves by (new batch postings) - (old batch
@@ -195,7 +198,7 @@ object LexicalIndex {
         val oldCounts = MergeTable.readAt(spark, pPath, p0("postings").version)
           .filter(col("id").isin(idSeq: _*))
           .groupBy(col("term")).agg(count(lit(1)).as("__old"))
-        val newCounts = postings.groupBy(col("term")).agg(count(lit(1)).as("__new"))
+        val newCounts = postings.get.groupBy(col("term")).agg(count(lit(1)).as("__new"))
         val delta = newCounts.join(oldCounts, Seq("term"), "full_outer")
           .select(col("term"),
             (coalesce(col("__new"), lit(0L)) - coalesce(col("__old"), lit(0L)))
@@ -219,7 +222,7 @@ object LexicalIndex {
           val (pv, dv, tv) = graft.util.Par.three(
             {
               MergeTable.deleteWhere(spark, pPath, col("id").isin(idSeq: _*))
-              MergeTable.merge(spark, pPath, postings, Seq("id", "term"))
+              MergeTable.merge(spark, pPath, postings.get, Seq("id", "term"))
             },
             MergeTable.merge(spark, dPath, doclens, Seq("id")),
             MergeTable.merge(spark, tPath, dfUpdates, Seq("term")))
@@ -231,7 +234,7 @@ object LexicalIndex {
       }
       ()
     } finally {
-      graft.util.Checkpoints.free(postings)
+      postings.foreach(graft.util.Checkpoints.free)
       graft.util.Checkpoints.free(handle)
     }
   }

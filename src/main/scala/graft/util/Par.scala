@@ -15,22 +15,35 @@ import scala.concurrent.duration.Duration
   * FIFO scheduling (the default) gives the earlier-submitted job its
   * resources first — exactly the back-fill behaviour wanted here.
   *
-  * Failure: the FIRST Await to throw propagates its cause; a sibling
-  * already in flight runs to completion detached. Callers are
-  * composite-index builds whose staging dirs are swept on abort, so a
-  * detached sibling's output is reclaimed, never published.
+  * Failure: EVERY branch is joined before anything propagates — the
+  * first failure (in argument order) then rethrows its cause. Joining
+  * first matters more than failing fast here: callers free the
+  * localCheckpoint'd inputs in their `finally` blocks, and a sibling
+  * still in flight when that free runs would see its blocks vanish
+  * mid-scan (lineage is truncated — no recompute), or worse, commit to
+  * a live component table while the caller is already retrying —
+  * a second concurrent writer against a single-writer table. A failed
+  * sibling's own partial output is unpublished (MergeTable batch dirs
+  * / composite staging), so it is vacuum-reclaimable, never visible.
   */
 object Par {
   private implicit val ec: ExecutionContext = ExecutionContext.global
 
+  private def joinAll[T](fs: Seq[Future[Any]]): Seq[Any] = {
+    // await every branch (never throws here) ...
+    val results = fs.map(f => Await.ready(f, Duration.Inf).value.get)
+    // ... THEN surface the first failure, after all siblings settled
+    results.collectFirst { case scala.util.Failure(e) => throw e }
+    results.map(_.get)
+  }
+
   def both[A, B](a: => A, b: => B): (A, B) = {
-    val fa = Future(a); val fb = Future(b)
-    (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf))
+    val r = joinAll(Seq(Future(a), Future(b)))
+    (r(0).asInstanceOf[A], r(1).asInstanceOf[B])
   }
 
   def three[A, B, C](a: => A, b: => B, c: => C): (A, B, C) = {
-    val fa = Future(a); val fb = Future(b); val fc = Future(c)
-    (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf),
-      Await.result(fc, Duration.Inf))
+    val r = joinAll(Seq(Future(a), Future(b), Future(c)))
+    (r(0).asInstanceOf[A], r(1).asInstanceOf[B], r(2).asInstanceOf[C])
   }
 }
